@@ -1,0 +1,59 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+The reference resolves `catalog.schema.table` through ConnectorMetadata
+(reference core/trino-spi/.../connector/ConnectorMetadata.java:1); here a
+scale-factor directory of parquet files plays the role of a catalog. Schema
+is declared by the files (SURVEY.md §1.2); Spark's vectorized parquet reader
+is the Page/Block layer (SURVEY.md §1.1) — we never materialize rows manually.
+
+At cluster scale the same interface would point at an object-store prefix;
+nothing below assumes local paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables that stay broadcast-sized at any scale factor (nation and
+# region are constant-cardinality in TPC-H; customer/supplier/part scale).
+BROADCAST_DIMS = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Tables:
+    """Lazy namespace of DataFrames for one scale-factor directory.
+
+    ``Tables(spark, sf_dir).lineitem`` → DataFrame. Reads are lazy and
+    metadata-cached by Spark, so repeated attribute access is cheap.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLE_NAMES:
+            raise AttributeError(name)
+        return self._spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+
+    def register_views(self, names: list[str] | None = None) -> None:
+        """Register temp views so spark.sql() sees the catalog (the
+        reference's information_schema equivalent is spark.catalog)."""
+        for name in names or TABLE_NAMES:
+            getattr(self, name).createOrReplaceTempView(name)
