@@ -50,7 +50,20 @@ class Tables:
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_") or name not in TABLE_NAMES:
             raise AttributeError(name)
+        if name == "events":
+            return self._read_events()
         return self._spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+
+    def _read_events(self) -> DataFrame:
+        """events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        reader rejects; read it as raw int64 nanoseconds instead and expose
+        it as ``ts_ns`` (BIGINT). Nanosecond integers compare/sort/window
+        exactly in both Spark and DuckDB (oracle twin: ``epoch_ns(ts)``),
+        with no truncation — sub-microsecond ordering is preserved, which a
+        cast to Spark's microsecond timestamps would lose."""
+        self._spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self._spark.read.parquet(os.path.join(self.sf_dir, "events.parquet"))
+        return df.withColumnRenamed("ts", "ts_ns")
 
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so spark.sql() sees the catalog (the

@@ -1,0 +1,533 @@
+"""Operator-inventory coverage beyond TPC-H: window functions (reference
+operator/window/ — WindowOperator.java:70, RowsFraming/RangeFraming),
+set operations (reference SetOperationNodeTranslator.java:60,
+ImplementIntersectAll.java:40), grouping sets (GroupIdOperator.java:32),
+UNNEST (operator/unnest/UnnestOperator.java:42), top-N ranking
+(TopNRankingOperator.java:42), VALUES (ValuesOperator.java:27), and
+distinct-limit (DistinctLimitOperator.java:40) — each as a Spark-native query
+with a DuckDB oracle twin.
+
+Determinism: window orderings always include a unique tiebreak column
+(event_id / o_orderkey); running/framed double aggregates use the decimal
+cast so segment-tree vs incremental evaluation order can't change bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from witdb_spark.catalog import Tables
+from witdb_spark.queries.registry import register
+from witdb_spark.queries.shared import DEC, dsum, sql_sum
+
+# DuckDB oracle twin of catalog.Tables._read_events: the parquet ts column is
+# TIMESTAMP(NANOS); both engines operate on exact int64 nanoseconds (ts_ns) so
+# sub-microsecond ordering matches bit-for-bit. The CTE shadows the driver's
+# pre-registered `events` view.
+EVENTS_NS = (
+    "WITH events_ns AS (SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+@register(
+    "window_rank_topn",
+    """
+    SELECT user_id, event_id, value, rn, rnk, drnk
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    ) ranked
+    WHERE rn <= 3
+    """,
+    doc="Top-3 events per user: ranking window functions + rank filter. Spark "
+    "plans this as WindowGroupLimit (top-k per group without full sort), the "
+    "same optimization as reference TopNRankingOperator.java:42 / "
+    "GroupedTopNRowNumberBuilder.java:37.",
+    tags=("window", "topn"),
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        t.events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    f"""
+    {EVENTS_NS}
+    SELECT event_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_value
+    FROM events_ns
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    """,
+    doc="Value window functions with defaults (reference LagFunction.java:29, "
+    "LeadFunction.java:29).",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return t.events.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    f"""
+    {EVENTS_NS}
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events_ns
+    """,
+    doc="Running aggregate with explicit ROWS frame (reference "
+    "RowsFraming.java, AggregateWindowFunction.java). Decimal accumulation "
+    "so DuckDB's segment-tree evaluation matches Spark's incremental one.",
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_sliding_rows",
+    f"""
+    {EVENTS_NS}
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window_sum,
+           first_value(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS first_eid,
+           last_value(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS last_eid,
+           nth_value(event_id, 2) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS second_eid
+    FROM events_ns
+    """,
+    doc="Sliding ROWS frame with first/last/nth_value (reference "
+    "FirstValueFunction.java:25, NthValueFunction.java:27).",
+    tags=("window", "frame"),
+)
+def window_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id").rowsBetween(-2, 1)
+    return t.events.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("window_sum"),
+        F.first("event_id").over(w).alias("first_eid"),
+        F.last("event_id").over(w).alias("last_eid"),
+        F.nth_value("event_id", 2).over(w).alias("second_eid"),
+    )
+
+
+@register(
+    "window_ntile_dist",
+    """
+    SELECT event_id,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Distribution window functions (reference NTileFunction.java:27, "
+    "PercentRankFunction.java:23, CumulativeDistributionFunction.java:23). "
+    "percent_rank/cume_dist are single IEEE divisions — engine-identical.",
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t.events.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "window_range_interval",
+    f"""
+    {EVENTS_NS}
+    SELECT event_id,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts_ns
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+           AS events_last_hour
+    FROM events_ns
+    """,
+    doc="RANGE frame over time (reference RangeFraming.java) — the rolling-"
+    "window primitive a 100TB events table needs. Frame bound is 1 hour in "
+    "exact nanoseconds so both engines agree to the nanosecond.",
+    tags=("window", "frame"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-3_600_000_000_000, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("events_last_hour")
+    )
+
+
+@register(
+    "setops_intersect_except",
+    """
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         erroring   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         signups    AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    SELECT 'both'      AS cohort, COUNT(*) AS n FROM (SELECT * FROM purchasers INTERSECT SELECT * FROM erroring) a
+    UNION ALL
+    SELECT 'purch_only' AS cohort, COUNT(*) AS n FROM (SELECT * FROM purchasers EXCEPT SELECT * FROM erroring) b
+    UNION ALL
+    SELECT 'any'       AS cohort, COUNT(*) AS n FROM (SELECT * FROM purchasers UNION SELECT * FROM signups) c
+    """,
+    doc="INTERSECT / EXCEPT / UNION [DISTINCT] / UNION ALL in one query "
+    "(reference SetOperationNodeTranslator.java:60,77; "
+    "ImplementIntersectDistinctAsUnion.java).",
+    tags=("setops",),
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    sign = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    both = purch.intersect(err).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    purch_only = purch.exceptAll(err).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("purch_only").alias("cohort"), "n"
+    )
+    any_ = purch.union(sign).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("any").alias("cohort"), "n"
+    )
+    return both.unionAll(purch_only).unionAll(any_)
+
+
+@register(
+    "setops_intersect_all",
+    """
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'purchase')
+    INTERSECT ALL
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+    """,
+    doc="INTERSECT ALL bag semantics (reference ImplementIntersectAll.java:40-59 "
+    "rewrites to row_number windows; Spark implements natively).",
+    tags=("setops",),
+)
+def setops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersectAll(ev.filter(F.col("event_type") == "view").select("user_id"))
+    )
+
+
+@register(
+    "groupby_rollup",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_sum('o_totalprice', 'total_price')},
+           GROUPING(CAST(year(o_orderdate) AS INTEGER)) AS g_year,
+           GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets + GROUPING() marker (reference "
+    "GroupIdOperator.java:32, QueryPlanner.planGroupingSets:1090).",
+    tags=("groupingsets",),
+)
+def groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.grouping("o_year").cast("bigint").alias("g_year"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        )
+        .select("o_year", "o_orderpriority", "n_orders", "total_price", "g_year", "g_prio")
+    )
+
+
+@register(
+    "groupby_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (reference grammar SqlBase.g4:273-276).",
+    tags=("groupingsets",),
+)
+def groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "groupby_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL surface (reference "
+    "analyzeGroupBy StatementAnalyzer.java:2941).",
+    tags=("groupingsets", "sql"),
+)
+def groupby_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "unnest_words",
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS ord
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="UNNEST WITH ORDINALITY (reference UnnestOperator.java:42, grammar "
+    "SqlBase.g4:417): posexplode with Trino's 1-based ordinal.",
+    tags=("unnest",),
+)
+def unnest_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .select("doc_id", "word", (F.col("pos") + 1).cast("bigint").alias("ord"))
+    )
+
+
+@register(
+    "values_inline_join",
+    f"""
+    SELECT t.tier, COUNT(*) AS n, {sql_sum('o_totalprice', 'total')}
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                 ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                 ('5-LOW', 'cold')) AS t(prio, tier)
+      ON o_orderpriority = t.prio
+    GROUP BY t.tier
+    """,
+    doc="Inline VALUES relation joined to a table (reference "
+    "ValuesOperator.java:27); the literal side broadcasts.",
+    tags=("values", "join"),
+)
+def values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        ["prio", "tier"],
+    )
+    return (
+        t.orders.join(F.broadcast(tiers), F.col("o_orderpriority") == F.col("prio"))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "distinct_order_offset",
+    """
+    SELECT DISTINCT event_type, user_id
+    FROM events
+    ORDER BY event_type, user_id
+    LIMIT 50 OFFSET 25
+    """,
+    doc="DISTINCT + ORDER BY + LIMIT/OFFSET (reference "
+    "DistinctLimitOperator.java:40, ImplementOffset.java).",
+    tags=("distinct", "limit"),
+)
+def distinct_order_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .orderBy("event_type", "user_id")
+        .offset(25)
+        .limit(50)
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    doc="PIVOT via Spark's native pivot (Catalyst rewrites to the same "
+    "conditional-aggregate expansion the oracle spells out).",
+    tags=("pivot",),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@register(
+    "lateral_top_event",
+    """
+    SELECT u.user_id, e.event_id AS top_event, e.value AS top_value
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 100) u,
+         LATERAL (SELECT event_id, value FROM events e
+                  WHERE e.user_id = u.user_id
+                  ORDER BY value DESC, event_id LIMIT 1) e
+    """,
+    doc="Correlated LATERAL subquery (reference CorrelatedJoinNode, grammar "
+    "SqlBase.g4:418) via Spark SQL LATERAL (3.2+).",
+    tags=("lateral", "sql"),
+)
+def lateral_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT u.user_id, e.event_id AS top_event, e.value AS top_value
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 100) u,
+             LATERAL (SELECT event_id, value FROM events e
+                      WHERE e.user_id = u.user_id
+                      ORDER BY value DESC, event_id LIMIT 1) e
+        """
+    )
+
+
+@register(
+    "crossjoin_theta",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1, region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    doc="Cross join with theta predicate (reference "
+    "NestedLoopJoinOperator.java:45): broadcast nested-loop in Spark.",
+    tags=("crossjoin",),
+)
+def crossjoin_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    r1 = t.region.select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = t.region.select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return r1.crossJoin(r2).filter(F.col("k1") < F.col("k2")).select(
+        "from_region", "to_region"
+    )
+
+
+@register(
+    "assign_unique_id",
+    None,  # ids are engine-generated; driver records rows-only
+    doc="AssignUniqueIdOperator.java:36 analog: monotonically_increasing_id — "
+    "checked for uniqueness (count == distinct count), values engine-specific.",
+    tags=("misc",),
+)
+def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.withColumn("uid", F.monotonically_increasing_id())
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("uid")).alias("n_ids"),
+        )
+        .select((F.col("n_rows") == F.col("n_ids")).alias("ids_unique"))
+    )
+
+
+@register(
+    "tablesample",
+    None,  # sampling differs across engines; rows-only
+    doc="TABLESAMPLE BERNOULLI (reference SampleNode, "
+    "ImplementBernoulliSampleAsFilter.java): seeded df.sample.",
+    tags=("sample",),
+)
+def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
