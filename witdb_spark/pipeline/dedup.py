@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, MinHash+LSH banding, SimHash.
+
+Scale design (the part that matters at 100 TB):
+  - Exact dedup is a hash-groupBy — one shuffle on the 128-bit digest.
+  - MinHash signatures are computed with 16 MIN() aggregates over the
+    shingle relation — one shuffle on doc_id, no row explosion per
+    permutation (the naive shingle×permutation cross-product would be 16x
+    the data in flight).
+  - Candidate generation joins on band keys (4 bands x 4 rows): only
+    documents sharing a band collide, so the join output is near-linear in
+    the number of true near-duplicates instead of O(n^2). This is the
+    standard LSH argument; the band join is shuffle-partitioned on the band
+    hash and AQE handles hot buckets (boilerplate-heavy corpora) via skew
+    splitting.
+  - Jaccard verification runs only on candidate pairs.
+
+Hashes are md5-derived so DuckDB oracles reproduce results bit-for-bit
+(Spark xxhash64/hash use engine-private algorithms; md5 is the portable
+choice — at production scale swap HASH_EXPR for xxhash64 and keep the same
+plan shape).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_PERM = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (after lower/trim normalization):
+    canonical member (min doc_id) + group size."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return (
+        df.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document (JVM higher-order functions;
+    documents with fewer than k words are dropped on both engines)."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + off) for off in range(k)]
+    )
+    return (
+        df.filter(F.size(ws) >= k)
+        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signature per doc: permutation j is simulated by md5('j:'+s);
+    the minimum hex digest is a uniform min-hash. One aggregation, num_perm
+    MIN columns — no data explosion."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys(signatures: DataFrame, num_bands: int = NUM_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_hash) — documents agreeing on all rows of any
+    band become candidates."""
+    per_band = NUM_PERM // num_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"m{b * per_band + r}") for r in range(per_band)])).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(num_bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (a < b) pairs sharing at least one band — the LSH join."""
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = shingles.select(
+        F.col("doc_id").alias("sb_id"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        pairs.join(sa, "a_id")
+        .join(
+            sb,
+            (F.col("b_id") == F.col("sb_id"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> band -> candidate join -> exact
+    jaccard verify."""
+    sh = word_shingles(df, text_col)
+    pairs = candidate_pairs(band_keys(minhash_signatures(sh)))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over word unigrams (with multiplicity): bit k of the
+    fingerprint is the sign of sum over words of (+1 if bit k of
+    md5-16bit(word) else -1). 16 bits keeps the expression tree small; the
+    plan shape is identical at 64."""
+    tokens = df.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
+    )
+    weight = lambda k: F.sum(  # noqa: E731
+        F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
+    )
+    weights = tokens.groupBy("doc_id").agg(
+        *[weight(k).alias(f"w{k}") for k in range(bits)]
+    )
+    sim = reduce(
+        lambda acc, k: acc
+        + F.when(F.col(f"w{k}") > 0, F.lit(1 << k)).otherwise(0),
+        range(bits),
+        F.lit(0),
+    )
+    return weights.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within a Hamming-distance budget. The pair join here is a
+    broadcast self-join on the (small) signature relation; at 100 TB you'd
+    band the simhash bits exactly like MinHash (join on bit-chunks) —
+    same plan as candidate_pairs()."""
+    s = simhash(df, text_col)
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

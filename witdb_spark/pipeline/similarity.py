@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB pipeline needs:
+  - brute_force_topk: exact cosine top-k of every query against the corpus.
+    Dot products are computed with JVM higher-order functions (zip_with +
+    aggregate) — no Python in the loop — with per-element products cast to
+    DECIMAL(38,12) so the fold is exact and engine-identical (float
+    summation order would otherwise differ from the oracle). At cluster
+    scale the corpus side partitions freely; queries broadcast.
+  - lsh_buckets: random-hyperplane LSH. Hyperplane weights are derived from
+    md5(plane, dim) so every engine (and the DuckDB oracle) constructs the
+    identical planes — no RNG state to ship. Probing cost drops from O(N)
+    to O(N / 2^planes) per query; the bucket id is a 1-shuffle groupBy key.
+
+Reference analog: cosine_similarity lives in reference
+operator/scalar/MathFunctions.java (scalar, single-node); the distributed
+top-k/LSH composition is the north-star addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact dot product of two float arrays: cast elements to double (exact),
+# multiply (IEEE, deterministic), cast each product to decimal (exact sum).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), "
+    "CAST(0 AS DECIMAL(38,12)), "
+    # Spark narrows (38,12)+(38,12) to (38,11); re-cast so the fold keeps the
+    # accumulator type (values are tiny relative to the precision — exact).
+    "(acc, v) -> CAST(acc + v AS DECIMAL(38,12)))"
+)
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b)).cast("double")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(dot_expr(vec_col, vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    JVM-side dot products, per-query window top-k (WindowGroupLimit — no
+    global sort)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("dot", dot_expr("qvec", "cvec"))
+        .withColumn("qnorm", F.sqrt(dot_expr("qvec", "qvec")))
+        .withColumn("cnorm", F.sqrt(dot_expr("cvec", "cvec")))
+        # rounded to 6 decimals: the per-product decimal cast rounds
+        # differently across engines (~1e-11 systematic drift), and ranking
+        # on the rounded value + id tiebreak keeps top-k deterministic
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id", "cosine", F.col("rn").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+    Exact O(n^2) scoring here; at scale, run lsh_buckets first and only
+    score within-bucket pairs (same two-stage shape as MinHash dedup)."""
+    a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr("va", "vb")
+                / (F.sqrt(dot_expr("va", "va")) * F.sqrt(dot_expr("vb", "vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def hyperplane_weight(plane: F.Column, dim: F.Column) -> F.Column:
+    """Deterministic pseudo-random weight in [-32768, 32767]: 16 bits of
+    md5('p_d'). Identical in Spark, DuckDB, and Python."""
+    h = F.md5(F.concat(plane.cast("string"), F.lit("_"), dim.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") - F.lit(32768)).cast(
+        "double"
+    )
+
+
+def lsh_buckets(
+    corpus: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bucket bit p = sign of
+    dot(vec, plane_p). Planes are an md5-derived constant relation that
+    broadcasts; the heavy side stays partitioned."""
+    spark = corpus.sparkSession
+    planes = (
+        spark.range(num_planes)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("dim")))
+        .withColumn("w", hyperplane_weight(F.col("plane"), F.col("dim")))
+    )
+    elems = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    dots = (
+        elems.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum((F.col("x") * F.col("w")).cast("decimal(38,12)")).alias("dot"))
+    )
+    bucket = F.sum(
+        F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(0)
+    ).cast("bigint")
+    return dots.groupBy("vec_id").agg(bucket.alias("bucket"))

@@ -1,0 +1,106 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. All pure JVM column expressions (no UDFs) so they run inside
+whole-stage codegen and push down through Catalyst.
+
+Reference analogs: word_stem/levenshtein-class string functions live in
+reference operator/scalar/StringFunctions.java:72-838; the quality/langid
+operators are north-star additions (BASELINE.json) with no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list shared with oracle SQL.
+STOPWORDS = ("the", "a")
+
+# Marker words for the n-gram-heuristic language ID. The driver's synthetic
+# corpus is English-ish tokens; the heuristic is deterministic regardless.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "pas"),
+    "es": ("el", "la", "y", "no"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text)).cast("bigint")
+
+
+def bpe_ish_token_estimate(text: Column) -> Column:
+    """The classic chars/4 estimate a BPE tokenizer budget uses, plus one
+    per word boundary — deterministic integer arithmetic."""
+    return (F.length(text) / F.lit(4)).cast("bigint") + token_count(text)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: counts, type-token ratio, average word
+    length, stopword ratio. Ratios are single IEEE divisions of exact ints,
+    so they are engine-identical."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w).cast("bigint")
+    n_unique = F.array_size(F.array_distinct(w)).cast("bigint")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    # single-space separated corpus: total word chars = len - (n_words - 1)
+    avg_word_len = (F.length(t) - n_words + 1).cast("double") / n_words
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / n_words).alias("type_token_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        bpe_ish_token_estimate(t).alias("est_tokens"),
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: count marker-word hits per language,
+    argmax with deterministic tie-break (language name order). The argmax is
+    a LEAST() over '<zero-padded inverted score><lang>' strings — portable
+    to any SQL engine, so the oracle can replicate it verbatim."""
+    w = words(F.col(text_col))
+
+    def marker_filter(markers: tuple[str, ...]):
+        # closure, not a default arg: a 2-arg lambda would be read by
+        # F.filter as the (value, index) form
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(w, marker_filter(markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    keys = [
+        F.concat(
+            F.lpad((F.lit(100000) - scores[lang]).cast("string"), 6, "0"),
+            F.lit(lang),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.substring(F.least(*keys), 7, 2)
+    return df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        best.alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text plus a 60-bit
+    integer prefix (both engines parse 15 hex chars into a positive BIGINT)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    h = F.md5(norm)
+    return df.select(
+        "doc_id",
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )

@@ -4,6 +4,11 @@ module's (spark_fn, oracle_sql) pairs into registry.QUERIES."""
 from witdb_spark.queries.registry import QUERIES, all_oracles, all_queries
 
 # Import for registration side effects — each module fills QUERIES.
-from witdb_spark.queries import analytics, tpch  # noqa: E402,F401
+from witdb_spark.queries import (  # noqa: E402,F401
+    aggregates,
+    analytics,
+    pipeline_queries,
+    tpch,
+)
 
 __all__ = ["QUERIES", "all_queries", "all_oracles"]

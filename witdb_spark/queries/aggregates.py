@@ -1,0 +1,328 @@
+"""Aggregate-function library coverage (SURVEY.md §2.4; reference
+operator/aggregation/ — 108 files registered via
+metadata/SystemFunctionBundle.java:368-).
+
+Determinism strategy per family:
+  - Moment statistics (stddev/var/corr/covar/regr): both engines implement
+    the same textbook definitions but accumulate doubles in different orders;
+    values agree to ~1e-12 relative, so both sides round to 6 decimals.
+  - Skewness/kurtosis: DuckDB applies sample-bias correction while
+    Trino/Spark use population moments (reference
+    CentralMomentsAggregation.java), so the oracle spells out the population
+    formula from exact decimal power sums.
+  - min_by/max_by: keyed on ts_ns which is verified-unique per user — no
+    tie ambiguity between engines.
+  - Ordered array_agg / listagg: emitted as delimiter-joined strings
+    (reference arrayagg/, listagg/ with OrderedAccumulatorFactory) — string
+    output is engine-neutral, array reprs are not.
+  - approx_* sketches: algorithms are engine-specific; those queries carry
+    no oracle (driver records rows-only) and tests/test_approx.py bounds
+    their error against the exact answer instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from witdb_spark.catalog import Tables
+from witdb_spark.queries.analytics import EVENTS_NS
+from witdb_spark.queries.registry import register
+from witdb_spark.queries.shared import DEC, dsum, sql_sum
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+           round(var_samp(l_quantity), 6)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 6)  AS covarp_qp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Variance/stddev/correlation/covariance (reference "
+    "VarianceAggregation.java, DoubleCorrelationAggregation.java, "
+    "DoubleCovarianceAggregation.java); 6-decimal rounding absorbs "
+    "accumulation-order noise.",
+    tags=("aggregate", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("covarp_qp"),
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*)::DOUBLE AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew_qty,
+           round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS kurt_qty
+    FROM m
+    """,
+    doc="Population skewness / excess kurtosis (reference "
+    "CentralMomentsAggregation.java uses population moments, same as Spark). "
+    "DuckDB's built-ins apply sample-bias correction, so the oracle computes "
+    "the population formula from exact decimal power sums.",
+    tags=("aggregate", "stats"),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@register(
+    "agg_regr",
+    """
+    SELECT round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avgy
+    FROM lineitem
+    """,
+    doc="Linear regression aggregates (reference "
+    "DoubleRegressionAggregation.java; Trino ships regr_slope/intercept, "
+    "Spark 3.4+ ships the full regr_* family).",
+    tags=("aggregate", "stats"),
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return t.lineitem.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    f"""
+    {EVENTS_NS}
+    SELECT user_id,
+           max_by(event_id, ts_ns) AS last_event,
+           min_by(event_id, ts_ns) AS first_event,
+           max_by(event_type, ts_ns) AS last_type,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events_ns
+    GROUP BY user_id
+    """,
+    doc="min_by/max_by (reference MaxByAggregationFunction.java, minmaxbyn/) "
+    "keyed on the verified-unique ts_ns so both engines pick the same row.",
+    tags=("aggregate",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        F.max_by("event_id", "ts_ns").alias("last_event"),
+        F.min_by("event_id", "ts_ns").alias("first_event"),
+        F.max_by("event_type", "ts_ns").alias("last_type"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "agg_listagg_ordered",
+    f"""
+    {EVENTS_NS}
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts_ns, event_id) AS type_seq,
+           string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY event_id DESC) AS ids_desc
+    FROM events_ns
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    doc="Ordered array_agg / listagg (reference "
+    "arrayagg/ArrayAggregationFunction.java + OrderedAccumulatorFactory.java, "
+    "listagg/): Spark rewrite is array_sort(collect_list(struct(key, val))) "
+    "then join — the documented workaround for collect_list's "
+    "non-deterministic order.",
+    tags=("aggregate", "arrayagg"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id") < 20)
+    type_seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_ns", "event_id", "event_type"))),
+            lambda s: s.event_type,
+        ),
+        ",",
+    )
+    ids_desc = F.array_join(
+        F.transform(
+            F.reverse(F.array_sort(F.collect_list(F.struct(F.col("event_id"))))),
+            lambda s: s.event_id.cast("string"),
+        ),
+        "|",
+    )
+    return ev.groupBy("user_id").agg(
+        type_seq.alias("type_seq"), ids_desc.alias("ids_desc")
+    )
+
+
+@register(
+    "agg_histogram_map",
+    """
+    SELECT user_id % 5 AS bucket,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type || ':' || CAST(n AS VARCHAR))
+             AS type_histogram
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ) c
+    GROUP BY user_id % 5
+    """,
+    doc="histogram / map_agg (reference histogram/Histogram.java, "
+    "MapAggregationFunction.java) rendered as a sorted k:v string — the "
+    "engine-neutral serialization of a map aggregate.",
+    tags=("aggregate", "map"),
+)
+def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kv = F.concat_ws(":", F.col("event_type"), F.col("n").cast("string"))
+    return (
+        counts.withColumn("bucket", F.col("user_id") % 5)
+        .groupBy("bucket")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(kv)), ",").alias("type_histogram")
+        )
+    )
+
+
+@register(
+    "agg_conditional_bool",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 50) AS BIGINT) AS n_big,
+           bool_and(value >= 0)                 AS all_nonneg,
+           bool_or(value > 99)                  AS any_huge,
+           bit_and(user_id)                     AS band,
+           bit_or(user_id)                      AS bor,
+           COUNT(*) FILTER (WHERE value < 10)   AS n_small
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="count_if / bool_and / bool_or / bitwise aggs / FILTER clause "
+    "(reference CountIfAggregation.java, BooleanAndAggregation.java, "
+    "BitwiseAndAggregation.java, DistinctAccumulatorFactory FILTER support).",
+    tags=("aggregate",),
+)
+def agg_conditional_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_huge"),
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.count(F.when(F.col("value") < 10, 1)).alias("n_small"),
+    )
+
+
+@register(
+    "agg_geo_mean_percentiles",
+    """
+    SELECT round(exp(avg(ln(value))), 6)          AS geo_mean,
+           round(median(value), 6)                AS med,
+           round(quantile_cont(value, 0.25), 6)   AS p25,
+           round(quantile_cont(value, 0.95), 6)   AS p95
+    FROM events
+    WHERE value > 0
+    """,
+    doc="geometric_mean (reference GeometricMeanAggregations.java) as "
+    "exp(avg(ln x)); exact interpolated percentiles (reference "
+    "ApproximateLongPercentileAggregations is approx — Spark's "
+    "percentile() is the exact counterpart, DuckDB quantile_cont).",
+    tags=("aggregate", "percentile"),
+)
+def agg_geo_mean_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value") > 0)
+    return ev.agg(
+        F.round(F.exp(F.avg(F.log("value"))), 6).alias("geo_mean"),
+        F.round(F.median("value"), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_supp,
+           COUNT(DISTINCT l_partkey)  AS n_part,
+           COUNT(DISTINCT l_orderkey) AS n_ord,
+           COUNT(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multiple DISTINCT aggregates in one query (reference "
+    "MarkDistinctOperator.java:36, MultipleDistinctAggregationToMarkDistinct"
+    ".java:69; Spark uses the same expand-based rewrite).",
+    tags=("aggregate", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+        F.count_distinct("l_orderkey").alias("n_ord"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # HLL / KLL / frequent-items algorithms are engine-specific
+    doc="approx_count_distinct (HLL; reference "
+    "ApproximateCountDistinctAggregation.java:45), approx_percentile "
+    "(reference QuantileDigestAggregationFunction.java:40), hll_sketch_agg "
+    "(reference HyperLogLogType sketch values). Error bounds asserted vs "
+    "exact answers in tests/test_approx.py.",
+    tags=("aggregate", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_parts"),
+    )

@@ -1,0 +1,453 @@
+"""Registry entries for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal) — each Spark pipeline paired with a DuckDB oracle
+that spells the identical algorithm in portable SQL. All hashing is md5 so
+both engines (and the mapInPandas python path) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from witdb_spark.catalog import Tables
+from witdb_spark.pipeline import dedup, multimodal, similarity, text
+from witdb_spark.queries.registry import register
+
+# ---------------------------------------------------------------- dedup ----
+
+_MINHASH_SIG_SQL = ",\n    ".join(
+    f"MIN(md5('{j}:' || shingle)) AS m{j}" for j in range(dedup.NUM_PERM)
+)
+_MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5(m{i0}||m{i1}||m{i2}||m{i3}) AS band_hash FROM sig".format(
+        b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3
+    )
+    for b in range(dedup.NUM_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM ws) t
+),
+sig AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS_SQL}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.a_id, p.b_id, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+  GROUP BY p.a_id, p.b_id
+)
+SELECT a_id, b_id,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized digest — one shuffle on "
+    "a 128-bit key at any scale.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(Tables(spark, sf_dir).documents)
+
+
+@register(
+    "dedup_minhash",
+    _MINHASH_ORACLE,
+    doc="MinHash+LSH near-dup detection: word-3-shingles -> 16 md5 min-hashes "
+    "-> 4 band keys -> band-join candidates -> exact Jaccard verify. The "
+    "band join keeps candidate generation near-linear; only candidates pay "
+    "the pairwise verify.",
+    tags=("pipeline", "dedup", "bench"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(
+        Tables(spark, sf_dir).documents, threshold=0.5
+    )
+
+
+_SIMHASH_W_SQL = ",\n      ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS w{k}"
+    for k in range(16)
+)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN w{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 4)) AS INT) AS h FROM tok
+    ),
+    wsum AS (
+      SELECT doc_id,
+      {_SIMHASH_W_SQL}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM wsum
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs: 16-bit sign-of-weighted-bits fingerprint, "
+    "Hamming<=3. At scale the pair join becomes a bit-chunk band join "
+    "(same shape as MinHash banding).",
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(
+        Tables(spark, sf_dir).documents, max_hamming=3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH ws AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, source, word FROM (
+        SELECT doc_id, source, unnest(w) AS word FROM ws) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = a_id
+    JOIN sizes nb ON nb.doc_id = b_id
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.9
+    """,
+    doc="Word-set Jaccard near-dups within each source partition: the "
+    "blocking key (source) bounds the pair space — the grouping-key analog "
+    "of LSH banding.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(
+        F.col("doc_id").alias("a_id"), "source", "word"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("source_b"),
+        F.col("word").alias("word_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("word") == F.col("word_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ----------------------------------------------------------- similarity ----
+
+_DOT_ORACLE = (
+    "CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) "
+    "AS DECIMAL(38,12))) AS DOUBLE)"
+)
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    z AS (
+      SELECT q.query_id, e.vec_id AS match_id,
+             unnest(q.qe) AS qx, unnest(e.embedding) AS ex
+      FROM q, embeddings e
+    ),
+    dots AS (
+      SELECT query_id, match_id, {_DOT_ORACLE} AS dot
+      FROM z GROUP BY query_id, match_id
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.match_id, round(d.dot / (nq.nrm * nm.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nm ON nm.vec_id = d.match_id
+    )
+    SELECT query_id, match_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+          FROM scored) r
+    WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors: JVM zip_with/"
+    "aggregate dot products (decimal-exact), broadcast query side, "
+    "WindowGroupLimit top-k per query — the exact baseline an ANN index "
+    "is measured against.",
+    tags=("pipeline", "similarity", "bench"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+@register(
+    "similarity_lsh_buckets",
+    """
+    WITH planes AS (
+      SELECT p.p AS plane, i.i AS dim,
+             CAST(CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+                  CAST(i.i AS VARCHAR)), 1, 4)) AS INT) - 32768 AS DOUBLE) AS w
+      FROM range(0, 8) p(p), range(0, 64) i(i)
+    ),
+    elems AS (
+      SELECT vec_id, CAST(ux AS DOUBLE) AS x, CAST(gs - 1 AS INT) AS dim
+      FROM (SELECT vec_id, unnest(embedding) AS ux,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM embeddings) t
+    ),
+    dots AS (
+      SELECT vec_id, plane, SUM(CAST(x * w AS DECIMAL(38,12))) AS dot
+      FROM elems JOIN planes USING (dim)
+      GROUP BY vec_id, plane
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+    doc="Random-hyperplane LSH bucket assignment (8 planes, md5-derived "
+    "weights): the scale path for ANN — candidate search within a bucket is "
+    "N/256 of the corpus; plane relation broadcasts, corpus stays "
+    "partitioned.",
+    tags=("pipeline", "similarity"),
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_buckets(Tables(spark, sf_dir).embeddings)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH z AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             unnest(a.embedding) AS qx, unnest(b.embedding) AS ex
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT a_id, b_id, {_DOT_ORACLE} AS dot
+      FROM z GROUP BY a_id, b_id
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+      GROUP BY vec_id
+    )
+    SELECT a_id, b_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.a_id
+    JOIN norms nb ON nb.vec_id = d.b_id
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.2
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.2; synthetic embeddings are near-orthogonal, so the demo threshold is low). Exact "
+    "pairwise here; at scale lsh_buckets prunes the pair space first.",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        Tables(spark, sf_dir).embeddings, threshold=0.2
+    )
+
+
+# ------------------------------------------------------------------ text ----
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) // 4 + len(string_split(text, ' ')) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+    doc="Per-document quality signals (token counts, type-token ratio, avg "
+    "word length, stopword ratio, BPE-ish token estimate) — pure JVM column "
+    "expressions inside whole-stage codegen.",
+    tags=("pipeline", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_metrics(Tables(spark, sf_dir).documents)
+
+
+_LANGID_SCORES_SQL = {
+    lang: "len(list_filter(string_split(text, ' '), x -> "
+    + " OR ".join(f"x = '{m}'" for m in markers)
+    + "))"
+    for lang, markers in text.LANG_MARKERS.items()
+}
+_LANGID_KEYS_SQL = ", ".join(
+    f"lpad(CAST(100000 - {_LANGID_SCORES_SQL[lang]} AS VARCHAR), 6, '0') || '{lang}'"
+    for lang in sorted(text.LANG_MARKERS)
+)
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id,
+           {", ".join(f"CAST({_LANGID_SCORES_SQL[lang]} AS BIGINT) AS score_{lang}" for lang in sorted(text.LANG_MARKERS))},
+           substr(least({_LANGID_KEYS_SQL}), 7, 2) AS predicted_lang
+    FROM documents
+    """,
+    doc="Heuristic language ID: marker-word hit counts per language, argmax "
+    "via LEAST over zero-padded inverted-score keys (deterministic "
+    "tie-break, portable to any engine).",
+    tags=("pipeline", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.langid_scores(Tables(spark, sf_dir).documents)
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp_int
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 digest + 60-bit integer prefix "
+    "(positive in both engines' signed BIGINT).",
+    tags=("pipeline", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(Tables(spark, sf_dir).documents)
+
+
+# ------------------------------------------------------------ multimodal ----
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(1 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1024) AS INT) AS width,
+           CAST(1 + ((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) >> 10) % 1024) AS INT) AS height,
+           CAST(3 AS INT) AS channels
+    FROM documents
+    """,
+    doc="Multimodal metadata extraction through the real Arrow/mapInPandas "
+    "path: binary payload column -> pandas batches -> typed metadata "
+    "schema. Decode is stubbed (no codecs in container); the deterministic "
+    "fake derives dims from md5 so the oracle verifies the full distributed "
+    "plumbing.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.as_media(Tables(spark, sf_dir).documents)
+    return multimodal.extract_media_metadata(media, fake=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, CAST(strlen(text) // 100 AS INT) + 1, 10)) AS frame_no
+      FROM documents) t
+    """,
+    doc="Frame-sampling plumbing for video-like payloads: sequence+explode "
+    "of sampled frame indices (decode of each frame would be another "
+    "mapInPandas stage).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.as_media(Tables(spark, sf_dir).documents)
+    return multimodal.frame_sample_plan(media, every_n=10).select(
+        "doc_id", F.col("frame_no").cast("int").alias("frame_no")
+    )
