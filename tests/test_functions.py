@@ -1,0 +1,90 @@
+"""Function-registry battery: register the Trino-name macros and assert
+exact outputs on known inputs (the reference's per-function unit-test style,
+e.g. TestStringFunctions/TestMathFunctions in sql/query/)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from witdb_spark.functions import MACROS, register_all
+
+
+@pytest.fixture(scope="module")
+def fspark(spark):
+    register_all(spark)
+    return spark
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+CASES = [
+    # string
+    ("strpos('hello world', 'wor')", 7),
+    ("strpos('hello', 'zz')", 0),
+    ("codepoint('A')", 65),
+    ("chr(66)", "B"),
+    ("hamming_distance('karolin', 'kathrin')", 3),
+    ("from_utf8(to_utf8('héllo'))", "héllo"),
+    # math
+    ("truncate(3.7)", 3.0),
+    ("truncate(-3.7)", -3.0),
+    ("is_finite(1.0)", True),
+    ("is_finite(infinity())", False),
+    ("is_infinite(infinity())", True),
+    ("cosine_similarity(array(1D, 0D), array(1D, 0D))", 1.0),
+    ("round(cosine_similarity(array(1D, 0D), array(0D, 1D)), 9)", 0.0),
+    ("round(wilson_interval_lower(20, 100, 1.96), 6)", 0.133366),
+    # datetime
+    ("day_of_week(timestamp'2024-01-01 00:00:00')", 1),  # Monday -> ISO 1
+    ("day_of_week(timestamp'2024-01-07 00:00:00')", 7),  # Sunday -> ISO 7
+    ("to_unixtime(timestamp'1970-01-01 00:00:01.5')", 1.5),
+    ("millisecond(timestamp'2024-01-01 00:00:00.123456')", 123),
+    ("parse_duration('5m')", 300.0),
+    ("parse_duration('1.5h')", 5400.0),
+    ("format_datetime(timestamp'2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm')", "2024-03-05 07:08"),
+    ("mysql_date_format(timestamp'2024-03-05 07:08:09', '%Y/%m/%d %H:%i:%s')", "2024/03/05 07:08:09"),
+    ("to_iso8601(timestamp'2024-03-05 07:08:09')", "2024-03-05T07:08:09.000"),
+    # url
+    ("url_extract_host('https://example.com:8080/p/q?k=v#frag')", "example.com"),
+    ("url_extract_port('https://example.com:8080/p')", 8080),
+    ("url_extract_path('https://example.com:8080/p/q?k=v')", "/p/q"),
+    ("url_extract_parameter('https://example.com/p?k=v&x=2', 'x')", "2"),
+    # array
+    ("ngrams(array('a','b','c','d'), 2)", [["a", "b"], ["b", "c"], ["c", "d"]]),
+    ("trim_array(array('a','b','c'), 1)", ["a", "b"]),
+    ("array_sum(array(1.5D, 2.5D))", 4.0),
+    ("array_average(array(1D, 2D, 3D))", 2.0),
+    # data size
+    ("parse_data_size('2.3MB')", 2411725),
+    # passthrough spot checks (1-based semantics shared with Trino)
+    ("element_at(array(10, 20, 30), -1)", 30),
+    ("array_position(array('x','y'), 'y')", 2),
+    ("slice(array(1,2,3,4), 2, 2)", [2, 3]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES, ids=[c[0][:40] for c in CASES])
+def test_function_value(fspark, expr, expected):
+    got = one(fspark, expr)
+    if isinstance(expected, float):
+        if expr.startswith("round(wilson"):
+            assert abs(got - expected) < 1e-4
+        else:
+            assert got == expected
+    elif isinstance(expected, int) and not isinstance(expected, bool):
+        assert int(got) == expected
+    else:
+        assert got == expected
+
+
+def test_macro_count_registered(fspark):
+    assert register_all(fspark) == len(MACROS) >= 30
+
+
+def test_is_nan_passthrough(fspark):
+    assert one(fspark, "isnan(nan())") is True
+    assert math.isnan(one(fspark, "nan()"))

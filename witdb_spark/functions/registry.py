@@ -1,0 +1,264 @@
+"""Trino-name -> Spark mapping tables + SQL-macro registration.
+
+Citations refer to the reference's scalar function files under
+core/trino-main/src/main/java/io/trino/operator/scalar/ (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Tier 1: identical name+semantics in Spark (value = Spark name).
+# Reference: StringFunctions.java:72-838, MathFunctions.java,
+# DateTimeFunctions.java, Array*/Map* scalar files, UrlFunctions.java,
+# VarbinaryFunctions.java, JoniRegexpFunctions.java.
+# --------------------------------------------------------------------------
+PASSTHROUGH: dict[str, str] = {
+    # string
+    "length": "length", "lower": "lower", "upper": "upper", "trim": "trim",
+    "ltrim": "ltrim", "rtrim": "rtrim", "reverse": "reverse",
+    "replace": "replace", "substr": "substr", "substring": "substring",
+    "lpad": "lpad", "rpad": "rpad", "concat": "concat", "concat_ws": "concat_ws",
+    "split_part": "split_part", "starts_with": "startswith",
+    "translate": "translate", "levenshtein_distance": "levenshtein",
+    "split_to_map": "str_to_map", "format": "format_string",
+    "chr": "chr",  # Spark 4 ships chr natively
+    # regex (Java dialect in both engines' common subset)
+    "regexp_like": "rlike", "regexp_extract": "regexp_extract",
+    "regexp_extract_all": "regexp_extract_all", "regexp_replace": "regexp_replace",
+    "regexp_count": "regexp_count", "regexp_position": "regexp_instr",
+    # math
+    "abs": "abs", "cbrt": "cbrt", "ceil": "ceil", "ceiling": "ceiling",
+    "exp": "exp", "floor": "floor", "ln": "ln", "log2": "log2", "log10": "log10",
+    "log": "log", "mod": "mod", "pi": "pi", "pow": "pow", "power": "power",
+    "radians": "radians", "degrees": "degrees", "round": "round", "sign": "sign",
+    "sqrt": "sqrt", "random": "rand", "width_bucket": "width_bucket",
+    "sin": "sin", "cos": "cos", "tan": "tan", "asin": "asin", "acos": "acos",
+    "atan": "atan", "atan2": "atan2", "sinh": "sinh", "cosh": "cosh",
+    "tanh": "tanh", "is_nan": "isnan", "greatest": "greatest", "least": "least",
+    # datetime
+    "date_trunc": "date_trunc", "year": "year", "month": "month", "day": "day",
+    "hour": "hour", "minute": "minute", "second": "second", "quarter": "quarter",
+    "day_of_year": "dayofyear", "week": "weekofyear", "week_of_year": "weekofyear",
+    "last_day_of_month": "last_day", "now": "now",
+    "current_date": "current_date", "current_timestamp": "current_timestamp",
+    "from_unixtime": "timestamp_seconds",
+    # array (element_at/slice/array_position are 1-based in BOTH engines;
+    # Trino's negative element_at also matches Spark)
+    "cardinality": "cardinality", "contains": "array_contains",
+    "array_distinct": "array_distinct", "array_except": "array_except",
+    "array_intersect": "array_intersect", "array_union": "array_union",
+    "array_join": "array_join", "array_max": "array_max", "array_min": "array_min",
+    "array_position": "array_position", "array_remove": "array_remove",
+    "array_sort": "array_sort", "arrays_overlap": "arrays_overlap",
+    "element_at": "element_at", "filter": "filter", "flatten": "flatten",
+    "reduce": "aggregate", "repeat": "array_repeat", "sequence": "sequence",
+    "shuffle": "shuffle", "slice": "slice", "transform": "transform",
+    "zip": "arrays_zip", "zip_with": "zip_with",
+    # map
+    "map_concat": "map_concat", "map_entries": "map_entries",
+    "map_filter": "map_filter", "map_from_entries": "map_from_entries",
+    "map_keys": "map_keys", "map_values": "map_values",
+    "map_zip_with": "map_zip_with", "transform_keys": "transform_keys",
+    "transform_values": "transform_values",
+    # binary / hashing
+    "md5": "md5", "sha1": "sha1", "sha256": "sha2", "crc32": "crc32",
+    "to_hex": "hex", "from_hex": "unhex", "to_base64": "base64",
+    "from_base64": "unbase64", "xxhash64": "xxhash64",
+    # json (legacy; JsonPath common subset)
+    "json_extract": "get_json_object", "json_extract_scalar": "get_json_object",
+    "json_array_length": "json_array_length",
+    # url
+    "url_encode": "url_encode", "url_decode": "url_decode",
+    # conditional / misc
+    "coalesce": "coalesce", "nullif": "nullif", "if": "if", "try_cast": "try_cast",
+    "typeof": "typeof", "uuid": "uuid", "version": "version",
+    "current_user": "current_user", "luhn_check": "luhn_check",
+    "bit_count": "bit_count", "bitwise_and": "&", "bitwise_or": "|",
+    "bitwise_xor": "^",
+}
+
+# --------------------------------------------------------------------------
+# Tier 2: SQL-expression macros for Trino functions Spark lacks.
+# Registered via CREATE TEMPORARY FUNCTION — pure Catalyst, codegen'd.
+# --------------------------------------------------------------------------
+
+# MySQL-% pattern -> java.time pattern translation chain (reference
+# DateTimeFunctions.java `date_format`; common tokens).
+_MYSQL_FMT = (
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "replace(replace(replace(replace(fmt,"
+    "'%Y','yyyy'),'%y','yy'),'%M','MMMM'),'%m','MM'),'%d','dd'),'%e','d'),"
+    "'%H','HH'),'%h','hh'),'%i','mm'),'%s','ss'),'%T','HH:mm:ss'),'%j','DDD')"
+)
+
+MACROS: dict[str, str] = {
+    # --- string (StringFunctions.java) ---
+    "strpos": "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+    "RETURNS INT RETURN instr(s, sub)",
+    "codepoint": "CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING) "
+    "RETURNS INT RETURN ascii(s)",
+    "hamming_distance": "CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance"
+    "(a STRING, b STRING) RETURNS BIGINT RETURN "
+    "aggregate(zip_with(split(a, ''), split(b, ''), "
+    "(x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)",
+    "from_utf8": "CREATE OR REPLACE TEMPORARY FUNCTION from_utf8(b BINARY) "
+    "RETURNS STRING RETURN decode(b, 'UTF-8')",
+    "to_utf8": "CREATE OR REPLACE TEMPORARY FUNCTION to_utf8(s STRING) "
+    "RETURNS BINARY RETURN encode(s, 'UTF-8')",
+    # --- math (MathFunctions.java) ---
+    "truncate": "CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE) "
+    "RETURNS DOUBLE RETURN sign(x) * floor(abs(x))",
+    "infinity": "CREATE OR REPLACE TEMPORARY FUNCTION infinity() "
+    "RETURNS DOUBLE RETURN double('Infinity')",
+    "nan": "CREATE OR REPLACE TEMPORARY FUNCTION nan() "
+    "RETURNS DOUBLE RETURN double('NaN')",
+    "is_finite": "CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE) "
+    "RETURNS BOOLEAN RETURN NOT isnan(x) AND abs(x) <> double('Infinity')",
+    "is_infinite": "CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE) "
+    "RETURNS BOOLEAN RETURN abs(x) = double('Infinity')",
+    "cosine_similarity": "CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity"
+    "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x)) * "
+    " sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x)))",
+    "wilson_interval_lower": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "wilson_interval_lower(s BIGINT, n BIGINT, z DOUBLE) RETURNS DOUBLE RETURN "
+    "(s + z*z/2) / (n + z*z) - z / (n + z*z) * sqrt(s * (n - s) / n + z*z/4)",
+    "wilson_interval_upper": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "wilson_interval_upper(s BIGINT, n BIGINT, z DOUBLE) RETURNS DOUBLE RETURN "
+    "(s + z*z/2) / (n + z*z) + z / (n + z*z) * sqrt(s * (n - s) / n + z*z/4)",
+    # --- datetime (DateTimeFunctions.java) ---
+    "to_unixtime": "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) "
+    "RETURNS DOUBLE RETURN cast(unix_micros(ts) AS DOUBLE) / 1e6",
+    "day_of_week": "CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(ts TIMESTAMP) "
+    "RETURNS INT RETURN ((dayofweek(ts) + 5) % 7) + 1",  # ISO: Mon=1..Sun=7
+    "year_of_week": "CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(ts TIMESTAMP) "
+    "RETURNS INT RETURN extract(YEAROFWEEK FROM ts)",
+    "millisecond": "CREATE OR REPLACE TEMPORARY FUNCTION millisecond(ts TIMESTAMP) "
+    "RETURNS INT RETURN cast((unix_micros(ts) % 1000000) / 1000 AS INT)",
+    "trino_date_add": "CREATE OR REPLACE TEMPORARY FUNCTION trino_date_add"
+    "(unit STRING, n INT, ts TIMESTAMP) RETURNS TIMESTAMP RETURN CASE lower(unit) "
+    "WHEN 'second' THEN timestampadd(SECOND, n, ts) "
+    "WHEN 'minute' THEN timestampadd(MINUTE, n, ts) "
+    "WHEN 'hour' THEN timestampadd(HOUR, n, ts) "
+    "WHEN 'day' THEN timestampadd(DAY, n, ts) "
+    "WHEN 'week' THEN timestampadd(WEEK, n, ts) "
+    "WHEN 'month' THEN timestampadd(MONTH, n, ts) "
+    "WHEN 'quarter' THEN timestampadd(QUARTER, n, ts) "
+    "WHEN 'year' THEN timestampadd(YEAR, n, ts) END",
+    "trino_date_diff": "CREATE OR REPLACE TEMPORARY FUNCTION trino_date_diff"
+    "(unit STRING, t1 TIMESTAMP, t2 TIMESTAMP) RETURNS BIGINT RETURN CASE lower(unit) "
+    "WHEN 'second' THEN timestampdiff(SECOND, t1, t2) "
+    "WHEN 'minute' THEN timestampdiff(MINUTE, t1, t2) "
+    "WHEN 'hour' THEN timestampdiff(HOUR, t1, t2) "
+    "WHEN 'day' THEN timestampdiff(DAY, t1, t2) "
+    "WHEN 'week' THEN timestampdiff(WEEK, t1, t2) "
+    "WHEN 'month' THEN timestampdiff(MONTH, t1, t2) "
+    "WHEN 'quarter' THEN timestampdiff(QUARTER, t1, t2) "
+    "WHEN 'year' THEN timestampdiff(YEAR, t1, t2) END",
+    "format_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION format_datetime"
+    "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, fmt)",
+    # Joda and java.time agree on yyyy/MM/dd/HH/mm/ss/EEE/MMM; divergent
+    # tokens (e.g. Joda 'e') are documented gaps.
+    "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
+    f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
+    "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
+    "RETURNS DOUBLE RETURN cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+    "CASE regexp_extract(s, '([a-z]+)$', 1) "
+    "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
+    "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
+    "WHEN 'd' THEN 86400.0 END",  # seconds, reference util/Duration parsing
+    "from_iso8601_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
+    "to_iso8601": "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP) "
+    "RETURNS STRING RETURN date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    # --- url (UrlFunctions.java) ---
+    "url_extract_host": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host"
+    "(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "url_extract_path": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path"
+    "(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
+    "url_extract_protocol": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "url_extract_protocol(u STRING) RETURNS STRING RETURN parse_url(u, 'PROTOCOL')",
+    "url_extract_query": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query"
+    "(u STRING) RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    "url_extract_fragment": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "url_extract_fragment(u STRING) RETURNS STRING RETURN parse_url(u, 'REF')",
+    # Spark parse_url has no 'PORT' key; take the :port suffix of AUTHORITY
+    # (try_cast yields NULL when there is no port, matching Trino)
+    "url_extract_port": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port"
+    "(u STRING) RETURNS BIGINT RETURN "
+    "try_cast(element_at(split(parse_url(u, 'AUTHORITY'), ':'), -1) AS BIGINT)",
+    "url_extract_parameter": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "url_extract_parameter(u STRING, k STRING) RETURNS STRING RETURN "
+    "parse_url(u, 'QUERY', k)",
+    # --- array (ArrayNgramsFunction.java, trim_array) ---
+    "ngrams": "CREATE OR REPLACE TEMPORARY FUNCTION ngrams(a ARRAY<STRING>, n INT) "
+    "RETURNS ARRAY<ARRAY<STRING>> RETURN "
+    "transform(sequence(1, greatest(size(a) - n + 1, 0)), i -> slice(a, i, n))",
+    "trim_array": "CREATE OR REPLACE TEMPORARY FUNCTION trim_array"
+    "(a ARRAY<STRING>, n INT) RETURNS ARRAY<STRING> RETURN "
+    "slice(a, 1, size(a) - n)",
+    "array_average": "CREATE OR REPLACE TEMPORARY FUNCTION array_average"
+    "(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
+    "aggregate(a, 0D, (acc, x) -> acc + x) / size(a)",
+    "array_sum": "CREATE OR REPLACE TEMPORARY FUNCTION array_sum(a ARRAY<DOUBLE>) "
+    "RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x)",
+    # --- json (JsonFunctions.java) ---
+    "json_parse": "CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING) "
+    "RETURNS STRING RETURN s",  # json type is modeled as string (SURVEY §1.2)
+    "json_format": "CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING) "
+    "RETURNS STRING RETURN s",
+    "json_size": "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
+    "(s STRING, p STRING) RETURNS INT RETURN "
+    "size(from_json(get_json_object(s, p), 'map<string,string>'))",
+    # --- misc (DataSizeFunctions.java) ---
+    "parse_data_size": "CREATE OR REPLACE TEMPORARY FUNCTION parse_data_size"
+    "(s STRING) RETURNS DECIMAL(38,0) RETURN cast("
+    "cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+    "CASE regexp_extract(s, '([A-Za-z]+)$', 1) "
+    "WHEN 'B' THEN 1 WHEN 'kB' THEN 1024 WHEN 'MB' THEN 1048576 "
+    "WHEN 'GB' THEN 1073741824 WHEN 'TB' THEN 1099511627776 "
+    "WHEN 'PB' THEN 1125899906842624 END AS DECIMAL(38,0))",
+}
+
+# --------------------------------------------------------------------------
+# Tier 3: named gaps (kept honest).
+# --------------------------------------------------------------------------
+UNSUPPORTED: dict[str, str] = {
+    "word_stem": "needs a Porter stemmer (reference WordStemFunction.java "
+    "wraps a native lib); no stemmer in container",
+    "normalize": "Unicode NFC/NFD normalization needs ICU; Spark has no "
+    "built-in normalizer",
+    "hmac_md5/hmac_sha*": "Spark exposes no HMAC primitives "
+    "(reference HmacFunctions.java); would need a Python UDF + secret handling",
+    "beta_cdf/inverse_beta_cdf": "incomplete beta function not in Spark; "
+    "needs scipy (absent)",
+    "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
+    "- presentation-layer, intentionally skipped",
+    "json_query/json_value/json_exists": "SQL/JSON-2016 path engine "
+    "(reference scalar/json/) - planned via from_json compositions",
+    "combinations": "reference ArrayCombinationsFunction.java; needs "
+    "recursive expansion — planned as generator UDTF",
+}
+
+
+def register_all(spark: SparkSession) -> int:
+    """Install every macro into the session; returns the number registered."""
+    for ddl in MACROS.values():
+        spark.sql(ddl)
+    return len(MACROS)
+
+
+def trino_fn(name: str):
+    """Column-builder for a Trino function name: resolves passthrough renames
+    and registered macros to a callable over Columns."""
+
+    target = PASSTHROUGH.get(name, name)
+
+    def build(*args: Column) -> Column:
+        return F.call_function(target, *args)
+
+    return build
