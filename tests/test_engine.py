@@ -1,0 +1,116 @@
+"""Engine + dialect tests: Trino-flavored SQL through Engine.sql, checked
+against DuckDB where the query is oracle-able (mirrors the reference's
+AbstractTestQueryFramework.assertQuery design)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, compare_frames
+from witdb_spark.engine import Engine
+from witdb_spark.plans.dialect import UnsupportedTrinoSyntax, transpile
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_DIR)
+
+
+def test_transpile_array_literal():
+    assert transpile("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)"
+
+
+def test_transpile_subscript_is_1_based():
+    assert "element_at(arr, 2)" in transpile("SELECT arr[2] FROM t")
+
+
+def test_transpile_quoted_ident():
+    assert transpile('SELECT "my col" FROM t') == "SELECT `my col` FROM t"
+
+
+def test_transpile_keeps_string_literals():
+    sql = "SELECT 'ARRAY[1]' , \"c\" FROM t WHERE x = 'don''t [touch]'"
+    out = transpile(sql)
+    assert "'ARRAY[1]'" in out and "'don''t [touch]'" in out and "`c`" in out
+
+
+def test_transpile_interval():
+    assert "INTERVAL 3 DAY" in transpile("SELECT ts + INTERVAL '3' DAY FROM t")
+
+
+def test_transpile_try_raises():
+    with pytest.raises(UnsupportedTrinoSyntax):
+        transpile("SELECT TRY(1/0)")
+
+
+def test_engine_trino_q6(engine, oracle):
+    got = engine.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+               AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' + INTERVAL '1' YEAR
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    ).toPandas()
+    want = oracle.execute(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+               AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' + INTERVAL 1 YEAR
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    ).fetchdf()
+    assert not compare_frames(got, want)
+
+
+def test_engine_trino_functions_and_subscripts(engine):
+    row = engine.sql(
+        "SELECT ARRAY['a','b','c'][2] AS x, strpos('hello','l') AS p, "
+        "codepoint('A') AS cp, date_add('day', 1, TIMESTAMP '2020-01-01 00:00:00') AS d"
+    ).collect()[0]
+    assert row.x == "b" and row.p == 3 and row.cp == 65
+    assert str(row.d).startswith("2020-01-02")
+
+
+def test_engine_named_params(engine):
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        prio="1-URGENT",
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_engine_session_property(engine):
+    engine.set_session("hash_partition_count", "16")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    engine.set_session("hash_partition_count", "8")
+
+
+def test_engine_catalog(engine):
+    assert "lineitem" in engine.tables()
+    cols = dict(engine.describe("lineitem"))
+    assert cols["l_quantity"] == "double"
+
+
+def test_engine_explain(engine):
+    plan = engine.explain("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10")
+    assert "PushedFilters" in plan and "LessThan(l_quantity" in plan
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("SELECT m['key'] FROM t", "SELECT element_at(m, 'key') FROM t"),
+        ("SELECT arr[1][2] FROM t", "SELECT element_at(element_at(arr, 1), 2) FROM t"),
+        ("SELECT split(s, ',')[1] FROM t", "SELECT element_at(split(s, ','), 1) FROM t"),
+        ("SELECT ARRAY[ARRAY[1,2], ARRAY[3]] FROM t", "SELECT array(array(1,2), array(3)) FROM t"),
+        ("SELECT ARRAY['a,b', 'c[d]'][1]", "SELECT element_at(array('a,b', 'c[d]'), 1)"),
+        ("SELECT t.a.b[3] FROM t", "SELECT element_at(t.a.b, 3) FROM t"),
+    ],
+)
+def test_transpile_bracket_edges(sql, expected):
+    assert transpile(sql) == expected

@@ -1,0 +1,206 @@
+"""Trino -> Spark SQL dialect rewrites.
+
+The reference parses SQL with an ANTLR grammar
+(reference core/trino-parser/.../SqlBase.g4, 1233 lines); we do NOT rebuild a
+parser — Spark SQL's grammar already covers the overwhelming majority of the
+dialect (joins, set ops, grouping sets, windows, lateral, filter-clause,
+intervals, quantified subqueries). What remains are surface differences,
+handled here as quote-aware textual rewrites:
+
+  - ARRAY[...] literals          -> array(...)
+  - "quoted identifiers"         -> `backticked`
+  - expr[i] subscripts           -> element_at(expr, i)   (Trino arrays are
+    1-based and maps subscript by key — element_at implements exactly both)
+  - INTERVAL '3' DAY             -> INTERVAL 3 DAY
+  - 3-arg date_add/date_diff     -> trino_date_add/_diff macros
+  - date_format(x, '%...')       -> mysql_date_format macro
+  - from_unixtime / approx_distinct / arbitrary renames
+  - FETCH FIRST n ROWS ONLY      -> LIMIT n
+  - CAST(x AS JSON)              -> CAST(x AS STRING)  (json models as string)
+
+TRY(expr) has no general Spark equivalent; we fail fast with the list of
+try_*-specific alternatives rather than silently changing semantics.
+Function-name coverage itself comes from functions.register_all() macros.
+"""
+
+from __future__ import annotations
+
+import re
+
+_STRING_SPLIT = re.compile(r"('(?:[^']|'')*')")  # single-quoted SQL strings
+
+
+class UnsupportedTrinoSyntax(ValueError):
+    pass
+
+
+def _rewrite_segment(seg: str) -> str:
+    """Apply rewrites to a segment that contains no string literals."""
+    # "ident" -> `ident`
+    seg = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", seg)
+    # FETCH FIRST n ROWS ONLY -> LIMIT n
+    seg = re.sub(
+        r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+ONLY\b", r"LIMIT \1", seg, flags=re.I
+    )
+    # CAST(x AS JSON) -> CAST(x AS STRING)
+    seg = re.sub(r"\bAS\s+JSON\s*\)", "AS STRING)", seg, flags=re.I)
+    # renames
+    seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
+    seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
+    seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
+    return seg
+
+
+def _in_string_scan(sql: str):
+    """Yield (index, char, in_string) walking the text with SQL quote rules
+    ('' escapes a quote inside a string)."""
+    in_str = False
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            if in_str and i + 1 < len(sql) and sql[i + 1] == "'":
+                yield i, c, True
+                yield i + 1, sql[i + 1], True
+                i += 2
+                continue
+            in_str = not in_str
+        yield i, c, in_str or c == "'"
+        i += 1
+
+
+def _match_bracket(sql: str, open_idx: int) -> int:
+    """Index of the ']' matching sql[open_idx] == '[', string-aware."""
+    depth = 0
+    for i, c, in_str in _in_string_scan(sql[open_idx:]):
+        if in_str:
+            continue
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return open_idx + i
+    raise UnsupportedTrinoSyntax(f"unbalanced '[' at position {open_idx}")
+
+
+def _expr_start(sql: str, bracket_idx: int) -> int | None:
+    """Start index of the primary expression a subscript applies to:
+    identifier (dotted), a call/parenthesized expr, or a previous
+    element_at(...) result. None if '[' is not a subscript."""
+    j = bracket_idx - 1
+    while j >= 0 and sql[j] in " \t\n":
+        j -= 1
+    if j < 0:
+        return None
+    if sql[j] == ")":
+        depth = 0
+        while j >= 0:
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        # include a preceding function name if present
+        k = j - 1
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+            k -= 1
+        return k + 1
+    if sql[j].isalnum() or sql[j] in "_.":
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+            k -= 1
+        start = k + 1
+        word = sql[start : j + 1]
+        if word.upper() == "ARRAY":  # literal, handled separately
+            return None
+        return start
+    return None
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """Convert ARRAY[...] literals to array(...) and x[i] subscripts to
+    element_at(x, i), left to right, string-aware. element_at is exactly
+    Trino's subscript: 1-based on arrays, key lookup on maps."""
+    i = 0
+    while True:
+        # find next '[' outside a string literal
+        open_idx = None
+        for idx, c, in_str in _in_string_scan(sql):
+            if idx < i or in_str:
+                continue
+            if c == "[":
+                open_idx = idx
+                break
+        if open_idx is None:
+            return sql
+        close_idx = _match_bracket(sql, open_idx)
+        # ARRAY literal?
+        m = re.search(r"\bARRAY\s*$", sql[:open_idx], flags=re.I)
+        if m:
+            sql = (
+                sql[: m.start()]
+                + "array("
+                + sql[open_idx + 1 : close_idx]
+                + ")"
+                + sql[close_idx + 1 :]
+            )
+            i = m.start() + 6
+            continue
+        start = _expr_start(sql, open_idx)
+        if start is None:  # not a subscript we understand; skip past it
+            i = open_idx + 1
+            continue
+        expr = sql[start:open_idx].rstrip()
+        index = sql[open_idx + 1 : close_idx]
+        replaced = f"element_at({expr}, {index})"
+        sql = sql[:start] + replaced + sql[close_idx + 1 :]
+        i = start  # re-scan from here: inner rewrites may enable chains
+    return sql
+
+
+def _rewrite_with_strings(sql: str) -> str:
+    """Rewrites that need to see string literals (unit arguments, interval
+    values, %-patterns)."""
+    # INTERVAL '3' DAY -> INTERVAL 3 DAY
+    sql = re.sub(
+        r"\bINTERVAL\s+'(-?\d+)'\s+(\w+)", r"INTERVAL \1 \2", sql, flags=re.I
+    )
+    # Trino 3-arg date_add/date_diff start with a quoted unit (Spark's 2-arg
+    # variants never do) -> route to the registered macros
+    sql = re.sub(r"\bdate_add\s*\(\s*'", "trino_date_add('", sql, flags=re.I)
+    sql = re.sub(r"\bdate_diff\s*\(\s*'", "trino_date_diff('", sql, flags=re.I)
+    # Trino date_format uses MySQL %-patterns -> macro that translates them
+    sql = re.sub(
+        r"\bdate_format\s*\(([^,()]+),\s*('[^']*%[^']*')\s*\)",
+        r"mysql_date_format(\1, \2)",
+        sql,
+        flags=re.I,
+    )
+    return sql
+
+
+def transpile(sql: str) -> str:
+    """Rewrite a Trino-dialect query into Spark SQL. Raises
+    UnsupportedTrinoSyntax for constructs with no faithful mapping."""
+    if re.search(r"\bTRY\s*\(", sql, flags=re.I):
+        raise UnsupportedTrinoSyntax(
+            "TRY(expr) has no general Spark equivalent; use try_cast /"
+            " try_divide / try_add / try_subtract / try_multiply /"
+            " try_element_at for the specific operation"
+        )
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
+        raise UnsupportedTrinoSyntax(
+            "MATCH_RECOGNIZE row-pattern matching is not yet implemented"
+            " (planned as an applyInPandas NFA operator)"
+        )
+    # bracket constructs first (string-aware scanner: ARRAY literals and
+    # subscripts may contain string literals)
+    sql = _rewrite_brackets(sql)
+    # then segment-local rewrites (never touch string literals)
+    parts = _STRING_SPLIT.split(sql)
+    parts = [p if p.startswith("'") else _rewrite_segment(p) for p in parts]
+    sql = "".join(parts)
+    return _rewrite_with_strings(sql)
