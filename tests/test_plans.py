@@ -1,0 +1,110 @@
+"""Physical-plan quality gates: correctness tests prove the answers match;
+these prove the *plans* are the ones that survive a 1000-executor, 100 TB
+scale-up. Each assertion pins an optimizer behavior the reference engine
+also guarantees (citations in each test).
+
+If a Spark upgrade or query edit regresses one of these (filter stops
+pushing, a dim join stops broadcasting, a top-k becomes a full sort), this
+file fails before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from witdb_spark.queries import QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    """Q6 predicates must reach the parquet scan (reference
+    PushPredicateIntoTableScan.java:83 / TupleDomain pushdown) and the scan
+    must read only the 4 referenced columns (PruneTableScanColumns.java:49)."""
+    plan = plan_of(spark, "tpch_q6")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    """Constant-cardinality dims broadcast (reference
+    DetermineJoinDistributionType.java:59); no cross product appears
+    (EliminateCrossJoins.java:54)."""
+    plan = plan_of(spark, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_final_aggregation(spark):
+    """Aggregation splits map-side partial / final (reference
+    AggregationNode.Step PARTIAL/FINAL, PushPartialAggregationThroughExchange
+    .java:60) and runs inside whole-stage codegen."""
+    plan = plan_of(spark, "tpch_q1")
+    assert "HashAggregate" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+    # codegen spans only materialize in codegen explain mode under AQE
+    df = QUERIES["tpch_q1"].fn(spark, SF_DIR)
+    codegen = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_topn_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (reference
+    TopNOperator.java:35 heap top-n), never a global sort."""
+    plan = plan_of(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_rank_filter_uses_group_limit(spark):
+    """rank<=k filters plan as WindowGroupLimit — top-k per partition
+    without a full sort (reference TopNRankingOperator.java:42)."""
+    plan = plan_of(spark, "window_rank_topn")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_join_for_exists(spark):
+    """EXISTS subqueries become semi joins, not inner+distinct (reference
+    TransformExistsApplyToCorrelatedJoin.java)."""
+    plan = plan_of(spark, "tpch_q4")
+    assert "LeftSemi" in plan
+
+
+def test_similarity_broadcasts_queries(spark):
+    """The query-vector side of brute-force top-k broadcasts; the corpus
+    side stays partitioned (the property that lets it scale to 100 TB)."""
+    plan = plan_of(spark, "similarity_topk")
+    assert "Broadcast" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """Every TPC-H/analytics query stays fully JVM-side — BatchEvalPython /
+    ArrowEvalPython in a plan means a Python row loop crept into the hot
+    path (SURVEY.md: UDFs are the slow path; mapInPandas is allowed only in
+    the multimodal queries by design)."""
+    for name in ("tpch_q1", "tpch_q9", "tpch_q18", "agg_stats_moments",
+                 "dedup_minhash", "similarity_topk", "window_running_sum"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, f"{name} has Python in the hot path"
+
+
+@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q8", "tpch_q9"])
+def test_multiway_joins_shuffle_on_keys(spark, name):
+    """Fact-fact joins are hash-partitioned on join keys (reference
+    AddExchanges.java:131 partitioned-join planning): plans contain
+    hashpartitioning exchanges, and AQE is free to coalesce them."""
+    plan = plan_of(spark, name)
+    assert "hashpartitioning" in plan
