@@ -1,0 +1,4 @@
+from witdb_spark.sources.io import ctas, insert_into, read_any, write_table
+from witdb_spark.sources.merge import merge_into
+
+__all__ = ["ctas", "insert_into", "read_any", "write_table", "merge_into"]

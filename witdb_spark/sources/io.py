@@ -1,0 +1,99 @@
+"""Source/sink surface (SURVEY.md §2.1).
+
+Reference analogs: TableScanOperator.java:47 (reads),
+TableWriterOperator.java:63 + TableFinishOperator.java:51 (writes; Spark's
+file-commit protocol plays the TableFinish role), file formats from
+lib/trino-parquet / lib/trino-orc / lib/trino-hive-formats (csv/json text).
+
+Scale notes:
+  - write_table partitions by low-cardinality columns only (partition_by is
+    directory-level partitioning — the analog of Hive partitioned tables the
+    reference writes through ConnectorPageSink). High-cardinality layout
+    control belongs in sort_by (file-internal ordering for row-group
+    skipping).
+  - repartition_to bounds output file count: at 100 TB you want
+    ~128MB-1GB files, never one file per shuffle partition of a small agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching reader (csv/json get sane defaults: header on,
+    schema either declared or inferred)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    repartition_to: int | None = None,
+    **options,
+) -> None:
+    """INSERT/CTAS write path. sort_by orders rows within each output file
+    (parquet/orc row-group min-max stats then prune on those columns at read
+    time — the reference gets this from ORC writer stripe stats)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if repartition_to is not None:
+        df = df.repartition(repartition_to)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def ctas(
+    spark: SparkSession,
+    sql: str,
+    path: str,
+    fmt: str = "parquet",
+    view_name: str | None = None,
+    **write_kwargs,
+) -> DataFrame:
+    """CREATE TABLE AS SELECT onto a file path (reference CreateTableTask +
+    TableWriterOperator): run, write, optionally re-register as a view, and
+    return the re-read table."""
+    write_table(spark.sql(sql), path, fmt=fmt, **write_kwargs)
+    out = read_any(spark, path, fmt)
+    if view_name:
+        out.createOrReplaceTempView(view_name)
+    return out
+
+
+def insert_into(df: DataFrame, path: str, fmt: str = "parquet", **kwargs) -> None:
+    """INSERT INTO == append-mode write (files are immutable; appends add
+    new files under the same root, exactly the reference's connector-sink
+    model)."""
+    write_table(df, path, fmt=fmt, mode="append", **kwargs)

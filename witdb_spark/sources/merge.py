@@ -1,0 +1,86 @@
+"""SQL MERGE semantics as a DataFrame operator (reference
+MergeWriterOperator.java:46 + DeleteAndInsertMergeProcessor; SQL MERGE
+grammar SqlBase.g4). Without a transactional table format in the container
+(Delta/Iceberg), merge produces the post-merge dataset; the caller writes it
+as the new snapshot (copy-on-write, which is exactly what those formats do
+under the hood per touched file).
+
+Plan shape: one full-outer shuffle join on the merge keys — the same
+distribution the reference plans for MERGE (redistribution on row id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    insert_not_matched: bool = True,
+) -> DataFrame:
+    """MERGE INTO target USING source ON <keys>
+    [WHEN MATCHED AND <delete_cond> THEN DELETE]
+    [WHEN MATCHED THEN UPDATE SET <assignments>]
+    [WHEN NOT MATCHED THEN INSERT *].
+
+    Assignments may reference source columns as ``src.<col>`` via the
+    aliased join (use F.col('src.x')). Target schema is preserved.
+    """
+    t = target.alias("tgt")
+    s = source.alias("src")
+    cond = [F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}")) for k in on]
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col(f"src.{on[0]}").isNotNull() & F.col(f"tgt.{on[0]}").isNotNull()
+    src_only = F.col(f"tgt.{on[0]}").isNull()
+
+    out_cols = []
+    for field in target.schema.fields:
+        c = field.name
+        tgt_c = F.col(f"tgt.{c}")
+        src_c = F.col(f"src.{c}") if c in source.columns else F.lit(None)
+        val = tgt_c
+        if when_matched_update and c in when_matched_update:
+            val = F.when(matched, when_matched_update[c]).otherwise(tgt_c)
+        if insert_not_matched:
+            val = F.when(src_only, src_c).otherwise(val)
+        out_cols.append(val.cast(field.dataType).alias(c))
+
+    result = joined.select(*out_cols, matched.alias("__matched"))
+    if when_matched_delete is not None:
+        result = result.filter(~(F.col("__matched") & when_matched_delete))
+    if not insert_not_matched:
+        result = joined.filter(~src_only).select(*out_cols, matched.alias("__matched"))
+        if when_matched_delete is not None:
+            result = result.filter(~(F.col("__matched") & when_matched_delete))
+    return result.drop("__matched")
+
+
+def delete_where(target: DataFrame, predicate: Column) -> DataFrame:
+    """DELETE FROM t WHERE p (reference TableDeleteOperator.java:33):
+    anti-filter producing the new snapshot."""
+    return target.filter(~F.coalesce(predicate, F.lit(False)))
+
+
+def update_where(
+    target: DataFrame, predicate: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """UPDATE t SET ... WHERE p: conditional projection snapshot."""
+    cols = []
+    for field in target.schema.fields:
+        c = field.name
+        if c in assignments:
+            cols.append(
+                F.when(predicate, assignments[c])
+                .otherwise(F.col(c))
+                .cast(field.dataType)
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return target.select(*cols)

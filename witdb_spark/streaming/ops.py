@@ -1,0 +1,65 @@
+"""Structured Streaming operators over the events stream.
+
+The reference engine has NO streaming (SURVEY.md §2.11 — its Kafka/Kinesis
+connectors expose topics as batch tables), so everything here is north-star
+bonus, built the way a 100 TB/day event pipeline would:
+
+  - file-source ingestion with a declared schema (no inference in the hot
+    path; at scale this is a Kafka source with the same downstream graph)
+  - event-time watermarks bounding state (late data beyond the watermark is
+    dropped deterministically, state stores stay O(windows), not O(stream))
+  - tumbling-window aggregates: partial aggregation happens per microbatch
+    and the state store holds only open windows
+  - streaming dedup keyed on event_id within the watermark horizon — the
+    streaming twin of pipeline.dedup.exact_duplicates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events_from_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of event rows (schema declared, never inferred)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + exact-decimal value sums per event_type.
+    The watermark bounds the state store; output mode 'append' emits each
+    window once it is final — deterministic results for the batch twin."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving within
+    the watermark horizon (state = one key per id inside the horizon)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
