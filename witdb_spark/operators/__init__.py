@@ -1,0 +1,7 @@
+"""Custom operator compositions for semantics Spark lacks natively
+(SURVEY.md §7 hard parts), each built from existing DataFrame ops so
+Catalyst still plans/distributes them."""
+
+from witdb_spark.operators.window_ext import groups_frame_sum
+
+__all__ = ["groups_frame_sum"]

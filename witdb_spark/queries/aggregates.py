@@ -326,3 +326,72 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_parts"),
     )
+
+
+@register(
+    "agg_checksum",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)) AS BIGINT)
+           AS row_checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Order-insensitive checksum aggregate (reference "
+    "ChecksumAggregationFunction.java): sum of 48-bit md5 prefixes of the "
+    "row key — commutative, so partition order can't change it; portable "
+    "across engines unlike xxhash64-based checksums.",
+    tags=("aggregate", "checksum"),
+)
+def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            12,  # 48-bit prefixes: row_count * 2^48 stays inside int64
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.sum(row_hash).alias("row_checksum")
+    )
+
+
+@register(
+    "agg_reduce_agg",
+    """
+    SELECT user_id,
+           round(CAST(SUM(CAST(ln(value) AS DECIMAL(30,12))) AS DOUBLE), 6) AS log_sum
+    FROM (SELECT user_id, value FROM events WHERE value > 0) t
+    GROUP BY user_id
+    """,
+    doc="reduce_agg lambda aggregation (reference "
+    "ReduceAggregationFunction.java): the Spark expression is a true fold — "
+    "aggregate() over array_agg — demonstrating arbitrary lambda state; "
+    "decimal-cast per element keeps the fold order-insensitive.",
+    tags=("aggregate", "lambda"),
+)
+def agg_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("value") > 0)
+    # reduce_agg(value, 0, (s, x) -> s + ln(x), (a, b) -> a + b) spelled as
+    # an explicit fold over the collected group — Catalyst evaluates the
+    # lambda chain JVM-side; decimal addition is associative so the
+    # collect_list order cannot affect the result.
+    fold = F.aggregate(
+        F.collect_list(F.log("value").cast("decimal(30,12)")),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(fold.cast("double"), 6).alias("log_sum")
+    )

@@ -531,3 +531,71 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.sample(fraction=0.1, seed=42).agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@register(
+    "window_groups_frame",
+    f"""
+    {EVENTS_NS}
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+           AS grp_sum
+    FROM (SELECT event_id, user_id, value,
+                 dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS grp
+          FROM events_ns) ranked
+    """,
+    doc="GROUPS window frame (reference GroupsFraming.java; grammar "
+    "WindowFrame.java:28-31) — missing in Spark (and DuckDB 1.0), rewritten "
+    "as dense_rank + RANGE frame (operators/window_ext.py); the oracle runs "
+    "the same rewrite on DuckDB's independent window engine.",
+    tags=("window", "frame", "groups"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.window_ext import groups_frame_sum
+
+    t = Tables(spark, sf_dir)
+    out = groups_frame_sum(
+        t.events,
+        partition_by=["user_id"],
+        order_by="event_type",
+        value=F.col("value").cast(DEC),
+        preceding=1,
+        following=1,
+        alias="grp_sum_dec",
+    )
+    return out.select(
+        "event_id", F.col("grp_sum_dec").cast("double").alias("grp_sum")
+    )
+
+
+@register(
+    "time_of_day_rollup",
+    f"""
+    {EVENTS_NS}
+    SELECT CAST(ts_ns % 86400000000000 // 3600000000000 AS INT) AS hour_of_day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events_ns
+    GROUP BY 1, 2
+    """,
+    doc="time(p) handling (SURVEY §1.2: Trino time(9) has no Spark "
+    "equivalent; encoded as nanos-of-day BIGINT = ts_ns % 86400e9): "
+    "hour-of-day rollup over exact nanosecond arithmetic.",
+    tags=("timetype", "aggregate"),
+)
+def time_of_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nanos_of_day = F.col("ts_ns") % F.lit(86_400_000_000_000)
+    return (
+        t.events.withColumn(
+            "hour_of_day", F.floor(nanos_of_day / F.lit(3_600_000_000_000)).cast("int")
+        )
+        .groupBy("hour_of_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total"),
+        )
+    )
