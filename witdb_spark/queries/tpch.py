@@ -826,3 +826,225 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# The driver's schema has no partsupp table; q2/q11/q20 derive one from
+# lineitem's observed (l_partkey, l_suppkey) pairs: supplycost := the best
+# (minimum) observed unit price, availqty := total quantity ever shipped.
+# MIN and integer-valued SUM are order-insensitive, so the derivation is
+# engine-deterministic without decimal casts.
+PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+           SUM(l_quantity) AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(t: Tables) -> DataFrame:
+    return t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2",
+    f"""
+    WITH ps AS ({PS_SQL}),
+    eps AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type
+    FROM part JOIN eps ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eps e2
+                           WHERE e2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="Minimum-cost supplier (TPC-H Q2), partsupp derived from lineitem "
+    "(driver schema has none): correlated MIN subquery -> groupBy+join-back, "
+    "exactly Catalyst's decorrelation (reference "
+    "TransformCorrelatedScalarSubquery.java:80). nation/region broadcast; "
+    "the MIN is computed identically on both sides of the equality so "
+    "double-equality is safe.",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nr = t.nation.join(
+        F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    eps = (
+        _partsupp(t)
+        .join(t.supplier, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eps.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("b_cost")
+    )
+    pf = t.part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        eps.join(
+            best,
+            (F.col("ps_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("b_cost")),
+        )
+        .join(pf, F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 1000000) AS BIGINT))
+               AS ps_cost_micros,
+             SUM(l_quantity) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2),
+    nps AS (
+      SELECT ps_partkey,
+             ps_cost_micros * CAST(ps_availqty AS BIGINT) AS part_value
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')),
+    pv AS (
+      SELECT ps_partkey,
+             CAST(SUM(part_value) AS DOUBLE) / 1000000.0 AS value
+      FROM nps GROUP BY ps_partkey)
+    SELECT ps_partkey, value
+    FROM pv
+    WHERE value > (SELECT CAST(SUM(part_value) AS DOUBLE) / 1000000.0
+                          * 2.0 / COUNT(DISTINCT ps_partkey) FROM nps)
+    ORDER BY value DESC, ps_partkey
+    LIMIT 100
+    """,
+    doc="Important stock identification (TPC-H Q11, derived partsupp, "
+    "threshold adapted to 2x the mean part value so it scales with SF "
+    "instead of TPC-H's 0.0001/SF constant): global-agg scalar subquery "
+    "broadcast against the grouped values. Unit cost is FLOORed to integer "
+    "micro-units before aggregation: double->decimal casts tie-break "
+    "differently across engines (Spark HALF_UP vs DuckDB half-even) but "
+    "FLOOR of an identical IEEE double is identical everywhere, and the "
+    "bigint sums after it are exact.",
+    tags=("tpch", "aggregate", "subquery"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    ps = t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") / F.col("l_quantity") * F.lit(1_000_000)
+            ).cast("bigint")
+        ).alias("ps_cost_micros"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+    nps = (
+        ps.join(t.supplier, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_cost_micros") * F.col("ps_availqty").cast("bigint")
+            ).alias("part_value"),
+        )
+    )
+    pv = nps.groupBy("ps_partkey").agg(
+        (F.sum("part_value").cast("double") / F.lit(1_000_000.0)).alias("value")
+    )
+    threshold = nps.agg(
+        (
+            F.sum("part_value").cast("double")
+            / F.lit(1_000_000.0)
+            * F.lit(2.0)
+            / F.count_distinct("ps_partkey")
+        ).alias("thresh")
+    )
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thresh"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q20",
+    f"""
+    WITH ps AS ({PS_SQL})
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty > 0.5 * (
+            SELECT SUM(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+    ORDER BY s_name, s_acctbal
+    """,
+    doc="Potential part promotion (TPC-H Q20, derived partsupp): nested IN "
+    "subqueries with a correlated scalar -> semi joins + grouped join-back "
+    "(reference TransformCorrelatedInPredicateToJoin.java). The inner join "
+    "against the 1996 shipments drops (part,supp) pairs with no window "
+    "shipments — the same rows the NULL comparison excludes in SQL.",
+    tags=("tpch", "join", "subquery", "semijoin"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    small_parts = t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("w_partkey"),
+            F.col("l_suppkey").alias("w_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("window_qty"))
+    )
+    qualified = (
+        _partsupp(t)
+        .join(small_parts, F.col("p_partkey") == F.col("ps_partkey"), "leftsemi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("w_partkey"))
+            & (F.col("ps_suppkey") == F.col("w_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("window_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
