@@ -63,10 +63,8 @@ PASSTHROUGH: dict[str, str] = {
     "map_keys": "map_keys", "map_values": "map_values",
     "map_zip_with": "map_zip_with", "transform_keys": "transform_keys",
     "transform_values": "transform_values",
-    # binary / hashing
-    "md5": "md5", "sha1": "sha1", "sha256": "sha2", "crc32": "crc32",
-    "to_hex": "hex", "from_hex": "unhex", "to_base64": "base64",
-    "from_base64": "unbase64", "xxhash64": "xxhash64",
+    # binary / hashing (sha256/to_hex/... need arg or case fixes -> MACROS)
+    "md5": "md5", "sha1": "sha1", "crc32": "crc32", "xxhash64": "xxhash64",
     # json (legacy; JsonPath common subset)
     "json_extract": "get_json_object", "json_extract_scalar": "get_json_object",
     "json_array_length": "json_array_length",
@@ -76,8 +74,7 @@ PASSTHROUGH: dict[str, str] = {
     "coalesce": "coalesce", "nullif": "nullif", "if": "if", "try_cast": "try_cast",
     "typeof": "typeof", "uuid": "uuid", "version": "version",
     "current_user": "current_user", "luhn_check": "luhn_check",
-    "bit_count": "bit_count", "bitwise_and": "&", "bitwise_or": "|",
-    "bitwise_xor": "^",
+    "bit_count": "bit_count",
 }
 
 # --------------------------------------------------------------------------
@@ -195,9 +192,10 @@ MACROS: dict[str, str] = {
     "url_extract_parameter(u STRING, k STRING) RETURNS STRING RETURN "
     "parse_url(u, 'QUERY', k)",
     # --- array (ArrayNgramsFunction.java, trim_array) ---
+    # guard: sequence(1, 0) DESCENDS in Spark, so short arrays need the if()
     "ngrams": "CREATE OR REPLACE TEMPORARY FUNCTION ngrams(a ARRAY<STRING>, n INT) "
-    "RETURNS ARRAY<ARRAY<STRING>> RETURN "
-    "transform(sequence(1, greatest(size(a) - n + 1, 0)), i -> slice(a, i, n))",
+    "RETURNS ARRAY<ARRAY<STRING>> RETURN if(size(a) < n, array(), "
+    "transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)))",
     "trim_array": "CREATE OR REPLACE TEMPORARY FUNCTION trim_array"
     "(a ARRAY<STRING>, n INT) RETURNS ARRAY<STRING> RETURN "
     "slice(a, 1, size(a) - n)",
@@ -206,6 +204,37 @@ MACROS: dict[str, str] = {
     "aggregate(a, 0D, (acc, x) -> acc + x) / size(a)",
     "array_sum": "CREATE OR REPLACE TEMPORARY FUNCTION array_sum(a ARRAY<DOUBLE>) "
     "RETURNS DOUBLE RETURN aggregate(a, 0D, (acc, x) -> acc + x)",
+    # --- binary / codec (VarbinaryFunctions.java; Trino returns varbinary
+    # from the sha* family and UPPERCASE hex from to_hex) ---
+    "sha256": "CREATE OR REPLACE TEMPORARY FUNCTION sha256(b BINARY) "
+    "RETURNS BINARY RETURN unhex(sha2(b, 256))",
+    "sha512": "CREATE OR REPLACE TEMPORARY FUNCTION sha512(b BINARY) "
+    "RETURNS BINARY RETURN unhex(sha2(b, 512))",
+    "to_hex": "CREATE OR REPLACE TEMPORARY FUNCTION to_hex(b BINARY) "
+    "RETURNS STRING RETURN upper(hex(b))",
+    "from_hex": "CREATE OR REPLACE TEMPORARY FUNCTION from_hex(s STRING) "
+    "RETURNS BINARY RETURN unhex(s)",
+    "to_base64": "CREATE OR REPLACE TEMPORARY FUNCTION to_base64(b BINARY) "
+    "RETURNS STRING RETURN base64(b)",
+    "from_base64": "CREATE OR REPLACE TEMPORARY FUNCTION from_base64(s STRING) "
+    "RETURNS BINARY RETURN unbase64(s)",
+    # --- bitwise (BitwiseFunctions.java: two's-complement 64-bit) ---
+    "bitwise_and": "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and"
+    "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "bitwise_or": "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or"
+    "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "bitwise_xor": "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor"
+    "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    "bitwise_not": "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not"
+    "(a BIGINT) RETURNS BIGINT RETURN ~a",
+    "bitwise_left_shift": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bitwise_left_shift(a BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(a, n)",
+    "bitwise_right_shift": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bitwise_right_shift(a BIGINT, n INT) RETURNS BIGINT RETURN "
+    "shiftrightunsigned(a, n)",  # Trino right shift is logical (zero-fill)
+    "bitwise_right_shift_arithmetic": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bitwise_right_shift_arithmetic(a BIGINT, n INT) RETURNS BIGINT RETURN "
+    "shiftright(a, n)",
     # --- json (JsonFunctions.java) ---
     "json_parse": "CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING) "
     "RETURNS STRING RETURN s",  # json type is modeled as string (SURVEY §1.2)

@@ -2,6 +2,7 @@
 (SURVEY.md §7 hard parts), each built from existing DataFrame ops so
 Catalyst still plans/distributes them."""
 
+from witdb_spark.operators.match_recognize import match_recognize
 from witdb_spark.operators.window_ext import groups_frame_sum
 
-__all__ = ["groups_frame_sum"]
+__all__ = ["groups_frame_sum", "match_recognize"]

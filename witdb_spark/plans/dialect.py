@@ -48,6 +48,17 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
+    # Trino bit_count(x, bits): Spark's is 1-arg; mask to the requested width
+    # (two's-complement popcount of the low `bits` bits — Trino semantics)
+    seg = re.sub(
+        r"\bbit_count\s*\(([^,()]+),\s*64\s*\)", r"bit_count(\1)", seg, flags=re.I
+    )
+    seg = re.sub(
+        r"\bbit_count\s*\(([^,()]+),\s*(\d+)\s*\)",
+        r"bit_count((\1) & (shiftleft(cast(1 as bigint), \2) - 1))",
+        seg,
+        flags=re.I,
+    )
     return seg
 
 

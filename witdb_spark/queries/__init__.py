@@ -8,6 +8,7 @@ from witdb_spark.queries import (  # noqa: E402,F401
     aggregates,
     analytics,
     functions_parity,
+    patterns,
     pipeline_queries,
     tpch,
 )

@@ -395,3 +395,30 @@ def agg_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.round(fold.cast("double"), 6).alias("log_sum")
     )
+
+
+@register(
+    "agg_approx_most_frequent",
+    """
+    SELECT p_brand AS value, COUNT(*) AS freq
+    FROM part GROUP BY 1
+    ORDER BY freq DESC, value LIMIT 5
+    """,
+    doc="approx_most_frequent(5, p_brand) (reference "
+    "ApproximateMostFrequentHistogram.java / BigintApproximateMostFrequent."
+    "java, a SpaceSaving sketch): at any fixed k the exact plan — map-side "
+    "partial counts into a groupBy on the value, then a global top-k "
+    "(TakeOrderedAndProject, no full sort) — has the same shuffle shape as "
+    "merging sketches and is exact; the sketch only wins when the value "
+    "cardinality itself overwhelms executors, which a brand-like column "
+    "never does.",
+    tags=("aggregate", "approx"),
+)
+def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.groupBy(F.col("p_brand").alias("value"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "value")
+        .limit(5)
+    )

@@ -172,3 +172,217 @@ def json_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id < 1000
         """
     )
+
+
+@register(
+    "regex_funcs_parity",
+    """
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS is_two_words,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '+') AS all_words
+    FROM part
+    WHERE p_partkey < 300
+    """,
+    doc="Regex function parity (reference JoniRegexpFunctions.java: "
+    "regexp_like/extract/extract_all/replace/count). Spark and DuckDB both "
+    "use Java-compatible regex syntax for this subset; DuckDB needs the 'g' "
+    "flag where Trino/Spark replace globally by default.",
+    tags=("functions", "regex"),
+)
+def regex_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               regexp_like(p_name, '^[a-z]+ [a-z]+$') AS is_two_words,
+               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+               regexp_replace(p_name, '[aeiou]', '*') AS starred,
+               regexp_count(p_name, '[aeiou]') AS n_vowels,
+               array_join(regexp_extract_all(p_name, '[a-z]+', 0), '+') AS all_words
+        FROM part
+        WHERE p_partkey < 300
+        """
+    )
+
+
+@register(
+    "binary_funcs_parity",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           hex(p_name) AS name_hex,
+           to_base64(encode(p_name)) AS name_b64,
+           decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+    FROM part
+    WHERE p_partkey < 300
+    """,
+    doc="Binary/codec parity (reference VarbinaryFunctions.java: md5, "
+    "sha256, to_hex, to/from_base64 — all through the to_utf8 varbinary "
+    "model). Trino returns varbinary from sha*; ours does too "
+    "(unhex(sha2)), hex-stringified lowercase here for comparison. crc32/"
+    "sha1/xxhash64 are registered but DuckDB lacks them, so they are "
+    "covered by literal tests instead.",
+    tags=("functions", "binary"),
+)
+def binary_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               md5(to_utf8(p_name)) AS name_md5,
+               lower(to_hex(sha256(to_utf8(p_name)))) AS name_sha256,
+               to_hex(to_utf8(p_name)) AS name_hex,
+               to_base64(to_utf8(p_name)) AS name_b64,
+               from_utf8(from_base64(to_base64(to_utf8(p_name)))) AS roundtrip
+        FROM part
+        WHERE p_partkey < 300
+        """
+    )
+
+
+@register(
+    "bitwise_funcs_parity",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_partkey AS b_and,
+           l_orderkey | l_partkey AS b_or,
+           xor(l_orderkey, l_suppkey) AS b_xor,
+           CAST(l_linenumber AS BIGINT) << 3 AS b_shl,
+           l_orderkey >> 2 AS b_shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt,
+           CAST(bit_count(l_orderkey & 65535) AS BIGINT) AS popcnt16
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="Bitwise parity (reference BitwiseFunctions.java: bitwise_and/or/"
+    "xor, shifts, 2-arg bit_count): Trino names run through Engine.sql — "
+    "macros for the operators, a transpiler width-mask rewrite for "
+    "bit_count(x, bits).",
+    tags=("functions", "bitwise"),
+)
+def bitwise_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return eng.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               bitwise_and(l_orderkey, l_partkey) AS b_and,
+               bitwise_or(l_orderkey, l_partkey) AS b_or,
+               bitwise_xor(l_orderkey, l_suppkey) AS b_xor,
+               bitwise_left_shift(CAST(l_linenumber AS BIGINT), 3) AS b_shl,
+               bitwise_right_shift(l_orderkey, 2) AS b_shr,
+               bit_count(l_orderkey, 64) AS popcnt,
+               bit_count(l_orderkey, 16) AS popcnt16
+        FROM lineitem
+        WHERE l_orderkey < 500
+        """
+    )
+
+
+@register(
+    "array_hof_parity",
+    """
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                  x -> upper(x)), ',') AS words_up,
+           coalesce(array_to_string(list_filter(string_split(p_name, ' '),
+                                       x -> len(x) > 4), ','), '') AS long_words,
+           CAST(len(replace(p_name, ' ', '')) AS INT) AS total_len,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+           string_split(p_name, ' ')[-1] AS last_word,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           array_to_string(generate_series(1, CAST(p_size AS BIGINT), 7), ',') AS stepped,
+           coalesce(array_to_string(
+             list_transform(range(1, len(string_split(p_name, ' '))),
+                            i -> string_split(p_name, ' ')[i] || ' ' ||
+                                 string_split(p_name, ' ')[i+1]), '|'), '') AS bigrams
+    FROM part
+    WHERE p_partkey < 300
+    """,
+    doc="Array higher-order-function parity (reference "
+    "ArrayTransformFunction/ArrayFilterFunction/ArrayReduceFunction/"
+    "ArraySortFunction/SequenceFunction/ArrayNgramsFunction, all lambda "
+    "HOFs): Catalyst evaluates the lambdas JVM-side; the DuckDB oracle "
+    "computes the same values through its independent list_* lambda engine "
+    "(total_len via a string identity to stay engine-independent).",
+    tags=("functions", "array", "lambda"),
+)
+def array_hof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               array_join(transform(split(p_name, ' '), x -> upper(x)), ',')
+                 AS words_up,
+               array_join(filter(split(p_name, ' '), x -> length(x) > 4), ',')
+                 AS long_words,
+               aggregate(transform(split(p_name, ' '), x -> length(x)), 0,
+                         (a, x) -> a + x) AS total_len,
+               array_join(array_sort(split(p_name, ' ')), ',') AS sorted_words,
+               element_at(split(p_name, ' '), -1) AS last_word,
+               cardinality(split(p_name, ' ')) AS n_words,
+               array_join(sequence(CAST(1 AS BIGINT), CAST(p_size AS BIGINT),
+                                   CAST(7 AS BIGINT)), ',') AS stepped,
+               array_join(transform(ngrams(split(p_name, ' '), 2),
+                                    g -> array_join(g, ' ')), '|') AS bigrams
+        FROM part
+        WHERE p_partkey < 300
+        """
+    )
+
+
+@register(
+    "url_funcs_parity",
+    """
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || doc_id AS path,
+           'https' AS protocol,
+           CAST(8000 + doc_id % 3 AS BIGINT) AS port,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM documents
+    WHERE doc_id < 500
+    """,
+    doc="URL function parity (reference UrlFunctions.java: url_extract_"
+    "host/path/protocol/port/query/parameter over parse_url). The oracle "
+    "reconstructs each component from the URL's own building blocks — "
+    "ground truth independent of any URL parser.",
+    tags=("functions", "url"),
+)
+def url_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        WITH urls AS (
+          SELECT doc_id,
+                 concat('https://', source, '.example.org:',
+                        cast(8000 + doc_id % 3 AS STRING),
+                        '/docs/', cast(doc_id AS STRING),
+                        '?lang=', lang) AS url
+          FROM documents WHERE doc_id < 500)
+        SELECT doc_id,
+               url_extract_host(url) AS host,
+               url_extract_path(url) AS path,
+               url_extract_protocol(url) AS protocol,
+               url_extract_port(url) AS port,
+               url_extract_query(url) AS query,
+               url_extract_parameter(url, 'lang') AS lang_param
+        FROM urls
+        """
+    )
