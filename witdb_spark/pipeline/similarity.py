@@ -22,20 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Exact dot product of two float arrays: cast elements to double (exact),
-# multiply (IEEE, deterministic), cast each product to decimal (exact sum).
+# Dot product of two float arrays as a sequential left-to-right double fold.
+# Spark's aggregate() and DuckDB's list_reduce() both fold the array in
+# element order, so the identical sequence of IEEE double operations runs on
+# both engines — the result is bit-identical with no decimal arithmetic
+# (decimal128 folds were ~10x slower and their double->decimal rounding
+# tie-breaks differ across engines anyway).
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> "
-    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), "
-    "CAST(0 AS DECIMAL(38,12)), "
-    # Spark narrows (38,12)+(38,12) to (38,11); re-cast so the fold keeps the
-    # accumulator type (values are tiny relative to the precision — exact).
-    "(acc, v) -> CAST(acc + v AS DECIMAL(38,12)))"
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 )
 
 
 def dot_expr(a: str, b: str) -> F.Column:
-    return F.expr(_DOT.format(a=a, b=b)).cast("double")
+    return F.expr(_DOT.format(a=a, b=b))
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -52,18 +52,19 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the query set against the corpus,
     JVM-side dot products, per-query window top-k (WindowGroupLimit — no
     global sort)."""
+    # norms are per-row, computed BEFORE the pair join: O((Q+N)*d) instead
+    # of O(Q*N*d) — at corpus scale this is the difference between one pass
+    # and k passes over every vector.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    ).withColumn("qnorm", F.sqrt(dot_expr("qvec", "qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cnorm", F.sqrt(dot_expr("cvec", "cvec")))
     scored = (
         c.join(F.broadcast(q))
         .withColumn("dot", dot_expr("qvec", "cvec"))
-        .withColumn("qnorm", F.sqrt(dot_expr("qvec", "qvec")))
-        .withColumn("cnorm", F.sqrt(dot_expr("cvec", "cvec")))
-        # rounded to 6 decimals: the per-product decimal cast rounds
-        # differently across engines (~1e-11 systematic drift), and ranking
-        # on the rounded value + id tiebreak keeps top-k deterministic
+        # round(6) + id tiebreak keeps the top-k cut deterministic
         .withColumn(
             "cosine", F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 6)
         )
@@ -87,17 +88,17 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
     Exact O(n^2) scoring here; at scale, run lsh_buckets first and only
     score within-bucket pairs (same two-stage shape as MinHash dedup)."""
-    a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    ).withColumn("na", F.sqrt(dot_expr("va", "va")))
+    b = corpus.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", F.sqrt(dot_expr("vb", "vb")))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .withColumn(
             "cosine",
-            F.round(
-                dot_expr("va", "vb")
-                / (F.sqrt(dot_expr("va", "va")) * F.sqrt(dot_expr("vb", "vb"))),
-                6,
-            ),
+            F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")

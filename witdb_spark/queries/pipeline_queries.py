@@ -16,7 +16,8 @@ from witdb_spark.queries.registry import register
 # ---------------------------------------------------------------- dedup ----
 
 _MINHASH_SIG_SQL = ",\n    ".join(
-    f"MIN(md5('{j}:' || shingle)) AS m{j}" for j in range(dedup.NUM_PERM)
+    f"MIN(substr(md5(shingle) || md5('x:' || shingle), {4 * j + 1}, 4)) AS m{j}"
+    for j in range(dedup.NUM_PERM)
 )
 _MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
     "SELECT doc_id, {b} AS band_id, md5(m{i0}||m{i1}||m{i2}||m{i3}) AS band_hash FROM sig".format(
@@ -213,37 +214,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- similarity ----
 
-_DOT_ORACLE = (
-    "CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) "
-    "AS DECIMAL(38,12))) AS DOUBLE)"
-)
+# Sequential left-to-right double fold — DuckDB list_reduce mirrors Spark's
+# aggregate() element order, so dot products are bit-identical (see
+# pipeline/similarity.py _DOT).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
 
 
 @register(
     "similarity_topk",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    z AS (
-      SELECT q.query_id, e.vec_id AS match_id,
-             unnest(q.qe) AS qx, unnest(e.embedding) AS ex
-      FROM q, embeddings e
-    ),
-    dots AS (
-      SELECT query_id, match_id, {_DOT_ORACLE} AS dot
-      FROM z GROUP BY query_id, match_id
-    ),
-    norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                  AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
-      GROUP BY vec_id
-    ),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                      {_norm_sql('embedding')} AS qnorm
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, embedding AS ce,
+                 {_norm_sql('embedding')} AS cnorm
+          FROM embeddings),
     scored AS (
-      SELECT d.query_id, d.match_id, round(d.dot / (nq.nrm * nm.nrm), 6) AS cosine
-      FROM dots d
-      JOIN norms nq ON nq.vec_id = d.query_id
-      JOIN norms nm ON nm.vec_id = d.match_id
+      SELECT q.query_id, c.match_id,
+             round({_dot_sql('q.qe', 'c.ce')} / (q.qnorm * c.cnorm), 6) AS cosine
+      FROM q, c
     )
     SELECT query_id, match_id, cosine, CAST(rn AS INT) AS rank
     FROM (SELECT *, row_number() OVER (
@@ -302,27 +300,16 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     f"""
-    WITH z AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             unnest(a.embedding) AS qx, unnest(b.embedding) AS ex
-      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-    ),
-    dots AS (
-      SELECT a_id, b_id, {_DOT_ORACLE} AS dot
-      FROM z GROUP BY a_id, b_id
-    ),
-    norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                  AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
-      GROUP BY vec_id
+    WITH a AS (SELECT vec_id AS a_id, embedding AS ea,
+                      {_norm_sql('embedding')} AS na FROM embeddings),
+    b AS (SELECT vec_id AS b_id, embedding AS eb,
+                 {_norm_sql('embedding')} AS nb FROM embeddings),
+    scored AS (
+      SELECT a_id, b_id,
+             round({_dot_sql('a.ea', 'b.eb')} / (a.na * b.nb), 6) AS cosine
+      FROM a, b WHERE a_id < b_id
     )
-    SELECT a_id, b_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.a_id
-    JOIN norms nb ON nb.vec_id = d.b_id
-    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.2
+    SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.2
     """,
     doc="Embedding-cosine near-duplicate pairs (cosine >= 0.2; synthetic embeddings are near-orthogonal, so the demo threshold is low). Exact "
     "pairwise here; at scale lsh_buckets prunes the pair space first.",
