@@ -82,7 +82,8 @@ def test_function_value(fspark, expr, expected):
 
 
 def test_macro_count_registered(fspark):
-    assert register_all(fspark) == len(MACROS) >= 30
+    # macros + the Python-UDF tier (functions/python_udfs.py)
+    assert register_all(fspark) >= len(MACROS) >= 30
 
 
 def test_is_nan_passthrough(fspark):

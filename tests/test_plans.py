@@ -108,3 +108,28 @@ def test_multiway_joins_shuffle_on_keys(spark, name):
     hashpartitioning exchanges, and AQE is free to coalesce them."""
     plan = plan_of(spark, name)
     assert "hashpartitioning" in plan
+
+
+def test_sequence_table_bounds(spark):
+    from witdb_spark.operators.table_functions import exclude_columns, sequence_table
+
+    assert [r.sequential_number for r in sequence_table(spark, 1, 10, 3).collect()] == [1, 4, 7, 10]
+    assert [r.sequential_number for r in sequence_table(spark, 5, 1, -2).collect()] == [5, 3, 1]
+    df = spark.createDataFrame([(1, "a", True)], "x int, y string, z boolean")
+    assert exclude_columns(df, "y").columns == ["x", "z"]
+
+
+def test_at_timezone(spark):
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    got = spark.sql(
+        "SELECT date_format(at_timezone(TIMESTAMP_NTZ '2020-06-01 12:00:00',"
+        " 'America/New_York'), 'yyyy-MM-dd HH:mm') AS v"
+    ).collect()[0].v
+    assert got == "2020-06-01 08:00"  # EDT = UTC-4
+    rt = spark.sql(
+        "SELECT with_timezone(at_timezone(TIMESTAMP_NTZ '2020-06-01 12:00:00',"
+        " 'Asia/Tokyo'), 'Asia/Tokyo') AS v"
+    ).collect()[0].v
+    assert str(rt) == "2020-06-01 12:00:00"

@@ -1,0 +1,338 @@
+"""Tier-4 functions: Arrow-batched Python UDFs for Trino functions that
+need a real library or algorithm Spark SQL can't express (SURVEY.md §2.9
+gaps). Everything here is off the hot path — these are scalar library
+functions, not operators — and every UDF body is self-contained (stdlib
+imports inside the function: executors can't import witdb_spark).
+
+  - normalize(s, form)        reference StringFunctions.java `normalize`
+                              (ICU in the reference; Python unicodedata
+                              implements the same Unicode normal forms)
+  - word_stem(s)              reference WordStemFunction.java (Lucene
+                              snowball; here a faithful pure-Python Porter
+                              stemmer — same family, en only)
+  - combinations(arr, n)      reference ArrayCombinationsFunction.java
+  - hmac_md5/sha1/sha256/sha512  reference HmacFunctions.java (Python hmac)
+  - json_exists/json_value/json_query  SQL/JSON-2016 (reference
+                              scalar/json/Json*Function.java) over a lax
+                              JSONPath subset: $, .name, [idx], [*]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+
+def _normalize_udf():
+    @pandas_udf("string")
+    def unicode_normalize(s, form):
+        import unicodedata
+
+        import pandas as pd
+
+        def go(v, f):
+            if v is None:
+                return None
+            return unicodedata.normalize((f or "NFC").upper(), v)
+
+        return pd.Series([go(v, f) for v, f in zip(s, form)])
+
+    return unicode_normalize
+
+
+def _word_stem_udf():
+    @pandas_udf("string")
+    def word_stem(s):
+        import pandas as pd
+
+        # Porter (1980) stemmer, standard algorithm, pure python.
+        vowels = "aeiou"
+
+        def cons(w, i):
+            c = w[i]
+            if c in vowels:
+                return False
+            if c == "y":
+                return i == 0 or not cons(w, i - 1)
+            return True
+
+        def measure(w):
+            # number of VC sequences in [C](VC){m}[V]
+            m, i, n = 0, 0, len(w)
+            while i < n and cons(w, i):
+                i += 1
+            while i < n:
+                while i < n and not cons(w, i):
+                    i += 1
+                if i >= n:
+                    break
+                m += 1
+                while i < n and cons(w, i):
+                    i += 1
+            return m
+
+        def has_vowel(w):
+            return any(not cons(w, i) for i in range(len(w)))
+
+        def double_cons(w):
+            return len(w) >= 2 and w[-1] == w[-2] and cons(w, len(w) - 1)
+
+        def cvc(w):
+            return (
+                len(w) >= 3
+                and cons(w, len(w) - 3)
+                and not cons(w, len(w) - 2)
+                and cons(w, len(w) - 1)
+                and w[-1] not in "wxy"
+            )
+
+        def step1(w):
+            if w.endswith("sses"):
+                w = w[:-2]
+            elif w.endswith("ies"):
+                w = w[:-2]
+            elif w.endswith("ss"):
+                pass
+            elif w.endswith("s"):
+                w = w[:-1]
+            flag = False
+            if w.endswith("eed"):
+                if measure(w[:-3]) > 0:
+                    w = w[:-1]
+            elif w.endswith("ed") and has_vowel(w[:-2]):
+                w, flag = w[:-2], True
+            elif w.endswith("ing") and has_vowel(w[:-3]):
+                w, flag = w[:-3], True
+            if flag:
+                if w.endswith(("at", "bl", "iz")):
+                    w += "e"
+                elif double_cons(w) and w[-1] not in "lsz":
+                    w = w[:-1]
+                elif measure(w) == 1 and cvc(w):
+                    w += "e"
+            if w.endswith("y") and has_vowel(w[:-1]):
+                w = w[:-1] + "i"
+            return w
+
+        s2 = [
+            ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+            ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+            ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+            ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+            ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+            ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+            ("biliti", "ble"),
+        ]
+        s3 = [
+            ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+            ("ical", "ic"), ("ful", ""), ("ness", ""),
+        ]
+        s4 = [
+            "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+            "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+        ]
+
+        def rules(w, pairs, minm):
+            for suf, rep in pairs:
+                if w.endswith(suf):
+                    stem = w[: len(w) - len(suf)]
+                    if measure(stem) > minm:
+                        return stem + rep
+                    return w
+            return w
+
+        def step4(w):
+            for suf in s4:
+                if w.endswith(suf):
+                    stem = w[: len(w) - len(suf)]
+                    if measure(stem) > 1:
+                        return stem
+                    return w
+            if w.endswith("ion") and measure(w[:-3]) > 1 and w[:-3] and w[-4] in "st":
+                return w[:-3]
+            return w
+
+        def step5(w):
+            if w.endswith("e"):
+                m = measure(w[:-1])
+                if m > 1 or (m == 1 and not cvc(w[:-1])):
+                    w = w[:-1]
+            if double_cons(w) and w[-1] == "l" and measure(w) > 1:
+                w = w[:-1]
+            return w
+
+        def stem(word):
+            if word is None:
+                return None
+            w = word.lower()
+            if len(w) <= 2:
+                return w
+            return step5(step4(rules(rules(step1(w), s2, 0), s3, 0)))
+
+        return pd.Series([stem(v) for v in s])
+
+    return word_stem
+
+
+def _combinations_udf():
+    @pandas_udf("array<array<string>>")
+    def combinations(arr, n):
+        import itertools
+
+        import pandas as pd
+
+        def go(a, k):
+            if a is None or k is None:
+                return None
+            k = int(k)
+            if k < 0 or k > len(a):
+                return []
+            return [list(c) for c in itertools.combinations(list(a), k)]
+
+        return pd.Series([go(a, k) for a, k in zip(arr, n)])
+
+    return combinations
+
+
+def _hmac_udf(algo: str):
+    @pandas_udf("binary")
+    def hmac_fn(data, key):
+        import hashlib
+        import hmac as hmac_mod
+
+        import pandas as pd
+
+        def go(d, k):
+            if d is None or k is None:
+                return None
+            return hmac_mod.new(bytes(k), bytes(d), getattr(hashlib, algo)).digest()
+
+        return pd.Series([go(d, k) for d, k in zip(data, key)])
+
+    return hmac_fn
+
+
+# --- SQL/JSON 2016: shared lax JSONPath evaluator source, exec'd inside
+# each UDF so the closure ships no module references. Path subset:
+# $            root
+# .name        member access
+# [i]          array index (0-based, per SQL/JSON)
+# [*]          array wildcard (fans out)
+_JSONPATH_SRC = r'''
+import json, re
+
+_TOK = re.compile(r"\.([A-Za-z_][A-Za-z_0-9]*)|\[(\d+)\]|\[\*\]|\.\"([^\"]+)\"")
+
+def jpath(doc, path):
+    """Returns the list of matches (lax mode: missing -> empty list),
+    or None on malformed json/path."""
+    if doc is None or path is None:
+        return None
+    try:
+        node = json.loads(doc)
+    except Exception:
+        return None
+    p = path.strip()
+    if not p.startswith("$"):
+        return None
+    cur, i = [node], 1
+    while i < len(p):
+        m = _TOK.match(p, i)
+        if not m:
+            return None
+        name, idx, quoted = m.group(1), m.group(2), m.group(3)
+        nxt = []
+        for nd in cur:
+            if name is not None or quoted is not None:
+                k = name if name is not None else quoted
+                if isinstance(nd, dict) and k in nd:
+                    nxt.append(nd[k])
+            elif idx is not None:
+                j = int(idx)
+                if isinstance(nd, list) and j < len(nd):
+                    nxt.append(nd[j])
+            else:  # [*]
+                if isinstance(nd, list):
+                    nxt.extend(nd)
+        cur, i = nxt, m.end()
+    return cur
+'''
+
+
+def _json_udfs():
+    @pandas_udf("boolean")
+    def json_exists(doc, path):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_JSONPATH_SRC, ns)
+        jp = ns["jpath"]
+
+        def go(d, p):
+            r = jp(d, p)
+            return None if r is None else len(r) > 0
+
+        return pd.Series([go(d, p) for d, p in zip(doc, path)])
+
+    @pandas_udf("string")
+    def json_value(doc, path):
+        import json
+
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_JSONPATH_SRC, ns)
+        jp = ns["jpath"]
+
+        def go(d, p):
+            r = jp(d, p)
+            if not r:
+                return None
+            v = r[0]
+            if isinstance(v, (dict, list)):
+                return None  # json_value returns scalars only (SQL/JSON)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return v if isinstance(v, str) else json.dumps(v)
+
+        return pd.Series([go(d, p) for d, p in zip(doc, path)])
+
+    @pandas_udf("string")
+    def json_query(doc, path):
+        import json
+
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_JSONPATH_SRC, ns)
+        jp = ns["jpath"]
+
+        def go(d, p):
+            r = jp(d, p)
+            if not r:
+                return None
+            if len(r) == 1:  # WITHOUT ARRAY WRAPPER default
+                return json.dumps(r[0], separators=(",", ":"))
+            return json.dumps(r, separators=(",", ":"))
+
+        return pd.Series([go(d, p) for d, p in zip(doc, path)])
+
+    return json_exists, json_value, json_query
+
+
+def register_python_udfs(spark: SparkSession) -> int:
+    """Register the Python-tier functions; returns how many."""
+    fns = {
+        "normalize": _normalize_udf(),
+        "word_stem": _word_stem_udf(),
+        "combinations": _combinations_udf(),
+        "hmac_md5": _hmac_udf("md5"),
+        "hmac_sha1": _hmac_udf("sha1"),
+        "hmac_sha256": _hmac_udf("sha256"),
+        "hmac_sha512": _hmac_udf("sha512"),
+    }
+    je, jv, jq = _json_udfs()
+    fns.update({"json_exists": je, "json_value": jv, "json_query": jq})
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return len(fns)

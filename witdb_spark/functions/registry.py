@@ -168,6 +168,15 @@ MACROS: dict[str, str] = {
     "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
     "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
     "WHEN 'd' THEN 86400.0 END",  # seconds, reference util/Duration parsing
+    # at_timezone/with_timezone (reference DateTimeFunctions.java): our
+    # timestamps are NTZ (parquet timestamp_ntz), so at_timezone =
+    # "reinterpret this UTC instant in zone tz" = convert_timezone.
+    "at_timezone": "CREATE OR REPLACE TEMPORARY FUNCTION at_timezone"
+    "(ts TIMESTAMP_NTZ, tz STRING) RETURNS TIMESTAMP_NTZ RETURN "
+    "convert_timezone('UTC', tz, ts)",
+    "with_timezone": "CREATE OR REPLACE TEMPORARY FUNCTION with_timezone"
+    "(ts TIMESTAMP_NTZ, tz STRING) RETURNS TIMESTAMP_NTZ RETURN "
+    "convert_timezone(tz, 'UTC', ts)",
     "from_iso8601_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
     "to_iso8601": "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP) "
@@ -257,28 +266,21 @@ MACROS: dict[str, str] = {
 # Tier 3: named gaps (kept honest).
 # --------------------------------------------------------------------------
 UNSUPPORTED: dict[str, str] = {
-    "word_stem": "needs a Porter stemmer (reference WordStemFunction.java "
-    "wraps a native lib); no stemmer in container",
-    "normalize": "Unicode NFC/NFD normalization needs ICU; Spark has no "
-    "built-in normalizer",
-    "hmac_md5/hmac_sha*": "Spark exposes no HMAC primitives "
-    "(reference HmacFunctions.java); would need a Python UDF + secret handling",
     "beta_cdf/inverse_beta_cdf": "incomplete beta function not in Spark; "
     "needs scipy (absent)",
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
-    "json_query/json_value/json_exists": "SQL/JSON-2016 path engine "
-    "(reference scalar/json/) - planned via from_json compositions",
-    "combinations": "reference ArrayCombinationsFunction.java; needs "
-    "recursive expansion — planned as generator UDTF",
 }
 
 
 def register_all(spark: SparkSession) -> int:
-    """Install every macro into the session; returns the number registered."""
+    """Install every macro + Python-tier UDF into the session; returns the
+    number registered."""
+    from witdb_spark.functions.python_udfs import register_python_udfs
+
     for ddl in MACROS.values():
         spark.sql(ddl)
-    return len(MACROS)
+    return len(MACROS) + register_python_udfs(spark)
 
 
 def trino_fn(name: str):

@@ -3,6 +3,12 @@
 Catalyst still plans/distributes them."""
 
 from witdb_spark.operators.match_recognize import match_recognize
+from witdb_spark.operators.table_functions import exclude_columns, sequence_table
 from witdb_spark.operators.window_ext import groups_frame_sum
 
-__all__ = ["groups_frame_sum", "match_recognize"]
+__all__ = [
+    "exclude_columns",
+    "groups_frame_sum",
+    "match_recognize",
+    "sequence_table",
+]

@@ -204,8 +204,9 @@ def transpile(sql: str) -> str:
         )
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(
-            "MATCH_RECOGNIZE row-pattern matching is not yet implemented"
-            " (planned as an applyInPandas NFA operator)"
+            "MATCH_RECOGNIZE has no SQL form here; use the DataFrame"
+            " operator witdb_spark.operators.match_recognize (same PATTERN/"
+            "DEFINE semantics, MEASURES as ordinary aggs over match_id)"
         )
     # bracket constructs first (string-aware scanner: ARRAY literals and
     # subscripts may contain string literals)

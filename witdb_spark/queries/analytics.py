@@ -599,3 +599,38 @@ def time_of_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total"),
         )
     )
+
+
+@register(
+    "ptf_sequence_join",
+    """
+    SELECT t.n AS bucket_start,
+           COUNT(p.p_partkey) AS n_parts
+    FROM generate_series(1, 50, 10) AS t(n)
+    LEFT JOIN part p ON p.p_size >= t.n AND p.p_size < t.n + 10
+    GROUP BY t.n
+    """,
+    doc="Polymorphic table function `sequence` (reference "
+    "ptf/ConnectorTableFunction.java + SequenceFunction; invoked as "
+    "TABLE(sequence(...))): spark.range as a parallel generated source, "
+    "range-joined against part sizes — the generated side broadcasts.",
+    tags=("ptf", "join"),
+)
+def ptf_sequence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.table_functions import sequence_table
+
+    t = Tables(spark, sf_dir)
+    seq = sequence_table(spark, 1, 50, 10).select(
+        F.col("sequential_number").alias("bucket_start")
+    )
+    return (
+        F.broadcast(seq)
+        .join(
+            t.part,
+            (F.col("p_size") >= F.col("bucket_start"))
+            & (F.col("p_size") < F.col("bucket_start") + 10),
+            "left",
+        )
+        .groupBy("bucket_start")
+        .agg(F.count("p_partkey").alias("n_parts"))
+    )

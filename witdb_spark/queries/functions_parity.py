@@ -386,3 +386,36 @@ def url_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM urls
         """
     )
+
+
+@register(
+    "sql_json_2016_parity",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_val,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="SQL/JSON-2016 json_value/json_exists (reference scalar/json/"
+    "JsonValueFunction.java, JsonExistsFunction.java; path IR in "
+    "core/trino-main/.../json/): lax-mode JSONPath over the events.props "
+    "column via the Python-tier UDFs, checked against DuckDB's independent "
+    "JSON extension.",
+    tags=("functions", "json", "sqljson"),
+)
+def sql_json_2016_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               json_value(props, '$.k') AS k_val,
+               json_exists(props, '$.k') AS has_k,
+               json_exists(props, '$.missing') AS has_missing
+        FROM events
+        WHERE event_id < 500
+        """
+    )
