@@ -114,3 +114,32 @@ def test_engine_explain(engine):
 )
 def test_transpile_bracket_edges(sql, expected):
     assert transpile(sql) == expected
+
+
+def test_unnest_rewrites(engine):
+    rows = engine.sql(
+        "SELECT w FROM (SELECT split('a b', ' ') AS arr) s "
+        "CROSS JOIN UNNEST(arr) AS t(w)"
+    ).collect()
+    assert sorted(r.w for r in rows) == ["a", "b"]
+    rows = engine.sql(
+        "SELECT k, v FROM (SELECT map('x', 1, 'y', 2) AS m) s, UNNEST(m) AS t(k, v)"
+    ).collect()
+    assert sorted((r.k, r.v) for r in rows) == [("x", 1), ("y", 2)]
+    # multi-arg UNNEST zips positionally, padding the short side with NULL
+    rows = engine.sql(
+        "SELECT x, y FROM (SELECT array(1, 2) AS a, array('p', 'q', 'r') AS b) s "
+        "CROSS JOIN UNNEST(a, b) AS t(x, y)"
+    ).collect()
+    assert {(r.x, r.y) for r in rows} == {(1, "p"), (2, "q"), (None, "r")}
+
+
+def test_unnest_ordinality_rejected(engine):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
+        )

@@ -172,6 +172,76 @@ def _rewrite_brackets(sql: str) -> str:
     return sql
 
 
+_UNNEST_HEAD = re.compile(r"(\bCROSS\s+JOIN\b|,)\s*UNNEST\s*\(", re.I)
+_UNNEST_ALIAS = re.compile(
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+([A-Za-z_][A-Za-z_0-9]*)"
+    r"\s*\(\s*([A-Za-z_0-9, \t]*?)\s*\)",
+    re.I,
+)
+
+
+def _match_paren(sql: str, open_idx: int) -> int:
+    depth = 0
+    for i, c, in_str in _in_string_scan(sql[open_idx:]):
+        if in_str:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return open_idx + i
+    raise UnsupportedTrinoSyntax(f"unbalanced '(' at position {open_idx}")
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """UNNEST in FROM (grammar SqlBase.g4:417) -> LATERAL VIEW:
+      CROSS JOIN UNNEST(a) AS t(x)        -> LATERAL VIEW explode(a) t AS x
+      CROSS JOIN UNNEST(m) AS t(k, v)     -> LATERAL VIEW explode(m) t AS k, v
+      CROSS JOIN UNNEST(a, b) AS t(x, y)  -> LATERAL VIEW inline(arrays_zip(a, b)) t AS x, y
+    (the multi-arg zip form is exactly Trino's semantics: positional zip,
+    shorter arrays padded with NULL — arrays_zip pads the same way).
+    WITH ORDINALITY is rejected: Spark's posexplode ordinal is 0-based and
+    a textual rewrite can't insert the +1; use posexplode directly."""
+    while True:
+        m = _UNNEST_HEAD.search(sql)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _match_paren(sql, open_idx)
+        args = sql[open_idx + 1 : close_idx]
+        am = _UNNEST_ALIAS.match(sql, close_idx + 1)
+        if am is None:
+            raise UnsupportedTrinoSyntax(
+                "UNNEST requires an AS alias(col, ...) for the rewrite"
+            )
+        if am.group(1):
+            raise UnsupportedTrinoSyntax(
+                "UNNEST ... WITH ORDINALITY: use LATERAL VIEW posexplode"
+                " directly (Spark ordinals are 0-based)"
+            )
+        alias, cols = am.group(2), [c.strip() for c in am.group(3).split(",")]
+        # top-level comma split of args (string/paren-aware)
+        parts, depth, start = [], 0, 0
+        for i, c, in_str in _in_string_scan(args):
+            if in_str:
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(args[start:i].strip())
+                start = i + 1
+        parts.append(args[start:].strip())
+        if len(parts) == 1:
+            gen = f"explode({parts[0]})"
+        else:
+            gen = f"inline(arrays_zip({', '.join(parts)}))"
+        repl = f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)}"
+        sql = sql[: m.start()] + repl + sql[am.end() :]
+
+
 def _rewrite_with_strings(sql: str) -> str:
     """Rewrites that need to see string literals (unit arguments, interval
     values, %-patterns)."""
@@ -211,6 +281,7 @@ def transpile(sql: str) -> str:
     # bracket constructs first (string-aware scanner: ARRAY literals and
     # subscripts may contain string literals)
     sql = _rewrite_brackets(sql)
+    sql = _rewrite_unnest(sql)
     # then segment-local rewrites (never touch string literals)
     parts = _STRING_SPLIT.split(sql)
     parts = [p if p.startswith("'") else _rewrite_segment(p) for p in parts]
