@@ -23,8 +23,17 @@ PREWARM_RUNS = 1
 MEASURED_RUNS = 3
 
 # Headline set: exercised operators span scan/filter/agg (q1,q6), multi-way
-# joins (q3,q5,q10) — extended as coverage widens.
-HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10"]
+# joins (q3,q5,q10), the heaviest join+agg (q9), and the custom
+# applyInPandas pattern operator (mr_funnel) — extended as coverage widens.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q10",
+    "mr_funnel",
+]
 
 
 def main() -> None:

@@ -105,30 +105,67 @@ def match_recognize(
     )
     char_to_label = {c: name for name, c in label_chars.items()}
     order_col, label_col = order_by, _LABEL_COL
+    pk_cols = list(partition_by)
     data_cols = [f.name for f in df.schema.fields]
-    compiled = regex  # plain strings only: the closure must be picklable
+    compiled = regex  # plain values only: the closure must be picklable
     # self-contained (no witdb_spark imports exist on executors).
 
-    def scan(pdf):
+    # Execution shape: ONE hash shuffle on the partition keys + a
+    # partition-local sort, then mapInPandas streams Arrow batches through a
+    # single Python call per task — not one call per key the way
+    # applyInPandas does it (per-group dispatch measured ~3ms/group, which
+    # dominates when keys are small). Groups split across batch boundaries
+    # are carried over, so memory is O(batch + largest single key).
+    def scan_partition(batches):
         import re as _re
 
         import numpy as _np
+        import pandas as _pd
 
-        pdf = pdf.sort_values(order_col, ignore_index=True)
-        chars = "".join(pdf[label_col].tolist())
-        keep_idx, match_ids, classifiers = [], [], []
-        mid = 0
-        for m in _re.finditer(compiled, chars):
-            if m.start() == m.end():  # zero-width match (e.g. 'A*'): skip
+        rx = _re.compile(compiled)
+
+        def emit(chunk):
+            outs = []
+            for _, g in chunk.groupby(pk_cols, sort=False):
+                chars = "".join(g[label_col].tolist())
+                keep, mids, labels = [], [], []
+                mid = 0
+                for m in rx.finditer(chars):
+                    if m.start() == m.end():  # zero-width (e.g. 'A*'): skip
+                        continue
+                    mid += 1
+                    for i in range(m.start(), m.end()):
+                        keep.append(i)
+                        mids.append(mid)
+                        labels.append(char_to_label.get(chars[i], "?"))
+                if keep:
+                    out = g.iloc[keep][data_cols].copy()
+                    out["match_id"] = _np.asarray(mids, dtype="int64")
+                    out["classifier"] = _np.asarray(labels, dtype=object)
+                    outs.append(out)
+            return outs
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = _pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
                 continue
-            mid += 1
-            for i in range(m.start(), m.end()):
-                keep_idx.append(i)
-                match_ids.append(mid)
-                classifiers.append(char_to_label.get(chars[i], "?"))
-        out = pdf.iloc[keep_idx][data_cols].copy()
-        out["match_id"] = _np.asarray(match_ids, dtype="int64")
-        out["classifier"] = _np.asarray(classifiers, dtype=object)
-        return out
+            # rows are sorted by (keys, order); the last key's rows are a
+            # contiguous suffix that may continue in the next batch
+            tail = _np.ones(len(pdf), dtype=bool)
+            for c in pk_cols:
+                tail &= pdf[c].values == pdf[c].iloc[-1]
+            # first index of the suffix run of True
+            cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+            done, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            for out in emit(done):
+                yield out
+        if carry is not None and len(carry):
+            for out in emit(carry):
+                yield out
 
-    return classified.groupBy(*partition_by).applyInPandas(scan, schema=out_schema)
+    sorted_part = classified.repartition(*pk_cols).sortWithinPartitions(
+        *pk_cols, order_col
+    )
+    return sorted_part.mapInPandas(scan_partition, schema=out_schema)

@@ -422,3 +422,42 @@ def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "value")
         .limit(5)
     )
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(SUM(sub_total) AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderpriority, o_custkey, COUNT(*) AS sub_total
+      FROM orders GROUP BY 1, 2
+    ) t
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-resistant aggregation (operators/skew.py): COUNT DISTINCT via "
+    "value-salted two-stage groupBy — each distinct value hashes to one "
+    "bucket so per-bucket distinct counts are additive; the hot key's rows "
+    "spread over 16 reducers instead of one. Reference handles the same "
+    "problem with partial aggregation pushdown "
+    "(PushPartialAggregationThroughExchange.java:60); salting covers the "
+    "holistic aggregates partial agg can't collapse. The oracle computes "
+    "the same counts the direct single-stage way.",
+    tags=("aggregate", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.skew import salted_agg, salted_count_distinct
+
+    t = Tables(spark, sf_dir)
+    nd = salted_count_distinct(
+        t.orders, ["o_orderpriority"], "o_custkey", buckets=16
+    ).withColumnRenamed("n_distinct", "n_custs")
+    totals = salted_agg(
+        t.orders,
+        ["o_orderpriority"],
+        stage1=lambda: [F.count(F.lit(1)).alias("__c")],
+        stage2=lambda: [F.sum("__c").alias("n_orders")],
+        buckets=16,
+    )
+    return nd.join(totals, "o_orderpriority")
