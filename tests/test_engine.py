@@ -123,7 +123,8 @@ def test_unnest_rewrites(engine):
     ).collect()
     assert sorted(r.w for r in rows) == ["a", "b"]
     rows = engine.sql(
-        "SELECT k, v FROM (SELECT map('x', 1, 'y', 2) AS m) s, UNNEST(m) AS t(k, v)"
+        "SELECT k, v FROM (SELECT MAP(ARRAY['x', 'y'], ARRAY[1, 2]) AS m) s,"
+        " UNNEST(m) AS t(k, v)"
     ).collect()
     assert sorted((r.k, r.v) for r in rows) == [("x", 1), ("y", 2)]
     # multi-arg UNNEST zips positionally, padding the short side with NULL

@@ -1,16 +1,17 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, mirroring what a 100 TB pipeline needs:
+Three tiers, mirroring what a 100 TB pipeline needs:
   - brute_force_topk: exact cosine top-k of every query against the corpus.
-    Dot products are computed with JVM higher-order functions (zip_with +
-    aggregate) — no Python in the loop — with per-element products cast to
-    DECIMAL(38,12) so the fold is exact and engine-identical (float
-    summation order would otherwise differ from the oracle). At cluster
-    scale the corpus side partitions freely; queries broadcast.
+    Dot products are JVM higher-order functions (zip_with + aggregate) — no
+    Python in the loop — as sequential double folds that are bit-identical
+    to the DuckDB oracle (see _DOT). Corpus side partitions freely; queries
+    broadcast; norms precomputed per row.
   - lsh_buckets: random-hyperplane LSH. Hyperplane weights are derived from
     md5(plane, dim) so every engine (and the DuckDB oracle) constructs the
     identical planes — no RNG state to ship. Probing cost drops from O(N)
     to O(N / 2^planes) per query; the bucket id is a 1-shuffle groupBy key.
+  - ivf_topk: inverted-file ANN — deterministic coarse quantizer, per-cell
+    candidate scoring at ~(n_probe/n_centroids) of brute-force cost.
 
 Reference analog: cosine_similarity lives in reference
 operator/scalar/MathFunctions.java (scalar, single-node); the distributed
@@ -144,3 +145,64 @@ def lsh_buckets(
         F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(0)
     ).cast("bigint")
     return dots.groupBy("vec_id").agg(bucket.alias("bucket"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second ANN scale path
+    next to lsh_buckets.
+
+    Coarse quantizer: the n_centroids lowest-id corpus vectors act as
+    centroids (deterministic — no RNG/k-means state to ship; swap in
+    trained centroids at production without changing the plan). Every
+    corpus vector is assigned to its nearest centroid (1 broadcast join +
+    per-vector argmax — no shuffle of the corpus); each query probes its
+    n_probe nearest cells and scores only those cells' members:
+    cost ~ (n_probe / n_centroids) of brute force. The candidate join
+    shuffles on cell id — bounded fan-out, AQE handles hot cells."""
+    cents = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", F.sqrt(dot_expr("cv", "cv")))
+    )
+
+    def assign(df, out_id, out_vec, probe):
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .withColumn("vn", F.sqrt(dot_expr(out_vec, out_vec)))
+            .join(F.broadcast(cents))
+            .withColumn(
+                "ccos",
+                F.round(dot_expr(out_vec, "cv") / (F.col("vn") * F.col("cn")), 6),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("ccos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= probe)
+            .select(out_id, out_vec, "vn", "cid")
+        )
+
+    corpus_cells = assign(corpus, "match_id", "cvec", 1)
+    query_cells = assign(queries, "query_id", "qvec", n_probe)
+    pairs = query_cells.withColumnRenamed("vn", "qn").join(
+        corpus_cells.withColumnRenamed("vn", "cn2"), "cid"
+    )
+    scored = pairs.withColumn(
+        "cosine", F.round(dot_expr("qvec", "cvec") / (F.col("qn") * F.col("cn2")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id", "cosine", F.col("rn").alias("rank"))
+    )

@@ -45,6 +45,11 @@ def _rewrite_segment(seg: str) -> str:
     # CAST(x AS JSON) -> CAST(x AS STRING)
     seg = re.sub(r"\bAS\s+JSON\s*\)", "AS STRING)", seg, flags=re.I)
     # renames
+    # Trino MAP(keys_array, values_array) constructor -> map_from_arrays
+    # (Spark's map() takes interleaved k1,v1,... — different function);
+    # bare MAP() stays the empty-map constructor.
+    seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
+    seg = re.sub(r"\bMAP\s*\(", "map_from_arrays(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
@@ -278,7 +283,19 @@ def transpile(sql: str) -> str:
             " operator witdb_spark.operators.match_recognize (same PATTERN/"
             "DEFINE semantics, MEASURES as ordinary aggs over match_id)"
         )
-    # bracket constructs first (string-aware scanner: ARRAY literals and
+    # User-written element_at -> try_element_at BEFORE bracket rewriting:
+    # Trino element_at returns NULL out of bounds (= Spark try_element_at
+    # under ANSI), while Trino's [] subscript errors out of bounds — which
+    # is exactly the strict element_at the bracket rewrite emits below.
+    parts = _STRING_SPLIT.split(sql)
+    parts = [
+        p
+        if p.startswith("'")
+        else re.sub(r"\belement_at\s*\(", "try_element_at(", p, flags=re.I)
+        for p in parts
+    ]
+    sql = "".join(parts)
+    # bracket constructs (string-aware scanner: ARRAY literals and
     # subscripts may contain string literals)
     sql = _rewrite_brackets(sql)
     sql = _rewrite_unnest(sql)

@@ -438,3 +438,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=10).select(
         "doc_id", F.col("frame_no").cast("int").alias("frame_no")
     )
+
+
+_IVF_ASSIGN = """
+      SELECT v_id, v_vec, vn, cid FROM (
+        SELECT v.v_id, v.v_vec, v.vn, c.cid,
+               round({dot} / (v.vn * c.cn), 6) AS ccos,
+               row_number() OVER (PARTITION BY v.v_id
+                                  ORDER BY round({dot} / (v.vn * c.cn), 6) DESC,
+                                           c.cid) AS crn
+        FROM {side} v, cents c) t
+      WHERE crn <= {probe}
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv, {_norm_sql('embedding')} AS cn
+      FROM embeddings WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings),
+    queries AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings WHERE vec_id < 5),
+    corpus_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='corpus', probe=1)}),
+    query_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='queries', probe=2)}),
+    scored AS (
+      SELECT q.v_id AS query_id, m.v_id AS match_id,
+             round({_dot_sql('q.v_vec', 'm.v_vec')} / (q.vn * m.vn), 6) AS cosine
+      FROM query_cells q JOIN corpus_cells m USING (cid)
+    )
+    SELECT query_id, match_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rn
+          FROM (SELECT DISTINCT query_id, match_id, cosine FROM scored) d) r
+    WHERE rn <= 5
+    """,
+    doc="IVF approximate top-k (pipeline/similarity.py::ivf_topk): "
+    "deterministic coarse quantizer (lowest-id vectors as centroids), "
+    "corpus assigned to nearest cell via broadcast argmax, queries probe 2 "
+    "of 8 cells — candidate scoring at ~1/4 brute-force cost. Same oracle "
+    "algorithm in DuckDB SQL, exact hash match.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
+    )
