@@ -89,3 +89,8 @@ def test_macro_count_registered(fspark):
 def test_is_nan_passthrough(fspark):
     assert one(fspark, "isnan(nan())") is True
     assert math.isnan(one(fspark, "nan()"))
+
+
+def test_teradata_compat(fspark):
+    assert one(fspark, "index('banana', 'nan')") == 3
+    assert one(fspark, "char2hexint('AB')") == "00410042"

@@ -252,6 +252,11 @@ MACROS: dict[str, str] = {
     "json_size": "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
     "(s STRING, p STRING) RETURNS INT RETURN "
     "size(from_json(get_json_object(s, p), 'map<string,string>'))",
+    # --- teradata compat (plugin/trino-teradata-functions) ---
+    "index": "CREATE OR REPLACE TEMPORARY FUNCTION index(s STRING, sub STRING) "
+    "RETURNS BIGINT RETURN instr(s, sub)",
+    "char2hexint": "CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING) "
+    "RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))",
     # --- misc (DataSizeFunctions.java) ---
     "parse_data_size": "CREATE OR REPLACE TEMPORARY FUNCTION parse_data_size"
     "(s STRING) RETURNS DECIMAL(38,0) RETURN cast("
