@@ -19,3 +19,20 @@ def test_approx_sketches_close_to_exact(spark, oracle):
     assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
     assert abs(row.hll_parts - exact_parts) / exact_parts < 0.05
     assert abs(row.approx_median_price - exact_median) / exact_median < 0.05
+
+
+def test_hll_merge_rollup_close_to_exact(spark, oracle):
+    got = {
+        r.n_regionkey: r.approx_custs
+        for r in QUERIES["agg_hll_merge_rollup"].fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle.execute(
+            "SELECT n_regionkey, COUNT(DISTINCT c_custkey) FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        # merged-sketch estimate must match a direct estimate's error profile
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

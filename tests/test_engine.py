@@ -144,3 +144,12 @@ def test_unnest_ordinality_rejected(engine):
         engine.sql(
             "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
         )
+
+
+def test_show_tables_catalog_surface(engine):
+    # SHOW TABLES / information_schema analog (reference ShowTablesTask /
+    # information_schema connector): catalog views registered by Engine.
+    names = {r.tableName for r in engine.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "customer", "events"} <= names
+    cols = engine.sql("DESCRIBE lineitem").collect()
+    assert any(r.col_name == "l_orderkey" for r in cols)
