@@ -168,16 +168,20 @@ def minhash_near_duplicates(
     return jaccard_verify(pairs, sh, threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash over word unigrams (with multiplicity): bit k of the
     fingerprint is the sign of sum over words of (+1 if bit k of
-    md5-16bit(word) else -1). 16 bits keeps the expression tree small; the
-    plan shape is identical at 64."""
+    md5-32bit(word) else -1). 32 bits: wide enough that the byte-chunk
+    band join below prunes hard (256 values per chunk); the plan shape is
+    identical at 64."""
     tokens = df.select(
         "doc_id",
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
+        "h",
+        F.conv(F.substring(F.md5(F.col("word")), 1, bits // 4), 16, 10).cast(
+            "bigint"
+        ),
     )
     weight = lambda k: F.sum(  # noqa: E731
         F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -194,22 +198,65 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return weights.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+SIMHASH_CHUNKS = 4  # byte chunks of the 32-bit fingerprint
+
+
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs within a Hamming-distance budget. The pair join here is a
-    broadcast self-join on the (small) signature relation; at 100 TB you'd
-    band the simhash bits exactly like MinHash (join on bit-chunks) —
-    same plan as candidate_pairs()."""
+    """Pairs within a Hamming-distance budget, banded EXACTLY: split the
+    32-bit fingerprint into 4 byte chunks; a pair with hamming <= 3 differs
+    in at most 3 bits, so by pigeonhole at least one chunk is identical —
+    joining on (chunk_id, chunk_value) finds every qualifying pair while
+    scoring only ~n^2/256 of the pair space per chunk (same banding
+    argument as MinHash LSH, but lossless for this distance budget).
+    max_hamming must stay < SIMHASH_CHUNKS for exactness."""
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError("banding is exact only for max_hamming < #chunks")
     s = simhash(df, text_col)
-    a = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
-    b = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), 8 * c)
+                        .bitwiseAND(255)
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("sh_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash").alias("sh_b"),
+        F.col("chunk_id").alias("chunk_id_b"),
+        F.col("chunk_val").alias("chunk_val_b"),
+    )
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        a.join(
+            b,
+            (F.col("chunk_id") == F.col("chunk_id_b"))
+            & (F.col("chunk_val") == F.col("chunk_val_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .distinct()
     )

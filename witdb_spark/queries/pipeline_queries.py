@@ -102,10 +102,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_W_SQL = ",\n      ".join(
     f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS w{k}"
-    for k in range(16)
+    for k in range(32)
 )
 _SIMHASH_BITS_SQL = " + ".join(
-    f"(CASE WHEN w{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+    f"(CASE WHEN w{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+    for k in range(32)
 )
 
 
@@ -116,7 +117,7 @@ _SIMHASH_BITS_SQL = " + ".join(
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
     th AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 4)) AS INT) AS h FROM tok
+      SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h FROM tok
     ),
     wsum AS (
       SELECT doc_id,
@@ -131,9 +132,12 @@ _SIMHASH_BITS_SQL = " + ".join(
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    doc="SimHash near-dup pairs: 16-bit sign-of-weighted-bits fingerprint, "
-    "Hamming<=3. At scale the pair join becomes a bit-chunk band join "
-    "(same shape as MinHash banding).",
+    doc="SimHash near-dup pairs: 32-bit sign-of-weighted-bits fingerprint, "
+    "Hamming<=3, EXACT byte-chunk band join (pigeonhole: <=3 differing "
+    "bits over 4 chunks leaves one chunk identical) — the pair space "
+    "shrinks ~256x per chunk with zero recall loss. Oracle uses the "
+    "direct pairwise formulation: banding is lossless, so results are "
+    "identical.",
     tags=("pipeline", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
