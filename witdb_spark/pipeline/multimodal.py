@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -116,3 +117,88 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+FEATURES_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"f{k}", DoubleType()) for k in range(4)]
+)
+
+
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Feature extraction over binary payloads (the embed-the-image stage).
+    Real extraction needs a vision model (not in this container) — the
+    fake=True double derives 4 deterministic floats from md5 bytes, so the
+    whole distributed path (Arrow batching, fixed output schema, no
+    shuffle) runs and is oracle-checked end-to-end."""
+
+    def extract(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        def fake_vec(payload):
+            d = hashlib.md5(payload).digest()
+            return [d[k] / 255.0 for k in range(4)]
+
+        def real_vec(payload):
+            raise NotImplementedError(
+                "feature extraction requires a vision model; pass fake=True"
+                " for the deterministic test double"
+            )
+
+        vec = fake_vec if fake else real_vec
+        for pdf in batches:
+            vecs = [vec(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for k in range(4):
+                out[f"f{k}"] = [v[k] for v in vecs]
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize stage plumbing. Real resizing needs an image codec — the
+    fake=True double truncates/pads the payload to width*height bytes
+    (deterministic, size-correct), proving the batch shape and schema."""
+
+    def resize(batches):
+        import pandas as _pd
+
+        target = width * height
+
+        def fake_resize(payload):
+            b = bytes(payload)
+            return b[:target].ljust(target, b"\0")
+
+        def real_resize(payload):
+            raise NotImplementedError(
+                "image resize requires a codec library; pass fake=True for"
+                " the deterministic test double"
+            )
+
+        rs = fake_resize if fake else real_resize
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [rs(p) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -521,3 +521,48 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
     )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0 AS f0,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0 AS f1,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) / 255.0 AS f2,
+           CAST(('0x' || substr(md5(text), 7, 2)) AS INT) / 255.0 AS f3
+    FROM documents WHERE doc_id < 500
+    """,
+    doc="Multimodal feature extraction (embed-the-image stage as "
+    "mapInPandas over binary payloads; vision model stubbed behind "
+    "NotImplementedError, fake=True double derives features from md5 "
+    "bytes): the oracle recomputes the same bytes from md5 hex — the whole "
+    "Arrow-batched path is value-checked, not just smoke-run.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    return multimodal.extract_features(multimodal.as_media(docs), fake=True)
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS BIGINT) AS byte_len
+    FROM documents WHERE doc_id < 500
+    """,
+    doc="Multimodal resize stage (codec stubbed; fake=True double is "
+    "size-correct): output payloads must be exactly width*height bytes for "
+    "every row — checked via the byte_len projection.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    resized = multimodal.resize_images(
+        multimodal.as_media(docs), width=64, height=64, fake=True
+    )
+    return resized.select(
+        "doc_id", "width", "height", F.length("payload").cast("bigint").alias("byte_len")
+    )
