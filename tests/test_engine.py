@@ -38,9 +38,17 @@ def test_transpile_interval():
     assert "INTERVAL 3 DAY" in transpile("SELECT ts + INTERVAL '3' DAY FROM t")
 
 
-def test_transpile_try_raises():
+def test_transpile_try_decomposes():
+    assert transpile("SELECT TRY(1/0)") == "SELECT try_divide(1, 0)"
+    assert transpile("SELECT TRY(CAST(x AS INT)) FROM t") == \
+        "SELECT try_cast(x AS INT) FROM t"
+    assert "try_element_at(arr, 5)" in transpile("SELECT TRY(element_at(arr, 5))")
+    assert transpile("SELECT TRY(a * b) FROM t") == "SELECT try_multiply(a, b) FROM t"
+
+
+def test_transpile_try_raises_on_general_expr():
     with pytest.raises(UnsupportedTrinoSyntax):
-        transpile("SELECT TRY(1/0)")
+        transpile("SELECT TRY(lower(x)) FROM t")
 
 
 def test_engine_trino_q6(engine, oracle):

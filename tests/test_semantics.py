@@ -79,9 +79,13 @@ def test_dialect_renames():
     assert "bit_count(x)" in transpile("SELECT bit_count(x, 64) FROM t")
 
 
-def test_try_rejected_with_guidance():
-    with pytest.raises(UnsupportedTrinoSyntax, match="try_cast"):
-        transpile("SELECT TRY(1/0)")
+def test_try_decomposition(engine):
+    assert one(engine, "TRY(1/0)") is None
+    assert one(engine, "TRY(CAST('abc' AS INTEGER))") is None
+    assert one(engine, "TRY(element_at(ARRAY[1], 5))") is None
+    assert one(engine, "TRY(2 + 3)") == 5
+    with pytest.raises(UnsupportedTrinoSyntax):
+        transpile("SELECT TRY(upper(x)) FROM t")
 
 
 def test_mysql_date_format(engine):

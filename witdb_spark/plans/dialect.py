@@ -18,8 +18,9 @@ handled here as quote-aware textual rewrites:
   - FETCH FIRST n ROWS ONLY      -> LIMIT n
   - CAST(x AS JSON)              -> CAST(x AS STRING)  (json models as string)
 
-TRY(expr) has no general Spark equivalent; we fail fast with the list of
-try_*-specific alternatives rather than silently changing semantics.
+TRY(expr) decomposes into Spark's try_* functions for casts, arithmetic,
+and element_at (_rewrite_try); non-decomposable bodies fail fast rather
+than silently changing semantics.
 Function-name coverage itself comes from functions.register_all() macros.
 """
 
@@ -268,15 +269,56 @@ def _rewrite_with_strings(sql: str) -> str:
     return sql
 
 
+_TRY_OPS = {"/": "try_divide", "+": "try_add", "-": "try_subtract", "*": "try_multiply"}
+
+
+def _rewrite_try(sql: str) -> str:
+    """TRY(expr) for the decomposable cases (reference TryFunction.java):
+      TRY(CAST(x AS T))      -> try_cast(x AS T)
+      TRY(a / b), +, -, *    -> try_divide(a, b) etc. (top-level op only)
+      TRY(element_at(...))   -> try_element_at(...)
+    Anything else still raises — a silent behavior change would be worse
+    than an explicit gap."""
+    while True:
+        m = re.search(r"\bTRY\s*\(", sql, flags=re.I)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close_idx = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx].strip()
+        repl = None
+        cm = re.match(r"CAST\s*\((.*)\)\s*$", inner, flags=re.I | re.S)
+        if cm and _match_paren(inner, inner.upper().index("(")) == len(inner) - 1:
+            repl = f"try_cast({cm.group(1)})"
+        elif re.match(r"element_at\s*\(", inner, flags=re.I):
+            repl = re.sub(r"^element_at", "try_element_at", inner, flags=re.I)
+        else:
+            # top-level binary operator split (string/paren-aware)
+            depth = 0
+            for i, c, in_str in _in_string_scan(inner):
+                if in_str:
+                    continue
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif depth == 0 and c in _TRY_OPS and i > 0:
+                    lhs, rhs = inner[:i].strip(), inner[i + 1 :].strip()
+                    if lhs and rhs:
+                        repl = f"{_TRY_OPS[c]}({lhs}, {rhs})"
+                        break
+        if repl is None:
+            raise UnsupportedTrinoSyntax(
+                f"TRY({inner[:60]}...): only TRY over CAST, element_at, or a"
+                " single +,-,*,/ decomposes into Spark try_* functions"
+            )
+        sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
+
+
 def transpile(sql: str) -> str:
     """Rewrite a Trino-dialect query into Spark SQL. Raises
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
-    if re.search(r"\bTRY\s*\(", sql, flags=re.I):
-        raise UnsupportedTrinoSyntax(
-            "TRY(expr) has no general Spark equivalent; use try_cast /"
-            " try_divide / try_add / try_subtract / try_multiply /"
-            " try_element_at for the specific operation"
-        )
+    sql = _rewrite_try(sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(
             "MATCH_RECOGNIZE has no SQL form here; use the DataFrame"
