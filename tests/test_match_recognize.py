@@ -66,3 +66,31 @@ def test_brace_quantifier(spark):
         match_recognize(df, ["user_id"], "seq", {"E": "ty = 'e'"}, "E{2,}")
     )
     assert got == [[(0, "E"), (1, "E"), (2, "E")], [(6, "E"), (7, "E")]]
+
+
+def test_jaccard_prefix_candidates_complete(spark):
+    """Prefix-filter theorem check: every pair with J >= t must appear in
+    the candidate set (recall 100%); exactness of the final result is
+    separately proven by the dedup_ngram_jaccard oracle."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.pipeline.dedup import jaccard_prefix_candidates
+
+    docs = Tables(spark, "/root/testdata/sf0.001").documents
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    cands = {
+        (r.a_id, r.b_id)
+        for r in jaccard_prefix_candidates(tok, threshold=0.9).collect()
+    }
+    from witdb_spark.queries import QUERIES
+
+    truth = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert truth <= cands

@@ -260,3 +260,49 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def jaccard_prefix_candidates(
+    tok: DataFrame, threshold: float, block_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Exact prefix-filter candidate generation (PPJoin family) for
+    set-Jaccard joins: order each document's tokens by global rarity
+    (document frequency, ties by token string — a total order both engines
+    reproduce), keep only the first floor((1-t)*|doc|)+1 tokens, and join
+    on those. The prefix-filter theorem guarantees every pair with
+    J >= t shares a prefix token, so recall is 100% — but hot stopwords
+    (df in the thousands) almost never land in a prefix, which removes the
+    C(df,2) pair blowup that makes naive inverted-index joins quadratic.
+
+    ``tok`` is (doc_id, *block_cols, word) DISTINCT."""
+    from pyspark.sql import Window
+
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wdf = tok.groupBy(*block_cols, "word").agg(F.count(F.lit(1)).alias("wdf"))
+    ranked = (
+        tok.join(wdf, [*block_cols, "word"])
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("wdf", "word")
+            ),
+        )
+        # prefix-filter theorem needs rn <= n - ceil(t*n) + 1; computed in
+        # doubles, t*n can land 1 ulp either side of an exact integer
+        # (t=0.9, n=50), so pad by one extra token — over-inclusion only
+        # adds candidates (the exact verify step discards them), while
+        # under-inclusion silently loses qualifying pairs.
+        .filter(F.col("rn") <= F.col("n") - F.floor(threshold * F.col("n")) + 2)
+        .select("doc_id", *block_cols, "word")
+    )
+    a = ranked.select(F.col("doc_id").alias("a_id"), *block_cols, "word")
+    b = ranked.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("word").alias("word_b"),
+    )
+    cond = (F.col("word") == F.col("word_b")) & (F.col("a_id") < F.col("b_id"))
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"{c}_b"))
+    return a.join(b, cond).select("a_id", "b_id").distinct()

@@ -176,17 +176,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     t = Tables(spark, sf_dir)
     tok = (
         t.documents.select(
             "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds candidates + verify
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select(
-        F.col("doc_id").alias("a_id"), "source", "word"
-    )
+    # Direct inverted-index join: on this corpus the qualifying pairs are
+    # dense (templated docs), so prefix filtering
+    # (dedup.jaccard_prefix_candidates — exact, measured here) prunes
+    # nothing and just adds stages; it becomes the right plan when the
+    # vocabulary is large and near-dups are sparse.
+    a = tok.select(F.col("doc_id").alias("a_id"), "source", "word")
     b = tok.select(
         F.col("doc_id").alias("b_id"),
         F.col("source").alias("source_b"),
