@@ -36,3 +36,15 @@ def test_hll_merge_rollup_close_to_exact(spark, oracle):
     for k, est in got.items():
         # merged-sketch estimate must match a direct estimate's error profile
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_qdigest_rollup_close_to_exact(spark, oracle):
+    row = QUERIES["agg_qdigest_rollup"].fn(spark, SF_DIR).collect()[0]
+    p25, p50, p75 = oracle.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.25),"
+        " quantile_cont(l_extendedprice, 0.5),"
+        " quantile_cont(l_extendedprice, 0.75) FROM lineitem"
+    ).fetchone()
+    # merged-digest estimates: rank error ~1/(2*128) -> well under 5% value
+    for got, want in [(row.p25, p25), (row.p50, p50), (row.p75, p75)]:
+        assert abs(got - want) / want < 0.05, (got, want)

@@ -533,3 +533,41 @@ def agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("sum_v").cast("double").alias("total"),
     )
+
+
+@register(
+    "agg_qdigest_rollup",
+    None,
+    doc="Quantile digests as values (reference QuantileDigestAggregation"
+    "Function.java:40, QuantileDigestFunctions.java value_at_quantile/"
+    "merge): per-returnflag price digests built with qdigest_agg, MERGED "
+    "upward (weighted mixture recompression, operators/qdigest.py) to a "
+    "global digest, then values_at_quantiles([0.25, 0.5, 0.75]) — the "
+    "store-then-merge model that makes percentile rollups one merge pass "
+    "instead of a rescan. No oracle: the digest format is ours; "
+    "tests/test_approx.py bounds the estimates against exact percentiles.",
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.qdigest import (
+        merge_qdigests,
+        qdigest_agg,
+        values_at_quantiles,
+    )
+
+    t = Tables(spark, sf_dir)
+    per_flag = qdigest_agg(
+        t.lineitem.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+    )
+    merged = merge_qdigests(
+        per_flag.withColumn("g", F.lit(1)).select("g", "qdigest"), ["g"]
+    )
+    return merged.select(
+        values_at_quantiles("qdigest", [0.25, 0.5, 0.75]).alias("qvals")
+    ).select(
+        F.col("qvals")[0].alias("p25"),
+        F.col("qvals")[1].alias("p50"),
+        F.col("qvals")[2].alias("p75"),
+    )
