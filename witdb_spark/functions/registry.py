@@ -252,6 +252,30 @@ MACROS: dict[str, str] = {
     "json_size": "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
     "(s STRING, p STRING) RETURNS INT RETURN "
     "size(from_json(get_json_object(s, p), 'map<string,string>'))",
+    # --- geospatial, minimal planar-point subset (plugin/trino-geospatial
+    # GeoFunctions.java has 75 ST_*; full geometry needs a geo lib — this
+    # covers points/distance/envelope math, which is pure Catalyst) ---
+    "st_point": "CREATE OR REPLACE TEMPORARY FUNCTION st_point"
+    "(x DOUBLE, y DOUBLE) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN "
+    "named_struct('x', x, 'y', y)",
+    "st_x": "CREATE OR REPLACE TEMPORARY FUNCTION st_x"
+    "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE RETURN p.x",
+    "st_y": "CREATE OR REPLACE TEMPORARY FUNCTION st_y"
+    "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE RETURN p.y",
+    "st_distance": "CREATE OR REPLACE TEMPORARY FUNCTION st_distance"
+    "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>) "
+    "RETURNS DOUBLE RETURN sqrt((a.x - b.x) * (a.x - b.x) + "
+    "(a.y - b.y) * (a.y - b.y))",
+    "st_envelope_contains": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "st_envelope_contains(xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE,"
+    " p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN RETURN "
+    "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
+    # core Trino (MathFunctions.java great_circle_distance, km, haversine)
+    "great_circle_distance": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "great_circle_distance(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)"
+    " RETURNS DOUBLE RETURN 2 * 6371.01 * asin(sqrt("
+    "pow(sin(radians(lat2 - lat1) / 2), 2) + cos(radians(lat1)) * "
+    "cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
     # --- teradata compat (plugin/trino-teradata-functions) ---
     "index": "CREATE OR REPLACE TEMPORARY FUNCTION index(s STRING, sub STRING) "
     "RETURNS BIGINT RETURN instr(s, sub)",

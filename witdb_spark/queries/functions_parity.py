@@ -419,3 +419,49 @@ def sql_json_2016_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id < 500
         """
     )
+
+
+@register(
+    "geo_funcs_parity",
+    """
+    WITH pts AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 360 - 180 AS DOUBLE) AS x,
+             CAST(s_suppkey % 170 - 85 AS DOUBLE) AS y
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           round(sqrt(x * x + y * y), 6) AS dist_origin,
+           x >= -90 AND x <= 90 AND y >= -45 AND y <= 45 AS in_box,
+           round(2 * 6371.01 * asin(sqrt(
+             pow(sin(radians(0 - y) / 2), 2) + cos(radians(y)) *
+             cos(radians(0)) * pow(sin(radians(0 - x) / 2), 2))), 6) AS km_to_00
+    FROM pts
+    """,
+    doc="Geospatial planar-point subset (plugin/trino-geospatial "
+    "GeoFunctions.java ST_Point/ST_Distance/envelope; core "
+    "great_circle_distance from MathFunctions.java): struct-backed points "
+    "through SQL macros, haversine in km. The oracle recomputes the same "
+    "closed-form math; full geometry types remain a documented gap.",
+    tags=("functions", "geospatial"),
+)
+def geo_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.supplier.createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH pts AS (
+          SELECT s_suppkey,
+                 st_point(CAST(s_suppkey % 360 - 180 AS DOUBLE),
+                          CAST(s_suppkey % 170 - 85 AS DOUBLE)) AS p
+          FROM supplier
+        )
+        SELECT s_suppkey,
+               round(st_distance(p, st_point(0D, 0D)), 6) AS dist_origin,
+               st_envelope_contains(-90D, -45D, 90D, 45D, p) AS in_box,
+               round(great_circle_distance(st_y(p), st_x(p), 0D, 0D), 6)
+                 AS km_to_00
+        FROM pts
+        """
+    )
