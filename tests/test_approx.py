@@ -48,3 +48,30 @@ def test_qdigest_rollup_close_to_exact(spark, oracle):
     # merged-digest estimates: rank error ~1/(2*128) -> well under 5% value
     for got, want in [(row.p25, p25), (row.p50, p50), (row.p75, p75)]:
         assert abs(got - want) / want < 0.05, (got, want)
+
+
+def test_ml_learn_classify(spark):
+    """plugin/trino-ml analog: the synthetic embeddings carry no label
+    signal (accuracy ~ random), so inject one separable dimension
+    (feature[0] := label) — the learner must then recover the labels on a
+    holdout, proving the distributed train/classify path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.pipeline.ml import classify, learn_classifier
+
+    indicators = F.array(
+        *[(F.col("label") == k).cast("float") * 5.0 for k in range(10)]
+    )
+    emb = Tables(spark, SF_DIR).embeddings.withColumn(
+        "embedding", F.concat(indicators, F.slice("embedding", 11, 54))
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    model = learn_classifier(train)
+    scored = classify(model, test)
+    assert scored.count() == test.count()
+    acc = scored.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc > 0.8, acc

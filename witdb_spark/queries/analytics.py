@@ -634,3 +634,134 @@ def ptf_sequence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_start")
         .agg(F.count("p_partkey").alias("n_parts"))
     )
+
+
+@register(
+    "sessionize_events",
+    f"""
+    {EVENTS_NS},
+    gaps AS (
+      SELECT user_id, event_id, ts_ns,
+             CASE WHEN ts_ns - lag(ts_ns) OVER w > 1800000000000
+                  OR lag(ts_ns) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events_ns
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts_ns,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           CAST((MAX(ts_ns) - MIN(ts_ns)) // 1000000000 AS BIGINT)
+             AS duration_s
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    doc="Sessionization (30-min inactivity gap): lag + running-sum session "
+    "ids — the batch twin of Structured Streaming session windows "
+    "(streaming/ops.py covers the streaming side). One window shuffle on "
+    "user_id; exact nanosecond arithmetic keeps both engines identical.",
+    tags=("analytics", "window", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 1_800_000_000_000  # 30 min
+    is_start = F.when(
+        F.lag("ts_ns").over(w).isNull()
+        | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+        1,
+    ).otherwise(0)
+    sess = (
+        t.events.withColumn("is_start", is_start)
+        .withColumn(
+            "session_no",
+            F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.expr("(max(ts_ns) - min(ts_ns)) div 1000000000").alias("duration_s"),
+    )
+
+
+@register(
+    "yoy_revenue",
+    f"""
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             {sql_sum('o_totalprice', 'rev')}
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.y AS year, cur.rev AS rev,
+           round(cur.rev / prev.rev, 6) AS yoy_ratio
+    FROM yr cur JOIN yr prev ON prev.y = cur.y - 1
+    """,
+    doc="Year-over-year comparison (TPC-DS q74-style pattern from the "
+    "reference's 99-query DS corpus, adapted): per-year decimal-exact "
+    "revenue, self-joined on adjacent years. The yearly aggregate is tiny "
+    "after the groupBy, so the self-join broadcasts.",
+    tags=("analytics", "tpcds"),
+)
+def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    yr = t.orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y")
+    ).agg(dsum("o_totalprice", "rev"))
+    cur = yr.select(F.col("y").alias("year"), F.col("rev"))
+    prev = yr.select((F.col("y") + 1).alias("py"), F.col("rev").alias("prev_rev"))
+    return (
+        cur.join(F.broadcast(prev), F.col("year") == F.col("py"))
+        .select(
+            "year",
+            "rev",
+            F.round(F.col("rev") / F.col("prev_rev"), 6).alias("yoy_ratio"),
+        )
+    )
+
+
+@register(
+    "category_share",
+    f"""
+    WITH cat AS (
+      SELECT p_type,
+             {sql_sum('l_extendedprice * (1 - l_discount)', 'rev')}
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_type
+    )
+    SELECT p_type, rev,
+           round(rev / SUM(rev) OVER (), 6) AS share,
+           CAST(rank() OVER (ORDER BY rev DESC, p_type) AS INT) AS rnk
+    FROM cat
+    """,
+    doc="Share-of-total report (TPC-DS ratio_to_report pattern): category "
+    "revenue over a global window sum — the empty OVER () is a single-"
+    "partition window over the already-tiny aggregate, not over the fact "
+    "table; rank tie-broken by name for determinism.",
+    tags=("analytics", "tpcds", "window"),
+)
+def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cat = (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type")
+        .agg(dsum(disc, "rev"))
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(F.col("rev").desc(), "p_type")
+    return cat.select(
+        "p_type",
+        "rev",
+        F.round(F.col("rev") / F.sum("rev").over(wall), 6).alias("share"),
+        F.rank().over(wrank).cast("int").alias("rnk"),
+    )
