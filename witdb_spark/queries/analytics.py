@@ -765,3 +765,52 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") / F.sum("rev").over(wall), 6).alias("share"),
         F.rank().over(wrank).cast("int").alias("rnk"),
     )
+
+
+@register(
+    "session_window_native",
+    f"""
+    {EVENTS_NS},
+    us AS (
+      SELECT user_id, event_id, ts_ns // 1000 AS ts_us FROM events_ns
+    ),
+    gaps AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0
+             END AS is_start
+      FROM us
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Native session_window (Spark's streaming-capable session operator, "
+    "usable identically under readStream + watermark): events merge while "
+    "consecutive gaps stay under 30 min — i.e. a new session starts when "
+    "the gap is >= the timeout, which is exactly the gaps-and-islands "
+    "oracle. Timestamps compared at microsecond precision on both sides "
+    "(session_window takes a TIMESTAMP; ts_ns is floor-divided to micros).",
+    tags=("analytics", "window", "sessionize", "streaming"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
