@@ -814,3 +814,48 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "moving_avg_deviation",
+    f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS ym,
+             {sql_sum('o_totalprice', 'rev')}
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, ym, rev,
+           round(AVG(rev) OVER (PARTITION BY prio ORDER BY ym
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS avg3,
+           round(rev - AVG(rev) OVER (PARTITION BY prio ORDER BY ym
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS deviation
+    FROM monthly
+    """,
+    doc="Moving average + deviation (TPC-DS q47-style pattern): monthly "
+    "decimal-exact revenue per priority, 3-month trailing window. The "
+    "window AVG runs over the tiny monthly aggregate (months x priorities "
+    "rows), and its operands are already engine-identical doubles, so "
+    "round(6) of the 3-element mean matches exactly.",
+    tags=("analytics", "tpcds", "window"),
+)
+def moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym"),
+    ).agg(dsum("o_totalprice", "rev"))
+    w = Window.partitionBy("prio").orderBy("ym").rowsBetween(-2, 0)
+    return monthly.select(
+        "prio",
+        "ym",
+        "rev",
+        F.round(F.avg("rev").over(w), 6).alias("avg3"),
+        F.round(F.col("rev") - F.avg("rev").over(w), 6).alias("deviation"),
+    )
