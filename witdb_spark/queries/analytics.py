@@ -859,3 +859,46 @@ def moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rev").over(w), 6).alias("avg3"),
         F.round(F.col("rev") - F.avg("rev").over(w), 6).alias("deviation"),
     )
+
+
+@register(
+    "window_ignore_nulls",
+    f"""
+    {EVENTS_NS},
+    v AS (
+      SELECT event_id, user_id, ts_ns,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS ok_type
+      FROM events_ns
+    )
+    SELECT event_id,
+           last_value(ok_type IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS UNBOUNDED PRECEDING) AS last_ok_type,
+           lag(ok_type IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ok_type
+    FROM v
+    """,
+    doc="IGNORE NULLS value windows (reference FirstValueFunction.java:25/"
+    "LagFunction.java:29 support ignore-nulls): last-known-good carry-"
+    "forward — the gap-fill idiom — and nulls-skipping lag, both native in "
+    "Spark and DuckDB.",
+    tags=("window", "ignorenulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    ok = F.when(F.col("event_type") != "error", F.col("event_type"))
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # F.lag has no ignorenulls parameter; the SQL form does
+    lag_ign = F.expr(
+        "lag(ok_type) IGNORE NULLS OVER ("
+        "PARTITION BY user_id ORDER BY ts_ns, event_id)"
+    )
+    return t.events.withColumn("ok_type", ok).select(
+        "event_id",
+        F.last("ok_type", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("last_ok_type"),
+        lag_ign.alias("prev_ok_type"),
+    )
