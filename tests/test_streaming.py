@@ -80,3 +80,35 @@ def test_stream_dedup_drops_replays(spark, tmp_path, staged_events):
     )
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
     assert got.n == got.d  # no duplicate ids surfaced
+
+
+def test_session_windows_match_batch(spark, tmp_path, staged_events):
+    ev, input_dir = staged_events
+    stream = stream_events_from_dir(spark, input_dir)
+    from witdb_spark.streaming import session_windows
+
+    run_to_completion(session_windows(stream), tmp_path, "sess_out")
+    got = spark.sql("SELECT * FROM sess_out").toPandas()
+
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events", "total"
+        )
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    merged = (
+        got.sort_values(key)
+        .reset_index(drop=True)
+        .merge(want.sort_values(key), on=key, suffixes=("_s", "_b"))
+    )
+    # append mode emits only watermark-finalized sessions; each must equal
+    # its batch twin exactly, and the bulk of sessions should be final
+    assert len(merged) == len(got) > 0
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.total_s == merged.total_b).all()

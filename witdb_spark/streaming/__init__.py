@@ -1,7 +1,13 @@
 from witdb_spark.streaming.ops import (
+    session_windows,
     stream_dedup,
     stream_events_from_dir,
     windowed_event_counts,
 )
 
-__all__ = ["stream_events_from_dir", "windowed_event_counts", "stream_dedup"]
+__all__ = [
+    "stream_events_from_dir",
+    "windowed_event_counts",
+    "stream_dedup",
+    "session_windows",
+]

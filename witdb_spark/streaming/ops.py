@@ -63,3 +63,27 @@ def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged) on the event stream — the
+    stateful-session operator the reference lacks entirely. State holds one
+    open session per active user; the watermark closes sessions whose gap
+    can no longer be extended, so 'append' mode emits each session exactly
+    once, equal to the batch session_window over the same data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
