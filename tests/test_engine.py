@@ -161,3 +161,44 @@ def test_show_tables_catalog_surface(engine):
     assert {"lineitem", "orders", "customer", "events"} <= names
     cols = engine.sql("DESCRIBE lineitem").collect()
     assert any(r.col_name == "l_orderkey" for r in cols)
+
+
+def test_engine_trino_q1_full_text(engine, oracle):
+    """Full TPC-H Q1 as Trino-dialect SQL through Engine.sql (not the
+    DataFrame build) — the parse/transpile/function path on a realistic
+    query text."""
+    trino_sql = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    got = engine.sql(trino_sql).toPandas()
+    want = oracle.execute(trino_sql).fetchdf()
+    assert not compare_frames(got, want)
+
+
+def test_engine_trino_q3_fetch_first(engine, oracle):
+    trino_sql_engine = """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        FETCH FIRST 10 ROWS ONLY
+    """
+    got = engine.sql(trino_sql_engine).toPandas()
+    want = oracle.execute(
+        trino_sql_engine.replace("FETCH FIRST 10 ROWS ONLY", "LIMIT 10")
+    ).fetchdf()
+    assert not compare_frames(got, want)
