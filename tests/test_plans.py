@@ -169,3 +169,69 @@ def test_match_recognize_single_shuffle(spark):
     plan = plan_of(spark, "mr_funnel")
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
     assert "Sort [user_id" in plan or "sortWithinPartitions" in plan.lower() or "Sort" in plan
+
+
+def test_q9_broadcast_and_partial_agg(spark):
+    """The heaviest join+agg query: dims broadcast, no cartesian product,
+    aggregation splits partial/final (reference
+    PushPartialAggregationThroughExchange.java:60)."""
+    plan = plan_of(spark, "tpch_q9")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan.lower()
+
+
+def test_session_property_controls_join_distribution(spark):
+    """SET SESSION join_distribution_type (reference
+    DetermineJoinDistributionType.java:59 / SystemSessionProperties): the
+    Engine property layer must actually flip Spark's physical join choice."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    try:
+        eng.set_session("join_distribution_type", "PARTITIONED")
+        plan = plan_of(spark, "tpch_q13")  # customer⋈orders, no manual broadcast()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        eng.set_session("join_distribution_type", "AUTOMATIC")
+    plan = plan_of(spark, "tpch_q13")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (the runtime analog of the reference's
+    cost-based distribution choice + FTE partition sizing,
+    DeterminePartitionCount.java): a hot key must be split across tasks at
+    runtime — executed plan shows SortMergeJoin(skew=true). Thresholds are
+    lowered only for this test; production sizes come from defaults."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        left = spark.range(400000).select(
+            (F.col("id") % 50 * (F.col("id") % 50 > 0).cast("int")).alias("k"),
+            F.col("id").alias("v"),
+        )  # ~2/3 of rows land on key 0 -> one hot partition
+        right = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
