@@ -17,8 +17,9 @@ Layout:
   streaming/    — Structured Streaming equivalents (bonus; reference is batch-only)
 """
 
-from witdb_spark.session import get_spark
 from witdb_spark.catalog import Tables
+from witdb_spark.engine import Engine
+from witdb_spark.session import get_spark
 
-__all__ = ["get_spark", "Tables"]
+__all__ = ["Engine", "get_spark", "Tables"]
 __version__ = "0.1.0"
