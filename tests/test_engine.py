@@ -202,3 +202,22 @@ def test_engine_trino_q3_fetch_first(engine, oracle):
         trino_sql_engine.replace("FETCH FIRST 10 ROWS ONLY", "LIMIT 10")
     ).fetchdf()
     assert not compare_frames(got, want)
+
+
+def test_prepare_execute_deallocate(engine):
+    engine.prepare(
+        "orders_by_prio",
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = ?"
+        " AND o_totalprice > ?",
+    )
+    n1 = engine.execute("orders_by_prio", "1-URGENT", 0.0).collect()[0].n
+    n2 = engine.execute("orders_by_prio", "1-URGENT", 1e12).collect()[0].n
+    assert n1 > 0 and n2 == 0
+    with pytest.raises(ValueError):
+        engine.execute("orders_by_prio", "1-URGENT")
+    engine.deallocate("orders_by_prio")
+    with pytest.raises(KeyError):
+        engine.execute("orders_by_prio", "x", 1)
+    # '?' inside string literals is not a parameter
+    engine.prepare("q", "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority != '?'")
+    assert engine.execute("q").collect()[0].n > 0

@@ -14,6 +14,8 @@ the coordinator-side surface:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from witdb_spark.catalog import Tables
@@ -74,3 +76,37 @@ class Engine:
             (f.name, f.dataType.simpleString())
             for f in self.spark.table(table).schema.fields
         ]
+
+    # -- PREPARE / EXECUTE / DEALLOCATE (reference PrepareTask.java,
+    # ExecuteTask, DeallocateTask; parameters bound in the analyzer). Spark's
+    # parameterized sql() does the actual binding, so values are passed as
+    # literals-by-name, never string-spliced.
+
+    def prepare(self, name: str, text: str) -> None:
+        """PREPARE name FROM query — positional `?` parameters."""
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+        self._prepared[name] = text
+
+    def execute(self, name: str, *args) -> DataFrame:
+        """EXECUTE name USING arg1, arg2, ... — binds `?` left to right."""
+        prepared = getattr(self, "_prepared", {})
+        if name not in prepared:
+            raise KeyError(f"prepared statement {name!r} does not exist")
+        text = prepared[name]
+        out, i = [], 0
+        for chunk in re.split(r"('(?:[^']|'')*')", text):
+            if chunk.startswith("'"):  # string literal: '?' is not a param
+                out.append(chunk)
+                continue
+            while "?" in chunk:
+                chunk = chunk.replace("?", f":p{i}", 1)
+                i += 1
+            out.append(chunk)
+        if i != len(args):
+            raise ValueError(f"{name!r} takes {i} parameters, got {len(args)}")
+        return self.sql("".join(out), **{f"p{k}": v for k, v in enumerate(args)})
+
+    def deallocate(self, name: str) -> None:
+        """DEALLOCATE PREPARE name."""
+        getattr(self, "_prepared", {}).pop(name, None)
