@@ -94,3 +94,18 @@ def test_is_nan_passthrough(fspark):
 def test_teradata_compat(fspark):
     assert one(fspark, "index('banana', 'nan')") == 3
     assert one(fspark, "char2hexint('AB')") == "00410042"
+
+
+def test_format_parse_datetime_joda_tokens(fspark):
+    # Joda 'YYYY' means year-of-era; a passthrough to java.time would hit
+    # week-based-year and report 2021 for 2020-12-31
+    got = one(
+        fspark,
+        "format_datetime(TIMESTAMP '2020-12-31 23:00:00', 'YYYY-MM-dd HH:mm')",
+    )
+    assert got == "2020-12-31 23:00"
+    rt = one(
+        fspark,
+        "parse_datetime('2020-12-31 23:00', 'YYYY-MM-dd HH:mm')",
+    )
+    assert str(rt) == "2020-12-31 23:00:00"

@@ -156,10 +156,19 @@ MACROS: dict[str, str] = {
     "WHEN 'month' THEN timestampdiff(MONTH, t1, t2) "
     "WHEN 'quarter' THEN timestampdiff(QUARTER, t1, t2) "
     "WHEN 'year' THEN timestampdiff(YEAR, t1, t2) END",
+    # Joda (reference format_datetime, DateTimeFunctions.java) vs java.time:
+    # most tokens agree (yyyy/MM/dd/HH/mm/ss/EEE/MMM) but Joda 'Y' is
+    # year-of-era while java.time 'Y' is WEEK-BASED year (silently wrong at
+    # year boundaries), and Joda's Z-family offsets map to X/V patterns —
+    # translate those; Joda 'e' (ISO day number) stays a documented gap.
     "format_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION format_datetime"
-    "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, fmt)",
-    # Joda and java.time agree on yyyy/MM/dd/HH/mm/ss/EEE/MMM; divergent
-    # tokens (e.g. Joda 'e') are documented gaps.
+    "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, "
+    "replace(replace(replace(replace(replace(fmt,"
+    "'ZZZ','VV'),'ZZ','XXX'),'Z','xx'),'YYYY','yyyy'),'Y','y'))",
+    "parse_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION parse_datetime"
+    "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, "
+    "replace(replace(replace(replace(replace(fmt,"
+    "'ZZZ','VV'),'ZZ','XXX'),'Z','xx'),'YYYY','yyyy'),'Y','y'))",
     "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
     f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
     "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
