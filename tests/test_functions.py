@@ -109,3 +109,14 @@ def test_format_parse_datetime_joda_tokens(fspark):
         "parse_datetime('2020-12-31 23:00', 'YYYY-MM-dd HH:mm')",
     )
     assert str(rt) == "2020-12-31 23:00:00"
+
+
+def test_multimap_constructors(fspark):
+    got = one(
+        fspark,
+        "multimap_from_entries(array(struct('a','1'), struct('b','2'),"
+        " struct('a','3')))",
+    )
+    assert dict(got) == {"a": ["1", "3"], "b": ["2"]}
+    got = one(fspark, "split_to_multimap('k1=v1,k2=v2,k1=v3', ',', '=')")
+    assert dict(got) == {"k1": ["v1", "v3"], "k2": ["v2"]}

@@ -253,6 +253,19 @@ MACROS: dict[str, str] = {
     "bitwise_right_shift_arithmetic": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "bitwise_right_shift_arithmetic(a BIGINT, n INT) RETURNS BIGINT RETURN "
     "shiftright(a, n)",
+    # --- map constructors (MultimapFromEntriesFunction.java,
+    # SplitToMultimapFunction.java; string-specialized — Trino's are
+    # generic, Spark SQL macros are monomorphic) ---
+    "multimap_from_entries": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "multimap_from_entries(a ARRAY<STRUCT<k: STRING, v: STRING>>) "
+    "RETURNS MAP<STRING, ARRAY<STRING>> RETURN map_from_entries("
+    "transform(array_distinct(transform(a, e -> e.k)), "
+    "k -> struct(k, transform(filter(a, e -> e.k = k), e -> e.v))))",
+    "split_to_multimap": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "split_to_multimap(s STRING, ed STRING, kvd STRING) "
+    "RETURNS MAP<STRING, ARRAY<STRING>> RETURN multimap_from_entries("
+    "transform(split(s, ed), p -> struct(split_part(p, kvd, 1), "
+    "substr(p, instr(p, kvd) + length(kvd)))))",
     # --- json (JsonFunctions.java) ---
     "json_parse": "CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING) "
     "RETURNS STRING RETURN s",  # json type is modeled as string (SURVEY §1.2)
