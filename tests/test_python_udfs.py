@@ -75,3 +75,19 @@ def test_json_query(spark):
     assert one(spark, f"json_query('{DOC}', '$.a.b')") == '[1,2,{"c":"x"}]'
     assert one(spark, f"json_query('{DOC}', '$.a.b[*]')") == '[1,2,{"c":"x"}]'
     assert one(spark, f"json_query('{DOC}', '$.missing')") is None
+
+
+def test_beta_cdf(spark):
+    # closed forms: Beta(1,1)=uniform, Beta(2,1) cdf = x^2, symmetry at .5
+    assert abs(one(spark, "beta_cdf(1D, 1D, 0.3D)") - 0.3) < 1e-12
+    assert abs(one(spark, "beta_cdf(2D, 1D, 0.5D)") - 0.25) < 1e-12
+    assert abs(one(spark, "beta_cdf(2D, 2D, 0.5D)") - 0.5) < 1e-12
+    assert one(spark, "beta_cdf(2D, 2D, 0D)") == 0.0
+    assert one(spark, "beta_cdf(2D, 2D, 1D)") == 1.0
+
+
+def test_inverse_beta_cdf_roundtrip(spark):
+    for a, b, p in [(2.0, 3.0, 0.25), (0.5, 0.5, 0.9), (5.0, 1.0, 0.5)]:
+        x = one(spark, f"inverse_beta_cdf({a}D, {b}D, {p}D)")
+        back = one(spark, f"beta_cdf({a}D, {b}D, {x}D)")
+        assert abs(back - p) < 1e-9, (a, b, p, x, back)

@@ -333,6 +333,101 @@ def register_python_udfs(spark: SparkSession) -> int:
     }
     je, jv, jq = _json_udfs()
     fns.update({"json_exists": je, "json_value": jv, "json_query": jq})
+    bc, ibc = _beta_udfs()
+    fns.update({"beta_cdf": bc, "inverse_beta_cdf": ibc})
     for name, fn in fns.items():
         spark.udf.register(name, fn)
     return len(fns)
+
+
+# Regularized incomplete beta via the Lentz continued-fraction method (the
+# standard textbook algorithm); double precision, ~1e-14 accurate.
+_BETA_SRC = r'''
+import math
+
+def _betacf(a, b, x):
+    MAXIT, EPS, FPMIN = 200, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+def beta_cdf(a, b, x):
+    if a is None or b is None or x is None:
+        return None
+    if a <= 0 or b <= 0:
+        return float("nan")
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lnbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lnbeta)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+def inverse_beta_cdf(a, b, p):
+    if a is None or b is None or p is None:
+        return None
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(100):  # bisection: deterministic, 2^-100 interval
+        mid = (lo + hi) / 2.0
+        if beta_cdf(a, b, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+'''
+
+
+def _beta_udfs():
+    @pandas_udf("double")
+    def beta_cdf(a, b, x):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_BETA_SRC, ns)
+        f = ns["beta_cdf"]
+        return pd.Series([f(ai, bi, xi) for ai, bi, xi in zip(a, b, x)])
+
+    @pandas_udf("double")
+    def inverse_beta_cdf(a, b, p):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_BETA_SRC, ns)
+        f = ns["inverse_beta_cdf"]
+        return pd.Series([f(ai, bi, pi) for ai, bi, pi in zip(a, b, p)])
+
+    return beta_cdf, inverse_beta_cdf

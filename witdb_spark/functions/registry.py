@@ -317,10 +317,10 @@ MACROS: dict[str, str] = {
 # Tier 3: named gaps (kept honest).
 # --------------------------------------------------------------------------
 UNSUPPORTED: dict[str, str] = {
-    "beta_cdf/inverse_beta_cdf": "incomplete beta function not in Spark; "
-    "needs scipy (absent)",
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
+    "ST_* geometry types": "polygons/linestrings need a geometry library; "
+    "the planar point/distance/envelope subset is implemented as macros",
 }
 
 
