@@ -235,3 +235,17 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_topn_ranking_uses_window_group_limit(spark):
+    """rank() <= k filters must become WindowGroupLimit (Spark's analog of
+    the reference's TopNRankingOperator.java:42 / GroupedTopNRankBuilder —
+    top-k per partition without a full sort)."""
+    assert "WindowGroupLimit" in plan_of(spark, "window_rank_topn")
+
+
+def test_offset_limit_nodes(spark):
+    """OFFSET/LIMIT lower to limit nodes, not full materialization
+    (reference LimitOperator.java:23 / ImplementOffset.java)."""
+    plan = plan_of(spark, "distinct_order_offset")
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan
