@@ -1,6 +1,8 @@
-"""Approximate aggregates have engine-specific algorithms, so the driver
-records them rows-only; here we bound their error against the exact answer
-(the reference does the same in TestApproximate* operator tests)."""
+"""Approximate aggregates: the md5-register sketches (operators/hll.py,
+operators/qdigest.py) are deterministic and hash-checked by the driver's
+oracle gate; here we bound their ERROR against the exact answer (the
+reference does the same in TestApproximate* operator tests), and keep
+Spark's native engine-private sketches covered the same way."""
 
 from __future__ import annotations
 
@@ -10,15 +12,38 @@ from witdb_spark.queries import QUERIES
 
 def test_approx_sketches_close_to_exact(spark, oracle):
     row = QUERIES["agg_approx_sketches"].fn(spark, SF_DIR).collect()[0]
+    exact_orders, exact_parts, exact_supps = oracle.execute(
+        "SELECT COUNT(DISTINCT l_orderkey), COUNT(DISTINCT l_partkey),"
+        " COUNT(DISTINCT l_suppkey) FROM lineitem"
+    ).fetchone()
+    # HLL standard error at p=10 is 1.04/sqrt(1024) = 3.25%; 2.5 sigma bound
+    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.08
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.08
+    assert abs(row.approx_supps - exact_supps) / exact_supps < 0.08
+
+
+def test_native_spark_sketches_close_to_exact(spark, oracle):
+    """Spark's own sketch aggregates (register hashes engine-private, so not
+    oracle-checkable) still get error bounds."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+
+    li = Tables(spark, SF_DIR).lineitem
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a_median"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("a_parts"),
+    ).collect()[0]
     exact_orders, exact_parts = oracle.execute(
         "SELECT COUNT(DISTINCT l_orderkey), COUNT(DISTINCT l_partkey) FROM lineitem"
     ).fetchone()
     exact_median = oracle.execute(
         "SELECT median(l_extendedprice) FROM lineitem"
     ).fetchone()[0]
-    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
-    assert abs(row.hll_parts - exact_parts) / exact_parts < 0.05
-    assert abs(row.approx_median_price - exact_median) / exact_median < 0.05
+    assert abs(row.a_orders - exact_orders) / exact_orders < 0.05
+    assert abs(row.a_parts - exact_parts) / exact_parts < 0.05
+    assert abs(row.a_median - exact_median) / exact_median < 0.05
 
 
 def test_hll_merge_rollup_close_to_exact(spark, oracle):

@@ -21,3 +21,22 @@ def test_query_matches_oracle(spark, oracle, name):
         return
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_monotonic_id_unique(spark):
+    """assign_unique_id's scale path (AssignUniqueIdOperator.java:36):
+    monotonically_increasing_id needs no sort and no single-partition
+    window; ids are engine-generated, so only the uniqueness invariant is
+    checkable."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from witdb_spark.catalog import Tables
+
+    ev = Tables(spark, SF_DIR).events.withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("uid").alias("d")
+    ).collect()[0]
+    assert row.n == row.d

@@ -6,21 +6,28 @@ merge(qdigest), value_at_quantile / values_at_quantiles).
 Spark's approx_percentile answers quantile queries but never exposes the
 digest itself; the reference's model — build digests per group, store/ship
 them, MERGE them upward, query quantiles later — is what makes percentile
-rollups one cheap merge pass at 100 TB. This module implements that model
-with a deterministic equi-spaced quantile summary:
+rollups one cheap merge pass at 100 TB instead of a rescan. This module
+implements that model with a deterministic equi-RANK summary:
 
-  digest := serialize(count n, K quantile points of the group's values)
+  digest := serialize(count n, K points; point[k] = sorted_values[(k*(n-1)) // (K-1)])
+
+Every arithmetic step is integer rank selection — no float interpolation —
+so every point in a digest (and in any merge of digests) is an exact input
+value, and the identical pipeline is expressible in DuckDB SQL for the
+driver's hash gate (see queries/aggregates.py:agg_qdigest_rollup's oracle).
 
 Build is an applyInPandas per group (sort is per-group, distributed by the
-group key); merge re-aggregates digests as a weighted mixture of their
-quantile functions and recompresses to K points — associative enough for
-rollups, deterministic (no RNG), error bounded by ~1/(2K) in rank. Wire
+group key); merge re-aggregates digests as a weight-n pooled rank selection
+recompressed to K points — associative enough for rollups, deterministic
+(no RNG, no float ties: equal pooled values yield the same selected value
+regardless of pool order), error bounded by ~1/(2(K-1)) in rank. Wire
 format is ours alone (SURVEY §7: only self-compat is needed — digests are
 never exchanged with the reference engine).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -42,6 +49,12 @@ def _digest_schema(df: DataFrame, keys: Sequence[str]) -> StructType:
     )
 
 
+def quantile_index(q: float, k_points: int = K_POINTS) -> int:
+    """Nearest digest-point index for quantile q — shared by the pandas UDF
+    and oracle-SQL generation so both compute the identical lookup."""
+    return int(math.floor(q * (k_points - 1) + 0.5))
+
+
 def qdigest_agg(
     df: DataFrame, keys: Sequence[str], value_col: str, k_points: int = K_POINTS
 ) -> DataFrame:
@@ -55,9 +68,15 @@ def qdigest_agg(
         import pandas as _pd
 
         vals = pdf[vcol].to_numpy(dtype="float64")
-        vals = vals[~_np.isnan(vals)]
-        pts = _np.quantile(vals, _np.linspace(0.0, 1.0, kp)) if len(vals) else _np.full(kp, _np.nan)
-        blob = _np.concatenate(([float(len(vals))], pts)).tobytes()
+        vals = _np.sort(vals[~_np.isnan(vals)])
+        n = len(vals)
+        if n:
+            # integer rank selection: exact, no float interpolation
+            idx = (_np.arange(kp, dtype="int64") * (n - 1)) // (kp - 1)
+            pts = vals[idx]
+        else:
+            pts = _np.full(kp, _np.nan)
+        blob = _np.concatenate(([float(n)], pts)).tobytes()
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["qdigest"] = [blob]
         return _pd.DataFrame(out)
@@ -68,9 +87,11 @@ def qdigest_agg(
 def merge_qdigests(
     digests: DataFrame, keys: Sequence[str], k_points: int = K_POINTS
 ) -> DataFrame:
-    """merge(qdigest) GROUP BY keys — weighted mixture of the input
-    digests' quantile functions, recompressed to k_points. Empty-group and
-    single-digest merges are exact pass-throughs."""
+    """merge(qdigest) GROUP BY keys — pool the input digests' points with
+    integer weight n each, re-select k_points by integer rank. Equal pooled
+    values make the selection invariant to pool order (the cum boundary of a
+    tie block is order-independent), so the result is deterministic even
+    though the incoming group order is not."""
     keys = list(keys)
     kp = k_points
 
@@ -78,15 +99,16 @@ def merge_qdigests(
         import numpy as _np
         import pandas as _pd
 
-        total, pools, weights = 0.0, [], []
+        total = 0
+        pools, weights = [], []
         for blob in pdf["qdigest"]:
             arr = _np.frombuffer(bytes(blob), dtype="float64")
-            n, pts = arr[0], arr[1:]
+            n, pts = int(arr[0]), arr[1:]
             if n <= 0:
                 continue
             total += n
             pools.append(pts)
-            weights.append(_np.full(len(pts), n / len(pts)))
+            weights.append(_np.full(len(pts), n, dtype="int64"))
         if not pools:
             merged = _np.full(kp, _np.nan)
         else:
@@ -95,10 +117,14 @@ def merge_qdigests(
             order = _np.argsort(allpts, kind="stable")
             allpts, allw = allpts[order], allw[order]
             cum = _np.cumsum(allw)
-            # weighted quantiles at the equi-spaced grid
-            grid = _np.linspace(0.0, 1.0, kp) * cum[-1]
-            merged = allpts[_np.searchsorted(cum, grid, side="left").clip(0, len(allpts) - 1)]
-        blob = _np.concatenate(([total], merged)).tobytes()
+            w_tot = int(cum[-1])
+            # integer rank grid: g_k = (k * W) // (K-1); select first
+            # pooled point whose cumulative weight reaches g_k
+            grid = (_np.arange(kp, dtype="int64") * w_tot) // (kp - 1)
+            merged = allpts[
+                _np.searchsorted(cum, grid, side="left").clip(0, len(allpts) - 1)
+            ]
+        blob = _np.concatenate(([float(total)], merged)).tobytes()
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["qdigest"] = [blob]
         return _pd.DataFrame(out)
@@ -109,11 +135,15 @@ def merge_qdigests(
 
 
 def values_at_quantiles(digest_col: str, quantiles: Sequence[float]) -> F.Column:
-    """Scalar surface: values_at_quantiles(qdigest, ARRAY[...]) -> array<double>."""
+    """Scalar surface: values_at_quantiles(qdigest, ARRAY[...]) -> array<double>.
+    Nearest-rank point lookup (quantile_index) — returns exact digest points,
+    never interpolated values."""
     qs = [float(q) for q in quantiles]
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _vals(blobs):
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
@@ -124,8 +154,12 @@ def values_at_quantiles(digest_col: str, quantiles: Sequence[float]) -> F.Column
                 continue
             arr = _np.frombuffer(bytes(blob), dtype="float64")
             pts = arr[1:]
-            grid = _np.linspace(0.0, 1.0, len(pts))
-            out.append([float(_np.interp(q, grid, pts)) for q in qs])
+            out.append(
+                [
+                    float(pts[int(_math.floor(q * (len(pts) - 1) + 0.5))])
+                    for q in qs
+                ]
+            )
         return _pd.Series(out)
 
     return _vals(F.col(digest_col))

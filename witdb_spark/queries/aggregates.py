@@ -307,25 +307,40 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_sketches_oracle() -> str:
+    from witdb_spark.operators.hll import hll_oracle_cte
+
+    q1 = hll_oracle_cte("lineitem", "l_orderkey", [], "approx_orders")
+    q2 = hll_oracle_cte("lineitem", "l_partkey", [], "approx_parts")
+    q3 = hll_oracle_cte("lineitem", "l_suppkey", [], "approx_supps")
+    return (
+        "SELECT a.approx_orders, b.approx_parts, c.approx_supps "
+        f"FROM ({q1}) a CROSS JOIN ({q2}) b CROSS JOIN ({q3}) c"
+    )
+
+
 @register(
     "agg_approx_sketches",
-    None,  # HLL / KLL / frequent-items algorithms are engine-specific
-    doc="approx_count_distinct (HLL; reference "
-    "ApproximateCountDistinctAggregation.java:45), approx_percentile "
-    "(reference QuantileDigestAggregationFunction.java:40), hll_sketch_agg "
-    "(reference HyperLogLogType sketch values). Error bounds asserted vs "
-    "exact answers in tests/test_approx.py.",
+    _approx_sketches_oracle(),
+    doc="approx-distinct sketches (reference "
+    "ApproximateCountDistinctAggregation.java:45, "
+    "ApproximateSetAggregation.java) as deterministic md5-register HLL "
+    "(operators/hll.py): bucket/rho from md5 slices with integer-only "
+    "arithmetic, so the identical registers — and the identical estimate — "
+    "are reproducible in DuckDB SQL and hash-checked by the driver. Spark's "
+    "native approx_count_distinct/hll_sketch_agg remain covered by error "
+    "bounds in tests/test_approx.py (their register hashes are "
+    "engine-private and cannot be oracle-checked).",
     tags=("aggregate", "approx"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.hll import hll_estimate, hll_registers
+
     t = Tables(spark, sf_dir)
-    return t.lineitem.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_price"
-        ),
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_parts"),
-    )
+    ords = hll_estimate(hll_registers(t.lineitem, [], "l_orderkey"), [], "approx_orders")
+    parts = hll_estimate(hll_registers(t.lineitem, [], "l_partkey"), [], "approx_parts")
+    supps = hll_estimate(hll_registers(t.lineitem, [], "l_suppkey"), [], "approx_supps")
+    return ords.crossJoin(parts).crossJoin(supps)
 
 
 @register(
@@ -463,36 +478,40 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.join(totals, "o_orderpriority")
 
 
+def _hll_rollup_oracle() -> str:
+    from witdb_spark.operators.hll import hll_oracle_cte
+
+    # Register MAX is associative: building per-nation registers then
+    # merging to region == building per-region registers directly, so the
+    # oracle may group by region in one pass.
+    src = "(SELECT n_regionkey, c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey)"
+    return hll_oracle_cte(src, "c_custkey", ["n_regionkey"], "approx_custs")
+
+
 @register(
     "agg_hll_merge_rollup",
-    None,
+    _hll_rollup_oracle(),
     doc="HLL sketch merge/rollup (reference HyperLogLogFunctions.java merge "
-    "+ ApproximateSetAggregation.java; Spark 3.5+ Datasketches "
-    "hll_sketch_agg/hll_union_agg): per-nation customer sketches are "
-    "re-aggregated to region level by UNIONING SKETCHES, not recounting "
-    "rows — the property that makes approx-distinct rollups one cheap "
-    "merge pass at 100 TB instead of a rescan. No oracle: sketch binaries "
-    "are engine-specific; tests/test_approx.py bounds the estimates "
-    "against exact counts.",
+    "+ ApproximateSetAggregation.java): per-nation customer register "
+    "sketches (operators/hll.py) are re-aggregated to region level by "
+    "UNIONING SKETCHES (per-register MAX), not recounting rows — the "
+    "property that makes approx-distinct rollups one cheap merge pass at "
+    "100 TB instead of a rescan. Registers derive from md5 with "
+    "integer-only arithmetic, so the merged estimate is bit-reproducible "
+    "in DuckDB SQL (the oracle exploits MAX-associativity and groups by "
+    "region directly).",
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.hll import hll_estimate, hll_merge, hll_registers
+
     t = Tables(spark, sf_dir)
-    per_nation = (
-        t.customer.join(
-            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
-        )
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    joined = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
     )
-    return (
-        per_nation.groupBy("n_regionkey")
-        .agg(F.hll_union_agg("sk").alias("rsk"))
-        .select(
-            "n_regionkey",
-            F.hll_sketch_estimate("rsk").alias("approx_custs"),
-        )
-    )
+    per_nation = hll_registers(joined, ["n_regionkey", "n_nationkey"], "c_custkey")
+    per_region = hll_merge(per_nation, ["n_regionkey"])
+    return hll_estimate(per_region, ["n_regionkey"], "approx_custs")
 
 
 @register(
@@ -535,17 +554,48 @@ def agg_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdigest_rollup_oracle() -> str:
+    from witdb_spark.operators.qdigest import K_POINTS, quantile_index
+
+    kp = K_POINTS
+    i25, i50, i75 = (quantile_index(q, kp) for q in (0.25, 0.5, 0.75))
+    # Reproduce the integer-rank digest pipeline (operators/qdigest.py):
+    # per-flag K-point rank selection -> weight-n pool -> rank re-selection.
+    return f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS f, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    ks AS (SELECT range AS k FROM range({kp})),
+    digest AS (
+      SELECT f, k, v, n FROM ranked JOIN ks ON rn = (k * (n - 1)) // {kp - 1}),
+    sorted AS (
+      SELECT v, SUM(n) OVER (ORDER BY v, f, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM digest),
+    tot AS (SELECT SUM(n) AS wtot FROM digest),
+    merged AS (
+      SELECT k, (SELECT MIN(v) FROM sorted WHERE cum >= (k * (SELECT wtot FROM tot)) // {kp - 1}) AS mv
+      FROM ks)
+    SELECT (SELECT mv FROM merged WHERE k = {i25}) AS p25,
+           (SELECT mv FROM merged WHERE k = {i50}) AS p50,
+           (SELECT mv FROM merged WHERE k = {i75}) AS p75
+    """
+
+
 @register(
     "agg_qdigest_rollup",
-    None,
+    _qdigest_rollup_oracle(),
     doc="Quantile digests as values (reference QuantileDigestAggregation"
     "Function.java:40, QuantileDigestFunctions.java value_at_quantile/"
     "merge): per-returnflag price digests built with qdigest_agg, MERGED "
-    "upward (weighted mixture recompression, operators/qdigest.py) to a "
+    "upward (integer-rank pooled re-selection, operators/qdigest.py) to a "
     "global digest, then values_at_quantiles([0.25, 0.5, 0.75]) — the "
     "store-then-merge model that makes percentile rollups one merge pass "
-    "instead of a rescan. No oracle: the digest format is ours; "
-    "tests/test_approx.py bounds the estimates against exact percentiles.",
+    "instead of a rescan. Every digest point is an exact input value "
+    "selected by integer rank (no float interpolation), so the oracle "
+    "replays the identical pipeline in DuckDB SQL and the driver "
+    "hash-checks it.",
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -502,34 +502,53 @@ def crossjoin_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "assign_unique_id",
-    None,  # ids are engine-generated; driver records rows-only
-    doc="AssignUniqueIdOperator.java:36 analog: monotonically_increasing_id — "
-    "checked for uniqueness (count == distinct count), values engine-specific.",
+    """
+    SELECT event_id, row_number() OVER (ORDER BY event_id) AS uid
+    FROM events
+    """,
+    doc="AssignUniqueIdOperator.java:36 analog, exposed as a deterministic "
+    "contract: uid = row_number over a total order on the (unique) natural "
+    "key, hash-checkable across engines. The scale path is "
+    "monotonically_increasing_id (no sort, no single-partition window; ids "
+    "unique but engine-generated) — its uniqueness invariant is asserted in "
+    "tests/test_queries_oracle.py::test_monotonic_id_unique.",
     tags=("misc",),
 )
 def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     t = Tables(spark, sf_dir)
-    return (
-        t.events.withColumn("uid", F.monotonically_increasing_id())
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(F.col("uid")).alias("n_ids"),
-        )
-        .select((F.col("n_rows") == F.col("n_ids")).alias("ids_unique"))
+    return t.events.select("event_id").withColumn(
+        "uid", F.row_number().over(Window.orderBy("event_id"))
     )
 
 
 @register(
     "tablesample",
-    None,  # sampling differs across engines; rows-only
-    doc="TABLESAMPLE BERNOULLI (reference SampleNode, "
-    "ImplementBernoulliSampleAsFilter.java): seeded df.sample.",
+    """
+    SELECT COUNT(*) AS n_sampled, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) < 429496729
+    """,
+    doc="TABLESAMPLE BERNOULLI(10) (reference SampleNode, "
+    "ImplementBernoulliSampleAsFilter.java — Bernoulli sampling IS a "
+    "per-row filter) as a deterministic hash-threshold: keep rows whose "
+    "md5(key) 32-bit prefix < 0.1 * 2^32. Unlike rand()-seeded sampling "
+    "this is reproducible across engines, retries, and task re-executions "
+    "— the property a 100 TB pipeline actually needs (a re-run task must "
+    "sample the same rows) — and it pushes down as an ordinary filter.",
     tags=("sample",),
 )
 def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return t.events.sample(fraction=0.1, seed=42).agg(
-        F.count(F.lit(1)).alias("n_sampled")
+    keep = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        < 429496729  # floor(0.1 * 2^32)
+    )
+    return t.events.filter(keep).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
     )
 
 
