@@ -249,3 +249,14 @@ def test_offset_limit_nodes(spark):
     (reference LimitOperator.java:23 / ImplementOffset.java)."""
     plan = plan_of(spark, "distinct_order_offset")
     assert "GlobalLimit" in plan or "TakeOrdered" in plan
+
+
+def test_lsh_buckets_pure_map_stage(spark):
+    """LSH bucketing must be a zero-shuffle map stage: per-row folds against
+    inlined plane literals — no posexplode row amplification, no plane join,
+    no exchange (round-1 VERDICT flagged the explode-join shape as the one
+    scale-killer)."""
+    plan = plan_of(spark, "similarity_lsh_buckets")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # posexplode
+    assert "Join" not in plan

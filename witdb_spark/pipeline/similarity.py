@@ -8,8 +8,9 @@ Three tiers, mirroring what a 100 TB pipeline needs:
     broadcast; norms precomputed per row.
   - lsh_buckets: random-hyperplane LSH. Hyperplane weights are derived from
     md5(plane, dim) so every engine (and the DuckDB oracle) constructs the
-    identical planes — no RNG state to ship. Probing cost drops from O(N)
-    to O(N / 2^planes) per query; the bucket id is a 1-shuffle groupBy key.
+    identical planes — no RNG state to ship. Bucketing is a pure map stage
+    (per-row folds against inlined weight literals, no shuffle); probing
+    cost drops from O(N) to O(N / 2^planes) per query.
   - ivf_topk: inverted-file ANN — deterministic coarse quantizer, per-cell
     candidate scoring at ~(n_probe/n_centroids) of brute-force cost.
 
@@ -127,13 +128,20 @@ def embedding_near_duplicates(
     )
 
 
-def hyperplane_weight(plane: F.Column, dim: F.Column) -> F.Column:
-    """Deterministic pseudo-random weight in [-32768, 32767]: 16 bits of
-    md5('p_d'). Identical in Spark, DuckDB, and Python."""
-    h = F.md5(F.concat(plane.cast("string"), F.lit("_"), dim.cast("string")))
-    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") - F.lit(32768)).cast(
-        "double"
-    )
+def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-32768, 32767]:
+    16 bits of md5('p_d') per (plane, dim). Computed driver-side with
+    hashlib (bit-identical to md5() in any engine) and inlined as array
+    literals — no RNG state to ship, no plane relation to join."""
+    import hashlib
+
+    return [
+        [
+            float(int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16) - 32768)
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
 
 
 def lsh_buckets(
@@ -144,28 +152,21 @@ def lsh_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bucket bit p = sign of
-    dot(vec, plane_p). Planes are an md5-derived constant relation that
-    broadcasts; the heavy side stays partitioned."""
-    spark = corpus.sparkSession
-    planes = (
-        spark.range(num_planes)
-        .select(F.col("id").cast("int").alias("plane"))
-        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("dim")))
-        .withColumn("w", hyperplane_weight(F.col("plane"), F.col("dim")))
+    dot(vec, plane_p), computed as a per-row JVM fold (zip_with/aggregate,
+    same machinery as _DOT) against the plane weights inlined as array
+    literals. Zero row explosion, zero joins, zero shuffles — each vector
+    is read once and emits one (vec_id, bucket) row, so the plan is a pure
+    map stage at any corpus size. (The previous posexplode-per-dim + plane
+    join + decimal SUM shape amplified every vector ~dim*planes rows into a
+    shuffle — the one scale-killer flagged in round-1's plan audit.)"""
+    bucket = F.lit(0).cast("bigint")
+    for p, ws in enumerate(plane_weights(num_planes, dim)):
+        arr = "array(" + ", ".join(f"{w}D" for w in ws) + ")"
+        dot = F.expr(_DOT.format(a=vec_col, b=arr))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket")
     )
-    elems = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
-    ).withColumn("x", F.col("x").cast("double"))
-    dots = (
-        elems.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum((F.col("x") * F.col("w")).cast("decimal(38,12)")).alias("dot"))
-    )
-    bucket = F.sum(
-        F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(0)
-    ).cast("bigint")
-    return dots.groupBy("vec_id").agg(bucket.alias("bucket"))
 
 
 def ivf_topk(

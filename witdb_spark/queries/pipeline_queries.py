@@ -273,34 +273,28 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql(num_planes: int, dim: int = 64, vec: str = "embedding") -> str:
+    """DuckDB twin of similarity.lsh_buckets: identical md5-derived plane
+    weights inlined as literals, identical sequential fold per plane."""
+    terms = []
+    for p, ws in enumerate(similarity.plane_weights(num_planes, dim)):
+        lit = "CAST([" + ", ".join(str(w) for w in ws) + "] AS DOUBLE[])"
+        terms.append(
+            f"CASE WHEN {_dot_sql(vec, lit)} > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "similarity_lsh_buckets",
-    """
-    WITH planes AS (
-      SELECT p.p AS plane, i.i AS dim,
-             CAST(CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
-                  CAST(i.i AS VARCHAR)), 1, 4)) AS INT) - 32768 AS DOUBLE) AS w
-      FROM range(0, 8) p(p), range(0, 64) i(i)
-    ),
-    elems AS (
-      SELECT vec_id, CAST(ux AS DOUBLE) AS x, CAST(gs - 1 AS INT) AS dim
-      FROM (SELECT vec_id, unnest(embedding) AS ux,
-                   generate_subscripts(embedding, 1) AS gs
-            FROM embeddings) t
-    ),
-    dots AS (
-      SELECT vec_id, plane, SUM(CAST(x * w AS DECIMAL(38,12))) AS dot
-      FROM elems JOIN planes USING (dim)
-      GROUP BY vec_id, plane
-    )
-    SELECT vec_id,
-           CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
-    FROM dots GROUP BY vec_id
+    f"""
+    SELECT vec_id, {_lsh_bucket_sql(8)} AS bucket FROM embeddings
     """,
     doc="Random-hyperplane LSH bucket assignment (8 planes, md5-derived "
-    "weights): the scale path for ANN — candidate search within a bucket is "
-    "N/256 of the corpus; plane relation broadcasts, corpus stays "
-    "partitioned.",
+    "weights inlined as array literals): the scale path for ANN — candidate "
+    "search within a bucket is N/256 of the corpus. Bucketing is a pure map "
+    "stage (per-row zip_with/aggregate folds, no explode, no join, no "
+    "shuffle); the oracle folds the identical literals in DuckDB.",
     tags=("pipeline", "similarity"),
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,28 +304,8 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     f"""
-    WITH planes AS (
-      SELECT p.p AS plane, i.i AS dim,
-             CAST(CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
-                  CAST(i.i AS VARCHAR)), 1, 4)) AS INT) - 32768 AS DOUBLE) AS w
-      FROM range(0, 4) p(p), range(0, 64) i(i)
-    ),
-    elems AS (
-      SELECT vec_id, CAST(ux AS DOUBLE) AS x, CAST(gs - 1 AS INT) AS dim
-      FROM (SELECT vec_id, unnest(embedding) AS ux,
-                   generate_subscripts(embedding, 1) AS gs
-            FROM embeddings) t
-    ),
-    pdots AS (
-      SELECT vec_id, plane, SUM(CAST(x * w AS DECIMAL(38,12))) AS dot
-      FROM elems JOIN planes USING (dim)
-      GROUP BY vec_id, plane
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT)
-               AS bucket
-      FROM pdots GROUP BY vec_id
+    WITH buckets AS (
+      SELECT vec_id, {_lsh_bucket_sql(4)} AS bucket FROM embeddings
     ),
     v AS (
       SELECT e.vec_id, e.embedding AS ev, b.bucket,
