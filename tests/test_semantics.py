@@ -93,3 +93,48 @@ def test_mysql_date_format(engine):
         engine, "date_format(TIMESTAMP '2001-02-03 04:05:06', '%Y-%m-%d %H:%i:%s')"
     )
     assert got == "2001-02-03 04:05:06"
+
+
+def test_empty_map_constructor(engine):
+    """ADVICE r1: bare MAP() must stay the empty-map constructor — the
+    MAP(keys, values) rewrite must not re-mangle it into a 0-arg
+    map_from_arrays."""
+    assert one(engine, "cardinality(MAP())") == 0
+
+
+def test_cast_as_map_type(engine):
+    """CAST(x AS MAP(K,V)) is Trino TYPE syntax, not the constructor —
+    transpiles to Spark's MAP<K,V>."""
+    got = one(engine, "CAST(MAP(ARRAY['a'], ARRAY[1]) AS MAP(VARCHAR, BIGINT))['a']")
+    assert got == 1
+
+
+def test_format_datetime_zz_zero_offset(engine):
+    """Joda 'ZZ' prints '+00:00' at zero offset (java.time 'XXX' would print
+    the literal 'Z'); quoted pattern literals must not be translated."""
+    assert one(
+        engine,
+        "format_datetime(TIMESTAMP '2020-01-02 03:04:05', 'yyyy-MM-dd ZZ')",
+    ) == "2020-01-02 +00:00"
+    assert one(
+        engine,
+        "format_datetime(TIMESTAMP '2020-01-02 03:04:05', \"yyyy 'Z of Y'\")",
+    ) == "2020 Z of Y"
+
+
+def test_date_format_nested_first_arg(engine):
+    """The MySQL-pattern reroute must parse the first argument paren-aware:
+    nested calls with commas used to defeat the regex and fall through to
+    java.time parsing of the %-pattern."""
+    got = one(
+        engine,
+        "date_format(trino_date_add('day', 1, TIMESTAMP '2001-02-03 04:05:06'),"
+        " '%Y-%m-%d %H:%i:%s')",
+    )
+    assert got == "2001-02-04 04:05:06"
+
+
+def test_hamming_distance_unequal_raises(engine):
+    assert one(engine, "hamming_distance('cat', 'car')") == 1
+    with pytest.raises(Exception, match="same length"):
+        one(engine, "hamming_distance('cat', 'cars')")

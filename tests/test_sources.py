@@ -95,3 +95,23 @@ def test_delete_update_where(spark, nation):
     )
     assert updated.filter(F.col("n_name") == "ZERO").count() == 1
     assert updated.count() == 25
+
+
+def test_merge_null_keys_never_match(spark):
+    """ADVICE r1: SQL MERGE ON equality never matches NULL keys — a
+    NULL-keyed target row is kept AND a NULL-keyed source row inserts as a
+    separate row (the eqNullSafe+key-nullness version silently replaced the
+    target row)."""
+    target = spark.createDataFrame(
+        [(None, "tgt_null"), (1, "one")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(None, "src_null"), (1, "ONE")], "k int, v string"
+    )
+    merged = merge_into(
+        target, source, on=["k"], when_matched_update={"v": F.col("src.v")}
+    )
+    got = sorted((r.k, r.v) for r in merged.collect() if r.k is not None)
+    nulls = sorted(r.v for r in merged.collect() if r.k is None)
+    assert got == [(1, "ONE")]
+    assert nulls == ["src_null", "tgt_null"]

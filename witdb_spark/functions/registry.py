@@ -91,16 +91,36 @@ _MYSQL_FMT = (
     "'%H','HH'),'%h','hh'),'%i','mm'),'%s','ss'),'%T','HH:mm:ss'),'%j','DDD')"
 )
 
+# Joda Z/Y token -> java.time translation for one unquoted pattern segment.
+_JODA_SEG = (
+    "replace(replace(replace(replace(replace(seg,"
+    "'ZZZ','VV'),'ZZ','xxx'),'Z','xx'),'YYYY','yyyy'),'Y','y')"
+)
+
+
+def _JODA_FMT(var: str) -> str:
+    """Joda -> java.time pattern translation applied only OUTSIDE
+    single-quoted literal sections: split on the quote char (even segments
+    are unquoted), translate those, join back with the quotes."""
+    return (
+        f"array_join(transform(split({var}, \"'\"), (seg, i) -> "
+        f"IF(i % 2 = 0, {_JODA_SEG}, seg)), \"'\")"
+    )
+
 MACROS: dict[str, str] = {
     # --- string (StringFunctions.java) ---
     "strpos": "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
     "RETURNS INT RETURN instr(s, sub)",
     "codepoint": "CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING) "
     "RETURNS INT RETURN ascii(s)",
+    # reference StringFunctions.java hamming_distance RAISES on unequal
+    # lengths; zip_with would silently pad with NULLs and undercount.
     "hamming_distance": "CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance"
     "(a STRING, b STRING) RETURNS BIGINT RETURN "
-    "aggregate(zip_with(split(a, ''), split(b, ''), "
-    "(x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)",
+    "CASE WHEN length(a) <> length(b) THEN "
+    "raise_error('hamming_distance: strings must have the same length') "
+    "ELSE aggregate(zip_with(split(a, ''), split(b, ''), "
+    "(x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v) END",
     "from_utf8": "CREATE OR REPLACE TEMPORARY FUNCTION from_utf8(b BINARY) "
     "RETURNS STRING RETURN decode(b, 'UTF-8')",
     "to_utf8": "CREATE OR REPLACE TEMPORARY FUNCTION to_utf8(s STRING) "
@@ -159,16 +179,17 @@ MACROS: dict[str, str] = {
     # Joda (reference format_datetime, DateTimeFunctions.java) vs java.time:
     # most tokens agree (yyyy/MM/dd/HH/mm/ss/EEE/MMM) but Joda 'Y' is
     # year-of-era while java.time 'Y' is WEEK-BASED year (silently wrong at
-    # year boundaries), and Joda's Z-family offsets map to X/V patterns —
-    # translate those; Joda 'e' (ISO day number) stays a documented gap.
+    # year boundaries), and Joda's Z-family offsets map to x/V patterns —
+    # 'ZZ' must become lowercase 'xxx' ('XXX' prints the literal 'Z' at zero
+    # offset where Joda prints '+00:00'). Translation runs only OUTSIDE
+    # single-quoted pattern literals: split on the quote, rewrite even
+    # segments, join back. Joda 'e' (ISO day number) stays a documented gap.
     "format_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION format_datetime"
     "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, "
-    "replace(replace(replace(replace(replace(fmt,"
-    "'ZZZ','VV'),'ZZ','XXX'),'Z','xx'),'YYYY','yyyy'),'Y','y'))",
+    f"{_JODA_FMT('fmt')})",
     "parse_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION parse_datetime"
     "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, "
-    "replace(replace(replace(replace(replace(fmt,"
-    "'ZZZ','VV'),'ZZ','XXX'),'Z','xx'),'YYYY','yyyy'),'Y','y'))",
+    f"{_JODA_FMT('fmt')})",
     "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
     f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
     "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "

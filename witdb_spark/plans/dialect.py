@@ -48,9 +48,15 @@ def _rewrite_segment(seg: str) -> str:
     # renames
     # Trino MAP(keys_array, values_array) constructor -> map_from_arrays
     # (Spark's map() takes interleaved k1,v1,... — different function);
-    # bare MAP() stays the empty-map constructor.
+    # bare MAP() stays the empty-map constructor (negative lookahead keeps
+    # the second rule off the already-rewritten empty form), and
+    # CAST(x AS MAP(K,V)) type syntax becomes Spark's MAP<K,V> first so the
+    # constructor rule can't mangle it.
+    seg = re.sub(
+        r"\bAS\s+MAP\s*\(([^()<>]+)\)", r"AS MAP<\1>", seg, flags=re.I
+    )
     seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
-    seg = re.sub(r"\bMAP\s*\(", "map_from_arrays(", seg, flags=re.I)
+    seg = re.sub(r"\bMAP\s*\((?!\s*\))", "map_from_arrays(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
@@ -259,13 +265,37 @@ def _rewrite_with_strings(sql: str) -> str:
     # variants never do) -> route to the registered macros
     sql = re.sub(r"\bdate_add\s*\(\s*'", "trino_date_add('", sql, flags=re.I)
     sql = re.sub(r"\bdate_diff\s*\(\s*'", "trino_date_diff('", sql, flags=re.I)
-    # Trino date_format uses MySQL %-patterns -> macro that translates them
-    sql = re.sub(
-        r"\bdate_format\s*\(([^,()]+),\s*('[^']*%[^']*')\s*\)",
-        r"mysql_date_format(\1, \2)",
-        sql,
-        flags=re.I,
-    )
+    # Trino date_format uses MySQL %-patterns -> macro that translates them.
+    # Paren-aware: the first argument may contain nested calls, so walk to
+    # the top-level comma instead of regexing `[^,()]+`. Literal patterns
+    # WITHOUT '%' deliberately stay Spark date_format: this dialect accepts
+    # java.time patterns as a documented superset (Trino itself would print
+    # every such char literally), and the repo's own SQL surface uses them.
+    pos = 0
+    while True:
+        m = re.search(r"\bdate_format\s*\(", sql[pos:], flags=re.I)
+        if m is None:
+            break
+        name_start = pos + m.start()
+        open_idx = pos + m.end() - 1
+        close_idx = _match_paren(sql, open_idx)
+        args = sql[open_idx + 1 : close_idx]
+        depth, fmt = 0, None
+        for j, c, in_str in _in_string_scan(args):
+            if in_str:
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 0:
+                fmt = args[j + 1 :].strip()
+                break
+        if fmt is not None and re.fullmatch(r"'[^']*%[^']*'", fmt):
+            sql = sql[:name_start] + "mysql_" + sql[name_start:]
+            pos = name_start + len("mysql_date_format")
+        else:
+            pos = close_idx + 1
     return sql
 
 

@@ -31,13 +31,20 @@ def merge_into(
     Assignments may reference source columns as ``src.<col>`` via the
     aliased join (use F.col('src.x')). Target schema is preserved.
     """
-    t = target.alias("tgt")
-    s = source.alias("src")
-    cond = [F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}")) for k in on]
+    # Plain equality, not eqNullSafe: SQL MERGE ON never matches NULL keys —
+    # a NULL-keyed target row is kept as-is and a NULL-keyed source row
+    # inserts as a separate row. Side-presence after the full-outer join is
+    # read from non-nullable marker columns, never from key nullness.
+    t = target.withColumn("__tgt_present", F.lit(True)).alias("tgt")
+    s = source.withColumn("__src_present", F.lit(True)).alias("src")
+    cond = [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in on]
     joined = t.join(s, cond, "full_outer")
 
-    matched = F.col(f"src.{on[0]}").isNotNull() & F.col(f"tgt.{on[0]}").isNotNull()
-    src_only = F.col(f"tgt.{on[0]}").isNull()
+    matched = (
+        F.col("tgt.__tgt_present").isNotNull()
+        & F.col("src.__src_present").isNotNull()
+    )
+    src_only = F.col("tgt.__tgt_present").isNull()
 
     out_cols = []
     for field in target.schema.fields:
