@@ -51,6 +51,28 @@ def test_transpile_try_raises_on_general_expr():
         transpile("SELECT TRY(lower(x)) FROM t")
 
 
+def test_transpile_cast_types():
+    """Trino type syntax in CAST translates to Spark DDL, recursively
+    (reference core/trino-spi/.../type/StandardTypes.java)."""
+    assert transpile("SELECT CAST(x AS VARCHAR) FROM t") == \
+        "SELECT CAST(x AS STRING) FROM t"
+    assert transpile("SELECT CAST(m AS MAP(VARCHAR, BIGINT)) FROM t") == \
+        "SELECT CAST(m AS MAP<STRING, BIGINT>) FROM t"
+    # nested parameterized types (ADVICE r2: the old regex couldn't nest)
+    assert transpile("SELECT CAST(m AS MAP(VARCHAR, ARRAY(INTEGER))) FROM t") == \
+        "SELECT CAST(m AS MAP<STRING, ARRAY<INTEGER>>) FROM t"
+    assert transpile("SELECT CAST(r AS ROW(a BIGINT, b VARCHAR)) FROM t") == \
+        "SELECT CAST(r AS STRUCT<a: BIGINT, b: STRING>) FROM t"
+    assert transpile("SELECT CAST(x AS TIMESTAMP WITH TIME ZONE) FROM t") == \
+        "SELECT CAST(x AS TIMESTAMP) FROM t"
+    # parameterized base types pass through untouched
+    assert transpile("SELECT CAST(x AS DECIMAL(30,6)) FROM t") == \
+        "SELECT CAST(x AS DECIMAL(30,6)) FROM t"
+    # nested cast in the expression gets its own translation
+    assert transpile("SELECT CAST(CAST(x AS JSON) AS VARCHAR) FROM t") == \
+        "SELECT CAST(CAST(x AS STRING) AS STRING) FROM t"
+
+
 def test_engine_trino_q6(engine, oracle):
     got = engine.sql(
         """

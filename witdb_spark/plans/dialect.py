@@ -43,18 +43,14 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(
         r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+ONLY\b", r"LIMIT \1", seg, flags=re.I
     )
-    # CAST(x AS JSON) -> CAST(x AS STRING)
-    seg = re.sub(r"\bAS\s+JSON\s*\)", "AS STRING)", seg, flags=re.I)
     # renames
     # Trino MAP(keys_array, values_array) constructor -> map_from_arrays
     # (Spark's map() takes interleaved k1,v1,... — different function);
     # bare MAP() stays the empty-map constructor (negative lookahead keeps
-    # the second rule off the already-rewritten empty form), and
-    # CAST(x AS MAP(K,V)) type syntax becomes Spark's MAP<K,V> first so the
-    # constructor rule can't mangle it.
-    seg = re.sub(
-        r"\bAS\s+MAP\s*\(([^()<>]+)\)", r"AS MAP<\1>", seg, flags=re.I
-    )
+    # the second rule off the already-rewritten empty form).
+    # CAST(x AS MAP(K,V)) type syntax was already translated to MAP<K,V> by
+    # _rewrite_cast_types (which runs before this pass), so the constructor
+    # rule can't mangle it.
     seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\((?!\s*\))", "map_from_arrays(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
@@ -295,7 +291,145 @@ def _rewrite_with_strings(sql: str) -> str:
             sql = sql[:name_start] + "mysql_" + sql[name_start:]
             pos = name_start + len("mysql_date_format")
         else:
-            pos = close_idx + 1
+            # advance just past the function NAME, not the closing paren —
+            # a nested date_format inside this call's arguments must still
+            # be scanned (ADVICE r2)
+            pos = open_idx + 1
+    return sql
+
+
+# --- Trino -> Spark type names -------------------------------------------
+# Reference type system: core/trino-spi/.../type/StandardTypes.java.
+# Spark accepts most ANSI names directly; the mismatches are the unsized
+# character/binary types (Spark demands a length on VARCHAR/CHAR) and the
+# Trino-specific logical types modelled here as strings/binary.
+_TYPE_RENAMES = {
+    "VARCHAR": "STRING",
+    "CHAR": "STRING",
+    "VARBINARY": "BINARY",
+    "JSON": "STRING",
+    "UUID": "STRING",
+    "IPADDRESS": "STRING",
+    "REAL": "FLOAT",
+    "HYPERLOGLOG": "BINARY",
+    "P4HYPERLOGLOG": "BINARY",
+    "QDIGEST": "BINARY",
+    "TDIGEST": "BINARY",
+    "TIME": "BIGINT",  # nanos-of-day encoding (see functions.registry time macros)
+}
+_MULTIWORD_TYPES = {
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    "TIMESTAMP WITHOUT TIME ZONE": "TIMESTAMP",
+    "TIME WITH TIME ZONE": "BIGINT",
+    "DOUBLE PRECISION": "DOUBLE",
+}
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0, string-aware."""
+    parts, depth, start = [], 0, 0
+    for i, c, in_str in _in_string_scan(text):
+        if in_str:
+            continue
+        if c in "([<":
+            depth += 1
+        elif c in ")]>":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+
+def trino_type_to_spark(t: str) -> str:
+    """Translate a Trino type string (SqlBase.g4 `type` rule) to Spark DDL.
+
+    ARRAY(T) -> ARRAY<T>, MAP(K,V) -> MAP<K,V>, ROW(a T, ...) ->
+    STRUCT<a: T, ...>, recursively; unsized VARCHAR -> STRING etc. per
+    _TYPE_RENAMES. Parameterized types (DECIMAL(p,s), VARCHAR(n)) pass
+    through — Spark accepts those forms directly."""
+    t = t.strip()
+    head = re.match(r"^(ARRAY|MAP|ROW)\s*\(", t, flags=re.I)
+    if head and _match_paren(t, head.end() - 1) == len(t) - 1:
+        kind = head.group(1).upper()
+        parts = _split_top_level(t[head.end() : -1])
+        if kind == "ARRAY":
+            return f"ARRAY<{trino_type_to_spark(parts[0])}>"
+        if kind == "MAP":
+            return (
+                f"MAP<{trino_type_to_spark(parts[0])},"
+                f" {trino_type_to_spark(parts[1])}>"
+            )
+        fields = []
+        for i, p in enumerate(parts):
+            if " ".join(p.upper().split()) in _MULTIWORD_TYPES:
+                nm = None  # a bare multi-word type, not name+type
+            else:
+                nm = re.match(
+                    r"^([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s+(.+)$", p, flags=re.S
+                )
+            if nm:
+                fields.append(f"{nm.group(1)}: {trino_type_to_spark(nm.group(2))}")
+            else:
+                # Trino names anonymous row fields field0, field1, ...
+                fields.append(f"field{i}: {trino_type_to_spark(p)}")
+        return f"STRUCT<{', '.join(fields)}>"
+    norm = " ".join(t.upper().split())
+    if norm in _MULTIWORD_TYPES:
+        return _MULTIWORD_TYPES[norm]
+    base = re.match(r"^([A-Za-z]+)\s*(\(.*\))?$", t, flags=re.S)
+    if base and base.group(2) is None and base.group(1).upper() in _TYPE_RENAMES:
+        return _TYPE_RENAMES[base.group(1).upper()]
+    return t
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """Translate the type argument of every CAST/TRY_CAST through
+    trino_type_to_spark. Paren- and string-aware: finds the LAST top-level
+    AS inside each cast's argument list (the expression itself may contain
+    AS inside nested casts, which are handled on their own scan visit)."""
+    pos = 0
+    while True:
+        m = re.search(r"\b(?:try_)?cast\s*\(", sql[pos:], flags=re.I)
+        if m is None:
+            return sql
+        open_idx = pos + m.end() - 1
+        try:
+            close_idx = _match_paren(sql, open_idx)
+        except UnsupportedTrinoSyntax:
+            return sql
+        args = sql[open_idx + 1 : close_idx]
+        # last depth-0 AS keyword
+        depth, as_idx = 0, None
+        i = 0
+        prev_alnum = False
+        for j, c, in_str in _in_string_scan(args):
+            if in_str:
+                prev_alnum = False
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif (
+                depth == 0
+                and c in "Aa"
+                and not prev_alnum
+                and args[j : j + 2].upper() == "AS"
+                and (j + 2 >= len(args) or not (args[j + 2].isalnum() or args[j + 2] == "_"))
+            ):
+                as_idx = j
+            prev_alnum = c.isalnum() or c == "_"
+        if as_idx is None:
+            pos = open_idx + 1
+            continue
+        type_text = args[as_idx + 2 :]
+        translated = " " + trino_type_to_spark(type_text)
+        sql = (
+            sql[: open_idx + 1 + as_idx + 2] + translated + sql[close_idx:]
+        )
+        pos = open_idx + 1  # re-scan inside: nested casts in the expression
     return sql
 
 
@@ -349,6 +483,7 @@ def transpile(sql: str) -> str:
     """Rewrite a Trino-dialect query into Spark SQL. Raises
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
     sql = _rewrite_try(sql)
+    sql = _rewrite_cast_types(sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(
             "MATCH_RECOGNIZE has no SQL form here; use the DataFrame"
