@@ -14,8 +14,8 @@ CHARS = {"A": "A", "B": "B", "C": "C"}
 def test_pattern_compiler():
     assert _pattern_to_regex("A+ B", CHARS) == "A+B"
     assert _pattern_to_regex("A (B|C)* A{2,3}", CHARS) == "A(B|C)*A{2,3}"
-    with pytest.raises(ValueError):
-        _pattern_to_regex("A Q", CHARS)
+    # undefined variable = implicit TRUE = matches any row
+    assert _pattern_to_regex("A Q", CHARS) == "A."
 
 
 def _events(spark, rows):
@@ -58,6 +58,145 @@ def test_alternation_and_unmatched_rows(spark):
         )
     )
     assert got == [[(0, "A"), (1, "C")], [(5, "A"), (6, "B")]]
+
+
+def test_prev_navigation(spark):
+    """B AS v < PREV(v) — the canonical descending-run pattern the r1/r2
+    operator could not express (reference LogicalIndexNavigation)."""
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 8, 6, 7, 5, 4, 3, 9])],
+        "user_id int, seq int, v int",
+    )
+    got = _matches(
+        match_recognize(
+            df, ["user_id"], "seq", {"D": "v < PREV(v)"}, "D{2,}"
+        )
+    )
+    # descents: 8,6 (seq 1-2) and 5,4,3 (seq 4-6)
+    assert got == [
+        [(1, "D"), (2, "D")],
+        [(4, "D"), (5, "D"), (6, "D")],
+    ]
+
+
+def test_next_navigation(spark):
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([1, 5, 2, 9, 3])],
+        "user_id int, seq int, v int",
+    )
+    # P AS v < NEXT(v): rows followed by a larger value
+    got = _matches(
+        match_recognize(df, ["user_id"], "seq", {"P": "v < NEXT(v)"}, "P")
+    )
+    assert [m[0][0] for m in got] == [0, 2]  # seq 0 (1<5), seq 2 (2<9)
+
+
+def test_overlapping_defines_classified_by_pattern(spark):
+    """U and H overlap on strictly-up rows (> implies >=); the VM must
+    classify by pattern position, not first-DEFINE-wins."""
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([3, 4, 4, 5, 2])],
+        "user_id int, seq int, v int",
+    )
+    got = _matches(
+        match_recognize(
+            df,
+            ["user_id"],
+            "seq",
+            {"U": "v > PREV(v)", "H": "v >= PREV(v)"},
+            "U H+",
+        )
+    )
+    # seq1 (4>3) starts as U; seq2 (4>=4) and seq3 (5>4, satisfies BOTH)
+    # continue as H — first-match-wins would have mislabeled seq3 as U
+    assert got == [[(1, "U"), (2, "H"), (3, "H")]]
+
+
+def test_undefined_label_is_true(spark):
+    """S undefined in DEFINE -> implicit TRUE (SqlBase.g4 row pattern:
+    undefined variables match every row)."""
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([9, 5, 3, 6, 8])],
+        "user_id int, seq int, v int",
+    )
+    got = _matches(
+        match_recognize(
+            df,
+            ["user_id"],
+            "seq",
+            {"D": "v < PREV(v)", "U": "v > PREV(v)"},
+            "S D+ U+",
+        )
+    )
+    # V-shape: S=seq0 (any row), D=seq1,2 (5,3), U=seq3,4 (6,8)
+    assert got == [
+        [(0, "S"), (1, "D"), (2, "D"), (3, "U"), (4, "U")]
+    ]
+
+
+def test_skip_to_next_row_overlaps(spark):
+    df = _events(spark, ["a", "a", "a", "b"])
+    got = _matches(
+        match_recognize(
+            df,
+            ["user_id"],
+            "seq",
+            {"A": "ty = 'a'"},
+            "A{2}",
+            after_match="to next row",
+        )
+    )
+    # overlapping pairs (0,1) and (1,2) — skip-past would give only (0,1)
+    assert got == [[(0, "A"), (1, "A")], [(1, "A"), (2, "A")]]
+
+
+def test_one_row_per_match_emits_last_row(spark):
+    df = _events(spark, ["a", "a", "b", "x", "a", "b"])
+    out = match_recognize(
+        df,
+        ["user_id"],
+        "seq",
+        {"A": "ty = 'a'", "B": "ty = 'b'"},
+        "A+ B",
+        rows_per_match="one",
+    )
+    rows = sorted((r.seq, r.match_id, r.classifier) for r in out.collect())
+    assert rows == [(2, 1, "B"), (5, 2, "B")]
+
+
+def test_anchors(spark):
+    df = _events(spark, ["a", "b", "a"])
+    got = _matches(
+        match_recognize(
+            df, ["user_id"], "seq", {"A": "ty = 'a'"}, "^ A"
+        )
+    )
+    assert got == [[(0, "A")]]
+
+
+def test_long_greedy_run_no_recursion_blowup(spark):
+    """5000-row single-key greedy run through the VM path (overlapping
+    defines force it off the C-regex fast path) — must not hit Python
+    recursion limits."""
+    df = spark.createDataFrame(
+        [(1, i, 1) for i in range(5000)], "user_id int, seq int, v int"
+    )
+    out = match_recognize(
+        df,
+        ["user_id"],
+        "seq",
+        {"E": "v = 1", "F": "v >= 1"},
+        "E F+",
+    )
+    assert out.count() == 5000
+
+
+def test_nullable_unbounded_quantifier_rejected(spark):
+    df = _events(spark, ["a"])
+    with pytest.raises(ValueError):
+        match_recognize(
+            df, ["user_id"], "seq", {"A": "ty = 'a'"}, "(A*)*"
+        )
 
 
 def test_brace_quantifier(spark):

@@ -171,6 +171,21 @@ def test_match_recognize_single_shuffle(spark):
     assert "Sort [user_id" in plan or "sortWithinPartitions" in plan.lower() or "Sort" in plan
 
 
+def test_match_recognize_navigation_single_shuffle(spark):
+    """PREV/NEXT navigation computes lag/lead via a window whose required
+    distribution+sort is exactly what the pattern scan needs — the plan
+    must show ONE Exchange feeding Window -> (mask Project) -> MapInPandas
+    with no second repartition before the Python stage."""
+    plan = plan_of(spark, "mr_price_slide")
+    # formatted-mode tree section: nodes listed top-down; everything after
+    # the MapInPandas line is upstream of the Python stage
+    tree = plan.split("\n\n")[0]
+    mp = next(i for i, l in enumerate(tree.splitlines()) if "MapInPandas" in l)
+    below = "\n".join(tree.splitlines()[mp:])
+    assert "Window" in below
+    assert below.count("Exchange") == 1
+
+
 def test_q9_broadcast_and_partial_agg(spark):
     """The heaviest join+agg query: dims broadcast, no cartesian product,
     aggregation splits partial/final (reference

@@ -1,34 +1,59 @@
 """MATCH_RECOGNIZE row-pattern matching, Spark-first.
 
-The reference implements SQL:2016 row-pattern recognition with an NFA
-program over sorted partitions (reference grammar SqlBase.g4:360,
-sql/planner/plan/PatternRecognitionNode.java, NFA in
-operator/window/matcher/ and IrRowPatternToProgramRewriter.java, lowered at
+The reference implements SQL:2016 row-pattern recognition with a
+backtracking pattern program over sorted partitions (reference grammar
+SqlBase.g4:360, sql/planner/plan/PatternRecognitionNode.java, matcher in
+operator/window/matcher/Matcher.java and
+IrRowPatternToProgramRewriter.java, lowered at
 LocalExecutionPlanner.java:1219). Spark has no equivalent operator, so this
 is the (b)-tier custom operator from SURVEY.md §7: a composition where
 
-1. every DEFINE predicate is evaluated **JVM-side** as a boolean column
-   (Catalyst codegen, pushdown-friendly — the Python stage never sees the
-   raw predicate expressions), then
-2. ``applyInPandas`` runs per partition: rows are sorted by the ORDER BY
-   key, each row is classified to a single label character (first matching
-   DEFINE wins; labels are expected to be mutually exclusive as in the
-   common funnel patterns), and the quantified pattern — compiled to a
-   Python regex, i.e. a backtracking NFA, the same machine the reference
-   builds — scans the label string with non-overlapping greedy matches
-   (= AFTER MATCH SKIP PAST LAST ROW, ALL ROWS PER MATCH).
+1. ``PREV(x [, n])`` / ``NEXT(x [, n])`` navigation inside DEFINE is
+   rewritten to ``lag``/``lead`` window columns evaluated **JVM-side**
+   (reference LogicalIndexNavigation — physical navigation over the
+   partition ordering; beyond-partition navigation yields NULL, and a NULL
+   predicate is no-match, exactly the reference's semantics), then
+2. every DEFINE predicate becomes one bit of a per-row **label bitmask**
+   (Catalyst codegen — the Python stage never sees the raw predicates), and
+3. ``mapInPandas`` runs per partition: rows are sorted by the ORDER BY key
+   and the quantified pattern — compiled to a small backtracking VM program
+   (SPLIT/JMP/CHAR/MATCH, the same machine shape as the reference's
+   IrRowPatternToProgramRewriter output) — scans the mask sequence.
+   Backtracking preferment = SQL:2016 preferment: leftmost alternation,
+   greedy quantifiers. Because the VM consults the full bitmask, DEFINEs
+   may overlap (a row satisfying several labels is classified by pattern
+   position, not first-match-wins). When every row carries at most one
+   label bit and no pattern variable is undefined, the scan short-circuits
+   to a compiled C regex over one char per row — same answers, faster.
 
-The operator returns the matched rows with ``match_id`` (1-based per
+Modes (reference grammar SqlBase.g4:372-380):
+  - ``after_match="past last row"`` (default) — non-overlapping matches.
+  - ``after_match="to next row"`` — resume at match start + 1; matches may
+    overlap, match_id still increments per match.
+  - ``rows_per_match="all"`` (default) — every matched row is emitted.
+  - ``rows_per_match="one"`` — one row per match: the **last** row of the
+    match (FINAL semantics — unqualified MEASURES column references in the
+    reference resolve to the last row), plus match_id and its classifier.
+
+The operator returns matched rows with ``match_id`` (1-based per
 partition) and ``classifier`` columns; MEASURES are then ordinary Spark
 aggregations over ``match_id`` — keeping everything after the pattern scan
-in Catalyst.
+in Catalyst. An undefined pattern variable (used in PATTERN, absent from
+DEFINE) matches any row (implicit TRUE), per the standard.
+
+Unsupported (documented gaps, not silent deviations): reluctant
+quantifiers (``*?``), exclusion syntax ``{- -}``, PERMUTE, and unbounded
+quantification of a nullable group (``(A*)*`` — rejected at compile time
+to keep the VM loop-free).
 
 Scale: the shuffle is one hash partition by the PARTITION BY key (exactly
-what the reference's PatternRecognitionNode requires); per-key state is one
-label string, O(rows-per-key) — fine for 100 TB as long as single keys fit
-an executor, the same constraint the reference has. Data crosses to Python
-once, Arrow-batched, carrying only the projected columns + one byte of
-label per row.
+what the reference's PatternRecognitionNode requires); when navigation
+columns are present the lag/lead window imposes the identical
+distribution+sort, so the plan still carries exactly one Exchange. Per-key
+state is one mask array, O(rows-per-key) — fine for 100 TB as long as
+single keys fit an executor, the same constraint the reference has. Data
+crosses to Python once, Arrow-batched, carrying only the projected columns
+plus one long of mask per row.
 """
 
 from __future__ import annotations
@@ -36,35 +61,221 @@ from __future__ import annotations
 import re
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-_LABEL_COL = "__mr_label"
-_NO_MATCH = "0"  # classifier char for rows matching no DEFINE
+_MASK_COL = "__mr_mask"
+_NO_MATCH = "0"  # fast-path classifier char for rows matching no DEFINE
 
-_TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*|[+*?|()]|\{\d*(?:,\d*)?\})\s*")
+_TOKEN = re.compile(
+    r"\s*([A-Za-z_][A-Za-z_0-9]*|[+*?|()^$]|\{\d*(?:,\d*)?\})\s*"
+)
+_NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.I)
 
 
-def _pattern_to_regex(pattern: str, label_chars: Mapping[str, str]) -> str:
-    """Translate a row-pattern ('V+ P', 'A (B|C)* D{2,}') to a regex over
-    single label characters. Quantifiers/alternation/grouping pass through;
-    bare label names become their assigned character."""
+def _tokenize(pattern: str) -> list[str]:
     out, pos = [], 0
     while pos < len(pattern):
         m = _TOKEN.match(pattern, pos)
         if not m:
             raise ValueError(f"bad row pattern at {pattern[pos:]!r}")
-        tok = m.group(1)
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _pattern_to_regex(pattern: str, label_chars: Mapping[str, str]) -> str:
+    """Translate a row-pattern ('V+ P', 'A (B|C)* D{2,}') to a regex over
+    single label characters (fast path). Quantifiers/alternation/grouping/
+    anchors pass through; bare label names become their assigned character;
+    labels with no DEFINE (implicit TRUE) become '.'."""
+    out = []
+    for tok in _tokenize(pattern):
         if tok[0].isalpha() or tok[0] == "_":
-            try:
-                out.append(label_chars[tok])
-            except KeyError:
-                raise ValueError(f"pattern label {tok!r} has no DEFINE") from None
+            out.append(label_chars.get(tok, "."))
         else:
             out.append(tok)
-        pos = m.end()
     return "".join(out)
+
+
+# --- pattern AST + VM compiler (driver-side; program is plain tuples) ----
+#
+# AST (picklable tuples):
+#   ("label", bit_or_None, name)   bit None = undefined variable (TRUE)
+#   ("cat", [nodes])  ("alt", [nodes])  ("rep", node, lo, hi)  hi=None=inf
+#   ("bol",)  ("eol",)
+# VM ops: (0, bit_or_None, name)=CHAR  (1, a, b)=SPLIT prefer a
+#         (2, a)=JMP  (3,)=MATCH  (4,)=BOL  (5,)=EOL
+
+
+def _parse_pattern(pattern: str, label_bits: Mapping[str, int]):
+    toks = _tokenize(pattern)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_alt():
+        nonlocal pos
+        branches = [parse_cat()]
+        while peek() == "|":
+            pos += 1
+            branches.append(parse_cat())
+        return branches[0] if len(branches) == 1 else ("alt", branches)
+
+    def parse_cat():
+        nonlocal pos
+        items = []
+        while peek() is not None and peek() not in ("|", ")"):
+            items.append(parse_quant())
+        if not items:
+            raise ValueError(f"empty branch in pattern {pattern!r}")
+        return items[0] if len(items) == 1 else ("cat", items)
+
+    def parse_quant():
+        nonlocal pos
+        node = parse_primary()
+        tok = peek()
+        if tok in ("+", "*", "?"):
+            pos += 1
+            lo, hi = {"+": (1, None), "*": (0, None), "?": (0, 1)}[tok]
+            node = ("rep", node, lo, hi)
+        elif tok is not None and tok.startswith("{"):
+            pos += 1
+            body = tok[1:-1]
+            if "," in body:
+                lo_s, hi_s = body.split(",", 1)
+                lo = int(lo_s) if lo_s else 0
+                hi = int(hi_s) if hi_s else None
+            else:
+                lo = hi = int(body)
+            node = ("rep", node, lo, hi)
+        return node
+
+    def parse_primary():
+        nonlocal pos
+        tok = peek()
+        if tok == "(":
+            pos += 1
+            node = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in pattern {pattern!r}")
+            pos += 1
+            return node
+        if tok == "^":
+            pos += 1
+            return ("bol",)
+        if tok == "$":
+            pos += 1
+            return ("eol",)
+        if tok is not None and (tok[0].isalpha() or tok[0] == "_"):
+            pos += 1
+            return ("label", label_bits.get(tok), tok)
+        raise ValueError(f"unexpected token {tok!r} in pattern {pattern!r}")
+
+    ast = parse_alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in pattern {pattern!r}")
+    return ast
+
+
+def _nullable(node) -> bool:
+    k = node[0]
+    if k == "label":
+        return False
+    if k in ("bol", "eol"):
+        return True
+    if k == "cat":
+        return all(_nullable(c) for c in node[1])
+    if k == "alt":
+        return any(_nullable(c) for c in node[1])
+    if k == "rep":
+        return node[2] == 0 or _nullable(node[1])
+    raise AssertionError(k)
+
+
+def _compile_vm(ast) -> list[tuple]:
+    prog: list[tuple] = []
+
+    def emit(node):
+        k = node[0]
+        if k == "label":
+            prog.append((0, node[1], node[2]))
+        elif k == "bol":
+            prog.append((4,))
+        elif k == "eol":
+            prog.append((5,))
+        elif k == "cat":
+            for c in node[1]:
+                emit(c)
+        elif k == "alt":
+            jumps = []
+            for i, c in enumerate(node[1]):
+                if i < len(node[1]) - 1:
+                    split_at = len(prog)
+                    prog.append(None)  # SPLIT placeholder
+                    emit(c)
+                    jumps.append(len(prog))
+                    prog.append(None)  # JMP placeholder
+                    prog[split_at] = (1, split_at + 1, len(prog))
+                else:
+                    emit(c)
+            for j in jumps:
+                prog[j] = (2, len(prog))
+        elif k == "rep":
+            child, lo, hi = node[1], node[2], node[3]
+            if hi is None and _nullable(child):
+                raise ValueError(
+                    "unbounded quantifier over a pattern that can match"
+                    " zero rows (e.g. (A*)*) is not supported"
+                )
+            for _ in range(lo):
+                emit(child)
+            if hi is None:
+                # greedy star: L1: SPLIT L2, L3; L2: child; JMP L1; L3:
+                l1 = len(prog)
+                prog.append(None)
+                emit(child)
+                prog.append((2, l1))
+                prog[l1] = (1, l1 + 1, len(prog))
+            else:
+                ends = []
+                for _ in range(hi - lo):
+                    split_at = len(prog)
+                    prog.append(None)
+                    ends.append(split_at)
+                    emit(child)
+                for s in ends:
+                    prog[s] = (1, s + 1, len(prog))
+        else:
+            raise AssertionError(k)
+
+    emit(ast)
+    prog.append((3,))
+    return prog
+
+
+def _extract_navigation(cond: str, existing: dict):
+    """Rewrite PREV(expr[, n]) / NEXT(expr[, n]) in a DEFINE condition to
+    generated column references, recording (kind, inner_expr, offset) ->
+    column name into `existing` (shared across DEFINEs so identical
+    navigations compute once). Paren/string-aware."""
+    from witdb_spark.plans.dialect import _match_paren, _split_top_level
+
+    while True:
+        m = _NAV.search(cond)
+        if m is None:
+            return cond
+        open_idx = m.end() - 1
+        close_idx = _match_paren(cond, open_idx)
+        parts = _split_top_level(cond[open_idx + 1 : close_idx])
+        inner = parts[0]
+        off = int(parts[1]) if len(parts) > 1 else 1
+        key = (m.group(1).upper(), inner, off)
+        if key not in existing:
+            existing[key] = f"__mr_nav{len(existing)}"
+        cond = cond[: m.start()] + existing[key] + cond[close_idx + 1 :]
 
 
 def match_recognize(
@@ -73,28 +284,73 @@ def match_recognize(
     order_by: str,
     define: Mapping[str, Column | str],
     pattern: str,
+    after_match: str = "past last row",
+    rows_per_match: str = "all",
 ) -> DataFrame:
-    """Emit rows belonging to non-overlapping greedy matches of ``pattern``.
+    """Emit rows belonging to matches of ``pattern`` (see module doc).
 
     ``define`` maps label -> boolean Column/SQL-string, evaluated JVM-side;
-    ``order_by`` must be a deterministic (unique-per-partition) ordering
-    column. Output = input columns + match_id (per-partition, 1-based, in
-    ``order_by`` order) + classifier (the DEFINE label of each row).
+    string conditions may use ``PREV(expr[, n])``/``NEXT(expr[, n])``
+    physical navigation. ``order_by`` must be a deterministic
+    (unique-per-partition) ordering column. Output = input columns +
+    match_id (per-partition, 1-based, in ``order_by`` order) + classifier
+    (the pattern variable the matcher assigned to each row).
     """
+    if after_match not in ("past last row", "to next row"):
+        raise ValueError(f"after_match: {after_match!r}")
+    if rows_per_match not in ("all", "one"):
+        raise ValueError(f"rows_per_match: {rows_per_match!r}")
     labels = list(define)
+    if len(labels) > 16:
+        raise ValueError("at most 16 DEFINE labels supported")
+    label_bits = {name: 1 << i for i, name in enumerate(labels)}
     label_chars = {name: chr(ord("A") + i) for i, name in enumerate(labels)}
+    ast = _parse_pattern(pattern, label_bits)
+    prog = _compile_vm(ast)
+
+    def pat_labels(node, acc):
+        if node[0] == "label":
+            acc.add(node[2])
+        elif node[0] in ("cat", "alt"):
+            for c in node[1]:
+                pat_labels(c, acc)
+        elif node[0] == "rep":
+            pat_labels(node[1], acc)
+        return acc
+
+    used = pat_labels(ast, set())
+    has_undefined = any(name not in label_bits for name in used)
     regex = _pattern_to_regex(pattern, label_chars)
     re.compile(regex)  # fail fast on driver, not inside executors
 
-    classified = df
-    # First matching DEFINE wins -> one classifier char per row, built with
-    # a JVM-side CASE WHEN chain so predicates stay in codegen.
-    label_expr = F.lit(_NO_MATCH)
-    for name in reversed(labels):
+    # Navigation: PREV/NEXT -> lag/lead columns over the partition ordering
+    # (JVM-side; the window imposes the exact hash distribution + sort the
+    # pattern scan needs, so no extra shuffle is introduced).
+    nav_specs: dict = {}
+    conds: dict[str, Column] = {}
+    for name in labels:
         cond = define[name]
-        cond = F.expr(cond) if isinstance(cond, str) else cond
-        label_expr = F.when(cond, F.lit(label_chars[name])).otherwise(label_expr)
-    classified = classified.withColumn(_LABEL_COL, label_expr)
+        if isinstance(cond, str):
+            cond = F.expr(_extract_navigation(cond, nav_specs))
+        conds[name] = cond
+
+    classified = df
+    if nav_specs:
+        w = Window.partitionBy(*partition_by).orderBy(order_by)
+        for (kind, inner, off), colname in nav_specs.items():
+            fn = F.lag if kind == "PREV" else F.lead
+            classified = classified.withColumn(
+                colname, fn(F.expr(inner), off).over(w)
+            )
+
+    # One long bitmask per row, built with JVM-side CASE WHEN so predicates
+    # stay in codegen. NULL predicate -> bit unset (SQL:2016 no-match).
+    mask_expr = F.lit(0)
+    for name in labels:
+        mask_expr = mask_expr + F.when(conds[name], F.lit(label_bits[name])).otherwise(
+            F.lit(0)
+        )
+    classified = classified.withColumn(_MASK_COL, mask_expr.cast("long"))
 
     out_schema = StructType(
         df.schema.fields
@@ -104,11 +360,17 @@ def match_recognize(
         ]
     )
     char_to_label = {c: name for name, c in label_chars.items()}
-    order_col, label_col = order_by, _LABEL_COL
+    mask_char = {0: _NO_MATCH}
+    for name, bit in label_bits.items():
+        mask_char[bit] = label_chars[name]
+    order_col, mask_col = order_by, _MASK_COL
     pk_cols = list(partition_by)
     data_cols = [f.name for f in df.schema.fields]
-    compiled = regex  # plain values only: the closure must be picklable
-    # self-contained (no witdb_spark imports exist on executors).
+    compiled_regex = regex  # plain values only: the closure must be
+    vm_prog = prog  # picklable and self-contained (no witdb_spark
+    skip_past = after_match == "past last row"  # imports on executors).
+    one_row = rows_per_match == "one"
+    fast_eligible = not has_undefined
 
     # Execution shape: ONE hash shuffle on the partition keys + a
     # partition-local sort, then mapInPandas streams Arrow batches through a
@@ -122,26 +384,106 @@ def match_recognize(
         import numpy as _np
         import pandas as _pd
 
-        rx = _re.compile(compiled)
+        rx = _re.compile(compiled_regex)
+
+        def vm_run(masks, start, n):
+            """First (leftmost-greedy) match from `start`: (end, labels)
+            or None. Explicit backtracking stack — no Python recursion, so
+            long greedy runs can't blow the stack."""
+            stack = [(0, start, 0)]
+            labs: list[str] = []
+            while stack:
+                pc, pos, ll = stack.pop()
+                del labs[ll:]
+                while True:
+                    op = vm_prog[pc]
+                    t = op[0]
+                    if t == 0:  # CHAR
+                        if pos < n and (op[1] is None or masks[pos] & op[1]):
+                            labs.append(op[2])
+                            pos += 1
+                            pc += 1
+                        else:
+                            break
+                    elif t == 1:  # SPLIT (prefer first target)
+                        stack.append((op[2], pos, len(labs)))
+                        pc = op[1]
+                    elif t == 2:  # JMP
+                        pc = op[1]
+                    elif t == 3:  # MATCH
+                        return pos, labs[:]
+                    elif t == 4:  # BOL
+                        if pos == 0:
+                            pc += 1
+                        else:
+                            break
+                    else:  # EOL
+                        if pos == n:
+                            pc += 1
+                        else:
+                            break
+            return None
+
+        def spans_fast(chars):
+            """(start, end, labels) per match via the C regex."""
+            out = []
+            if skip_past:
+                for m in rx.finditer(chars):
+                    if m.end() > m.start():
+                        out.append(
+                            (m.start(), m.end(),
+                             [char_to_label[c] for c in chars[m.start():m.end()]])
+                        )
+            else:
+                pos = 0
+                while True:
+                    m = rx.search(chars, pos)
+                    if m is None:
+                        break
+                    if m.end() > m.start():
+                        out.append(
+                            (m.start(), m.end(),
+                             [char_to_label[c] for c in chars[m.start():m.end()]])
+                        )
+                    pos = m.start() + 1
+            return out
+
+        def spans_vm(masks, n):
+            out = []
+            pos = 0
+            while pos < n:
+                r = vm_run(masks, pos, n)
+                if r is None or r[0] == pos:  # no match / zero-width
+                    pos += 1
+                    continue
+                end, labs = r
+                out.append((pos, end, labs))
+                pos = end if skip_past else pos + 1
+            return out
 
         def emit(chunk):
             outs = []
             for _, g in chunk.groupby(pk_cols, sort=False):
-                chars = "".join(g[label_col].tolist())
-                keep, mids, labels = [], [], []
-                mid = 0
-                for m in rx.finditer(chars):
-                    if m.start() == m.end():  # zero-width (e.g. 'A*'): skip
-                        continue
-                    mid += 1
-                    for i in range(m.start(), m.end()):
-                        keep.append(i)
-                        mids.append(mid)
-                        labels.append(char_to_label.get(chars[i], "?"))
+                masks = g[mask_col].tolist()
+                n = len(masks)
+                if fast_eligible and all(m & (m - 1) == 0 for m in masks):
+                    spans = spans_fast("".join(mask_char[m] for m in masks))
+                else:
+                    spans = spans_vm(masks, n)
+                keep, mids, labels_out = [], [], []
+                for mid0, (s, e, labs) in enumerate(spans):
+                    if one_row:
+                        keep.append(e - 1)
+                        mids.append(mid0 + 1)
+                        labels_out.append(labs[-1])
+                    else:
+                        keep.extend(range(s, e))
+                        mids.extend([mid0 + 1] * (e - s))
+                        labels_out.extend(labs)
                 if keep:
                     out = g.iloc[keep][data_cols].copy()
                     out["match_id"] = _np.asarray(mids, dtype="int64")
-                    out["classifier"] = _np.asarray(labels, dtype=object)
+                    out["classifier"] = _np.asarray(labels_out, dtype=object)
                     outs.append(out)
             return outs
 
@@ -165,7 +507,12 @@ def match_recognize(
             for out in emit(carry):
                 yield out
 
-    sorted_part = classified.repartition(*pk_cols).sortWithinPartitions(
-        *pk_cols, order_col
-    )
+    if nav_specs:
+        # the lag/lead window already hash-partitioned by pk and sorted by
+        # (pk, order); mapInPandas preserves both — no second Exchange
+        sorted_part = classified
+    else:
+        sorted_part = classified.repartition(*pk_cols).sortWithinPartitions(
+            *pk_cols, order_col
+        )
     return sorted_part.mapInPandas(scan_partition, schema=out_schema)

@@ -66,6 +66,136 @@ def mr_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_price_slide",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pv,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders),
+    d AS (SELECT *, rn - row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+          FROM s WHERE o_totalprice < pv),
+    runs AS (SELECT o_custkey, grp, MIN(o_orderkey) AS start_key,
+                    MAX(rn) AS rn_hi, COUNT(*) AS n_down
+             FROM d GROUP BY o_custkey, grp HAVING COUNT(*) >= 2),
+    u AS (SELECT o_custkey, o_orderkey AS end_key, rn FROM s
+          WHERE o_totalprice > pv)
+    SELECT r.o_custkey, r.start_key, u.end_key,
+           CAST(r.n_down + 1 AS BIGINT) AS n_rows
+    FROM runs r JOIN u ON u.o_custkey = r.o_custkey AND u.rn = r.rn_hi + 1
+    """,
+    doc="MATCH_RECOGNIZE with PREV() navigation: PATTERN (D{2,} U), "
+    "D AS price < PREV(price), U AS price > PREV(price) — a maximal "
+    "2+-step price slide ending in a rebound (reference "
+    "LogicalIndexNavigation; matcher operator/window/matcher/Matcher.java). "
+    "lag/lead computed JVM-side; the oracle is the lag + gaps-and-islands "
+    "equivalent on DuckDB's independent engine.",
+    tags=("match_recognize", "pattern", "navigation"),
+)
+def mr_price_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    matched = match_recognize(
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by="o_orderkey",
+        define={
+            "D": "o_totalprice < PREV(o_totalprice)",
+            "U": "o_totalprice > PREV(o_totalprice)",
+        },
+        pattern="D{2,} U",
+    )
+    return (
+        matched.groupBy("o_custkey", "match_id")
+        .agg(
+            F.min("o_orderkey").alias("start_key"),
+            F.max("o_orderkey").alias("end_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .drop("match_id")
+    )
+
+
+@register(
+    "mr_rally",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    h AS (SELECT *, CASE WHEN value > pv THEN 1 ELSE 0 END AS is_up,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM s WHERE value >= pv),
+    runs AS (SELECT user_id, grp, MAX(rn) AS rn_hi,
+                    MIN(CASE WHEN is_up = 1 THEN rn END) AS p
+             FROM h GROUP BY user_id, grp),
+    m AS (SELECT user_id, p, rn_hi FROM runs WHERE p IS NOT NULL AND p < rn_hi)
+    SELECT m.user_id, s1.event_id AS start_id, s2.event_id AS end_id,
+           CAST(m.rn_hi - m.p AS BIGINT) AS n_high
+    FROM m JOIN s s1 ON s1.user_id = m.user_id AND s1.rn = m.p
+           JOIN s s2 ON s2.user_id = m.user_id AND s2.rn = m.rn_hi
+    """,
+    doc="MATCH_RECOGNIZE with OVERLAPPING defines: PATTERN (U H+), "
+    "U AS v > PREV(v), H AS v >= PREV(v) — strictly-up rows satisfy BOTH "
+    "labels, so per-row classification must follow pattern position (the "
+    "backtracking VM), not first-DEFINE-wins: n_high counts H rows only, "
+    "which the oracle reproduces as run-length minus the rally start.",
+    tags=("match_recognize", "pattern", "navigation"),
+)
+def mr_rally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    matched = match_recognize(
+        t.events.select("user_id", "event_id", "value"),
+        partition_by=["user_id"],
+        order_by="event_id",
+        define={"U": "value > PREV(value)", "H": "value >= PREV(value)"},
+        pattern="U H+",
+    )
+    return (
+        matched.groupBy("user_id", "match_id")
+        .agg(
+            F.min("event_id").alias("start_id"),
+            F.max("event_id").alias("end_id"),
+            F.count(F.when(F.col("classifier") == "H", 1)).alias("n_high"),
+        )
+        .drop("match_id")
+    )
+
+
+@register(
+    "mr_plateau_ends",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS pv2
+      FROM events)
+    SELECT user_id, event_id AS end_id FROM s
+    WHERE value >= pv AND pv >= pv2
+    """,
+    doc="MATCH_RECOGNIZE modes: PATTERN (H{2}) with H AS v >= PREV(v), "
+    "AFTER MATCH SKIP TO NEXT ROW (overlapping matches; reference "
+    "SqlBase.g4:372 skipTo grammar) and ONE ROW PER MATCH (FINAL "
+    "semantics: the emitted row is the match's last row). Every row whose "
+    "two predecessors step non-decreasingly ends a match, including "
+    "consecutive such rows — exactly the two-lag oracle.",
+    tags=("match_recognize", "pattern", "modes"),
+)
+def mr_plateau_ends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    matched = match_recognize(
+        t.events.select("user_id", "event_id", "value"),
+        partition_by=["user_id"],
+        order_by="event_id",
+        define={"H": "value >= PREV(value)"},
+        pattern="H{2}",
+        after_match="to next row",
+        rows_per_match="one",
+    )
+    return matched.select("user_id", F.col("event_id").alias("end_id"))
+
+
+@register(
     "mr_error_burst",
     f"""
     WITH {_SEQ},
