@@ -275,3 +275,30 @@ def test_lsh_buckets_pure_map_stage(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # posexplode
     assert "Join" not in plan
+
+
+def test_ivf_corpus_assignment_pure_map_stage(spark):
+    """IVF nearest-centroid assignment of the CORPUS side must be a
+    zero-shuffle map stage: centroids inlined as literals, per-row argmax
+    fold (round-2 VERDICT flagged the broadcast-join +
+    Window.partitionBy(match_id) shape as an n_centroids-fold full-corpus
+    shuffle). The probe>1 query side may still join+window — it is small
+    by construction."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.pipeline import similarity
+
+    emb = Tables(spark, SF_DIR).embeddings
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    lits = [(r.cid, similarity._vec_literal(r.cv)) for r in cents]
+    plan = similarity.ivf_corpus_cells(emb, lits)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -328,8 +328,11 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "similarity", "lsh"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # num_planes pinned to 4 to match the static oracle SQL; the API
+    # default derives the plane count from corpus size (see
+    # similarity.embedding_near_duplicates)
     return similarity.embedding_near_duplicates(
-        Tables(spark, sf_dir).embeddings, threshold=0.2
+        Tables(spark, sf_dir).embeddings, threshold=0.2, num_planes=4
     )
 
 
