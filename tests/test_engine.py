@@ -226,6 +226,40 @@ def test_engine_trino_q3_fetch_first(engine, oracle):
     assert not compare_frames(got, want)
 
 
+def test_view_roundtrip(engine, spark, tmp_path):
+    """create -> query -> describe -> drop (reference CreateViewTask /
+    DropViewTask / ShowColumnsTask round trip)."""
+    store = str(tmp_path / "views.json")
+    eng = Engine(spark, view_store=store)
+    eng.sql(
+        "CREATE VIEW big_orders AS "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000"
+    )
+    n = eng.sql("SELECT COUNT(*) AS n FROM big_orders").collect()[0].n
+    assert n > 0
+    # view computes over current base data (stored as SQL, not a snapshot)
+    cols = {r.Column: r.Type for r in eng.sql("SHOW COLUMNS FROM big_orders").collect()}
+    assert cols == {"o_orderkey": "bigint", "o_totalprice": "double"}
+    # CREATE without OR REPLACE on an existing name errors (Trino behavior)
+    with pytest.raises(ValueError):
+        eng.sql("CREATE VIEW big_orders AS SELECT 1 AS x")
+    eng.sql("CREATE OR REPLACE VIEW big_orders AS SELECT 1 AS x")
+    assert eng.sql("SELECT * FROM big_orders").collect()[0].x == 1
+    # persistence: a fresh engine on the same store re-registers the view
+    eng2 = Engine(spark, view_store=store)
+    assert "big_orders" in eng2.views()
+    assert eng2.sql("SELECT * FROM big_orders").collect()[0].x == 1
+    eng2.sql("DROP VIEW big_orders")
+    assert "big_orders" not in eng2.views()
+    with pytest.raises(KeyError):
+        eng2.sql("DROP VIEW big_orders")
+    eng2.sql("DROP VIEW IF EXISTS big_orders")  # no error
+    # Trino-dialect body goes through the transpiler
+    eng.sql("CREATE OR REPLACE VIEW arr_v AS SELECT ARRAY[1,2,3][2] AS second")
+    assert eng.sql("SELECT second FROM arr_v").collect()[0].second == 2
+    eng.sql("DROP VIEW arr_v")
+
+
 def test_prepare_execute_deallocate(engine):
     engine.prepare(
         "orders_by_prio",

@@ -14,6 +14,8 @@ the coordinator-side surface:
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,20 +33,119 @@ SESSION_PROPERTIES: dict[str, str] = {
 }
 
 
+# View DDL statements (reference CreateViewTask.java / DropViewTask.java /
+# ShowColumnsTask.java). The reference stores a view as its original SQL text
+# and re-expands it during analysis; here the Trino SQL is kept in a JSON
+# catalog and registered as a Spark temp view (a named logical plan — the
+# same re-expand-at-query-time semantics).
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?P<query>.+)$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
+_SHOW_COLUMNS = re.compile(
+    r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
+
+
 class Engine:
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        view_store: str | None = None,
+    ):
+        """view_store: optional JSON file persisting {view_name: trino_sql};
+        views found there are re-registered on engine start (the reference
+        keeps view definitions in connector metadata across sessions)."""
         self.spark = spark
+        self.view_store = view_store
+        self._views: dict[str, str] = {}
         if sf_dir is not None:
             Tables(spark, sf_dir).register_views()
         register_all(spark)
+        if view_store and os.path.exists(view_store):
+            for name, text in json.load(open(view_store)).items():
+                self._register_view(name, text)
 
     def sql(self, text: str, **named_params) -> DataFrame:
         """Run a Trino-dialect query; named params use Spark 3.4+ parameter
-        binding (the reference's PREPARE/EXECUTE analog, PrepareTask.java)."""
+        binding (the reference's PREPARE/EXECUTE analog, PrepareTask.java).
+        View DDL (CREATE/DROP VIEW, SHOW COLUMNS) is dispatched here, as the
+        reference dispatches DataDefinitionTasks before planning."""
+        m = _CREATE_VIEW.match(text)
+        if m:
+            return self.create_view(
+                m.group("name"), m.group("query"), replace=bool(m.group("replace"))
+            )
+        m = _DROP_VIEW.match(text)
+        if m:
+            self.drop_view(m.group("name"), if_exists=bool(m.group("if_exists")))
+            return self.spark.range(0).select()
+        m = _SHOW_COLUMNS.match(text)
+        if m:
+            return self.show_columns(m.group("name"))
         spark_sql = transpile(text)
         if named_params:
             return self.spark.sql(spark_sql, args=named_params)
         return self.spark.sql(spark_sql)
+
+    # -- views (reference CreateViewTask.java:99 stores the SQL text;
+    # analysis re-expands it per query) ------------------------------------
+
+    def create_view(
+        self, name: str, trino_sql: str, replace: bool = False
+    ) -> DataFrame:
+        """CREATE [OR REPLACE] VIEW name AS query."""
+        if not replace and name in self._views:
+            raise ValueError(f"View already exists: {name!r}")
+        self._register_view(name, trino_sql)
+        self._views[name] = trino_sql.strip()
+        self._save_views()
+        return self.spark.range(0).select()
+
+    def _register_view(self, name: str, trino_sql: str) -> None:
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {transpile(trino_sql)}"
+        )
+        self._views[name] = trino_sql.strip()
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        """DROP VIEW [IF EXISTS] name (reference DropViewTask.java)."""
+        if name not in self._views:
+            if if_exists:
+                return
+            raise KeyError(f"View not found: {name!r}")
+        del self._views[name]
+        self.spark.catalog.dropTempView(name)
+        self._save_views()
+
+    def views(self) -> dict[str, str]:
+        """SHOW VIEWS analog: {name: original Trino SQL}."""
+        return dict(self._views)
+
+    def _save_views(self) -> None:
+        if self.view_store:
+            with open(self.view_store, "w") as f:
+                json.dump(self._views, f, indent=1)
+
+    def show_columns(self, table: str) -> DataFrame:
+        """SHOW COLUMNS FROM t — Trino's four-column layout
+        (Column, Type, Extra, Comment; reference ShowColumnsTask)."""
+        rows = [
+            (f.name, f.dataType.simpleString(), "", f.metadata.get("comment", ""))
+            for f in self.spark.table(table).schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "Column string, Type string, Extra string, Comment string"
+        )
 
     def set_session(self, prop: str, value: str) -> None:
         """SET SESSION prop=value (reference SetSessionTask.java); unknown

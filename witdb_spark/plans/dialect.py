@@ -209,8 +209,11 @@ def _rewrite_unnest(sql: str) -> str:
       CROSS JOIN UNNEST(a, b) AS t(x, y)  -> LATERAL VIEW inline(arrays_zip(a, b)) t AS x, y
     (the multi-arg zip form is exactly Trino's semantics: positional zip,
     shorter arrays padded with NULL — arrays_zip pads the same way).
-    WITH ORDINALITY is rejected: Spark's posexplode ordinal is 0-based and
-    a textual rewrite can't insert the +1; use posexplode directly."""
+    WITH ORDINALITY (reference grammar SqlBase.g4:417) zips a 1-based index
+    array in as the last column: transform(a, (e, i) -> i + 1) has exactly
+    the unnested length (empty array -> no rows, NULL -> no rows), so no
+    sequence()-style empty/descending edge cases. Map arguments with
+    ORDINALITY are rejected (Trino orders map entries arbitrarily there)."""
     while True:
         m = _UNNEST_HEAD.search(sql)
         if m is None:
@@ -223,11 +226,7 @@ def _rewrite_unnest(sql: str) -> str:
             raise UnsupportedTrinoSyntax(
                 "UNNEST requires an AS alias(col, ...) for the rewrite"
             )
-        if am.group(1):
-            raise UnsupportedTrinoSyntax(
-                "UNNEST ... WITH ORDINALITY: use LATERAL VIEW posexplode"
-                " directly (Spark ordinals are 0-based)"
-            )
+        ordinality = bool(am.group(1))
         alias, cols = am.group(2), [c.strip() for c in am.group(3).split(",")]
         # top-level comma split of args (string/paren-aware)
         parts, depth, start = [], 0, 0
@@ -242,7 +241,24 @@ def _rewrite_unnest(sql: str) -> str:
                 parts.append(args[start:i].strip())
                 start = i + 1
         parts.append(args[start:].strip())
-        if len(parts) == 1:
+        if ordinality:
+            # number of alias cols must be #arrays + 1 (ordinal is last);
+            # a single map arg would need 3 cols (k, v, ord) — unsupported
+            if len(cols) != len(parts) + 1:
+                raise UnsupportedTrinoSyntax(
+                    "UNNEST ... WITH ORDINALITY: alias must name one column"
+                    " per array plus the trailing ordinal (maps unsupported)"
+                )
+            if len(parts) == 1:
+                ord_arr = f"transform({parts[0]}, (__e, __i) -> CAST(__i + 1 AS BIGINT))"
+            else:
+                sizes = ", ".join(f"size({p})" for p in parts)
+                ord_arr = (
+                    f"transform(array_repeat(0, greatest({sizes})),"
+                    f" (__e, __i) -> CAST(__i + 1 AS BIGINT))"
+                )
+            gen = f"inline(arrays_zip({', '.join(parts)}, {ord_arr}))"
+        elif len(parts) == 1:
             gen = f"explode({parts[0]})"
         else:
             gen = f"inline(arrays_zip({', '.join(parts)}))"
