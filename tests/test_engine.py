@@ -165,14 +165,27 @@ def test_unnest_rewrites(engine):
     assert {(r.x, r.y) for r in rows} == {(1, "p"), (2, "q"), (None, "r")}
 
 
-def test_unnest_ordinality_rejected(engine):
+def test_unnest_with_ordinality(engine):
+    # reference grammar SqlBase.g4:417 — ordinal is 1-based and trails
+    rows = engine.sql(
+        "SELECT x, o FROM (SELECT array('a', 'b', 'c') AS a) s "
+        "CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
+    ).collect()
+    assert sorted((r.x, r.o) for r in rows) == [("a", 1), ("b", 2), ("c", 3)]
+    # multi-array zip: ordinal spans the longest array
+    rows = engine.sql(
+        "SELECT x, y, o FROM (SELECT array(1, 2) AS a, array('p', 'q', 'r') AS b) s "
+        "CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS u(x, y, o)"
+    ).collect()
+    assert {(r.x, r.y, r.o) for r in rows} == {(1, "p", 1), (2, "q", 2), (None, "r", 3)}
+    # maps with ORDINALITY stay rejected (Trino map entry order is arbitrary)
     import pytest
 
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql(
-            "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
+            "SELECT * FROM t CROSS JOIN UNNEST(m) WITH ORDINALITY AS u(k, v, o)"
         )
 
 

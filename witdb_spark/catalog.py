@@ -55,15 +55,35 @@ class Tables:
         return self._spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
 
     def _read_events(self) -> DataFrame:
-        """events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        reader rejects; read it as raw int64 nanoseconds instead and expose
-        it as ``ts_ns`` (BIGINT). Nanosecond integers compare/sort/window
-        exactly in both Spark and DuckDB (oracle twin: ``epoch_ns(ts)``),
-        with no truncation — sub-microsecond ordering is preserved, which a
-        cast to Spark's microsecond timestamps would lose."""
+        """Expose events.ts as ``ts_ns`` — int64 nanoseconds since epoch.
+
+        Nanosecond integers compare/sort/window exactly in both Spark and
+        DuckDB (oracle twin: ``epoch_ns(ts)``), so every downstream query
+        does exact integer arithmetic instead of engine-specific timestamp
+        semantics. The fixture schema has shipped both ways — parquet
+        TIMESTAMP(NANOS) (readable only as raw int64 via nanosAsLong) and
+        TIMESTAMP(MICROS) — so normalize whichever arrives:
+          - timestamp column → unix_micros * 1000 (UTC session tz, exact);
+          - int64 nanos → pass through.
+        Both are pure map-stage projections; pushdown/pruning unaffected."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         self._spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self._spark.read.parquet(os.path.join(self.sf_dir, "events.parquet"))
-        return df.withColumnRenamed("ts", "ts_ns")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        else:  # legacy int64-nanos fixture
+            ts_ns = F.col("ts")
+        return df.select(
+            "event_id",
+            ts_ns.alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
 
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so spark.sql() sees the catalog (the
