@@ -334,8 +334,20 @@ def match_recognize(
             cond = F.expr(_extract_navigation(cond, nav_specs))
         conds[name] = cond
 
+    # The pattern scan is CPU-bound Python work, so its parallelism must be
+    # pinned: AQE's coalescing targets shuffle *bytes* and will happily fold
+    # a small-by-bytes exchange down to ONE partition, serializing the whole
+    # scan on one core (measured: 100k rows coalesced to 1 partition, ~4x
+    # slowdown on local[32]). An explicit partition count in repartition()
+    # is exempt from AQE coalescing; defaultParallelism = total cores both
+    # locally and on a cluster — the right width for a compute-bound stage.
+    npart = df.sparkSession.sparkContext.defaultParallelism
     classified = df
     if nav_specs:
+        # hashpartitioning(pk, npart) satisfies the window's clustered
+        # distribution, so the window adds no second Exchange and AQE
+        # cannot narrow the explicit one.
+        classified = classified.repartition(npart, *partition_by)
         w = Window.partitionBy(*partition_by).orderBy(order_by)
         for (kind, inner, off), colname in nav_specs.items():
             fn = F.lag if kind == "PREV" else F.lead
@@ -462,30 +474,45 @@ def match_recognize(
             return out
 
         def emit(chunk):
-            outs = []
-            for _, g in chunk.groupby(pk_cols, sort=False):
-                masks = g[mask_col].tolist()
+            # Vectorized batch scan: key boundaries via shifted compares, a
+            # plain loop over numpy slices per key (no pandas groupby — its
+            # per-group dispatch + per-key DataFrame copies measured ~1ms/key,
+            # which dominated wall time at 1.5k keys/batch), and ONE global
+            # iloc/copy for the whole batch's matched rows.
+            n_rows = len(chunk)
+            bound = _np.zeros(n_rows, dtype=bool)
+            bound[0] = True
+            for c in pk_cols:
+                v = chunk[c].to_numpy()
+                bound[1:] |= v[1:] != v[:-1]
+            allmasks = chunk[mask_col].to_numpy()
+            starts = _np.flatnonzero(bound)
+            ends = _np.append(starts[1:], n_rows)
+            keep: list[int] = []
+            mids: list[int] = []
+            labels_out: list[str] = []
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                masks = allmasks[s0:e0].tolist()
                 n = len(masks)
                 if fast_eligible and all(m & (m - 1) == 0 for m in masks):
                     spans = spans_fast("".join(mask_char[m] for m in masks))
                 else:
                     spans = spans_vm(masks, n)
-                keep, mids, labels_out = [], [], []
                 for mid0, (s, e, labs) in enumerate(spans):
                     if one_row:
-                        keep.append(e - 1)
+                        keep.append(s0 + e - 1)
                         mids.append(mid0 + 1)
                         labels_out.append(labs[-1])
                     else:
-                        keep.extend(range(s, e))
+                        keep.extend(range(s0 + s, s0 + e))
                         mids.extend([mid0 + 1] * (e - s))
                         labels_out.extend(labs)
-                if keep:
-                    out = g.iloc[keep][data_cols].copy()
-                    out["match_id"] = _np.asarray(mids, dtype="int64")
-                    out["classifier"] = _np.asarray(labels_out, dtype=object)
-                    outs.append(out)
-            return outs
+            if not keep:
+                return None
+            out = chunk.iloc[keep][data_cols].copy()
+            out["match_id"] = _np.asarray(mids, dtype="int64")
+            out["classifier"] = _np.asarray(labels_out, dtype=object)
+            return out
 
         carry = None
         for pdf in batches:
@@ -501,18 +528,22 @@ def match_recognize(
             # first index of the suffix run of True
             cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
             done, carry = pdf.iloc[:cut], pdf.iloc[cut:]
-            for out in emit(done):
-                yield out
+            if len(done):
+                out = emit(done)
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            for out in emit(carry):
+            out = emit(carry)
+            if out is not None:
                 yield out
 
     if nav_specs:
-        # the lag/lead window already hash-partitioned by pk and sorted by
-        # (pk, order); mapInPandas preserves both — no second Exchange
+        # the lag/lead window already hash-partitioned by pk (at the explicit
+        # width seeded above) and sorted by (pk, order); mapInPandas
+        # preserves both — no second Exchange.
         sorted_part = classified
     else:
-        sorted_part = classified.repartition(*pk_cols).sortWithinPartitions(
+        sorted_part = classified.repartition(npart, *pk_cols).sortWithinPartitions(
             *pk_cols, order_col
         )
     return sorted_part.mapInPandas(scan_partition, schema=out_schema)
