@@ -290,3 +290,70 @@ def test_prepare_execute_deallocate(engine):
     # '?' inside string literals is not a parameter
     engine.prepare("q", "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority != '?'")
     assert engine.execute("q").collect()[0].n > 0
+
+
+def test_fetch_first_with_ties(engine):
+    # reference ImplementLimitWithTies.java:65 — rank() rewrite
+    rows = engine.sql(
+        "SELECT x, y FROM (VALUES (1, 'a'), (2, 'b'), (2, 'c'), (3, 'd')) "
+        "t(x, y) ORDER BY x FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert sorted((r.x, r.y) for r in rows) == [(1, "a"), (2, "b"), (2, "c")]
+    # DESC keys carry through to the rank window
+    rows = engine.sql(
+        "SELECT x FROM (VALUES (1), (2), (3), (3)) t(x) "
+        "ORDER BY x DESC FETCH FIRST 1 ROWS WITH TIES"
+    ).collect()
+    assert sorted(r.x for r in rows) == [3, 3]
+    # in a subquery scope, the outer query keeps operating on the result
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM (SELECT x FROM (VALUES (1), (2), (2), (3)) "
+        "t(x) ORDER BY x FETCH FIRST 2 ROWS WITH TIES) s"
+    ).collect()
+    assert rows[0].n == 3
+    # FETCH ... ONLY still maps to plain LIMIT
+    rows = engine.sql(
+        "SELECT x FROM (VALUES (1), (2), (3)) t(x) "
+        "ORDER BY x FETCH FIRST 2 ROWS ONLY"
+    ).collect()
+    assert sorted(r.x for r in rows) == [1, 2]
+
+
+def test_fetch_ties_requires_order_by(engine):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql("SELECT x FROM t FETCH FIRST 2 ROWS WITH TIES")
+
+
+def test_quantified_comparisons(engine):
+    # reference QuantifiedComparisonRewriter — NULL-aware lowering
+    rows = engine.sql(
+        "SELECT x, x > ALL (SELECT y FROM (VALUES (3), (NULL)) s(y)) AS p "
+        "FROM (VALUES (5), (2), (NULL)) t(x)"
+    ).collect()
+    got = {(r.x, r.p) for r in rows}
+    # 5: 5>3 true but NULL element -> unknown; 2: 2<=3 definite false
+    assert got == {(5, None), (2, False), (None, None)}
+    rows = engine.sql(
+        "SELECT x FROM (VALUES (1), (5)) t(x) "
+        "WHERE x >= SOME (SELECT y FROM (VALUES (2), (3)) s(y))"
+    ).collect()
+    assert sorted(r.x for r in rows) == [5]
+    # empty subquery: ANY -> false, ALL -> true
+    rows = engine.sql(
+        "SELECT x FROM (VALUES (1)) t(x) "
+        "WHERE x > ALL (SELECT y FROM (VALUES (2)) s(y) WHERE y > 99)"
+    ).collect()
+    assert [r.x for r in rows] == [1]
+
+
+def test_quantified_unsupported_forms(engine):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql("SELECT 1 = ALL (SELECT 1)")

@@ -16,6 +16,9 @@ handled here as quote-aware textual rewrites:
   - date_format(x, '%...')       -> mysql_date_format macro
   - from_unixtime / approx_distinct / arbitrary renames
   - FETCH FIRST n ROWS ONLY      -> LIMIT n
+  - FETCH FIRST n ROWS WITH TIES -> rank() window rewrite (_rewrite_fetch_ties)
+  - x op ANY/SOME/ALL (subquery) -> IN / NOT IN / NULL-aware min-max CASE
+    (_rewrite_quantified)
   - CAST(x AS JSON)              -> CAST(x AS STRING)  (json models as string)
 
 TRY(expr) decomposes into Spark's try_* functions for casts, arithmetic,
@@ -449,6 +452,206 @@ def _rewrite_cast_types(sql: str) -> str:
     return sql
 
 
+_FETCH_TIES = re.compile(r"\bFETCH\s+FIRST\s+(\d+)\s+ROWS?\s+WITH\s+TIES\b", re.I)
+_ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.I)
+
+
+def _scan_maps(sql: str) -> tuple[list[int], list[bool]]:
+    """Per-character (paren depth, inside-string) maps. A '(' carries the
+    incremented depth at its own index, so every character of a scope —
+    including its opening paren — shares the scope's depth value."""
+    depths = [0] * len(sql)
+    instr = [False] * len(sql)
+    depth = 0
+    for i, c, in_str in _in_string_scan(sql):
+        instr[i] = in_str
+        if not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        depths[i] = depth
+    return depths, instr
+
+
+def _rewrite_fetch_ties(sql: str) -> str:
+    """FETCH FIRST n ROWS WITH TIES -> rank() rewrite (reference
+    sql/planner/iterative/rule/ImplementLimitWithTies.java:65): the scope's
+    ORDER BY keys become rank() OVER (ORDER BY keys), rows with rank <= n
+    survive, and the outer ORDER BY is preserved. Spark folds the
+    rank-filter into WindowGroupLimit (partial top-n on every partition
+    before the final sort), so the plan scales like ORDER BY + LIMIT —
+    the same shape the reference's LimitNode-with-ties lowers to."""
+    while True:
+        depths, instr = _scan_maps(sql)
+        m = next(
+            (c for c in _FETCH_TIES.finditer(sql) if not instr[c.start()]), None
+        )
+        if m is None:
+            return sql
+        d0 = depths[m.start()]
+        # scope start: walk back over every char at depth >= d0; the char
+        # before the run is just outside the opening paren (or start of text)
+        i = m.start() - 1
+        while i >= 0 and depths[i] >= d0:
+            i -= 1
+        content_start = i + 2 if i >= 0 else 0
+        # the scope's own ORDER BY (last one at this depth before FETCH)
+        ob = None
+        for om in _ORDER_BY.finditer(sql, content_start, m.start()):
+            if not instr[om.start()] and depths[om.start()] == d0:
+                ob = om
+        if ob is None:
+            raise UnsupportedTrinoSyntax(
+                "FETCH FIRST ... WITH TIES requires ORDER BY"
+            )
+        keys = sql[ob.end() : m.start()].strip()
+        if re.search(r"\bOFFSET\b", keys, flags=re.I):
+            raise UnsupportedTrinoSyntax(
+                "OFFSET combined with FETCH FIRST ... WITH TIES is not"
+                " supported"
+            )
+        if any(re.match(r"^\d+\b", k) for k in _split_top_level(keys)):
+            raise UnsupportedTrinoSyntax(
+                "positional ORDER BY keys cannot be carried into the"
+                " WITH TIES rank() rewrite; name the sort columns"
+            )
+        # nothing but whitespace may follow the FETCH clause in its scope
+        j = m.end()
+        while j < len(sql) and depths[j] >= d0:
+            j += 1
+        if sql[m.end() : j].strip():
+            raise UnsupportedTrinoSyntax(
+                "FETCH FIRST ... WITH TIES must be the final clause of its"
+                " query scope"
+            )
+        body = sql[content_start : ob.start()]
+        n = m.group(1)
+        replacement = (
+            f"SELECT * EXCEPT (__wt_rank) FROM (SELECT __wt_q.*,"
+            f" rank() OVER (ORDER BY {keys}) AS __wt_rank FROM ({body}"
+            f") __wt_q) WHERE __wt_rank <= {n} ORDER BY {keys}"
+        )
+        sql = sql[:content_start] + replacement + sql[m.end() :]
+
+
+_QUANT = re.compile(r"(<=|>=|<>|!=|=|<|>)\s*\b(ANY|SOME|ALL)\s*\(", re.I)
+# keywords that terminate a comparison's left-hand operand when scanning left
+_LHS_STOP = {
+    "SELECT", "DISTINCT", "FROM", "WHERE", "AND", "OR", "NOT", "ON", "JOIN",
+    "WHEN", "THEN", "ELSE", "END", "CASE", "HAVING", "BY", "IN", "LIKE",
+    "BETWEEN", "IS", "ALL", "UNION", "INTERSECT", "EXCEPT",
+}
+# extreme aggregate making `x op <agg>(S)` equivalent to the quantifier
+_QUANT_AGG = {
+    ("ANY", ">"): "min", ("ANY", ">="): "min",
+    ("ANY", "<"): "max", ("ANY", "<="): "max",
+    ("ALL", ">"): "max", ("ALL", ">="): "max",
+    ("ALL", "<"): "min", ("ALL", "<="): "min",
+}
+
+
+def _lhs_start(sql: str, op_idx: int, depths: list[int], instr: list[bool]) -> int:
+    """Start index of the comparison's left operand: scan left over the
+    additive expression (identifiers, calls, arithmetic, strings) until a
+    clause keyword, a comma, another comparison, or the enclosing paren."""
+    d0 = depths[op_idx]
+    i = op_idx - 1
+    while i >= 0:
+        if instr[i]:
+            i -= 1
+            continue
+        if depths[i] < d0:
+            break
+        if depths[i] == d0:
+            c = sql[i]
+            if c in ",=<>!":
+                break
+            if c.isalpha() or c == "_":
+                k = i
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                if sql[k + 1 : i + 1].upper() in _LHS_STOP:
+                    break
+                i = k
+                continue
+        i -= 1
+    s = i + 1
+    while s < op_idx and sql[s] in " \t\n":
+        s += 1
+    return s
+
+
+def _rewrite_quantified(sql: str) -> str:
+    """Quantified comparisons (reference grammar SqlBase.g4 comparisonQuantifier,
+    planner rule TransformQuantifiedComparisonApplyToCorrelatedJoin /
+    QuantifiedComparisonRewriter): Spark's parser has no ANY/SOME/ALL
+    comparison, so
+
+      x =  ANY (sub)  ->  x IN (sub)          (exact, incl. NULL semantics)
+      x <> ALL (sub)  ->  x NOT IN (sub)
+      x {<,<=,>,>=} ANY/ALL (sub)  ->  NULL-aware CASE over the subquery's
+        count(*) / null-count / min-or-max — the same single-aggregation
+        lowering the reference's rewriter emits (empty set: ANY=false,
+        ALL=true; NULL operand or NULL-bearing set short of a definite
+        answer: NULL). Catalyst's MergeScalarSubqueries folds the three
+        scalar subqueries over the identical body into one aggregation.
+
+    `= ALL` / `<> ANY` (no single-extreme lowering) raise; uncorrelated
+    subqueries only — a correlated body fails loudly at analysis."""
+    while True:
+        depths, instr = _scan_maps(sql)
+        m = next((c for c in _QUANT.finditer(sql) if not instr[c.start()]), None)
+        if m is None:
+            return sql
+        op, quant = m.group(1), m.group(2).upper()
+        if quant == "SOME":
+            quant = "ANY"
+        open_idx = m.end() - 1
+        close_idx = _match_paren(sql, open_idx)
+        body = sql[open_idx + 1 : close_idx].strip()
+        lhs_s = _lhs_start(sql, m.start(), depths, instr)
+        lhs = sql[lhs_s : m.start()].strip()
+        if not lhs:
+            raise UnsupportedTrinoSyntax(
+                f"cannot determine left operand of {op} {quant} at"
+                f" {sql[max(0, m.start() - 30) : m.start()]!r}"
+            )
+        if op == "=" and quant == "ANY":
+            repl = f"{lhs} IN ({body})"
+        elif op in ("<>", "!=") and quant == "ALL":
+            repl = f"{lhs} NOT IN ({body})"
+        elif (quant, op) in _QUANT_AGG:
+            agg = _QUANT_AGG[(quant, op)]
+            cnt = f"SELECT count(*) FROM ({body}) __qc"
+            ext = f"SELECT {agg}(__qc_v) FROM ({body}) __qc(__qc_v)"
+            has_null = (
+                f"SELECT count(*) > count(__qc_v) FROM ({body}) __qc(__qc_v)"
+            )
+            if quant == "ANY":
+                repl = (
+                    f"(CASE WHEN ({cnt}) = 0 THEN false"
+                    f" WHEN ({lhs}) {op} ({ext}) THEN true"
+                    f" WHEN ({lhs}) IS NULL THEN cast(null AS boolean)"
+                    f" WHEN ({has_null}) THEN cast(null AS boolean)"
+                    f" ELSE false END)"
+                )
+            else:
+                repl = (
+                    f"(CASE WHEN ({cnt}) = 0 THEN true"
+                    f" WHEN NOT (({lhs}) {op} ({ext})) THEN false"
+                    f" WHEN ({lhs}) IS NULL THEN cast(null AS boolean)"
+                    f" WHEN ({has_null}) THEN cast(null AS boolean)"
+                    f" ELSE true END)"
+                )
+        else:
+            raise UnsupportedTrinoSyntax(
+                f"{op} {quant} (subquery) has no single-extreme lowering;"
+                " rewrite with EXISTS"
+            )
+        sql = sql[:lhs_s] + repl + sql[close_idx + 1 :]
+
+
 _TRY_OPS = {"/": "try_divide", "+": "try_add", "-": "try_subtract", "*": "try_multiply"}
 
 
@@ -499,6 +702,8 @@ def transpile(sql: str) -> str:
     """Rewrite a Trino-dialect query into Spark SQL. Raises
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
     sql = _rewrite_try(sql)
+    sql = _rewrite_fetch_ties(sql)
+    sql = _rewrite_quantified(sql)
     sql = _rewrite_cast_types(sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(

@@ -921,3 +921,63 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_ok_type"),
         lag_ign.alias("prev_ok_type"),
     )
+
+
+@register(
+    "limit_with_ties",
+    """
+    SELECT o_orderkey, o_orderdate FROM (
+      SELECT o_orderkey, o_orderdate,
+             rank() OVER (ORDER BY o_orderdate) AS rk
+      FROM orders) r
+    WHERE rk <= 20
+    """,
+    doc="FETCH FIRST n ROWS WITH TIES (reference grammar SqlBase.g4 "
+    "limitRowCount / ImplementLimitWithTies.java:65): the dialect rewrite "
+    "turns the clause into a rank() window filter, which Spark's optimizer "
+    "lowers to WindowGroupLimit (partial top-n per partition before the "
+    "final sort). DuckDB lacks WITH TIES, so the oracle spells out the "
+    "identical rank() form on its independent engine.",
+    tags=("limit", "ties", "dialect"),
+)
+def limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.plans import transpile
+
+    Tables(spark, sf_dir).register_views(["orders"])
+    return spark.sql(
+        transpile(
+            "SELECT o_orderkey, o_orderdate FROM orders"
+            " ORDER BY o_orderdate FETCH FIRST 20 ROWS WITH TIES"
+        )
+    )
+
+
+@register(
+    "quantified_comparison",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders
+                               WHERE o_orderpriority = '1-URGENT')
+       OR o_orderkey = ANY (SELECT o_orderkey FROM orders
+                            WHERE o_totalprice < 1000)
+    """,
+    doc="Quantified comparisons (reference grammar SqlBase.g4 "
+    "comparisonQuantifier; planner QuantifiedComparisonRewriter): "
+    ">= ALL lowers to the NULL-aware max() CASE, = ANY lowers to IN. "
+    "DuckDB evaluates the quantifiers natively as the oracle.",
+    tags=("subquery", "quantified", "dialect"),
+)
+def quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.plans import transpile
+
+    Tables(spark, sf_dir).register_views(["orders"])
+    return spark.sql(
+        transpile(
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')"
+            " OR o_orderkey = ANY (SELECT o_orderkey FROM orders"
+            " WHERE o_totalprice < 1000)"
+        )
+    )
