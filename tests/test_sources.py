@@ -115,3 +115,104 @@ def test_merge_null_keys_never_match(spark):
     nulls = sorted(r.v for r in merged.collect() if r.k is None)
     assert got == [(1, "ONE")]
     assert nulls == ["src_null", "tgt_null"]
+
+
+# -- JDBC (reference plugin/trino-base-jdbc; Derby is the only driver jar
+# shipped in this container, used embedded) --------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(tmp_path, create=False):
+    suffix = ";create=true" if create else ""
+    return f"jdbc:derby:{tmp_path}/derbydb{suffix}"
+
+
+def test_jdbc_roundtrip(spark, nation, tmp_path):
+    from witdb_spark.sources import read_jdbc, write_jdbc
+
+    write_jdbc(
+        nation.select("n_nationkey", "n_name"),
+        _derby_url(tmp_path, create=True),
+        "nation_t",
+        driver=DERBY_DRIVER,
+        num_writers=1,
+    )
+    back = read_jdbc(
+        spark, _derby_url(tmp_path), "nation_t", driver=DERBY_DRIVER
+    )
+    assert back.count() == nation.count()
+    # Spark's JDBC writer quotes identifiers, so Derby preserves case
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in nation.collect()
+    }
+
+
+def test_jdbc_partitioned_read_and_pushdown(spark, nation, tmp_path):
+    from witdb_spark.sources import read_jdbc, write_jdbc
+
+    write_jdbc(
+        nation.select("n_nationkey", "n_regionkey"),
+        _derby_url(tmp_path, create=True),
+        "nation_p",
+        driver=DERBY_DRIVER,
+        num_writers=1,
+    )
+    df = read_jdbc(
+        spark,
+        _derby_url(tmp_path),
+        "nation_p",
+        driver=DERBY_DRIVER,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    # filter pushdown reaches the remote scan (PushedFilters in the v1
+    # JDBCRelation string or a Filter absent from the physical plan)
+    filtered = df.filter(F.col("n_regionkey") == 1)
+    assert filtered.count() == nation.filter(F.col("n_regionkey") == 1).count()
+    # predicate-per-split form
+    by_pred = read_jdbc(
+        spark,
+        _derby_url(tmp_path),
+        "nation_p",
+        driver=DERBY_DRIVER,
+        predicates=['"n_regionkey" < 2', '"n_regionkey" >= 2'],
+    )
+    assert by_pred.rdd.getNumPartitions() == 2
+    assert by_pred.count() == nation.count()
+
+
+def test_jdbc_pushdown_subquery(spark, nation, tmp_path):
+    from witdb_spark.sources import read_jdbc, write_jdbc
+
+    write_jdbc(
+        nation.select("n_nationkey", "n_regionkey"),
+        _derby_url(tmp_path, create=True),
+        "nation_q",
+        driver=DERBY_DRIVER,
+        num_writers=1,
+    )
+    q = (
+        '(SELECT "n_regionkey", COUNT(*) AS n FROM nation_q'
+        ' GROUP BY "n_regionkey") t'
+    )
+    agg = read_jdbc(spark, _derby_url(tmp_path), q, driver=DERBY_DRIVER)
+    assert agg.count() == 5
+
+
+def test_avro_gated_without_module(spark, nation, tmp_path):
+    """The spark-avro module is not in this container; the format must be
+    listed but fail with the remedy message, not a Java stack."""
+    from witdb_spark.sources.io import FORMATS, _has_avro_module
+
+    assert "avro" in FORMATS
+    if _has_avro_module(spark):
+        path = str(tmp_path / "nation_avro")
+        write_table(nation, path, fmt="avro")
+        assert read_any(spark, path, "avro").count() == nation.count()
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_table(nation, str(tmp_path / "x"), fmt="avro")

@@ -19,7 +19,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "avro")
+
+
+def _check_format(spark_or_df, fmt: str) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "avro" and not _has_avro_module(spark_or_df):
+        # The avro datasource lives in the external spark-avro module
+        # (reference lib/trino-hive-formats avro support is always-on; in
+        # Spark it ships separately). Fail with the remedy, not a Java trace.
+        raise RuntimeError(
+            "the spark-avro module is not on this session's classpath; add"
+            " --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+
+
+def _has_avro_module(spark_or_df) -> bool:
+    spark = getattr(spark_or_df, "sparkSession", spark_or_df)
+    try:
+        # the datasource registry is the authoritative probe (a bare
+        # Class.forName hits stub classes in spark-sql and false-positives)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def read_any(
@@ -31,8 +57,7 @@ def read_any(
 ) -> DataFrame:
     """Format-dispatching reader (csv/json get sane defaults: header on,
     schema either declared or inferred)."""
-    if fmt not in FORMATS:
-        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    _check_format(spark, fmt)
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
@@ -58,8 +83,7 @@ def write_table(
     """INSERT/CTAS write path. sort_by orders rows within each output file
     (parquet/orc row-group min-max stats then prune on those columns at read
     time — the reference gets this from ORC writer stripe stats)."""
-    if fmt not in FORMATS:
-        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    _check_format(df, fmt)
     if repartition_to is not None:
         df = df.repartition(repartition_to)
     if sort_by:
