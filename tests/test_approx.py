@@ -100,3 +100,17 @@ def test_ml_learn_classify(spark):
         F.avg((F.col("prediction") == F.col("label")).cast("double"))
     ).collect()[0][0]
     assert acc > 0.8, acc
+
+
+def test_hll_ignores_nulls(spark):
+    """Reference approx_distinct ignores NULLs (ADVICE r2: md5(NULL) made a
+    phantom register with NULL rho)."""
+    from witdb_spark.operators.hll import hll_estimate, hll_registers
+
+    with_nulls = spark.createDataFrame(
+        [(i % 50 if i % 3 else None,) for i in range(600)], "v int"
+    )
+    without = with_nulls.where("v IS NOT NULL")
+    est_a = hll_estimate(hll_registers(with_nulls, [], "v"), [], "e").collect()[0].e
+    est_b = hll_estimate(hll_registers(without, [], "v"), [], "e").collect()[0].e
+    assert est_a == est_b

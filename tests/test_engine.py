@@ -357,3 +357,24 @@ def test_quantified_unsupported_forms(engine):
 
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql("SELECT 1 = ALL (SELECT 1)")
+
+
+def test_time_type(engine):
+    # reference core/trino-spi/.../type/TimeType.java — nanos-of-day here
+    r = engine.sql(
+        "SELECT CAST('14:30:15.5' AS TIME) AS t, "
+        "time_hour(CAST('14:30:15.5' AS TIME)) AS h, "
+        "time_to_str(CAST('14:30:15.5' AS TIME)) AS s, "
+        "CAST('09:01:02' AS TIME(3)) AS t3"
+    ).collect()[0]
+    assert r.t == ((14 * 3600 + 30 * 60 + 15) * 10**9) + 500_000_000
+    assert r.h == 14
+    assert r.s == "14:30:15.500000000"
+    assert r.t3 == (9 * 3600 + 62) * 10**9
+    r = engine.sql(
+        "SELECT LOCALTIME AS lt, CURRENT_TIME AS ct, "
+        "CURRENT_TIMESTAMP AS cts"
+    ).collect()[0]
+    assert 0 <= r.lt < 86_400_000_000_000
+    assert 0 <= r.ct < 86_400_000_000_000
+    assert r.cts is not None  # CURRENT_TIMESTAMP must not be rewritten

@@ -230,6 +230,37 @@ MACROS: dict[str, str] = {
     "url_extract_parameter": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "url_extract_parameter(u STRING, k STRING) RETURNS STRING RETURN "
     "parse_url(u, 'QUERY', k)",
+    # --- TIME type (reference core/trino-spi/.../type/TimeType.java stores
+    # picoseconds-of-day in a long; here the encoding is NANOS-of-day BIGINT
+    # — int64 covers the day at nanos, matches the events.ts_ns convention,
+    # and sorts/compares/groups natively. CAST(x AS TIME) and
+    # LOCALTIME/CURRENT_TIME are dialect rewrites onto these macros.) ---
+    "trino_time": "CREATE OR REPLACE TEMPORARY FUNCTION trino_time(s STRING) "
+    "RETURNS BIGINT RETURN "
+    "(cast(split(s, ':')[0] AS BIGINT) * 3600"
+    " + cast(split(s, ':')[1] AS BIGINT) * 60"
+    " + cast(split_part(split(s, ':')[2], '.', 1) AS BIGINT)) * 1000000000"
+    " + cast(rpad(coalesce(nullif(split_part(split(s, ':')[2], '.', 2), ''),"
+    " '0'), 9, '0') AS BIGINT)",
+    "time_hour": "CREATE OR REPLACE TEMPORARY FUNCTION time_hour(t BIGINT) "
+    "RETURNS BIGINT RETURN t DIV 3600000000000",
+    "time_minute": "CREATE OR REPLACE TEMPORARY FUNCTION time_minute(t BIGINT) "
+    "RETURNS BIGINT RETURN (t DIV 60000000000) % 60",
+    "time_second": "CREATE OR REPLACE TEMPORARY FUNCTION time_second(t BIGINT) "
+    "RETURNS BIGINT RETURN (t DIV 1000000000) % 60",
+    "time_millisecond": "CREATE OR REPLACE TEMPORARY FUNCTION time_millisecond"
+    "(t BIGINT) RETURNS BIGINT RETURN (t DIV 1000000) % 1000",
+    # time-of-day of an instant in the session zone (pmod: pre-1970 safe)
+    "time_of_day": "CREATE OR REPLACE TEMPORARY FUNCTION time_of_day"
+    "(ts TIMESTAMP) RETURNS BIGINT RETURN pmod(unix_micros(ts), 86400000000) * 1000",
+    # canonical text form at full precision (Trino casts TIME(p) to varchar
+    # at type precision; nanos encoding fixes p=9)
+    "time_to_str": "CREATE OR REPLACE TEMPORARY FUNCTION time_to_str(t BIGINT) "
+    "RETURNS STRING RETURN "
+    "concat(lpad(cast(t DIV 3600000000000 AS STRING), 2, '0'), ':', "
+    "lpad(cast((t DIV 60000000000) % 60 AS STRING), 2, '0'), ':', "
+    "lpad(cast((t DIV 1000000000) % 60 AS STRING), 2, '0'), '.', "
+    "lpad(cast(t % 1000000000 AS STRING), 9, '0'))",
     # --- array (ArrayNgramsFunction.java, trim_array) ---
     # guard: sequence(1, 0) DESCENDS in Spark, so short arrays need the if()
     "ngrams": "CREATE OR REPLACE TEMPORARY FUNCTION ngrams(a ARRAY<STRING>, n INT) "

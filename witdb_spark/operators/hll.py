@@ -52,18 +52,25 @@ def _bucket_rho(value_expr: str) -> tuple[F.Column, F.Column]:
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % M
     # 15 hex chars = 60-bit window; bin() prints no leading zeros in either
     # engine, and ltrim('0') maps w=0 -> '' -> rho 61 (the max) for free.
-    w2 = F.conv(F.substring(h, 9, 15), 16, 10).cast("bigint")
-    rho = F.lit(61) - F.length(F.expr(f"ltrim('0', bin(conv(substring(md5(cast(({value_expr}) as string)), 9, 15), 16, 10)))"))
+    # The hash-slice constants (9, 15) exist only here — rho derives from
+    # the same windowed value (ADVICE r2).
+    w = F.conv(F.substring(h, 9, 15), 16, 10).cast("bigint")
+    rho = F.lit(61) - F.length(F.call_function("ltrim", F.lit("0"), F.bin(w)))
     return bucket.alias("bucket"), rho.alias("rho")
 
 
 def hll_registers(df: DataFrame, keys: Sequence[str], value_expr: str) -> DataFrame:
     """Build per-group HLL registers: (keys..., bucket, r). This IS the
-    sketch — at most m=1024 rows per group, mergeable by MAX."""
+    sketch — at most m=1024 rows per group, mergeable by MAX.
+
+    NULL values are dropped before bucketing (reference approx_distinct
+    ignores NULLs; an md5(NULL) row would otherwise add a phantom register
+    whose NULL rho biases the estimate — ADVICE r2)."""
     b, rho = _bucket_rho(value_expr)
     keys = list(keys)
     return (
-        df.select(*keys, b, rho)
+        df.where(F.expr(value_expr).isNotNull())
+        .select(*keys, b, rho)
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("r"))
     )
@@ -116,7 +123,8 @@ def hll_oracle_cte(source_sql: str, value_expr: str, keys: Sequence[str], alias:
     SELECT {kcols}
            CAST(('0x' || substr(md5(CAST(({value_expr}) AS VARCHAR)),1,8)) AS BIGINT) % {M} AS bucket,
            61 - length(ltrim(bin(CAST(('0x' || substr(md5(CAST(({value_expr}) AS VARCHAR)),9,15)) AS BIGINT)),'0')) AS rho
-    FROM {source_sql}),
+    FROM {source_sql}
+    WHERE ({value_expr}) IS NOT NULL),
   regs AS (SELECT {kcols} bucket, MAX(rho) AS r FROM h {group_h}),
   s AS (SELECT {kcols} COUNT(*) AS nz,
                CAST(SUM(CAST((1::BIGINT << (61 - r)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp

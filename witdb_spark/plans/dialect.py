@@ -54,6 +54,15 @@ def _rewrite_segment(seg: str) -> str:
     # CAST(x AS MAP(K,V)) type syntax was already translated to MAP<K,V> by
     # _rewrite_cast_types (which runs before this pass), so the constructor
     # rule can't mangle it.
+    # TIME-typed session clocks (reference StandardTypes TIME / TIME WITH
+    # TIME ZONE): nanos-of-day of now() in the session zone. The negative
+    # lookahead keeps CURRENT_TIMESTAMP intact.
+    seg = re.sub(
+        r"\b(?:LOCALTIME|CURRENT_TIME)\b(?!STAMP)",
+        "time_of_day(now())",
+        seg,
+        flags=re.I,
+    )
     seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\((?!\s*\))", "map_from_arrays(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
@@ -444,6 +453,17 @@ def _rewrite_cast_types(sql: str) -> str:
             pos = open_idx + 1
             continue
         type_text = args[as_idx + 2 :]
+        # TIME has no Spark type: CAST(x AS TIME[(p)] [WITH TIME ZONE])
+        # becomes the nanos-of-day parse macro (registry trino_time).
+        if re.match(r"^\s*TIME\b(?!STAMP)", type_text, flags=re.I):
+            expr = args[:as_idx].strip()
+            sql = (
+                sql[: pos + m.start()]
+                + f"trino_time({expr})"
+                + sql[close_idx + 1 :]
+            )
+            pos = pos + m.start() + 1
+            continue
         translated = " " + trino_type_to_spark(type_text)
         sql = (
             sql[: open_idx + 1 + as_idx + 2] + translated + sql[close_idx:]

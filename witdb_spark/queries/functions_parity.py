@@ -465,3 +465,57 @@ def geo_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
         """
     )
+
+
+@register(
+    "time_funcs_parity",
+    """
+    WITH b AS (SELECT event_id, epoch_ns(ts) % 86400000000000 AS tod
+               FROM events WHERE event_id < 500),
+    t AS (SELECT event_id, tod,
+                 make_time(CAST(tod // 3600000000000 AS BIGINT),
+                           CAST((tod // 60000000000) % 60 AS BIGINT),
+                           CAST(tod % 60000000000 AS BIGINT) / 1000000000.0)
+                   AS tt
+          FROM b)
+    SELECT event_id,
+           CAST(hour(tt) AS BIGINT) AS h,
+           CAST(minute(tt) AS BIGINT) AS mi,
+           CAST(EXTRACT(second FROM tt) AS BIGINT) AS s,
+           CAST(EXTRACT(millisecond FROM tt) AS BIGINT) % 1000 AS ms,
+           lpad(CAST(hour(tt) AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(minute(tt) AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(EXTRACT(second FROM tt) AS BIGINT)::VARCHAR, 2, '0')
+             || '.' || lpad(CAST(tod % 1000000000 AS VARCHAR), 9, '0')
+             AS tstr,
+           tod AS reparsed
+    FROM t
+    """,
+    doc="TIME type parity (reference core/trino-spi/.../type/TimeType.java; "
+    "DateTimeFunctions hour/minute/second over TIME): nanos-of-day BIGINT "
+    "encoding with parse/extract/format macros; CAST(x AS TIME) and "
+    "LOCALTIME/CURRENT_TIME are dialect rewrites. The oracle rebuilds each "
+    "field through DuckDB's native TIME machinery (make_time/hour/extract), "
+    "an independent engine path; reparsed proves the text round-trip is "
+    "lossless at nanos.",
+    tags=("functions", "time", "dialect"),
+)
+def time_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT event_id,
+               time_hour(tod) AS h,
+               time_minute(tod) AS mi,
+               time_second(tod) AS s,
+               time_millisecond(tod) AS ms,
+               time_to_str(tod) AS tstr,
+               CAST(time_to_str(tod) AS TIME) AS reparsed
+        FROM (SELECT event_id, ts_ns % 86400000000000 AS tod
+              FROM events WHERE event_id < 500) b
+        """
+    )
