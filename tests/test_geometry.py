@@ -1,0 +1,109 @@
+"""WKT geometry kernel tests (reference plugin/trino-geospatial
+GeoFunctions.java / TestGeoFunctions.java — same predicate semantics:
+OGC strict-interior ST_Contains, boundary-inclusive ST_Intersects)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from witdb_spark.functions.geometry import _geo_ns
+
+SQ = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+HOLE = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+CONCAVE = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))"
+MP = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+
+
+@pytest.fixture(scope="module")
+def ns():
+    return _geo_ns()
+
+
+def test_area_perimeter_length(ns):
+    assert ns["area"](SQ) == 16.0
+    assert ns["area"](HOLE) == 15.0  # holes subtract
+    assert ns["area"](CONCAVE) == 12.0
+    assert ns["area"](MP) == 1.0
+    assert ns["perimeter"](SQ) == 16.0
+    assert ns["length"]("LINESTRING (0 0, 3 4, 3 8)") == 9.0
+    assert ns["area"]("POLYGON EMPTY") == 0.0
+
+
+def test_centroid(ns):
+    assert ns["centroid"](SQ) == "POINT (2 2)"
+    # square c=(2,2) minus unit hole c=(1.5,1.5): (16*2 - 1*1.5)/15
+    k, (cx, cy) = ns["parse"](ns["centroid"](HOLE))
+    assert abs(cx - 30.5 / 15) < 1e-9 and abs(cy - 30.5 / 15) < 1e-9
+    assert ns["centroid"]("LINESTRING (0 0, 0 2)") == "POINT (0 1)"
+
+
+def test_contains_ogc_semantics(ns):
+    assert ns["contains"](SQ, "POINT (2 2)")
+    assert not ns["contains"](SQ, "POINT (0 2)")  # boundary is NOT contained
+    assert not ns["contains"](SQ, "POINT (9 9)")
+    assert not ns["contains"](HOLE, "POINT (1.5 1.5)")  # inside the hole
+    assert not ns["contains"](CONCAVE, "POINT (2 3)")  # in the notch
+    assert ns["contains"](SQ, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert not ns["contains"](SQ, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert ns["contains"](SQ, "LINESTRING (1 1, 3 3)")
+
+
+def test_intersects(ns):
+    assert ns["intersects"](SQ, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert not ns["intersects"](SQ, "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+    # edge contact counts
+    assert ns["intersects"](SQ, "POLYGON ((4 0, 5 0, 5 1, 4 1, 4 0))")
+    assert ns["intersects"](SQ, "POINT (0 0)")
+    assert ns["intersects"]("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)")
+    assert not ns["intersects"](
+        "LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"
+    )
+    # a polygon fully inside a hole does not touch the outer polygon
+    assert not ns["intersects"](
+        HOLE, "POLYGON ((1.2 1.2, 1.8 1.2, 1.8 1.8, 1.2 1.8, 1.2 1.2))"
+    )
+
+
+def test_distance(ns):
+    assert ns["distance"]("POINT (0 0)", "POINT (3 4)") == 5.0
+    assert ns["distance"](SQ, "POINT (7 4)") == 3.0
+    assert ns["distance"](SQ, "POINT (2 2)") == 0.0  # inside
+    d = ns["distance"]("LINESTRING (0 0, 4 0)", "POINT (2 3)")
+    assert abs(d - 3.0) < 1e-12
+
+
+def test_envelope_bounds_roundtrip(ns):
+    assert ns["envelope"]("LINESTRING (1 2, 5 7)") == (
+        "POLYGON ((1 2, 5 2, 5 7, 1 7, 1 2))"
+    )
+    assert ns["bounds"](MP) == (0.0, 0.0, 6.0, 6.0)
+    assert ns["emit"](*ns["parse"](MP)) == MP
+    assert ns["emit"](*ns["parse"]("MULTIPOINT ((1 2), (3 4))")) == (
+        "MULTIPOINT (1 2, 3 4)"
+    )
+
+
+def test_geometry_udfs_in_sql(spark):
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a, "
+        "st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (1 1)') AS c, "
+        "st_astext('POINT (1.0 2.0)') AS t, "
+        "st_geometrytype('LINESTRING (0 0, 1 1)') AS g, "
+        "st_distance(st_point(0D, 0D), st_point(3D, 4D)) AS d, "
+        "st_numpoints('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS np, "
+        "st_isclosed('LINESTRING (0 0, 1 1, 0 0)') AS ic, "
+        "st_isempty('POLYGON EMPTY') AS ie"
+    ).collect()[0]
+    assert r.a == 16.0
+    assert r.c is True
+    assert r.t == "POINT (1 2)"
+    assert r.g == "ST_LineString"
+    assert r.d == 5.0
+    assert r.np == 5
+    assert r.ic is True
+    assert r.ie is True

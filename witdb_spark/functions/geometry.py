@@ -1,0 +1,718 @@
+"""Planar geometry functions over WKT (reference plugin/trino-geospatial
+GeoFunctions.java — 75 ST_* functions backed by Esri Geometry; here a
+pure-Python computational-geometry core over WKT strings).
+
+Representation: a geometry IS its WKT text (POINT / MULTIPOINT /
+LINESTRING / MULTILINESTRING / POLYGON / MULTIPOLYGON, holes supported).
+WKT-as-varchar keeps geometries serializable, shuffle-friendly, and
+directly comparable across engines; all functions are Arrow-batched pandas
+UDFs whose bodies exec one shared source blob (executors can't import
+witdb_spark), so the parser exists once.
+
+Implemented (Trino names, same semantics):
+  ST_GeometryFromText, ST_AsText, ST_GeometryType, ST_Point, ST_X, ST_Y,
+  ST_Area (holes subtract), ST_Length, ST_Perimeter, ST_Centroid,
+  ST_Envelope, ST_XMin/ST_XMax/ST_YMin/ST_YMax, ST_NumPoints, ST_IsClosed,
+  ST_IsEmpty, ST_Contains, ST_Within, ST_Intersects, ST_Distance.
+
+DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
+point is NOT contained (ray-cast interior test); polygon/polygon
+containment = every vertex of B inside-or-on A, no proper edge crossings,
+and at least one interior vertex. ST_Intersects counts boundary contact.
+Curved/geodesic types (geometry collections, ST_Buffer, ST_Union,
+spherical geography) remain in registry.UNSUPPORTED.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+_GEO_SRC = r'''
+import math
+import re as _re
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def _pts(text):
+    """Parse 'x1 y1, x2 y2, ...' into [(x, y), ...]."""
+    out = []
+    for pair in text.split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise ValueError("bad coordinate pair: %r" % pair)
+        out.append((float(xy[0]), float(xy[1])))
+    return out
+
+
+def _rings(text):
+    """Parse '(r1), (r2), ...' ring lists of a polygon body."""
+    rings, depth, start = [], 0, None
+    for i, c in enumerate(text):
+        if c == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                rings.append(_pts(text[start:i]))
+    return rings
+
+
+def parse(s):
+    """WKT -> (kind, data). kind in POINT/MULTIPOINT/LINESTRING/
+    MULTILINESTRING/POLYGON/MULTIPOLYGON; EMPTY -> (kind, None)."""
+    if s is None:
+        return None
+    t = s.strip()
+    m = _re.match(r"^(\w+)\s*(.*)$", t, _re.S)
+    if not m:
+        raise ValueError("bad WKT: %r" % s)
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+    if body.upper() == "EMPTY":
+        return (kind, None)
+    if not (body.startswith("(") and body.endswith(")")):
+        raise ValueError("bad WKT body: %r" % s)
+    inner = body[1:-1].strip()
+    if kind == "POINT":
+        return (kind, _pts(inner)[0])
+    if kind in ("LINESTRING", "MULTIPOINT"):
+        # MULTIPOINT accepts both (1 2, 3 4) and ((1 2), (3 4))
+        if kind == "MULTIPOINT" and "(" in inner:
+            return (kind, [r[0] for r in _rings(inner)])
+        return (kind, _pts(inner))
+    if kind == "POLYGON":
+        return (kind, _rings(inner))
+    if kind == "MULTILINESTRING":
+        return (kind, _rings(inner))
+    if kind == "MULTIPOLYGON":
+        polys, depth, start = [], 0, None
+        for i, c in enumerate(inner):
+            if c == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(_rings(inner[start + 1 : i]))
+        return (kind, polys)
+    raise ValueError("unsupported WKT type: %r" % kind)
+
+
+def _fmt(v):
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return format(v, ".12g")
+
+
+def _emit_pts(pts):
+    return ", ".join("%s %s" % (_fmt(x), _fmt(y)) for x, y in pts)
+
+
+def emit(kind, data):
+    if data is None:
+        return "%s EMPTY" % kind
+    if kind == "POINT":
+        return "POINT (%s %s)" % (_fmt(data[0]), _fmt(data[1]))
+    if kind in ("LINESTRING", "MULTIPOINT"):
+        return "%s (%s)" % (kind, _emit_pts(data))
+    if kind in ("POLYGON", "MULTILINESTRING"):
+        return "%s (%s)" % (
+            kind,
+            ", ".join("(%s)" % _emit_pts(r) for r in data),
+        )
+    if kind == "MULTIPOLYGON":
+        return "MULTIPOLYGON (%s)" % ", ".join(
+            "(%s)" % ", ".join("(%s)" % _emit_pts(r) for r in rings)
+            for rings in data
+        )
+    raise ValueError(kind)
+
+
+def _ring_area2(ring):
+    """Twice the signed shoelace area."""
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _poly_area(rings):
+    if not rings:
+        return 0.0
+    a = abs(_ring_area2(rings[0])) / 2.0
+    for hole in rings[1:]:
+        a -= abs(_ring_area2(hole)) / 2.0
+    return a
+
+
+def area(s):
+    kind, data = parse(s)
+    if data is None:
+        return 0.0
+    if kind == "POLYGON":
+        return _poly_area(data)
+    if kind == "MULTIPOLYGON":
+        return sum(_poly_area(p) for p in data)
+    return 0.0
+
+
+def _path_len(pts):
+    return sum(
+        math.hypot(pts[i + 1][0] - pts[i][0], pts[i + 1][1] - pts[i][1])
+        for i in range(len(pts) - 1)
+    )
+
+
+def length(s):
+    kind, data = parse(s)
+    if data is None:
+        return 0.0
+    if kind == "LINESTRING":
+        return _path_len(data)
+    if kind == "MULTILINESTRING":
+        return sum(_path_len(p) for p in data)
+    return 0.0
+
+
+def perimeter(s):
+    kind, data = parse(s)
+    if data is None:
+        return 0.0
+    if kind == "POLYGON":
+        return sum(_path_len(r + r[:1]) if r[0] != r[-1] else _path_len(r) for r in data)
+    if kind == "MULTIPOLYGON":
+        return sum(perimeter(emit("POLYGON", p)) for p in data)
+    return 0.0
+
+
+def _all_points(kind, data):
+    if data is None:
+        return []
+    if kind == "POINT":
+        return [data]
+    if kind in ("LINESTRING", "MULTIPOINT"):
+        return list(data)
+    if kind in ("POLYGON", "MULTILINESTRING"):
+        return [p for r in data for p in r]
+    if kind == "MULTIPOLYGON":
+        return [p for poly in data for r in poly for p in r]
+    return []
+
+
+def bounds(s):
+    kind, data = parse(s)
+    pts = _all_points(kind, data)
+    if not pts:
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def envelope(s):
+    b = bounds(s)
+    if b is None:
+        kind, _ = parse(s)
+        return "%s EMPTY" % kind
+    x0, y0, x1, y1 = b
+    return emit("POLYGON", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+
+def centroid(s):
+    kind, data = parse(s)
+    if data is None:
+        return None
+    if kind == "POINT":
+        return emit("POINT", data)
+    if kind == "MULTIPOINT":
+        n = len(data)
+        return emit(
+            "POINT",
+            (sum(p[0] for p in data) / n, sum(p[1] for p in data) / n),
+        )
+    if kind in ("LINESTRING", "MULTILINESTRING"):
+        paths = [data] if kind == "LINESTRING" else data
+        sx = sy = sl = 0.0
+        for pts in paths:
+            for i in range(len(pts) - 1):
+                seg = math.hypot(
+                    pts[i + 1][0] - pts[i][0], pts[i + 1][1] - pts[i][1]
+                )
+                sx += (pts[i][0] + pts[i + 1][0]) / 2.0 * seg
+                sy += (pts[i][1] + pts[i + 1][1]) / 2.0 * seg
+                sl += seg
+        if sl == 0.0:
+            return emit("POINT", paths[0][0])
+        return emit("POINT", (sx / sl, sy / sl))
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        polys = [data] if kind == "POLYGON" else data
+        # area-weighted sum of per-ring centroids; holes weigh negative.
+        # ring centroid = (sum((x1+x2)*cross) / (3*a2), ...) — orientation
+        # cancels, so only the outer/hole role sets the weight sign.
+        sx = sy = sw = 0.0
+        for rings in polys:
+            for ri, ring in enumerate(rings):
+                a2 = _ring_area2(ring)
+                if a2 == 0.0:
+                    continue
+                cx = cy = 0.0
+                n = len(ring)
+                for i in range(n):
+                    x1, y1 = ring[i]
+                    x2, y2 = ring[(i + 1) % n]
+                    cross = x1 * y2 - x2 * y1
+                    cx += (x1 + x2) * cross
+                    cy += (y1 + y2) * cross
+                w = abs(a2) / 2.0 * (1.0 if ri == 0 else -1.0)
+                sx += w * (cx / (3.0 * a2))
+                sy += w * (cy / (3.0 * a2))
+                sw += w
+        if sw == 0.0:
+            return emit("POINT", polys[0][0][0])
+        return emit("POINT", (sx / sw, sy / sw))
+    return None
+
+
+def _point_in_ring(p, ring):
+    """0 = outside, 1 = inside, 2 = on boundary (even-odd ray cast)."""
+    x, y = p
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        # boundary check: collinear + within segment bbox
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        if abs(cross) < 1e-12:
+            if min(x1, x2) - 1e-12 <= x <= max(x1, x2) + 1e-12 and min(
+                y1, y2
+            ) - 1e-12 <= y <= max(y1, y2) + 1e-12:
+                return 2
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return 1 if inside else 0
+
+
+def _point_in_poly(p, rings):
+    """0/1/2 against a polygon with holes."""
+    r = _point_in_ring(p, rings[0])
+    if r != 1:
+        return r
+    for hole in rings[1:]:
+        h = _point_in_ring(p, hole)
+        if h == 2:
+            return 2
+        if h == 1:
+            return 0
+    return 1
+
+
+def _seg_intersect(a, b, c, d, proper_only=False):
+    """Do segments ab and cd intersect? proper_only excludes touching."""
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        if abs(v) < 1e-12:
+            return 0
+        return 1 if v > 0 else -1
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4):
+        return True
+    if proper_only:
+        return False
+
+    def on_seg(p, q, r):
+        return (
+            orient(p, q, r) == 0
+            and min(p[0], q[0]) - 1e-12 <= r[0] <= max(p[0], q[0]) + 1e-12
+            and min(p[1], q[1]) - 1e-12 <= r[1] <= max(p[1], q[1]) + 1e-12
+        )
+
+    return (
+        on_seg(a, b, c) or on_seg(a, b, d) or on_seg(c, d, a) or on_seg(c, d, b)
+    )
+
+
+def _edges(kind, data):
+    if kind == "LINESTRING":
+        return [(data[i], data[i + 1]) for i in range(len(data) - 1)]
+    if kind == "MULTILINESTRING":
+        return [
+            (p[i], p[i + 1]) for p in data for i in range(len(p) - 1)
+        ]
+    if kind == "POLYGON":
+        return [
+            (r[i], r[(i + 1) % len(r)]) for r in data for i in range(len(r))
+        ]
+    if kind == "MULTIPOLYGON":
+        return [
+            (r[i], r[(i + 1) % len(r)])
+            for poly in data
+            for r in poly
+            for i in range(len(r))
+        ]
+    return []
+
+
+def contains(sa, sb):
+    """OGC ST_Contains: no point of B in A's exterior, and interiors meet."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return False
+    if ka == "POINT":
+        return kb == "POINT" and da == db
+    if ka in ("POLYGON", "MULTIPOLYGON"):
+        polys = [da] if ka == "POLYGON" else da
+        pts_b = _all_points(kb, db)
+        states = []
+        for p in pts_b:
+            st = max(_point_in_poly(p, poly) for poly in polys) if polys else 0
+            if st == 0:
+                return False
+            states.append(st)
+        if kb == "POINT":
+            return states[0] == 1
+        # no proper edge crossing may exist
+        ea = _edges(ka, da)
+        for (c, d) in _edges(kb, db):
+            for (a, b) in ea:
+                if _seg_intersect(a, b, c, d, proper_only=True):
+                    return False
+        # interiors must meet: some vertex (or midpoint) strictly inside
+        cand = pts_b + [
+            ((c[0] + d[0]) / 2.0, (c[1] + d[1]) / 2.0)
+            for (c, d) in _edges(kb, db)
+        ]
+        return any(
+            max(_point_in_poly(p, poly) for poly in polys) == 1 for p in cand
+        )
+    raise ValueError("ST_Contains: unsupported left type %s" % ka)
+
+
+def intersects(sa, sb):
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return False
+    pa = _all_points(ka, da)
+    pb = _all_points(kb, db)
+    # any point of one on/in the other
+    for kind, data, pts in ((ka, da, pb), (kb, db, pa)):
+        if kind in ("POLYGON", "MULTIPOLYGON"):
+            polys = [data] if kind == "POLYGON" else data
+            for p in pts:
+                if max(_point_in_poly(p, poly) for poly in polys) > 0:
+                    return True
+        elif kind == "POINT":
+            for p in pts:
+                if abs(p[0] - data[0]) < 1e-12 and abs(p[1] - data[1]) < 1e-12:
+                    return True
+        elif kind in ("MULTIPOINT",):
+            for p in pts:
+                for q in data:
+                    if abs(p[0] - q[0]) < 1e-12 and abs(p[1] - q[1]) < 1e-12:
+                        return True
+    # any edge pair touching/crossing
+    ea, eb = _edges(ka, da), _edges(kb, db)
+    for (a, b) in ea:
+        for (c, d) in eb:
+            if _seg_intersect(a, b, c, d):
+                return True
+    # point-on-edge cases
+    for (pts, edges) in ((pa, eb), (pb, ea)):
+        for p in pts:
+            for (a, b) in edges:
+                if _seg_intersect(a, b, p, p):
+                    return True
+    return False
+
+
+def _pt_seg_dist(p, a, b):
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    if dx == 0 and dy == 0:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def distance(sa, sb):
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return None
+    if intersects(sa, sb):
+        return 0.0
+    pa, pb = _all_points(ka, da), _all_points(kb, db)
+    ea, eb = _edges(ka, da), _edges(kb, db)
+    best = math.inf
+    for p in pa:
+        for q in pb:
+            best = min(best, math.hypot(p[0] - q[0], p[1] - q[1]))
+        for (c, d) in eb:
+            best = min(best, _pt_seg_dist(p, c, d))
+    for p in pb:
+        for (a, b) in ea:
+            best = min(best, _pt_seg_dist(p, a, b))
+    return best
+'''
+
+
+def _geo_ns():
+    ns: dict = {}
+    exec(_GEO_SRC, ns)
+    return ns
+
+
+def _str_fn(name, impl):
+    @pandas_udf("string")
+    def fn(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns[impl]
+        return pd.Series([None if v is None else f(v) for v in s])
+
+    fn.__name__ = name
+    return fn
+
+
+def _dbl_fn(name, impl):
+    @pandas_udf("double")
+    def fn(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns[impl]
+        return pd.Series([None if v is None else f(v) for v in s])
+
+    fn.__name__ = name
+    return fn
+
+
+def register_geometry_udfs(spark: SparkSession) -> int:
+    """Register the ST_* family; names are lowercase (Spark resolves
+    case-insensitively, matching Trino's ST_Xxx spellings)."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    fns = {}
+
+    @_pudf("string")
+    def st_geometry_from_text(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                k, d = ns["parse"](v)
+                out.append(ns["emit"](k, d))
+        return pd.Series(out)
+
+    fns["st_geometryfromtext"] = st_geometry_from_text
+    fns["st_astext"] = st_geometry_from_text  # canonical text either way
+
+    @_pudf("string")
+    def st_geometry_type(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        names = {
+            "POINT": "ST_Point",
+            "MULTIPOINT": "ST_MultiPoint",
+            "LINESTRING": "ST_LineString",
+            "MULTILINESTRING": "ST_MultiLineString",
+            "POLYGON": "ST_Polygon",
+            "MULTIPOLYGON": "ST_MultiPolygon",
+        }
+        return pd.Series(
+            [None if v is None else names[ns["parse"](v)[0]] for v in s]
+        )
+
+    fns["st_geometrytype"] = st_geometry_type
+
+    @_pudf("double")
+    def st_x(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+
+        def go(v):
+            if v is None:
+                return None
+            k, d = ns["parse"](v)
+            if k != "POINT" or d is None:
+                raise ValueError("ST_X: not a point: %r" % v)
+            return d[0]
+
+        return pd.Series([go(v) for v in s])
+
+    @_pudf("double")
+    def st_y(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+
+        def go(v):
+            if v is None:
+                return None
+            k, d = ns["parse"](v)
+            if k != "POINT" or d is None:
+                raise ValueError("ST_Y: not a point: %r" % v)
+            return d[1]
+
+        return pd.Series([go(v) for v in s])
+
+    fns["st_x"] = st_x
+    fns["st_y"] = st_y
+
+    fns["st_area"] = _dbl_fn("st_area", "area")
+    fns["st_length"] = _dbl_fn("st_length", "length")
+    fns["st_perimeter"] = _dbl_fn("st_perimeter", "perimeter")
+    fns["st_centroid"] = _str_fn("st_centroid", "centroid")
+    fns["st_envelope"] = _str_fn("st_envelope", "envelope")
+
+    for nm, idx in (
+        ("st_xmin", 0),
+        ("st_ymin", 1),
+        ("st_xmax", 2),
+        ("st_ymax", 3),
+    ):
+
+        def make(i):
+            @_pudf("double")
+            def fn(s):
+                import pandas as pd
+
+                ns: dict = {}
+                exec(_GEO_SRC, ns)
+
+                def go(v):
+                    if v is None:
+                        return None
+                    b = ns["bounds"](v)
+                    return None if b is None else b[i]
+
+                return pd.Series([go(v) for v in s])
+
+            return fn
+
+        fns[nm] = make(idx)
+
+    @_pudf("int")
+    def st_num_points(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        return pd.Series(
+            [
+                None
+                if v is None
+                else len(ns["_all_points"](*ns["parse"](v)))
+                for v in s
+            ]
+        )
+
+    fns["st_numpoints"] = st_num_points
+
+    @_pudf("boolean")
+    def st_is_closed(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+
+        def go(v):
+            if v is None:
+                return None
+            k, d = ns["parse"](v)
+            if k == "LINESTRING":
+                return d is not None and d[0] == d[-1]
+            if k == "MULTILINESTRING":
+                return d is not None and all(p[0] == p[-1] for p in d)
+            return None
+
+        return pd.Series([go(v) for v in s])
+
+    fns["st_isclosed"] = st_is_closed
+
+    @_pudf("boolean")
+    def st_is_empty(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        return pd.Series(
+            [None if v is None else ns["parse"](v)[1] is None for v in s]
+        )
+
+    fns["st_isempty"] = st_is_empty
+
+    def _bool2(name, impl, swap=False):
+        @_pudf("boolean")
+        def fn(a, b):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            f = ns[impl]
+
+            def go(x, y):
+                if x is None or y is None:
+                    return None
+                return f(y, x) if swap else f(x, y)
+
+            return pd.Series([go(x, y) for x, y in zip(a, b)])
+
+        fn.__name__ = name
+        return fn
+
+    fns["st_contains"] = _bool2("st_contains", "contains")
+    fns["st_within"] = _bool2("st_within", "contains", swap=True)
+    fns["st_intersects"] = _bool2("st_intersects", "intersects")
+
+    @_pudf("double")
+    def st_distance(a, b):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["distance"]
+        return pd.Series(
+            [
+                None if x is None or y is None else f(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    fns["st_distance"] = st_distance
+
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return len(fns)

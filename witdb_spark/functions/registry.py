@@ -326,24 +326,18 @@ MACROS: dict[str, str] = {
     "json_size": "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
     "(s STRING, p STRING) RETURNS INT RETURN "
     "size(from_json(get_json_object(s, p), 'map<string,string>'))",
-    # --- geospatial, minimal planar-point subset (plugin/trino-geospatial
-    # GeoFunctions.java has 75 ST_*; full geometry needs a geo lib — this
-    # covers points/distance/envelope math, which is pure Catalyst) ---
+    # --- geospatial (plugin/trino-geospatial GeoFunctions.java). Geometry
+    # IS its WKT text; the ST_* computational family (area/centroid/
+    # contains/intersects/distance over polygons with holes) lives in
+    # functions/geometry.py as Arrow-batched pandas UDFs. Only the
+    # constructors that are pure string math stay macros (JVM-side). ---
     "st_point": "CREATE OR REPLACE TEMPORARY FUNCTION st_point"
-    "(x DOUBLE, y DOUBLE) RETURNS STRUCT<x: DOUBLE, y: DOUBLE> RETURN "
-    "named_struct('x', x, 'y', y)",
-    "st_x": "CREATE OR REPLACE TEMPORARY FUNCTION st_x"
-    "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE RETURN p.x",
-    "st_y": "CREATE OR REPLACE TEMPORARY FUNCTION st_y"
-    "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE RETURN p.y",
-    "st_distance": "CREATE OR REPLACE TEMPORARY FUNCTION st_distance"
-    "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>) "
-    "RETURNS DOUBLE RETURN sqrt((a.x - b.x) * (a.x - b.x) + "
-    "(a.y - b.y) * (a.y - b.y))",
+    "(x DOUBLE, y DOUBLE) RETURNS STRING RETURN "
+    "concat('POINT (', cast(x AS STRING), ' ', cast(y AS STRING), ')')",
     "st_envelope_contains": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "st_envelope_contains(xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE,"
-    " p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN RETURN "
-    "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
+    " p STRING) RETURNS BOOLEAN RETURN "
+    "st_x(p) >= xmin AND st_x(p) <= xmax AND st_y(p) >= ymin AND st_y(p) <= ymax",
     # core Trino (MathFunctions.java great_circle_distance, km, haversine)
     "great_circle_distance": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "great_circle_distance(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)"
@@ -371,19 +365,28 @@ MACROS: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
-    "ST_* geometry types": "polygons/linestrings need a geometry library; "
-    "the planar point/distance/envelope subset is implemented as macros",
+    "ST_* curved/set-operation geometry": "ST_Buffer, ST_Union,"
+    " ST_Intersection (geometry output), geometry collections, Bing tiles,"
+    " and spherical geography need a full geometry kernel; the planar"
+    " WKT family in functions/geometry.py covers the measurement and"
+    " predicate surface (area/length/perimeter/centroid/envelope/bounds/"
+    " contains/within/intersects/distance over points, linestrings,"
+    " polygons with holes, and multi-variants)",
 }
 
 
 def register_all(spark: SparkSession) -> int:
     """Install every macro + Python-tier UDF into the session; returns the
     number registered."""
+    from witdb_spark.functions.geometry import register_geometry_udfs
     from witdb_spark.functions.python_udfs import register_python_udfs
 
+    # geometry UDFs first: macro bodies referencing them (e.g.
+    # st_envelope_contains -> st_x) are validated at CREATE time
+    n_geo = register_geometry_udfs(spark)
     for ddl in MACROS.values():
         spark.sql(ddl)
-    return len(MACROS) + register_python_udfs(spark)
+    return len(MACROS) + register_python_udfs(spark) + n_geo
 
 
 def trino_fn(name: str):

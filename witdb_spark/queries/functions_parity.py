@@ -519,3 +519,96 @@ def time_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events WHERE event_id < 500) b
         """
     )
+
+
+@register(
+    "geometry_funcs_parity",
+    """
+    WITH g AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+             CAST((s_suppkey * 7) % 40 AS DOUBLE) AS y0,
+             CAST(s_suppkey % 4 AS DOUBLE) AS a,
+             CAST((s_suppkey // 4) % 3 AS DOUBLE) AS b,
+             CAST(s_suppkey % 7 AS DOUBLE) AS px,
+             CAST(s_suppkey % 5 AS DOUBLE) AS py
+      FROM supplier),
+    v AS (
+      SELECT s_suppkey, px, py,
+             x0 AS x1, y0 AS y1,
+             x0 + 4 + a AS x2, y0 + 1 AS y2,
+             x0 + 5 + a AS x3, y0 + 5 + b AS y3,
+             x0 - 1 AS x4, y0 + 3 + b AS y4,
+             x0 + px AS qx, y0 + py AS qy
+      FROM g)
+    SELECT s_suppkey,
+           abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+               + (x4*y1 - x1*y4)) / 2 AS parea,
+           round(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+               + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
+               + sqrt((x4-x3)*(x4-x3) + (y4-y3)*(y4-y3))
+               + sqrt((x1-x4)*(x1-x4) + (y1-y4)*(y1-y4)), 6) AS pperim,
+           round(((x1+x2)*(x1*y2-x2*y1) + (x2+x3)*(x2*y3-x3*y2)
+                + (x3+x4)*(x3*y4-x4*y3) + (x4+x1)*(x4*y1-x1*y4))
+             / (3 * ((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+                + (x4*y1 - x1*y4))), 6) AS cx,
+           round(((y1+y2)*(x1*y2-x2*y1) + (y2+y3)*(x2*y3-x3*y2)
+                + (y3+y4)*(x3*y4-x4*y3) + (y4+y1)*(x4*y1-x1*y4))
+             / (3 * ((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+                + (x4*y1 - x1*y4))), 6) AS cy,
+           x4 AS exmin, y1 AS eymin,
+           ((x2-x1)*(qy-y1) - (y2-y1)*(qx-x1)) > 0 AND
+           ((x3-x2)*(qy-y2) - (y3-y2)*(qx-x2)) > 0 AND
+           ((x4-x3)*(qy-y3) - (y4-y3)*(qx-x3)) > 0 AND
+           ((x1-x4)*(qy-y4) - (y1-y4)*(qx-x4)) > 0 AS has_pt,
+           round(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+               + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2)), 6) AS ls_len
+    FROM v
+    """,
+    doc="WKT geometry parity (reference plugin/trino-geospatial "
+    "GeoFunctions.java ST_Area/ST_Perimeter/ST_Centroid/ST_Envelope/"
+    "ST_Contains/ST_Length): per-supplier convex quadrilaterals whose shape "
+    "varies with the key, evaluated by the WKT kernel on the Spark side and "
+    "by closed-form shoelace / cross-sign arithmetic in DuckDB — fully "
+    "independent math paths. ST_Contains is strict-interior (OGC), matching "
+    "the all-crosses-positive oracle.",
+    tags=("functions", "geospatial", "geometry"),
+)
+def geometry_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.supplier.createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT s_suppkey,
+                 CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+                 CAST((s_suppkey * 7) % 40 AS DOUBLE) AS y0,
+                 CAST(s_suppkey % 4 AS DOUBLE) AS a,
+                 CAST(s_suppkey DIV 4 % 3 AS DOUBLE) AS b,
+                 CAST(s_suppkey % 7 AS DOUBLE) AS px,
+                 CAST(s_suppkey % 5 AS DOUBLE) AS py
+          FROM supplier),
+        w AS (
+          SELECT s_suppkey,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x0, y0, x0 + 4 + a, y0 + 1, x0 + 5 + a, y0 + 5 + b,
+                   x0 - 1, y0 + 3 + b, x0, y0) AS quad,
+                 format_string('LINESTRING (%s %s, %s %s, %s %s)',
+                   x0, y0, x0 + 4 + a, y0 + 1, x0 + 5 + a, y0 + 5 + b)
+                   AS path,
+                 st_point(x0 + px, y0 + py) AS probe
+          FROM g)
+        SELECT s_suppkey,
+               st_area(quad) AS parea,
+               round(st_perimeter(quad), 6) AS pperim,
+               round(st_x(st_centroid(quad)), 6) AS cx,
+               round(st_y(st_centroid(quad)), 6) AS cy,
+               st_xmin(st_envelope(quad)) AS exmin,
+               st_ymin(st_envelope(quad)) AS eymin,
+               st_contains(quad, probe) AS has_pt,
+               round(st_length(path), 6) AS ls_len
+        FROM w
+        """
+    )
