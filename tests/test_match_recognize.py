@@ -233,3 +233,69 @@ def test_jaccard_prefix_candidates_complete(spark):
         ).collect()
     }
     assert truth <= cands
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from witdb_spark.engine import Engine
+
+    return Engine(spark)
+
+
+def test_sql_form_one_row(engine, spark):
+    # reference SqlBase.g4:360 — SQL clause lowered onto the operator
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 1.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("mr_sql_t")
+    rows = engine.sql(
+        """
+        SELECT k, start_seq, end_seq, n_down
+        FROM mr_sql_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES FIRST(seq) AS start_seq, LAST(seq) AS end_seq,
+                   count(*) AS n_down
+          ONE ROW PER MATCH
+          PATTERN (D{2} U)
+          DEFINE D AS price < PREV(price), U AS price > PREV(price)
+        )
+        """
+    ).collect()
+    assert [(r.k, r.start_seq, r.end_seq, r.n_down) for r in rows] == [
+        (1, 2, 4, 3)
+    ]
+
+
+def test_sql_form_all_rows_running(engine, spark):
+    spark.createDataFrame(
+        [(1, i, "e") for i in range(1, 4)], "k int, seq int, t string"
+    ).createOrReplaceTempView("mr_sql_t2")
+    rows = engine.sql(
+        """
+        SELECT seq, rn, tot FROM mr_sql_t2 MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES count(*) AS rn, FINAL count(*) AS tot
+          ALL ROWS PER MATCH
+          PATTERN (E+) DEFINE E AS t = 'e'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [(r.seq, r.rn, r.tot) for r in rows] == [
+        (1, 1, 3), (2, 2, 3), (3, 3, 3)
+    ]
+
+
+def test_sql_form_unsupported(engine, spark):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    spark.range(1).createOrReplaceTempView("mr_sql_t3")
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
+            "PARTITION BY id ORDER BY id "
+            "MEASURES A.id AS a_id ONE ROW PER MATCH "
+            "PATTERN (A B) DEFINE A AS id > 0, B AS id > 0)"
+        )

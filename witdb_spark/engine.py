@@ -92,6 +92,13 @@ class Engine:
         m = _SHOW_COLUMNS.match(text)
         if m:
             return self.show_columns(m.group("name"))
+        if re.search(r"\bMATCH_RECOGNIZE\b", text, flags=re.I):
+            # SQL-form row-pattern relations (reference SqlBase.g4:360) are
+            # lowered onto the DataFrame operator and spliced back in as
+            # computed views before the dialect pass.
+            from witdb_spark.plans.mr_sql import rewrite_match_recognize
+
+            text = rewrite_match_recognize(self.spark, text)
         spark_sql = transpile(text)
         if named_params:
             return self.spark.sql(spark_sql, args=named_params)

@@ -1,0 +1,281 @@
+"""SQL-form MATCH_RECOGNIZE (reference grammar SqlBase.g4:360
+patternRecognition; analysis sql/analyzer/PatternRecognitionAnalysis.java,
+planning sql/planner/RelationPlanner.java visitPatternRecognitionRelation).
+
+The dialect has no Spark grammar to lower onto, so the relation
+
+    FROM <table> MATCH_RECOGNIZE (
+      PARTITION BY k [, ...]
+      ORDER BY ord
+      [MEASURES expr AS name [, ...]]
+      [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      PATTERN ( <row pattern> )
+      DEFINE L AS cond [, ...]
+    ) [AS alias]
+
+is executed by the DataFrame operator (operators/match_recognize.py — the
+same backtracking-VM machine) and registered as a temp view; the outer
+query then runs against that view with the relation text spliced out.
+
+MEASURES semantics implemented (reference
+operator/window/pattern/MeasureComputation.java):
+  - ONE ROW PER MATCH: FINAL semantics. FIRST(x)/LAST(x) -> min_by/max_by
+    on the match ordering; CLASSIFIER() -> last row's label;
+    MATCH_NUMBER() -> match_id; aggregates (count/sum/min/max/avg/...)
+    evaluate over the match's rows; a measure with no aggregate is
+    evaluated on the LAST row (unqualified FINAL row-pattern navigation).
+  - ALL ROWS PER MATCH: RUNNING semantics (the SQL:2016 default) via
+    cumulative windows over (partition, match_id) ordered by the match
+    ordering; FINAL <agg>(x) uses the full-match frame. LAST(x) is the
+    current row's value (running), FIRST(x) the match's first.
+
+Unsupported (loud, not silent): label-qualified references (A.price),
+SUBSET, PERMUTE, {- -} exclusions, and PREV/NEXT inside MEASURES.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from witdb_spark.plans.dialect import (
+    UnsupportedTrinoSyntax,
+    _in_string_scan,
+    _match_paren,
+    _scan_maps,
+    transpile,
+)
+
+
+def _split_args(text: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0, string-aware. Unlike
+    dialect._split_top_level this does NOT treat < > as brackets — DEFINE
+    and MEASURES bodies are expressions full of comparison operators."""
+    parts, depth, start = [], 0, 0
+    for i, c, in_str in _in_string_scan(text):
+        if in_str:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+_MR_HEAD = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+MATCH_RECOGNIZE\s*\(", re.I
+)
+_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", re.I)
+
+_AGG_NAMES = (
+    "count", "sum", "min", "max", "avg", "min_by", "max_by", "bool_and",
+    "bool_or", "stddev", "variance", "collect_list", "array_agg",
+)
+
+
+def has_match_recognize(sql: str) -> bool:
+    return re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I) is not None
+
+
+def _parse_clause(body: str) -> dict:
+    """Split the MATCH_RECOGNIZE(...) body into its clauses."""
+    spec: dict = {
+        "measures": [],
+        "rows_per_match": "one",  # SQL default is ONE ROW PER MATCH
+        "after_match": "past last row",
+    }
+    pat = re.compile(
+        r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+        r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|SUBSET|DEFINE)\b",
+        re.I,
+    )
+    depths, instr = _scan_maps(body)
+    marks = [
+        m for m in pat.finditer(body)
+        if not instr[m.start()] and depths[m.start()] == 0
+    ]
+    for i, m in enumerate(marks):
+        kw = " ".join(m.group(1).upper().split())
+        seg = body[m.end() : marks[i + 1].start() if i + 1 < len(marks) else len(body)]
+        seg = seg.strip()
+        if kw == "PARTITION BY":
+            spec["partition_by"] = [c.strip() for c in _split_args(seg)]
+        elif kw == "ORDER BY":
+            keys = _split_args(seg)
+            if len(keys) != 1 or re.search(r"\bDESC\b", keys[0], re.I):
+                raise UnsupportedTrinoSyntax(
+                    "MATCH_RECOGNIZE ORDER BY: exactly one ascending key"
+                )
+            spec["order_by"] = keys[0].strip()
+        elif kw == "MEASURES":
+            for item in _split_args(seg):
+                mm = re.match(r"^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$",
+                              item.strip(), re.I | re.S)
+                if not mm:
+                    raise UnsupportedTrinoSyntax(
+                        f"MEASURES entry needs 'expr AS name': {item!r}"
+                    )
+                spec["measures"].append((mm.group(1).strip(), mm.group(2)))
+        elif kw == "ONE ROW PER MATCH":
+            spec["rows_per_match"] = "one"
+        elif kw == "ALL ROWS PER MATCH":
+            spec["rows_per_match"] = "all"
+        elif kw == "AFTER MATCH":
+            s = " ".join(seg.upper().split())
+            if s.startswith("SKIP PAST LAST ROW"):
+                spec["after_match"] = "past last row"
+            elif s.startswith("SKIP TO NEXT ROW"):
+                spec["after_match"] = "to next row"
+            else:
+                raise UnsupportedTrinoSyntax(f"AFTER MATCH {seg!r}")
+        elif kw == "PATTERN":
+            seg = seg.strip()
+            if not seg.startswith("("):
+                raise UnsupportedTrinoSyntax("PATTERN needs parentheses")
+            close = _match_paren(seg, 0)
+            spec["pattern"] = seg[1:close].strip()
+        elif kw == "SUBSET":
+            raise UnsupportedTrinoSyntax("MATCH_RECOGNIZE SUBSET")
+        elif kw == "DEFINE":
+            spec["define"] = {}
+            for item in _split_args(seg):
+                dm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$",
+                              item.strip(), re.I | re.S)
+                if not dm:
+                    raise UnsupportedTrinoSyntax(f"DEFINE entry: {item!r}")
+                spec["define"][dm.group(1)] = dm.group(2).strip()
+    for req in ("partition_by", "order_by", "pattern", "define"):
+        if req not in spec:
+            raise UnsupportedTrinoSyntax(f"MATCH_RECOGNIZE missing {req}")
+    if re.search(r"\{-|\bPERMUTE\b", spec["pattern"], re.I):
+        raise UnsupportedTrinoSyntax("pattern exclusions / PERMUTE")
+    return spec
+
+
+def _check_measure(expr: str, labels) -> None:
+    for lab in labels:
+        if re.search(rf"\b{lab}\s*\.", expr):
+            raise UnsupportedTrinoSyntax(
+                f"label-qualified measure reference in {expr!r}"
+            )
+    if re.search(r"\b(PREV|NEXT)\s*\(", expr, re.I):
+        raise UnsupportedTrinoSyntax("PREV/NEXT inside MEASURES")
+
+
+def _measure_one_row(expr: str, ord_col: str) -> str:
+    """FINAL-semantics aggregate expression for ONE ROW PER MATCH."""
+    e = transpile(expr)
+    e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"min_by(\1, {ord_col})", e, flags=re.I)
+    e = re.sub(r"\bLAST\s*\(([^()]*)\)", rf"max_by(\1, {ord_col})", e, flags=re.I)
+    e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", f"max_by(classifier, {ord_col})", e, flags=re.I)
+    e = re.sub(r"\bMATCH_NUMBER\s*\(\s*\)", "first(match_id)", e, flags=re.I)
+    if not re.search(r"\b(" + "|".join(_AGG_NAMES) + r")\s*\(", e, re.I):
+        # no aggregate anywhere: unqualified FINAL -> value on the last row
+        e = f"max_by({e}, {ord_col})"
+    return e
+
+
+def _measure_all_rows(expr: str, pk: list[str], ord_col: str) -> str:
+    """RUNNING-semantics (default) window expression for ALL ROWS PER
+    MATCH; FINAL agg(...) switches to the whole-match frame."""
+    e = transpile(expr)
+    part = ", ".join([*pk, "match_id"])
+    run = (
+        f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    full = (
+        f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"first(\1){run}", e, flags=re.I)
+    e = re.sub(r"\bLAST\s*\(([^()]*)\)", r"(\1)", e, flags=re.I)  # running last = current row
+    e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", "classifier", e, flags=re.I)
+    e = re.sub(r"\bMATCH_NUMBER\s*\(\s*\)", "match_id", e, flags=re.I)
+
+    def frame(m):
+        final = bool(m.group(1))
+        name, args = m.group(2), m.group(3)
+        return f"{name}({args}){full if final else run}"
+
+    e = re.sub(
+        r"\b(FINAL\s+)?(" + "|".join(_AGG_NAMES) + r")\s*\(([^()]*)\)",
+        frame,
+        e,
+        flags=re.I,
+    )
+    e = re.sub(r"\bRUNNING\s+", "", e, flags=re.I)
+    return e
+
+
+_VIEW_SEQ = [0]
+
+
+def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
+    """Replace every `<table> MATCH_RECOGNIZE (...) [AS alias]` relation in
+    `sql` with a computed temp view; returns the rewritten query text."""
+    while True:
+        depths, instr = _scan_maps(sql)
+        m = next(
+            (c for c in _MR_HEAD.finditer(sql) if not instr[c.start()]), None
+        )
+        if m is None:
+            return sql
+        table = m.group(1)
+        open_idx = m.end() - 1
+        close_idx = _match_paren(sql, open_idx)
+        spec = _parse_clause(sql[open_idx + 1 : close_idx])
+        am = _ALIAS.match(sql, close_idx + 1)
+        alias = None
+        if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "ON",
+            "UNION", "INTERSECT", "EXCEPT", "CROSS", "LEFT", "RIGHT",
+            "INNER", "FULL", "FETCH", "OFFSET",
+        ):
+            alias = am.group(1)
+        view = _lower(spark, table, spec)
+        end = am.end() if alias else close_idx + 1
+        rel = view if alias is None else f"{view} AS {alias}"
+        sql = sql[: m.start(1)] + rel + sql[end:]
+
+
+def _lower(spark: SparkSession, table: str, spec: dict) -> str:
+    from pyspark.sql import functions as F
+
+    from witdb_spark.operators.match_recognize import match_recognize
+
+    labels = list(spec["define"])
+    for expr, _ in spec["measures"]:
+        _check_measure(expr, labels)
+    define = {k: transpile(v) for k, v in spec["define"].items()}
+    matched = match_recognize(
+        spark.table(table),
+        partition_by=spec["partition_by"],
+        order_by=spec["order_by"],
+        define=define,
+        pattern=spec["pattern"],
+        after_match=spec["after_match"],
+        rows_per_match="all",  # measures need the full match either way
+    )
+    pk, ord_col = spec["partition_by"], spec["order_by"]
+    if spec["rows_per_match"] == "one":
+        aggs = [
+            F.expr(_measure_one_row(e, ord_col)).alias(name)
+            for e, name in spec["measures"]
+        ]
+        out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")
+    else:
+        out = matched
+        for e, name in spec["measures"]:
+            out = out.withColumn(
+                name, F.expr(_measure_all_rows(e, pk, ord_col))
+            )
+    _VIEW_SEQ[0] += 1
+    view = f"__mr_rel_{_VIEW_SEQ[0]}"
+    out.createOrReplaceTempView(view)
+    return view

@@ -223,3 +223,52 @@ def mr_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_error"),
         F.count(F.lit(1)).alias("n_errors"),
     ).drop("match_id")
+
+
+@register(
+    "mr_sql_funnel",
+    f"""
+    WITH {_SEQ},
+    v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM seq WHERE event_type = 'view'),
+    vruns AS (SELECT user_id, grp, MIN(event_id) AS first_view,
+                     COUNT(*) AS n_views, MAX(rn) AS last_rn
+              FROM v GROUP BY user_id, grp),
+    p AS (SELECT user_id, event_id AS purchase_id, rn FROM seq
+          WHERE event_type = 'purchase')
+    SELECT v.user_id, first_view, purchase_id,
+           CAST(n_views AS BIGINT) AS n_views, 'P' AS last_label
+    FROM vruns v JOIN p ON p.user_id = v.user_id AND p.rn = v.last_rn + 1
+    """,
+    doc="SQL-form MATCH_RECOGNIZE (reference grammar SqlBase.g4:360, "
+    "RelationPlanner visitPatternRecognitionRelation): the full clause — "
+    "PARTITION BY / ORDER BY / MEASURES with FIRST/LAST/CLASSIFIER / ONE "
+    "ROW PER MATCH / AFTER MATCH SKIP / PATTERN / DEFINE — parsed from SQL "
+    "and lowered onto the backtracking-VM operator; measures evaluate with "
+    "FINAL semantics as min_by/max_by over the match ordering. Oracle is "
+    "the independent gaps-and-islands form.",
+    tags=("match_recognize", "pattern", "dialect"),
+)
+def mr_sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id, first_view, purchase_id, n_views, last_label
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(event_id) AS first_view,
+                   LAST(event_id) AS purchase_id,
+                   count(*) - 1 AS n_views,
+                   CLASSIFIER() AS last_label
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        """
+    )
