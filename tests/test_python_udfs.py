@@ -91,3 +91,56 @@ def test_inverse_beta_cdf_roundtrip(spark):
         x = one(spark, f"inverse_beta_cdf({a}D, {b}D, {p}D)")
         back = one(spark, f"beta_cdf({a}D, {b}D, {x}D)")
         assert abs(back - p) < 1e-9, (a, b, p, x, back)
+
+
+def test_human_readable_seconds(spark):
+    # reference operator/scalar/timestamp/HumanReadableSeconds.java
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT human_readable_seconds(96861.5) AS a, "
+        "human_readable_seconds(0.2) AS z, "
+        "human_readable_seconds(-61D) AS n, "
+        "human_readable_seconds(604800D) AS w"
+    ).collect()[0]
+    assert r.a == "1 day, 2 hours, 54 minutes, 22 seconds"
+    assert r.z == "0 seconds"
+    assert r.n == "1 minute, 1 second"  # |x| like the reference
+    assert r.w == "1 week"
+
+
+def test_binary_codecs(spark):
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT hex(to_big_endian_64(258)) AS be64, "
+        "from_big_endian_64(to_big_endian_64(-5)) AS sig, "
+        "from_big_endian_32(to_big_endian_32(-7)) AS sig32, "
+        "from_ieee754_64(to_ieee754_64(2.5)) AS d, "
+        "hex(to_ieee754_32(1.0)) AS f32, "
+        "to_base32(encode('Hello', 'UTF-8')) AS b32, "
+        "decode(from_base32('JBSWY3DP'), 'UTF-8') AS b32d, "
+        "to_base64url(unhex('FBFF')) AS url, "
+        "hex(from_base64url('-_8=')) AS urld, "
+        "to_base(255, 16) AS tb, from_base('ff', 16) AS fb"
+    ).collect()[0]
+    assert r.be64 == "0000000000000102"
+    assert r.sig == -5 and r.sig32 == -7
+    assert r.d == 2.5 and r.f32 == "3F800000"
+    assert r.b32 == "JBSWY3DP" and r.b32d == "Hello"
+    assert r.url == "-_8=" and r.urld == "FBFF"
+    assert r.tb == "ff" and r.fb == 255
+
+
+def test_ip_contains(spark):
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT ip_contains('10.0.0.0/8', '10.255.0.1') AS a, "
+        "ip_contains('10.0.0.0/8', '11.0.0.1') AS b, "
+        "ip_contains('2001:db8::/32', '2001:db8::1') AS c"
+    ).collect()[0]
+    assert r.a is True and r.b is False and r.c is True

@@ -320,6 +320,130 @@ def _json_udfs():
     return json_exists, json_value, json_query
 
 
+def _human_readable_seconds_udf():
+    @pandas_udf("string")
+    def human_readable_seconds(d):
+        import pandas as pd
+
+        # reference operator/scalar/timestamp/HumanReadableSeconds.java:
+        # round |seconds|, decompose into weeks/days/hours/minutes/seconds,
+        # join non-zero parts with ", ", singular/plural unit names.
+        def go(v):
+            if v is None:
+                return None
+            secs = round(abs(v))
+            parts = []
+            for unit, size in (
+                ("week", 604800),
+                ("day", 86400),
+                ("hour", 3600),
+                ("minute", 60),
+                ("second", 1),
+            ):
+                n, secs = divmod(secs, size)
+                if n:
+                    parts.append(f"{n} {unit}{'s' if n != 1 else ''}")
+            return ", ".join(parts) if parts else "0 seconds"
+
+        return pd.Series([go(v) for v in d])
+
+    return human_readable_seconds
+
+
+def _base32_udfs():
+    @pandas_udf("string")
+    def to_base32(b):
+        import base64
+
+        import pandas as pd
+
+        return pd.Series(
+            [None if v is None else base64.b32encode(bytes(v)).decode() for v in b]
+        )
+
+    @pandas_udf("binary")
+    def from_base32(s):
+        import base64
+
+        import pandas as pd
+
+        return pd.Series(
+            [None if v is None else base64.b32decode(v) for v in s]
+        )
+
+    return to_base32, from_base32
+
+
+def _binary_codec_udfs():
+    """Big-endian and IEEE-754 pack/unpack (reference
+    VarbinaryFunctions.java to/from_big_endian_32/64, to/from_ieee754_*)."""
+    from pyspark.sql.functions import pandas_udf as _p
+
+    def packer(fmt, out_type, cast=None):
+        @_p(out_type)
+        def pack(x):
+            import struct
+
+            import pandas as pd
+
+            def go(v):
+                if v is None:
+                    return None
+                return struct.pack(fmt, cast(v) if cast else v)
+
+            return pd.Series([go(v) for v in x])
+
+        return pack
+
+    def unpacker(fmt, out_type, post=None):
+        @_p(out_type)
+        def unpack(b):
+            import struct
+
+            import pandas as pd
+
+            def go(v):
+                if v is None:
+                    return None
+                r = struct.unpack(fmt, bytes(v))[0]
+                return post(r) if post else r
+
+            return pd.Series([go(v) for v in b])
+
+        return unpack
+
+    return {
+        "to_big_endian_32": packer(">i", "binary", int),
+        "from_big_endian_32": unpacker(">i", "int"),
+        "to_big_endian_64": packer(">q", "binary", int),
+        "from_big_endian_64": unpacker(">q", "bigint"),
+        "to_ieee754_32": packer(">f", "binary", float),
+        "from_ieee754_32": unpacker(">f", "double", float),
+        "to_ieee754_64": packer(">d", "binary", float),
+        "from_ieee754_64": unpacker(">d", "double"),
+    }
+
+
+def _ip_contains_udf():
+    @pandas_udf("boolean")
+    def ip_contains(network, address):
+        import ipaddress
+
+        import pandas as pd
+
+        # reference IpAddressFunctions.contains(varchar, ipaddress);
+        # registered as ip_contains because this engine dispatches by name
+        # and `contains` is taken by the array form.
+        def go(n, a):
+            if n is None or a is None:
+                return None
+            return ipaddress.ip_address(a) in ipaddress.ip_network(n, strict=False)
+
+        return pd.Series([go(n, a) for n, a in zip(network, address)])
+
+    return ip_contains
+
+
 def register_python_udfs(spark: SparkSession) -> int:
     """Register the Python-tier functions; returns how many."""
     fns = {
@@ -330,7 +454,12 @@ def register_python_udfs(spark: SparkSession) -> int:
         "hmac_sha1": _hmac_udf("sha1"),
         "hmac_sha256": _hmac_udf("sha256"),
         "hmac_sha512": _hmac_udf("sha512"),
+        "human_readable_seconds": _human_readable_seconds_udf(),
+        "ip_contains": _ip_contains_udf(),
     }
+    tb32, fb32 = _base32_udfs()
+    fns.update({"to_base32": tb32, "from_base32": fb32})
+    fns.update(_binary_codec_udfs())
     je, jv, jq = _json_udfs()
     fns.update({"json_exists": je, "json_value": jv, "json_query": jq})
     bc, ibc = _beta_udfs()

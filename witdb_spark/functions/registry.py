@@ -43,6 +43,7 @@ PASSTHROUGH: dict[str, str] = {
     "hour": "hour", "minute": "minute", "second": "second", "quarter": "quarter",
     "day_of_year": "dayofyear", "week": "weekofyear", "week_of_year": "weekofyear",
     "last_day_of_month": "last_day", "now": "now",
+    "current_timezone": "current_timezone",
     "current_date": "current_date", "current_timestamp": "current_timestamp",
     "from_unixtime": "timestamp_seconds",
     # array (element_at/slice/array_position are 1-based in BOTH engines;
@@ -211,6 +212,36 @@ MACROS: dict[str, str] = {
     "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
     "to_iso8601": "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP) "
     "RETURNS STRING RETURN date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    # ISO-8601 parse pair (reference DateTimeFunctions.java
+    # from_iso8601_timestamp / from_iso8601_date): Spark's CAST accepts
+    # ISO-8601 text incl. offsets (converted into the session zone).
+    "from_iso8601_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN "
+    "cast(s AS TIMESTAMP)",
+    "from_iso8601_date": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "from_iso8601_date(s STRING) RETURNS DATE RETURN cast(s AS DATE)",
+    # reference timestamp(9) nanos clamp to our micros domain (documented
+    # precision: parquet fixtures are micros; sub-micro truncates)
+    "from_unixtime_nanos": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "from_unixtime_nanos(n BIGINT) RETURNS TIMESTAMP RETURN "
+    "timestamp_micros(n DIV 1000)",
+    "to_milliseconds": "CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds"
+    "(i INTERVAL DAY TO SECOND) RETURNS BIGINT RETURN "
+    "extract(DAY FROM i) * 86400000 + extract(HOUR FROM i) * 3600000 + "
+    "extract(MINUTE FROM i) * 60000 + cast(extract(SECOND FROM i) * 1000 AS BIGINT)",
+    # --- base conversion (reference MathFunctions.java from_base/to_base;
+    # Trino prints lowercase digits, conv() uppercase) ---
+    "from_base": "CREATE OR REPLACE TEMPORARY FUNCTION from_base"
+    "(s STRING, r INT) RETURNS BIGINT RETURN cast(conv(s, r, 10) AS BIGINT)",
+    "to_base": "CREATE OR REPLACE TEMPORARY FUNCTION to_base"
+    "(x BIGINT, r INT) RETURNS STRING RETURN lower(conv(x, 10, r))",
+    # --- base64url (reference VarbinaryFunctions.java) ---
+    "to_base64url": "CREATE OR REPLACE TEMPORARY FUNCTION to_base64url"
+    "(b BINARY) RETURNS STRING RETURN "
+    "replace(replace(base64(b), '+', '-'), '/', '_')",
+    "from_base64url": "CREATE OR REPLACE TEMPORARY FUNCTION from_base64url"
+    "(s STRING) RETURNS BINARY RETURN "
+    "unbase64(replace(replace(s, '-', '+'), '_', '/'))",
     # --- url (UrlFunctions.java) ---
     "url_extract_host": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host"
     "(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",

@@ -612,3 +612,49 @@ def geometry_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
         """
     )
+
+
+@register(
+    "codec_funcs_parity",
+    """
+    SELECT l_orderkey,
+           lower(to_base(l_orderkey, 16)) AS hex_form,
+           CAST(l_orderkey AS BIGINT) AS fb_roundtrip,
+           to_base64(encode(l_returnflag || l_linestatus)) AS b64,
+           replace(replace(to_base64(encode(l_returnflag || l_linestatus)), '+', '-'), '/', '_')
+             AS b64url,
+           lpad(hex(l_orderkey), 16, '0') AS be64_hex,
+           CASE WHEN l_orderkey >= 604800
+                THEN CAST(l_orderkey // 604800 AS VARCHAR) || ' week' ||
+                     CASE WHEN l_orderkey // 604800 <> 1 THEN 's' ELSE '' END
+                ELSE '' END AS weeks_part
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    doc="Codec parity (reference VarbinaryFunctions.java to_base64url/"
+    "to_big_endian_64, MathFunctions from_base/to_base, "
+    "HumanReadableSeconds.java): DuckDB recomputes via its own to_base/"
+    "to_base64/hex machinery; from_base proves the radix round-trip and "
+    "weeks_part checks the human-readable decomposition's largest unit.",
+    tags=("functions", "codec"),
+)
+def codec_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return eng.sql(
+        """
+        SELECT l_orderkey,
+               to_base(l_orderkey, 16) AS hex_form,
+               from_base(to_base(l_orderkey, 16), 16) AS fb_roundtrip,
+               base64(encode(l_returnflag || l_linestatus, 'UTF-8')) AS b64,
+               to_base64url(encode(l_returnflag || l_linestatus, 'UTF-8')) AS b64url,
+               hex(to_big_endian_64(l_orderkey)) AS be64_hex,
+               CASE WHEN l_orderkey >= 604800
+                    THEN split_part(human_readable_seconds(
+                           CAST(l_orderkey AS DOUBLE)), ',', 1)
+                    ELSE '' END AS weeks_part
+        FROM lineitem WHERE l_orderkey < 300
+        """
+    )
