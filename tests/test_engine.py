@@ -378,3 +378,35 @@ def test_time_type(engine):
     assert 0 <= r.lt < 86_400_000_000_000
     assert 0 <= r.ct < 86_400_000_000_000
     assert r.cts is not None  # CURRENT_TIMESTAMP must not be rewritten
+
+
+def test_materialized_view_lifecycle(engine, spark):
+    # reference CreateMaterializedViewTask / RefreshMaterializedViewTask:
+    # MV reads storage, not the definition, until REFRESH
+    spark.createDataFrame([(1,), (2,)], "v int").createOrReplaceTempView(
+        "mv_base"
+    )
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_sum AS SELECT sum(v) AS s FROM mv_base"
+    )
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0].s == 3
+    # base data changes; MV stays stale until refresh
+    spark.createDataFrame([(10,), (20,)], "v int").createOrReplaceTempView(
+        "mv_base"
+    )
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0].s == 3
+    engine.sql("REFRESH MATERIALIZED VIEW mv_sum")
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0].s == 30
+    assert "mv_sum" in engine.materialized_views()
+    engine.sql("DROP MATERIALIZED VIEW mv_sum")
+    assert "mv_sum" not in engine.materialized_views()
+    engine.sql("DROP MATERIALIZED VIEW IF EXISTS mv_sum")
+
+
+def test_transactions_and_grants_rejected(engine):
+    import pytest
+
+    for stmt in ("START TRANSACTION", "COMMIT", "ROLLBACK",
+                 "GRANT SELECT ON t TO role r"):
+        with pytest.raises(NotImplementedError):
+            engine.sql(stmt)

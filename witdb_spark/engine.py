@@ -53,6 +53,28 @@ _SHOW_COLUMNS = re.compile(
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.I,
 )
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?P<query>.+)$",
+    re.I | re.S,
+)
+_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
+_DROP_MV = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
+# Transactions and access control exist in the reference
+# (StartTransactionTask.java, GrantTask.java); Spark has neither engine
+# transactions nor a grant model, so these fail loudly as a recorded
+# re-scope decision rather than silently parsing.
+_UNSUPPORTED_DDL = re.compile(
+    r"^\s*(START\s+TRANSACTION|COMMIT|ROLLBACK|GRANT|REVOKE|DENY)\b", re.I
+)
 
 
 class Engine:
@@ -92,6 +114,29 @@ class Engine:
         m = _SHOW_COLUMNS.match(text)
         if m:
             return self.show_columns(m.group("name"))
+        m = _CREATE_MV.match(text)
+        if m:
+            return self.create_materialized_view(
+                m.group("name"), m.group("query"), replace=bool(m.group("replace"))
+            )
+        m = _REFRESH_MV.match(text)
+        if m:
+            return self.refresh_materialized_view(m.group("name"))
+        m = _DROP_MV.match(text)
+        if m:
+            self.drop_materialized_view(
+                m.group("name"), if_exists=bool(m.group("if_exists"))
+            )
+            return self.spark.range(0).select()
+        m = _UNSUPPORTED_DDL.match(text)
+        if m:
+            raise NotImplementedError(
+                f"{m.group(1).upper()}: Spark has no engine transactions or"
+                " grant model (reference StartTransactionTask/GrantTask);"
+                " writes commit atomically per statement via the file-commit"
+                " protocol, and access control belongs to the lakehouse"
+                " catalog layer"
+            )
         if re.search(r"\bMATCH_RECOGNIZE\b", text, flags=re.I):
             # SQL-form row-pattern relations (reference SqlBase.g4:360) are
             # lowered onto the DataFrame operator and spliced back in as
@@ -142,6 +187,51 @@ class Engine:
         if self.view_store:
             with open(self.view_store, "w") as f:
                 json.dump(self._views, f, indent=1)
+
+    # -- materialized views (reference CreateMaterializedViewTask.java /
+    # RefreshMaterializedViewTask.java: MV = stored definition + storage
+    # table refreshed on demand; here storage is a parquet directory and the
+    # registered view reads those files, so queries against the MV never
+    # recompute until REFRESH rewrites the storage) ------------------------
+
+    def create_materialized_view(
+        self, name: str, trino_sql: str, replace: bool = False
+    ) -> DataFrame:
+        if not hasattr(self, "_mviews"):
+            self._mviews: dict[str, str] = {}
+        if not replace and name in self._mviews:
+            raise ValueError(f"Materialized view already exists: {name!r}")
+        self._mviews[name] = trino_sql.strip()
+        return self.refresh_materialized_view(name)
+
+    def refresh_materialized_view(self, name: str) -> DataFrame:
+        mviews = getattr(self, "_mviews", {})
+        if name not in mviews:
+            raise KeyError(f"Materialized view not found: {name!r}")
+        path = os.path.join(self._mv_dir(), name)
+        self.sql(mviews[name]).write.mode("overwrite").parquet(path)
+        stored = self.spark.read.parquet(path)
+        stored.createOrReplaceTempView(name)
+        return stored
+
+    def drop_materialized_view(self, name: str, if_exists: bool = False) -> None:
+        mviews = getattr(self, "_mviews", {})
+        if name not in mviews:
+            if if_exists:
+                return
+            raise KeyError(f"Materialized view not found: {name!r}")
+        del mviews[name]
+        self.spark.catalog.dropTempView(name)
+
+    def materialized_views(self) -> dict[str, str]:
+        return dict(getattr(self, "_mviews", {}))
+
+    def _mv_dir(self) -> str:
+        if not hasattr(self, "_mv_storage"):
+            import tempfile
+
+            self._mv_storage = tempfile.mkdtemp(prefix="witdb_mv_")
+        return self._mv_storage
 
     def show_columns(self, table: str) -> DataFrame:
         """SHOW COLUMNS FROM t — Trino's four-column layout
