@@ -302,3 +302,34 @@ def test_ivf_corpus_assignment_pure_map_stage(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_limit_with_ties_uses_window_group_limit(spark):
+    """FETCH FIRST WITH TIES lowers to a rank() filter that Spark's
+    optimizer turns into WindowGroupLimit — partial top-n on every
+    partition before the final sort, the scale-equivalent of LIMIT
+    (reference ImplementLimitWithTies.java rank rewrite)."""
+    plan = plan_of(spark, "limit_with_ties")
+    assert "WindowGroupLimit" in plan
+
+
+def test_match_recognize_parallelism_pinned(spark):
+    """The pattern scan's exchange must carry an explicit partition count:
+    AQE coalesces small-by-bytes shuffles to ONE partition, serializing the
+    CPU-bound Python stage (round-3 mr_funnel regression root cause). The
+    executed plan keeps exactly one shuffle and the mapInPandas stage runs
+    at cluster width, not at AQE's byte-derived width."""
+    from witdb_spark.catalog import Tables
+    from witdb_spark.operators.match_recognize import match_recognize
+
+    ev = Tables(spark, SF_DIR).events.select("user_id", "event_id", "event_type")
+    mr = match_recognize(
+        ev, ["user_id"], "event_id",
+        {"V": "event_type = 'view'", "P": "event_type = 'purchase'"},
+        "V+ P",
+    )
+    mr.count()  # materialize so AQE finalizes the plan
+    assert (
+        mr.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

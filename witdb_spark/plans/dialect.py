@@ -611,11 +611,12 @@ def _rewrite_quantified(sql: str) -> str:
       x =  ANY (sub)  ->  x IN (sub)          (exact, incl. NULL semantics)
       x <> ALL (sub)  ->  x NOT IN (sub)
       x {<,<=,>,>=} ANY/ALL (sub)  ->  NULL-aware CASE over the subquery's
-        count(*) / null-count / min-or-max — the same single-aggregation
-        lowering the reference's rewriter emits (empty set: ANY=false,
-        ALL=true; NULL operand or NULL-bearing set short of a definite
-        answer: NULL). Catalyst's MergeScalarSubqueries folds the three
-        scalar subqueries over the identical body into one aggregation.
+        count(*) / null-count / min-or-max (empty set: ANY=false, ALL=true;
+        NULL operand or NULL-bearing set short of a definite answer: NULL).
+        Cost bound: Catalyst's MergeScalarSubqueries normalizes the three
+        scalar subqueries to one shared single-pass aggregate plan, but
+        they still execute as three (small) jobs over the subquery body —
+        each runs once per query, never per row.
 
     `= ALL` / `<> ANY` (no single-extreme lowering) raise; uncorrelated
     subqueries only — a correlated body fails loudly at analysis."""
