@@ -216,3 +216,20 @@ def test_avro_gated_without_module(spark, nation, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             write_table(nation, str(tmp_path / "x"), fmt="avro")
+
+
+def test_lakehouse_connectors_gated(spark):
+    """Delta/iceberg/hudi/kafka are configuration in Spark; absent jars
+    must fail with the --packages remedy (reference plugin/ analogs)."""
+    from witdb_spark.sources import connector_available, read_table
+    from witdb_spark.sources.lakehouse import read_kafka_batch
+
+    for fmt in ("delta", "iceberg", "hudi"):
+        if not connector_available(spark, fmt):
+            with pytest.raises(RuntimeError, match="--packages"):
+                read_table(spark, fmt, "/tmp/nope")
+    if not connector_available(spark, "kafka"):
+        with pytest.raises(RuntimeError, match="--packages"):
+            read_kafka_batch(spark, "localhost:9092", "t")
+    with pytest.raises(ValueError):
+        connector_available(spark, "sqlite")

@@ -112,3 +112,42 @@ def test_session_windows_match_batch(spark, tmp_path, staged_events):
     assert len(merged) == len(got) > 0
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.total_s == merged.total_b).all()
+
+
+def test_stateful_funnels_match_batch(spark, tmp_path, staged_events):
+    """applyInPandasWithState funnel machine == the batch match_recognize
+    V+ P funnel when the whole stream arrives ordered (single microbatch:
+    cross-batch arrival order is a delivery property, not an operator
+    one)."""
+    from witdb_spark.operators.match_recognize import match_recognize
+    from witdb_spark.streaming import stateful_funnels
+
+    ev, _ = staged_events
+    one_file = str(tmp_path / "stream_one")
+    ev.coalesce(1).write.parquet(one_file)
+    stream = stream_events_from_dir(spark, one_file)
+    run_to_completion(stateful_funnels(stream), tmp_path, "funnels")
+    got = {
+        (r.user_id, r.purchase_id, r.n_views)
+        for r in spark.sql("SELECT * FROM funnels").collect()
+    }
+
+    matched = match_recognize(
+        ev.select("user_id", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by="event_id",
+        define={"V": "event_type = 'view'", "P": "event_type = 'purchase'"},
+        pattern="V+ P",
+    )
+    want = {
+        (r.user_id, r.purchase_id, r.n_views)
+        for r in matched.groupBy("user_id", "match_id")
+        .agg(
+            F.max(F.when(F.col("classifier") == "P", F.col("event_id"))).alias(
+                "purchase_id"
+            ),
+            F.count(F.when(F.col("classifier") == "V", 1)).alias("n_views"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -518,6 +518,11 @@ def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
+    # plan-gate exemption (ADVICE r2): the no-partition window below IS a
+    # single-partition total sort — deliberately, as the oracle-checkable
+    # determinism contract only. Production ids use the scale path named in
+    # the docstring; any future global-window plan gate should exempt this
+    # query by name.
     return t.events.select("event_id").withColumn(
         "uid", F.row_number().over(Window.orderBy("event_id"))
     )

@@ -1,5 +1,11 @@
 from witdb_spark.sources.io import ctas, insert_into, read_any, write_table
 from witdb_spark.sources.jdbc import read_jdbc, write_jdbc
+from witdb_spark.sources.lakehouse import (
+    connector_available,
+    read_kafka_batch,
+    read_kafka_stream,
+    read_table,
+)
 from witdb_spark.sources.merge import merge_into
 
 __all__ = [
@@ -10,4 +16,8 @@ __all__ = [
     "merge_into",
     "read_jdbc",
     "write_jdbc",
+    "connector_available",
+    "read_table",
+    "read_kafka_batch",
+    "read_kafka_stream",
 ]

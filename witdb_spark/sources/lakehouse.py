@@ -1,0 +1,118 @@
+"""Lakehouse and message-bus connector surface (reference plugin/
+trino-delta-lake, plugin/trino-iceberg, plugin/trino-hudi,
+plugin/trino-kafka).
+
+Spark is itself the native execution engine for these formats — Delta
+Lake, Iceberg, and Hudi all ship first-party Spark DSv2 connectors, and
+Structured Streaming's kafka source is the canonical Kafka reader — so
+parity here is configuration, not code: each reader below resolves the
+format through Spark's datasource registry and, when the connector jar is
+absent from this deployment, fails with the exact --packages remedy
+instead of a Java stack. The table-level semantics (snapshot isolation,
+time travel, schema evolution) come from the connector itself, matching
+the reference's metadata handling in the corresponding plugin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# format -> (probe class, maven coordinate hint)
+_CONNECTORS = {
+    "delta": (
+        "org.apache.spark.sql.delta.sources.DeltaDataSource",
+        "io.delta:delta-spark_2.13:<version>",
+    ),
+    "iceberg": (
+        "org.apache.iceberg.spark.source.IcebergSource",
+        "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>",
+    ),
+    "hudi": (
+        "org.apache.hudi.DefaultSource",
+        "org.apache.hudi:hudi-spark4-bundle_2.13:<version>",
+    ),
+    "kafka": (
+        "org.apache.spark.sql.kafka010.KafkaSourceProvider",
+        "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>",
+    ),
+}
+
+
+def connector_available(spark: SparkSession, fmt: str) -> bool:
+    if fmt not in _CONNECTORS:
+        raise ValueError(f"unknown connector {fmt!r}; one of {sorted(_CONNECTORS)}")
+    try:
+        spark._jvm.java.lang.Class.forName(_CONNECTORS[fmt][0])
+        return True
+    except Exception:
+        return False
+
+
+def _require(spark: SparkSession, fmt: str) -> None:
+    if not connector_available(spark, fmt):
+        raise RuntimeError(
+            f"the {fmt} connector is not on this session's classpath; add"
+            f" --packages {_CONNECTORS[fmt][1]} (reference analog:"
+            f" plugin/trino-{'kafka' if fmt == 'kafka' else fmt + ('-lake' if fmt == 'delta' else '')})"
+        )
+
+
+def read_table(
+    spark: SparkSession, fmt: str, path_or_table: str, **options
+) -> DataFrame:
+    """Batch-read a delta/iceberg/hudi table (reference connector split
+    generation maps to the connector's own DSv2 scan planning, including
+    data skipping from table metadata — the same statistics pruning the
+    reference does with its checkpoint/manifest readers)."""
+    _require(spark, fmt)
+    reader = spark.read.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "iceberg" or "/" not in path_or_table:
+        return reader.table(path_or_table)
+    return reader.load(path_or_table)
+
+
+def read_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+    **options,
+) -> DataFrame:
+    """Batch scan of a Kafka topic's offset range — exactly the reference's
+    kafka connector model (plugin/trino-kafka reads topics as bounded
+    tables; SURVEY.md §2.11)."""
+    _require(spark, "kafka")
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **options,
+) -> DataFrame:
+    """Streaming Kafka source (bonus over the reference, which has no
+    streaming): feeds the witdb_spark.streaming operator graph."""
+    _require(spark, "kafka")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

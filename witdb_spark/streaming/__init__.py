@@ -1,5 +1,6 @@
 from witdb_spark.streaming.ops import (
     session_windows,
+    stateful_funnels,
     stream_dedup,
     stream_events_from_dir,
     windowed_event_counts,
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_event_counts",
     "stream_dedup",
     "session_windows",
+    "stateful_funnels",
 ]

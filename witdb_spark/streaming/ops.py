@@ -87,3 +87,63 @@ def session_windows(
             "total",
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = "views BIGINT"
+FUNNEL_OUT_SCHEMA = (
+    "user_id BIGINT, purchase_id BIGINT, n_views BIGINT"
+)
+
+
+def stateful_funnels(stream: DataFrame, inactivity_ms: int = 7_200_000) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    view->purchase funnel machine (the streaming twin of the
+    match_recognize V+ P pattern). State = the current run of consecutive
+    views; a purchase that follows >=1 views emits one funnel row and
+    resets. A processing-time timeout drops state for users gone quiet, so
+    the store is O(active users) — the shape a 100 TB/day stream needs.
+
+    Rows within each (key, microbatch) group are sorted by event_id before
+    the fold, so results are deterministic given deterministic batching
+    (e.g. availableNow over staged files)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (views,) = state.get if state.exists else (0,)
+        out_uid, out_pid, out_nv = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+                if et == "view":
+                    views += 1
+                elif et == "purchase":
+                    if views > 0:
+                        out_uid.append(key[0])
+                        out_pid.append(int(eid))
+                        out_nv.append(int(views))
+                    views = 0
+                else:
+                    views = 0
+        state.update((views,))
+        state.setTimeoutDuration(inactivity_ms)
+        if out_uid:
+            yield pd.DataFrame(
+                {"user_id": out_uid, "purchase_id": out_pid, "n_views": out_nv}
+            )
+
+    return (
+        stream.select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
