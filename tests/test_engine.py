@@ -410,3 +410,30 @@ def test_transactions_and_grants_rejected(engine):
                  "GRANT SELECT ON t TO role r"):
         with pytest.raises(NotImplementedError):
             engine.sql(stmt)
+
+
+def test_left_join_unnest(engine):
+    # SqlBase.g4 joined-UNNEST grammar: driving row survives empty arrays
+    rows = engine.sql(
+        "SELECT id, x FROM (SELECT 1 AS id, array(10, 20) AS a "
+        "UNION ALL SELECT 2, array() "
+        "UNION ALL SELECT 3, CAST(NULL AS ARRAY<INT>)) s "
+        "LEFT JOIN UNNEST(a) AS u(x) ON TRUE"
+    ).collect()
+    assert sorted((r.id, r.x) for r in rows) == [
+        (1, 10), (1, 20), (2, None), (3, None)
+    ]
+    rows = engine.sql(
+        "SELECT id, x, o FROM (SELECT 1 AS id, array('a') AS a "
+        "UNION ALL SELECT 2, array()) s "
+        "LEFT JOIN UNNEST(a) WITH ORDINALITY AS u(x, o) ON TRUE"
+    ).collect()
+    assert sorted((r.id, r.x, r.o) for r in rows) == [
+        (1, "a", 1), (2, None, None)
+    ]
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql("SELECT * FROM t LEFT JOIN UNNEST(a) AS u(x)")

@@ -75,6 +75,7 @@ PASSTHROUGH: dict[str, str] = {
     "coalesce": "coalesce", "nullif": "nullif", "if": "if", "try_cast": "try_cast",
     "typeof": "typeof", "uuid": "uuid", "version": "version",
     "current_user": "current_user", "luhn_check": "luhn_check",
+    "current_schema": "current_schema", "current_catalog": "current_catalog",
     "bit_count": "bit_count",
 }
 

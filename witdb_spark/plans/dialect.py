@@ -192,7 +192,9 @@ def _rewrite_brackets(sql: str) -> str:
     return sql
 
 
-_UNNEST_HEAD = re.compile(r"(\bCROSS\s+JOIN\b|,)\s*UNNEST\s*\(", re.I)
+_UNNEST_HEAD = re.compile(
+    r"(\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b|,)\s*UNNEST\s*\(", re.I
+)
 _UNNEST_ALIAS = re.compile(
     r"\s*(WITH\s+ORDINALITY\s+)?AS\s+([A-Za-z_][A-Za-z_0-9]*)"
     r"\s*\(\s*([A-Za-z_0-9, \t]*?)\s*\)",
@@ -219,7 +221,10 @@ def _rewrite_unnest(sql: str) -> str:
       CROSS JOIN UNNEST(a) AS t(x)        -> LATERAL VIEW explode(a) t AS x
       CROSS JOIN UNNEST(m) AS t(k, v)     -> LATERAL VIEW explode(m) t AS k, v
       CROSS JOIN UNNEST(a, b) AS t(x, y)  -> LATERAL VIEW inline(arrays_zip(a, b)) t AS x, y
-    (the multi-arg zip form is exactly Trino's semantics: positional zip,
+      LEFT JOIN UNNEST(a) AS t(x) ON TRUE -> LATERAL VIEW OUTER explode(a) t AS x
+    (LEFT JOIN UNNEST keeps the driving row when the array is empty/NULL —
+    exactly LATERAL VIEW OUTER; Trino's grammar requires the ON TRUE.
+    The multi-arg zip form is exactly Trino's semantics: positional zip,
     shorter arrays padded with NULL — arrays_zip pads the same way).
     WITH ORDINALITY (reference grammar SqlBase.g4:417) zips a 1-based index
     array in as the last column: transform(a, (e, i) -> i + 1) has exactly
@@ -230,6 +235,7 @@ def _rewrite_unnest(sql: str) -> str:
         m = _UNNEST_HEAD.search(sql)
         if m is None:
             return sql
+        outer = "LEFT" in m.group(1).upper()
         open_idx = sql.index("(", m.end() - 1)
         close_idx = _match_paren(sql, open_idx)
         args = sql[open_idx + 1 : close_idx]
@@ -274,8 +280,18 @@ def _rewrite_unnest(sql: str) -> str:
             gen = f"explode({parts[0]})"
         else:
             gen = f"inline(arrays_zip({', '.join(parts)}))"
-        repl = f" LATERAL VIEW {gen} {alias} AS {', '.join(cols)}"
-        sql = sql[: m.start()] + repl + sql[am.end() :]
+        end = am.end()
+        if outer:
+            on = re.match(r"\s*ON\s+TRUE\b", sql[end:], flags=re.I)
+            if on is None:
+                raise UnsupportedTrinoSyntax(
+                    "LEFT JOIN UNNEST requires ON TRUE (SqlBase.g4 joined"
+                    " UNNEST grammar)"
+                )
+            end += on.end()
+        lv = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+        repl = f" {lv} {gen} {alias} AS {', '.join(cols)}"
+        sql = sql[: m.start()] + repl + sql[end:]
 
 
 def _rewrite_with_strings(sql: str) -> str:
