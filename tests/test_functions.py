@@ -120,3 +120,21 @@ def test_multimap_constructors(fspark):
     assert dict(got) == {"a": ["1", "3"], "b": ["2"]}
     got = one(fspark, "split_to_multimap('k1=v1,k2=v2,k1=v3', ',', '=')")
     assert dict(got) == {"k1": ["v1", "v3"], "k2": ["v2"]}
+
+
+def test_numeric_histogram(spark):
+    """reference NumericHistogram.java: n approximate (x, count) bins whose
+    counts sum to the row count (approximation-equal across engines, not
+    bit-equal — different merge orders)."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.plans import transpile
+
+    spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("v")
+    ).createOrReplaceTempView("nh_t")
+    bins = spark.sql(
+        transpile("SELECT numeric_histogram(4, v) AS h FROM nh_t")
+    ).collect()[0].h
+    assert len(bins) == 4
+    assert sum(b.y for b in bins) == 1000.0

@@ -76,6 +76,8 @@ PASSTHROUGH: dict[str, str] = {
     "typeof": "typeof", "uuid": "uuid", "version": "version",
     "current_user": "current_user", "luhn_check": "luhn_check",
     "current_schema": "current_schema", "current_catalog": "current_catalog",
+    # numeric_histogram is arg-swapped vs Spark's histogram_numeric and is
+    # handled as a dialect rewrite (plans/dialect.py), not a passthrough
     "bit_count": "bit_count",
 }
 

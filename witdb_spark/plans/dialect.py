@@ -294,6 +294,42 @@ def _rewrite_unnest(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[end:]
 
 
+def _rewrite_numeric_histogram(sql: str) -> str:
+    """numeric_histogram(buckets, v) -> histogram_numeric(v, buckets):
+    reference NumericHistogram.java (streaming bin-merge) and Spark's
+    Ben-Haim/Tom-Tov share the n-approximate-(x, count)-bins contract with
+    swapped argument order; bins are approximation-equal, not bit-equal.
+    The 3-arg weighted form has no Spark analog and raises."""
+    pos = 0
+    while True:
+        m = re.search(r"\bnumeric_histogram\s*\(", sql[pos:], flags=re.I)
+        if m is None:
+            return sql
+        open_idx = pos + m.end() - 1
+        close_idx = _match_paren(sql, open_idx)
+        args = sql[open_idx + 1 : close_idx]
+        parts, depth, start = [], 0, 0
+        for i, c, in_str in _in_string_scan(args):
+            if in_str:
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(args[start:i].strip())
+                start = i + 1
+        parts.append(args[start:].strip())
+        if len(parts) != 2:
+            raise UnsupportedTrinoSyntax(
+                "numeric_histogram(buckets, value, weight) weighted form"
+                " has no Spark analog"
+            )
+        repl = f"histogram_numeric({parts[1]}, {parts[0]})"
+        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+        pos = pos + m.start() + 1
+
+
 def _rewrite_with_strings(sql: str) -> str:
     """Rewrites that need to see string literals (unit arguments, interval
     values, %-patterns)."""
@@ -764,6 +800,7 @@ def transpile(sql: str) -> str:
     # subscripts may contain string literals)
     sql = _rewrite_brackets(sql)
     sql = _rewrite_unnest(sql)
+    sql = _rewrite_numeric_histogram(sql)
     # then segment-local rewrites (never touch string literals)
     parts = _STRING_SPLIT.split(sql)
     parts = [p if p.startswith("'") else _rewrite_segment(p) for p in parts]

@@ -621,3 +621,49 @@ def agg_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qvals")[1].alias("p50"),
         F.col("qvals")[2].alias("p75"),
     )
+
+
+@register(
+    "agg_multimap",
+    """
+    SELECT bucket,
+           string_agg(entry, '|' ORDER BY entry) AS mm
+    FROM (
+      SELECT user_id % 5 AS bucket,
+             event_type || ':' ||
+             string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+               AS entry
+      FROM events
+      WHERE event_id < 2000
+      GROUP BY user_id % 5, event_type
+    ) e
+    GROUP BY bucket
+    """,
+    doc="multimap_agg (reference aggregation/multimapagg/"
+    "MultimapAggregationFunction.java: key -> ARRAY of all values). "
+    "Composed as two hash aggregations — per (group, key) value lists, "
+    "then key->list entries per group — which is the scale-correct shape "
+    "(two key-partitioned shuffles, no per-group quadratic work). "
+    "Serialized sorted for the cross-engine hash.",
+    tags=("aggregate", "map", "multimap"),
+)
+def agg_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_key = (
+        t.events.filter(F.col("event_id") < 2000)
+        .withColumn("bucket", F.col("user_id") % 5)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("vals")
+        )
+    )
+    entry = F.concat_ws(":", F.col("event_type"), F.col("vals"))
+    return per_key.groupBy("bucket").agg(
+        F.array_join(F.array_sort(F.collect_list(entry)), "|").alias("mm")
+    )
