@@ -437,3 +437,19 @@ def test_left_join_unnest(engine):
 
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql("SELECT * FROM t LEFT JOIN UNNEST(a) AS u(x)")
+
+
+def test_show_stats(engine, spark):
+    # reference sql/rewrite/ShowStatsRewrite.java layout
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (3, "d")], "k int, s string"
+    ).createOrReplaceTempView("stats_t")
+    rows = engine.sql("SHOW STATS FOR stats_t").collect()
+    by_col = {r.column_name: r for r in rows}
+    assert by_col[None].row_count == 4.0
+    k = by_col["k"]
+    assert k.low_value == "1" and k.high_value == "3"
+    assert k.nulls_fraction == 0.0 and k.distinct_values_count == 3.0
+    s = by_col["s"]
+    assert s.nulls_fraction == 0.25
+    assert s.data_size == 3.0  # one char per non-null value

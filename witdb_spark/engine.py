@@ -53,6 +53,10 @@ _SHOW_COLUMNS = re.compile(
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.I,
 )
+_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.I,
+)
 _CREATE_MV = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(?P<query>.+)$",
@@ -114,6 +118,9 @@ class Engine:
         m = _SHOW_COLUMNS.match(text)
         if m:
             return self.show_columns(m.group("name"))
+        m = _SHOW_STATS.match(text)
+        if m:
+            return self.show_stats(m.group("name"))
         m = _CREATE_MV.match(text)
         if m:
             return self.create_materialized_view(
@@ -232,6 +239,55 @@ class Engine:
 
             self._mv_storage = tempfile.mkdtemp(prefix="witdb_mv_")
         return self._mv_storage
+
+    def show_stats(self, table: str) -> DataFrame:
+        """SHOW STATS FOR t — Trino's layout (reference
+        sql/rewrite/ShowStatsRewrite.java): one row per column with
+        data_size, distinct_values_count (approx), nulls_fraction,
+        low_value, high_value, plus the trailing row_count summary row.
+        Computed in ONE aggregation pass over the table (every stat is an
+        ordinary partial/final agg), not via stored catalog stats — the
+        analyzer-on-read equivalent of the reference's connector stats."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.spark.table(table)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        numeric = (T.NumericType,)
+        for f in df.schema.fields:
+            c = f.name
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+            aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+            if isinstance(f.dataType, numeric + (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                aggs.append(F.min(c).cast("string").alias(f"{c}__lo"))
+                aggs.append(F.max(c).cast("string").alias(f"{c}__hi"))
+            if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+                aggs.append(
+                    F.sum(F.length(F.col(c))).cast("double").alias(f"{c}__sz")
+                )
+        r = df.agg(*aggs).collect()[0].asDict()
+        n = r["__n"]
+        rows = []
+        for f in df.schema.fields:
+            c = f.name
+            rows.append(
+                (
+                    c,
+                    r.get(f"{c}__sz"),
+                    float(r[f"{c}__ndv"]),
+                    (1.0 - r[f"{c}__nn"] / n) if n else 0.0,
+                    r.get(f"{c}__lo"),
+                    r.get(f"{c}__hi"),
+                    None,
+                )
+            )
+        rows.append((None, None, None, None, None, None, float(n)))
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_size double, distinct_values_count"
+            " double, nulls_fraction double, low_value string, high_value"
+            " string, row_count double",
+        )
 
     def show_columns(self, table: str) -> DataFrame:
         """SHOW COLUMNS FROM t — Trino's four-column layout
