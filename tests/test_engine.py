@@ -191,11 +191,12 @@ def test_unnest_with_ordinality(engine):
 
 def test_show_tables_catalog_surface(engine):
     # SHOW TABLES / information_schema analog (reference ShowTablesTask /
-    # information_schema connector): catalog views registered by Engine.
-    names = {r.tableName for r in engine.sql("SHOW TABLES").collect()}
+    # information_schema connector): Trino's one-column and four-column
+    # layouts, not Spark's native ones.
+    names = {r.Table for r in engine.sql("SHOW TABLES").collect()}
     assert {"lineitem", "orders", "customer", "events"} <= names
     cols = engine.sql("DESCRIBE lineitem").collect()
-    assert any(r.col_name == "l_orderkey" for r in cols)
+    assert any(r.Column == "l_orderkey" for r in cols)
 
 
 def test_engine_trino_q1_full_text(engine, oracle):
@@ -453,3 +454,19 @@ def test_show_stats(engine, spark):
     s = by_col["s"]
     assert s.nulls_fraction == 0.25
     assert s.data_size == 3.0  # one char per non-null value
+
+
+def test_sql_statement_dispatch(engine, spark):
+    # EXPLAIN / DESCRIBE / SHOW TABLES / SHOW FUNCTIONS / SHOW SESSION as
+    # SQL statements (reference dispatches DataDefinitionTasks + rewrites)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("disp_t")
+    plan = engine.sql("EXPLAIN SELECT x FROM disp_t WHERE x > 0").collect()
+    assert len(plan) == 1 and "Filter" in plan[0][0]
+    cols = engine.sql("DESCRIBE disp_t").collect()
+    assert [(r.Column, r.Type) for r in cols] == [("x", "int")]
+    tables = {r.Table for r in engine.sql("SHOW TABLES").collect()}
+    assert "disp_t" in tables
+    fns = {r.Function for r in engine.sql("SHOW FUNCTIONS").collect()}
+    assert {"strpos", "approx_distinct", "st_point"} <= fns
+    sess = {r.Name for r in engine.sql("SHOW SESSION").collect()}
+    assert "join_distribution_type" in sess

@@ -121,6 +121,47 @@ class Engine:
         m = _SHOW_STATS.match(text)
         if m:
             return self.show_stats(m.group("name"))
+        m = re.match(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", text, re.I | re.S)
+        if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE\s*$", text, re.I):
+            plan = self.explain(m.group(2), analyze=bool(m.group(1)))
+            return self.spark.createDataFrame(
+                [(plan,)], "`Query Plan` string"
+            )
+        m = re.match(
+            r"^\s*DESCRIBE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$", text, re.I
+        )
+        if m:  # Trino DESCRIBE == SHOW COLUMNS (DescribeTask delegates)
+            return self.show_columns(m.group(1))
+        if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", text, re.I):
+            return self.spark.createDataFrame(
+                [(t,) for t in self.tables()], "Table string"
+            )
+        if re.match(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", text, re.I):
+            # reference ShowFunctionsRewrite: the Trino-name surface =
+            # passthrough renames + macros + session-registered UDFs
+            # (python/geometry tiers) + pure dialect rewrites
+            from witdb_spark.functions.registry import MACROS, PASSTHROUGH
+
+            temp = {
+                f.name
+                for f in self.spark.catalog.listFunctions()
+                if f.isTemporary
+            }
+            dialect_names = {
+                "approx_distinct", "arbitrary", "from_unixtime",
+                "element_at", "try", "numeric_histogram", "date_add",
+                "date_diff", "date_format", "bit_count",
+            }
+            names = sorted(set(PASSTHROUGH) | set(MACROS) | temp | dialect_names)
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "Function string"
+            )
+        if re.match(r"^\s*SHOW\s+SESSION\s*;?\s*$", text, re.I):
+            rows = [
+                (prop, self.spark.conf.get(conf, None) or "")
+                for prop, conf in SESSION_PROPERTIES.items()
+            ]
+            return self.spark.createDataFrame(rows, "Name string, Value string")
         m = _CREATE_MV.match(text)
         if m:
             return self.create_materialized_view(
