@@ -470,3 +470,16 @@ def test_sql_statement_dispatch(engine, spark):
     assert {"strpos", "approx_distinct", "st_point"} <= fns
     sess = {r.Name for r in engine.sql("SHOW SESSION").collect()}
     assert "join_distribution_type" in sess
+
+
+def test_row_constructor_and_at_time_zone(engine):
+    r = engine.sql(
+        "SELECT ROW(1, 'a') AS r, "
+        "CAST(ROW(1, 2) AS ROW(a INT, b INT)).b AS b, "
+        "timestamp'2024-01-01 12:00:00' AT TIME ZONE 'America/New_York' AS z,"
+        " row_number() OVER (ORDER BY 1) AS rn"
+    ).collect()[0]
+    assert r.r[0] == 1 and r.r[1] == "a"
+    assert r.b == 2
+    assert str(r.z) == "2024-01-01 07:00:00"
+    assert r.rn == 1  # row_number untouched by the ROW( rewrite

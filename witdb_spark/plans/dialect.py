@@ -20,6 +20,9 @@ handled here as quote-aware textual rewrites:
   - x op ANY/SOME/ALL (subquery) -> IN / NOT IN / NULL-aware min-max CASE
     (_rewrite_quantified)
   - CAST(x AS JSON)              -> CAST(x AS STRING)  (json models as string)
+  - ROW(a, b)                    -> struct(a, b)
+  - x AT TIME ZONE 'z'           -> at_timezone(x, 'z')
+  - numeric_histogram(n, v)      -> histogram_numeric(v, n)  (args swapped)
 
 TRY(expr) decomposes into Spark's try_* functions for casts, arithmetic,
 and element_at (_rewrite_try); non-decomposable bodies fail fast rather
@@ -63,6 +66,11 @@ def _rewrite_segment(seg: str) -> str:
         seg,
         flags=re.I,
     )
+    # ROW(a, b) constructor (reference grammar rowConstructor) -> struct();
+    # the *type* ROW(...) inside CASTs never reaches this pass
+    # (_rewrite_cast_types translated it to STRUCT<> already), and bare
+    # ROW/ROWS keywords (frames, ONE ROW PER MATCH) have no '(' after.
+    seg = re.sub(r"\bROW\s*\(", "struct(", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\((?!\s*\))", "map_from_arrays(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
@@ -725,6 +733,30 @@ def _rewrite_quantified(sql: str) -> str:
         sql = sql[:lhs_s] + repl + sql[close_idx + 1 :]
 
 
+_AT_TZ = re.compile(r"\bAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')", re.I)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """`x AT TIME ZONE 'z'` (reference grammar valueExpression AT TIME
+    ZONE) -> at_timezone(x, 'z'): same instant re-expressed in zone z.
+    Spark has no AT TIME ZONE operator; the left operand is captured with
+    the comparison-operand scanner."""
+    while True:
+        depths, instr = _scan_maps(sql)
+        m = next((c for c in _AT_TZ.finditer(sql) if not instr[c.start()]), None)
+        if m is None:
+            return sql
+        lhs_s = _lhs_start(sql, m.start(), depths, instr)
+        lhs = sql[lhs_s : m.start()].strip()
+        if not lhs:
+            raise UnsupportedTrinoSyntax("AT TIME ZONE: no left operand found")
+        sql = (
+            sql[:lhs_s]
+            + f"at_timezone({lhs}, {m.group(1)})"
+            + sql[m.end() :]
+        )
+
+
 _TRY_OPS = {"/": "try_divide", "+": "try_add", "-": "try_subtract", "*": "try_multiply"}
 
 
@@ -777,6 +809,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_try(sql)
     sql = _rewrite_fetch_ties(sql)
     sql = _rewrite_quantified(sql)
+    sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_cast_types(sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(
