@@ -144,3 +144,45 @@ def test_ip_contains(spark):
         "ip_contains('2001:db8::/32', '2001:db8::1') AS c"
     ).collect()[0]
     assert r.a is True and r.b is False and r.c is True
+
+
+def test_sql_json_path_extensions(spark):
+    """SQL/JSON path steps beyond the round-2 subset: recursive descent,
+    wildcard members, slices, filter predicates, lax/strict prefixes
+    (reference core/trino-main/.../json/ path IR)."""
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    doc = (
+        '{"store": {"book": [{"t": "a", "price": 5}, {"t": "b", "price": 15},'
+        ' {"t": "c", "price": 25}], "bike": {"price": 99}}}'
+    )
+    spark.createDataFrame([(doc,)], "j string").createOrReplaceTempView("jt")
+
+    def q(path):
+        return spark.sql(
+            f"SELECT json_query(j, '{path}') AS r FROM jt"
+        ).collect()[0].r
+
+    # filter predicate
+    assert q("$.store.book[*] ? (@.price > 10)") == (
+        '[{"t":"b","price":15},{"t":"c","price":25}]'
+    )
+    # recursive descent collects every price
+    assert q("$..price") == "[5,15,25,99]"
+    # slice
+    assert q("$.store.book[0:2]") == '[{"t":"a","price":5},{"t":"b","price":15}]'
+    # wildcard member
+    assert q("$.store.bike.*") == "99"
+    # lax: missing member -> no match -> NULL; strict: error -> NULL too,
+    # but a present path still answers
+    assert q("lax $.store.missing") is None
+    assert q("strict $.store.bike.price") == "99"
+    r = spark.sql(
+        "SELECT json_exists(j, 'strict $.store.missing') AS e FROM jt"
+    ).collect()[0].e
+    assert r is None  # strict structural error -> NULL (ERROR ON ERROR off)
+    r2 = spark.sql(
+        "SELECT json_exists(j, 'lax $.store.missing') AS e FROM jt"
+    ).collect()[0].e
+    assert r2 is False

@@ -221,11 +221,61 @@ def _hmac_udf(algo: str):
 _JSONPATH_SRC = r'''
 import json, re
 
-_TOK = re.compile(r"\.([A-Za-z_][A-Za-z_0-9]*)|\[(\d+)\]|\[\*\]|\.\"([^\"]+)\"")
+_TOK = re.compile(
+    r"\.\.(?P<rec>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|\.(?P<star>\*)"
+    r"|\.(?P<name>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|\[(?P<s>\d*)\s*:\s*(?P<e>\d*)\]"
+    r"|\[(?P<idx>\d+)\]"
+    r"|\[\*\]"
+    r"|\.\"(?P<q>[^\"]+)\""
+    r"|\s*\?\s*\(\s*@\.(?P<fkey>[A-Za-z_][A-Za-z_0-9]*)\s*"
+    r"(?:(?P<fop>==|!=|>=|<=|>|<)\s*(?P<fval>[^)]+?))?\s*\)"
+)
+
+
+def _descend(nd, key, out):
+    if isinstance(nd, dict):
+        for k, v in nd.items():
+            if k == key:
+                out.append(v)
+            _descend(v, key, out)
+    elif isinstance(nd, list):
+        for v in nd:
+            _descend(v, key, out)
+
+
+def _lit(text):
+    t = text.strip()
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1]
+    try:
+        return json.loads(t)
+    except Exception:
+        return None
+
+
+def _cmp(a, op, b):
+    if op in ("==", "!="):
+        eq = a == b and type(a) is not bool or (type(a) is bool and a is b)
+        return eq if op == "==" else not eq
+    # ordering: numbers with numbers, strings with strings
+    num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+    if num(a) and num(b):
+        pass
+    elif isinstance(a, str) and isinstance(b, str):
+        pass
+    else:
+        return False
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
 
 def jpath(doc, path):
-    """Returns the list of matches (lax mode: missing -> empty list),
-    or None on malformed json/path."""
+    """SQL/JSON path subset (reference core/trino-main/.../json/ path IR):
+    [lax|strict] $ .name ."quoted" .* ..name [i] [s:e] [*] ? (@.k op lit).
+    Lax mode: missing members/indexes yield no matches; strict mode makes
+    a missing structural step an error (-> None, i.e. NULL ON ERROR).
+    Returns the list of matches, or None on malformed json/path/error."""
     if doc is None or path is None:
         return None
     try:
@@ -233,6 +283,13 @@ def jpath(doc, path):
     except Exception:
         return None
     p = path.strip()
+    strict = False
+    low = p.lower()
+    if low.startswith("lax "):
+        p = p[4:].lstrip()
+    elif low.startswith("strict "):
+        strict = True
+        p = p[7:].lstrip()
     if not p.startswith("$"):
         return None
     cur, i = [node], 1
@@ -240,20 +297,47 @@ def jpath(doc, path):
         m = _TOK.match(p, i)
         if not m:
             return None
-        name, idx, quoted = m.group(1), m.group(2), m.group(3)
+        g = m.groupdict()
         nxt = []
         for nd in cur:
-            if name is not None or quoted is not None:
-                k = name if name is not None else quoted
+            if g["rec"] is not None:
+                _descend(nd, g["rec"], nxt)
+            elif g["star"] is not None:
+                if isinstance(nd, dict):
+                    nxt.extend(nd.values())
+                elif strict:
+                    return None
+            elif g["name"] is not None or g["q"] is not None:
+                k = g["name"] if g["name"] is not None else g["q"]
                 if isinstance(nd, dict) and k in nd:
                     nxt.append(nd[k])
-            elif idx is not None:
-                j = int(idx)
+                elif strict:
+                    return None
+            elif g["idx"] is not None:
+                j = int(g["idx"])
                 if isinstance(nd, list) and j < len(nd):
                     nxt.append(nd[j])
+                elif strict:
+                    return None
+            elif g["s"] is not None:
+                if isinstance(nd, list):
+                    s = int(g["s"]) if g["s"] else 0
+                    e = int(g["e"]) if g["e"] else len(nd)
+                    nxt.extend(nd[s:e])
+                elif strict:
+                    return None
+            elif g["fkey"] is not None:
+                k, op, val = g["fkey"], g["fop"], g["fval"]
+                if isinstance(nd, dict) and k in nd:
+                    if op is None:
+                        nxt.append(nd)
+                    elif _cmp(nd[k], op, _lit(val)):
+                        nxt.append(nd)
             else:  # [*]
                 if isinstance(nd, list):
                     nxt.extend(nd)
+                elif strict:
+                    return None
         cur, i = nxt, m.end()
     return cur
 '''
