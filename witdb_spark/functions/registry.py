@@ -23,6 +23,7 @@ PASSTHROUGH: dict[str, str] = {
     "lpad": "lpad", "rpad": "rpad", "concat": "concat", "concat_ws": "concat_ws",
     "split_part": "split_part", "starts_with": "startswith",
     "translate": "translate", "levenshtein_distance": "levenshtein",
+    "soundex": "soundex",
     "split_to_map": "str_to_map", "format": "format_string",
     "chr": "chr",  # Spark 4 ships chr natively
     # regex (Java dialect in both engines' common subset)
