@@ -138,3 +138,20 @@ def test_hamming_distance_unequal_raises(engine):
     assert one(engine, "hamming_distance('cat', 'car')") == 1
     with pytest.raises(Exception, match="same length"):
         one(engine, "hamming_distance('cat', 'cars')")
+
+
+def test_try_recursive_decomposition(spark):
+    """reference TryFunction.java: any error inside TRY -> NULL; nested
+    arithmetic and casts decompose recursively."""
+    from witdb_spark.functions import register_all
+    from witdb_spark.plans import transpile
+
+    register_all(spark)
+    r = spark.sql(
+        transpile(
+            "SELECT TRY(1 / 0 + 5) AS a, TRY(CAST('x' AS INT) * 2) AS b, "
+            "TRY(10 / 2 + 1) AS c, TRY(CAST(9 / 3 AS INT)) AS d"
+        )
+    ).collect()[0]
+    assert r.a is None and r.b is None
+    assert r.c == 6.0 and r.d == 3

@@ -760,13 +760,97 @@ def _rewrite_at_time_zone(sql: str) -> str:
 _TRY_OPS = {"/": "try_divide", "+": "try_add", "-": "try_subtract", "*": "try_multiply"}
 
 
+def _try_top_op(inner: str) -> int | None:
+    """Index of the top-of-tree binary operator in `inner`: the RIGHTMOST
+    depth-0 +/- (lowest precedence, left-assoc), else the rightmost */
+    ('/' and '*' bind tighter). Unary signs and exponent literals (1e-5)
+    are skipped."""
+    best_add = best_mul = None
+    depth = 0
+    prev = ""
+    for i, c, in_str in _in_string_scan(inner):
+        if in_str:
+            prev = c
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in _TRY_OPS and i > 0:
+            p = prev
+            is_unary = p in "+-*/%(," or p == ""
+            is_exp = (
+                c in "+-"
+                and p in "eE"
+                and i >= 2
+                and inner[i - 2].isdigit()
+            )
+            if not is_unary and not is_exp and inner[i + 1 :].strip():
+                if c in "+-":
+                    best_add = i
+                else:
+                    best_mul = i
+        if not c.isspace():
+            prev = c
+    return best_add if best_add is not None else best_mul
+
+
+def _try_decompose(inner: str) -> str:
+    """Recursively lower an expression so every failable step is a try_*
+    form: arithmetic -> try_add/subtract/multiply/divide over decomposed
+    operands, CAST -> try_cast over its decomposed operand, element_at ->
+    try_element_at. NULL propagates through every layer, which is exactly
+    TRY's contract (any error inside -> NULL). Leaves pass through."""
+    inner = inner.strip()
+    # fully parenthesized? strip and recurse
+    if inner.startswith("(") and _match_paren(inner, 0) == len(inner) - 1:
+        return f"({_try_decompose(inner[1:-1])})"
+    op_idx = _try_top_op(inner)
+    if op_idx is not None:
+        c = inner[op_idx]
+        lhs, rhs = inner[:op_idx], inner[op_idx + 1 :]
+        return f"{_TRY_OPS[c]}({_try_decompose(lhs)}, {_try_decompose(rhs)})"
+    cm = re.match(r"(?:try_)?cast\s*\(", inner, flags=re.I)
+    if cm and _match_paren(inner, cm.end() - 1) == len(inner) - 1:
+        args = inner[cm.end() : -1]
+        # split at the last depth-0 AS (the type separator)
+        depth, as_idx = 0, None
+        prev_alnum = False
+        for j, ch, in_str in _in_string_scan(args):
+            if in_str:
+                prev_alnum = False
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch in "Aa"
+                and not prev_alnum
+                and args[j : j + 2].upper() == "AS"
+                and (j + 2 >= len(args) or not (args[j + 2].isalnum() or args[j + 2] == "_"))
+            ):
+                as_idx = j
+            prev_alnum = ch.isalnum() or ch == "_"
+        if as_idx is not None:
+            return (
+                f"try_cast({_try_decompose(args[:as_idx])} {args[as_idx:]})"
+            )
+        return f"try_cast({args})"
+    em = re.match(r"element_at\s*\(", inner, flags=re.I)
+    if em and _match_paren(inner, em.end() - 1) == len(inner) - 1:
+        return re.sub(r"^element_at", "try_element_at", inner, flags=re.I)
+    return inner
+
+
 def _rewrite_try(sql: str) -> str:
-    """TRY(expr) for the decomposable cases (reference TryFunction.java):
-      TRY(CAST(x AS T))      -> try_cast(x AS T)
-      TRY(a / b), +, -, *    -> try_divide(a, b) etc. (top-level op only)
-      TRY(element_at(...))   -> try_element_at(...)
-    Anything else still raises — a silent behavior change would be worse
-    than an explicit gap."""
+    """TRY(expr) (reference TryFunction.java): recursively decompose the
+    body into Spark's try_* forms — arithmetic chains, CASTs, and
+    element_at at any nesting (TRY(a/b + CAST(c AS INT)) ->
+    try_add(try_divide(a, b), try_cast(c AS INT))). A body with none of
+    those failable forms raises rather than silently changing semantics
+    (e.g. TRY over a function whose own evaluation can error)."""
     while True:
         m = re.search(r"\bTRY\s*\(", sql, flags=re.I)
         if m is None:
@@ -774,31 +858,12 @@ def _rewrite_try(sql: str) -> str:
         open_idx = sql.index("(", m.start())
         close_idx = _match_paren(sql, open_idx)
         inner = sql[open_idx + 1 : close_idx].strip()
-        repl = None
-        cm = re.match(r"CAST\s*\((.*)\)\s*$", inner, flags=re.I | re.S)
-        if cm and _match_paren(inner, inner.upper().index("(")) == len(inner) - 1:
-            repl = f"try_cast({cm.group(1)})"
-        elif re.match(r"element_at\s*\(", inner, flags=re.I):
-            repl = re.sub(r"^element_at", "try_element_at", inner, flags=re.I)
-        else:
-            # top-level binary operator split (string/paren-aware)
-            depth = 0
-            for i, c, in_str in _in_string_scan(inner):
-                if in_str:
-                    continue
-                if c in "([":
-                    depth += 1
-                elif c in ")]":
-                    depth -= 1
-                elif depth == 0 and c in _TRY_OPS and i > 0:
-                    lhs, rhs = inner[:i].strip(), inner[i + 1 :].strip()
-                    if lhs and rhs:
-                        repl = f"{_TRY_OPS[c]}({lhs}, {rhs})"
-                        break
-        if repl is None:
+        repl = _try_decompose(inner)
+        if repl == inner and not re.match(r"try_", repl, flags=re.I):
             raise UnsupportedTrinoSyntax(
-                f"TRY({inner[:60]}...): only TRY over CAST, element_at, or a"
-                " single +,-,*,/ decomposes into Spark try_* functions"
+                f"TRY({inner[:60]}...): no decomposable failable form"
+                " (CAST, element_at, +, -, *, /) found; Spark has no"
+                " generic catch-anything TRY"
             )
         sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
 
