@@ -333,3 +333,32 @@ def test_match_recognize_parallelism_pinned(spark):
         mr.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_jdbc_pushdown_reaches_remote_scan(spark, tmp_path):
+    """JDBC predicate + projection pushdown (reference BaseJdbcClient
+    builds per-split SELECTs with pushed filters): the starred
+    PushedFilters are evaluated by the remote database, and ReadSchema
+    shows only the projected column crosses the wire."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/plandb;create=true"
+    write_jdbc(
+        spark.range(100).selectExpr("id", "id % 5 AS g"),
+        url, "tp", driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_writers=1,
+    )
+    df = (
+        read_jdbc(
+            spark, f"jdbc:derby:{tmp_path}/plandb", "tp",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        .filter(F.col("g") == 1)
+        .select("id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [*IsNotNull(g), *EqualTo(g,1)]" in plan
+    assert "ReadSchema: struct<id:bigint>" in plan
+    assert df.count() == 20
