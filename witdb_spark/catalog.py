@@ -63,7 +63,12 @@ class Tables:
         semantics. The fixture schema has shipped both ways — parquet
         TIMESTAMP(NANOS) (readable only as raw int64 via nanosAsLong) and
         TIMESTAMP(MICROS) — so normalize whichever arrives:
-          - timestamp column → unix_micros * 1000 (UTC session tz, exact);
+          - timestamp column → wall-clock micros * 1000, computed with
+            pure NTZ arithmetic (timestampdiff over TIMESTAMP_NTZ) so the
+            value is independent of spark.sql.session.timeZone — the
+            ``unix_micros(cast(ts AS TIMESTAMP))`` form shifted by the
+            session offset in non-UTC sessions and diverged from DuckDB's
+            naive ``epoch_ns``;
           - int64 nanos → pass through.
         Both are pure map-stage projections; pushdown/pruning unaffected."""
         from pyspark.sql import functions as F
@@ -73,7 +78,13 @@ class Tables:
         df = self._spark.read.parquet(os.path.join(self.sf_dir, "events.parquet"))
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-            ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            ts_ns = (
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                    " cast(ts AS TIMESTAMP_NTZ))"
+                )
+                * F.lit(1000)
+            )
         else:  # legacy int64-nanos fixture
             ts_ns = F.col("ts")
         return df.select(

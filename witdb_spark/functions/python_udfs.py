@@ -246,6 +246,8 @@ def _descend(nd, key, out):
 
 
 def _lit(text):
+    # Known limit: the filter tokenizer stops a literal at the first ')',
+    # so string literals containing ')' are not representable in ?(...).
     t = text.strip()
     if t.startswith("'") and t.endswith("'"):
         return t[1:-1]
@@ -257,7 +259,14 @@ def _lit(text):
 
 def _cmp(a, op, b):
     if op in ("==", "!="):
-        eq = a == b and type(a) is not bool or (type(a) is bool and a is b)
+        # bool never equals non-bool, on EITHER side (1 == true is false,
+        # true == 1 is false) — JSON-path equality is type-strict.
+        if (type(a) is bool) != (type(b) is bool):
+            eq = False
+        elif type(a) is bool:
+            eq = a is b
+        else:
+            eq = a == b
         return eq if op == "==" else not eq
     # ordering: numbers with numbers, strings with strings
     num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)

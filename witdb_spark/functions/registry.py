@@ -212,8 +212,6 @@ MACROS: dict[str, str] = {
     "with_timezone": "CREATE OR REPLACE TEMPORARY FUNCTION with_timezone"
     "(ts TIMESTAMP_NTZ, tz STRING) RETURNS TIMESTAMP_NTZ RETURN "
     "convert_timezone(tz, 'UTC', ts)",
-    "from_iso8601_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
-    "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
     "to_iso8601": "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP) "
     "RETURNS STRING RETURN date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
     # ISO-8601 parse pair (reference DateTimeFunctions.java
@@ -285,9 +283,15 @@ MACROS: dict[str, str] = {
     "RETURNS BIGINT RETURN (t DIV 1000000000) % 60",
     "time_millisecond": "CREATE OR REPLACE TEMPORARY FUNCTION time_millisecond"
     "(t BIGINT) RETURNS BIGINT RETURN (t DIV 1000000) % 1000",
-    # time-of-day of an instant in the session zone (pmod: pre-1970 safe)
+    # time-of-day of an instant in the SESSION zone (Trino LOCALTIME /
+    # CURRENT_TIME semantics): shift the instant into session wall time
+    # first, so a non-UTC spark.sql.session.timeZone still yields local
+    # time-of-day; pmod keeps pre-1970 instants positive. For TIMESTAMP_NTZ
+    # inputs the NTZ->TZ coercion and this shift cancel, so wall micros
+    # round-trip in any zone (matching the DuckDB oracle's naive micros).
     "time_of_day": "CREATE OR REPLACE TEMPORARY FUNCTION time_of_day"
-    "(ts TIMESTAMP) RETURNS BIGINT RETURN pmod(unix_micros(ts), 86400000000) * 1000",
+    "(ts TIMESTAMP) RETURNS BIGINT RETURN "
+    "pmod(unix_micros(from_utc_timestamp(ts, current_timezone())), 86400000000) * 1000",
     # canonical text form at full precision (Trino casts TIME(p) to varchar
     # at type precision; nanos encoding fixes p=9)
     "time_to_str": "CREATE OR REPLACE TEMPORARY FUNCTION time_to_str(t BIGINT) "

@@ -65,11 +65,16 @@ def read_table(
     data skipping from table metadata — the same statistics pruning the
     reference does with its checkpoint/manifest readers)."""
     _require(spark, fmt)
+    # Route on target shape, not format: a filesystem path loads through the
+    # requested DSv2 format (path-based iceberg/delta/hudi all work), while a
+    # catalog identifier resolves via spark.table() — reader options don't
+    # apply on the catalog route (the table's catalog decides its provider).
+    is_path = "/" in path_or_table or path_or_table.startswith(".")
+    if not is_path:
+        return spark.table(path_or_table)
     reader = spark.read.format(fmt)
     for k, v in options.items():
         reader = reader.option(k, v)
-    if fmt == "iceberg" or "/" not in path_or_table:
-        return reader.table(path_or_table)
     return reader.load(path_or_table)
 
 

@@ -103,9 +103,10 @@ def stateful_funnels(stream: DataFrame, inactivity_ms: int = 7_200_000) -> DataF
     resets. A processing-time timeout drops state for users gone quiet, so
     the store is O(active users) — the shape a 100 TB/day stream needs.
 
-    Rows within each (key, microbatch) group are sorted by event_id before
-    the fold, so results are deterministic given deterministic batching
-    (e.g. availableNow over staged files)."""
+    A key's microbatch rows can arrive split across several Arrow chunks in
+    arbitrary order, so all chunks are accumulated and sorted ONCE by
+    event_id before the fold — results are deterministic given
+    deterministic batching (e.g. availableNow over staged files)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold(key, pdfs, state: GroupState):
@@ -116,8 +117,9 @@ def stateful_funnels(stream: DataFrame, inactivity_ms: int = 7_200_000) -> DataF
             return
         (views,) = state.get if state.exists else (0,)
         out_uid, out_pid, out_nv = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
             for et, eid in zip(pdf["event_type"], pdf["event_id"]):
                 if et == "view":
                     views += 1
