@@ -114,3 +114,48 @@ def test_hll_ignores_nulls(spark):
     est_a = hll_estimate(hll_registers(with_nulls, [], "v"), [], "e").collect()[0].e
     est_b = hll_estimate(hll_registers(without, [], "v"), [], "e").collect()[0].e
     assert est_a == est_b
+
+
+def test_tdigest_rollup_close_to_exact(spark, oracle):
+    """Tail accuracy is the t-digest's reason to exist: p95/p99 from the
+    merged digest must sit within tight value error of the exact
+    quantiles (cosine grid spacing at the tail is O(1/K^2) in rank)."""
+    row = QUERIES["agg_tdigest_rollup"].fn(spark, SF_DIR).collect()[0]
+    p50, p95, p99 = oracle.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.5),"
+        " quantile_cont(l_extendedprice, 0.95),"
+        " quantile_cont(l_extendedprice, 0.99) FROM lineitem"
+    ).fetchone()
+    for got, want, tol in [(row.p50, p50, 0.05), (row.p95, p95, 0.02), (row.p99, p99, 0.02)]:
+        assert abs(got - want) / want < tol, (got, want)
+
+
+def test_tdigest_merge_matches_direct_build(spark):
+    """merge(tdigest over parts) must approximate a digest built over the
+    whole relation — the store-then-merge contract. Rank error of the
+    merge is bounded by grid spacing, so fixed grid slots of the two
+    digests must agree within a small value tolerance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.operators.tdigest import merge_tdigests, tdigest_agg
+
+    li = Tables(spark, SF_DIR).lineitem.select("l_partkey", "l_extendedprice")
+    parts = tdigest_agg(
+        li.withColumn("p", F.col("l_partkey") % 16), ["p"], "l_extendedprice"
+    )
+    merged = merge_tdigests(
+        parts.withColumn("g", F.lit(1)).select("g", "tdigest"), ["g"]
+    ).collect()[0]
+    direct = tdigest_agg(
+        li.withColumn("g", F.lit(1)), ["g"], "l_extendedprice"
+    ).collect()[0]
+    m = np.frombuffer(bytes(merged.tdigest), dtype="float64")
+    d = np.frombuffer(bytes(direct.tdigest), dtype="float64")
+    assert m[0] == d[0]  # total weight survives the merge exactly
+    # min/max are exact by grid construction (q_0 = 0, q_last = 1)
+    assert m[1] == d[1] and m[-1] == d[-1]
+    mid = slice(2, -2)
+    rel = np.abs(m[mid] - d[mid]) / np.maximum(np.abs(d[mid]), 1e-9)
+    assert float(np.median(rel)) < 0.02

@@ -667,3 +667,98 @@ def agg_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.groupBy("bucket").agg(
         F.array_join(F.array_sort(F.collect_list(entry)), "|").alias("mm")
     )
+
+
+def _tdigest_rollup_oracle() -> str:
+    from witdb_spark.operators.tdigest import (
+        K_CENTROIDS,
+        grid_bracket,
+        rank_mids,
+        scale_grid,
+    )
+
+    grid = scale_grid(K_CENTROIDS)
+    mids = rank_mids(K_CENTROIDS)
+    vals = ", ".join(
+        f"({k}, {q!r}, {mids[k]!r}, {mids[k + 1]!r})" for k, q in enumerate(grid)
+    )
+
+    def interp(q: float, alias: str) -> str:
+        lo, hi, w = grid_bracket(q)
+        return (
+            f"(SELECT mv FROM merged WHERE k = {lo}) + {w!r} * "
+            f"((SELECT mv FROM merged WHERE k = {hi}) - "
+            f"(SELECT mv FROM merged WHERE k = {lo})) AS {alias}"
+        )
+    # Replay the determinized t-digest pipeline (operators/tdigest.py):
+    # per-flag nearest-rank selection on the cosine grid -> weight-n pool
+    # -> weighted grid re-selection. The grid literals come from the same
+    # Python scale_grid() the UDFs close over, so both engines do identical
+    # IEEE arithmetic.
+    return f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS f, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    grid(k, q, mlo, mhi) AS (VALUES {vals}),
+    digest AS (
+      SELECT f, g.k, v,
+             CAST(floor(g.mhi * n + 0.5) AS BIGINT)
+               - CAST(floor(g.mlo * n + 0.5) AS BIGINT) AS w
+      FROM ranked
+      JOIN grid g ON rn = CAST(floor(g.q * (n - 1) + 0.5) AS BIGINT)),
+    sorted AS (
+      SELECT v, SUM(w) OVER (ORDER BY v, f, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM digest),
+    tot AS (SELECT SUM(w) AS wtot FROM digest),
+    merged AS (
+      SELECT g.k,
+             CASE WHEN g.k = 0 THEN (SELECT MIN(v) FROM sorted)
+                  WHEN g.k = {K_CENTROIDS - 1} THEN (SELECT MAX(v) FROM sorted)
+                  ELSE (SELECT MIN(v) FROM sorted
+                        WHERE cum >= floor(g.q * (CAST((SELECT wtot FROM tot) AS DOUBLE) - 1) + 0.5) + 1)
+             END AS mv
+      FROM grid g)
+    SELECT {interp(0.50, "p50")},
+           {interp(0.95, "p95")},
+           {interp(0.99, "p99")}
+    """
+
+
+@register(
+    "agg_tdigest_rollup",
+    _tdigest_rollup_oracle(),
+    doc="T-digests as values (reference TDigestAggregationFunction.java:32, "
+    "TDigestFunctions.java value_at_quantile/merge): per-returnflag price "
+    "digests on the k1-scale cosine grid (tail-dense — p95/p99 resolve at "
+    "O(1/K^2) spacing), MERGED upward by weighted grid re-selection to one "
+    "global digest, then values_at_quantiles([0.5, 0.95, 0.99]). Every "
+    "centroid is an exact input value selected by integer rank on a grid "
+    "injected identically into both engines, so the oracle replays the "
+    "pipeline bit-for-bit (operators/tdigest.py).",
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.tdigest import (
+        merge_tdigests,
+        tdigest_agg,
+        values_at_quantiles,
+    )
+
+    t = Tables(spark, sf_dir)
+    per_flag = tdigest_agg(
+        t.lineitem.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+    )
+    merged = merge_tdigests(
+        per_flag.withColumn("g", F.lit(1)).select("g", "tdigest"), ["g"]
+    )
+    return merged.select(
+        values_at_quantiles("tdigest", [0.50, 0.95, 0.99]).alias("tv")
+    ).select(
+        F.col("tv")[0].alias("p50"),
+        F.col("tv")[1].alias("p95"),
+        F.col("tv")[2].alias("p99"),
+    )
