@@ -159,3 +159,21 @@ def test_tdigest_merge_matches_direct_build(spark):
     mid = slice(2, -2)
     rel = np.abs(m[mid] - d[mid]) / np.maximum(np.abs(d[mid]), 1e-9)
     assert float(np.median(rel)) < 0.02
+
+
+def test_setdigest_jaccard_exact_when_small(spark):
+    """Bottom-k estimator contract (reference SetDigestFunctions.java
+    jaccard_index): when |A ∪ B| <= K the estimate is EXACT. nation keys
+    0..24 vs 10..34 -> J = 15/35."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.operators.setdigest import jaccard_index, make_set_digest
+
+    na = Tables(spark, SF_DIR).nation
+    a = make_set_digest(na.where(F.col("n_nationkey") < 25), [], "n_nationkey")
+    b = make_set_digest(
+        na.select((F.col("n_nationkey") + 10).alias("k")), [], "k"
+    )
+    j = jaccard_index(a[0], b[0]).collect()[0].jaccard
+    assert abs(j - 15.0 / 35.0) < 1e-12, j

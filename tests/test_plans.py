@@ -362,3 +362,24 @@ def test_jdbc_pushdown_reaches_remote_scan(spark, tmp_path):
     assert "PushedFilters: [*IsNotNull(g), *EqualTo(g,1)]" in plan
     assert "ReadSchema: struct<id:bigint>" in plan
     assert df.count() == 20
+
+
+def test_setdigest_bottomk_partial_limits(spark):
+    """SetDigest sketch build (reference type/setdigest/SetDigest.java):
+    the keyed bottom-k minhash must plan as WindowGroupLimit (partial
+    per-partition top-k before the shuffle) and the global variant as
+    TakeOrderedAndProject — both cap exchange rows at O(k) per group."""
+    from witdb_spark.catalog import Tables
+    from witdb_spark.operators.setdigest import minhash_bottom_k
+
+    ev = Tables(spark, SF_DIR).events
+    keyed = minhash_bottom_k(ev, ["event_type"], "user_id")
+    kp = keyed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "WindowGroupLimit" in kp
+    globl = minhash_bottom_k(ev, [], "user_id")
+    gp = globl._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in gp

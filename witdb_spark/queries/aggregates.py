@@ -762,3 +762,78 @@ def agg_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv")[1].alias("p95"),
         F.col("tv")[2].alias("p99"),
     )
+
+
+def _setdigest_oracle() -> str:
+    from witdb_spark.operators.hll import hll_oracle_cte
+    from witdb_spark.operators.setdigest import K_HASHES
+
+    card_a = hll_oracle_cte(
+        "(SELECT event_id % 599 AS v FROM events WHERE event_type = 'view')",
+        "v", [], "card_view",
+    )
+    card_b = hll_oracle_cte(
+        "(SELECT event_id % 599 AS v FROM events WHERE event_type = 'purchase')",
+        "v", [], "card_purchase",
+    )
+    # register MAX is associative, so merge_set_digest(A, B)'s HLL half ==
+    # registers built over the unioned rows directly
+    card_u = hll_oracle_cte(
+        "(SELECT event_id % 599 AS v FROM events"
+        " WHERE event_type IN ('view', 'purchase'))",
+        "v", [], "ucard",
+    )
+    return f"""
+    WITH a AS (SELECT DISTINCT md5(CAST(event_id % 599 AS VARCHAR)) AS h
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT md5(CAST(event_id % 599 AS VARCHAR)) AS h
+          FROM events WHERE event_type = 'purchase'),
+    uk AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+           ORDER BY h LIMIT {K_HASHES}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM uk) AS nu,
+             (SELECT COUNT(*) FROM uk
+              WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS nb)
+    SELECT CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard,
+           ca.card_view, cb.card_purchase,
+           CAST(round(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE) * cu.ucard, 6)
+                AS DOUBLE) AS icard
+    FROM counts CROSS JOIN ({card_a}) ca CROSS JOIN ({card_b}) cb
+    CROSS JOIN ({card_u}) cu
+    """
+
+
+@register(
+    "agg_setdigest",
+    _setdigest_oracle(),
+    doc="SetDigest family (reference type/setdigest/SetDigest.java, "
+    "SetDigestFunctions.java make_set_digest/merge_set_digest/cardinality/"
+    "intersection_cardinality/jaccard_index): HLL + bottom-k MinHash over "
+    "md5 (operators/setdigest.py). Digests of the view-event and "
+    "purchase-event id sets; jaccard from the bottom-k estimator, "
+    "cardinalities from the md5-register HLL, intersection_cardinality = "
+    "jaccard x cardinality(merged digest). Deterministic end-to-end, so "
+    "DuckDB replays the identical sketches.",
+    tags=("aggregate", "approx", "sketch", "dedup"),
+)
+def agg_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.setdigest import (
+        cardinality,
+        intersection_cardinality,
+        jaccard_index,
+        make_set_digest,
+    )
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    val = "event_id % 599"
+    dig_a = make_set_digest(ev.where(F.col("event_type") == "view"), [], val)
+    dig_b = make_set_digest(ev.where(F.col("event_type") == "purchase"), [], val)
+    j = jaccard_index(dig_a[0], dig_b[0])
+    ca = cardinality(dig_a, [], "card_view")
+    cb = cardinality(dig_b, [], "card_purchase")
+    ic = intersection_cardinality(dig_a, dig_b)
+    return (
+        j.crossJoin(ca).crossJoin(cb).crossJoin(ic)
+        .select("jaccard", "card_view", "card_purchase", "icard")
+    )
