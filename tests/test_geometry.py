@@ -107,3 +107,23 @@ def test_geometry_udfs_in_sql(spark):
     assert r.np == 5
     assert r.ic is True
     assert r.ie is True
+
+
+def test_spatial_triangles_lattice_safe():
+    """Build-time invariant behind the spatial_join_contains oracle: no
+    integer lattice point may fall exactly on a triangle edge, so strict
+    interior tests agree between the WKT kernel and the oracle's sign
+    tests. All arithmetic exact in doubles (0.25-grid x integers)."""
+    from witdb_spark.queries.spatial import TRIANGLES
+
+    for tri in TRIANGLES:
+        for (x1, y1), (x2, y2) in zip(tri, [*tri[1:], tri[0]]):
+            for x in range(97):
+                for y in range(89):
+                    c = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+                    assert c != 0.0 or not (
+                        min(x1, x2) <= x <= max(x1, x2)
+                        and min(y1, y2) <= y <= max(y1, y2)
+                    ), (tri, (x, y))
+        (x1, y1), (x2, y2), (x3, y3) = tri
+        assert (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1) > 0  # CCW

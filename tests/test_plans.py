@@ -383,3 +383,14 @@ def test_setdigest_bottomk_partial_limits(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "TakeOrderedAndProject" in gp
+
+
+def test_spatial_joins_never_cartesian(spark):
+    """Spatial joins must band on grid cells (reference ExtractSpatialJoins
+    .java:151 rewrites ST_Contains/ST_Distance joins away from nested
+    loops): both registered spatial queries must plan equi hash joins on
+    the cell key — no CartesianProduct, no BroadcastNestedLoopJoin."""
+    for q in ("spatial_join_contains", "spatial_join_distance"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q

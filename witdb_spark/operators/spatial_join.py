@@ -1,0 +1,161 @@
+"""Banded spatial join (reference operator/SpatialJoinOperator.java:42 and
+sql/planner/optimizations/ExtractSpatialJoins.java:151).
+
+The reference executes ST_Contains / ST_Distance joins by building an
+R-tree over one side and probing it; its distributed flavor partitions both
+sides by Hilbert-curve spatial partitions first. The Spark-native analog is
+a GRID-CELL band join — the same shape as the LSH band join in
+pipeline/dedup.py:
+
+  1. quantize space into square cells of side `cell_size`;
+  2. polygons (or radius-r probes) EXPLODE to every cell their envelope
+     covers — bounded fan-out: O(envelope_area / cell²) rows each;
+  3. points map to exactly ONE cell (two integer floors, pure JVM);
+  4. equi-join on cell id — Catalyst plans a hash join (broadcast when the
+     polygon side is small), never a cartesian product;
+  5. the exact predicate runs ONLY on grid candidates (point-in-polygon via
+     the WKT kernel, functions/geometry.py; point-distance stays pure JVM).
+
+At 100 TB the only shuffle is the cell-keyed exchange (or none, when the
+polygon side broadcasts); skewed cells split under AQE like any hot hash
+key. Choosing cell_size ≈ median polygon extent (or = r for distance
+joins) keeps candidate fan-out near-constant, mirroring the reference's
+R-tree leaf sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, StructField, DoubleType
+
+
+def _poly_cells(
+    polys: DataFrame, wkt_col: str, cell_size: float
+) -> DataFrame:
+    """Explode each polygon to the grid cells its envelope covers.
+    Envelope extraction is one tiny pandas-UDF pass over the polygon side
+    (the small side); the cell explosion itself is JVM sequence+explode."""
+    from witdb_spark.functions.geometry import _GEO_SRC
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("xmin", DoubleType()),
+                StructField("ymin", DoubleType()),
+                StructField("xmax", DoubleType()),
+                StructField("ymax", DoubleType()),
+            ]
+        )
+    )
+    def _env(wkts):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        bounds = ns["bounds"]
+        rows = []
+        for s in wkts:
+            b = None if s is None else bounds(s)
+            rows.append(
+                {"xmin": None, "ymin": None, "xmax": None, "ymax": None}
+                if b is None
+                else {"xmin": b[0], "ymin": b[1], "xmax": b[2], "ymax": b[3]}
+            )
+        return pd.DataFrame(rows)
+
+    cs = float(cell_size)
+    with_env = polys.withColumn("_env", _env(F.col(wkt_col)))
+    return (
+        with_env.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_env.xmin") / cs).cast("long"),
+                    F.floor(F.col("_env.xmax") / cs).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_env.ymin") / cs).cast("long"),
+                    F.floor(F.col("_env.ymax") / cs).cast("long"),
+                )
+            ),
+        )
+        .drop("_env")
+    )
+
+
+def spatial_join_contains(
+    points: DataFrame,
+    polys: DataFrame,
+    x_col: str,
+    y_col: str,
+    wkt_col: str,
+    cell_size: float,
+) -> DataFrame:
+    """points ⋈ polys ON ST_Contains(poly, point) — grid candidates, then
+    the exact point-in-polygon kernel on candidates only. Output: all
+    point columns + all polygon columns (minus internals)."""
+    from witdb_spark.functions.geometry import _GEO_SRC
+
+    cs = float(cell_size)
+    pts = points.withColumn(
+        "_cx", F.floor(F.col(x_col) / cs).cast("long")
+    ).withColumn("_cy", F.floor(F.col(y_col) / cs).cast("long"))
+    cells = _poly_cells(polys, wkt_col, cs)
+    cand = pts.join(cells, ["_cx", "_cy"]).drop("_cx", "_cy")
+
+    @F.pandas_udf("boolean")
+    def _inside(wkts, xs, ys):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        contains = ns["contains"]
+        out = []
+        for w, x, y in zip(wkts, xs, ys):
+            if w is None or x is None or y is None:
+                out.append(None)
+            else:
+                out.append(bool(contains(w, f"POINT ({float(x)!r} {float(y)!r})")))
+        return pd.Series(out)
+
+    return cand.where(_inside(F.col(wkt_col), F.col(x_col), F.col(y_col)))
+
+
+def spatial_join_within_distance(
+    a: DataFrame,
+    b: DataFrame,
+    r: float,
+    ax: str = "x",
+    ay: str = "y",
+    bx: str = "x",
+    by: str = "y",
+) -> DataFrame:
+    """a ⋈ b ON ST_Distance(a, b) < r for point relations — cell size = r,
+    the b side explodes to its 3×3 cell neighborhood, and the exact
+    distance check is pure JVM arithmetic (no Python anywhere)."""
+    cs = float(r)
+    an = a.withColumn("_cx", F.floor(F.col(ax) / cs).cast("long")).withColumn(
+        "_cy", F.floor(F.col(ay) / cs).cast("long")
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    bn = (
+        b.withColumn("_bcx", F.floor(F.col(bx) / cs).cast("long"))
+        .withColumn("_bcy", F.floor(F.col(by) / cs).cast("long"))
+        .withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .withColumn("_cx", F.col("_bcx") + F.col("_dx"))
+        .withColumn("_cy", F.col("_bcy") + F.col("_dy"))
+        .drop("_bcx", "_bcy", "_dx", "_dy")
+    )
+    dist2 = (F.col(ax) - F.col(bx)) ** 2 + (F.col(ay) - F.col(by)) ** 2
+    return (
+        an.join(bn, ["_cx", "_cy"])
+        .where(dist2 < F.lit(cs * cs))
+        .drop("_cx", "_cy")
+    )

@@ -10,6 +10,7 @@ from witdb_spark.queries import (  # noqa: E402,F401
     functions_parity,
     patterns,
     pipeline_queries,
+    spatial,
     tpch,
 )
 

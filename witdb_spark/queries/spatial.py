@@ -1,0 +1,141 @@
+"""Spatial-join queries (reference SpatialJoinOperator.java:42,
+ExtractSpatialJoins.java:151) over the banded grid join in
+operators/spatial_join.py.
+
+Determinism: points are integer-lattice coordinates derived from event_id;
+polygon vertices sit on a 0.25 grid chosen (and build-time verified in
+tests/test_geometry.py) so NO lattice point falls exactly on an edge —
+strict interior tests therefore agree between the WKT kernel's ray casting
+(Spark side) and the per-edge half-plane sign tests the generated DuckDB
+oracle spells out with literal coordinates. All cross products are exact
+in doubles (0.25-grid × integers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from witdb_spark.catalog import Tables
+from witdb_spark.queries.registry import register
+
+# CCW triangles, 0.25-grid vertices, lattice-safe within [0,97)x[0,89)
+TRIANGLES: list[list[tuple[float, float]]] = [
+    [(10.25, 5.75), (40.75, 12.25), (22.25, 38.75)],
+    [(50.25, 40.75), (90.75, 45.25), (70.25, 80.75)],
+    [(5.75, 50.25), (35.25, 55.75), (12.75, 85.25)],
+    [(60.25, 5.25), (92.75, 8.75), (78.25, 30.25)],
+    [(30.75, 60.25), (55.25, 62.75), (42.75, 88.25)],
+    [(15.25, 20.75), (75.75, 28.25), (45.25, 48.75)],
+]
+
+# x = event_id % 97, y = (event_id // 97) % 89 — integer-valued doubles
+_PX = "CAST(event_id % 97 AS DOUBLE)"
+_PY_SPARK = "CAST((event_id div 97) % 89 AS DOUBLE)"
+_PY_DUCK = "CAST((event_id // 97) % 89 AS DOUBLE)"
+
+
+def tri_wkt(tri: list[tuple[float, float]]) -> str:
+    ring = ", ".join(f"{x!r} {y!r}" for x, y in [*tri, tri[0]])
+    return f"POLYGON (({ring}))"
+
+
+def _tri_predicate_sql(tri: list[tuple[float, float]]) -> str:
+    """Strict-interior test for a CCW triangle: every edge cross product
+    positive. Literal coordinates → identical IEEE arithmetic in DuckDB."""
+    tests = []
+    for (x1, y1), (x2, y2) in zip(tri, [*tri[1:], tri[0]]):
+        tests.append(
+            f"(({x2!r} - {x1!r}) * (y - {y1!r}) - ({y2!r} - {y1!r}) * (x - {x1!r}) > 0)"
+        )
+    return " AND ".join(tests)
+
+
+def _contains_oracle() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {i} AS poly_id, event_id FROM pts WHERE {_tri_predicate_sql(t)}"
+        for i, t in enumerate(TRIANGLES)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_PX} AS x, {_PY_DUCK} AS y FROM events)
+    SELECT poly_id, COUNT(*) AS n_pts,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM ({arms}) hits
+    GROUP BY poly_id
+    """
+
+
+@register(
+    "spatial_join_contains",
+    _contains_oracle(),
+    doc="ST_Contains join (reference SpatialJoinOperator.java:42): event-"
+    "derived lattice points against 6 literal triangles via the grid-cell "
+    "band join (operators/spatial_join.py) — envelope cells explode on the "
+    "small side, points map to one cell, equi-join on cell id (no "
+    "cartesian, plan-gated), exact point-in-polygon kernel only on "
+    "candidates. Oracle replays the predicate as per-edge half-plane sign "
+    "tests with literal coordinates.",
+    tags=("spatial", "join"),
+)
+def spatial_join_contains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.spatial_join import spatial_join_contains
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id", F.expr(_PX).alias("x"), F.expr(_PY_SPARK).alias("y")
+    )
+    polys = spark.createDataFrame(
+        [(i, tri_wkt(tri)) for i, tri in enumerate(TRIANGLES)],
+        "poly_id int, wkt string",
+    )
+    joined = spatial_join_contains(pts, polys, "x", "y", "wkt", cell_size=16.0)
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "spatial_join_distance",
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_PX} AS x, {_PY_DUCK} AS y FROM events
+      WHERE event_id < 2000)
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CAST((a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS BIGINT)) AS BIGINT)
+             AS sum_d2
+    FROM pts a JOIN pts b
+      ON a.event_id < b.event_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 6.25e0
+    """,
+    doc="ST_Distance(a, b) < r self-join (reference SpatialJoinOperator"
+    ".java distance flavor): cell size = r, probe side explodes to its 3x3 "
+    "neighborhood, equi-join on cell, exact distance check pure JVM — no "
+    "Python, no cartesian (plan-gated). Squared distances are exact "
+    "integers on the lattice, so sums are engine-neutral. The oracle runs "
+    "the quadratic join directly (fine at sf0.01; the banded plan is the "
+    "point at scale).",
+    tags=("spatial", "join"),
+)
+def spatial_join_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.spatial_join import spatial_join_within_distance
+
+    t = Tables(spark, sf_dir)
+    pts = t.events.where(F.col("event_id") < 2000).select(
+        "event_id", F.expr(_PX).alias("x"), F.expr(_PY_SPARK).alias("y")
+    )
+    a = pts.select(
+        F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = pts.select(
+        F.col("event_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    pairs = spatial_join_within_distance(
+        a, b, 2.5, ax="ax", ay="ay", bx="bx", by="by"
+    ).where(F.col("a_id") < F.col("b_id"))
+    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(d2.cast("bigint")).alias("sum_d2"),
+    )
