@@ -292,10 +292,21 @@ def test_sql_form_unsupported(engine, spark):
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
     spark.range(1).createOrReplaceTempView("mr_sql_t3")
+    # label-qualified measures are supported under ONE ROW PER MATCH
+    # (r4 SUBSET lowering) but not under ALL ROWS PER MATCH
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql(
             "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
             "PARTITION BY id ORDER BY id "
-            "MEASURES A.id AS a_id ONE ROW PER MATCH "
+            "MEASURES A.id AS a_id ALL ROWS PER MATCH "
             "PATTERN (A B) DEFINE A AS id > 0, B AS id > 0)"
+        )
+    # SUBSET members must be pattern variables
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
+            "PARTITION BY id ORDER BY id "
+            "MEASURES count(*) AS n ONE ROW PER MATCH "
+            "PATTERN (A B) SUBSET S = (A, Z) "
+            "DEFINE A AS id > 0, B AS id > 0)"
         )

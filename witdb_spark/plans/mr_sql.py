@@ -11,6 +11,7 @@ The dialect has no Spark grammar to lower onto, so the relation
       [ONE ROW PER MATCH | ALL ROWS PER MATCH]
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
       PATTERN ( <row pattern> )
+      [SUBSET S = (A, B) [, ...]]
       DEFINE L AS cond [, ...]
     ) [AS alias]
 
@@ -30,8 +31,12 @@ operator/window/pattern/MeasureComputation.java):
     ordering; FINAL <agg>(x) uses the full-match frame. LAST(x) is the
     current row's value (running), FIRST(x) the match's first.
 
-Unsupported (loud, not silent): label-qualified references (A.price),
-SUBSET, PERMUTE, {- -} exclusions, and PREV/NEXT inside MEASURES.
+Label- and SUBSET-qualified measure references (FIRST(A.x), LAST(S.x),
+count(S.*), agg(S.x), bare S.x) lower to membership-guarded min_by/max_by
+and aggregates over CLASSIFIER() — ONE ROW PER MATCH only.
+
+Unsupported (loud, not silent): label-qualified references under ALL ROWS
+PER MATCH, PERMUTE, {- -} exclusions, and PREV/NEXT inside MEASURES.
 """
 
 from __future__ import annotations
@@ -140,7 +145,18 @@ def _parse_clause(body: str) -> dict:
             close = _match_paren(seg, 0)
             spec["pattern"] = seg[1:close].strip()
         elif kw == "SUBSET":
-            raise UnsupportedTrinoSyntax("MATCH_RECOGNIZE SUBSET")
+            # SUBSET S = (A, B), T = (C) — union variables (reference
+            # Matcher.java / SqlBase.g4 SUBSET clause)
+            spec["subset"] = {}
+            for item in _split_args(seg):
+                sm = re.match(
+                    r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*\(([^)]*)\)$", item.strip()
+                )
+                if not sm:
+                    raise UnsupportedTrinoSyntax(f"SUBSET entry: {item!r}")
+                spec["subset"][sm.group(1)] = [
+                    w.strip() for w in sm.group(2).split(",") if w.strip()
+                ]
         elif kw == "DEFINE":
             spec["define"] = {}
             for item in _split_args(seg):
@@ -157,19 +173,77 @@ def _parse_clause(body: str) -> dict:
     return spec
 
 
-def _check_measure(expr: str, labels) -> None:
-    for lab in labels:
-        if re.search(rf"\b{lab}\s*\.", expr):
-            raise UnsupportedTrinoSyntax(
-                f"label-qualified measure reference in {expr!r}"
-            )
+def _check_measure(expr: str, labsets, rows_per_match: str) -> None:
+    if rows_per_match == "all":
+        # label-qualified refs under RUNNING semantics need per-row
+        # classifier state the window rewrite doesn't model — reject loudly
+        for name in labsets:
+            if re.search(rf"\b{name}\s*\.", expr):
+                raise UnsupportedTrinoSyntax(
+                    f"label-qualified measure {expr!r} with ALL ROWS PER MATCH"
+                )
     if re.search(r"\b(PREV|NEXT)\s*\(", expr, re.I):
         raise UnsupportedTrinoSyntax("PREV/NEXT inside MEASURES")
 
 
-def _measure_one_row(expr: str, ord_col: str) -> str:
+def _member_sql(members: list[str]) -> str:
+    if len(members) == 1:
+        return f"classifier = '{members[0]}'"
+    return "classifier IN (" + ", ".join(f"'{m}'" for m in members) + ")"
+
+
+def _qualify_labels(e: str, labsets: dict, ord_col: str) -> str:
+    """Lower label- and SUBSET-qualified measure references (reference
+    Matcher.java label resolution; SUBSET = union variable): the rows of
+    label set L are the match rows whose CLASSIFIER() is a member, so
+    FIRST/LAST(L.x) become min_by/max_by over membership-guarded values
+    and aggregates become membership-guarded aggregates. FINAL one-row
+    semantics only (_check_measure gates the ALL ROWS path)."""
+    for name, members in labsets.items():
+        mem = _member_sql(members)
+
+        def guard(x: str) -> str:
+            return f"CASE WHEN {mem} THEN {x} END"
+
+        e = re.sub(
+            rf"\bFIRST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+            lambda m: f"min_by({guard(m.group(1))}, {guard(ord_col)})",
+            e,
+            flags=re.I,
+        )
+        e = re.sub(
+            rf"\bLAST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+            lambda m: f"max_by({guard(m.group(1))}, {guard(ord_col)})",
+            e,
+            flags=re.I,
+        )
+        e = re.sub(
+            rf"\bcount\s*\(\s*{name}\.\*\s*\)",
+            f"count({guard('1')})",
+            e,
+            flags=re.I,
+        )
+        e = re.sub(
+            rf"\b({'|'.join(_AGG_NAMES)})\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+            lambda m: f"{m.group(1)}({guard(m.group(2))})",
+            e,
+            flags=re.I,
+        )
+        # bare L.col -> FINAL LAST of the label's rows
+        e = re.sub(
+            rf"\b{name}\.([A-Za-z_][A-Za-z0-9_]*)",
+            lambda m: f"max_by({guard(m.group(1))}, {guard(ord_col)})",
+            e,
+            flags=re.I,
+        )
+    return e
+
+
+def _measure_one_row(expr: str, ord_col: str, labsets: dict | None = None) -> str:
     """FINAL-semantics aggregate expression for ONE ROW PER MATCH."""
     e = transpile(expr)
+    if labsets:
+        e = _qualify_labels(e, labsets, ord_col)
     e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"min_by(\1, {ord_col})", e, flags=re.I)
     e = re.sub(r"\bLAST\s*\(([^()]*)\)", rf"max_by(\1, {ord_col})", e, flags=re.I)
     e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", f"max_by(classifier, {ord_col})", e, flags=re.I)
@@ -250,8 +324,21 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     from witdb_spark.operators.match_recognize import match_recognize
 
     labels = list(spec["define"])
+    pattern_ids = [
+        t for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", spec["pattern"])
+        if t.upper() != "PERMUTE"
+    ]
+    all_labels = list(dict.fromkeys([*labels, *pattern_ids]))
+    labsets = {lab: [lab] for lab in all_labels}
+    for sname, members in spec.get("subset", {}).items():
+        bad = [m for m in members if m not in all_labels]
+        if bad:
+            raise UnsupportedTrinoSyntax(
+                f"SUBSET {sname}: {bad} are not pattern variables"
+            )
+        labsets[sname] = members
     for expr, _ in spec["measures"]:
-        _check_measure(expr, labels)
+        _check_measure(expr, labsets, spec["rows_per_match"])
     define = {k: transpile(v) for k, v in spec["define"].items()}
     matched = match_recognize(
         spark.table(table),
@@ -265,7 +352,7 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     pk, ord_col = spec["partition_by"], spec["order_by"]
     if spec["rows_per_match"] == "one":
         aggs = [
-            F.expr(_measure_one_row(e, ord_col)).alias(name)
+            F.expr(_measure_one_row(e, ord_col, labsets)).alias(name)
             for e, name in spec["measures"]
         ]
         out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")

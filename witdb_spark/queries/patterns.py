@@ -272,3 +272,73 @@ def mr_sql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_subset_moves",
+    f"""
+    WITH {_SEQ},
+    kinds AS (
+      SELECT user_id, event_id, rn,
+             CASE WHEN event_type = 'view' THEN 'V'
+                  WHEN event_type IN ('click', 'error') THEN 'M'
+                  WHEN event_type = 'purchase' THEN 'P'
+                  ELSE 'X' END AS kind
+      FROM seq),
+    runs AS (
+      SELECT user_id, event_id, rn, kind,
+             rn - row_number() OVER (PARTITION BY user_id, kind ORDER BY rn) AS grp
+      FROM kinds),
+    vruns AS (
+      SELECT user_id, grp, MIN(event_id) AS first_view, COUNT(*) AS nv,
+             MAX(rn) AS last_rn
+      FROM runs WHERE kind = 'V' GROUP BY user_id, grp),
+    mruns AS (
+      SELECT user_id, grp, MIN(rn) AS min_rn, MAX(rn) AS max_rn,
+             COUNT(*) AS n_mid, MAX(event_id) AS last_mid,
+             MIN(event_id) AS min_mid
+      FROM runs WHERE kind = 'M' GROUP BY user_id, grp),
+    p AS (SELECT user_id, rn FROM runs WHERE kind = 'P')
+    SELECT v.user_id, v.first_view, m.n_mid, m.last_mid, m.min_mid,
+           v.nv + m.n_mid + 1 AS n_rows
+    FROM vruns v
+    JOIN mruns m ON m.user_id = v.user_id AND m.min_rn = v.last_rn + 1
+    JOIN p ON p.user_id = m.user_id AND p.rn = m.max_rn + 1
+    """,
+    doc="MATCH_RECOGNIZE SUBSET (reference SqlBase.g4 SUBSET clause, "
+    "Matcher.java union-variable resolution): PATTERN (V+ (C|E)+ P) with "
+    "SUBSET M = (C, E); MEASURES reference the union variable via "
+    "FIRST/LAST/count/min over M — lowered to CLASSIFIER()-membership-"
+    "guarded min_by/max_by and aggregates (plans/mr_sql.py "
+    "_qualify_labels). Oracle is the independent gaps-and-islands form "
+    "over per-kind runs.",
+    tags=("match_recognize", "pattern", "dialect", "subset"),
+)
+def mr_subset_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id, first_view, n_mid, last_mid, min_mid, n_rows
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(V.event_id) AS first_view,
+                   count(M.*) AS n_mid,
+                   LAST(M.event_id) AS last_mid,
+                   min(M.event_id) AS min_mid,
+                   count(*) AS n_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ (C | E)+ P)
+          SUBSET M = (C, E)
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 E AS event_type = 'error',
+                 P AS event_type = 'purchase'
+        )
+        """
+    )
