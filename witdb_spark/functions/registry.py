@@ -195,6 +195,11 @@ MACROS: dict[str, str] = {
     "parse_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION parse_datetime"
     "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, "
     f"{_JODA_FMT('fmt')})",
+    # null-on-error twin backing TRY(parse_datetime(...)) — the dialect's
+    # generic TRY fallback (plans/dialect.py _TRY_FN_TWINS) rewrites to it
+    "__try_parse_datetime": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "__try_parse_datetime(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN "
+    f"try_to_timestamp(s, {_JODA_FMT('fmt')})",
     "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
     f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
     "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
@@ -203,6 +208,13 @@ MACROS: dict[str, str] = {
     "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
     "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
     "WHEN 'd' THEN 86400.0 END",  # seconds, reference util/Duration parsing
+    "__try_parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "__try_parse_duration(s STRING) RETURNS DOUBLE RETURN "
+    "try_cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+    "CASE regexp_extract(s, '([a-z]+)$', 1) "
+    "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
+    "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
+    "WHEN 'd' THEN 86400.0 END",
     # at_timezone/with_timezone (reference DateTimeFunctions.java): our
     # timestamps are NTZ (parquet timestamp_ntz), so at_timezone =
     # "reinterpret this UTC instant in zone tz" = convert_timezone.
@@ -222,6 +234,12 @@ MACROS: dict[str, str] = {
     "cast(s AS TIMESTAMP)",
     "from_iso8601_date": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "from_iso8601_date(s STRING) RETURNS DATE RETURN cast(s AS DATE)",
+    # null-on-error twins for the TRY fallback (plans/dialect.py)
+    "__try_from_iso8601_timestamp": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "__try_from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN "
+    "try_cast(s AS TIMESTAMP)",
+    "__try_from_iso8601_date": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "__try_from_iso8601_date(s STRING) RETURNS DATE RETURN try_cast(s AS DATE)",
     # reference timestamp(9) nanos clamp to our micros domain (documented
     # precision: parquet fixtures are micros; sub-micro truncates)
     "from_unixtime_nanos": "CREATE OR REPLACE TEMPORARY FUNCTION "

@@ -759,6 +759,22 @@ def _rewrite_at_time_zone(sql: str) -> str:
 
 _TRY_OPS = {"/": "try_divide", "+": "try_add", "-": "try_subtract", "*": "try_multiply"}
 
+# Failable functions with a null-on-error twin: Spark's own try_* builtins
+# where one exists, else a __try_* macro twin registered alongside the
+# original (functions/registry.py). TRY(f(x)) rewrites to the twin; other
+# function bodies still reject loudly (no generic catch-anything in Spark).
+_TRY_FN_TWINS = {
+    "to_timestamp": "try_to_timestamp",
+    "to_number": "try_to_number",
+    "to_binary": "try_to_binary",
+    "parse_url": "try_parse_url",
+    "url_decode": "try_url_decode",
+    "parse_datetime": "__try_parse_datetime",
+    "from_iso8601_timestamp": "__try_from_iso8601_timestamp",
+    "from_iso8601_date": "__try_from_iso8601_date",
+    "parse_duration": "__try_parse_duration",
+}
+
 
 def _try_top_op(inner: str) -> int | None:
     """Index of the top-of-tree binary operator in `inner`: the RIGHTMOST
@@ -841,6 +857,14 @@ def _try_decompose(inner: str) -> str:
     em = re.match(r"element_at\s*\(", inner, flags=re.I)
     if em and _match_paren(inner, em.end() - 1) == len(inner) - 1:
         return re.sub(r"^element_at", "try_element_at", inner, flags=re.I)
+    fm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", inner)
+    if (
+        fm
+        and fm.group(1).lower() in _TRY_FN_TWINS
+        and _match_paren(inner, fm.end() - 1) == len(inner) - 1
+    ):
+        twin = _TRY_FN_TWINS[fm.group(1).lower()]
+        return f"{twin}({inner[fm.end():-1]})"
     return inner
 
 

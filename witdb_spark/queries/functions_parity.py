@@ -658,3 +658,55 @@ def codec_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey < 300
         """
     )
+
+
+@register(
+    "try_fallback_parse",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN '2024-03-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+                  ELSE 'not a date: ' || CAST(event_id AS VARCHAR) END AS s,
+             CASE WHEN event_id % 4 = 0
+                  THEN CAST(event_id % 90 AS VARCHAR) || 's'
+                  ELSE 'junk' END AS d
+      FROM events WHERE event_id < 3000)
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN substr(s, 1, 10) END AS parsed_day,
+           CASE WHEN event_id % 4 = 0
+                THEN CAST(event_id % 90 AS DOUBLE) END AS dur_secs
+    FROM src
+    """,
+    doc="Generic TRY fallback (reference TryFunction.java): TRY over a "
+    "non-decomposable failable function rewrites to its null-on-error "
+    "twin (_TRY_FN_TWINS, plans/dialect.py) — TRY(parse_datetime(...)) -> "
+    "__try_parse_datetime (try_to_timestamp under ANSI mode), "
+    "TRY(parse_duration(...)) -> try_cast form. Malformed rows yield NULL "
+    "instead of an ANSI error; the oracle states the expected values "
+    "structurally.",
+    tags=("functions", "dialect", "try"),
+)
+def try_fallback_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        WITH src AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0
+                      THEN '2024-03-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+                      ELSE 'not a date: ' || CAST(event_id AS VARCHAR) END AS s,
+                 CASE WHEN event_id % 4 = 0
+                      THEN CAST(event_id % 90 AS VARCHAR) || 's'
+                      ELSE 'junk' END AS d
+          FROM events WHERE event_id < 3000)
+        SELECT event_id,
+               date_format(TRY(parse_datetime(s, 'yyyy-MM-dd')), 'yyyy-MM-dd') AS parsed_day,
+               TRY(parse_duration(d)) AS dur_secs
+        FROM src
+        """
+    )
