@@ -36,6 +36,29 @@ HEADLINE = [
 ]
 
 
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative completed-stage metrics from the UI REST API — lets a
+    round-over-round wall-clock drift decompose into CPU vs shuffle vs
+    scan (VERDICT r3: unexplained +20-25% on unchanged queries)."""
+    try:
+        import urllib.request
+
+        app_id = spark.sparkContext.applicationId
+        port = spark.conf.get("spark.ui.port", "4040")
+        url = f"http://127.0.0.1:{port}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.loads(r.read())
+        tot = {"executor_run_ms": 0, "shuffle_read_b": 0, "shuffle_write_b": 0, "input_b": 0}
+        for s in stages:
+            tot["executor_run_ms"] += s.get("executorRunTime", 0)
+            tot["shuffle_read_b"] += s.get("shuffleReadBytes", 0)
+            tot["shuffle_write_b"] += s.get("shuffleWriteBytes", 0)
+            tot["input_b"] += s.get("inputBytes", 0)
+        return tot
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -43,32 +66,42 @@ def main() -> None:
     from witdb_spark.queries import QUERIES
     from witdb_spark.session import get_spark
 
-    spark = get_spark(app="witdb-bench")
+    spark = get_spark(
+        app="witdb-bench",
+        extra={"spark.ui.enabled": "true", "spark.ui.port": "40413"},
+    )
     names = [n for n in HEADLINE if n in QUERIES]
     names += sorted(n for n in QUERIES if n not in names and "bench" in QUERIES[n].tags)
 
     timings: dict[str, float] = {}
+    stage_deltas: dict[str, dict[str, int]] = {}
     for name in names:
         fn = QUERIES[name].fn
         for _ in range(PREWARM_RUNS):
             fn(spark, sf_dir).collect()
+        before = _stage_totals(spark)
         best = min(
             _timed(lambda: fn(spark, sf_dir).collect()) for _ in range(MEASURED_RUNS)
         )
+        after = _stage_totals(spark)
         timings[name] = round(best, 4)
+        if before is not None and after is not None:
+            # delta across the MEASURED_RUNS executions of this query
+            stage_deltas[name] = {
+                k: (after[k] - before[k]) // MEASURED_RUNS for k in after
+            }
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if stage_deltas:
+        out["stage_metrics_per_run"] = stage_deltas
+    print(json.dumps(out))
     spark.stop()
 
 
