@@ -138,3 +138,19 @@ def test_numeric_histogram(spark):
     ).collect()[0].h
     assert len(bins) == 4
     assert sum(b.y for b in bins) == 1000.0
+
+
+def test_timetz_parse_roundtrip(fspark):
+    """timetz_parse(timetz_to_str(x)) == x for the packed time-with-zone
+    encoding, incl. negative offsets and missing seconds/fraction."""
+    rows = fspark.sql(
+        "SELECT timetz_parse(timetz_to_str(timetz_make(37230123456789, -330))) AS a,"
+        " timetz_make(37230123456789, -330) AS b,"
+        " timetz_parse('10:30+05:30') AS c,"
+        " timetz_make(37800000000000, 330) AS d,"
+        " timetz_utc_nanos(timetz_make(3600000000000, 120)) AS e"
+    ).collect()[0]
+    assert rows.a == rows.b
+    assert rows.c == rows.d
+    # 01:00 at +02:00 == 23:00 UTC the previous day -> wraps to 23h
+    assert rows.e == 23 * 3600 * 1_000_000_000

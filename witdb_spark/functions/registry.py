@@ -414,6 +414,43 @@ MACROS: dict[str, str] = {
     "WHEN 'B' THEN 1 WHEN 'kB' THEN 1024 WHEN 'MB' THEN 1048576 "
     "WHEN 'GB' THEN 1073741824 WHEN 'TB' THEN 1099511627776 "
     "WHEN 'PB' THEN 1125899906842624 END AS DECIMAL(38,0))",
+    # --- time(p) with time zone (reference StandardTypes.java:33,
+    # TimeWithTimeZoneType short/long encodings). Spark has no zoned
+    # time-of-day type, so the value is a packed BIGINT:
+    #   packed = nanos_of_day * 4096 + (offset_minutes + 1440)
+    # nanos_of_day < 86400e9 < 2^47 and offset in [-1440, +1440], so the
+    # pack fits 59 bits; all ops are exact integer arithmetic, JVM-side.
+    # Ordering follows Trino: comparisons use the UTC-normalized nanos
+    # (timetz_utc_nanos), not the raw packed value. ---
+    "timetz_make": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_make"
+    "(nanos BIGINT, offmin BIGINT) RETURNS BIGINT RETURN "
+    "nanos * 4096 + (offmin + 1440)",
+    "timetz_nanos": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_nanos"
+    "(t BIGINT) RETURNS BIGINT RETURN t DIV 4096",
+    "timetz_offset_minutes": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "timetz_offset_minutes(t BIGINT) RETURNS BIGINT RETURN t % 4096 - 1440",
+    "timetz_utc_nanos": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_utc_nanos"
+    "(t BIGINT) RETURNS BIGINT RETURN "
+    "pmod(t DIV 4096 - (t % 4096 - 1440) * 60000000000, 86400000000000)",
+    # missing pieces (seconds, fraction) parse as 0 via the nullif guard
+    "timetz_parse": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_parse"
+    "(s STRING) RETURNS BIGINT RETURN timetz_make("
+    "cast(coalesce(nullif(regexp_extract(s, '^([0-9]+):', 1), ''), '0') AS BIGINT)"
+    " * 3600000000000 + "
+    "cast(coalesce(nullif(regexp_extract(s, '^[0-9]+:([0-9]+)', 1), ''), '0') AS BIGINT)"
+    " * 60000000000 + "
+    "cast(coalesce(nullif(regexp_extract(s, '^[0-9]+:[0-9]+:([0-9]+)', 1), ''), '0') AS BIGINT)"
+    " * 1000000000 + "
+    "cast(rpad(coalesce(nullif(regexp_extract(s, '[.]([0-9]+)', 1), ''), '0'), 9, '0') AS BIGINT), "
+    "CASE WHEN s LIKE '%-%' THEN -1 ELSE 1 END * ("
+    "cast(coalesce(nullif(regexp_extract(s, '[+-]([0-9]+):[0-9]+$', 1), ''), '0') AS BIGINT)"
+    " * 60 + "
+    "cast(coalesce(nullif(regexp_extract(s, '[+-][0-9]+:([0-9]+)$', 1), ''), '0') AS BIGINT)))",
+    "timetz_to_str": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_to_str"
+    "(t BIGINT) RETURNS STRING RETURN concat(time_to_str(t DIV 4096), "
+    "CASE WHEN t % 4096 - 1440 < 0 THEN '-' ELSE '+' END, "
+    "lpad(cast(abs(t % 4096 - 1440) DIV 60 AS STRING), 2, '0'), ':', "
+    "lpad(cast(abs(t % 4096 - 1440) % 60 AS STRING), 2, '0'))",
 }
 
 # --------------------------------------------------------------------------
@@ -429,6 +466,17 @@ UNSUPPORTED: dict[str, str] = {
     " predicate surface (area/length/perimeter/centroid/envelope/bounds/"
     " contains/within/intersects/distance over points, linestrings,"
     " polygons with holes, and multi-variants)",
+    "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
+    "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
+    " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"
+    " a parallel nanos-precision timestamp type would fall out of every"
+    " built-in (joins, windows, pushdown) and run Python-tier. Recorded"
+    " decision: instant-attached nanos stay int64 epoch-nanos (events"
+    " ts_ns pattern, catalog.py); time-of-day nanos use the TIME"
+    " nanos-of-day encoding; zoned time-of-day uses the packed timetz_*"
+    " BIGINT family (reference LongTimestampWithTimeZone.java,"
+    " StandardTypes.java:33-36). from_unixtime_nanos documents the"
+    " sub-micro truncation at the timestamp boundary.",
 }
 
 

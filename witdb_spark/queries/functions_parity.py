@@ -710,3 +710,65 @@ def try_fallback_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM src
         """
     )
+
+
+@register(
+    "timetz_funcs_parity",
+    """
+    WITH src AS (
+      SELECT event_id,
+             event_id % 86400 AS secs,
+             (event_id % 53 - 26) * 30 AS offmin
+      FROM events WHERE event_id < 500),
+    vals AS (
+      SELECT event_id, secs, offmin,
+             secs * 1000000000 * 4096 + (offmin + 1440) AS packed
+      FROM src)
+    SELECT event_id,
+           packed,
+           packed // 4096 AS nanos_back,
+           packed % 4096 - 1440 AS off_back,
+           ((packed // 4096 - (packed % 4096 - 1440) * 60000000000)
+             % 86400000000000 + 86400000000000) % 86400000000000 AS utc_nanos,
+           lpad(CAST(secs // 3600 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(secs // 60 % 60 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(secs % 60 AS VARCHAR), 2, '0') || '.000000000' ||
+           CASE WHEN offmin < 0 THEN '-' ELSE '+' END ||
+           lpad(CAST(abs(offmin) // 60 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(abs(offmin) % 60 AS VARCHAR), 2, '0') AS txt
+    FROM vals
+    """,
+    doc="time(p) with time zone (reference StandardTypes.java:33, "
+    "TimeWithTimeZoneType): packed-BIGINT encoding nanos_of_day*4096 + "
+    "(offset_minutes+1440) — constructor, accessors, UTC-normalized "
+    "comparison key, canonical text, and parse round-trip, all exact "
+    "integer macros (functions/registry.py timetz_*). The oracle replays "
+    "the pack arithmetic directly.",
+    tags=("functions", "time", "timetz"),
+)
+def timetz_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        WITH src AS (
+          SELECT event_id,
+                 event_id % 86400 AS secs,
+                 (event_id % 53 - 26) * 30 AS offmin
+          FROM events WHERE event_id < 500),
+        vals AS (
+          SELECT event_id, secs, offmin,
+                 timetz_make(secs * 1000000000, offmin) AS tz
+          FROM src)
+        SELECT event_id,
+               tz AS packed,
+               timetz_nanos(tz) AS nanos_back,
+               timetz_offset_minutes(tz) AS off_back,
+               timetz_utc_nanos(tz) AS utc_nanos,
+               timetz_to_str(tz) AS txt
+        FROM vals
+        """
+    )
