@@ -11,6 +11,14 @@ absent from this deployment, fails with the exact --packages remedy
 instead of a Java stack. The table-level semantics (snapshot isolation,
 time travel, schema evolution) come from the connector itself, matching
 the reference's metadata handling in the corresponding plugin.
+
+Recorded re-scope (r4): none of the connector jars can be added to this
+deployment (no network, no pip/maven; `import delta` fails and the probe
+classes are absent from the JVM), so connector BEHAVIOR (Delta MERGE,
+time travel, snapshot reads) remains exercised only through the gated
+surface + remedy-message tests in tests/test_sources.py. On a deployment
+with jars present, read_table/write_table and sources/merge.py MERGE run
+unchanged — the gap is the sandbox's, not the code path's.
 """
 
 from __future__ import annotations
