@@ -310,3 +310,71 @@ def test_sql_form_unsupported(engine, spark):
             "PATTERN (A B) SUBSET S = (A, Z) "
             "DEFINE A AS id > 0, B AS id > 0)"
         )
+
+
+def test_reluctant_quantifier(spark):
+    """A+? B stops at the FIRST b (greedy A+ B would too here, so use a
+    case where they differ): with rows a a b b, A+ B? greedy eats b2;
+    A+ B?? prefers zero Bs."""
+    df = _events(spark, ["a", "a", "b", "b"])
+    greedy = _matches(
+        match_recognize(
+            df, ["user_id"], "seq", {"A": "ty = 'a'", "B": "ty = 'b'"}, "A+ B?"
+        )
+    )
+    assert greedy == [[(0, "A"), (1, "A"), (2, "B")]]
+    reluctant = _matches(
+        match_recognize(
+            df, ["user_id"], "seq", {"A": "ty = 'a'", "B": "ty = 'b'"}, "A+ B??"
+        )
+    )
+    assert reluctant == [[(0, "A"), (1, "A")]]
+    # reluctant star consumes as little as possible before the anchor label
+    rel_star = _matches(
+        match_recognize(
+            df, ["user_id"], "seq",
+            {"X": "ty IN ('a','b')", "B": "ty = 'b'"}, "X*? B"
+        )
+    )
+    assert rel_star[0] == [(0, "X"), (1, "X"), (2, "B")]
+    assert rel_star[1] == [(3, "B")]
+
+
+def test_permute(spark):
+    """PERMUTE(A, B, C) matches the three labels in any order, preferring
+    the listed order (reference SqlBase.g4 patternPermutation)."""
+    df = _events(spark, ["c", "a", "b", "x", "b", "a", "c"])
+    got = _matches(
+        match_recognize(
+            df, ["user_id"], "seq",
+            {"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+            "PERMUTE(A, B, C)",
+        )
+    )
+    assert got == [
+        [(0, "C"), (1, "A"), (2, "B")],
+        [(4, "B"), (5, "A"), (6, "C")],
+    ]
+    with pytest.raises(ValueError):
+        match_recognize(
+            df, ["user_id"], "seq", {"A": "ty = 'a'"},
+            "PERMUTE(A, A, A, A, A, A, A)",
+        )
+
+
+def test_exclusion_span(spark):
+    """A {- B+ -} C: the b-rows participate in matching but are excluded
+    from ALL ROWS output; ONE ROW PER MATCH is unaffected."""
+    df = _events(spark, ["a", "b", "b", "c", "a", "c"])
+    defs = {"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"}
+    got = _matches(
+        match_recognize(df, ["user_id"], "seq", defs, "A {- B+ -} C")
+    )
+    assert got == [[(0, "A"), (3, "C")]]
+    # without exclusion the same pattern emits the b rows
+    full = _matches(match_recognize(df, ["user_id"], "seq", defs, "A B+ C"))
+    assert full == [[(0, "A"), (1, "B"), (2, "B"), (3, "C")]]
+    one = match_recognize(
+        df, ["user_id"], "seq", defs, "A {- B+ -} C", rows_per_match="one"
+    ).collect()
+    assert len(one) == 1 and one[0].classifier == "C" and one[0].seq == 3

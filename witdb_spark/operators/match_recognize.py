@@ -41,10 +41,15 @@ aggregations over ``match_id`` — keeping everything after the pattern scan
 in Catalyst. An undefined pattern variable (used in PATTERN, absent from
 DEFINE) matches any row (implicit TRUE), per the standard.
 
-Unsupported (documented gaps, not silent deviations): reluctant
-quantifiers (``*?``), exclusion syntax ``{- -}``, PERMUTE, and unbounded
-quantification of a nullable group (``(A*)*`` — rejected at compile time
-to keep the VM loop-free).
+Also supported (r4): reluctant quantifiers (``*?``/``+?``/``??``/
+``{m,n}?`` — SPLIT preference flipped in the VM, native in the regex fast
+path), ``PERMUTE(A, B, C)`` (expanded to the preference-ordered
+alternation of all orderings, 2..6 elements), and ``{- X -}`` exclusions
+(matched rows carry an excluded flag and are omitted from ALL ROWS
+output; the regex fast path disables itself when exclusions are
+present). Unsupported (documented, not silent): unbounded quantification
+of a nullable group (``(A*)*`` — rejected at compile time to keep the VM
+loop-free).
 
 Scale: the shuffle is one hash partition by the PARTITION BY key (exactly
 what the reference's PatternRecognitionNode requires); when navigation
@@ -69,9 +74,31 @@ _MASK_COL = "__mr_mask"
 _NO_MATCH = "0"  # fast-path classifier char for rows matching no DEFINE
 
 _TOKEN = re.compile(
-    r"\s*([A-Za-z_][A-Za-z_0-9]*|[+*?|()^$]|\{\d*(?:,\d*)?\})\s*"
+    r"\s*([A-Za-z_][A-Za-z_0-9]*|\{-|-\}|[+*?|()^$]|\{\d*(?:,\d*)?\})\s*"
 )
 _NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.I)
+_PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.I)
+
+
+def _expand_permute(pattern: str) -> str:
+    """PERMUTE(A, B, C) -> alternation of every ordering (reference
+    SqlBase.g4 patternPermutation; Trino's preference order is the listed
+    order, which itertools.permutations preserves). Innermost-first so
+    nested PERMUTE over non-parenthesized elements expands too."""
+    from itertools import permutations
+
+    while True:
+        m = _PERMUTE.search(pattern)
+        if m is None:
+            return pattern
+        items = [p.strip() for p in m.group(1).split(",") if p.strip()]
+        if not 2 <= len(items) <= 6:
+            raise ValueError(
+                f"PERMUTE takes 2..6 elements (got {len(items)}; 7! alternation"
+                " branches would not be a plan, it would be a bomb)"
+            )
+        alts = " | ".join(" ".join(p) for p in permutations(items))
+        pattern = f"{pattern[:m.start()]}( {alts} ){pattern[m.end():]}"
 
 
 def _tokenize(pattern: str) -> list[str]:
@@ -127,7 +154,7 @@ def _parse_pattern(pattern: str, label_bits: Mapping[str, int]):
     def parse_cat():
         nonlocal pos
         items = []
-        while peek() is not None and peek() not in ("|", ")"):
+        while peek() is not None and peek() not in ("|", ")", "-}"):
             items.append(parse_quant())
         if not items:
             raise ValueError(f"empty branch in pattern {pattern!r}")
@@ -137,11 +164,12 @@ def _parse_pattern(pattern: str, label_bits: Mapping[str, int]):
         nonlocal pos
         node = parse_primary()
         tok = peek()
+        quantified = False
         if tok in ("+", "*", "?"):
             pos += 1
             lo, hi = {"+": (1, None), "*": (0, None), "?": (0, 1)}[tok]
-            node = ("rep", node, lo, hi)
-        elif tok is not None and tok.startswith("{"):
+            quantified = True
+        elif tok is not None and tok.startswith("{") and tok != "{-":
             pos += 1
             body = tok[1:-1]
             if "," in body:
@@ -150,7 +178,13 @@ def _parse_pattern(pattern: str, label_bits: Mapping[str, int]):
                 hi = int(hi_s) if hi_s else None
             else:
                 lo = hi = int(body)
-            node = ("rep", node, lo, hi)
+            quantified = True
+        if quantified:
+            greedy = True
+            if peek() == "?":  # reluctant: A+?, A*?, A??, A{m,n}?
+                pos += 1
+                greedy = False
+            node = ("rep", node, lo, hi, greedy)
         return node
 
     def parse_primary():
@@ -163,6 +197,13 @@ def _parse_pattern(pattern: str, label_bits: Mapping[str, int]):
                 raise ValueError(f"unbalanced '(' in pattern {pattern!r}")
             pos += 1
             return node
+        if tok == "{-":  # exclusion span: rows match but are not output
+            pos += 1
+            node = parse_alt()
+            if peek() != "-}":
+                raise ValueError(f"unbalanced '{{-' in pattern {pattern!r}")
+            pos += 1
+            return ("excl", node)
         if tok == "^":
             pos += 1
             return ("bol",)
@@ -192,16 +233,34 @@ def _nullable(node) -> bool:
         return any(_nullable(c) for c in node[1])
     if k == "rep":
         return node[2] == 0 or _nullable(node[1])
+    if k == "excl":
+        return _nullable(node[1])
     raise AssertionError(k)
+
+
+def _has_excl(node) -> bool:
+    k = node[0]
+    if k == "excl":
+        return True
+    if k in ("cat", "alt"):
+        return any(_has_excl(c) for c in node[1])
+    if k == "rep":
+        return _has_excl(node[1])
+    return False
 
 
 def _compile_vm(ast) -> list[tuple]:
     prog: list[tuple] = []
+    excl_depth = [0]
 
     def emit(node):
         k = node[0]
         if k == "label":
-            prog.append((0, node[1], node[2]))
+            prog.append((0, node[1], node[2], excl_depth[0] > 0))
+        elif k == "excl":
+            excl_depth[0] += 1
+            emit(node[1])
+            excl_depth[0] -= 1
         elif k == "bol":
             prog.append((4,))
         elif k == "eol":
@@ -224,7 +283,7 @@ def _compile_vm(ast) -> list[tuple]:
             for j in jumps:
                 prog[j] = (2, len(prog))
         elif k == "rep":
-            child, lo, hi = node[1], node[2], node[3]
+            child, lo, hi, greedy = node[1], node[2], node[3], node[4]
             if hi is None and _nullable(child):
                 raise ValueError(
                     "unbounded quantifier over a pattern that can match"
@@ -233,12 +292,14 @@ def _compile_vm(ast) -> list[tuple]:
             for _ in range(lo):
                 emit(child)
             if hi is None:
-                # greedy star: L1: SPLIT L2, L3; L2: child; JMP L1; L3:
+                # star: L1: SPLIT; L2: child; JMP L1; L3:  — greedy
+                # prefers the body (L2), reluctant prefers the exit (L3)
                 l1 = len(prog)
                 prog.append(None)
                 emit(child)
                 prog.append((2, l1))
-                prog[l1] = (1, l1 + 1, len(prog))
+                exit_pc = len(prog)
+                prog[l1] = (1, l1 + 1, exit_pc) if greedy else (1, exit_pc, l1 + 1)
             else:
                 ends = []
                 for _ in range(hi - lo):
@@ -246,8 +307,9 @@ def _compile_vm(ast) -> list[tuple]:
                     prog.append(None)
                     ends.append(split_at)
                     emit(child)
+                exit_pc = len(prog)
                 for s in ends:
-                    prog[s] = (1, s + 1, len(prog))
+                    prog[s] = (1, s + 1, exit_pc) if greedy else (1, exit_pc, s + 1)
         else:
             raise AssertionError(k)
 
@@ -305,8 +367,10 @@ def match_recognize(
         raise ValueError("at most 16 DEFINE labels supported")
     label_bits = {name: 1 << i for i, name in enumerate(labels)}
     label_chars = {name: chr(ord("A") + i) for i, name in enumerate(labels)}
+    pattern = _expand_permute(pattern)
     ast = _parse_pattern(pattern, label_bits)
     prog = _compile_vm(ast)
+    excluded_spans = _has_excl(ast)
 
     def pat_labels(node, acc):
         if node[0] == "label":
@@ -314,14 +378,17 @@ def match_recognize(
         elif node[0] in ("cat", "alt"):
             for c in node[1]:
                 pat_labels(c, acc)
-        elif node[0] == "rep":
+        elif node[0] in ("rep", "excl"):
             pat_labels(node[1], acc)
         return acc
 
     used = pat_labels(ast, set())
     has_undefined = any(name not in label_bits for name in used)
-    regex = _pattern_to_regex(pattern, label_chars)
-    re.compile(regex)  # fail fast on driver, not inside executors
+    # exclusions have no regex analog over one-char-per-row (and the VM
+    # must track per-row excluded flags), so they disable the fast path
+    regex = None if excluded_spans else _pattern_to_regex(pattern, label_chars)
+    if regex is not None:
+        re.compile(regex)  # fail fast on driver, not inside executors
 
     # Navigation: PREV/NEXT -> lag/lead columns over the partition ordering
     # (JVM-side; the window imposes the exact hash distribution + sort the
@@ -382,7 +449,7 @@ def match_recognize(
     vm_prog = prog  # picklable and self-contained (no witdb_spark
     skip_past = after_match == "past last row"  # imports on executors).
     one_row = rows_per_match == "one"
-    fast_eligible = not has_undefined
+    fast_eligible = not has_undefined and regex is not None
 
     # Execution shape: ONE hash shuffle on the partition keys + a
     # partition-local sort, then mapInPandas streams Arrow batches through a
@@ -396,23 +463,27 @@ def match_recognize(
         import numpy as _np
         import pandas as _pd
 
-        rx = _re.compile(compiled_regex)
+        rx = _re.compile(compiled_regex) if compiled_regex is not None else None
 
         def vm_run(masks, start, n):
-            """First (leftmost-greedy) match from `start`: (end, labels)
-            or None. Explicit backtracking stack — no Python recursion, so
-            long greedy runs can't blow the stack."""
+            """First (leftmost, preference-ordered) match from `start`:
+            (end, labels, excluded_flags) or None. Explicit backtracking
+            stack — no Python recursion, so long greedy runs can't blow
+            the stack. SPLIT preference encodes greedy vs reluctant."""
             stack = [(0, start, 0)]
             labs: list[str] = []
+            excs: list[bool] = []
             while stack:
                 pc, pos, ll = stack.pop()
                 del labs[ll:]
+                del excs[ll:]
                 while True:
                     op = vm_prog[pc]
                     t = op[0]
                     if t == 0:  # CHAR
                         if pos < n and (op[1] is None or masks[pos] & op[1]):
                             labs.append(op[2])
+                            excs.append(op[3])
                             pos += 1
                             pc += 1
                         else:
@@ -423,7 +494,7 @@ def match_recognize(
                     elif t == 2:  # JMP
                         pc = op[1]
                     elif t == 3:  # MATCH
-                        return pos, labs[:]
+                        return pos, labs[:], excs[:]
                     elif t == 4:  # BOL
                         if pos == 0:
                             pc += 1
@@ -444,7 +515,8 @@ def match_recognize(
                     if m.end() > m.start():
                         out.append(
                             (m.start(), m.end(),
-                             [char_to_label[c] for c in chars[m.start():m.end()]])
+                             [char_to_label[c] for c in chars[m.start():m.end()]],
+                             None)
                         )
             else:
                 pos = 0
@@ -455,7 +527,8 @@ def match_recognize(
                     if m.end() > m.start():
                         out.append(
                             (m.start(), m.end(),
-                             [char_to_label[c] for c in chars[m.start():m.end()]])
+                             [char_to_label[c] for c in chars[m.start():m.end()]],
+                             None)
                         )
                     pos = m.start() + 1
             return out
@@ -468,8 +541,8 @@ def match_recognize(
                 if r is None or r[0] == pos:  # no match / zero-width
                     pos += 1
                     continue
-                end, labs = r
-                out.append((pos, end, labs))
+                end, labs, excs = r
+                out.append((pos, end, labs, excs if any(excs) else None))
                 pos = end if skip_past else pos + 1
             return out
 
@@ -498,15 +571,22 @@ def match_recognize(
                     spans = spans_fast("".join(mask_char[m] for m in masks))
                 else:
                     spans = spans_vm(masks, n)
-                for mid0, (s, e, labs) in enumerate(spans):
+                for mid0, (s, e, labs, excs) in enumerate(spans):
                     if one_row:
                         keep.append(s0 + e - 1)
                         mids.append(mid0 + 1)
                         labels_out.append(labs[-1])
-                    else:
+                    elif excs is None:
                         keep.extend(range(s0 + s, s0 + e))
                         mids.extend([mid0 + 1] * (e - s))
                         labels_out.extend(labs)
+                    else:
+                        # {- -}: excluded rows matched but are not output
+                        for i in range(e - s):
+                            if not excs[i]:
+                                keep.append(s0 + s + i)
+                                mids.append(mid0 + 1)
+                                labels_out.append(labs[i])
             if not keep:
                 return None
             out = chunk.iloc[keep][data_cols].copy()

@@ -168,8 +168,13 @@ def _parse_clause(body: str) -> dict:
     for req in ("partition_by", "order_by", "pattern", "define"):
         if req not in spec:
             raise UnsupportedTrinoSyntax(f"MATCH_RECOGNIZE missing {req}")
-    if re.search(r"\{-|\bPERMUTE\b", spec["pattern"], re.I):
-        raise UnsupportedTrinoSyntax("pattern exclusions / PERMUTE")
+    # PERMUTE and reluctant quantifiers lower through the operator's own
+    # pattern compiler; {- -} exclusions stay SQL-form-unsupported because
+    # the measures lowering aggregates the ALL-rows output, which would
+    # silently drop excluded rows from measures (the operator itself
+    # supports exclusions for DataFrame callers).
+    if re.search(r"\{-", spec["pattern"]):
+        raise UnsupportedTrinoSyntax("pattern exclusions in SQL-form MEASURES")
     return spec
 
 
