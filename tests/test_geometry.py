@@ -127,3 +127,55 @@ def test_spatial_triangles_lattice_safe():
                     ), (tri, (x, y))
         (x1, y1), (x2, y2), (x3, y3) = tri
         assert (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1) > 0  # CCW
+
+
+def test_convex_hull(ns):
+    h = ns["convex_hull"]("MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 3)")
+    assert ns["area"](h) == 16.0
+    assert ns["convex_hull"]("MULTIPOINT (1 1)") == "POINT (1 1)"
+    assert ns["convex_hull"]("MULTIPOINT (0 0, 2 2)") == "LINESTRING (0 0, 2 2)"
+    # hull of a concave polygon fills the notch
+    assert ns["area"](ns["convex_hull"](CONCAVE)) == 16.0
+
+
+def test_buffer_point(ns):
+    out = ns["buffer_geom"]("POINT (3 4)", 2.0)
+    # inscribed regular 32-gon area = 0.5 * n * r^2 * sin(2*pi/n)
+    want = 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)
+    assert abs(ns["area"](out) - want) < 1e-9
+    assert ns["contains"](out, "POINT (3 4)")
+    with pytest.raises(ValueError):
+        ns["buffer_geom"](SQ, 1.0)
+
+
+def test_simplify(ns):
+    out = ns["simplify"]("LINESTRING (0 0, 1 0.01, 2 0, 4 2)", 0.1)
+    assert out == "LINESTRING (0 0, 2 0, 4 2)"
+    # a square ring survives (corners are never within tolerance)
+    assert ns["area"](ns["simplify"](SQ, 0.5)) == 16.0
+
+
+def test_intersection(ns):
+    other = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    out = ns["intersection"](SQ, other)
+    assert ns["area"](out) == 4.0  # overlap square (2,2)-(4,4)
+    # concave subject against convex clip still works (clip side convex)
+    out2 = ns["intersection"](CONCAVE, "POLYGON ((0 0, 4 0, 4 1, 0 1, 0 0))")
+    assert ns["area"](out2) == 4.0  # bottom strip is fully inside CONCAVE
+    # point cases
+    assert ns["intersection"]("POINT (1 1)", SQ) == "POINT (1 1)"
+    assert ns["intersection"]("POINT (9 9)", SQ) == "POINT EMPTY"
+    # disjoint polygons -> empty
+    far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+    assert ns["intersection"](SQ, far) == "POLYGON EMPTY"
+
+
+def test_union(ns):
+    inner = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert ns["union_geom"](SQ, inner) == SQ  # containment
+    far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+    u = ns["union_geom"](SQ, far)
+    assert u.startswith("MULTIPOLYGON") and ns["area"](u) == 17.0
+    assert ns["union_geom"]("POINT (1 1)", "POINT (2 2)") == "MULTIPOINT (1 1, 2 2)"
+    with pytest.raises(ValueError):
+        ns["union_geom"](SQ, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")

@@ -470,6 +470,213 @@ def distance(sa, sb):
         for (a, b) in ea:
             best = min(best, _pt_seg_dist(p, a, b))
     return best
+
+
+def _hull_pts(pts):
+    """Andrew monotone chain -> CCW hull (open ring)."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull(s):
+    k, d = parse(s)
+    if d is None:
+        return emit("POLYGON", None)
+    h = _hull_pts(_all_points(k, d))
+    if len(h) == 1:
+        return emit("POINT", h[0])
+    if len(h) == 2:
+        return emit("LINESTRING", h)
+    return emit("POLYGON", [h + [h[0]]])
+
+
+def buffer_geom(s, r, n=32):
+    """Point/multipoint buffer as an n-gon circle. Line/polygon buffers
+    (Minkowski sums with arc joins) are beyond the planar kernel and
+    raise rather than approximate silently."""
+    k, d = parse(s)
+    if d is None:
+        return emit("POLYGON", None)
+    if r <= 0:
+        raise ValueError("st_buffer: radius must be positive")
+
+    def circle(c):
+        ring = [
+            (c[0] + r * math.cos(2 * math.pi * i / n),
+             c[1] + r * math.sin(2 * math.pi * i / n))
+            for i in range(n)
+        ]
+        ring.append(ring[0])
+        return ring
+
+    if k == "POINT":
+        return emit("POLYGON", [circle(d)])
+    if k == "MULTIPOINT":
+        return emit("MULTIPOLYGON", [[circle(p)] for p in d])
+    raise ValueError("st_buffer supports POINT/MULTIPOINT only (planar kernel)")
+
+
+def _dp(pts, tol):
+    """Douglas-Peucker, iterative."""
+    if len(pts) < 3:
+        return list(pts)
+    keep = [False] * len(pts)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        a, b = stack.pop()
+        maxd, idx = -1.0, None
+        for i in range(a + 1, b):
+            dd = _pt_seg_dist(pts[i], pts[a], pts[b])
+            if dd > maxd:
+                maxd, idx = dd, i
+        if idx is not None and maxd > tol:
+            keep[idx] = True
+            stack.append((a, idx))
+            stack.append((idx, b))
+    return [p for p, kf in zip(pts, keep) if kf]
+
+
+def simplify(s, tol):
+    k, d = parse(s)
+    if d is None:
+        return emit(k, None)
+    if k in ("POINT", "MULTIPOINT"):
+        return emit(k, d)
+    if k == "LINESTRING":
+        return emit(k, _dp(d, tol))
+    if k == "POLYGON":
+        rings = []
+        for r in d:
+            rr = _dp(r, tol)
+            if len(rr) >= 4:
+                rings.append(rr)
+        return emit(k, rings or None)
+    raise ValueError("st_simplify: unsupported kind %r" % k)
+
+
+def _is_convex_ccw(ring):
+    """ring: open CCW point list; True if every turn is left/collinear."""
+    m = len(ring)
+    for i in range(m):
+        a, b, c = ring[i], ring[(i + 1) % m], ring[(i + 2) % m]
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0:
+            return False
+    return True
+
+
+def _open_ccw(ring):
+    """Close-stripped, CCW-oriented copy of a WKT ring."""
+    r = ring[:-1] if ring[0] == ring[-1] else list(ring)
+    if _ring_area2(ring) < 0:
+        r = r[::-1]
+    return r
+
+
+def _clip_sh(subject, clip):
+    """Sutherland-Hodgman: clip an open subject ring by an open CCW
+    CONVEX clip ring."""
+    out = list(subject)
+    m = len(clip)
+    for i in range(m):
+        a, b = clip[i], clip[(i + 1) % m]
+        if not out:
+            break
+        inp, out = out, []
+        for j in range(len(inp)):
+            p, q = inp[j], inp[(j + 1) % len(inp)]
+            pin = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+            qin = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0]) >= 0
+            if pin:
+                out.append(p)
+            if pin != qin:
+                x1, y1 = p
+                x2, y2 = q
+                x3, y3 = a
+                x4, y4 = b
+                den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+                if den != 0:
+                    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+                    out.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+    return out
+
+
+def intersection(sa, sb):
+    """ST_Intersection for the planar kernel's tractable cases: point vs
+    anything, and polygon vs CONVEX polygon (either side convex; holes
+    unsupported). Everything else raises — no silent approximation."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return emit("POLYGON", None)
+    if ka == "POINT":
+        return emit("POINT", da) if intersects(sa, sb) else "POINT EMPTY"
+    if kb == "POINT":
+        return emit("POINT", db) if intersects(sa, sb) else "POINT EMPTY"
+    if ka == kb == "POLYGON":
+        if len(da) > 1 or len(db) > 1:
+            raise ValueError("st_intersection: polygon holes unsupported")
+        ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
+        if _is_convex_ccw(rb):
+            subject, clip = ra, rb
+        elif _is_convex_ccw(ra):
+            subject, clip = rb, ra
+        else:
+            raise ValueError(
+                "st_intersection needs one CONVEX polygon (planar kernel)"
+            )
+        res = _clip_sh(subject, clip)
+        if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
+            return "POLYGON EMPTY"
+        return emit("POLYGON", [res + [res[0]]])
+    raise ValueError(
+        "st_intersection: unsupported kinds %r x %r" % (ka, kb)
+    )
+
+
+def union_geom(sa, sb):
+    """ST_Union for the tractable cases: EMPTY/containment/disjoint (->
+    MULTI collection). Overlapping polygon boundaries need a full clipper
+    and raise."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None:
+        return emit(kb, db)
+    if db is None:
+        return emit(ka, da)
+    if ka == kb == "POINT":
+        return emit("POINT", da) if da == db else emit("MULTIPOINT", [da, db])
+    if ka == kb == "POLYGON":
+        if contains(sa, sb):
+            return emit(ka, da)
+        if contains(sb, sa):
+            return emit(kb, db)
+        if not intersects(sa, sb):
+            return emit("MULTIPOLYGON", [da, db])
+        raise ValueError(
+            "st_union of boundary-overlapping polygons is unsupported"
+            " (planar kernel has no full clipper)"
+        )
+    if not intersects(sa, sb):
+        if ka == "POINT" and kb == "POLYGON":
+            raise ValueError("st_union: mixed-kind collections unsupported")
+    raise ValueError("st_union: unsupported kinds %r x %r" % (ka, kb))
 '''
 
 
@@ -712,6 +919,54 @@ def register_geometry_udfs(spark: SparkSession) -> int:
         )
 
     fns["st_distance"] = st_distance
+
+    # --- set operations / constructive geometry (reference
+    # GeoFunctions.java stBuffer/stUnion/stIntersection/stConvexHull/
+    # stSimplifyGeometry) — planar-kernel subset; untractable inputs
+    # raise rather than approximate (see kernel docstrings). ---
+    fns["st_convex_hull"] = _str_fn("st_convex_hull", "convex_hull")
+
+    def _str2_fn(name, impl):
+        @_pudf("string")
+        def fn(a, b):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            f = ns[impl]
+            return pd.Series(
+                [
+                    None if x is None or y is None else f(x, y)
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        fn.__name__ = name
+        return fn
+
+    fns["st_intersection"] = _str2_fn("st_intersection", "intersection")
+    fns["st_union"] = _str2_fn("st_union", "union_geom")
+
+    def _geo_num_fn(name, impl):
+        @_pudf("string")
+        def fn(g, x):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            f = ns[impl]
+            return pd.Series(
+                [
+                    None if gv is None or xv is None else f(gv, float(xv))
+                    for gv, xv in zip(g, x)
+                ]
+            )
+
+        fn.__name__ = name
+        return fn
+
+    fns["st_buffer"] = _geo_num_fn("st_buffer", "buffer_geom")
+    fns["st_simplify"] = _geo_num_fn("st_simplify", "simplify")
 
     for name, fn in fns.items():
         spark.udf.register(name, fn)

@@ -446,6 +446,45 @@ MACROS: dict[str, str] = {
     "cast(coalesce(nullif(regexp_extract(s, '[+-]([0-9]+):[0-9]+$', 1), ''), '0') AS BIGINT)"
     " * 60 + "
     "cast(coalesce(nullif(regexp_extract(s, '[+-][0-9]+:([0-9]+)$', 1), ''), '0') AS BIGINT)))",
+    # --- Bing tiles (reference geospatial BingTileFunctions.java,
+    # BingTile.java). A tile is a packed BIGINT: (x << 28) | (y << 5) | z
+    # (x, y < 2^23, zoom <= 23 -> 51 bits). All arithmetic is the public
+    # Bing tile-system math; lat clipped to the Web-Mercator domain
+    # [-85.05112878, 85.05112878], x/y clamped to [0, 2^z - 1]. ---
+    "bing_tile": "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile"
+    "(x BIGINT, y BIGINT, zoom BIGINT) RETURNS BIGINT RETURN "
+    "(x * 268435456) + (y * 32) + zoom",
+    "bing_tile_x": "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_x"
+    "(t BIGINT) RETURNS BIGINT RETURN t DIV 268435456",
+    "bing_tile_y": "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_y"
+    "(t BIGINT) RETURNS BIGINT RETURN (t DIV 32) % 8388608",
+    "bing_tile_zoom_level": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bing_tile_zoom_level(t BIGINT) RETURNS BIGINT RETURN t % 32",
+    "bing_tile_at": "CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_at"
+    "(lat DOUBLE, lon DOUBLE, zoom BIGINT) RETURNS BIGINT RETURN bing_tile("
+    "least(shiftleft(1L, cast(zoom AS INT)) - 1, greatest(0L, cast(floor("
+    "(lon + 180.0e0) / 360.0e0 * cast(shiftleft(1L, cast(zoom AS INT)) AS DOUBLE)"
+    ") AS BIGINT))), "
+    "least(shiftleft(1L, cast(zoom AS INT)) - 1, greatest(0L, cast(floor("
+    "(0.5e0 - ln((1.0e0 + sin(greatest(-85.05112878e0, least(85.05112878e0, lat))"
+    " * 3.141592653589793e0 / 180.0e0)) / "
+    "(1.0e0 - sin(greatest(-85.05112878e0, least(85.05112878e0, lat))"
+    " * 3.141592653589793e0 / 180.0e0))) / (4.0e0 * 3.141592653589793e0))"
+    " * cast(shiftleft(1L, cast(zoom AS INT)) AS DOUBLE)) AS BIGINT))), zoom)",
+    "bing_tile_quadkey": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bing_tile_quadkey(t BIGINT) RETURNS STRING RETURN array_join(transform("
+    "sequence(1, cast(t % 32 AS INT)), i -> cast("
+    "(shiftright(t DIV 268435456, cast(t % 32 AS INT) - i) & 1) + "
+    "2 * (shiftright((t DIV 32) % 8388608, cast(t % 32 AS INT) - i) & 1)"
+    " AS STRING)), '')",
+    "bing_tile_from_quadkey": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bing_tile_from_quadkey(q STRING) RETURNS BIGINT RETURN bing_tile("
+    "aggregate(transform(sequence(1, length(q)), i -> "
+    "shiftleft(cast(substring(q, i, 1) AS BIGINT) & 1, length(q) - i)), "
+    "0L, (a, v) -> a + v), "
+    "aggregate(transform(sequence(1, length(q)), i -> "
+    "shiftleft(cast(substring(q, i, 1) AS BIGINT) DIV 2, length(q) - i)), "
+    "0L, (a, v) -> a + v), length(q))",
     "timetz_to_str": "CREATE OR REPLACE TEMPORARY FUNCTION timetz_to_str"
     "(t BIGINT) RETURNS STRING RETURN concat(time_to_str(t DIV 4096), "
     "CASE WHEN t % 4096 - 1440 < 0 THEN '-' ELSE '+' END, "
@@ -459,13 +498,15 @@ MACROS: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
-    "ST_* curved/set-operation geometry": "ST_Buffer, ST_Union,"
-    " ST_Intersection (geometry output), geometry collections, Bing tiles,"
-    " and spherical geography need a full geometry kernel; the planar"
-    " WKT family in functions/geometry.py covers the measurement and"
-    " predicate surface (area/length/perimeter/centroid/envelope/bounds/"
-    " contains/within/intersects/distance over points, linestrings,"
-    " polygons with holes, and multi-variants)",
+    "ST_* full clipper / spherical geography": "the planar WKT kernel"
+    " (functions/geometry.py) covers measurements, predicates, convex"
+    " hull, Douglas-Peucker simplify, point buffers, polygon-vs-convex"
+    " intersection, and containment/disjoint unions; still out of scope"
+    " (raise, never approximate): buffers of lines/polygons (Minkowski"
+    " sums with arc joins), boolean ops between two concave or"
+    " boundary-overlapping polygons (need a full Greiner-Hormann/Vatti"
+    " clipper), geometry collections, and spherical geography. Bing tiles"
+    " are covered by the bing_tile_* macro family (registry.py)",
     "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
     "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
     " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"

@@ -772,3 +772,65 @@ def timetz_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals
         """
     )
+
+
+@register(
+    "bing_tile_funcs_parity",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CAST(event_id % 160 AS DOUBLE) - 79.5e0 AS lat,
+             CAST(event_id % 353 AS DOUBLE) - 176e0 AS lon,
+             event_id % 12 + 4 AS z
+      FROM events WHERE event_id < 600),
+    xy AS (
+      SELECT event_id, z,
+             least((1::BIGINT << z) - 1, greatest(0, CAST(floor(
+               (lon + 180e0) / 360e0 * CAST(1::BIGINT << z AS DOUBLE)) AS BIGINT))) AS x,
+             least((1::BIGINT << z) - 1, greatest(0, CAST(floor(
+               (0.5e0 - ln((1e0 + sin(greatest(-85.05112878e0, least(85.05112878e0, lat))
+                 * 3.141592653589793e0 / 180e0)) /
+                 (1e0 - sin(greatest(-85.05112878e0, least(85.05112878e0, lat))
+                 * 3.141592653589793e0 / 180e0))) / (4e0 * 3.141592653589793e0))
+               * CAST(1::BIGINT << z AS DOUBLE)) AS BIGINT))) AS y
+      FROM src)
+    SELECT event_id,
+           x * 268435456 + y * 32 + z AS tile,
+           x, y, CAST(z AS BIGINT) AS z,
+           array_to_string(list_transform(range(1, CAST(z AS INT) + 1), i ->
+             CAST(((x >> (z - i)) & 1) + 2 * ((y >> (z - i)) & 1) AS VARCHAR)), '') AS qk,
+           TRUE AS qk_roundtrip
+    FROM xy
+    """,
+    doc="Bing tile family (reference geospatial BingTileFunctions.java, "
+    "BingTile.java): packed-BIGINT tiles, bing_tile_at Web-Mercator "
+    "math, quadkey encode + decode round-trip — all exact integer/IEEE "
+    "arithmetic as JVM macros, replayed formula-for-formula in the "
+    "oracle.",
+    tags=("functions", "geospatial", "bingtile"),
+)
+def bing_tile_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        WITH src AS (
+          SELECT event_id,
+                 CAST(event_id % 160 AS DOUBLE) - 79.5e0 AS lat,
+                 CAST(event_id % 353 AS DOUBLE) - 176e0 AS lon,
+                 event_id % 12 + 4 AS z
+          FROM events WHERE event_id < 600),
+        tiles AS (
+          SELECT event_id, bing_tile_at(lat, lon, z) AS tile FROM src)
+        SELECT event_id, tile,
+               bing_tile_x(tile) AS x, bing_tile_y(tile) AS y,
+               bing_tile_zoom_level(tile) AS z,
+               bing_tile_quadkey(tile) AS qk,
+               bing_tile_from_quadkey(bing_tile_quadkey(tile)) = tile
+                 AS qk_roundtrip
+        FROM tiles
+        """
+    )
