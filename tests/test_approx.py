@@ -177,3 +177,30 @@ def test_setdigest_jaccard_exact_when_small(spark):
     )
     j = jaccard_index(a[0], b[0]).collect()[0].jaccard
     assert abs(j - 15.0 / 35.0) < 1e-12, j
+
+
+def test_scalable_digest_builds_close_to_direct(spark, oracle):
+    """Two-level (per-partition partials -> merge) builds must stay within
+    merge-grade error of the exact quantiles — the 100 TB-shape path for
+    low-cardinality keys."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from witdb_spark.catalog import Tables
+    from witdb_spark.operators.qdigest import qdigest_agg_scalable
+    from witdb_spark.operators.tdigest import tdigest_agg_scalable, values_at_quantiles
+
+    li = Tables(spark, SF_DIR).lineitem.select("l_extendedprice").withColumn(
+        "g", F.lit(1)
+    ).repartition(8)
+    p50, p95 = oracle.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.5),"
+        " quantile_cont(l_extendedprice, 0.95) FROM lineitem"
+    ).fetchone()
+    td = tdigest_agg_scalable(li, ["g"], "l_extendedprice")
+    row = td.select(values_at_quantiles("tdigest", [0.5, 0.95]).alias("v")).collect()[0]
+    assert abs(row.v[0] - p50) / p50 < 0.05
+    assert abs(row.v[1] - p95) / p95 < 0.03
+    qd = qdigest_agg_scalable(li, ["g"], "l_extendedprice").collect()[0]
+    pts = np.frombuffer(bytes(qd.qdigest), dtype="float64")[1:]
+    assert abs(float(pts[64]) - p50) / p50 < 0.05  # uniform-grid median slot

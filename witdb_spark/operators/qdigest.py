@@ -163,3 +163,22 @@ def values_at_quantiles(digest_col: str, quantiles: Sequence[float]) -> F.Column
         return _pd.Series(out)
 
     return _vals(F.col(digest_col))
+
+
+def qdigest_agg_scalable(
+    df: DataFrame, keys: Sequence[str], value_col: str, k_points: int = K_POINTS
+) -> DataFrame:
+    """Two-level build (per-partition partials -> merge per key): the
+    100 TB-shape twin of ``qdigest_agg``, which funnels every row of a
+    group into one task. Same trade as tdigest_agg_scalable: merge-grade
+    rank error (~1/(2(K-1)) per level) instead of build-grade, partition-
+    local sorts, and only K-point blobs on the wire."""
+    from pyspark.sql import functions as F
+
+    partials = qdigest_agg(
+        df.withColumn("_pid", F.spark_partition_id()),
+        [*keys, "_pid"],
+        value_col,
+        k_points,
+    ).drop("_pid")
+    return merge_qdigests(partials, list(keys), k_points)

@@ -26,7 +26,9 @@ The grid is computed ONCE in Python (math.cos) and injected as full-
 precision literals into both the Spark UDFs and the DuckDB oracle SQL, so
 both engines evaluate identical IEEE arithmetic — no libm divergence.
 
-Build: one applyInPandas per group key (per-group sort, distributed).
+Build: one applyInPandas per group key (per-group sort, distributed); for
+LOW-cardinality keys over big data use ``tdigest_agg_scalable`` — two-level
+per-partition partials + merge, so no task ever sorts a whole group.
 Merge: pooled weighted points re-selected on the same grid by cumulative
 weight — ties in value make the selection invariant to pool order, so the
 rollup is deterministic and associative-enough, error bounded in rank by
@@ -226,3 +228,29 @@ def value_at_quantile(
     """value_at_quantile(tdigest, q) -> double (reference
     TDigestFunctions.java valueAtQuantile)."""
     return values_at_quantiles(digest_col, [quantile], k_centroids)[0]
+
+
+def tdigest_agg_scalable(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k_centroids: int = K_CENTROIDS,
+) -> DataFrame:
+    """Two-level build for low-cardinality group keys: per-(key, input
+    partition) partial digests first, then a digest merge per key. The
+    direct ``tdigest_agg`` shuffles EVERY row to as many tasks as there
+    are groups — with 3 return flags over 100 TB that is 3 tasks sorting
+    ~33 TB each. This path keeps the heavy sort partition-local (each
+    task digests only its own split) and shuffles K-point blobs, at the
+    cost of merge-grade (rank-bounded, tested in
+    test_tdigest_merge_matches_direct_build) rather than build-grade
+    accuracy — which is why the deterministic oracle query keeps the
+    direct form while 100 TB callers should use this one.
+    """
+    partials = tdigest_agg(
+        df.withColumn("_pid", F.spark_partition_id()),
+        [*keys, "_pid"],
+        value_col,
+        k_centroids,
+    ).drop("_pid")
+    return merge_tdigests(partials, list(keys), k_centroids)
