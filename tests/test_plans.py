@@ -394,3 +394,16 @@ def test_spatial_joins_never_cartesian(spark):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_curation_plans(spark):
+    """Curation tier scale shapes: chunking and PII scrub must be map-only
+    (zero Exchange); decontamination must plan hash/broadcast semi+anti
+    joins on the shingle hash, never a cartesian."""
+    for q in ("curation_chunks", "curation_pii_scrub"):
+        plan = plan_of(spark, q)
+        assert "Exchange" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(spark, "curation_decontaminated")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

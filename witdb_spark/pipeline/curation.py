@@ -1,0 +1,132 @@
+"""Training-data curation operators: chunking, benchmark decontamination,
+PII scrubbing, stratified sampling.
+
+These are the pipeline steps between raw-corpus dedup (pipeline/dedup.py)
+and training: cut documents into model-window-sized chunks, drop documents
+that leak evaluation benchmarks (n-gram containment — the standard
+"13-gram decontamination" of GPT-3/C4 lineage, done here as a
+shingle-hash semi join), redact PII spans, and downsample sources to a
+target mixture. Every operator is pure JVM column algebra (split /
+sequence / transform / explode / regexp_replace / md5) — no Python in any
+hot path — and every one is deterministic, so the DuckDB oracle replays
+them (queries/curation_queries.py).
+
+Scale shape: chunking and scrubbing are map-only; decontamination
+shuffles once on shingle hash (benchmark side is small → broadcast semi
+join); stratified sampling is map-only given a broadcast of per-source
+fractions (one tiny count aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split whitespace-tokenized documents into overlapping chunks of
+    ``chunk_tokens`` words with ``overlap`` carried between consecutive
+    chunks (stride = chunk_tokens − overlap). Output adds chunk_id
+    (0-based), chunk_text, chunk_n_tokens. Map-only: sequence+transform+
+    posexplode, no shuffle."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.lit(0), F.size(words) - 1), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(words, s + 1, chunk_tokens)
+    )
+    return (
+        df.where(F.length(text_col) > 0)
+        .select(
+            "*",
+            F.posexplode(chunks).alias("chunk_id", "_chunk_words"),
+        )
+        .withColumn("chunk_text", F.array_join("_chunk_words", " "))
+        .withColumn("chunk_n_tokens", F.size("_chunk_words"))
+        .drop("_chunk_words")
+    )
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> F.Column:
+    """Array of md5 hashes of the document's word n-grams."""
+    words = F.split(F.col(text_col), " ")
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(0), F.size(words) - (n - 1))
+        ),
+        lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    ngram: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document sharing ANY word ``ngram``-gram with the
+    benchmark corpus (the GPT-3/C4-style n-gram decontamination;
+    train-test overlap is removed from TRAIN). One shuffle on shingle
+    hash; the benchmark side is normally tiny and broadcasts."""
+    doc_sh = docs.select(
+        id_col, F.explode(_shingle_hashes(docs, text_col, ngram)).alias("h")
+    )
+    bench_sh = benchmark.select(
+        F.explode(_shingle_hashes(benchmark, text_col, ngram)).alias("h")
+    ).distinct()
+    contaminated = doc_sh.join(bench_sh, "h", "semi").select(id_col).distinct()
+    return docs.join(contaminated, id_col, "anti")
+
+
+PII_RULES: list[tuple[str, str, str]] = [
+    # (name, RE2/Java-compatible pattern, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email / IPv4 / phone spans with redaction tokens
+    (regexp_replace chain, map-only; the pattern subset is RE2- and
+    Java-regex-compatible so the oracle replays it verbatim)."""
+    col = F.col(text_col)
+    for _, pat, token in PII_RULES:
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(f"{text_col}_scrubbed", col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_per_stratum: int,
+) -> DataFrame:
+    """Deterministic per-stratum downsample to ~``target_per_stratum``
+    rows: keep a row iff its md5-hash bucket falls under the stratum's
+    computed fraction (same hash-threshold device as the TABLESAMPLE
+    query — reproducible across engines and runs, no RNG). One tiny
+    count aggregate broadcasts back; the filter itself is map-only."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    frac = F.least(
+        F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_n")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        df.join(F.broadcast(counts.withColumn("_frac", frac)), strata_col)
+        .where(bucket < F.col("_frac") * 10000)
+        .drop("_n", "_frac")
+    )

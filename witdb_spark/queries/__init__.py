@@ -7,6 +7,7 @@ from witdb_spark.queries.registry import QUERIES, all_oracles, all_queries
 from witdb_spark.queries import (  # noqa: E402,F401
     aggregates,
     analytics,
+    curation_queries,
     functions_parity,
     patterns,
     pipeline_queries,
