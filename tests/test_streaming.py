@@ -151,3 +151,35 @@ def test_stateful_funnels_match_batch(spark, tmp_path, staged_events):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_approx_distinct_matches_batch(spark, tmp_path, staged_events):
+    """Streaming HLL == batch HLL bit-for-bit once windows finalize: the
+    register-MAX algebra is order-insensitive, so incremental state-store
+    accumulation and a one-shot batch build land on identical registers."""
+    from witdb_spark.operators.hll import hll_estimate, hll_registers
+    from witdb_spark.streaming.ops import windowed_approx_distinct
+
+    ev, input_dir = staged_events
+    stream = stream_events_from_dir(spark, input_dir)
+    run_to_completion(
+        windowed_approx_distinct(stream), tmp_path, "win_approx"
+    )
+    got = {
+        r.window_start: r.approx_users
+        for r in spark.sql("SELECT * FROM win_approx").collect()
+    }
+    batch = ev.select(F.window("ts", "1 hour").alias("win"), "user_id")
+    regs = hll_registers(batch, ["win"], "user_id")
+    want = {
+        r.win.start: r.approx_users
+        for r in hll_estimate(regs, ["win"], "approx_users")
+        .select(F.col("win"), "approx_users")
+        .collect()
+    }
+    # append mode only emits FINALIZED windows; the chained second agg
+    # holds back the last watermark-width of windows — every window that
+    # did emit must equal the batch estimate bit-for-bit
+    assert len(got) >= len(want) - 4 and len(got) > 0
+    for ws, est in got.items():
+        assert want[ws] == est, (ws, est, want[ws])

@@ -149,3 +149,39 @@ def stateful_funnels(stream: DataFrame, inactivity_ms: int = 7_200_000) -> DataF
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def windowed_approx_distinct(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming approx-distinct users per tumbling window via the same
+    md5-register HLL as the batch tier (operators/hll.py): registers are
+    MAX-aggregable, and MAX is a streaming-supported aggregate, so the
+    sketch builds incrementally inside the state store — O(m=1024) state
+    per window instead of one key per user. The estimate is computed from
+    the final registers per window, so every window the stream FINALIZES
+    equals the batch estimate bit-for-bit (test_streaming.py); append
+    mode holds back windows still inside the watermark, exactly like the
+    other windowed ops here.
+
+    Two stateful stages (register MAX, then per-window finalize) chain in
+    append mode under the watermark. State: windows x registers, bounded.
+    """
+    from witdb_spark.operators.hll import _FINAL, _bucket_rho
+
+    b, rho = _bucket_rho("user_id")
+    regs = (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("user_id").isNotNull())
+        .select(F.window("ts", window).alias("win"), b, rho)
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    summary = regs.groupBy("win").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr("cast(shiftleft(1L, 61 - r) as decimal(38,0))")).alias("sp"),
+    )
+    return summary.select(
+        F.col("win.start").alias("window_start"),
+        F.expr(f"cast(round({_FINAL}, 6) as double)").alias("approx_users"),
+    )
