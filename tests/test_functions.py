@@ -154,3 +154,14 @@ def test_timetz_parse_roundtrip(fspark):
     assert rows.c == rows.d
     # 01:00 at +02:00 == 23:00 UTC the previous day -> wraps to 23h
     assert rows.e == 23 * 3600 * 1_000_000_000
+
+
+def test_regexp_split_and_json_array_get(fspark):
+    r = fspark.sql(
+        "SELECT regexp_split('a1b22c333d', '[0-9]+') AS sp,"
+        " json_array_get('[\"x\", \"y\", \"z\"]', 1) AS mid,"
+        " json_array_get('[\"x\", \"y\", \"z\"]', -1) AS last,"
+        " json_array_get('[1, 2, 3]', 0) AS num"
+    ).collect()[0]
+    assert r.sp == ["a", "b", "c", "d"]
+    assert r.mid == "y" and r.last == "z" and r.num == "1"

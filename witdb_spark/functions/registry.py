@@ -446,6 +446,18 @@ MACROS: dict[str, str] = {
     "cast(coalesce(nullif(regexp_extract(s, '[+-]([0-9]+):[0-9]+$', 1), ''), '0') AS BIGINT)"
     " * 60 + "
     "cast(coalesce(nullif(regexp_extract(s, '[+-][0-9]+:([0-9]+)$', 1), ''), '0') AS BIGINT)))",
+    # regexp_split (reference JoniRegexpFunctions.java regexpSplit):
+    # split on a regex with no limit — Spark's split IS regex-based
+    "regexp_split": "CREATE OR REPLACE TEMPORARY FUNCTION regexp_split"
+    "(s STRING, p STRING) RETURNS ARRAY<STRING> RETURN split(s, p)",
+    # json_array_get (reference JsonFunctions.java jsonArrayGet):
+    # negative indexes count from the end. Scalar string elements come
+    # back unquoted (get_json_object semantics) — documented nuance.
+    "json_array_get": "CREATE OR REPLACE TEMPORARY FUNCTION json_array_get"
+    "(j STRING, i BIGINT) RETURNS STRING RETURN CASE WHEN i >= 0 "
+    "THEN get_json_object(j, concat('$[', cast(i AS STRING), ']')) "
+    "ELSE get_json_object(j, concat('$[', "
+    "cast(json_array_length(j) + i AS STRING), ']')) END",
     # --- Bing tiles (reference geospatial BingTileFunctions.java,
     # BingTile.java). A tile is a packed BIGINT: (x << 28) | (y << 5) | z
     # (x, y < 2^23, zoom <= 23 -> 51 bits). All arithmetic is the public
