@@ -407,3 +407,18 @@ def test_curation_plans(spark):
     plan = plan_of(spark, "curation_decontaminated")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_contains_broadcasts_polygon_side(spark):
+    """The polygon-cells side must be the broadcast build side — at scale
+    the points side is the fact table (reference builds its R-tree over
+    the small side, SpatialJoinOperator.java:42)."""
+    plan = plan_of(spark, "spatial_join_contains")
+    import re as _re
+
+    m = _re.search(r"BroadcastHashJoin.*?Build(Left|Right)", plan, _re.S)
+    assert m is not None
+    # the build side must contain the polygon UDF (_env), not the scan
+    side = m.group(1)
+    bcast = plan.split("BroadcastExchange")[1][:2000]
+    assert "_env" in bcast or "wkt" in bcast, side

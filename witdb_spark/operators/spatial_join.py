@@ -106,7 +106,11 @@ def spatial_join_contains(
     pts = points.withColumn(
         "_cx", F.floor(F.col(x_col) / cs).cast("long")
     ).withColumn("_cy", F.floor(F.col(y_col) / cs).cast("long"))
-    cells = _poly_cells(polys, wkt_col, cs)
+    # the polygon-cells side is the small side by contract (polygons ×
+    # covered cells); broadcast it EXPLICITLY — at sf0.01 both sides fit
+    # under the threshold and Spark may pick the points side, which at
+    # 100 TB would try to broadcast the fact table
+    cells = F.broadcast(_poly_cells(polys, wkt_col, cs))
     cand = pts.join(cells, ["_cx", "_cy"]).drop("_cx", "_cy")
 
     @F.pandas_udf("boolean")
