@@ -483,3 +483,27 @@ def test_row_constructor_and_at_time_zone(engine):
     assert r.b == 2
     assert str(r.z) == "2024-01-01 07:00:00"
     assert r.rn == 1  # row_number untouched by the ROW( rewrite
+
+
+def test_show_create_and_describe_io(engine, spark):
+    """SHOW CREATE TABLE/VIEW (reference ShowCreate) and DESCRIBE
+    INPUT/OUTPUT (DescribeInputTask/DescribeOutputTask)."""
+    spark.createDataFrame([(1, "x")], "id bigint, s string").createOrReplaceTempView(
+        "sct_t"
+    )
+    ddl = engine.sql("SHOW CREATE TABLE sct_t").collect()[0][0]
+    assert "CREATE TABLE sct_t" in ddl and "id bigint" in ddl and "s string" in ddl
+    engine.sql("CREATE OR REPLACE VIEW sct_v AS SELECT id FROM sct_t WHERE id > 0")
+    vddl = engine.sql("SHOW CREATE VIEW sct_v").collect()[0][0]
+    assert vddl.startswith("CREATE VIEW sct_v AS") and "id > 0" in vddl
+    cats = [r[0] for r in engine.sql("SHOW CATALOGS").collect()]
+    assert "spark_catalog" in cats
+    schemas = [r[0] for r in engine.sql("SHOW SCHEMAS").collect()]
+    assert "default" in schemas
+    engine.prepare("dio", "SELECT id, s FROM sct_t WHERE id = ? AND s <> ?")
+    inp = engine.sql("DESCRIBE INPUT dio").collect()
+    assert [(r.Position, r.Type) for r in inp] == [(0, "unknown"), (1, "unknown")]
+    out = engine.sql("DESCRIBE OUTPUT dio").collect()
+    assert [(r["Column Name"], r.Type) for r in out] == [
+        ("id", "bigint"), ("s", "string")
+    ]

@@ -156,6 +156,71 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in names], "Function string"
             )
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference ShowCreate (VIEW): the stored original SQL
+            name = m.group(1)
+            if name not in self._views:
+                raise KeyError(f"View not found: {name!r}")
+            ddl = f"CREATE VIEW {name} AS\n{self._views[name]}"
+            return self.spark.createDataFrame([(ddl,)], "`Create View` string")
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference ShowCreate (TABLE): synthesized from the schema
+            name = m.group(1)
+            cols = ",\n   ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.spark.table(name).schema.fields
+            )
+            ddl = f"CREATE TABLE {name} (\n   {cols}\n)"
+            return self.spark.createDataFrame([(ddl,)], "`Create Table` string")
+        if re.match(r"^\s*SHOW\s+CATALOGS\s*;?\s*$", text, re.I):
+            rows = [(c.name,) for c in self.spark.catalog.listCatalogs()]
+            return self.spark.createDataFrame(rows, "Catalog string")
+        if re.match(r"^\s*SHOW\s+SCHEMAS\s*;?\s*$", text, re.I):
+            rows = [(d.name,) for d in self.spark.catalog.listDatabases()]
+            return self.spark.createDataFrame(rows, "Schema string")
+        m = re.match(
+            r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference DescribeInputTask / DescribeOutputTask
+            which, name = m.group(1).upper(), m.group(2)
+            prepared = getattr(self, "_prepared", {})
+            if name not in prepared:
+                raise KeyError(f"prepared statement {name!r} does not exist")
+            if which == "INPUT":
+                # positional parameter slots; types are unknown until bound
+                # (the reference reports 'unknown' for untyped params too)
+                n = sum(
+                    chunk.count("?")
+                    for chunk in re.split(r"('(?:[^']|'')*')", prepared[name])
+                    if not chunk.startswith("'")
+                )
+                rows = [(i, "unknown") for i in range(n)]
+                return self.spark.createDataFrame(
+                    rows, "Position int, Type string"
+                ) if rows else self.spark.createDataFrame(
+                    [], "Position int, Type string"
+                )
+            # OUTPUT: bind NULLs to parameters and describe the result schema
+            stub = prepared[name]
+            out, i = [], 0
+            for chunk in re.split(r"('(?:[^']|'')*')", stub):
+                if chunk.startswith("'"):
+                    out.append(chunk)
+                    continue
+                while "?" in chunk:
+                    chunk = chunk.replace("?", "NULL", 1)
+                    i += 1
+                out.append(chunk)
+            schema = self.sql("".join(out)).schema
+            rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+            return self.spark.createDataFrame(rows, "`Column Name` string, Type string")
         if re.match(r"^\s*SHOW\s+SESSION\s*;?\s*$", text, re.I):
             rows = [
                 (prop, self.spark.conf.get(conf, None) or "")
