@@ -507,3 +507,30 @@ def test_show_create_and_describe_io(engine, spark):
     assert [(r["Column Name"], r.Type) for r in out] == [
         ("id", "bigint"), ("s", "string")
     ]
+
+
+def test_information_schema(engine, spark):
+    """information_schema.{tables,columns,views} (reference
+    InformationSchemaMetadata.java) materialized from the live catalog."""
+    spark.createDataFrame([(1, "x")], "id bigint, s string").createOrReplaceTempView(
+        "isch_t"
+    )
+    engine.sql("CREATE OR REPLACE VIEW isch_v AS SELECT id FROM isch_t")
+    rows = engine.sql(
+        "SELECT table_name, table_type FROM information_schema.tables"
+        " WHERE table_name IN ('isch_t', 'isch_v') ORDER BY table_name"
+    ).collect()
+    assert [r.table_name for r in rows] == ["isch_t", "isch_v"]
+    cols = engine.sql(
+        "SELECT column_name, data_type, ordinal_position"
+        " FROM information_schema.columns WHERE table_name = 'isch_t'"
+        " ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.data_type) for c in cols] == [
+        ("id", "bigint"), ("s", "string")
+    ]
+    v = engine.sql(
+        "SELECT view_definition FROM information_schema.views"
+        " WHERE table_name = 'isch_v'"
+    ).collect()
+    assert "SELECT id FROM isch_t" in v[0].view_definition

@@ -250,6 +250,18 @@ class Engine:
                 " protocol, and access control belongs to the lakehouse"
                 " catalog layer"
             )
+        if re.search(r"\binformation_schema\s*\.\s*(tables|columns|views)\b", text, re.I):
+            # reference information_schema connector
+            # (InformationSchemaMetadata.java): materialize the session
+            # catalog into temp views and rewrite the dotted names (Spark
+            # temp views cannot be schema-qualified).
+            self._refresh_information_schema()
+            text = re.sub(
+                r"\binformation_schema\s*\.\s*(tables|columns|views)\b",
+                lambda m: f"__information_schema_{m.group(1).lower()}",
+                text,
+                flags=re.I,
+            )
         if re.search(r"\bMATCH_RECOGNIZE\b", text, flags=re.I):
             # SQL-form row-pattern relations (reference SqlBase.g4:360) are
             # lowered onto the DataFrame operator and spliced back in as
@@ -261,6 +273,51 @@ class Engine:
         if named_params:
             return self.spark.sql(spark_sql, args=named_params)
         return self.spark.sql(spark_sql)
+
+    def _refresh_information_schema(self) -> None:
+        """Populate __information_schema_{tables,columns,views} temp views
+        from the live session catalog — Trino's layouts
+        (table_catalog/table_schema/table_name[/column_name/ordinal_position/
+        is_nullable/data_type]), reference InformationSchemaMetadata.java."""
+        cat = self.spark.catalog.currentCatalog()
+        tables = []
+        for t in self.spark.catalog.listTables():
+            kind = "VIEW" if t.tableType in ("VIEW", "TEMPORARY") else "BASE TABLE"
+            tables.append((cat, t.namespace[0] if t.namespace else "default", t.name, kind))
+        self.spark.createDataFrame(
+            tables or [(cat, "default", "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string",
+        ).where("table_name <> ''").createOrReplaceTempView(
+            "__information_schema_tables"
+        )
+        cols = []
+        for _, schema, name, _ in tables:
+            try:
+                for i, f in enumerate(self.spark.table(name).schema.fields):
+                    cols.append(
+                        (cat, schema, name, f.name, i + 1,
+                         "YES" if f.nullable else "NO",
+                         f.dataType.simpleString())
+                    )
+            except Exception:
+                continue  # dropped concurrently / unresolvable
+        self.spark.createDataFrame(
+            cols or [(cat, "default", "", "", 0, "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " column_name string, ordinal_position int, is_nullable string,"
+            " data_type string",
+        ).where("table_name <> ''").createOrReplaceTempView(
+            "__information_schema_columns"
+        )
+        views = [(cat, "default", n, sql) for n, sql in self._views.items()]
+        self.spark.createDataFrame(
+            views or [(cat, "default", "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " view_definition string",
+        ).where("table_name <> ''").createOrReplaceTempView(
+            "__information_schema_views"
+        )
 
     # -- views (reference CreateViewTask.java:99 stores the SQL text;
     # analysis re-expands it per query) ------------------------------------
