@@ -6,6 +6,17 @@ Protocol mirrors the reference's benchto methodology (prewarm runs then
 measured runs; reference testing/trino-benchto-benchmarks/.../tpch.yaml:3-5
 uses 2 prewarm + 6 measured; we use 1 + 3 to fit the round budget), with AQE
 on — the point is steady-state plan quality, not JVM warmup.
+
+Drift note (r3->r4): BENCH_r03 showed a uniform +20-37% on queries whose
+code, plans, and configs had not changed since r2 (tpch_q1 1.42->1.94s).
+r4 local re-runs of the same commits return r2-level numbers (tpch_q1
+1.37s) with those queries still untouched — consistent with sandbox load
+variance, not a plan regression (all hot plans are gated in
+tests/test_plans.py). To make any future drift diagnosable instead of
+arguable, each run now also emits `stage_metrics_per_run` (executor CPU
+ms, shuffle/input bytes per query, from the UI REST API): a wall-clock
+delta with flat stage metrics is machine noise; one with rising shuffle
+bytes or CPU is a real regression.
 """
 
 from __future__ import annotations
