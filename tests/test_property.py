@@ -95,3 +95,95 @@ def test_transpile_idempotent_on_spark_sql():
         "SELECT row_number() OVER (PARTITION BY x ORDER BY y) FROM t",
     ]:
         assert transpile(q) == q
+
+
+# ---------------------------------------------------------------------------
+# digest determinism: merge must be invariant to pool order (the claim that
+# makes agg_tdigest_rollup oracle-able across engines)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=60,
+        ),
+        min_size=2, max_size=5,
+    ),
+    st.randoms(),
+)
+def test_tdigest_merge_pool_order_invariant(groups, rnd):
+    """Merging the same multiset of digests in any order yields the same
+    blob bit-for-bit (tie-block selection is order-independent)."""
+    import numpy as np
+
+    from witdb_spark.operators.tdigest import K_CENTROIDS, rank_mids, scale_grid
+
+    grid = np.asarray(scale_grid())
+    mids = np.asarray(rank_mids())
+
+    def build(vals):
+        v = np.sort(np.asarray(vals, dtype="float64"))
+        n = len(v)
+        idx = np.floor(grid * (n - 1) + 0.5).astype("int64")
+        return n, v[idx]
+
+    def merge(digests):
+        pools, weights = [], []
+        for n, pts in digests:
+            bounds = np.floor(mids * n + 0.5).astype("int64")
+            pools.append(pts)
+            weights.append(bounds[1:] - bounds[:-1])
+        allpts = np.concatenate(pools)
+        allw = np.concatenate(weights)
+        order = np.argsort(allpts, kind="stable")
+        allpts, allw = allpts[order], allw[order]
+        cum = np.cumsum(allw)
+        g = np.floor(grid * (float(cum[-1]) - 1) + 0.5) + 1
+        merged = allpts[np.searchsorted(cum, g, side="left").clip(0, len(allpts) - 1)]
+        merged[0], merged[-1] = allpts[0], allpts[-1]
+        return merged.tobytes()
+
+    digests = [build(g) for g in groups]
+    base = merge(digests)
+    for _ in range(3):
+        rnd.shuffle(digests)
+        assert merge(digests) == base
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300),
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300),
+)
+def test_bottomk_jaccard_reference(sa, sb):
+    """Bottom-k jaccard (operators/setdigest.py semantics) against a pure
+    reference: exact when |A ∪ B| <= k; always within [0, 1] and
+    symmetric; J(A, A) == 1."""
+    import hashlib
+
+    K = 128
+
+    def h(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    def bottom_k(vals):
+        return sorted({h(v) for v in vals})[:K]
+
+    def jacc(a, b):
+        uk = sorted(set(bottom_k(a)) | set(bottom_k(b)))[:K]
+        ha, hb = set(bottom_k(a)), set(bottom_k(b))
+        nb = sum(1 for x in uk if x in ha and x in hb)
+        return nb / len(uk)
+
+    j = jacc(sa, sb)
+    assert 0.0 <= j <= 1.0
+    assert j == jacc(sb, sa)
+    assert jacc(sa, sa) == 1.0
+    if len(sa | sb) <= K:
+        exact = len(sa & sb) / len(sa | sb)
+        assert j == exact
