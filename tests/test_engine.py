@@ -534,3 +534,21 @@ def test_information_schema(engine, spark):
         " WHERE table_name = 'isch_v'"
     ).collect()
     assert "SELECT id FROM isch_t" in v[0].view_definition
+
+
+def test_recursive_cte_forms(engine):
+    """WITH RECURSIVE edge shapes: trailing CTE after the recursive one,
+    and the loud non-fixpoint error."""
+    rows = engine.sql(
+        """
+        WITH RECURSIVE seq(n) AS (
+          SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq WHERE n < 5
+        ), doubled AS (SELECT n * 2 AS d FROM seq)
+        SELECT CAST(SUM(d) AS BIGINT) AS s FROM doubled
+        """
+    ).collect()
+    assert rows[0].s == 30  # 2+4+6+8+10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.sql("WITH RECURSIVE bad(n) AS (SELECT 1 AS n) SELECT * FROM bad")

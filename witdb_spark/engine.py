@@ -250,6 +250,12 @@ class Engine:
                 " protocol, and access control belongs to the lakehouse"
                 " catalog layer"
             )
+        from witdb_spark.plans.recursive import execute_recursive, has_recursive
+
+        if has_recursive(text):
+            # reference SqlBase.g4:190 WITH RECURSIVE — Spark has no
+            # recursive CTE; run the iterative fixpoint (plans/recursive.py)
+            return execute_recursive(self, text)
         if re.search(r"\binformation_schema\s*\.\s*(tables|columns|views)\b", text, re.I):
             # reference information_schema connector
             # (InformationSchemaMetadata.java): materialize the session

@@ -986,3 +986,77 @@ def quantified_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHERE o_totalprice < 1000)"
         )
     )
+
+
+@register(
+    "recursive_factorial",
+    """
+    WITH RECURSIVE t(n, f) AS (
+      SELECT CAST(1 AS INT) AS n, CAST(1 AS BIGINT) AS f
+      UNION ALL
+      SELECT n + 1, f * (n + 1) FROM t WHERE n < 20
+    )
+    SELECT n, f FROM t
+    """,
+    doc="WITH RECURSIVE, UNION ALL form (reference SqlBase.g4:190, "
+    "StatementAnalyzer recursive handling): Spark has no recursive CTE, "
+    "so plans/recursive.py runs the iterative fixpoint — anchor, then "
+    "bind-the-name/evaluate-step rounds with localCheckpoint lineage "
+    "truncation until the frontier empties. DuckDB runs the identical "
+    "recursive SQL natively as the oracle.",
+    tags=("recursive", "cte", "dialect"),
+)
+def recursive_factorial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    return eng.sql(
+        """
+        WITH RECURSIVE t(n, f) AS (
+          SELECT CAST(1 AS INT) AS n, CAST(1 AS BIGINT) AS f
+          UNION ALL
+          SELECT n + 1, f * (n + 1) FROM t WHERE n < 20
+        )
+        SELECT n, f FROM t
+        """
+    )
+
+
+@register(
+    "recursive_reachability",
+    """
+    WITH RECURSIVE reach(node) AS (
+      SELECT CAST(0 AS BIGINT) AS node
+      UNION
+      SELECT CAST((n.n_nationkey * 7 + 3) % 25 AS BIGINT)
+      FROM reach r JOIN nation n ON n.n_nationkey = r.node
+    )
+    SELECT COUNT(*) AS n_reach, CAST(SUM(node) AS BIGINT) AS sum_nodes
+    FROM reach
+    """,
+    doc="WITH RECURSIVE, UNION (distinct) form: transitive closure over a "
+    "CYCLIC functional graph on nation keys — the distinct mode's global "
+    "subtract is what reaches a fixpoint despite the cycle (UNION ALL "
+    "would loop forever; the reference analyzer imposes the same "
+    "bounded-recursion rule). One subtract shuffle per round, the "
+    "GraphX/Pregel iteration shape.",
+    tags=("recursive", "cte", "dialect", "graph"),
+)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    return eng.sql(
+        """
+        WITH RECURSIVE reach(node) AS (
+          SELECT CAST(0 AS BIGINT) AS node
+          UNION
+          SELECT CAST((n.n_nationkey * 7 + 3) % 25 AS BIGINT)
+          FROM reach r JOIN nation n ON n.n_nationkey = r.node
+        )
+        SELECT COUNT(*) AS n_reach, CAST(SUM(node) AS BIGINT) AS sum_nodes
+        FROM reach
+        """
+    )
