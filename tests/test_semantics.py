@@ -155,3 +155,34 @@ def test_try_recursive_decomposition(spark):
     ).collect()[0]
     assert r.a is None and r.b is None
     assert r.c == 6.0 and r.d == 3
+
+
+def test_listagg_within_group(engine):
+    rows = engine.sql(
+        "SELECT g, LISTAGG(s, '|') WITHIN GROUP (ORDER BY k) AS agg "
+        "FROM (VALUES (1, 3, 'c'), (1, 1, 'a'), (1, 2, 'b'), (2, 1, 'z'))"
+        " AS t(g, k, s) GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.agg) for r in rows] == [(1, "a|b|c"), (2, "z")]
+    rows = engine.sql(
+        "SELECT LISTAGG(s) WITHIN GROUP (ORDER BY k DESC) AS agg "
+        "FROM (VALUES (1, 'a'), (2, 'b')) AS t(k, s)"
+    ).collect()
+    assert rows[0].agg == "b,a"
+    import pytest as _pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with _pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT LISTAGG(s ON OVERFLOW TRUNCATE) WITHIN GROUP (ORDER BY s)"
+            " FROM (VALUES 'a') AS t(s)"
+        )
+
+
+def test_tablesample_bernoulli(engine, spark):
+    spark.range(1000).createOrReplaceTempView("ts_t")
+    n = engine.sql(
+        "SELECT count(*) AS n FROM ts_t TABLESAMPLE BERNOULLI(20)"
+    ).collect()[0].n
+    assert 50 < n < 500  # ~200 expected; loose bounds (engine RNG)

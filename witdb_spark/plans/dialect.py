@@ -892,10 +892,66 @@ def _rewrite_try(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
 
 
+_LISTAGG = re.compile(r"\bLISTAGG\s*\(", re.I)
+_WITHIN = re.compile(
+    r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.I
+)
+
+
+def _rewrite_listagg(sql: str) -> str:
+    """LISTAGG(x [, sep]) WITHIN GROUP (ORDER BY k [DESC]) (reference
+    SqlBase.g4:504 #listagg) -> ordered collect_list rewrite:
+    array_join(transform(array_sort(collect_list(struct(k, x))), s ->
+    s.v), sep), reversed for DESC — the documented workaround for
+    collect_list's nondeterministic order. One sort key; ON OVERFLOW is
+    rejected (Spark strings don't truncate)."""
+    while True:
+        m = _LISTAGG.search(sql)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close_idx = _match_paren(sql, open_idx)
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if re.search(r"\bON\s+OVERFLOW\b", sql[open_idx:close_idx], re.I):
+            raise UnsupportedTrinoSyntax("LISTAGG ON OVERFLOW")
+        if not 1 <= len(args) <= 2:
+            raise UnsupportedTrinoSyntax("LISTAGG takes (expr [, separator])")
+        expr = args[0].strip()
+        sep = args[1].strip() if len(args) == 2 else "','"
+        wm = _WITHIN.match(sql, close_idx + 1)
+        if wm is None:
+            raise UnsupportedTrinoSyntax("LISTAGG requires WITHIN GROUP")
+        sort_close = _match_paren(sql, sql.index("(", close_idx + 1))
+        sort = sql[wm.end() : sort_close].strip()
+        desc = bool(re.search(r"\bDESC\s*$", sort, re.I))
+        key = re.sub(r"\s+(ASC|DESC)\s*$", "", sort, flags=re.I).strip()
+        if "," in key:
+            raise UnsupportedTrinoSyntax("LISTAGG: one ORDER BY key")
+        arr = f"array_sort(collect_list(named_struct('k', {key}, 'v', {expr})))"
+        if desc:
+            arr = f"reverse({arr})"
+        repl = f"array_join(transform({arr}, s -> s.v), {sep})"
+        sql = sql[: m.start()] + repl + sql[sort_close + 1 :]
+
+
+def _rewrite_tablesample(sql: str) -> str:
+    """TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (reference SqlBase.g4:333) ->
+    Spark's TABLESAMPLE (p PERCENT). BERNOULLI row-sampling maps exactly;
+    SYSTEM is split-based in both engines (approximate by contract)."""
+    return re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(([^)]+)\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        sql,
+        flags=re.I,
+    )
+
+
 def transpile(sql: str) -> str:
     """Rewrite a Trino-dialect query into Spark SQL. Raises
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
     sql = _rewrite_try(sql)
+    sql = _rewrite_listagg(sql)
+    sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_at_time_zone(sql)
