@@ -73,6 +73,13 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(r"\bROW\s*\(", "struct(", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\(\s*\)", "map()", seg, flags=re.I)
     seg = re.sub(r"\bMAP\s*\((?!\s*\))", "map_from_arrays(", seg, flags=re.I)
+    # time travel (reference SqlBase.g4:800 queryPeriod): Trino's
+    # `FOR TIMESTAMP|VERSION AS OF` -> Spark's `TIMESTAMP|VERSION AS OF`
+    # (DSv2 time-travel syntax; actually reading a snapshot needs a
+    # time-travel-capable table, sources/lakehouse.py)
+    seg = re.sub(
+        r"\bFOR\s+(TIMESTAMP|VERSION)\s+AS\s+OF\b", r"\1 AS OF", seg, flags=re.I
+    )
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)

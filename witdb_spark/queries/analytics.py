@@ -1060,3 +1060,35 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach
         """
     )
+
+
+@register(
+    "groupby_grouping_operation",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS g_mask,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUPING operation (reference SqlBase.g4:539 #groupingOperation, "
+    "GroupingOperationRewriter): per-column grouping bit and the "
+    "multi-column bitmask (2*g(a)+g(b)) over ROLLUP — Spark's grouping()/"
+    "grouping_id() implement the identical standard formula, so all three "
+    "engines agree bit-for-bit.",
+    tags=("groupingsets", "sql"),
+)
+def groupby_grouping_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS g_mask,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """
+    )
