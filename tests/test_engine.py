@@ -552,3 +552,21 @@ def test_recursive_cte_forms(engine):
 
     with _pytest.raises(ValueError):
         engine.sql("WITH RECURSIVE bad(n) AS (SELECT 1 AS n) SELECT * FROM bad")
+
+
+def test_prepare_execute_sql_form(engine, spark):
+    """PREPARE / EXECUTE USING / DEALLOCATE as SQL statements (reference
+    PrepareTask/ExecuteTask/DeallocateTask dispatch)."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, s string"
+    ).createOrReplaceTempView("pes_t")
+    engine.sql("PREPARE pq FROM SELECT s FROM pes_t WHERE id > ? ORDER BY id")
+    rows = engine.sql("EXECUTE pq USING 1").collect()
+    assert [r.s for r in rows] == ["b", "c"]
+    rows = engine.sql("EXECUTE pq USING 1 + 1").collect()
+    assert [r.s for r in rows] == ["c"]
+    engine.sql("DEALLOCATE PREPARE pq")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        engine.sql("EXECUTE pq USING 0")

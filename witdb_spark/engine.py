@@ -250,6 +250,37 @@ class Engine:
                 " protocol, and access control belongs to the lakehouse"
                 " catalog layer"
             )
+        m = re.match(
+            r"^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+(.+)$",
+            text, re.I | re.S,
+        )
+        if m:  # reference PrepareTask.java — SQL form
+            self.prepare(m.group(1), m.group(2).strip().rstrip(";"))
+            return self.spark.range(0).select()
+        m = re.match(
+            r"^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+USING\s+(.+?))?\s*;?\s*$",
+            text, re.I | re.S,
+        )
+        if m:  # reference ExecuteTask.java — literal args bound positionally
+            args = []
+            if m.group(2):
+                from witdb_spark.plans.dialect import _split_top_level
+
+                for lit in _split_top_level(m.group(2)):
+                    args.append(self.spark.sql(f"SELECT {lit}").collect()[0][0])
+            return self.execute(m.group(1), *args)
+        m = re.match(
+            r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference DeallocateTask.java
+            self.deallocate(m.group(1))
+            return self.spark.range(0).select()
+        m = re.match(r"^\s*USE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$", text, re.I)
+        if m:  # reference UseTask.java — session schema switch
+            self.spark.catalog.setCurrentDatabase(m.group(1).split(".")[-1])
+            return self.spark.range(0).select()
         from witdb_spark.plans.recursive import execute_recursive, has_recursive
 
         if has_recursive(text):
