@@ -177,5 +177,60 @@ def test_union(ns):
     u = ns["union_geom"](SQ, far)
     assert u.startswith("MULTIPOLYGON") and ns["area"](u) == 17.0
     assert ns["union_geom"]("POINT (1 1)", "POINT (2 2)") == "MULTIPOINT (1 1, 2 2)"
+    # overlapping polygons union via the G-H clipper (r4): 16+16-4
+    u = ns["union_geom"](SQ, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    assert abs(ns["area"](u) - 28.0) < 1e-9
+
+
+def test_gh_concave_intersection_and_union(ns):
+    """Greiner-Hormann path: concave x concave booleans must satisfy
+    inclusion-exclusion: area(A) + area(B) == area(A∪B) + area(A∩B)."""
+    # two interlocking L-shapes (both concave, generic position)
+    A = "POLYGON ((0 0, 6 0, 6 2.5, 2.5 2.5, 2.5 6, 0 6, 0 0))"
+    B = "POLYGON ((1.5 1.5, 7 1.5, 7 7, 4.5 7, 4.5 3.5, 1.5 3.5, 1.5 1.5))"
+    inter = ns["intersection"](A, B)
+    uni = ns["union_geom"](A, B)
+    ia, ua = ns["area"](inter), ns["area"](uni)
+    aa, ba = ns["area"](A), ns["area"](B)
+    assert ia > 0 and ua > 0
+    assert abs((aa + ba) - (ua + ia)) < 1e-9, (aa, ba, ua, ia)
+    # intersection is inside both; union contains both sample interiors
+    assert ns["contains"](A, ns["centroid"](inter)) or ns["intersects"](A, inter)
+    # overlapping convex x convex union (crossing boundaries)
+    sq2 = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    u2 = ns["union_geom"](SQ, sq2)
+    assert abs(ns["area"](u2) - (16 + 16 - 4)) < 1e-9
+    i2 = ns["intersection"](CONCAVE, "POLYGON ((1 1, 3 1, 3 5, 1 5, 1 1))")
+    # concave subject vs convex clip still routes through S-H
+    assert ns["area"](i2) > 0
+
+
+def test_gh_union_with_enclosed_hole(ns):
+    """Union of two C-shapes that enclose a void: the result must carry
+    the void as a HOLE (area = sum - overlap - void)."""
+    # C opening right + C opening left, overlapping arms enclosing a void
+    C1 = "POLYGON ((0 0, 5 0, 5 1.25, 1.25 1.25, 1.25 3.75, 5 3.75, 5 5, 0 5, 0 0))"
+    C2 = "POLYGON ((3.75 -0.5, 5.5 -0.5, 5.5 5.5, 3.75 5.5, 3.75 -0.5))"
+    u = ns["union_geom"](C1, C2)
+    a1, a2 = ns["area"](C1), ns["area"](C2)
+    inter = ns["area"](ns["intersection"](C1, C2))
+    got = ns["area"](u)
+    assert abs(got - (a1 + a2 - inter)) < 1e-9, (got, a1, a2, inter)
+    # the void (1.25..3.75 x 1.25..3.75 up to C2's left wall) is excluded
+    assert "(" in u and ns["contains"](u, "POINT (0.5 0.5)")
+    assert not ns["contains"](u, "POINT (2.5 2.5)")
+
+
+def test_gh_degenerate_raises(ns):
+    """Vertex-incidence and shared edges must raise, not mis-clip."""
+    shifted = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"  # shares SQ's x=4 edge
     with pytest.raises(ValueError):
-        ns["union_geom"](SQ, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        ns["union_geom"](SQ, shifted)
+    touch_vertex = "POLYGON ((4 4, 8 4.5, 7 8, 4 4))"  # touches SQ corner
+    # touching at a single vertex: either loud degenerate or disjoint-union;
+    # mis-computing silently is the only wrong answer
+    try:
+        out = ns["union_geom"](SQ, touch_vertex)
+        assert abs(ns["area"](out) - (16 + ns["area"](touch_vertex))) < 1e-9
+    except ValueError:
+        pass

@@ -617,10 +617,213 @@ def _clip_sh(subject, clip):
     return out
 
 
+class _GH:
+    """Greiner-Hormann vertex node."""
+    __slots__ = ("x", "y", "nxt", "prv", "neighbor", "entry", "inter", "visited")
+
+    def __init__(self, x, y, inter=False):
+        self.x, self.y = x, y
+        self.nxt = self.prv = self.neighbor = None
+        self.entry = False
+        self.inter = inter
+        self.visited = False
+
+
+def _gh_ring(pts):
+    head = None
+    prev = None
+    for (x, y) in pts:
+        v = _GH(x, y)
+        if head is None:
+            head = v
+        else:
+            prev.nxt, v.prv = v, prev
+        prev = v
+    prev.nxt, head.prv = head, prev
+    return head
+
+
+def _gh_edges(head):
+    out = []
+    v = head
+    while True:
+        if not v.inter:
+            w = v.nxt
+            while w.inter:
+                w = w.nxt
+            out.append((v, w))
+        v = v.nxt
+        if v is head:
+            return out
+
+
+def _gh_insert(a, b, v, alpha, alphas):
+    """Insert intersection v between original vertices a..b at fraction
+    alpha (kept sorted via the alphas side-table keyed by id)."""
+    cur = a
+    while cur.nxt is not b and alphas.get(id(cur.nxt), -1.0) < alpha:
+        cur = cur.nxt
+    v.nxt, v.prv = cur.nxt, cur
+    cur.nxt.prv = v
+    cur.nxt = v
+    alphas[id(v)] = alpha
+
+
+def _gh_clip(subj_pts, clip_pts, union):
+    """Greiner-Hormann boolean op on two simple CCW rings in generic
+    position. Returns list of result rings, or None when the rings do not
+    cross (caller handles containment/disjoint). Degenerate incidence
+    (vertex-on-edge, collinear edge overlap, endpoint touching) raises —
+    exactness over silent perturbation."""
+    S, C = _gh_ring(subj_pts), _gh_ring(clip_pts)
+    alphas_s: dict = {}
+    alphas_c: dict = {}
+    n_inter = 0
+    for (s1, s2) in _gh_edges(S):
+        for (c1, c2) in _gh_edges(C):
+            den = (c2.y - c1.y) * (s2.x - s1.x) - (c2.x - c1.x) * (s2.y - s1.y)
+            if den == 0.0:
+                # parallel: only an overlap is degenerate
+                cr = (s1.x - c1.x) * (c2.y - c1.y) - (s1.y - c1.y) * (c2.x - c1.x)
+                if cr == 0.0:
+                    if max(min(s1.x, s2.x), min(c1.x, c2.x)) <= min(
+                        max(s1.x, s2.x), max(c1.x, c2.x)
+                    ) and max(min(s1.y, s2.y), min(c1.y, c2.y)) <= min(
+                        max(s1.y, s2.y), max(c1.y, c2.y)
+                    ):
+                        raise ValueError(
+                            "degenerate polygon boolean: collinear edge overlap"
+                        )
+                continue
+            ua = ((c2.x - c1.x) * (s1.y - c1.y) - (c2.y - c1.y) * (s1.x - c1.x)) / den
+            ub = ((s2.x - s1.x) * (s1.y - c1.y) - (s2.y - s1.y) * (s1.x - c1.x)) / den
+            if ua < 0.0 or ua > 1.0 or ub < 0.0 or ub > 1.0:
+                continue
+            if ua in (0.0, 1.0) or ub in (0.0, 1.0):
+                raise ValueError(
+                    "degenerate polygon boolean: intersection at a vertex"
+                )
+            x = s1.x + ua * (s2.x - s1.x)
+            y = s1.y + ua * (s2.y - s1.y)
+            vs = _GH(x, y, inter=True)
+            vc = _GH(x, y, inter=True)
+            vs.neighbor, vc.neighbor = vc, vs
+            _gh_insert(s1, s2, vs, ua, alphas_s)
+            _gh_insert(c1, c2, vc, ub, alphas_c)
+            n_inter += 1
+    if n_inter == 0:
+        return None
+    if n_inter % 2 != 0:
+        raise ValueError("degenerate polygon boolean: odd crossing count")
+
+    clip_wkt = emit("POLYGON", [clip_pts + [clip_pts[0]]])
+    subj_wkt = emit("POLYGON", [subj_pts + [subj_pts[0]]])
+
+    def mark(head, other_wkt, invert):
+        _, other = parse(other_wkt)
+        status = not _point_in_poly((head.x, head.y), other)
+        if invert:
+            status = not status
+        v = head
+        while True:
+            if v.inter:
+                v.entry = status
+                status = not status
+            v = v.nxt
+            if v is head:
+                return
+
+    mark(S, clip_wkt, union)
+    mark(C, subj_wkt, union)
+
+    rings = []
+    while True:
+        start = None
+        v = S
+        while True:
+            if v.inter and not v.visited:
+                start = v
+                break
+            v = v.nxt
+            if v is S:
+                break
+        if start is None:
+            break
+        ring = []
+        cur = start
+        while True:
+            cur.visited = cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.nxt
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.prv
+                    if cur.inter:
+                        break
+            cur = cur.neighbor
+            if cur.visited:
+                break
+        if len(ring) >= 3:
+            rings.append(ring)
+    return rings
+
+
+def _gh_boolean(sa, sb, union):
+    """Shared polygon×polygon path for intersection/union via G-H; falls
+    back to None when rings don't cross."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if len(da) > 1 or len(db) > 1:
+        raise ValueError("polygon boolean: holes unsupported")
+    ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
+    rings = _gh_clip(ra, rb, union)
+    if rings is None:
+        return None
+    # normalize each ring CCW and close it
+    out = []
+    for r in rings:
+        closed = r + [r[0]]
+        if _ring_area2(closed) < 0:
+            closed = closed[::-1]
+        out.append(closed)
+    if not out:
+        return "POLYGON EMPTY"
+    if len(out) == 1:
+        return emit("POLYGON", [out[0]])
+    # a ring inside another is that polygon's HOLE (e.g. the enclosed void
+    # of a union of two C-shapes); attach it to its smallest container
+    contains_in = [
+        [
+            j
+            for j, o in enumerate(out)
+            if j != i and _point_in_poly(r[0], [o])
+        ]
+        for i, r in enumerate(out)
+    ]
+    polys = {}
+    for i, cs in enumerate(contains_in):
+        if not cs:
+            polys[i] = [out[i]]
+    for i, cs in enumerate(contains_in):
+        if cs:
+            owner = min(cs, key=lambda j: abs(_ring_area2(out[j])))
+            polys[owner].append(out[i])
+    rings_by_poly = list(polys.values())
+    if len(rings_by_poly) == 1:
+        return emit("POLYGON", rings_by_poly[0])
+    return emit("MULTIPOLYGON", rings_by_poly)
+
+
 def intersection(sa, sb):
     """ST_Intersection for the planar kernel's tractable cases: point vs
-    anything, and polygon vs CONVEX polygon (either side convex; holes
-    unsupported). Everything else raises — no silent approximation."""
+    anything, and polygon vs polygon via Greiner-Hormann (generic
+    position; degenerate incidence and holes raise — no silent
+    approximation)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
     if da is None or db is None:
@@ -633,27 +836,32 @@ def intersection(sa, sb):
         if len(da) > 1 or len(db) > 1:
             raise ValueError("st_intersection: polygon holes unsupported")
         ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
-        if _is_convex_ccw(rb):
-            subject, clip = ra, rb
-        elif _is_convex_ccw(ra):
-            subject, clip = rb, ra
-        else:
-            raise ValueError(
-                "st_intersection needs one CONVEX polygon (planar kernel)"
-            )
-        res = _clip_sh(subject, clip)
-        if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
-            return "POLYGON EMPTY"
-        return emit("POLYGON", [res + [res[0]]])
+        # convex clip: Sutherland-Hodgman (robust to shared boundaries)
+        if _is_convex_ccw(rb) or _is_convex_ccw(ra):
+            subject, clip = (ra, rb) if _is_convex_ccw(rb) else (rb, ra)
+            res = _clip_sh(subject, clip)
+            if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
+                return "POLYGON EMPTY"
+            return emit("POLYGON", [res + [res[0]]])
+        # concave x concave: Greiner-Hormann (generic position)
+        out = _gh_boolean(sa, sb, union=False)
+        if out is not None:
+            return out
+        # no crossings: containment or disjoint
+        if contains(sb, sa):
+            return emit(ka, da)
+        if contains(sa, sb):
+            return emit(kb, db)
+        return "POLYGON EMPTY"
     raise ValueError(
         "st_intersection: unsupported kinds %r x %r" % (ka, kb)
     )
 
 
 def union_geom(sa, sb):
-    """ST_Union for the tractable cases: EMPTY/containment/disjoint (->
-    MULTI collection). Overlapping polygon boundaries need a full clipper
-    and raise."""
+    """ST_Union: EMPTY/containment/disjoint cases directly; crossing
+    polygon boundaries via Greiner-Hormann (generic position; shared
+    boundary segments and holes raise — no silent perturbation)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
     if da is None:
@@ -669,9 +877,13 @@ def union_geom(sa, sb):
             return emit(kb, db)
         if not intersects(sa, sb):
             return emit("MULTIPOLYGON", [da, db])
+        out = _gh_boolean(sa, sb, union=True)
+        if out is not None:
+            return out
+        # boundaries touch without crossing (e.g. shared edge): degenerate
         raise ValueError(
-            "st_union of boundary-overlapping polygons is unsupported"
-            " (planar kernel has no full clipper)"
+            "st_union: touching-without-crossing boundaries are degenerate"
+            " for the planar clipper"
         )
     if not intersects(sa, sb):
         if ka == "POINT" and kb == "POLYGON":

@@ -510,15 +510,17 @@ MACROS: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
-    "ST_* full clipper / spherical geography": "the planar WKT kernel"
-    " (functions/geometry.py) covers measurements, predicates, convex"
-    " hull, Douglas-Peucker simplify, point buffers, polygon-vs-convex"
-    " intersection, and containment/disjoint unions; still out of scope"
-    " (raise, never approximate): buffers of lines/polygons (Minkowski"
-    " sums with arc joins), boolean ops between two concave or"
-    " boundary-overlapping polygons (need a full Greiner-Hormann/Vatti"
-    " clipper), geometry collections, and spherical geography. Bing tiles"
-    " are covered by the bing_tile_* macro family (registry.py)",
+    "ST_* degenerate boolean inputs / spherical geography": "the planar"
+    " WKT kernel (functions/geometry.py) covers measurements, predicates,"
+    " convex hull, simplify, point buffers, and polygon booleans — convex"
+    " clips via Sutherland-Hodgman, concave-x-concave intersection/union"
+    " via a Greiner-Hormann clipper (generic position, holes-in-results"
+    " classified). Still out of scope (raise, never approximate):"
+    " boolean inputs with degenerate incidence (shared edges, vertex-on-"
+    "edge — needs a snap-rounding Vatti/Martinez clipper), polygons with"
+    " holes as boolean INPUTS, buffers of lines/polygons (Minkowski sums"
+    " with arc joins), geometry collections, and spherical geography."
+    " Bing tiles are covered by the bing_tile_* macro family",
     "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
     "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
     " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"
