@@ -234,3 +234,25 @@ def test_gh_degenerate_raises(ns):
         assert abs(ns["area"](out) - (16 + ns["area"](touch_vertex))) < 1e-9
     except ValueError:
         pass
+
+
+def test_difference_and_symdifference(ns):
+    """ST_Difference / ST_SymDifference: area identities
+    area(A) = area(A∩B) + area(A−B); symdiff = A∪B − A∩B."""
+    A = "POLYGON ((0 0, 6 0, 6 2.5, 2.5 2.5, 2.5 6, 0 6, 0 0))"
+    B = "POLYGON ((1.5 1.5, 7 1.5, 7 7, 4.5 7, 4.5 3.5, 1.5 3.5, 1.5 1.5))"
+    ia = ns["area"](ns["intersection"](A, B))
+    da = ns["area"](ns["difference"](A, B))
+    assert abs(ns["area"](A) - (ia + da)) < 1e-9
+    sq2 = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+    sd = ns["sym_difference"](SQ, sq2)
+    assert abs(ns["area"](sd) - 24.0) < 1e-9  # 16 + 16 - 2*4
+    # A containing B -> B becomes a hole of A
+    inner = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    holed = ns["difference"](SQ, inner)
+    assert ns["area"](holed) == 15.0
+    assert not ns["contains"](holed, "POINT (1.5 1.5)")
+    # B covering A -> empty; disjoint -> A unchanged
+    assert ns["difference"](inner, SQ) == "POLYGON EMPTY"
+    far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+    assert ns["difference"](SQ, far) == SQ

@@ -13,14 +13,19 @@ Implemented (Trino names, same semantics):
   ST_GeometryFromText, ST_AsText, ST_GeometryType, ST_Point, ST_X, ST_Y,
   ST_Area (holes subtract), ST_Length, ST_Perimeter, ST_Centroid,
   ST_Envelope, ST_XMin/ST_XMax/ST_YMin/ST_YMax, ST_NumPoints, ST_IsClosed,
-  ST_IsEmpty, ST_Contains, ST_Within, ST_Intersects, ST_Distance.
+  ST_IsEmpty, ST_Contains, ST_Within, ST_Intersects, ST_Distance,
+  ST_ConvexHull, ST_Simplify (Douglas-Peucker), ST_Buffer (point n-gon),
+  ST_Intersection / ST_Union / ST_Difference / ST_SymDifference (convex
+  clips via Sutherland-Hodgman; concave x concave via a Greiner-Hormann
+  clipper in generic position, with enclosed voids classified as holes).
 
 DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
 point is NOT contained (ray-cast interior test); polygon/polygon
 containment = every vertex of B inside-or-on A, no proper edge crossings,
 and at least one interior vertex. ST_Intersects counts boundary contact.
-Curved/geodesic types (geometry collections, ST_Buffer, ST_Union,
-spherical geography) remain in registry.UNSUPPORTED.
+Degenerate boolean inputs (shared edges, vertex-on-edge), polygons with
+holes as boolean inputs, line/polygon buffers, geometry collections, and
+spherical geography raise — registry.UNSUPPORTED records the reasoning.
 """
 
 from __future__ import annotations
@@ -669,7 +674,7 @@ def _gh_insert(a, b, v, alpha, alphas):
     alphas[id(v)] = alpha
 
 
-def _gh_clip(subj_pts, clip_pts, union):
+def _gh_clip(subj_pts, clip_pts, mode):
     """Greiner-Hormann boolean op on two simple CCW rings in generic
     position. Returns list of result rings, or None when the rings do not
     cross (caller handles containment/disjoint). Degenerate incidence
@@ -733,8 +738,10 @@ def _gh_clip(subj_pts, clip_pts, union):
             if v is head:
                 return
 
-    mark(S, clip_wkt, union)
-    mark(C, subj_wkt, union)
+    # mode: "int" = both normal; "uni" = both inverted; "diff" (A - B) =
+    # subject side inverted only (walk A outside B, B inside A backward)
+    mark(S, clip_wkt, mode in ("uni", "diff"))
+    mark(C, subj_wkt, mode == "uni")
 
     rings = []
     while True:
@@ -773,15 +780,17 @@ def _gh_clip(subj_pts, clip_pts, union):
     return rings
 
 
-def _gh_boolean(sa, sb, union):
-    """Shared polygon×polygon path for intersection/union via G-H; falls
-    back to None when rings don't cross."""
+def _gh_boolean(sa, sb, union=None, mode=None):
+    """Shared polygon×polygon path for boolean ops via G-H; falls back
+    to None when rings don't cross. mode in ("int", "uni", "diff")."""
+    if mode is None:
+        mode = "uni" if union else "int"
     ka, da = parse(sa)
     kb, db = parse(sb)
     if len(da) > 1 or len(db) > 1:
         raise ValueError("polygon boolean: holes unsupported")
     ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
-    rings = _gh_clip(ra, rb, union)
+    rings = _gh_clip(ra, rb, mode)
     if rings is None:
         return None
     # normalize each ring CCW and close it
@@ -889,6 +898,56 @@ def union_geom(sa, sb):
         if ka == "POINT" and kb == "POLYGON":
             raise ValueError("st_union: mixed-kind collections unsupported")
     raise ValueError("st_union: unsupported kinds %r x %r" % (ka, kb))
+
+
+def difference(sa, sb):
+    """ST_Difference(A, B) = A minus B (reference GeoFunctions.java
+    stDifference): disjoint -> A; B covers A -> EMPTY; A covers B -> A
+    with B as a hole; crossing boundaries -> Greiner-Hormann diff mode."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None:
+        return emit("POLYGON", None)
+    if db is None:
+        return emit(ka, da)
+    if ka == kb == "POLYGON":
+        if len(da) > 1 or len(db) > 1:
+            raise ValueError("st_difference: polygon holes unsupported")
+        if not intersects(sa, sb):
+            return emit(ka, da)
+        if contains(sb, sa):
+            return "POLYGON EMPTY"
+        if contains(sa, sb):
+            return emit("POLYGON", [da[0], db[0]])  # B becomes a hole
+        out = _gh_boolean(sa, sb, mode="diff")
+        if out is not None:
+            return out
+        raise ValueError(
+            "st_difference: touching-without-crossing boundaries are"
+            " degenerate for the planar clipper"
+        )
+    raise ValueError("st_difference: unsupported kinds %r x %r" % (ka, kb))
+
+
+def sym_difference(sa, sb):
+    """ST_SymDifference(A, B) = (A - B) ∪ (B - A) (reference
+    GeoFunctions.java stSymmetricDifference). The two differences are
+    interior-disjoint BY CONSTRUCTION (they only share boundary along the
+    cut), so the result is their MULTIPOLYGON collection directly — no
+    second boolean needed (which would always see the shared boundary as
+    degenerate)."""
+    d1 = difference(sa, sb)
+    d2 = difference(sb, sa)
+    k1, r1 = parse(d1)
+    k2, r2 = parse(d2)
+    if r1 is None:
+        return d2
+    if r2 is None:
+        return d1
+    polys = []
+    for k, r in ((k1, r1), (k2, r2)):
+        polys.extend(r if k == "MULTIPOLYGON" else [r])
+    return emit("MULTIPOLYGON", polys)
 '''
 
 
@@ -1158,6 +1217,8 @@ def register_geometry_udfs(spark: SparkSession) -> int:
 
     fns["st_intersection"] = _str2_fn("st_intersection", "intersection")
     fns["st_union"] = _str2_fn("st_union", "union_geom")
+    fns["st_difference"] = _str2_fn("st_difference", "difference")
+    fns["st_symdifference"] = _str2_fn("st_symdifference", "sym_difference")
 
     def _geo_num_fn(name, impl):
         @_pudf("string")
