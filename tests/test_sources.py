@@ -233,3 +233,74 @@ def test_lakehouse_connectors_gated(spark):
             read_kafka_batch(spark, "localhost:9092", "t")
     with pytest.raises(ValueError):
         connector_available(spark, "sqlite")
+
+
+
+def _ppm(w, h, rgb):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _bmp24(w, h, rgb):
+    """Minimal bottom-up 24-bit BMP with the given constant RGB color."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    raster = (bytes(rgb[::-1]) * w + b"\0" * (stride - w * 3)) * h
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + raster
+
+
+def _wav(n_frames, rate=16000, nch=2, bits=16):
+    import struct
+
+    data = b"\x01\x00" * (n_frames * nch)
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_uncompressed_decode(spark):
+    """r4: uncompressed formats decode for REAL — PPM + 24-bit BMP pixels
+    and WAV audio, built byte-by-byte here, through the distributed
+    mapInPandas stages with fake=False."""
+    from witdb_spark.pipeline.multimodal import (
+        decode_image,
+        extract_audio_metadata,
+        extract_features,
+        extract_media_metadata,
+        resize_images,
+    )
+
+    ppm = _ppm(8, 4, (255, 0, 0))
+    bmp = _bmp24(5, 3, (0, 128, 255))
+    assert decode_image(ppm) == (8, 4, 3)
+    assert decode_image(bmp) == (5, 3, 3)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n....")
+
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    meta = {r.doc_id: (r.width, r.height, r.channels)
+            for r in extract_media_metadata(media).collect()}
+    assert meta == {1: (8, 4, 3), 2: (5, 3, 3)}
+
+    feats = {r.doc_id: (r.f0, r.f1, r.f2, r.f3)
+             for r in extract_features(media).collect()}
+    assert feats[1] == (1.0, 0.0, 0.0, pytest.approx(0.4714045207910317))
+    assert feats[2][0] == 0.0 and feats[2][2] == 1.0  # constant BGR->RGB
+
+    rs = {r.doc_id: r for r in resize_images(media, 4, 2).collect()}
+    from witdb_spark.pipeline.multimodal import _decode_ns
+    px = _decode_ns["decode_pixels"](bytes(rs[1].payload))
+    assert px.shape == (2, 4, 3) and (px[:, :, 0] == 255).all()
+
+    audio = spark.createDataFrame(
+        [(7, bytearray(_wav(32000)))], "doc_id long, payload binary"
+    )
+    a = extract_audio_metadata(audio).collect()[0]
+    assert (a.n_channels, a.sample_rate, a.bits, a.n_frames) == (2, 16000, 16, 32000)
+    assert a.duration_s == 2.0

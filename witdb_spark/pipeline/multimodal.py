@@ -2,11 +2,15 @@
 with typed metadata, processed through Arrow-batched pandas iterators
 (mapInPandas) — the pattern a 100 TB multimodal pipeline uses.
 
-The container has no image/audio codecs, so decode_image() is a clearly
-marked stub: the Spark-side plumbing (schema, batching, partitioning, UDF
-signature) is real and tested; the pixel decode raises NotImplementedError
-unless fake=True, which derives deterministic metadata from md5 so the
-DuckDB oracle can verify the full distributed path end-to-end.
+Decode tiers (r4):
+  - UNCOMPRESSED formats decode for REAL, in pure numpy/struct — PPM (P6)
+    / PGM (P5) / 24-bit BMP pixels and RIFF/WAV PCM audio need no codec
+    library (_DECODE_SRC below; tests build payloads byte-by-byte).
+  - COMPRESSED formats (JPEG/PNG/MP3/H.264) need codec libraries absent
+    from this container and raise NotImplementedError, loudly.
+  - fake=True keeps the md5-derived deterministic double so the DuckDB
+    oracle can hash-verify the full distributed path end-to-end (an
+    oracle cannot decode pixels).
 """
 
 from __future__ import annotations
@@ -25,6 +29,139 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# Self-contained decoder source, exec'd inside executor closures (the
+# workers can't import witdb_spark) and at module level for driver use —
+# the same single-source pattern as functions/geometry._GEO_SRC.
+_DECODE_SRC = r'''
+import struct
+
+
+def sniff(payload):
+    p = bytes(payload)
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:2] in (b"P6", b"P5"):
+        return "pnm"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _pnm_header(p):
+    """(width, height, channels, raster_offset) for P6/P5."""
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(p) and p[i : i + 1].isspace():
+            i += 1
+        if p[i : i + 1] == b"#":
+            while i < len(p) and p[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(p) and not p[j : j + 1].isspace():
+            j += 1
+        toks.append(int(p[i:j]))
+        i = j
+    i += 1  # exactly one whitespace separates header and raster
+    w, h, _maxval = toks
+    return w, h, (3 if p[:2] == b"P6" else 1), i
+
+
+def decode_dims(payload):
+    """(width, height, channels) — REAL decode for BMP/PNM; compressed
+    formats raise (no codec library in this deployment)."""
+    p = bytes(payload)
+    k = sniff(p)
+    if k == "bmp":
+        w = struct.unpack_from("<i", p, 18)[0]
+        h = abs(struct.unpack_from("<i", p, 22)[0])
+        bits = struct.unpack_from("<H", p, 28)[0]
+        return w, h, max(1, bits // 8)
+    if k == "pnm":
+        w, h, c, _ = _pnm_header(p)
+        return w, h, c
+    raise NotImplementedError(
+        "compressed/unknown image format: codec library required"
+        " (uncompressed BMP/P6/P5 decode natively)"
+    )
+
+
+def decode_pixels(payload):
+    """numpy (h, w, c) uint8 for P6/P5/24-bit-BMP."""
+    import numpy as np
+
+    p = bytes(payload)
+    k = sniff(p)
+    if k == "pnm":
+        w, h, c, off = _pnm_header(p)
+        arr = np.frombuffer(p, dtype=np.uint8, count=w * h * c, offset=off)
+        return arr.reshape(h, w, c)
+    if k == "bmp":
+        w, h, c = decode_dims(p)
+        if c != 3:
+            raise NotImplementedError("only 24-bit BMP pixel decode")
+        off = struct.unpack_from("<I", p, 10)[0]
+        stride = (w * 3 + 3) // 4 * 4
+        out = np.empty((h, w, 3), np.uint8)
+        for r in range(h):
+            line = np.frombuffer(
+                p, np.uint8, count=w * 3, offset=off + r * stride
+            ).reshape(w, 3)
+            out[h - 1 - r] = line[:, ::-1]  # bottom-up BGR -> top-down RGB
+        return out
+    raise NotImplementedError("compressed/unknown image format")
+
+
+def resize_nn(payload, out_w, out_h):
+    """Nearest-neighbor resize -> P6 payload bytes (real pixels in, real
+    pixels out; canonical output container so results chain)."""
+    import numpy as np
+
+    px = decode_pixels(payload)
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    rs = px[yi][:, xi]
+    return ("P6\n%d %d\n255\n" % (out_w, out_h)).encode() + rs.tobytes()
+
+
+def feature_vec4(payload):
+    """4 real image features: per-channel means + global std, in [0, 1]."""
+    import numpy as np
+
+    px = decode_pixels(payload).astype(np.float64)
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    m = px.mean(axis=(0, 1)) / 255.0
+    return [float(m[0]), float(m[1]), float(m[2]), float(px.std() / 255.0)]
+
+
+def decode_wav(payload):
+    """(n_channels, sample_rate, bits, n_frames) from RIFF/WAV chunks."""
+    p = bytes(payload)
+    if sniff(p) != "wav":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    i, nch, rate, bits, dlen = 12, None, None, None, None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        sz = struct.unpack_from("<I", p, i + 4)[0]
+        if cid == b"fmt ":
+            nch = struct.unpack_from("<H", p, i + 10)[0]
+            rate = struct.unpack_from("<I", p, i + 12)[0]
+            bits = struct.unpack_from("<H", p, i + 22)[0]
+        elif cid == b"data":
+            dlen = sz
+        i += 8 + sz + (sz & 1)
+    if None in (nch, rate, bits, dlen):
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return nch, rate, bits, dlen // max(1, nch * bits // 8)
+'''
+
+_decode_ns: dict = {}
+exec(_DECODE_SRC, _decode_ns)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -45,12 +182,10 @@ def as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB — pixel decoding needs an image codec (PIL/libjpeg) that is not
-    in this container. The distributed plumbing around this call is real."""
-    raise NotImplementedError(
-        "image decode requires a codec library; run extract_media_metadata"
-        " with fake=True for the deterministic test double"
-    )
+    """(width, height, channels) — REAL decode for uncompressed BMP/P6/P5
+    (_DECODE_SRC); compressed formats raise NotImplementedError (no codec
+    library in this deployment)."""
+    return _decode_ns["decode_dims"](payload)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -74,6 +209,8 @@ def extract_media_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
     # Python workers don't necessarily have this repo on sys.path (the
     # driver may be launched from any cwd). Everything the worker runs is
     # defined inside `extract` so it pickles by value.
+    decode_src = _DECODE_SRC  # plain-str local: pickles by value
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -83,13 +220,9 @@ def extract_media_metadata(media: DataFrame, fake: bool = False) -> DataFrame:
             h = int(hashlib.md5(payload).hexdigest()[:8], 16)
             return 1 + h % 1024, 1 + (h >> 10) % 1024, 3
 
-        def real_dims(payload: bytes) -> tuple[int, int, int]:
-            raise NotImplementedError(
-                "image decode requires a codec library; pass fake=True for"
-                " the deterministic test double"
-            )
-
-        decode = fake_dims if fake else real_dims
+        _ns: dict = {}
+        exec(decode_src, _ns)
+        decode = fake_dims if fake else _ns["decode_dims"]
         for pdf in batches:
             dims = [decode(p) for p in pdf["payload"]]
             yield _pd.DataFrame(
@@ -132,6 +265,8 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     whole distributed path (Arrow batching, fixed output schema, no
     shuffle) runs and is oracle-checked end-to-end."""
 
+    decode_src = _DECODE_SRC
+
     def extract(batches):
         import hashlib
 
@@ -141,13 +276,9 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
             d = hashlib.md5(payload).digest()
             return [d[k] / 255.0 for k in range(4)]
 
-        def real_vec(payload):
-            raise NotImplementedError(
-                "feature extraction requires a vision model; pass fake=True"
-                " for the deterministic test double"
-            )
-
-        vec = fake_vec if fake else real_vec
+        _ns: dict = {}
+        exec(decode_src, _ns)
+        vec = fake_vec if fake else _ns["feature_vec4"]
         for pdf in batches:
             vecs = [vec(p) for p in pdf["payload"]]
             out = {"doc_id": pdf["doc_id"]}
@@ -175,6 +306,8 @@ def resize_images(
     fake=True double truncates/pads the payload to width*height bytes
     (deterministic, size-correct), proving the batch shape and schema."""
 
+    decode_src = _DECODE_SRC
+
     def resize(batches):
         import pandas as _pd
 
@@ -184,11 +317,11 @@ def resize_images(
             b = bytes(payload)
             return b[:target].ljust(target, b"\0")
 
+        _ns: dict = {}
+        exec(decode_src, _ns)
+
         def real_resize(payload):
-            raise NotImplementedError(
-                "image resize requires a codec library; pass fake=True for"
-                " the deterministic test double"
-            )
+            return _ns["resize_nn"](payload, width, height)
 
         rs = fake_resize if fake else real_resize
         for pdf in batches:
@@ -202,3 +335,44 @@ def resize_images(
             )
 
     return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+
+def extract_audio_metadata(media: DataFrame) -> DataFrame:
+    """REAL audio metadata for RIFF/WAV payloads (pure struct parsing —
+    _DECODE_SRC decode_wav): channels, sample rate, bit depth, frames,
+    duration. Same map-only mapInPandas shape as the image metadata stage;
+    compressed audio raises loudly."""
+    decode_src = _DECODE_SRC
+
+    def extract(batches):
+        import pandas as _pd
+
+        _ns: dict = {}
+        exec(decode_src, _ns)
+        dw = _ns["decode_wav"]
+        for pdf in batches:
+            rows = [dw(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "bits": [r[2] for r in rows],
+                    "n_frames": [r[3] for r in rows],
+                    "duration_s": [r[3] / r[1] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_SCHEMA)
