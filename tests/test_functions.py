@@ -165,3 +165,33 @@ def test_regexp_split_and_json_array_get(fspark):
     ).collect()[0]
     assert r.sp == ["a", "b", "c", "d"]
     assert r.mid == "y" and r.last == "z" and r.num == "1"
+
+
+def test_r4_scalar_gap_fills(fspark):
+    """The 14 names the reference-annotation audit found missing."""
+    from witdb_spark.plans.dialect import transpile
+
+    r = fspark.sql(transpile(
+        "SELECT all_match(array(2, 4), x -> x % 2 = 0) AS am,"
+        " any_match(array(1, 2), x -> x > 1) AS nm1,"
+        " none_match(array(1, 3), x -> x > 5) AS nm2,"
+        " contains_sequence(array('a','b','c','d'), array('b','c')) AS cs1,"
+        " contains_sequence(array('a','b'), array('b','a')) AS cs2,"
+        " current_groups() AS cg,"
+        " is_json_scalar('42') AS js1, is_json_scalar('[1]') AS js2,"
+        " json_array_contains('[\"x\", \"y\"]', 'y') AS jac,"
+        " combine_hash(1, 2) = combine_hash(1, 2) AS ch,"
+        " timezone_hour(timestamp'2024-06-01 00:00:00') AS tzh,"
+        " value_at_quantile(X'00000000000024400000000000000000000000000000f03f0000000000000040', 1.0e0) AS vq"
+    )).collect()[0]
+    assert r.am is True and r.nm1 is True and r.nm2 is True
+    assert r.cs1 is True and r.cs2 is False
+    assert r.cg == []
+    assert r.js1 is True and r.js2 is False
+    assert r.jac is True and r.ch is True
+    assert r.tzh == 0  # UTC session
+    assert r.vq == 2.0  # blob [n=10, 0.0, 1.0, 2.0] -> q=1 -> last point
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fspark.sql("SELECT fail('boom')").collect()

@@ -446,6 +446,56 @@ MACROS: dict[str, str] = {
     "cast(coalesce(nullif(regexp_extract(s, '[+-]([0-9]+):[0-9]+$', 1), ''), '0') AS BIGINT)"
     " * 60 + "
     "cast(coalesce(nullif(regexp_extract(s, '[+-][0-9]+:([0-9]+)$', 1), ''), '0') AS BIGINT)))",
+    # contains_sequence (reference ArrayContainsSequence.java): true iff
+    # seq appears as a CONTIGUOUS subsequence of x
+    "contains_sequence": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "contains_sequence(x ARRAY<STRING>, seq ARRAY<STRING>) RETURNS BOOLEAN "
+    "RETURN size(seq) = 0 OR exists("
+    "sequence(1, greatest(0, size(x) - size(seq) + 1)), "
+    "i -> slice(x, i, size(seq)) == seq)",
+    # combine_hash (reference CombineHashFunction.java 31*h1+h2): Trino's
+    # form needs Java wraparound arithmetic, which ANSI Spark rejects on
+    # overflow — xxhash64 is the engine-native deterministic combiner
+    # (documented deviation; only self-consistency is required)
+    "combine_hash": "CREATE OR REPLACE TEMPORARY FUNCTION combine_hash"
+    "(h1 BIGINT, h2 BIGINT) RETURNS BIGINT RETURN xxhash64(h1, h2)",
+    # current_groups (reference SessionFunctions): no grant/group model
+    # (recorded re-scope) -> always the empty group list
+    "current_groups": "CREATE OR REPLACE TEMPORARY FUNCTION current_groups() "
+    "RETURNS ARRAY<STRING> RETURN cast(array() AS ARRAY<STRING>)",
+    # fail (reference FailureFunction.java) -> raise_error
+    "fail": "CREATE OR REPLACE TEMPORARY FUNCTION fail(msg STRING) "
+    "RETURNS STRING RETURN raise_error(msg)",
+    # nanos variant: sub-micro truncates at the timestamp boundary (same
+    # documented precision as from_unixtime_nanos)
+    "from_iso8601_timestamp_nanos": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "from_iso8601_timestamp_nanos(s STRING) RETURNS TIMESTAMP RETURN "
+    "cast(s AS TIMESTAMP)",
+    # is_json_scalar (reference JsonFunctions.java isJsonScalar): valid
+    # JSON whose root is not an array/object
+    "is_json_scalar": "CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar"
+    "(j STRING) RETURNS BOOLEAN RETURN CASE WHEN j IS NULL THEN NULL "
+    "ELSE substring(ltrim(j), 1, 1) NOT IN ('[', '{') "
+    "AND (get_json_object(j, '$') IS NOT NULL OR trim(j) = 'null') END",
+    # json_array_contains(json, varchar) (reference JsonFunctions.java;
+    # the varchar overload — numeric probes compare via their canonical
+    # string form, a documented narrowing)
+    "json_array_contains": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "json_array_contains(j STRING, v STRING) RETURNS BOOLEAN RETURN "
+    "array_contains(from_json(j, 'array<string>'), v)",
+    # timezone_hour/minute (reference DateTimeFunctions.java): offset of
+    # the SESSION zone at the instant, both components carrying the sign
+    # (truncation toward zero, Trino semantics)
+    "timezone_hour": "CREATE OR REPLACE TEMPORARY FUNCTION timezone_hour"
+    "(ts TIMESTAMP) RETURNS BIGINT RETURN cast("
+    "(unix_seconds(from_utc_timestamp(ts, current_timezone()))"
+    " - unix_seconds(ts)) / 3600.0e0 AS BIGINT)",
+    "timezone_minute": "CREATE OR REPLACE TEMPORARY FUNCTION timezone_minute"
+    "(ts TIMESTAMP) RETURNS BIGINT RETURN cast("
+    "cast(sign(unix_seconds(from_utc_timestamp(ts, current_timezone()))"
+    " - unix_seconds(ts)) AS BIGINT)"
+    " * (abs(unix_seconds(from_utc_timestamp(ts, current_timezone()))"
+    " - unix_seconds(ts)) % 3600) DIV 60 AS BIGINT)",
     # regexp_split (reference JoniRegexpFunctions.java regexpSplit):
     # split on a regex with no limit — Spark's split IS regex-based
     "regexp_split": "CREATE OR REPLACE TEMPORARY FUNCTION regexp_split"
@@ -543,10 +593,13 @@ def register_all(spark: SparkSession) -> int:
 
     # geometry UDFs first: macro bodies referencing them (e.g.
     # st_envelope_contains -> st_x) are validated at CREATE time
+    from witdb_spark.operators.qdigest import register_digest_udfs
+
     n_geo = register_geometry_udfs(spark)
     for ddl in MACROS.values():
         spark.sql(ddl)
-    return len(MACROS) + register_python_udfs(spark) + n_geo
+    n_digest = register_digest_udfs(spark)
+    return len(MACROS) + register_python_udfs(spark) + n_geo + n_digest
 
 
 def trino_fn(name: str):

@@ -182,3 +182,55 @@ def qdigest_agg_scalable(
         k_points,
     ).drop("_pid")
     return merge_qdigests(partials, list(keys), k_points)
+
+
+def register_digest_udfs(spark) -> int:
+    """SQL-name surface (reference QuantileDigestFunctions.java
+    value_at_quantile / values_at_quantiles): runtime-quantile lookups
+    over the qdigest wire format ([n, K points] float64 — the uniform
+    rank grid, so index = floor(q*(K-1)+0.5)). The tdigest family keeps
+    its plan-time interpolating Python API (operators/tdigest.py) — the
+    two wire formats share a layout but not a grid, and SQL name
+    resolution cannot see the difference."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf("double")
+    def _value_at_quantile(blobs, qs):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for blob, q in zip(blobs, qs):
+            if blob is None or q is None:
+                out.append(None)
+                continue
+            pts = _np.frombuffer(bytes(blob), dtype="float64")[1:]
+            out.append(float(pts[int(_math.floor(q * (len(pts) - 1) + 0.5))]))
+        return _pd.Series(out)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _values_at_quantiles(blobs, qlists):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for blob, qs in zip(blobs, qlists):
+            if blob is None or qs is None:
+                out.append(None)
+                continue
+            pts = _np.frombuffer(bytes(blob), dtype="float64")[1:]
+            out.append(
+                [
+                    float(pts[int(_math.floor(q * (len(pts) - 1) + 0.5))])
+                    for q in qs
+                ]
+            )
+        return _pd.Series(out)
+
+    spark.udf.register("value_at_quantile", _value_at_quantile)
+    spark.udf.register("values_at_quantiles", _values_at_quantiles)
+    return 2

@@ -80,6 +80,11 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(
         r"\bFOR\s+(TIMESTAMP|VERSION)\s+AS\s+OF\b", r"\1 AS OF", seg, flags=re.I
     )
+    # lambda-predicate matchers (reference ArrayAllMatchFunction etc.):
+    # SQL macros can't take lambdas, so these are pure renames onto
+    # Spark's higher-order builtins; none_match wraps below in transpile.
+    seg = re.sub(r"\ball_match\s*\(", "forall(", seg, flags=re.I)
+    seg = re.sub(r"\bany_match\s*\(", "exists(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
@@ -941,6 +946,19 @@ def _rewrite_listagg(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[sort_close + 1 :]
 
 
+def _rewrite_none_match(sql: str) -> str:
+    """none_match(x, f) (reference ArrayNoneMatchFunction) ->
+    (NOT exists(x, f)) — needs paren matching, not a plain rename."""
+    while True:
+        m = re.search(r"\bnone_match\s*\(", sql, flags=re.I)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close_idx = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx]
+        sql = f"{sql[: m.start()]}(NOT exists({inner})){sql[close_idx + 1 :]}"
+
+
 def _rewrite_tablesample(sql: str) -> str:
     """TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (reference SqlBase.g4:333) ->
     Spark's TABLESAMPLE (p PERCENT). BERNOULLI row-sampling maps exactly;
@@ -958,6 +976,7 @@ def transpile(sql: str) -> str:
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
     sql = _rewrite_try(sql)
     sql = _rewrite_listagg(sql)
+    sql = _rewrite_none_match(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
     sql = _rewrite_quantified(sql)
