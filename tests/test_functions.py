@@ -195,3 +195,20 @@ def test_r4_scalar_gap_fills(fspark):
 
     with _pytest.raises(Exception):
         fspark.sql("SELECT fail('boom')").collect()
+
+
+def test_r4_agg_name_rewrites(fspark):
+    from witdb_spark.plans.dialect import transpile
+
+    fspark.range(1, 5).createOrReplaceTempView("agn_t")
+    r = fspark.sql(transpile(
+        "SELECT geometric_mean(CAST(id AS DOUBLE)) AS gm,"
+        " bitwise_and_agg(id) AS ba, bitwise_or_agg(id) AS bo,"
+        " map_agg(CAST(id AS STRING), id * 10) AS ma,"
+        " checksum(id) AS ck"
+        " FROM agn_t"
+    )).collect()[0]
+    assert abs(r.gm - (1 * 2 * 3 * 4) ** 0.25) < 1e-12
+    assert r.ba == 0 and r.bo == 7
+    assert dict(r.ma) == {"1": 10, "2": 20, "3": 30, "4": 40}
+    assert r.ck is not None

@@ -571,6 +571,17 @@ UNSUPPORTED: dict[str, str] = {
     " holes as boolean INPUTS, buffers of lines/polygons (Minkowski sums"
     " with arc joins), geometry collections, and spherical geography."
     " Bing tiles are covered by the bing_tile_* macro family",
+    "sketch-aggregate SQL names (approx_set / merge / qdigest_agg /"
+    " tdigest_agg / histogram / map_union / multimap_agg)":
+    "PySpark cannot register Python AGGREGATE functions under SQL names"
+    " (only scalar UDFs; SQL macros cannot contain aggregates either), so"
+    " the sketch builders/mergers are Python operator APIs"
+    " (operators/hll.py, qdigest.py, tdigest.py, setdigest.py) and the"
+    " map-shaped aggregates are two-level groupBy compositions"
+    " (agg_histogram_map, agg_multimap queries). The scalar lookup"
+    " surface (value_at_quantile, values_at_quantiles, cardinality) IS"
+    " SQL-registered, and geometric_mean/map_agg/checksum/bitwise_*_agg"
+    " rewrite at transpile time (plans/dialect.py _rewrite_agg_calls).",
     "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
     "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
     " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"

@@ -85,6 +85,9 @@ def _rewrite_segment(seg: str) -> str:
     # Spark's higher-order builtins; none_match wraps below in transpile.
     seg = re.sub(r"\ball_match\s*\(", "forall(", seg, flags=re.I)
     seg = re.sub(r"\bany_match\s*\(", "exists(", seg, flags=re.I)
+    # aggregate renames (reference BitwiseAndAggregation.java etc.)
+    seg = re.sub(r"\bbitwise_and_agg\s*\(", "bit_and(", seg, flags=re.I)
+    seg = re.sub(r"\bbitwise_or_agg\s*\(", "bit_or(", seg, flags=re.I)
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
@@ -946,6 +949,48 @@ def _rewrite_listagg(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[sort_close + 1 :]
 
 
+def _rewrite_agg_calls(sql: str) -> str:
+    """Aggregate names whose Spark forms wrap an aggregate in scalar
+    functions (SQL macros cannot contain aggregates, so these are
+    transpile-time rewrites):
+      geometric_mean(x) -> exp(avg(ln(x)))           (GeometricMeanAggregations.java)
+      map_agg(k, v)     -> map_from_entries(collect_list(struct(k, v)))
+      checksum(x)       -> decimal sum of 48-bit md5 prefixes
+                           (order-insensitive AND engine-neutral,
+                           ChecksumAggregationFunction.java)"""
+    forms = [
+        (r"\bgeometric_mean\s*\(", lambda a: f"exp(avg(ln({a[0]})))", 1),
+        (
+            r"\bmap_agg\s*\(",
+            lambda a: f"map_from_entries(collect_list(struct({a[0]}, {a[1]})))",
+            2,
+        ),
+        (
+            r"\bchecksum\s*\(",
+            lambda a: (
+                "sum(cast(conv(substring(md5(cast("
+                + a[0]
+                + " AS STRING)), 1, 12), 16, 10) AS DECIMAL(38,0)))"
+            ),
+            1,
+        ),
+    ]
+    for pat, build, nargs in forms:
+        while True:
+            m = re.search(pat, sql, flags=re.I)
+            if m is None:
+                break
+            open_idx = sql.index("(", m.start())
+            close_idx = _match_paren(sql, open_idx)
+            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            if len(args) != nargs:
+                raise UnsupportedTrinoSyntax(
+                    f"{m.group(0).strip('(').strip()} takes {nargs} argument(s)"
+                )
+            sql = sql[: m.start()] + build(args) + sql[close_idx + 1 :]
+    return sql
+
+
 def _rewrite_none_match(sql: str) -> str:
     """none_match(x, f) (reference ArrayNoneMatchFunction) ->
     (NOT exists(x, f)) — needs paren matching, not a plain rename."""
@@ -977,6 +1022,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_try(sql)
     sql = _rewrite_listagg(sql)
     sql = _rewrite_none_match(sql)
+    sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
     sql = _rewrite_quantified(sql)
