@@ -204,3 +204,57 @@ def test_scalable_digest_builds_close_to_direct(spark, oracle):
     qd = qdigest_agg_scalable(li, ["g"], "l_extendedprice").collect()[0]
     pts = np.frombuffer(bytes(qd.qdigest), dtype="float64")[1:]
     assert abs(float(pts[64]) - p50) / p50 < 0.05  # uniform-grid median slot
+
+
+def test_review_fix_regressions(spark):
+    """Round-4 code-review fixes: short docs shingle to empty (no
+    sequence(1,0) crash), contains_sequence with an over-long probe is
+    false, nested PERMUTE expands, disconnected concave-x-convex
+    intersection yields a MULTIPOLYGON, recursive UNION dedups the
+    anchor."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.pipeline.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a", "only three words"), (2, "a", " ".join(["w"] * 20))],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "b", "tiny")], "doc_id long, source string, text string"
+    )
+    assert decontaminate(docs, bench, ngram=8).count() == 2
+
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT contains_sequence(array('a'), array('a','b')) AS c"
+    ).collect()[0]
+    assert r.c is False
+
+    from witdb_spark.operators.match_recognize import _expand_permute
+
+    out = _expand_permute("PERMUTE(A, PERMUTE(B, C))")
+    assert "PERMUTE" not in out and "|" in out
+
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+    u_shape = "POLYGON ((0 0, 10 0, 10 10, 7 10, 7 3, 3 3, 3 10, 0 10, 0 0))"
+    strip = "POLYGON ((-1 5, 11 5, 11 9, -1 9, -1 5))"
+    out = ns["intersection"](u_shape, strip)
+    assert out.startswith("MULTIPOLYGON"), out
+    assert abs(ns["area"](out) - 24.0) < 1e-9  # two 3x4 rectangles
+
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1,), (1,), (2,)], "x int").createOrReplaceTempView(
+        "dup_t"
+    )
+    n = eng.sql(
+        "WITH RECURSIVE r(x) AS (SELECT x FROM dup_t UNION"
+        " SELECT x + 10 FROM r WHERE x < 5) SELECT count(*) AS n FROM r"
+    ).collect()[0].n
+    assert n == 4  # {1, 2, 11, 12} — duplicate anchor 1 collapsed

@@ -168,7 +168,7 @@ def test_listagg_within_group(engine):
         "SELECT LISTAGG(s) WITHIN GROUP (ORDER BY k DESC) AS agg "
         "FROM (VALUES (1, 'a'), (2, 'b')) AS t(k, s)"
     ).collect()
-    assert rows[0].agg == "b,a"
+    assert rows[0].agg == "ba"  # SQL:2016 default separator is ''
     import pytest as _pytest
 
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax

@@ -77,14 +77,19 @@ class Tables:
         self._spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self._spark.read.parquet(os.path.join(self.sf_dir, "events.parquet"))
         ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(ts_type, T.TimestampNTZType):
+            # naive wall time: pure NTZ arithmetic, no instant conversion
             ts_ns = (
                 F.expr(
-                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
-                    " cast(ts AS TIMESTAMP_NTZ))"
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
                 )
                 * F.lit(1000)
             )
+        elif isinstance(ts_type, T.TimestampType):
+            # true instant: unix_micros IS the zone-independent value —
+            # casting through NTZ here would re-introduce the session
+            # offset this function exists to avoid
+            ts_ns = F.unix_micros(F.col("ts")) * F.lit(1000)
         else:  # legacy int64-nanos fixture
             ts_ns = F.col("ts")
         return df.select(

@@ -684,8 +684,9 @@ def _gh_clip(subj_pts, clip_pts, mode):
     alphas_s: dict = {}
     alphas_c: dict = {}
     n_inter = 0
+    clip_edges = _gh_edges(C)  # original-vertex edges never change
     for (s1, s2) in _gh_edges(S):
-        for (c1, c2) in _gh_edges(C):
+        for (c1, c2) in clip_edges:
             den = (c2.y - c1.y) * (s2.x - s1.x) - (c2.x - c1.x) * (s2.y - s1.y)
             if den == 0.0:
                 # parallel: only an overlap is degenerate
@@ -845,23 +846,31 @@ def intersection(sa, sb):
         if len(da) > 1 or len(db) > 1:
             raise ValueError("st_intersection: polygon holes unsupported")
         ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
-        # convex clip: Sutherland-Hodgman (robust to shared boundaries)
-        if _is_convex_ccw(rb) or _is_convex_ccw(ra):
-            subject, clip = (ra, rb) if _is_convex_ccw(rb) else (rb, ra)
-            res = _clip_sh(subject, clip)
-            if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
-                return "POLYGON EMPTY"
-            return emit("POLYGON", [res + [res[0]]])
-        # concave x concave: Greiner-Hormann (generic position)
-        out = _gh_boolean(sa, sb, union=False)
-        if out is not None:
-            return out
-        # no crossings: containment or disjoint
-        if contains(sb, sa):
-            return emit(ka, da)
-        if contains(sa, sb):
-            return emit(kb, db)
-        return "POLYGON EMPTY"
+        # Greiner-Hormann FIRST for every polygon pair: it returns proper
+        # MULTIPOLYGONs when the result is disconnected (a concave
+        # subject can intersect a convex clip in several pieces, which
+        # Sutherland-Hodgman would weld into one self-intersecting ring).
+        try:
+            out = _gh_boolean(sa, sb, mode="int")
+            if out is not None:
+                return out
+            # no crossings: containment or disjoint
+            if contains(sb, sa):
+                return emit(ka, da)
+            if contains(sa, sb):
+                return emit(kb, db)
+            return "POLYGON EMPTY"
+        except ValueError:
+            # degenerate incidence (shared boundary, vertex-on-edge):
+            # Sutherland-Hodgman handles it gracefully when one side is
+            # convex — its results are connected in that regime
+            if not (_is_convex_ccw(rb) or _is_convex_ccw(ra)):
+                raise
+        subject, clip = (ra, rb) if _is_convex_ccw(rb) else (rb, ra)
+        res = _clip_sh(subject, clip)
+        if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
+            return "POLYGON EMPTY"
+        return emit("POLYGON", [res + [res[0]]])
     raise ValueError(
         "st_intersection: unsupported kinds %r x %r" % (ka, kb)
     )
@@ -894,9 +903,6 @@ def union_geom(sa, sb):
             "st_union: touching-without-crossing boundaries are degenerate"
             " for the planar clipper"
         )
-    if not intersects(sa, sb):
-        if ka == "POINT" and kb == "POLYGON":
-            raise ValueError("st_union: mixed-kind collections unsupported")
     raise ValueError("st_union: unsupported kinds %r x %r" % (ka, kb))
 
 

@@ -448,11 +448,13 @@ MACROS: dict[str, str] = {
     "cast(coalesce(nullif(regexp_extract(s, '[+-][0-9]+:([0-9]+)$', 1), ''), '0') AS BIGINT)))",
     # contains_sequence (reference ArrayContainsSequence.java): true iff
     # seq appears as a CONTIGUOUS subsequence of x
+    # probe longer than the array -> false (the size guard matters:
+    # sequence(1, 0) is the DESCENDING [1, 0] and slice(x, 0, n) throws)
     "contains_sequence": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "contains_sequence(x ARRAY<STRING>, seq ARRAY<STRING>) RETURNS BOOLEAN "
-    "RETURN size(seq) = 0 OR exists("
-    "sequence(1, greatest(0, size(x) - size(seq) + 1)), "
-    "i -> slice(x, i, size(seq)) == seq)",
+    "RETURN size(seq) = 0 OR (size(x) >= size(seq) AND exists("
+    "sequence(1, size(x) - size(seq) + 1), "
+    "i -> slice(x, i, size(seq)) == seq))",
     # combine_hash (reference CombineHashFunction.java 31*h1+h2): Trino's
     # form needs Java wraparound arithmetic, which ANSI Spark rejects on
     # overflow — xxhash64 is the engine-native deterministic combiner

@@ -83,22 +83,52 @@ _PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.I)
 def _expand_permute(pattern: str) -> str:
     """PERMUTE(A, B, C) -> alternation of every ordering (reference
     SqlBase.g4 patternPermutation; Trino's preference order is the listed
-    order, which itertools.permutations preserves). Innermost-first so
-    nested PERMUTE over non-parenthesized elements expands too."""
+    order, which itertools.permutations preserves). Paren-aware: elements
+    may themselves be groups or nested PERMUTEs (expanded recursively),
+    and each element is parenthesized in the output so quantified or
+    compound elements stay atomic."""
     from itertools import permutations
 
-    while True:
-        m = _PERMUTE.search(pattern)
-        if m is None:
-            return pattern
-        items = [p.strip() for p in m.group(1).split(",") if p.strip()]
-        if not 2 <= len(items) <= 6:
-            raise ValueError(
-                f"PERMUTE takes 2..6 elements (got {len(items)}; 7! alternation"
-                " branches would not be a plan, it would be a bomb)"
-            )
-        alts = " | ".join(" ".join(p) for p in permutations(items))
-        pattern = f"{pattern[:m.start()]}( {alts} ){pattern[m.end():]}"
+    m = re.search(r"\bPERMUTE\s*\(", pattern, re.I)
+    if m is None:
+        return pattern
+    open_idx = pattern.index("(", m.start())
+    depth = 0
+    close_idx = None
+    for i in range(open_idx, len(pattern)):
+        if pattern[i] == "(":
+            depth += 1
+        elif pattern[i] == ")":
+            depth -= 1
+            if depth == 0:
+                close_idx = i
+                break
+    if close_idx is None:
+        raise ValueError(f"unbalanced PERMUTE in pattern {pattern!r}")
+    # split the body on top-level commas
+    body = pattern[open_idx + 1 : close_idx]
+    items, d, start = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        elif c == "," and d == 0:
+            items.append(body[start:i].strip())
+            start = i + 1
+    items.append(body[start:].strip())
+    items = [_expand_permute(p) for p in items if p]
+    if not 2 <= len(items) <= 6:
+        raise ValueError(
+            f"PERMUTE takes 2..6 elements (got {len(items)}; 7! alternation"
+            " branches would not be a plan, it would be a bomb)"
+        )
+    alts = " | ".join(
+        " ".join(f"( {e} )" for e in p) for p in permutations(items)
+    )
+    return _expand_permute(
+        f"{pattern[:m.start()]}( {alts} ){pattern[close_idx + 1:]}"
+    )
 
 
 def _tokenize(pattern: str) -> list[str]:

@@ -206,6 +206,8 @@ def register_digest_udfs(spark) -> int:
             if blob is None or q is None:
                 out.append(None)
                 continue
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"value_at_quantile: q must be in [0, 1], got {q}")
             pts = _np.frombuffer(bytes(blob), dtype="float64")[1:]
             out.append(float(pts[int(_math.floor(q * (len(pts) - 1) + 0.5))]))
         return _pd.Series(out)
@@ -222,6 +224,10 @@ def register_digest_udfs(spark) -> int:
             if blob is None or qs is None:
                 out.append(None)
                 continue
+            if any(not 0.0 <= q <= 1.0 for q in qs):
+                raise ValueError(
+                    f"values_at_quantiles: every q must be in [0, 1], got {list(qs)}"
+                )
             pts = _np.frombuffer(bytes(blob), dtype="float64")[1:]
             out.append(
                 [

@@ -57,14 +57,18 @@ def chunk_documents(
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> F.Column:
-    """Array of md5 hashes of the document's word n-grams."""
+    """Array of md5 hashes of the document's word n-grams. Documents
+    shorter than n words shingle to an EMPTY array — the guard matters:
+    sequence(1, 0) in Spark is the descending [1, 0], whose 0 start would
+    crash slice()."""
     words = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.lit(0), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
         ),
-        lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(

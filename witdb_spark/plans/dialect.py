@@ -932,7 +932,8 @@ def _rewrite_listagg(sql: str) -> str:
         if not 1 <= len(args) <= 2:
             raise UnsupportedTrinoSyntax("LISTAGG takes (expr [, separator])")
         expr = args[0].strip()
-        sep = args[1].strip() if len(args) == 2 else "','"
+        # SQL:2016/Trino default separator is the EMPTY string
+        sep = args[1].strip() if len(args) == 2 else "''"
         wm = _WITHIN.match(sql, close_idx + 1)
         if wm is None:
             raise UnsupportedTrinoSyntax("LISTAGG requires WITHIN GROUP")

@@ -85,6 +85,10 @@ def execute_recursive(engine, sql: str) -> DataFrame:
     acc = engine.sql(anchor)
     if cols:
         acc = acc.toDF(*cols)
+    if not union_all:
+        # UNION (distinct) deduplicates across the WHOLE recursive union,
+        # anchor included (SQL:1999; duplicate anchor rows must collapse)
+        acc = acc.distinct()
     acc = acc.localCheckpoint(eager=True)
     frontier = acc
     for _ in range(MAX_ITERATIONS):
