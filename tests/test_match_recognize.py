@@ -378,3 +378,33 @@ def test_exclusion_span(spark):
         df, ["user_id"], "seq", defs, "A {- B+ -} C", rows_per_match="one"
     ).collect()
     assert len(one) == 1 and one[0].classifier == "C" and one[0].seq == 3
+
+
+def test_no_partition_by_is_one_sequence(spark):
+    """r4 review fix: MATCH_RECOGNIZE without PARTITION BY must treat the
+    whole input as ONE ordered sequence (not round-robin fragments)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a", "a", "b", "x", "a", "b"])],
+        "seq int, ty string",
+    ).repartition(4)
+    got = match_recognize(
+        df, [], "seq", {"A": "ty = 'a'", "B": "ty = 'b'"}, "A+ B"
+    )
+    rows = sorted((r.seq, r.match_id) for r in got.collect())
+    assert rows == [(0, 1), (1, 1), (2, 1), (4, 2), (5, 2)]
+    assert "__mr_global" not in got.columns
+
+
+def test_null_partition_keys_form_one_group(spark):
+    """r4 review fix: NULL partition keys are ONE group (SQL semantics);
+    NaN != NaN used to split the run into single-row groups."""
+    rows = [(None, 0, "a"), (None, 1, "b"), (7, 0, "a"), (7, 1, "b")]
+    df = spark.createDataFrame(rows, "user_id int, seq int, ty string")
+    got = match_recognize(
+        df, ["user_id"], "seq", {"A": "ty = 'a'", "B": "ty = 'b'"}, "A B"
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.user_id, []).append(r.seq)
+    assert sorted(by_key.get(None, [])) == [0, 1]  # NULL group matched
+    assert sorted(by_key.get(7, [])) == [0, 1]

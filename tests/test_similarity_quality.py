@@ -55,3 +55,26 @@ def test_ivf_probe_monotonicity(spark, embeddings):
     r8 = len(exact & _hits(ivf_topk(embeddings, queries, k=5, n_centroids=8, n_probe=8))) / len(exact)
     assert r1 <= r4 + 1e-9 <= r8 + 2e-9
     assert r8 == 1.0  # probing every cell IS brute force
+
+
+def test_embedding_near_dup_probes_dimension(spark):
+    """r4 review fix: non-64-d embeddings must bucket correctly (a wrong
+    plane length would NULL the dots and collapse everything to bucket 0,
+    going quadratic silently)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.pipeline.similarity import embedding_near_duplicates, lsh_buckets
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(200)]
+    # make one exact near-dup pair
+    rows.append((900, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(df, threshold=0.999, num_planes=4)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (0, 900) in got
+    # buckets must actually spread (not all-zero)
+    b = lsh_buckets(df, num_planes=4, dim=32).select("bucket").distinct().count()
+    assert b > 1

@@ -304,3 +304,33 @@ def test_real_uncompressed_decode(spark):
     a = extract_audio_metadata(audio).collect()[0]
     assert (a.n_channels, a.sample_rate, a.bits, a.n_frames) == (2, 16000, 16, 32000)
     assert a.duration_s == 2.0
+
+
+def test_merge_delete_sees_original_values(spark):
+    """r4 review fix: WHEN MATCHED DELETE evaluates before updates and can
+    reference src.* — SQL MERGE clause semantics."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.merge import merge_into
+
+    tgt = spark.createDataFrame([(1, 5), (2, 0), (3, 7)], "id int, qty int")
+    src = spark.createDataFrame(
+        [(1, "U"), (2, "U"), (3, "D")], "id int, op string"
+    )
+    out = merge_into(
+        tgt, src, ["id"],
+        when_matched_update={"qty": F.lit(0)},
+        when_matched_delete=F.col("src.op") == "D",
+        insert_not_matched=False,
+    )
+    rows = sorted((r.id, r.qty) for r in out.collect())
+    # id=3 deleted because src.op='D' (original row), others updated to 0
+    assert rows == [(1, 0), (2, 0)]
+    # original-value semantics: delete on tgt.qty = 0 removes ONLY id=2
+    out2 = merge_into(
+        tgt, src, ["id"],
+        when_matched_update={"qty": F.lit(0)},
+        when_matched_delete=F.col("tgt.qty") == 0,
+        insert_not_matched=False,
+    )
+    assert sorted((r.id, r.qty) for r in out2.collect()) == [(1, 0), (3, 0)]

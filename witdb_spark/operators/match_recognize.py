@@ -77,7 +77,6 @@ _TOKEN = re.compile(
     r"\s*([A-Za-z_][A-Za-z_0-9]*|\{-|-\}|[+*?|()^$]|\{\d*(?:,\d*)?\})\s*"
 )
 _NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.I)
-_PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.I)
 
 
 def _expand_permute(pattern: str) -> str:
@@ -353,7 +352,25 @@ def _extract_navigation(cond: str, existing: dict):
     generated column references, recording (kind, inner_expr, offset) ->
     column name into `existing` (shared across DEFINEs so identical
     navigations compute once). Paren/string-aware."""
-    from witdb_spark.plans.dialect import _match_paren, _split_top_level
+    from witdb_spark.plans.dialect import _in_string_scan, _match_paren
+
+    def split_args(text: str) -> list[str]:
+        # paren/bracket-aware, but NOT <>-aware: DEFINE bodies are full of
+        # comparison operators (dialect._split_top_level counts < > as
+        # brackets, which corrupts the split for e.g. NEXT(if(a > b, a, b)))
+        parts, depth, start = [], 0, 0
+        for i, c, in_str in _in_string_scan(text):
+            if in_str:
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(text[start:i].strip())
+                start = i + 1
+        parts.append(text[start:].strip())
+        return parts
 
     while True:
         m = _NAV.search(cond)
@@ -361,7 +378,7 @@ def _extract_navigation(cond: str, existing: dict):
             return cond
         open_idx = m.end() - 1
         close_idx = _match_paren(cond, open_idx)
-        parts = _split_top_level(cond[open_idx + 1 : close_idx])
+        parts = split_args(cond[open_idx + 1 : close_idx])
         inner = parts[0]
         off = int(parts[1]) if len(parts) > 1 else 1
         key = (m.group(1).upper(), inner, off)
@@ -392,6 +409,23 @@ def match_recognize(
         raise ValueError(f"after_match: {after_match!r}")
     if rows_per_match not in ("all", "one"):
         raise ValueError(f"rows_per_match: {rows_per_match!r}")
+    if not partition_by:
+        # no PARTITION BY (legal SQL): the whole input is ONE sequence, so
+        # it must land in one task (the reference has the same constraint
+        # — an unpartitioned pattern runs on a single node). A constant
+        # key routes every row to one hash partition; a bare
+        # repartition(n) would round-robin rows into arbitrary subsets
+        # and silently mis-match.
+        out = match_recognize(
+            df.withColumn("__mr_global", F.lit(0)),
+            ["__mr_global"],
+            order_by,
+            define,
+            pattern,
+            after_match=after_match,
+            rows_per_match=rows_per_match,
+        )
+        return out.drop("__mr_global")
     labels = list(define)
     if len(labels) > 16:
         raise ValueError("at most 16 DEFINE labels supported")
@@ -586,8 +620,11 @@ def match_recognize(
             bound = _np.zeros(n_rows, dtype=bool)
             bound[0] = True
             for c in pk_cols:
-                v = chunk[c].to_numpy()
-                bound[1:] |= v[1:] != v[:-1]
+                s = chunk[c]
+                # NULL keys form ONE group (SQL partition semantics);
+                # NaN != NaN would otherwise split a NULL run per row
+                eq = (s == s.shift()) | (s.isna() & s.shift().isna())
+                bound[1:] |= ~eq.to_numpy()[1:]
             allmasks = chunk[mask_col].to_numpy()
             starts = _np.flatnonzero(bound)
             ends = _np.append(starts[1:], n_rows)
@@ -634,7 +671,12 @@ def match_recognize(
             # contiguous suffix that may continue in the next batch
             tail = _np.ones(len(pdf), dtype=bool)
             for c in pk_cols:
-                tail &= pdf[c].values == pdf[c].iloc[-1]
+                last = pdf[c].iloc[-1]
+                col = pdf[c]
+                if _pd.isna(last):
+                    tail &= col.isna().to_numpy()
+                else:
+                    tail &= (col == last).to_numpy()
             # first index of the suffix run of True
             cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
             done, carry = pdf.iloc[:cut], pdf.iloc[cut:]

@@ -38,8 +38,13 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     words = F.split(F.col(text_col), " ")
+    # last start bound is size - overlap - 1, NOT size - 1: a start inside
+    # the final overlap window would emit a chunk that is a strict subset
+    # of the previous one — duplicated training data
     starts = F.sequence(
-        F.lit(0), F.greatest(F.lit(0), F.size(words) - 1), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.lit(0), F.size(words) - overlap - 1),
+        F.lit(stride),
     )
     chunks = F.transform(
         starts, lambda s: F.slice(words, s + 1, chunk_tokens)

@@ -172,8 +172,16 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash over word unigrams (with multiplicity): bit k of the
     fingerprint is the sign of sum over words of (+1 if bit k of
     md5-32bit(word) else -1). 32 bits: wide enough that the byte-chunk
-    band join below prunes hard (256 values per chunk); the plan shape is
-    identical at 64."""
+    band join below prunes hard (256 values per chunk). bits is capped at
+    62: the fingerprint assembles via literal 1 << k terms into a SIGNED
+    long, so bit 63 would overflow the literal (and conv() of 16 hex
+    chars NULLs above 2^63) — rejected loudly rather than corrupted."""
+    if not 1 <= bits <= 62:
+        raise ValueError(
+            "simhash bits must be in [1, 62] (signed-long fingerprint"
+            " assembly; 64-bit fingerprints would need unsigned semantics"
+            " Spark lacks)"
+        )
     tokens = df.select(
         "doc_id",
         F.explode(F.split(F.col(text_col), " ")).alias("word"),

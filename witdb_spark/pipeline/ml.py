@@ -40,11 +40,24 @@ def classify(
     model: LogisticRegressionModel, df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
     """classify(features, model) -> predicted label per input row; keeps
-    all input columns and appends `prediction`."""
+    all input columns and appends `prediction`. The model's working
+    columns are remapped to reserved __clf_* names so pre-existing
+    features/rawPrediction/probability/prediction columns survive."""
+    for c in df.columns:
+        if c == "prediction":
+            raise ValueError(
+                "classify appends a 'prediction' column; rename the"
+                " existing one first"
+            )
     assembled = df.withColumn(
-        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+        "__clf_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    out = model.transform(assembled)
-    return out.drop("features", "rawPrediction", "probability").withColumn(
-        "prediction", F.col("prediction").cast("int")
-    )
+    m = model.copy(None)
+    m.setFeaturesCol("__clf_features")
+    m.setRawPredictionCol("__clf_raw")
+    m.setProbabilityCol("__clf_prob")
+    m.setPredictionCol("__clf_pred")
+    out = m.transform(assembled)
+    return out.drop("__clf_features", "__clf_raw", "__clf_prob").withColumn(
+        "prediction", F.col("__clf_pred").cast("int")
+    ).drop("__clf_pred")

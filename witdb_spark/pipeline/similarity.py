@@ -114,8 +114,18 @@ def embedding_near_duplicates(
         n = corpus.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows)))
         num_planes = min(num_planes, 62)  # bucket fits a signed long
+    # probe the embedding dimension from the data (one-row job): a plane
+    # of the wrong length would NULL every dot product via zip_with's
+    # NULL padding, collapse all vectors into bucket 0, and turn the
+    # same-bucket join quadratic — silently
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cosine double"
+        )
     buckets = lsh_buckets(
-        corpus, num_planes=num_planes, vec_col=vec_col, id_col=id_col
+        corpus, num_planes=num_planes, vec_col=vec_col, id_col=id_col,
+        dim=int(first.d),
     )  # -> (vec_id, bucket)
     withb = corpus.join(
         buckets, corpus[id_col] == buckets["vec_id"], "inner"

@@ -21,7 +21,7 @@ from witdb_spark.queries.registry import register
            CAST(s // 48 AS INT) AS chunk_id,
            array_to_string(list_slice(words, s + 1, s + 64), ' ') AS chunk_text,
            CAST(len(list_slice(words, s + 1, s + 64)) AS INT) AS chunk_n_tokens
-    FROM pre, UNNEST(range(0, greatest(0, len(words) - 1) + 1, 48)) AS t(s)
+    FROM pre, UNNEST(range(0, greatest(0, len(words) - 17) + 1, 48)) AS t(s)
     """,
     doc="Document chunking for model windows (pipeline/curation.py "
     "chunk_documents): 64-word chunks with 16-word overlap (stride 48), "

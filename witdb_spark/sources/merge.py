@@ -46,6 +46,15 @@ def merge_into(
     )
     src_only = F.col("tgt.__tgt_present").isNull()
 
+    # WHEN MATCHED THEN DELETE evaluates BEFORE the update projection (SQL
+    # MERGE clause semantics: each clause's condition sees the ORIGINAL
+    # matched row), and on the joined frame, so the condition may reference
+    # tgt.* and src.* qualified columns.
+    if when_matched_delete is not None:
+        joined = joined.filter(
+            ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+        )
+
     out_cols = []
     for field in target.schema.fields:
         c = field.name
@@ -58,14 +67,9 @@ def merge_into(
             val = F.when(src_only, src_c).otherwise(val)
         out_cols.append(val.cast(field.dataType).alias(c))
 
-    result = joined.select(*out_cols, matched.alias("__matched"))
-    if when_matched_delete is not None:
-        result = result.filter(~(F.col("__matched") & when_matched_delete))
     if not insert_not_matched:
-        result = joined.filter(~src_only).select(*out_cols, matched.alias("__matched"))
-        if when_matched_delete is not None:
-            result = result.filter(~(F.col("__matched") & when_matched_delete))
-    return result.drop("__matched")
+        joined = joined.filter(~src_only)
+    return joined.select(*out_cols)
 
 
 def delete_where(target: DataFrame, predicate: Column) -> DataFrame:
