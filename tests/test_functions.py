@@ -212,3 +212,25 @@ def test_r4_agg_name_rewrites(fspark):
     assert r.ba == 0 and r.bo == 7
     assert dict(r.ma) == {"1": 10, "2": 20, "3": 30, "4": 40}
     assert r.ck is not None
+
+
+def test_r4_third_review_fixes(fspark):
+    from witdb_spark.plans.dialect import transpile
+
+    # string literals survive every rewrite pass
+    r = fspark.sql(transpile(
+        "SELECT 'cast(x as varchar)' AS lit1, 'please TRY (this)' AS lit2,"
+        " CAST('12:00:00+05:30' AS TIME WITH TIME ZONE) AS tz,"
+        " TRY(element_at(array(1), 5)) AS oob,"
+        " bit_count(abs(-3), 8) AS bc,"
+        " millisecond(timestamp'1969-12-31 23:59:59.5') AS ms,"
+        " json_size('[1, 2, 3]', '$') AS jarr,"
+        " json_size('{\"a\": {\"b\": 1}}', '$.a') AS jobj,"
+        " json_size('7', '$') AS jscal"
+    )).collect()[0]
+    assert r.lit1 == "cast(x as varchar)" and r.lit2 == "please TRY (this)"
+    assert r.tz == (12 * 3600 * 1_000_000_000) * 4096 + (330 + 1440)
+    assert r.oob is None
+    assert r.bc == 2  # popcount(3 & 0xff)
+    assert r.ms == 500  # Trino range [0, 999], not -500
+    assert r.jarr == 3 and r.jobj == 1 and r.jscal == 0

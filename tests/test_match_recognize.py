@@ -408,3 +408,25 @@ def test_null_partition_keys_form_one_group(spark):
         by_key.setdefault(r.user_id, []).append(r.seq)
     assert sorted(by_key.get(None, [])) == [0, 1]  # NULL group matched
     assert sorted(by_key.get(7, [])) == [0, 1]
+
+
+def test_measure_mixing_bare_ref_and_navigation(engine, spark):
+    """r4 review fix: MEASURES price - FIRST(price) must evaluate the bare
+    reference on the LAST match row (FINAL semantics), not fail as an
+    ungrouped column."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 12, 15, 9])],
+        "g int, seq int, price int",
+    ).createOrReplaceTempView("mr_mix_t")
+    rows = engine.sql(
+        """
+        SELECT delta FROM mr_mix_t MATCH_RECOGNIZE (
+          PARTITION BY g ORDER BY seq
+          MEASURES price - FIRST(price) AS delta
+          ONE ROW PER MATCH
+          PATTERN (U U)
+          DEFINE U AS price > PREV(price)
+        )
+        """
+    ).collect()
+    assert [r.delta for r in rows] == [3]  # last (15) - first (12)

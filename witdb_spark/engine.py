@@ -319,6 +319,8 @@ class Engine:
         cat = self.spark.catalog.currentCatalog()
         tables = []
         for t in self.spark.catalog.listTables():
+            if t.name.startswith("__"):
+                continue  # engine internals (__information_schema_*, __mr_rel_*)
             kind = "VIEW" if t.tableType in ("VIEW", "TEMPORARY") else "BASE TABLE"
             tables.append((cat, t.namespace[0] if t.namespace else "default", t.name, kind))
         self.spark.createDataFrame(

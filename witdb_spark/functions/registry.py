@@ -159,8 +159,10 @@ MACROS: dict[str, str] = {
     "RETURNS INT RETURN ((dayofweek(ts) + 5) % 7) + 1",  # ISO: Mon=1..Sun=7
     "year_of_week": "CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(ts TIMESTAMP) "
     "RETURNS INT RETURN extract(YEAROFWEEK FROM ts)",
+    # pmod: pre-1970 instants still land in [0, 999] (Trino's range; a
+    # signed % would return -500 for 1969-12-31 23:59:59.5)
     "millisecond": "CREATE OR REPLACE TEMPORARY FUNCTION millisecond(ts TIMESTAMP) "
-    "RETURNS INT RETURN cast((unix_micros(ts) % 1000000) / 1000 AS INT)",
+    "RETURNS INT RETURN cast(pmod(unix_micros(ts), 1000000) / 1000 AS INT)",
     "trino_date_add": "CREATE OR REPLACE TEMPORARY FUNCTION trino_date_add"
     "(unit STRING, n INT, ts TIMESTAMP) RETURNS TIMESTAMP RETURN CASE lower(unit) "
     "WHEN 'second' THEN timestampadd(SECOND, n, ts) "
@@ -380,9 +382,16 @@ MACROS: dict[str, str] = {
     "RETURNS STRING RETURN s",  # json type is modeled as string (SURVEY §1.2)
     "json_format": "CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING) "
     "RETURNS STRING RETURN s",
+    # objects -> member count, arrays -> element count, scalars -> 0
+    # (reference JsonFunctions.jsonSize); malformed/missing -> NULL
     "json_size": "CREATE OR REPLACE TEMPORARY FUNCTION json_size"
-    "(s STRING, p STRING) RETURNS INT RETURN "
-    "size(from_json(get_json_object(s, p), 'map<string,string>'))",
+    "(s STRING, p STRING) RETURNS INT RETURN CASE "
+    "WHEN get_json_object(s, p) IS NULL THEN NULL "
+    "WHEN substring(ltrim(get_json_object(s, p)), 1, 1) = '{' THEN "
+    "size(from_json(get_json_object(s, p), 'map<string,string>')) "
+    "WHEN substring(ltrim(get_json_object(s, p)), 1, 1) = '[' THEN "
+    "cast(json_array_length(get_json_object(s, p)) AS INT) "
+    "ELSE 0 END",
     # --- geospatial (plugin/trino-geospatial GeoFunctions.java). Geometry
     # IS its WKT text; the ST_* computational family (area/centroid/
     # contains/intersects/distance over polygons with holes) lives in

@@ -80,6 +80,14 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(
         r"\bFOR\s+(TIMESTAMP|VERSION)\s+AS\s+OF\b", r"\1 AS OF", seg, flags=re.I
     )
+    # Trino->Spark NAME renames from the passthrough table (only entries
+    # whose spellings differ; generated once below). SQL macros cannot
+    # cover generic/lambda signatures, so these are textual — previously
+    # the table was API-documentation only and SQL-path calls to e.g.
+    # starts_with/levenshtein_distance/zip failed to resolve (or, worse,
+    # repeat() bound to Spark's STRING repeat instead of array_repeat).
+    for _t, _s in _PASSTHROUGH_RENAMES:
+        seg = re.sub(rf"\b{_t}\s*\(", f"{_s}(", seg, flags=re.I)
     # lambda-predicate matchers (reference ArrayAllMatchFunction etc.):
     # SQL macros can't take lambdas, so these are pure renames onto
     # Spark's higher-order builtins; none_match wraps below in transpile.
@@ -91,18 +99,18 @@ def _rewrite_segment(seg: str) -> str:
     seg = re.sub(r"\bfrom_unixtime\s*\(", "timestamp_seconds(", seg, flags=re.I)
     seg = re.sub(r"\bapprox_distinct\s*\(", "approx_count_distinct(", seg, flags=re.I)
     seg = re.sub(r"\barbitrary\s*\(", "any_value(", seg, flags=re.I)
-    # Trino bit_count(x, bits): Spark's is 1-arg; mask to the requested width
-    # (two's-complement popcount of the low `bits` bits — Trino semantics)
-    seg = re.sub(
-        r"\bbit_count\s*\(([^,()]+),\s*64\s*\)", r"bit_count(\1)", seg, flags=re.I
-    )
-    seg = re.sub(
-        r"\bbit_count\s*\(([^,()]+),\s*(\d+)\s*\)",
-        r"bit_count((\1) & (shiftleft(cast(1 as bigint), \2) - 1))",
-        seg,
-        flags=re.I,
-    )
     return seg
+
+
+def _passthrough_renames() -> list[tuple[str, str]]:
+    from witdb_spark.functions.registry import PASSTHROUGH
+
+    return sorted(
+        (t, sp) for t, sp in PASSTHROUGH.items() if t != sp
+    )
+
+
+_PASSTHROUGH_RENAMES = _passthrough_renames()
 
 
 def _in_string_scan(sql: str):
@@ -497,6 +505,9 @@ def _rewrite_cast_types(sql: str) -> str:
         m = re.search(r"\b(?:try_)?cast\s*\(", sql[pos:], flags=re.I)
         if m is None:
             return sql
+        if _scan_maps(sql)[1][pos + m.start()]:
+            pos = pos + m.start() + 1  # inside a string literal: skip
+            continue
         open_idx = pos + m.end() - 1
         try:
             close_idx = _match_paren(sql, open_idx)
@@ -528,8 +539,23 @@ def _rewrite_cast_types(sql: str) -> str:
             pos = open_idx + 1
             continue
         type_text = args[as_idx + 2 :]
-        # TIME has no Spark type: CAST(x AS TIME[(p)] [WITH TIME ZONE])
-        # becomes the nanos-of-day parse macro (registry trino_time).
+        # zoned first: CAST(x AS TIME [(p)] WITH TIME ZONE) -> the packed
+        # timetz encoding's parser (registry timetz_parse); the bare-TIME
+        # branch below would otherwise swallow it and mis-parse the offset
+        if re.match(
+            r"^\s*TIME\s*(\(\s*\d+\s*\))?\s+WITH\s+TIME\s+ZONE\s*$",
+            type_text, flags=re.I,
+        ):
+            expr = args[:as_idx].strip()
+            sql = (
+                sql[: pos + m.start()]
+                + f"timetz_parse({expr})"
+                + sql[close_idx + 1 :]
+            )
+            pos = pos + m.start() + 1
+            continue
+        # TIME has no Spark type: CAST(x AS TIME[(p)]) becomes the
+        # nanos-of-day parse macro (registry trino_time).
         if re.match(r"^\s*TIME\b(?!STAMP)", type_text, flags=re.I):
             expr = args[:as_idx].strip()
             sql = (
@@ -891,7 +917,7 @@ def _rewrite_try(sql: str) -> str:
     those failable forms raises rather than silently changing semantics
     (e.g. TRY over a function whose own evaluation can error)."""
     while True:
-        m = re.search(r"\bTRY\s*\(", sql, flags=re.I)
+        m = _first_code_match(r"\bTRY\s*\(", sql)
         if m is None:
             return sql
         open_idx = sql.index("(", m.start())
@@ -921,7 +947,7 @@ def _rewrite_listagg(sql: str) -> str:
     collect_list's nondeterministic order. One sort key; ON OVERFLOW is
     rejected (Spark strings don't truncate)."""
     while True:
-        m = _LISTAGG.search(sql)
+        m = _first_code_match(_LISTAGG.pattern, sql)
         if m is None:
             return sql
         open_idx = sql.index("(", m.start())
@@ -939,6 +965,9 @@ def _rewrite_listagg(sql: str) -> str:
             raise UnsupportedTrinoSyntax("LISTAGG requires WITHIN GROUP")
         sort_close = _match_paren(sql, sql.index("(", close_idx + 1))
         sort = sql[wm.end() : sort_close].strip()
+        # NULLS FIRST/LAST: stripped — keys are sorted through a struct
+        # array_sort whose NULL placement is engine-defined (documented)
+        sort = re.sub(r"\s+NULLS\s+(FIRST|LAST)\s*$", "", sort, flags=re.I)
         desc = bool(re.search(r"\bDESC\s*$", sort, re.I))
         key = re.sub(r"\s+(ASC|DESC)\s*$", "", sort, flags=re.I).strip()
         if "," in key:
@@ -948,6 +977,17 @@ def _rewrite_listagg(sql: str) -> str:
             arr = f"reverse({arr})"
         repl = f"array_join(transform({arr}, s -> s.v), {sep})"
         sql = sql[: m.start()] + repl + sql[sort_close + 1 :]
+
+
+def _first_code_match(pattern: str, sql: str, flags=re.I):
+    """First regex match whose start lies OUTSIDE string literals — the
+    guard that keeps rewrite passes from mangling SQL-shaped text inside
+    '...' (e.g. a literal containing "cast(x as varchar)")."""
+    instr = _scan_maps(sql)[1]
+    for m in re.finditer(pattern, sql, flags):
+        if not instr[m.start()]:
+            return m
+    return None
 
 
 def _rewrite_agg_calls(sql: str) -> str:
@@ -978,7 +1018,7 @@ def _rewrite_agg_calls(sql: str) -> str:
     ]
     for pat, build, nargs in forms:
         while True:
-            m = re.search(pat, sql, flags=re.I)
+            m = _first_code_match(pat, sql)
             if m is None:
                 break
             open_idx = sql.index("(", m.start())
@@ -992,11 +1032,39 @@ def _rewrite_agg_calls(sql: str) -> str:
     return sql
 
 
+def _rewrite_bit_count(sql: str) -> str:
+    """Trino bit_count(x, bits) -> Spark's 1-arg bit_count over the
+    masked low `bits` (two's-complement popcount; Trino semantics).
+    Paren-aware so composite first arguments (bit_count(abs(x), 8))
+    rewrite too; 1-arg calls pass through."""
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(r"\bbit_count\s*\(", sub)
+        if m is None:
+            return sql
+        open_idx = pos + m.start() + sub[m.start():].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if len(args) != 2:
+            pos = open_idx + 1
+            continue
+        x, bits = args[0].strip(), args[1].strip()
+        if bits == "64":
+            repl = f"bit_count({x})"
+        else:
+            repl = (
+                f"bit_count(({x}) & (shiftleft(cast(1 as bigint), {bits}) - 1))"
+            )
+        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_none_match(sql: str) -> str:
     """none_match(x, f) (reference ArrayNoneMatchFunction) ->
     (NOT exists(x, f)) — needs paren matching, not a plain rename."""
     while True:
-        m = re.search(r"\bnone_match\s*\(", sql, flags=re.I)
+        m = _first_code_match(r"\bnone_match\s*\(", sql)
         if m is None:
             return sql
         open_idx = sql.index("(", m.start())
@@ -1020,21 +1088,6 @@ def _rewrite_tablesample(sql: str) -> str:
 def transpile(sql: str) -> str:
     """Rewrite a Trino-dialect query into Spark SQL. Raises
     UnsupportedTrinoSyntax for constructs with no faithful mapping."""
-    sql = _rewrite_try(sql)
-    sql = _rewrite_listagg(sql)
-    sql = _rewrite_none_match(sql)
-    sql = _rewrite_agg_calls(sql)
-    sql = _rewrite_tablesample(sql)
-    sql = _rewrite_fetch_ties(sql)
-    sql = _rewrite_quantified(sql)
-    sql = _rewrite_at_time_zone(sql)
-    sql = _rewrite_cast_types(sql)
-    if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
-        raise UnsupportedTrinoSyntax(
-            "MATCH_RECOGNIZE has no SQL form here; use the DataFrame"
-            " operator witdb_spark.operators.match_recognize (same PATTERN/"
-            "DEFINE semantics, MEASURES as ordinary aggs over match_id)"
-        )
     # User-written element_at -> try_element_at BEFORE bracket rewriting:
     # Trino element_at returns NULL out of bounds (= Spark try_element_at
     # under ANSI), while Trino's [] subscript errors out of bounds — which
@@ -1047,9 +1100,26 @@ def transpile(sql: str) -> str:
         for p in parts
     ]
     sql = "".join(parts)
-    # bracket constructs (string-aware scanner: ARRAY literals and
-    # subscripts may contain string literals)
+    # bracket constructs BEFORE TRY so TRY(a[i]) sees the decomposable
+    # element_at form (string-aware scanner: ARRAY literals and subscripts
+    # may contain string literals)
     sql = _rewrite_brackets(sql)
+    sql = _rewrite_try(sql)
+    sql = _rewrite_listagg(sql)
+    sql = _rewrite_none_match(sql)
+    sql = _rewrite_bit_count(sql)
+    sql = _rewrite_agg_calls(sql)
+    sql = _rewrite_tablesample(sql)
+    sql = _rewrite_fetch_ties(sql)
+    sql = _rewrite_quantified(sql)
+    sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_cast_types(sql)
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
+        raise UnsupportedTrinoSyntax(
+            "MATCH_RECOGNIZE has no SQL form here; use the DataFrame"
+            " operator witdb_spark.operators.match_recognize (same PATTERN/"
+            "DEFINE semantics, MEASURES as ordinary aggs over match_id)"
+        )
     sql = _rewrite_unnest(sql)
     sql = _rewrite_numeric_histogram(sql)
     # then segment-local rewrites (never touch string literals)

@@ -244,11 +244,62 @@ def _qualify_labels(e: str, labsets: dict, ord_col: str) -> str:
     return e
 
 
-def _measure_one_row(expr: str, ord_col: str, labsets: dict | None = None) -> str:
+def _wrap_bare_columns(e: str, ord_col: str, data_cols) -> str:
+    """Wrap bare data-column references with FINAL last-row semantics
+    (max_by over the match ordering) so a measure mixing navigation and
+    plain references — ``price - FIRST(price)`` — aggregates cleanly.
+    Call spans of FIRST/LAST/CLASSIFIER/MATCH_NUMBER and aggregates are
+    masked first: references INSIDE them keep their own semantics."""
+    masked = e
+    placeholders: list[str] = []
+    callee = re.compile(
+        r"\b(?:FIRST|LAST|CLASSIFIER|MATCH_NUMBER|"
+        + "|".join(_AGG_NAMES)
+        + r")\s*\(",
+        re.I,
+    )
+    while True:
+        m = callee.search(masked)
+        if m is None:
+            break
+        close = _match_paren(masked, masked.index("(", m.start()))
+        placeholders.append(masked[m.start() : close + 1])
+        masked = (
+            masked[: m.start()]
+            + f"\x00{len(placeholders) - 1}\x01"
+            + masked[close + 1 :]
+        )
+    cols = [c for c in data_cols if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", c)]
+    if cols:
+        pat = re.compile(
+            r"(?<![\w.`])(" + "|".join(map(re.escape, cols)) + r")\b(?!\s*\()"
+        )
+        masked = pat.sub(rf"max_by(\1, {ord_col})", masked)
+    for k, text in enumerate(placeholders):
+        masked = masked.replace(f"\x00{k}\x01", text)
+    return masked
+
+
+def _measure_one_row(
+    expr: str,
+    ord_col: str,
+    labsets: dict | None = None,
+    data_cols=(),
+) -> str:
     """FINAL-semantics aggregate expression for ONE ROW PER MATCH."""
     e = transpile(expr)
     if labsets:
         e = _qualify_labels(e, labsets, ord_col)
+    if data_cols and re.search(
+        r"\b(FIRST|LAST|CLASSIFIER|MATCH_NUMBER|"
+        + "|".join(_AGG_NAMES)
+        + r")\s*\(",
+        e,
+        re.I,
+    ):
+        # the expression will contain aggregates after lowering: bare
+        # references would be ungrouped columns (AnalysisException)
+        e = _wrap_bare_columns(e, ord_col, data_cols)
     e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"min_by(\1, {ord_col})", e, flags=re.I)
     e = re.sub(r"\bLAST\s*\(([^()]*)\)", rf"max_by(\1, {ord_col})", e, flags=re.I)
     e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", f"max_by(classifier, {ord_col})", e, flags=re.I)
@@ -357,7 +408,11 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     pk, ord_col = spec["partition_by"], spec["order_by"]
     if spec["rows_per_match"] == "one":
         aggs = [
-            F.expr(_measure_one_row(e, ord_col, labsets)).alias(name)
+            F.expr(
+                _measure_one_row(
+                    e, ord_col, labsets, spark.table(table).columns
+                )
+            ).alias(name)
             for e, name in spec["measures"]
         ]
         out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")
