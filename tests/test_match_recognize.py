@@ -430,3 +430,34 @@ def test_measure_mixing_bare_ref_and_navigation(engine, spark):
         """
     ).collect()
     assert [r.delta for r in rows] == [3]  # last (15) - first (12)
+
+
+def test_sql_form_exclusion_one_row(engine, spark):
+    """r4: SQL-form exclusions with ONE ROW PER MATCH — measures see the
+    excluded rows (SQL:2016), the output row count is unaffected."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(["a", "b", "b", "c", "a", "c"])],
+        "g int, seq int, ty string",
+    ).createOrReplaceTempView("mr_excl_t")
+    rows = engine.sql(
+        """
+        SELECT n_rows, n_b FROM mr_excl_t MATCH_RECOGNIZE (
+          PARTITION BY g ORDER BY seq
+          MEASURES count(*) AS n_rows, count(B.*) AS n_b
+          ONE ROW PER MATCH
+          PATTERN (A {- B+ -} C)
+          DEFINE A AS ty = 'a', B AS ty = 'b', C AS ty = 'c'
+        )
+        """
+    ).collect()
+    assert [(r.n_rows, r.n_b) for r in rows] == [(4, 2)]
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT * FROM mr_excl_t MATCH_RECOGNIZE ("
+            "PARTITION BY g ORDER BY seq ALL ROWS PER MATCH "
+            "PATTERN (A {- B -} C) DEFINE A AS ty = 'a',"
+            " B AS ty = 'b', C AS ty = 'c')"
+        )

@@ -395,6 +395,7 @@ def match_recognize(
     pattern: str,
     after_match: str = "past last row",
     rows_per_match: str = "all",
+    exclusion_mode: str = "drop",
 ) -> DataFrame:
     """Emit rows belonging to matches of ``pattern`` (see module doc).
 
@@ -409,6 +410,8 @@ def match_recognize(
         raise ValueError(f"after_match: {after_match!r}")
     if rows_per_match not in ("all", "one"):
         raise ValueError(f"rows_per_match: {rows_per_match!r}")
+    if exclusion_mode not in ("drop", "flag"):
+        raise ValueError(f"exclusion_mode: {exclusion_mode!r}")
     if not partition_by:
         # no PARTITION BY (legal SQL): the whole input is ONE sequence, so
         # it must land in one task (the reference has the same constraint
@@ -424,6 +427,7 @@ def match_recognize(
             pattern,
             after_match=after_match,
             rows_per_match=rows_per_match,
+            exclusion_mode=exclusion_mode,
         )
         return out.drop("__mr_global")
     labels = list(define)
@@ -495,13 +499,20 @@ def match_recognize(
         )
     classified = classified.withColumn(_MASK_COL, mask_expr.cast("long"))
 
-    out_schema = StructType(
-        df.schema.fields
-        + [
-            StructField("match_id", LongType(), False),
-            StructField("classifier", StringType(), False),
-        ]
-    )
+    # exclusion_mode="flag": {- -} rows are EMITTED with excluded=true
+    # (instead of dropped from ALL ROWS output) so callers that compute
+    # MEASURES over the match — which must see excluded rows, SQL:2016 —
+    # can aggregate first and filter after (plans/mr_sql.py).
+    flag_excluded = exclusion_mode == "flag"
+    extra_fields = [
+        StructField("match_id", LongType(), False),
+        StructField("classifier", StringType(), False),
+    ]
+    if flag_excluded:
+        from pyspark.sql.types import BooleanType
+
+        extra_fields.append(StructField("excluded", BooleanType(), False))
+    out_schema = StructType(df.schema.fields + extra_fields)
     char_to_label = {c: name for name, c in label_chars.items()}
     mask_char = {0: _NO_MATCH}
     for name, bit in label_bits.items():
@@ -513,6 +524,7 @@ def match_recognize(
     vm_prog = prog  # picklable and self-contained (no witdb_spark
     skip_past = after_match == "past last row"  # imports on executors).
     one_row = rows_per_match == "one"
+    emit_excluded = flag_excluded
     fast_eligible = not has_undefined and regex is not None
 
     # Execution shape: ONE hash shuffle on the partition keys + a
@@ -631,6 +643,7 @@ def match_recognize(
             keep: list[int] = []
             mids: list[int] = []
             labels_out: list[str] = []
+            excl_out: list[bool] = []
             for s0, e0 in zip(starts.tolist(), ends.tolist()):
                 masks = allmasks[s0:e0].tolist()
                 n = len(masks)
@@ -643,10 +656,18 @@ def match_recognize(
                         keep.append(s0 + e - 1)
                         mids.append(mid0 + 1)
                         labels_out.append(labs[-1])
+                        excl_out.append(False)
                     elif excs is None:
                         keep.extend(range(s0 + s, s0 + e))
                         mids.extend([mid0 + 1] * (e - s))
                         labels_out.extend(labs)
+                        excl_out.extend([False] * (e - s))
+                    elif emit_excluded:
+                        # flag mode: every matched row, excluded marked
+                        keep.extend(range(s0 + s, s0 + e))
+                        mids.extend([mid0 + 1] * (e - s))
+                        labels_out.extend(labs)
+                        excl_out.extend(bool(x) for x in excs)
                     else:
                         # {- -}: excluded rows matched but are not output
                         for i in range(e - s):
@@ -654,11 +675,14 @@ def match_recognize(
                                 keep.append(s0 + s + i)
                                 mids.append(mid0 + 1)
                                 labels_out.append(labs[i])
+                                excl_out.append(False)
             if not keep:
                 return None
             out = chunk.iloc[keep][data_cols].copy()
             out["match_id"] = _np.asarray(mids, dtype="int64")
             out["classifier"] = _np.asarray(labels_out, dtype=object)
+            if emit_excluded:
+                out["excluded"] = _np.asarray(excl_out, dtype=bool)
             return out
 
         carry = None

@@ -35,8 +35,12 @@ Label- and SUBSET-qualified measure references (FIRST(A.x), LAST(S.x),
 count(S.*), agg(S.x), bare S.x) lower to membership-guarded min_by/max_by
 and aggregates over CLASSIFIER() — ONE ROW PER MATCH only.
 
-Unsupported (loud, not silent): label-qualified references under ALL ROWS
-PER MATCH, PERMUTE, {- -} exclusions, and PREV/NEXT inside MEASURES.
+PERMUTE, reluctant quantifiers, and (under ONE ROW PER MATCH) {- -}
+exclusions lower through the operator's pattern compiler — exclusions via
+its flag mode, so MEASURES still aggregate over excluded rows (SQL:2016).
+
+Unsupported (loud, not silent): label-qualified references and {- -}
+exclusions under ALL ROWS PER MATCH, and PREV/NEXT inside MEASURES.
 """
 
 from __future__ import annotations
@@ -168,13 +172,15 @@ def _parse_clause(body: str) -> dict:
     for req in ("partition_by", "order_by", "pattern", "define"):
         if req not in spec:
             raise UnsupportedTrinoSyntax(f"MATCH_RECOGNIZE missing {req}")
-    # PERMUTE and reluctant quantifiers lower through the operator's own
-    # pattern compiler; {- -} exclusions stay SQL-form-unsupported because
-    # the measures lowering aggregates the ALL-rows output, which would
-    # silently drop excluded rows from measures (the operator itself
-    # supports exclusions for DataFrame callers).
-    if re.search(r"\{-", spec["pattern"]):
-        raise UnsupportedTrinoSyntax("pattern exclusions in SQL-form MEASURES")
+    # PERMUTE, reluctant quantifiers, and (for ONE ROW PER MATCH)
+    # {- -} exclusions lower through the operator's own pattern compiler
+    # — exclusions use its flag mode so MEASURES still see excluded rows
+    # (SQL:2016). ALL ROWS PER MATCH with exclusions stays unsupported:
+    # the running-window rewrite has no per-row excluded notion.
+    if re.search(r"\{-", spec["pattern"]) and spec["rows_per_match"] == "all":
+        raise UnsupportedTrinoSyntax(
+            "pattern exclusions with ALL ROWS PER MATCH"
+        )
     return spec
 
 
@@ -404,7 +410,9 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         pattern=spec["pattern"],
         after_match=spec["after_match"],
         rows_per_match="all",  # measures need the full match either way
-    )
+        # measures must see {- -} rows too; ONE ROW output is unaffected
+        exclusion_mode="flag",
+    ).drop("excluded")
     pk, ord_col = spec["partition_by"], spec["order_by"]
     if spec["rows_per_match"] == "one":
         aggs = [
