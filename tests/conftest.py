@@ -82,7 +82,18 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 
 
 def run_both(spark, oracle, spec, sf_dir: str = SF_DIR):
-    """Run a QuerySpec on Spark and on the DuckDB oracle; return both frames."""
+    """Run a QuerySpec on Spark and on the DuckDB oracle; return both frames.
+
+    The oracle connection's views are bound to SF_DIR, so a different
+    sf_dir would silently compare two different datasets — rejected."""
+    if sf_dir != SF_DIR:
+        raise ValueError(
+            f"run_both: oracle views are bound to {SF_DIR}; build a fresh"
+            f" DuckDB connection for {sf_dir}"
+        )
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    # bound the session's cache: several pipeline queries persist()
+    # intermediates that would otherwise pin storage for all 120+ queries
+    spark.catalog.clearCache()
     oracle_pdf = oracle.execute(spec.oracle).fetchdf() if spec.oracle else None
     return spark_pdf, oracle_pdf

@@ -347,8 +347,9 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_checksum",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-               CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)) AS BIGINT)
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)) AS DECIMAL(38,0))
+             AS VARCHAR)
            AS row_checksum
     FROM lineitem
     GROUP BY l_returnflag
@@ -356,7 +357,9 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Order-insensitive checksum aggregate (reference "
     "ChecksumAggregationFunction.java): sum of 48-bit md5 prefixes of the "
     "row key — commutative, so partition order can't change it; portable "
-    "across engines unlike xxhash64-based checksums.",
+    "across engines unlike xxhash64-based checksums. Summed in "
+    "DECIMAL(38,0) and emitted as text: an int64 sum overflows beyond "
+    "~65k rows per group (2^48 * 2^16 > 2^63), which sf0.1+ reaches.",
     tags=("aggregate", "checksum"),
 )
 def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,13 +374,13 @@ def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             1,
-            12,  # 48-bit prefixes: row_count * 2^48 stays inside int64
-        ),
+            12,  # 48-bit prefixes; sum in DECIMAL(38,0) — an int64 sum
+        ),  # overflows once a group exceeds ~2^15 rows
         16,
         10,
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.sum(row_hash).alias("row_checksum")
+        F.sum(row_hash).cast("decimal(38,0)").cast("string").alias("row_checksum")
     )
 
 

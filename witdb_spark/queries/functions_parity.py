@@ -475,7 +475,11 @@ def geo_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT event_id, tod,
                  make_time(CAST(tod // 3600000000000 AS BIGINT),
                            CAST((tod // 60000000000) % 60 AS BIGINT),
-                           CAST(tod % 60000000000 AS BIGINT) / 1000000000.0)
+                           -- truncate to micros BEFORE make_time: it ROUNDS
+                           -- its fractional input, while the Spark macros
+                           -- floor nanos — sub-microsecond fixtures would
+                           -- diverge (and X.9999995s would roll the minute)
+                           CAST((tod % 60000000000) // 1000 AS BIGINT) / 1000000.0)
                    AS tt
           FROM b)
     SELECT event_id,

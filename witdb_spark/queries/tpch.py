@@ -795,7 +795,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_sum('c_acctbal', 'totacctbal')}
     FROM customer
     WHERE c_nationkey IN (1, 2, 3, 4, 5)
-      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer
                        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5))
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
@@ -810,8 +812,11 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     pool = t.customer.filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5))
+    # davg, not F.avg: the threshold feeds an unrounded comparison, so the
+    # mean must be bit-identical across engines (decimal-exact sum + one
+    # IEEE division — the registry's floating-aggregate rule)
     avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        davg("c_acctbal", "avg_bal")
     )
     recent = t.orders.filter(F.col("o_orderdate") >= ts("2000-01-01 00:00:00")).select(
         "o_custkey"
