@@ -570,3 +570,30 @@ def test_prepare_execute_sql_form(engine, spark):
 
     with _pytest.raises(KeyError):
         engine.sql("EXECUTE pq USING 0")
+
+
+def test_r4_cleanup_fixes(engine, spark, tmp_path):
+    """Dropped-candidate cleanups: MV storage reclaimed on drop, '?' in
+    comments not a parameter, IPv6 port extraction."""
+    import os
+
+    engine.sql("CREATE OR REPLACE MATERIALIZED VIEW mvclean AS SELECT 1 AS x")
+    path = os.path.join(engine._mv_dir(), "mvclean")
+    assert os.path.exists(path)
+    engine.sql("DROP MATERIALIZED VIEW mvclean")
+    assert not os.path.exists(path)
+
+    engine.prepare("pcmt", "SELECT ? AS v -- what? really?\n FROM (VALUES 1)")
+    assert engine.sql("EXECUTE pcmt USING 42").collect()[0].v == 42
+
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT url_extract_port('http://[::1]:8080/x') AS p6,"
+        " url_extract_port('http://[::1]/x') AS p6none,"
+        " url_extract_port('https://h.com:444/a') AS p4,"
+        " url_extract_port('https://h.com/a') AS pnone"
+    ).collect()[0]
+    assert r.p6 == 8080 and r.p6none is None
+    assert r.p4 == 444 and r.pnone is None

@@ -431,6 +431,11 @@ class Engine:
             raise KeyError(f"Materialized view not found: {name!r}")
         del mviews[name]
         self.spark.catalog.dropTempView(name)
+        # DROP also reclaims the backing parquet storage (reference
+        # DropMaterializedViewTask drops the storage table)
+        import shutil
+
+        shutil.rmtree(os.path.join(self._mv_dir(), name), ignore_errors=True)
 
     def materialized_views(self) -> dict[str, str]:
         return dict(getattr(self, "_mviews", {}))
@@ -465,7 +470,7 @@ class Engine:
                 aggs.append(F.max(c).cast("string").alias(f"{c}__hi"))
             if isinstance(f.dataType, (T.StringType, T.BinaryType)):
                 aggs.append(
-                    F.sum(F.length(F.col(c))).cast("double").alias(f"{c}__sz")
+                    F.sum(F.octet_length(F.col(c))).cast("double").alias(f"{c}__sz")
                 )
         r = df.agg(*aggs).collect()[0].asDict()
         n = r["__n"]
@@ -550,6 +555,9 @@ class Engine:
         if name not in prepared:
             raise KeyError(f"prepared statement {name!r} does not exist")
         text = prepared[name]
+        # strip comments so a '?' inside -- or /* */ is not a parameter
+        text = re.sub(r"--[^\n]*", "", text)
+        text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
         out, i = [], 0
         for chunk in re.split(r"('(?:[^']|'')*')", text):
             if chunk.startswith("'"):  # string literal: '?' is not a param

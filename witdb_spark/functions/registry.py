@@ -276,10 +276,13 @@ MACROS: dict[str, str] = {
     "url_extract_fragment": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "url_extract_fragment(u STRING) RETURNS STRING RETURN parse_url(u, 'REF')",
     # Spark parse_url has no 'PORT' key; take the :port suffix of AUTHORITY
-    # (try_cast yields NULL when there is no port, matching Trino)
+    # (try_cast yields NULL when there is no port, matching Trino). The
+    # regexp anchor keeps IPv6 authorities correct: '[::1]:8080' -> 8080,
+    # bare '[::1]' -> NULL (a naive split-on-':' would return 1).
     "url_extract_port": "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port"
     "(u STRING) RETURNS BIGINT RETURN "
-    "try_cast(element_at(split(parse_url(u, 'AUTHORITY'), ':'), -1) AS BIGINT)",
+    "try_cast(nullif(regexp_extract(parse_url(u, 'AUTHORITY'),"
+    " ':([0-9]+)$', 1), '') AS BIGINT)",
     "url_extract_parameter": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "url_extract_parameter(u STRING, k STRING) RETURNS STRING RETURN "
     "parse_url(u, 'QUERY', k)",
