@@ -618,9 +618,15 @@ def beta_cdf(a, b, x):
 def inverse_beta_cdf(a, b, p):
     if a is None or b is None or p is None:
         return None
-    if p <= 0.0:
+    # reference MathFunctions.inverseBetaCdf: a, b must be > 0 and p in
+    # [0, 1] — error, never a silently-clamped 0
+    if a <= 0.0 or b <= 0.0:
+        raise ValueError("inverse_beta_cdf: a and b must be > 0")
+    if p < 0.0 or p > 1.0:
+        raise ValueError("inverse_beta_cdf: p must be in [0, 1]")
+    if p == 0.0:
         return 0.0
-    if p >= 1.0:
+    if p == 1.0:
         return 1.0
     lo, hi = 0.0, 1.0
     for _ in range(100):  # bisection: deterministic, 2^-100 interval
