@@ -597,3 +597,17 @@ def test_r4_cleanup_fixes(engine, spark, tmp_path):
     ).collect()[0]
     assert r.p6 == 8080 and r.p6none is None
     assert r.p4 == 444 and r.pnone is None
+
+
+def test_show_stats_for_query(engine, spark):
+    """SHOW STATS FOR (query) subquery form (reference ShowStatsRewrite)."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id bigint, s string"
+    ).createOrReplaceTempView("ssq_t")
+    rows = engine.sql(
+        "SHOW STATS FOR (SELECT id FROM ssq_t WHERE id > 1)"
+    ).collect()
+    summary = [r for r in rows if r.column_name is None][0]
+    assert summary.row_count == 2.0
+    idrow = [r for r in rows if r.column_name == "id"][0]
+    assert idrow.low_value == "2" and idrow.high_value == "3"

@@ -121,6 +121,15 @@ class Engine:
         m = _SHOW_STATS.match(text)
         if m:
             return self.show_stats(m.group("name"))
+        m = re.match(r"^\s*SHOW\s+STATS\s+FOR\s*\(", text, re.I)
+        if m:  # SHOW STATS FOR (query) — reference ShowStatsRewrite
+            from witdb_spark.plans.dialect import _match_paren
+
+            open_idx = text.index("(", m.start())
+            close_idx = _match_paren(text, open_idx)
+            inner = text[open_idx + 1 : close_idx]
+            self.sql(inner).createOrReplaceTempView("__show_stats_q")
+            return self.show_stats("__show_stats_q")
         m = re.match(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", text, re.I | re.S)
         if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE\s*$", text, re.I):
             plan = self.explain(m.group(2), analyze=bool(m.group(1)))
