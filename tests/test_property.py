@@ -127,7 +127,7 @@ def test_tdigest_merge_pool_order_invariant(groups, rnd):
     mids = np.asarray(rank_mids())
 
     def build(vals):
-        v = np.sort(np.asarray(vals, dtype="float64"))
+        v = np.sort(np.asarray(vals, dtype="float64")) + 0.0
         n = len(v)
         idx = np.floor(grid * (n - 1) + 0.5).astype("int64")
         return n, v[idx]
@@ -138,7 +138,7 @@ def test_tdigest_merge_pool_order_invariant(groups, rnd):
             bounds = np.floor(mids * n + 0.5).astype("int64")
             pools.append(pts)
             weights.append(bounds[1:] - bounds[:-1])
-        allpts = np.concatenate(pools)
+        allpts = np.concatenate(pools) + 0.0
         allw = np.concatenate(weights)
         order = np.argsort(allpts, kind="stable")
         allpts, allw = allpts[order], allw[order]

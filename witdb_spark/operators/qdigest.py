@@ -68,7 +68,8 @@ def qdigest_agg(
         import pandas as _pd
 
         vals = pdf[vcol].to_numpy(dtype="float64")
-        vals = _np.sort(vals[~_np.isnan(vals)])
+        # + 0.0 maps -0.0 to +0.0 (bit-level determinism; see tdigest)
+        vals = _np.sort(vals[~_np.isnan(vals)]) + 0.0
         n = len(vals)
         if n:
             # integer rank selection: exact, no float interpolation
@@ -112,7 +113,7 @@ def merge_qdigests(
         if not pools:
             merged = _np.full(kp, _np.nan)
         else:
-            allpts = _np.concatenate(pools)
+            allpts = _np.concatenate(pools) + 0.0  # -0.0 -> +0.0
             allw = _np.concatenate(weights)
             order = _np.argsort(allpts, kind="stable")
             allpts, allw = allpts[order], allw[order]

@@ -118,7 +118,9 @@ def tdigest_agg(
         import pandas as _pd
 
         vals = pdf[vcol].to_numpy(dtype="float64")
-        vals = _np.sort(vals[~_np.isnan(vals)])
+        # + 0.0 maps -0.0 to +0.0: equal for sorting but not for the
+        # bit-level blob/oracle hash — normalize at ingestion
+        vals = _np.sort(vals[~_np.isnan(vals)]) + 0.0
         n = len(vals)
         if n:
             idx = _np.floor(_np.asarray(grid) * (n - 1) + 0.5).astype("int64")
@@ -165,7 +167,7 @@ def merge_tdigests(
         if not pools:
             merged = _np.full(kp, _np.nan)
         else:
-            allpts = _np.concatenate(pools)
+            allpts = _np.concatenate(pools) + 0.0  # -0.0 -> +0.0
             allw = _np.concatenate(weights)
             order = _np.argsort(allpts, kind="stable")
             allpts, allw = allpts[order], allw[order]

@@ -566,7 +566,7 @@ def _qdigest_rollup_oracle() -> str:
     # per-flag K-point rank selection -> weight-n pool -> rank re-selection.
     return f"""
     WITH ranked AS (
-      SELECT l_returnflag AS f, l_extendedprice AS v,
+      SELECT l_returnflag AS f, l_extendedprice + 0.0e0 AS v,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem),
@@ -700,7 +700,7 @@ def _tdigest_rollup_oracle() -> str:
     # IEEE arithmetic.
     return f"""
     WITH ranked AS (
-      SELECT l_returnflag AS f, l_extendedprice AS v,
+      SELECT l_returnflag AS f, l_extendedprice + 0.0e0 AS v,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem),
