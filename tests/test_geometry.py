@@ -256,3 +256,123 @@ def test_difference_and_symdifference(ns):
     assert ns["difference"](inner, SQ) == "POLYGON EMPTY"
     far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
     assert ns["difference"](SQ, far) == SQ
+
+
+# --- accessor sweep (reference GeoFunctions.java ST_Dimension:480,
+# ST_Boundary:1126, ST_PointN:928, ST_Start/EndPoint:1006/1042,
+# ST_ExteriorRing:1220, ST_InteriorRingN:970, ST_GeometryN:903,
+# ST_Points:1058, ST_IsRing:994, ST_IsSimple:517, ST_IsValid:526,
+# line_locate_point:627, line_interpolate_point(s):653/670,
+# geometry_nearest_points:1193) ---
+
+
+def test_dimension_coorddim(ns):
+    assert ns["dimension"]("POINT (1 1)") == 0
+    assert ns["dimension"]("LINESTRING (0 0, 1 1)") == 1
+    assert ns["dimension"](SQ) == 2
+    assert ns["coord_dim"](MP) == 2
+
+
+def test_boundary(ns):
+    assert ns["boundary"]("POINT (1 1)") == "MULTIPOINT EMPTY"
+    assert ns["boundary"]("LINESTRING (1 1, 2 2, 3 3)") == "MULTIPOINT (1 1, 3 3)"
+    # closed line: empty boundary
+    assert ns["boundary"]("LINESTRING (0 0, 1 0, 1 1, 0 0)") == "MULTIPOINT EMPTY"
+    # mod-2 rule: shared endpoint of two component curves is NOT boundary
+    assert (
+        ns["boundary"]("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))")
+        == "MULTIPOINT (0 0, 2 2)"
+    )
+    assert ns["boundary"](SQ) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    k, d = ns["parse"](ns["boundary"](HOLE))
+    assert k == "MULTILINESTRING" and len(d) == 2
+
+
+def test_point_accessors(ns):
+    line = "LINESTRING (1 1, 2 2, 3 3)"
+    assert ns["point_n"](line, 1) == "POINT (1 1)"
+    assert ns["point_n"](line, 3) == "POINT (3 3)"
+    assert ns["point_n"](line, 0) is None
+    assert ns["point_n"](line, 4) is None
+    with pytest.raises(ValueError):
+        ns["point_n"](SQ, 1)
+    assert ns["start_point"](line) == "POINT (1 1)"
+    assert ns["end_point"](line) == "POINT (3 3)"
+    assert ns["points_of"](line) == ["POINT (1 1)", "POINT (2 2)", "POINT (3 3)"]
+    assert ns["envelope_as_pts"]("LINESTRING (0 5, 3 1)") == [
+        "POINT (0 1)",
+        "POINT (3 5)",
+    ]
+
+
+def test_ring_accessors(ns):
+    assert ns["exterior_ring"](SQ) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    assert ns["num_interior_ring"](SQ) == 0
+    assert ns["num_interior_ring"](HOLE) == 1
+    assert ns["interior_ring_n"](HOLE, 1) == "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+    assert ns["interior_ring_n"](HOLE, 2) is None
+    assert ns["interior_rings"](HOLE) == ["LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"]
+    with pytest.raises(ValueError):
+        ns["exterior_ring"]("POINT (1 1)")
+
+
+def test_collection_accessors(ns):
+    assert ns["num_geometries"]("POINT (1 1)") == 1
+    assert ns["num_geometries"](MP) == 2
+    assert ns["num_geometries"]("MULTIPOINT EMPTY") == 0
+    assert ns["geometry_n"](MP, 2) == "POLYGON ((5 5, 6 5, 6 6, 5 5))"
+    assert ns["geometry_n"]("POINT (1 1)", 1) == "POINT (1 1)"
+    assert ns["geometry_n"]("POINT (1 1)", 2) is None
+    assert ns["geometries"]("MULTIPOINT (1 2, 3 4)") == ["POINT (1 2)", "POINT (3 4)"]
+
+
+def test_is_ring_simple_valid(ns):
+    assert ns["is_ring"]("LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+    assert not ns["is_ring"]("LINESTRING (0 0, 2 0, 2 2)")
+    # figure-eight closed line: closed but not simple
+    assert not ns["is_ring"]("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")
+    assert ns["is_simple"]("POINT (1 1)")
+    assert not ns["is_simple"]("MULTIPOINT (1 1, 1 1)")
+    assert ns["is_simple"]("LINESTRING (0 0, 2 2, 4 0)")
+    assert not ns["is_simple"]("LINESTRING (0 0, 2 2, 2 0, 0 2)")
+    assert ns["is_valid"](SQ) and ns["is_valid"](HOLE)
+    bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+    assert not ns["is_valid"](bowtie)
+    assert "Self-intersection" in ns["invalid_reason"](bowtie)
+    assert ns["invalid_reason"](SQ) is None
+    assert "Degenerate" in ns["invalid_reason"]("LINESTRING (1 1, 1 1, 2 2)")
+    assert ns["invalid_reason"]("MULTIPOINT (1 1, 1 1)") == "Repeated points"
+
+
+def test_line_locate_interpolate(ns):
+    line = "LINESTRING (0 0, 10 0)"
+    assert ns["line_locate_point"](line, "POINT (3 1)") == pytest.approx(0.3)
+    assert ns["line_locate_point"](line, "POINT (-5 0)") == 0.0
+    assert ns["line_locate_point"](line, "POINT (99 0)") == 1.0
+    with pytest.raises(ValueError):
+        ns["line_locate_point"](line, SQ)
+    assert ns["_line_interpolate"](line, 0.5, False) == ["POINT (5 0)"]
+    assert ns["_line_interpolate"](line, 0.0, False) == ["POINT (0 0)"]
+    assert ns["_line_interpolate"](line, 1.0, False) == ["POINT (10 0)"]
+    assert ns["_line_interpolate"](line, 0.25, True) == [
+        "POINT (2.5 0)",
+        "POINT (5 0)",
+        "POINT (7.5 0)",
+        "POINT (10 0)",
+    ]
+    with pytest.raises(ValueError):
+        ns["_line_interpolate"](line, 1.5, False)
+
+
+def test_nearest_points(ns):
+    assert ns["nearest_points"]("POINT (0 0)", "LINESTRING (5 -5, 5 5)") == [
+        "POINT (0 0)",
+        "POINT (5 0)",
+    ]
+    p, q = ns["nearest_points"](SQ, "POINT (6 2)")
+    assert p == "POINT (4 2)" and q == "POINT (6 2)"
+    # crossing geometries: distance-0 witness on both
+    p, q = ns["nearest_points"](
+        "LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)"
+    )
+    assert p == q == "POINT (2 2)"

@@ -19,6 +19,17 @@ Implemented (Trino names, same semantics):
   clips via Sutherland-Hodgman; concave x concave via a Greiner-Hormann
   clipper in generic position, with enclosed voids classified as holes).
 
+Accessor sweep (r4): ST_Dimension, ST_CoordDim, ST_Boundary (OGC mod-2
+  curve rule), ST_PointN, ST_StartPoint/ST_EndPoint, ST_ExteriorRing,
+  ST_InteriorRingN/ST_InteriorRings/ST_NumInteriorRing, ST_GeometryN /
+  ST_NumGeometries / ST_Geometries, ST_Points, ST_EnvelopeAsPts,
+  ST_IsRing / ST_IsSimple / ST_IsValid / geometry_invalid_reason (reason
+  strings follow the reference's NON_SIMPLE_REASONS), line_locate_point,
+  line_interpolate_point(s), geometry_nearest_points (returned as a
+  2-element array in place of the reference's row type), ST_LineFromText,
+  ST_Polygon, ST_LineString / ST_MultiPoint (from point arrays),
+  geometry_union (array fold), simplify_geometry.
+
 DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
 point is NOT contained (ray-cast interior test); polygon/polygon
 containment = every vertex of B inside-or-on A, no proper edge crossings,
@@ -954,6 +965,531 @@ def sym_difference(sa, sb):
     for k, r in ((k1, r1), (k2, r2)):
         polys.extend(r if k == "MULTIPOLYGON" else [r])
     return emit("MULTIPOLYGON", polys)
+
+
+# --- accessors (reference GeoFunctions.java ST_Dimension:480,
+# ST_Boundary:1126, ST_PointN:928, ST_StartPoint:1006, ST_EndPoint:1042,
+# ST_ExteriorRing:1220, ST_InteriorRingN:970, ST_GeometryN:903,
+# ST_Geometries:944, ST_Points:1058, ST_EnvelopeAsPts:1152,
+# ST_IsRing:994, ST_IsSimple:517, ST_IsValid:526,
+# geometry_invalid_reason:544, line_locate_point:627,
+# line_interpolate_point(s):653/670, geometry_nearest_points:1193) ---
+
+_DIMS = {
+    "POINT": 0,
+    "MULTIPOINT": 0,
+    "LINESTRING": 1,
+    "MULTILINESTRING": 1,
+    "POLYGON": 2,
+    "MULTIPOLYGON": 2,
+}
+
+
+def _validate(fn, kind, allowed):
+    if kind not in allowed:
+        raise ValueError(
+            "%s: invalid geometry type %s (expected one of %s)"
+            % (fn, kind, "/".join(sorted(allowed)))
+        )
+
+
+def dimension(s):
+    """0 for points, 1 for lines, 2 for polygons (OGC dimension)."""
+    k, _ = parse(s)
+    return _DIMS[k]
+
+
+def coord_dim(s):
+    """Coordinate dimension: the WKT kernel is strictly 2-D."""
+    parse(s)
+    return 2
+
+
+def _dedupe_closed(ring):
+    """Drop the explicit closing point if present (rings are implicitly
+    closed everywhere in this kernel)."""
+    if len(ring) > 1 and ring[0] == ring[-1]:
+        return ring[:-1]
+    return ring
+
+
+def boundary(s):
+    """OGC boundary: points -> empty; lines -> mod-2 endpoints;
+    polygons -> their rings as linestrings."""
+    k, d = parse(s)
+    if k in ("POINT", "MULTIPOINT"):
+        return "MULTIPOINT EMPTY"
+    if d is None:
+        return "MULTIPOINT EMPTY" if _DIMS[k] == 1 else emit(k, None)
+    if k == "LINESTRING":
+        d = [d]
+        k = "MULTILINESTRING"
+    if k == "MULTILINESTRING":
+        # mod-2 rule: a point is on the boundary iff it ends an odd
+        # number of component curves (closed components contribute none)
+        counts = {}
+        for path in d:
+            if path[0] == path[-1]:
+                continue
+            for p in (path[0], path[-1]):
+                counts[p] = counts.get(p, 0) + 1
+        pts = sorted(p for p, c in counts.items() if c % 2 == 1)
+        return emit("MULTIPOINT", pts or None)
+    rings = d if k == "POLYGON" else [r for poly in d for r in poly]
+    closed = [
+        r if r[0] == r[-1] else r + [r[0]]
+        for r in (list(r) for r in rings)
+    ]
+    if len(closed) == 1:
+        return emit("LINESTRING", closed[0])
+    return emit("MULTILINESTRING", closed)
+
+
+def point_n(s, n):
+    """1-based vertex of a LINESTRING; NULL out of range (wrong type
+    raises, matching validateType)."""
+    k, d = parse(s)
+    _validate("ST_PointN", k, ("LINESTRING",))
+    if d is None or n < 1 or n > len(d):
+        return None
+    return emit("POINT", d[int(n) - 1])
+
+
+def start_point(s):
+    k, d = parse(s)
+    _validate("ST_StartPoint", k, ("LINESTRING",))
+    return None if d is None else emit("POINT", d[0])
+
+
+def end_point(s):
+    k, d = parse(s)
+    _validate("ST_EndPoint", k, ("LINESTRING",))
+    return None if d is None else emit("POINT", d[-1])
+
+
+def exterior_ring(s):
+    k, d = parse(s)
+    _validate("ST_ExteriorRing", k, ("POLYGON",))
+    if d is None:
+        return None
+    r = list(d[0])
+    return emit("LINESTRING", r if r[0] == r[-1] else r + [r[0]])
+
+
+def num_interior_ring(s):
+    k, d = parse(s)
+    _validate("ST_NumInteriorRing", k, ("POLYGON",))
+    return None if d is None else len(d) - 1
+
+
+def interior_ring_n(s, n):
+    k, d = parse(s)
+    _validate("ST_InteriorRingN", k, ("POLYGON",))
+    if d is None or n < 1 or n > len(d) - 1:
+        return None
+    r = list(d[int(n)])
+    return emit("LINESTRING", r if r[0] == r[-1] else r + [r[0]])
+
+
+def interior_rings(s):
+    """All interior rings as LINESTRING WKTs (reference stInteriorRings;
+    NULL for empty polygons, raises for non-polygons)."""
+    k, d = parse(s)
+    _validate("ST_InteriorRings", k, ("POLYGON",))
+    if d is None:
+        return None
+    out = []
+    for ring in d[1:]:
+        r = list(ring)
+        out.append(emit("LINESTRING", r if r[0] == r[-1] else r + [r[0]]))
+    return out
+
+
+def _components(k, d):
+    """Split a geometry into its single-geometry components."""
+    if d is None:
+        return []
+    if not k.startswith("MULTI"):
+        return [(k, d)]
+    base = k[5:]
+    return [(base, part) for part in d]
+
+
+def num_geometries(s):
+    k, d = parse(s)
+    if d is None:
+        return 0
+    return len(_components(k, d))
+
+
+def geometry_n(s, n):
+    """1-based component of a multi-geometry; a single geometry is its
+    own component 1; NULL out of range or empty."""
+    k, d = parse(s)
+    if d is None:
+        return None
+    comps = _components(k, d)
+    if n < 1 or n > len(comps):
+        return None
+    ck, cd = comps[int(n) - 1]
+    return emit(ck, cd)
+
+
+def geometries(s):
+    k, d = parse(s)
+    if d is None:
+        return None
+    return [emit(ck, cd) for ck, cd in _components(k, d)]
+
+
+def points_of(s):
+    """All vertices in order as POINT WKTs (NULL for empty)."""
+    k, d = parse(s)
+    if d is None:
+        return None
+    return [emit("POINT", p) for p in _all_points(k, d)]
+
+
+def envelope_as_pts(s):
+    b = bounds(s)
+    if b is None:
+        return None
+    return [emit("POINT", (b[0], b[1])), emit("POINT", (b[2], b[3]))]
+
+
+def is_ring(s):
+    """TRUE iff the LINESTRING is closed and simple."""
+    k, d = parse(s)
+    _validate("ST_IsRing", k, ("LINESTRING",))
+    if d is None:
+        return None
+    return d[0] == d[-1] and is_simple(s)
+
+
+def _segments(path):
+    return [
+        (path[i], path[i + 1])
+        for i in range(len(path) - 1)
+        if path[i] != path[i + 1]
+    ]
+
+
+def _collinear_overlap(a, b, c, d):
+    """If ab and cd are collinear and overlap with positive length,
+    return the overlapping (lo, hi) parameter interval on ab, else None."""
+    ux, uy = b[0] - a[0], b[1] - a[1]
+    cross1 = ux * (c[1] - a[1]) - uy * (c[0] - a[0])
+    cross2 = ux * (d[1] - a[1]) - uy * (d[0] - a[0])
+    if abs(cross1) > 1e-12 or abs(cross2) > 1e-12:
+        return None
+    den = ux * ux + uy * uy
+    if den < 1e-24:
+        return None
+    t1 = ((c[0] - a[0]) * ux + (c[1] - a[1]) * uy) / den
+    t2 = ((d[0] - a[0]) * ux + (d[1] - a[1]) * uy) / den
+    lo, hi = min(t1, t2), max(t1, t2)
+    lo, hi = max(lo, 0.0), min(hi, 1.0)
+    if hi - lo < 1e-12:
+        return None
+    return (lo, hi)
+
+
+def _line_self_simple(paths):
+    """OGC simplicity for a (multi)linestring: self-intersections only at
+    component endpoints."""
+    segs = []  # (seg, path_idx, first?, last?, endpoints of path)
+    for pi, path in enumerate(paths):
+        ss = _segments(path)
+        for si, seg in enumerate(ss):
+            segs.append((seg, pi, si, len(ss)))
+    for i in range(len(segs)):
+        (a, b), pi, si, ni = segs[i]
+        for j in range(i + 1, len(segs)):
+            (c, d), pj, sj, nj = segs[j]
+            if pi == pj and sj == si + 1:
+                # consecutive: shared vertex is fine; collinear backtrack
+                # is not
+                if _collinear_overlap(a, b, c, d):
+                    return False
+                continue
+            if (
+                pi == pj
+                and si == 0
+                and sj == ni - 1
+                and paths[pi][0] == paths[pi][-1]
+            ):
+                # closure of a ring: first/last segments share the
+                # start/end point legitimately
+                if _collinear_overlap(a, b, c, d):
+                    return False
+                continue
+            if not _seg_intersect(a, b, c, d):
+                continue
+            if _collinear_overlap(a, b, c, d):
+                return False
+            if _seg_intersect(a, b, c, d, proper_only=True):
+                return False
+            # touching intersection: allowed only at endpoints of BOTH
+            # components (OGC boundary points)
+            ends_i = (paths[pi][0], paths[pi][-1])
+            ends_j = (paths[pj][0], paths[pj][-1])
+            touch = [
+                p
+                for p in (a, b)
+                if _pt_seg_dist(p, c, d) < 1e-12
+            ] + [p for p in (c, d) if _pt_seg_dist(p, a, b) < 1e-12]
+            for p in touch:
+                if pi == pj:
+                    return False
+                if p not in ends_i or p not in ends_j:
+                    return False
+    return True
+
+
+def is_simple(s):
+    """No anomalous geometric points (reference stIsSimple)."""
+    k, d = parse(s)
+    if d is None:
+        return True
+    if k == "POINT":
+        return True
+    if k == "MULTIPOINT":
+        return len(set(d)) == len(d)
+    if k == "LINESTRING":
+        return _line_self_simple([d])
+    if k == "MULTILINESTRING":
+        return _line_self_simple(d)
+    return invalid_reason(s) is None
+
+
+def invalid_reason(s):
+    """Reason the geometry is not well formed, or None (reference
+    geometry_invalid_reason; reason strings follow its
+    NON_SIMPLE_REASONS map, GeoFunctions.java:143-151)."""
+    k, d = parse(s)
+    if d is None or k in ("POINT",):
+        return None
+    if k == "MULTIPOINT":
+        return "Repeated points" if len(set(d)) != len(d) else None
+    if k in ("LINESTRING", "MULTILINESTRING"):
+        paths = [d] if k == "LINESTRING" else d
+        for path in paths:
+            for i in range(len(path) - 1):
+                if path[i] == path[i + 1]:
+                    return "Degenerate segments at or near (%s %s)" % (
+                        _fmt(path[i][0]),
+                        _fmt(path[i][1]),
+                    )
+            if len(_segments(path)) == 0:
+                return "Degenerate segments"
+        return None
+    polys = d if k == "MULTIPOLYGON" else [d]
+    for rings in polys:
+        for ring in rings:
+            r = _dedupe_closed(list(ring))
+            if len(set(r)) < 3:
+                return "Degenerate segments"
+            segs = _segments(r + [r[0]])
+            n = len(segs)
+            for i in range(n):
+                a, b = segs[i]
+                for j in range(i + 1, n):
+                    c, dd = segs[j]
+                    adjacent = j == i + 1 or (i == 0 and j == n - 1)
+                    if adjacent:
+                        if _collinear_overlap(a, b, c, dd):
+                            return (
+                                "Intersecting or overlapping segments"
+                                " at or near (%s %s)"
+                                % (_fmt(c[0]), _fmt(c[1]))
+                            )
+                        continue
+                    if _seg_intersect(a, b, c, dd):
+                        p = a if _pt_seg_dist(a, c, dd) < 1e-12 else c
+                        return "Self-intersection at or near (%s %s)" % (
+                            _fmt(p[0]),
+                            _fmt(p[1]),
+                        )
+    return None
+
+
+def is_valid(s):
+    return invalid_reason(s) is None
+
+
+def _paths_of_line(s, fn):
+    k, d = parse(s)
+    _validate(fn, k, ("LINESTRING", "MULTILINESTRING"))
+    if d is None:
+        return None
+    return [d] if k == "LINESTRING" else d
+
+
+def line_locate_point(sl, sp):
+    """Fraction [0,1] of total length at the nearest point on the line
+    (reference lineLocatePoint; JTS LengthIndexedLine semantics)."""
+    paths = _paths_of_line(sl, "line_locate_point")
+    kp, p = parse(sp)
+    if kp != "POINT":
+        raise ValueError(
+            "Second argument to line_locate_point must be a Point."
+            " Got: %s" % kp
+        )
+    if paths is None or p is None:
+        return None
+    total = 0.0
+    best = (float("inf"), 0.0)  # (distance, length-at)
+    consumed = 0.0
+    for path in paths:
+        for a, b in zip(path, path[1:]):
+            ux, uy = b[0] - a[0], b[1] - a[1]
+            den = ux * ux + uy * uy
+            seg_len = math.hypot(ux, uy)
+            t = 0.0
+            if den > 0:
+                t = ((p[0] - a[0]) * ux + (p[1] - a[1]) * uy) / den
+                t = max(0.0, min(1.0, t))
+            qx, qy = a[0] + t * ux, a[1] + t * uy
+            dist = math.hypot(p[0] - qx, p[1] - qy)
+            if dist < best[0] - 1e-15:
+                best = (dist, consumed + t * seg_len)
+            consumed += seg_len
+            total += seg_len
+    if total == 0:
+        return 0.0
+    return best[1] / total
+
+
+def _line_interpolate(s, frac, repeated):
+    """Reference interpolatePoints (GeoFunctions.java:688-736): walk the
+    path emitting points every `frac` of total length."""
+    k, d = parse(s)
+    if d is None:
+        return None
+    _validate("line_interpolate_point", k, ("LINESTRING",))
+    if not (0 <= frac <= 1):
+        raise ValueError("fraction must be between 0 and 1")
+    if frac == 0:
+        return [emit("POINT", d[0])]
+    if frac == 1:
+        return [emit("POINT", d[-1])]
+    count = int(math.floor(1.0 / frac)) if repeated else 1
+    total = _path_len(d)
+    out = []
+    target = frac
+    consumed = 0.0
+    prev = d[0]
+    for cur in d[1:]:
+        if len(out) >= count:
+            break
+        seg_frac = math.hypot(cur[0] - prev[0], cur[1] - prev[1]) / total
+        while target < consumed + seg_frac and len(out) < count:
+            t = (target - consumed) / seg_frac
+            out.append(
+                emit(
+                    "POINT",
+                    (
+                        prev[0] + (cur[0] - prev[0]) * t,
+                        prev[1] + (cur[1] - prev[1]) * t,
+                    ),
+                )
+            )
+            target += frac
+        consumed += seg_frac
+        prev = cur
+    if len(out) < count:
+        out.append(emit("POINT", d[-1]))
+    return out
+
+
+def _seg_seg_nearest(a, b, c, d):
+    """Closest point pair between segments ab and cd -> (dist, p, q)."""
+    if _seg_intersect(a, b, c, d):
+        # crossing or touching: find a common point (project endpoints,
+        # else proper-crossing solve)
+        for p in (a, b):
+            if _pt_seg_dist(p, c, d) < 1e-12:
+                return (0.0, p, p)
+        for p in (c, d):
+            if _pt_seg_dist(p, a, b) < 1e-12:
+                return (0.0, p, p)
+        x1, y1 = a
+        x2, y2 = b
+        x3, y3 = c
+        x4, y4 = d
+        den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        if abs(den) > 1e-24:
+            t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+            p = (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+            return (0.0, p, p)
+    best = (float("inf"), None, None)
+    for p in (a, b):
+        ux, uy = d[0] - c[0], d[1] - c[1]
+        den = ux * ux + uy * uy
+        t = 0.0
+        if den > 0:
+            t = max(
+                0.0,
+                min(1.0, ((p[0] - c[0]) * ux + (p[1] - c[1]) * uy) / den),
+            )
+        q = (c[0] + t * ux, c[1] + t * uy)
+        dist = math.hypot(p[0] - q[0], p[1] - q[1])
+        if dist < best[0]:
+            best = (dist, p, q)
+    for p in (c, d):
+        ux, uy = b[0] - a[0], b[1] - a[1]
+        den = ux * ux + uy * uy
+        t = 0.0
+        if den > 0:
+            t = max(
+                0.0,
+                min(1.0, ((p[0] - a[0]) * ux + (p[1] - a[1]) * uy) / den),
+            )
+        q = (a[0] + t * ux, a[1] + t * uy)
+        dist = math.hypot(p[0] - q[0], p[1] - q[1])
+        if dist < best[0]:
+            best = (dist, q, p)
+    return best
+
+
+def nearest_points(sa, sb):
+    """Closest points on A and B -> [POINT, POINT] (reference
+    geometry_nearest_points; JTS DistanceOp works on the boundaries/
+    vertices, as here)."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return None
+    ea = _edges(ka, da)
+    eb = _edges(kb, db)
+    best = (float("inf"), None, None)
+    if not ea and not eb:
+        pa = _all_points(ka, da)
+        pb = _all_points(kb, db)
+        for p in pa:
+            for q in pb:
+                dist = math.hypot(p[0] - q[0], p[1] - q[1])
+                if dist < best[0]:
+                    best = (dist, p, q)
+    elif not ea:
+        for p in _all_points(ka, da):
+            for c, d in eb:
+                r = _seg_seg_nearest(p, p, c, d)
+                if r[0] < best[0]:
+                    best = r
+    elif not eb:
+        for q in _all_points(kb, db):
+            for a, b in ea:
+                r = _seg_seg_nearest(a, b, q, q)
+                if r[0] < best[0]:
+                    best = r
+    else:
+        for a, b in ea:
+            for c, d in eb:
+                r = _seg_seg_nearest(a, b, c, d)
+                if r[0] < best[0]:
+                    best = r
+    return [emit("POINT", best[1]), emit("POINT", best[2])]
 '''
 
 
@@ -1246,6 +1782,246 @@ def register_geometry_udfs(spark: SparkSession) -> int:
 
     fns["st_buffer"] = _geo_num_fn("st_buffer", "buffer_geom")
     fns["st_simplify"] = _geo_num_fn("st_simplify", "simplify")
+    fns["simplify_geometry"] = _geo_num_fn("simplify_geometry", "simplify")
+
+    # --- accessors (reference GeoFunctions.java, citations in the
+    # kernel docstrings) ---
+    def _typed_fn(name, impl, rtype):
+        @_pudf(rtype)
+        def fn(s):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            f = ns[impl]
+            return pd.Series([None if v is None else f(v) for v in s])
+
+        fn.__name__ = name
+        return fn
+
+    def _geo_int_fn(name, impl, rtype="string"):
+        """(geometry, 1-based int index) -> rtype."""
+
+        @_pudf(rtype)
+        def fn(g, i):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            f = ns[impl]
+            return pd.Series(
+                [
+                    None if gv is None or iv is None else f(gv, int(iv))
+                    for gv, iv in zip(g, i)
+                ]
+            )
+
+        fn.__name__ = name
+        return fn
+
+    fns["st_dimension"] = _typed_fn("st_dimension", "dimension", "int")
+    fns["st_coorddim"] = _typed_fn("st_coorddim", "coord_dim", "int")
+    fns["st_boundary"] = _str_fn("st_boundary", "boundary")
+    fns["st_startpoint"] = _str_fn("st_startpoint", "start_point")
+    fns["st_endpoint"] = _str_fn("st_endpoint", "end_point")
+    fns["st_exteriorring"] = _str_fn("st_exteriorring", "exterior_ring")
+    fns["st_numinteriorring"] = _typed_fn(
+        "st_numinteriorring", "num_interior_ring", "int"
+    )
+    fns["st_numgeometries"] = _typed_fn(
+        "st_numgeometries", "num_geometries", "int"
+    )
+    fns["st_pointn"] = _geo_int_fn("st_pointn", "point_n")
+    fns["st_interiorringn"] = _geo_int_fn(
+        "st_interiorringn", "interior_ring_n"
+    )
+    fns["st_geometryn"] = _geo_int_fn("st_geometryn", "geometry_n")
+    fns["st_geometries"] = _typed_fn(
+        "st_geometries", "geometries", "array<string>"
+    )
+    fns["st_points"] = _typed_fn("st_points", "points_of", "array<string>")
+    fns["st_interiorrings"] = _typed_fn(
+        "st_interiorrings", "interior_rings", "array<string>"
+    )
+    fns["st_envelopeaspts"] = _typed_fn(
+        "st_envelopeaspts", "envelope_as_pts", "array<string>"
+    )
+    fns["st_isring"] = _typed_fn("st_isring", "is_ring", "boolean")
+    fns["st_issimple"] = _typed_fn("st_issimple", "is_simple", "boolean")
+    fns["st_isvalid"] = _typed_fn("st_isvalid", "is_valid", "boolean")
+    fns["geometry_invalid_reason"] = _typed_fn(
+        "geometry_invalid_reason", "invalid_reason", "string"
+    )
+
+    @_pudf("double")
+    def line_locate_point(line, pt):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["line_locate_point"]
+        return pd.Series(
+            [
+                None if a is None or b is None else f(a, b)
+                for a, b in zip(line, pt)
+            ]
+        )
+
+    fns["line_locate_point"] = line_locate_point
+
+    @_pudf("string")
+    def line_interpolate_point(line, frac):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["_line_interpolate"]
+
+        def go(a, fr):
+            if a is None or fr is None:
+                return None
+            pts = f(a, float(fr), False)
+            return None if pts is None else pts[0]
+
+        return pd.Series([go(a, fr) for a, fr in zip(line, frac)])
+
+    fns["line_interpolate_point"] = line_interpolate_point
+
+    @_pudf("array<string>")
+    def line_interpolate_points(line, frac):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["_line_interpolate"]
+        return pd.Series(
+            [
+                None
+                if a is None or fr is None
+                else f(a, float(fr), True)
+                for a, fr in zip(line, frac)
+            ]
+        )
+
+    fns["line_interpolate_points"] = line_interpolate_points
+
+    @_pudf("array<string>")
+    def geometry_nearest_points(a, b):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["nearest_points"]
+        return pd.Series(
+            [
+                None if x is None or y is None else f(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    fns["geometry_nearest_points"] = geometry_nearest_points
+
+    def _parse_as(name, want):
+        @_pudf("string")
+        def fn(s):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+
+            def go(v):
+                if v is None:
+                    return None
+                k, d = ns["parse"](v)
+                if k != want:
+                    raise ValueError(
+                        "%s: expected %s, got %s" % (name, want, k)
+                    )
+                return ns["emit"](k, d)
+
+            return pd.Series([go(v) for v in s])
+
+        fn.__name__ = name
+        return fn
+
+    fns["st_linefromtext"] = _parse_as("st_linefromtext", "LINESTRING")
+    fns["st_polygon"] = _parse_as("st_polygon", "POLYGON")
+
+    @_pudf("string")
+    def st_linestring(pts):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+
+        def go(arr):
+            if arr is None:
+                return None
+            coords = []
+            for w in arr:
+                k, d = ns["parse"](w)
+                if k != "POINT" or d is None:
+                    raise ValueError(
+                        "ST_LineString: array must contain only non-empty"
+                        " points"
+                    )
+                coords.append(d)
+            if len(coords) < 2:
+                return "LINESTRING EMPTY"
+            return ns["emit"]("LINESTRING", coords)
+
+        return pd.Series([go(arr) for arr in pts])
+
+    fns["st_linestring"] = st_linestring
+
+    @_pudf("string")
+    def st_multipoint(pts):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+
+        def go(arr):
+            if arr is None:
+                return None
+            coords = []
+            for w in arr:
+                k, d = ns["parse"](w)
+                if k != "POINT" or d is None:
+                    raise ValueError(
+                        "ST_MultiPoint: array must contain only non-empty"
+                        " points"
+                    )
+                coords.append(d)
+            if not coords:
+                return None
+            return ns["emit"]("MULTIPOINT", coords)
+
+        return pd.Series([go(arr) for arr in pts])
+
+    fns["st_multipoint"] = st_multipoint
+
+    @_pudf("string")
+    def geometry_union(geoms):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["union_geom"]
+
+        def go(arr):
+            if arr is None:
+                return None
+            acc = None
+            for w in arr:
+                if w is None:
+                    continue
+                acc = w if acc is None else f(acc, w)
+            return acc
+
+        return pd.Series([go(arr) for arr in geoms])
+
+    fns["geometry_union"] = geometry_union
 
     for name, fn in fns.items():
         spark.udf.register(name, fn)
