@@ -376,3 +376,62 @@ def test_nearest_points(ns):
         "LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)"
     )
     assert p == q == "POINT (2 2)"
+
+
+# --- DE-9IM relate engine (reference ST_Relate:1369, ST_Crosses:1295,
+# ST_Disjoint:1310, ST_Equals:1325, ST_Overlaps:1352, ST_Touches:1379) ---
+
+
+def test_de9im_point_vs_polygon(ns):
+    assert ns["de9im"]("POINT (2 2)", SQ) == "0FFFFF212"
+    assert ns["de9im"]("POINT (0 2)", SQ) == "F0FFFF212"
+    assert ns["de9im"]("POINT (9 9)", SQ) == "FF0FFF212"
+
+
+def test_touches(ns):
+    # shared edge
+    assert ns["touches"](SQ, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")
+    # shared vertex only
+    assert ns["touches"](SQ, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    # interior overlap: not touches
+    assert not ns["touches"](SQ, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    # line along polygon edge / endpoint-to-endpoint lines
+    assert ns["touches"]("LINESTRING (0 0, 4 0)", SQ)
+    assert ns["touches"]("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)")
+    assert ns["touches"]("POINT (0 0)", "LINESTRING (0 0, 2 2)")
+    assert not ns["touches"]("POINT (1 1)", "LINESTRING (0 0, 2 2)")
+
+
+def test_crosses(ns):
+    assert ns["crosses"]("LINESTRING (-1 2, 5 2)", SQ)
+    assert ns["crosses"]("LINESTRING (-1 2, 2 2)", SQ)  # ends inside
+    assert not ns["crosses"]("LINESTRING (1 1, 3 3)", SQ)  # fully inside
+    assert ns["crosses"]("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)")
+    assert not ns["crosses"]("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)")
+    assert ns["crosses"](SQ, "LINESTRING (-1 2, 5 2)")  # swapped operands
+
+
+def test_overlaps(ns):
+    assert ns["overlaps"](SQ, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    assert not ns["overlaps"](SQ, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")
+    assert not ns["overlaps"](SQ, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert ns["overlaps"]("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)")
+    assert not ns["overlaps"]("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 4 0)")
+    assert ns["overlaps"]("MULTIPOINT (0 0, 1 1)", "MULTIPOINT (1 1, 2 2)")
+    assert not ns["overlaps"](SQ, "LINESTRING (1 1, 3 3)")  # mixed dims
+
+
+def test_equals_disjoint_relate(ns):
+    assert ns["equals_geom"](SQ, "POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))")
+    assert ns["equals_geom"](
+        "LINESTRING (0 0, 4 0)", "LINESTRING (0 0, 2 0, 4 0)"
+    )
+    assert not ns["equals_geom"](SQ, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert ns["disjoint"](SQ, "POINT (9 9)")
+    assert not ns["disjoint"](SQ, "POINT (4 4)")
+    assert ns["relate"](SQ, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "T*****FF*")
+    assert ns["relate"](SQ, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))", "FF*F1****")
+    with pytest.raises(ValueError):
+        ns["relate"](SQ, SQ, "TT")  # bad pattern length
+    with pytest.raises(ValueError):
+        ns["de9im"](HOLE, SQ)  # holes are unsupported relate operands

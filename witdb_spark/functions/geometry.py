@@ -30,6 +30,15 @@ Accessor sweep (r4): ST_Dimension, ST_CoordDim, ST_Boundary (OGC mod-2
   ST_Polygon, ST_LineString / ST_MultiPoint (from point arrays),
   geometry_union (array fold), simplify_geometry.
 
+DE-9IM relate engine (r4): de9im() computes the 3x3 intersection-
+  dimension matrix directly from the finite representations (split-
+  midpoint classification, collinear-overlap arcs, crossing witnesses);
+  ST_Relate matches T/F/*/0/1/2 masks, and ST_Crosses / ST_Disjoint /
+  ST_Equals / ST_Overlaps / ST_Touches are the standard mask
+  specializations. Polygon operands of relate must be hole-free (the
+  exterior-cell witness argument needs a simply-connected complement);
+  holes raise.
+
 DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
 point is NOT contained (ray-cast interior test); polygon/polygon
 containment = every vertex of B inside-or-on A, no proper edge crossings,
@@ -1452,6 +1461,402 @@ def _seg_seg_nearest(a, b, c, d):
     return best
 
 
+# --- DE-9IM relate engine (reference GeoFunctions.java ST_Relate:1369,
+# ST_Crosses:1295, ST_Disjoint:1310, ST_Equals:1325, ST_Overlaps:1352,
+# ST_Touches:1379 — Esri Operator* backed there; here the 3x3
+# intersection-dimension matrix is computed directly from the kernel's
+# finite representations. Polygon operands must be hole-free (holes
+# break the boundary-witness arguments; they raise, consistent with the
+# clipper policy). ---
+
+_EPS = 1e-9
+
+
+def _class_of(k):
+    return {0: "P", 1: "L", 2: "A"}[_DIMS[k]]
+
+
+def _paths(k, d):
+    """Line-class geometry as a list of paths."""
+    return [d] if k == "LINESTRING" else list(d)
+
+
+def _polys(k, d):
+    """Area-class geometry as a list of polygons (ring lists)."""
+    return [d] if k == "POLYGON" else list(d)
+
+
+def _line_boundary_pts(paths):
+    counts = {}
+    for path in paths:
+        if path[0] == path[-1]:
+            continue
+        for p in (path[0], path[-1]):
+            counts[p] = counts.get(p, 0) + 1
+    return [p for p, c in counts.items() if c % 2 == 1]
+
+
+def _near(p, q):
+    return math.hypot(p[0] - q[0], p[1] - q[1]) < _EPS
+
+
+def _classify_pt(p, k, d):
+    """'I' / 'B' / 'E' of point p against geometry (k, d)."""
+    cls = _class_of(k)
+    if cls == "P":
+        pts = [d] if k == "POINT" else d
+        return "I" if any(_near(p, q) for q in pts) else "E"
+    if cls == "L":
+        paths = _paths(k, d)
+        on = any(
+            _pt_seg_dist(p, a, b) < _EPS
+            for path in paths
+            for a, b in zip(path, path[1:])
+        )
+        if not on:
+            return "E"
+        return (
+            "B"
+            if any(_near(p, q) for q in _line_boundary_pts(paths))
+            else "I"
+        )
+    best = 0
+    for rings in _polys(k, d):
+        r = _point_in_poly(p, rings)
+        if r == 1:
+            return "I"
+        best = max(best, r)
+    return "B" if best == 2 else "E"
+
+
+def _cross_point(a, b, c, d):
+    """A witness point of the (non-collinear) intersection of ab, cd."""
+    for p in (a, b):
+        if _pt_seg_dist(p, c, d) < _EPS:
+            return p
+    for p in (c, d):
+        if _pt_seg_dist(p, a, b) < _EPS:
+            return p
+    x1, y1 = a
+    x2, y2 = b
+    x3, y3 = c
+    x4, y4 = d
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    if abs(den) < 1e-24:
+        return None
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+def _param_on(seg, p):
+    (ax, ay), (bx, by) = seg
+    ux, uy = bx - ax, by - ay
+    den = ux * ux + uy * uy
+    if den < 1e-24:
+        return 0.0
+    return ((p[0] - ax) * ux + (p[1] - ay) * uy) / den
+
+
+def _split_mids(seg, other_edges):
+    """Midpoints of the pieces of seg after splitting at every
+    intersection with other_edges."""
+    a, b = seg
+    ts = {0.0, 1.0}
+    for c, d in other_edges:
+        ov = _collinear_overlap(a, b, c, d)
+        if ov:
+            ts.add(ov[0])
+            ts.add(ov[1])
+            continue
+        if _seg_intersect(a, b, c, d):
+            p = _cross_point(a, b, c, d)
+            if p is not None:
+                ts.add(max(0.0, min(1.0, _param_on(seg, p))))
+    ss = sorted(ts)
+    out = []
+    for lo, hi in zip(ss, ss[1:]):
+        if hi - lo > 1e-12:
+            t = (lo + hi) / 2.0
+            out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    return out
+
+
+def _seg_covered(seg, edges):
+    """Is seg fully covered by collinear overlaps with edges?"""
+    a, b = seg
+    ivs = []
+    for c, d in edges:
+        ov = _collinear_overlap(a, b, c, d)
+        if ov:
+            ivs.append(ov)
+    ivs.sort()
+    reach = 0.0
+    for lo, hi in ivs:
+        if lo > reach + 1e-9:
+            return False
+        reach = max(reach, hi)
+    return reach >= 1.0 - 1e-9
+
+
+def _geom_edges(k, d):
+    segs = []
+    if _class_of(k) == "L":
+        for path in _paths(k, d):
+            segs.extend(_segments(path))
+    else:
+        for rings in _polys(k, d):
+            for ring in rings:
+                r = _dedupe_closed(list(ring))
+                segs.extend(_segments(r + [r[0]]))
+    return segs
+
+
+def _set_dim(m, idx, dim):
+    order = {"F": 0, "0": 1, "1": 2, "2": 3}
+    if order[dim] > order[m[idx]]:
+        m[idx] = dim
+
+
+def de9im(sa, sb):
+    """The DE-9IM matrix of A vs B as a 9-char string (row-major over
+    Interior/Boundary/Exterior, values F/0/1/2)."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        raise ValueError("relate: empty geometry operands unsupported")
+    ca, cb = _class_of(ka), _class_of(kb)
+    if (ca, cb) in (("L", "P"), ("A", "P"), ("A", "L")):
+        t = de9im(sb, sa)
+        return "".join(t[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+    m = ["F"] * 9
+    m[8] = "2"
+    II, IB, IE, BI, BB, BE, EI, EB = range(8)
+
+    if (ca, cb) == ("P", "P"):
+        pa = [da] if ka == "POINT" else da
+        pb = [db] if kb == "POINT" else db
+        for p in pa:
+            _set_dim(m, II if any(_near(p, q) for q in pb) else IE, "0")
+        for q in pb:
+            if not any(_near(q, p) for p in pa):
+                _set_dim(m, EI, "0")
+        return "".join(m)
+
+    if (ca, cb) == ("P", "L"):
+        pa = [da] if ka == "POINT" else da
+        for p in pa:
+            c = _classify_pt(p, kb, db)
+            _set_dim(m, {"I": II, "B": IB, "E": IE}[c], "0")
+        m[EI] = "1"
+        for q in _line_boundary_pts(_paths(kb, db)):
+            if not any(_near(q, p) for p in pa):
+                _set_dim(m, EB, "0")
+        return "".join(m)
+
+    if (ca, cb) == ("P", "A"):
+        pa = [da] if ka == "POINT" else da
+        for p in pa:
+            c = _classify_pt(p, kb, db)
+            _set_dim(m, {"I": II, "B": IB, "E": IE}[c], "0")
+        m[EI] = "2"
+        m[EB] = "1"
+        return "".join(m)
+
+    if (ca, cb) == ("L", "L"):
+        paths_a, paths_b = _paths(ka, da), _paths(kb, db)
+        ea, eb = _geom_edges(ka, da), _geom_edges(kb, db)
+        bnd_a, bnd_b = (
+            _line_boundary_pts(paths_a),
+            _line_boundary_pts(paths_b),
+        )
+
+        def cls_line(p, paths, bnd):
+            on = any(
+                _pt_seg_dist(p, x, y) < _EPS
+                for path in paths
+                for x, y in zip(path, path[1:])
+            )
+            if not on:
+                return "E"
+            return "B" if any(_near(p, q) for q in bnd) else "I"
+
+        pts = set()
+        for a, b in ea:
+            for c, d in eb:
+                if _collinear_overlap(a, b, c, d):
+                    # positive-length common arc: its generic point is
+                    # interior to both curves
+                    _set_dim(m, II, "1")
+                elif _seg_intersect(a, b, c, d):
+                    p = _cross_point(a, b, c, d)
+                    if p is not None:
+                        pts.add((round(p[0], 9), round(p[1], 9)))
+        for p in pts:
+            x = cls_line(p, paths_a, bnd_a)
+            y = cls_line(p, paths_b, bnd_b)
+            idx = {
+                ("I", "I"): II,
+                ("I", "B"): IB,
+                ("B", "I"): BI,
+                ("B", "B"): BB,
+            }.get((x, y))
+            if idx is not None:
+                _set_dim(m, idx, "0")
+        if any(not _seg_covered(s, eb) for s in ea):
+            _set_dim(m, IE, "1")
+        if any(not _seg_covered(s, ea) for s in eb):
+            _set_dim(m, EI, "1")
+        for p in bnd_a:
+            c = cls_line(p, paths_b, bnd_b)
+            _set_dim(m, {"I": BI, "B": BB, "E": BE}[c], "0")
+        for q in bnd_b:
+            c = cls_line(q, paths_a, bnd_a)
+            _set_dim(m, {"I": IB, "B": BB, "E": EB}[c], "0")
+        return "".join(m)
+
+    if (ca, cb) == ("L", "A"):
+        paths_a = _paths(ka, da)
+        bnd_a = _line_boundary_pts(paths_a)
+        ea, eb = _geom_edges(ka, da), _geom_edges(kb, db)
+        for seg in ea:
+            for p in _split_mids(seg, eb):
+                c = _classify_pt(p, kb, db)
+                _set_dim(m, {"I": II, "B": IB, "E": IE}[c], "1")
+        pts = set()
+        for a, b in ea:
+            for c, d in eb:
+                if _collinear_overlap(a, b, c, d):
+                    continue
+                if _seg_intersect(a, b, c, d):
+                    p = _cross_point(a, b, c, d)
+                    if p is not None:
+                        pts.add((round(p[0], 9), round(p[1], 9)))
+        for p in pts:
+            on_line_bnd = any(_near(p, q) for q in bnd_a)
+            _set_dim(m, BB if on_line_bnd else IB, "0")
+        for p in bnd_a:
+            c = _classify_pt(p, kb, db)
+            _set_dim(m, {"I": BI, "B": BB, "E": BE}[c], "0")
+        m[EI] = "2"
+        if any(not _seg_covered(s, ea) for s in eb):
+            _set_dim(m, EB, "1")
+        return "".join(m)
+
+    # A x A
+    for rings in _polys(ka, da) + _polys(kb, db):
+        if len(rings) > 1:
+            raise ValueError(
+                "relate: polygons with holes are unsupported operands"
+            )
+    ea, eb = _geom_edges(ka, da), _geom_edges(kb, db)
+    mids_a = [
+        (p, _classify_pt(p, kb, db))
+        for seg in ea
+        for p in _split_mids(seg, eb)
+    ]
+    mids_b = [
+        (p, _classify_pt(p, ka, da))
+        for seg in eb
+        for p in _split_mids(seg, ea)
+    ]
+    a_in = any(c == "I" for _, c in mids_a)
+    b_in = any(c == "I" for _, c in mids_b)
+    a_out = any(c == "E" for _, c in mids_a)
+    b_out = any(c == "E" for _, c in mids_b)
+    coincide = (
+        mids_a
+        and mids_b
+        and all(c == "B" for _, c in mids_a)
+        and all(c == "B" for _, c in mids_b)
+    )
+    if a_in or b_in or coincide:
+        m[II] = "2"
+    if b_in:
+        _set_dim(m, IB, "1")
+    if a_in:
+        _set_dim(m, BI, "1")
+    if a_out:
+        m[IE] = "2"
+        _set_dim(m, BE, "1")
+    if b_out:
+        m[EI] = "2"
+        _set_dim(m, EB, "1")
+    for a, b in ea:
+        for c, d in eb:
+            if _collinear_overlap(a, b, c, d):
+                _set_dim(m, BB, "1")
+            elif _seg_intersect(a, b, c, d):
+                _set_dim(m, BB, "0")
+    return "".join(m)
+
+
+def relate(sa, sb, pattern):
+    """ST_Relate: does the DE-9IM matrix match the T/F/*/0/1/2 mask?"""
+    if len(pattern) != 9:
+        raise ValueError("relate pattern must have 9 characters")
+    got = de9im(sa, sb)
+    for g, w in zip(got, pattern.upper()):
+        if w == "*":
+            continue
+        if w == "T" and g == "F":
+            return False
+        if w == "F" and g != "F":
+            return False
+        if w in "012" and g != w:
+            return False
+    return True
+
+
+def disjoint(sa, sb):
+    return not intersects(sa, sb)
+
+
+def crosses(sa, sb):
+    """OGC crosses: dimension-dependent interior intersection."""
+    ka, _ = parse(sa)
+    kb, _ = parse(sb)
+    na, nb = _DIMS[ka], _DIMS[kb]
+    m = de9im(sa, sb)
+    if na == nb == 1:
+        return m[0] == "0"
+    if na < nb:
+        return m[0] != "F" and m[2] != "F"
+    if na > nb:
+        return m[0] != "F" and m[6] != "F"
+    return False
+
+
+def touches(sa, sb):
+    """Boundaries meet, interiors don't."""
+    m = de9im(sa, sb)
+    return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
+
+
+def overlaps(sa, sb):
+    """Same dimension, interiors partially shared, neither contains."""
+    ka, _ = parse(sa)
+    kb, _ = parse(sb)
+    na, nb = _DIMS[ka], _DIMS[kb]
+    if na != nb:
+        return False
+    m = de9im(sa, sb)
+    if na == 1:
+        return m[0] == "1" and m[2] != "F" and m[6] != "F"
+    return m[0] != "F" and m[2] != "F" and m[6] != "F"
+
+
+def equals_geom(sa, sb):
+    """Point-set equality via the matrix (T*F**FFF*)."""
+    m = de9im(sa, sb)
+    return (
+        m[0] != "F"
+        and m[2] == "F"
+        and m[5] == "F"
+        and m[6] == "F"
+        and m[7] == "F"
+    )
+
+
 def nearest_points(sa, sb):
     """Closest points on A and B -> [POINT, POINT] (reference
     geometry_nearest_points; JTS DistanceOp works on the boundaries/
@@ -1716,6 +2121,27 @@ def register_geometry_udfs(spark: SparkSession) -> int:
     fns["st_contains"] = _bool2("st_contains", "contains")
     fns["st_within"] = _bool2("st_within", "contains", swap=True)
     fns["st_intersects"] = _bool2("st_intersects", "intersects")
+    fns["st_crosses"] = _bool2("st_crosses", "crosses")
+    fns["st_disjoint"] = _bool2("st_disjoint", "disjoint")
+    fns["st_equals"] = _bool2("st_equals", "equals_geom")
+    fns["st_overlaps"] = _bool2("st_overlaps", "overlaps")
+    fns["st_touches"] = _bool2("st_touches", "touches")
+
+    @_pudf("boolean")
+    def st_relate(a, b, pat):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["relate"]
+        return pd.Series(
+            [
+                None if x is None or y is None or w is None else f(x, y, w)
+                for x, y, w in zip(a, b, pat)
+            ]
+        )
+
+    fns["st_relate"] = st_relate
 
     @_pudf("double")
     def st_distance(a, b):
