@@ -435,3 +435,84 @@ def test_equals_disjoint_relate(ns):
         ns["relate"](SQ, SQ, "TT")  # bad pattern length
     with pytest.raises(ValueError):
         ns["de9im"](HOLE, SQ)  # holes are unsupported relate operands
+
+
+# --- codecs + spherical geography (reference ST_AsBinary:386,
+# ST_GeomFromBinary:311, to/from_geojson_geometry, EncodedPolyline-
+# Functions.java, to_spherical_geography:336, stSphericalDistance:1746,
+# stSphericalLength:592, stSphericalArea:1776) ---
+
+
+def test_wkb_roundtrip(ns):
+    geoms = [
+        "POINT (1.5 -2.25)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        SQ,
+        HOLE,
+        "MULTIPOINT (1 2, 3 4)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        MP,
+        "POINT EMPTY",
+    ]
+    for g in geoms:
+        back = ns["from_wkb"](ns["to_wkb"](g))
+        assert ns["parse"](back)[0] == ns["parse"](g)[0]
+        if ns["parse"](g)[1] is not None:
+            assert ns["area"](back) == ns["area"](g)
+            assert ns["length"](back) == ns["length"](g)
+    # known vector: little-endian POINT (1 2)
+    assert (
+        ns["to_wkb"]("POINT (1 2)").hex()
+        == "0101000000000000000000f03f0000000000000040"
+    )
+    # big-endian input decodes too
+    import struct
+
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.0, 2.0)
+    assert ns["from_wkb"](be) == "POINT (1 2)"
+
+
+def test_geojson_roundtrip(ns):
+    gj = ns["to_geojson"](SQ)
+    assert gj == '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'
+    assert ns["area"](ns["from_geojson"](gj)) == 16.0
+    assert ns["from_geojson"]('{"type":"Point","coordinates":[1.5,2]}') == "POINT (1.5 2)"
+    with pytest.raises(ValueError):
+        ns["from_geojson"]('{"type":"Feature"}')
+
+
+def test_encoded_polyline(ns):
+    # the documented example from the public polyline algorithm spec
+    line = "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)"
+    enc = ns["to_polyline"](line)
+    assert enc == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    assert ns["from_polyline"](enc) == line
+    with pytest.raises(ValueError):
+        ns["to_polyline"](SQ)
+
+
+def test_spherical_geography(ns):
+    assert ns["to_spherical"]("POINT (10 50)") == "POINT (10 50)"
+    with pytest.raises(ValueError):
+        ns["to_spherical"]("POINT (200 0)")
+    with pytest.raises(ValueError):
+        ns["to_spherical"]("POINT (0 99)")
+    # Boston -> Chicago ~ 1366 km
+    d = ns["spherical_distance"](
+        "POINT (-71.0589 42.3601)", "POINT (-87.6298 41.8781)"
+    )
+    assert abs(d - 1_366_000) < 10_000
+    with pytest.raises(ValueError):
+        ns["spherical_distance"]("LINESTRING (0 0, 1 1)", "POINT (0 0)")
+    # one degree of longitude at the equator ~ 111.2 km
+    assert abs(ns["spherical_length"]("LINESTRING (0 0, 1 0)") - 111_195) < 500
+    # 1x1 degree cell at the equator ~ 12,308 km^2; holes subtract
+    a = ns["spherical_area"]("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert abs(a - 12.308e9) < 1e9
+    hole = (
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0),"
+        " (0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"
+    )
+    assert ns["spherical_area"](hole) < ns["spherical_area"](
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    )

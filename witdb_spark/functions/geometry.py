@@ -39,6 +39,17 @@ DE-9IM relate engine (r4): de9im() computes the 3x3 intersection-
   exterior-cell witness argument needs a simply-connected complement);
   holes raise.
 
+Codecs + spherical geography (r4): ST_AsBinary / ST_GeomFromBinary
+  (OGC WKB, both byte orders on read), to/from_geojson_geometry,
+  to/from_encoded_polyline (Google polyline, 1e-5 precision),
+  to_spherical_geography / to_geometry (lat/lon-validated WKT), and the
+  spherical measurements st_spherical_distance / st_spherical_length /
+  st_spherical_area (reference overloads ST_Distance/Length/Area by the
+  SphericalGeography operand type; a single-namespace registry cannot,
+  so they carry distinct names — EARTH_RADIUS_KM matches at 6371.01 and
+  the area is the reference's bearing-walk spherical excess with the
+  enclosed-pole correction).
+
 DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
 point is NOT contained (ray-cast interior test); polygon/polygon
 containment = every vertex of B inside-or-on A, no proper edge crossings,
@@ -54,8 +65,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
 _GEO_SRC = r'''
+import json as _json
 import math
 import re as _re
+import struct as _struct
 
 _NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
 
@@ -1461,6 +1474,371 @@ def _seg_seg_nearest(a, b, c, d):
     return best
 
 
+# --- codecs: WKB / GeoJSON / encoded polyline (reference
+# GeoFunctions.java ST_AsBinary:386, ST_GeomFromBinary:311,
+# to/from_geojson_geometry:1430/1439; EncodedPolylineFunctions.java) ---
+
+_WKB_CODES = {
+    "POINT": 1,
+    "LINESTRING": 2,
+    "POLYGON": 3,
+    "MULTIPOINT": 4,
+    "MULTILINESTRING": 5,
+    "MULTIPOLYGON": 6,
+}
+_WKB_KINDS = {v: k for k, v in _WKB_CODES.items()}
+
+
+def _closed(ring):
+    r = list(ring)
+    return r if r[0] == r[-1] else r + [r[0]]
+
+
+def to_wkb(s):
+    """Little-endian OGC WKB bytes of the geometry."""
+    k, d = parse(s)
+    out = bytearray()
+
+    def emit_geom(kind, data):
+        out.append(1)  # little-endian
+        out.extend(_struct.pack("<I", _WKB_CODES[kind]))
+        if kind == "POINT":
+            p = data if data is not None else (float("nan"), float("nan"))
+            out.extend(_struct.pack("<dd", p[0], p[1]))
+        elif kind == "LINESTRING":
+            pts = data or []
+            out.extend(_struct.pack("<I", len(pts)))
+            for x, y in pts:
+                out.extend(_struct.pack("<dd", x, y))
+        elif kind == "POLYGON":
+            rings = [_closed(r) for r in (data or [])]
+            out.extend(_struct.pack("<I", len(rings)))
+            for r in rings:
+                out.extend(_struct.pack("<I", len(r)))
+                for x, y in r:
+                    out.extend(_struct.pack("<dd", x, y))
+        else:
+            comps = _components(kind, data)
+            out.extend(_struct.pack("<I", len(comps)))
+            for ck, cd in comps:
+                emit_geom(ck, cd)
+
+    emit_geom(k, d)
+    return bytes(out)
+
+
+def from_wkb(raw):
+    """WKB (either byte order) -> canonical WKT."""
+    pos = [0]
+
+    def take(fmt):
+        n = _struct.calcsize(fmt)
+        v = _struct.unpack_from(fmt, raw, pos[0])
+        pos[0] += n
+        return v
+
+    def read_geom():
+        (order,) = take("B")
+        e = "<" if order == 1 else ">"
+        (code,) = take(e + "I")
+        kind = _WKB_KINDS.get(code & 0xFF)
+        if kind is None:
+            raise ValueError("unsupported WKB geometry code: %d" % code)
+        if kind == "POINT":
+            x, y = take(e + "dd")
+            if math.isnan(x) and math.isnan(y):
+                return (kind, None)
+            return (kind, (x, y))
+        if kind == "LINESTRING":
+            (n,) = take(e + "I")
+            pts = [take(e + "dd") for _ in range(n)]
+            return (kind, pts or None)
+        if kind == "POLYGON":
+            (n,) = take(e + "I")
+            rings = []
+            for _ in range(n):
+                (m,) = take(e + "I")
+                rings.append([take(e + "dd") for _ in range(m)])
+            return (kind, rings or None)
+        (n,) = take(e + "I")
+        comps = [read_geom() for _ in range(n)]
+        if not comps:
+            return (kind, None)
+        if kind == "MULTIPOINT":
+            return (kind, [c[1] for c in comps])
+        return (kind, [c[1] for c in comps])
+
+    k, d = read_geom()
+    return emit(k, d)
+
+
+def to_geojson(s):
+    """Geometry -> GeoJSON string (reference toGeoJsonGeometry)."""
+    k, d = parse(s)
+    name = {
+        "POINT": "Point",
+        "MULTIPOINT": "MultiPoint",
+        "LINESTRING": "LineString",
+        "MULTILINESTRING": "MultiLineString",
+        "POLYGON": "Polygon",
+        "MULTIPOLYGON": "MultiPolygon",
+    }[k]
+
+    def num(v):
+        return int(v) if v == int(v) and abs(v) < 1e15 else v
+
+    def pt(p):
+        return [num(p[0]), num(p[1])]
+
+    if d is None:
+        coords = []
+    elif k == "POINT":
+        coords = pt(d)
+    elif k in ("MULTIPOINT", "LINESTRING"):
+        coords = [pt(p) for p in d]
+    elif k in ("MULTILINESTRING",):
+        coords = [[pt(p) for p in path] for path in d]
+    elif k == "POLYGON":
+        coords = [[pt(p) for p in _closed(r)] for r in d]
+    else:
+        coords = [
+            [[pt(p) for p in _closed(r)] for r in rings] for rings in d
+        ]
+    return _json.dumps(
+        {"type": name, "coordinates": coords}, separators=(",", ":")
+    )
+
+
+def from_geojson(text):
+    """GeoJSON -> canonical WKT."""
+    obj = _json.loads(text)
+    name = obj.get("type")
+    kinds = {
+        "Point": "POINT",
+        "MultiPoint": "MULTIPOINT",
+        "LineString": "LINESTRING",
+        "MultiLineString": "MULTILINESTRING",
+        "Polygon": "POLYGON",
+        "MultiPolygon": "MULTIPOLYGON",
+    }
+    if name not in kinds:
+        raise ValueError("unsupported GeoJSON type: %r" % name)
+    k = kinds[name]
+    c = obj.get("coordinates")
+    if not c:
+        return emit(k, None)
+    if k == "POINT":
+        return emit(k, (float(c[0]), float(c[1])))
+    if k in ("MULTIPOINT", "LINESTRING"):
+        return emit(k, [(float(p[0]), float(p[1])) for p in c])
+    if k == "MULTILINESTRING":
+        return emit(
+            k, [[(float(p[0]), float(p[1])) for p in path] for path in c]
+        )
+    if k == "POLYGON":
+        return emit(
+            k, [[(float(p[0]), float(p[1])) for p in r] for r in c]
+        )
+    return emit(
+        k,
+        [
+            [[(float(p[0]), float(p[1])) for p in r] for r in rings]
+            for rings in c
+        ],
+    )
+
+
+def to_polyline(s):
+    """Google encoded polyline (precision 1e5) of a LINESTRING or
+    MULTIPOINT (reference EncodedPolylineFunctions.encodePolyline)."""
+    k, d = parse(s)
+    _validate("encode_polyline", k, ("LINESTRING", "MULTIPOINT"))
+    out = []
+    last_lat = last_lon = 0
+
+    def put(value):
+        value = value << 1
+        if value < 0:
+            value = ~value
+        while value >= 0x20:
+            out.append(chr((0x20 | (value & 0x1F)) + 63))
+            value >>= 5
+        out.append(chr(value + 63))
+
+    for x, y in d or []:
+        lat = round(y * 1e5)
+        lon = round(x * 1e5)
+        put(lat - last_lat)
+        put(lon - last_lon)
+        last_lat, last_lon = lat, lon
+    return "".join(out)
+
+
+def from_polyline(text):
+    """Encoded polyline -> LINESTRING."""
+    pts = []
+    index = 0
+    lat = lon = 0
+
+    def take():
+        nonlocal index
+        result = 1
+        shift = 0
+        while True:
+            b = ord(text[index]) - 63 - 1
+            index += 1
+            result += b << shift
+            shift += 5
+            if b < 0x1F:
+                break
+        return ~(result >> 1) if (result & 1) else (result >> 1)
+
+    while index < len(text):
+        lat += take()
+        lon += take()
+        pts.append((lon / 1e5, lat / 1e5))
+    return emit("LINESTRING", pts or None)
+
+
+# --- spherical geography (reference GeoFunctions.java
+# to_spherical_geography:336, to_geometry:369, stSphericalDistance:1746,
+# stSphericalLength:592, stSphericalArea:1776; EARTH_RADIUS_KM=6371.01
+# at :141). A geography IS its lat/lon WKT, validated on conversion —
+# the spherical measurement functions are registered under
+# st_spherical_* names because this registry cannot overload ST_* by
+# operand type the way the reference's type system does. ---
+
+_EARTH_KM = 6371.01
+
+
+def to_spherical(s):
+    k, d = parse(s)
+    b = bounds(s)
+    if b is not None:
+        if not (-180 <= b[0] and b[2] <= 180):
+            raise ValueError("Longitude must be between -180 and 180")
+        if not (-90 <= b[1] and b[3] <= 90):
+            raise ValueError("Latitude must be between -90 and 90")
+    return emit(k, d)
+
+
+def _gc_km(lat1, lon1, lat2, lon2):
+    """Great-circle km (reference greatCircleDistance:1505 — the
+    Vincenty arctan form, bit-compatible)."""
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlon = math.radians(lon2 - lon1)
+    cos2 = math.cos(rlat2)
+    cos1 = math.cos(rlat1)
+    sin1 = math.sin(rlat1)
+    sin2 = math.sin(rlat2)
+    cosd = math.cos(dlon)
+    t1 = cos2 * math.sin(dlon)
+    t2 = cos1 * sin2 - sin1 * cos2 * cosd
+    t3 = sin1 * sin2 + cos1 * cos2 * cosd
+    return math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3) * _EARTH_KM
+
+
+def spherical_distance(sa, sb):
+    """Great-circle meters between two geography POINTs."""
+    ka, da = parse(sa)
+    kb, db = parse(sb)
+    if da is None or db is None:
+        return None
+    _validate("ST_Distance(geography)", ka, ("POINT",))
+    _validate("ST_Distance(geography)", kb, ("POINT",))
+    return _gc_km(da[1], da[0], db[1], db[0]) * 1000.0
+
+
+def spherical_length(s):
+    """Great-circle meters along a (multi)linestring geography."""
+    k, d = parse(s)
+    if d is None:
+        return None
+    _validate("ST_Length(geography)", k, ("LINESTRING", "MULTILINESTRING"))
+    paths = [d] if k == "LINESTRING" else d
+    total = 0.0
+    for path in paths:
+        for (x1, y1), (x2, y2) in zip(path, path[1:]):
+            total += _gc_km(y1, x1, y2, x2)
+    return total * 1000.0
+
+
+def _spherical_excess(ring):
+    """Reference computeSphericalExcess:1808 — bearing-walk spherical
+    excess of one closed ring, with the enclosed-pole correction."""
+    pts = _dedupe_closed(list(ring))
+    if len(pts) < 3:
+        raise ValueError(
+            "Polygon is not valid: a loop contains less then 3 vertices."
+        )
+    two_pi = 2 * math.pi
+    excess = 0.0
+    course_delta = 0.0
+    first = True
+    first_initial_bearing = 0.0
+    prev_final_bearing = 0.0
+    prev_phi = math.radians(pts[-1][1])
+    prev_cos, prev_sin = math.cos(prev_phi), math.sin(prev_phi)
+    prev_tan = math.tan(prev_phi / 2)
+    prev_lon = math.radians(pts[-1][0])
+    for x, y in pts:
+        phi = math.radians(y)
+        tan = math.tan(phi / 2)
+        lon = math.radians(x)
+        if lon == prev_lon and phi == prev_phi:
+            raise ValueError(
+                "Polygon is not valid: it has two identical consecutive"
+                " vertices"
+            )
+        dlon = lon - prev_lon
+        excess += 2 * math.atan2(
+            math.tan(dlon / 2) * (prev_tan + tan), 1 + prev_tan * tan
+        )
+        cos, sin = math.cos(phi), math.sin(phi)
+        sin_d, cos_d = math.sin(dlon), math.cos(dlon)
+        yy = sin_d * cos
+        xx = prev_cos * sin - prev_sin * cos * cos_d
+        initial_bearing = (math.atan2(yy, xx) + two_pi) % two_pi
+        fy = -sin_d * prev_cos
+        fx = prev_sin * cos - prev_cos * sin * cos_d
+        final_bearing = (math.atan2(fy, fx) + math.pi) % two_pi
+        if first:
+            first_initial_bearing = initial_bearing
+            first = False
+        else:
+            course_delta += (
+                initial_bearing - prev_final_bearing + 3 * math.pi
+            ) % two_pi - math.pi
+        course_delta += (
+            final_bearing - initial_bearing + 3 * math.pi
+        ) % two_pi - math.pi
+        prev_final_bearing = final_bearing
+        prev_cos, prev_sin, prev_phi, prev_tan = cos, sin, phi, tan
+        prev_lon = lon
+    course_delta += (
+        first_initial_bearing - prev_final_bearing + 3 * math.pi
+    ) % two_pi - math.pi
+    if abs(course_delta) < math.pi / 4:
+        excess = abs(excess) - two_pi
+    return excess
+
+
+def spherical_area(s):
+    """Spherical-excess area in m^2 of a polygon geography (holes
+    subtract)."""
+    k, d = parse(s)
+    if d is None:
+        return None
+    _validate("ST_Area(geography)", k, ("POLYGON", "MULTIPOLYGON"))
+    excess = 0.0
+    for rings in _polys(k, d):
+        for i, ring in enumerate(rings):
+            sign = 1.0 if i == 0 else -1.0
+            excess += sign * abs(_spherical_excess(ring))
+    r_m = _EARTH_KM * 1000.0
+    return abs(excess * r_m * r_m)
+
+
 # --- DE-9IM relate engine (reference GeoFunctions.java ST_Relate:1369,
 # ST_Crosses:1295, ST_Disjoint:1310, ST_Equals:1325, ST_Overlaps:1352,
 # ST_Touches:1379 — Esri Operator* backed there; here the 3x3
@@ -2448,6 +2826,62 @@ def register_geometry_udfs(spark: SparkSession) -> int:
         return pd.Series([go(arr) for arr in geoms])
 
     fns["geometry_union"] = geometry_union
+
+    # --- codecs + spherical geography ---
+    @_pudf("binary")
+    def st_asbinary(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["to_wkb"]
+        return pd.Series([None if v is None else f(v) for v in s])
+
+    fns["st_asbinary"] = st_asbinary
+
+    @_pudf("string")
+    def st_geomfrombinary(b):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["from_wkb"]
+        return pd.Series([None if v is None else f(bytes(v)) for v in b])
+
+    fns["st_geomfrombinary"] = st_geomfrombinary
+
+    fns["to_geojson_geometry"] = _str_fn("to_geojson_geometry", "to_geojson")
+    fns["from_geojson_geometry"] = _str_fn(
+        "from_geojson_geometry", "from_geojson"
+    )
+    fns["to_encoded_polyline"] = _str_fn("to_encoded_polyline", "to_polyline")
+    fns["from_encoded_polyline"] = _str_fn(
+        "from_encoded_polyline", "from_polyline"
+    )
+    fns["to_spherical_geography"] = _str_fn(
+        "to_spherical_geography", "to_spherical"
+    )
+    fns["to_geometry"] = _str_fn("to_geometry", "to_spherical")
+    fns["st_spherical_area"] = _dbl_fn("st_spherical_area", "spherical_area")
+    fns["st_spherical_length"] = _dbl_fn(
+        "st_spherical_length", "spherical_length"
+    )
+
+    @_pudf("double")
+    def st_spherical_distance(a, b):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["spherical_distance"]
+        return pd.Series(
+            [
+                None if x is None or y is None else f(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    fns["st_spherical_distance"] = st_spherical_distance
 
     for name, fn in fns.items():
         spark.udf.register(name, fn)

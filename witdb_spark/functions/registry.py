@@ -574,17 +574,23 @@ MACROS: dict[str, str] = {
 UNSUPPORTED: dict[str, str] = {
     "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
     "- presentation-layer, intentionally skipped",
-    "ST_* degenerate boolean inputs / spherical geography": "the planar"
-    " WKT kernel (functions/geometry.py) covers measurements, predicates,"
-    " convex hull, simplify, point buffers, and polygon booleans — convex"
-    " clips via Sutherland-Hodgman, concave-x-concave intersection/union"
-    " via a Greiner-Hormann clipper (generic position, holes-in-results"
+    "ST_* degenerate boolean inputs / geometry collections": "the WKT"
+    " kernel (functions/geometry.py) covers measurements, predicates"
+    " (incl. the DE-9IM relate family), accessors, WKB/GeoJSON/encoded-"
+    "polyline codecs, spherical geography (validated lat/lon WKT; the"
+    " spherical measurements are st_spherical_distance/area/length"
+    " because this registry cannot overload ST_* by operand type),"
+    " convex hull, simplify, point buffers, and polygon booleans —"
+    " convex clips via Sutherland-Hodgman, concave-x-concave via a"
+    " Greiner-Hormann clipper (generic position, holes-in-results"
     " classified). Still out of scope (raise, never approximate):"
     " boolean inputs with degenerate incidence (shared edges, vertex-on-"
     "edge — needs a snap-rounding Vatti/Martinez clipper), polygons with"
-    " holes as boolean INPUTS, buffers of lines/polygons (Minkowski sums"
-    " with arc joins), geometry collections, and spherical geography."
-    " Bing tiles are covered by the bing_tile_* macro family",
+    " holes as boolean/relate INPUTS, buffers of lines/polygons"
+    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION values, and"
+    " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
+    " WKB/GeoJSON cover interchange). Bing tiles are covered by the"
+    " bing_tile_* macro family",
     "sketch-aggregate SQL names (approx_set / merge / qdigest_agg /"
     " tdigest_agg / histogram / map_union / multimap_agg)":
     "PySpark cannot register Python AGGREGATE functions under SQL names"
