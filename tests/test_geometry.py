@@ -516,3 +516,52 @@ def test_spherical_geography(ns):
     assert ns["spherical_area"](hole) < ns["spherical_area"](
         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     )
+
+
+# --- Bing tiles over geometries (reference BingTileFunctions.java
+# bing_tile_polygon:337, bing_tiles_around radius:202,
+# geometry_to_bing_tiles:347) ---
+
+
+def test_bing_tile_polygon(ns):
+    # zoom 1, tile (0,0): north-west quadrant of the Web-Mercator world
+    p = ns["bing_tile_polygon"](ns["_bing_encode"](0, 0, 1))
+    b = ns["bounds"](p)
+    assert b[0] == -180 and abs(b[2]) < 1e-9
+    assert abs(b[1]) < 1e-9 and abs(b[3] - 85.05112878) < 1e-6
+
+
+def test_bing_tiles_around_radius(ns):
+    f = ns["bing_tiles_around_radius"]
+    for (lat, lon, zoom, r) in [(30.12, 60, 10, 100), (0, 0, 9, 250)]:
+        tiles = f(lat, lon, zoom, r)
+        assert len(tiles) == len(set(tiles))
+        # every point on the circle rim lands in a returned tile
+        for bearing in range(0, 360, 10):
+            plat, plon = ns["_gc_destination"](lat, lon, r * 0.98, bearing)
+            x, y = ns["_lat_lon_to_tile_xy"](plat, plon, zoom)
+            assert ns["_bing_encode"](x, y, zoom) in tiles
+    with pytest.raises(ValueError):
+        f(0, 0, 9, 2000)  # radius cap 1000 km
+    with pytest.raises(ValueError):
+        f(0, 0, 99, 10)  # zoom cap
+
+
+def test_geometry_to_bing_tiles(ns):
+    f = ns["geometry_to_bing_tiles"]
+    pt = f("POINT (60 30.12)", 10)
+    assert len(pt) == 1
+    assert ns["_bing_decode"](pt[0])[:2] == ns["_lat_lon_to_tile_xy"](
+        30.12, 60, 10
+    )
+    tri = f("POLYGON ((0 0, 40 0, 0 40, 0 0))", 4)
+    box = f("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))", 4)
+    # the triangle's cover is a strict subset of its bounding box's
+    assert set(tri) < set(box)
+    # every tile in the cover intersects the triangle
+    for t in tri:
+        assert ns["intersects"](
+            ns["bing_tile_polygon"](t), "POLYGON ((0 0, 40 0, 0 40, 0 0))"
+        )
+    with pytest.raises(ValueError):
+        f("POINT (0 89)", 4)  # beyond Web-Mercator latitude span

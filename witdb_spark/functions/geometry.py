@@ -1700,6 +1700,196 @@ def from_polyline(text):
     return emit("LINESTRING", pts or None)
 
 
+# --- Bing tiles over geometries (reference geospatial
+# BingTileFunctions.java bing_tile_polygon:337, bing_tiles_around:169
+# (point) and :202 (radius), geometry_to_bing_tiles:347; the packed
+# BIGINT encoding (x<<28 | y<<5 | zoom) matches the bing_tile_* macro
+# family in functions/registry.py) ---
+
+_BING_MAX_LAT = 85.05112878
+
+
+def _bing_encode(x, y, zoom):
+    return (x << 28) + (y << 5) + zoom
+
+
+def _bing_decode(t):
+    return (t >> 28, (t >> 5) & 0x7FFFFF, t & 31)
+
+
+def _bing_check_zoom(zoom):
+    if not (0 <= zoom <= 23):
+        raise ValueError("Zoom level must be <= 23")
+
+
+def _lat_lon_to_tile_xy(lat, lon, zoom):
+    n = 1 << zoom
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    clat = max(-_BING_MAX_LAT, min(_BING_MAX_LAT, lat))
+    s = math.sin(math.radians(clat))
+    y = int(
+        math.floor(
+            (0.5 - math.log((1 + s) / (1 - s)) / (4 * math.pi)) * n
+        )
+    )
+    return (max(0, min(n - 1, x)), max(0, min(n - 1, y)))
+
+
+def _tile_nw(x, y, zoom):
+    """(lat, lon) of the tile's north-west corner."""
+    n = 1 << zoom
+    lon = x / n * 360.0 - 180.0
+    lat = math.degrees(math.asin(math.tanh(2 * math.pi * (0.5 - y / n))))
+    return (lat, lon)
+
+
+def bing_tile_polygon(t):
+    """WKT polygon of the tile's extent."""
+    x, y, zoom = _bing_decode(t)
+    _bing_check_zoom(zoom)
+    n_lat, w_lon = _tile_nw(x, y, zoom)
+    s_lat, e_lon = _tile_nw(x + 1, y + 1, zoom)
+    return emit(
+        "POLYGON",
+        [[(w_lon, s_lat), (e_lon, s_lat), (e_lon, n_lat), (w_lon, n_lat)]],
+    )
+
+
+def _gc_destination(lat, lon, distance_km, bearing_deg):
+    """Great-circle destination point (reference addDistanceToLatitude /
+    addDistanceToLongitude use the same spherical law)."""
+    ang = distance_km / _EARTH_KM
+    br = math.radians(bearing_deg)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    phi2 = math.asin(
+        math.sin(phi) * math.cos(ang)
+        + math.cos(phi) * math.sin(ang) * math.cos(br)
+    )
+    lam2 = lam + math.atan2(
+        math.sin(br) * math.sin(ang) * math.cos(phi),
+        math.cos(ang) - math.sin(phi) * math.sin(phi2),
+    )
+    lon2 = math.degrees(lam2)
+    if lon2 > 180:
+        lon2 -= 360
+    if lon2 < -180:
+        lon2 += 360
+    return (math.degrees(phi2), lon2)
+
+
+def bing_tiles_around_radius(lat, lon, zoom, radius_km):
+    """Minimum tile set covering a radius_km circle around the point
+    (reference bingTilesAround:202: the center row and column are
+    included whole; corner-quadrant tiles are kept iff their corner
+    nearest the center lies within the radius)."""
+    _bing_check_zoom(zoom)
+    if not (-90 <= lat <= 90):
+        raise ValueError("Latitude must be between -90 and 90")
+    if not (-180 <= lon <= 180):
+        raise ValueError("Longitude must be between -180 and 180")
+    if not (0 <= radius_km <= 1000):
+        raise ValueError("Radius must be between 0 and 1,000 km")
+    n = 1 << zoom
+    tx, ty = _lat_lon_to_tile_xy(lat, lon, zoom)
+    top_lat, _ = _gc_destination(lat, lon, radius_km, 0)
+    bot_lat, _ = _gc_destination(lat, lon, radius_km, 180)
+    _, left_lon = _gc_destination(lat, lon, radius_km, 270)
+    _, right_lon = _gc_destination(lat, lon, radius_km, 90)
+    top_y = _lat_lon_to_tile_xy(top_lat, lon, zoom)[1]
+    bot_y = _lat_lon_to_tile_xy(bot_lat, lon, zoom)[1]
+    left_x = _lat_lon_to_tile_xy(lat, left_lon, zoom)[0]
+    right_x = _lat_lon_to_tile_xy(lat, right_lon, zoom)[0]
+    wrap = right_x < left_x
+    count_x = (right_x + n - left_x + 2) if wrap else (right_x - left_x + 1)
+    if count_x * (bot_y - top_y + 1) > 1_000_000:
+        raise ValueError(
+            "The number of tiles covering input rectangle exceeds the"
+            " limit of 1M"
+        )
+    out = []
+    for i in range(count_x):
+        out.append(_bing_encode((left_x + i) % n, ty, zoom))
+    for y in range(top_y, bot_y + 1):
+        if y != ty:
+            out.append(_bing_encode(tx, y, zoom))
+
+    def within(corner_lat, corner_lon):
+        return _gc_km(lat, lon, corner_lat, corner_lon) <= radius_km
+
+    # corner quadrants: keep a tile iff its corner nearest the center is
+    # inside the circle (column scans are monotone in that distance)
+    x = right_x
+    while x != tx:
+        for y in range(top_y, ty):  # top-right: nearest = SW corner
+            if within(*_tile_nw(x, y + 1, zoom)):
+                out.append(_bing_encode(x, y, zoom))
+        for y in range(bot_y, ty, -1):  # bottom-right: nearest = NW
+            if within(*_tile_nw(x, y, zoom)):
+                out.append(_bing_encode(x, y, zoom))
+        x = n - 1 if x == 0 else x - 1
+    x = left_x
+    while x != tx:
+        for y in range(top_y, ty):  # top-left: nearest = SE corner
+            if within(*_tile_nw(x + 1, y + 1, zoom)):
+                out.append(_bing_encode(x, y, zoom))
+        for y in range(bot_y, ty, -1):  # bottom-left: nearest = NE
+            if within(*_tile_nw(x + 1, y, zoom)):
+                out.append(_bing_encode(x, y, zoom))
+        x = (x + 1) % n
+    return out
+
+
+def geometry_to_bing_tiles(s, zoom):
+    """Minimum set of tiles at `zoom` fully covering the geometry
+    (reference geometryToBingTiles:347 — the direct grid walk with a
+    per-tile intersection check; the optimized subtile recursion there
+    is a scalar-cost optimization, not a semantic one)."""
+    _bing_check_zoom(zoom)
+    k, d = parse(s)
+    if d is None:
+        return []
+    xmin, ymin, xmax, ymax = bounds(s)
+    if ymin < -_BING_MAX_LAT or ymax > _BING_MAX_LAT:
+        raise ValueError(
+            "Latitude span for the geometry must be in [-85.05112878,"
+            " 85.05112878] range"
+        )
+    if xmin < -180 or xmax > 180:
+        raise ValueError(
+            "Longitude span for the geometry must be in [-180, 180] range"
+        )
+    lux, luy = _lat_lon_to_tile_xy(ymax, xmin, zoom)
+    rlx, rly = _lat_lon_to_tile_xy(ymin, xmax, zoom)
+    nw_lat, nw_lon = _tile_nw(rlx, rly, zoom)
+    if nw_lon == xmax and rlx > lux:
+        rlx -= 1
+    if nw_lat == ymin and rly > luy:
+        rly -= 1
+    count = (rlx - lux + 1) * (rly - luy + 1)
+    if count > 1_000_000:
+        raise ValueError(
+            "The number of tiles covering input rectangle exceeds the"
+            " limit of 1M"
+        )
+    is_point = k == "POINT"
+    is_rect = False
+    if k == "POLYGON" and len(d) == 1:
+        corners = set(_dedupe_closed(list(d[0])))
+        want = {(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)}
+        is_rect = corners == want
+    out = []
+    for x in range(lux, rlx + 1):
+        for y in range(luy, rly + 1):
+            if is_point or is_rect:
+                out.append(_bing_encode(x, y, zoom))
+                continue
+            tile = bing_tile_polygon(_bing_encode(x, y, zoom))
+            if intersects(tile, s):
+                out.append(_bing_encode(x, y, zoom))
+    return out
+
+
 # --- spherical geography (reference GeoFunctions.java
 # to_spherical_geography:336, to_geometry:369, stSphericalDistance:1746,
 # stSphericalLength:592, stSphericalArea:1776; EARTH_RADIUS_KM=6371.01
@@ -2882,6 +3072,52 @@ def register_geometry_udfs(spark: SparkSession) -> int:
         )
 
     fns["st_spherical_distance"] = st_spherical_distance
+
+    # --- Bing tiles over geometries ---
+    @_pudf("string")
+    def bing_tile_polygon(t):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["bing_tile_polygon"]
+        return pd.Series([None if v is None else f(int(v)) for v in t])
+
+    fns["bing_tile_polygon"] = bing_tile_polygon
+
+    @_pudf("array<bigint>")
+    def bing_tiles_around_radius(lat, lon, zoom, radius):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["bing_tiles_around_radius"]
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (a, o, z, r))
+                else f(float(a), float(o), int(z), float(r))
+                for a, o, z, r in zip(lat, lon, zoom, radius)
+            ]
+        )
+
+    fns["bing_tiles_around_radius"] = bing_tiles_around_radius
+
+    @_pudf("array<bigint>")
+    def geometry_to_bing_tiles(g, zoom):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_GEO_SRC, ns)
+        f = ns["geometry_to_bing_tiles"]
+        return pd.Series(
+            [
+                None if gv is None or zv is None else f(gv, int(zv))
+                for gv, zv in zip(g, zoom)
+            ]
+        )
+
+    fns["geometry_to_bing_tiles"] = geometry_to_bing_tiles
 
     for name, fn in fns.items():
         spark.udf.register(name, fn)

@@ -547,6 +547,32 @@ MACROS: dict[str, str] = {
     "(1.0e0 - sin(greatest(-85.05112878e0, least(85.05112878e0, lat))"
     " * 3.141592653589793e0 / 180.0e0))) / (4.0e0 * 3.141592653589793e0))"
     " * cast(shiftleft(1L, cast(zoom AS INT)) AS DOUBLE)) AS BIGINT))), zoom)",
+    "bing_tile_coordinates": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bing_tile_coordinates(t BIGINT) RETURNS STRUCT<x: BIGINT, y: BIGINT> "
+    "RETURN named_struct('x', t DIV 268435456, 'y', (t DIV 32) % 8388608)",
+    # 3-arg bing_tiles_around (reference BingTileFunctions.java:169):
+    # the tile under the point plus its in-range neighbors, x-major
+    # order. The 9 neighbor cells are spelled out statically because
+    # Spark cannot inline a SQL macro whose arguments reference lambda
+    # variables (ResolveSQLFunctions loses them); the filter lambda
+    # itself is macro-free. The 4-arg radius variant is the
+    # bing_tiles_around_radius pandas UDF (geometry.py); dialect
+    # rewrites 4-arg calls to it.
+    "bing_tiles_around": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "bing_tiles_around(lat DOUBLE, lon DOUBLE, zoom BIGINT) "
+    "RETURNS ARRAY<BIGINT> RETURN filter(array("
+    + ", ".join(
+        "CASE WHEN bing_tile_x(bing_tile_at(lat, lon, zoom)) + ({i}) "
+        "BETWEEN 0 AND shiftleft(1L, cast(zoom AS INT)) - 1 "
+        "AND bing_tile_y(bing_tile_at(lat, lon, zoom)) + ({j}) "
+        "BETWEEN 0 AND shiftleft(1L, cast(zoom AS INT)) - 1 THEN "
+        "(bing_tile_x(bing_tile_at(lat, lon, zoom)) + ({i})) * 268435456"
+        " + (bing_tile_y(bing_tile_at(lat, lon, zoom)) + ({j})) * 32"
+        " + zoom ELSE -1L END".format(i=i, j=j)
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+    )
+    + "), t -> t >= 0)",
     "bing_tile_quadkey": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "bing_tile_quadkey(t BIGINT) RETURNS STRING RETURN array_join(transform("
     "sequence(1, cast(t % 32 AS INT)), i -> cast("

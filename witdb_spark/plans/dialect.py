@@ -1060,6 +1060,28 @@ def _rewrite_bit_count(sql: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_bing_tiles_around(sql: str) -> str:
+    """4-arg bing_tiles_around(lat, lon, zoom, radius_km) -> the
+    bing_tiles_around_radius pandas UDF (reference overloads the name,
+    BingTileFunctions.java:169/:202; Spark cannot). 3-arg calls hit the
+    SQL macro unchanged."""
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(r"\bbing_tiles_around\s*\(", sub)
+        if m is None:
+            return sql
+        open_idx = pos + m.start() + sub[m.start():].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if len(args) != 4:
+            pos = open_idx + 1
+            continue
+        repl = f"bing_tiles_around_radius({', '.join(a.strip() for a in args)})"
+        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_none_match(sql: str) -> str:
     """none_match(x, f) (reference ArrayNoneMatchFunction) ->
     (NOT exists(x, f)) — needs paren matching, not a plain rename."""
@@ -1108,6 +1130,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_listagg(sql)
     sql = _rewrite_none_match(sql)
     sql = _rewrite_bit_count(sql)
+    sql = _rewrite_bing_tiles_around(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
