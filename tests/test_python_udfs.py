@@ -186,3 +186,62 @@ def test_sql_json_path_extensions(spark):
         "SELECT json_exists(j, 'lax $.store.missing') AS e FROM jt"
     ).collect()[0].e
     assert r2 is False
+
+
+def test_murmur3_and_spooky_vectors():
+    """Byte-for-byte vectors from the reference
+    TestVarbinaryFunctions.java:763-792 (short path); the >=192-byte
+    SpookyHash long path has no published vector there, so it gets
+    determinism/avalanche checks only."""
+    import struct
+
+    from witdb_spark.functions.python_udfs import _HASH_SRC
+
+    ns: dict = {}
+    exec(_HASH_SRC, ns)
+    assert ns["murmur3_x64_128"](b"").hex() == "0" * 32
+    assert (
+        ns["murmur3_x64_128"](b"hashme").hex().upper()
+        == "93192FE805BE23041C8318F67EC4F2BC"
+    )
+
+    def h64(b):
+        return struct.pack(">Q", ns["spooky_hash128"](b)[0]).hex().upper()
+
+    def h32(b):
+        return (
+            struct.pack(">I", ns["spooky_hash128"](b)[0] & 0xFFFFFFFF)
+            .hex()
+            .upper()
+        )
+
+    assert h32(b"") == "6BF50919"
+    assert h32(b"hello") == "D382E6CA"
+    assert h64(b"") == "232706FC6BF50919"
+    assert h64(b"hello") == "3768826AD382E6CA"
+    big = bytes(range(256))
+    assert ns["spooky_hash128"](big) == ns["spooky_hash128"](bytes(big))
+    assert ns["spooky_hash128"](big) != ns["spooky_hash128"](
+        big[:-1] + b"\x00"
+    )
+
+
+def test_color_functions(spark):
+    """reference ColorFunctions.java: packed 0xRRGGBB / negative system
+    colors, HSV interpolation, ANSI escapes."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql(
+        "SELECT color('#f00') a, color('red') b, rgb(0, 255, 0) c,"
+        " color(0.0, rgb(255, 0, 0), rgb(0, 255, 0)) d,"
+        " color(1.0, 0.0, 2.0, rgb(255, 0, 0), rgb(0, 255, 0)) e,"
+        " render('x', color('red')) f, render(false) g,"
+        " bar(0.3, 10) h"
+    ).collect()[0]
+    assert r["a"] == 0xFF0000 and r["b"] == -2 and r["c"] == 0x00FF00
+    assert r["d"] == 0xFF0000
+    assert r["e"] == 0xFFFF00  # HSV midpoint of red->green is yellow
+    assert r["f"] == "\x1b[38;5;1mx\x1b[0m"
+    assert "✗" in r["g"]
+    assert r["h"].count("█") == 3 and r["h"].endswith(" " * 7)

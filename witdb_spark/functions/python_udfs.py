@@ -537,6 +537,402 @@ def _ip_contains_udf():
     return ip_contains
 
 
+# MurmurHash3 x64_128 and SpookyHash V2 — both public-domain algorithms
+# (Austin Appleby's smhasher; Bob Jenkins' spooky.cc). Byte orders match
+# the reference (VarbinaryFunctions.java:371 murmur3 emits the two
+# little-endian state longs; :389/:399 spooky_hash_v2_32/64 emit the
+# big-endian int/long), validated against TestVarbinaryFunctions
+# vectors in tests/test_python_udfs.py.
+_HASH_SRC = r'''
+import struct
+
+M64 = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def _fmix(k):
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data, seed=0):
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h1 = h2 = seed
+    length = len(data)
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * c1) & M64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & M64
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & M64
+        h1 = (h1 * 5 + 0x52DCE729) & M64
+        k2 = (k2 * c2) & M64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & M64
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & M64
+        h2 = (h2 * 5 + 0x38495AB5) & M64
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    for i in range(len(tail) - 1, 7, -1):
+        k2 = (k2 << 8) | tail[i]
+    for i in range(min(len(tail), 8) - 1, -1, -1):
+        k1 = (k1 << 8) | tail[i]
+    if len(tail) > 8:
+        k2 = (k2 * c2) & M64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & M64
+        h2 ^= k2
+    if len(tail) > 0:
+        k1 = (k1 * c1) & M64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & M64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & M64
+    h2 = (h2 + h1) & M64
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & M64
+    h2 = (h2 + h1) & M64
+    return struct.pack("<QQ", h1, h2)
+
+
+_SC = 0xDEADBEEFDEADBEEF
+
+
+def _short_mix(a, b, c, d):
+    c = _rotl(c, 50); c = (c + d) & M64; a ^= c
+    d = _rotl(d, 52); d = (d + a) & M64; b ^= d
+    a = _rotl(a, 30); a = (a + b) & M64; c ^= a
+    b = _rotl(b, 41); b = (b + c) & M64; d ^= b
+    c = _rotl(c, 54); c = (c + d) & M64; a ^= c
+    d = _rotl(d, 48); d = (d + a) & M64; b ^= d
+    a = _rotl(a, 38); a = (a + b) & M64; c ^= a
+    b = _rotl(b, 37); b = (b + c) & M64; d ^= b
+    c = _rotl(c, 62); c = (c + d) & M64; a ^= c
+    d = _rotl(d, 34); d = (d + a) & M64; b ^= d
+    a = _rotl(a, 5);  a = (a + b) & M64; c ^= a
+    b = _rotl(b, 36); b = (b + c) & M64; d ^= b
+    return a, b, c, d
+
+
+def _short_end(a, b, c, d):
+    d ^= c; c = _rotl(c, 15); d = (d + c) & M64
+    a ^= d; d = _rotl(d, 52); a = (a + d) & M64
+    b ^= a; a = _rotl(a, 26); b = (b + a) & M64
+    c ^= b; b = _rotl(b, 51); c = (c + b) & M64
+    d ^= c; c = _rotl(c, 28); d = (d + c) & M64
+    a ^= d; d = _rotl(d, 9);  a = (a + d) & M64
+    b ^= a; a = _rotl(a, 47); b = (b + a) & M64
+    c ^= b; b = _rotl(b, 54); c = (c + b) & M64
+    d ^= c; c = _rotl(c, 32); d = (d + c) & M64
+    a ^= d; d = _rotl(d, 25); a = (a + d) & M64
+    b ^= a; a = _rotl(a, 63); b = (b + a) & M64
+    return a, b, c, d
+
+
+def _spooky_short(data, seed1, seed2):
+    length = len(data)
+    remainder = length % 32
+    a, b, c, d = seed1, seed2, _SC, _SC
+    pos = 0
+    if length > 15:
+        for _ in range(length // 32):
+            x0, x1, x2, x3 = struct.unpack_from("<QQQQ", data, pos)
+            c = (c + x0) & M64
+            d = (d + x1) & M64
+            a, b, c, d = _short_mix(a, b, c, d)
+            a = (a + x2) & M64
+            b = (b + x3) & M64
+            pos += 32
+        if remainder >= 16:
+            x0, x1 = struct.unpack_from("<QQ", data, pos)
+            c = (c + x0) & M64
+            d = (d + x1) & M64
+            a, b, c, d = _short_mix(a, b, c, d)
+            pos += 16
+            remainder -= 16
+    d = (d + (length << 56)) & M64
+    t = data[pos:]
+    if remainder >= 12:
+        if remainder == 15:
+            d = (d + (t[14] << 48)) & M64
+        if remainder >= 14:
+            d = (d + (t[13] << 40)) & M64
+        if remainder >= 13:
+            d = (d + (t[12] << 32)) & M64
+        d = (d + struct.unpack_from("<I", t, 8)[0]) & M64
+        c = (c + struct.unpack_from("<Q", t, 0)[0]) & M64
+    elif remainder >= 8:
+        if remainder == 11:
+            d = (d + (t[10] << 16)) & M64
+        if remainder >= 10:
+            d = (d + (t[9] << 8)) & M64
+        if remainder >= 9:
+            d = (d + t[8]) & M64
+        c = (c + struct.unpack_from("<Q", t, 0)[0]) & M64
+    elif remainder >= 4:
+        if remainder == 7:
+            c = (c + (t[6] << 48)) & M64
+        if remainder >= 6:
+            c = (c + (t[5] << 40)) & M64
+        if remainder >= 5:
+            c = (c + (t[4] << 32)) & M64
+        c = (c + struct.unpack_from("<I", t, 0)[0]) & M64
+    elif remainder >= 1:
+        if remainder == 3:
+            c = (c + (t[2] << 16)) & M64
+        if remainder >= 2:
+            c = (c + (t[1] << 8)) & M64
+        c = (c + t[0]) & M64
+    else:
+        c = (c + _SC) & M64
+        d = (d + _SC) & M64
+    a, b, c, d = _short_end(a, b, c, d)
+    return a, b
+
+
+def _spooky_mix(x, h):
+    for i in range(12):
+        h[i] = (h[i] + x[i]) & M64
+        h[(i + 2) % 12] ^= h[(i + 10) % 12]
+        h[(i + 11) % 12] ^= h[i]
+        h[i] = _rotl(h[i], (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)[i])
+        h[(i + 11) % 12] = (h[(i + 11) % 12] + h[(i + 1) % 12]) & M64
+    return h
+
+
+def _spooky_end_partial(h):
+    for i in range(12):
+        h[(i + 11) % 12] = (h[(i + 11) % 12] + h[(i + 1) % 12]) & M64
+        h[(i + 2) % 12] ^= h[(i + 11) % 12]
+        h[(i + 1) % 12] = _rotl(
+            h[(i + 1) % 12],
+            (44, 15, 34, 21, 38, 33, 10, 13, 38, 53, 42, 54)[i],
+        )
+    return h
+
+
+def spooky_hash128(data, seed1=0, seed2=0):
+    length = len(data)
+    if length < 192:
+        return _spooky_short(data, seed1, seed2)
+    h = [seed1, seed2, _SC] * 4
+    pos = 0
+    nblocks = length // 96
+    for _ in range(nblocks):
+        x = struct.unpack_from("<12Q", data, pos)
+        h = _spooky_mix(x, h)
+        pos += 96
+    remainder = length - pos
+    buf = bytearray(96)
+    buf[:remainder] = data[pos:]
+    buf[95] = remainder
+    x = struct.unpack_from("<12Q", bytes(buf), 0)
+    for i in range(12):
+        h[i] = (h[i] + x[i]) & M64
+    h = _spooky_end_partial(h)
+    h = _spooky_end_partial(h)
+    h = _spooky_end_partial(h)
+    return h[0], h[1]
+'''
+
+
+def _hash_udfs():
+    @pandas_udf("binary")
+    def murmur3(b):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_HASH_SRC, ns)
+        f = ns["murmur3_x64_128"]
+        return pd.Series([None if v is None else f(bytes(v)) for v in b])
+
+    @pandas_udf("binary")
+    def spooky_hash_v2_64(b):
+        import struct
+
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_HASH_SRC, ns)
+        f = ns["spooky_hash128"]
+        return pd.Series(
+            [
+                None if v is None else struct.pack(">Q", f(bytes(v))[0])
+                for v in b
+            ]
+        )
+
+    @pandas_udf("binary")
+    def spooky_hash_v2_32(b):
+        import struct
+
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_HASH_SRC, ns)
+        f = ns["spooky_hash128"]
+        return pd.Series(
+            [
+                None
+                if v is None
+                else struct.pack(">I", f(bytes(v))[0] & 0xFFFFFFFF)
+                for v in b
+            ]
+        )
+
+    return murmur3, spooky_hash_v2_32, spooky_hash_v2_64
+
+
+# Terminal color functions (reference ColorFunctions.java: color values
+# are BIGINTs — nonnegative packed 0xRRGGBB, or -(index+1) for the 8 ANSI
+# system colors; render/bar emit ESC[38;5;<n>m sequences).
+_COLOR_SRC = r'''
+import colorsys
+
+SYSTEM = {"black": 0, "red": 1, "green": 2, "yellow": 3, "blue": 4,
+          "magenta": 5, "cyan": 6, "white": 7}
+RESET = "\x1b[0m"
+
+
+def parse_color(text):
+    t = text.strip()
+    if len(t) == 4 and t[0] == "#":
+        try:
+            r, g, b = (int(ch, 16) for ch in t[1:])
+        except ValueError:
+            r = g = b = None
+        if r is not None:
+            return ((r << 4 | r) << 16) | ((g << 4 | g) << 8) | (b << 4 | b)
+    idx = SYSTEM.get(t.lower())
+    if idx is None:
+        raise ValueError("Invalid color: '%s'" % text)
+    return -(idx + 1)
+
+
+def interpolate(fraction, low_rgb, high_rgb):
+    if low_rgb < 0 or high_rgb < 0:
+        raise ValueError("lowColor/highColor not a valid RGB color")
+    fraction = max(0.0, min(1.0, fraction))
+    lo = colorsys.rgb_to_hsv(
+        (low_rgb >> 16 & 255) / 255.0,
+        (low_rgb >> 8 & 255) / 255.0,
+        (low_rgb & 255) / 255.0,
+    )
+    hi = colorsys.rgb_to_hsv(
+        (high_rgb >> 16 & 255) / 255.0,
+        (high_rgb >> 8 & 255) / 255.0,
+        (high_rgb & 255) / 255.0,
+    )
+    h, s, v = (fraction * (b - a) + a for a, b in zip(lo, hi))
+    r, g, b = colorsys.hsv_to_rgb(h, s, v)
+    return (
+        (int(r * 255.0 + 0.5) << 16)
+        | (int(g * 255.0 + 0.5) << 8)
+        | int(b * 255.0 + 0.5)
+    )
+
+
+def to_ansi(color):
+    if color >= 0:
+        r = (color >> 16 & 255) * 6 // 256
+        g = (color >> 8 & 255) * 6 // 256
+        b = (color & 255) * 6 // 256
+        return 16 + r * 36 + g * 6 + b
+    return -color - 1
+
+
+def render(value, color):
+    return "\x1b[38;5;%dm%s%s" % (to_ansi(color), value, RESET)
+
+
+def bar(percent, width, low_rgb, high_rgb):
+    count = int(percent * width)
+    count = max(0, min(width, count))
+    out = []
+    for i in range(count):
+        frac = i * 1.0 / (width - 1)
+        out.append("\x1b[38;5;%dm█" % to_ansi(interpolate(frac, low_rgb, high_rgb)))
+    out.append(RESET)
+    out.append(" " * (width - count))
+    return "".join(out)
+'''
+
+
+def _color_udfs():
+    @pandas_udf("long")
+    def color(s):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_COLOR_SRC, ns)
+        f = ns["parse_color"]
+        return pd.Series([None if v is None else f(v) for v in s])
+
+    @pandas_udf("long")
+    def color_interp(frac, lo, hi):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_COLOR_SRC, ns)
+        f = ns["interpolate"]
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (a, b, c))
+                else f(float(a), int(b), int(c))
+                for a, b, c in zip(frac, lo, hi)
+            ]
+        )
+
+    @pandas_udf("string")
+    def render(value, col):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_COLOR_SRC, ns)
+        f = ns["render"]
+        return pd.Series(
+            [
+                None if v is None or c is None else f(v, int(c))
+                for v, c in zip(value, col)
+            ]
+        )
+
+    @pandas_udf("string")
+    def bar(percent, width, lo, hi):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_COLOR_SRC, ns)
+        f = ns["bar"]
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (p, w, a, b))
+                else f(float(p), int(w), int(a), int(b))
+                for p, w, a, b in zip(percent, width, lo, hi)
+            ]
+        )
+
+    return color, color_interp, render, bar
+
+
 def register_python_udfs(spark: SparkSession) -> int:
     """Register the Python-tier functions; returns how many."""
     fns = {
@@ -557,6 +953,18 @@ def register_python_udfs(spark: SparkSession) -> int:
     fns.update({"json_exists": je, "json_value": jv, "json_query": jq})
     bc, ibc = _beta_udfs()
     fns.update({"beta_cdf": bc, "inverse_beta_cdf": ibc})
+    mm, sp32, sp64 = _hash_udfs()
+    fns.update(
+        {
+            "murmur3": mm,
+            "spooky_hash_v2_32": sp32,
+            "spooky_hash_v2_64": sp64,
+        }
+    )
+    col, ci, rend, barfn = _color_udfs()
+    fns.update(
+        {"color": col, "color_interp": ci, "render": rend, "bar": barfn}
+    )
     for name, fn in fns.items():
         spark.udf.register(name, fn)
     return len(fns)

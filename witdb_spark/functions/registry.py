@@ -547,6 +547,15 @@ MACROS: dict[str, str] = {
     "(1.0e0 - sin(greatest(-85.05112878e0, least(85.05112878e0, lat))"
     " * 3.141592653589793e0 / 180.0e0))) / (4.0e0 * 3.141592653589793e0))"
     " * cast(shiftleft(1L, cast(zoom AS INT)) AS DOUBLE)) AS BIGINT))), zoom)",
+    # reference ColorFunctions.java rgb:109 — packed 0xRRGGBB with range
+    # validation; the rest of the color family is Python-tier
+    # (python_udfs._color_udfs) plus dialect arity rewrites.
+    "rgb": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "rgb(r BIGINT, g BIGINT, b BIGINT) RETURNS BIGINT RETURN "
+    "CASE WHEN r BETWEEN 0 AND 255 AND g BETWEEN 0 AND 255 "
+    "AND b BETWEEN 0 AND 255 THEN shiftleft(r, 16) + shiftleft(g, 8) + b "
+    "ELSE CAST(raise_error('color component must be between 0 and 255')"
+    " AS BIGINT) END",
     "bing_tile_coordinates": "CREATE OR REPLACE TEMPORARY FUNCTION "
     "bing_tile_coordinates(t BIGINT) RETURNS STRUCT<x: BIGINT, y: BIGINT> "
     "RETURN named_struct('x', t DIV 268435456, 'y', (t DIV 32) % 8388608)",
@@ -598,8 +607,6 @@ MACROS: dict[str, str] = {
 # Tier 3: named gaps (kept honest).
 # --------------------------------------------------------------------------
 UNSUPPORTED: dict[str, str] = {
-    "color/bar": "terminal-rendering functions (reference ColorFunctions.java) "
-    "- presentation-layer, intentionally skipped",
     "ST_* degenerate boolean inputs / geometry collections": "the WKT"
     " kernel (functions/geometry.py) covers measurements, predicates"
     " (incl. the DE-9IM relate family), accessors, WKB/GeoJSON/encoded-"

@@ -1082,6 +1082,52 @@ def _rewrite_bing_tiles_around(sql: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_color_family(sql: str) -> str:
+    """Arity overloads of the reference ColorFunctions.java that a
+    single-namespace registry cannot express directly:
+      color(frac, lo, hi)            -> color_interp(frac, lo, hi)
+      color(v, low, high, lc, hc)    -> color_interp((v-low)/(high-low), lc, hc)
+      bar(p, w)                      -> bar(p, w, rgb(255,0,0), rgb(0,255,0))
+      render(bool)                   -> green check / red cross renders
+    1-arg color and 2-arg render resolve to the registered UDFs as-is."""
+    for name in ("color", "bar", "render"):
+        pos = 0
+        while True:
+            sub = sql[pos:]
+            m = _first_code_match(r"\b%s\s*\(" % name, sub)
+            if m is None:
+                break
+            open_idx = pos + m.start() + sub[m.start():].index("(")
+            close_idx = _match_paren(sql, open_idx)
+            args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
+            repl = None
+            if name == "color" and len(args) == 3:
+                repl = f"color_interp({args[0]}, {args[1]}, {args[2]})"
+            elif name == "color" and len(args) == 5:
+                v, lo, hi, lc, hc = args
+                repl = (
+                    f"color_interp((({v}) - ({lo})) * 1.0e0 /"
+                    f" (({hi}) - ({lo})), {lc}, {hc})"
+                )
+            elif name == "bar" and len(args) == 2:
+                repl = (
+                    f"bar({args[0]}, {args[1]}, rgb(255, 0, 0),"
+                    f" rgb(0, 255, 0))"
+                )
+            elif name == "render" and len(args) == 1:
+                repl = (
+                    f"CASE WHEN {args[0]} THEN"
+                    " render('✓', color('green'))"
+                    " ELSE render('✗', color('red')) END"
+                )
+            if repl is None:
+                pos = open_idx + 1
+                continue
+            sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+            pos = pos + m.start() + len(repl)
+    return sql
+
+
 def _rewrite_none_match(sql: str) -> str:
     """none_match(x, f) (reference ArrayNoneMatchFunction) ->
     (NOT exists(x, f)) — needs paren matching, not a plain rename."""
@@ -1131,6 +1177,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_none_match(sql)
     sql = _rewrite_bit_count(sql)
     sql = _rewrite_bing_tiles_around(sql)
+    sql = _rewrite_color_family(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
