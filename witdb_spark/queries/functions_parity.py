@@ -838,3 +838,151 @@ def bing_tile_funcs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tiles
         """
     )
+
+
+_GEO_ACC_BASE = """
+    WITH g AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+             CAST((s_suppkey * 7) % 40 AS DOUBLE) AS y0,
+             CAST(s_suppkey % 4 AS DOUBLE) AS a,
+             CAST({div_expr} AS DOUBLE) AS b,
+             CAST(s_suppkey % 7 AS DOUBLE) AS px,
+             CAST(s_suppkey % 6 AS DOUBLE) AS dx
+      FROM supplier),
+    v AS (
+      SELECT s_suppkey, px, dx,
+             x0, y0,
+             x0 AS x1, y0 AS y1,
+             x0 + 4 + a AS x2, y0 + 1 AS y2,
+             x0 + 5 + a AS x3, y0 + 5 + b AS y3,
+             x0 - 1 AS x4, y0 + 3 + b AS y4
+      FROM g)
+"""
+
+
+@register(
+    "geometry_accessors_parity",
+    _GEO_ACC_BASE.format(div_expr="(s_suppkey // 4) % 3")
+    + """
+    SELECT s_suppkey,
+           round(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+               + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2))
+               + sqrt((x4-x3)*(x4-x3) + (y4-y3)*(y4-y3))
+               + sqrt((x1-x4)*(x1-x4) + (y1-y4)*(y1-y4)), 6) AS bnd_len,
+           x2 AS p2x,
+           x1 AS spx,
+           y3 AS epy,
+           CAST(2 + s_suppkey % 2 AS INT) AS ngeoms,
+           round(px / 10.0, 6) AS locat,
+           x0 + 2.5 AS interp_x,
+           TRUE AS eq_rotated,
+           CASE CAST(dx AS INT) WHEN 0 THEN 'E' WHEN 4 THEN 'T'
+                WHEN 5 THEN 'D' ELSE 'O' END AS rel,
+           abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+               + (x4*y1 - x1*y4)) / 2 AS wkb_area,
+           CAST(21 AS INT) AS wkb_point_len,
+           abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2) + (x3*y4 - x4*y3)
+               + (x4*y1 - x1*y4)) / 2 AS gj_area,
+           x3 AS pl_x,
+           round(atan2(sqrt(
+               cos(radians(y0))*sin(radians(1.0))
+                 * (cos(radians(y0))*sin(radians(1.0)))
+               + (cos(radians(y0))*sin(radians(y0))
+                  - sin(radians(y0))*cos(radians(y0))*cos(radians(1.0)))
+                 * (cos(radians(y0))*sin(radians(y0))
+                    - sin(radians(y0))*cos(radians(y0))*cos(radians(1.0)))),
+               sin(radians(y0))*sin(radians(y0))
+               + cos(radians(y0))*cos(radians(y0))*cos(radians(1.0)))
+             * 6371.01 * 1000, 2) AS sph_m,
+           CAST((floor((x0 + 5.7 + 180) / 360 * 64)
+                 - floor((x0 + 0.3 + 180) / 360 * 64) + 1)
+              * (floor((0.5 - ln((1 + sin(radians(y0 + 0.3)))
+                     / (1 - sin(radians(y0 + 0.3)))) / (4 * pi())) * 64)
+                 - floor((0.5 - ln((1 + sin(radians(y0 + 8.7)))
+                     / (1 - sin(radians(y0 + 8.7)))) / (4 * pi())) * 64)
+                 + 1) AS INT) AS ntiles
+    FROM v
+    """,
+    doc="Accessor/relate/codec geometry parity (reference GeoFunctions.java"
+    " ST_Boundary/ST_PointN/ST_StartPoint/ST_EndPoint/ST_NumGeometries/"
+    "line_locate_point/line_interpolate_point/ST_Equals/ST_Touches/"
+    "ST_Overlaps/ST_Disjoint/ST_AsBinary/ST_GeomFromBinary/GeoJSON/"
+    "encoded-polyline codecs/stSphericalDistance; BingTileFunctions.java"
+    " geometry_to_bing_tiles): every column the WKT kernel computes on the"
+    " Spark side is re-derived in DuckDB with closed-form arithmetic —"
+    " shoelace areas, projection fractions, Vincenty great-circle meters,"
+    " and Web-Mercator tile-index floors — fully independent math paths.",
+    tags=("functions", "geospatial", "geometry"),
+)
+def geometry_accessors_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    t.supplier.createOrReplaceTempView("supplier")
+    return spark.sql(
+        _GEO_ACC_BASE.format(div_expr="s_suppkey DIV 4 % 3")
+        + """
+        , w AS (
+          SELECT s_suppkey, px, dx, x0, y0, x1, y1, x2, y2, x3, y3, x4, y4,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x1, y1, x2, y2, x3, y3, x4, y4, x1, y1) AS quad,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x3, y3, x4, y4, x1, y1, x2, y2, x3, y3) AS quad_rot,
+                 format_string('LINESTRING (%s %s, %s %s, %s %s)',
+                   x1, y1, x2, y2, x3, y3) AS line,
+                 format_string('LINESTRING (%s %s, %s %s)',
+                   x0, y0, x0 + 10, y0) AS hseg,
+                 format_string('POINT (%s %s)', x0 + px, y0 + 3) AS probe,
+                 CASE WHEN s_suppkey % 2 = 0
+                      THEN format_string('MULTIPOINT (%s %s, %s %s)',
+                                         x0, y0, x0 + 1, y0)
+                      ELSE format_string('MULTIPOINT (%s %s, %s %s, %s %s)',
+                                         x0, y0, x0 + 1, y0, x0 + 2, y0)
+                 END AS mpt,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x0, y0, x0 + 4, y0, x0 + 4, y0 + 4, x0, y0 + 4,
+                   x0, y0) AS rect_a,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x0 + dx, y0, x0 + dx + 4, y0, x0 + dx + 4, y0 + 4,
+                   x0 + dx, y0 + 4, x0 + dx, y0) AS rect_b,
+                 format_string('POINT (%s %s)', x0, y0) AS pt,
+                 format_string('POINT (%s %s)', x0 + 1, y0) AS pt_e,
+                 format_string(
+                   'POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                   x0 + 0.3, y0 + 0.3, x0 + 5.7, y0 + 0.3,
+                   x0 + 5.7, y0 + 8.7, x0 + 0.3, y0 + 8.7,
+                   x0 + 0.3, y0 + 0.3) AS tile_rect
+          FROM v)
+        SELECT s_suppkey,
+               round(st_length(st_boundary(quad)), 6) AS bnd_len,
+               st_x(st_pointn(line, 2)) AS p2x,
+               st_x(st_startpoint(line)) AS spx,
+               st_y(st_endpoint(line)) AS epy,
+               st_numgeometries(mpt) AS ngeoms,
+               round(line_locate_point(hseg, probe), 6) AS locat,
+               st_x(line_interpolate_point(hseg, 0.25)) AS interp_x,
+               st_equals(quad, quad_rot) AS eq_rotated,
+               CASE WHEN st_equals(rect_a, rect_b) THEN 'E'
+                    WHEN st_overlaps(rect_a, rect_b) THEN 'O'
+                    WHEN st_touches(rect_a, rect_b) THEN 'T'
+                    WHEN st_disjoint(rect_a, rect_b) THEN 'D'
+               END AS rel,
+               st_area(st_geomfrombinary(st_asbinary(quad))) AS wkb_area,
+               CAST(length(st_asbinary(pt)) AS INT) AS wkb_point_len,
+               st_area(from_geojson_geometry(to_geojson_geometry(quad)))
+                 AS gj_area,
+               st_x(st_pointn(
+                 from_encoded_polyline(to_encoded_polyline(line)), 3))
+                 AS pl_x,
+               round(st_spherical_distance(
+                 to_spherical_geography(pt),
+                 to_spherical_geography(pt_e)), 2) AS sph_m,
+               CAST(size(geometry_to_bing_tiles(tile_rect, 6)) AS INT)
+                 AS ntiles
+        FROM w
+        """
+    )
