@@ -258,3 +258,25 @@ def test_review_fix_regressions(spark):
         " SELECT x + 10 FROM r WHERE x < 5) SELECT count(*) AS n FROM r"
     ).collect()[0].n
     assert n == 4  # {1, 2, 11, 12} — duplicate anchor 1 collapsed
+
+
+def test_setdigest_hash_counts(spark):
+    """reference SetDigestFunctions.java hashCounts: retained-hash ->
+    multiplicity map with smallint saturation."""
+    import hashlib
+
+    from witdb_spark.operators.setdigest import hash_counts
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], ["k", "v"]
+    )
+    r = {
+        row["k"]: row["hash_counts"]
+        for row in hash_counts(df, ["k"], "v").collect()
+    }
+    hx = hashlib.md5(b"x").hexdigest()
+    hy = hashlib.md5(b"y").hexdigest()
+    assert r["a"][hx] == 2 and r["a"][hy] == 1 and len(r["b"]) == 1
+    # global form + bottom-k cap
+    g = hash_counts(df, [], "v", k=2).collect()[0]["hash_counts"]
+    assert len(g) == 2  # only the 2 smallest hashes retained

@@ -141,3 +141,42 @@ def intersection_cardinality(
     return j.crossJoin(union_card).select(
         F.expr("cast(round(jaccard * ucard, 6) as double)").alias(alias)
     )
+
+
+def hash_counts(
+    df: DataFrame, keys: Sequence[str], value_expr: str, k: int = K_HASHES
+) -> DataFrame:
+    """hash_counts(setdigest) -> map(hash -> count) per group (reference
+    SetDigestFunctions.java hashCounts: the digest's retained hash ->
+    insertion-count map, counts saturating at smallint). Here the
+    retained hashes are the bottom-k md5 sketch and counts are exact
+    row multiplicities: one pre-aggregation per (keys, h) — map-side
+    partial combine — then the same ranked-window bottom-k filter as
+    minhash_bottom_k, then map_from_entries. Counts cap at 32767 to
+    mirror the reference's smallint saturation."""
+    keys = list(keys)
+    h = F.md5(F.expr(value_expr).cast("string")).alias("h")
+    counted = (
+        df.where(F.expr(value_expr).isNotNull())
+        .select(*keys, h)
+        .groupBy(*keys, "h")
+        .agg(F.least(F.count(F.lit(1)), F.lit(32767)).alias("cnt"))
+    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("h")
+        kept = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+        return kept.groupBy(*keys).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("h", "cnt")))
+            ).alias("hash_counts")
+        )
+    kept = counted.orderBy("h").limit(k)
+    return kept.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("h", "cnt")))
+        ).alias("hash_counts")
+    )
