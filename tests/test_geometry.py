@@ -565,3 +565,30 @@ def test_geometry_to_bing_tiles(ns):
         )
     with pytest.raises(ValueError):
         f("POINT (0 89)", 4)  # beyond Web-Mercator latitude span
+
+
+def test_convex_hull_agg(spark, ns):
+    """reference plugin/trino-geospatial ConvexHullAggregation: two-stage
+    salted partial-hull fold (hull-of-hulls == hull)."""
+    from witdb_spark.operators.spatial_join import convex_hull_agg
+
+    rows = [("a", f"POINT ({x} {y})") for x in range(5) for y in range(5)]
+    rows += [("b", "LINESTRING (0 0, 1 1)"), ("b", "POINT (2 0)")]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    r = {
+        row["k"]: row["hull"]
+        for row in convex_hull_agg(df, ["k"], "g").collect()
+    }
+    assert ns["area"](r["a"]) == 16.0
+    assert ns["parse"](r["b"])[0] == "POLYGON" and ns["area"](r["b"]) == 1.0
+    # degenerate groups: single point, collinear points
+    df2 = spark.createDataFrame(
+        [("p", "POINT (1 1)"), ("l", "POINT (0 0)"), ("l", "POINT (2 2)")],
+        ["k", "g"],
+    )
+    r2 = {
+        row["k"]: row["hull"]
+        for row in convex_hull_agg(df2, ["k"], "g").collect()
+    }
+    assert r2["p"] == "POINT (1 1)"
+    assert ns["parse"](r2["l"])[0] == "LINESTRING"

@@ -620,10 +620,16 @@ UNSUPPORTED: dict[str, str] = {
     " boolean inputs with degenerate incidence (shared edges, vertex-on-"
     "edge — needs a snap-rounding Vatti/Martinez clipper), polygons with"
     " holes as boolean/relate INPUTS, buffers of lines/polygons"
-    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION values, and"
+    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION values,"
     " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
-    " WKB/GeoJSON cover interchange). Bing tiles are covered by the"
-    " bing_tile_* macro family",
+    " WKB/GeoJSON cover interchange), geometry_union_agg (a union fold"
+    " over a group ALWAYS hits shared-boundary inputs — blocked on the"
+    " same snap-rounding clipper; convex_hull_agg IS provided,"
+    " operators/spatial_join.py), and spatial_partitioning/"
+    "spatial_partitions (KDB-tree handles; the grid-cell banded join in"
+    " operators/spatial_join.py is this engine's spatial partitioner)."
+    " Bing tiles are covered by the bing_tile_* macro family and the"
+    " geometry-level tile functions",
     "sketch-aggregate SQL names (approx_set / merge / qdigest_agg /"
     " tdigest_agg / histogram / map_union / multimap_agg)":
     "PySpark cannot register Python AGGREGATE functions under SQL names"

@@ -163,3 +163,76 @@ def spatial_join_within_distance(
         .where(dist2 < F.lit(cs * cs))
         .drop("_cx", "_cy")
     )
+
+
+def convex_hull_agg(
+    df: DataFrame, keys: list[str], wkt_col: str, salt: int = 16
+) -> DataFrame:
+    """convex_hull_agg(geometry) GROUP BY keys (reference
+    plugin/trino-geospatial aggregation ConvexHullAggregation): the
+    convex hull of every geometry in the group, as WKT.
+
+    Scale shape: hull-of-hulls is the hull, so the fold is two-stage —
+    stage 1 reduces each (key, salt) subgroup to one partial hull
+    (bounded output: a hull's vertex count <= its input's), stage 2
+    merges <=`salt` partial hulls per key. Both stages are Arrow-batched
+    applyInPandas over the kernel; the wide shuffle carries only partial
+    hulls, mirroring the reference's partial/final accumulator split."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from witdb_spark.functions.geometry import _GEO_SRC
+
+    keys = list(keys)
+    schema = StructType(
+        [df.schema[k] for k in keys] + [StructField("hull", StringType())]
+    )
+
+    def _fold(cols):
+        def fold(pdf):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            pts = []
+            for w in pdf[cols]:
+                if w is None:
+                    continue
+                k, d = ns["parse"](w)
+                if d is not None:
+                    pts.extend(ns["_all_points"](k, d))
+            row = {k: [pdf[k].iloc[0]] for k in keys}
+            if not pts:
+                row["hull"] = [None]
+            elif len(set(pts)) == 1:
+                row["hull"] = [ns["emit"]("POINT", pts[0])]
+            else:
+                hull = ns["_hull_pts"](pts)
+                if len(hull) == 1:
+                    row["hull"] = [ns["emit"]("POINT", hull[0])]
+                elif len(hull) == 2:
+                    row["hull"] = [ns["emit"]("LINESTRING", hull)]
+                else:
+                    row["hull"] = [ns["emit"]("POLYGON", [hull])]
+            return pd.DataFrame(row)
+
+        return fold
+
+    part_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [StructField("__salt", StringType()), StructField("hull", StringType())]
+    )
+
+    def partial(pdf):
+        import pandas as pd
+
+        out = _fold(wkt_col)(pdf)
+        out["__salt"] = pdf["__salt"].iloc[0]
+        return out[[*keys, "__salt", "hull"]]
+
+    salted = df.select(
+        *keys, wkt_col, (F.crc32(F.col(wkt_col)) % salt).cast("string").alias("__salt")
+    )
+    partials = salted.groupBy(*keys, "__salt").applyInPandas(
+        partial, part_schema
+    )
+    return partials.groupBy(*keys).applyInPandas(_fold("hull"), schema)
