@@ -61,6 +61,46 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, shs) — each document's DISTINCT word k-shingles as one
+    array row. array_distinct replaces word_shingles' global
+    (doc_id, shingle) DISTINCT: per-document dedup is all the pipeline
+    needs, and doing it row-local makes the whole relation map-only —
+    at 100 TB this deletes the widest shuffle of the old plan."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + off) for off in range(k)]
+    )
+    return df.filter(F.size(ws) >= k).select(
+        "doc_id", F.array_distinct(F.transform(idx, shingle)).alias("shs")
+    )
+
+
+def minhash_signatures_arr(
+    arrs: DataFrame, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """MinHash signature per doc from the array relation — zero shuffle:
+    each document is already one row, so every slice-minimum is an
+    array_min fold instead of a groupBy aggregate. The digest array is
+    materialized once (its own projection) so md5 runs once per shingle,
+    not once per permutation."""
+    digs = F.transform(
+        F.col("shs"),
+        lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s))),
+    )
+    with_digs = arrs.select("doc_id", digs.alias("digs"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("digs"), lambda d: F.substring(d, 4 * j + 1, 4))
+        ).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return with_digs.select("doc_id", *cols)
+
+
 def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """MinHash signature per doc. Permutation j is the j-th 16-bit slice of
     md5(shingle)||md5('x:'+shingle): 2 digests per shingle instead of
@@ -152,20 +192,50 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_arr(
+    pairs: DataFrame, arrs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs from the array relation: two
+    doc_id joins bring both shingle arrays to each pair, then
+    array_intersect computes the overlap row-locally. The old relational
+    verify joined the exploded shingle relation against itself — a
+    shuffle proportional to corpus size; this one shuffles only the
+    candidate pairs plus one array row per referenced document."""
+    a = arrs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("shs_a"))
+    b = arrs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (
+                F.size("shs_a") + F.size("shs_b") - F.col("inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> band -> candidate join -> exact
-    jaccard verify. The shingle relation feeds four consumers (signatures,
-    both verify sides, sizes); Catalyst's ReuseExchange misses because each
-    consumer prunes different columns, so persist it explicitly — at
-    cluster scale this is the standard persist-the-expensive-intermediate
-    pattern (MEMORY_AND_DISK spills instead of recomputing)."""
+    """Full pipeline: shingle-arrays -> minhash -> band -> candidate join
+    -> exact jaccard verify. The r4 array form keeps one array row per
+    document end to end: signature extraction and jaccard verification
+    are row-local folds, so the only shuffles left are the band-key
+    candidate join, the pair DISTINCT, and the two pair-sized doc_id
+    joins — the old plan's global shingle DISTINCT, 16-MIN groupBy, and
+    corpus-wide verify self-join are gone. The array relation feeds
+    three consumers (signatures, both verify sides), so persist it."""
     from pyspark import StorageLevel
 
-    sh = word_shingles(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = candidate_pairs(band_keys(minhash_signatures(sh)))
-    return jaccard_verify(pairs, sh, threshold)
+    arrs = doc_shingle_arrays(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(band_keys(minhash_signatures_arr(arrs)))
+    return jaccard_verify_arr(pairs, arrs, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
