@@ -187,3 +187,85 @@ def test_bottomk_jaccard_reference(sa, sb):
     if len(sa | sb) <= K:
         exact = len(sa & sb) / len(sa | sb)
         assert j == exact
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM relate engine: algebraic invariants over randomized grid geometry
+# (reference GeoFunctions.java ST_Relate/Crosses/Disjoint/Equals/Overlaps/
+# Touches — properties every OGC matrix implementation must satisfy).
+
+from witdb_spark.functions.geometry import _geo_ns
+
+_NS = _geo_ns()
+
+
+def _rect(x, y, w, h):
+    return (
+        f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + h},"
+        f" {x} {y + h}, {x} {y}))"
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ax=st.integers(0, 6), ay=st.integers(0, 6),
+    aw=st.integers(1, 5), ah=st.integers(1, 5),
+    bx=st.integers(0, 6), by=st.integers(0, 6),
+    bw=st.integers(1, 5), bh=st.integers(1, 5),
+)
+def test_de9im_rect_invariants(ax, ay, aw, ah, bx, by, bw, bh):
+    a, b = _rect(ax, ay, aw, ah), _rect(bx, by, bw, bh)
+    m_ab = _NS["de9im"](a, b)
+    m_ba = _NS["de9im"](b, a)
+    # transpose symmetry
+    assert m_ba == "".join(m_ab[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+    # self-relation is equality
+    assert _NS["equals_geom"](a, a)
+    # disjoint == not intersects, and predicates are symmetric
+    assert _NS["disjoint"](a, b) == (not _NS["intersects"](a, b))
+    for p in ("touches", "overlaps", "disjoint", "equals_geom"):
+        assert _NS[p](a, b) == _NS[p](b, a), p
+    # exactly one of: equals / overlaps / touches / disjoint / containment
+    states = [
+        _NS["equals_geom"](a, b),
+        _NS["overlaps"](a, b),
+        _NS["touches"](a, b),
+        _NS["disjoint"](a, b),
+    ]
+    contain = (_NS["contains"](a, b) or _NS["contains"](b, a)) and not states[0]
+    # axis rects: interval arithmetic decides the true relation
+    ix = min(ax + aw, bx + bw) - max(ax, bx)
+    iy = min(ay + ah, by + bh) - max(ay, by)
+    if ix < 0 or iy < 0:
+        assert states == [False, False, False, True]
+    elif ix == 0 or iy == 0:
+        assert states == [False, False, True, False]
+    else:
+        # interiors overlap: equals, containment, or overlaps
+        assert not states[2] and not states[3]
+        assert states[0] or states[1] or contain
+        same = (ax, ay, aw, ah) == (bx, by, bw, bh)
+        assert states[0] == same
+        a_in_b = ax >= bx and ay >= by and ax + aw <= bx + bw and ay + ah <= by + bh
+        b_in_a = bx >= ax and by >= ay and bx + bw <= ax + aw and by + bh <= ay + ah
+        assert states[1] == (not same and not a_in_b and not b_in_a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    x1=st.integers(0, 8), y1=st.integers(0, 8),
+    x2=st.integers(0, 8), y2=st.integers(0, 8),
+    px=st.integers(0, 8), py=st.integers(0, 8),
+)
+def test_de9im_point_line_invariants(x1, y1, x2, y2, px, py):
+    if (x1, y1) == (x2, y2):
+        return
+    line = f"LINESTRING ({x1} {y1}, {x2} {y2})"
+    pt = f"POINT ({px} {py})"
+    on_line = _NS["_pt_seg_dist"]((px, py), (x1, y1), (x2, y2)) < 1e-9
+    at_end = (px, py) in ((x1, y1), (x2, y2))
+    assert _NS["intersects"](pt, line) == on_line
+    assert _NS["touches"](pt, line) == at_end
+    assert _NS["de9im"](pt, line)[0] == ("0" if on_line and not at_end else "F")
+    # within (OGC mask T*F**F***): interior point only
+    assert _NS["relate"](pt, line, "T*F**F***") == (on_line and not at_end)
