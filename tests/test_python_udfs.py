@@ -245,3 +245,33 @@ def test_color_functions(spark):
     assert r["f"] == "\x1b[38;5;1mx\x1b[0m"
     assert "✗" in r["g"]
     assert r["h"].count("█") == 3 and r["h"].endswith(" " * 7)
+
+
+def test_normal_cdf_pair(spark):
+    """reference MathFunctions.java normalCdf:674 / inverseNormalCdf:663."""
+    import math
+
+    from witdb_spark.functions.python_udfs import _NORM_SRC
+
+    ns: dict = {}
+    exec(_NORM_SRC, ns)
+    assert ns["normal_cdf"](0, 1, 1.96) == 0.5 * (1 + math.erf(1.96 / math.sqrt(2)))
+    assert ns["normal_cdf"](10, 9, 10) == 0.5
+    assert ns["inverse_normal_cdf"](0, 1, 0.5) == 0.0
+    assert abs(ns["inverse_normal_cdf"](0, 1, 0.975) - 1.959963984540054) < 1e-12
+    for p in (1e-12, 0.025, 0.3, 0.7, 0.999):
+        assert abs(ns["normal_cdf"](0, 1, ns["inverse_normal_cdf"](0, 1, p)) - p) < 1e-15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ns["inverse_normal_cdf"](0, 1, 1.0)
+    with _pytest.raises(ValueError):
+        ns["normal_cdf"](0, -1, 0)
+    # SQL registration
+    from witdb_spark.functions.registry import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT normal_cdf(0, 1, 0) a, inverse_normal_cdf(2, 3, 0.5) b"
+    ).collect()[0]
+    assert r["a"] == 0.5 and r["b"] == 2.0

@@ -537,6 +537,102 @@ def _ip_contains_udf():
     return ip_contains
 
 
+# Normal distribution pair (reference MathFunctions.java normalCdf:674 /
+# inverseNormalCdf:663): cdf is 0.5*(1+erf(.)) over stdlib math.erf;
+# the inverse seeds a rational approximation (Peter Acklam's public
+# algorithm) and polishes with two Halley steps on math.erf, giving
+# full double accuracy like the reference's commons-math Erf.erfInv.
+_NORM_SRC = r'''
+import math
+
+
+def normal_cdf(mean, sd, value):
+    if not sd > 0:
+        raise ValueError("standardDeviation must be > 0")
+    return 0.5 * (1 + math.erf((value - mean) / (sd * math.sqrt(2))))
+
+
+_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+
+
+def _norm_ppf(p):
+    """Acklam's rational approximation to the standard normal quantile."""
+    if p < 0.02425:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((_C[0] * q + _C[1]) * q + _C[2]) * q + _C[3]) * q + _C[4])
+                * q + _C[5]) / ((((_D[0] * q + _D[1]) * q + _D[2]) * q
+                                 + _D[3]) * q + 1)
+    if p > 1 - 0.02425:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((_C[0] * q + _C[1]) * q + _C[2]) * q + _C[3]) * q
+                  + _C[4]) * q + _C[5]) / ((((_D[0] * q + _D[1]) * q
+                                             + _D[2]) * q + _D[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((_A[0] * r + _A[1]) * r + _A[2]) * r + _A[3]) * r + _A[4])
+            * r + _A[5]) * q / (((((_B[0] * r + _B[1]) * r + _B[2]) * r
+                                  + _B[3]) * r + _B[4]) * r + 1)
+
+
+def inverse_normal_cdf(mean, sd, p):
+    if not (0 < p < 1):
+        raise ValueError("p must be 0 > p > 1")
+    if not sd > 0:
+        raise ValueError("sd must be > 0")
+    x = _norm_ppf(p)
+    # two Halley iterations against the exact cdf drive the residual to
+    # the last ulp
+    for _ in range(2):
+        e = 0.5 * math.erfc(-x / math.sqrt(2)) - p
+        u = e * math.sqrt(2 * math.pi) * math.exp(x * x / 2)
+        x = x - u / (1 + x * u / 2)
+    return mean + sd * x
+'''
+
+
+def _normal_udfs():
+    @pandas_udf("double")
+    def normal_cdf(mean, sd, value):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_NORM_SRC, ns)
+        f = ns["normal_cdf"]
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (m, s, x))
+                else f(float(m), float(s), float(x))
+                for m, s, x in zip(mean, sd, value)
+            ]
+        )
+
+    @pandas_udf("double")
+    def inverse_normal_cdf(mean, sd, p):
+        import pandas as pd
+
+        ns: dict = {}
+        exec(_NORM_SRC, ns)
+        f = ns["inverse_normal_cdf"]
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (m, s, x))
+                else f(float(m), float(s), float(x))
+                for m, s, x in zip(mean, sd, p)
+            ]
+        )
+
+    return normal_cdf, inverse_normal_cdf
+
+
 # MurmurHash3 x64_128 and SpookyHash V2 — both public-domain algorithms
 # (Austin Appleby's smhasher; Bob Jenkins' spooky.cc). Byte orders match
 # the reference (VarbinaryFunctions.java:371 murmur3 emits the two
@@ -953,6 +1049,8 @@ def register_python_udfs(spark: SparkSession) -> int:
     fns.update({"json_exists": je, "json_value": jv, "json_query": jq})
     bc, ibc = _beta_udfs()
     fns.update({"beta_cdf": bc, "inverse_beta_cdf": ibc})
+    nc, inc = _normal_udfs()
+    fns.update({"normal_cdf": nc, "inverse_normal_cdf": inc})
     mm, sp32, sp64 = _hash_udfs()
     fns.update(
         {
