@@ -280,3 +280,37 @@ def test_setdigest_hash_counts(spark):
     # global form + bottom-k cap
     g = hash_counts(df, [], "v", k=2).collect()[0]["hash_counts"]
     assert len(g) == 2  # only the 2 smallest hashes retained
+
+
+def test_ml_regressor_and_evaluate(spark):
+    """reference plugin/trino-ml LearnRegressorAggregation / regress /
+    EvaluateClassifierPredictionsAggregation (exact report format)."""
+    import random
+
+    from witdb_spark.pipeline.ml import (
+        evaluate_classifier_predictions,
+        learn_regressor,
+        regress,
+    )
+
+    random.seed(7)
+    rows = [
+        ([x, 2 * x], 3.0 * x + 1 + random.gauss(0, 0.01))
+        for x in [i / 10 for i in range(50)]
+    ]
+    df = spark.createDataFrame(rows, ["embedding", "label"])
+    model = learn_regressor(df, "label", "embedding", max_iter=50, reg_param=0.0)
+    out = regress(model, df.select("embedding"), "embedding").collect()
+    pred = {tuple(r["embedding"]): r["prediction"] for r in out}
+    assert abs(pred[(1.0, 2.0)] - 4.0) < 0.1
+
+    ev = evaluate_classifier_predictions(
+        spark.createDataFrame(
+            [(1, 1), (1, 1), (0, 1), (0, 0), (2, 2)], ["t", "p"]
+        ),
+        "t",
+        "p",
+    ).collect()[0]["report"]
+    assert ev.startswith("Accuracy: 4/5 (80.00%)\n")
+    assert "Class '0'\nPrecision: 1/1 (100.00%)\nRecall: 1/2 (50.00%)" in ev
+    assert ev.endswith("\n")

@@ -2731,7 +2731,10 @@ def register_geometry_udfs(spark: SparkSession) -> int:
     # GeoFunctions.java stBuffer/stUnion/stIntersection/stConvexHull/
     # stSimplifyGeometry) — planar-kernel subset; untractable inputs
     # raise rather than approximate (see kernel docstrings). ---
-    fns["st_convex_hull"] = _str_fn("st_convex_hull", "convex_hull")
+    fns["st_convexhull"] = _str_fn("st_convexhull", "convex_hull")
+    # the reference spells it ST_ConvexHull (one word); keep the
+    # underscored alias for back-compat with earlier rounds' queries
+    fns["st_convex_hull"] = fns["st_convexhull"]
 
     def _str2_fn(name, impl):
         @_pudf("string")

@@ -1082,6 +1082,29 @@ def _rewrite_bing_tiles_around(sql: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_features(sql: str) -> str:
+    """features(d1, d2, ...) -> map(0, CAST(d1 AS DOUBLE), 1, ...)
+    (reference plugin/trino-ml MLFeaturesFunctions — a variadic
+    map(bigint, double) builder)."""
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(r"\bfeatures\s*\(", sub)
+        if m is None:
+            return sql
+        open_idx = pos + m.start() + sub[m.start():].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
+        # emit map_from_arrays directly: the late segment pass rewrites
+        # every non-empty map( to map_from_arrays( (Trino's 2-array MAP
+        # constructor), which would mangle an interleaved map() here
+        keys = ", ".join(f"{i}L" for i in range(len(args)))
+        vals = ", ".join(f"CAST({a} AS DOUBLE)" for a in args)
+        repl = f"map_from_arrays(array({keys}), array({vals}))"
+        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_color_family(sql: str) -> str:
     """Arity overloads of the reference ColorFunctions.java that a
     single-namespace registry cannot express directly:
@@ -1178,6 +1201,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_bit_count(sql)
     sql = _rewrite_bing_tiles_around(sql)
     sql = _rewrite_color_family(sql)
+    sql = _rewrite_features(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)
