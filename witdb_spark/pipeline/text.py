@@ -104,3 +104,49 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText rule
+    family — Rae et al. 2021 §A1.1, public methodology): the fraction of
+    duplicate word n-grams and the share of words taken by the single
+    most frequent word. High values flag boilerplate/spam documents that
+    survive corpus-level dedup because they repeat INTERNALLY.
+
+    Shape: pure JVM column expressions — shingles via transform over the
+    word array, dup fraction from array_distinct, top-word share via an
+    aggregate fold over the distinct words — zero shuffles, zero Python."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w).cast("bigint")
+    idx = F.sequence(F.lit(1), F.size(w) - (ngram - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + off) for off in range(ngram)]
+    )
+    grams = F.when(F.size(w) >= ngram, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_grams = F.size(grams)
+    n_unique_grams = F.array_size(F.array_distinct(grams))
+    dup_frac = F.when(
+        n_grams > 0,
+        (n_grams - n_unique_grams).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    # most frequent word's share: fold over the DISTINCT words, counting
+    # each one's occurrences in the full array — O(unique x words) JVM
+    # comparisons, no explode/groupBy
+    top_count = F.aggregate(
+        F.array_distinct(w),
+        F.lit(0).cast("bigint"),
+        lambda acc, u: F.greatest(
+            acc, F.size(F.filter(w, lambda x: x == u)).cast("bigint")
+        ),
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup_frac.alias("dup_ngram_frac"),
+        (top_count.cast("double") / n_words).alias("top_word_share"),
+    )

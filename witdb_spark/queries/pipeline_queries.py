@@ -549,3 +549,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "width", "height", F.length("payload").cast("bigint").alias("byte_len")
     )
+
+
+@register(
+    "text_repetition",
+    """
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS parts,
+             len(string_split(text, ' ')) AS nw
+      FROM documents),
+    g AS (
+      SELECT doc_id, parts, nw,
+             CASE WHEN nw >= 3 THEN list_transform(range(1, nw - 1),
+               i -> concat_ws(' ', parts[i], parts[i+1], parts[i+2]))
+             ELSE [] END AS grams
+      FROM p)
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CAST(list_max(list_transform(list_distinct(parts),
+                 u -> len(list_filter(parts, x -> x = u)))) AS DOUBLE)
+             / nw AS top_word_share
+    FROM g
+    """,
+    doc="Within-document repetition signals (Gopher/MassiveText rule "
+    "family, Rae et al. 2021 A1.1 — public methodology): duplicate "
+    "word-trigram fraction and top-word share, flagging boilerplate that "
+    "survives corpus-level dedup because it repeats internally. Pure JVM "
+    "array folds on the Spark side (zero shuffles); DuckDB recomputes "
+    "with its own list lambdas.",
+    tags=("pipeline", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(Tables(spark, sf_dir).documents)
