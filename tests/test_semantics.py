@@ -186,3 +186,35 @@ def test_tablesample_bernoulli(engine, spark):
         "SELECT count(*) AS n FROM ts_t TABLESAMPLE BERNOULLI(20)"
     ).collect()[0].n
     assert 50 < n < 500  # ~200 expected; loose bounds (engine RNG)
+
+
+def test_unicode_and_typed_literals(spark):
+    """r4 dialect additions: U&'' unicode literals (incl. UESCAPE and
+    6-digit escapes), typed literals (DECIMAL keeps the literal's own
+    precision/scale), ISO EXTRACT fields, and CAST(json_parse AS complex)
+    lowering to from_json. References: grammar SqlBase.g4 UNICODE_STRING
+    / primaryExpression typed literal; DateTimeFunctions ISO dow/yow;
+    JSON-to-SQL cast operators."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    q = lambda s: eng.sql(s).collect()[0][0]  # noqa: E731
+    assert q("SELECT U&'caf\\00E9'") == "café"
+    assert q("SELECT U&'d!0061ta' UESCAPE '!'") == "data"
+    assert q("SELECT U&'\\+01F600'") == "\U0001F600"
+    df = eng.sql("SELECT DECIMAL '1.50'")
+    assert str(df.schema[0].dataType) == "DecimalType(3,2)"
+    assert q("SELECT BIGINT '42'") == 42
+    assert q("SELECT VARCHAR 'hi'") == "hi"
+    # literal text containing a typed-literal shape is untouched
+    assert q("SELECT 'not DECIMAL ''1.5'' here'") == "not DECIMAL '1.5' here"
+    # ISO day-of-week (Monday=1) and year-of-week
+    assert q("SELECT EXTRACT(DOW FROM DATE '2020-01-06')") == 1
+    assert q("SELECT EXTRACT(DAY_OF_WEEK FROM DATE '2020-01-05')") == 7
+    assert q("SELECT EXTRACT(YOW FROM DATE '2021-01-01')") == 2020
+    assert q("SELECT EXTRACT(DAY_OF_MONTH FROM DATE '2020-01-06')") == 6
+    # JSON casts
+    assert q("SELECT CAST(json_parse('[1,2,3]') AS ARRAY(INTEGER))") == [1, 2, 3]
+    assert q(
+        "SELECT CAST(json_parse('{\"a\": 1}') AS MAP(VARCHAR, INTEGER))"
+    ) == {"a": 1}

@@ -641,6 +641,13 @@ UNSUPPORTED: dict[str, str] = {
     " surface (value_at_quantile, values_at_quantiles, cardinality) IS"
     " SQL-registered, and geometric_mean/map_agg/checksum/bitwise_*_agg"
     " rewrite at transpile time (plans/dialect.py _rewrite_agg_calls).",
+    "row-pattern recognition in the WINDOW clause":
+    "SQL:2016 allows MEASURES/PATTERN/DEFINE inside a named window"
+    " specification (reference grammar SqlBase.g4 windowSpecification);"
+    " this engine implements the table-form MATCH_RECOGNIZE (operator +"
+    " SQL lowering, plans/mr_sql.py) which expresses the same analyses —"
+    " the window-clause spelling is rejected by the transpiler rather"
+    " than silently mis-parsed.",
     "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
     "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
     " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"

@@ -495,6 +495,169 @@ def trino_type_to_spark(t: str) -> str:
     return t
 
 
+def _rewrite_unicode_literals(sql: str) -> str:
+    """U&'...' unicode string literals (reference grammar SqlBase.g4
+    UNICODE_STRING, with optional UESCAPE): decode \\XXXX and \\+XXXXXX
+    escapes (or the custom escape char) into a plain quoted literal."""
+    pat = re.compile(
+        r"U&'((?:[^']|'')*)'(\s+UESCAPE\s+'(.)')?", re.I | re.S
+    )
+
+    def decode(m: re.Match) -> str:
+        body = m.group(1)
+        esc = m.group(3) or "\\"
+        out = []
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == esc:
+                if body[i + 1 : i + 2] == esc:
+                    out.append(esc)
+                    i += 2
+                elif body[i + 1 : i + 2] == "+":
+                    out.append(chr(int(body[i + 2 : i + 8], 16)))
+                    i += 8
+                else:
+                    out.append(chr(int(body[i + 1 : i + 5], 16)))
+                    i += 5
+            else:
+                out.append(c)
+                i += 1
+        return "'" + "".join(out).replace("\\", "\\\\") + "'"
+
+    return pat.sub(decode, sql)
+
+
+_TYPED_LITERALS = {
+    "DECIMAL": None,  # special-cased: keep the literal's precision/scale
+    "DOUBLE": "DOUBLE",
+    "REAL": "FLOAT",
+    "BIGINT": "BIGINT",
+    "INTEGER": "INT",
+    "SMALLINT": "SMALLINT",
+    "TINYINT": "TINYINT",
+    "VARCHAR": None,
+    "CHAR": None,
+}
+
+
+def _rewrite_typed_literals(sql: str) -> str:
+    """Trino typed literals `TYPE 'text'` (grammar primaryExpression) for
+    the numeric/char types Spark's parser doesn't accept that way.
+    DECIMAL 'x' keeps the literal's own precision/scale via a BD suffix;
+    VARCHAR/CHAR reduce to the plain string. DATE/TIMESTAMP/INTERVAL
+    literals are valid Spark already and are left alone. String-aware:
+    the keyword must start outside any literal."""
+    names = "|".join(_TYPED_LITERALS)
+    pat = rf"\b({names})\s+'((?:[^']|'')*)'"
+    pos = 0
+    while True:
+        m = _first_code_match(pat, sql[pos:])
+        if m is None:
+            return sql
+        name = m.group(1).upper()
+        text = m.group(2)
+        if name == "DECIMAL":
+            body = text.strip()
+            if re.fullmatch(r"[-+]?\d+(\.\d+)?", body):
+                repl = f"{body}BD"
+            else:
+                repl = f"CAST('{text}' AS DECIMAL(38, 6))"
+        elif name in ("VARCHAR", "CHAR"):
+            repl = f"'{text}'"
+        else:
+            repl = f"CAST('{text}' AS {_TYPED_LITERALS[name]})"
+        sql = sql[: pos + m.start()] + repl + sql[pos + m.end() :]
+        pos = pos + m.start() + len(repl)
+
+
+_EXTRACT_FIELD_MAP = {
+    "DOW": "day_of_week",
+    "DAY_OF_WEEK": "day_of_week",
+    "YOW": "year_of_week",
+    "YEAR_OF_WEEK": "year_of_week",
+}
+
+
+def _rewrite_extract_fields(sql: str) -> str:
+    """EXTRACT fields Spark numbers differently or lacks (reference
+    DateTimeFunctions / ExtractField): DOW/DAY_OF_WEEK are ISO Monday=1
+    in Trino but Sunday=1 in Spark's EXTRACT — route through the ISO
+    day_of_week macro; YOW/YEAR_OF_WEEK through year_of_week.
+    DAY_OF_MONTH/DAY_OF_YEAR just respell to Spark's DAY/DOY."""
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_MONTH\s+FROM\b",
+        "EXTRACT(DAY FROM",
+        sql,
+        flags=re.I,
+    )
+    sql = re.sub(
+        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\b",
+        "EXTRACT(DOY FROM",
+        sql,
+        flags=re.I,
+    )
+    for field, fn in _EXTRACT_FIELD_MAP.items():
+        while True:
+            m = _first_code_match(
+                rf"\bEXTRACT\s*\(\s*{field}\s+FROM\b", sql
+            )
+            if m is None:
+                break
+            open_idx = sql.index("(", m.start())
+            close_idx = _match_paren(sql, open_idx)
+            inner = sql[m.end() : close_idx].strip()
+            sql = f"{sql[: m.start()]}{fn}({inner}){sql[close_idx + 1 :]}"
+    return sql
+
+
+def _rewrite_json_casts(sql: str) -> str:
+    """CAST(json_parse(x) AS ARRAY(...)/MAP(...)/ROW(...)) — the standard
+    Trino idiom for unpacking JSON into SQL values (reference json-to-SQL
+    cast operators in JsonToArrayCast etc.). json models as STRING here,
+    and Spark cannot CAST a string to a complex type, so the cast lowers
+    to from_json over the raw text. Applies only when the operand is a
+    visible json producer (json_parse/json_extract/json_query) — for
+    other operands the type alone can't be known textually."""
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(
+            r"\bcast\s*\(\s*(json_parse|json_extract|json_query)\s*\(", sub
+        )
+        if m is None:
+            return sql
+        start = pos + m.start()
+        open_idx = sql.index("(", start)
+        close_idx = _match_paren(sql, open_idx)
+        body = sql[open_idx + 1 : close_idx]
+        mm = re.match(
+            r"\s*(json_parse|json_extract|json_query)\s*\(", body, re.I
+        )
+        fn_open = body.index("(", mm.end() - 1)
+        fn_close = _match_paren(body, fn_open)
+        operand = body[: fn_close + 1].strip()
+        rest = body[fn_close + 1 :]
+        as_m = re.match(r"\s*AS\s+(.+)$", rest, re.I | re.S)
+        if as_m is None:
+            pos = open_idx + 1
+            continue
+        ttype = as_m.group(1).strip()
+        if not re.match(r"(?:ARRAY|MAP|ROW)\s*[(<]", ttype, re.I):
+            pos = open_idx + 1
+            continue
+        fn_name = mm.group(1).lower()
+        raw = (
+            operand[len("json_parse") + 1 : -1]
+            if fn_name == "json_parse"
+            else operand
+        )
+        spark_t = trino_type_to_spark(ttype)
+        repl = f"from_json({raw}, '{spark_t}')"
+        sql = sql[:start] + repl + sql[close_idx + 1 :]
+        pos = start + len(repl)
+
+
 def _rewrite_cast_types(sql: str) -> str:
     """Translate the type argument of every CAST/TRY_CAST through
     trino_type_to_spark. Paren- and string-aware: finds the LAST top-level
@@ -1183,6 +1346,9 @@ def transpile(sql: str) -> str:
     # Trino element_at returns NULL out of bounds (= Spark try_element_at
     # under ANSI), while Trino's [] subscript errors out of bounds — which
     # is exactly the strict element_at the bracket rewrite emits below.
+    sql = _rewrite_unicode_literals(sql)
+    sql = _rewrite_typed_literals(sql)
+    sql = _rewrite_extract_fields(sql)
     parts = _STRING_SPLIT.split(sql)
     parts = [
         p
@@ -1207,6 +1373,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_fetch_ties(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_json_casts(sql)
     sql = _rewrite_cast_types(sql)
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, flags=re.I):
         raise UnsupportedTrinoSyntax(
