@@ -662,9 +662,24 @@ UNSUPPORTED: dict[str, str] = {
 }
 
 
-def register_all(spark: SparkSession) -> int:
+_REGISTERED_SESSIONS: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def register_all(spark: SparkSession, force: bool = False) -> int:
     """Install every macro + Python-tier UDF into the session; returns the
-    number registered."""
+    number registered. Idempotent per session: every registration is
+    CREATE OR REPLACE / udf.register, but re-running the ~200 of them
+    costs ~2s of analyzer round-trips, and each registered query calls
+    this on entry — so repeat calls on an already-registered session
+    return immediately (pass force=True after deliberately dropping
+    functions)."""
+    global _REGISTERED_SESSIONS
+    import weakref
+
+    if _REGISTERED_SESSIONS is None:
+        _REGISTERED_SESSIONS = weakref.WeakSet()
+    if not force and spark in _REGISTERED_SESSIONS:
+        return 0
     from witdb_spark.functions.geometry import register_geometry_udfs
     from witdb_spark.functions.python_udfs import register_python_udfs
 
@@ -676,7 +691,9 @@ def register_all(spark: SparkSession) -> int:
     for ddl in MACROS.values():
         spark.sql(ddl)
     n_digest = register_digest_udfs(spark)
-    return len(MACROS) + register_python_udfs(spark) + n_geo + n_digest
+    n = len(MACROS) + register_python_udfs(spark) + n_geo + n_digest
+    _REGISTERED_SESSIONS.add(spark)
+    return n
 
 
 def trino_fn(name: str):
