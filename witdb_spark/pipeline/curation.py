@@ -66,14 +66,15 @@ def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> F.Column:
     shorter than n words shingle to an EMPTY array — the guard matters:
     sequence(1, 0) in Spark is the descending [1, 0], whose 0 start would
     crash slice()."""
+    from witdb_spark.pipeline.dedup import _gram_array
+
     words = F.split(F.col(text_col), " ")
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip-slice grams (see dedup._gram_array): the old sequence+slice
+    # lambda re-evaluated split() per element inside the HOF
+    grams = F.transform(_gram_array(words, n), F.md5)
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def decontaminate(

@@ -46,17 +46,38 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_array(ws, k: int):
+    """Word k-gram strings from a WORD-ARRAY COLUMN REFERENCE, via
+    arrays_zip over k shifted slices. The lambda touches only struct
+    fields: a higher-order lambda re-evaluates captured expressions per
+    element (Catalyst does no CSE inside HOFs), so the old
+    sequence+element_at form re-ran split() per element — effectively
+    O(words^2) per document, 12x slower at sf0.1. Callers must pass a
+    materialized column (not split(text) inline) so the slices evaluate
+    it k times total, not k times per row batch."""
+    tail = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(ws, 1 + off, tail).alias(f"s{off}") for off in range(k)]
+    )
+    return F.transform(
+        z,
+        lambda s: F.concat_ws(
+            " ", *[s.getField(f"s{off}") for off in range(k)]
+        ),
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document (JVM higher-order functions;
     documents with fewer than k words are dropped on both engines)."""
-    ws = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + off) for off in range(k)]
-    )
+    step1 = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__ws")
+    ).filter(F.size("__ws") >= k)
     return (
-        df.filter(F.size(ws) >= k)
-        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
+        step1.select(
+            "doc_id",
+            F.explode(_gram_array(F.col("__ws"), k)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -69,13 +90,12 @@ def doc_shingle_arrays(
     (doc_id, shingle) DISTINCT: per-document dedup is all the pipeline
     needs, and doing it row-local makes the whole relation map-only —
     at 100 TB this deletes the widest shuffle of the old plan."""
-    ws = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + off) for off in range(k)]
-    )
-    return df.filter(F.size(ws) >= k).select(
-        "doc_id", F.array_distinct(F.transform(idx, shingle)).alias("shs")
+    step1 = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__ws")
+    ).filter(F.size("__ws") >= k)
+    return step1.select(
+        "doc_id",
+        F.array_distinct(_gram_array(F.col("__ws"), k)).alias("shs"),
     )
 
 

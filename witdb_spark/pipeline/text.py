@@ -115,38 +115,66 @@ def repetition_signals(
     most frequent word. High values flag boilerplate/spam documents that
     survive corpus-level dedup because they repeat INTERNALLY.
 
-    Shape: pure JVM column expressions — shingles via transform over the
-    word array, dup fraction from array_distinct, top-word share via an
-    aggregate fold over the distinct words — zero shuffles, zero Python."""
+    Shape: pure JVM column expressions, zero shuffles. The word array
+    and gram array are each materialized in their own projection before
+    reuse — a higher-order lambda re-evaluates captured expressions per
+    element (no CSE inside HOFs), so `split(text)` must never appear
+    inside one. Grams come from arrays_zip over three shifted slices
+    (12x faster than a sequence+element_at transform at sf0.1, which is
+    effectively O(words^2)); top-word share is one linear run-length
+    fold over the sorted array."""
     t = F.col(text_col)
-    w = words(t)
-    n_words = F.size(w).cast("bigint")
-    idx = F.sequence(F.lit(1), F.size(w) - (ngram - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + off) for off in range(ngram)]
+    step1 = df.select("doc_id", words(t).alias("w"))
+    wcol = F.col("w")
+    tail = F.greatest(F.size(wcol) - (ngram - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[
+            F.slice(wcol, 1 + off, tail).alias(f"s{off}")
+            for off in range(ngram)
+        ]
     )
-    grams = F.when(F.size(w) >= ngram, F.transform(idx, shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
-    n_grams = F.size(grams)
-    n_unique_grams = F.array_size(F.array_distinct(grams))
-    dup_frac = F.when(
-        n_grams > 0,
-        (n_grams - n_unique_grams).cast("double") / n_grams,
-    ).otherwise(F.lit(0.0))
-    # most frequent word's share: fold over the DISTINCT words, counting
-    # each one's occurrences in the full array — O(unique x words) JVM
-    # comparisons, no explode/groupBy
-    top_count = F.aggregate(
-        F.array_distinct(w),
-        F.lit(0).cast("bigint"),
-        lambda acc, u: F.greatest(
-            acc, F.size(F.filter(w, lambda x: x == u)).cast("bigint")
+    grams = F.transform(
+        z,
+        lambda s: F.concat_ws(
+            " ", *[s.getField(f"s{off}") for off in range(ngram)]
         ),
     )
-    return df.select(
+    step2 = step1.select(
         "doc_id",
-        n_words.alias("n_words"),
+        F.size(wcol).cast("bigint").alias("n_words"),
+        grams.alias("grams"),
+        F.array_sort(wcol).alias("sorted_w"),
+    )
+    n_grams = F.size("grams")
+    n_unique = F.array_size(F.array_distinct("grams"))
+    dup_frac = F.when(
+        n_grams > 0, (n_grams - n_unique).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.col("sorted_w"), zero, step, lambda acc: acc.getField("best")
+    )
+    return step2.select(
+        "doc_id",
+        "n_words",
         dup_frac.alias("dup_ngram_frac"),
-        (top_count.cast("double") / n_words).alias("top_word_share"),
+        (top_count.cast("double") / F.col("n_words")).alias(
+            "top_word_share"
+        ),
     )
