@@ -254,7 +254,13 @@ def minhash_near_duplicates(
     from pyspark import StorageLevel
 
     arrs = doc_shingle_arrays(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = candidate_pairs(band_keys(minhash_signatures_arr(arrs)))
+    # bands feed BOTH sides of the candidate self-join; without a persist
+    # each side re-derives scan->shingle->signature->band and the join
+    # planner loses the stats (6x slower at sf0.1). 4 small rows per doc.
+    bands = band_keys(minhash_signatures_arr(arrs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = candidate_pairs(bands)
     return jaccard_verify_arr(pairs, arrs, threshold)
 
 
