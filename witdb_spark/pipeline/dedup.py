@@ -335,6 +335,13 @@ def simhash_near_duplicates(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    # chunks feed both sides of the band self-join; persist so the
+    # md5-per-word fingerprint aggregation runs once (same pathology as
+    # the MinHash band join: unpersisted, each side re-derives the whole
+    # subtree and the join planner loses its statistics)
+    from pyspark import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     a = chunks.select(
         F.col("doc_id").alias("a_id"),
         F.col("simhash").alias("sh_a"),

@@ -132,6 +132,9 @@ def embedding_near_duplicates(
     ).select(
         corpus[id_col].alias("vid"), corpus[vec_col].alias("v"), buckets["bucket"]
     )
+    from pyspark import StorageLevel
+
+    withb = withb.persist(StorageLevel.MEMORY_AND_DISK)
     a = withb.select(
         F.col("vid").alias("a_id"), F.col("v").alias("va"), "bucket"
     ).withColumn("na", F.sqrt(dot_expr("va", "va")))
