@@ -461,3 +461,54 @@ def test_sql_form_exclusion_one_row(engine, spark):
             "PATTERN (A {- B -} C) DEFINE A AS ty = 'a',"
             " B AS ty = 'b', C AS ty = 'c')"
         )
+
+
+def test_prev_next_in_measures(spark):
+    """PREV/NEXT navigation inside MEASURES (reference
+    LogicalIndexNavigation): physical partition offsets from FIRST/LAST
+    anchors, label-qualified anchors, literal offsets, NULL outside the
+    partition."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = [(1, i, v) for i, v in enumerate([10, 11, 12, 9, 8, 13, 14, 15, 7])]
+    spark.createDataFrame(rows, ["k", "ts", "price"]).createOrReplaceTempView(
+        "nav_quotes"
+    )
+    out = eng.sql(
+        """
+        SELECT start_p, end_p, before_start, after_end, prev2, prev_first_b
+        FROM nav_quotes MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES FIRST(price) AS start_p,
+                   LAST(price) AS end_p,
+                   PREV(FIRST(price)) AS before_start,
+                   NEXT(LAST(price)) AS after_end,
+                   PREV(LAST(price), 2) AS prev2,
+                   PREV(FIRST(B.price)) AS prev_first_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS price > PREV(price)
+        ) ORDER BY start_p
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (8, 15, 9, 7, 13, 8),
+        (10, 12, None, 9, 10, 10),
+    ]
+    # ALL ROWS PER MATCH + nav measures rejects loudly
+    import pytest as _pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    with _pytest.raises(UnsupportedTrinoSyntax):
+        eng.sql(
+            """
+            SELECT * FROM nav_quotes MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY ts
+              MEASURES PREV(price) AS pp
+              ALL ROWS PER MATCH
+              PATTERN (B+) DEFINE B AS price > PREV(price))
+            """
+        ).collect()

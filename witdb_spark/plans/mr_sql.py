@@ -39,8 +39,14 @@ PERMUTE, reluctant quantifiers, and (under ONE ROW PER MATCH) {- -}
 exclusions lower through the operator's pattern compiler — exclusions via
 its flag mode, so MEASURES still aggregate over excluded rows (SQL:2016).
 
-Unsupported (loud, not silent): label-qualified references and {- -}
-exclusions under ALL ROWS PER MATCH, and PREV/NEXT inside MEASURES.
+PREV/NEXT inside MEASURES (reference LogicalIndexNavigation) are
+physical row offsets over the PARTITION — they may step outside the
+match, and step to NULL outside the partition. Under ONE ROW PER MATCH
+they lower to a row_number-indexed join against the source partition at
+anchor_rn -+ n, with FIRST/LAST (optionally label-qualified) anchors.
+
+Unsupported (loud, not silent): label-qualified references, {- -}
+exclusions, and PREV/NEXT measures under ALL ROWS PER MATCH.
 """
 
 from __future__ import annotations
@@ -194,7 +200,9 @@ def _check_measure(expr: str, labsets, rows_per_match: str) -> None:
                     f"label-qualified measure {expr!r} with ALL ROWS PER MATCH"
                 )
     if re.search(r"\b(PREV|NEXT)\s*\(", expr, re.I):
-        raise UnsupportedTrinoSyntax("PREV/NEXT inside MEASURES")
+        raise UnsupportedTrinoSyntax(
+            "PREV/NEXT measures with ALL ROWS PER MATCH"
+        )
 
 
 def _member_sql(members: list[str]) -> str:
@@ -349,6 +357,52 @@ def _measure_all_rows(expr: str, pk: list[str], ord_col: str) -> str:
     return e
 
 
+_NAV_CALL = re.compile(r"\b(PREV|NEXT)\s*\(", re.I)
+
+
+def _extract_navs(measures):
+    """Pull PREV/NEXT navigation out of measure expressions (reference
+    LogicalIndexNavigation: physical row offsets over the PARTITION, so
+    they may step outside the match; outside the partition -> NULL).
+    Supported forms, FINAL semantics: PREV|NEXT(expr[, n]) and
+    PREV|NEXT(FIRST|LAST(expr)[, n]) — a bare expr anchors at LAST (the
+    FINAL default). Each call is replaced by a placeholder column that
+    _lower materializes by joining the row-number-indexed source
+    partition at anchor_rn -+ n."""
+    from witdb_spark.plans.dialect import _split_top_level
+
+    navs = []  # (PREV|NEXT, FIRST|LAST, inner_expr, n, placeholder)
+    out = []
+    for expr, name in measures:
+        while True:
+            m = _NAV_CALL.search(expr)
+            if m is None:
+                break
+            open_idx = expr.index("(", m.start())
+            close = _match_paren(expr, open_idx)
+            parts = _split_top_level(expr[open_idx + 1 : close])
+            inner = parts[0].strip()
+            n = 1
+            if len(parts) > 1:
+                if not re.fullmatch(r"\d+", parts[1].strip()):
+                    raise UnsupportedTrinoSyntax(
+                        f"PREV/NEXT offset must be a literal: {parts[1]!r}"
+                    )
+                n = int(parts[1])
+            am = re.fullmatch(
+                r"(FIRST|LAST)\s*\((.*)\)", inner, re.I | re.S
+            )
+            if am:
+                anchor, ie = am.group(1).upper(), am.group(2).strip()
+            else:
+                anchor, ie = "LAST", inner
+            ph = f"__nav_{len(navs)}"
+            navs.append((m.group(1).upper(), anchor, ie, n, ph))
+            expr = expr[: m.start()] + ph + expr[close + 1 :]
+        out.append((expr, name))
+    return out, navs
+
+
 _VIEW_SEQ = [0]
 
 
@@ -399,7 +453,11 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
                 f"SUBSET {sname}: {bad} are not pattern variables"
             )
         labsets[sname] = members
-    for expr, _ in spec["measures"]:
+    measures = spec["measures"]
+    navs = []
+    if spec["rows_per_match"] == "one":
+        measures, navs = _extract_navs(measures)
+    for expr, _ in measures:
         _check_measure(expr, labsets, spec["rows_per_match"])
     define = {k: transpile(v) for k, v in spec["define"].items()}
     matched = match_recognize(
@@ -415,18 +473,70 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     ).drop("excluded")
     pk, ord_col = spec["partition_by"], spec["order_by"]
     if spec["rows_per_match"] == "one":
+        nav_cols = []
+        if navs:
+            from pyspark.sql import Window
+
+            src = spark.table(table)
+            w = (
+                Window.partitionBy(*pk).orderBy(ord_col)
+                if pk
+                else Window.partitionBy(F.lit(1)).orderBy(ord_col)
+            )
+            src_rn = src.withColumn("__rn", F.row_number().over(w))
+            matched = matched.join(
+                src_rn.select(*pk, ord_col, "__rn"), [*pk, ord_col]
+            )
+            mw = Window.partitionBy(*pk, "match_id")
+            for kind, anchor, ie, n, ph in navs:
+                # label-qualified inner (PREV(LAST(A.price))): the anchor
+                # is the last/first row CLASSIFIED A; the stepped-to row's
+                # value is read unqualified (physical navigation)
+                lm = re.fullmatch(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)",
+                    ie,
+                )
+                if lm and lm.group(1) in labsets:
+                    members = labsets[lm.group(1)]
+                    ie = lm.group(2)
+                    rn_src = F.when(
+                        F.col("classifier").isin(*members), F.col("__rn")
+                    )
+                else:
+                    rn_src = F.col("__rn")
+                anchor_rn = (
+                    F.max(rn_src).over(mw)
+                    if anchor == "LAST"
+                    else F.min(rn_src).over(mw)
+                )
+                delta = -n if kind == "PREV" else n
+                matched = matched.withColumn(
+                    f"{ph}_t", anchor_rn + F.lit(delta)
+                )
+                tgt = src_rn.select(
+                    *pk,
+                    F.col("__rn").alias(f"{ph}_t"),
+                    F.expr(transpile(ie)).alias(ph),
+                )
+                matched = matched.join(
+                    tgt, [*pk, f"{ph}_t"], "left"
+                ).drop(f"{ph}_t")
+                nav_cols.append(ph)
         aggs = [
             F.expr(
                 _measure_one_row(
-                    e, ord_col, labsets, spark.table(table).columns
+                    e,
+                    ord_col,
+                    labsets,
+                    [*spark.table(table).columns, *nav_cols],
                 )
             ).alias(name)
-            for e, name in spec["measures"]
+            for e, name in measures
         ]
         out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")
     else:
         out = matched
-        for e, name in spec["measures"]:
+        for e, name in measures:
             out = out.withColumn(
                 name, F.expr(_measure_all_rows(e, pk, ord_col))
             )

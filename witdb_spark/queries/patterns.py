@@ -342,3 +342,60 @@ def mr_subset_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_nav_measures",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pv,
+             lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nx,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders),
+    d AS (SELECT *, rn - row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+          FROM s WHERE o_totalprice > pv),
+    runs AS (SELECT o_custkey, grp, MIN(rn) AS rn_lo, MAX(rn) AS rn_hi,
+                    COUNT(*) AS nb
+             FROM d GROUP BY o_custkey, grp)
+    SELECT r.o_custkey,
+           a.o_orderkey AS start_key,
+           a.pv AS before_start,
+           e.nx AS after_end,
+           CAST(r.nb + 1 AS BIGINT) AS n_rows
+    FROM runs r
+    JOIN s a ON a.o_custkey = r.o_custkey AND a.rn = r.rn_lo - 1
+    JOIN s e ON e.o_custkey = r.o_custkey AND e.rn = r.rn_hi
+    """,
+    doc="MATCH_RECOGNIZE with PREV/NEXT NAVIGATION IN MEASURES (reference "
+    "LogicalIndexNavigation: physical row offsets over the partition, "
+    "possibly stepping outside the match; NULL outside the partition): "
+    "PREV(FIRST(price)) reads the row before the match, NEXT(LAST(price)) "
+    "the row after. The oracle rebuilds the same maximal ascending runs "
+    "with gaps-and-islands and reads the stepped-to rows via lag/lead at "
+    "the anchor rows.",
+    tags=("match_recognize", "pattern", "navigation", "measures"),
+)
+def mr_nav_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return eng.sql(
+        """
+        SELECT o_custkey, start_key, before_start, after_end, n_rows
+        FROM orders MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderkey
+          MEASURES FIRST(o_orderkey) AS start_key,
+                   PREV(FIRST(o_totalprice)) AS before_start,
+                   NEXT(LAST(o_totalprice)) AS after_end,
+                   count(*) AS n_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS o_totalprice > PREV(o_totalprice)
+        )
+        """
+    )
