@@ -648,7 +648,7 @@ def _rewrite_json_casts(sql: str) -> str:
             continue
         fn_name = mm.group(1).lower()
         raw = (
-            operand[len("json_parse") + 1 : -1]
+            operand[operand.index("(") + 1 : -1]
             if fn_name == "json_parse"
             else operand
         )
