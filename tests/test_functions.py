@@ -82,8 +82,11 @@ def test_function_value(fspark, expr, expected):
 
 
 def test_macro_count_registered(fspark):
-    # macros + the Python-UDF tier (functions/python_udfs.py)
-    assert register_all(fspark) >= len(MACROS) >= 30
+    # macros + the Python-UDF tier (functions/python_udfs.py);
+    # register_all memoizes per session, so force a real pass to count
+    assert register_all(fspark, force=True) >= len(MACROS) >= 30
+    # and the memoized repeat is a no-op
+    assert register_all(fspark) == 0
 
 
 def test_is_nan_passthrough(fspark):
