@@ -1092,3 +1092,81 @@ def groupby_grouping_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """
     )
+
+
+_MULTICOUNT_SQL = f"""
+    SELECT COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                              AND o_totalprice > 150000) AS urgent_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                              AND o_totalprice <= 150000) AS urgent_small,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH'
+                              AND o_orderstatus = 'F') AS high_done,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH'
+                              AND o_orderstatus <> 'F') AS high_open,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')) AS rest,
+           {sql_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END",
+                    'rev_done')},
+           {sql_sum("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END",
+                    'rev_open')}
+    FROM orders
+"""
+
+
+@register(
+    "tpcds_multicount_scan",
+    _MULTICOUNT_SQL,
+    doc="Single-scan bucketed counts (TPC-DS q88-style pattern from the "
+    "reference's 99-query DS corpus, adapted to the schema): many "
+    "COUNT(*) FILTER buckets plus conditional decimal-exact sums computed "
+    "in ONE pass over orders — the reference plans this as one "
+    "ScanFilterAndProject feeding a single AggregationOperator, and Spark "
+    "likewise keeps one scan with no re-reads (identical SQL runs on "
+    "both engines).",
+    tags=("analytics", "tpcds", "aggregate"),
+)
+def tpcds_multicount_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(_MULTICOUNT_SQL)
+
+
+_ROLLUP_RANK_SQL = f"""
+    SELECT n_name, o_orderstatus,
+           {sql_sum('o_totalprice', 'rev')},
+           CAST(grouping(n_name) + grouping(o_orderstatus) AS INT)
+             AS lochierarchy,
+           CAST(rank() OVER (
+             PARTITION BY grouping(n_name) + grouping(o_orderstatus),
+                          CASE WHEN grouping(o_orderstatus) = 0
+                               THEN n_name END
+             ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                           AS DOUBLE) DESC,
+                      coalesce(n_name, ''), coalesce(o_orderstatus, '')
+           ) AS INT) AS rnk
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+"""
+
+
+@register(
+    "tpcds_rollup_rank",
+    _ROLLUP_RANK_SQL,
+    doc="Rollup with rank-within-grouping-level (TPC-DS q36's signature "
+    "shape): revenue ROLLUP over (nation, status), lochierarchy from "
+    "GROUPING bits, and rank() partitioned by hierarchy level windowed "
+    "OVER the aggregate — GroupIdOperator + WindowOperator stacked "
+    "(reference GroupIdOperator.java:32, WindowOperator.java:70). "
+    "Tie-breaks coalesce the NULL rollup keys so ASC null ordering "
+    "differences between engines can't flip ranks; identical SQL runs "
+    "on both.",
+    tags=("analytics", "tpcds", "groupingsets", "window"),
+)
+def tpcds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    t.nation.createOrReplaceTempView("nation")
+    return spark.sql(_ROLLUP_RANK_SQL)
