@@ -218,3 +218,45 @@ def test_unicode_and_typed_literals(spark):
     assert q(
         "SELECT CAST(json_parse('{\"a\": 1}') AS MAP(VARCHAR, INTEGER))"
     ) == {"a": 1}
+
+
+def test_review_fix_regressions(spark):
+    """r4 code-review fixes: unicode quote/surrogate escapes, EXTRACT
+    rewrites skipping string literals, bar width 1, null labels in the
+    classifier report, nav measures under duplicate order keys."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    q = lambda s: eng.sql(s).collect()[0][0]  # noqa: E731
+    assert q("SELECT U&'\\0027'") == "'"
+    assert q("SELECT U&'it\\0027s'") == "it's"
+    assert q("SELECT U&'\\D83D\\DE00'") == "\U0001F600"
+    assert (
+        q("SELECT 'keep EXTRACT(DAY_OF_MONTH FROM x) text'")
+        == "keep EXTRACT(DAY_OF_MONTH FROM x) text"
+    )
+    assert q("SELECT length(bar(1.0, 1))") > 0
+    from witdb_spark.pipeline.ml import evaluate_classifier_predictions
+
+    ev = evaluate_classifier_predictions(
+        spark.createDataFrame([(1, 1), (None, 1), (0, 0)], "t int, p int"),
+        "t",
+        "p",
+    ).collect()[0]["report"]
+    assert ev.startswith("Accuracy: 2/2")
+    # PREV/NEXT measures + duplicate ORDER BY values: counts must not
+    # fan out through the row-number attachment
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 1, 11.0), (1, 2, 12.0), (1, 3, 9.0)],
+        ["k", "ts", "price"],
+    ).createOrReplaceTempView("dupord")
+    out = eng.sql(
+        """
+        SELECT n FROM dupord MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES count(*) AS n, PREV(FIRST(price)) AS pn
+          ONE ROW PER MATCH PATTERN (A B+)
+          DEFINE B AS price > PREV(price))
+        """
+    ).collect()
+    assert sum(r["n"] for r in out) <= 4

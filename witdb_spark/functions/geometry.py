@@ -1801,7 +1801,10 @@ def bing_tiles_around_radius(lat, lon, zoom, radius_km):
     left_x = _lat_lon_to_tile_xy(lat, left_lon, zoom)[0]
     right_x = _lat_lon_to_tile_xy(lat, right_lon, zoom)[0]
     wrap = right_x < left_x
-    count_x = (right_x + n - left_x + 2) if wrap else (right_x - left_x + 1)
+    # wrapped span: left_x..n-1 plus 0..right_x (reference
+    # bingTilesAround:240 counts rightX + maxTileIndex - leftX + 2 with
+    # maxTileIndex = n - 1, i.e. right + n - left + 1)
+    count_x = (right_x + n - left_x + 1) if wrap else (right_x - left_x + 1)
     if count_x * (bot_y - top_y + 1) > 1_000_000:
         raise ValueError(
             "The number of tiles covering input rectangle exceeds the"

@@ -962,7 +962,9 @@ def bar(percent, width, low_rgb, high_rgb):
     count = max(0, min(width, count))
     out = []
     for i in range(count):
-        frac = i * 1.0 / (width - 1)
+        # width 1: Java's float 0f/0 is NaN (renders low color after the
+        # min/max clamp); Python int division would raise instead
+        frac = i * 1.0 / (width - 1) if width > 1 else 0.0
         out.append("\x1b[38;5;%dm█" % to_ansi(interpolate(frac, low_rgb, high_rgb)))
     out.append(RESET)
     out.append(" " * (width - count))

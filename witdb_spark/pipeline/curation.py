@@ -61,19 +61,20 @@ def chunk_documents(
     )
 
 
-def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> F.Column:
-    """Array of md5 hashes of the document's word n-grams. Documents
-    shorter than n words shingle to an EMPTY array — the guard matters:
-    sequence(1, 0) in Spark is the descending [1, 0], whose 0 start would
-    crash slice()."""
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, n: int, keep: list[str]
+) -> DataFrame:
+    """(keep..., h) — exploded md5 hashes of the document's word
+    n-grams. The word array is materialized in its own projection first
+    (dedup._gram_array contract: higher-order lambdas re-evaluate
+    captured expressions, so split(text) must never be passed inline);
+    documents shorter than n words contribute no rows."""
     from witdb_spark.pipeline.dedup import _gram_array
 
-    words = F.split(F.col(text_col), " ")
-    # zip-slice grams (see dedup._gram_array): the old sequence+slice
-    # lambda re-evaluated split() per element inside the HOF
-    grams = F.transform(_gram_array(words, n), F.md5)
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    step1 = df.select(*keep, F.split(F.col(text_col), " ").alias("__ws"))
+    grams = F.transform(_gram_array(F.col("__ws"), n), F.md5)
+    return step1.where(F.size("__ws") >= n).select(
+        *keep, F.explode(grams).alias("h")
     )
 
 
@@ -88,12 +89,8 @@ def decontaminate(
     benchmark corpus (the GPT-3/C4-style n-gram decontamination;
     train-test overlap is removed from TRAIN). One shuffle on shingle
     hash; the benchmark side is normally tiny and broadcasts."""
-    doc_sh = docs.select(
-        id_col, F.explode(_shingle_hashes(docs, text_col, ngram)).alias("h")
-    )
-    bench_sh = benchmark.select(
-        F.explode(_shingle_hashes(benchmark, text_col, ngram)).alias("h")
-    ).distinct()
+    doc_sh = _shingle_hash_rows(docs, text_col, ngram, [id_col])
+    bench_sh = _shingle_hash_rows(benchmark, text_col, ngram, []).distinct()
     contaminated = doc_sh.join(bench_sh, "h", "semi").select(id_col).distinct()
     return docs.join(contaminated, id_col, "anti")
 

@@ -118,6 +118,9 @@ def evaluate_classifier_predictions(
     p = F.col(pred_col).cast("string")
     counts = (
         df.select(t.alias("t"), p.alias("p"))
+        # the reference's InputFunction never sees nulls (aggregate
+        # inputs skip them); mirror that instead of crashing the sort
+        .where(F.col("t").isNotNull() & F.col("p").isNotNull())
         .groupBy("t", "p")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

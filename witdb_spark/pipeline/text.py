@@ -123,22 +123,12 @@ def repetition_signals(
     (12x faster than a sequence+element_at transform at sf0.1, which is
     effectively O(words^2)); top-word share is one linear run-length
     fold over the sorted array."""
+    from witdb_spark.pipeline.dedup import _gram_array
+
     t = F.col(text_col)
     step1 = df.select("doc_id", words(t).alias("w"))
     wcol = F.col("w")
-    tail = F.greatest(F.size(wcol) - (ngram - 1), F.lit(0))
-    z = F.arrays_zip(
-        *[
-            F.slice(wcol, 1 + off, tail).alias(f"s{off}")
-            for off in range(ngram)
-        ]
-    )
-    grams = F.transform(
-        z,
-        lambda s: F.concat_ws(
-            " ", *[s.getField(f"s{off}") for off in range(ngram)]
-        ),
-    )
+    grams = _gram_array(wcol, ngram)
     step2 = step1.select(
         "doc_id",
         F.size(wcol).cast("bigint").alias("n_words"),

@@ -499,9 +499,7 @@ def _rewrite_unicode_literals(sql: str) -> str:
     """U&'...' unicode string literals (reference grammar SqlBase.g4
     UNICODE_STRING, with optional UESCAPE): decode \\XXXX and \\+XXXXXX
     escapes (or the custom escape char) into a plain quoted literal."""
-    pat = re.compile(
-        r"U&'((?:[^']|'')*)'(\s+UESCAPE\s+'(.)')?", re.I | re.S
-    )
+    pat = r"U&'((?:[^']|'')*)'(\s+UESCAPE\s+'(.)')?"
 
     def decode(m: re.Match) -> str:
         body = m.group(1)
@@ -523,9 +521,43 @@ def _rewrite_unicode_literals(sql: str) -> str:
             else:
                 out.append(c)
                 i += 1
-        return "'" + "".join(out).replace("\\", "\\\\") + "'"
+        # combine UTF-16 surrogate-pair spellings (\D83D\DE00 is a valid
+        # Trino way to write an emoji; lone surrogates can't reach UTF-8)
+        text = "".join(out)
+        chars = []
+        j = 0
+        while j < len(text):
+            ch = text[j]
+            nxt = text[j + 1] if j + 1 < len(text) else ""
+            if (
+                "\ud800" <= ch <= "\udbff"
+                and "\udc00" <= nxt <= "\udfff"
+            ):
+                cp = (
+                    0x10000
+                    + ((ord(ch) - 0xD800) << 10)
+                    + (ord(nxt) - 0xDC00)
+                )
+                chars.append(chr(cp))
+                j += 2
+            else:
+                chars.append(ch)
+                j += 1
+        text = "".join(chars)
+        # re-escape for a standard quoted literal: '' for quotes, and
+        # keep backslashes literal (Spark string parsing is non-ANSI
+        # C-style by default)
+        text = text.replace("\\", "\\\\").replace("'", "''")
+        return "'" + text + "'"
 
-    return pat.sub(decode, sql)
+    pos = 0
+    while True:
+        m = _first_code_match(pat, sql[pos:], flags=re.I | re.S)
+        if m is None:
+            return sql
+        repl = decode(m)
+        sql = sql[: pos + m.start()] + repl + sql[pos + m.end() :]
+        pos = pos + m.start() + len(repl)
 
 
 _TYPED_LITERALS = {
@@ -585,18 +617,17 @@ def _rewrite_extract_fields(sql: str) -> str:
     in Trino but Sunday=1 in Spark's EXTRACT — route through the ISO
     day_of_week macro; YOW/YEAR_OF_WEEK through year_of_week.
     DAY_OF_MONTH/DAY_OF_YEAR just respell to Spark's DAY/DOY."""
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_MONTH\s+FROM\b",
-        "EXTRACT(DAY FROM",
-        sql,
-        flags=re.I,
-    )
-    sql = re.sub(
-        r"\bEXTRACT\s*\(\s*DAY_OF_YEAR\s+FROM\b",
-        "EXTRACT(DOY FROM",
-        sql,
-        flags=re.I,
-    )
+    for src_f, dst_f in (("DAY_OF_MONTH", "DAY"), ("DAY_OF_YEAR", "DOY")):
+        pos = 0
+        while True:
+            m = _first_code_match(
+                rf"\bEXTRACT\s*\(\s*{src_f}\s+FROM\b", sql[pos:]
+            )
+            if m is None:
+                break
+            repl = f"EXTRACT({dst_f} FROM"
+            sql = sql[: pos + m.start()] + repl + sql[pos + m.end() :]
+            pos = pos + m.start() + len(repl)
     for field, fn in _EXTRACT_FIELD_MAP.items():
         while True:
             m = _first_code_match(

@@ -460,8 +460,27 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     for expr, _ in measures:
         _check_measure(expr, labsets, spec["rows_per_match"])
     define = {k: transpile(v) for k, v in spec["define"].items()}
+    src = spark.table(table)
+    src_rn = None
+    if navs:
+        # physical navigation needs each row's partition position. Attach
+        # it BEFORE the operator (matched rows carry it through), never
+        # by joining back on the ORDER BY value — duplicate order keys
+        # would fan matched rows out and silently double-count the other
+        # aggregate measures.
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*spec["partition_by"]).orderBy(
+                spec["order_by"]
+            )
+            if spec["partition_by"]
+            else Window.partitionBy(F.lit(1)).orderBy(spec["order_by"])
+        )
+        src_rn = src.withColumn("__rn", F.row_number().over(w))
+        src = src_rn
     matched = match_recognize(
-        spark.table(table),
+        src,
         partition_by=spec["partition_by"],
         order_by=spec["order_by"],
         define=define,
@@ -477,16 +496,6 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         if navs:
             from pyspark.sql import Window
 
-            src = spark.table(table)
-            w = (
-                Window.partitionBy(*pk).orderBy(ord_col)
-                if pk
-                else Window.partitionBy(F.lit(1)).orderBy(ord_col)
-            )
-            src_rn = src.withColumn("__rn", F.row_number().over(w))
-            matched = matched.join(
-                src_rn.select(*pk, ord_col, "__rn"), [*pk, ord_col]
-            )
             mw = Window.partitionBy(*pk, "match_id")
             for kind, anchor, ie, n, ph in navs:
                 # label-qualified inner (PREV(LAST(A.price))): the anchor
