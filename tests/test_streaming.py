@@ -183,3 +183,29 @@ def test_windowed_approx_distinct_matches_batch(spark, tmp_path, staged_events):
     assert len(got) >= len(want) - 4 and len(got) > 0
     for ws, est in got.items():
         assert want[ws] == est, (ws, est, want[ws])
+
+
+def test_interval_join_matches_batch(spark, tmp_path, staged_events):
+    """Watermarked stream-stream interval join (views -> purchases within
+    30 minutes) produces exactly the batch join's rows."""
+    from witdb_spark.streaming.ops import (
+        interval_join_views_purchases,
+        stream_events_from_dir,
+    )
+
+    ev, input_dir = staged_events
+    stream = stream_events_from_dir(spark, input_dir)
+    sv = stream.where(F.col("event_type") == "view")
+    sp = stream.where(F.col("event_type") == "purchase")
+    q = run_to_completion(
+        interval_join_views_purchases(sv, sp), tmp_path, "ivj"
+    )
+    got = spark.table("ivj")
+
+    bv = ev.where(F.col("event_type") == "view")
+    bp = ev.where(F.col("event_type") == "purchase")
+    want = interval_join_views_purchases(bv, bp)  # same graph, batch frames
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    q.stop()

@@ -1,4 +1,5 @@
 from witdb_spark.streaming.ops import (
+    interval_join_views_purchases,
     session_windows,
     stateful_funnels,
     stream_dedup,
@@ -7,6 +8,7 @@ from witdb_spark.streaming.ops import (
 )
 
 __all__ = [
+    "interval_join_views_purchases",
     "stream_events_from_dir",
     "windowed_event_counts",
     "stream_dedup",

@@ -185,3 +185,49 @@ def windowed_approx_distinct(
         F.col("win.start").alias("window_start"),
         F.expr(f"cast(round({_FINAL}, 6) as double)").alias("approx_users"),
     )
+
+
+def interval_join_views_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joins the
+    SAME user's view events from the preceding ``max_gap`` window — the
+    classic attribution join. Both sides carry event-time watermarks and
+    the join condition time-bounds BOTH directions, so Spark can expire
+    state for rows older than watermark + gap instead of buffering the
+    streams forever (state is O(users x gap), not O(stream)).
+
+    Batch-equivalent semantics: an ordinary inner join with the same
+    condition (tests assert equality on a static frame)."""
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    gap = F.expr(f"INTERVAL {max_gap}")
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - gap),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "v_ts",
+        "p_ts",
+    )
