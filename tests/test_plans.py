@@ -422,3 +422,14 @@ def test_spatial_contains_broadcasts_polygon_side(spark):
     side = m.group(1)
     bcast = plan.split("BroadcastExchange")[1][:2000]
     assert "_env" in bcast or "wkt" in bcast, side
+
+
+def test_self_join_pipelines_reuse_cached_relation(spark):
+    """The relations feeding BOTH sides of the LSH/simhash candidate
+    self-joins must come from the persisted intermediate (r4: without
+    the persist each side re-derives the whole subtree and the join
+    planner loses statistics — dedup_minhash ran 4x slower). The
+    physical plan shows the cache as InMemoryTableScan on both sides."""
+    for name in ("dedup_minhash", "dedup_simhash"):
+        plan = plan_of(spark, name)
+        assert plan.count("InMemoryTableScan") >= 2, name
