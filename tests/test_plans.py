@@ -433,3 +433,11 @@ def test_self_join_pipelines_reuse_cached_relation(spark):
     for name in ("dedup_minhash", "dedup_simhash"):
         plan = plan_of(spark, name)
         assert plan.count("InMemoryTableScan") >= 2, name
+
+
+def test_semantic_decontamination_pure_map(spark):
+    """Embedding decontamination scores against inlined benchmark
+    literals: the corpus pass must plan with no Exchange and no Join
+    (the same zero-shuffle contract as IVF cell assignment)."""
+    plan = plan_of(spark, "curation_semantic_decontaminated")
+    assert "Exchange" not in plan and "Join" not in plan

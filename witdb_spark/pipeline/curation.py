@@ -137,3 +137,45 @@ def stratified_sample(
         .where(bucket < F.col("_frac") * 10000)
         .drop("_n", "_frac")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination: drop corpus rows whose cosine
+    against ANY benchmark vector reaches ``threshold`` — the semantic
+    complement of the n-gram `decontaminate` (paraphrased benchmark
+    leakage survives word-level shingles). Output keeps the surviving
+    rows plus their max benchmark cosine.
+
+    Scale shape: the benchmark side is collected once and inlined as
+    array literals, so the scoring pass is a PURE MAP STAGE over the
+    corpus — the same zero-shuffle inline-literal fold as
+    similarity.ivf_corpus_cells — and the corpus is read exactly once.
+    The benchmark side must be driver-small (it is: eval sets are
+    thousands of rows, not billions)."""
+    from witdb_spark.pipeline.similarity import (
+        _DOT,
+        _vec_literal,
+        dot_expr,
+    )
+
+    bench = [row[0] for row in benchmark.select(vec_col).collect()]
+    if not bench:
+        return corpus.withColumn("max_bench_cosine", F.lit(None).cast("double"))
+    vn = F.sqrt(dot_expr(vec_col, vec_col))
+    scores = []
+    for vec in bench:
+        arr = _vec_literal(vec)
+        bn = F.sqrt(F.expr(_DOT.format(a=arr, b=arr)))
+        scores.append(
+            F.round(F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * bn), 6)
+        )
+    max_cos = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return corpus.withColumn("max_bench_cosine", max_cos).where(
+        F.col("max_bench_cosine") < threshold
+    )

@@ -155,3 +155,44 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+from witdb_spark.queries.pipeline_queries import _dot_sql, _norm_sql  # noqa: E402
+
+
+@register(
+    "curation_semantic_decontaminated",
+    f"""
+    WITH b AS (SELECT embedding AS be, {_norm_sql('embedding')} AS bn
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id, embedding AS ce, {_norm_sql('embedding')} AS cn
+          FROM embeddings WHERE vec_id % 97 <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             max(round({_dot_sql('c.ce', 'b.be')} / (c.cn * b.bn), 6))
+               AS max_bench_cosine
+      FROM c, b GROUP BY c.vec_id)
+    SELECT vec_id, max_bench_cosine
+    FROM scored WHERE max_bench_cosine < 0.35
+    """,
+    doc="Embedding-space benchmark decontamination (pipeline/curation.py "
+    "semantic_decontaminate): drop corpus vectors whose cosine against "
+    "ANY benchmark vector reaches the threshold — the semantic "
+    "complement of the n-gram decontamination (paraphrased leakage "
+    "survives word shingles). Spark scores in a ZERO-SHUFFLE pure map "
+    "stage (benchmark vectors inlined as array literals, the same fold "
+    "as IVF cell assignment); the oracle recomputes with a cross join + "
+    "max in DuckDB.",
+    tags=("pipeline", "curation", "similarity"),
+)
+def curation_semantic_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from witdb_spark.pipeline.curation import semantic_decontaminate
+
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(
+        corpus, bench, threshold=0.35
+    ).select("vec_id", "max_bench_cosine")
