@@ -292,13 +292,13 @@ def test_sql_form_unsupported(engine, spark):
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
     spark.range(1).createOrReplaceTempView("mr_sql_t3")
-    # label-qualified measures are supported under ONE ROW PER MATCH
-    # (r4 SUBSET lowering) but not under ALL ROWS PER MATCH
+    # PREV/NEXT measures stay rejected under ALL ROWS PER MATCH
+    # (label-qualified measures there are supported since r4)
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql(
             "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
             "PARTITION BY id ORDER BY id "
-            "MEASURES A.id AS a_id ALL ROWS PER MATCH "
+            "MEASURES PREV(id) AS p ALL ROWS PER MATCH "
             "PATTERN (A B) DEFINE A AS id > 0, B AS id > 0)"
         )
     # SUBSET members must be pattern variables
@@ -451,16 +451,20 @@ def test_sql_form_exclusion_one_row(engine, spark):
         """
     ).collect()
     assert [(r.n_rows, r.n_b) for r in rows] == [(4, 2)]
-    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
-    import pytest as _pytest
-
-    with _pytest.raises(UnsupportedTrinoSyntax):
-        engine.sql(
-            "SELECT * FROM mr_excl_t MATCH_RECOGNIZE ("
-            "PARTITION BY g ORDER BY seq ALL ROWS PER MATCH "
-            "PATTERN (A {- B -} C) DEFINE A AS ty = 'a',"
-            " B AS ty = 'b', C AS ty = 'c')"
-        )
+    # since r4 exclusions also work under ALL ROWS PER MATCH: flagged
+    # rows feed the measures but are dropped from the output
+    out = engine.sql(
+        """
+        SELECT seq, n FROM mr_excl_t MATCH_RECOGNIZE (
+          PARTITION BY g ORDER BY seq
+          MEASURES FINAL count(*) AS n
+          ALL ROWS PER MATCH
+          PATTERN (A {- B+ -} C)
+          DEFINE A AS ty = 'a', B AS ty = 'b', C AS ty = 'c'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [(0, 4), (3, 4)]
 
 
 def test_prev_next_in_measures(spark):
@@ -512,3 +516,55 @@ def test_prev_next_in_measures(spark):
               PATTERN (B+) DEFINE B AS price > PREV(price))
             """
         ).collect()
+
+
+def test_all_rows_label_measures_and_exclusions(spark):
+    """r4: label-qualified measures under ALL ROWS PER MATCH lower to
+    membership-guarded windows (running count/sum/last), and {- -}
+    exclusions drop flagged rows from the output AFTER measures see
+    them (SQL:2016)."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = [
+        (1, 1, "view", 10.0),
+        (1, 2, "view", 20.0),
+        (1, 3, "click", 5.0),
+        (1, 4, "purchase", 100.0),
+    ]
+    spark.createDataFrame(rows, ["u", "ts", "et", "v"]).createOrReplaceTempView(
+        "mr_allrows_ev"
+    )
+    out = eng.sql(
+        """
+        SELECT ts, n_views, v_sum, last_v, cls
+        FROM mr_allrows_ev MATCH_RECOGNIZE (
+          PARTITION BY u ORDER BY ts
+          MEASURES count(V.*) AS n_views, sum(V.v) AS v_sum,
+                   LAST(V.v) AS last_v, CLASSIFIER() AS cls
+          ALL ROWS PER MATCH
+          PATTERN (V+ C* P)
+          DEFINE V AS et = 'view', C AS et = 'click', P AS et = 'purchase'
+        ) ORDER BY ts
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, 1, 10.0, 10.0, "V"),
+        (2, 2, 30.0, 20.0, "V"),
+        (3, 2, 30.0, 20.0, "C"),
+        (4, 2, 30.0, 20.0, "P"),
+    ]
+    out2 = eng.sql(
+        """
+        SELECT ts, n
+        FROM mr_allrows_ev MATCH_RECOGNIZE (
+          PARTITION BY u ORDER BY ts
+          MEASURES FINAL count(*) AS n
+          ALL ROWS PER MATCH
+          PATTERN (V+ {- C* -} P)
+          DEFINE V AS et = 'view', C AS et = 'click', P AS et = 'purchase'
+        ) ORDER BY ts
+        """
+    ).collect()
+    # click row excluded from OUTPUT, still inside the FINAL count
+    assert [tuple(r) for r in out2] == [(1, 4), (2, 4), (4, 4)]

@@ -33,11 +33,15 @@ operator/window/pattern/MeasureComputation.java):
 
 Label- and SUBSET-qualified measure references (FIRST(A.x), LAST(S.x),
 count(S.*), agg(S.x), bare S.x) lower to membership-guarded min_by/max_by
-and aggregates over CLASSIFIER() — ONE ROW PER MATCH only.
+and aggregates over CLASSIFIER() under ONE ROW PER MATCH, and to
+membership-guarded first/last(ignoreNulls)/aggregate WINDOWS under
+ALL ROWS PER MATCH (r4).
 
-PERMUTE, reluctant quantifiers, and (under ONE ROW PER MATCH) {- -}
-exclusions lower through the operator's pattern compiler — exclusions via
-its flag mode, so MEASURES still aggregate over excluded rows (SQL:2016).
+PERMUTE, reluctant quantifiers, and {- -} exclusions lower through the
+operator's pattern compiler — exclusions via its flag mode, so MEASURES
+still aggregate over excluded rows (SQL:2016); under ALL ROWS PER MATCH
+the flagged rows are filtered from the output after the measure windows
+are computed (r4).
 
 PREV/NEXT inside MEASURES (reference LogicalIndexNavigation) are
 physical row offsets over the PARTITION — they may step outside the
@@ -45,8 +49,9 @@ match, and step to NULL outside the partition. Under ONE ROW PER MATCH
 they lower to a row_number-indexed join against the source partition at
 anchor_rn -+ n, with FIRST/LAST (optionally label-qualified) anchors.
 
-Unsupported (loud, not silent): label-qualified references, {- -}
-exclusions, and PREV/NEXT measures under ALL ROWS PER MATCH.
+Unsupported (loud, not silent): PREV/NEXT measures under ALL ROWS PER
+MATCH (physical navigation per output row needs a second windowed pass
+nothing has demanded yet).
 """
 
 from __future__ import annotations
@@ -178,27 +183,15 @@ def _parse_clause(body: str) -> dict:
     for req in ("partition_by", "order_by", "pattern", "define"):
         if req not in spec:
             raise UnsupportedTrinoSyntax(f"MATCH_RECOGNIZE missing {req}")
-    # PERMUTE, reluctant quantifiers, and (for ONE ROW PER MATCH)
-    # {- -} exclusions lower through the operator's own pattern compiler
-    # — exclusions use its flag mode so MEASURES still see excluded rows
-    # (SQL:2016). ALL ROWS PER MATCH with exclusions stays unsupported:
-    # the running-window rewrite has no per-row excluded notion.
-    if re.search(r"\{-", spec["pattern"]) and spec["rows_per_match"] == "all":
-        raise UnsupportedTrinoSyntax(
-            "pattern exclusions with ALL ROWS PER MATCH"
-        )
+    # PERMUTE, reluctant quantifiers, and {- -} exclusions all lower
+    # through the operator's own pattern compiler — exclusions use its
+    # flag mode so MEASURES still see excluded rows (SQL:2016); under
+    # ALL ROWS PER MATCH the flagged rows are filtered from the OUTPUT
+    # after the measure windows are computed.
     return spec
 
 
 def _check_measure(expr: str, labsets, rows_per_match: str) -> None:
-    if rows_per_match == "all":
-        # label-qualified refs under RUNNING semantics need per-row
-        # classifier state the window rewrite doesn't model — reject loudly
-        for name in labsets:
-            if re.search(rf"\b{name}\s*\.", expr):
-                raise UnsupportedTrinoSyntax(
-                    f"label-qualified measure {expr!r} with ALL ROWS PER MATCH"
-                )
     if re.search(r"\b(PREV|NEXT)\s*\(", expr, re.I):
         raise UnsupportedTrinoSyntax(
             "PREV/NEXT measures with ALL ROWS PER MATCH"
@@ -324,9 +317,15 @@ def _measure_one_row(
     return e
 
 
-def _measure_all_rows(expr: str, pk: list[str], ord_col: str) -> str:
+def _measure_all_rows(
+    expr: str, pk: list[str], ord_col: str, labsets: dict | None = None
+) -> str:
     """RUNNING-semantics (default) window expression for ALL ROWS PER
-    MATCH; FINAL agg(...) switches to the whole-match frame."""
+    MATCH; FINAL agg(...) switches to the whole-match frame. Label- and
+    SUBSET-qualified references lower to membership-guarded window
+    functions (first/last with ignoreNulls over the guarded value);
+    those emitted spans are masked so the generic FIRST/LAST/agg passes
+    below cannot double-wrap them."""
     e = transpile(expr)
     part = ", ".join([*pk, "match_id"])
     run = (
@@ -337,6 +336,57 @@ def _measure_all_rows(expr: str, pk: list[str], ord_col: str) -> str:
         f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
         f" ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
+    masked_spans: list[str] = []
+
+    def mask(s: str) -> str:
+        masked_spans.append(s)
+        return f"\x00{len(masked_spans) - 1}\x01"
+
+    if labsets:
+        for name, members in labsets.items():
+            mem = _member_sql(members)
+
+            def guard(x: str) -> str:
+                return f"CASE WHEN {mem} THEN {x} END"
+
+            e = re.sub(
+                rf"\bFIRST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+                lambda m: mask(f"first({guard(m.group(1))}, true){run}"),
+                e,
+                flags=re.I,
+            )
+            e = re.sub(
+                rf"\bLAST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+                lambda m: mask(f"last({guard(m.group(1))}, true){run}"),
+                e,
+                flags=re.I,
+            )
+            e = re.sub(
+                rf"\b(FINAL\s+)?count\s*\(\s*{name}\.\*\s*\)",
+                lambda m: mask(
+                    f"count({guard('1')})"
+                    + (full if m.group(1) else run)
+                ),
+                e,
+                flags=re.I,
+            )
+            e = re.sub(
+                rf"\b(FINAL\s+)?({'|'.join(_AGG_NAMES)})\s*\(\s*{name}"
+                rf"\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+                lambda m: mask(
+                    f"{m.group(2)}({guard(m.group(3))})"
+                    + (full if m.group(1) else run)
+                ),
+                e,
+                flags=re.I,
+            )
+            # bare L.col -> RUNNING LAST of the label's rows
+            e = re.sub(
+                rf"\b{name}\.([A-Za-z_][A-Za-z0-9_]*)",
+                lambda m: mask(f"last({guard(m.group(1))}, true){run}"),
+                e,
+                flags=re.I,
+            )
     e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"first(\1){run}", e, flags=re.I)
     e = re.sub(r"\bLAST\s*\(([^()]*)\)", r"(\1)", e, flags=re.I)  # running last = current row
     e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", "classifier", e, flags=re.I)
@@ -354,6 +404,8 @@ def _measure_all_rows(expr: str, pk: list[str], ord_col: str) -> str:
         flags=re.I,
     )
     e = re.sub(r"\bRUNNING\s+", "", e, flags=re.I)
+    for k, span in enumerate(masked_spans):
+        e = e.replace(f"\x00{k}\x01", span)
     return e
 
 
@@ -489,7 +541,7 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         rows_per_match="all",  # measures need the full match either way
         # measures must see {- -} rows too; ONE ROW output is unaffected
         exclusion_mode="flag",
-    ).drop("excluded")
+    )
     pk, ord_col = spec["partition_by"], spec["order_by"]
     if spec["rows_per_match"] == "one":
         nav_cols = []
@@ -547,8 +599,11 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         out = matched
         for e, name in measures:
             out = out.withColumn(
-                name, F.expr(_measure_all_rows(e, pk, ord_col))
+                name, F.expr(_measure_all_rows(e, pk, ord_col, labsets))
             )
+        # SQL:2016: {- -}-excluded rows feed the measures but are
+        # removed from the ALL ROWS output
+        out = out.where(~F.col("excluded")).drop("excluded")
     _VIEW_SEQ[0] += 1
     view = f"__mr_rel_{_VIEW_SEQ[0]}"
     out.createOrReplaceTempView(view)
