@@ -292,13 +292,12 @@ def test_sql_form_unsupported(engine, spark):
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
     spark.range(1).createOrReplaceTempView("mr_sql_t3")
-    # PREV/NEXT measures stay rejected under ALL ROWS PER MATCH
-    # (label-qualified measures there are supported since r4)
+    # label-qualified PREV/NEXT anchors stay rejected under ALL ROWS
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql(
             "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
             "PARTITION BY id ORDER BY id "
-            "MEASURES PREV(id) AS p ALL ROWS PER MATCH "
+            "MEASURES PREV(LAST(A.id)) AS p ALL ROWS PER MATCH "
             "PATTERN (A B) DEFINE A AS id > 0, B AS id > 0)"
         )
     # SUBSET members must be pattern variables
@@ -501,7 +500,9 @@ def test_prev_next_in_measures(spark):
         (8, 15, 9, 7, 13, 8),
         (10, 12, None, 9, 10, 10),
     ]
-    # ALL ROWS PER MATCH + nav measures rejects loudly
+    # ALL ROWS PER MATCH + nav measures is supported since r4
+    # (test_prev_next_all_rows covers the semantics); only
+    # label-qualified anchors stay rejected there
     import pytest as _pytest
 
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
@@ -511,7 +512,7 @@ def test_prev_next_in_measures(spark):
             """
             SELECT * FROM nav_quotes MATCH_RECOGNIZE (
               PARTITION BY k ORDER BY ts
-              MEASURES PREV(price) AS pp
+              MEASURES NEXT(LAST(B.price)) AS pp
               ALL ROWS PER MATCH
               PATTERN (B+) DEFINE B AS price > PREV(price))
             """
@@ -568,3 +569,36 @@ def test_all_rows_label_measures_and_exclusions(spark):
     ).collect()
     # click row excluded from OUTPUT, still inside the FINAL count
     assert [tuple(r) for r in out2] == [(1, 4), (2, 4), (4, 4)]
+
+
+def test_prev_next_all_rows(spark):
+    """r4: PREV/NEXT measures under ALL ROWS PER MATCH — running
+    physical navigation (source-level lag/lead carried through the
+    operator), FIRST-anchored forms constant per match."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = [(1, i, v) for i, v in enumerate([10.0, 11.0, 12.0, 9.0, 8.0, 13.0])]
+    spark.createDataFrame(rows, ["k", "ts", "price"]).createOrReplaceTempView(
+        "nav_all_rows"
+    )
+    out = eng.sql(
+        """
+        SELECT ts, pp, nn, pf
+        FROM nav_all_rows MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES PREV(price) AS pp, NEXT(price) AS nn,
+                   PREV(FIRST(price)) AS pf
+          ALL ROWS PER MATCH
+          PATTERN (A B+)
+          DEFINE B AS price > PREV(price)
+        ) ORDER BY ts
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (0, None, 11.0, None),
+        (1, 10.0, 12.0, None),
+        (2, 11.0, 9.0, None),
+        (4, 9.0, 13.0, 9.0),
+        (5, 8.0, None, 9.0),
+    ]

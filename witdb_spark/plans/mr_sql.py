@@ -48,10 +48,13 @@ physical row offsets over the PARTITION — they may step outside the
 match, and step to NULL outside the partition. Under ONE ROW PER MATCH
 they lower to a row_number-indexed join against the source partition at
 anchor_rn -+ n, with FIRST/LAST (optionally label-qualified) anchors.
+Under ALL ROWS PER MATCH (r4) the navigation is a source-level lag/lead
+carried through the operator (running LAST anchor = the current row);
+FIRST-anchored forms read the carried column at the match's first row.
 
-Unsupported (loud, not silent): PREV/NEXT measures under ALL ROWS PER
-MATCH (physical navigation per output row needs a second windowed pass
-nothing has demanded yet).
+Unsupported (loud, not silent): label-qualified PREV/NEXT anchors under
+ALL ROWS PER MATCH (the running anchor position is per-row classifier
+state).
 """
 
 from __future__ import annotations
@@ -192,9 +195,12 @@ def _parse_clause(body: str) -> dict:
 
 
 def _check_measure(expr: str, labsets, rows_per_match: str) -> None:
+    # navigation calls were extracted to placeholders before this check
+    # for both row modes; a PREV/NEXT surviving here means a form the
+    # extractor could not parse
     if re.search(r"\b(PREV|NEXT)\s*\(", expr, re.I):
         raise UnsupportedTrinoSyntax(
-            "PREV/NEXT measures with ALL ROWS PER MATCH"
+            f"unparseable PREV/NEXT navigation in measure {expr!r}"
         )
 
 
@@ -505,16 +511,43 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
                 f"SUBSET {sname}: {bad} are not pattern variables"
             )
         labsets[sname] = members
-    measures = spec["measures"]
-    navs = []
-    if spec["rows_per_match"] == "one":
-        measures, navs = _extract_navs(measures)
+    measures, navs = _extract_navs(spec["measures"])
+    if spec["rows_per_match"] == "all":
+        for kind, anchor, ie, n, ph in navs:
+            if re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", ie
+            ):
+                raise UnsupportedTrinoSyntax(
+                    "label-qualified PREV/NEXT anchors with ALL ROWS PER"
+                    " MATCH (the running anchor position is per-row"
+                    " classifier state)"
+                )
     for expr, _ in measures:
         _check_measure(expr, labsets, spec["rows_per_match"])
     define = {k: transpile(v) for k, v in spec["define"].items()}
     src = spark.table(table)
     src_rn = None
-    if navs:
+    if navs and spec["rows_per_match"] == "all":
+        # RUNNING navigation: PREV/NEXT step physically over the
+        # partition from the anchor row. LAST-anchored (the running
+        # default: the current row) is a source-level lag/lead carried
+        # through the operator; FIRST-anchored wraps it with the match's
+        # first value in _measure_all_rows' masked form.
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*spec["partition_by"]).orderBy(
+                spec["order_by"]
+            )
+            if spec["partition_by"]
+            else Window.partitionBy(F.lit(1)).orderBy(spec["order_by"])
+        )
+        for kind, anchor, ie, n, ph in navs:
+            step = F.lag if kind == "PREV" else F.lead
+            src = src.withColumn(
+                ph, step(F.expr(transpile(ie)), n).over(w)
+            )
+    if navs and spec["rows_per_match"] == "one":
         # physical navigation needs each row's partition position. Attach
         # it BEFORE the operator (matched rows carry it through), never
         # by joining back on the ORDER BY value — duplicate order keys
@@ -597,10 +630,24 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")
     else:
         out = matched
+        part = ", ".join([*pk, "match_id"])
+        run = (
+            f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        nav_phs = [ph for *_rest, ph in navs]
         for e, name in measures:
-            out = out.withColumn(
-                name, F.expr(_measure_all_rows(e, pk, ord_col, labsets))
-            )
+            lowered = _measure_all_rows(e, pk, ord_col, labsets)
+            # FIRST-anchored navigation: the carried lag/lead column is
+            # read at the match's first row (substituted AFTER the
+            # generic passes so they can't re-wrap the window)
+            for kind, anchor, ie, n, ph in navs:
+                if anchor == "FIRST":
+                    lowered = re.sub(
+                        rf"\b{ph}\b", f"first({ph}){run}", lowered
+                    )
+            out = out.withColumn(name, F.expr(lowered))
+        out = out.drop(*nav_phs)
         # SQL:2016: {- -}-excluded rows feed the measures but are
         # removed from the ALL ROWS output
         out = out.where(~F.col("excluded")).drop("excluded")
