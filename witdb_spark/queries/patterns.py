@@ -399,3 +399,51 @@ def mr_nav_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_all_rows_running",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pv,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders),
+    d AS (SELECT *, rn - row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+          FROM s WHERE o_totalprice > pv),
+    runs AS (SELECT o_custkey, grp, MIN(rn) AS rn_lo, MAX(rn) AS rn_hi
+             FROM d GROUP BY o_custkey, grp)
+    SELECT r.o_custkey, a.o_orderkey, CAST(0 AS BIGINT) AS n_up
+    FROM runs r JOIN s a ON a.o_custkey = r.o_custkey AND a.rn = r.rn_lo - 1
+    UNION ALL
+    SELECT d.o_custkey, d.o_orderkey, CAST(d.rn - r.rn_lo + 1 AS BIGINT)
+    FROM d JOIN runs r ON r.o_custkey = d.o_custkey AND r.grp = d.grp
+    """,
+    doc="ALL ROWS PER MATCH with a label-qualified RUNNING measure "
+    "(SQL:2016 running semantics; reference MeasureComputation.java): "
+    "count(B.*) per output row counts the ascending rows seen so far in "
+    "the match — lowered to a membership-guarded cumulative window over "
+    "(partition, match_id). The oracle rebuilds the same islands and "
+    "derives the running count arithmetically from row positions.",
+    tags=("match_recognize", "pattern", "measures", "allrows"),
+)
+def mr_all_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return eng.sql(
+        """
+        SELECT o_custkey, o_orderkey, n_up
+        FROM orders MATCH_RECOGNIZE (
+          PARTITION BY o_custkey
+          ORDER BY o_orderkey
+          MEASURES count(B.*) AS n_up
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS o_totalprice > PREV(o_totalprice)
+        )
+        """
+    )
