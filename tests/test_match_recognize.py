@@ -602,3 +602,48 @@ def test_prev_next_all_rows(spark):
         (4, 9.0, 13.0, 9.0),
         (5, 8.0, None, 9.0),
     ]
+
+
+def test_all_rows_null_value_navigation_and_struct_fields(spark):
+    """r4 review fixes: LAST(V.v) navigates by POSITION (a member row
+    whose value is NULL is still the navigated row — struct-wrap before
+    ignoreNulls); FINAL LAST(V.v) uses the whole-match frame; dotted
+    refs whose prefix is NOT a pattern variable (struct fields) lower
+    through lag/lead under ALL ROWS."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = [(1, 1, "view", 10.0), (1, 2, "view", None), (1, 3, "purchase", 100.0)]
+    spark.createDataFrame(
+        rows, "u int, ts int, et string, v double"
+    ).createOrReplaceTempView("mr_nullv")
+    out = eng.sql(
+        """
+        SELECT ts, lv, flv FROM mr_nullv MATCH_RECOGNIZE (
+          PARTITION BY u ORDER BY ts
+          MEASURES LAST(V.v) AS lv, FINAL LAST(V.v) AS flv
+          ALL ROWS PER MATCH
+          PATTERN (V+ P)
+          DEFINE V AS et = 'view', P AS et = 'purchase')
+        ORDER BY ts
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, 10.0, None),
+        (2, None, None),
+        (3, None, None),
+    ]
+    spark.sql(
+        "SELECT 1 AS u, 1 AS ts, named_struct('city', 'x') AS addr"
+        " UNION ALL SELECT 1, 2, named_struct('city', 'y')"
+    ).createOrReplaceTempView("mr_structnav")
+    out2 = eng.sql(
+        """
+        SELECT ts, pc FROM mr_structnav MATCH_RECOGNIZE (
+          PARTITION BY u ORDER BY ts
+          MEASURES PREV(addr.city) AS pc
+          ALL ROWS PER MATCH
+          PATTERN (A+) DEFINE A AS ts > 0) ORDER BY ts
+        """
+    ).collect()
+    assert [tuple(r) for r in out2] == [(1, None), (2, "x")]

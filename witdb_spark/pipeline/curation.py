@@ -164,6 +164,8 @@ def semantic_decontaminate(
         dot_expr,
     )
 
+    import math
+
     bench = [row[0] for row in benchmark.select(vec_col).collect()]
     if not bench:
         return corpus.withColumn("max_bench_cosine", F.lit(None).cast("double"))
@@ -171,9 +173,12 @@ def semantic_decontaminate(
     scores = []
     for vec in bench:
         arr = _vec_literal(vec)
-        bn = F.sqrt(F.expr(_DOT.format(a=arr, b=arr)))
+        # benchmark norms are constants: precompute driver-side instead
+        # of re-folding the literal self-dot per corpus row (Catalyst
+        # cannot constant-fold higher-order aggregate() expressions)
+        bn = math.sqrt(sum(float(x) * float(x) for x in vec))
         scores.append(
-            F.round(F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * bn), 6)
+            F.round(F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * F.lit(bn)), 6)
         )
     max_cos = F.greatest(*scores) if len(scores) > 1 else scores[0]
     return corpus.withColumn("max_bench_cosine", max_cos).where(

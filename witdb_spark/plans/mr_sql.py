@@ -194,7 +194,7 @@ def _parse_clause(body: str) -> dict:
     return spec
 
 
-def _check_measure(expr: str, labsets, rows_per_match: str) -> None:
+def _check_measure(expr: str) -> None:
     # navigation calls were extracted to placeholders before this check
     # for both row modes; a PREV/NEXT surviving here means a form the
     # extractor could not parse
@@ -323,16 +323,10 @@ def _measure_one_row(
     return e
 
 
-def _measure_all_rows(
-    expr: str, pk: list[str], ord_col: str, labsets: dict | None = None
-) -> str:
-    """RUNNING-semantics (default) window expression for ALL ROWS PER
-    MATCH; FINAL agg(...) switches to the whole-match frame. Label- and
-    SUBSET-qualified references lower to membership-guarded window
-    functions (first/last with ignoreNulls over the guarded value);
-    those emitted spans are masked so the generic FIRST/LAST/agg passes
-    below cannot double-wrap them."""
-    e = transpile(expr)
+def _mr_frames(pk: list[str], ord_col: str) -> tuple[str, str]:
+    """(running, full) OVER-frame strings over (partition, match_id) —
+    the single definition both the measure lowering and the nav-column
+    wrapping use."""
     part = ", ".join([*pk, "match_id"])
     run = (
         f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
@@ -342,6 +336,22 @@ def _measure_all_rows(
         f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
         f" ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     )
+    return run, full
+
+
+def _measure_all_rows(
+    expr: str, pk: list[str], ord_col: str, labsets: dict | None = None
+) -> str:
+    """RUNNING-semantics (default) window expression for ALL ROWS PER
+    MATCH; FINAL agg(...) / FINAL FIRST/LAST switch to the whole-match
+    frame. Label- and SUBSET-qualified references lower to membership-
+    guarded window functions; positional first/last wrap the value in a
+    struct before the ignoreNulls skip, so a member row whose VALUE is
+    NULL is still the navigated row (ignoreNulls must only skip
+    NON-MEMBER rows). Emitted spans are masked so the generic
+    FIRST/LAST/agg passes below cannot double-wrap them."""
+    e = transpile(expr)
+    run, full = _mr_frames(pk, ord_col)
     masked_spans: list[str] = []
 
     def mask(s: str) -> str:
@@ -355,15 +365,30 @@ def _measure_all_rows(
             def guard(x: str) -> str:
                 return f"CASE WHEN {mem} THEN {x} END"
 
+            def nav(fn: str, col: str, frame: str) -> str:
+                # struct-wrap: the CASE is NULL only on non-member rows,
+                # so ignoreNulls navigates by POSITION and the member
+                # row's own NULL value survives as .v
+                return (
+                    f"({fn}({guard(f'struct({col} AS v)')}, true)"
+                    f"{frame}).v"
+                )
+
             e = re.sub(
-                rf"\bFIRST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
-                lambda m: mask(f"first({guard(m.group(1))}, true){run}"),
+                rf"\b(FINAL\s+)?FIRST\s*\(\s*{name}\."
+                rf"([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+                lambda m: mask(
+                    nav("first", m.group(2), full if m.group(1) else run)
+                ),
                 e,
                 flags=re.I,
             )
             e = re.sub(
-                rf"\bLAST\s*\(\s*{name}\.([A-Za-z_][A-Za-z0-9_]*)\s*\)",
-                lambda m: mask(f"last({guard(m.group(1))}, true){run}"),
+                rf"\b(FINAL\s+)?LAST\s*\(\s*{name}\."
+                rf"([A-Za-z_][A-Za-z0-9_]*)\s*\)",
+                lambda m: mask(
+                    nav("last", m.group(2), full if m.group(1) else run)
+                ),
                 e,
                 flags=re.I,
             )
@@ -389,7 +414,7 @@ def _measure_all_rows(
             # bare L.col -> RUNNING LAST of the label's rows
             e = re.sub(
                 rf"\b{name}\.([A-Za-z_][A-Za-z0-9_]*)",
-                lambda m: mask(f"last({guard(m.group(1))}, true){run}"),
+                lambda m: mask(nav("last", m.group(1), run)),
                 e,
                 flags=re.I,
             )
@@ -514,16 +539,19 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     measures, navs = _extract_navs(spec["measures"])
     if spec["rows_per_match"] == "all":
         for kind, anchor, ie, n, ph in navs:
-            if re.fullmatch(
-                r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*", ie
-            ):
+            lm = re.fullmatch(
+                r"([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_][A-Za-z0-9_]*", ie
+            )
+            if lm and lm.group(1) in labsets:
+                # dotted refs whose prefix is NOT a pattern variable
+                # (struct fields) lower fine through lag/lead
                 raise UnsupportedTrinoSyntax(
                     "label-qualified PREV/NEXT anchors with ALL ROWS PER"
                     " MATCH (the running anchor position is per-row"
                     " classifier state)"
                 )
     for expr, _ in measures:
-        _check_measure(expr, labsets, spec["rows_per_match"])
+        _check_measure(expr)
     define = {k: transpile(v) for k, v in spec["define"].items()}
     src = spark.table(table)
     src_rn = None
@@ -535,12 +563,10 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         # first value in _measure_all_rows' masked form.
         from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy(*spec["partition_by"]).orderBy(
-                spec["order_by"]
-            )
-            if spec["partition_by"]
-            else Window.partitionBy(F.lit(1)).orderBy(spec["order_by"])
+        # PARTITION BY is a mandatory clause of the SQL form
+        # (_parse_clause), so no global-sequence fallback exists here
+        w = Window.partitionBy(*spec["partition_by"]).orderBy(
+            spec["order_by"]
         )
         for kind, anchor, ie, n, ph in navs:
             step = F.lag if kind == "PREV" else F.lead
@@ -555,12 +581,8 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         # aggregate measures.
         from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy(*spec["partition_by"]).orderBy(
-                spec["order_by"]
-            )
-            if spec["partition_by"]
-            else Window.partitionBy(F.lit(1)).orderBy(spec["order_by"])
+        w = Window.partitionBy(*spec["partition_by"]).orderBy(
+            spec["order_by"]
         )
         src_rn = src.withColumn("__rn", F.row_number().over(w))
         src = src_rn
@@ -630,11 +652,7 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         out = matched.groupBy(*pk, "match_id").agg(*aggs).drop("match_id")
     else:
         out = matched
-        part = ", ".join([*pk, "match_id"])
-        run = (
-            f" OVER (PARTITION BY {part} ORDER BY {ord_col}"
-            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-        )
+        run, _full = _mr_frames(pk, ord_col)
         nav_phs = [ph for *_rest, ph in navs]
         for e, name in measures:
             lowered = _measure_all_rows(e, pk, ord_col, labsets)
