@@ -592,3 +592,38 @@ def test_convex_hull_agg(spark, ns):
     }
     assert r2["p"] == "POINT (1 1)"
     assert ns["parse"](r2["l"])[0] == "LINESTRING"
+
+
+def test_geometrycollection_read_surface(ns):
+    """r4: GEOMETRYCOLLECTION parse/emit, accessors, summed
+    measurements, WKB/GeoJSON round-trips; predicates and booleans keep
+    raising (heterogeneous operand semantics are out of kernel scope)."""
+    gc = (
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4),"
+        " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+    )
+    k, d = ns["parse"](gc)
+    assert k == "GEOMETRYCOLLECTION" and len(d) == 3
+    assert ns["emit"](k, d) == gc
+    assert ns["area"](gc) == 4.0
+    assert ns["length"](gc) == 5.0
+    assert ns["perimeter"](gc) == 8.0
+    assert ns["dimension"](gc) == 2
+    assert ns["bounds"](gc) == (0, 0, 3, 4)
+    assert ns["num_geometries"](gc) == 3
+    assert ns["geometry_n"](gc, 2) == "LINESTRING (0 0, 3 4)"
+    assert ns["geometries"](gc)[0] == "POINT (1 2)"
+    assert len(ns["points_of"](gc)) == 8
+    back = ns["from_wkb"](ns["to_wkb"](gc))
+    assert ns["parse"](back)[0] == "GEOMETRYCOLLECTION"
+    assert ns["area"](back) == 4.0
+    gj = ns["to_geojson"](gc)
+    assert '"GeometryCollection"' in gj
+    assert ns["area"](ns["from_geojson"](gj)) == 4.0
+    for fn, args in (
+        ("contains", (gc, "POINT (1 1)")),
+        ("intersects", (gc, gc)),
+        ("de9im", (gc, gc)),
+    ):
+        with pytest.raises(ValueError):
+            ns[fn](*args)

@@ -138,6 +138,20 @@ def parse(s):
                 if depth == 0:
                     polys.append(_rings(inner[start + 1 : i]))
         return (kind, polys)
+    if kind == "GEOMETRYCOLLECTION":
+        # data = list of (kind, data) member pairs; split the body at
+        # top-level commas and recurse
+        parts, depth, start = [], 0, 0
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(inner[start:i])
+                start = i + 1
+        parts.append(inner[start:])
+        return (kind, [parse(p.strip()) for p in parts if p.strip()])
     raise ValueError("unsupported WKT type: %r" % kind)
 
 
@@ -167,6 +181,10 @@ def emit(kind, data):
         return "MULTIPOLYGON (%s)" % ", ".join(
             "(%s)" % ", ".join("(%s)" % _emit_pts(r) for r in rings)
             for rings in data
+        )
+    if kind == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (%s)" % ", ".join(
+            emit(ck, cd) for ck, cd in data
         )
     raise ValueError(kind)
 
@@ -199,6 +217,8 @@ def area(s):
         return _poly_area(data)
     if kind == "MULTIPOLYGON":
         return sum(_poly_area(p) for p in data)
+    if kind == "GEOMETRYCOLLECTION":
+        return sum(area(emit(ck, cd)) for ck, cd in data)
     return 0.0
 
 
@@ -217,6 +237,8 @@ def length(s):
         return _path_len(data)
     if kind == "MULTILINESTRING":
         return sum(_path_len(p) for p in data)
+    if kind == "GEOMETRYCOLLECTION":
+        return sum(length(emit(ck, cd)) for ck, cd in data)
     return 0.0
 
 
@@ -228,6 +250,8 @@ def perimeter(s):
         return sum(_path_len(r + r[:1]) if r[0] != r[-1] else _path_len(r) for r in data)
     if kind == "MULTIPOLYGON":
         return sum(perimeter(emit("POLYGON", p)) for p in data)
+    if kind == "GEOMETRYCOLLECTION":
+        return sum(perimeter(emit(ck, cd)) for ck, cd in data)
     return 0.0
 
 
@@ -242,6 +266,8 @@ def _all_points(kind, data):
         return [p for r in data for p in r]
     if kind == "MULTIPOLYGON":
         return [p for poly in data for r in poly for p in r]
+    if kind == "GEOMETRYCOLLECTION":
+        return [p for ck, cd in data for p in _all_points(ck, cd)]
     return []
 
 
@@ -401,6 +427,8 @@ def _edges(kind, data):
             for r in poly
             for i in range(len(r))
         ]
+    if kind == "GEOMETRYCOLLECTION":
+        return [e for ck, cd in (data or []) for e in _edges(ck, cd)]
     return []
 
 
@@ -408,6 +436,10 @@ def contains(sa, sb):
     """OGC ST_Contains: no point of B in A's exterior, and interiors meet."""
     ka, da = parse(sa)
     kb, db = parse(sb)
+    if "GEOMETRYCOLLECTION" in (ka, kb):
+        raise ValueError(
+            "st_contains: GEOMETRYCOLLECTION operands unsupported"
+        )
     if da is None or db is None:
         return False
     if ka == "POINT":
@@ -441,6 +473,10 @@ def contains(sa, sb):
 
 
 def intersects(sa, sb):
+    if "GEOMETRYCOLLECTION" in (sa.strip()[:18].upper(), sb.strip()[:18].upper()):
+        raise ValueError(
+            "st_intersects: GEOMETRYCOLLECTION operands unsupported"
+        )
     ka, da = parse(sa)
     kb, db = parse(sb)
     if da is None or db is None:
@@ -1016,8 +1052,13 @@ def _validate(fn, kind, allowed):
 
 
 def dimension(s):
-    """0 for points, 1 for lines, 2 for polygons (OGC dimension)."""
-    k, _ = parse(s)
+    """0 for points, 1 for lines, 2 for polygons; a collection's is its
+    members' max (OGC dimension)."""
+    k, d = parse(s)
+    if k == "GEOMETRYCOLLECTION":
+        if not d:
+            return 0
+        return max(dimension(emit(ck, cd)) for ck, cd in d)
     return _DIMS[k]
 
 
@@ -1131,6 +1172,8 @@ def _components(k, d):
     """Split a geometry into its single-geometry components."""
     if d is None:
         return []
+    if k == "GEOMETRYCOLLECTION":
+        return list(d)
     if not k.startswith("MULTI"):
         return [(k, d)]
     base = k[5:]
@@ -1485,6 +1528,7 @@ _WKB_CODES = {
     "MULTIPOINT": 4,
     "MULTILINESTRING": 5,
     "MULTIPOLYGON": 6,
+    "GEOMETRYCOLLECTION": 7,
 }
 _WKB_KINDS = {v: k for k, v in _WKB_CODES.items()}
 
@@ -1564,8 +1608,8 @@ def from_wkb(raw):
         comps = [read_geom() for _ in range(n)]
         if not comps:
             return (kind, None)
-        if kind == "MULTIPOINT":
-            return (kind, [c[1] for c in comps])
+        if kind == "GEOMETRYCOLLECTION":
+            return (kind, comps)
         return (kind, [c[1] for c in comps])
 
     k, d = read_geom()
@@ -1575,6 +1619,17 @@ def from_wkb(raw):
 def to_geojson(s):
     """Geometry -> GeoJSON string (reference toGeoJsonGeometry)."""
     k, d = parse(s)
+    if k == "GEOMETRYCOLLECTION":
+        return _json.dumps(
+            {
+                "type": "GeometryCollection",
+                "geometries": [
+                    _json.loads(to_geojson(emit(ck, cd)))
+                    for ck, cd in (d or [])
+                ],
+            },
+            separators=(",", ":"),
+        )
     name = {
         "POINT": "Point",
         "MULTIPOINT": "MultiPoint",
@@ -1613,6 +1668,12 @@ def from_geojson(text):
     """GeoJSON -> canonical WKT."""
     obj = _json.loads(text)
     name = obj.get("type")
+    if name == "GeometryCollection":
+        members = [
+            parse(from_geojson(_json.dumps(g)))
+            for g in obj.get("geometries", [])
+        ]
+        return emit("GEOMETRYCOLLECTION", members or None)
     kinds = {
         "Point": "POINT",
         "MultiPoint": "MULTIPOINT",
@@ -2193,6 +2254,8 @@ def de9im(sa, sb):
     Interior/Boundary/Exterior, values F/0/1/2)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
+    if "GEOMETRYCOLLECTION" in (ka, kb):
+        raise ValueError("relate: GEOMETRYCOLLECTION operands unsupported")
     if da is None or db is None:
         raise ValueError("relate: empty geometry operands unsupported")
     ca, cb = _class_of(ka), _class_of(kb)
@@ -2543,6 +2606,7 @@ def register_geometry_udfs(spark: SparkSession) -> int:
             "MULTILINESTRING": "ST_MultiLineString",
             "POLYGON": "ST_Polygon",
             "MULTIPOLYGON": "ST_MultiPolygon",
+            "GEOMETRYCOLLECTION": "ST_GeomCollection",
         }
         return pd.Series(
             [None if v is None else names[ns["parse"](v)[0]] for v in s]

@@ -620,7 +620,7 @@ UNSUPPORTED: dict[str, str] = {
     " boolean inputs with degenerate incidence (shared edges, vertex-on-"
     "edge — needs a snap-rounding Vatti/Martinez clipper), polygons with"
     " holes as boolean/relate INPUTS, buffers of lines/polygons"
-    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION values,"
+    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION as a PREDICATE/BOOLEAN operand (the read surface — parse/emit, accessors, summed measurements, WKB/GeoJSON — works),"
     " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
     " WKB/GeoJSON cover interchange), geometry_union_agg (a union fold"
     " over a group ALWAYS hits shared-boundary inputs — blocked on the"
