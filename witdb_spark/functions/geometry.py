@@ -39,6 +39,12 @@ DE-9IM relate engine (r4): de9im() computes the 3x3 intersection-
   exterior-cell witness argument needs a simply-connected complement);
   holes raise.
 
+GEOMETRYCOLLECTION (r4): full read surface — parse/emit (members as
+  recursive (kind, data) pairs), component accessors, summed
+  measurements, max-dimension, bounds, WKB code 7 and GeoJSON
+  GeometryCollection codecs. Predicates/relate/booleans raise on
+  collection operands.
+
 Codecs + spherical geography (r4): ST_AsBinary / ST_GeomFromBinary
   (OGC WKB, both byte orders on read), to/from_geojson_geometry,
   to/from_encoded_polyline (Google polyline, 1e-5 precision),
