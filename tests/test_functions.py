@@ -237,3 +237,15 @@ def test_r4_third_review_fixes(fspark):
     assert r.bc == 2  # popcount(3 & 0xff)
     assert r.ms == 500  # Trino range [0, 999], not -500
     assert r.jarr == 3 and r.jobj == 1 and r.jscal == 0
+
+
+def test_date_parse_mysql_patterns(fspark):
+    """reference DateTimeFunctions.java:376 dateParse — MySQL %-pattern
+    parse, the inverse of date_format's translation chain."""
+    register_all(fspark)
+    r = fspark.sql(
+        "SELECT date_parse('2020-01-05 13:14:15', '%Y-%m-%d %H:%i:%s') a,"
+        " date_parse('05/01/2020', '%d/%m/%Y') b"
+    ).collect()[0]
+    assert str(r["a"]) == "2020-01-05 13:14:15"
+    assert str(r["b"]) == "2020-01-05 00:00:00"

@@ -204,6 +204,10 @@ MACROS: dict[str, str] = {
     f"try_to_timestamp(s, {_JODA_FMT('fmt')})",
     "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
     f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
+    # reference DateTimeFunctions.java:376 dateParse — MySQL-%-pattern
+    # PARSE (the inverse of date_format); same token translation chain
+    "date_parse": "CREATE OR REPLACE TEMPORARY FUNCTION date_parse"
+    f"(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, {_MYSQL_FMT})",
     "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
     "RETURNS DOUBLE RETURN cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
     "CASE regexp_extract(s, '([a-z]+)$', 1) "
