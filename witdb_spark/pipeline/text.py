@@ -168,3 +168,56 @@ def repetition_signals(
             "top_word_share"
         ),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic corpus-analysis /
+    keyword-extraction primitive of a training-data pipeline. Smoothed
+    idf = ln((N + 1) / (df + 1)); deterministic ordering by (rounded
+    score DESC, word) so rank ties never depend on float noise.
+
+    Scale shape: one shuffle on (doc_id, word) for term frequencies,
+    one on word for document frequencies (both with map-side partial
+    aggregation), one broadcast-joined corpus-size scalar, and a
+    rank-filtered window that plans as WindowGroupLimit — per-partition
+    top-k before the per-document exchange."""
+    from pyspark.sql import Window
+
+    tokens = (
+        df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tokens.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    scored = (
+        tokens.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1) / (F.col("df_docs") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "word",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

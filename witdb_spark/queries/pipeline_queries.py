@@ -585,3 +585,33 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(Tables(spark, sf_dir).documents)
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id, w AS word, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      GROUP BY doc_id, w),
+    dfreq AS (SELECT word, COUNT(*) AS df_docs FROM tokens GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln((n.nd + 1) / (dfreq.df_docs + 1)), 6) AS score
+      FROM tokens t JOIN dfreq USING (word) CROSS JOIN n)
+    SELECT doc_id, word, score, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+          FROM scored) r
+    WHERE rnk <= 5
+    """,
+    doc="Per-document top-5 TF-IDF terms (pipeline/text.py "
+    "tfidf_top_terms): smoothed idf, deterministic (rounded-score, word) "
+    "ordering, WindowGroupLimit top-k. The corpus-analysis primitive for "
+    "keyword extraction and domain profiling; the oracle recomputes with "
+    "DuckDB's own unnest/window machinery.",
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(Tables(spark, sf_dir).documents)
