@@ -314,3 +314,29 @@ def test_ml_regressor_and_evaluate(spark):
     assert ev.startswith("Accuracy: 4/5 (80.00%)\n")
     assert "Class '0'\nPrecision: 1/1 (100.00%)\nRecall: 1/2 (50.00%)" in ev
     assert ev.endswith("\n")
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Connected components over dup pairs: chains collapse, components
+    label by their min doc_id, non-convergence raises."""
+    import pytest as _pytest
+
+    from witdb_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 9)], ["a_id", "b_id"]
+    )
+    r = {
+        row["doc_id"]: row["cluster"]
+        for row in duplicate_clusters(pairs).collect()
+    }
+    assert r == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 9: 7}
+    # a long chain needs more rounds than max_iter=1 allows
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["a_id", "b_id"]
+    )
+    with _pytest.raises(RuntimeError):
+        duplicate_clusters(chain, max_iter=1)
+    assert {
+        row["cluster"] for row in duplicate_clusters(chain).collect()
+    } == {1}

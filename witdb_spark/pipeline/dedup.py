@@ -417,3 +417,67 @@ def jaccard_prefix_candidates(
     for c in block_cols:
         cond = cond & (F.col(c) == F.col(f"{c}_b"))
     return a.join(b, cond).select("a_id", "b_id").distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph ->
+    (doc_id, cluster_id) with cluster_id = the component's smallest
+    doc_id — the step that turns pairwise dedup output into one
+    representative per duplicate CLUSTER (keep doc_id == cluster_id,
+    drop the rest). Transitivity matters: A~B and B~C must collapse to
+    one cluster even when A~C itself scored below threshold.
+
+    Scale shape: min-label propagation (the HashToMin-style iteration
+    used for big-graph connected components): each round is one
+    grouped MIN over the symmetrized edge list joined to current
+    labels — shuffles proportional to the PAIR graph (tiny relative to
+    the corpus), rounds bounded by component diameter (near-dup
+    clusters are shallow). localCheckpoint per round truncates lineage
+    like plans/recursive.py."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("node").alias("doc_id"), "cluster")

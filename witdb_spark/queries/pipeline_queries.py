@@ -615,3 +615,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(Tables(spark, sf_dir).documents)
+
+
+from witdb_spark.queries.registry import QUERIES as _REG  # noqa: E402
+
+_MINHASH_ORACLE = _REG["dedup_minhash"].oracle
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE mh AS ({_MINHASH_ORACLE}),
+    e AS (SELECT a_id, b_id FROM mh),
+    nodes AS (SELECT a_id AS n FROM e UNION SELECT b_id FROM e),
+    sym AS (SELECT a_id AS s, b_id AS d FROM e
+            UNION SELECT b_id, a_id FROM e),
+    walk(node, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT w.node, s2.d FROM walk w JOIN sym s2 ON s2.s = w.r)
+    SELECT node AS doc_id, MIN(r) AS cluster
+    FROM walk GROUP BY node
+    """,
+    doc="Near-duplicate CLUSTERING (pipeline/dedup.py duplicate_clusters):"
+    " connected components over the MinHash near-dup pair graph via"
+    " min-label propagation — A~B and B~C collapse into one cluster even"
+    " when A~C scored below threshold, which is what lets a dedup"
+    " pipeline keep exactly one representative per group. The oracle"
+    " computes the same components with DuckDB's native WITH RECURSIVE"
+    " transitive closure — fully independent machinery.",
+    tags=("pipeline", "dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.pipeline.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = minhash_near_duplicates(docs)
+    return duplicate_clusters(pairs)
