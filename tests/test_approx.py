@@ -340,3 +340,51 @@ def test_duplicate_clusters_transitive(spark):
     assert {
         row["cluster"] for row in duplicate_clusters(chain).collect()
     } == {1}
+
+
+def test_semantic_decontaminate_matmul_path(spark):
+    """Above _INLINE_BENCH_MAX benchmark vectors the scorer switches to
+    the broadcast-matrix mapInPandas path; results must equal the
+    inline-literal path, and NULL/zero-norm corpus rows SURVIVE with a
+    NULL score (they cannot match any benchmark vector)."""
+    from witdb_spark.pipeline import curation
+    from witdb_spark.pipeline.curation import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, None),            # NULL embedding: must survive, score NULL
+            (5, [0.0, 0.0, 0.0]),  # zero-norm: must survive, score NULL
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert bench.count() > curation._INLINE_BENCH_MAX
+    out = {
+        r.vec_id: r.max_bench_cosine
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    }
+    # vec 1 (cos 1.0) dropped; vec 2 (cos ~0.994) dropped; vec 3 kept
+    assert set(out) == {3, 4, 5}
+    assert out[3] == 0.0
+    assert out[4] is None and out[5] is None
+    # small-benchmark inline path: same NULL-survival policy
+    small = semantic_decontaminate(
+        corpus, bench.limit(2), threshold=0.95
+    ).collect()
+    assert {r.vec_id for r in small} == {3, 4, 5}
+    # the two paths agree on the scored values
+    big_scores = {
+        r.vec_id: r.max_bench_cosine
+        for r in semantic_decontaminate(corpus, bench, threshold=2.0).collect()
+    }
+    small_scores = {
+        r.vec_id: r.max_bench_cosine
+        for r in semantic_decontaminate(corpus, bench.limit(2), threshold=2.0).collect()
+    }
+    assert big_scores == small_scores

@@ -249,3 +249,36 @@ def test_date_parse_mysql_patterns(fspark):
     ).collect()[0]
     assert str(r["a"]) == "2020-01-05 13:14:15"
     assert str(r["b"]) == "2020-01-05 00:00:00"
+
+
+def test_date_parse_strict_and_extended_tokens(fspark):
+    """r5 review fix (reference DateTimeFunctions.java dateParse): raises
+    on unparseable input (not NULL), rejects untranslated % tokens, and
+    covers %f/%p/%k/%l/%r/%T/%%; TRY(date_parse(..)) is the null-on-error
+    escape hatch."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from witdb_spark.engine import Engine
+
+    eng = Engine(fspark)
+    q = lambda s: eng.sql(s).collect()[0][0]  # noqa: E731
+    assert (
+        str(q("SELECT date_parse('2020-01-05 13:14:15.250000', '%Y-%m-%d %H:%i:%s.%f')"))
+        == "2020-01-05 13:14:15.250000"
+    )
+    assert str(q("SELECT date_parse('03:14 PM', '%h:%i %p')")) == "1970-01-01 15:14:00"
+    assert str(q("SELECT date_parse('9', '%k')")) == "1970-01-01 09:00:00"
+    assert str(q("SELECT date_parse('10%', '%k%%')")) == "1970-01-01 10:00:00"
+    # unparseable input raises (Trino: INVALID_FUNCTION_ARGUMENT), not NULL
+    with pytest.raises(Exception) as ei:
+        fspark.sql("SELECT date_parse('not-a-date', '%Y-%m-%d')").collect()
+    assert "date_parse" in str(ei.value)
+    # untranslated token rejected loudly
+    with pytest.raises(Exception) as ei2:
+        fspark.sql("SELECT date_parse('2020 05', '%Y %U')").collect()
+    assert "unsupported format token" in str(ei2.value)
+    # TRY() twin: null on error
+    assert q("SELECT TRY(date_parse('nope', '%Y-%m-%d'))") is None
+    # NULL inputs stay NULL (no raise)
+    assert q("SELECT date_parse(NULL, '%Y')") is None

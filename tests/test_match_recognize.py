@@ -647,3 +647,84 @@ def test_all_rows_null_value_navigation_and_struct_fields(spark):
         """
     ).collect()
     assert [tuple(r) for r in out2] == [(1, None), (2, "x")]
+
+
+def test_nav_inside_aggregate_one_row(engine, spark):
+    """SQL:2016: a bare PREV/NEXT inside an aggregate argument under ONE
+    ROW PER MATCH navigates PER ROW (each match row steps from itself),
+    not once per match. avg(price - PREV(price)) over match rows 2..4 of
+    (10, 8, 6, 9) = avg(8-10, 6-8, 9-6) ... the first matched row's PREV
+    reads the row BEFORE the match (physical navigation)."""
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("mr_navagg")
+    rows = engine.sql(
+        """
+        SELECT k, avg_step, n FROM mr_navagg MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES avg(price - PREV(price)) AS avg_step, count(*) AS n
+          ONE ROW PER MATCH
+          PATTERN (D{2} U)
+          DEFINE D AS price < PREV(price), U AS price > PREV(price)
+        )
+        """
+    ).collect()
+    # match = seq 2,3,4; per-row steps: (8-10)=-2, (6-8)=-2, (9-6)=3
+    assert [(r.k, r.avg_step, r.n) for r in rows] == [
+        (1, (-2.0 - 2.0 + 3.0) / 3.0, 3)
+    ]
+    # explicit-anchor nav inside an aggregate stays a per-match constant:
+    # sum(price - PREV(LAST(price))) = sum over rows of price - price@(last-1)
+    rows2 = engine.sql(
+        """
+        SELECT k, s FROM mr_navagg MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES sum(price - PREV(LAST(price))) AS s
+          ONE ROW PER MATCH
+          PATTERN (D{2} U)
+          DEFINE D AS price < PREV(price), U AS price > PREV(price)
+        )
+        """
+    ).collect()
+    # anchor LAST = seq4, PREV -> seq3 price 6.0; sum((8-6)+(6-6)+(9-6))=5
+    assert [(r.k, r.s) for r in rows2] == [(1, 5.0)]
+
+
+def test_final_first_last_unqualified_all_rows(engine, spark):
+    """FINAL FIRST/LAST without a label under ALL ROWS PER MATCH: the
+    whole-match frame (the docstring always claimed it; r5 makes the
+    generic pass actually strip the FINAL keyword)."""
+    spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 7.0), (1, 3, 9.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("mr_finalnav")
+    rows = engine.sql(
+        """
+        SELECT seq, ff, fl, rl FROM mr_finalnav MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FINAL FIRST(price) AS ff, FINAL LAST(price) AS fl,
+                   LAST(price) AS rl
+          ALL ROWS PER MATCH
+          PATTERN (A+) DEFINE A AS price > 0
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [(r.seq, r.ff, r.fl, r.rl) for r in rows] == [
+        (1, 5.0, 9.0, 5.0), (2, 5.0, 9.0, 7.0), (3, 5.0, 9.0, 9.0)
+    ]
+
+
+def test_label_qualified_nav_in_aggregate_rejected(engine, spark):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    spark.range(1).createOrReplaceTempView("mr_navagg_rej")
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            "SELECT * FROM mr_navagg_rej MATCH_RECOGNIZE ("
+            "PARTITION BY id ORDER BY id "
+            "MEASURES avg(id - PREV(A.id)) AS s ONE ROW PER MATCH "
+            "PATTERN (A+) DEFINE A AS id >= 0)"
+        )

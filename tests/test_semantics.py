@@ -260,3 +260,16 @@ def test_review_fix_regressions(spark):
         """
     ).collect()
     assert sum(r["n"] for r in out) <= 4
+
+
+def test_unicode_literal_quote_escape(spark):
+    """r5 review fix: the SQL '' quote escape INSIDE a U&'...' body is one
+    quote character (previously doubled into two on emit)."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    q = lambda s: eng.sql(s).collect()[0][0]  # noqa: E731
+    assert q("SELECT U&'it''s'") == "it's"
+    assert q("SELECT U&'a''''b'") == "a''b"
+    assert q("SELECT U&'caf\\00E9''s'") == "café's"
+    assert q("SELECT U&'x''y' UESCAPE '!'") == "x'y"

@@ -89,12 +89,31 @@ PASSTHROUGH: dict[str, str] = {
 
 # MySQL-% pattern -> java.time pattern translation chain (reference
 # DateTimeFunctions.java `date_format`; common tokens).
-_MYSQL_FMT = (
-    "replace(replace(replace(replace(replace(replace(replace(replace("
-    "replace(replace(replace(replace(fmt,"
-    "'%Y','yyyy'),'%y','yy'),'%M','MMMM'),'%m','MM'),'%d','dd'),'%e','d'),"
-    "'%H','HH'),'%h','hh'),'%i','mm'),'%s','ss'),'%T','HH:mm:ss'),'%j','DDD')"
+# MySQL % tokens -> java.time pattern (reference DateTimeFunctions.java
+# dateFormat/dateParse token table). '%%' is masked to chr(1) FIRST so a
+# literal percent neither matches a token nor trips the untranslated-%
+# rejection in date_parse, and is restored LAST.
+_MYSQL_TOKEN_MAP = (
+    ("%Y", "yyyy"), ("%y", "yy"), ("%M", "MMMM"), ("%m", "MM"),
+    ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%h", "hh"), ("%I", "hh"),
+    ("%i", "mm"), ("%s", "ss"), ("%S", "ss"), ("%T", "HH:mm:ss"),
+    ("%j", "DDD"), ("%f", "SSSSSS"), ("%p", "a"), ("%k", "H"),
+    ("%l", "h"), ("%r", "hh:mm:ss a"), ("%W", "EEEE"), ("%a", "EEE"),
+    ("%b", "MMM"), ("%c", "M"),
 )
+
+
+def _mysql_fmt_chain(var: str = "fmt") -> str:
+    """Token-translated pattern WITHOUT the %% restore (so callers can
+    test for untranslated % tokens before restoring the literal)."""
+    e = f"replace({var}, '%%', chr(1))"
+    for tok, rep in _MYSQL_TOKEN_MAP:
+        e = f"replace({e}, '{tok}', '{rep}')"
+    return e
+
+
+_MYSQL_FMT_PRE = _mysql_fmt_chain()
+_MYSQL_FMT = f"replace({_MYSQL_FMT_PRE}, chr(1), '%')"
 
 # Joda Z/Y token -> java.time translation for one unquoted pattern segment.
 _JODA_SEG = (
@@ -205,9 +224,25 @@ MACROS: dict[str, str] = {
     "mysql_date_format": "CREATE OR REPLACE TEMPORARY FUNCTION mysql_date_format"
     f"(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, {_MYSQL_FMT})",
     # reference DateTimeFunctions.java:376 dateParse — MySQL-%-pattern
-    # PARSE (the inverse of date_format); same token translation chain
+    # PARSE (the inverse of date_format); same token translation chain.
+    # Trino semantics: RAISES on unparseable input (to_timestamp's NULL
+    # would be silent) and REJECTS format strings with tokens outside
+    # the translation table (they would otherwise pass through literally
+    # and mis-parse at runtime). TRY(date_parse(..)) routes to the
+    # null-on-error twin below.
     "date_parse": "CREATE OR REPLACE TEMPORARY FUNCTION date_parse"
-    f"(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, {_MYSQL_FMT})",
+    "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN CASE "
+    "WHEN s IS NULL OR fmt IS NULL THEN NULL "
+    f"WHEN contains({_MYSQL_FMT_PRE}, '%') THEN "
+    "cast(raise_error(concat('date_parse: unsupported format token in ', fmt)) "
+    "AS TIMESTAMP) "
+    f"WHEN try_to_timestamp(s, {_MYSQL_FMT}) IS NULL THEN "
+    "cast(raise_error(concat('date_parse: invalid value ', s, "
+    "' for format ', fmt)) AS TIMESTAMP) "
+    f"ELSE try_to_timestamp(s, {_MYSQL_FMT}) END",
+    "__try_date_parse": "CREATE OR REPLACE TEMPORARY FUNCTION "
+    "__try_date_parse(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN "
+    f"try_to_timestamp(s, {_MYSQL_FMT})",
     "parse_duration": "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
     "RETURNS DOUBLE RETURN cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
     "CASE regexp_extract(s, '([a-z]+)$', 1) "

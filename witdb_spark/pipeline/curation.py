@@ -139,6 +139,13 @@ def stratified_sample(
     )
 
 
+# Above this benchmark count the inline-literal expression plan stops
+# scaling (each vector is its own higher-order fold in ONE projection —
+# codegen falls back to interpreted mode and driver planning grows
+# linearly), so the scorer switches to a broadcast-matrix mapInPandas.
+_INLINE_BENCH_MAX = 64
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -150,14 +157,17 @@ def semantic_decontaminate(
     against ANY benchmark vector reaches ``threshold`` — the semantic
     complement of the n-gram `decontaminate` (paraphrased benchmark
     leakage survives word-level shingles). Output keeps the surviving
-    rows plus their max benchmark cosine.
+    rows plus their max benchmark cosine. Rows whose cosine is undefined
+    (NULL/zero-norm embedding) cannot match any benchmark vector and
+    SURVIVE with a NULL score.
 
-    Scale shape: the benchmark side is collected once and inlined as
-    array literals, so the scoring pass is a PURE MAP STAGE over the
-    corpus — the same zero-shuffle inline-literal fold as
-    similarity.ivf_corpus_cells — and the corpus is read exactly once.
-    The benchmark side must be driver-small (it is: eval sets are
-    thousands of rows, not billions)."""
+    Scale shape: the benchmark side is collected once to the driver;
+    the scoring pass over the corpus is a PURE MAP STAGE either way —
+    zero shuffle, corpus read exactly once. Up to _INLINE_BENCH_MAX
+    benchmark vectors the scores are inline-literal JVM folds (no
+    Python); above that the benchmark becomes ONE broadcast numpy
+    matrix and each Arrow batch is scored with a single matmul in
+    mapInPandas (plan size constant in the benchmark count)."""
     from witdb_spark.pipeline.similarity import (
         _DOT,
         _vec_literal,
@@ -169,18 +179,81 @@ def semantic_decontaminate(
     bench = [row[0] for row in benchmark.select(vec_col).collect()]
     if not bench:
         return corpus.withColumn("max_bench_cosine", F.lit(None).cast("double"))
-    vn = F.sqrt(dot_expr(vec_col, vec_col))
-    scores = []
-    for vec in bench:
-        arr = _vec_literal(vec)
-        # benchmark norms are constants: precompute driver-side instead
-        # of re-folding the literal self-dot per corpus row (Catalyst
-        # cannot constant-fold higher-order aggregate() expressions)
-        bn = math.sqrt(sum(float(x) * float(x) for x in vec))
-        scores.append(
-            F.round(F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * F.lit(bn)), 6)
-        )
-    max_cos = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    return corpus.withColumn("max_bench_cosine", max_cos).where(
-        F.col("max_bench_cosine") < threshold
+    if len(bench) > _INLINE_BENCH_MAX:
+        scored = _score_bench_matmul(corpus, bench, vec_col)
+    else:
+        # zero-norm/NULL corpus rows: NULL denominator -> NULL score
+        # (never a divide-by-zero error under ANSI mode)
+        vn = F.nullif(F.sqrt(dot_expr(vec_col, vec_col)), F.lit(0.0))
+        scores = []
+        for vec in bench:
+            arr = _vec_literal(vec)
+            # benchmark norms are constants: precompute driver-side instead
+            # of re-folding the literal self-dot per corpus row (Catalyst
+            # cannot constant-fold higher-order aggregate() expressions)
+            bn = math.sqrt(sum(float(x) * float(x) for x in vec))
+            scores.append(
+                F.round(
+                    F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * F.lit(bn)), 6
+                )
+            )
+        max_cos = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        scored = corpus.withColumn("max_bench_cosine", max_cos)
+    # NULL-score rows survive: an undefined cosine is "no match", not
+    # "contaminated" (NULL < threshold would silently drop them)
+    return scored.where(
+        (F.col("max_bench_cosine") < threshold)
+        | F.col("max_bench_cosine").isNull()
     )
+
+
+def _score_bench_matmul(
+    corpus: DataFrame, bench: list, vec_col: str
+) -> DataFrame:
+    """Score max-benchmark-cosine with one BLAS matmul per Arrow batch:
+    the benchmark matrix rides a broadcast variable (sent to each
+    executor once, not per task), rows-normalized driver-side. Still a
+    pure map stage — mapInPandas adds no shuffle."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = corpus.sparkSession
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in bench])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.nan  # zero-norm benchmark rows never match
+    bcast = spark.sparkContext.broadcast(mat / norms)
+
+    out_schema = StructType(
+        [*corpus.schema.fields, StructField("max_bench_cosine", DoubleType())]
+    )
+
+    def score(batches):
+        bm = bcast.value  # (B, D) row-normalized
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            n = len(pdf)
+            best = np.full(n, np.nan)
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == bm.shape[1]
+            ).to_numpy(dtype=bool)
+            if ok.any():
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                vnorm = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m @ bm.T) / vnorm[:, None]
+                    allnan = np.isnan(cos).all(axis=1)
+                    mx = np.where(
+                        allnan, np.nan, np.nanmax(np.where(allnan[:, None], -np.inf, cos), axis=1)
+                    )
+                best[ok] = np.round(mx, 6)
+            pdf = pdf.copy()
+            # NaN must become SQL NULL (Spark's DOUBLE NaN is NOT null and
+            # would be dropped by the < threshold filter)
+            pdf["max_bench_cosine"] = [
+                None if np.isnan(x) else float(x) for x in best
+            ]
+            yield pdf
+
+    return corpus.mapInPandas(score, schema=out_schema)

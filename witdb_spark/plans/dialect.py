@@ -508,7 +508,12 @@ def _rewrite_unicode_literals(sql: str) -> str:
         i = 0
         while i < len(body):
             c = body[i]
-            if c == esc:
+            if c == "'" and body[i + 1 : i + 2] == "'":
+                # SQL '' quote escape inside the U& body: one quote char
+                # (re-escaped back to '' on emit below)
+                out.append("'")
+                i += 2
+            elif c == esc:
                 if body[i + 1 : i + 2] == esc:
                     out.append(esc)
                     i += 2
@@ -1005,6 +1010,7 @@ _TRY_FN_TWINS = {
     "parse_url": "try_parse_url",
     "url_decode": "try_url_decode",
     "parse_datetime": "__try_parse_datetime",
+    "date_parse": "__try_date_parse",
     "from_iso8601_timestamp": "__try_from_iso8601_timestamp",
     "from_iso8601_date": "__try_from_iso8601_date",
     "parse_duration": "__try_parse_duration",

@@ -418,6 +418,21 @@ def _measure_all_rows(
                 e,
                 flags=re.I,
             )
+    # FINAL FIRST/LAST (unqualified): whole-match frame (SQL:2016 FINAL
+    # semantics — FIRST is frame-invariant but emitted on the full frame
+    # for symmetry; FINAL LAST is the match's last row, not the current)
+    e = re.sub(
+        r"\bFINAL\s+FIRST\s*\(([^()]*)\)",
+        lambda m: mask(f"first({m.group(1)}){full}"),
+        e,
+        flags=re.I,
+    )
+    e = re.sub(
+        r"\bFINAL\s+LAST\s*\(([^()]*)\)",
+        lambda m: mask(f"last({m.group(1)}){full}"),
+        e,
+        flags=re.I,
+    )
     e = re.sub(r"\bFIRST\s*\(([^()]*)\)", rf"first(\1){run}", e, flags=re.I)
     e = re.sub(r"\bLAST\s*\(([^()]*)\)", r"(\1)", e, flags=re.I)  # running last = current row
     e = re.sub(r"\bCLASSIFIER\s*\(\s*\)", "classifier", e, flags=re.I)
@@ -454,7 +469,7 @@ def _extract_navs(measures):
     partition at anchor_rn -+ n."""
     from witdb_spark.plans.dialect import _split_top_level
 
-    navs = []  # (PREV|NEXT, FIRST|LAST, inner_expr, n, placeholder)
+    navs = []  # (PREV|NEXT, FIRST|LAST, inner_expr, n, placeholder, explicit)
     out = []
     for expr, name in measures:
         while True:
@@ -476,14 +491,26 @@ def _extract_navs(measures):
                 r"(FIRST|LAST)\s*\((.*)\)", inner, re.I | re.S
             )
             if am:
-                anchor, ie = am.group(1).upper(), am.group(2).strip()
+                anchor, ie, explicit = am.group(1).upper(), am.group(2).strip(), True
             else:
-                anchor, ie = "LAST", inner
+                anchor, ie, explicit = "LAST", inner, False
             ph = f"__nav_{len(navs)}"
-            navs.append((m.group(1).upper(), anchor, ie, n, ph))
+            navs.append((m.group(1).upper(), anchor, ie, n, ph, explicit))
             expr = expr[: m.start()] + ph + expr[close + 1 :]
         out.append((expr, name))
     return out, navs
+
+
+def _ph_inside_agg(measures, ph: str) -> bool:
+    """True if placeholder `ph` occurs inside any aggregate call span of
+    any measure expression (after nav extraction)."""
+    agg_call = re.compile(r"\b(?:" + "|".join(_AGG_NAMES) + r")\s*\(", re.I)
+    for expr, _name in measures:
+        for m in agg_call.finditer(expr):
+            close = _match_paren(expr, expr.index("(", m.start()))
+            if re.search(rf"\b{ph}\b", expr[m.start() : close + 1]):
+                return True
+    return False
 
 
 _VIEW_SEQ = [0]
@@ -537,8 +564,31 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
             )
         labsets[sname] = members
     measures, navs = _extract_navs(spec["measures"])
+    # SQL:2016 9.x / reference MeasureComputation.java: a navigation call
+    # INSIDE an aggregate argument under ONE ROW PER MATCH evaluates
+    # per-row (each match row navigates from itself), not once per match.
+    # Implicit-anchor navs in aggregate position therefore lower as
+    # source-level lag/lead columns carried through the operator (same
+    # mechanism as the ALL ROWS path); explicit FIRST/LAST anchors stay
+    # per-match constants (that is their defined meaning).
+    per_row_navs: set[str] = set()
+    if spec["rows_per_match"] == "one":
+        for kind, anchor, ie, n, ph, explicit in navs:
+            if not _ph_inside_agg(measures, ph):
+                continue
+            if explicit:
+                continue  # PREV(LAST(x)) et al: per-match constant by spec
+            lm = re.fullmatch(
+                r"([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_][A-Za-z0-9_]*", ie
+            )
+            if lm and lm.group(1) in labsets:
+                raise UnsupportedTrinoSyntax(
+                    "label-qualified PREV/NEXT inside an aggregate measure"
+                    " (per-row navigation over classifier state)"
+                )
+            per_row_navs.add(ph)
     if spec["rows_per_match"] == "all":
-        for kind, anchor, ie, n, ph in navs:
+        for kind, anchor, ie, n, ph, explicit in navs:
             lm = re.fullmatch(
                 r"([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_][A-Za-z0-9_]*", ie
             )
@@ -568,7 +618,23 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         w = Window.partitionBy(*spec["partition_by"]).orderBy(
             spec["order_by"]
         )
-        for kind, anchor, ie, n, ph in navs:
+        for kind, anchor, ie, n, ph, explicit in navs:
+            step = F.lag if kind == "PREV" else F.lead
+            src = src.withColumn(
+                ph, step(F.expr(transpile(ie)), n).over(w)
+            )
+    if per_row_navs:
+        # per-row navigation (nav inside aggregate, ONE ROW): physical
+        # lag/lead over the partition, attached to the source so each
+        # match row carries its own navigated value into the aggregate
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*spec["partition_by"]).orderBy(
+            spec["order_by"]
+        )
+        for kind, anchor, ie, n, ph, explicit in navs:
+            if ph not in per_row_navs:
+                continue
             step = F.lag if kind == "PREV" else F.lead
             src = src.withColumn(
                 ph, step(F.expr(transpile(ie)), n).over(w)
@@ -604,7 +670,10 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
             from pyspark.sql import Window
 
             mw = Window.partitionBy(*pk, "match_id")
-            for kind, anchor, ie, n, ph in navs:
+            for kind, anchor, ie, n, ph, explicit in navs:
+                if ph in per_row_navs:
+                    nav_cols.append(ph)  # already a per-row source column
+                    continue
                 # label-qualified inner (PREV(LAST(A.price))): the anchor
                 # is the last/first row CLASSIFIED A; the stepped-to row's
                 # value is read unqualified (physical navigation)
@@ -653,13 +722,13 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     else:
         out = matched
         run, _full = _mr_frames(pk, ord_col)
-        nav_phs = [ph for *_rest, ph in navs]
+        nav_phs = [nav[4] for nav in navs]  # placeholder column names
         for e, name in measures:
             lowered = _measure_all_rows(e, pk, ord_col, labsets)
             # FIRST-anchored navigation: the carried lag/lead column is
             # read at the match's first row (substituted AFTER the
             # generic passes so they can't re-wrap the window)
-            for kind, anchor, ie, n, ph in navs:
+            for kind, anchor, ie, n, ph, explicit in navs:
                 if anchor == "FIRST":
                     lowered = re.sub(
                         rf"\b{ph}\b", f"first({ph}){run}", lowered
