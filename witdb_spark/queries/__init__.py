@@ -13,6 +13,7 @@ from witdb_spark.queries import (  # noqa: E402,F401
     pipeline_queries,
     spatial,
     tpch,
+    tpch_sql,
 )
 
 __all__ = ["QUERIES", "all_queries", "all_oracles"]

@@ -50,34 +50,34 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 
 # The driver's correctness gate samples the FIRST 50 names from queries().
-# Registration order follows module import order, which (pre-round-4) put the
-# window/agg families first and left TPC-H, the dedup/similarity pipeline, and
-# MATCH_RECOGNIZE outside the sampled window in every round. This explicit
-# priority list pins the highest-risk queries into the window; everything else
-# follows in registration order and stays covered by the local DuckDB suite
+# Rounds 1-4 rotated this window so that by r4 100 of the registered names
+# had driver-green CORRECTNESS rows. Round-5 window = the SQL-text TPC-H
+# tranche (the front-door dialect path, never driver-run before) + every
+# query that has never had a driver row (r4 additions) + the r5-new
+# operators. Everything else keeps local DuckDB coverage
 # (tests/test_queries_oracle.py runs all of them).
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H, full sweep (22)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # dedup / similarity pipeline (8)
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "similarity_topk", "similarity_lsh_buckets", "similarity_ivf_topk",
-    "embedding_near_dup",
-    # MATCH_RECOGNIZE (3)
-    "mr_funnel", "mr_sql_funnel", "mr_subset_moves",
-    # multimodal + text (3)
-    "multimodal_metadata", "multimodal_frame_sample", "text_quality",
-    # round-4 additions, never driver-verified (4)
-    "agg_tdigest_rollup", "agg_setdigest", "spatial_join_contains",
-    "try_fallback_parse",
-    # function-parity families never in the window (10)
-    "sql_json_2016_parity", "array_hof_parity", "math_funcs_parity",
-    "json_funcs_parity", "regex_funcs_parity", "binary_funcs_parity",
-    "bitwise_funcs_parity", "url_funcs_parity", "geo_funcs_parity",
-    "geometry_funcs_parity",
+    # TPC-H as Trino SQL text through Engine.sql (r5) — the hardest
+    # transpiler shapes; the remaining 7 stay locally oracled
+    "tpch_sql_q2", "tpch_sql_q3", "tpch_sql_q4", "tpch_sql_q7",
+    "tpch_sql_q8", "tpch_sql_q9", "tpch_sql_q11", "tpch_sql_q12",
+    "tpch_sql_q13", "tpch_sql_q15", "tpch_sql_q17", "tpch_sql_q18",
+    "tpch_sql_q20", "tpch_sql_q21", "tpch_sql_q22",
+    # never driver-verified (registered r4, local-green only)
+    "recursive_factorial", "recursive_reachability",
+    "groupby_grouping_operation", "tpcds_multicount_scan",
+    "tpcds_rollup_rank", "curation_chunks", "curation_decontaminated",
+    "curation_pii_scrub", "curation_stratified_sample", "text_langid",
+    "text_fingerprint", "multimodal_features", "multimodal_resize",
+    "text_repetition", "text_tfidf_top_terms", "dedup_clusters",
+    "curation_semantic_decontaminated", "time_funcs_parity",
+    "codec_funcs_parity", "timetz_funcs_parity", "bing_tile_funcs_parity",
+    "geometry_accessors_parity", "mr_price_slide", "mr_rally",
+    "mr_plateau_ends", "mr_error_burst", "mr_nav_measures",
+    "mr_all_rows_running", "spatial_join_distance",
+    # r5-new operators (registered later this round; filtered if absent)
+    "tpcds_sql_q70", "tpcds_sql_q88", "tpcds_sql_q47", "tpcds_sql_q36",
+    "geometry_union_agg_rollup", "mr_nav_in_aggregate",
 )
 
 
