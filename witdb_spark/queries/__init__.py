@@ -14,6 +14,7 @@ from witdb_spark.queries import (  # noqa: E402,F401
     spatial,
     tpch,
     tpch_sql,
+    tpcds_sql,
 )
 
 __all__ = ["QUERIES", "all_queries", "all_oracles"]

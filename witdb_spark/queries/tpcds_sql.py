@@ -1,0 +1,187 @@
+"""TPC-DS-shape queries as Trino SQL TEXT through ``Engine.sql``.
+
+The reference ships 99 TPC-DS texts (reference
+testing/trino-benchmark-queries/src/main/resources/sql/presto/tpcds/
+q01-q99.sql). The driver schema is TPC-H-ish, so each query here keeps
+the STRUCTURAL shape that makes its TPC-DS original a classic
+transpiler/planner workout and maps the retail columns onto the driver
+tables (mapping documented per query). These run through the full
+parse -> transpile -> Catalyst path like the tpch_sql suite.
+
+Determinism: every float aggregate follows the registry's decimal-exact
+rules; every rank() carries name tie-breaks; queries avoid LIMIT so the
+order-insensitive driver compare cannot interact with NULL-ordering
+differences between engines (rolled-up NULLs sort differently in Spark
+vs DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from witdb_spark.queries.registry import register
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))"
+
+# q70 shape (reference tpcds/q70.sql): ROLLUP over a two-level hierarchy
+# + GROUPING() arithmetic + rank() PARTITIONed by the grouping level and
+# parent + an IN-subquery that itself ranks a windowed aggregate.
+# Mapping: store_sales -> lineitem x orders x customer; s_state ->
+# customer nation, s_county -> market segment; "top 5 states" -> top 3
+# nations by revenue.
+_Q70 = f"""
+    SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS total_rev,
+           n_name, c_mktsegment,
+           (GROUPING(n_name) + GROUPING(c_mktsegment)) AS lochierarchy,
+           CAST(rank() OVER (
+             PARTITION BY GROUPING(n_name) + GROUPING(c_mktsegment),
+                          CASE WHEN GROUPING(c_mktsegment) = 0 THEN n_name END
+             ORDER BY SUM({_REV_DEC}) DESC, n_name, c_mktsegment
+           ) AS INTEGER) AS rank_within_parent
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN (
+      SELECT n_name FROM (
+        SELECT n_name,
+               rank() OVER (ORDER BY SUM({_REV_DEC}) DESC, n_name) AS ranking
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      ) AS tmp1
+      WHERE ranking <= 3)
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+# q36 shape (reference tpcds/q36.sql): gross-margin RATIO of two sums
+# under ROLLUP + rank within parent ordered by the ratio. Mapping:
+# i_category/i_class -> p_type/p_brand; net profit uses the q9 supply-
+# cost model (0.5 * p_retailprice).
+_Q36 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS gross_margin,
+           p_type, p_brand,
+           (GROUPING(p_type) + GROUPING(p_brand)) AS lochierarchy,
+           CAST(rank() OVER (
+             PARTITION BY GROUPING(p_type) + GROUPING(p_brand),
+                          CASE WHEN GROUPING(p_brand) = 0 THEN p_type END
+             ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    - 0.5 * p_retailprice * l_quantity
+                                    AS DECIMAL(30,6))) AS DOUBLE)
+                      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(30,6))) AS DOUBLE) ASC,
+                      p_type, p_brand
+           ) AS INTEGER) AS rank_within_parent
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ROLLUP (p_type, p_brand)
+"""
+
+# q47 shape (reference tpcds/q47.sql): CTE with a windowed average OVER
+# the grouped sums + a rank-sequence self-joined twice to read the lag
+# and lead neighbours, then a deviation filter. Mapping: (category,
+# brand, store) -> order priority; monthly store sales -> monthly order
+# totals. The windowed mean divides an exact DECIMAL window sum once so
+# both engines produce bit-identical doubles.
+_Q47 = """
+    WITH v1 AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS moy,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS sum_dec
+      FROM orders
+      GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate)
+    ),
+    v1x AS (
+      SELECT prio, yr, moy,
+             CAST(sum_dec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sum_dec) OVER (PARTITION BY prio, yr) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY prio, yr) AS avg_monthly_sales,
+             CAST(rank() OVER (PARTITION BY prio ORDER BY yr, moy)
+                  AS INTEGER) AS rn
+      FROM v1
+    ),
+    v2 AS (
+      SELECT v.prio, v.yr, v.moy, v.avg_monthly_sales, v.sum_sales,
+             vlag.sum_sales AS psum, vlead.sum_sales AS nsum
+      FROM v1x v, v1x vlag, v1x vlead
+      WHERE v.prio = vlag.prio AND v.prio = vlead.prio
+        AND v.rn = vlag.rn + 1 AND v.rn = vlead.rn - 1
+    )
+    SELECT prio, yr, moy, sum_sales, avg_monthly_sales, psum, nsum
+    FROM v2
+    WHERE avg_monthly_sales > 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.05
+"""
+
+# q88 shape (reference tpcds/q88.sql): N independent filtered COUNT(*)
+# scalar subqueries cross-joined into one row. Mapping: the 8 half-hour
+# time buckets -> 4 quantity bands with a discount predicate.
+_Q88 = """
+    SELECT * FROM
+      (SELECT COUNT(*) AS band_1_11 FROM lineitem
+       WHERE l_quantity BETWEEN 1 AND 11 AND l_discount < 0.05) AS s1,
+      (SELECT COUNT(*) AS band_12_24 FROM lineitem
+       WHERE l_quantity BETWEEN 12 AND 24 AND l_discount < 0.05) AS s2,
+      (SELECT COUNT(*) AS band_25_36 FROM lineitem
+       WHERE l_quantity BETWEEN 25 AND 36 AND l_discount >= 0.05) AS s3,
+      (SELECT COUNT(*) AS band_37_50 FROM lineitem
+       WHERE l_quantity BETWEEN 37 AND 50 AND l_discount >= 0.05) AS s4
+"""
+
+TEXTS: dict[str, tuple[str, str | None, str]] = {
+    # name -> (trino_text, oracle_override_or_None_for_same_text, doc)
+    "tpcds_sql_q70": (
+        _Q70,
+        None,
+        "TPC-DS q70 shape via Engine.sql: ROLLUP + GROUPING() + "
+        "rank-within-parent + IN-subquery ranking a windowed aggregate "
+        "(reference tpcds/q70.sql adapted: nation/mktsegment hierarchy).",
+    ),
+    "tpcds_sql_q36": (
+        _Q36,
+        None,
+        "TPC-DS q36 shape via Engine.sql: ratio-of-sums gross margin "
+        "under ROLLUP with rank within parent (reference tpcds/q36.sql "
+        "adapted: p_type/p_brand hierarchy, q9 supply-cost model).",
+    ),
+    "tpcds_sql_q47": (
+        _Q47,
+        None,
+        "TPC-DS q47 shape via Engine.sql: windowed average over grouped "
+        "sums + rank-sequence self-joins for lag/lead neighbours + "
+        "deviation filter (reference tpcds/q47.sql adapted to monthly "
+        "order totals per priority).",
+    ),
+    "tpcds_sql_q88": (
+        _Q88,
+        None,
+        "TPC-DS q88 shape via Engine.sql: independent filtered COUNT(*) "
+        "scalar subqueries cross-joined into one row (reference "
+        "tpcds/q88.sql adapted to quantity/discount bands).",
+    ),
+}
+
+
+def _make(name: str, text: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from witdb_spark.engine import Engine
+
+        return Engine(spark, sf_dir=sf_dir).sql(text)
+
+    fn.__name__ = name
+    return fn
+
+
+for _name, (_text, _oracle, _doc) in TEXTS.items():
+    register(
+        _name,
+        _oracle if _oracle is not None else _text,
+        doc=_doc,
+        tags=("tpcds", "sql_text", "dialect"),
+    )(_make(_name, _text))
