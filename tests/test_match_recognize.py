@@ -292,14 +292,6 @@ def test_sql_form_unsupported(engine, spark):
     from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
     spark.range(1).createOrReplaceTempView("mr_sql_t3")
-    # label-qualified PREV/NEXT anchors stay rejected under ALL ROWS
-    with pytest.raises(UnsupportedTrinoSyntax):
-        engine.sql(
-            "SELECT * FROM mr_sql_t3 MATCH_RECOGNIZE ("
-            "PARTITION BY id ORDER BY id "
-            "MEASURES PREV(LAST(A.id)) AS p ALL ROWS PER MATCH "
-            "PATTERN (A B) DEFINE A AS id > 0, B AS id > 0)"
-        )
     # SUBSET members must be pattern variables
     with pytest.raises(UnsupportedTrinoSyntax):
         engine.sql(
@@ -500,23 +492,23 @@ def test_prev_next_in_measures(spark):
         (8, 15, 9, 7, 13, 8),
         (10, 12, None, 9, 10, 10),
     ]
-    # ALL ROWS PER MATCH + nav measures is supported since r4
-    # (test_prev_next_all_rows covers the semantics); only
-    # label-qualified anchors stay rejected there
-    import pytest as _pytest
-
-    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
-
-    with _pytest.raises(UnsupportedTrinoSyntax):
-        eng.sql(
-            """
-            SELECT * FROM nav_quotes MATCH_RECOGNIZE (
-              PARTITION BY k ORDER BY ts
-              MEASURES NEXT(LAST(B.price)) AS pp
-              ALL ROWS PER MATCH
-              PATTERN (B+) DEFINE B AS price > PREV(price))
-            """
-        ).collect()
+    # label-qualified anchors under ALL ROWS resolve the RUNNING member
+    # anchor per output row (r5): every row here is B, so the running
+    # LAST(B) is the current row and NEXT steps one row forward
+    out2 = eng.sql(
+        """
+        SELECT ts, pp FROM nav_quotes MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES NEXT(LAST(B.price)) AS pp
+          ALL ROWS PER MATCH
+          PATTERN (B+) DEFINE B AS price > PREV(price))
+        ORDER BY ts
+        """
+    ).collect()
+    # ascending runs: ts1-2 (11,12) and ts5-7 (13,14,15)
+    assert [(r.ts, r.pp) for r in out2] == [
+        (1, 12), (2, 9), (5, 14), (6, 15), (7, 7)
+    ]
 
 
 def test_all_rows_label_measures_and_exclusions(spark):
@@ -728,3 +720,35 @@ def test_label_qualified_nav_in_aggregate_rejected(engine, spark):
             "MEASURES avg(id - PREV(A.id)) AS s ONE ROW PER MATCH "
             "PATTERN (A+) DEFINE A AS id >= 0)"
         )
+
+
+def test_label_qualified_nav_all_rows(engine, spark):
+    """r5: label-qualified PREV/NEXT anchors under ALL ROWS PER MATCH
+    (reference LogicalIndexNavigation): the anchor is the RUNNING
+    first/last row classified with the label; PREV/NEXT then step
+    physically over the partition from that anchor."""
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("mr_labnav")
+    rows = engine.sql(
+        """
+        SELECT seq, pb, plb, pfb FROM mr_labnav MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES PREV(B.price) AS pb,
+                   PREV(LAST(B.price)) AS plb,
+                   PREV(FIRST(B.price)) AS pfb
+          ALL ROWS PER MATCH
+          PATTERN (A B B)
+          DEFINE A AS price = 10, B AS price > 10
+        ) ORDER BY seq
+        """
+    ).collect()
+    # row1 (A): no B seen yet -> all NULL
+    # row2 (B1): last B = row2 -> PREV = row1 (10); first B = row2 -> 10
+    # row3 (B2): last B = row3 -> PREV = row2 (20); first B still row2 -> 10
+    assert [(r.seq, r.pb, r.plb, r.pfb) for r in rows] == [
+        (1, None, None, None),
+        (2, 10.0, 10.0, 10.0),
+        (3, 20.0, 20.0, 10.0),
+    ]

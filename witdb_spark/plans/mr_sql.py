@@ -51,10 +51,13 @@ anchor_rn -+ n, with FIRST/LAST (optionally label-qualified) anchors.
 Under ALL ROWS PER MATCH (r4) the navigation is a source-level lag/lead
 carried through the operator (running LAST anchor = the current row);
 FIRST-anchored forms read the carried column at the match's first row.
+Label-qualified anchors under ALL ROWS (r5) resolve the RUNNING
+first/last member row per output row (running min/max over the member
+rows' partition indexes) and join the indexed source at anchor_rn -+ n.
 
-Unsupported (loud, not silent): label-qualified PREV/NEXT anchors under
-ALL ROWS PER MATCH (the running anchor position is per-row classifier
-state).
+Unsupported (loud, not silent): label-qualified PREV/NEXT inside an
+aggregate measure under ONE ROW PER MATCH (per-row navigation over
+classifier state inside the aggregate argument).
 """
 
 from __future__ import annotations
@@ -587,6 +590,14 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
                     " (per-row navigation over classifier state)"
                 )
             per_row_navs.add(ph)
+    # Label-qualified navs under ALL ROWS (r5 — reference
+    # LogicalIndexNavigation.java): the anchor is the RUNNING first/last
+    # row classified with the label, so the anchor position is per-row
+    # classifier state. Resolved AFTER the operator: a running min/max
+    # over the member rows' partition indexes gives each output row its
+    # anchor_rn, and a join against the row-number-indexed source at
+    # anchor_rn -+ n reads the physically navigated value.
+    label_navs_all: set[str] = set()
     if spec["rows_per_match"] == "all":
         for kind, anchor, ie, n, ph, explicit in navs:
             lm = re.fullmatch(
@@ -595,11 +606,7 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
             if lm and lm.group(1) in labsets:
                 # dotted refs whose prefix is NOT a pattern variable
                 # (struct fields) lower fine through lag/lead
-                raise UnsupportedTrinoSyntax(
-                    "label-qualified PREV/NEXT anchors with ALL ROWS PER"
-                    " MATCH (the running anchor position is per-row"
-                    " classifier state)"
-                )
+                label_navs_all.add(ph)
     for expr, _ in measures:
         _check_measure(expr)
     define = {k: transpile(v) for k, v in spec["define"].items()}
@@ -619,10 +626,15 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
             spec["order_by"]
         )
         for kind, anchor, ie, n, ph, explicit in navs:
+            if ph in label_navs_all:
+                continue  # resolved post-operator against the indexed source
             step = F.lag if kind == "PREV" else F.lead
             src = src.withColumn(
                 ph, step(F.expr(transpile(ie)), n).over(w)
             )
+        if label_navs_all:
+            src_rn = src.withColumn("__rn", F.row_number().over(w))
+            src = src_rn
     if per_row_navs:
         # per-row navigation (nav inside aggregate, ONE ROW): physical
         # lag/lead over the partition, attached to the source so each
@@ -723,18 +735,59 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
         out = matched
         run, _full = _mr_frames(pk, ord_col)
         nav_phs = [nav[4] for nav in navs]  # placeholder column names
+        if label_navs_all:
+            from pyspark.sql import Window
+
+            rw = (
+                Window.partitionBy(*pk, "match_id")
+                .orderBy(ord_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            for kind, anchor, ie, n, ph, explicit in navs:
+                if ph not in label_navs_all:
+                    continue
+                lm = re.fullmatch(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)",
+                    ie,
+                )
+                members = labsets[lm.group(1)]
+                col = lm.group(2)
+                member_rn = F.when(
+                    F.col("classifier").isin(*members), F.col("__rn")
+                )
+                # RUNNING semantics: LAST anchor = latest member row so
+                # far (running max), FIRST anchor = earliest (running min
+                # — constant once the first member row is seen)
+                anchor_rn = (
+                    F.max(member_rn).over(rw)
+                    if anchor == "LAST"
+                    else F.min(member_rn).over(rw)
+                )
+                delta = -n if kind == "PREV" else n
+                out = out.withColumn(f"{ph}_t", anchor_rn + F.lit(delta))
+                tgt = src_rn.select(
+                    *pk,
+                    F.col("__rn").alias(f"{ph}_t"),
+                    F.expr(transpile(col)).alias(ph),
+                )
+                out = out.join(tgt, [*pk, f"{ph}_t"], "left").drop(
+                    f"{ph}_t"
+                )
         for e, name in measures:
             lowered = _measure_all_rows(e, pk, ord_col, labsets)
             # FIRST-anchored navigation: the carried lag/lead column is
             # read at the match's first row (substituted AFTER the
-            # generic passes so they can't re-wrap the window)
+            # generic passes so they can't re-wrap the window).
+            # Label-qualified navs are already per-row values — skip.
             for kind, anchor, ie, n, ph, explicit in navs:
-                if anchor == "FIRST":
+                if anchor == "FIRST" and ph not in label_navs_all:
                     lowered = re.sub(
                         rf"\b{ph}\b", f"first({ph}){run}", lowered
                     )
             out = out.withColumn(name, F.expr(lowered))
         out = out.drop(*nav_phs)
+        if label_navs_all:
+            out = out.drop("__rn")
         # SQL:2016: {- -}-excluded rows feed the measures but are
         # removed from the ALL ROWS output
         out = out.where(~F.col("excluded")).drop("excluded")

@@ -447,3 +447,114 @@ def mr_all_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_nav_in_aggregate",
+    """
+    WITH seqv AS (
+      SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pval
+      FROM events),
+    v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM seqv WHERE event_type = 'view'),
+    runs AS (SELECT user_id, MIN(event_id) AS start_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_views,
+                    SUM(CAST(value - pval AS DECIMAL(30,6))) AS s,
+                    COUNT(value - pval) AS nn
+             FROM v GROUP BY user_id, grp HAVING COUNT(*) >= 2)
+    SELECT user_id, start_id, n_views,
+           CAST(s AS DOUBLE) / nn AS avg_step
+    FROM runs
+    """,
+    doc="Per-row navigation INSIDE an aggregate measure under ONE ROW PER "
+    "MATCH (SQL:2016; reference MeasureComputation.java + "
+    "LogicalIndexNavigation.java): avg step = sum/count of per-row "
+    "value - PREV(value) over each >=2-run of views, where each match "
+    "row navigates from ITSELF (physical navigation over the partition — "
+    "the run's first view reads the event before the run). The r5 "
+    "lowering carries a source-level lag column through the operator and "
+    "aggregates it; the per-match-constant reading this replaced would "
+    "return a different number. Oracle: gaps-and-islands with "
+    "partition-level lag.",
+    tags=("match_recognize", "pattern", "dialect", "navigation"),
+)
+def mr_nav_in_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id, start_id, n_views, avg_step
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(event_id) AS start_id,
+                   count(*) AS n_views,
+                   CAST(sum(CAST(value - PREV(value) AS DECIMAL(30,6)))
+                        AS DOUBLE)
+                     / count(value - PREV(value)) AS avg_step
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V{2,})
+          DEFINE V AS event_type = 'view'
+        )
+        """
+    )
+
+
+@register(
+    "mr_label_nav_all_rows",
+    """
+    WITH seqn AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pval
+      FROM events),
+    v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM seqn WHERE event_type = 'view'),
+    vruns AS (SELECT user_id, grp, MAX(rn) AS last_rn,
+                     max_by(pval, rn) AS last_v_pval
+              FROM v GROUP BY user_id, grp),
+    p AS (SELECT user_id, event_id, rn FROM seqn WHERE event_type = 'purchase'),
+    matches AS (SELECT r.user_id, r.grp, r.last_rn, r.last_v_pval,
+                       p.event_id AS p_eid
+                FROM vruns r JOIN p ON p.user_id = r.user_id
+                                   AND p.rn = r.last_rn + 1)
+    SELECT v.user_id, v.event_id, v.pval AS prev_v
+    FROM v JOIN matches m ON v.user_id = m.user_id AND v.grp = m.grp
+    UNION ALL
+    SELECT m.user_id, m.p_eid AS event_id, m.last_v_pval AS prev_v
+    FROM matches m
+    """,
+    doc="Label-qualified PREV anchor under ALL ROWS PER MATCH (r5; "
+    "reference LogicalIndexNavigation.java): PREV(V.value) resolves the "
+    "RUNNING last V-classified row per output row and steps one row back "
+    "over the PARTITION (physically — the step may leave the match). "
+    "View rows read their own lag; the purchase row reads the lag of the "
+    "run's last view. Oracle: gaps-and-islands with partition-level lag.",
+    tags=("match_recognize", "pattern", "dialect", "navigation"),
+)
+def mr_label_nav_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id, event_id, prev_v
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES PREV(V.value) AS prev_v
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        """
+    )
