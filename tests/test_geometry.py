@@ -222,18 +222,18 @@ def test_gh_union_with_enclosed_hole(ns):
 
 
 def test_gh_degenerate_raises(ns):
-    """Vertex-incidence and shared edges must raise, not mis-clip."""
+    """Degenerate incidences: UNION now resolves them via the snapped
+    planar-arrangement fallback (r5, union_many); intersection keeps the
+    loud degenerate raise (no arrangement path there yet)."""
     shifted = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"  # shares SQ's x=4 edge
-    with pytest.raises(ValueError):
-        ns["union_geom"](SQ, shifted)
+    out = ns["union_geom"](SQ, shifted)
+    assert abs(ns["area"](out) - 32.0) < 1e-9  # edge dissolves
     touch_vertex = "POLYGON ((4 4, 8 4.5, 7 8, 4 4))"  # touches SQ corner
-    # touching at a single vertex: either loud degenerate or disjoint-union;
-    # mis-computing silently is the only wrong answer
-    try:
-        out = ns["union_geom"](SQ, touch_vertex)
-        assert abs(ns["area"](out) - (16 + ns["area"](touch_vertex))) < 1e-9
-    except ValueError:
-        pass
+    out = ns["union_geom"](SQ, touch_vertex)
+    assert abs(ns["area"](out) - (16 + ns["area"](touch_vertex))) < 1e-9
+    # intersection of edge-sharers: areal result is EMPTY (the shared
+    # edge is dimension-1; the kernel's polygon clip is area-exact here)
+    assert ns["area"](ns["intersection"](SQ, shifted)) == 0.0
 
 
 def test_difference_and_symdifference(ns):
@@ -627,3 +627,52 @@ def test_geometrycollection_read_surface(ns):
     ):
         with pytest.raises(ValueError):
             ns[fn](*args)
+
+
+def test_union_many_arrangement():
+    """r5 snapped planar-arrangement union (union_many): the degenerate
+    incidences the pairwise clipper refuses — shared edges, vertex-on-
+    edge, corner touches — plus hole formation and full tilings."""
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+    um, area, parse = ns["union_many"], ns["area"], ns["parse"]
+    sq = lambda x, y: (  # noqa: E731
+        f"POLYGON (({x} {y}, {x+1} {y}, {x+1} {y+1}, {x} {y+1}, {x} {y}))"
+    )
+    # shared edge dissolves
+    assert area(um([sq(0, 0), sq(1, 0)])) == 2.0
+    # identical inputs idempotent
+    assert area(um([sq(0, 0), sq(0, 0)])) == 1.0
+    # disjoint -> MULTIPOLYGON, additive area
+    u = um([sq(0, 0), sq(5, 5)])
+    assert parse(u)[0] == "MULTIPOLYGON" and area(u) == 2.0
+    # corner touch stays two shells
+    u = um([sq(0, 0), sq(1, 1)])
+    assert parse(u)[0] == "MULTIPOLYGON" and area(u) == 2.0
+    # 3x3 ring of cells -> polygon with a hole, area 8
+    donut = um(
+        [sq(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+    )
+    k, d = parse(donut)
+    assert k == "POLYGON" and len(d) == 2 and area(donut) == 8.0
+    # proper overlap via inclusion-exclusion
+    a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert area(um([a, b])) == 7.0
+    # vertex-on-edge
+    tri = "POLYGON ((1 0.5, 2 0, 2 1, 1 0.5))"
+    assert area(um([sq(0, 0), tri])) == 1.5
+    # full 6x6 tiling dissolves to one square
+    u = um([sq(x, y) for x in range(6) for y in range(6)])
+    k, d = parse(u)
+    assert k == "POLYGON" and len(d) == 1 and area(u) == 36.0
+    # ST_Union pair fallback now routes shared edges through union_many
+    assert area(ns["union_geom"](sq(0, 0), sq(1, 0))) == 2.0
+    # loud re-scopes retained
+    import pytest
+
+    with pytest.raises(ValueError):
+        um(["LINESTRING (0 0, 1 1)"])
+    with pytest.raises(ValueError):
+        um(["POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"])

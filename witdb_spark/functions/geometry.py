@@ -970,14 +970,16 @@ def union_geom(sa, sb):
             return emit(kb, db)
         if not intersects(sa, sb):
             return emit("MULTIPOLYGON", [da, db])
-        out = _gh_boolean(sa, sb, union=True)
+        try:
+            out = _gh_boolean(sa, sb, union=True)
+        except ValueError:
+            out = None  # degenerate incidence inside the clipper
         if out is not None:
             return out
-        # boundaries touch without crossing (e.g. shared edge): degenerate
-        raise ValueError(
-            "st_union: touching-without-crossing boundaries are degenerate"
-            " for the planar clipper"
-        )
+        # boundaries touch without crossing (shared edge / vertex-on-
+        # edge): degenerate for the pairwise clipper — the snapped
+        # planar-arrangement union handles exactly these incidences (r5)
+        return union_many([sa, sb])
     raise ValueError("st_union: unsupported kinds %r x %r" % (ka, kb))
 
 
@@ -2535,6 +2537,216 @@ def nearest_points(sa, sb):
                 if r[0] < best[0]:
                     best = r
     return [emit("POINT", best[1]), emit("POINT", best[2])]
+
+
+def _snap_pt(p, grid):
+    return (round(p[0] / grid) * grid, round(p[1] / grid) * grid)
+
+
+def union_many(wkts, grid=1e-9):
+    """N-way polygon union via a SNAPPED PLANAR ARRANGEMENT (reference
+    plugin/trino-geospatial GeometryUnionAgg / Esri union): coordinates
+    quantize to a grid, every edge is split at intersections with edges
+    of other rings, and each sub-segment survives iff its two sides have
+    different union coverage (probed at midpoint +- a small normal
+    offset). Survivors are oriented interior-LEFT and stitched into
+    cycles (sharpest-left-turn at junctions); CCW cycles are shells, CW
+    cycles holes of their smallest containing shell. Snap-rounding makes
+    the shared-edge / vertex-on-edge incidences that the pairwise
+    Greiner-Hormann clipper refuses exact: coincident boundaries land on
+    identical coordinates and cancel via the two-sided coverage probe.
+    Inputs: hole-free POLYGON/MULTIPOLYGON (holes as inputs stay out of
+    scope, loudly). Output may contain holes."""
+    import math
+
+    rings = []
+    for w in wkts:
+        if w is None:
+            continue
+        k, d = parse(w)
+        if d is None:
+            continue
+        if k == "POLYGON":
+            polys = [d]
+        elif k == "MULTIPOLYGON":
+            polys = list(d)
+        else:
+            raise ValueError(
+                "union_many: only polygonal inputs, got %r" % k
+            )
+        for p in polys:
+            if len(p) > 1:
+                raise ValueError(
+                    "union_many: polygons with holes unsupported as inputs"
+                )
+            rr = []
+            for q in _open_ccw(p[0]):
+                sq = _snap_pt(q, grid)
+                if not rr or sq != rr[-1]:
+                    rr.append(sq)
+            if len(rr) > 1 and rr[0] == rr[-1]:
+                rr.pop()
+            if len(rr) >= 3 and _ring_area2(rr) != 0:
+                if _ring_area2(rr) < 0:
+                    rr = rr[::-1]
+                rings.append(rr)
+    if not rings:
+        return None
+    if len(rings) == 1:
+        r = rings[0]
+        return emit("POLYGON", [r + [r[0]]])
+
+    # probe offset: small vs the thinnest feature, large vs the grid
+    min_edge = None
+    for r in rings:
+        m = len(r)
+        for i in range(m):
+            a, b = r[i], r[(i + 1) % m]
+            e = math.hypot(b[0] - a[0], b[1] - a[1])
+            if e > 0 and (min_edge is None or e < min_edge):
+                min_edge = e
+    delta = max(grid * 4.0, min_edge * 1e-3)
+
+    def seg_param(a, b, p):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        l2 = dx * dx + dy * dy
+        if l2 == 0:
+            return 0.0
+        return ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / l2
+
+    def seg_cross(a, b, c, d):
+        """Points on ab where cd meets it (proper, touching, collinear)."""
+        d1 = (b[0] - a[0], b[1] - a[1])
+        d2 = (d[0] - c[0], d[1] - c[1])
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        pts = []
+        if den != 0:
+            t = ((c[0] - a[0]) * d2[1] - (c[1] - a[1]) * d2[0]) / den
+            u = ((c[0] - a[0]) * d1[1] - (c[1] - a[1]) * d1[0]) / den
+            if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                pts.append((a[0] + t * d1[0], a[1] + t * d1[1]))
+        else:
+            scale = max(1.0, abs(d1[0]) + abs(d1[1]))
+            cross = d1[0] * (c[1] - a[1]) - d1[1] * (c[0] - a[0])
+            if abs(cross) < 1e-9 * scale:  # collinear overlap
+                for p in (c, d):
+                    t = seg_param(a, b, p)
+                    if 0 < t < 1:
+                        pts.append(
+                            (a[0] + t * d1[0], a[1] + t * d1[1])
+                        )
+        return pts
+
+    edges = []
+    for ri, r in enumerate(rings):
+        m = len(r)
+        for i in range(m):
+            edges.append((ri, r[i], r[(i + 1) % m]))
+
+    subsegs = []
+    for ri, a, b in edges:
+        cuts = [0.0, 1.0]
+        for rj, c, d in edges:
+            if rj == ri:
+                continue
+            for p in seg_cross(a, b, c, d):
+                t = seg_param(a, b, p)
+                if 1e-12 < t < 1 - 1e-12:
+                    cuts.append(t)
+        cuts = sorted(set(cuts))
+        for t0, t1 in zip(cuts, cuts[1:]):
+            p0 = _snap_pt(
+                (a[0] + t0 * (b[0] - a[0]), a[1] + t0 * (b[1] - a[1])),
+                grid,
+            )
+            p1 = _snap_pt(
+                (a[0] + t1 * (b[0] - a[0]), a[1] + t1 * (b[1] - a[1])),
+                grid,
+            )
+            if p0 != p1:
+                subsegs.append((p0, p1))
+
+    def covered(p):
+        for r in rings:
+            if _point_in_ring(p, r) == 1:
+                return True
+        return False
+
+    keep = set()
+    for p0, p1 in subsegs:
+        mx, my = (p0[0] + p1[0]) / 2.0, (p0[1] + p1[1]) / 2.0
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        ln = math.hypot(dx, dy)
+        nx, ny = -dy / ln, dx / ln  # left normal
+        left = covered((mx + nx * delta, my + ny * delta))
+        right = covered((mx - nx * delta, my - ny * delta))
+        if left and not right:
+            keep.add((p0, p1))
+        elif right and not left:
+            keep.add((p1, p0))
+        # both covered (interior) or neither (numerical sliver): drop
+
+    if not keep:
+        return "POLYGON EMPTY"
+
+    out_map = {}
+    for s, e in keep:
+        out_map.setdefault(s, []).append(e)
+    cycles = []
+    unused = set(keep)
+    while unused:
+        start, nxt = next(iter(unused))
+        unused.discard((start, nxt))
+        cyc = [start]
+        prev, cur = start, nxt
+        guard = 0
+        while cur != start:
+            cyc.append(cur)
+            outs = [e for e in out_map.get(cur, []) if (cur, e) in unused]
+            if not outs:
+                cyc = None  # dangling walk (numeric noise): abandon
+                break
+            if len(outs) == 1:
+                chosen = outs[0]
+            else:
+                ia = math.atan2(cur[1] - prev[1], cur[0] - prev[0])
+
+                def turn(e):
+                    oa = math.atan2(e[1] - cur[1], e[0] - cur[0])
+                    return (oa - ia + math.pi) % (2 * math.pi)
+
+                chosen = max(outs, key=turn)  # sharpest left turn
+            unused.discard((cur, chosen))
+            prev, cur = cur, chosen
+            guard += 1
+            if guard > len(keep) + 1:
+                cyc = None
+                break
+        if cyc is not None and len(cyc) >= 3:
+            cycles.append(cyc)
+
+    shells, holes = [], []
+    for c in cycles:
+        a2 = _ring_area2(c)
+        if a2 > 0:
+            shells.append(c)
+        elif a2 < 0:
+            holes.append(c)
+    if not shells:
+        return "POLYGON EMPTY"
+    polys = [[s + [s[0]]] for s in shells]
+    for h in holes:
+        best_i, best_a = None, None
+        for i, s in enumerate(shells):
+            if _point_in_ring(h[0], s) == 1:
+                a = abs(_ring_area2(s))
+                if best_a is None or a < best_a:
+                    best_i, best_a = i, a
+        if best_i is not None:
+            polys[best_i].append(h + [h[0]])
+    if len(polys) == 1:
+        return emit("POLYGON", polys[0])
+    return emit("MULTIPOLYGON", polys)
 '''
 
 
@@ -3077,16 +3289,24 @@ def register_geometry_udfs(spark: SparkSession) -> int:
 
         ns: dict = {}
         exec(_GEO_SRC, ns)
-        f = ns["union_geom"]
+        pair, many = ns["union_geom"], ns["union_many"]
 
         def go(arr):
             if arr is None:
                 return None
+            wkts = [w for w in arr if w is not None]
+            if not wkts:
+                return None
+            if len(wkts) == 1:
+                return wkts[0]
+            kinds = {ns["parse"](w)[0] for w in wkts}
+            if kinds <= {"POLYGON", "MULTIPOLYGON"}:
+                # N-way polygonal union: one arrangement pass (r5) —
+                # robust to the shared-edge chains a pairwise fold hits
+                return many(wkts)
             acc = None
-            for w in arr:
-                if w is None:
-                    continue
-                acc = w if acc is None else f(acc, w)
+            for w in wkts:
+                acc = w if acc is None else pair(acc, w)
             return acc
 
         return pd.Series([go(arr) for arr in geoms])

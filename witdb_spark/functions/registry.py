@@ -655,16 +655,17 @@ UNSUPPORTED: dict[str, str] = {
     " convex hull, simplify, point buffers, and polygon booleans —"
     " convex clips via Sutherland-Hodgman, concave-x-concave via a"
     " Greiner-Hormann clipper (generic position, holes-in-results"
-    " classified). Still out of scope (raise, never approximate):"
-    " boolean inputs with degenerate incidence (shared edges, vertex-on-"
-    "edge — needs a snap-rounding Vatti/Martinez clipper), polygons with"
+    " classified), and (r5) a snapped planar-arrangement N-way union"
+    " (union_many) that handles shared-edge / vertex-on-edge incidence"
+    " for ST_Union and geometry_union_agg"
+    " (operators/spatial_join.py geometry_union_agg)."
+    " Still out of scope (raise, never approximate):"
+    " non-union booleans (intersection/difference) with degenerate"
+    " incidence, polygons with"
     " holes as boolean/relate INPUTS, buffers of lines/polygons"
     " (Minkowski sums with arc joins), GEOMETRYCOLLECTION as a PREDICATE/BOOLEAN operand (the read surface — parse/emit, accessors, summed measurements, WKB/GeoJSON — works),"
     " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
-    " WKB/GeoJSON cover interchange), geometry_union_agg (a union fold"
-    " over a group ALWAYS hits shared-boundary inputs — blocked on the"
-    " same snap-rounding clipper; convex_hull_agg IS provided,"
-    " operators/spatial_join.py), and spatial_partitioning/"
+    " WKB/GeoJSON cover interchange), and spatial_partitioning/"
     "spatial_partitions (KDB-tree handles; the grid-cell banded join in"
     " operators/spatial_join.py is this engine's spatial partitioner)."
     " Bing tiles are covered by the bing_tile_* macro family and the"

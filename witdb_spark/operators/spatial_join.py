@@ -236,3 +236,58 @@ def convex_hull_agg(
         partial, part_schema
     )
     return partials.groupBy(*keys).applyInPandas(_fold("hull"), schema)
+
+
+def geometry_union_agg(
+    df: DataFrame, keys: list[str], wkt_col: str, salt: int = 16
+) -> DataFrame:
+    """geometry_union_agg(geometry) GROUP BY keys (reference
+    plugin/trino-geospatial aggregation GeometryUnionAgg): the union of
+    every polygonal geometry in the group, as WKT.
+
+    Scale shape: union is associative, so the fold is two-stage like
+    convex_hull_agg — stage 1 reduces each (key, salt) subgroup to one
+    partial union via the snapped planar-arrangement kernel
+    (functions/geometry.py union_many), stage 2 unions <=`salt` partials
+    per key. The wide shuffle carries only partial unions (dissolved
+    boundaries — bounded by the union's own complexity, not the input
+    count), mirroring the reference's partial/final accumulator split."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from witdb_spark.functions.geometry import _GEO_SRC
+
+    keys = list(keys)
+    schema = StructType(
+        [df.schema[k] for k in keys] + [StructField("geom", StringType())]
+    )
+
+    def _fold(col):
+        def fold(pdf):
+            import pandas as pd
+
+            ns: dict = {}
+            exec(_GEO_SRC, ns)
+            row = {k: [pdf[k].iloc[0]] for k in keys}
+            row["geom"] = [ns["union_many"](list(pdf[col]))]
+            return pd.DataFrame(row)
+
+        return fold
+
+    part_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [StructField("__salt", StringType()), StructField("geom", StringType())]
+    )
+
+    def partial(pdf):
+        out = _fold(wkt_col)(pdf)
+        out["__salt"] = pdf["__salt"].iloc[0]
+        return out[[*keys, "__salt", "geom"]]
+
+    salted = df.select(
+        *keys, wkt_col,
+        (F.crc32(F.col(wkt_col)) % salt).cast("string").alias("__salt"),
+    )
+    partials = salted.groupBy(*keys, "__salt").applyInPandas(
+        partial, part_schema
+    )
+    return partials.groupBy(*keys).applyInPandas(_fold("geom"), schema)

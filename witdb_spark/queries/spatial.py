@@ -139,3 +139,64 @@ def spatial_join_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(d2.cast("bigint")).alias("sum_d2"),
     )
+
+
+@register(
+    "geometry_union_agg_rollup",
+    """
+    WITH cells AS (
+      SELECT DISTINCT event_type AS grp,
+             event_id % 37 AS cx, (event_id // 37) % 19 AS cy
+      FROM events WHERE event_id % 11 = 0)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) AS DOUBLE) AS union_area
+    FROM cells GROUP BY grp
+    """,
+    doc="geometry_union_agg (r5; reference plugin/trino-geospatial "
+    "GeometryUnionAgg): per event type, union the distinct unit grid "
+    "cells its events touch and report the dissolved area. Unit squares "
+    "share edges EVERYWHERE — exactly the degenerate incidence the "
+    "pairwise clipper refuses — so the snapped planar-arrangement union "
+    "(functions/geometry.py union_many) must dissolve interior "
+    "boundaries exactly; the oracle's closed form is that the union "
+    "area of N distinct edge-sharing unit cells equals N. Two-stage "
+    "salted fold (operators/spatial_join.py geometry_union_agg): "
+    "partial unions per (key, salt), final merge of <=16 partials.",
+    tags=("spatial", "aggregate", "geometry"),
+)
+def geometry_union_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.operators.spatial_join import geometry_union_agg
+
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.events.where(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("event_type").alias("grp"),
+            (F.col("event_id") % 37).alias("cx"),
+            F.expr("(event_id div 37) % 19").alias("cy"),
+        )
+        .distinct()
+    )
+    sq = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        F.col("cx"), F.col("cy"),
+        F.col("cx") + 1, F.col("cy"),
+        F.col("cx") + 1, F.col("cy") + 1,
+        F.col("cx"), F.col("cy") + 1,
+        F.col("cx"), F.col("cy"),
+    )
+    counts = cells.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cells"))
+    unions = geometry_union_agg(
+        cells.withColumn("wkt", sq), ["grp"], "wkt"
+    )
+    from witdb_spark.functions.geometry import _GEO_SRC  # noqa: F401
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    return (
+        unions.join(counts, "grp")
+        .select(
+            "grp", "n_cells",
+            F.round(F.expr("st_area(geom)"), 6).alias("union_area"),
+        )
+    )
