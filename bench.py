@@ -34,8 +34,14 @@ PREWARM_RUNS = 1
 MEASURED_RUNS = 3
 
 # Headline set: exercised operators span scan/filter/agg (q1,q6), multi-way
-# joins (q3,q5,q10), the heaviest join+agg (q9), and the custom
-# applyInPandas pattern operator (mr_funnel) — extended as coverage widens.
+# joins (q3,q5,q10), the heaviest join+agg (q9), the custom applyInPandas
+# pattern operator (mr_funnel), and (r5) the operator families added in
+# r4/r5 so they get round-over-round tracking: connected-components
+# clustering (dedup_clusters), the banded spatial join with the vectorized
+# verify kernel (spatial_join_contains), the two-shuffle TF-IDF top-k
+# (text_tfidf_top_terms), and one TPC-H query as Trino SQL text through
+# the full parse/transpile path (tpch_sql_q9 — its DataFrame twin is
+# already tracked, so the delta isolates the front-door overhead).
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -44,6 +50,10 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q10",
     "mr_funnel",
+    "dedup_clusters",
+    "spatial_join_contains",
+    "text_tfidf_top_terms",
+    "tpch_sql_q9",
 ]
 
 

@@ -115,18 +115,81 @@ def spatial_join_contains(
 
     @F.pandas_udf("boolean")
     def _inside(wkts, xs, ys):
+        """Batch-vectorized ST_Contains verify (r5): rows are bucketed by
+        polygon WKT (the polygon side is small and repeats across the
+        candidate batch), each polygon parses ONCE, and the even-odd ray
+        cast runs as numpy edge loops over the whole bucket — identical
+        arithmetic to the scalar kernel's _point_in_ring (same boundary
+        epsilon, same strict-inside rule), minus the per-row parse and
+        per-row Python loop."""
+        import numpy as np
         import pandas as pd
 
         ns: dict = {}
         exec(_GEO_SRC, ns)
-        contains = ns["contains"]
-        out = []
-        for w, x, y in zip(wkts, xs, ys):
-            if w is None or x is None or y is None:
-                out.append(None)
-            else:
-                out.append(bool(contains(w, f"POINT ({float(x)!r} {float(y)!r})")))
-        return pd.Series(out)
+        parse = ns["parse"]
+
+        def ring_state(ring, px, py):
+            # vectorized _point_in_ring: 0 outside / 1 inside / 2 boundary
+            n = len(ring)
+            inside = np.zeros(len(px), dtype=bool)
+            onb = np.zeros(len(px), dtype=bool)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                bb = (
+                    (min(x1, x2) - 1e-12 <= px)
+                    & (px <= max(x1, x2) + 1e-12)
+                    & (min(y1, y2) - 1e-12 <= py)
+                    & (py <= max(y1, y2) + 1e-12)
+                )
+                onb |= (np.abs(cross) < 1e-12) & bb
+                m = (y1 > py) != (y2 > py)
+                if y2 != y1:
+                    xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                    inside ^= m & (px < xin)
+            return np.where(onb, 2, np.where(inside, 1, 0))
+
+        res = pd.Series([None] * len(wkts), dtype=object)
+        px_all = pd.to_numeric(xs, errors="coerce").to_numpy(dtype=float)
+        py_all = pd.to_numeric(ys, errors="coerce").to_numpy(dtype=float)
+        valid = (
+            wkts.notna().to_numpy()
+            & ~np.isnan(px_all)
+            & ~np.isnan(py_all)
+        )
+        buckets: dict = {}
+        warr = wkts.to_numpy(dtype=object)
+        for i in np.nonzero(valid)[0]:
+            buckets.setdefault(warr[i], []).append(i)
+        for w, idxs in buckets.items():
+            k, d = parse(w)
+            ii = np.asarray(idxs)
+            if d is None or k not in ("POLYGON", "MULTIPOLYGON"):
+                contains = ns["contains"]
+                for i in idxs:
+                    res.iloc[i] = bool(
+                        contains(
+                            w, f"POINT ({px_all[i]!r} {py_all[i]!r})"
+                        )
+                    )
+                continue
+            polys = [d] if k == "POLYGON" else d
+            px, py = px_all[ii], py_all[ii]
+            best = np.zeros(len(ii), dtype=np.int64)
+            for rings in polys:
+                st = ring_state(rings[0], px, py)
+                for hole in rings[1:]:
+                    hst = ring_state(hole, px, py)
+                    st = np.where(
+                        st == 1,
+                        np.where(hst == 2, 2, np.where(hst == 1, 0, 1)),
+                        st,
+                    )
+                best = np.maximum(best, st)
+            res.iloc[ii] = (best == 1).astype(object)
+        return res
 
     return cand.where(_inside(F.col(wkt_col), F.col(x_col), F.col(y_col)))
 
