@@ -388,3 +388,19 @@ def test_semantic_decontaminate_matmul_path(spark):
         for r in semantic_decontaminate(corpus, bench.limit(2), threshold=2.0).collect()
     }
     assert big_scores == small_scores
+
+
+def test_duplicate_clusters_pointer_doubling_deep_chain(spark):
+    """r5: pointer doubling makes rounds O(log diameter) — a 41-node
+    path graph (diameter 40) must converge within 10 rounds, which plain
+    min-label propagation cannot do."""
+    from witdb_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a_id bigint, b_id bigint"
+    )
+    rows = {
+        r.doc_id: r.cluster
+        for r in duplicate_clusters(pairs, max_iter=10).collect()
+    }
+    assert len(rows) == 41 and set(rows.values()) == {0}

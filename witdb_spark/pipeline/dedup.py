@@ -432,13 +432,16 @@ def duplicate_clusters(
     drop the rest). Transitivity matters: A~B and B~C must collapse to
     one cluster even when A~C itself scored below threshold.
 
-    Scale shape: min-label propagation (the HashToMin-style iteration
-    used for big-graph connected components): each round is one
-    grouped MIN over the symmetrized edge list joined to current
-    labels — shuffles proportional to the PAIR graph (tiny relative to
-    the corpus), rounds bounded by component diameter (near-dup
-    clusters are shallow). localCheckpoint per round truncates lineage
-    like plans/recursive.py."""
+    Scale shape: min-label propagation with POINTER DOUBLING (the
+    HashToMin-style iteration used for big-graph connected components):
+    each round takes the grouped MIN over the symmetrized edge list
+    joined to current labels, then SHORTCUTS through the label map
+    (label := label-of-label), so rounds are O(log diameter), not
+    O(diameter). Shuffles stay proportional to the PAIR graph (tiny
+    relative to the corpus). The changed-row flag is folded into the
+    checkpointed frame (r5) — convergence detection is a trivial scan
+    of checkpoint blocks, not the extra new-vs-old join it was in r4.
+    localCheckpoint per round truncates lineage like plans/recursive.py."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
@@ -457,23 +460,35 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("cluster").alias("old_cluster"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer doubling: a cluster label IS a node id, so relabel
+        # through the previous label map (label-of-label) — shallow
+        # chains collapse a level per round on top of the edge step
+        lmap = labels.select(
+            F.col("node").alias("pnode"), F.col("cluster").alias("pcluster")
+        )
+        shortcut = F.least(
+            F.col("cluster"), F.coalesce(F.col("pcluster"), F.col("cluster"))
+        )
+        flagged = (
+            stepped.join(lmap, stepped.cluster == lmap.pnode, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
+                shortcut.alias("cluster"),
+                (shortcut != F.col("old_cluster")).cast("long").alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.agg(F.sum("chg")).collect()[0][0]
+        labels = flagged.drop("chg")
         if changed == 0:
             break
     else:

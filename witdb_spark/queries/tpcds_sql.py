@@ -185,3 +185,124 @@ for _name, (_text, _oracle, _doc) in TEXTS.items():
         doc=_doc,
         tags=("tpcds", "sql_text", "dialect"),
     )(_make(_name, _text))
+
+
+# q67 shape (reference tpcds/q67.sql): three-level ROLLUP ranked within
+# the top category partition, top-k by windowed rank over the rollup
+# output. NULL grouping keys from the rollup are coalesced in the rank
+# tie-breaks (Spark orders NULLS FIRST, DuckDB NULLS LAST — coalesce
+# makes the total order engine-identical).
+_Q67 = """
+    SELECT p_type, p_brand, yr, sum_sales, rk
+    FROM (
+      SELECT p_type, p_brand, yr, sum_sales,
+             CAST(rank() OVER (
+               PARTITION BY p_type
+               ORDER BY sum_sales DESC, coalesce(p_brand, ''),
+                        coalesce(yr, -1)
+             ) AS INTEGER) AS rk
+      FROM (
+        SELECT p_type, p_brand,
+               CAST(year(l_shipdate) AS INTEGER) AS yr,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS sum_sales
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY ROLLUP (p_type, p_brand, year(l_shipdate))
+      ) AS agg
+    ) AS ranked
+    WHERE rk <= 5
+"""
+
+# q34/q73 shape (reference tpcds/q34.sql): per-ticket item-count band
+# via HAVING BETWEEN, joined back to the customer dimension, with a
+# disjunctive dimension filter.
+_Q34 = """
+    WITH cnt AS (
+      SELECT o_orderkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS items
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         OR o_orderstatus = 'F'
+      GROUP BY o_orderkey, o_custkey
+      HAVING COUNT(*) BETWEEN 4 AND 7)
+    SELECT c_name, c_custkey, o_orderkey, items
+    FROM cnt JOIN customer ON c_custkey = o_custkey
+"""
+
+# q89 shape (reference tpcds/q89.sql): windowed mean over the grouped
+# sums + relative-deviation filter (the q47 family without the
+# lag/lead self-joins).
+_Q89 = """
+    SELECT p_brand, prio, moy, sum_sales, avg_monthly
+    FROM (
+      SELECT p_brand, prio, moy,
+             CAST(sdec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sdec) OVER (PARTITION BY p_brand, prio) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand, prio) AS avg_monthly
+      FROM (
+        SELECT p_brand, o_orderpriority AS prio,
+               CAST(month(o_orderdate) AS INTEGER) AS moy,
+               SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sdec
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY p_brand, o_orderpriority, month(o_orderdate)
+      ) AS m
+    ) AS x
+    WHERE avg_monthly > 0
+      AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+"""
+
+# q44 shape (reference tpcds/q44.sql): best and worst performers via two
+# opposite-direction ranked subqueries joined on rank, each resolved
+# against the dimension table.
+_Q44 = """
+    WITH perf AS (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_suppkey),
+    asc_r AS (
+      SELECT sk, CAST(rank() OVER (ORDER BY rev ASC, sk) AS INTEGER)
+               AS rnk FROM perf),
+    desc_r AS (
+      SELECT sk, CAST(rank() OVER (ORDER BY rev DESC, sk) AS INTEGER)
+               AS rnk FROM perf)
+    SELECT a.rnk, s1.s_name AS best_performing,
+           s2.s_name AS worst_performing
+    FROM asc_r a JOIN desc_r d ON a.rnk = d.rnk
+         JOIN supplier s1 ON s1.s_suppkey = d.sk
+         JOIN supplier s2 ON s2.s_suppkey = a.sk
+    WHERE a.rnk <= 10
+"""
+
+_EXTRA: dict[str, tuple[str, str]] = {
+    "tpcds_sql_q67": (
+        _Q67,
+        "TPC-DS q67 shape via Engine.sql: three-level ROLLUP + windowed "
+        "rank top-k over the rollup output with NULL-safe tie-breaks "
+        "(reference tpcds/q67.sql adapted to p_type/p_brand/ship-year).",
+    ),
+    "tpcds_sql_q34": (
+        _Q34,
+        "TPC-DS q34 shape via Engine.sql: per-ticket count band (HAVING "
+        "BETWEEN) joined back to the customer dimension under a "
+        "disjunctive filter (reference tpcds/q34.sql).",
+    ),
+    "tpcds_sql_q89": (
+        _Q89,
+        "TPC-DS q89 shape via Engine.sql: windowed mean over grouped "
+        "sums + relative-deviation filter (reference tpcds/q89.sql).",
+    ),
+    "tpcds_sql_q44": (
+        _Q44,
+        "TPC-DS q44 shape via Engine.sql: opposite-direction rank "
+        "subqueries joined on rank, resolved twice against the "
+        "dimension (reference tpcds/q44.sql).",
+    ),
+}
+
+for _name, (_text, _doc) in _EXTRA.items():
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
