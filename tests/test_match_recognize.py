@@ -752,3 +752,78 @@ def test_label_qualified_nav_all_rows(engine, spark):
         (2, 10.0, 10.0, 10.0),
         (3, 20.0, 20.0, 10.0),
     ]
+
+
+def test_pattern_window_basic(engine, spark):
+    """r5: row-pattern recognition in WINDOW structures (reference
+    SqlBase.g4 windowFrame MEASURES/PATTERN/DEFINE): every non-skipped
+    row is an INITIAL match attempt; starting rows read FINAL measures,
+    skipped/failed rows read NULL."""
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0),
+         (1, 5, 11.0), (1, 6, 7.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("pw_t")
+    rows = engine.sql(
+        """
+        SELECT seq, lo OVER w AS lowest, lbl OVER w AS last_label
+        FROM pw_t
+        WINDOW w AS (
+          PARTITION BY k ORDER BY seq
+          MEASURES min(price) AS lo, CLASSIFIER() AS lbl
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (D+ U+)
+          DEFINE D AS price < PREV(price), U AS price > PREV(price)
+        )
+        ORDER BY seq
+        """
+    ).collect()
+    # only seq2 starts a match (D: 8<10, 6<8; U: 9>6, 11>9); rows 3-5
+    # are skipped over, seq1 fails D (NULL PREV), seq6 has no U row
+    assert [(r.seq, r.lowest, r.last_label) for r in rows] == [
+        (1, None, None), (2, 6.0, "U"), (3, None, None),
+        (4, None, None), (5, None, None), (6, None, None),
+    ]
+
+
+def test_pattern_window_rejections(engine, spark):
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    spark.range(3).createOrReplaceTempView("pw_rej")
+    base = """
+        SELECT m OVER w FROM pw_rej
+        WINDOW w AS (PARTITION BY id ORDER BY id
+          MEASURES count(*) AS m
+          {frame} {mode}
+          PATTERN (A+) DEFINE A AS id >= 0)
+    """
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(base.format(
+            frame="ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+            mode="SEEK"))
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(base.format(
+            frame="ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            mode=""))
+    # non-measure reference through the pattern window is rejected
+    with pytest.raises(UnsupportedTrinoSyntax):
+        engine.sql(
+            """
+            SELECT sum(id) OVER w FROM pw_rej
+            WINDOW w AS (PARTITION BY id ORDER BY id
+              MEASURES count(*) AS m
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+              PATTERN (A+) DEFINE A AS id >= 0)
+            """
+        )
+    # a plain named window (no PATTERN) still reaches Spark's own
+    # WINDOW clause untouched
+    got = engine.sql(
+        "SELECT id, sum(id) OVER w AS s FROM pw_rej "
+        "WINDOW w AS (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) ORDER BY id"
+    ).collect()
+    assert [(r.id, r.s) for r in got] == [(0, 0), (1, 1), (2, 3)]

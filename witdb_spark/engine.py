@@ -315,6 +315,17 @@ class Engine:
             from witdb_spark.plans.mr_sql import rewrite_match_recognize
 
             text = rewrite_match_recognize(self.spark, text)
+        if re.search(r"\bWINDOW\b", text, flags=re.I):
+            # row-pattern recognition in WINDOW structures (reference
+            # SqlBase.g4 windowFrame MEASURES/PATTERN/DEFINE); plain
+            # named windows pass through to Spark's own WINDOW clause
+            from witdb_spark.plans.mr_sql import (
+                has_pattern_window,
+                rewrite_pattern_windows,
+            )
+
+            if has_pattern_window(text):
+                text = rewrite_pattern_windows(self.spark, text)
         spark_sql = transpile(text)
         if named_params:
             return self.spark.sql(spark_sql, args=named_params)

@@ -795,3 +795,197 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     view = f"__mr_rel_{_VIEW_SEQ[0]}"
     out.createOrReplaceTempView(view)
     return view
+
+
+_PATTERN_WINDOW = re.compile(
+    r"\bWINDOW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", re.I
+)
+
+
+def has_pattern_window(sql: str) -> bool:
+    """True if the query has a WINDOW clause whose body contains a row
+    pattern (reference SqlBase.g4 windowFrame: MEASURES/PATTERN/DEFINE
+    inside a window specification)."""
+    depths, instr = _scan_maps(sql)
+    for m in _PATTERN_WINDOW.finditer(sql):
+        if instr[m.start()]:
+            continue
+        close = _match_paren(sql, m.end() - 1)
+        if re.search(r"\bPATTERN\s*\(", sql[m.end() : close], re.I):
+            return True
+    return False
+
+
+def rewrite_pattern_windows(spark: SparkSession, sql: str) -> str:
+    """Row-pattern recognition in WINDOW structures (reference
+    SqlBase.g4 windowFrame MEASURES/PATTERN/DEFINE; analysis
+    WindowOperator + pattern packages; SQL:2016 window row-pattern):
+
+        SELECT k, m OVER w FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY o
+                     MEASURES ... AS m
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     [AFTER MATCH SKIP ...] [INITIAL]
+                     PATTERN (...) [SUBSET ...] DEFINE ...)
+
+    Semantics: every non-skipped row is a match ATTEMPT starting at that
+    row (INITIAL mode) within the CURRENT ROW .. UNBOUNDED FOLLOWING
+    frame; measures evaluate with FINAL semantics over the completed
+    match, and rows that start no match (or are skipped over by AFTER
+    MATCH SKIP PAST LAST ROW) read NULL. Lowering: the table operator
+    runs with the clause's AFTER MATCH mode, ONE-ROW measures aggregate
+    per match keyed by the match's FIRST row, and a left join hangs the
+    measure columns on the source rows. Out of scope, loud: SEEK mode,
+    other frame extents, PREV/NEXT navigation inside window measures,
+    non-measure `x OVER w` references, and multi-relation FROM."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.operators.match_recognize import match_recognize
+
+    while True:
+        depths, instr = _scan_maps(sql)
+        m = next(
+            (
+                c
+                for c in _PATTERN_WINDOW.finditer(sql)
+                if not instr[c.start()]
+                and re.search(
+                    r"\bPATTERN\s*\(",
+                    sql[c.end() : _match_paren(sql, c.end() - 1)],
+                    re.I,
+                )
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        wname = m.group(1)
+        open_idx = m.end() - 1
+        close_idx = _match_paren(sql, open_idx)
+        body = sql[open_idx + 1 : close_idx]
+        # frame extent: Trino requires CURRENT ROW .. UNBOUNDED FOLLOWING
+        # for pattern windows; strip it (and INITIAL) before clause parse
+        if re.search(r"\bSEEK\b", body, re.I):
+            raise UnsupportedTrinoSyntax(
+                "pattern window SEEK mode (INITIAL only)"
+            )
+        fr = re.search(
+            r"\b(ROWS|RANGE|GROUPS)\s+BETWEEN\s+(.*?)\s+AND\s+(.*?)(?=\s*(?:AFTER|INITIAL|PATTERN|SUBSET|DEFINE|MEASURES|$))",
+            body,
+            re.I | re.S,
+        )
+        if fr is not None:
+            ext = " ".join(
+                (fr.group(1) + " " + fr.group(2) + " " + fr.group(3))
+                .upper()
+                .split()
+            )
+            if ext != "ROWS CURRENT ROW UNBOUNDED FOLLOWING":
+                raise UnsupportedTrinoSyntax(
+                    "pattern window frame must be ROWS BETWEEN CURRENT ROW"
+                    f" AND UNBOUNDED FOLLOWING, got {ext!r}"
+                )
+            body = body[: fr.start()] + body[fr.end() :]
+        body = re.sub(r"\bINITIAL\b", "", body, flags=re.I)
+        spec = _parse_clause(body)
+        # FROM relation: single table only
+        fm = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)", sql, re.I
+                )
+                if not instr[c.start()] and depths[c.start()] == 0
+            ),
+            None,
+        )
+        if fm is None:
+            raise UnsupportedTrinoSyntax(
+                "pattern window: could not locate a single-table FROM"
+            )
+        table = fm.group(1)
+        after = sql[fm.end() : fm.end() + 80]
+        if re.match(r"\s*(,|JOIN|LEFT|RIGHT|FULL|CROSS|INNER)\b", after, re.I):
+            raise UnsupportedTrinoSyntax(
+                "pattern window over a multi-relation FROM"
+            )
+        labels = list(spec["define"])
+        pattern_ids = [
+            t
+            for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", spec["pattern"])
+            if t.upper() != "PERMUTE"
+        ]
+        all_labels = list(dict.fromkeys([*labels, *pattern_ids]))
+        labsets = {lab: [lab] for lab in all_labels}
+        for sname, members in spec.get("subset", {}).items():
+            labsets[sname] = members
+        measures, navs = _extract_navs(spec["measures"])
+        if navs:
+            raise UnsupportedTrinoSyntax(
+                "PREV/NEXT navigation inside pattern-WINDOW measures"
+            )
+        for expr, _ in measures:
+            _check_measure(expr)
+        if not measures:
+            raise UnsupportedTrinoSyntax(
+                "pattern window without MEASURES has nothing to project"
+            )
+        define = {k: transpile(v) for k, v in spec["define"].items()}
+        src = spark.table(table)
+        mnames = [name for _, name in measures]
+        clash = set(mnames) & set(src.columns)
+        if clash:
+            raise UnsupportedTrinoSyntax(
+                f"pattern window measure names collide with columns: {clash}"
+            )
+        matched = match_recognize(
+            src,
+            partition_by=spec["partition_by"],
+            order_by=spec["order_by"],
+            define=define,
+            pattern=spec["pattern"],
+            after_match=spec["after_match"],
+            rows_per_match="all",
+            exclusion_mode="flag",
+        )
+        pk, ord_col = spec["partition_by"], spec["order_by"]
+        aggs = [
+            F.expr(
+                _measure_one_row(e, ord_col, labsets, list(src.columns))
+            ).alias(name)
+            for e, name in measures
+        ]
+        meas = (
+            matched.groupBy(*pk, "match_id")
+            .agg(F.min(ord_col).alias("__start_ord"), *aggs)
+            .drop("match_id")
+        )
+        cond = src[ord_col] == meas["__start_ord"]
+        for k in pk:
+            cond = cond & (src[k] == meas[k])
+        out = src.join(meas, cond, "left").drop(meas["__start_ord"])
+        for k in pk:
+            out = out.drop(meas[k])
+        _VIEW_SEQ[0] += 1
+        view = f"__mr_win_{_VIEW_SEQ[0]}"
+        out.createOrReplaceTempView(view)
+        # splice: drop the WINDOW clause, retarget FROM, inline measures
+        head = sql[: m.start()]
+        tail = sql[close_idx + 1 :]
+        # the WINDOW keyword may be preceded by a comma-separated window
+        # list — only the single-definition form is supported
+        tail = re.sub(r"^\s*,", "", tail)
+        sql = head + tail
+        sql = re.sub(
+            rf"\bFROM\s+{re.escape(table)}\b", f"FROM {view}", sql, count=1,
+            flags=re.I,
+        )
+        for name in mnames:
+            sql = re.sub(
+                rf"\b{name}\s+OVER\s+{wname}\b", name, sql, flags=re.I
+            )
+        if re.search(rf"\bOVER\s+{wname}\b", sql, re.I):
+            raise UnsupportedTrinoSyntax(
+                f"non-measure reference OVER {wname} (only MEASURES of a"
+                " pattern window can be read)"
+            )

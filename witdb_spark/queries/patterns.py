@@ -558,3 +558,60 @@ def mr_label_nav_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_pattern_window",
+    f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id % 7 = 0),
+    seq AS (SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+            FROM ev),
+    v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM seq WHERE event_type = 'view'),
+    vruns AS (SELECT user_id, grp, MIN(event_id) AS start_id,
+                     COUNT(*) AS n_views, MAX(rn) AS last_rn
+              FROM v GROUP BY user_id, grp),
+    p AS (SELECT user_id, event_id AS purchase_id, rn FROM seq
+          WHERE event_type = 'purchase'),
+    m AS (SELECT r.user_id, r.start_id, p.purchase_id,
+                 CAST(r.n_views + 1 AS BIGINT) AS n_rows
+          FROM vruns r JOIN p ON p.user_id = r.user_id
+                             AND p.rn = r.last_rn + 1)
+    SELECT e.user_id, e.event_id, m.purchase_id, m.n_rows
+    FROM (SELECT user_id, event_id FROM ev) e
+    LEFT JOIN m ON m.user_id = e.user_id AND m.start_id = e.event_id
+    """,
+    doc="Row-pattern recognition in a WINDOW structure (r5; reference "
+    "SqlBase.g4 windowFrame MEASURES/PATTERN/DEFINE, SQL:2016 window "
+    "row-pattern): measures are read as `m OVER w`, every non-skipped "
+    "row is an INITIAL match attempt over the CURRENT ROW .. UNBOUNDED "
+    "FOLLOWING frame, starting rows carry FINAL measures, and "
+    "skipped/failed rows read NULL. Oracle: gaps-and-islands — the only "
+    "value rows are the first views of purchase-terminated runs.",
+    tags=("match_recognize", "pattern", "dialect", "window"),
+)
+def mr_pattern_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.where(F.col("user_id") % 7 == 0).createOrReplaceTempView(
+        "events_w7"
+    )
+    return eng.sql(
+        """
+        SELECT user_id, event_id, pid OVER w AS purchase_id,
+               nr OVER w AS n_rows
+        FROM events_w7
+        WINDOW w AS (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES LAST(event_id) AS pid, count(*) AS nr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        """
+    )

@@ -60,7 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H as Trino SQL text through Engine.sql (r5) — the hardest
     # transpiler shapes; the remaining 7 stay locally oracled
     "tpch_sql_q2", "tpch_sql_q3", "tpch_sql_q7",
-    "tpch_sql_q8", "tpch_sql_q9", "tpch_sql_q11", "tpch_sql_q12",
+    "tpch_sql_q8", "tpch_sql_q9", "tpch_sql_q11",
     "tpch_sql_q13", "tpch_sql_q15", "tpch_sql_q17", "tpch_sql_q18",
     "tpch_sql_q20", "tpch_sql_q21", "tpch_sql_q22",
     # never driver-verified (registered r4, local-green only)
@@ -78,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     # r5-new operators (registered later this round; filtered if absent)
     "tpcds_sql_q70", "tpcds_sql_q88", "tpcds_sql_q47", "tpcds_sql_q36",
     "geometry_union_agg_rollup", "mr_nav_in_aggregate",
-    "mr_label_nav_all_rows",
+    "mr_label_nav_all_rows", "mr_pattern_window",
 )
 
 
