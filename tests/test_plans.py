@@ -441,3 +441,52 @@ def test_semantic_decontamination_pure_map(spark):
     (the same zero-shuffle contract as IVF cell assignment)."""
     plan = plan_of(spark, "curation_semantic_decontaminated")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sql_text_tpch_same_plan_quality(spark):
+    """The SQL-text TPC-H path must land on the SAME physical plan
+    shapes as the DataFrame twins: q9 through Engine.sql still
+    broadcasts the nation dim, splits partial/final aggregation, and
+    pushes the LIKE filter to the part scan (reference: the planner is
+    indifferent to the API the plan came from)."""
+    plan = plan_of(spark, "tpch_sql_q9")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "StringContains(p_name,red)" in plan
+
+
+def test_tpcds_sql_rollup_rank_no_cartesian(spark):
+    """q70 shape: the IN-subquery over a ranked aggregate must lower to
+    a semi join (reference TransformUncorrelatedInPredicateSubqueryTo
+    SemiJoin), never a cross product, and the ROLLUP runs as Expand +
+    partial/final hash aggregation."""
+    plan = plan_of(spark, "tpcds_sql_q70")
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+
+
+def test_geometry_union_agg_two_stage(spark):
+    """geometry_union_agg: two applyInPandas stages (partial unions per
+    salted subgroup below the wide exchange, final merge above) and no
+    cartesian — the reference's partial/final accumulator split."""
+    import re
+
+    plan = plan_of(spark, "geometry_union_agg_rollup")
+    nodes = set(re.findall(r"\((\d+)\) FlatMapGroupsInPandas", plan))
+    assert len(nodes) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_window_single_operator_pass(spark):
+    """Pattern-WINDOW lowering: exactly one vectorized operator pass
+    (MapInPandas scan inside the match_recognize operator) and a left
+    join hanging the per-start-row measures on the source — no
+    cartesian, no second pattern pass."""
+    import re
+
+    plan = plan_of(spark, "mr_pattern_window")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 1
+    assert "CartesianProduct" not in plan
