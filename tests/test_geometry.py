@@ -676,3 +676,31 @@ def test_union_many_arrangement():
         um(["LINESTRING (0 0, 1 1)"])
     with pytest.raises(ValueError):
         um(["POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"])
+
+
+def test_boolean_fallback_degenerate_incidence():
+    """r5: intersection/difference/symdifference with shared edges /
+    vertex-on-edge route through the snapped arrangement instead of
+    raising (areal semantics — dimension-collapsed pieces are dropped)."""
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+    area = ns["area"]
+    A = "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    B = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"  # right half, 3 shared edges
+    d = ns["difference"](A, B)
+    assert area(d) == 1.0
+    k, rings = ns["parse"](d)
+    assert k == "POLYGON" and len(rings) == 1  # clean left half, no hole
+    # symdifference of edge-sharing squares: both squares, edge dissolved
+    sq = lambda x, y: (  # noqa: E731
+        f"POLYGON (({x} {y}, {x+1} {y}, {x+1} {y+1}, {x} {y+1}, {x} {y}))"
+    )
+    assert area(ns["sym_difference"](sq(0, 0), sq(1, 0))) == 2.0
+    # concave x concave with coincident-vertex incidence
+    c1 = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))"
+    c2 = "POLYGON ((0 2, 4 2, 4 6, 2 4, 0 6, 0 2))"
+    assert area(ns["intersection"](c1, c2)) == 4.0
+    # strict containment still takes the exact hole-punch path
+    inner = "POLYGON ((0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))"
+    assert area(ns["difference"](A, inner)) == 1.75

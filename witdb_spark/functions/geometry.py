@@ -938,9 +938,11 @@ def intersection(sa, sb):
         except ValueError:
             # degenerate incidence (shared boundary, vertex-on-edge):
             # Sutherland-Hodgman handles it gracefully when one side is
-            # convex — its results are connected in that regime
+            # convex — its results are connected in that regime;
+            # concave-x-concave routes through the snapped arrangement
+            # (r5, areal semantics)
             if not (_is_convex_ccw(rb) or _is_convex_ccw(ra)):
-                raise
+                return boolean_fallback(sa, sb, "int")
         subject, clip = (ra, rb) if _is_convex_ccw(rb) else (rb, ra)
         res = _clip_sh(subject, clip)
         if len(res) < 3 or abs(_ring_area2(res + [res[0]])) == 0:
@@ -1001,14 +1003,21 @@ def difference(sa, sb):
         if contains(sb, sa):
             return "POLYGON EMPTY"
         if contains(sa, sb):
-            return emit("POLYGON", [da[0], db[0]])  # B becomes a hole
-        out = _gh_boolean(sa, sb, mode="diff")
+            if all(
+                _point_in_poly(q, da) == 1 for q in _all_points(kb, db)
+            ):
+                return emit("POLYGON", [da[0], db[0]])  # B becomes a hole
+            # B touches A's boundary: the hole-punch would put the hole
+            # on the shell — snapped arrangement emits the clean shape
+            return boolean_fallback(sa, sb, "diff")
+        try:
+            out = _gh_boolean(sa, sb, mode="diff")
+        except ValueError:
+            out = None  # degenerate incidence inside the clipper
         if out is not None:
             return out
-        raise ValueError(
-            "st_difference: touching-without-crossing boundaries are"
-            " degenerate for the planar clipper"
-        )
+        # touching-without-crossing boundaries: snapped arrangement (r5)
+        return boolean_fallback(sa, sb, "diff")
     raise ValueError("st_difference: unsupported kinds %r x %r" % (ka, kb))
 
 
@@ -2543,22 +2552,8 @@ def _snap_pt(p, grid):
     return (round(p[0] / grid) * grid, round(p[1] / grid) * grid)
 
 
-def union_many(wkts, grid=1e-9):
-    """N-way polygon union via a SNAPPED PLANAR ARRANGEMENT (reference
-    plugin/trino-geospatial GeometryUnionAgg / Esri union): coordinates
-    quantize to a grid, every edge is split at intersections with edges
-    of other rings, and each sub-segment survives iff its two sides have
-    different union coverage (probed at midpoint +- a small normal
-    offset). Survivors are oriented interior-LEFT and stitched into
-    cycles (sharpest-left-turn at junctions); CCW cycles are shells, CW
-    cycles holes of their smallest containing shell. Snap-rounding makes
-    the shared-edge / vertex-on-edge incidences that the pairwise
-    Greiner-Hormann clipper refuses exact: coincident boundaries land on
-    identical coordinates and cancel via the two-sided coverage probe.
-    Inputs: hole-free POLYGON/MULTIPOLYGON (holes as inputs stay out of
-    scope, loudly). Output may contain holes."""
-    import math
-
+def _gather_rings(wkts, grid, who="union_many"):
+    """Parse polygonal WKTs into snapped, open, CCW rings."""
     rings = []
     for w in wkts:
         if w is None:
@@ -2571,13 +2566,11 @@ def union_many(wkts, grid=1e-9):
         elif k == "MULTIPOLYGON":
             polys = list(d)
         else:
-            raise ValueError(
-                "union_many: only polygonal inputs, got %r" % k
-            )
+            raise ValueError("%s: only polygonal inputs, got %r" % (who, k))
         for p in polys:
             if len(p) > 1:
                 raise ValueError(
-                    "union_many: polygons with holes unsupported as inputs"
+                    "%s: polygons with holes unsupported as inputs" % who
                 )
             rr = []
             for q in _open_ccw(p[0]):
@@ -2590,11 +2583,70 @@ def union_many(wkts, grid=1e-9):
                 if _ring_area2(rr) < 0:
                     rr = rr[::-1]
                 rings.append(rr)
+    return rings
+
+
+def union_many(wkts, grid=1e-9):
+    """N-way polygon union via the SNAPPED PLANAR ARRANGEMENT (reference
+    plugin/trino-geospatial GeometryUnionAgg / Esri union): the
+    arrangement machinery of _arrangement_boolean with coverage = "in
+    any input". Snap-rounding makes the shared-edge / vertex-on-edge
+    incidences that the pairwise Greiner-Hormann clipper refuses exact.
+    Inputs: hole-free POLYGON/MULTIPOLYGON (holes as inputs stay out of
+    scope, loudly). Output may contain holes."""
+    rings = _gather_rings(wkts, grid)
     if not rings:
         return None
     if len(rings) == 1:
         r = rings[0]
         return emit("POLYGON", [r + [r[0]]])
+
+    def covered(p):
+        for r in rings:
+            if _point_in_ring(p, r) == 1:
+                return True
+        return False
+
+    return _arrangement_boolean(rings, covered, grid)
+
+
+def boolean_fallback(sa, sb, op, grid=1e-9):
+    """Binary polygon boolean via the snapped arrangement — the
+    degenerate-incidence path (shared edges, vertex-on-edge, collinear
+    overlaps) the Greiner-Hormann clipper refuses. op in
+    int/diff/sym (union goes through union_many). Areal semantics:
+    dimension-collapsed pieces (a shared edge as an "intersection") are
+    not emitted — consistent with the clipper's areal results."""
+
+    ra = _gather_rings([sa], grid, who="st_" + op)
+    rb = _gather_rings([sb], grid, who="st_" + op)
+    if not ra or not rb:
+        return "POLYGON EMPTY"
+
+    def in_group(p, rings):
+        for r in rings:
+            if _point_in_ring(p, r) == 1:
+                return True
+        return False
+
+    if op == "int":
+        covered = lambda p: in_group(p, ra) and in_group(p, rb)  # noqa: E731
+    elif op == "diff":
+        covered = lambda p: in_group(p, ra) and not in_group(p, rb)  # noqa: E731
+    elif op == "sym":
+        covered = lambda p: in_group(p, ra) != in_group(p, rb)  # noqa: E731
+    else:
+        raise ValueError("boolean_fallback: unknown op %r" % op)
+    return _arrangement_boolean(ra + rb, covered, grid)
+
+
+def _arrangement_boolean(rings, covered, grid):
+    """Shared machinery: split every edge at intersections with edges of
+    other rings, keep sub-segments whose two sides differ under
+    `covered` (probed at midpoint +- a small normal offset), orient
+    interior-LEFT, stitch cycles by sharpest-left-turn walking, classify
+    CW cycles as holes of their smallest containing shell."""
+    import math
 
     # probe offset: small vs the thinnest feature, large vs the grid
     min_edge = None
@@ -2665,12 +2717,6 @@ def union_many(wkts, grid=1e-9):
             )
             if p0 != p1:
                 subsegs.append((p0, p1))
-
-    def covered(p):
-        for r in rings:
-            if _point_in_ring(p, r) == 1:
-                return True
-        return False
 
     keep = set()
     for p0, p1 in subsegs:
