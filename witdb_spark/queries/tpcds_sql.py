@@ -306,3 +306,64 @@ for _name, (_text, _doc) in _EXTRA.items():
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# q51 shape (reference tpcds/q51.sql): per-channel cumulative window
+# sums FULL OUTER JOINed on the time key, then a cumulative-vs-
+# cumulative comparison. The empty-partition window runs over the
+# already-aggregated month rows (tiny), not the fact table.
+_Q51 = """
+    WITH a AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+               AS ym,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS s
+      FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate)),
+    b AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER)
+               AS ym,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s
+      FROM lineitem GROUP BY year(l_shipdate) * 100 + month(l_shipdate)),
+    ac AS (SELECT ym, CAST(SUM(s) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM a),
+    bc AS (SELECT ym, CAST(SUM(s) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM b)
+    SELECT coalesce(ac.ym, bc.ym) AS ym,
+           ac.cum AS order_cumulative, bc.cum AS ship_cumulative
+    FROM ac FULL OUTER JOIN bc ON ac.ym = bc.ym
+    WHERE ac.cum > bc.cum
+"""
+
+# q74 shape (reference tpcds/q74.sql): one year-total CTE self-joined
+# across two years with a growth-ratio filter.
+_Q74 = """
+    WITH year_total AS (
+      SELECT c_custkey, c_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name, year(o_orderdate))
+    SELECT t1.c_custkey, t1.c_name,
+           round(CAST(t2.total AS DOUBLE) / CAST(t1.total AS DOUBLE), 6)
+             AS ratio
+    FROM year_total t1 JOIN year_total t2 ON t1.c_custkey = t2.c_custkey
+    WHERE t1.yr = 1996 AND t2.yr = 1997
+      AND CAST(t2.total AS DOUBLE) / CAST(t1.total AS DOUBLE) > 1.5
+"""
+
+for _name, (_text, _doc) in {
+    "tpcds_sql_q51": (
+        _Q51,
+        "TPC-DS q51 shape via Engine.sql: per-channel cumulative window "
+        "sums FULL OUTER JOINed on the time key with a cumulative "
+        "comparison (reference tpcds/q51.sql).",
+    ),
+    "tpcds_sql_q74": (
+        _Q74,
+        "TPC-DS q74 shape via Engine.sql: year-total CTE self-joined "
+        "across years with a growth-ratio filter (reference "
+        "tpcds/q74.sql).",
+    ),
+}.items():
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
