@@ -681,13 +681,16 @@ UNSUPPORTED: dict[str, str] = {
     " surface (value_at_quantile, values_at_quantiles, cardinality) IS"
     " SQL-registered, and geometric_mean/map_agg/checksum/bitwise_*_agg"
     " rewrite at transpile time (plans/dialect.py _rewrite_agg_calls).",
-    "row-pattern recognition in the WINDOW clause":
-    "SQL:2016 allows MEASURES/PATTERN/DEFINE inside a named window"
-    " specification (reference grammar SqlBase.g4 windowSpecification);"
-    " this engine implements the table-form MATCH_RECOGNIZE (operator +"
-    " SQL lowering, plans/mr_sql.py) which expresses the same analyses —"
-    " the window-clause spelling is rejected by the transpiler rather"
-    " than silently mis-parsed.",
+    "row-pattern WINDOW clause: SEEK / other frame extents":
+    "r5 implements the WINDOW-clause spelling of row-pattern recognition"
+    " (reference grammar SqlBase.g4 windowFrame; plans/mr_sql.py"
+    " rewrite_pattern_windows): measures read as `m OVER w`, INITIAL"
+    " match attempts per non-skipped row over the CURRENT ROW .."
+    " UNBOUNDED FOLLOWING frame, AFTER MATCH SKIP modes honoured."
+    " Rejected loudly: SEEK mode, frame extents other than CURRENT ROW"
+    " .. UNBOUNDED FOLLOWING (the only extent Trino itself accepts for"
+    " pattern windows), PREV/NEXT inside window measures, and"
+    " non-measure `x OVER w` references through a pattern window.",
     "timestamp(p > 6) / timestamp(p) with time zone beyond micros":
     "Spark's TIMESTAMP/TIMESTAMP_NTZ are microsecond-precision end to end"
     " (storage, Catalyst, Arrow), and the parquet fixtures are micros;"
