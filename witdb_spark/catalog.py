@@ -103,6 +103,17 @@ class Tables:
 
     def register_views(self, names: list[str] | None = None) -> None:
         """Register temp views so spark.sql() sees the catalog (the
-        reference's information_schema equivalent is spark.catalog)."""
+        reference's information_schema equivalent is spark.catalog).
+        Memoized per (session, sf_dir): the SQL-text query suites build
+        an Engine per call, and re-deriving ten parquet reads per query
+        is pure driver overhead (a different sf_dir re-registers)."""
+        key = ("witdb_views_sf_dir", self.sf_dir, tuple(names or ()))
+        cache = getattr(self._spark, "_witdb_view_memo", None)
+        if cache == key:
+            return
         for name in names or TABLE_NAMES:
             getattr(self, name).createOrReplaceTempView(name)
+        try:
+            self._spark._witdb_view_memo = key
+        except AttributeError:
+            pass
