@@ -367,3 +367,48 @@ for _name, (_text, _doc) in {
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# q49 shape (reference tpcds/q49.sql): per-channel return-ratio ranking
+# (two rank orders per channel), rank filter, UNION ALL across channels,
+# DISTINCT. Quantities are integer-valued doubles, so the ratio is one
+# deterministic IEEE division.
+_Q49 = """
+    WITH base AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'high'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                  ELSE 'low' END AS channel,
+             l_partkey,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+               AS ret_qty,
+             SUM(l_quantity) AS tot_qty
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, l_partkey
+      HAVING SUM(l_quantity) > 0),
+    ranked AS (
+      SELECT channel, l_partkey,
+             round(ret_qty / tot_qty, 6) AS return_ratio,
+             CAST(rank() OVER (PARTITION BY channel
+                               ORDER BY ret_qty / tot_qty DESC, l_partkey)
+                  AS INTEGER) AS return_rank
+      FROM base)
+    SELECT DISTINCT channel, l_partkey, return_ratio, return_rank
+    FROM (
+      SELECT * FROM ranked WHERE channel = 'high'   AND return_rank <= 10
+      UNION ALL
+      SELECT * FROM ranked WHERE channel = 'medium' AND return_rank <= 10
+      UNION ALL
+      SELECT * FROM ranked WHERE channel = 'low'    AND return_rank <= 10
+    ) AS u
+"""
+
+register(
+    "tpcds_sql_q49",
+    _Q49,
+    doc="TPC-DS q49 shape via Engine.sql: per-channel return-ratio "
+    "ranking, rank filter, UNION ALL across channels, DISTINCT "
+    "(reference tpcds/q49.sql adapted to priority channels and "
+    "returnflag quantities).",
+    tags=("tpcds", "sql_text", "dialect"),
+)(_make("tpcds_sql_q49", _Q49))
