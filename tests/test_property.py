@@ -269,3 +269,65 @@ def test_de9im_point_line_invariants(x1, y1, x2, y2, px, py):
     assert _NS["de9im"](pt, line)[0] == ("0" if on_line and not at_end else "F")
     # within (OGC mask T*F**F***): interior point only
     assert _NS["relate"](pt, line, "T*F**F***") == (on_line and not at_end)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rects=st.lists(
+        st.tuples(
+            st.integers(0, 20), st.integers(0, 20),
+            st.integers(1, 8), st.integers(1, 8),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_union_many_matches_grid_truth(rects):
+    """r5 arrangement union: for random integer rectangles (arbitrary
+    overlap, shared edges, containment, corner touches) the union area
+    must equal the exact cell-grid truth."""
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+    wkts = [
+        f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+        for x, y, w, h in rects
+    ]
+    covered = set()
+    for x, y, w, h in rects:
+        for cx in range(x, x + w):
+            for cy in range(y, y + h):
+                covered.add((cx, cy))
+    u = ns["union_many"](wkts)
+    assert abs(ns["area"](u) - len(covered)) < 1e-6, (rects, u)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.tuples(st.integers(0, 12), st.integers(0, 12),
+                st.integers(2, 8), st.integers(2, 8)),
+    b=st.tuples(st.integers(0, 12), st.integers(0, 12),
+                st.integers(2, 8), st.integers(2, 8)),
+)
+def test_boolean_fallback_inclusion_exclusion(a, b):
+    """r5 arrangement booleans on arbitrary rectangle pairs (incl. the
+    degenerate shared-edge/corner alignments integers produce):
+    area(A) = area(A∩B) + area(A−B) and
+    area(A∪B) = area(A) + area(B) − area(A∩B)."""
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+
+    def wkt(r):
+        x, y, w, h = r
+        return f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+
+    A, B = wkt(a), wkt(b)
+    ia = ns["area"](ns["boolean_fallback"](A, B, "int"))
+    da = ns["area"](ns["boolean_fallback"](A, B, "diff"))
+    sa = ns["area"](ns["boolean_fallback"](A, B, "sym"))
+    ua = ns["area"](ns["union_many"]([A, B]))
+    area_a, area_b = ns["area"](A), ns["area"](B)
+    assert abs(area_a - (ia + da)) < 1e-6, (a, b)
+    assert abs(ua - (area_a + area_b - ia)) < 1e-6, (a, b)
+    assert abs(sa - (ua - ia)) < 1e-6, (a, b)
