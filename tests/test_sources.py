@@ -334,3 +334,31 @@ def test_merge_delete_sees_original_values(spark):
         insert_not_matched=False,
     )
     assert sorted((r.id, r.qty) for r in out2.collect()) == [(1, 0), (3, 0)]
+
+
+def test_text_and_binaryfile_formats(spark, tmp_path):
+    """r5: text (line-per-row) and binaryFile (multimodal blob ingest —
+    path/length/content binary column) formats through the dispatch
+    reader; binaryFile is read-only and says so."""
+    import pytest
+
+    from witdb_spark.sources.io import read_any, write_table
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (d / "b.bin").write_bytes(b"payload-bb")
+    bf = read_any(spark, str(d), fmt="binaryFile")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in bf.collect()}
+    assert rows["a.bin"] == (11, b"\x00\x01payload-a")
+    assert rows["b.bin"] == (10, b"payload-bb")
+    with pytest.raises(ValueError):
+        write_table(bf.select("content"), str(tmp_path / "out"), fmt="binaryFile")
+    t = tmp_path / "lines"
+    write_table(
+        spark.createDataFrame([("line one",), ("line two",)], "value string"),
+        str(t),
+        fmt="text",
+    )
+    back = read_any(spark, str(t), fmt="text")
+    assert {r.value for r in back.collect()} == {"line one", "line two"}

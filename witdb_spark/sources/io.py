@@ -19,12 +19,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "orc", "json", "csv", "avro")
+FORMATS = ("parquet", "orc", "json", "csv", "avro", "text", "binaryFile")
+# text: one string column `value` per line (reference hive text tables);
+# binaryFile: path/modificationTime/length/content — the multimodal blob
+# ingest (image/audio dirs become the opaque-binary-column tables the
+# pipeline tier processes; reference reads these through hive external
+# tables). binaryFile is read-only in Spark.
+READ_ONLY_FORMATS = ("binaryFile",)
 
 
-def _check_format(spark_or_df, fmt: str) -> None:
+def _check_format(spark_or_df, fmt: str, writing: bool = False) -> None:
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if writing and fmt in READ_ONLY_FORMATS:
+        raise ValueError(f"format {fmt!r} is read-only in Spark")
     if fmt == "avro" and not _has_avro_module(spark_or_df):
         # The avro datasource lives in the external spark-avro module
         # (reference lib/trino-hive-formats avro support is always-on; in
@@ -83,7 +91,7 @@ def write_table(
     """INSERT/CTAS write path. sort_by orders rows within each output file
     (parquet/orc row-group min-max stats then prune on those columns at read
     time — the reference gets this from ORC writer stripe stats)."""
-    _check_format(df, fmt)
+    _check_format(df, fmt, writing=True)
     if repartition_to is not None:
         df = df.repartition(repartition_to)
     if sort_by:
