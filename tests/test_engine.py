@@ -611,3 +611,33 @@ def test_show_stats_for_query(engine, spark):
     assert summary.row_count == 2.0
     idrow = [r for r in rows if r.column_name == "id"][0]
     assert idrow.low_value == "2" and idrow.high_value == "3"
+
+
+def test_session_sql_forms_and_explain_options(engine, spark):
+    """r5 statement surface: SET/RESET/SHOW SESSION as SQL text
+    (reference SetSessionTask/ResetSessionTask/ShowSessionTask) and
+    EXPLAIN (TYPE ...) options (grammar SqlBase.g4 explainOption)."""
+    import pytest
+
+    engine.sql("SET SESSION hash_partition_count = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    rows = {r.Name: r.Value for r in engine.sql("SHOW SESSION").collect()}
+    assert rows["hash_partition_count"] == "7"
+    engine.sql("RESET SESSION hash_partition_count")
+    # EXPLAIN option forms
+    v = engine.sql("EXPLAIN (TYPE VALIDATE) SELECT 1 AS x").collect()
+    assert v[0].Valid is True
+    p = engine.sql(
+        "EXPLAIN (TYPE LOGICAL) SELECT count(*) FROM orders"
+    ).collect()[0][0]
+    assert "Analyzed Logical Plan" in p or "logical" in p.lower()
+    d = engine.sql(
+        "EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM orders"
+    ).collect()[0][0]
+    assert "Exchange" in d or "HashAggregate" in d
+    io = engine.sql(
+        "EXPLAIN (TYPE IO) SELECT o_orderkey FROM orders"
+    ).collect()[0][0]
+    assert "Scan" in io or "Relation" in io
+    with pytest.raises(NotImplementedError):
+        engine.sql("EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT 1")

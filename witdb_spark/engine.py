@@ -130,6 +130,80 @@ class Engine:
             inner = text[open_idx + 1 : close_idx]
             self.sql(inner).createOrReplaceTempView("__show_stats_q")
             return self.show_stats("__show_stats_q")
+        m = re.match(
+            r"^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference SetSessionTask.java
+            val = m.group(2).strip()
+            if len(val) >= 2 and val[0] == val[-1] == "'":
+                val = val[1:-1].replace("''", "'")
+            self.set_session(m.group(1), val)
+            return self.spark.range(0).select()
+        m = re.match(
+            r"^\s*RESET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference ResetSessionTask.java
+            self.spark.conf.unset(
+                SESSION_PROPERTIES.get(m.group(1), m.group(1))
+            )
+            return self.spark.range(0).select()
+        if re.match(r"^\s*SHOW\s+SESSION\s*;?\s*$", text, re.I):
+            # reference ShowSessionTask: Name | Value | Default layout
+            # over the mapped property table
+            rows = []
+            for name, conf in sorted(SESSION_PROPERTIES.items()):
+                try:
+                    val = self.spark.conf.get(conf)
+                except Exception:
+                    val = None
+                rows.append((name, val if val is not None else "", conf))
+            return self.spark.createDataFrame(
+                rows, "Name string, Value string, `Spark Conf` string"
+            )
+        m = re.match(
+            r"^\s*EXPLAIN\s*\(\s*(.*?)\s*\)\s*(.+)$", text, re.I | re.S
+        )
+        if m:  # EXPLAIN (TYPE ..., FORMAT ...) options (grammar
+            # SqlBase.g4 explainOption; reference ExplainTask)
+            opts = {
+                (p.split()[0].upper() if p.split() else ""):
+                (p.split()[1].upper() if len(p.split()) > 1 else "")
+                for p in m.group(1).split(",")
+            }
+            etype = opts.get("TYPE", "DISTRIBUTED")
+            if opts.get("FORMAT", "TEXT") == "JSON":
+                raise NotImplementedError(
+                    "EXPLAIN (FORMAT JSON) is not supported; TEXT only"
+                )
+            if etype == "VALIDATE":
+                self.sql(m.group(2))  # analysis errors propagate
+                return self.spark.createDataFrame(
+                    [(True,)], "Valid boolean"
+                )
+            if etype == "IO":
+                # the scanned-relations surface of the plan (reference
+                # IoPlanPrinter emits per-table IO estimates)
+                df = self.sql(m.group(2))
+                plan = df._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+                )
+                scans = "\n".join(
+                    ln.strip() for ln in plan.splitlines()
+                    if "Scan" in ln or "Relation" in ln
+                ) or plan
+                return self.spark.createDataFrame(
+                    [(scans,)], "`Query Plan` string"
+                )
+            mode = "extended" if etype == "LOGICAL" else "formatted"
+            df = self.sql(m.group(2))
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+            return self.spark.createDataFrame(
+                [(plan,)], "`Query Plan` string"
+            )
         m = re.match(r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", text, re.I | re.S)
         if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE\s*$", text, re.I):
             plan = self.explain(m.group(2), analyze=bool(m.group(1)))
