@@ -827,3 +827,24 @@ def test_pattern_window_rejections(engine, spark):
         "CURRENT ROW) ORDER BY id"
     ).collect()
     assert [(r.id, r.s) for r in got] == [(0, 0), (1, 1), (2, 3)]
+
+
+def test_final_running_prefixes_one_row(engine, spark):
+    """FINAL/RUNNING prefixes are accepted (and no-ops) in ONE ROW PER
+    MATCH measures — the match's final state makes them equal."""
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)],
+        "k int, seq int, price double",
+    ).createOrReplaceTempView("mr_finprefix")
+    rows = engine.sql(
+        """
+        SELECT f, l, s FROM mr_finprefix MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FINAL FIRST(price) AS f, RUNNING LAST(price) AS l,
+                   FINAL sum(price) AS s
+          ONE ROW PER MATCH
+          PATTERN (A+) DEFINE A AS price > 0
+        )
+        """
+    ).collect()
+    assert [(r.f, r.l, r.s) for r in rows] == [(10.0, 30.0, 60.0)]

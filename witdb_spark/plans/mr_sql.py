@@ -304,6 +304,19 @@ def _measure_one_row(
 ) -> str:
     """FINAL-semantics aggregate expression for ONE ROW PER MATCH."""
     e = transpile(expr)
+    # Explicit FINAL/RUNNING prefixes are no-ops under ONE ROW PER MATCH:
+    # measures evaluate at the match's final state, where RUNNING == FINAL
+    # (SQL:2016; reference MeasureComputation FINAL default). Only strip
+    # the keyword when it actually prefixes a measure call — a column
+    # named `running`/`final` must survive.
+    e = re.sub(
+        r"\b(FINAL|RUNNING)\s+(?=(?:FIRST|LAST|"
+        + "|".join(_AGG_NAMES)
+        + r")\s*\(|__nav_)",
+        "",
+        e,
+        flags=re.I,
+    )
     if labsets:
         e = _qualify_labels(e, labsets, ord_col)
     if data_cols and re.search(
