@@ -1170,3 +1170,60 @@ def tpcds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.customer.createOrReplaceTempView("customer")
     t.nation.createOrReplaceTempView("nation")
     return spark.sql(_ROLLUP_RANK_SQL)
+
+
+@register(
+    "merge_upsert_result",
+    """
+    WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 3 = 0),
+    src AS (SELECT o_orderkey, o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0),
+    merged AS (
+      SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                  THEN 'U'
+                  WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                  THEN s.o_totalprice
+                  WHEN t.o_orderkey IS NULL THEN s.o_totalprice
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="SQL MERGE as an ORACLED query (reference MergeWriterOperator.java"
+    ":46 + DeleteAndInsertMergeProcessor): MERGE INTO a third of orders "
+    "USING half of orders ON the key — WHEN MATCHED THEN UPDATE (status "
+    "-> 'U', price from source), WHEN NOT MATCHED THEN INSERT. The "
+    "post-merge snapshot is summarized per status with decimal-exact "
+    "totals; the oracle replays the merge as the FULL OUTER JOIN it "
+    "plans to (one shuffle on the merge keys).",
+    tags=("merge", "dml"),
+)
+def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.merge import merge_into
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = orders.where(F.col("o_orderkey") % 3 == 0)
+    source = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    merged = merge_into(
+        target,
+        source,
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("src.o_totalprice"),
+        },
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
