@@ -1227,3 +1227,44 @@ def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"),
     )
+
+
+@register(
+    "delete_update_snapshot",
+    """
+    WITH after_delete AS (
+      SELECT * FROM customer
+      WHERE NOT (coalesce(c_acctbal, 0.0) < 0.0)),
+    after_update AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      FROM after_delete)
+    SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS bal
+    FROM after_update GROUP BY c_nationkey
+    """,
+    doc="DELETE + UPDATE as ORACLED snapshots (reference "
+    "TableDeleteOperator.java:33 / merge update path): DELETE customers "
+    "with negative balances (anti-filter; NULL predicate keeps the row, "
+    "SQL DELETE semantics), then UPDATE the BUILDING segment's balance "
+    "(+100, conditional projection). The post-DML snapshot is summarized "
+    "per nation with decimal-exact totals; the oracle replays both "
+    "statements as the filters/projections they plan to.",
+    tags=("dml",),
+)
+def delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.merge import delete_where, update_where
+
+    t = Tables(spark, sf_dir)
+    cust = t.customer
+    deleted = delete_where(cust, F.col("c_acctbal") < 0.0)
+    updated = update_where(
+        deleted,
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.col("c_acctbal") + F.lit(100.0)},
+    )
+    return updated.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", "bal"),
+    )
