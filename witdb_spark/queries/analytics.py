@@ -14,6 +14,8 @@ cast so segment-tree vs incremental evaluation order can't change bits.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1267,4 +1269,46 @@ def delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n"),
         dsum("c_acctbal", "bal"),
+    )
+
+
+@register(
+    "ctas_writer_roundtrip",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="TableWriter + TableFinish as an ORACLED query (reference "
+    "TableWriterOperator.java / TableFinishOperator.java / "
+    "CreateTableTask): CTAS the filtered orders into a parquet snapshot "
+    "(sorted-within-partitions so row-group min-max stats are useful), "
+    "re-read the committed files, and aggregate THE RE-READ DATA. The "
+    "oracle computes the same aggregate from the source directly — so "
+    "the write path must round-trip every row and value exactly.",
+    tags=("writer", "dml"),
+)
+def ctas_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from witdb_spark.sources.io import ctas
+
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ctas_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    out = ctas(
+        spark,
+        "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        path,
+        sort_by=["o_orderkey"],
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
     )
