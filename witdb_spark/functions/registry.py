@@ -670,10 +670,15 @@ UNSUPPORTED: dict[str, str] = {
     " operators/spatial_join.py is this engine's spatial partitioner)."
     " Bing tiles are covered by the bing_tile_* macro family and the"
     " geometry-level tile functions",
-    "sketch-aggregate SQL names (approx_set / merge / qdigest_agg /"
-    " tdigest_agg / histogram / map_union / multimap_agg)":
-    "PySpark cannot register Python AGGREGATE functions under SQL names"
-    " (only scalar UDFs; SQL macros cannot contain aggregates either), so"
+    "sketch-aggregate SQL names (tdigest_agg / histogram / map_union /"
+    " multimap_agg; `merge` overloading)":
+    "r5 lifts part of this via GROUPED_AGG pandas UDFs, which ARE"
+    " SQL-registrable: qdigest_agg / merge_qdigest (same wire format the"
+    " value_at_quantile scalars read) and approx_set / merge_hll /"
+    " hll_cardinality are SQL names now"
+    " (functions/sql_sketch_aggs.py; no map-side partial — the scalable"
+    " two-level builds stay operator APIs, mirroring the reference's"
+    " partial/final accumulator split). Still Python-API-only:"
     " the sketch builders/mergers are Python operator APIs"
     " (operators/hll.py, qdigest.py, tdigest.py, setdigest.py) and the"
     " map-shaped aggregates are two-level groupBy compositions"
@@ -734,7 +739,10 @@ def register_all(spark: SparkSession, force: bool = False) -> int:
     for ddl in MACROS.values():
         spark.sql(ddl)
     n_digest = register_digest_udfs(spark)
-    n = len(MACROS) + register_python_udfs(spark) + n_geo + n_digest
+    from witdb_spark.functions.sql_sketch_aggs import register_sketch_aggs
+
+    n_sketch = register_sketch_aggs(spark)
+    n = len(MACROS) + register_python_udfs(spark) + n_geo + n_digest + n_sketch
     _REGISTERED_SESSIONS.add(spark)
     return n
 

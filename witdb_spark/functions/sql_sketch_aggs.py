@@ -1,0 +1,154 @@
+"""SQL-name SKETCH AGGREGATES via grouped-agg pandas UDFs (r5).
+
+The r1-r4 recorded limitation said PySpark cannot register Python
+AGGREGATE functions under SQL names — that is true of row-at-a-time
+UDFs, but GROUPED_AGG pandas UDFs *are* SQL-registrable and usable in
+GROUP BY queries. This lifts the reference's sketch-aggregate SQL
+surface (reference ApproximateSetAggregation.java,
+QuantileDigestAggregationFunction.java, HyperLogLogFunctions.java):
+
+  - qdigest_agg(v) -> binary           (same wire format as
+    operators/qdigest.py: [n, K rank-grid points] float64, so the
+    registered value_at_quantile / values_at_quantiles scalars read it)
+  - merge_qdigest(digest) -> binary    (pooled integer-rank re-selection
+    — the reference's `merge(qdigest)`; the name is type-suffixed because
+    SQL name resolution here cannot overload `merge` by sketch type)
+  - approx_set(x) -> binary            (md5-register HLL, 2048 buckets —
+    reference default 11-bit indexing; md5 because the Python tier must
+    hash identically on driver and executors with no external libs)
+  - merge_hll(hll) -> binary           (register-wise max)
+  - hll_cardinality(hll) -> bigint     (bias-corrected estimate with
+    linear counting for the small range — the reference's
+    cardinality(HyperLogLog) overload, type-suffixed for the same reason)
+
+Scale note: a grouped-agg pandas UDF has NO map-side partial — every
+group's rows shuffle to one task. That is the right trade for the SQL
+convenience surface; the scalable two-level builds remain the operator
+APIs (operators/qdigest.py qdigest_agg_scalable et al), exactly like the
+reference splits its accumulator into partial/final forms.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from witdb_spark.operators.qdigest import K_POINTS
+
+_HLL_BUCKETS = 2048  # 11 indexing bits (reference NewHyperLogLog default)
+
+
+def _hll_update(registers, values) -> None:
+    import hashlib
+
+    for s in values:
+        if s is None:
+            continue
+        h = int.from_bytes(
+            hashlib.md5(str(s).encode()).digest()[:12], "big"
+        )
+        bucket = h & (_HLL_BUCKETS - 1)
+        rest = h >> 11
+        # rho = leading-zero run length in an 85-bit field + 1
+        rho = 85 - rest.bit_length() + 1 if rest else 85
+        if rho > registers[bucket]:
+            registers[bucket] = rho
+
+
+def _hll_estimate(registers) -> int:
+    m = float(_HLL_BUCKETS)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -r for r in registers)
+    est = alpha * m * m / s
+    zeros = sum(1 for r in registers if r == 0)
+    if est <= 2.5 * m and zeros:
+        import math
+
+        est = m * math.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
+def register_sketch_aggs(spark: SparkSession) -> int:
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def qdigest_agg(v: pd.Series) -> bytes:
+        vals = v.to_numpy(dtype="float64")
+        vals = np.sort(vals[~np.isnan(vals)]) + 0.0  # -0.0 -> +0.0
+        n = len(vals)
+        if n:
+            idx = (np.arange(K_POINTS, dtype="int64") * (n - 1)) // (
+                K_POINTS - 1
+            )
+            pts = vals[idx]
+        else:
+            pts = np.full(K_POINTS, np.nan)
+        return np.concatenate(([float(n)], pts)).tobytes()
+
+    @F.pandas_udf("binary")
+    def merge_qdigest(blobs: pd.Series) -> bytes:
+        total = 0
+        pools, weights = [], []
+        for blob in blobs:
+            if blob is None:
+                continue
+            arr = np.frombuffer(bytes(blob), dtype="float64")
+            n, pts = int(arr[0]), arr[1:]
+            if n <= 0:
+                continue
+            total += n
+            pools.append(pts)
+            weights.append(np.full(len(pts), n, dtype="int64"))
+        if not pools:
+            merged = np.full(K_POINTS, np.nan)
+        else:
+            allpts = np.concatenate(pools) + 0.0
+            allw = np.concatenate(weights)
+            order = np.argsort(allpts, kind="stable")
+            allpts, allw = allpts[order], allw[order]
+            cum = np.cumsum(allw)
+            w_tot = int(cum[-1])
+            grid = (np.arange(K_POINTS, dtype="int64") * w_tot) // (
+                K_POINTS - 1
+            )
+            merged = allpts[
+                np.searchsorted(cum, grid, side="left").clip(
+                    0, len(allpts) - 1
+                )
+            ]
+        return np.concatenate(([float(total)], merged)).tobytes()
+
+    @F.pandas_udf("binary")
+    def approx_set(v: pd.Series) -> bytes:
+        registers = bytearray(_HLL_BUCKETS)
+        _hll_update(registers, v)
+        return bytes(registers)
+
+    @F.pandas_udf("binary")
+    def merge_hll(blobs: pd.Series) -> bytes:
+        acc = bytearray(_HLL_BUCKETS)
+        for blob in blobs:
+            if blob is None:
+                continue
+            b = bytes(blob)
+            for i in range(_HLL_BUCKETS):
+                if b[i] > acc[i]:
+                    acc[i] = b[i]
+        return bytes(acc)
+
+    @F.pandas_udf("long")
+    def hll_cardinality(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if b is None else _hll_estimate(bytes(b))
+                for b in blobs
+            ]
+        )
+
+    spark.udf.register("qdigest_agg", qdigest_agg)
+    spark.udf.register("merge_qdigest", merge_qdigest)
+    spark.udf.register("approx_set", approx_set)
+    spark.udf.register("merge_hll", merge_hll)
+    spark.udf.register("hll_cardinality", hll_cardinality)
+    return 5

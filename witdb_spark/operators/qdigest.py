@@ -207,6 +207,7 @@ def register_digest_udfs(spark) -> int:
             if blob is None or q is None:
                 out.append(None)
                 continue
+            q = float(q)  # SQL DECIMAL literals arrive as Decimal
             if not 0.0 <= q <= 1.0:
                 raise ValueError(f"value_at_quantile: q must be in [0, 1], got {q}")
             pts = _np.frombuffer(bytes(blob), dtype="float64")[1:]
@@ -225,6 +226,7 @@ def register_digest_udfs(spark) -> int:
             if blob is None or qs is None:
                 out.append(None)
                 continue
+            qs = [float(q) for q in qs]
             if any(not 0.0 <= q <= 1.0 for q in qs):
                 raise ValueError(
                     f"values_at_quantiles: every q must be in [0, 1], got {list(qs)}"
