@@ -840,3 +840,32 @@ def agg_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.crossJoin(ca).crossJoin(cb).crossJoin(ic)
         .select("jaccard", "card_view", "card_purchase", "icard")
     )
+
+
+@register(
+    "agg_qdigest_sql_names",
+    _qdigest_rollup_oracle(),
+    doc="The SAME qdigest rollup as agg_qdigest_rollup, but written as "
+    "plain SQL text through Engine.sql using the r5 SQL-name aggregate "
+    "surface (functions/sql_sketch_aggs.py: qdigest_agg/merge_qdigest "
+    "as GROUPED_AGG pandas UDFs emitting the operator wire format, read "
+    "by the registered value_at_quantile scalar). Identical oracle — "
+    "the SQL-name path must be bit-equal to the operator path.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT value_at_quantile(d, 0.25) AS p25,
+               value_at_quantile(d, 0.5)  AS p50,
+               value_at_quantile(d, 0.75) AS p75
+        FROM (
+          SELECT merge_qdigest(d) AS d
+          FROM (SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d
+                FROM lineitem GROUP BY l_returnflag) AS per_flag
+        ) AS merged
+        """
+    )
