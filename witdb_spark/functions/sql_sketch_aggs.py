@@ -152,3 +152,110 @@ def register_sketch_aggs(spark: SparkSession) -> int:
     spark.udf.register("merge_hll", merge_hll)
     spark.udf.register("hll_cardinality", hll_cardinality)
     return 5
+
+
+def register_tdigest_aggs(spark: SparkSession) -> int:
+    """tdigest SQL names (reference TDigestAggregationFunction.java):
+    tdigest_agg / merge_tdigest as GROUPED_AGG pandas UDFs emitting the
+    operator wire format ([n, K cosine-grid points] float64 —
+    operators/tdigest.py), plus the tdigest_value_at_quantile /
+    tdigest_values_at_quantiles scalar readers (type-suffixed: the
+    qdigest scalars own the unsuffixed names and the two wire formats
+    share a layout but not a grid)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from witdb_spark.operators.tdigest import (
+        K_CENTROIDS,
+        grid_bracket,
+        rank_mids,
+        scale_grid,
+    )
+
+    grid = np.asarray(scale_grid(K_CENTROIDS))
+    mids = np.asarray(rank_mids(K_CENTROIDS))
+
+    @F.pandas_udf("binary")
+    def tdigest_agg(v: pd.Series) -> bytes:
+        vals = v.to_numpy(dtype="float64")
+        vals = np.sort(vals[~np.isnan(vals)]) + 0.0
+        n = len(vals)
+        if n:
+            idx = np.floor(grid * (n - 1) + 0.5).astype("int64")
+            pts = vals[idx]
+        else:
+            pts = np.full(K_CENTROIDS, np.nan)
+        return np.concatenate(([float(n)], pts)).tobytes()
+
+    @F.pandas_udf("binary")
+    def merge_tdigest(blobs: pd.Series) -> bytes:
+        total = 0
+        pools, weights = [], []
+        for blob in blobs:
+            if blob is None:
+                continue
+            arr = np.frombuffer(bytes(blob), dtype="float64")
+            n, pts = int(arr[0]), arr[1:]
+            if n <= 0:
+                continue
+            total += n
+            bounds = np.floor(mids * n + 0.5).astype("int64")
+            pools.append(pts)
+            weights.append(bounds[1:] - bounds[:-1])
+        if not pools:
+            merged = np.full(K_CENTROIDS, np.nan)
+        else:
+            allpts = np.concatenate(pools) + 0.0
+            allw = np.concatenate(weights)
+            order = np.argsort(allpts, kind="stable")
+            allpts, allw = allpts[order], allw[order]
+            cum = np.cumsum(allw)
+            w_tot = float(cum[-1])
+            g = np.floor(grid * (w_tot - 1) + 0.5) + 1
+            merged = allpts[
+                np.searchsorted(cum, g, side="left").clip(
+                    0, len(allpts) - 1
+                )
+            ]
+            merged[0] = allpts[0]
+            merged[-1] = allpts[-1]
+        return np.concatenate(([float(total)], merged)).tobytes()
+
+    def _lookup(blob, q):
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(
+                f"tdigest value_at_quantile: q in [0, 1], got {q}"
+            )
+        pts = np.frombuffer(bytes(blob), dtype="float64")[1:]
+        lo, hi, frac = grid_bracket(q, len(pts))
+        return float(pts[lo] + (pts[hi] - pts[lo]) * frac)
+
+    @F.pandas_udf("double")
+    def tdigest_value_at_quantile(blobs, qs):
+        return pd.Series(
+            [
+                None if b is None or q is None else _lookup(b, q)
+                for b, q in zip(blobs, qs)
+            ]
+        )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def tdigest_values_at_quantiles(blobs, qlists):
+        out = []
+        for b, qs in zip(blobs, qlists):
+            if b is None or qs is None:
+                out.append(None)
+            else:
+                out.append([_lookup(b, q) for q in qs])
+        return pd.Series(out)
+
+    spark.udf.register("tdigest_agg", tdigest_agg)
+    spark.udf.register("merge_tdigest", merge_tdigest)
+    spark.udf.register("tdigest_value_at_quantile", tdigest_value_at_quantile)
+    spark.udf.register(
+        "tdigest_values_at_quantiles", tdigest_values_at_quantiles
+    )
+    return 4

@@ -869,3 +869,31 @@ def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS merged
         """
     )
+
+
+@register(
+    "agg_tdigest_sql_names",
+    _tdigest_rollup_oracle(),
+    doc="The SAME t-digest rollup as agg_tdigest_rollup, but written as "
+    "plain SQL text through Engine.sql using the r5 SQL-name aggregate "
+    "surface (functions/sql_sketch_aggs.py: tdigest_agg/merge_tdigest "
+    "GROUPED_AGG pandas UDFs emitting the operator wire format, read by "
+    "tdigest_values_at_quantiles). Identical oracle — the SQL-name path "
+    "must be bit-equal to the operator path.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_tdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT tv[1] AS p50, tv[2] AS p95, tv[3] AS p99
+        FROM (
+          SELECT tdigest_values_at_quantiles(
+                   merge_tdigest(d), ARRAY[0.50, 0.95, 0.99]) AS tv
+          FROM (SELECT l_returnflag, tdigest_agg(l_extendedprice) AS d
+                FROM lineitem GROUP BY l_returnflag) AS per_flag
+        ) AS merged
+        """
+    )
