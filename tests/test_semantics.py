@@ -273,3 +273,41 @@ def test_unicode_literal_quote_escape(spark):
     assert q("SELECT U&'a''''b'") == "a''b"
     assert q("SELECT U&'caf\\00E9''s'") == "café's"
     assert q("SELECT U&'x''y' UESCAPE '!'") == "x'y"
+
+
+def test_map_shaped_aggregate_rewrites(spark):
+    """r5: histogram / multimap_agg / map_union as transpile-time
+    rewrites (reference Histogram.java, MultimapAggregation,
+    MapUnionAggregation) — one collect_list buffer + post-aggregation
+    lambda projection, no Python."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.range(12).selectExpr(
+        "id % 2 AS g", "CAST(id % 3 AS STRING) AS v", "id AS n"
+    ).createOrReplaceTempView("maprw_t")
+    h = {
+        r.g: dict(sorted(r.h.items()))
+        for r in eng.sql(
+            "SELECT g, histogram(v) AS h FROM maprw_t GROUP BY g"
+        ).collect()
+    }
+    assert h == {0: {"0": 2, "1": 2, "2": 2}, 1: {"0": 2, "1": 2, "2": 2}}
+    mm = {
+        r.g: {k: sorted(vv) for k, vv in r.mm.items()}
+        for r in eng.sql(
+            "SELECT g, multimap_agg(v, n) AS mm FROM maprw_t GROUP BY g"
+        ).collect()
+    }
+    assert mm[0]["0"] == [0, 6] and mm[1]["2"] == [5, 11]
+    spark.sql(
+        "SELECT 1 AS g, map('a', 1) AS m UNION ALL SELECT 1, map('b', 2)"
+        " UNION ALL SELECT 2, map('a', 9)"
+    ).createOrReplaceTempView("mapun_t")
+    u = {
+        r.g: dict(sorted(r.u.items()))
+        for r in eng.sql(
+            "SELECT g, map_union(m) AS u FROM mapun_t GROUP BY g"
+        ).collect()
+    }
+    assert u == {1: {"a": 1, "b": 2}, 2: {"a": 9}}

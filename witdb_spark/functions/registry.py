@@ -670,15 +670,19 @@ UNSUPPORTED: dict[str, str] = {
     " operators/spatial_join.py is this engine's spatial partitioner)."
     " Bing tiles are covered by the bing_tile_* macro family and the"
     " geometry-level tile functions",
-    "sketch-aggregate SQL names (tdigest_agg / histogram / map_union /"
-    " multimap_agg; `merge` overloading)":
-    "r5 lifts part of this via GROUPED_AGG pandas UDFs, which ARE"
-    " SQL-registrable: qdigest_agg / merge_qdigest (same wire format the"
-    " value_at_quantile scalars read) and approx_set / merge_hll /"
-    " hll_cardinality are SQL names now"
-    " (functions/sql_sketch_aggs.py; no map-side partial — the scalable"
-    " two-level builds stay operator APIs, mirroring the reference's"
-    " partial/final accumulator split). Still Python-API-only:"
+    "sketch-aggregate SQL `merge` overloading":
+    "r5 lifts the old limitation: GROUPED_AGG pandas UDFs ARE"
+    " SQL-registrable, so qdigest_agg / merge_qdigest / tdigest_agg /"
+    " merge_tdigest (operator wire formats, read by the registered"
+    " quantile scalars) and approx_set / merge_hll / hll_cardinality are"
+    " SQL names now (functions/sql_sketch_aggs.py; no map-side partial —"
+    " the scalable two-level builds stay operator APIs, mirroring the"
+    " reference's partial/final accumulator split), and histogram /"
+    " multimap_agg / map_union rewrite at transpile time"
+    " (plans/dialect.py _rewrite_agg_calls). The one remaining deviation:"
+    " the reference overloads `merge(sketch)` by operand type; SQL name"
+    " resolution here cannot, so the merge names are type-suffixed."
+    " Historical note on the rest:"
     " the sketch builders/mergers are Python operator APIs"
     " (operators/hll.py, qdigest.py, tdigest.py, setdigest.py) and the"
     " map-shaped aggregates are two-level groupBy compositions"

@@ -1206,6 +1206,42 @@ def _rewrite_agg_calls(sql: str) -> str:
             lambda a: f"map_from_entries(collect_list(struct({a[0]}, {a[1]})))",
             2,
         ),
+        # histogram(x) -> value counts map (reference Histogram.java):
+        # Catalyst extracts the repeated collect_list into ONE aggregate
+        # buffer; the lambdas are post-aggregation projection
+        (
+            r"\bhistogram\s*\(",
+            lambda a: (
+                f"map_from_entries(transform(array_distinct(collect_list({a[0]})),"
+                f" __hk -> struct(__hk, CAST(size(filter(collect_list({a[0]}),"
+                " __he -> __he <=> __hk)) AS BIGINT))))"
+            ),
+            1,
+        ),
+        # multimap_agg(k, v) -> map<k, array<v>> (MultimapAggregation)
+        (
+            r"\bmultimap_agg\s*\(",
+            lambda a: (
+                f"map_from_entries(transform(array_distinct(transform("
+                f"collect_list(struct(({a[0]}) AS k0, ({a[1]}) AS v0)),"
+                " __mp -> __mp.k0)), __mk -> struct(__mk, transform(filter("
+                f"collect_list(struct(({a[0]}) AS k0, ({a[1]}) AS v0)),"
+                " __mp -> __mp.k0 <=> __mk), __mp -> __mp.v0))))"
+            ),
+            2,
+        ),
+        # map_union(m) -> merged map, arbitrary value on duplicate keys
+        # (reference MapUnionAggregation keeps an arbitrary winner too)
+        (
+            r"\bmap_union\s*\(",
+            lambda a: (
+                f"map_from_entries(transform(array_distinct(transform("
+                f"flatten(collect_list(map_entries({a[0]}))), __ue -> __ue.key)),"
+                f" __uk -> struct(__uk, filter(flatten(collect_list("
+                f"map_entries({a[0]}))), __ue -> __ue.key <=> __uk)[0].value)))"
+            ),
+            1,
+        ),
         (
             r"\bchecksum\s*\(",
             lambda a: (

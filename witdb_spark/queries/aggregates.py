@@ -897,3 +897,37 @@ def agg_tdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS merged
         """
     )
+
+
+@register(
+    "agg_histogram_sql_names",
+    """
+    SELECT g, string_agg(event_type || '=' || CAST(n AS VARCHAR), ','
+                         ORDER BY event_type) AS histo
+    FROM (SELECT user_id % 5 AS g, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2) AS c
+    GROUP BY g
+    """,
+    doc="histogram() as a plain SQL aggregate through Engine.sql (r5 "
+    "transpile rewrite, reference Histogram.java): the value-counts map "
+    "is built from ONE collect_list aggregate buffer with post-agg "
+    "lambda projection (Catalyst extracts the repeated aggregate), then "
+    "canonicalized to sorted key=value text so the driver can hash it. "
+    "multimap_agg and map_union rewrite the same way "
+    "(plans/dialect.py::_rewrite_agg_calls).",
+    tags=("aggregate", "map", "dialect"),
+)
+def agg_histogram_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT g, array_join(
+                 transform(array_sort(map_keys(m)),
+                           k -> k || '=' || CAST(element_at(m, k) AS VARCHAR)),
+                 ',') AS histo
+        FROM (SELECT user_id % 5 AS g, histogram(event_type) AS m
+              FROM events GROUP BY user_id % 5) AS h
+        """
+    )
