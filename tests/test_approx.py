@@ -447,3 +447,40 @@ def test_sql_name_sketch_aggregates(spark):
         " SELECT hll_cardinality(merge_hll(h)) AS c FROM part"
     ).collect()[0].c
     assert merged == est
+
+
+def test_sql_name_setdigest(spark):
+    """r5 setdigest SQL names: exact jaccard/cardinality when sets are
+    smaller than the bottom-k size; merge must equal the one-shot sketch
+    of the union."""
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    spark.sql(
+        "SELECT explode(sequence(0, 99)) AS v"
+    ).createOrReplaceTempView("sd_a")  # {0..99}
+    spark.sql(
+        "SELECT explode(sequence(50, 149)) AS v"
+    ).createOrReplaceTempView("sd_b")  # {50..149}
+    row = spark.sql(
+        "WITH a AS (SELECT make_set_digest(v) AS d FROM sd_a),"
+        "     b AS (SELECT make_set_digest(v) AS d FROM sd_b)"
+        " SELECT setdigest_jaccard(a.d, b.d) AS j,"
+        "        setdigest_cardinality(a.d) AS ca,"
+        "        setdigest_intersection_cardinality(a.d, b.d) AS ic"
+        " FROM a, b"
+    ).collect()[0]
+    # bottom-k estimator: the union (150 hashes) truncates to k=128, so
+    # the ratio is sampled, not exact — standard MinHash error ~1/sqrt(k)
+    assert abs(row.j - 50.0 / 150.0) < 0.09
+    assert abs(row.ca - 100) <= 5  # HLL estimate, 2048 buckets
+    assert abs(row.ic - 50.0) < 8.0
+    merged = spark.sql(
+        "WITH parts AS (SELECT v % 4 AS g, make_set_digest(v) AS d"
+        "               FROM sd_a GROUP BY v % 4)"
+        " SELECT setdigest_cardinality(merge_set_digest(d)) AS c FROM parts"
+    ).collect()[0].c
+    one_shot = spark.sql(
+        "SELECT setdigest_cardinality(make_set_digest(v)) AS c FROM sd_a"
+    ).collect()[0].c
+    assert merged == one_shot

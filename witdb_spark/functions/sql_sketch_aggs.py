@@ -259,3 +259,120 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
         "tdigest_values_at_quantiles", tdigest_values_at_quantiles
     )
     return 4
+
+
+def register_setdigest_aggs(spark: SparkSession) -> int:
+    """setdigest SQL names (reference SetDigestFunctions.java /
+    SetDigestAggregationFunction): make_set_digest / merge_set_digest as
+    GROUPED_AGG pandas UDFs over a serialized blob = [2048 HLL register
+    bytes][k x 16-byte bottom-k md5 hashes, ascending], plus the scalar
+    estimators setdigest_cardinality (HLL half), setdigest_jaccard
+    (bottom-k estimator: |bottom_k(A u B) in both| / k'), and
+    setdigest_intersection_cardinality (jaccard x union cardinality —
+    the reference's estimator). Both halves hash with the same md5, so
+    the sketch is self-consistent across make/merge/compare."""
+    import hashlib
+
+    K = 128  # bottom-k size (reference MinHash default 8192 is sized for
+    # billion-row sets; 128 matches operators/setdigest.K_HASHES scale)
+
+    def _mk(values) -> bytes:
+        regs = bytearray(_HLL_BUCKETS)
+        hashes = set()
+        for s in values:
+            if s is None:
+                continue
+            d = hashlib.md5(str(s).encode()).digest()
+            hashes.add(d)
+            h = int.from_bytes(d[:12], "big")
+            bucket = h & (_HLL_BUCKETS - 1)
+            rest = h >> 11
+            rho = 85 - rest.bit_length() + 1 if rest else 85
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+        bottom = sorted(hashes)[:K]
+        return bytes(regs) + b"".join(bottom)
+
+    def _parts(blob: bytes):
+        regs = blob[:_HLL_BUCKETS]
+        rest = blob[_HLL_BUCKETS:]
+        hashes = [rest[i : i + 16] for i in range(0, len(rest), 16)]
+        return regs, hashes
+
+    @F.pandas_udf("binary")
+    def make_set_digest(v: pd.Series) -> bytes:
+        return _mk(v)
+
+    @F.pandas_udf("binary")
+    def merge_set_digest(blobs: pd.Series) -> bytes:
+        regs = bytearray(_HLL_BUCKETS)
+        hashes = set()
+        for blob in blobs:
+            if blob is None:
+                continue
+            r, hs = _parts(bytes(blob))
+            for i in range(_HLL_BUCKETS):
+                if r[i] > regs[i]:
+                    regs[i] = r[i]
+            hashes.update(hs)
+        bottom = sorted(hashes)[:K]
+        return bytes(regs) + b"".join(bottom)
+
+    @F.pandas_udf("long")
+    def setdigest_cardinality(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None
+                else _hll_estimate(_parts(bytes(b))[0])
+                for b in blobs
+            ]
+        )
+
+    def _jaccard(ba: bytes, bb: bytes) -> float:
+        _, ha = _parts(ba)
+        _, hb = _parts(bb)
+        sa, sb = set(ha), set(hb)
+        union_k = sorted(sa | sb)[:K]
+        if not union_k:
+            return 0.0
+        nb = sum(1 for h in union_k if h in sa and h in sb)
+        return nb / float(len(union_k))
+
+    @F.pandas_udf("double")
+    def setdigest_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None
+                else _jaccard(bytes(x), bytes(y))
+                for x, y in zip(a, b)
+            ]
+        )
+
+    @F.pandas_udf("double")
+    def setdigest_intersection_cardinality(
+        a: pd.Series, b: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            x, y = bytes(x), bytes(y)
+            ra, _ = _parts(x)
+            rb, _ = _parts(y)
+            union = bytes(max(p, q) for p, q in zip(ra, rb))
+            out.append(
+                round(_jaccard(x, y) * _hll_estimate(union), 6)
+            )
+        return pd.Series(out)
+
+    spark.udf.register("make_set_digest", make_set_digest)
+    spark.udf.register("merge_set_digest", merge_set_digest)
+    spark.udf.register("setdigest_cardinality", setdigest_cardinality)
+    spark.udf.register("setdigest_jaccard", setdigest_jaccard)
+    spark.udf.register(
+        "setdigest_intersection_cardinality",
+        setdigest_intersection_cardinality,
+    )
+    return 5
