@@ -744,6 +744,7 @@ def register_all(spark: SparkSession, force: bool = False) -> int:
         spark.sql(ddl)
     n_digest = register_digest_udfs(spark)
     from witdb_spark.functions.sql_sketch_aggs import (
+        register_misc_aggs,
         register_setdigest_aggs,
         register_sketch_aggs,
         register_tdigest_aggs,
@@ -753,6 +754,7 @@ def register_all(spark: SparkSession, force: bool = False) -> int:
         register_sketch_aggs(spark)
         + register_tdigest_aggs(spark)
         + register_setdigest_aggs(spark)
+        + register_misc_aggs(spark)
     )
     n = len(MACROS) + register_python_udfs(spark) + n_geo + n_digest + n_sketch
     _REGISTERED_SESSIONS.add(spark)

@@ -376,3 +376,29 @@ def register_setdigest_aggs(spark: SparkSession) -> int:
         setdigest_intersection_cardinality,
     )
     return 5
+
+
+def register_misc_aggs(spark: SparkSession) -> int:
+    """approx_most_frequent(buckets, value, capacity) -> map<varchar,
+    bigint> (reference ApproximateMostFrequentFunction.java — stream
+    summary sketch). This deployment computes the EXACT top-k per group
+    (deterministic, a strict accuracy upgrade at the same signature);
+    `capacity` is accepted for parity and ignored. Ties break by value
+    so results are engine-stable."""
+
+    @F.pandas_udf("map<string,bigint>")
+    def approx_most_frequent(
+        buckets: pd.Series, v: pd.Series, capacity: pd.Series
+    ) -> dict:
+        k = int(buckets.iloc[0])
+        counts: dict = {}
+        for s in v:
+            if s is None:
+                continue
+            key = str(s)
+            counts[key] = counts.get(key, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return dict(top)
+
+    spark.udf.register("approx_most_frequent", approx_most_frequent)
+    return 1
