@@ -490,3 +490,55 @@ def test_pattern_window_single_operator_pass(spark):
     nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
     assert len(nodes) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketed co-located join (reference plugin/trino-hive
+    HiveBucketProperty / bucketed execution): two tables bucketed by the
+    same key and count join WITHOUT an Exchange on either side — the
+    100 TB fact-fact join strategy. Sorted buckets also drop the
+    per-task Sort."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from witdb_spark.catalog import Tables
+    from witdb_spark.sources.io import write_bucketed
+
+    t = Tables(spark, SF_DIR)
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # correctness: bucketed join == plain join
+            n_bucketed = joined.count()
+            n_plain = (
+                t.orders.join(
+                    t.lineitem,
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                ).count()
+            )
+            assert n_bucketed == n_plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -129,3 +129,26 @@ def insert_into(df: DataFrame, path: str, fmt: str = "parquet", **kwargs) -> Non
     new files under the same root, exactly the reference's connector-sink
     model)."""
     write_table(df, path, fmt=fmt, mode="append", **kwargs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """CREATE TABLE ... WITH (bucketed_by=..., bucket_count=...) — the
+    reference's Hive bucketed tables (plugin/trino-hive
+    HiveBucketProperty; the coordinator plans co-located joins/aggs on
+    matching bucket counts). Spark analog: bucketBy + saveAsTable; a join
+    of two tables bucketed by the same key and count plans with NO
+    Exchange on either side — at 100 TB that is the difference between a
+    full fact-fact shuffle and a local merge per bucket. sort_cols adds
+    SORTED BY so the merge join also skips the per-task sort."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
