@@ -412,3 +412,55 @@ register(
     "returnflag quantities).",
     tags=("tpcds", "sql_text", "dialect"),
 )(_make("tpcds_sql_q49", _Q49))
+
+
+# q31 shape (reference tpcds/q31.sql): one quarter-total CTE per channel,
+# SIX-way self-join pinning consecutive quarters, cross-channel growth
+# comparison. Classic join-reorder workout.
+_Q31 = """
+    WITH ss AS (
+      SELECT n_name, CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS total
+      FROM orders JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name, quarter(o_orderdate)),
+    ws AS (
+      SELECT n_name, CAST(quarter(l_shipdate) AS INTEGER) AS q,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS total
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name, quarter(l_shipdate))
+    SELECT ss1.n_name,
+           round(CAST(ss2.total AS DOUBLE) / CAST(ss1.total AS DOUBLE), 6)
+             AS store_q1_q2_increase,
+           round(CAST(ss3.total AS DOUBLE) / CAST(ss2.total AS DOUBLE), 6)
+             AS store_q2_q3_increase,
+           round(CAST(ws2.total AS DOUBLE) / CAST(ws1.total AS DOUBLE), 6)
+             AS web_q1_q2_increase,
+           round(CAST(ws3.total AS DOUBLE) / CAST(ws2.total AS DOUBLE), 6)
+             AS web_q2_q3_increase
+    FROM ss ss1 JOIN ss ss2 ON ss1.n_name = ss2.n_name
+         JOIN ss ss3 ON ss1.n_name = ss3.n_name
+         JOIN ws ws1 ON ss1.n_name = ws1.n_name
+         JOIN ws ws2 ON ss1.n_name = ws2.n_name
+         JOIN ws ws3 ON ss1.n_name = ws3.n_name
+    WHERE ss1.q = 1 AND ss2.q = 2 AND ss3.q = 3
+      AND ws1.q = 1 AND ws2.q = 2 AND ws3.q = 3
+      AND CAST(ws2.total AS DOUBLE) / CAST(ws1.total AS DOUBLE)
+          > CAST(ss2.total AS DOUBLE) / CAST(ss1.total AS DOUBLE)
+"""
+
+register(
+    "tpcds_sql_q31",
+    _Q31,
+    doc="TPC-DS q31 shape via Engine.sql: per-channel quarter-total CTEs "
+    "six-way self-joined on consecutive quarters with a cross-channel "
+    "growth comparison (reference tpcds/q31.sql adapted to "
+    "orders-vs-lineitem channels by customer nation).",
+    tags=("tpcds", "sql_text", "dialect"),
+)(_make("tpcds_sql_q31", _Q31))
