@@ -445,9 +445,12 @@ def duplicate_clusters(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
+    # materialize the symmetrized edge list ONCE: every round joins it,
+    # and without the checkpoint each round would re-execute the whole
+    # upstream pair-generation DAG (e.g. the MinHash banding pipeline)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
