@@ -94,6 +94,7 @@ class Engine:
         self.spark = spark
         self.view_store = view_store
         self._views: dict[str, str] = {}
+        self._versioned: dict[str, "object"] = {}  # name -> VersionedTable
         if sf_dir is not None:
             Tables(spark, sf_dir).register_views()
         register_all(spark)
@@ -382,6 +383,8 @@ class Engine:
                 text,
                 flags=re.I,
             )
+        if self._versioned:
+            text = self._rewrite_versioned_relations(text)
         if re.search(r"\bMATCH_RECOGNIZE\b", text, flags=re.I):
             # SQL-form row-pattern relations (reference SqlBase.g4:360) are
             # lowered onto the DataFrame operator and spliced back in as
@@ -668,3 +671,55 @@ class Engine:
     def deallocate(self, name: str) -> None:
         """DEALLOCATE PREPARE name."""
         getattr(self, "_prepared", {}).pop(name, None)
+
+
+def _register_versioned_methods() -> None:
+    """Attach the versioned-table surface to Engine (kept out of the
+    class body so the module-level regex tables above stay readable)."""
+
+    import re as _re
+
+    def register_versioned(self, name: str, path: str) -> None:
+        """Register a sources/versioned.py table under a SQL name: bare
+        references read the LATEST snapshot; `FOR VERSION|TIMESTAMP AS
+        OF` reads the matching one (reference delta-lake/iceberg time
+        travel, TimeTravelUtil / SnapshotUtil)."""
+        from witdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(self.spark, path)
+        t.latest_version()  # validates the log exists
+        self._versioned[name] = t
+
+    def _rewrite_versioned_relations(self, text: str) -> str:
+        for name, t in self._versioned.items():
+            pat = _re.compile(
+                rf"\b{name}\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+                r"('[^']*'|[0-9]+)",
+                _re.I,
+            )
+
+            def repl(m, _t=t, _name=name):
+                kind = m.group(1).upper()
+                raw = m.group(2)
+                val = raw[1:-1] if raw.startswith("'") else raw
+                if kind == "VERSION":
+                    df = _t.read(version=int(val))
+                    tag = f"v{int(val)}"
+                else:
+                    df = _t.read(timestamp=val)
+                    tag = "t" + _re.sub(r"[^0-9]", "", val)[:17]
+                view = f"__vt_{_name}_{tag}"
+                df.createOrReplaceTempView(view)
+                return view
+
+            text = pat.sub(repl, text)
+            if _re.search(rf"\b{name}\b", text):
+                # bare reference: current snapshot as the view
+                t.read().createOrReplaceTempView(name)
+        return text
+
+    Engine.register_versioned = register_versioned
+    Engine._rewrite_versioned_relations = _rewrite_versioned_relations
+
+
+_register_versioned_methods()
