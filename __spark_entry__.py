@@ -18,6 +18,18 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# Also expose the repo to Spark's Python WORKERS: cloudpickle serializes
+# module-level functions by reference, so an executor that cannot import
+# witdb_spark fails at deserialize time. PYTHONPATH is inherited by the
+# worker subprocesses when the JVM starts after this import; UDF closures
+# additionally avoid module references (by-value capture) as the primary
+# defense, since the JVM may already be up.
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + (os.pathsep + _pp if _pp else "")
+    )
+
 from witdb_spark.queries import all_oracles, all_queries  # noqa: E402
 
 

@@ -236,6 +236,34 @@ def test_gh_degenerate_raises(ns):
     assert ns["area"](ns["intersection"](SQ, shifted)) == 0.0
 
 
+def test_boolean_fallback_degenerate_b(ns):
+    """A minus a B that snaps to nothing must be A, not EMPTY (ADVICE r5:
+    a sliver polygon collapses to zero rings after 1e-9 snapping)."""
+    sliver = "POLYGON ((0 0, 1 0, 1 1e-12, 0 1e-12, 0 0))"
+    out = ns["boolean_fallback"](SQ, sliver, "diff")
+    assert abs(ns["area"](out) - 16.0) < 1e-9
+    # sym with a degenerate B is also A
+    assert abs(ns["area"](ns["boolean_fallback"](SQ, sliver, "sym")) - 16.0) < 1e-9
+    # intersection with a degenerate B stays empty
+    assert ns["boolean_fallback"](SQ, sliver, "int") == "POLYGON EMPTY"
+
+
+def test_geometry_union_udf_accepts_holes(spark):
+    """geometry_union over an array where one polygon has a hole must not
+    raise (ADVICE r5 regression: union_many refuses holes — fall back to
+    the pairwise fold for that case)."""
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT geometry_union(array("
+        f"'{HOLE}', "
+        "'POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))')) AS g"
+    ).collect()[0]
+    assert r.g.startswith("MULTIPOLYGON")
+    assert "1 1" in r.g  # the hole ring survives
+
+
 def test_difference_and_symdifference(ns):
     """ST_Difference / ST_SymDifference: area identities
     area(A) = area(A∩B) + area(A−B); symdiff = A∪B − A∩B."""

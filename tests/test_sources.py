@@ -409,12 +409,44 @@ def test_versioned_table_time_travel(spark, tmp_path):
         f"SELECT count(*) AS n FROM vt FOR TIMESTAMP AS OF '{hist[2]['ts']}'"
     ).collect()[0].n
     assert nt == 6
-    # single-writer guard: a concurrent commit at the same version is loud
+    # single-writer guard: pre-create the NEXT version's log file (what a
+    # concurrent writer would have just committed) and assert _commit
+    # refuses to clobber it
     import json as _json
     import os as _os
 
-    log = sorted(_os.listdir(_os.path.join(path, "_vlog")))[-1]
-    with pytest.raises(RuntimeError):
-        t._commit(["data/bogus"], "append") if _os.path.exists(
-            _os.path.join(path, "_vlog", log)
-        ) and False else (_ for _ in ()).throw(RuntimeError("guard"))
+    next_v = t.latest_version() + 1
+    clash = _os.path.join(path, "_vlog", f"{next_v:08d}.json")
+    with open(clash, "w") as f:
+        _json.dump(
+            {"version": next_v, "ts": "2026-01-01T00:00:00+00:00",
+             "operation": "append", "files": []},
+            f,
+        )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        # bypass history() (which would see the clash as committed) by
+        # racing at the same version number a lagging writer would pick
+        VersionedTable(spark, path)._commit_at(next_v, ["data/bogus"], "append")
+    _os.remove(clash)
+    # space-separated timestamp literal (Trino canonical form) resolves
+    # identically to the stored T-separated ISO form
+    assert t.read(timestamp=hist[1]["ts"].replace("T", " ")).count() == 8
+    # shadowing a catalog table name invalidates the register_views memo
+    # (ADVICE r5: a later Engine(sf_dir=...) must re-register the real
+    # table, not silently read the shadowed versioned view)
+    from witdb_spark.catalog import Tables
+
+    sf = "/root/testdata/sf0.001"
+    Tables(spark, sf).register_views()
+    real_n = spark.table("nation").count()
+    eng2 = Engine(spark)
+    eng2.register_versioned("nation", path)
+    assert eng2.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 10
+    Tables(spark, sf).register_views()  # memo was cleared -> re-registers
+    assert spark.table("nation").count() == real_n
+    # typed-literal SQL form
+    nt2 = eng.sql(
+        "SELECT count(*) AS n FROM vt FOR TIMESTAMP AS OF TIMESTAMP "
+        f"'{hist[2]['ts'].replace('T', ' ')}'"
+    ).collect()[0].n
+    assert nt2 == 6

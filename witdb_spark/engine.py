@@ -692,9 +692,11 @@ def _register_versioned_methods() -> None:
 
     def _rewrite_versioned_relations(self, text: str) -> str:
         for name, t in self._versioned.items():
+            # accepts both the bare literal and the typed-literal form
+            # `FOR TIMESTAMP AS OF TIMESTAMP '2026-08-14 12:00:00'`
             pat = _re.compile(
                 rf"\b{name}\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
-                r"('[^']*'|[0-9]+)",
+                r"(?:TIMESTAMP\s+)?('[^']*'|[0-9]+)",
                 _re.I,
             )
 
@@ -716,6 +718,16 @@ def _register_versioned_methods() -> None:
             if _re.search(rf"\b{name}\b", text):
                 # bare reference: current snapshot as the view
                 t.read().createOrReplaceTempView(name)
+                # if this shadows a catalog table name, invalidate the
+                # register_views memo so a later Engine(sf_dir=...) on
+                # the same session re-registers the real table instead
+                # of silently reading the shadowed view
+                from witdb_spark.catalog import TABLE_NAMES
+
+                if name in TABLE_NAMES and hasattr(
+                    self.spark, "_witdb_view_memo"
+                ):
+                    del self.spark._witdb_view_memo
         return text
 
     Engine.register_versioned = register_versioned

@@ -2620,8 +2620,16 @@ def boolean_fallback(sa, sb, op, grid=1e-9):
 
     ra = _gather_rings([sa], grid, who="st_" + op)
     rb = _gather_rings([sb], grid, who="st_" + op)
-    if not ra or not rb:
+    if not ra:
         return "POLYGON EMPTY"
+    if not rb:
+        # B collapsed to nothing (e.g. a sliver snapped away): A minus
+        # nothing is A; A sym nothing is A; A intersect nothing is empty
+        if op == "int":
+            return "POLYGON EMPTY"
+        if len(ra) == 1:
+            return emit("POLYGON", [ra[0] + [ra[0][0]]])
+        return emit("MULTIPOLYGON", [[r + [r[0]]] for r in ra])
 
     def in_group(p, rings):
         for r in rings:
@@ -3345,11 +3353,22 @@ def register_geometry_udfs(spark: SparkSession) -> int:
                 return None
             if len(wkts) == 1:
                 return wkts[0]
-            kinds = {ns["parse"](w)[0] for w in wkts}
+            parsed = [ns["parse"](w) for w in wkts]
+            kinds = {k for k, _ in parsed}
             if kinds <= {"POLYGON", "MULTIPOLYGON"}:
-                # N-way polygonal union: one arrangement pass (r5) —
-                # robust to the shared-edge chains a pairwise fold hits
-                return many(wkts)
+
+                def has_hole(k, d):
+                    if d is None:
+                        return False
+                    polys = [d] if k == "POLYGON" else list(d)
+                    return any(len(p) > 1 for p in polys)
+
+                if not any(has_hole(k, d) for k, d in parsed):
+                    # N-way polygonal union: one arrangement pass (r5) —
+                    # robust to the shared-edge chains a pairwise fold
+                    # hits. Holes fall through to the pairwise fold the
+                    # arrangement does not accept as inputs yet.
+                    return many(wkts)
             acc = None
             for w in wkts:
                 acc = w if acc is None else pair(acc, w)

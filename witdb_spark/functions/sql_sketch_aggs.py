@@ -169,13 +169,30 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
 
     from witdb_spark.operators.tdigest import (
         K_CENTROIDS,
-        grid_bracket,
         rank_mids,
         scale_grid,
     )
 
     grid = np.asarray(scale_grid(K_CENTROIDS))
     mids = np.asarray(rank_mids(K_CENTROIDS))
+    grid_list = list(scale_grid(K_CENTROIDS))  # plain values: the UDF
+    # closures below must capture NO witdb_spark module references —
+    # cloudpickle serializes module functions by reference, and the
+    # driver's executors do not have the package on PYTHONPATH
+
+    def _bracket(q: float, k: int):
+        # local twin of operators/tdigest.grid_bracket over grid_list
+        g = grid_list
+        if q <= g[0]:
+            return 0, 0, 0.0
+        if q >= g[-1]:
+            return k - 1, k - 1, 0.0
+        for i in range(k - 1):
+            if g[i] <= q <= g[i + 1]:
+                if q == g[i]:
+                    return i, i, 0.0
+                return i, i + 1, (q - g[i]) / (g[i + 1] - g[i])
+        raise AssertionError("unreachable: grid spans [0, 1]")
 
     @F.pandas_udf("binary")
     def tdigest_agg(v: pd.Series) -> bytes:
@@ -230,7 +247,7 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
                 f"tdigest value_at_quantile: q in [0, 1], got {q}"
             )
         pts = np.frombuffer(bytes(blob), dtype="float64")[1:]
-        lo, hi, frac = grid_bracket(q, len(pts))
+        lo, hi, frac = _bracket(q, len(pts))
         return float(pts[lo] + (pts[hi] - pts[lo]) * frac)
 
     @F.pandas_udf("double")

@@ -41,6 +41,19 @@ _LOG_DIR = "_vlog"
 _DATA_DIR = "data"
 
 
+def _parse_ts(s: str) -> datetime:
+    """Normalize a timestamp literal (space- or T-separated, optional
+    offset) to an aware UTC datetime so snapshot resolution never falls
+    back to string order."""
+    s = str(s).strip().replace(" ", "T", 1)
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
 class VersionedTable:
     """Handle to one versioned table rooted at ``path``."""
 
@@ -75,9 +88,12 @@ class VersionedTable:
         return h[-1]["version"]
 
     def _commit(self, files: list[str], operation: str) -> int:
-        os.makedirs(self._log_dir(), exist_ok=True)
         h = self.history()
         version = (h[-1]["version"] + 1) if h else 0
+        return self._commit_at(version, files, operation)
+
+    def _commit_at(self, version: int, files: list[str], operation: str) -> int:
+        os.makedirs(self._log_dir(), exist_ok=True)
         entry = {
             "version": version,
             "ts": datetime.now(timezone.utc).isoformat(),
@@ -167,12 +183,15 @@ class VersionedTable:
                 )
             entry = matches[0]
         elif timestamp is not None:
-            # lexicographic ISO compare; a date-only timestamp means
-            # end-of-day (Trino's DATE time-travel semantics)
-            ts = str(timestamp)
+            # parse both sides to aware datetimes — a raw string compare
+            # would sort '2026-08-14 12:00' before '2026-08-14T00:00'
+            # and silently pick the wrong snapshot. A date-only timestamp
+            # means end-of-day (Trino's DATE time-travel semantics).
+            ts = str(timestamp).strip()
             if len(ts) == 10:
                 ts += "T23:59:59.999999+00:00"
-            eligible = [e for e in h if e["ts"] <= ts]
+            want = _parse_ts(ts)
+            eligible = [e for e in h if _parse_ts(e["ts"]) <= want]
             if not eligible:
                 raise ValueError(
                     f"no version committed at or before {timestamp!r}"
