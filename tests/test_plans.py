@@ -10,6 +10,8 @@ file fails before any benchmark notices.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_DIR
@@ -542,3 +544,60 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sketch_sql_names_partial_final_split(spark):
+    """The SQL-name build sketches must plan PARTIAL -> FINAL (reference
+    sql/planner/plan/AggregationNode.java:347 Step.PARTIAL/FINAL): the
+    transpiler splits qdigest_agg/approx_set GROUP BY blocks into a
+    salted partial aggregation plus a blob-merge final aggregation
+    (plans/dialect.py::_rewrite_sketch_two_level), so a low-cardinality
+    GROUP BY at 100 TB never funnels a whole group's raw rows into one
+    Python task — only constant-size digest blobs cross the second
+    exchange."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    for text, merge_name in [
+        (
+            "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d"
+            " FROM lineitem GROUP BY l_returnflag",
+            "merge_qdigest",
+        ),
+        (
+            "SELECT approx_set(l_orderkey) AS h FROM lineitem",
+            "merge_hll",
+        ),
+    ]:
+        df = eng.sql(text)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # two pandas aggregate levels: salted partial, then blob merge
+        assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+        assert merge_name in plan, plan
+        # the partial level groups by the salt too
+        assert "pmod" in plan.lower(), plan
+
+
+def test_sketch_split_leaves_complex_shapes_alone(spark):
+    """Shapes the two-level rewrite cannot prove safe (window functions,
+    HAVING, unaliased aggregates) keep the single-level plan — a
+    conservative fallback, never an error."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    # unaliased sketch aggregate: output name would change under a
+    # rewrite, so the transpiler must leave it single-level
+    df = eng.sql(
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice)"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 1, plan

@@ -1268,6 +1268,234 @@ def _rewrite_agg_calls(sql: str) -> str:
     return sql
 
 
+#: Salt fan-out for the sketch partial/final split. 16 partials per
+#: group bounds the per-task funnel at 1/16th of a group; raise for
+#: gigantic groups (the constant is deliberately engine-replayable:
+#: oracles must reproduce the same partition of values).
+SKETCH_SALT_BUCKETS = 16
+
+#: Build-side sketch aggregates (raw rows in) -> (merge aggregate that
+#: reads the partial blobs, needs-deterministic-salt). approx_set /
+#: make_set_digest are EXACT under any merge tree (register max / union
+#: bottom-k), so any salt preserves results; the rank-grid digests are
+#: merge-path-dependent, so their salt must be a deterministic function
+#: of the value that a DuckDB oracle can replay (floor(v) mod N).
+_SKETCH_BUILD_FORMS = {
+    "qdigest_agg": ("merge_qdigest", True),
+    "tdigest_agg": ("merge_tdigest", True),
+    "approx_set": ("merge_hll", False),
+    "make_set_digest": ("merge_set_digest", False),
+}
+
+# NOTE: co-aggregates (count/sum/...) are NOT split alongside sketches:
+# Spark refuses to mix GROUPED_AGG pandas UDFs with non-pandas aggregate
+# functions in one aggregation (INVALID_PANDAS_UDF_PLACEMENT), so such a
+# block fails identically with or without the rewrite — bail and let the
+# single-level error surface.
+
+
+def _norm_expr(text: str) -> str:
+    return " ".join(text.split()).lower()
+
+
+def _item_alias(item: str) -> tuple[str, str | None]:
+    """Split a select item into (expr, alias) at the LAST top-level AS."""
+    pos = None
+    for m in re.finditer(r"\bAS\b", item, re.I):
+        depths, instr = _scan_maps(item)
+        if depths[m.start()] == 0 and not instr[m.start()]:
+            pos = m
+    if pos is None:
+        return item.strip(), None
+    return item[: pos.start()].strip(), item[pos.end() :].strip()
+
+
+def _parse_agg_call(expr: str) -> tuple[str, str] | None:
+    """(fname, args) if expr is exactly one function call, else None."""
+    m = re.match(r"^\s*([A-Za-z_]\w*)\s*\(", expr)
+    if not m:
+        return None
+    open_idx = expr.index("(", m.start())
+    try:
+        close_idx = _match_paren(expr, open_idx)
+    except Exception:
+        return None
+    if expr[close_idx + 1 :].strip():
+        return None
+    return m.group(1).lower(), expr[open_idx + 1 : close_idx].strip()
+
+
+def _rewrite_sketch_two_level(sql: str) -> str:
+    """Plan build-side sketch SQL aggregates PARTIAL -> FINAL (reference
+    sql/planner/plan/AggregationNode.java:347 Step.PARTIAL/FINAL): a
+    grouped-agg pandas UDF has no map-side combine, so a bare
+    ``qdigest_agg(x) ... GROUP BY g`` funnels every row of a group into
+    one Python task. This pass rewrites the enclosing SELECT block into
+
+        SELECT g, merge_X(__sp0) FROM (
+          SELECT g, X_agg(v) AS __sp0 FROM t GROUP BY g, <salt(v)>
+        ) __sk_part GROUP BY g
+
+    so each group builds SKETCH_SALT_BUCKETS constant-size partials in
+    parallel and only K-point blobs cross the final shuffle. Applies to
+    the canonical aggregate shape (plain SELECT items over one FROM
+    clause, optional WHERE/GROUP BY, co-aggregates limited to
+    count/sum/min/max, everything aliased); any other shape keeps the
+    single-level plan unchanged — a conservative fallback, never an
+    error. approx_set/make_set_digest merges are exact, so their results
+    are bit-identical; qdigest/tdigest results are merge-grade (the same
+    trade the reference takes for every PARTIAL->FINAL digest), with the
+    salt deterministic so oracles can replay the exact partition."""
+    pat = r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest)\s*\("
+
+    def keep(s: str, start: int) -> str:
+        # mark un-rewritable call so the scan loop skips it
+        return s[:start] + "__SKKEEP_" + s[start:]
+
+    guard = 0
+    while guard < 200:
+        guard += 1
+        m = _first_code_match(pat, sql)
+        if m is None:
+            break
+        depths, instr = _scan_maps(sql)
+        d = depths[m.start()]
+        sel = None
+        for sm in re.finditer(r"\bSELECT\b", sql, re.I):
+            if sm.start() >= m.start():
+                break
+            if not instr[sm.start()] and depths[sm.start()] == d:
+                sel = sm
+        if sel is None:
+            sql = keep(sql, m.start())
+            continue
+        if d == 0:
+            end = len(sql)
+        else:
+            end = next(
+                i
+                for i in range(sel.start(), len(sql))
+                if depths[i] < d and not instr[i]
+            )
+        block = sql[sel.start() : end]
+        rewritten = _sketch_block_two_level(block)
+        if rewritten is None:
+            sql = keep(sql, m.start())
+            continue
+        sql = sql[: sel.start()] + rewritten + sql[end:]
+    sql = re.sub(r"__SKPART_([a-z_]+)__\s*\(", r"\1(", sql)
+    sql = re.sub(r"__SKKEEP_([A-Za-z_]+)(\s*\()", r"\1\2", sql)
+    return sql
+
+
+def _sketch_block_two_level(block: str) -> str | None:
+    """Rewrite one SELECT block (no enclosing parens) or None to bail."""
+    bd, binstr = _scan_maps(block)
+
+    def top_kw(pattern: str):
+        for m in re.finditer(pattern, block, re.I):
+            if bd[m.start()] == 0 and not binstr[m.start()]:
+                return m
+        return None
+
+    for bailer in (
+        r"\bHAVING\b", r"\bORDER\s+BY\b", r"\bLIMIT\b", r"\bOFFSET\b",
+        r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
+        r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
+        r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b",
+        r"\bFILTER\s*\(",
+    ):
+        if top_kw(bailer):
+            return None
+    fm = top_kw(r"\bFROM\b")
+    if fm is None:
+        return None
+    gm = top_kw(r"\bGROUP\s+BY\b")
+    items_text = block[len("SELECT") : fm.start()]
+    source_text = block[fm.end() : gm.start() if gm else len(block)].strip()
+    keys = (
+        [k for k in _split_top_level(block[gm.end() :]) if k]
+        if gm
+        else []
+    )
+    if any(re.fullmatch(r"\d+", k) for k in keys):
+        return None  # GROUP BY ordinals: key exprs unknown textually
+    norm_keys = {_norm_expr(k): k for k in keys}
+
+    inner_items: list[str] = []
+    inner_group: list[str] = list(keys)
+    outer_items: list[str] = []
+    outer_group: list[str] = []
+    salts: list[str] = []
+    exact_args: list[str] = []
+    matched_keys: set[str] = set()
+    j = 0
+    for item in _split_top_level(items_text):
+        if not item:
+            return None
+        expr, alias = _item_alias(item)
+        nk = _norm_expr(expr)
+        if nk in norm_keys:
+            matched_keys.add(nk)
+            if alias:
+                inner_items.append(f"{expr} AS {alias}")
+                ref = alias
+            elif re.fullmatch(r"[A-Za-z_][\w.]*", expr):
+                inner_items.append(expr)
+                ref = expr.split(".")[-1]
+            else:
+                return None  # complex unaliased key: output name unclear
+            outer_items.append(f"{ref} AS {ref}" if not alias else f"{ref} AS {alias}")
+            outer_group.append(ref)
+            continue
+        call = _parse_agg_call(expr)
+        if call is None or alias is None:
+            return None
+        fname, args = call
+        if re.match(r"(?is)^\s*DISTINCT\b", args):
+            return None
+        if fname in _SKETCH_BUILD_FORMS:
+            merge_name, needs_rank_salt = _SKETCH_BUILD_FORMS[fname]
+            if len(_split_top_level(args)) != 1:
+                return None
+            if needs_rank_salt:
+                salts.append(
+                    f"pmod(CAST(floor({args}) AS BIGINT),"
+                    f" {SKETCH_SALT_BUCKETS})"
+                )
+            else:
+                exact_args.append(args)
+            inner_items.append(f"__SKPART_{fname}__({args}) AS __sp{j}")
+            outer_items.append(f"{merge_name}(__sp{j}) AS {alias}")
+        else:
+            return None
+        j += 1
+    if j == 0:
+        return None
+    # group keys that never appear as select items still must flow up
+    for i, k in enumerate(keys):
+        if _norm_expr(k) not in matched_keys:
+            inner_items.append(f"{k} AS __gk{i}")
+            outer_group.append(f"__gk{i}")
+    if not salts:
+        salts = [
+            f"pmod(hash({', '.join(exact_args)}), {SKETCH_SALT_BUCKETS})"
+        ]
+    inner_group.extend(salts)
+    inner = (
+        "SELECT "
+        + ", ".join(inner_items)
+        + " FROM "
+        + source_text
+        + " GROUP BY "
+        + ", ".join(inner_group)
+    )
+    outer = "SELECT " + ", ".join(outer_items) + f" FROM ({inner}) __sk_part"
+    if outer_group:
+        outer += " GROUP BY " + ", ".join(outer_group)
+    return outer
+
+
 def _rewrite_bit_count(sql: str) -> str:
     """Trino bit_count(x, bits) -> Spark's 1-arg bit_count over the
     masked low `bits` (two's-complement popcount; Trino semantics).
@@ -1441,6 +1669,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_bing_tiles_around(sql)
     sql = _rewrite_color_family(sql)
     sql = _rewrite_features(sql)
+    sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
     sql = _rewrite_fetch_ties(sql)

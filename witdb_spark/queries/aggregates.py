@@ -842,15 +842,60 @@ def agg_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdigest_salted_oracle() -> str:
+    """Replay the r6 PARTIAL->FINAL qdigest pipeline: the transpiler
+    splits ``qdigest_agg(v) GROUP BY f`` into per-(f, salt) builds merged
+    per f (plans/dialect.py::_rewrite_sketch_two_level, salt =
+    floor(v) mod N — deterministic so this oracle can reproduce the exact
+    value partition), then the query's own merge_qdigest folds flags to
+    one global digest: three integer-rank selection levels."""
+    from witdb_spark.operators.qdigest import K_POINTS, quantile_index
+    from witdb_spark.plans.dialect import SKETCH_SALT_BUCKETS as NS
+
+    kp = K_POINTS
+    i25, i50, i75 = (quantile_index(q, kp) for q in (0.25, 0.5, 0.75))
+    salt = f"CAST(floor(l_extendedprice) AS BIGINT) % {NS}"
+    return f"""
+    WITH ks AS (SELECT range AS k FROM range({kp})),
+    r0 AS (
+      SELECT l_returnflag AS f, {salt} AS s, l_extendedprice + 0.0e0 AS v,
+             row_number() OVER (PARTITION BY l_returnflag, {salt}
+                                ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag, {salt}) AS n
+      FROM lineitem),
+    d0 AS (SELECT f, s, k, v, n FROM r0 JOIN ks ON rn = (k * (n - 1)) // {kp - 1}),
+    s1 AS (SELECT f, v, SUM(n) OVER (PARTITION BY f ORDER BY v, s, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d0),
+    t1 AS (SELECT f, SUM(n) AS wtot FROM d0 GROUP BY f),
+    nf AS (SELECT f, COUNT(*) AS n FROM r0 GROUP BY f),
+    m1 AS (SELECT t1.f, ks.k,
+             (SELECT MIN(v) FROM s1 WHERE s1.f = t1.f
+              AND s1.cum >= (ks.k * t1.wtot) // {kp - 1}) AS v
+           FROM t1 CROSS JOIN ks),
+    d1 AS (SELECT m1.f, m1.k, m1.v, nf.n FROM m1 JOIN nf ON m1.f = nf.f),
+    s2 AS (SELECT v, SUM(n) OVER (ORDER BY v, f, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d1),
+    t2 AS (SELECT SUM(n) AS wtot FROM d1),
+    merged AS (SELECT ks.k,
+                 (SELECT MIN(v) FROM s2
+                  WHERE cum >= (ks.k * (SELECT wtot FROM t2)) // {kp - 1}) AS mv
+               FROM ks)
+    SELECT (SELECT mv FROM merged WHERE k = {i25}) AS p25,
+           (SELECT mv FROM merged WHERE k = {i50}) AS p50,
+           (SELECT mv FROM merged WHERE k = {i75}) AS p75
+    """
+
+
 @register(
     "agg_qdigest_sql_names",
-    _qdigest_rollup_oracle(),
-    doc="The SAME qdigest rollup as agg_qdigest_rollup, but written as "
-    "plain SQL text through Engine.sql using the r5 SQL-name aggregate "
-    "surface (functions/sql_sketch_aggs.py: qdigest_agg/merge_qdigest "
-    "as GROUPED_AGG pandas UDFs emitting the operator wire format, read "
-    "by the registered value_at_quantile scalar). Identical oracle — "
-    "the SQL-name path must be bit-equal to the operator path.",
+    _qdigest_salted_oracle(),
+    doc="The qdigest rollup written as plain SQL text through Engine.sql "
+    "(functions/sql_sketch_aggs.py GROUPED_AGG pandas UDFs). r6: the "
+    "transpiler plans the build PARTIAL->FINAL (reference "
+    "AggregationNode.java:347 Step) — per-(flag, salt) constant-size "
+    "partial digests, merged per flag, so no single Python task ever "
+    "sees a whole group; the oracle replays the salted three-level "
+    "pipeline exactly (deterministic floor(v)-mod salt).",
     tags=("aggregate", "approx", "sketch", "dialect"),
 )
 def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,15 +916,91 @@ def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tdigest_salted_oracle() -> str:
+    """Replay the r6 PARTIAL->FINAL t-digest pipeline: per-(flag, salt)
+    cosine-grid builds, weighted grid-re-selection merge per flag
+    (plans/dialect.py::_rewrite_sketch_two_level), then the query's own
+    merge_tdigest folds flags to one global digest. Grid/mid literals are
+    injected from the same Python lists the UDFs close over."""
+    from witdb_spark.operators.tdigest import (
+        K_CENTROIDS,
+        grid_bracket,
+        rank_mids,
+        scale_grid,
+    )
+    from witdb_spark.plans.dialect import SKETCH_SALT_BUCKETS as NS
+
+    grid = scale_grid(K_CENTROIDS)
+    mids = rank_mids(K_CENTROIDS)
+    vals = ", ".join(
+        f"({k}, {q!r}, {mids[k]!r}, {mids[k + 1]!r})" for k, q in enumerate(grid)
+    )
+    salt = f"CAST(floor(l_extendedprice) AS BIGINT) % {NS}"
+
+    def interp(q: float, alias: str) -> str:
+        lo, hi, w = grid_bracket(q)
+        return (
+            f"(SELECT mv FROM merged WHERE k = {lo}) + {w!r} * "
+            f"((SELECT mv FROM merged WHERE k = {hi}) - "
+            f"(SELECT mv FROM merged WHERE k = {lo})) AS {alias}"
+        )
+
+    last = K_CENTROIDS - 1
+    return f"""
+    WITH grid(k, q, mlo, mhi) AS (VALUES {vals}),
+    r0 AS (
+      SELECT l_returnflag AS f, {salt} AS s, l_extendedprice + 0.0e0 AS v,
+             row_number() OVER (PARTITION BY l_returnflag, {salt}
+                                ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag, {salt}) AS n
+      FROM r0src),
+    d0 AS (
+      SELECT f, s, g.k, v,
+             CAST(floor(g.mhi * n + 0.5) AS BIGINT)
+               - CAST(floor(g.mlo * n + 0.5) AS BIGINT) AS w
+      FROM r0 JOIN grid g ON rn = CAST(floor(g.q * (n - 1) + 0.5) AS BIGINT)),
+    s1 AS (SELECT f, v, SUM(w) OVER (PARTITION BY f ORDER BY v, s, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d0),
+    t1 AS (SELECT f, SUM(w) AS wtot FROM d0 GROUP BY f),
+    nf AS (SELECT f, COUNT(*) AS n FROM r0 GROUP BY f),
+    mm1 AS (SELECT f, MIN(v) AS mn, MAX(v) AS mx FROM d0 GROUP BY f),
+    m1 AS (SELECT t1.f, g.k,
+             CASE WHEN g.k = 0 THEN (SELECT mn FROM mm1 WHERE mm1.f = t1.f)
+                  WHEN g.k = {last} THEN (SELECT mx FROM mm1 WHERE mm1.f = t1.f)
+                  ELSE (SELECT MIN(v) FROM s1 WHERE s1.f = t1.f
+                        AND cum >= floor(g.q * (CAST(t1.wtot AS DOUBLE) - 1) + 0.5) + 1)
+             END AS v
+           FROM t1 CROSS JOIN grid g),
+    d1 AS (SELECT m1.f, m1.k, m1.v,
+             CAST(floor(g2.mhi * nf.n + 0.5) AS BIGINT)
+               - CAST(floor(g2.mlo * nf.n + 0.5) AS BIGINT) AS w
+           FROM m1 JOIN nf ON m1.f = nf.f JOIN grid g2 ON g2.k = m1.k),
+    s2 AS (SELECT v, SUM(w) OVER (ORDER BY v, f, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d1),
+    t2 AS (SELECT SUM(w) AS wtot FROM d1),
+    merged AS (SELECT g.k,
+                 CASE WHEN g.k = 0 THEN (SELECT MIN(v) FROM d1)
+                      WHEN g.k = {last} THEN (SELECT MAX(v) FROM d1)
+                      ELSE (SELECT MIN(v) FROM s2
+                            WHERE cum >= floor(g.q * (CAST((SELECT wtot FROM t2) AS DOUBLE) - 1) + 0.5) + 1)
+                 END AS mv
+               FROM grid g)
+    SELECT {interp(0.50, "p50")},
+           {interp(0.95, "p95")},
+           {interp(0.99, "p99")}
+    """.replace("r0src", "lineitem")
+
+
 @register(
     "agg_tdigest_sql_names",
-    _tdigest_rollup_oracle(),
-    doc="The SAME t-digest rollup as agg_tdigest_rollup, but written as "
-    "plain SQL text through Engine.sql using the r5 SQL-name aggregate "
-    "surface (functions/sql_sketch_aggs.py: tdigest_agg/merge_tdigest "
-    "GROUPED_AGG pandas UDFs emitting the operator wire format, read by "
-    "tdigest_values_at_quantiles). Identical oracle — the SQL-name path "
-    "must be bit-equal to the operator path.",
+    _tdigest_salted_oracle(),
+    doc="The t-digest rollup written as plain SQL text through Engine.sql "
+    "(functions/sql_sketch_aggs.py GROUPED_AGG pandas UDFs). r6: the "
+    "transpiler plans the build PARTIAL->FINAL (reference "
+    "AggregationNode.java:347 Step) — per-(flag, salt) constant-size "
+    "cosine-grid partials, merged per flag by weighted grid "
+    "re-selection, so no single Python task ever sees a whole group; "
+    "the oracle replays the salted three-level pipeline exactly.",
     tags=("aggregate", "approx", "sketch", "dialect"),
 )
 def agg_tdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
