@@ -464,3 +464,307 @@ register(
     "orders-vs-lineitem channels by customer nation).",
     tags=("tpcds", "sql_text", "dialect"),
 )(_make("tpcds_sql_q31", _Q31))
+
+
+# ---- r6 tranche 2: channel-UNION YoY, set-op overlap, multi-reference
+# CTEs, returns-adjusted sales, period pivots, below-average scans,
+# cov self-joins (reference testing/trino-benchmark-queries/.../tpcds/
+# q75 q5 q38 q87 q23 q95 q93 q59 q65 q39) ----
+
+# q75 shape: UNION ALL across channels -> per (year, brand) totals ->
+# prev/curr year self-join -> decline filter. The decline comparison is
+# cross-multiplied in DECIMAL (curr*10 < prev*9 <=> ratio < 0.9) so no
+# engine-specific decimal-division scale rule can flip a row.
+_Q75 = """
+    WITH all_sales AS (
+      SELECT yr, p_brand,
+             SUM(qty) AS qty, SUM(amt) AS amt
+      FROM (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, p_brand,
+               CAST(l_quantity AS DECIMAL(30,6)) AS qty,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amt
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, p_brand,
+               CAST(l_quantity AS DECIMAL(30,6)) AS qty,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amt
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority = '3-MEDIUM'
+        UNION ALL
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, p_brand,
+               CAST(l_quantity AS DECIMAL(30,6)) AS qty,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amt
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      ) AS u
+      GROUP BY yr, p_brand)
+    SELECT prev_s.yr AS prev_year, curr_s.yr AS yr, curr_s.p_brand,
+           CAST(prev_s.qty AS DOUBLE) AS prev_qty,
+           CAST(curr_s.qty AS DOUBLE) AS curr_qty,
+           CAST(curr_s.qty - prev_s.qty AS DOUBLE) AS qty_diff,
+           CAST(curr_s.amt - prev_s.amt AS DOUBLE) AS amt_diff
+    FROM all_sales curr_s JOIN all_sales prev_s
+         ON curr_s.p_brand = prev_s.p_brand
+    WHERE prev_s.yr = 1996 AND curr_s.yr = 1997
+      AND curr_s.qty * 10 < prev_s.qty * 9
+"""
+
+# q5 shape: per-channel sales/returns/profit report rolled up with
+# ROLLUP(channel, id) — the channel P&L union report. Channels map to
+# order-priority classes; returns are the R-returnflag rows.
+_Q5 = """
+    WITH wd AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'web'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog'
+                  ELSE 'store' END AS channel,
+             o_orderpriority AS id,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+               AS sales_price,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,6))
+                  ELSE CAST(0 AS DECIMAL(30,6)) END AS return_amt
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    SELECT channel, id,
+           CAST(SUM(sales_price) AS DOUBLE) AS sales,
+           CAST(SUM(return_amt) AS DOUBLE) AS returns_amt,
+           CAST(SUM(sales_price) - SUM(return_amt) AS DOUBLE) AS profit
+    FROM wd
+    GROUP BY ROLLUP (channel, id)
+"""
+
+# q38 shape: customers active in ALL THREE channels — INTERSECT of three
+# DISTINCT key sets, then one COUNT.
+_Q38 = """
+    SELECT COUNT(*) AS hot_cust
+    FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    ) AS hot
+"""
+
+# q87 shape: the EXCEPT twin — customers in the first channel and in
+# neither of the others.
+_Q87 = """
+    SELECT COUNT(*) AS exclusive_cust
+    FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    ) AS ex
+"""
+
+# q23 shape: two CTEs (frequent items, best customers) each referenced
+# TWICE — once by each UNION ALL half — plus a scalar-subquery threshold
+# over a third CTE that the best-customers CTE also reads. The spend
+# threshold is cross-multiplied (tot * 4 > max) to stay in DECIMAL.
+_Q23 = """
+    WITH freq AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(*) > 4),
+    cust_tot AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS tot
+      FROM orders GROUP BY o_custkey),
+    best AS (
+      SELECT o_custkey FROM cust_tot
+      WHERE tot * 4 > (SELECT MAX(tot) FROM cust_tot))
+    SELECT CAST(SUM(amt) AS DOUBLE) AS total_sales
+    FROM (
+      SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amt
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE quarter(o_orderdate) <= 2
+        AND l_partkey IN (SELECT l_partkey FROM freq)
+        AND o_custkey IN (SELECT o_custkey FROM best)
+      UNION ALL
+      SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS amt
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE quarter(o_orderdate) >= 3
+        AND l_partkey IN (SELECT l_partkey FROM freq)
+        AND o_custkey IN (SELECT o_custkey FROM best)
+    ) AS halves
+"""
+
+# q95 shape: one CTE consumed by TWO IN-subqueries of the same outer
+# query (the second nested inside another subquery) — the CTE-reuse
+# pattern that separates plan-level CTE materialization from textual
+# inlining.
+_Q95 = """
+    WITH multi_supp AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1)
+    SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_orderkey IN (SELECT l_orderkey FROM multi_supp))
+"""
+
+# q93 shape: returns-adjusted actual sales — aggregated returns CTE LEFT
+# JOINed back to sales rows, CASE choosing between net-of-returns and
+# full quantity. least() caps the returned quantity like the reference
+# caps sr_return_quantity at ss_quantity.
+_Q93 = """
+    WITH ret AS (
+      SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+             SUM(l_quantity) AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey)
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN ret_qty IS NOT NULL
+                    THEN CAST((l_quantity - least(l_quantity, ret_qty))
+                              * l_extendedprice AS DECIMAL(30,6))
+                    ELSE CAST(l_quantity * l_extendedprice
+                              AS DECIMAL(30,6)) END) AS DOUBLE) AS sumsales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         LEFT JOIN ret ON r_orderkey = l_orderkey AND r_partkey = l_partkey
+    WHERE l_returnflag <> 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o_custkey
+"""
+
+# q59 shape: per-period CASE-pivot totals (the day-of-week pivot of the
+# original, mapped to quarters) self-joined across two years with
+# per-column ratios.
+_Q59 = """
+    WITH qt AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             SUM(CASE WHEN quarter(o_orderdate) = 1
+                      THEN CAST(o_totalprice AS DECIMAL(30,6))
+                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS q1_sales,
+             SUM(CASE WHEN quarter(o_orderdate) = 2
+                      THEN CAST(o_totalprice AS DECIMAL(30,6))
+                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS q2_sales,
+             SUM(CASE WHEN quarter(o_orderdate) = 3
+                      THEN CAST(o_totalprice AS DECIMAL(30,6))
+                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS q3_sales,
+             SUM(CASE WHEN quarter(o_orderdate) = 4
+                      THEN CAST(o_totalprice AS DECIMAL(30,6))
+                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS q4_sales
+      FROM orders GROUP BY o_custkey, year(o_orderdate))
+    SELECT y1.o_custkey,
+           round(CAST(y2.q1_sales AS DOUBLE) / CAST(y1.q1_sales AS DOUBLE), 6)
+             AS q1_ratio,
+           round(CAST(y2.q2_sales AS DOUBLE) / CAST(y1.q2_sales AS DOUBLE), 6)
+             AS q2_ratio,
+           round(CAST(y2.q3_sales AS DOUBLE) / CAST(y1.q3_sales AS DOUBLE), 6)
+             AS q3_ratio,
+           round(CAST(y2.q4_sales AS DOUBLE) / CAST(y1.q4_sales AS DOUBLE), 6)
+             AS q4_ratio
+    FROM qt y1 JOIN qt y2 ON y1.o_custkey = y2.o_custkey
+    WHERE y1.yr = 1996 AND y2.yr = 1997
+      AND y1.q1_sales > 0 AND y1.q2_sales > 0
+      AND y1.q3_sales > 0 AND y1.q4_sales > 0
+"""
+
+# q65 shape: (supplier, part) revenues joined against the supplier's
+# average part revenue, keeping rows at or below 10% of it. The
+# threshold is cross-multiplied (rev * cnt * 10 <= tot) so both engines
+# compare exact decimals instead of divided doubles.
+_Q65 = """
+    WITH sb AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS revenue
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    sa AS (
+      SELECT l_suppkey, SUM(revenue) AS tot, COUNT(*) AS cnt
+      FROM sb GROUP BY l_suppkey)
+    SELECT s_name, p_name, CAST(sb.revenue AS DOUBLE) AS revenue
+    FROM sb JOIN sa ON sb.l_suppkey = sa.l_suppkey
+         JOIN supplier ON s_suppkey = sb.l_suppkey
+         JOIN part ON p_partkey = sb.l_partkey
+    WHERE sb.revenue * cnt * 10 <= sa.tot
+"""
+
+# q39 shape: coefficient-of-variation per (part, month) computed from
+# exact decimal sum/sum-of-squares (quantities are integer-valued, so
+# both moments are exact), consecutive months self-joined where both
+# sides are high-variance. greatest(...) clamps the tiny negative
+# variance float error so sqrt never sees it.
+_Q39 = """
+    WITH inv AS (
+      SELECT l_partkey, CAST(month(l_shipdate) AS INTEGER) AS mo,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS ss
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY l_partkey, month(l_shipdate)
+      HAVING COUNT(*) > 1),
+    cv AS (
+      SELECT l_partkey, mo,
+             round(sqrt(greatest((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                 / (n - 1), 0.0e0))
+                   / (CAST(s AS DOUBLE) / n), 6) AS cov
+      FROM inv WHERE s > 0)
+    SELECT i1.l_partkey, i1.mo AS mo1, i1.cov AS cov1,
+           i2.mo AS mo2, i2.cov AS cov2
+    FROM cv i1 JOIN cv i2
+         ON i1.l_partkey = i2.l_partkey AND i2.mo = i1.mo + 1
+    WHERE i1.cov > 0.7e0 AND i2.cov > 0.7e0
+"""
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q75", _Q75,
+     "TPC-DS q75 shape via Engine.sql: three-channel UNION ALL, per "
+     "(year, brand) totals, prev/curr self-join, cross-multiplied "
+     "decline filter (reference tpcds/q75.sql adapted to order-priority "
+     "channels)."),
+    ("tpcds_sql_q5", _Q5,
+     "TPC-DS q5 shape via Engine.sql: channel sales/returns/profit "
+     "report under ROLLUP(channel, id) (reference tpcds/q5.sql adapted: "
+     "priority channels, R-returnflag returns)."),
+    ("tpcds_sql_q38", _Q38,
+     "TPC-DS q38 shape via Engine.sql: INTERSECT of three channel "
+     "customer sets, counted (reference tpcds/q38.sql)."),
+    ("tpcds_sql_q87", _Q87,
+     "TPC-DS q87 shape via Engine.sql: chained EXCEPT across the three "
+     "channel customer sets, counted (reference tpcds/q87.sql)."),
+    ("tpcds_sql_q23", _Q23,
+     "TPC-DS q23 shape via Engine.sql: frequent-items + best-customers "
+     "CTEs each referenced twice across UNION ALL halves, scalar MAX "
+     "threshold over a shared CTE (reference tpcds/q23.sql)."),
+    ("tpcds_sql_q95", _Q95,
+     "TPC-DS q95 shape via Engine.sql: one CTE feeding two IN-subqueries "
+     "(one nested) of the same query (reference tpcds/q95.sql adapted: "
+     "multi-supplier orders for the warehouse condition)."),
+    ("tpcds_sql_q93", _Q93,
+     "TPC-DS q93 shape via Engine.sql: aggregated returns LEFT JOINed "
+     "back to sales with a CASE net-of-returns measure (reference "
+     "tpcds/q93.sql)."),
+    ("tpcds_sql_q59", _Q59,
+     "TPC-DS q59 shape via Engine.sql: CASE-pivot per-quarter totals "
+     "self-joined across years with per-column ratios (reference "
+     "tpcds/q59.sql, day-of-week pivot mapped to quarters)."),
+    ("tpcds_sql_q65", _Q65,
+     "TPC-DS q65 shape via Engine.sql: per-(supplier, part) revenue vs "
+     "the supplier's average part revenue, cross-multiplied threshold "
+     "(reference tpcds/q65.sql)."),
+    ("tpcds_sql_q39", _Q39,
+     "TPC-DS q39 shape via Engine.sql: per-(part, month) coefficient of "
+     "variation from exact decimal moments, consecutive-month self-join "
+     "on high-variance cells (reference tpcds/q39.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
