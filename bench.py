@@ -54,6 +54,8 @@ HEADLINE = [
     "spatial_join_contains",
     "text_tfidf_top_terms",
     "tpch_sql_q9",
+    "agg_qdigest_sql_names",
+    "tpcds_sql_q67",
 ]
 
 
