@@ -438,9 +438,10 @@ def duplicate_clusters(
     joined to current labels, then SHORTCUTS through the label map
     (label := label-of-label), so rounds are O(log diameter), not
     O(diameter). Shuffles stay proportional to the PAIR graph (tiny
-    relative to the corpus). The changed-row flag is folded into the
-    checkpointed frame (r5) — convergence detection is a trivial scan
-    of checkpoint blocks, not the extra new-vs-old join it was in r4.
+    relative to the corpus). Convergence detection rides the round's own
+    checkpoint job as an observation metric (CollectMetrics, r6) — one
+    Spark job per round, down from r5's extra scan over checkpoint
+    blocks and r4's new-vs-old join.
     localCheckpoint per round truncates lineage like plans/recursive.py."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -481,6 +482,12 @@ def duplicate_clusters(
         shortcut = F.least(
             F.col("cluster"), F.coalesce(F.col("pcluster"), F.col("cluster"))
         )
+        # the convergence count rides the checkpoint job itself via an
+        # observation metric (CollectMetrics, JVM-side) — one Spark job
+        # per round, no separate sum-collect pass (r6)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         flagged = (
             stepped.join(lmap, stepped.cluster == lmap.pnode, "left")
             .select(
@@ -488,9 +495,10 @@ def duplicate_clusters(
                 shortcut.alias("cluster"),
                 (shortcut != F.col("old_cluster")).cast("long").alias("chg"),
             )
+            .observe(obs, F.sum("chg").alias("changed"))
             .localCheckpoint()
         )
-        changed = flagged.agg(F.sum("chg")).collect()[0][0]
+        changed = obs.get["changed"]
         labels = flagged.drop("chg")
         if changed == 0:
             break
