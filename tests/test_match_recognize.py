@@ -707,19 +707,32 @@ def test_final_first_last_unqualified_all_rows(engine, spark):
     ]
 
 
-def test_label_qualified_nav_in_aggregate_rejected(engine, spark):
-    import pytest
-
-    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
-
-    spark.range(1).createOrReplaceTempView("mr_navagg_rej")
-    with pytest.raises(UnsupportedTrinoSyntax):
-        engine.sql(
-            "SELECT * FROM mr_navagg_rej MATCH_RECOGNIZE ("
-            "PARTITION BY id ORDER BY id "
-            "MEASURES avg(id - PREV(A.id)) AS s ONE ROW PER MATCH "
-            "PATTERN (A+) DEFINE A AS id >= 0)"
+def test_label_qualified_nav_in_aggregate(engine, spark):
+    """r6: label-qualified PREV inside an aggregate under ONE ROW PER
+    MATCH evaluates per aggregated row with the RUNNING last member row
+    as the anchor (reference LogicalIndexNavigation.java). Pattern
+    (V V C) over prices 10, 20, 35 (preceded by row 5 outside the
+    match): V1 anchors itself -> prev = 5; V2 anchors itself -> prev =
+    10; C anchors V2 -> prev(V2) = 10. sum(price - PREV(V.price)) =
+    (10-5) + (20-10) + (35-10) = 40. A per-match-constant FINAL reading
+    (every row anchored at the last V) would give 65 instead."""
+    spark.createDataFrame(
+        [(1, 0, 5.0, "x"), (1, 1, 10.0, "v"), (1, 2, 20.0, "v"),
+         (1, 3, 35.0, "c")],
+        "k int, seq int, price double, t string",
+    ).createOrReplaceTempView("mr_navagg_run")
+    rows = engine.sql(
+        """
+        SELECT s FROM mr_navagg_run MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES sum(price - PREV(V.price)) AS s
+          ONE ROW PER MATCH
+          PATTERN (V V C)
+          DEFINE V AS t = 'v', C AS t = 'c'
         )
+        """
+    ).collect()
+    assert [r.s for r in rows] == [40.0]
 
 
 def test_label_qualified_nav_all_rows(engine, spark):

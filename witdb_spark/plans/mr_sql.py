@@ -55,9 +55,11 @@ Label-qualified anchors under ALL ROWS (r5) resolve the RUNNING
 first/last member row per output row (running min/max over the member
 rows' partition indexes) and join the indexed source at anchor_rn -+ n.
 
-Unsupported (loud, not silent): label-qualified PREV/NEXT inside an
-aggregate measure under ONE ROW PER MATCH (per-row navigation over
-classifier state inside the aggregate argument).
+Label-qualified PREV/NEXT inside an aggregate measure under ONE ROW PER
+MATCH (r6, the last recorded corner) reuse the same running machinery:
+the anchor index is the RUNNING last/first member row per aggregated
+row, the indexed-source join reads the navigated value per row, and the
+joined column then aggregates per match.
 """
 
 from __future__ import annotations
@@ -588,6 +590,7 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
     # mechanism as the ALL ROWS path); explicit FIRST/LAST anchors stay
     # per-match constants (that is their defined meaning).
     per_row_navs: set[str] = set()
+    label_navs_one: set[str] = set()
     if spec["rows_per_match"] == "one":
         for kind, anchor, ie, n, ph, explicit in navs:
             if not _ph_inside_agg(measures, ph):
@@ -598,11 +601,16 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
                 r"([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_][A-Za-z0-9_]*", ie
             )
             if lm and lm.group(1) in labsets:
-                raise UnsupportedTrinoSyntax(
-                    "label-qualified PREV/NEXT inside an aggregate measure"
-                    " (per-row navigation over classifier state)"
-                )
-            per_row_navs.add(ph)
+                # r6 closes the last recorded corner: PREV(A.x) inside an
+                # aggregate navigates per aggregated row from the RUNNING
+                # last row classified A as of that row (reference
+                # LogicalIndexNavigation.java) — the r5 ALL-ROWS
+                # machinery (running per-label anchor index + indexed-
+                # source join) resolved after the operator, then the
+                # joined column aggregates per match.
+                label_navs_one.add(ph)
+            else:
+                per_row_navs.add(ph)
     # Label-qualified navs under ALL ROWS (r5 — reference
     # LogicalIndexNavigation.java): the anchor is the RUNNING first/last
     # row classified with the label, so the anchor position is per-row
@@ -695,6 +703,13 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
             from pyspark.sql import Window
 
             mw = Window.partitionBy(*pk, "match_id")
+            # running window for label-qualified navs inside aggregates:
+            # the anchor is per aggregated row, not per match
+            rw = (
+                Window.partitionBy(*pk, "match_id")
+                .orderBy(ord_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
             for kind, anchor, ie, n, ph, explicit in navs:
                 if ph in per_row_navs:
                     nav_cols.append(ph)  # already a per-row source column
@@ -714,10 +729,11 @@ def _lower(spark: SparkSession, table: str, spec: dict) -> str:
                     )
                 else:
                     rn_src = F.col("__rn")
+                win = rw if ph in label_navs_one else mw
                 anchor_rn = (
-                    F.max(rn_src).over(mw)
+                    F.max(rn_src).over(win)
                     if anchor == "LAST"
-                    else F.min(rn_src).over(mw)
+                    else F.min(rn_src).over(win)
                 )
                 delta = -n if kind == "PREV" else n
                 matched = matched.withColumn(

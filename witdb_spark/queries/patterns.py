@@ -615,3 +615,76 @@ def mr_pattern_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "mr_label_nav_in_aggregate",
+    """
+    WITH seqn AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pval,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_type,
+             lead(value) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_val
+      FROM events),
+    v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                 AS grp
+          FROM seqn WHERE event_type = 'view'),
+    isl AS (SELECT user_id, grp, MIN(event_id) AS start_id,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS n_rows,
+                   SUM(CASE WHEN rn > 1
+                            THEN CAST(value - pval AS DECIMAL(30,6)) END)
+                     AS sv,
+                   max_by(pval, rn) AS last_view_pval,
+                   max_by(next_type, rn) AS after_type,
+                   max_by(next_val, rn) AS after_val
+            FROM v GROUP BY user_id, grp),
+    m AS (SELECT user_id, start_id, n_rows, sv,
+                 CASE WHEN last_view_pval IS NOT NULL
+                      THEN CAST(after_val - last_view_pval AS DECIMAL(30,6))
+                 END AS cterm
+          FROM isl WHERE after_type = 'click')
+    SELECT user_id, start_id, n_rows,
+           CAST(CASE WHEN sv IS NULL AND cterm IS NULL THEN NULL
+                     ELSE coalesce(sv, CAST(0 AS DECIMAL(30,6)))
+                          + coalesce(cterm, CAST(0 AS DECIMAL(30,6))) END
+                AS DOUBLE) AS step_sum
+    FROM m
+    """,
+    doc="Label-qualified PREV inside an aggregate measure under ONE ROW "
+    "PER MATCH (r6, the last recorded MATCH_RECOGNIZE corner; reference "
+    "LogicalIndexNavigation.java + MeasureComputation.java): "
+    "sum(value - PREV(V.value)) evaluates PER AGGREGATED ROW with the "
+    "RUNNING last V-classified row as of that row as the anchor, stepping "
+    "one row back over the PARTITION — each view row reads its own lag, "
+    "the click row reads the lag of the run's last view, and rows before "
+    "any V (none here) or navigating off the partition contribute NULL "
+    "terms the sum skips. Oracle: gaps-and-islands with partition-level "
+    "lag/lead.",
+    tags=("match_recognize", "pattern", "dialect", "navigation"),
+)
+def mr_label_nav_in_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id, start_id, n_rows, step_sum
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(event_id) AS start_id,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(value - PREV(V.value) AS DECIMAL(30,6)))
+                        AS DOUBLE) AS step_sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ C)
+          DEFINE V AS event_type = 'view', C AS event_type = 'click'
+        )
+        """
+    )
