@@ -467,6 +467,38 @@ def contains(sa, sb):
             for (a, b) in ea:
                 if _seg_intersect(a, b, c, d, proper_only=True):
                     return False
+        # B must not cover any of A's holes (r6): with no proper
+        # crossings, hole-interior overlap implies some point just
+        # inside a hole (probed off each hole-edge midpoint toward the
+        # hole's interior) lies strictly inside B while in A's exterior
+        if kb in ("POLYGON", "MULTIPOLYGON"):
+            import math as _math
+
+            b_polys = [db] if kb == "POLYGON" else db
+            for poly in polys:
+                for h in poly[1:]:
+                    m = len(h)
+                    for i in range(m):
+                        a, b = h[i], h[(i + 1) % m]
+                        dx, dy = b[0] - a[0], b[1] - a[1]
+                        ln = _math.hypot(dx, dy)
+                        if ln == 0:
+                            continue
+                        eps = max(1.0, ln) * 1e-7
+                        mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+                        for sgn in (1.0, -1.0):
+                            q = (
+                                mx - sgn * dy / ln * eps,
+                                my + sgn * dx / ln * eps,
+                            )
+                            if _point_in_ring(q, h) != 1:
+                                continue  # not the hole's interior side
+                            if max(
+                                _point_in_poly(q, bp) for bp in b_polys
+                            ) == 1 and max(
+                                _point_in_poly(q, ap) for ap in polys
+                            ) == 0:
+                                return False
         # interiors must meet: some vertex (or midpoint) strictly inside
         cand = pts_b + [
             ((c[0] + d[0]) / 2.0, (c[1] + d[1]) / 2.0)
@@ -917,9 +949,17 @@ def intersection(sa, sb):
         return emit("POINT", da) if intersects(sa, sb) else "POINT EMPTY"
     if kb == "POINT":
         return emit("POINT", db) if intersects(sa, sb) else "POINT EMPTY"
-    if ka == kb == "POLYGON":
-        if len(da) > 1 or len(db) > 1:
-            raise ValueError("st_intersection: polygon holes unsupported")
+    if ka in ("POLYGON", "MULTIPOLYGON") and kb in ("POLYGON", "MULTIPOLYGON"):
+        if not (ka == kb == "POLYGON" and len(da) == 1 and len(db) == 1):
+            # holes or MULTIPOLYGON operands (r6): containment shortcuts
+            # (hole-aware contains), else the snapped arrangement
+            if contains(sb, sa):
+                return emit(ka, da)
+            if contains(sa, sb):
+                return emit(kb, db)
+            if not intersects(sa, sb):
+                return "POLYGON EMPTY"
+            return boolean_fallback(sa, sb, "int")
         ra, rb = _open_ccw(da[0]), _open_ccw(db[0])
         # Greiner-Hormann FIRST for every polygon pair: it returns proper
         # MULTIPOLYGONs when the result is disconnected (a concave
@@ -965,22 +1005,26 @@ def union_geom(sa, sb):
         return emit(ka, da)
     if ka == kb == "POINT":
         return emit("POINT", da) if da == db else emit("MULTIPOINT", [da, db])
-    if ka == kb == "POLYGON":
+    if ka in ("POLYGON", "MULTIPOLYGON") and kb in ("POLYGON", "MULTIPOLYGON"):
+        pa = [da] if ka == "POLYGON" else list(da)
+        pb = [db] if kb == "POLYGON" else list(db)
         if contains(sa, sb):
             return emit(ka, da)
         if contains(sb, sa):
             return emit(kb, db)
         if not intersects(sa, sb):
-            return emit("MULTIPOLYGON", [da, db])
-        try:
-            out = _gh_boolean(sa, sb, union=True)
-        except ValueError:
-            out = None  # degenerate incidence inside the clipper
-        if out is not None:
-            return out
+            return emit("MULTIPOLYGON", pa + pb)
+        simple = ka == kb == "POLYGON" and len(da) == 1 and len(db) == 1
+        if simple:
+            try:
+                out = _gh_boolean(sa, sb, union=True)
+            except ValueError:
+                out = None  # degenerate incidence inside the clipper
+            if out is not None:
+                return out
         # boundaries touch without crossing (shared edge / vertex-on-
-        # edge): degenerate for the pairwise clipper — the snapped
-        # planar-arrangement union handles exactly these incidences (r5)
+        # edge), holes, or MULTIPOLYGON operands: the snapped
+        # planar-arrangement union handles exactly these (r5, holes r6)
         return union_many([sa, sb])
     raise ValueError("st_union: unsupported kinds %r x %r" % (ka, kb))
 
@@ -995,13 +1039,14 @@ def difference(sa, sb):
         return emit("POLYGON", None)
     if db is None:
         return emit(ka, da)
-    if ka == kb == "POLYGON":
-        if len(da) > 1 or len(db) > 1:
-            raise ValueError("st_difference: polygon holes unsupported")
+    if ka in ("POLYGON", "MULTIPOLYGON") and kb in ("POLYGON", "MULTIPOLYGON"):
         if not intersects(sa, sb):
             return emit(ka, da)
         if contains(sb, sa):
             return "POLYGON EMPTY"
+        if not (ka == kb == "POLYGON" and len(da) == 1 and len(db) == 1):
+            # holes or MULTIPOLYGON operands (r6): snapped arrangement
+            return boolean_fallback(sa, sb, "diff")
         if contains(sa, sb):
             if all(
                 _point_in_poly(q, da) == 1 for q in _all_points(kb, db)
@@ -2552,9 +2597,12 @@ def _snap_pt(p, grid):
     return (round(p[0] / grid) * grid, round(p[1] / grid) * grid)
 
 
-def _gather_rings(wkts, grid, who="union_many"):
-    """Parse polygonal WKTs into snapped, open, CCW rings."""
-    rings = []
+def _gather_groups(wkts, grid, who="union_many"):
+    """Parse polygonal WKTs into snapped polygon GROUPS — one list of
+    open rings per polygon, shell first then holes (r6: holes accepted).
+    Degenerate rings are dropped; a polygon whose SHELL collapses is
+    dropped entirely (its holes with it)."""
+    groups = []
     for w in wkts:
         if w is None:
             continue
@@ -2568,45 +2616,65 @@ def _gather_rings(wkts, grid, who="union_many"):
         else:
             raise ValueError("%s: only polygonal inputs, got %r" % (who, k))
         for p in polys:
-            if len(p) > 1:
-                raise ValueError(
-                    "%s: polygons with holes unsupported as inputs" % who
-                )
-            rr = []
-            for q in _open_ccw(p[0]):
-                sq = _snap_pt(q, grid)
-                if not rr or sq != rr[-1]:
-                    rr.append(sq)
-            if len(rr) > 1 and rr[0] == rr[-1]:
-                rr.pop()
-            if len(rr) >= 3 and _ring_area2(rr) != 0:
-                if _ring_area2(rr) < 0:
-                    rr = rr[::-1]
-                rings.append(rr)
-    return rings
+            rings = []
+            for idx, ring in enumerate(p):
+                rr = []
+                for q in _open_ccw(ring):
+                    sq = _snap_pt(q, grid)
+                    if not rr or sq != rr[-1]:
+                        rr.append(sq)
+                if len(rr) > 1 and rr[0] == rr[-1]:
+                    rr.pop()
+                if len(rr) >= 3 and _ring_area2(rr) != 0:
+                    if _ring_area2(rr) < 0:
+                        rr = rr[::-1]
+                    rings.append(rr)
+                elif idx == 0:
+                    rings = None  # shell collapsed: drop the polygon
+                    break
+            if rings:
+                groups.append(rings)
+    return groups
+
+
+def _gather_rings(wkts, grid, who="union_many"):
+    """Flattened snapped, open, CCW rings (holes included as rings)."""
+    return [r for g in _gather_groups(wkts, grid, who) for r in g]
+
+
+def _in_groups(p, groups):
+    """Is p strictly interior to any polygon group (holes respected)?"""
+    return any(_point_in_poly(p, g) == 1 for g in groups)
+
+
+def _emit_groups(groups):
+    """Emit polygon groups (lists of open rings) as POLYGON/MULTIPOLYGON."""
+    if not groups:
+        return "POLYGON EMPTY"
+    closed = [[r + [r[0]] for r in g] for g in groups]
+    if len(closed) == 1:
+        return emit("POLYGON", closed[0])
+    return emit("MULTIPOLYGON", closed)
 
 
 def union_many(wkts, grid=1e-9):
     """N-way polygon union via the SNAPPED PLANAR ARRANGEMENT (reference
     plugin/trino-geospatial GeometryUnionAgg / Esri union): the
     arrangement machinery of _arrangement_boolean with coverage = "in
-    any input". Snap-rounding makes the shared-edge / vertex-on-edge
+    any input" (point-in-polygon with holes — r6 accepts hole-bearing
+    inputs). Snap-rounding makes the shared-edge / vertex-on-edge
     incidences that the pairwise Greiner-Hormann clipper refuses exact.
-    Inputs: hole-free POLYGON/MULTIPOLYGON (holes as inputs stay out of
-    scope, loudly). Output may contain holes."""
-    rings = _gather_rings(wkts, grid)
-    if not rings:
+    Output may contain holes."""
+    groups = _gather_groups(wkts, grid)
+    if not groups:
         return None
-    if len(rings) == 1:
-        r = rings[0]
-        return emit("POLYGON", [r + [r[0]]])
+    if len(groups) == 1:
+        return _emit_groups(groups)
 
     def covered(p):
-        for r in rings:
-            if _point_in_ring(p, r) == 1:
-                return True
-        return False
+        return _in_groups(p, groups)
 
+    rings = [r for g in groups for r in g]
     return _arrangement_boolean(rings, covered, grid)
 
 
@@ -2618,34 +2686,27 @@ def boolean_fallback(sa, sb, op, grid=1e-9):
     dimension-collapsed pieces (a shared edge as an "intersection") are
     not emitted — consistent with the clipper's areal results."""
 
-    ra = _gather_rings([sa], grid, who="st_" + op)
-    rb = _gather_rings([sb], grid, who="st_" + op)
-    if not ra:
+    ga = _gather_groups([sa], grid, who="st_" + op)
+    gb = _gather_groups([sb], grid, who="st_" + op)
+    if not ga:
         return "POLYGON EMPTY"
-    if not rb:
+    if not gb:
         # B collapsed to nothing (e.g. a sliver snapped away): A minus
         # nothing is A; A sym nothing is A; A intersect nothing is empty
         if op == "int":
             return "POLYGON EMPTY"
-        if len(ra) == 1:
-            return emit("POLYGON", [ra[0] + [ra[0][0]]])
-        return emit("MULTIPOLYGON", [[r + [r[0]]] for r in ra])
-
-    def in_group(p, rings):
-        for r in rings:
-            if _point_in_ring(p, r) == 1:
-                return True
-        return False
+        return _emit_groups(ga)
 
     if op == "int":
-        covered = lambda p: in_group(p, ra) and in_group(p, rb)  # noqa: E731
+        covered = lambda p: _in_groups(p, ga) and _in_groups(p, gb)  # noqa: E731
     elif op == "diff":
-        covered = lambda p: in_group(p, ra) and not in_group(p, rb)  # noqa: E731
+        covered = lambda p: _in_groups(p, ga) and not _in_groups(p, gb)  # noqa: E731
     elif op == "sym":
-        covered = lambda p: in_group(p, ra) != in_group(p, rb)  # noqa: E731
+        covered = lambda p: _in_groups(p, ga) != _in_groups(p, gb)  # noqa: E731
     else:
         raise ValueError("boolean_fallback: unknown op %r" % op)
-    return _arrangement_boolean(ra + rb, covered, grid)
+    rings = [r for g in (*ga, *gb) for r in g]
+    return _arrangement_boolean(rings, covered, grid)
 
 
 def _arrangement_boolean(rings, covered, grid):
@@ -3353,22 +3414,12 @@ def register_geometry_udfs(spark: SparkSession) -> int:
                 return None
             if len(wkts) == 1:
                 return wkts[0]
-            parsed = [ns["parse"](w) for w in wkts]
-            kinds = {k for k, _ in parsed}
+            kinds = {ns["parse"](w)[0] for w in wkts}
             if kinds <= {"POLYGON", "MULTIPOLYGON"}:
-
-                def has_hole(k, d):
-                    if d is None:
-                        return False
-                    polys = [d] if k == "POLYGON" else list(d)
-                    return any(len(p) > 1 for p in polys)
-
-                if not any(has_hole(k, d) for k, d in parsed):
-                    # N-way polygonal union: one arrangement pass (r5) —
-                    # robust to the shared-edge chains a pairwise fold
-                    # hits. Holes fall through to the pairwise fold the
-                    # arrangement does not accept as inputs yet.
-                    return many(wkts)
+                # N-way polygonal union: one arrangement pass (r5; holes
+                # accepted r6) — robust to the shared-edge chains a
+                # pairwise fold hits
+                return many(wkts)
             acc = None
             for w in wkts:
                 acc = w if acc is None else pair(acc, w)
