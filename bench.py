@@ -55,6 +55,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "tpch_sql_q9",
     "agg_qdigest_sql_names",
+    "agg_tdigest_sql_names",
     "tpcds_sql_q67",
 ]
 
@@ -122,8 +123,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # r7 stdout contract fix (VERDICT r6 "What's wrong #2"): the driver
+    # tail-captures stdout and BENCH_r06 truncated mid-JSON once stage
+    # metrics rode the headline line. Stage metrics now go to a sidecar
+    # file (and an EARLIER stdout line for humans); the compact headline
+    # object is the LAST stdout line, small enough for any tail window.
     if stage_deltas:
-        out["stage_metrics_per_run"] = stage_deltas
+        try:
+            with open(os.path.join(REPO_ROOT, "BENCH_STAGES.json"), "w") as f:
+                json.dump({"sf": out["sf"], "stage_metrics_per_run": stage_deltas}, f)
+        except OSError:
+            pass
+        print(json.dumps({"stage_metrics_per_run": stage_deltas}))
     print(json.dumps(out))
     spark.stop()
 

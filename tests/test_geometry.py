@@ -697,13 +697,26 @@ def test_union_many_arrangement():
     assert k == "POLYGON" and len(d) == 1 and area(u) == 36.0
     # ST_Union pair fallback now routes shared edges through union_many
     assert area(ns["union_geom"](sq(0, 0), sq(1, 0))) == 2.0
-    # loud re-scopes retained
+    # r6: hole-bearing inputs are accepted — a plug exactly filling the
+    # hole dissolves it (area 80 + 1 -> single 81-area ring)
+    holed = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"
+    plugged = um([holed, sq(4, 4)])
+    k, d = parse(plugged)
+    assert k == "POLYGON" and len(d) == 1 and area(plugged) == 81.0
+    # a partial plug leaves the uncovered half of the hole open
+    half_plug = "POLYGON ((4 4, 5 4, 5 4.5, 4 4.5, 4 4))"
+    part = um([holed, half_plug])
+    k, d = parse(part)
+    assert k == "POLYGON" and len(d) == 2 and area(part) == 80.5
+    # hole surviving untouched: disjoint extra square keeps the hole
+    both = um([holed, sq(20, 20)])
+    k, d = parse(both)
+    assert k == "MULTIPOLYGON" and area(both) == 81.0
+    # loud re-scope retained: non-areal inputs still raise
     import pytest
 
     with pytest.raises(ValueError):
         um(["LINESTRING (0 0, 1 1)"])
-    with pytest.raises(ValueError):
-        um(["POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (4 4, 5 4, 5 5, 4 5, 4 4))"])
 
 
 def test_boolean_fallback_degenerate_incidence():

@@ -2689,6 +2689,9 @@ def boolean_fallback(sa, sb, op, grid=1e-9):
     ga = _gather_groups([sa], grid, who="st_" + op)
     gb = _gather_groups([sb], grid, who="st_" + op)
     if not ga:
+        # A collapsed to nothing: empty sym B is B; int/diff are empty
+        if op == "sym":
+            return _emit_groups(gb)
         return "POLYGON EMPTY"
     if not gb:
         # B collapsed to nothing (e.g. a sliver snapped away): A minus

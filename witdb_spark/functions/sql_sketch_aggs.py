@@ -180,9 +180,12 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
     # cloudpickle serializes module functions by reference, and the
     # driver's executors do not have the package on PYTHONPATH
 
-    def _bracket(q: float, k: int):
-        # local twin of operators/tdigest.grid_bracket over grid_list
+    def _bracket(q: float):
+        # local twin of operators/tdigest.grid_bracket over grid_list —
+        # always the fixed K_CENTROIDS grid (blob layout is validated by
+        # the caller), so k derives from the grid, never from the blob
         g = grid_list
+        k = len(g)
         if q <= g[0]:
             return 0, 0, 0.0
         if q >= g[-1]:
@@ -247,7 +250,12 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
                 f"tdigest value_at_quantile: q in [0, 1], got {q}"
             )
         pts = np.frombuffer(bytes(blob), dtype="float64")[1:]
-        lo, hi, frac = _bracket(q, len(pts))
+        if len(pts) != len(grid_list):
+            raise ValueError(
+                "tdigest blob has %d points, expected %d"
+                % (len(pts), len(grid_list))
+            )
+        lo, hi, frac = _bracket(q)
         return float(pts[lo] + (pts[hi] - pts[lo]) * frac)
 
     @F.pandas_udf("double")

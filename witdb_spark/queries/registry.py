@@ -50,35 +50,41 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 
 # The driver's correctness gate samples the FIRST 50 names from queries().
-# Rounds 1-4 rotated this window so that by r4 100 of the registered names
-# had driver-green CORRECTNESS rows. Round-5 window = the SQL-text TPC-H
-# tranche (the front-door dialect path, never driver-run before) + every
-# query that has never had a driver row (r4 additions) + the r5-new
-# operators. Everything else keeps local DuckDB coverage
-# (tests/test_queries_oracle.py runs all of them).
+# Rounds 1-4 rotated this window; round 6 froze it (a process failure the
+# r6 verdict flags). Round-7 window = ALL 34 queries that have never had a
+# driver CORRECTNESS row (computed by diffing CORRECTNESS_r01..r06 against
+# the registry): the r6 re-oracled sketch SQL-name rollups (highest-risk —
+# engine+oracle were rewritten in lockstep), the DML trio, the MR corner,
+# the 9 remaining TPC-H SQL texts, and the 18 TPC-DS SQL texts. The 16
+# filler slots re-verify the STALEST greens (last driver row r1, by
+# registration order). Everything else keeps local DuckDB coverage
+# (tests/test_queries_oracle.py runs all of them). Rotation rule for every
+# future round: lead with (a) anything new/changed, (b) the oldest greens.
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H as Trino SQL text through Engine.sql (r5) — the hardest
-    # transpiler shapes; the remaining 7 stay locally oracled
-    "tpch_sql_q2", "tpch_sql_q3", "tpch_sql_q7",
-    "tpch_sql_q8", "tpch_sql_q9", "tpch_sql_q11",
-    "tpch_sql_q13", "tpch_sql_q15", "tpch_sql_q17", "tpch_sql_q18",
-    "tpch_sql_q20", "tpch_sql_q21", "tpch_sql_q22",
-    # never driver-verified (registered r4, local-green only)
-    "recursive_factorial", "recursive_reachability",
-    "groupby_grouping_operation", "tpcds_multicount_scan",
-    "tpcds_rollup_rank", "curation_chunks", "curation_decontaminated",
-    "curation_pii_scrub", "curation_stratified_sample", "text_langid",
-    "text_fingerprint", "multimodal_features", "multimodal_resize",
-    "text_repetition", "text_tfidf_top_terms", "dedup_clusters",
-    "curation_semantic_decontaminated", "time_funcs_parity",
-    "codec_funcs_parity", "timetz_funcs_parity", "bing_tile_funcs_parity",
-    "geometry_accessors_parity", "mr_price_slide", "mr_rally",
-    "mr_plateau_ends", "mr_error_burst", "mr_nav_measures",
-    "mr_all_rows_running", "spatial_join_distance",
-    # r5-new operators (registered later this round; filtered if absent)
-    "tpcds_sql_q70", "tpcds_sql_q88", "tpcds_sql_q47", "tpcds_sql_q36",
-    "geometry_union_agg_rollup", "mr_nav_in_aggregate",
-    "mr_label_nav_all_rows", "mr_pattern_window",
+    # r6 re-oracled sketch SQL-name aggregates — oracles changed in r6,
+    # never independently verified
+    "agg_qdigest_sql_names", "agg_tdigest_sql_names",
+    "agg_histogram_sql_names",
+    # DML trio — never driver-verified since registration (r5)
+    "merge_upsert_result", "delete_update_snapshot", "ctas_writer_roundtrip",
+    # r6 MATCH_RECOGNIZE corner
+    "mr_label_nav_in_aggregate",
+    # TPC-H SQL-text remainder (r5; the other 13 went driver-green r5/r6)
+    "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
+    "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
+    "tpch_sql_q19",
+    # TPC-DS SQL texts: tranche-1 remainder (r5) + all of tranche 2 (r6)
+    "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31", "tpcds_sql_q34",
+    "tpcds_sql_q38", "tpcds_sql_q39", "tpcds_sql_q44", "tpcds_sql_q49",
+    "tpcds_sql_q51", "tpcds_sql_q59", "tpcds_sql_q65", "tpcds_sql_q67",
+    "tpcds_sql_q74", "tpcds_sql_q75", "tpcds_sql_q87", "tpcds_sql_q89",
+    "tpcds_sql_q93", "tpcds_sql_q95",
+    # filler: stalest greens (last driver row r1) for re-verification
+    "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
+    "agg_conditional_bool", "agg_geo_mean_percentiles", "agg_histogram_map",
+    "agg_hll_merge_rollup", "agg_listagg_ordered", "agg_minmax_by",
+    "agg_multi_distinct", "agg_multimap", "agg_qdigest_rollup",
+    "agg_reduce_agg", "agg_regr", "agg_rollup_reuse", "agg_salted_skew",
 )
 
 
