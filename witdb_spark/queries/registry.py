@@ -79,12 +79,14 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q51", "tpcds_sql_q59", "tpcds_sql_q65", "tpcds_sql_q67",
     "tpcds_sql_q74", "tpcds_sql_q75", "tpcds_sql_q87", "tpcds_sql_q89",
     "tpcds_sql_q93", "tpcds_sql_q95",
+    # TPC-DS tranche 3 (r7-new — takes precedence over stale fillers)
+    "tpcds_sql_q4", "tpcds_sql_q11", "tpcds_sql_q14", "tpcds_sql_q33",
+    "tpcds_sql_q56", "tpcds_sql_q60", "tpcds_sql_q77", "tpcds_sql_q46",
+    "tpcds_sql_q68",
     # filler: stalest greens (last driver row r1) for re-verification
     "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
     "agg_conditional_bool", "agg_geo_mean_percentiles", "agg_histogram_map",
-    "agg_hll_merge_rollup", "agg_listagg_ordered", "agg_minmax_by",
-    "agg_multi_distinct", "agg_multimap", "agg_qdigest_rollup",
-    "agg_reduce_agg", "agg_regr", "agg_rollup_reuse", "agg_salted_skew",
+    "agg_hll_merge_rollup",
 )
 
 

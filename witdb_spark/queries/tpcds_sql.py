@@ -768,3 +768,401 @@ for _name, _text, _doc in [
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# ---- tranche 3 (r7): year-total ratios, cross-channel INTERSECT CTE,
+# triple-union item-list family, channel P&L with returns, visit shapes.
+
+# q11 shape (reference tpcds/q11.sql): a year_total CTE (per-customer
+# yearly totals per channel, UNION ALL with a sale_type tag) self-joined
+# FOUR ways (channel x first/second year); customers whose second-year
+# growth ratio in channel w beats channel s. The ratio comparison is
+# cross-multiplied so both engines compare exact decimals (both
+# first-year totals are filtered > 0, so the inequality is equivalent).
+# Channels: s = urgent/high priority orders, w = the rest.
+_Q11 = """
+    WITH year_total AS (
+      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
+             's' AS sale_type
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey, year(o_orderdate)
+      UNION ALL
+      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
+             'w' AS sale_type
+      FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey, year(o_orderdate))
+    SELECT t_s_secyear.cid AS customer_id, c_name AS customer_name
+    FROM year_total t_s_firstyear
+         JOIN year_total t_s_secyear
+           ON t_s_secyear.cid = t_s_firstyear.cid
+         JOIN year_total t_w_firstyear
+           ON t_w_firstyear.cid = t_s_firstyear.cid
+         JOIN year_total t_w_secyear
+           ON t_w_secyear.cid = t_s_firstyear.cid
+         JOIN customer ON c_custkey = t_s_firstyear.cid
+    WHERE t_s_firstyear.sale_type = 's' AND t_s_secyear.sale_type = 's'
+      AND t_w_firstyear.sale_type = 'w' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 1996 AND t_s_secyear.dyear = 1997
+      AND t_w_firstyear.dyear = 1996 AND t_w_secyear.dyear = 1997
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND t_w_secyear.year_total * t_s_firstyear.year_total
+          > t_s_secyear.year_total * t_w_firstyear.year_total
+"""
+
+# q4 shape (reference tpcds/q4.sql): q11 with a THIRD channel — the
+# year_total CTE is self-joined SIX ways and both channel growth ratios
+# must beat the store channel's (both comparisons cross-multiplied).
+_Q4 = """
+    WITH year_total AS (
+      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
+             's' AS sale_type
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey, year(o_orderdate)
+      UNION ALL
+      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
+             'c' AS sale_type
+      FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      GROUP BY o_custkey, year(o_orderdate)
+      UNION ALL
+      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
+             'w' AS sale_type
+      FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      GROUP BY o_custkey, year(o_orderdate))
+    SELECT t_s_secyear.cid AS customer_id, c_name AS customer_name
+    FROM year_total t_s_firstyear
+         JOIN year_total t_s_secyear
+           ON t_s_secyear.cid = t_s_firstyear.cid
+         JOIN year_total t_c_firstyear
+           ON t_c_firstyear.cid = t_s_firstyear.cid
+         JOIN year_total t_c_secyear
+           ON t_c_secyear.cid = t_s_firstyear.cid
+         JOIN year_total t_w_firstyear
+           ON t_w_firstyear.cid = t_s_firstyear.cid
+         JOIN year_total t_w_secyear
+           ON t_w_secyear.cid = t_s_firstyear.cid
+         JOIN customer ON c_custkey = t_s_firstyear.cid
+    WHERE t_s_firstyear.sale_type = 's' AND t_s_secyear.sale_type = 's'
+      AND t_c_firstyear.sale_type = 'c' AND t_c_secyear.sale_type = 'c'
+      AND t_w_firstyear.sale_type = 'w' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 1996 AND t_s_secyear.dyear = 1997
+      AND t_c_firstyear.dyear = 1996 AND t_c_secyear.dyear = 1997
+      AND t_w_firstyear.dyear = 1996 AND t_w_secyear.dyear = 1997
+      AND t_s_firstyear.year_total > 0
+      AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND t_c_secyear.year_total * t_s_firstyear.year_total
+          > t_s_secyear.year_total * t_c_firstyear.year_total
+      AND t_w_secyear.year_total * t_s_firstyear.year_total
+          > t_s_secyear.year_total * t_w_firstyear.year_total
+"""
+
+# q14 shape (reference tpcds/q14.sql): cross_items = parts whose
+# (brand, type) sold in ALL THREE channels (a two-fold INTERSECT inside
+# a CTE), avg_sales = a scalar threshold CTE over all channels, main
+# query = per-channel brand totals over cross_items only, kept when the
+# channel total beats the all-channel average (cross-multiplied:
+# sum * count > total), UNION ALLed. Sales threshold and measures stay
+# DECIMAL until the final projection.
+_Q14 = """
+    WITH cross_items AS (
+      SELECT p_partkey FROM part
+      JOIN (
+        SELECT p_brand AS brand_id, p_type AS type_id
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        INTERSECT
+        SELECT p_brand AS brand_id, p_type AS type_id
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority = '3-MEDIUM'
+        INTERSECT
+        SELECT p_brand AS brand_id, p_type AS type_id
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      ) AS ci ON p_brand = brand_id AND p_type = type_id),
+    avg_sales AS (
+      SELECT SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS tot,
+             COUNT(*) AS cnt
+      FROM lineitem)
+    SELECT channel, p_brand, CAST(sales AS DOUBLE) AS sales, num_sales
+    FROM (
+      SELECT 'store' AS channel, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             CAST(COUNT(*) AS BIGINT) AS num_sales
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l_partkey IN (SELECT p_partkey FROM cross_items)
+      GROUP BY p_brand
+      UNION ALL
+      SELECT 'catalog' AS channel, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             CAST(COUNT(*) AS BIGINT) AS num_sales
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE o_orderpriority = '3-MEDIUM'
+        AND l_partkey IN (SELECT p_partkey FROM cross_items)
+      GROUP BY p_brand
+      UNION ALL
+      SELECT 'web' AS channel, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             CAST(COUNT(*) AS BIGINT) AS num_sales
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND l_partkey IN (SELECT p_partkey FROM cross_items)
+      GROUP BY p_brand
+    ) AS per_channel
+    WHERE sales * (SELECT cnt FROM avg_sales)
+          > num_sales * (SELECT tot FROM avg_sales)
+"""
+
+# q33/q56/q60 family (reference tpcds/q33.sql, q56.sql, q60.sql): three
+# per-channel CTEs each restricted to an ITEM LIST (brands matching an
+# item attribute, via IN over the dimension), UNION ALLed and re-grouped.
+# The three variants differ only in the item-list attribute — exactly as
+# in TPC-DS (q33: manufacturer by category; q56: item by color; q60: item
+# by category) — mapped here to p_type / p_size / p_name prefix.
+def _q33_family(item_list_where: str) -> str:
+    chan = {
+        "ss": "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "cs": "o_orderpriority = '3-MEDIUM'",
+        "ws": "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')",
+    }
+    ctes = ",\n".join(
+        f"""    {name} AS (
+      SELECT p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS total_sales
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE {cond}
+        AND year(o_orderdate) = 1996
+        AND p_brand IN (SELECT p_brand FROM part WHERE {item_list_where})
+      GROUP BY p_brand)"""
+        for name, cond in chan.items()
+    )
+    return f"""
+    WITH
+{ctes}
+    SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+    FROM (
+      SELECT * FROM ss
+      UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws
+    ) AS tmp1
+    GROUP BY p_brand
+"""
+
+
+_Q33 = _q33_family("p_type = 'ECONOMY'")
+_Q56 = _q33_family("p_size IN (1, 2, 3, 4, 5)")
+_Q60 = _q33_family("p_name LIKE 'small%'")
+
+# q77 shape (reference tpcds/q77.sql): per-channel P&L — each channel
+# computes a sales CTE and a returns CTE on its own key, LEFT JOINs them,
+# the three channel reports are UNION ALLed and rolled up with
+# ROLLUP(channel, id). Returns are the R-returnflag rows; profit nets
+# the tax like the reference nets net_loss.
+_Q77 = """
+    WITH ss AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 - l_tax)
+                      AS DECIMAL(30,6))) AS profit
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l_returnflag <> 'R'
+      GROUP BY s_nationkey),
+    sr AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS returns_amt,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * l_tax
+                      AS DECIMAL(30,6))) AS profit_loss
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l_returnflag = 'R'
+      GROUP BY s_nationkey),
+    cs AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 - l_tax)
+                      AS DECIMAL(30,6))) AS profit
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority = '3-MEDIUM' AND l_returnflag <> 'R'
+      GROUP BY s_nationkey),
+    cr AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS returns_amt,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * l_tax
+                      AS DECIMAL(30,6))) AS profit_loss
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority = '3-MEDIUM' AND l_returnflag = 'R'
+      GROUP BY s_nationkey),
+    ws AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 - l_tax)
+                      AS DECIMAL(30,6))) AS profit
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND l_returnflag <> 'R'
+      GROUP BY s_nationkey),
+    wr AS (
+      SELECT s_nationkey AS id,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS returns_amt,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * l_tax
+                      AS DECIMAL(30,6))) AS profit_loss
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND l_returnflag = 'R'
+      GROUP BY s_nationkey)
+    SELECT channel, id,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns_amt) AS DOUBLE) AS returns_amt,
+           CAST(SUM(profit) AS DOUBLE) AS profit
+    FROM (
+      SELECT 'store channel' AS channel, ss.id,
+             sales, coalesce(returns_amt, CAST(0 AS DECIMAL(30,6)))
+               AS returns_amt,
+             profit - coalesce(profit_loss, CAST(0 AS DECIMAL(30,6)))
+               AS profit
+      FROM ss LEFT JOIN sr ON ss.id = sr.id
+      UNION ALL
+      SELECT 'catalog channel' AS channel, cs.id,
+             sales, coalesce(returns_amt, CAST(0 AS DECIMAL(30,6)))
+               AS returns_amt,
+             profit - coalesce(profit_loss, CAST(0 AS DECIMAL(30,6)))
+               AS profit
+      FROM cs LEFT JOIN cr ON cs.id = cr.id
+      UNION ALL
+      SELECT 'web channel' AS channel, ws.id,
+             sales, coalesce(returns_amt, CAST(0 AS DECIMAL(30,6)))
+               AS returns_amt,
+             profit - coalesce(profit_loss, CAST(0 AS DECIMAL(30,6)))
+               AS profit
+      FROM ws LEFT JOIN wr ON ws.id = wr.id
+    ) AS x
+    GROUP BY ROLLUP (channel, id)
+"""
+
+# q46 shape (reference tpcds/q46.sql): per-ticket (order) aggregate with
+# a DISJUNCTIVE dimension filter, grouped by a hidden extra key (the
+# supplier nation = "bought city"), joined back to the customer and
+# kept where the customer's own nation differs ("current_addr.ca_city
+# <> bought_city"), nation joined twice under different aliases.
+_Q46 = """
+    WITH dn AS (
+      SELECT l_orderkey AS ticket_number, o_custkey,
+             s_nationkey AS bought_nation,
+             SUM(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(30,6))) AS amt,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS profit
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE (o_orderpriority = '1-URGENT' OR o_orderstatus = 'F')
+        AND year(o_orderdate) IN (1996, 1997)
+      GROUP BY l_orderkey, o_custkey, s_nationkey)
+    SELECT c_name, cn.n_name AS current_nation,
+           bn.n_name AS bought_nation, ticket_number,
+           CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+    FROM dn JOIN customer ON c_custkey = o_custkey
+         JOIN nation cn ON cn.n_nationkey = c_nationkey
+         JOIN nation bn ON bn.n_nationkey = dn.bought_nation
+    WHERE cn.n_name <> bn.n_name
+"""
+
+# q68 shape (reference tpcds/q68.sql): q46's sibling — same
+# ticket-grouped inner aggregate under a different disjunctive filter,
+# THREE measures, and the customer key carried to the output.
+_Q68 = """
+    WITH dn AS (
+      SELECT l_orderkey AS ticket_number, o_custkey,
+             s_nationkey AS bought_nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS extended_price,
+             SUM(CAST(l_extendedprice * l_tax AS DECIMAL(30,6))) AS
+               extended_tax,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS list_quantity
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE (o_orderstatus = 'O' OR o_orderpriority = '5-LOW')
+        AND year(o_orderdate) IN (1996, 1997)
+      GROUP BY l_orderkey, o_custkey, s_nationkey)
+    SELECT c_custkey, c_name, cn.n_name AS current_nation,
+           bn.n_name AS bought_nation, ticket_number,
+           CAST(extended_price AS DOUBLE) AS extended_price,
+           CAST(extended_tax AS DOUBLE) AS extended_tax,
+           CAST(list_quantity AS DOUBLE) AS list_quantity
+    FROM dn JOIN customer ON c_custkey = o_custkey
+         JOIN nation cn ON cn.n_nationkey = c_nationkey
+         JOIN nation bn ON bn.n_nationkey = dn.bought_nation
+    WHERE cn.n_name <> bn.n_name
+"""
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q11", _Q11,
+     "TPC-DS q11 shape via Engine.sql: year_total CTE (two channels "
+     "UNION ALL) self-joined four ways, cross-multiplied growth-ratio "
+     "comparison (reference tpcds/q11.sql adapted to priority "
+     "channels)."),
+    ("tpcds_sql_q4", _Q4,
+     "TPC-DS q4 shape via Engine.sql: year_total CTE over THREE "
+     "channels self-joined six ways, two cross-multiplied ratio "
+     "comparisons (reference tpcds/q4.sql)."),
+    ("tpcds_sql_q14", _Q14,
+     "TPC-DS q14 shape via Engine.sql: cross-channel INTERSECT CTE "
+     "(items sold in all three channels), scalar threshold CTE, "
+     "per-channel UNION ALL report filtered by a cross-multiplied "
+     "group-avg-vs-global-avg comparison (reference tpcds/q14.sql)."),
+    ("tpcds_sql_q33", _Q33,
+     "TPC-DS q33 shape via Engine.sql: three channel CTEs restricted "
+     "to an item list (brands of a p_type), UNION ALL re-grouped "
+     "(reference tpcds/q33.sql)."),
+    ("tpcds_sql_q56", _Q56,
+     "TPC-DS q56 shape via Engine.sql: the q33 family keyed by an item "
+     "size list (reference tpcds/q56.sql)."),
+    ("tpcds_sql_q60", _Q60,
+     "TPC-DS q60 shape via Engine.sql: the q33 family keyed by an item "
+     "name prefix (reference tpcds/q60.sql)."),
+    ("tpcds_sql_q77", _Q77,
+     "TPC-DS q77 shape via Engine.sql: per-channel sales CTE LEFT JOIN "
+     "returns CTE, three channel reports UNION ALLed under "
+     "ROLLUP(channel, id) (reference tpcds/q77.sql)."),
+    ("tpcds_sql_q46", _Q46,
+     "TPC-DS q46 shape via Engine.sql: ticket-grouped aggregate with a "
+     "disjunctive filter, customer joined back, nation dimension "
+     "aliased twice, mismatch predicate (reference tpcds/q46.sql)."),
+    ("tpcds_sql_q68", _Q68,
+     "TPC-DS q68 shape via Engine.sql: q46's sibling with three "
+     "measures and the customer key in the output (reference "
+     "tpcds/q68.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
