@@ -601,3 +601,61 @@ def test_sketch_split_leaves_complex_shapes_alone(spark):
         )
     )
     assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 1, plan
+
+
+def test_sketch_split_filter_and_having_spellings(spark):
+    """r7: the two spellings a real user hits first still split
+    PARTIAL -> FINAL — FILTER (WHERE p) on the sketch argument (folded
+    to CASE WHEN, sketch aggs skip NULLs) and HAVING on a group-key
+    column (hoisted into the source WHERE). Reference
+    sql/planner/plan/AggregationNode.java:347 plans both PARTIAL/FINAL."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    for text in [
+        "SELECT l_returnflag, approx_set(l_orderkey)"
+        " FILTER (WHERE l_quantity > 10) AS h"
+        " FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, approx_set(l_orderkey) AS h"
+        " FROM lineitem GROUP BY l_returnflag"
+        " HAVING l_returnflag IN ('A', 'R')",
+    ]:
+        df = eng.sql(text)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+        assert "merge_hll" in plan, plan
+    # correctness: approx_set merges are exact under any split, so both
+    # spellings must agree with the unsplit equivalents
+    got = {
+        r["l_returnflag"]: r["c"]
+        for r in eng.sql(
+            "SELECT l_returnflag, hll_cardinality(approx_set(l_orderkey)"
+            " FILTER (WHERE l_quantity > 10)) AS c"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["c"]
+        for r in spark.sql(
+            "SELECT l_returnflag,"
+            " approx_count_distinct(CASE WHEN l_quantity > 10"
+            " THEN l_orderkey END, 0.0040625) AS c"
+            " FROM parquet.`%s/lineitem.parquet`"
+            " GROUP BY l_returnflag" % SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    having = {
+        r["l_returnflag"]: r["c"]
+        for r in eng.sql(
+            "SELECT l_returnflag,"
+            " hll_cardinality(approx_set(l_orderkey)) AS c"
+            " FROM lineitem GROUP BY l_returnflag"
+            " HAVING l_returnflag IN ('A', 'R')"
+        ).collect()
+    }
+    assert set(having) == {"A", "R"}

@@ -1325,6 +1325,44 @@ def _parse_agg_call(expr: str) -> tuple[str, str] | None:
     return m.group(1).lower(), expr[open_idx + 1 : close_idx].strip()
 
 
+def _rewrite_sketch_filter(sql: str) -> str:
+    """Fold ``sketch_agg(x) FILTER (WHERE p)`` into
+    ``sketch_agg(CASE WHEN p THEN x END)`` at ANY nesting depth, for the
+    SQL-name sketch builds only. Spark refuses FILTER on a Python UDAF
+    outright (INVALID_SQL_SYNTAX.FUNCTION_WITH_UNSUPPORTED_SYNTAX), and
+    the sketch aggs skip NULLs, so the fold is both necessary and
+    semantics-preserving (Trino AggregationNode mask semantics,
+    reference sql/planner/plan/AggregationNode.java). Runs BEFORE the
+    two-level split so folded items re-enter the canonical shape."""
+    pat = r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest)\s*\("
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(pat, sub)
+        if m is None:
+            return sql
+        open_idx = pos + m.start() + sub[m.start() :].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        rest = sql[close_idx + 1 :]
+        fm = re.match(r"(?is)^\s*FILTER\s*\(", rest)
+        if fm is None:
+            pos = close_idx + 1
+            continue
+        f_open = close_idx + 1 + rest.index("(")
+        f_close = _match_paren(sql, f_open)
+        clause = sql[f_open + 1 : f_close].strip()
+        wm = re.match(r"(?is)^WHERE\b", clause)
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if wm is None or len(args) != 1:
+            pos = f_close + 1
+            continue
+        cond = clause[wm.end() :].strip()
+        fname = m.group(1)
+        repl = f"{fname}(CASE WHEN {cond} THEN {args[0].strip()} END)"
+        sql = sql[: pos + m.start()] + repl + sql[f_close + 1 :]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_sketch_two_level(sql: str) -> str:
     """Plan build-side sketch SQL aggregates PARTIAL -> FINAL (reference
     sql/planner/plan/AggregationNode.java:347 Step.PARTIAL/FINAL): a
@@ -1340,9 +1378,12 @@ def _rewrite_sketch_two_level(sql: str) -> str:
     parallel and only K-point blobs cross the final shuffle. Applies to
     the canonical aggregate shape (plain SELECT items over one FROM
     clause, optional WHERE/GROUP BY, co-aggregates limited to
-    count/sum/min/max, everything aliased); any other shape keeps the
-    single-level plan unchanged — a conservative fallback, never an
-    error. approx_set/make_set_digest merges are exact, so their results
+    count/sum/min/max, everything aliased). r7 widens the canonical
+    shape one notch: FILTER (WHERE p) on the sketch argument folds to
+    CASE WHEN p THEN x END (sketch aggs skip NULLs), and a HAVING whose
+    predicate touches only group-key columns hoists into the source
+    WHERE. Any other shape keeps the single-level plan unchanged — a
+    conservative fallback, never an error. approx_set/make_set_digest merges are exact, so their results
     are bit-identical; qdigest/tdigest results are merge-grade (the same
     trade the reference takes for every PARTIAL->FINAL digest), with the
     salt deterministic so oracles can replay the exact partition."""
@@ -1399,11 +1440,10 @@ def _sketch_block_two_level(block: str) -> str | None:
         return None
 
     for bailer in (
-        r"\bHAVING\b", r"\bORDER\s+BY\b", r"\bLIMIT\b", r"\bOFFSET\b",
+        r"\bORDER\s+BY\b", r"\bLIMIT\b", r"\bOFFSET\b",
         r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
         r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
         r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b",
-        r"\bFILTER\s*\(",
     ):
         if top_kw(bailer):
             return None
@@ -1411,13 +1451,50 @@ def _sketch_block_two_level(block: str) -> str | None:
     if fm is None:
         return None
     gm = top_kw(r"\bGROUP\s+BY\b")
+    # r7: HAVING whose predicate touches ONLY group-key columns hoists
+    # into the source WHERE (semantically identical — the predicate is
+    # constant within each group) so the block still splits two-level.
+    # Any other HAVING bails to the single-level plan.
+    block_end = len(block)
+    having_pred = None
+    hm = top_kw(r"\bHAVING\b")
+    if hm:
+        if gm is None or hm.start() < gm.start():
+            return None
+        having_pred = block[hm.end() :].strip()
+        block_end = hm.start()
     items_text = block[len("SELECT") : fm.start()]
-    source_text = block[fm.end() : gm.start() if gm else len(block)].strip()
+    source_text = block[fm.end() : gm.start() if gm else block_end].strip()
     keys = (
-        [k for k in _split_top_level(block[gm.end() :]) if k]
+        [k for k in _split_top_level(block[gm.end() : block_end]) if k]
         if gm
         else []
     )
+    if having_pred is not None:
+        # safe only when every key is a plain column and every
+        # identifier in the predicate is a key column or a plain SQL
+        # keyword/literal — scalar or aggregate function names bail
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+            return None
+        allowed = {k.lower() for k in keys} | {
+            "and", "or", "not", "in", "between", "like", "is", "null",
+            "true", "false", "escape",
+        }
+        pred_code = re.sub(r"'(?:[^']|'')*'", "''", having_pred)
+        if any(
+            t.lower() not in allowed
+            for t in re.findall(r"[A-Za-z_]\w*", pred_code)
+        ):
+            return None
+        sd, sinstr = _scan_maps(source_text)
+        wm = None
+        for m2 in re.finditer(r"\bWHERE\b", source_text, re.I):
+            if sd[m2.start()] == 0 and not sinstr[m2.start()]:
+                wm = m2
+        if wm is not None:
+            source_text += f" AND ({having_pred})"
+        else:
+            source_text += f" WHERE {having_pred}"
     if any(re.fullmatch(r"\d+", k) for k in keys):
         return None  # GROUP BY ordinals: key exprs unknown textually
     norm_keys = {_norm_expr(k): k for k in keys}
@@ -1669,6 +1746,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_bing_tiles_around(sql)
     sql = _rewrite_color_family(sql)
     sql = _rewrite_features(sql)
+    sql = _rewrite_sketch_filter(sql)
     sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)
