@@ -144,8 +144,14 @@ def test_buffer_point(ns):
     want = 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)
     assert abs(ns["area"](out) - want) < 1e-9
     assert ns["contains"](out, "POINT (3 4)")
+    # r7: polygons buffer too (test_buffer_lines_and_polygons); the
+    # loud re-scopes left are non-positive radii and collection kinds
     with pytest.raises(ValueError):
-        ns["buffer_geom"](SQ, 1.0)
+        ns["buffer_geom"](SQ, -1.0)
+    with pytest.raises(ValueError):
+        ns["buffer_geom"](
+            "GEOMETRYCOLLECTION (POINT (1 1))", 1.0
+        )
 
 
 def test_simplify(ns):
@@ -745,3 +751,67 @@ def test_boolean_fallback_degenerate_incidence():
     # strict containment still takes the exact hole-punch path
     inner = "POLYGON ((0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))"
     assert area(ns["difference"](A, inner)) == 1.75
+
+
+def test_buffer_lines_and_polygons():
+    """r7: ST_Buffer covers lines and polygons via the snapped-
+    arrangement union of edge capsules (reference GeoFunctions.java
+    stBuffer). Properties: closed-form areas within the inscribed-
+    polygon tolerance, buffer contains the input, monotone in radius,
+    holes shrink."""
+    import math
+
+    from witdb_spark.functions.geometry import _geo_ns
+
+    ns = _geo_ns()
+    buf, area, parse = ns["buffer_geom"], ns["area"], ns["parse"]
+    contains = ns["contains"]
+    mgon = lambda r: 8 * r * r * math.sin(math.pi / 8)  # noqa: E731
+
+    # straight line: capsule area = 2*r*L + join 16-gon
+    for L, r in [(4, 1.0), (7, 0.5), (2, 0.25)]:
+        w = buf(f"LINESTRING (0 0, {L} 0)", r)
+        assert parse(w)[0] == "POLYGON"
+        assert abs(area(w) - (2 * r * L + mgon(r))) < 1e-6
+    # bent line: same closed form (convex right-angle joins contribute
+    # exactly the quarter arcs that sum with the caps to one 16-gon...
+    # plus the extra quarter at the bend, already inside the rects'
+    # union only partially) -- assert bounds instead of equality
+    w2 = buf("LINESTRING (0 0, 4 0, 4 4)", 0.5)
+    assert 2 * 0.5 * 8 < area(w2) < 2 * 0.5 * 8 + math.pi * 0.25 + 1e-6
+    # rectangle: area + perimeter*r + one join 16-gon
+    for wd, ht, r in [(1, 1, 1.0), (3, 2, 0.5)]:
+        p = buf(
+            f"POLYGON ((0 0, {wd} 0, {wd} {ht}, 0 {ht}, 0 0))", r
+        )
+        assert abs(
+            area(p) - (wd * ht + 2 * r * (wd + ht) + mgon(r))
+        ) < 1e-6
+        # buffer contains the input's corners and centroid
+        assert contains(p, f"POINT ({wd/2} {ht/2})")
+        assert contains(p, f"POINT (-{r*0.7} -{r*0.7})")
+    # monotone in radius
+    g = "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    areas = [area(buf(g, r)) for r in (0.25, 0.5, 1.0, 2.0)]
+    assert areas == sorted(areas) and len(set(areas)) == 4
+    # holed polygon: shell grows, hole shrinks (but survives)
+    hp = buf(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (3 3, 7 3, 7 7, 3 7, 3 3))",
+        0.5,
+    )
+    k, rings = parse(hp)
+    assert k == "POLYGON" and len(rings) == 2
+    assert abs(area(hp) - (100 + 4 * 10 * 0.5 + mgon(0.5) - 9)) < 1e-6
+    # big radius swallows the hole entirely
+    hp2 = buf(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (4 4, 6 4, 6 6, 4 6, 4 4))",
+        1.5,
+    )
+    k2, rings2 = parse(hp2)
+    assert k2 == "POLYGON" and len(rings2) == 1
+    # multilinestring unions disjoint capsules
+    ml = buf("MULTILINESTRING ((0 0, 2 0), (10 10, 12 10))", 0.5)
+    assert parse(ml)[0] == "MULTIPOLYGON"
+    assert abs(area(ml) - 2 * (2 * 0.5 * 2 + mgon(0.5))) < 1e-6

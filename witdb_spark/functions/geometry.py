@@ -60,9 +60,11 @@ DE-9IM semantics notes: ST_Contains follows the OGC rule — a boundary
 point is NOT contained (ray-cast interior test); polygon/polygon
 containment = every vertex of B inside-or-on A, no proper edge crossings,
 and at least one interior vertex. ST_Intersects counts boundary contact.
-Degenerate boolean inputs (shared edges, vertex-on-edge), polygons with
-holes as boolean inputs, line/polygon buffers, geometry collections, and
-spherical geography raise — registry.UNSUPPORTED records the reasoning.
+Degenerate boolean incidence (shared edges, vertex-on-edge) and polygons
+with holes route through the snapped planar arrangement (r5/r6);
+buffers cover points, lines, and polygons (r7 — Minkowski sums with
+sampled round joins). GEOMETRYCOLLECTION as a predicate/boolean/buffer
+operand raises — registry.UNSUPPORTED records the reasoning.
 """
 
 from __future__ import annotations
@@ -619,20 +621,26 @@ def convex_hull(s):
 
 
 def buffer_geom(s, r, n=32):
-    """Point/multipoint buffer as an n-gon circle. Line/polygon buffers
-    (Minkowski sums with arc joins) are beyond the planar kernel and
-    raise rather than approximate silently."""
+    """ST_Buffer (reference plugin/trino-geospatial GeoFunctions.java
+    stBuffer). Points/multipoints buffer as inscribed n-gon circles.
+    Lines and polygons (r7) buffer as the snapped-arrangement UNION of
+    per-edge offset rectangles and per-vertex join circles — a Minkowski
+    sum with sampled round joins — via union_many. Holes shrink
+    correctly: the hole's own edge capsules eat into it. Join circles
+    are inscribed n/2-gons, so the boundary is within
+    r*(1 - cos(pi/(n/2))) of the exact arc (same class of approximation
+    as the n-gon point buffer)."""
     k, d = parse(s)
     if d is None:
         return emit("POLYGON", None)
     if r <= 0:
         raise ValueError("st_buffer: radius must be positive")
 
-    def circle(c):
+    def circle(c, m=n):
         ring = [
-            (c[0] + r * math.cos(2 * math.pi * i / n),
-             c[1] + r * math.sin(2 * math.pi * i / n))
-            for i in range(n)
+            (c[0] + r * math.cos(2 * math.pi * i / m),
+             c[1] + r * math.sin(2 * math.pi * i / m))
+            for i in range(m)
         ]
         ring.append(ring[0])
         return ring
@@ -641,7 +649,46 @@ def buffer_geom(s, r, n=32):
         return emit("POLYGON", [circle(d)])
     if k == "MULTIPOINT":
         return emit("MULTIPOLYGON", [[circle(p)] for p in d])
-    raise ValueError("st_buffer supports POINT/MULTIPOINT only (planar kernel)")
+
+    def capsule_pieces(pts, closed):
+        """Per-edge offset rectangles + per-vertex join circles (WKTs)."""
+        out = []
+        m = len(pts)
+        for i in range(m if closed else m - 1):
+            a, b = pts[i], pts[(i + 1) % m]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            el = math.hypot(dx, dy)
+            if el == 0:
+                continue
+            px, py = -dy / el * r, dx / el * r
+            rect = [
+                (a[0] + px, a[1] + py), (b[0] + px, b[1] + py),
+                (b[0] - px, b[1] - py), (a[0] - px, a[1] - py),
+            ]
+            rect.append(rect[0])
+            out.append(emit("POLYGON", [rect]))
+        for p in pts:
+            out.append(emit("POLYGON", [circle(p, max(8, n // 2))]))
+        return out
+
+    pieces = []
+    if k == "LINESTRING":
+        pieces = capsule_pieces(d, False)
+    elif k == "MULTILINESTRING":
+        for line in d:
+            pieces.extend(capsule_pieces(line, False))
+    elif k in ("POLYGON", "MULTIPOLYGON"):
+        for p in ([d] if k == "POLYGON" else list(d)):
+            pieces.append(emit("POLYGON", p))
+            for ring in p:
+                rr = ring[:-1] if ring[0] == ring[-1] else list(ring)
+                pieces.extend(capsule_pieces(rr, True))
+    else:
+        raise ValueError("st_buffer: unsupported kind %r" % k)
+    out = union_many(pieces)
+    if out is None:
+        return emit("POLYGON", None)
+    return out
 
 
 def _dp(pts, tol):

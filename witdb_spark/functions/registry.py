@@ -652,7 +652,9 @@ UNSUPPORTED: dict[str, str] = {
     "polyline codecs, spherical geography (validated lat/lon WKT; the"
     " spherical measurements are st_spherical_distance/area/length"
     " because this registry cannot overload ST_* by operand type),"
-    " convex hull, simplify, point buffers, and polygon booleans —"
+    " convex hull, simplify, buffers (points as inscribed n-gons; r7:"
+    " lines and polygons as snapped-arrangement Minkowski sums with"
+    " sampled round joins), and polygon booleans —"
     " convex clips via Sutherland-Hodgman, concave-x-concave via a"
     " Greiner-Hormann clipper (generic position, holes-in-results"
     " classified), and (r5) a snapped planar-arrangement N-way union"
@@ -660,10 +662,7 @@ UNSUPPORTED: dict[str, str] = {
     " for ST_Union and geometry_union_agg"
     " (operators/spatial_join.py geometry_union_agg)."
     " Still out of scope (raise, never approximate):"
-    " non-union booleans (intersection/difference) with degenerate"
-    " incidence, polygons with"
-    " holes as boolean/relate INPUTS, buffers of lines/polygons"
-    " (Minkowski sums with arc joins), GEOMETRYCOLLECTION as a PREDICATE/BOOLEAN operand (the read surface — parse/emit, accessors, summed measurements, WKB/GeoJSON — works),"
+    " GEOMETRYCOLLECTION as a PREDICATE/BOOLEAN/BUFFER operand (the read surface — parse/emit, accessors, summed measurements, WKB/GeoJSON — works),"
     " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
     " WKB/GeoJSON cover interchange), and spatial_partitioning/"
     "spatial_partitions (KDB-tree handles; the grid-cell banded join in"

@@ -83,10 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q4", "tpcds_sql_q11", "tpcds_sql_q14", "tpcds_sql_q33",
     "tpcds_sql_q56", "tpcds_sql_q60", "tpcds_sql_q77", "tpcds_sql_q46",
     "tpcds_sql_q68",
+    # r7-new operator queries
+    "geometry_buffer_parity",
     # filler: stalest greens (last driver row r1) for re-verification
     "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
     "agg_conditional_bool", "agg_geo_mean_percentiles", "agg_histogram_map",
-    "agg_hll_merge_rollup",
 )
 
 

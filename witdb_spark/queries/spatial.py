@@ -200,3 +200,61 @@ def geometry_union_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("st_area(geom)"), 6).alias("union_area"),
         )
     )
+
+
+@register(
+    "geometry_buffer_parity",
+    """
+    SELECT event_id,
+           TRUE AS rect_ok, TRUE AS line_ok, TRUE AS grow_ok
+    FROM events WHERE event_id % 997 = 0
+    """,
+    doc="ST_Buffer of lines and polygons (r7; reference "
+    "plugin/trino-geospatial GeoFunctions.java stBuffer): per row, "
+    "buffer an axis-aligned w x h rectangle and a length-L segment "
+    "with radius r and check the areas against the Minkowski closed "
+    "forms (rect: w*h + 2r(w+h) + one join 16-gon = 8 r^2 sin(pi/8); "
+    "line: 2rL + the same 16-gon) to 1e-6 — 30x the snap-rounding "
+    "error bound — plus radius monotonicity. The oracle is the "
+    "all-TRUE prediction; the closed forms are exact because the "
+    "capsule rectangles of a convex axis-aligned input overlap only "
+    "in the join circles' quarters (functions/geometry.py "
+    "buffer_geom).",
+    tags=("spatial", "geometry", "buffer"),
+)
+def geometry_buffer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    base = (
+        t.events.where(F.col("event_id") % 997 == 0)
+        .select(
+            "event_id",
+            (1 + F.col("event_id") % 5).cast("int").alias("w"),
+            (1 + F.col("event_id") % 3).cast("int").alias("h"),
+            (0.25 + (F.col("event_id") % 4) * 0.25).alias("r"),
+            (2 + F.col("event_id") % 7).cast("int").alias("len"),
+        )
+        .withColumn(
+            "rect",
+            F.format_string(
+                "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))",
+                F.col("w"), F.col("w"), F.col("h"), F.col("h"),
+            ),
+        )
+        .withColumn("line", F.format_string("LINESTRING (0 0, %d 0)", F.col("len")))
+    )
+    mgon = "8 * r * r * sin(pi() / 8)"
+    return base.select(
+        "event_id",
+        F.expr(
+            f"abs(st_area(st_buffer(rect, r)) - (w * h + 2 * r * (w + h) + {mgon})) < 1e-6"
+        ).alias("rect_ok"),
+        F.expr(
+            f"abs(st_area(st_buffer(line, r)) - (2 * r * len + {mgon})) < 1e-6"
+        ).alias("line_ok"),
+        F.expr(
+            "st_area(st_buffer(rect, r + 0.25)) > st_area(st_buffer(rect, r))"
+        ).alias("grow_ok"),
+    )
