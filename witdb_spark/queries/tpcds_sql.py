@@ -815,26 +815,35 @@ _Q11 = """
 # q4 shape (reference tpcds/q4.sql): q11 with a THIRD channel — the
 # year_total CTE is self-joined SIX ways and both channel growth ratios
 # must beat the store channel's (both comparisons cross-multiplied).
+# The two comparison periods are multi-year halves (<=1997 vs >1997)
+# so all-three-channel presence in both periods is non-degenerate at
+# the sf0.01 gate scale (single years gave an empty result).
 _Q4 = """
     WITH year_total AS (
-      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+      SELECT o_custkey AS cid,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS dyear,
              SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
              's' AS sale_type
       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      GROUP BY o_custkey, year(o_orderdate)
+      GROUP BY o_custkey,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END
       UNION ALL
-      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+      SELECT o_custkey AS cid,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS dyear,
              SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
              'c' AS sale_type
       FROM orders WHERE o_orderpriority = '3-MEDIUM'
-      GROUP BY o_custkey, year(o_orderdate)
+      GROUP BY o_custkey,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END
       UNION ALL
-      SELECT o_custkey AS cid, CAST(year(o_orderdate) AS INTEGER) AS dyear,
+      SELECT o_custkey AS cid,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS dyear,
              SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS year_total,
              'w' AS sale_type
       FROM orders
       WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
-      GROUP BY o_custkey, year(o_orderdate))
+      GROUP BY o_custkey,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END)
     SELECT t_s_secyear.cid AS customer_id, c_name AS customer_name
     FROM year_total t_s_firstyear
          JOIN year_total t_s_secyear
@@ -851,9 +860,9 @@ _Q4 = """
     WHERE t_s_firstyear.sale_type = 's' AND t_s_secyear.sale_type = 's'
       AND t_c_firstyear.sale_type = 'c' AND t_c_secyear.sale_type = 'c'
       AND t_w_firstyear.sale_type = 'w' AND t_w_secyear.sale_type = 'w'
-      AND t_s_firstyear.dyear = 1996 AND t_s_secyear.dyear = 1997
-      AND t_c_firstyear.dyear = 1996 AND t_c_secyear.dyear = 1997
-      AND t_w_firstyear.dyear = 1996 AND t_w_secyear.dyear = 1997
+      AND t_s_firstyear.dyear = 1 AND t_s_secyear.dyear = 2
+      AND t_c_firstyear.dyear = 1 AND t_c_secyear.dyear = 2
+      AND t_w_firstyear.dyear = 1 AND t_w_secyear.dyear = 2
       AND t_s_firstyear.year_total > 0
       AND t_c_firstyear.year_total > 0
       AND t_w_firstyear.year_total > 0
