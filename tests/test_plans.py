@@ -638,17 +638,23 @@ def test_sketch_split_filter_and_having_spellings(spark):
             " FROM lineitem GROUP BY l_returnflag"
         ).collect()
     }
-    want = {
+    exact = {
         r["l_returnflag"]: r["c"]
         for r in spark.sql(
             "SELECT l_returnflag,"
-            " approx_count_distinct(CASE WHEN l_quantity > 10"
-            " THEN l_orderkey END, 0.0040625) AS c"
+            " COUNT(DISTINCT CASE WHEN l_quantity > 10"
+            " THEN l_orderkey END) AS c"
             " FROM parquet.`%s/lineitem.parquet`"
             " GROUP BY l_returnflag" % SF_DIR
         ).collect()
     }
-    assert set(got) == set(want)
+    assert set(got) == set(exact)
+    # per-key values, not just key sets: a wrong CASE-WHEN fold that
+    # returned bad counts must fail. approx_set's HLL (4096 buckets,
+    # ~1.6% standard error) tracks the exact distinct count closely at
+    # this cardinality; 5% + 5 absolute covers it with margin.
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= max(5, 0.05 * v), (k, got[k], v)
     having = {
         r["l_returnflag"]: r["c"]
         for r in eng.sql(
@@ -659,3 +665,30 @@ def test_sketch_split_filter_and_having_spellings(spark):
         ).collect()
     }
     assert set(having) == {"A", "R"}
+
+
+def test_sketch_split_comment_guard():
+    """A '--' line comment in the source bails the two-level rewrite
+    (the reassembly is single-line, so appended WHERE/GROUP BY text
+    would land inside the comment); '--' inside a string literal does
+    not bail. Pure-rewrite test, no Spark session needed."""
+    from witdb_spark.plans.dialect import (
+        _rewrite_sketch_filter,
+        _rewrite_sketch_two_level,
+    )
+
+    commented = (
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d"
+        " FROM lineitem WHERE l_quantity = 1 -- note\n"
+        "GROUP BY l_returnflag HAVING l_returnflag IN ('A')"
+    )
+    assert _rewrite_sketch_two_level(commented) == commented
+    in_string = (
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d"
+        " FROM lineitem WHERE l_comment <> 'a--b' GROUP BY l_returnflag"
+    )
+    assert "__sk_part" in _rewrite_sketch_two_level(in_string)
+    # multi-arg FILTER fold wraps only the value argument
+    assert _rewrite_sketch_filter(
+        "SELECT qdigest_agg(x, w) FILTER (WHERE p > 1) AS d FROM t"
+    ) == "SELECT qdigest_agg(CASE WHEN p > 1 THEN x END, w) AS d FROM t"

@@ -1353,12 +1353,17 @@ def _rewrite_sketch_filter(sql: str) -> str:
         clause = sql[f_open + 1 : f_close].strip()
         wm = re.match(r"(?is)^WHERE\b", clause)
         args = _split_top_level(sql[open_idx + 1 : close_idx])
-        if wm is None or len(args) != 1:
+        # multi-arg builds (e.g. a future weighted qdigest_agg(x, w)):
+        # wrap only the first (value) argument — the UDAFs skip NULL
+        # values, so nulling the value masks the whole row.
+        if wm is None or not args or not args[0].strip():
             pos = f_close + 1
             continue
         cond = clause[wm.end() :].strip()
         fname = m.group(1)
-        repl = f"{fname}(CASE WHEN {cond} THEN {args[0].strip()} END)"
+        folded = f"CASE WHEN {cond} THEN {args[0].strip()} END"
+        all_args = ", ".join([folded] + [a.strip() for a in args[1:]])
+        repl = f"{fname}({all_args})"
         sql = sql[: pos + m.start()] + repl + sql[f_close + 1 :]
         pos = pos + m.start() + len(repl)
 
@@ -1432,6 +1437,14 @@ def _rewrite_sketch_two_level(sql: str) -> str:
 def _sketch_block_two_level(block: str) -> str | None:
     """Rewrite one SELECT block (no enclosing parens) or None to bail."""
     bd, binstr = _scan_maps(block)
+    # Comment guard: the rewrite reassembles clause fragments on one
+    # line, so a '--' line comment in the source would swallow whatever
+    # gets appended after it (WHERE/AND from the HAVING hoist, GROUP BY,
+    # the closing paren). Bail to the single-level plan — conservative,
+    # never wrong. String literals containing '--' are fine (binstr).
+    for cm in re.finditer(r"--|/\*", block):
+        if not binstr[cm.start()]:
+            return None
 
     def top_kw(pattern: str):
         for m in re.finditer(pattern, block, re.I):
