@@ -98,17 +98,27 @@ def main() -> None:
     names += sorted(n for n in QUERIES if n not in names and "bench" in QUERIES[n].tags)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     stage_deltas: dict[str, dict[str, int]] = {}
     for name in names:
         fn = QUERIES[name].fn
         for _ in range(PREWARM_RUNS):
             fn(spark, sf_dir).collect()
         before = _stage_totals(spark)
-        best = min(
+        runs = sorted(
             _timed(lambda: fn(spark, sf_dir).collect()) for _ in range(MEASURED_RUNS)
         )
         after = _stage_totals(spark)
-        timings[name] = round(best, 4)
+        # headline stays min-of-N (comparable with prior rounds); the
+        # spread [min, median, max] makes noise visible so a +15% wall
+        # swing with flat bytes (r7: mr_funnel, tpch_q10) is flagged as
+        # noise by the numbers, not by argument.
+        timings[name] = round(runs[0], 4)
+        spreads[name] = [
+            round(runs[0], 3),
+            round(runs[len(runs) // 2], 3),
+            round(runs[-1], 3),
+        ]
         if before is not None and after is not None:
             # delta across the MEASURED_RUNS executions of this query
             stage_deltas[name] = {
@@ -122,6 +132,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stat": f"min_of_{MEASURED_RUNS}",
+        "spread": spreads,
     }
     # r7 stdout contract fix (VERDICT r6 "What's wrong #2"): the driver
     # tail-captures stdout and BENCH_r06 truncated mid-JSON once stage
@@ -131,7 +143,14 @@ def main() -> None:
     if stage_deltas:
         try:
             with open(os.path.join(REPO_ROOT, "BENCH_STAGES.json"), "w") as f:
-                json.dump({"sf": out["sf"], "stage_metrics_per_run": stage_deltas}, f)
+                json.dump(
+                    {
+                        "sf": out["sf"],
+                        "stage_metrics_per_run": stage_deltas,
+                        "spread_min_median_max_sec": spreads,
+                    },
+                    f,
+                )
         except OSError:
             pass
         print(json.dumps({"stage_metrics_per_run": stage_deltas}))
