@@ -1175,3 +1175,424 @@ for _name, _text, _doc in [
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 (r8): returns-CTE correlated thresholds (q1/q30/q81),
+# sales<->returns 3-way chains (q17/q25/q29), day-bucket CASE pivots
+# (q62/q99), ranked-month scalar subquery (q6), excess-discount
+# correlated avg (q32), wide multi-join with HAVING CTE + year self-join
+# (q64), and the cross-channel anti-join report (q78).
+#
+# Driver-schema return model (documented once, used by the whole
+# tranche): the fixture has no separate returns fact table, so a
+# "return" IS the lineitem row with l_returnflag = 'R', matched 1:1 on
+# (l_orderkey, l_linenumber); the returned quantity is modeled as a
+# partial return floor((l_quantity + 1) / 2). The "catalog" channel of
+# the q17/q25/q29 chains is another sale of the same (part, supplier)
+# in a different order. Correlated AVG thresholds use the registry's
+# decimal-exact avg (CAST(SUM(decimal) AS DOUBLE) / COUNT(*)) so the
+# threshold comparison is one deterministic IEEE multiply per row.
+
+# q1 shape (reference tpcds/q01.sql): returns-total CTE per (customer,
+# store), correlated AVG*1.2 threshold over the same CTE, store filter,
+# customer join. Mapping: store -> supplier nation.
+_Q1 = """
+    WITH customer_total_return AS (
+      SELECT o_custkey AS ctr_customer, n_name AS ctr_store,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS ctr_total_return
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 1995
+      GROUP BY o_custkey, n_name)
+    SELECT c_name, CAST(ctr_total_return AS DOUBLE) AS total_return
+    FROM customer_total_return ctr1 JOIN customer ON c_custkey = ctr_customer
+    WHERE ctr_store = 'NATION_7'
+      AND CAST(ctr_total_return AS DOUBLE) > (
+        SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(*) * 1.2
+        FROM customer_total_return ctr2
+        WHERE ctr1.ctr_store = ctr2.ctr_store)
+"""
+
+# q30 shape (reference tpcds/q30.sql): the q1 family keyed by the
+# CUSTOMER's geography (web returns per customer per state), wide
+# customer output columns.
+_Q30 = """
+    WITH customer_total_return AS (
+      SELECT o_custkey AS ctr_customer, n_name AS ctr_state,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS ctr_total_return
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer cx ON cx.c_custkey = o_custkey
+           JOIN nation ON cx.c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+      GROUP BY o_custkey, n_name)
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+           CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+    FROM customer_total_return ctr1 JOIN customer ON c_custkey = ctr_customer
+    WHERE ctr_state = 'NATION_11'
+      AND CAST(ctr_total_return AS DOUBLE) > (
+        SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(*) * 1.2
+        FROM customer_total_return ctr2
+        WHERE ctr1.ctr_state = ctr2.ctr_state)
+"""
+
+# q81 shape (reference tpcds/q81.sql): the q1 family over catalog
+# returns with tax-inclusive amounts and the address-style output list.
+_Q81 = """
+    WITH customer_total_return AS (
+      SELECT o_custkey AS ctr_customer, n_name AS ctr_state,
+             SUM(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(30,6)))
+               AS ctr_total_return
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer cx ON cx.c_custkey = o_custkey
+           JOIN nation ON cx.c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R' AND year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey, n_name)
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal, ctr_state,
+           CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+    FROM customer_total_return ctr1 JOIN customer ON c_custkey = ctr_customer
+    WHERE ctr_state = 'NATION_3'
+      AND CAST(ctr_total_return AS DOUBLE) > (
+        SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(*) * 1.2
+        FROM customer_total_return ctr2
+        WHERE ctr1.ctr_state = ctr2.ctr_state)
+"""
+
+# q6 shape (reference tpcds/q06.sql): per-state customer count for
+# items priced above k * category average — a scalar DISTINCT month
+# subquery (EnforceSingleRow) AND a correlated category-average scalar
+# subquery in one WHERE. k adapted 1.2 -> 1.05: fixture p_retailprice
+# is uniform [900, 1000], so 1.2 * avg selects nothing by construction.
+_Q6 = """
+    SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN part i ON i.p_partkey = l.l_partkey
+    WHERE year(o.o_orderdate) = (
+        SELECT DISTINCT year(o_orderdate) FROM orders
+        WHERE year(o_orderdate) = 1995)
+      AND i.p_retailprice > 1.05 * (
+        SELECT CAST(SUM(CAST(j.p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM part j WHERE j.p_type = i.p_type)
+    GROUP BY n_name
+    HAVING COUNT(*) >= 5
+"""
+
+# q32 shape (reference tpcds/q32.sql): excess-discount amount — sum
+# over rows whose discount exceeds 1.3 * the part's average discount
+# (correlated scalar AVG), brand + date-window filters.
+_Q32 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * l.l_discount
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS excess_discount_amount
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_discount > 1.3 * (
+        SELECT CAST(SUM(CAST(l2.l_discount AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _chain(select_items: str, group_keys: str, windows: str) -> str:
+    """The q17/q25/q29 join graph (reference tpcds/q17.sql, q25.sql,
+    q29.sql share it): sale -> its 1:1 return row -> another sale of
+    the same (part, supplier), three date dimensions, item + store
+    dims. Callers vary the aggregates and the date windows exactly as
+    the three TPC-DS originals do."""
+    return f"""
+    WITH sr AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+             floor((l_quantity + 1) / 2) AS r_quantity,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+               AS r_amount,
+             l_shipdate AS r_shipdate
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT {select_items}
+    FROM lineitem ss JOIN orders o1 ON ss.l_orderkey = o1.o_orderkey
+         JOIN part p ON p.p_partkey = ss.l_partkey
+         JOIN supplier s ON s.s_suppkey = ss.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN sr ON sr.r_orderkey = ss.l_orderkey
+                AND sr.r_linenumber = ss.l_linenumber
+         JOIN lineitem cs ON cs.l_partkey = ss.l_partkey
+                AND cs.l_suppkey = ss.l_suppkey
+                AND cs.l_orderkey <> ss.l_orderkey
+         JOIN orders o3 ON o3.o_orderkey = cs.l_orderkey
+    WHERE {windows}
+    GROUP BY {group_keys}
+"""
+
+
+def _cov_stats(s: str, q: str, label: str) -> str:
+    """count/avg/stddev_samp/CoV from exact decimal sums (the q39
+    pattern): one IEEE division per output, NULL stddev for n = 1
+    groups exactly like stddev_samp."""
+    ave = f"CAST({s} AS DOUBLE) / COUNT(*)"
+    var = (
+        f"greatest((CAST({q} AS DOUBLE)"
+        f" - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / COUNT(*))"
+        f" / (COUNT(*) - 1), 0.0e0)"
+    )
+    return (
+        f"round({ave}, 6) AS {label}_ave,\n"
+        f"           CASE WHEN COUNT(*) > 1 THEN round(sqrt({var}), 6) END"
+        f" AS {label}_stdev,\n"
+        f"           CASE WHEN COUNT(*) > 1 THEN round(sqrt({var}) / ({ave}), 6) END"
+        f" AS {label}_cov"
+    )
+
+
+# q17 shape (reference tpcds/q17.sql): the chain with count/avg/
+# stddev_samp/coefficient-of-variation of the quantity in each of the
+# three channels. Quarter windows widened to year-grain so the chain
+# is non-degenerate at sf0.01 (the fixture's repeat-purchase rate is
+# far below retail TPC-DS).
+_Q17 = _chain(
+    """p_type AS item_type, n_name AS store_nation,
+           CAST(COUNT(*) AS BIGINT) AS store_sales_quantitycount,
+           """
+    + _cov_stats("SUM(CAST(ss.l_quantity AS DECIMAL(30,6)))",
+                 "SUM(CAST(ss.l_quantity * ss.l_quantity AS DECIMAL(30,6)))",
+                 "store_sales_quantity")
+    + ",\n           "
+    + _cov_stats("SUM(CAST(sr.r_quantity AS DECIMAL(30,6)))",
+                 "SUM(CAST(sr.r_quantity * sr.r_quantity AS DECIMAL(30,6)))",
+                 "store_returns_quantity")
+    + ",\n           "
+    + _cov_stats("SUM(CAST(cs.l_quantity AS DECIMAL(30,6)))",
+                 "SUM(CAST(cs.l_quantity * cs.l_quantity AS DECIMAL(30,6)))",
+                 "catalog_sales_quantity"),
+    "p_type, n_name",
+    """year(o1.o_orderdate) = 1995
+      AND year(sr.r_shipdate) = 1995
+      AND year(o3.o_orderdate) IN (1995, 1996)""",
+)
+
+# q25 shape (reference tpcds/q25.sql): the chain summing net profit /
+# return loss / catalog profit (q9 supply-cost model 0.5 *
+# p_retailprice), April-October windows.
+_Q25 = _chain(
+    """p_brand AS item_brand, s_name AS store_name,
+           CAST(SUM(CAST(ss.l_extendedprice * (1 - ss.l_discount)
+                         - 0.5 * p_retailprice * ss.l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE) AS store_sales_profit,
+           CAST(SUM(sr.r_amount) AS DOUBLE) AS store_returns_loss,
+           CAST(SUM(CAST(cs.l_extendedprice * (1 - cs.l_discount)
+                         - 0.5 * p_retailprice * cs.l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE) AS catalog_sales_profit""",
+    "p_brand, s_name",
+    """year(o1.o_orderdate) = 1997
+      AND month(o1.o_orderdate) BETWEEN 4 AND 10
+      AND year(sr.r_shipdate) = 1997 AND month(sr.r_shipdate) >= 4
+      AND year(o3.o_orderdate) IN (1997, 1998)""",
+)
+
+# q29 shape (reference tpcds/q29.sql): the chain summing quantities
+# (sold / partial-returned / repurchased), month window on the sale,
+# three-year window on the repurchase.
+_Q29 = _chain(
+    """p_brand AS item_brand, s_name AS store_name,
+           CAST(SUM(CAST(ss.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS store_sales_quantity,
+           CAST(SUM(CAST(sr.r_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS store_returns_quantity,
+           CAST(SUM(CAST(cs.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS catalog_sales_quantity""",
+    "p_brand, s_name",
+    """year(o1.o_orderdate) = 1996
+      AND month(o1.o_orderdate) BETWEEN 7 AND 12
+      AND year(sr.r_shipdate) IN (1996, 1997)
+      AND year(o3.o_orderdate) IN (1996, 1997, 1998)""",
+)
+
+
+def _lag_buckets(lag: str) -> str:
+    """q62/q99's five shipping-lag CASE buckets over ``lag`` days."""
+    return f"""
+           CAST(SUM(CASE WHEN {lag} <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_30_days,
+           CAST(SUM(CASE WHEN {lag} > 30 AND {lag} <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_31_60_days,
+           CAST(SUM(CASE WHEN {lag} > 60 AND {lag} <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_61_90_days,
+           CAST(SUM(CASE WHEN {lag} > 90 AND {lag} <= 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_91_120_days,
+           CAST(SUM(CASE WHEN {lag} > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_over_120_days"""
+
+
+_LAG = "date_diff('day', o_orderdate, l_shipdate)"
+
+# q62 shape (reference tpcds/q62.sql): web-sales shipping-lag report —
+# substr()-keyed warehouse dim + ship mode + site, five CASE buckets
+# of day lag. Mapping: warehouse -> supplier nation, ship_mode ->
+# order priority, web site -> line status; lag = order-to-ship days.
+_Q62 = f"""
+    SELECT substr(n_name, 1, 20) AS warehouse_nation,
+           o_orderpriority AS ship_mode, l_linestatus AS web_name,
+           {_lag_buckets(_LAG)}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+    WHERE year(l_shipdate) = 1996
+    GROUP BY substr(n_name, 1, 20), o_orderpriority, l_linestatus
+"""
+
+# q99 shape (reference tpcds/q99.sql): the catalog-channel sibling —
+# same five-bucket skeleton, different dims (call center -> order
+# status, supplier name for the warehouse) and an order-year window.
+_Q99 = f"""
+    SELECT substr(s_name, 1, 20) AS warehouse_name,
+           o_orderstatus AS call_center, o_orderpriority AS ship_mode,
+           {_lag_buckets(_LAG)}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY substr(s_name, 1, 20), o_orderstatus, o_orderpriority
+"""
+
+# q64 shape (reference tpcds/q64.sql): HAVING-filtered returns CTE
+# (sale > 2x refund), wide multi-join cross_sales CTE grouped on
+# product/store/buyer-geography/year, self-joined across consecutive
+# years with a cnt comparison. Mapping: item list price arithmetic ->
+# quantity/extendedprice/discount sums; store -> supplier.
+_Q64 = """
+    WITH cs_ui AS (
+      SELECT l_partkey AS ui_partkey
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING SUM(CAST(CASE WHEN l_returnflag = 'R'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END AS DECIMAL(30,6))) > 0
+         AND CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) >
+             2 * CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)),
+    cross_sales AS (
+      SELECT p_name AS product_name, p_partkey AS item_sk,
+             s_name AS store_name, cn.n_name AS buyer_nation,
+             CAST(year(o_orderdate) AS INTEGER) AS syear,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s1,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s2,
+             SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS s3
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON c.c_custkey = o_custkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           JOIN supplier s ON s.s_suppkey = l_suppkey
+           JOIN part p ON p.p_partkey = l_partkey
+           JOIN cs_ui ON ui_partkey = l_partkey
+      GROUP BY p_name, p_partkey, s_name, cn.n_name, year(o_orderdate))
+    SELECT cs1.product_name, cs1.store_name,
+           cs1.buyer_nation, cs2.buyer_nation AS repeat_buyer_nation,
+           cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+           CAST(cs1.s1 AS DOUBLE) AS s11, CAST(cs1.s2 AS DOUBLE) AS s21,
+           CAST(cs1.s3 AS DOUBLE) AS s31,
+           CAST(cs2.s1 AS DOUBLE) AS s12, CAST(cs2.s2 AS DOUBLE) AS s22,
+           CAST(cs2.s3 AS DOUBLE) AS s32
+    FROM cross_sales cs1 JOIN cross_sales cs2
+         ON cs1.item_sk = cs2.item_sk AND cs1.store_name = cs2.store_name
+    WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
+"""
+
+# q78 shape (reference tpcds/q78.sql): three per-channel CTE instances
+# (channel = l_linenumber % 3) each excluding returned rows via the
+# LEFT JOIN ... IS NULL anti pattern, LEFT JOINed across channels on
+# (year, item) with COALESCE ratio output (the customer key of the
+# original is dropped: the fixture's repeat-purchase rate makes a
+# per-customer 3-channel match empty at sf0.01). The reference
+# text's famous "cs_item_sk = cs_item_sk" tautology bug is NOT
+# reproduced — the join matches on the item key properly.
+_Q78 = """
+    WITH rets AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber
+      FROM lineitem WHERE l_returnflag = 'R'),
+    ch AS (
+      SELECT l_linenumber % 3 AS chan,
+             CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS wc,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           LEFT JOIN rets r ON r.r_orderkey = l.l_orderkey
+                AND r.r_linenumber = l.l_linenumber
+      WHERE r.r_orderkey IS NULL
+      GROUP BY l_linenumber % 3, year(o_orderdate), l_partkey)
+    SELECT ss.yr, ss.l_partkey AS item,
+           round(CAST(ss.qty AS DOUBLE)
+                 / CAST(COALESCE(ws.qty + cs.qty, 1) AS DOUBLE), 6) AS ratio,
+           CAST(ss.qty AS DOUBLE) AS store_qty,
+           CAST(ss.wc AS DOUBLE) AS store_wholesale_cost,
+           CAST(ss.sp AS DOUBLE) AS store_sales_price,
+           CAST(COALESCE(ws.qty, 0) + COALESCE(cs.qty, 0) AS DOUBLE)
+             AS other_chan_qty,
+           CAST(COALESCE(ws.wc, 0) + COALESCE(cs.wc, 0) AS DOUBLE)
+             AS other_chan_wholesale_cost,
+           CAST(COALESCE(ws.sp, 0) + COALESCE(cs.sp, 0) AS DOUBLE)
+             AS other_chan_sales_price
+    FROM ch ss LEFT JOIN ch ws ON ws.chan = 1 AND ws.yr = ss.yr
+             AND ws.l_partkey = ss.l_partkey
+         LEFT JOIN ch cs ON cs.chan = 2 AND cs.yr = ss.yr
+             AND cs.l_partkey = ss.l_partkey
+    WHERE ss.chan = 0 AND COALESCE(ws.qty, 0) > 0 AND COALESCE(cs.qty, 0) > 0
+      AND ss.yr = 1996
+"""
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q1", _Q1,
+     "TPC-DS q1 shape via Engine.sql: returns-total CTE referenced "
+     "twice, correlated AVG*1.2 threshold, store filter (reference "
+     "tpcds/q01.sql; store -> supplier nation)."),
+    ("tpcds_sql_q30", _Q30,
+     "TPC-DS q30 shape via Engine.sql: the q1 family keyed by customer "
+     "geography with wide customer output (reference tpcds/q30.sql)."),
+    ("tpcds_sql_q81", _Q81,
+     "TPC-DS q81 shape via Engine.sql: the q1 family with tax-inclusive "
+     "return amounts (reference tpcds/q81.sql)."),
+    ("tpcds_sql_q6", _Q6,
+     "TPC-DS q6 shape via Engine.sql: scalar DISTINCT subquery "
+     "(EnforceSingleRow) + correlated category-average threshold + "
+     "HAVING count (reference tpcds/q06.sql; 1.2 -> 1.05 for the "
+     "fixture's uniform price range)."),
+    ("tpcds_sql_q32", _Q32,
+     "TPC-DS q32 shape via Engine.sql: excess-discount sum over a "
+     "correlated per-part average-discount threshold (reference "
+     "tpcds/q32.sql)."),
+    ("tpcds_sql_q17", _Q17,
+     "TPC-DS q17 shape via Engine.sql: sales->returns->repurchase "
+     "chain with count/avg/stddev/CoV per channel from exact decimal "
+     "sums (reference tpcds/q17.sql)."),
+    ("tpcds_sql_q25", _Q25,
+     "TPC-DS q25 shape via Engine.sql: the q17 chain summing profit / "
+     "loss / catalog profit (reference tpcds/q25.sql)."),
+    ("tpcds_sql_q29", _Q29,
+     "TPC-DS q29 shape via Engine.sql: the q17 chain summing sold / "
+     "returned / repurchased quantities (reference tpcds/q29.sql)."),
+    ("tpcds_sql_q62", _Q62,
+     "TPC-DS q62 shape via Engine.sql: five CASE day-lag buckets over "
+     "substr-keyed dims (reference tpcds/q62.sql)."),
+    ("tpcds_sql_q99", _Q99,
+     "TPC-DS q99 shape via Engine.sql: the q62 skeleton on the catalog "
+     "channel dims and order-year window (reference tpcds/q99.sql)."),
+    ("tpcds_sql_q64", _Q64,
+     "TPC-DS q64 shape via Engine.sql: HAVING-filtered returns CTE, "
+     "wide multi-join cross_sales, consecutive-year self-join with cnt "
+     "comparison (reference tpcds/q64.sql)."),
+    ("tpcds_sql_q78", _Q78,
+     "TPC-DS q78 shape via Engine.sql: three channel CTE instances "
+     "with LEFT JOIN ... IS NULL return exclusion, cross-channel LEFT "
+     "JOINs, COALESCE ratio (reference tpcds/q78.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
