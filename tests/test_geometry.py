@@ -144,14 +144,13 @@ def test_buffer_point(ns):
     want = 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)
     assert abs(ns["area"](out) - want) < 1e-9
     assert ns["contains"](out, "POINT (3 4)")
-    # r7: polygons buffer too (test_buffer_lines_and_polygons); the
-    # loud re-scopes left are non-positive radii and collection kinds
+    # r7: polygons buffer too (test_buffer_lines_and_polygons); r8:
+    # collections buffer as the union of member buffers — the loud
+    # re-scope left is non-positive radii
     with pytest.raises(ValueError):
         ns["buffer_geom"](SQ, -1.0)
-    with pytest.raises(ValueError):
-        ns["buffer_geom"](
-            "GEOMETRYCOLLECTION (POINT (1 1))", 1.0
-        )
+    gc_buf = ns["buffer_geom"]("GEOMETRYCOLLECTION (POINT (1 1))", 2.0)
+    assert abs(ns["area"](gc_buf) - want) < 1e-9
 
 
 def test_simplify(ns):
@@ -654,13 +653,17 @@ def test_geometrycollection_read_surface(ns):
     gj = ns["to_geojson"](gc)
     assert '"GeometryCollection"' in gj
     assert ns["area"](ns["from_geojson"](gj)) == 4.0
-    for fn, args in (
-        ("contains", (gc, "POINT (1 1)")),
-        ("intersects", (gc, gc)),
-        ("de9im", (gc, gc)),
-    ):
-        with pytest.raises(ValueError):
-            ns[fn](*args)
+    # r8: intersects accepts ANY GC (exact any-member distribution);
+    # contains accepts polygonal GCs (dissolve) and GC right operands
+    # (all-member), but a MIXED-dimension GC as the LEFT areal operand
+    # still raises (its interior is not the polygonal dissolve in
+    # general); de9im (and ST_Relate on it) keeps the documented raise.
+    assert ns["intersects"](gc, gc)
+    assert ns["contains"](SQ, gc)  # every member inside the 4x4 square
+    with pytest.raises(ValueError):
+        ns["contains"](gc, "POINT (1 1)")
+    with pytest.raises(ValueError):
+        ns["de9im"](gc, gc)
 
 
 def test_union_many_arrangement():
@@ -815,3 +818,60 @@ def test_buffer_lines_and_polygons():
     ml = buf("MULTILINESTRING ((0 0, 2 0), (10 10, 12 10))", 0.5)
     assert parse(ml)[0] == "MULTIPOLYGON"
     assert abs(area(ml) - 2 * (2 * 0.5 * 2 + mgon(0.5))) < 1e-6
+
+
+def test_geometrycollection_operands(ns):
+    """r8: GEOMETRYCOLLECTION as predicate/boolean/buffer operand
+    (reference GeoFunctions.java flattens GC members for ST_Union).
+    Predicates distribute exactly; areal booleans dissolve the GC to
+    its polygonal union first; buffer unions member buffers; mixed-
+    dimension GC as an AREAL operand raises loudly."""
+    area, parse = ns["area"], ns["parse"]
+    gc = (
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " POLYGON ((0.5 0, 1.5 0, 1.5 1, 0.5 1, 0.5 0)))"
+    )
+    sq = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"
+    # union: GC dissolves to [0,1.5]x[0,1] (area 1.5), + [1,2]x[0,1]
+    assert abs(area(ns["union_geom"](gc, sq)) - 2.0) < 1e-9
+    assert abs(area(ns["union_geom"](sq, gc)) - 2.0) < 1e-9
+    # GC union area == union of parts (the dissolve is real, not a sum)
+    assert abs(area(ns["_gc_as_polygonal"](gc, "t")) - 1.5) < 1e-9
+    # booleans against the dissolved union
+    assert abs(area(ns["intersection"](gc, sq)) - 0.5) < 1e-9
+    assert abs(area(ns["difference"](gc, sq)) - 1.0) < 1e-9
+    assert abs(area(ns["difference"](sq, gc)) - 0.5) < 1e-9
+    assert abs(area(ns["sym_difference"](gc, sq)) - 1.5) < 1e-9
+    # predicates: intersects distributes (any member), contains-right
+    # requires every member, contains-left dissolves first
+    assert ns["intersects"](gc, "POINT (0.25 0.5)")
+    assert not ns["intersects"](gc, "POINT (5 5)")
+    assert ns["contains"]("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", gc)
+    assert not ns["contains"](sq, gc)
+    assert ns["contains"](gc, "POINT (0.75 0.5)")
+    # a point NEITHER member contains alone but the union does not
+    # cover either — boundary point between members is still contained
+    assert ns["contains"](gc, "POINT (0.5 0.5)")
+    # buffer: union of member buffers, any member kinds
+    mixed = "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 3 0))"
+    mgon = lambda r: 8 * r * r * math.sin(math.pi / 8)  # noqa: E731
+    buf = ns["buffer_geom"](mixed, 0.5)
+    # capsule 2*r*L + join 16-gon dominates; the point's 32-gon circle
+    # at the line's start is swallowed up to approximation slack
+    assert abs(area(buf) - (2 * 0.5 * 3 + mgon(0.5))) < 0.02
+    # nested GC flattens recursively
+    nested = (
+        "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION"
+        " (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))))"
+    )
+    assert abs(area(ns["union_geom"](nested, sq)) - 2.0) < 1e-9
+    # union_many accepts GC members directly (geometry_union aggregate)
+    assert abs(area(ns["union_many"]([gc, sq])) - 2.0) < 1e-9
+    # empty collection: union identity, never intersects
+    assert area(ns["union_geom"]("GEOMETRYCOLLECTION EMPTY", sq)) == 1.0
+    assert not ns["intersects"]("GEOMETRYCOLLECTION EMPTY", sq)
+    # mixed-dimension GC as an AREAL operand raises loudly
+    with pytest.raises(ValueError):
+        ns["union_geom"](mixed, sq)
+    with pytest.raises(ValueError):
+        ns["intersection"](mixed, sq)

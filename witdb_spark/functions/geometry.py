@@ -39,11 +39,18 @@ DE-9IM relate engine (r4): de9im() computes the 3x3 intersection-
   exterior-cell witness argument needs a simply-connected complement);
   holes raise.
 
-GEOMETRYCOLLECTION (r4): full read surface — parse/emit (members as
-  recursive (kind, data) pairs), component accessors, summed
-  measurements, max-dimension, bounds, WKB code 7 and GeoJSON
-  GeometryCollection codecs. Predicates/relate/booleans raise on
-  collection operands.
+GEOMETRYCOLLECTION (r4 read, r8 operate): full read surface —
+  parse/emit (members as recursive (kind, data) pairs), component
+  accessors, summed measurements, max-dimension, bounds, WKB code 7
+  and GeoJSON GeometryCollection codecs. r8 (reference
+  GeoFunctions.java flattens GC members for ST_Union): ST_Intersects
+  distributes over members exactly (any kind); ST_Contains accepts GC
+  right operands (all-member) and polygonal-GC left operands
+  (dissolved through union_many first); the booleans
+  union/intersection/difference/sym dissolve polygonal GCs through
+  the snapped arrangement; ST_Buffer unions member buffers (any
+  member kind — buffering distributes over union). MIXED-dimension
+  GCs as AREAL operands and GC operands of relate/de9im raise.
 
 Codecs + spherical geography (r4): ST_AsBinary / ST_GeomFromBinary
   (OGC WKB, both byte orders on read), to/from_geojson_geometry,
@@ -62,9 +69,11 @@ containment = every vertex of B inside-or-on A, no proper edge crossings,
 and at least one interior vertex. ST_Intersects counts boundary contact.
 Degenerate boolean incidence (shared edges, vertex-on-edge) and polygons
 with holes route through the snapped planar arrangement (r5/r6);
-buffers cover points, lines, and polygons (r7 — Minkowski sums with
-sampled round joins). GEOMETRYCOLLECTION as a predicate/boolean/buffer
-operand raises — registry.UNSUPPORTED records the reasoning.
+buffers cover points, lines, polygons (r7 — Minkowski sums with
+sampled round joins) and collections (r8 — union of member buffers).
+GEOMETRYCOLLECTION operands of the booleans dissolve to their
+polygonal union; mixed-dimension GCs as areal operands raise —
+registry.UNSUPPORTED records the reasoning.
 """
 
 from __future__ import annotations
@@ -440,14 +449,53 @@ def _edges(kind, data):
     return []
 
 
+def _gc_flatten(s):
+    """Component WKTs of a GEOMETRYCOLLECTION (recursively flattened),
+    or None when s is not a collection. r8 (reference
+    plugin/trino-geospatial GeoFunctions.java flattens GC members for
+    ST_Union): predicates/booleans/buffer accept GC by distributing
+    over the flattened components."""
+    k, d = parse(s)
+    if k != "GEOMETRYCOLLECTION":
+        return None
+    out = []
+    for ck, cd in (d or []):
+        w = emit(ck, cd)
+        if ck == "GEOMETRYCOLLECTION":
+            out.extend(_gc_flatten(w) or [])
+        else:
+            out.append(w)
+    return out
+
+
+def _gc_as_polygonal(s, who):
+    """union_many over a GC's components (all must be polygonal) ->
+    POLYGON/MULTIPOLYGON WKT, 'POLYGON EMPTY' for an empty collection.
+    Non-polygonal members raise: areal booleans over mixed-dimension
+    collections are out of scope (the reference's Esri backend drops
+    lower-dimension pieces silently; raising is the honest analog)."""
+    comps = _gc_flatten(s)
+    for w in comps:
+        k, _ = parse(w)
+        if k not in ("POLYGON", "MULTIPOLYGON"):
+            raise ValueError(
+                "%s: GEOMETRYCOLLECTION with non-polygonal member %s "
+                "unsupported as an areal operand" % (who, k)
+            )
+    return union_many(comps) or "POLYGON EMPTY"
+
+
 def contains(sa, sb):
-    """OGC ST_Contains: no point of B in A's exterior, and interiors meet."""
+    """OGC ST_Contains: no point of B in A's exterior, and interiors meet.
+    GC right operand distributes (A ⊇ ∪Bᵢ ⇔ ∀i A ⊇ Bᵢ); GC left operand
+    is dissolved to its polygonal union first (r8)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
-    if "GEOMETRYCOLLECTION" in (ka, kb):
-        raise ValueError(
-            "st_contains: GEOMETRYCOLLECTION operands unsupported"
-        )
+    if ka == "GEOMETRYCOLLECTION":
+        return contains(_gc_as_polygonal(sa, "st_contains"), sb)
+    if kb == "GEOMETRYCOLLECTION":
+        comps = _gc_flatten(sb)
+        return bool(comps) and all(contains(sa, w) for w in comps)
     if da is None or db is None:
         return False
     if ka == "POINT":
@@ -513,10 +561,13 @@ def contains(sa, sb):
 
 
 def intersects(sa, sb):
-    if "GEOMETRYCOLLECTION" in (sa.strip()[:18].upper(), sb.strip()[:18].upper()):
-        raise ValueError(
-            "st_intersects: GEOMETRYCOLLECTION operands unsupported"
-        )
+    """ST_Intersects. GC operands distribute exactly — intersects is
+    existential over components, so any-component is the precise
+    semantics for arbitrary member kinds (r8)."""
+    if sa.strip()[:18].upper() == "GEOMETRYCOLLECTION":
+        return any(intersects(w, sb) for w in _gc_flatten(sa) or [])
+    if sb.strip()[:18].upper() == "GEOMETRYCOLLECTION":
+        return any(intersects(sa, w) for w in _gc_flatten(sb) or [])
     ka, da = parse(sa)
     kb, db = parse(sb)
     if da is None or db is None:
@@ -635,6 +686,12 @@ def buffer_geom(s, r, n=32):
         return emit("POLYGON", None)
     if r <= 0:
         raise ValueError("st_buffer: radius must be positive")
+    if k == "GEOMETRYCOLLECTION":
+        # buffer distributes over union (Minkowski sum of a union is
+        # the union of Minkowski sums), so buffer each member — any
+        # kind — and dissolve (r8)
+        parts = [buffer_geom(w, r, n) for w in _gc_flatten(s) or []]
+        return union_many(parts) or emit("POLYGON", None)
 
     def circle(c, m=n):
         ring = [
@@ -990,6 +1047,10 @@ def intersection(sa, sb):
     approximation)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
+    if ka == "GEOMETRYCOLLECTION":
+        return intersection(_gc_as_polygonal(sa, "st_intersection"), sb)
+    if kb == "GEOMETRYCOLLECTION":
+        return intersection(sa, _gc_as_polygonal(sb, "st_intersection"))
     if da is None or db is None:
         return emit("POLYGON", None)
     if ka == "POINT":
@@ -1043,9 +1104,15 @@ def intersection(sa, sb):
 def union_geom(sa, sb):
     """ST_Union: EMPTY/containment/disjoint cases directly; crossing
     polygon boundaries via Greiner-Hormann (generic position; shared
-    boundary segments and holes raise — no silent perturbation)."""
+    boundary segments and holes raise — no silent perturbation).
+    GC operands dissolve to their polygonal union first (r8, reference
+    GeoFunctions.java ST_Union flattens GC)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
+    if ka == "GEOMETRYCOLLECTION":
+        return union_geom(_gc_as_polygonal(sa, "st_union"), sb)
+    if kb == "GEOMETRYCOLLECTION":
+        return union_geom(sa, _gc_as_polygonal(sb, "st_union"))
     if da is None:
         return emit(kb, db)
     if db is None:
@@ -1079,9 +1146,14 @@ def union_geom(sa, sb):
 def difference(sa, sb):
     """ST_Difference(A, B) = A minus B (reference GeoFunctions.java
     stDifference): disjoint -> A; B covers A -> EMPTY; A covers B -> A
-    with B as a hole; crossing boundaries -> Greiner-Hormann diff mode."""
+    with B as a hole; crossing boundaries -> Greiner-Hormann diff mode.
+    GC operands dissolve to their polygonal union first (r8)."""
     ka, da = parse(sa)
     kb, db = parse(sb)
+    if ka == "GEOMETRYCOLLECTION":
+        return difference(_gc_as_polygonal(sa, "st_difference"), sb)
+    if kb == "GEOMETRYCOLLECTION":
+        return difference(sa, _gc_as_polygonal(sb, "st_difference"))
     if da is None:
         return emit("POLYGON", None)
     if db is None:
@@ -2660,6 +2732,10 @@ def _gather_groups(wkts, grid, who="union_many"):
             polys = [d]
         elif k == "MULTIPOLYGON":
             polys = list(d)
+        elif k == "GEOMETRYCOLLECTION":
+            # r8: flatten polygonal members (non-polygonal raise below)
+            groups.extend(_gather_groups(_gc_flatten(w) or [], grid, who))
+            continue
         else:
             raise ValueError("%s: only polygonal inputs, got %r" % (who, k))
         for p in polys:

@@ -661,8 +661,12 @@ UNSUPPORTED: dict[str, str] = {
     " (union_many) that handles shared-edge / vertex-on-edge incidence"
     " for ST_Union and geometry_union_agg"
     " (operators/spatial_join.py geometry_union_agg)."
+    " r8: GEOMETRYCOLLECTION operates too — ST_Intersects distributes"
+    " over members, ST_Contains/booleans dissolve polygonal GCs via"
+    " union_many, ST_Buffer unions member buffers."
     " Still out of scope (raise, never approximate):"
-    " GEOMETRYCOLLECTION as a PREDICATE/BOOLEAN/BUFFER operand (the read surface — parse/emit, accessors, summed measurements, WKB/GeoJSON — works),"
+    " MIXED-dimension GEOMETRYCOLLECTION as an AREAL operand and GC"
+    " operands of ST_Relate/de9im,"
     " geometry_from_hadoop_shape (Esri-Hadoop private serialization;"
     " WKB/GeoJSON cover interchange), and spatial_partitioning/"
     "spatial_partitions (KDB-tree handles; the grid-cell banded join in"

@@ -206,20 +206,34 @@ def geometry_union_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geometry_buffer_parity",
     """
     SELECT event_id,
-           TRUE AS rect_ok, TRUE AS line_ok, TRUE AS grow_ok
-    FROM events WHERE event_id % 997 = 0
+           round(w * h + 2 * r * (w + h) + 8 * r * r * sin(pi() / 8), 5)
+             AS rect_area,
+           round(2 * r * len + 8 * r * r * sin(pi() / 8), 5) AS line_area,
+           round(w * h + 2 * (r + 0.25) * (w + h)
+                 + 8 * (r + 0.25) * (r + 0.25) * sin(pi() / 8), 5)
+             AS grow_area
+    FROM (
+      SELECT event_id,
+             CAST(1 + event_id % 5 AS INTEGER) AS w,
+             CAST(1 + event_id % 3 AS INTEGER) AS h,
+             CAST(0.25 + (event_id % 4) * 0.25 AS DOUBLE) AS r,
+             CAST(2 + event_id % 7 AS INTEGER) AS len
+      FROM events WHERE event_id % 997 = 0) AS p
     """,
-    doc="ST_Buffer of lines and polygons (r7; reference "
-    "plugin/trino-geospatial GeoFunctions.java stBuffer): per row, "
-    "buffer an axis-aligned w x h rectangle and a length-L segment "
-    "with radius r and check the areas against the Minkowski closed "
-    "forms (rect: w*h + 2r(w+h) + one join 16-gon = 8 r^2 sin(pi/8); "
-    "line: 2rL + the same 16-gon) to 1e-6 — 30x the snap-rounding "
-    "error bound — plus radius monotonicity. The oracle is the "
-    "all-TRUE prediction; the closed forms are exact because the "
-    "capsule rectangles of a convex axis-aligned input overlap only "
-    "in the join circles' quarters (functions/geometry.py "
-    "buffer_geom).",
+    doc="ST_Buffer of lines and polygons (r7; r8 numeric oracle; "
+    "reference plugin/trino-geospatial GeoFunctions.java stBuffer): "
+    "per row, buffer an axis-aligned w x h rectangle and a length-L "
+    "segment with radius r and return the rounded areas; the DuckDB "
+    "oracle computes the Minkowski closed forms NUMERICALLY (rect: "
+    "w*h + 2r(w+h) + one join 16-gon = 8 r^2 sin(pi/8); line: 2rL + "
+    "the same 16-gon; grown rect at r+0.25 replaces r7's boolean "
+    "monotonicity check) — Spark's arrangement area and the closed "
+    "form agree to the snap-rounding bound ~3e-8, and every closed "
+    "form in the parameter lattice is > 4e-7 from a round-5 boundary, "
+    "so the rounded values hash-match exactly. The closed forms are "
+    "exact because the capsule rectangles of a convex axis-aligned "
+    "input overlap only in the join circles' quarters "
+    "(functions/geometry.py buffer_geom).",
     tags=("spatial", "geometry", "buffer"),
 )
 def geometry_buffer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,16 +259,72 @@ def geometry_buffer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("line", F.format_string("LINESTRING (0 0, %d 0)", F.col("len")))
     )
-    mgon = "8 * r * r * sin(pi() / 8)"
     return base.select(
         "event_id",
-        F.expr(
-            f"abs(st_area(st_buffer(rect, r)) - (w * h + 2 * r * (w + h) + {mgon})) < 1e-6"
-        ).alias("rect_ok"),
-        F.expr(
-            f"abs(st_area(st_buffer(line, r)) - (2 * r * len + {mgon})) < 1e-6"
-        ).alias("line_ok"),
-        F.expr(
-            "st_area(st_buffer(rect, r + 0.25)) > st_area(st_buffer(rect, r))"
-        ).alias("grow_ok"),
+        F.expr("round(st_area(st_buffer(rect, r)), 5)").alias("rect_area"),
+        F.expr("round(st_area(st_buffer(line, r)), 5)").alias("line_area"),
+        F.expr("round(st_area(st_buffer(rect, r + 0.25)), 5)").alias(
+            "grow_area"
+        ),
+    )
+
+
+@register(
+    "geometry_collection_ops",
+    """
+    SELECT event_id,
+           round(3 - s, 6) AS union_area,
+           round(least(1.5, 2 - s) - 0.5, 6) AS isect_area,
+           round((2 - s) + 0.5 * (3 - s) + 0.5 * sin(pi() / 8), 5)
+             AS buffer_area,
+           (s <= 0.6) AS hits_probe,
+           (s < 0.7) AS contains_probe
+    FROM (
+      SELECT event_id, 0.25 * (1 + event_id % 3) AS s
+      FROM events WHERE event_id % 499 = 0) AS p
+    """,
+    doc="GEOMETRYCOLLECTION as a boolean/predicate/buffer operand (r8; "
+    "reference GeoFunctions.java flattens GC members for ST_Union): "
+    "per row, a GC of two unit squares overlapping by width s "
+    "dissolves to the rectangle [0, 2-s] x [0, 1]; the query unions "
+    "it with a disjoint square (area 3-s), intersects it with "
+    "[0.5, 1.5] x [0, 1] (area min(1.5, 2-s) - 0.5), buffers it at "
+    "r = 0.25 (Minkowski closed form on the dissolved rectangle — "
+    "buffer distributes over union), and probes st_intersects / "
+    "st_contains against geometries whose answers FLIP with s. The "
+    "DuckDB oracle computes every closed form numerically from s "
+    "alone — Spark genuinely parses, dissolves (snapped arrangement), "
+    "and measures the collections (functions/geometry.py "
+    "_gc_flatten/_gc_as_polygonal).",
+    tags=("spatial", "geometry", "collection"),
+)
+def geometry_collection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    t = Tables(spark, sf_dir)
+    base = t.events.where(F.col("event_id") % 499 == 0).select(
+        "event_id",
+        (0.25 * (1 + F.col("event_id") % 3)).alias("s"),
+    )
+    gc = F.format_string(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " POLYGON ((%.2f 0, %.2f 0, %.2f 1, %.2f 1, %.2f 0)))",
+        1 - F.col("s"), 2 - F.col("s"), 2 - F.col("s"),
+        1 - F.col("s"), 1 - F.col("s"),
+    )
+    far = "POLYGON ((2.5 0, 3.5 0, 3.5 1, 2.5 1, 2.5 0))"
+    mid = "POLYGON ((0.5 0, 1.5 0, 1.5 1, 0.5 1, 0.5 0))"
+    probe = "POLYGON ((1.4 0.25, 2.4 0.25, 2.4 0.75, 1.4 0.75, 1.4 0.25))"
+    return base.withColumn("gc", gc).select(
+        "event_id",
+        F.expr(f"round(st_area(st_union(gc, '{far}')), 6)").alias(
+            "union_area"
+        ),
+        F.expr(f"round(st_area(st_intersection(gc, '{mid}')), 6)").alias(
+            "isect_area"
+        ),
+        F.expr("round(st_area(st_buffer(gc, 0.25)), 5)").alias("buffer_area"),
+        F.expr(f"st_intersects(gc, '{probe}')").alias("hits_probe"),
+        F.expr("st_contains(gc, 'POINT (1.3 0.5)')").alias("contains_probe"),
     )
