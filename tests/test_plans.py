@@ -667,6 +667,60 @@ def test_sketch_split_filter_and_having_spellings(spark):
     assert set(having) == {"A", "R"}
 
 
+def test_sketch_split_order_by_limit_hoist(spark):
+    """r8: outer ORDER BY [LIMIT] — the spelling a report writer uses —
+    hoists past the two-level split (ordering runs after aggregation);
+    an aggregate expression in ORDER BY still bails to single-level."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag, approx_set(l_orderkey) AS h"
+        " FROM lineitem GROUP BY l_returnflag"
+        " ORDER BY l_returnflag DESC LIMIT 2"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    # correctness: exact HLL merge -> identical to the unordered split
+    rows = df.collect()
+    assert [r["l_returnflag"] for r in rows] == ["R", "N"]
+    want = {
+        r["l_returnflag"]: r["c"]
+        for r in eng.sql(
+            "SELECT l_returnflag, hll_cardinality(approx_set(l_orderkey))"
+            " AS c FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    got = {
+        r["l_returnflag"]: r["c"]
+        for r in eng.sql(
+            "SELECT l_returnflag, hll_cardinality(approx_set(l_orderkey))"
+            " AS c FROM lineitem GROUP BY l_returnflag"
+            " ORDER BY l_returnflag DESC LIMIT 2"
+        ).collect()
+    }
+    assert got == {k: want[k] for k in ("R", "N")}
+    # ORDER BY over a non-bare expression bails to single-level (an
+    # aggregate expression like count(*) would also bail the hoist,
+    # but Spark refuses mixing a pandas UDAF with built-in aggregates
+    # in EITHER shape, so probe with a scalar expression)
+    df2 = eng.sql(
+        "SELECT l_returnflag, approx_set(l_orderkey) AS h"
+        " FROM lineitem GROUP BY l_returnflag"
+        " ORDER BY upper(l_returnflag)"
+    )
+    plan2 = df2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan2)) == 1, plan2
+
+
 def test_sketch_split_comment_guard():
     """A '--' line comment in the source bails the two-level rewrite
     (the reassembly is single-line, so appended WHERE/GROUP BY text

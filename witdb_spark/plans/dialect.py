@@ -1453,13 +1453,39 @@ def _sketch_block_two_level(block: str) -> str | None:
         return None
 
     for bailer in (
-        r"\bORDER\s+BY\b", r"\bLIMIT\b", r"\bOFFSET\b",
         r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
         r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
         r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b",
+        r"\bFETCH\b",
     ):
         if top_kw(bailer):
             return None
+    # r8: outer ORDER BY [LIMIT [OFFSET]] hoists — result ordering runs
+    # AFTER aggregation, so stripping it, splitting, and re-appending to
+    # the OUTER select is semantics-preserving. Only when every sort
+    # item is a bare alias / column / ordinal (an aggregate expression
+    # like ORDER BY count(*) would change meaning over the partials).
+    trailing = ""
+    tm = top_kw(r"\bORDER\s+BY\b") or top_kw(r"\bLIMIT\b")
+    if tm:
+        tail = block[tm.start():].strip()
+        m_tail = re.fullmatch(
+            r"(?is)(ORDER\s+BY\s+(?P<items>.+?))?\s*"
+            r"(LIMIT\s+(?P<lim>\d+))?\s*(OFFSET\s+(?P<off>\d+))?",
+            tail,
+        )
+        if m_tail is None or not (m_tail.group("items") or m_tail.group("lim")):
+            return None
+        for item in _split_top_level(m_tail.group("items") or ""):
+            core = re.sub(
+                r"(?is)\s+(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$", "",
+                item,
+            ).strip()
+            if core and not re.fullmatch(r"[A-Za-z_]\w*|\d+", core):
+                return None
+        trailing = " " + tail
+        block = block[: tm.start()]
+        bd, binstr = _scan_maps(block)
     fm = top_kw(r"\bFROM\b")
     if fm is None:
         return None
@@ -1583,7 +1609,7 @@ def _sketch_block_two_level(block: str) -> str | None:
     outer = "SELECT " + ", ".join(outer_items) + f" FROM ({inner}) __sk_part"
     if outer_group:
         outer += " GROUP BY " + ", ".join(outer_group)
-    return outer
+    return outer + trailing
 
 
 def _rewrite_bit_count(sql: str) -> str:
