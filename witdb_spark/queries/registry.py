@@ -50,44 +50,42 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 
 # The driver's correctness gate samples the FIRST 50 names from queries().
-# Rounds 1-4 rotated this window; round 6 froze it (a process failure the
-# r6 verdict flags). Round-7 window = ALL 34 queries that have never had a
-# driver CORRECTNESS row (computed by diffing CORRECTNESS_r01..r06 against
-# the registry): the r6 re-oracled sketch SQL-name rollups (highest-risk —
-# engine+oracle were rewritten in lockstep), the DML trio, the MR corner,
-# the 9 remaining TPC-H SQL texts, and the 18 TPC-DS SQL texts. The 16
-# filler slots re-verify the STALEST greens (last driver row r1, by
-# registration order). Everything else keeps local DuckDB coverage
-# (tests/test_queries_oracle.py runs all of them). Rotation rule for every
-# future round: lead with (a) anything new/changed, (b) the oldest greens.
+# Rotation rule (every round): lead with (a) anything new or whose
+# engine/oracle changed this round, (b) the oldest driver-green queries.
+# After r7 every registered query has a green driver row (cumulative
+# 194/194); the staleness ledger is r3: 44, r4: 50, r6: 50, r7: 50.
+# Round-8 window = 25 never-verified (TPC-DS tranches 4 AND 5 + the
+# new geometry_collection_ops) + geometry_buffer_parity (its oracle
+# went numeric in r8 — changed, so it re-verifies) + the FIRST 24 of
+# the 44 r3-era greens in registration order. The remaining 20 r3-era
+# greens (category_share .. datetime_funcs_parity) lead round 9's
+# fillers, then the r4-era 50. Everything else keeps local DuckDB
+# coverage every pytest run (tests/test_queries_oracle.py
+# parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # r6 re-oracled sketch SQL-name aggregates — oracles changed in r6,
-    # never independently verified
-    "agg_qdigest_sql_names", "agg_tdigest_sql_names",
-    "agg_histogram_sql_names",
-    # DML trio — never driver-verified since registration (r5)
-    "merge_upsert_result", "delete_update_snapshot", "ctas_writer_roundtrip",
-    # r6 MATCH_RECOGNIZE corner
-    "mr_label_nav_in_aggregate",
-    # TPC-H SQL-text remainder (r5; the other 13 went driver-green r5/r6)
-    "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
-    "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
-    "tpch_sql_q19",
-    # TPC-DS SQL texts: tranche-1 remainder (r5) + all of tranche 2 (r6)
-    "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31", "tpcds_sql_q34",
-    "tpcds_sql_q38", "tpcds_sql_q39", "tpcds_sql_q44", "tpcds_sql_q49",
-    "tpcds_sql_q51", "tpcds_sql_q59", "tpcds_sql_q65", "tpcds_sql_q67",
-    "tpcds_sql_q74", "tpcds_sql_q75", "tpcds_sql_q87", "tpcds_sql_q89",
-    "tpcds_sql_q93", "tpcds_sql_q95",
-    # TPC-DS tranche 3 (r7-new — takes precedence over stale fillers)
-    "tpcds_sql_q4", "tpcds_sql_q11", "tpcds_sql_q14", "tpcds_sql_q33",
-    "tpcds_sql_q56", "tpcds_sql_q60", "tpcds_sql_q77", "tpcds_sql_q46",
-    "tpcds_sql_q68",
-    # r7-new operator queries
+    # r8-new: TPC-DS tranche 4
+    "tpcds_sql_q1", "tpcds_sql_q30", "tpcds_sql_q81", "tpcds_sql_q6",
+    "tpcds_sql_q32", "tpcds_sql_q17", "tpcds_sql_q25", "tpcds_sql_q29",
+    "tpcds_sql_q62", "tpcds_sql_q99", "tpcds_sql_q64", "tpcds_sql_q78",
+    # r8-new: TPC-DS tranche 5
+    "tpcds_sql_q2", "tpcds_sql_q9", "tpcds_sql_q28", "tpcds_sql_q43",
+    "tpcds_sql_q48", "tpcds_sql_q50", "tpcds_sql_q53", "tpcds_sql_q57",
+    "tpcds_sql_q58", "tpcds_sql_q66", "tpcds_sql_q76", "tpcds_sql_q97",
+    # r8-new: GEOMETRYCOLLECTION operand query
+    "geometry_collection_ops",
+    # r8-changed: oracle strengthened from all-TRUE booleans to numeric
+    # closed-form areas
     "geometry_buffer_parity",
-    # filler: stalest greens (last driver row r1) for re-verification
-    "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
-    "agg_conditional_bool", "agg_geo_mean_percentiles", "agg_histogram_map",
+    # filler: the 24 stalest greens (last driver row r3), registration
+    # order
+    "window_rank_topn", "window_lag_lead", "window_running_sum",
+    "window_sliding_rows", "window_ntile_dist", "window_range_interval",
+    "setops_intersect_except", "setops_intersect_all", "groupby_rollup",
+    "groupby_cube", "groupby_grouping_sets", "unnest_words",
+    "values_inline_join", "distinct_order_offset", "pivot_event_counts",
+    "lateral_top_event", "crossjoin_theta", "assign_unique_id",
+    "tablesample", "window_groups_frame", "time_of_day_rollup",
+    "ptf_sequence_join", "sessionize_events", "yoy_revenue",
 )
 
 

@@ -1596,3 +1596,437 @@ for _name, _text, _doc in [
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 (r8): week-over-year ratio pivot (q2), scalar-subquery CASE
+# buckets (q9/q28), day-name pivots (q43), OR-of-ANDs across dimension
+# joins (q48), sales->returns lag buckets (q50), quarterly deviation
+# windows (q53/q57), three-channel equal-share (q58), month pivot with
+# carrier UNION (q66), IS-NULL channel report (q76), and the
+# FULL OUTER channel-overlap count (q97).
+#
+# Day-of-week arithmetic: the fixture ships no date_dim, so day index =
+# date_diff('day', TIMESTAMP '1994-12-26', d) % 7 (that anchor is a
+# Monday; every fixture date is later, so % is the positive remainder
+# in both engines) — 0=Mon .. 6=Sun. Week sequence = floor(days/7) from
+# the same anchor. Engine-native dayofweek()/weekofyear() are avoided
+# deliberately: Spark and DuckDB disagree on both.
+
+_ANCHOR = "TIMESTAMP '1994-12-26 00:00:00'"
+_DAYS = [
+    ("mon", 0), ("tue", 1), ("wed", 2), ("thu", 3),
+    ("fri", 4), ("sat", 5), ("sun", 6),
+]
+
+
+def _dow(col: str) -> str:
+    return f"date_diff('day', {_ANCHOR}, {col}) % 7"
+
+
+def _day_pivot(col: str, price: str, as_double: bool = False) -> str:
+    tmpl = (
+        "CAST(SUM(CASE WHEN {dow} = {i} THEN {price} END) AS DOUBLE)"
+        " AS {d}_sales"
+        if as_double
+        else "SUM(CASE WHEN {dow} = {i} THEN {price} END) AS {d}_sales"
+    )
+    return ",\n             ".join(
+        tmpl.format(dow=_dow(col), i=i, price=price, d=d) for d, i in _DAYS
+    )
+
+
+# q2 shape (reference tpcds/q02.sql): two-channel UNION ALL, per-week
+# day-name pivot CTE referenced twice, cross-year self-join on the
+# week sequence (z = y + 52 weeks), per-day ratio output.
+_Q2_RATIOS = ",\n           ".join(
+    f"round(CAST(y.{d}_sales AS DOUBLE)"
+    f" / CAST(z.{d}_sales AS DOUBLE), 6) AS {d}_ratio"
+    for d, _ in _DAYS
+)
+_Q2 = f"""
+    WITH wscs AS (
+      SELECT o_orderdate AS sold_date,
+             CAST(o_totalprice AS DECIMAL(30,6)) AS sales_price
+      FROM orders
+      UNION ALL
+      SELECT l_shipdate AS sold_date,
+             CAST(l_extendedprice AS DECIMAL(30,6)) AS sales_price
+      FROM lineitem),
+    wswscs AS (
+      SELECT CAST(floor(date_diff('day', {_ANCHOR}, sold_date) / 7.0)
+                  AS INTEGER) AS week_seq,
+             max(year(sold_date)) AS wk_year,
+             {_day_pivot("sold_date", "sales_price")}
+      FROM wscs
+      GROUP BY 1)
+    SELECT y.week_seq AS d_week_seq1,
+           {_Q2_RATIOS}
+    FROM wswscs y JOIN wswscs z ON z.week_seq = y.week_seq + 52
+    WHERE y.wk_year = 1996 AND z.wk_year = 1997
+"""
+
+# q9 shape (reference tpcds/q09.sql): five CASE buckets, each choosing
+# between two scalar-average subqueries by a scalar-count threshold —
+# 15 scalar subqueries projected from a one-row dimension scan.
+# Thresholds sit near the sf0.01 band counts so both branches fire.
+_Q9_BANDS = [(1, 10, 12150), (11, 20, 11900), (21, 30, 12300),
+             (31, 40, 12000), (41, 50, 11800)]
+_Q9 = (
+    "\n    SELECT "
+    + ",\n           ".join(
+        f"""CASE WHEN (SELECT COUNT(*) FROM lineitem
+                  WHERE l_quantity BETWEEN {a} AND {b}) > {n}
+           THEN (SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                                      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+                 FROM lineitem WHERE l_quantity BETWEEN {a} AND {b})
+           ELSE (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+                 FROM lineitem WHERE l_quantity BETWEEN {a} AND {b})
+           END AS bucket{i + 1}"""
+        for i, (a, b, n) in enumerate(_Q9_BANDS)
+    )
+    + "\n    FROM region WHERE r_regionkey = 0\n"
+)
+
+# q28 shape (reference tpcds/q28.sql): six bucket subqueries (avg /
+# count / count DISTINCT of the list price under OR-band filters)
+# cross-joined into one row.
+_Q28_BANDS = [
+    (0, 5, 1000, 0.00, 0.00), (6, 10, 10000, 0.02, 0.02),
+    (11, 15, 20000, 0.04, 0.04), (16, 20, 30000, 0.06, 0.01),
+    (21, 25, 40000, 0.08, 0.03), (26, 30, 50000, 0.10, 0.05),
+]
+_Q28 = (
+    "\n    SELECT * FROM "
+    + ",\n    ".join(
+        f"""(SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                     AS DOUBLE) / COUNT(l_extendedprice) AS b{i + 1}_lp,
+            CAST(COUNT(l_extendedprice) AS BIGINT) AS b{i + 1}_cnt,
+            CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS b{i + 1}_cntd
+     FROM lineitem
+     WHERE l_quantity BETWEEN {a} AND {b}
+       AND ((l_extendedprice BETWEEN {p} AND {p} + 10000)
+         OR (l_discount BETWEEN {d} AND {d} + 0.03)
+         OR (l_tax BETWEEN {t} AND {t} + 0.02))) AS b{i + 1}"""
+        for i, (a, b, p, d, t) in enumerate(_Q28_BANDS)
+    )
+    + "\n"
+)
+
+# q43 shape (reference tpcds/q43.sql): per-store day-name pivot under a
+# store-attribute filter (gmt_offset -> low nation keys).
+_Q43 = f"""
+    SELECT s_name,
+             {_day_pivot("o_orderdate",
+                         "CAST(l_extendedprice AS DECIMAL(30,6))",
+                         as_double=True)}
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE year(o_orderdate) = 1997 AND s_nationkey < 13
+    GROUP BY s_name
+"""
+
+# q48 shape (reference tpcds/q48.sql): one SUM under two independent
+# OR-of-ANDs blocks that each mix a dimension attribute with a fact
+# measure band — the disjunction straddles the join, so the planner
+# must join first and filter after.
+_Q48 = """
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+    WHERE year(o_orderdate) = 1996
+      AND ((c_mktsegment = 'BUILDING'
+            AND l_extendedprice BETWEEN 10000 AND 30000)
+        OR (c_mktsegment = 'AUTOMOBILE'
+            AND l_extendedprice BETWEEN 20000 AND 40000)
+        OR (c_mktsegment = 'MACHINERY'
+            AND l_extendedprice BETWEEN 30000 AND 50000))
+      AND ((n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            AND l_discount BETWEEN 0.00 AND 0.04)
+        OR (n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+            AND l_discount BETWEEN 0.02 AND 0.06)
+        OR (n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+            AND l_discount BETWEEN 0.04 AND 0.10))
+"""
+
+# q50 shape (reference tpcds/q50.sql): sold->returned day-lag buckets
+# per store, the return month pinned. Returns are the 1:1 'R' rows
+# (tranche-4 model); lag = order date -> the return row's ship date.
+_Q50_LAG = "date_diff('day', o_orderdate, sr.r_date)"
+_Q50 = f"""
+    WITH sr AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+             l_shipdate AS r_date
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s_name, n_name,
+           {_lag_buckets(_Q50_LAG)}
+    FROM lineitem ss JOIN orders ON o_orderkey = ss.l_orderkey
+         JOIN sr ON sr.r_orderkey = ss.l_orderkey
+                AND sr.r_linenumber = ss.l_linenumber
+         JOIN supplier ON s_suppkey = ss.l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+    WHERE year(sr.r_date) = 1998 AND month(sr.r_date) IN (7, 8)
+    GROUP BY s_name, n_name
+"""
+
+
+# q53 shape (reference tpcds/q53.sql): grouped quarterly sums + windowed
+# average over the group partition + CASE relative-deviation filter,
+# under an OR-of-triples item filter.
+_Q53 = """
+    SELECT * FROM (
+      SELECT p_brand, qoy,
+             CAST(sdec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sdec) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand)
+               AS avg_quarterly_sales
+      FROM (
+        SELECT p_brand, CAST(quarter(o_orderdate) AS INTEGER) AS qoy,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS sdec
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE year(o_orderdate) = 1996
+          AND ((p_type IN ('ECONOMY', 'STANDARD') AND p_size < 25)
+            OR (p_type IN ('SMALL', 'MEDIUM') AND p_size >= 25))
+        GROUP BY p_brand, quarter(o_orderdate)) AS q
+    ) AS tmp1
+    WHERE (CASE WHEN avg_quarterly_sales > 0
+                THEN abs(sum_sales - avg_quarterly_sales)
+                     / avg_quarterly_sales END) > 0.1
+"""
+
+# q57 shape (reference tpcds/q57.sql): the q47 family on the catalog
+# channel — monthly sums per (item attr, call center), windowed mean,
+# rank-sequence lag/lead self-joins, an edge-padded year window
+# (year +- one month) and the deviation filter.
+_Q57 = """
+    WITH v1 AS (
+      SELECT p_type, s_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS moy,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sum_dec
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE year(o_orderdate) = 1996
+         OR (year(o_orderdate) = 1995 AND month(o_orderdate) = 12)
+         OR (year(o_orderdate) = 1997 AND month(o_orderdate) = 1)
+      GROUP BY p_type, s_name, year(o_orderdate), month(o_orderdate)),
+    v1x AS (
+      SELECT p_type, s_name, yr, moy,
+             CAST(sum_dec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sum_dec) OVER (PARTITION BY p_type, s_name)
+                  AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_type, s_name)
+               AS avg_monthly_sales,
+             CAST(rank() OVER (PARTITION BY p_type, s_name
+                               ORDER BY yr, moy) AS INTEGER) AS rn
+      FROM v1),
+    v2 AS (
+      SELECT v.p_type, v.s_name, v.yr, v.moy, v.avg_monthly_sales,
+             v.sum_sales, vlag.sum_sales AS psum, vlead.sum_sales AS nsum
+      FROM v1x v, v1x vlag, v1x vlead
+      WHERE v.p_type = vlag.p_type AND v.p_type = vlead.p_type
+        AND v.s_name = vlag.s_name AND v.s_name = vlead.s_name
+        AND v.rn = vlag.rn + 1 AND v.rn = vlead.rn - 1)
+    SELECT p_type, s_name, yr, moy, avg_monthly_sales, sum_sales,
+           psum, nsum
+    FROM v2
+    WHERE yr = 1996 AND avg_monthly_sales > 0
+      AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+"""
+
+# q58 shape (reference tpcds/q58.sql): per-item revenue in each of
+# three channels over a quarter chosen by a nested scalar subquery,
+# three-way join keeping items whose per-channel share sits within 30%
+# of the three-channel mean.
+_Q58 = """
+    WITH ch AS (
+      SELECT l_linenumber % 3 AS chan, l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) * 10 + quarter(o_orderdate) = (
+          SELECT DISTINCT year(o_orderdate) * 10 + quarter(o_orderdate)
+          FROM orders
+          WHERE o_orderdate = TIMESTAMP '1996-03-04 00:00:00')
+      GROUP BY l_linenumber % 3, l_partkey)
+    SELECT ss.l_partkey AS item,
+           CAST(ss.rev AS DOUBLE) AS ss_item_rev,
+           CAST(cs.rev AS DOUBLE) AS cs_item_rev,
+           CAST(ws.rev AS DOUBLE) AS ws_item_rev,
+           round(CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3, 6)
+             AS average
+    FROM ch ss JOIN ch cs ON ss.l_partkey = cs.l_partkey AND cs.chan = 1
+         JOIN ch ws ON ss.l_partkey = ws.l_partkey AND ws.chan = 2
+    WHERE ss.chan = 0
+      AND CAST(ss.rev AS DOUBLE)
+            BETWEEN 0.7 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+                AND 1.3 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+      AND CAST(cs.rev AS DOUBLE)
+            BETWEEN 0.7 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+                AND 1.3 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+      AND CAST(ws.rev AS DOUBLE)
+            BETWEEN 0.7 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+                AND 1.3 * CAST(ss.rev + cs.rev + ws.rev AS DOUBLE) / 3
+"""
+
+
+# q66 shape (reference tpcds/q66.sql): warehouse-by-year report with a
+# twelve-column month pivot, built from a two-"carrier" UNION ALL
+# (carriers -> returnflag halves; warehouse -> supplier nation).
+_Q66_MONTHS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN moy = {m} THEN rev END) AS DOUBLE) AS m{m:02d}_sales"
+    for m in range(1, 13)
+)
+_Q66 = f"""
+    WITH carriers AS (
+      SELECT n_name AS wh, CAST(year(l_shipdate) AS INTEGER) AS yr,
+             month(l_shipdate) AS moy,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+               AS rev
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+      WHERE l_returnflag = 'A' AND year(l_shipdate) = 1996
+      UNION ALL
+      SELECT n_name AS wh, CAST(year(l_shipdate) AS INTEGER) AS yr,
+             month(l_shipdate) AS moy,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+               AS rev
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+      WHERE l_returnflag IN ('N', 'R') AND year(l_shipdate) = 1996)
+    SELECT wh, yr,
+           {_Q66_MONTHS},
+           CAST(SUM(rev) AS DOUBLE) AS total_sales
+    FROM carriers
+    GROUP BY wh, yr
+"""
+
+# q76 shape (reference tpcds/q76.sql): three-channel UNION ALL report
+# of "sales with a missing attribute" — the fixture has no NULL
+# foreign keys, so each channel derives its NULL through NULLIF
+# (discount = 0 / tax = 0 / quantity = 1), keeping the IS NULL
+# predicate and channel/col_name literals of the original.
+_Q76 = """
+    SELECT channel, col_name, yr, qoy, p_type,
+           CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+           CAST(SUM(CAST(ext AS DECIMAL(30,6))) AS DOUBLE) AS sales_amt
+    FROM (
+      SELECT 'store' AS channel, 'l_discount' AS col_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qoy,
+             p_type, l_extendedprice AS ext
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE NULLIF(l_discount, 0.0) IS NULL
+      UNION ALL
+      SELECT 'web' AS channel, 'l_tax' AS col_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qoy,
+             p_type, l_extendedprice AS ext
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE NULLIF(l_tax, 0.0) IS NULL
+      UNION ALL
+      SELECT 'catalog' AS channel, 'l_quantity' AS col_name,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qoy,
+             p_type, l_extendedprice AS ext
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE NULLIF(l_quantity, 1.0) IS NULL
+    ) AS foo
+    GROUP BY channel, col_name, yr, qoy, p_type
+"""
+
+# q97 shape (reference tpcds/q97.sql): two grouped (customer, item)
+# channel sets FULL OUTER joined, CASE overlap counters. Channels =
+# even/odd line numbers within one year.
+_Q97 = """
+    WITH ssci AS (
+      SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_linenumber % 2 = 0 AND year(o_orderdate) = 1996
+      GROUP BY o_custkey, l_partkey),
+    csci AS (
+      SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_linenumber % 2 = 1 AND year(o_orderdate) = 1996
+      GROUP BY o_custkey, l_partkey)
+    SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS store_and_catalog
+    FROM ssci FULL JOIN csci
+         ON ssci.customer_sk = csci.customer_sk
+        AND ssci.item_sk = csci.item_sk
+"""
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q2", _Q2,
+     "TPC-DS q2 shape via Engine.sql: two-channel UNION ALL, per-week "
+     "day pivot CTE referenced twice, cross-year week-seq self-join "
+     "with per-day ratios (reference tpcds/q02.sql; week/day indices "
+     "from anchored date arithmetic — engine-native dayofweek/"
+     "weekofyear disagree between Spark and DuckDB)."),
+    ("tpcds_sql_q9", _Q9,
+     "TPC-DS q9 shape via Engine.sql: five CASE buckets choosing "
+     "between scalar-average subqueries by scalar-count thresholds — "
+     "15 scalar subqueries off a one-row scan (reference "
+     "tpcds/q09.sql)."),
+    ("tpcds_sql_q28", _Q28,
+     "TPC-DS q28 shape via Engine.sql: six bucket subqueries (avg / "
+     "count / count DISTINCT under OR-band filters) cross-joined into "
+     "one row (reference tpcds/q28.sql)."),
+    ("tpcds_sql_q43", _Q43,
+     "TPC-DS q43 shape via Engine.sql: per-store day-name pivot "
+     "(reference tpcds/q43.sql; day index from anchored date "
+     "arithmetic)."),
+    ("tpcds_sql_q48", _Q48,
+     "TPC-DS q48 shape via Engine.sql: one SUM under two OR-of-ANDs "
+     "blocks mixing dimension attributes with fact measure bands "
+     "(reference tpcds/q48.sql)."),
+    ("tpcds_sql_q50", _Q50,
+     "TPC-DS q50 shape via Engine.sql: sold->returned day-lag buckets "
+     "per store with the return month pinned (reference "
+     "tpcds/q50.sql; 1:1 return-row model)."),
+    ("tpcds_sql_q53", _Q53,
+     "TPC-DS q53 shape via Engine.sql: quarterly sums + windowed "
+     "partition average + CASE deviation filter under an OR-of-triples "
+     "item filter (reference tpcds/q53.sql)."),
+    ("tpcds_sql_q57", _Q57,
+     "TPC-DS q57 shape via Engine.sql: the q47 family on the catalog "
+     "channel — edge-padded year window, rank-sequence lag/lead "
+     "self-joins, deviation filter (reference tpcds/q57.sql)."),
+    ("tpcds_sql_q58", _Q58,
+     "TPC-DS q58 shape via Engine.sql: three-channel per-item revenue "
+     "over a scalar-subquery-chosen quarter, equal-share band join "
+     "(reference tpcds/q58.sql; 0.9/1.1 -> 0.7/1.3 for the fixture's "
+     "channel variance)."),
+    ("tpcds_sql_q66", _Q66,
+     "TPC-DS q66 shape via Engine.sql: warehouse-by-year twelve-month "
+     "pivot over a two-carrier UNION ALL (reference tpcds/q66.sql)."),
+    ("tpcds_sql_q76", _Q76,
+     "TPC-DS q76 shape via Engine.sql: three-channel IS NULL report "
+     "via UNION ALL (reference tpcds/q76.sql; NULLs derived through "
+     "NULLIF — the fixture ships no NULL foreign keys)."),
+    ("tpcds_sql_q97", _Q97,
+     "TPC-DS q97 shape via Engine.sql: FULL OUTER join of two grouped "
+     "channel sets with CASE overlap counters (reference "
+     "tpcds/q97.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
