@@ -57,6 +57,10 @@ HEADLINE = [
     "agg_qdigest_sql_names",
     "agg_tdigest_sql_names",
     "tpcds_sql_q67",
+    # r8: the widest multi-join shape (HAVING CTE + six-table
+    # cross_sales + consecutive-year self-join) — tracks the tranche-4
+    # join family round-over-round
+    "tpcds_sql_q64",
 ]
 
 
