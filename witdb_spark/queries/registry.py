@@ -54,13 +54,13 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # engine/oracle changed this round, (b) the oldest driver-green queries.
 # After r7 every registered query has a green driver row (cumulative
 # 194/194); the staleness ledger is r3: 44, r4: 50, r6: 50, r7: 50.
-# Round-8 window = 25 never-verified (TPC-DS tranches 4 AND 5 + the
-# new geometry_collection_ops) + geometry_buffer_parity (its oracle
-# went numeric in r8 — changed, so it re-verifies) + the FIRST 24 of
-# the 44 r3-era greens in registration order. The remaining 20 r3-era
-# greens (category_share .. datetime_funcs_parity) lead round 9's
-# fillers, then the r4-era 50. Everything else keeps local DuckDB
-# coverage every pytest run (tests/test_queries_oracle.py
+# Round-8 window = 41 never-verified (TPC-DS tranches 4, 5 and 6 +
+# the new geometry_collection_ops) + geometry_buffer_parity (its
+# oracle went numeric in r8 — changed, so it re-verifies) + the FIRST
+# 8 of the 44 r3-era greens in registration order. The remaining 36
+# r3-era greens (groupby_rollup .. datetime_funcs_parity) lead
+# round 9's fillers, then the r4-era 50. Everything else keeps local
+# DuckDB coverage every pytest run (tests/test_queries_oracle.py
 # parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
     # r8-new: TPC-DS tranche 4
@@ -71,21 +71,21 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q2", "tpcds_sql_q9", "tpcds_sql_q28", "tpcds_sql_q43",
     "tpcds_sql_q48", "tpcds_sql_q50", "tpcds_sql_q53", "tpcds_sql_q57",
     "tpcds_sql_q58", "tpcds_sql_q66", "tpcds_sql_q76", "tpcds_sql_q97",
+    # r8-new: TPC-DS tranche 6
+    "tpcds_sql_q12", "tpcds_sql_q20", "tpcds_sql_q98", "tpcds_sql_q16",
+    "tpcds_sql_q22", "tpcds_sql_q26", "tpcds_sql_q27", "tpcds_sql_q37",
+    "tpcds_sql_q40", "tpcds_sql_q41", "tpcds_sql_q42", "tpcds_sql_q55",
+    "tpcds_sql_q45", "tpcds_sql_q61", "tpcds_sql_q90", "tpcds_sql_q96",
     # r8-new: GEOMETRYCOLLECTION operand query
     "geometry_collection_ops",
     # r8-changed: oracle strengthened from all-TRUE booleans to numeric
     # closed-form areas
     "geometry_buffer_parity",
-    # filler: the 24 stalest greens (last driver row r3), registration
+    # filler: the 8 stalest greens (last driver row r3), registration
     # order
     "window_rank_topn", "window_lag_lead", "window_running_sum",
     "window_sliding_rows", "window_ntile_dist", "window_range_interval",
-    "setops_intersect_except", "setops_intersect_all", "groupby_rollup",
-    "groupby_cube", "groupby_grouping_sets", "unnest_words",
-    "values_inline_join", "distinct_order_offset", "pivot_event_counts",
-    "lateral_top_event", "crossjoin_theta", "assign_unique_id",
-    "tablesample", "window_groups_frame", "time_of_day_rollup",
-    "ptf_sequence_join", "sessionize_events", "yoy_revenue",
+    "setops_intersect_except", "setops_intersect_all",
 )
 
 

@@ -2030,3 +2030,403 @@ for _name, _text, _doc in [
     register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
         _make(_name, _text)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 (r8): revenue-share window family (q12/q20/q98), the
+# EXISTS/NOT-EXISTS shipping report (q16), inventory rollup (q22),
+# demographic averages (q26/q27), derived-inventory range join (q37),
+# before/after returns netting (q40), dim-only correlated count (q41),
+# simple dim reports (q42/q55), OR-with-IN-subquery (q45), promo-ratio
+# cross join (q61), and the time-dim am/pm family (q90/q96) on the
+# events table.
+
+
+def _rev_share(category_filter: str, date_lo: str, channel: str) -> str:
+    """q12/q20/q98 skeleton (reference tpcds/q12.sql, q20.sql,
+    q98.sql share it): item revenue + its share of the class total
+    via a windowed sum over the grouped sums, 30-day window. The
+    three originals differ only by fact table; here the channel is a
+    returnflag slice."""
+    return f"""
+    SELECT p_name, p_type, p_brand,
+           CAST(sdec AS DOUBLE) AS itemrevenue,
+           round(CAST(sdec * 100 AS DOUBLE)
+                 / CAST(SUM(sdec) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+             AS revenueratio
+    FROM (
+      SELECT p_name, p_type, p_brand,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS sdec
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE {channel}
+        AND {category_filter}
+        AND l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{date_lo} 00:00:00'
+                          + INTERVAL '30' DAY
+      GROUP BY p_name, p_type, p_brand) AS g
+"""
+
+
+_Q12 = _rev_share("p_type IN ('ECONOMY', 'STANDARD', 'LARGE')",
+                  "1996-02-22", "l_returnflag = 'N'")
+_Q20 = _rev_share("p_type IN ('SMALL', 'MEDIUM', 'PROMO')",
+                  "1997-03-10", "l_returnflag = 'A'")
+_Q98 = _rev_share("p_type IN ('ECONOMY', 'PROMO', 'SMALL')",
+                  "1998-01-05", "l_returnflag IN ('A', 'N', 'R')")
+
+# q16 shape (reference tpcds/q16.sql): orders shipped in a 60-day
+# window with EXISTS (another line of the same order from a DIFFERENT
+# supplier — multi-warehouse analog) and NOT EXISTS (any return on the
+# order), COUNT(DISTINCT order) + decimal-exact cost sums.
+_Q16 = """
+    SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_shipping_cost,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_net_profit
+    FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN part p ON p.p_partkey = l1.l_partkey
+    WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+                         + INTERVAL '60' DAY
+      AND n_name = 'NATION_5'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l1.l_orderkey = l2.l_orderkey
+          AND l1.l_suppkey <> l2.l_suppkey)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l1.l_orderkey = l3.l_orderkey
+          AND l3.l_returnflag = 'R')
+"""
+
+# q22 shape (reference tpcds/q22.sql): average quantity on hand under
+# a four-level ROLLUP of the item hierarchy; inventory -> lineitem
+# quantity over a year window.
+_Q22 = """
+    SELECT p_name, p_brand, p_type, p_size,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS qoh
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = 1996
+    GROUP BY ROLLUP (p_name, p_brand, p_type, p_size)
+"""
+
+# q26 shape (reference tpcds/q26.sql): four demographic-filtered
+# averages per item attribute under an OR promotion filter.
+_Q26 = """
+    SELECT p_type,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg1,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS agg2,
+           round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg3,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg4
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND (o_orderpriority = '5-LOW' OR o_orderstatus = 'F')
+      AND year(o_orderdate) = 1997
+    GROUP BY p_type
+"""
+
+# q27 shape (reference tpcds/q27.sql): the q26 averages under
+# ROLLUP(state, item).
+_Q27 = """
+    SELECT n_name, p_type,
+           (GROUPING(n_name) + GROUPING(p_type)) AS lochierarchy,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg1,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS agg2,
+           round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg3,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg4
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE c_mktsegment = 'AUTOMOBILE' AND year(o_orderdate) = 1996
+    GROUP BY ROLLUP (n_name, p_type)
+"""
+
+# q37 shape (reference tpcds/q37.sql): items in a price band whose
+# DERIVED inventory (summed quantity over a 180-day window — the
+# fixture's per-part density needs the wider window) lands in a
+# range, and that sold at all — the inventory is a HAVING-filtered
+# subquery standing in for the missing inventory table.
+_Q37 = """
+    SELECT p_name, p_type,
+           CAST(p_retailprice AS DOUBLE) AS current_price
+    FROM part
+         JOIN (
+           SELECT l_partkey AS inv_partkey
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+                               + INTERVAL '180' DAY
+           GROUP BY l_partkey
+           HAVING SUM(l_quantity) BETWEEN 50 AND 200) AS inv
+           ON inv_partkey = p_partkey
+         JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_retailprice BETWEEN 940 AND 970
+      AND p_size IN (10, 20, 30, 40)
+    GROUP BY p_name, p_type, p_retailprice
+"""
+
+# q40 shape (reference tpcds/q40.sql): net sales before/after a pivot
+# date with refunds netted through the LEFT-JOINed 1:1 returns view
+# (partial-refund model: half the revenue).
+_Q40 = """
+    WITH cr AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+             CAST(0.5 * l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,6)) AS refunded
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT n_name AS w_state, p_brand,
+           CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-03-11 00:00:00'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,6))
+                              - COALESCE(refunded, 0)
+                         ELSE 0 END) AS DOUBLE) AS sales_before,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-03-11 00:00:00'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,6))
+                              - COALESCE(refunded, 0)
+                         ELSE 0 END) AS DOUBLE) AS sales_after
+    FROM lineitem LEFT JOIN cr ON r_orderkey = l_orderkey
+                              AND r_linenumber = l_linenumber
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE p_retailprice BETWEEN 920 AND 950
+      AND l_shipdate >= TIMESTAMP '1997-03-11 00:00:00'
+                        - INTERVAL '30' DAY
+      AND l_shipdate <  TIMESTAMP '1997-03-11 00:00:00'
+                        + INTERVAL '30' DAY
+    GROUP BY n_name, p_brand
+"""
+
+# q41 shape (reference tpcds/q41.sql): dim-only — product names whose
+# brand carries at least one item matching an OR-of-ANDs attribute
+# grid, via a correlated scalar COUNT subquery.
+_Q41 = """
+    SELECT DISTINCT p_name
+    FROM part i1
+    WHERE p_partkey BETWEEN 738 AND 778
+      AND (SELECT COUNT(*) FROM part
+           WHERE p_brand = i1.p_brand
+             AND ((p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15)
+               OR (p_type = 'STANDARD' AND p_size BETWEEN 16 AND 30)
+               OR (p_type = 'PROMO' AND p_size BETWEEN 31 AND 50))) > 0
+"""
+
+# q42 / q55 shapes (reference tpcds/q42.sql, q55.sql): the simple
+# dimension reports — revenue by (year, category) / by brand for one
+# month.
+_Q42 = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS d_year, p_type,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_sales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE year(o_orderdate) = 1998 AND month(o_orderdate) = 11
+    GROUP BY year(o_orderdate), p_type
+"""
+_Q55 = """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS ext_price
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE year(o_orderdate) = 1999 AND month(o_orderdate) = 11
+    GROUP BY p_brand
+"""
+
+# q45 shape (reference tpcds/q45.sql): geography revenue where the
+# filter is a disjunction of a literal geography list and an
+# IN-subquery over the item dimension.
+_Q45 = """
+    SELECT n_name, c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total_sales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+    WHERE (n_name IN ('NATION_2', 'NATION_7', 'NATION_12', 'NATION_17')
+        OR l_partkey IN (
+          SELECT p_partkey FROM part
+          WHERE p_partkey IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+      AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 2
+    GROUP BY n_name, c_mktsegment
+"""
+
+# q61 shape (reference tpcds/q61.sql): promotional vs total revenue —
+# two single-row aggregate subqueries cross-joined, ratio output.
+_Q61 = """
+    SELECT CAST(promotions AS DOUBLE) AS promotions,
+           CAST(total AS DOUBLE) AS total,
+           round(CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE)
+                 * 100, 6) AS promo_pct
+    FROM (
+      SELECT SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS promotions
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE n_nationkey < 13 AND p_type = 'PROMO'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(o_orderdate) = 1998 AND month(o_orderdate) = 5
+    ) AS promotional_sales,
+    (
+      SELECT SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS total
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE n_nationkey < 13 AND p_type = 'PROMO'
+        AND year(o_orderdate) = 1998 AND month(o_orderdate) = 5
+    ) AS all_sales
+"""
+
+
+# q90 / q96 shapes (reference tpcds/q90.sql, q96.sql): the time-dim
+# family, mapped onto the events stream (the relational fixture has no
+# time-of-day; events.ts does). Spark reads the catalog's ts_ns
+# (int64 nanos — exact integer hour arithmetic in both engines);
+# the DuckDB oracle derives the identical value via epoch_ns(ts), so
+# these two carry their own oracle text instead of reusing the query
+# text verbatim.
+_Q90_SPARK = """
+    SELECT round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 6)
+             AS am_pm_ratio
+    FROM (
+      SELECT COUNT(*) AS amc FROM events
+      WHERE (ts_ns div 3600000000000) % 24 BETWEEN 8 AND 9
+        AND event_type IN ('view', 'click')
+        AND value BETWEEN 50 AND 250
+    ) AS at_,
+    (
+      SELECT COUNT(*) AS pmc FROM events
+      WHERE (ts_ns div 3600000000000) % 24 BETWEEN 19 AND 20
+        AND event_type IN ('view', 'click')
+        AND value BETWEEN 50 AND 250
+    ) AS pt
+"""
+_Q90_ORACLE = """
+    SELECT round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 6)
+             AS am_pm_ratio
+    FROM (
+      SELECT COUNT(*) AS amc FROM events
+      WHERE (epoch_ns(ts) // 3600000000000) % 24 BETWEEN 8 AND 9
+        AND event_type IN ('view', 'click')
+        AND value BETWEEN 50 AND 250
+    ) AS at_,
+    (
+      SELECT COUNT(*) AS pmc FROM events
+      WHERE (epoch_ns(ts) // 3600000000000) % 24 BETWEEN 19 AND 20
+        AND event_type IN ('view', 'click')
+        AND value BETWEEN 50 AND 250
+    ) AS pt
+"""
+_Q96_SPARK = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE (ts_ns div 3600000000000) % 24 = 20
+      AND (ts_ns div 60000000000) % 60 >= 30
+      AND event_type = 'purchase'
+      AND value BETWEEN 20 AND 300
+"""
+_Q96_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE (epoch_ns(ts) // 3600000000000) % 24 = 20
+      AND (epoch_ns(ts) // 60000000000) % 60 >= 30
+      AND event_type = 'purchase'
+      AND value BETWEEN 20 AND 300
+"""
+
+for _name, _text, _oracle6, _doc in [
+    ("tpcds_sql_q12", _Q12, None,
+     "TPC-DS q12 shape via Engine.sql: item revenue + class share via "
+     "a windowed sum over grouped sums, 30-day window, web channel -> "
+     "returnflag slice (reference tpcds/q12.sql)."),
+    ("tpcds_sql_q20", _Q20, None,
+     "TPC-DS q20 shape via Engine.sql: the q12 skeleton on the "
+     "catalog channel slice (reference tpcds/q20.sql)."),
+    ("tpcds_sql_q98", _Q98, None,
+     "TPC-DS q98 shape via Engine.sql: the q12 skeleton over all rows "
+     "(store channel; reference tpcds/q98.sql)."),
+    ("tpcds_sql_q16", _Q16, None,
+     "TPC-DS q16 shape via Engine.sql: 60-day shipping report with "
+     "EXISTS (another line from a different supplier) and NOT EXISTS "
+     "(any return), COUNT DISTINCT + decimal sums (reference "
+     "tpcds/q16.sql)."),
+    ("tpcds_sql_q22", _Q22, None,
+     "TPC-DS q22 shape via Engine.sql: average quantity under a "
+     "four-level item ROLLUP (reference tpcds/q22.sql; inventory -> "
+     "lineitem quantity)."),
+    ("tpcds_sql_q26", _Q26, None,
+     "TPC-DS q26 shape via Engine.sql: four demographic-filtered "
+     "averages per item attribute under an OR promotion filter "
+     "(reference tpcds/q26.sql)."),
+    ("tpcds_sql_q27", _Q27, None,
+     "TPC-DS q27 shape via Engine.sql: the q26 averages under "
+     "ROLLUP(state, item) with GROUPING() (reference tpcds/q27.sql)."),
+    ("tpcds_sql_q37", _Q37, None,
+     "TPC-DS q37 shape via Engine.sql: price-band items whose derived "
+     "inventory (HAVING-filtered 60-day quantity sum) lands in a "
+     "range and that sold (reference tpcds/q37.sql)."),
+    ("tpcds_sql_q40", _Q40, None,
+     "TPC-DS q40 shape via Engine.sql: before/after-pivot net sales "
+     "with refunds netted through the LEFT-JOINed 1:1 returns view "
+     "(reference tpcds/q40.sql)."),
+    ("tpcds_sql_q41", _Q41, None,
+     "TPC-DS q41 shape via Engine.sql: dim-only correlated scalar "
+     "COUNT over an OR-of-ANDs attribute grid (reference "
+     "tpcds/q41.sql)."),
+    ("tpcds_sql_q42", _Q42, None,
+     "TPC-DS q42 shape via Engine.sql: revenue by (year, category) "
+     "for one month (reference tpcds/q42.sql)."),
+    ("tpcds_sql_q55", _Q55, None,
+     "TPC-DS q55 shape via Engine.sql: revenue by brand for one month "
+     "(reference tpcds/q55.sql)."),
+    ("tpcds_sql_q45", _Q45, None,
+     "TPC-DS q45 shape via Engine.sql: geography revenue under a "
+     "disjunction of a literal list and an IN-subquery (reference "
+     "tpcds/q45.sql)."),
+    ("tpcds_sql_q61", _Q61, None,
+     "TPC-DS q61 shape via Engine.sql: promotional vs total revenue — "
+     "two single-row aggregate subqueries cross-joined (reference "
+     "tpcds/q61.sql)."),
+    ("tpcds_sql_q90", _Q90_SPARK, _Q90_ORACLE,
+     "TPC-DS q90 shape via Engine.sql: am/pm count ratio over the "
+     "events stream's hour-of-day (reference tpcds/q90.sql; time_dim "
+     "-> exact integer nanosecond arithmetic, oracle via epoch_ns)."),
+    ("tpcds_sql_q96", _Q96_SPARK, _Q96_ORACLE,
+     "TPC-DS q96 shape via Engine.sql: half-hour band count over the "
+     "events stream (reference tpcds/q96.sql)."),
+]:
+    register(
+        _name,
+        _oracle6 if _oracle6 is not None else _text,
+        doc=_doc,
+        tags=("tpcds", "sql_text", "dialect"),
+    )(_make(_name, _text))
