@@ -54,14 +54,18 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # engine/oracle changed this round, (b) the oldest driver-green queries.
 # After r7 every registered query has a green driver row (cumulative
 # 194/194); the staleness ledger is r3: 44, r4: 50, r6: 50, r7: 50.
-# Round-8 window = 41 never-verified (TPC-DS tranches 4, 5 and 6 +
-# the new geometry_collection_ops) + geometry_buffer_parity (its
-# oracle went numeric in r8 — changed, so it re-verifies) + the FIRST
-# 8 of the 44 r3-era greens in registration order. The remaining 36
-# r3-era greens (groupby_rollup .. datetime_funcs_parity) lead
-# round 9's fillers, then the r4-era 50. Everything else keeps local
-# DuckDB coverage every pytest run (tests/test_queries_oracle.py
-# parameterizes the whole registry).
+# Round-8 window: r8 registered 70 new/changed queries (TPC-DS
+# tranches 4-7 complete the 99-text suite, plus geometry_collection_
+# ops and the re-oracled geometry_buffer_parity) — more than the 50
+# slots, so the window is ALL new/changed: tranches 4-6 (40), the two
+# geometry entries, and 8 of tranche 7 (q3 q7 q8 q10 q13 q15 q18 +
+# the q16-twin q94). Round 9's head, in order: the remaining 20
+# tranche-7 texts (q19 q21 q24 q35 q52 q54 q63 q69 q71 q72 q73 q79
+# q80 q82 q83 q84 q85 q86 q91 q92 — they sit immediately after
+# position 50 below), then the 44 r3-era
+# greens, then the r4-era 50. Everything keeps local DuckDB coverage
+# every pytest run (tests/test_queries_oracle.py parameterizes the
+# whole registry).
 _PRIORITY: tuple[str, ...] = (
     # r8-new: TPC-DS tranche 4
     "tpcds_sql_q1", "tpcds_sql_q30", "tpcds_sql_q81", "tpcds_sql_q6",
@@ -81,11 +85,15 @@ _PRIORITY: tuple[str, ...] = (
     # r8-changed: oracle strengthened from all-TRUE booleans to numeric
     # closed-form areas
     "geometry_buffer_parity",
-    # filler: the 8 stalest greens (last driver row r3), registration
-    # order
-    "window_rank_topn", "window_lag_lead", "window_running_sum",
-    "window_sliding_rows", "window_ntile_dist", "window_range_interval",
-    "setops_intersect_except", "setops_intersect_all",
+    # r8-new: TPC-DS tranche 7, first 8 (window positions 43-50)
+    "tpcds_sql_q3", "tpcds_sql_q7", "tpcds_sql_q8", "tpcds_sql_q10",
+    "tpcds_sql_q13", "tpcds_sql_q15", "tpcds_sql_q18", "tpcds_sql_q94",
+    # --- window boundary: everything below leads round 9 ---
+    "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
+    "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
+    "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
+    "tpcds_sql_q80", "tpcds_sql_q82", "tpcds_sql_q83", "tpcds_sql_q84",
+    "tpcds_sql_q85", "tpcds_sql_q86", "tpcds_sql_q91", "tpcds_sql_q92",
 )
 
 

@@ -2430,3 +2430,878 @@ for _name, _text, _oracle6, _doc in [
         doc=_doc,
         tags=("tpcds", "sql_text", "dialect"),
     )(_make(_name, _text))
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 (r8): the final 28 — completes all 99 TPC-DS shapes.
+# Batch A: simple dim reports (q3/q52), demographic averages (q7/q13/
+# q18), zip INTERSECT (q8), EXISTS-in-OR demographics (q10/q35),
+# geography disjunction (q15), shop-away-from-home (q19), inventory
+# before/after ratio (q21), CTE-with-scalar-threshold-over-itself
+# (q24), cross-channel cohort revenue segmentation (q54), and the q53
+# manager twin (q63).
+
+_Q3 = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS d_year, p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_agg
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE p_size = 28 AND month(o_orderdate) = 11
+    GROUP BY year(o_orderdate), p_brand
+"""
+
+_Q52 = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS d_year, p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS ext_price
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE year(o_orderdate) = 1998 AND month(o_orderdate) = 11
+    GROUP BY year(o_orderdate), p_brand
+"""
+
+# q7 shape (reference tpcds/q07.sql): the q26 skeleton on the store
+# channel with its own demographic/promotion filters.
+_Q7 = """
+    SELECT p_brand,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg1,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS agg2,
+           round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg3,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg4
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE c_mktsegment = 'HOUSEHOLD'
+      AND (o_orderpriority = '3-MEDIUM' OR o_orderstatus = 'O')
+      AND year(o_orderdate) = 1995
+    GROUP BY p_brand
+"""
+
+# q8 shape (reference tpcds/q08.sql): store profit where the store's
+# geography sits in the INTERSECT of a literal list and the geography
+# of preferred customers counted above a threshold.
+_Q8 = """
+    SELECT s_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS net_profit
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_0', 'NATION_3', 'NATION_5', 'NATION_7',
+                         'NATION_9', 'NATION_11', 'NATION_14',
+                         'NATION_17', 'NATION_20', 'NATION_23')
+        INTERSECT
+        SELECT c_nationkey FROM customer
+        WHERE c_acctbal > 5000
+        GROUP BY c_nationkey
+        HAVING COUNT(*) > 20)
+    GROUP BY s_name
+"""
+
+# q10 shape (reference tpcds/q10.sql): demographic counts over
+# customers with EXISTS (channel A) AND (EXISTS channel B OR EXISTS
+# channel C) — the EXISTS-in-disjunction planning workout. Channels =
+# line-number residues.
+_Q10 = """
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS cnt1,
+           CAST(COUNT(*) AS BIGINT) AS cnt2,
+           CAST(COUNT(*) AS BIGINT) AS cnt3
+    FROM customer c JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_8', 'NATION_11',
+                     'NATION_14')
+      AND EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 0
+          AND year(o_orderdate) = 1996
+          AND month(o_orderdate) BETWEEN 1 AND 4)
+      AND (EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 1
+          AND year(o_orderdate) = 1996
+          AND month(o_orderdate) BETWEEN 1 AND 4)
+        OR EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 2
+          AND year(o_orderdate) = 1996
+          AND month(o_orderdate) BETWEEN 1 AND 4))
+    GROUP BY c_mktsegment, floor(c_acctbal / 2000)
+"""
+
+# q13 shape (reference tpcds/q13.sql): single-row averages under two
+# OR-of-ANDs blocks (the q48 skeleton with avg outputs).
+_Q13 = """
+    SELECT round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_ext_price,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+    WHERE year(o_orderdate) = 1997
+      AND ((c_mktsegment = 'MACHINERY'
+            AND o_orderpriority = '1-URGENT'
+            AND l_extendedprice BETWEEN 10000 AND 30000)
+        OR (c_mktsegment = 'FURNITURE'
+            AND o_orderpriority = '2-HIGH'
+            AND l_extendedprice BETWEEN 5000 AND 20000)
+        OR (c_mktsegment = 'BUILDING'
+            AND o_orderpriority = '3-MEDIUM'
+            AND l_extendedprice BETWEEN 15000 AND 35000))
+      AND ((n_name IN ('NATION_1', 'NATION_4', 'NATION_7')
+            AND l_discount BETWEEN 0.00 AND 0.04)
+        OR (n_name IN ('NATION_10', 'NATION_13', 'NATION_16')
+            AND l_discount BETWEEN 0.03 AND 0.07)
+        OR (n_name IN ('NATION_19', 'NATION_22', 'NATION_24')
+            AND l_discount BETWEEN 0.06 AND 0.10))
+"""
+
+# q15 shape (reference tpcds/q15.sql): geography revenue where the
+# disjunction spans a geography list, a segment list, and a fact
+# measure threshold.
+_Q15 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total_sales
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+    WHERE (n_name IN ('NATION_3', 'NATION_6', 'NATION_9', 'NATION_21')
+        OR c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        OR l_extendedprice > 50000)
+      AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 2
+    GROUP BY n_name
+"""
+
+# q18 shape (reference tpcds/q18.sql): decimal-cast averages under
+# ROLLUP(item, country, state) with a birth-month-style key filter.
+_Q18 = """
+    SELECT p_type, n_name, c_mktsegment,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg1,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS agg2,
+           round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg3,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg4,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg5
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE c_custkey % 12 IN (1, 2, 6, 8, 9)
+      AND year(o_orderdate) = 1996
+      AND n_name IN ('NATION_1', 'NATION_8', 'NATION_15', 'NATION_22')
+    GROUP BY ROLLUP (p_type, n_name, c_mktsegment)
+"""
+
+# q19 shape (reference tpcds/q19.sql): brand revenue for one month
+# where the buyer's geography differs from the store's (the
+# shop-away-from-home zip inequality).
+_Q19 = """
+    SELECT p_brand, p_type,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS ext_price
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+    WHERE p_size = 8
+      AND year(o_orderdate) = 1996 AND month(o_orderdate) = 11
+      AND c_nationkey <> s_nationkey
+    GROUP BY p_brand, p_type
+"""
+
+# q21 shape (reference tpcds/q21.sql): quantity before/after a pivot
+# date per (warehouse, item), keeping rows whose after/before ratio
+# sits between 2/3 and 3/2 (CASE-guarded NULL on zero).
+_Q21 = """
+    SELECT * FROM (
+      SELECT n_name AS w_name, p_name,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-03-11 00:00:00'
+                           THEN l_quantity ELSE 0 END) AS BIGINT)
+               AS inv_before,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-03-11 00:00:00'
+                           THEN l_quantity ELSE 0 END) AS BIGINT)
+               AS inv_after
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN part ON p_partkey = l_partkey
+      WHERE p_retailprice BETWEEN 930 AND 960
+        AND l_shipdate >= TIMESTAMP '1997-03-11 00:00:00'
+                          - INTERVAL '30' DAY
+        AND l_shipdate <  TIMESTAMP '1997-03-11 00:00:00'
+                          + INTERVAL '30' DAY
+      GROUP BY n_name, p_name) AS x
+    WHERE (CASE WHEN inv_before > 0
+                THEN CAST(inv_after AS DOUBLE) / inv_before END)
+          BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+"""
+
+# q24 shape (reference tpcds/q24.sql): a many-key grouped CTE over
+# returns-matched sales with a buyer-nation = store-nation equality,
+# re-aggregated under a HAVING threshold that is a scalar subquery
+# over the SAME CTE.
+_Q24 = """
+    WITH ssales AS (
+      SELECT c_name, s_name, p_type, p_brand, p_size,
+             SUM(CAST(ss.l_extendedprice * (1 - ss.l_discount)
+                      AS DECIMAL(30,6))) AS netpaid
+      FROM lineitem ss
+           JOIN lineitem sr ON sr.l_orderkey = ss.l_orderkey
+                AND sr.l_linenumber = ss.l_linenumber
+                AND sr.l_returnflag = 'R'
+           JOIN orders ON o_orderkey = ss.l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN supplier ON s_suppkey = ss.l_suppkey
+           JOIN part ON p_partkey = ss.l_partkey
+      WHERE c_nationkey = s_nationkey
+      GROUP BY c_name, s_name, p_type, p_brand, p_size)
+    SELECT c_name, s_name, CAST(SUM(netpaid) AS DOUBLE) AS paid
+    FROM ssales
+    WHERE p_type = 'PROMO'
+    GROUP BY c_name, s_name
+    HAVING CAST(SUM(netpaid) AS DOUBLE) > (
+      SELECT 0.05 * CAST(SUM(netpaid) AS DOUBLE) / COUNT(*)
+      FROM ssales)
+"""
+
+# q35 shape (reference tpcds/q35.sql): the q10 EXISTS structure with
+# aggregate outputs (count + avg/max/sum of the balance).
+_Q35 = """
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2500) AS INTEGER) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS bal_avg,
+           CAST(max(c_acctbal) AS DOUBLE) AS bal_max,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             AS bal_sum
+    FROM customer c JOIN nation ON n_nationkey = c_nationkey
+    WHERE EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 0
+          AND year(o_orderdate) = 1997
+          AND quarter(o_orderdate) < 4)
+      AND (EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 1
+          AND year(o_orderdate) = 1997
+          AND quarter(o_orderdate) < 4)
+        OR EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 2
+          AND year(o_orderdate) = 1997
+          AND quarter(o_orderdate) < 4))
+    GROUP BY c_mktsegment, floor(c_acctbal / 2500)
+"""
+
+# q54 shape (reference tpcds/q54.sql): cohort of customers buying a
+# category through two channels in one month, their home-nation store
+# revenue over the FOLLOWING three months (month bounds via scalar
+# DISTINCT subqueries), bucketed into revenue segments.
+_Q54 = """
+    WITH my_customers AS (
+      SELECT DISTINCT o_custkey AS customer_sk, c_nationkey
+      FROM (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_linenumber % 2 = 0
+        UNION ALL
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_linenumber % 2 = 1) AS cs_or_ws
+        JOIN orders ON o_orderkey = cs_or_ws.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN part ON p_partkey = cs_or_ws.l_partkey
+      WHERE p_type = 'PROMO'
+        AND year(o_orderdate) = 1996 AND month(o_orderdate) = 12),
+    my_revenue AS (
+      SELECT customer_sk,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS revenue
+      FROM my_customers
+           JOIN orders ON o_custkey = customer_sk
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = c_nationkey
+        AND year(o_orderdate) * 12 + month(o_orderdate) BETWEEN (
+          SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) + 1
+          FROM orders
+          WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 12)
+        AND (
+          SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) + 3
+          FROM orders
+          WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 12)
+      GROUP BY customer_sk),
+    segments AS (
+      SELECT CAST(floor(CAST(revenue AS DOUBLE) / 5000) AS INTEGER)
+               AS segment
+      FROM my_revenue)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS num_customers,
+           segment * 5000 AS segment_base
+    FROM segments
+    GROUP BY segment
+"""
+
+# q63 shape (reference tpcds/q63.sql): the q53 deviation skeleton
+# keyed by size buckets over monthly windows.
+_Q63 = """
+    SELECT * FROM (
+      SELECT CAST(floor(p_size / 10) AS INTEGER) AS size_band, moy,
+             CAST(sdec AS DOUBLE) AS sum_sales,
+             CAST(SUM(sdec) OVER (PARTITION BY floor(p_size / 10))
+                  AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY floor(p_size / 10))
+               AS avg_monthly_sales
+      FROM (
+        SELECT p_size, CAST(month(o_orderdate) AS INTEGER) AS moy,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS sdec
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE year(o_orderdate) = 1997
+          AND ((p_type IN ('ECONOMY', 'LARGE') AND p_brand LIKE 'Brand#1%')
+            OR (p_type IN ('PROMO', 'SMALL') AND p_brand LIKE 'Brand#2%'))
+        GROUP BY p_size, month(o_orderdate)) AS q
+    ) AS tmp1
+    WHERE (CASE WHEN avg_monthly_sales > 0
+                THEN abs(sum_sales - avg_monthly_sales)
+                     / avg_monthly_sales END) > 0.1
+"""
+
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q3", _Q3,
+     "TPC-DS q3 shape via Engine.sql: brand revenue by year for one "
+     "month under an item attribute filter (reference tpcds/q03.sql)."),
+    ("tpcds_sql_q52", _Q52,
+     "TPC-DS q52 shape via Engine.sql: (year, brand) revenue for one "
+     "month (reference tpcds/q52.sql)."),
+    ("tpcds_sql_q7", _Q7,
+     "TPC-DS q7 shape via Engine.sql: the q26 average grid on the "
+     "store channel (reference tpcds/q07.sql)."),
+    ("tpcds_sql_q8", _Q8,
+     "TPC-DS q8 shape via Engine.sql: store profit where the store "
+     "geography lies in the INTERSECT of a literal list and "
+     "preferred-customer geographies counted above a threshold "
+     "(reference tpcds/q08.sql)."),
+    ("tpcds_sql_q10", _Q10,
+     "TPC-DS q10 shape via Engine.sql: demographic counts under "
+     "EXISTS AND (EXISTS OR EXISTS) — disjunctive correlated "
+     "subqueries (reference tpcds/q10.sql)."),
+    ("tpcds_sql_q13", _Q13,
+     "TPC-DS q13 shape via Engine.sql: single-row averages under two "
+     "OR-of-ANDs blocks (reference tpcds/q13.sql)."),
+    ("tpcds_sql_q15", _Q15,
+     "TPC-DS q15 shape via Engine.sql: geography revenue under a "
+     "three-way disjunction spanning dims and a fact measure "
+     "(reference tpcds/q15.sql)."),
+    ("tpcds_sql_q18", _Q18,
+     "TPC-DS q18 shape via Engine.sql: five averages under "
+     "ROLLUP(item, country, segment) with a residue key filter "
+     "(reference tpcds/q18.sql)."),
+    ("tpcds_sql_q19", _Q19,
+     "TPC-DS q19 shape via Engine.sql: brand revenue where the buyer "
+     "and store geographies differ (reference tpcds/q19.sql)."),
+    ("tpcds_sql_q21", _Q21,
+     "TPC-DS q21 shape via Engine.sql: before/after-pivot quantity "
+     "ratio per (warehouse, item) with a CASE-guarded band filter "
+     "(reference tpcds/q21.sql)."),
+    ("tpcds_sql_q24", _Q24,
+     "TPC-DS q24 shape via Engine.sql: many-key CTE over "
+     "returns-matched sales re-aggregated under a HAVING threshold "
+     "that is a scalar subquery over the same CTE (reference "
+     "tpcds/q24.sql)."),
+    ("tpcds_sql_q35", _Q35,
+     "TPC-DS q35 shape via Engine.sql: the q10 EXISTS structure with "
+     "count/avg/max/sum outputs (reference tpcds/q35.sql)."),
+    ("tpcds_sql_q54", _Q54,
+     "TPC-DS q54 shape via Engine.sql: two-channel cohort, "
+     "home-nation revenue over scalar-subquery month bounds, revenue "
+     "segmentation (reference tpcds/q54.sql)."),
+    ("tpcds_sql_q63", _Q63,
+     "TPC-DS q63 shape via Engine.sql: the q53 deviation skeleton "
+     "keyed by size buckets over monthly windows (reference "
+     "tpcds/q63.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
+
+
+# Tranche 7 batch B: NOT-EXISTS demographics (q69), three-channel
+# time-bucket pivot (q71), inequality-date + IS-NULL-promo join (q72),
+# the q34 twin (q73), ticket reports (q79), three-channel P&L rollup
+# (q80), the q37 twin (q82), three-channel returns equal-share with
+# nested week IN subqueries (q83), dim-chain customer lookup (q84),
+# returns-reason averages (q85), the q36/q70 rank rollup on the web
+# measure (q86), call-center returns (q91), the q32 twin with the
+# windowed correlated average (q92), and the q16 twin (q94).
+
+_Q69 = """
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS cnt1,
+           CAST(COUNT(*) AS BIGINT) AS cnt2
+    FROM customer c JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_16', 'NATION_21')
+      AND EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 0
+          AND year(o_orderdate) = 1997
+          AND month(o_orderdate) BETWEEN 4 AND 6)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 1
+          AND year(o_orderdate) = 1997
+          AND month(o_orderdate) BETWEEN 4 AND 6)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_custkey = c.c_custkey AND l_linenumber % 3 = 2
+          AND year(o_orderdate) = 1997
+          AND month(o_orderdate) BETWEEN 4 AND 6)
+    GROUP BY c_mktsegment, floor(c_acctbal / 2000)
+"""
+
+# q71: three-channel UNION ALL joined to the item dim, grouped by a
+# two-level time bucket with a meal-time disjunction. The fixture's
+# orders carry no time-of-day, so t_hour/t_minute map to the ship
+# month and day-of-month bucket, and the meal-time disjunction to two
+# day-of-month ranges.
+_Q71 = """
+    SELECT p_brand,
+           CAST(month(sold_date) AS INTEGER) AS t_hour,
+           CAST(day(sold_date) AS INTEGER) AS t_minute,
+           CAST(SUM(ext_price) AS DOUBLE) AS ext_price
+    FROM part JOIN (
+      SELECT CAST(l_extendedprice AS DECIMAL(30,6)) AS ext_price,
+             l_shipdate AS sold_date, l_partkey AS sold_item
+      FROM lineitem WHERE l_returnflag = 'N' AND year(l_shipdate) = 1996
+      UNION ALL
+      SELECT CAST(l_extendedprice AS DECIMAL(30,6)) AS ext_price,
+             l_shipdate AS sold_date, l_partkey AS sold_item
+      FROM lineitem WHERE l_returnflag = 'A' AND year(l_shipdate) = 1996
+      UNION ALL
+      SELECT CAST(l_extendedprice AS DECIMAL(30,6)) AS ext_price,
+             l_shipdate AS sold_date, l_partkey AS sold_item
+      FROM lineitem WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+    ) AS tmp ON sold_item = p_partkey
+    WHERE p_size = 14
+      AND (day(sold_date) BETWEEN 1 AND 10
+        OR day(sold_date) BETWEEN 21 AND 31)
+    GROUP BY p_brand, month(sold_date), day(sold_date)
+"""
+
+# q72: derived weekly inventory (summed shipped quantity per part per
+# week) joined on the ORDER week with an under-stock inequality
+# (on_hand < ordered quantity), a +5-day shipping-lag inequality, and
+# IS NULL / IS NOT NULL promotion counts from a LEFT JOIN.
+_Q72 = f"""
+    WITH inv AS (
+      SELECT l_partkey AS inv_partkey,
+             CAST(floor(date_diff('day', {_ANCHOR}, l_shipdate) / 7.0)
+                  AS INTEGER) AS inv_week,
+             SUM(l_quantity) AS on_hand
+      FROM lineitem
+      GROUP BY l_partkey,
+               floor(date_diff('day', {_ANCHOR}, l_shipdate) / 7.0))
+    SELECT p_brand, n_name, inv_week,
+           CAST(SUM(CASE WHEN promo_key IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS no_promo,
+           CAST(SUM(CASE WHEN promo_key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo,
+           CAST(COUNT(*) AS BIGINT) AS total_cnt
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN inv ON inv_partkey = l_partkey
+              AND inv_week = CAST(floor(date_diff('day', {_ANCHOR},
+                                                  o_orderdate) / 7.0)
+                                  AS INTEGER)
+         LEFT JOIN (SELECT p_partkey AS promo_key FROM part
+                    WHERE p_type = 'PROMO') AS promo
+              ON promo_key = l_partkey
+    WHERE on_hand < l_quantity
+      AND l_shipdate > o_orderdate + INTERVAL '5' DAY
+      AND year(o_orderdate) = 1996
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand, n_name, inv_week
+"""
+
+# q73: the q34 twin — 1-5 item-count band under a different
+# disjunction plus a CASE-guarded ratio filter.
+_Q73 = """
+    WITH dj AS (
+      SELECT o_orderkey AS ticket_number, o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN customer ON c_custkey = o_custkey
+      WHERE (o_orderpriority = '4-NOT SPECIFIED'
+          OR o_orderpriority = '5-LOW')
+        AND (CASE WHEN c_acctbal > 0
+                  THEN CAST(o_totalprice AS DOUBLE) / c_acctbal
+                  END) > 10
+        AND year(o_orderdate) IN (1996, 1997, 1998)
+      GROUP BY o_orderkey, o_custkey)
+    SELECT c_name, c_mktsegment, ticket_number, cnt
+    FROM dj JOIN customer ON c_custkey = o_custkey
+    WHERE cnt BETWEEN 1 AND 5
+"""
+
+# q79: ticket-grouped coupon/profit amounts under a day-of-week pin
+# and a store-attribute band, customer joined back.
+_Q79 = f"""
+    WITH ms AS (
+      SELECT ss.l_orderkey AS ticket_number, o_custkey, s_name,
+             SUM(CAST(ss.l_extendedprice * ss.l_discount
+                      AS DECIMAL(30,6))) AS amt,
+             SUM(CAST(ss.l_extendedprice * (1 - ss.l_discount)
+                      - 0.5 * p_retailprice * ss.l_quantity
+                      AS DECIMAL(30,6))) AS profit
+      FROM lineitem ss JOIN orders ON o_orderkey = ss.l_orderkey
+           JOIN supplier ON s_suppkey = ss.l_suppkey
+           JOIN part p ON p.p_partkey = ss.l_partkey
+      WHERE {_dow("o_orderdate")} = 0
+        AND year(o_orderdate) IN (1996, 1997, 1998)
+        AND s_acctbal BETWEEN 0 AND 5000
+        AND (o_orderpriority = '2-HIGH' OR o_orderstatus = 'F')
+      GROUP BY ss.l_orderkey, o_custkey, s_name)
+    SELECT c_name, substr(s_name, 1, 30) AS store_name, ticket_number,
+           CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+    FROM ms JOIN customer ON c_custkey = o_custkey
+"""
+
+# q80: three channel CTEs of sales / returns / profit (returns netted
+# through the 1:1 'R' view) UNION ALLed under ROLLUP(channel, id)
+# with a window + price + promotion filter.
+_Q80_CH = """
+      SELECT {id_col} AS id,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,6))) AS sales,
+             SUM(COALESCE(r.ret_amt, 0)) AS returns_,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.5 * p_retailprice * l.l_quantity
+                      AS DECIMAL(30,6))
+                 - COALESCE(r.ret_amt, 0)) AS profit
+      FROM lineitem l JOIN orders ON o_orderkey = l.l_orderkey
+           JOIN supplier ON s_suppkey = l.l_suppkey
+           JOIN part ON p_partkey = l.l_partkey
+           LEFT JOIN rets r ON r.r_orderkey = l.l_orderkey
+                AND r.r_linenumber = l.l_linenumber
+      WHERE l.l_linenumber % 3 = {chan}
+        AND o_orderdate >= TIMESTAMP '1997-08-23 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-08-23 00:00:00'
+                           + INTERVAL '30' DAY
+        AND p_retailprice > 950
+        AND p_type <> 'PROMO'
+      GROUP BY {id_col}
+"""
+_Q80 = (
+    """
+    WITH rets AS (
+      SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+             CAST(0.5 * l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,6)) AS ret_amt
+      FROM lineitem WHERE l_returnflag = 'R'),
+    ssr AS ("""
+    + _Q80_CH.format(id_col="s_name", chan=0)
+    + """),
+    csr AS ("""
+    + _Q80_CH.format(id_col="p_brand", chan=1)
+    + """),
+    wsr AS ("""
+    + _Q80_CH.format(id_col="o_orderpriority", chan=2)
+    + """)
+    SELECT channel, id,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns_) AS DOUBLE) AS returns_,
+           CAST(SUM(profit) AS DOUBLE) AS profit
+    FROM (
+      SELECT 'store channel' AS channel, id, sales, returns_, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel, id, sales, returns_, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, id, sales, returns_, profit
+      FROM wsr
+    ) AS x
+    GROUP BY ROLLUP (channel, id)
+"""
+)
+
+# q82: the q37 twin with its own bands and window.
+_Q82 = """
+    SELECT p_name, p_type,
+           CAST(p_retailprice AS DOUBLE) AS current_price
+    FROM part
+         JOIN (
+           SELECT l_partkey AS inv_partkey
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-05-25 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-05-25 00:00:00'
+                               + INTERVAL '180' DAY
+           GROUP BY l_partkey
+           HAVING SUM(l_quantity) BETWEEN 40 AND 180) AS inv
+           ON inv_partkey = p_partkey
+         JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_retailprice BETWEEN 905 AND 935
+      AND p_size IN (5, 15, 25, 35, 45)
+    GROUP BY p_name, p_type, p_retailprice
+"""
+
+# q83: three per-channel returned-quantity CTEs over the months
+# chosen by a nested IN subquery anchored at three literal dates
+# (month grain: the fixture's per-week return density leaves a
+# week-grain three-channel item join empty), joined on item with
+# equal-share percentage outputs.
+_Q83_CH = """
+      SELECT l_partkey AS item_id,
+             SUM(CAST(floor((l_quantity + 1) / 2) AS DECIMAL(30,6)))
+               AS qty
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_linenumber % 3 = {chan}
+        AND year(l_shipdate) * 100 + month(l_shipdate) IN (
+          SELECT year(o_orderdate) * 100 + month(o_orderdate)
+          FROM orders
+          WHERE o_orderdate IN (TIMESTAMP '1996-06-28 00:00:00',
+                                TIMESTAMP '1997-09-26 00:00:00',
+                                TIMESTAMP '1998-11-17 00:00:00'))
+      GROUP BY l_partkey
+"""
+_Q83 = (
+    "\n    WITH sr_items AS ("
+    + _Q83_CH.format(chan=0)
+    + "),\n    cr_items AS ("
+    + _Q83_CH.format(chan=1)
+    + "),\n    wr_items AS ("
+    + _Q83_CH.format(chan=2)
+    + """)
+    SELECT sr_items.item_id,
+           CAST(sr_items.qty AS DOUBLE) AS sr_item_qty,
+           round(CAST(sr_items.qty AS DOUBLE)
+                 / CAST(sr_items.qty + cr_items.qty + wr_items.qty
+                        AS DOUBLE) / 3 * 100, 6) AS sr_dev,
+           CAST(cr_items.qty AS DOUBLE) AS cr_item_qty,
+           round(CAST(cr_items.qty AS DOUBLE)
+                 / CAST(sr_items.qty + cr_items.qty + wr_items.qty
+                        AS DOUBLE) / 3 * 100, 6) AS cr_dev,
+           CAST(wr_items.qty AS DOUBLE) AS wr_item_qty,
+           round(CAST(wr_items.qty AS DOUBLE)
+                 / CAST(sr_items.qty + cr_items.qty + wr_items.qty
+                        AS DOUBLE) / 3 * 100, 6) AS wr_dev,
+           round(CAST(sr_items.qty + cr_items.qty + wr_items.qty
+                      AS DOUBLE) / 3, 6) AS average
+    FROM sr_items JOIN cr_items ON sr_items.item_id = cr_items.item_id
+         JOIN wr_items ON sr_items.item_id = wr_items.item_id
+"""
+)
+
+# q84: dim-chain customer lookup — geography + balance band + "has a
+# return" via the returns view, concatenated display name.
+_Q84 = """
+    SELECT c_custkey AS customer_id,
+           concat(c_name, ', ', n_name) AS customername
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE n_name = 'NATION_13'
+      AND c_acctbal BETWEEN 3000 AND 8000
+      AND r_regionkey >= 0
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+"""
+
+# q85: returns-reason averages under two OR-of-ANDs blocks; reason ->
+# the returned order's priority.
+_Q85 = """
+    SELECT substr(o_orderpriority, 1, 20) AS reason_desc,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quantity,
+           round(CAST(SUM(CAST(0.5 * l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_refunded,
+           round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_fee
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+      AND ((c_mktsegment = 'MACHINERY'
+            AND l_extendedprice BETWEEN 10000 AND 30000)
+        OR (c_mktsegment = 'AUTOMOBILE'
+            AND l_extendedprice BETWEEN 20000 AND 45000)
+        OR (c_mktsegment = 'HOUSEHOLD'
+            AND l_extendedprice BETWEEN 30000 AND 60000))
+      AND ((n_name IN ('NATION_0', 'NATION_5', 'NATION_10')
+            AND l_discount BETWEEN 0.00 AND 0.05)
+        OR (n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+            AND l_discount BETWEEN 0.03 AND 0.08)
+        OR (n_name IN ('NATION_4', 'NATION_9', 'NATION_14')
+            AND l_discount BETWEEN 0.05 AND 0.10))
+    GROUP BY o_orderpriority
+"""
+
+# q86: the q36/q70 rank-within-parent rollup on the tax-inclusive
+# (web net-paid) measure.
+_Q86 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 + l_tax)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total_sum,
+           p_type, p_brand,
+           (GROUPING(p_type) + GROUPING(p_brand)) AS lochierarchy,
+           CAST(rank() OVER (
+             PARTITION BY GROUPING(p_type) + GROUPING(p_brand),
+                          CASE WHEN GROUPING(p_brand) = 0 THEN p_type END
+             ORDER BY SUM(CAST(l_extendedprice * (1 + l_tax)
+                               AS DECIMAL(30,6))) DESC, p_type, p_brand
+           ) AS INTEGER) AS rank_within_parent
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY ROLLUP (p_type, p_brand)
+"""
+
+# q91: call-center returns loss per (center, manager) under an
+# either-or demographic pair and a pinned month.
+_Q91 = """
+    SELECT n_name AS call_center, s_name AS manager,
+           CAST(SUM(CAST(0.5 * l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS returns_loss
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+    WHERE l_returnflag = 'R'
+      AND year(o_orderdate) = 1997 AND month(o_orderdate) = 11
+      AND ((c_mktsegment = 'BUILDING' AND c_acctbal > 0)
+        OR (c_mktsegment = 'MACHINERY' AND c_acctbal <= 0))
+    GROUP BY n_name, s_name
+"""
+
+# q92: the q32 twin — the correlated average carries the SAME date
+# window as the outer query.
+_Q92 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * l.l_discount
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS excess_discount_amount
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size = 35
+      AND l.l_shipdate >= TIMESTAMP '1997-01-27 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-27 00:00:00'
+                          + INTERVAL '90' DAY
+      AND l.l_discount > 1.3 * (
+        SELECT CAST(SUM(CAST(l2.l_discount AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-27 00:00:00'
+          AND l2.l_shipdate <  TIMESTAMP '1997-01-27 00:00:00'
+                               + INTERVAL '90' DAY)
+"""
+
+# q94: the q16 twin on another channel slice / window / geography.
+_Q94 = """
+    SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_shipping_cost,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_net_profit
+    FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+         JOIN part p ON p.p_partkey = l1.l_partkey
+    WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+                         + INTERVAL '60' DAY
+      AND n_name = 'NATION_9'
+      AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l1.l_orderkey = l2.l_orderkey
+          AND l1.l_suppkey <> l2.l_suppkey)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l1.l_orderkey = l3.l_orderkey
+          AND l3.l_returnflag = 'R')
+"""
+
+for _name, _text, _doc in [
+    ("tpcds_sql_q69", _Q69,
+     "TPC-DS q69 shape via Engine.sql: demographic counts under "
+     "EXISTS AND NOT EXISTS AND NOT EXISTS across channels (reference "
+     "tpcds/q69.sql)."),
+    ("tpcds_sql_q71", _Q71,
+     "TPC-DS q71 shape via Engine.sql: three-channel UNION ALL joined "
+     "to the item dim, two-level time buckets with a meal-time "
+     "disjunction (reference tpcds/q71.sql; t_hour/t_minute -> ship "
+     "month / day-of-month — the fixture has no time-of-day)."),
+    ("tpcds_sql_q72", _Q72,
+     "TPC-DS q72 shape via Engine.sql: week-matched inventory with an "
+     "under-stock inequality, +5-day lag inequality, and IS NULL "
+     "promotion counts from a LEFT JOIN (reference tpcds/q72.sql)."),
+    ("tpcds_sql_q73", _Q73,
+     "TPC-DS q73 shape via Engine.sql: the q34 twin — 1-5 count band "
+     "under a CASE-ratio filter (reference tpcds/q73.sql)."),
+    ("tpcds_sql_q79", _Q79,
+     "TPC-DS q79 shape via Engine.sql: ticket-grouped coupon/profit "
+     "under a day-of-week pin, customer joined back (reference "
+     "tpcds/q79.sql)."),
+    ("tpcds_sql_q80", _Q80,
+     "TPC-DS q80 shape via Engine.sql: three channel CTEs of sales/"
+     "returns/profit netted through the 1:1 returns view, UNION ALL "
+     "under ROLLUP(channel, id) (reference tpcds/q80.sql)."),
+    ("tpcds_sql_q82", _Q82,
+     "TPC-DS q82 shape via Engine.sql: the q37 derived-inventory twin "
+     "(reference tpcds/q82.sql)."),
+    ("tpcds_sql_q83", _Q83,
+     "TPC-DS q83 shape via Engine.sql: three per-channel returned-"
+     "quantity CTEs over nested week IN subqueries, equal-share "
+     "percentages (reference tpcds/q83.sql)."),
+    ("tpcds_sql_q84", _Q84,
+     "TPC-DS q84 shape via Engine.sql: dim-chain customer lookup with "
+     "a balance band, has-a-return condition, concatenated display "
+     "name (reference tpcds/q84.sql)."),
+    ("tpcds_sql_q85", _Q85,
+     "TPC-DS q85 shape via Engine.sql: returns-reason averages under "
+     "two OR-of-ANDs blocks (reference tpcds/q85.sql; reason -> order "
+     "priority)."),
+    ("tpcds_sql_q86", _Q86,
+     "TPC-DS q86 shape via Engine.sql: rank-within-parent ROLLUP on "
+     "the tax-inclusive measure (reference tpcds/q86.sql)."),
+    ("tpcds_sql_q91", _Q91,
+     "TPC-DS q91 shape via Engine.sql: call-center returns loss under "
+     "an either-or demographic pair (reference tpcds/q91.sql)."),
+    ("tpcds_sql_q92", _Q92,
+     "TPC-DS q92 shape via Engine.sql: the q32 twin whose correlated "
+     "average carries the same date window (reference tpcds/q92.sql)."),
+    ("tpcds_sql_q94", _Q94,
+     "TPC-DS q94 shape via Engine.sql: the q16 twin — EXISTS "
+     "different-supplier, NOT EXISTS returns, COUNT DISTINCT "
+     "(reference tpcds/q94.sql)."),
+]:
+    register(_name, _text, doc=_doc, tags=("tpcds", "sql_text", "dialect"))(
+        _make(_name, _text)
+    )
