@@ -87,6 +87,39 @@ def register_sketch_aggs(spark: SparkSession) -> int:
         return np.concatenate(([float(n)], pts)).tobytes()
 
     @F.pandas_udf("binary")
+    def qdigest_agg_w(v: pd.Series, w: pd.Series) -> bytes:
+        """Weighted build — reference QuantileDigestAggregationFunction
+        qdigest_agg(x, w): slot 0 carries TOTAL WEIGHT (the same role
+        the row count plays in the unweighted blob, so merge_qdigest
+        combines both kinds), and the K grid points are selected by
+        cumulative weight instead of row rank. NULL pairs are skipped;
+        nonpositive weights raise (Trino rejects them)."""
+        vals = v.to_numpy(dtype="float64")
+        ws = w.to_numpy(dtype="float64")
+        mask = ~(np.isnan(vals) | np.isnan(ws))
+        vals, ws = vals[mask] + 0.0, ws[mask]
+        if len(ws) and (ws <= 0).any():
+            raise ValueError("qdigest_agg: weight must be > 0")
+        ws = ws.astype("int64")
+        order = np.argsort(vals, kind="stable")
+        vals, ws = vals[order], ws[order]
+        if len(vals):
+            cum = np.cumsum(ws)
+            wtot = int(cum[-1])
+            grid = (np.arange(K_POINTS, dtype="int64") * wtot) // (
+                K_POINTS - 1
+            )
+            pts = vals[
+                np.searchsorted(cum, grid, side="left").clip(
+                    0, len(vals) - 1
+                )
+            ]
+        else:
+            wtot = 0
+            pts = np.full(K_POINTS, np.nan)
+        return np.concatenate(([float(wtot)], pts)).tobytes()
+
+    @F.pandas_udf("binary")
     def merge_qdigest(blobs: pd.Series) -> bytes:
         total = 0
         pools, weights = [], []
@@ -147,11 +180,12 @@ def register_sketch_aggs(spark: SparkSession) -> int:
         )
 
     spark.udf.register("qdigest_agg", qdigest_agg)
+    spark.udf.register("qdigest_agg_w", qdigest_agg_w)
     spark.udf.register("merge_qdigest", merge_qdigest)
     spark.udf.register("approx_set", approx_set)
     spark.udf.register("merge_hll", merge_hll)
     spark.udf.register("hll_cardinality", hll_cardinality)
-    return 5
+    return 6
 
 
 def register_tdigest_aggs(spark: SparkSession) -> int:

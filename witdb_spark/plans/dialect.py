@@ -1282,6 +1282,7 @@ SKETCH_SALT_BUCKETS = 16
 #: of the value that a DuckDB oracle can replay (floor(v) mod N).
 _SKETCH_BUILD_FORMS = {
     "qdigest_agg": ("merge_qdigest", True),
+    "qdigest_agg_w": ("merge_qdigest", True),  # weighted (2-arg) build
     "tdigest_agg": ("merge_tdigest", True),
     "approx_set": ("merge_hll", False),
     "make_set_digest": ("merge_set_digest", False),
@@ -1368,6 +1369,39 @@ def _rewrite_sketch_filter(sql: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
+def _rewrite_qdigest_weighted(sql: str) -> str:
+    """Trino's qdigest_agg is overloaded by arity (reference
+    QuantileDigestAggregationFunction.java: (x), (x, w),
+    (x, w, accuracy)); a registered Spark UDAF is not. Route the
+    2-/3-arg spellings to the qdigest_agg_w UDAF, dropping the
+    accuracy argument — this engine's digest keeps a fixed K-point
+    grid, so accuracy is a no-op hint (the same liberty the reference
+    takes when accuracy exceeds its default). Runs AFTER the FILTER
+    fold (so folded builds rewrite too) and BEFORE the two-level
+    split (which recognizes qdigest_agg_w)."""
+    pos = 0
+    while True:
+        sub = sql[pos:]
+        m = _first_code_match(r"\bqdigest_agg\s*\(", sub)
+        if m is None:
+            return sql
+        open_idx = pos + m.start() + sub[m.start():].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if len(args) not in (2, 3):
+            pos = close_idx + 1
+            continue
+        repl = (
+            "qdigest_agg_w("
+            + args[0].strip()
+            + ", "
+            + args[1].strip()
+            + ")"
+        )
+        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+        pos = pos + m.start() + len(repl)
+
+
 def _rewrite_sketch_two_level(sql: str) -> str:
     """Plan build-side sketch SQL aggregates PARTIAL -> FINAL (reference
     sql/planner/plan/AggregationNode.java:347 Step.PARTIAL/FINAL): a
@@ -1392,7 +1426,10 @@ def _rewrite_sketch_two_level(sql: str) -> str:
     are bit-identical; qdigest/tdigest results are merge-grade (the same
     trade the reference takes for every PARTIAL->FINAL digest), with the
     salt deterministic so oracles can replay the exact partition."""
-    pat = r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest)\s*\("
+    pat = (
+        r"\b(qdigest_agg_w|qdigest_agg|tdigest_agg|approx_set"
+        r"|make_set_digest)\s*\("
+    )
 
     def keep(s: str, start: int) -> str:
         # mark un-rewritable call so the scan loop skips it
@@ -1572,11 +1609,16 @@ def _sketch_block_two_level(block: str) -> str | None:
             return None
         if fname in _SKETCH_BUILD_FORMS:
             merge_name, needs_rank_salt = _SKETCH_BUILD_FORMS[fname]
-            if len(_split_top_level(args)) != 1:
+            arg_list = _split_top_level(args)
+            want_arity = 2 if fname == "qdigest_agg_w" else 1
+            if len(arg_list) != want_arity:
                 return None
             if needs_rank_salt:
+                # salt on the VALUE argument (first) — weighted builds
+                # carry the weight in arg 2, which must not perturb the
+                # deterministic salt the oracle replays
                 salts.append(
-                    f"pmod(CAST(floor({args}) AS BIGINT),"
+                    f"pmod(CAST(floor({arg_list[0].strip()}) AS BIGINT),"
                     f" {SKETCH_SALT_BUCKETS})"
                 )
             else:
@@ -1786,6 +1828,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_color_family(sql)
     sql = _rewrite_features(sql)
     sql = _rewrite_sketch_filter(sql)
+    sql = _rewrite_qdigest_weighted(sql)
     sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)

@@ -916,6 +916,77 @@ def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdigest_weighted_oracle() -> str:
+    """Replay the weighted single-level build exactly: sort by value,
+    cumulate the integer weights, pick the K grid points at
+    (k * wtot) // (K - 1) (functions/sql_sketch_aggs.py
+    qdigest_agg_w), then read value_at_quantile's index
+    floor(q * (K - 1) + 0.5)."""
+    import math
+
+    from witdb_spark.operators.qdigest import K_POINTS as KP
+
+    def k(q: float) -> int:
+        return int(math.floor(q * (KP - 1) + 0.5))
+
+    sel = ",\n           ".join(
+        f"(SELECT MIN(v) FROM s WHERE s.flag = t.flag"
+        f" AND cum >= ({k(q)} * t.wtot) // {KP - 1}) AS p{int(q * 100)}"
+        for q in (0.25, 0.5, 0.75)
+    )
+    return f"""
+    WITH r0 AS (
+      SELECT l_returnflag AS flag, l_extendedprice + 0.0e0 AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+    s AS (SELECT flag, v, SUM(w) OVER (PARTITION BY flag ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM r0),
+    t AS (SELECT flag, SUM(w) AS wtot FROM r0 GROUP BY flag)
+    SELECT t.flag,
+           {sel}
+    FROM t
+    """
+
+
+@register(
+    "agg_qdigest_weighted",
+    _qdigest_weighted_oracle(),
+    doc="Weighted qdigest build — qdigest_agg(x, w) (reference "
+    "QuantileDigestAggregationFunction.java's 2-arg overload; Spark "
+    "UDAFs cannot overload by arity, so plans/dialect.py routes the "
+    "spelling to the qdigest_agg_w UDAF). Weights are cumulative "
+    "counts in the grid selection, so the DuckDB oracle replays the "
+    "exact sorted-cumulative-weight point selection and the "
+    "value_at_quantile index rule.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_qdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    # the builds nest inside value_at_quantile, which the two-level
+    # recognizer deliberately bails on — a single weighted build per
+    # group (three groups), the spelling a report writer uses
+    return eng.sql(
+        """
+        SELECT l_returnflag AS flag,
+               value_at_quantile(qdigest_agg(l_extendedprice, l_quantity),
+                                 0.25) AS p25,
+               value_at_quantile(qdigest_agg(l_extendedprice, l_quantity),
+                                 0.5) AS p50,
+               value_at_quantile(qdigest_agg(l_extendedprice, l_quantity),
+                                 0.75) AS p75
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
 def _tdigest_salted_oracle() -> str:
     """Replay the r6 PARTIAL->FINAL t-digest pipeline: per-(flag, salt)
     cosine-grid builds, weighted grid-re-selection merge per flag

@@ -89,6 +89,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q3", "tpcds_sql_q7", "tpcds_sql_q8", "tpcds_sql_q10",
     "tpcds_sql_q13", "tpcds_sql_q15", "tpcds_sql_q18", "tpcds_sql_q94",
     # --- window boundary: everything below leads round 9 ---
+    # (r8-new: weighted qdigest build — registered after the window
+    # filled; hash-verified via the contract emulation in r8)
+    "agg_qdigest_weighted",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
