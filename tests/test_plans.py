@@ -764,6 +764,46 @@ def test_qdigest_weighted_two_level(spark):
         assert abs(got[k] - v) / v < 0.05, (k, got[k], v)
 
 
+def test_tdigest_weighted_two_level(spark):
+    """r8: the ALIASED weighted t-digest build splits PARTIAL->FINAL
+    (plans/dialect.py routes tdigest_agg(x, w) to the tdigest_agg_w
+    UDAF; _SKETCH_BUILD_FORMS salts on the VALUE argument), and the
+    merged digest's median tracks the exact weighted median."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag, tdigest_agg(l_extendedprice, l_quantity)"
+        " AS d FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    assert "merge_tdigest" in plan and "tdigest_agg_w" in plan, plan
+    got = {
+        r["l_returnflag"]: r["m"]
+        for r in eng.sql(
+            "SELECT l_returnflag, tdigest_value_at_quantile("
+            " tdigest_agg(l_extendedprice, l_quantity), 0.5) AS m"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in spark.sql(
+            "SELECT l_returnflag, percentile(l_extendedprice, 0.5,"
+            " CAST(l_quantity AS INT)) AS m"
+            " FROM parquet.`%s/lineitem.parquet`"
+            " GROUP BY l_returnflag" % SF_DIR
+        ).collect()
+    }
+    for k, v in exact.items():
+        assert abs(got[k] - v) / v < 0.05, (k, got[k], v)
+
+
 def test_sketch_split_comment_guard():
     """A '--' line comment in the source bails the two-level rewrite
     (the reassembly is single-line, so appended WHERE/GROUP BY text

@@ -244,14 +244,52 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
         return np.concatenate(([float(n)], pts)).tobytes()
 
     @F.pandas_udf("binary")
+    def tdigest_agg_w(v: pd.Series, w: pd.Series) -> bytes:
+        """Weighted build — reference TDigestAggregationFunction.java's
+        weightedInput(value, weight) overload (weight is DOUBLE there,
+        unlike qdigest's bigint). Slot 0 carries TOTAL WEIGHT, so
+        merge_tdigest combines weighted and unweighted blobs; the K
+        cosine-grid points are selected by cumulative weight with the
+        SAME threshold rule merge_tdigest uses (g_k =
+        floor(q_k*(W-1)+0.5)+1, endpoints pinned to min/max), so a
+        unit-weight build is bit-identical to tdigest_agg. NULL pairs
+        are skipped; nonpositive weights raise (Trino verifyWeight)."""
+        vals = v.to_numpy(dtype="float64")
+        ws = w.to_numpy(dtype="float64")
+        mask = ~(np.isnan(vals) | np.isnan(ws))
+        vals, ws = vals[mask] + 0.0, ws[mask]
+        if len(ws) and (ws <= 0).any():
+            raise ValueError("tdigest_agg: weight must be > 0")
+        order = np.argsort(vals, kind="stable")
+        vals, ws = vals[order], ws[order]
+        if len(vals):
+            cum = np.cumsum(ws)
+            wtot = float(cum[-1])
+            g = np.floor(grid * (wtot - 1) + 0.5) + 1
+            pts = vals[
+                np.searchsorted(cum, g, side="left").clip(
+                    0, len(vals) - 1
+                )
+            ]
+            pts[0] = vals[0]
+            pts[-1] = vals[-1]
+        else:
+            wtot = 0.0
+            pts = np.full(K_CENTROIDS, np.nan)
+        return np.concatenate(([wtot], pts)).tobytes()
+
+    @F.pandas_udf("binary")
     def merge_tdigest(blobs: pd.Series) -> bytes:
-        total = 0
+        total = 0.0
         pools, weights = [], []
         for blob in blobs:
             if blob is None:
                 continue
             arr = np.frombuffer(bytes(blob), dtype="float64")
-            n, pts = int(arr[0]), arr[1:]
+            # slot 0 is a float total (row count for unweighted blobs,
+            # total weight for tdigest_agg_w blobs) — keep it float so
+            # weighted totals survive the merge
+            n, pts = float(arr[0]), arr[1:]
             if n <= 0:
                 continue
             total += n
@@ -312,12 +350,13 @@ def register_tdigest_aggs(spark: SparkSession) -> int:
         return pd.Series(out)
 
     spark.udf.register("tdigest_agg", tdigest_agg)
+    spark.udf.register("tdigest_agg_w", tdigest_agg_w)
     spark.udf.register("merge_tdigest", merge_tdigest)
     spark.udf.register("tdigest_value_at_quantile", tdigest_value_at_quantile)
     spark.udf.register(
         "tdigest_values_at_quantiles", tdigest_values_at_quantiles
     )
-    return 4
+    return 5
 
 
 def register_setdigest_aggs(spark: SparkSession) -> int:

@@ -1284,6 +1284,7 @@ _SKETCH_BUILD_FORMS = {
     "qdigest_agg": ("merge_qdigest", True),
     "qdigest_agg_w": ("merge_qdigest", True),  # weighted (2-arg) build
     "tdigest_agg": ("merge_tdigest", True),
+    "tdigest_agg_w": ("merge_tdigest", True),  # weighted (2-arg) build
     "approx_set": ("merge_hll", False),
     "make_set_digest": ("merge_set_digest", False),
 }
@@ -1369,37 +1370,41 @@ def _rewrite_sketch_filter(sql: str) -> str:
         pos = pos + m.start() + len(repl)
 
 
-def _rewrite_qdigest_weighted(sql: str) -> str:
-    """Trino's qdigest_agg is overloaded by arity (reference
+def _rewrite_weighted_digests(sql: str) -> str:
+    """Trino's digest builds are overloaded by arity (reference
     QuantileDigestAggregationFunction.java: (x), (x, w),
-    (x, w, accuracy)); a registered Spark UDAF is not. Route the
-    2-/3-arg spellings to the qdigest_agg_w UDAF, dropping the
-    accuracy argument — this engine's digest keeps a fixed K-point
+    (x, w, accuracy); TDigestAggregationFunction.java: (x), (x, w));
+    a registered Spark UDAF is not. Route the multi-arg spellings to
+    the qdigest_agg_w / tdigest_agg_w UDAFs, dropping qdigest's
+    accuracy argument — this engine's digests keep a fixed K-point
     grid, so accuracy is a no-op hint (the same liberty the reference
     takes when accuracy exceeds its default). Runs AFTER the FILTER
     fold (so folded builds rewrite too) and BEFORE the two-level
-    split (which recognizes qdigest_agg_w)."""
-    pos = 0
-    while True:
-        sub = sql[pos:]
-        m = _first_code_match(r"\bqdigest_agg\s*\(", sub)
-        if m is None:
-            return sql
-        open_idx = pos + m.start() + sub[m.start():].index("(")
-        close_idx = _match_paren(sql, open_idx)
-        args = _split_top_level(sql[open_idx + 1 : close_idx])
-        if len(args) not in (2, 3):
-            pos = close_idx + 1
-            continue
-        repl = (
-            "qdigest_agg_w("
-            + args[0].strip()
-            + ", "
-            + args[1].strip()
-            + ")"
-        )
-        sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
-        pos = pos + m.start() + len(repl)
+    split (which recognizes the _w forms)."""
+    for base, arities in (("qdigest_agg", (2, 3)), ("tdigest_agg", (2,))):
+        pos = 0
+        while True:
+            sub = sql[pos:]
+            m = _first_code_match(r"\b%s\s*\(" % base, sub)
+            if m is None:
+                break
+            open_idx = pos + m.start() + sub[m.start():].index("(")
+            close_idx = _match_paren(sql, open_idx)
+            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            if len(args) not in arities:
+                pos = close_idx + 1
+                continue
+            repl = (
+                base
+                + "_w("
+                + args[0].strip()
+                + ", "
+                + args[1].strip()
+                + ")"
+            )
+            sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
+            pos = pos + m.start() + len(repl)
+    return sql
 
 
 def _rewrite_sketch_two_level(sql: str) -> str:
@@ -1427,7 +1432,7 @@ def _rewrite_sketch_two_level(sql: str) -> str:
     trade the reference takes for every PARTIAL->FINAL digest), with the
     salt deterministic so oracles can replay the exact partition."""
     pat = (
-        r"\b(qdigest_agg_w|qdigest_agg|tdigest_agg|approx_set"
+        r"\b(qdigest_agg_w|qdigest_agg|tdigest_agg_w|tdigest_agg|approx_set"
         r"|make_set_digest)\s*\("
     )
 
@@ -1610,7 +1615,7 @@ def _sketch_block_two_level(block: str) -> str | None:
         if fname in _SKETCH_BUILD_FORMS:
             merge_name, needs_rank_salt = _SKETCH_BUILD_FORMS[fname]
             arg_list = _split_top_level(args)
-            want_arity = 2 if fname == "qdigest_agg_w" else 1
+            want_arity = 2 if fname in ("qdigest_agg_w", "tdigest_agg_w") else 1
             if len(arg_list) != want_arity:
                 return None
             if needs_rank_salt:
@@ -1828,7 +1833,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_color_family(sql)
     sql = _rewrite_features(sql)
     sql = _rewrite_sketch_filter(sql)
-    sql = _rewrite_qdigest_weighted(sql)
+    sql = _rewrite_weighted_digests(sql)
     sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)

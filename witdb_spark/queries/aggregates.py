@@ -987,6 +987,100 @@ def agg_qdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tdigest_weighted_oracle() -> str:
+    """Replay the weighted single-level t-digest build exactly: sort by
+    value, cumulate the (integer-valued) weights, pick the K cosine-grid
+    points at threshold floor(q_k*(W-1)+0.5)+1 with endpoints pinned to
+    min/max (functions/sql_sketch_aggs.py tdigest_agg_w), then replay
+    the reader's grid-bracket interpolation with injected grid
+    literals."""
+    from witdb_spark.operators.tdigest import (
+        K_CENTROIDS,
+        grid_bracket,
+        scale_grid,
+    )
+
+    grid = scale_grid(K_CENTROIDS)
+    vals = ", ".join(f"({k}, {q!r})" for k, q in enumerate(grid))
+    last = K_CENTROIDS - 1
+
+    def interp(q: float, alias: str) -> str:
+        lo, hi, w = grid_bracket(q)
+        return (
+            f"(SELECT v FROM pts WHERE pts.flag = t.flag AND k = {lo})"
+            f" + {w!r} * "
+            f"((SELECT v FROM pts WHERE pts.flag = t.flag AND k = {hi})"
+            f" - (SELECT v FROM pts WHERE pts.flag = t.flag AND k = {lo}))"
+            f" AS {alias}"
+        )
+
+    return f"""
+    WITH grid(k, q) AS (VALUES {vals}),
+    r0 AS (
+      SELECT l_returnflag AS flag, l_extendedprice + 0.0e0 AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+    s AS (SELECT flag, v, SUM(w) OVER (PARTITION BY flag ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM r0),
+    t AS (SELECT flag, SUM(w) AS wtot FROM r0 GROUP BY flag),
+    mm AS (SELECT flag, MIN(v) AS mn, MAX(v) AS mx FROM r0 GROUP BY flag),
+    pts AS (SELECT t.flag, g.k,
+              CASE WHEN g.k = 0
+                     THEN (SELECT mn FROM mm WHERE mm.flag = t.flag)
+                   WHEN g.k = {last}
+                     THEN (SELECT mx FROM mm WHERE mm.flag = t.flag)
+                   ELSE (SELECT MIN(v) FROM s WHERE s.flag = t.flag
+                         AND cum >= floor(g.q * (CAST(t.wtot AS DOUBLE) - 1)
+                                          + 0.5) + 1)
+              END AS v
+            FROM t CROSS JOIN grid g)
+    SELECT t.flag,
+           {interp(0.5, "p50")},
+           {interp(0.9, "p90")},
+           {interp(0.99, "p99")}
+    FROM t
+    """
+
+
+@register(
+    "agg_tdigest_weighted",
+    _tdigest_weighted_oracle(),
+    doc="Weighted t-digest build — tdigest_agg(x, w) (reference "
+    "TDigestAggregationFunction.java's weightedInput overload; Spark "
+    "UDAFs cannot overload by arity, so plans/dialect.py routes the "
+    "spelling to the tdigest_agg_w UDAF). Points are selected by "
+    "cumulative weight on the cosine grid with the same threshold "
+    "rule merge_tdigest uses, so the DuckDB oracle replays the exact "
+    "selection and the reader's grid-bracket interpolation.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_tdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    # the builds nest inside tdigest_value_at_quantile, which the
+    # two-level recognizer deliberately bails on — a single weighted
+    # build per group (three groups), the spelling a report writer uses
+    return eng.sql(
+        """
+        SELECT l_returnflag AS flag,
+               tdigest_value_at_quantile(
+                 tdigest_agg(l_extendedprice, l_quantity), 0.5) AS p50,
+               tdigest_value_at_quantile(
+                 tdigest_agg(l_extendedprice, l_quantity), 0.9) AS p90,
+               tdigest_value_at_quantile(
+                 tdigest_agg(l_extendedprice, l_quantity), 0.99) AS p99
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
 def _tdigest_salted_oracle() -> str:
     """Replay the r6 PARTIAL->FINAL t-digest pipeline: per-(flag, salt)
     cosine-grid builds, weighted grid-re-selection merge per flag
