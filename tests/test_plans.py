@@ -804,6 +804,75 @@ def test_tdigest_weighted_two_level(spark):
         assert abs(got[k] - v) / v < 0.05, (k, got[k], v)
 
 
+def test_generic_merge_rewrite():
+    """Type-overloaded merge(sketch) resolves from the producing
+    build's alias at transpile time (plans/dialect.py::
+    _rewrite_generic_merge); untraceable or ambiguous arguments raise
+    with the type-suffixed remedy; MERGE INTO statements and string
+    literals are untouched. Pure-rewrite test, no Spark session."""
+    import pytest
+
+    from witdb_spark.plans.dialect import (
+        UnsupportedTrinoSyntax,
+        _rewrite_generic_merge,
+    )
+
+    got = _rewrite_generic_merge(
+        "SELECT value_at_quantile(merge(d), 0.5) FROM"
+        " (SELECT qdigest_agg(v) AS d FROM t GROUP BY g) x"
+    )
+    assert "merge_qdigest(d)" in got and "merge(d)" not in got
+    # chained merges resolve through the fixpoint loop
+    got = _rewrite_generic_merge(
+        "SELECT merge(m) FROM (SELECT merge(d) AS m FROM"
+        " (SELECT tdigest_agg(v) AS d FROM t GROUP BY g) a GROUP BY h) b"
+    )
+    assert got.count("merge_tdigest(") == 2
+    # qualified references; hll + setdigest forms
+    got = _rewrite_generic_merge(
+        "SELECT hll_cardinality(merge(p.h)) AS c, merge(p.sd) AS s FROM"
+        " (SELECT approx_set(k) AS h, make_set_digest(k) AS sd FROM t) p"
+    )
+    assert "merge_hll(p.h)" in got and "merge_set_digest(p.sd)" in got
+    # a blob column with no visible producer cannot be typed
+    with pytest.raises(UnsupportedTrinoSyntax, match="merge_qdigest"):
+        _rewrite_generic_merge("SELECT merge(blob_col) FROM stored")
+    # one alias fed by two sketch types is ambiguous
+    with pytest.raises(UnsupportedTrinoSyntax):
+        _rewrite_generic_merge(
+            "SELECT merge(d) FROM (SELECT qdigest_agg(v) AS d FROM a"
+            " UNION ALL SELECT tdigest_agg(v) AS d FROM b) u"
+        )
+    # MERGE INTO and string literals are not merge(sketch) calls
+    stmt = (
+        "MERGE INTO t USING s ON t.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert _rewrite_generic_merge(stmt) == stmt
+    lit = "SELECT 'call merge(x) here' AS note FROM t"
+    assert _rewrite_generic_merge(lit) == lit
+
+
+def test_generic_merge_end_to_end(spark):
+    """merge() over an HLL built by approx_set matches the exact
+    distinct count within HLL tolerance, through Engine.sql."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    got = eng.sql(
+        "SELECT hll_cardinality(merge(h)) AS c FROM"
+        " (SELECT l_returnflag, approx_set(l_orderkey) AS h"
+        "  FROM lineitem GROUP BY l_returnflag) per_flag"
+    ).collect()[0]["c"]
+    exact = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert abs(got - exact) / exact < 0.1, (got, exact)
+
+
 def test_sketch_split_comment_guard():
     """A '--' line comment in the source bails the two-level rewrite
     (the reassembly is single-line, so appended WHERE/GROUP BY text

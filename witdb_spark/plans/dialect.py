@@ -1190,6 +1190,16 @@ def _first_code_match(pattern: str, sql: str, flags=re.I):
     return None
 
 
+def _first_code_iter(pattern: str, sql: str, flags=re.I):
+    """All regex matches whose start lies outside string literals (the
+    read-only sibling of _first_code_match — only valid while sql is
+    not being mutated between yields)."""
+    instr = _scan_maps(sql)[1]
+    for m in re.finditer(pattern, sql, flags):
+        if not instr[m.start()]:
+            yield m
+
+
 def _rewrite_agg_calls(sql: str) -> str:
     """Aggregate names whose Spark forms wrap an aggregate in scalar
     functions (SQL macros cannot contain aggregates, so these are
@@ -1404,6 +1414,106 @@ def _rewrite_weighted_digests(sql: str) -> str:
             )
             sql = sql[: pos + m.start()] + repl + sql[close_idx + 1 :]
             pos = pos + m.start() + len(repl)
+    return sql
+
+
+#: sketch-producing call -> the type-suffixed merge aggregate for its
+#: wire format. Merges map to themselves so chained ``merge(merge(..))``
+#: spellings resolve through the fixpoint loop below.
+_SKETCH_MERGE_FOR = {
+    "qdigest_agg": "merge_qdigest",
+    "qdigest_agg_w": "merge_qdigest",
+    "tdigest_agg": "merge_tdigest",
+    "tdigest_agg_w": "merge_tdigest",
+    "approx_set": "merge_hll",
+    "make_set_digest": "merge_set_digest",
+    "merge_qdigest": "merge_qdigest",
+    "merge_tdigest": "merge_tdigest",
+    "merge_hll": "merge_hll",
+    "merge_set_digest": "merge_set_digest",
+}
+
+
+def _rewrite_generic_merge(sql: str) -> str:
+    """Resolve Trino's type-overloaded ``merge(sketch)`` aggregate
+    (reference MergeQuantileDigestFunction.java /
+    MergeTDigestAggregation.java / MergeHyperLogLogAggregation.java /
+    setdigest MergeSetDigestAggregation — all @AggregationFunction
+    "merge", dispatched on the argument's TYPE at plan time) to this
+    engine's type-suffixed merge UDAFs. SQL text carries no types, but
+    the usual spelling merges a column a visible sketch build produced
+    — so infer the type from ``<producer>(...) AS alias`` occurrences
+    in the same statement and rewrite ``merge(alias)`` accordingly,
+    iterating to a fixpoint so chained merges resolve. A merge whose
+    argument cannot be traced to a producer (e.g. a blob column read
+    from storage) raises with the type-suffixed names as the remedy —
+    strictly clearer than Spark's unresolved-function error."""
+    ident = r"[A-Za-z_]\w*"
+    for _ in range(8):
+        if _first_code_match(r"\bmerge\s*\(", sql) is None:
+            return sql
+        # alias -> merge name, from every visible producer call
+        amap: dict[str, str | None] = {}
+        for m in _first_code_iter(
+            r"\b(%s)\s*\("
+            % "|".join(sorted(_SKETCH_MERGE_FOR, key=len, reverse=True)),
+            sql,
+        ):
+            open_idx = m.start() + sql[m.start():].index("(")
+            try:
+                close_idx = _match_paren(sql, open_idx)
+            except Exception:
+                continue
+            am = re.match(
+                r"\s+AS\s+(%s)" % ident, sql[close_idx + 1 :], re.I
+            )
+            if am is None:
+                continue
+            alias = am.group(1).lower()
+            target = _SKETCH_MERGE_FOR[m.group(1).lower()]
+            # two producers of different types under one alias name ->
+            # ambiguous; poison the alias so resolution raises
+            if amap.get(alias, target) != target:
+                target = None
+            amap[alias] = target
+        progressed = False
+        pos = 0
+        while True:
+            sub = sql[pos:]
+            m = _first_code_match(r"\bmerge\s*\(", sub)
+            if m is None:
+                break
+            open_idx = pos + m.start() + sub[m.start():].index("(")
+            close_idx = _match_paren(sql, open_idx)
+            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            arg = args[0].strip() if len(args) == 1 else ""
+            key = arg.split(".")[-1].lower()
+            target = (
+                amap.get(key)
+                if re.fullmatch(r"%s(\.%s)*" % (ident, ident), arg)
+                else None
+            )
+            if target is None:
+                pos = close_idx + 1
+                continue
+            sql = (
+                sql[: pos + m.start()]
+                + target
+                + sql[open_idx:]
+            )
+            progressed = True
+            pos = pos + m.start() + len(target) + (close_idx - open_idx) + 1
+        if not progressed:
+            break
+    if _first_code_match(r"\bmerge\s*\(", sql) is not None:
+        raise UnsupportedTrinoSyntax(
+            "merge(sketch) dispatches on the argument's type, which this"
+            " SQL front door can only infer from a sketch build visible"
+            " in the same statement (e.g. qdigest_agg(x) AS d ..."
+            " merge(d)); for sketch blobs read from storage use the"
+            " type-suffixed names merge_qdigest / merge_tdigest /"
+            " merge_hll / merge_set_digest"
+        )
     return sql
 
 
@@ -1834,6 +1944,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_features(sql)
     sql = _rewrite_sketch_filter(sql)
     sql = _rewrite_weighted_digests(sql)
+    sql = _rewrite_generic_merge(sql)
     sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)

@@ -916,6 +916,38 @@ def agg_qdigest_sql_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_merge_generic",
+    _qdigest_salted_oracle(),
+    doc="Trino's type-overloaded merge(sketch) aggregate (reference "
+    "MergeQuantileDigestFunction.java and siblings, all "
+    "@AggregationFunction(\"merge\") dispatched on argument type). "
+    "SQL text carries no types, so plans/dialect.py::"
+    "_rewrite_generic_merge infers the sketch type from the producing "
+    "build's alias in the same statement and resolves to the "
+    "type-suffixed merge UDAF at transpile time — the same plan-time "
+    "resolution the reference does. Identical pipeline to "
+    "agg_qdigest_sql_names, so it shares that oracle.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_merge_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT value_at_quantile(d, 0.25) AS p25,
+               value_at_quantile(d, 0.5)  AS p50,
+               value_at_quantile(d, 0.75) AS p75
+        FROM (
+          SELECT merge(d) AS d
+          FROM (SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d
+                FROM lineitem GROUP BY l_returnflag) AS per_flag
+        ) AS merged
+        """
+    )
+
+
 def _qdigest_weighted_oracle() -> str:
     """Replay the weighted single-level build exactly: sort by value,
     cumulate the integer weights, pick the K grid points at

@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_qdigest_weighted",
     # (r8-new: weighted t-digest build — same treatment)
     "agg_tdigest_weighted",
+    # (r8-new: type-overloaded merge(sketch) resolved at transpile time)
+    "agg_merge_generic",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
