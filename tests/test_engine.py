@@ -146,6 +146,43 @@ def test_transpile_bracket_edges(sql, expected):
     assert transpile(sql) == expected
 
 
+def test_table_ptf_spellings(engine):
+    """FROM TABLE(sequence(..)) / TABLE(exclude_columns(..)) — the SQL
+    spelling of the polymorphic table functions (reference SPI
+    ConnectorTableFunction; plans/dialect.py::rewrite_table_ptfs)."""
+    import pytest
+
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+
+    # positional + named arguments; inclusive stop; negative step
+    rows = engine.sql("SELECT * FROM TABLE(sequence(1, 5))").collect()
+    assert [r.sequential_number for r in rows] == [1, 2, 3, 4, 5]
+    rows = engine.sql(
+        "SELECT * FROM TABLE(sequence(start => 5, stop => 1, step => -2))"
+    ).collect()
+    assert [r.sequential_number for r in rows] == [5, 3, 1]
+    # exclude_columns over a registered view and over a subquery input
+    df = engine.sql(
+        "SELECT * FROM TABLE(exclude_columns(input => TABLE(nation),"
+        " columns => DESCRIPTOR(n_regionkey)))"
+    )
+    assert "n_regionkey" not in df.columns and "n_name" in df.columns
+    df = engine.sql(
+        "SELECT * FROM TABLE(exclude_columns("
+        "TABLE(SELECT n_nationkey, n_name FROM nation),"
+        " DESCRIPTOR(n_name)))"
+    )
+    assert df.columns == ["n_nationkey"]
+    # unknown PTF / bad column raise with a remedy, not a Spark error
+    with pytest.raises(UnsupportedTrinoSyntax, match="sequence"):
+        engine.sql("SELECT * FROM TABLE(flatten(x))")
+    with pytest.raises(UnsupportedTrinoSyntax, match="no such column"):
+        engine.sql(
+            "SELECT * FROM TABLE(exclude_columns(TABLE(nation),"
+            " DESCRIPTOR(nope)))"
+        )
+
+
 def test_unnest_rewrites(engine):
     rows = engine.sql(
         "SELECT w FROM (SELECT split('a b', ' ') AS arr) s "

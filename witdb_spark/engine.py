@@ -406,6 +406,18 @@ class Engine:
 
             if has_pattern_window(text):
                 text = rewrite_pattern_windows(self.spark, text)
+        if re.search(r"\bTABLE\s*\(", text, flags=re.I):
+            from witdb_spark.plans.dialect import rewrite_table_ptfs
+
+            # schema probe for exclude_columns: LIMIT-0 against this
+            # engine's registered views (the analog of the reference
+            # analyzer asking the PTF for its returned-type descriptor)
+            text = rewrite_table_ptfs(
+                text,
+                schema_of=lambda q: self.spark.sql(
+                    transpile(f"SELECT * FROM {q} WHERE 1=0")
+                ).columns,
+            )
         spark_sql = transpile(text)
         if not named_params and self._prop_enabled(
             "spark.witdb.materializeRepeatedCtes"

@@ -453,6 +453,26 @@ def _split_top_level(text: str) -> list[str]:
     return parts
 
 
+def _split_call_args(text: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0, string-aware — like
+    _split_top_level but WITHOUT treating < > as brackets, for argument
+    lists that may contain `name => value` (the named-argument arrow
+    would unbalance an angle-bracket depth count)."""
+    parts, depth, start = [], 0, 0
+    for i, c, in_str in _in_string_scan(text):
+        if in_str:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+
 def trino_type_to_spark(t: str) -> str:
     """Translate a Trino type string (SqlBase.g4 `type` rule) to Spark DDL.
 
@@ -1911,6 +1931,133 @@ def _rewrite_tablesample(sql: str) -> str:
         sql,
         flags=re.I,
     )
+
+
+def rewrite_table_ptfs(sql: str, schema_of=None) -> str:
+    """The SQL-text spelling of the polymorphic table functions
+    (reference SPI ConnectorTableFunction; built-ins `sequence` and
+    `exclude_columns`, invoked as ``FROM TABLE(fn(...))`` — SURVEY.md
+    §2.8; operator forms in operators/table_functions.py):
+
+      TABLE(sequence(start => a, stop => b[, step => c]))
+        -> (SELECT id AS sequential_number FROM range(a, b±1, c))
+           (inclusive stop, like the reference; Spark's range TVF is a
+           parallel partitioned source, so no driver materialization)
+      TABLE(exclude_columns(input => TABLE(t), columns => DESCRIPTOR(..)))
+        -> (SELECT <remaining columns> FROM t)
+
+    exclude_columns needs the input's column list, which SQL text does
+    not carry — the engine passes ``schema_of`` (a LIMIT-0 probe
+    against its own registered views) to resolve it, mirroring how the
+    reference's analyzer asks the PTF for its returned-type descriptor
+    at analysis time. Positional and named (=>)" arguments both work;
+    any other TABLE(fn(...)) raises with the supported names."""
+    ident = r"[A-Za-z_]\w*"
+    guard = 0
+    while guard < 50:
+        guard += 1
+        m = _first_code_match(r"\bTABLE\s*\(", sql)
+        if m is None:
+            return sql
+        open_idx = m.start() + sql[m.start():].index("(")
+        close_idx = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx].strip()
+        fm = re.match(r"(?is)^(%s)\s*\(" % ident, inner)
+        if fm is None or fm.group(1).lower() not in (
+            "sequence",
+            "exclude_columns",
+        ):
+            raise UnsupportedTrinoSyntax(
+                "TABLE(...) supports the built-in table functions"
+                " sequence(start, stop[, step]) and"
+                " exclude_columns(input, columns); got: "
+                + inner[:80]
+            )
+        f_open = inner.index("(", fm.start(1))
+        f_close = _match_paren(inner, f_open)
+        raw_args = _split_call_args(inner[f_open + 1 : f_close])
+        named: dict[str, str] = {}
+        positional: list[str] = []
+        for a in raw_args:
+            nm = re.match(r"(?is)^\s*(%s)\s*=>\s*(.*)$" % ident, a)
+            if nm:
+                named[nm.group(1).lower()] = nm.group(2).strip()
+            else:
+                positional.append(a.strip())
+        if fm.group(1).lower() == "sequence":
+            order = ("start", "stop", "step")
+            for name, val in zip(order, positional):
+                named.setdefault(name, val)
+            if "start" not in named or "stop" not in named:
+                raise UnsupportedTrinoSyntax(
+                    "sequence table function needs start and stop"
+                )
+            start = named["start"]
+            stop = named["stop"]
+            step = named.get("step", "1")
+            lit = re.fullmatch(r"-?\d+", step.strip())
+            if lit:
+                end = f"({stop}) + {1 if int(step) > 0 else -1}"
+            else:
+                end = (
+                    f"({stop}) + (CASE WHEN ({step}) > 0"
+                    f" THEN 1 ELSE -1 END)"
+                )
+            repl = (
+                f"(SELECT id AS sequential_number FROM"
+                f" range(({start}), {end}, ({step})))"
+            )
+        else:
+            order = ("input", "columns")
+            for name, val in zip(order, positional):
+                named.setdefault(name, val)
+            if "input" not in named or "columns" not in named:
+                raise UnsupportedTrinoSyntax(
+                    "exclude_columns needs input and columns"
+                )
+            src = named["input"].strip()
+            tm = re.match(r"(?is)^TABLE\s*\(", src)
+            if tm:
+                src = src[src.index("(") + 1 : _match_paren(
+                    src, src.index("(")
+                )].strip()
+            dm = re.match(r"(?is)^DESCRIPTOR\s*\(", named["columns"])
+            if dm is None:
+                raise UnsupportedTrinoSyntax(
+                    "exclude_columns columns must be a DESCRIPTOR(...)"
+                )
+            c_open = named["columns"].index("(")
+            c_close = _match_paren(named["columns"], c_open)
+            drop = {
+                c.strip().split()[0].strip('"').lower()
+                for c in _split_call_args(
+                    named["columns"][c_open + 1 : c_close]
+                )
+            }
+            if schema_of is None:
+                raise UnsupportedTrinoSyntax(
+                    "exclude_columns needs schema resolution; run it"
+                    " through Engine.sql"
+                )
+            src_sql = (
+                src if re.fullmatch(ident, src) else f"({src}) __xc_probe"
+            )
+            cols = list(schema_of(src_sql))
+            missing = drop - {c.lower() for c in cols}
+            if missing:
+                raise UnsupportedTrinoSyntax(
+                    "exclude_columns: no such column(s): "
+                    + ", ".join(sorted(missing))
+                )
+            keep = [c for c in cols if c.lower() not in drop]
+            if not keep:
+                raise UnsupportedTrinoSyntax(
+                    "exclude_columns would drop every column"
+                )
+            body = src if re.fullmatch(ident, src) else f"({src}) __xc"
+            repl = f"(SELECT {', '.join(keep)} FROM {body})"
+        sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
+    return sql
 
 
 def transpile(sql: str) -> str:

@@ -663,6 +663,42 @@ def ptf_sequence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ptf_sql_table_spelling",
+    """
+    SELECT s.range AS n, x.n_name
+    FROM range(0, 25, 2) s
+    JOIN (SELECT n_nationkey, n_name FROM nation) x
+      ON x.n_nationkey = s.range
+    ORDER BY n
+    """,
+    doc="The SQL-text spelling of the polymorphic table functions — "
+    "FROM TABLE(sequence(start => .., stop => .., step => ..)) and "
+    "TABLE(exclude_columns(input => TABLE(t), columns => "
+    "DESCRIPTOR(..))) — through Engine.sql (reference SPI "
+    "ConnectorTableFunction; plans/dialect.py::rewrite_table_ptfs: "
+    "sequence lowers to Spark's parallel range TVF with inclusive "
+    "stop, exclude_columns resolves the remaining columns via a "
+    "LIMIT-0 schema probe, the analog of the reference analyzer "
+    "asking the PTF for its returned-type descriptor).",
+    tags=("ptf", "dialect", "join"),
+)
+def ptf_sql_table_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT t.sequential_number AS n, x.n_name
+        FROM TABLE(sequence(start => 0, stop => 24, step => 2)) t
+        JOIN TABLE(exclude_columns(input => TABLE(nation),
+                                   columns => DESCRIPTOR(n_regionkey))) x
+          ON x.n_nationkey = t.sequential_number
+        ORDER BY n
+        """
+    )
+
+
+@register(
     "sessionize_events",
     f"""
     {EVENTS_NS},

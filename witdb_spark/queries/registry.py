@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_tdigest_weighted",
     # (r8-new: type-overloaded merge(sketch) resolved at transpile time)
     "agg_merge_generic",
+    # (r8-new: TABLE(sequence/exclude_columns) SQL spelling)
+    "ptf_sql_table_spelling",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
