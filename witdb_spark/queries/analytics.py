@@ -1308,6 +1308,114 @@ def delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_delta_fixture(sf_dir: str) -> str:
+    """Author a small Delta table from the region parquet using the
+    PUBLIC log protocol (github.com/delta-io/delta PROTOCOL.md): two
+    data files in commit 0, then commit 1 compacts one away (remove +
+    re-add of identical rows) — so a correct snapshot equals region
+    exactly and a reader that misses the remove double-counts."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ids = src.column("r_regionkey").to_pylist()
+    names = src.column("r_name").to_pylist()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_fixture_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def wf(name, lo, hi):
+        tbl = pa.table(
+            {
+                "r_regionkey": pa.array(
+                    [int(i) for i in ids[lo:hi]], pa.int64()
+                ),
+                "r_name": pa.array(names[lo:hi], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(root, name))
+        return os.path.getsize(os.path.join(root, name))
+
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "r_regionkey", "type": "long",
+                 "nullable": True, "metadata": {}},
+                {"name": "r_name", "type": "string",
+                 "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def add(path, size):
+        return {
+            "add": {
+                "path": path, "partitionValues": {}, "size": size,
+                "modificationTime": 1700000000000, "dataChange": True,
+            }
+        }
+
+    k = max(1, len(ids) // 2)
+    s1, s2 = wf("f1.parquet", 0, k), wf("f2.parquet", k, len(ids))
+    actions0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "witdb-delta-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        add("f1.parquet", s1),
+        add("f2.parquet", s2),
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions0) + "\n")
+    s3 = wf("f3.parquet", 0, k)
+    actions1 = [
+        {"remove": {"path": "f1.parquet", "dataChange": False}},
+        add("f3.parquet", s3),
+    ]
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions1) + "\n")
+    return root
+
+
+@register(
+    "delta_log_reader_snapshot",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+    doc="The no-jar Delta Lake read path (sources/delta_log.py): the "
+    "reference's delta connector (plugin/trino-delta-lake "
+    "TransactionLogAccess.java) implements the PUBLIC transaction-log "
+    "protocol itself rather than linking Delta, and so does this "
+    "engine. The query authors a two-commit Delta table from region "
+    "(commit 1 compacts a file: remove + re-add of identical rows), "
+    "folds the log into the active add-file set, and scans the "
+    "surviving files as distributed parquet — a reader that missed "
+    "the remove action would double-count and hash-mismatch.",
+    tags=("source", "lakehouse"),
+)
+def delta_log_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.delta_log import read_delta_snapshot
+
+    return read_delta_snapshot(spark, _build_delta_fixture(sf_dir))
+
+
+
 @register(
     "ctas_writer_roundtrip",
     """

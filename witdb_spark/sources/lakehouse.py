@@ -12,13 +12,20 @@ instead of a Java stack. The table-level semantics (snapshot isolation,
 time travel, schema evolution) come from the connector itself, matching
 the reference's metadata handling in the corresponding plugin.
 
-Recorded re-scope (r4): none of the connector jars can be added to this
-deployment (no network, no pip/maven; `import delta` fails and the probe
-classes are absent from the JVM), so connector BEHAVIOR (Delta MERGE,
-time travel, snapshot reads) remains exercised only through the gated
-surface + remedy-message tests in tests/test_sources.py. On a deployment
+Recorded re-scope (r4, narrowed r8): none of the connector jars can be
+added to this deployment (no network, no pip/maven; `import delta` fails
+and the probe classes are absent from the JVM). r8 closes the Delta READ
+path anyway: sources/delta_log.py implements the public transaction-log
+protocol directly — the same architecture as the reference, whose delta
+connector (plugin/trino-delta-lake TransactionLogAccess.java) reads the
+log itself rather than linking Delta — so path-based Delta snapshot
+reads and time travel work jar-free (read_table falls back to it below;
+tested against hand-authored protocol fixtures in tests/test_sources.py,
+oracled by `delta_log_reader_snapshot`). Delta WRITES and the
+iceberg/hudi/kafka paths remain gated surface + remedy (iceberg/hudi
+manifests are avro, which this deployment cannot read). On a deployment
 with jars present, read_table/write_table and sources/merge.py MERGE run
-unchanged — the gap is the sandbox's, not the code path's.
+through the DSv2 connector unchanged.
 """
 
 from __future__ import annotations
@@ -72,12 +79,44 @@ def read_table(
     generation maps to the connector's own DSv2 scan planning, including
     data skipping from table metadata — the same statistics pruning the
     reference does with its checkpoint/manifest readers)."""
-    _require(spark, fmt)
     # Route on target shape, not format: a filesystem path loads through the
     # requested DSv2 format (path-based iceberg/delta/hudi all work), while a
     # catalog identifier resolves via spark.table() — reader options don't
     # apply on the catalog route (the table's catalog decides its provider).
     is_path = "/" in path_or_table or path_or_table.startswith(".")
+    if (
+        fmt == "delta"
+        and is_path
+        and not connector_available(spark, "delta")
+    ):
+        # no-jar read path: this repo's own transaction-log reader —
+        # the same architecture as the reference, whose delta connector
+        # (plugin/trino-delta-lake TransactionLogAccess.java) implements
+        # the public log protocol itself instead of linking Delta.
+        # DSv2 time-travel options map onto the snapshot arguments.
+        from witdb_spark.sources.delta_log import read_delta_snapshot
+
+        version = options.pop("versionAsOf", None)
+        ts = options.pop("timestampAsOf", None)
+        if options:
+            raise ValueError(
+                "unsupported delta reader options without the jar: "
+                + ", ".join(sorted(options))
+            )
+        ts_ms = None
+        if ts is not None:
+            import datetime as _dt
+
+            ts_ms = int(
+                _dt.datetime.fromisoformat(str(ts)).timestamp() * 1000
+            )
+        return read_delta_snapshot(
+            spark,
+            path_or_table,
+            version=None if version is None else int(version),
+            timestamp_ms=ts_ms,
+        )
+    _require(spark, fmt)
     if not is_path:
         return spark.table(path_or_table)
     reader = spark.read.format(fmt)
