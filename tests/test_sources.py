@@ -207,8 +207,9 @@ def test_jdbc_pushdown_subquery(spark, nation, tmp_path):
 
 
 def test_avro_gated_without_module(spark, nation, tmp_path):
-    """The spark-avro module is not in this container; the format must be
-    listed but fail with the remedy message, not a Java stack."""
+    """The spark-avro module is not in this container; WRITES must fail
+    with the remedy message, while READS fall back to the pure-Python
+    codec (sources/avro_codec.py) and stay distributed."""
     from witdb_spark.sources.io import FORMATS, _has_avro_module
 
     assert "avro" in FORMATS
@@ -221,21 +222,82 @@ def test_avro_gated_without_module(spark, nation, tmp_path):
             write_table(nation, str(tmp_path / "x"), fmt="avro")
 
 
+def test_avro_jar_free_read(spark, tmp_path):
+    """read_any(fmt='avro') without spark-avro: the pure-Python codec
+    decodes container files on executors — types (incl. date /
+    timestamp-micros / decimal / nested record / array / map / union
+    null) surface as proper Spark columns."""
+    import datetime
+    from decimal import Decimal
+
+    from witdb_spark.sources.avro_codec import write_avro_file
+
+    schema = {
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "geo", "type": {"type": "record", "name": "Geo",
+                                     "fields": [
+                                         {"name": "lat", "type": "double"},
+                                         {"name": "lon", "type": "double"},
+                                     ]}},
+        ],
+    }
+    d = tmp_path / "avro_tbl"
+    d.mkdir()
+    write_avro_file(
+        str(d / "part-0.avro"), schema,
+        [{"id": 1, "name": "a", "score": 0.5, "d": 19723,
+          "ts": 1700000000000000, "amt": (12345).to_bytes(3, "big"),
+          "tags": ["x"], "geo": {"lat": 1.0, "lon": 2.0}}],
+    )
+    write_avro_file(
+        str(d / "part-1.avro"), schema,
+        [{"id": 2, "name": None, "score": -1.5, "d": 0, "ts": 0,
+          "amt": (-5).to_bytes(1, "big", signed=True), "tags": [],
+          "geo": {"lat": -1.0, "lon": -2.0}}],
+    )
+    df = read_any(spark, str(d), "avro")
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].name == "a" and rows[2].name is None
+    assert rows[1].d == datetime.date(2024, 1, 1)
+    assert rows[1].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+    assert rows[1].amt == Decimal("123.45")
+    assert rows[2].amt == Decimal("-0.05")
+    assert rows[1].geo.lat == 1.0 and rows[1].tags == ["x"]
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    # aggregate through the fallback — the scan is a real DataFrame
+    assert df.agg(F.sum("id")).collect()[0][0] == 3
+
+
 def test_lakehouse_connectors_gated(spark):
     """Delta/iceberg/hudi/kafka are configuration in Spark; absent jars
     must fail with the --packages remedy (reference plugin/ analogs)."""
     from witdb_spark.sources import connector_available, read_table
     from witdb_spark.sources.lakehouse import read_kafka_batch
 
-    for fmt in ("iceberg", "hudi"):
-        if not connector_available(spark, fmt):
-            with pytest.raises(RuntimeError, match="--packages"):
-                read_table(spark, fmt, "/tmp/nope")
+    if not connector_available(spark, "hudi"):
+        with pytest.raises(RuntimeError, match="--packages"):
+            read_table(spark, "hudi", "/tmp/nope")
     if not connector_available(spark, "delta"):
         # delta path reads fall back to the no-jar protocol reader
         # (sources/delta_log.py); a non-table path fails its log probe
         with pytest.raises(FileNotFoundError, match="_delta_log"):
             read_table(spark, "delta", "/tmp/nope")
+    if not connector_available(spark, "iceberg"):
+        # iceberg path reads fall back to the metadata-chain reader
+        with pytest.raises(FileNotFoundError, match="metadata"):
+            read_table(spark, "iceberg", "/tmp/nope")
     if not connector_available(spark, "kafka"):
         with pytest.raises(RuntimeError, match="--packages"):
             read_kafka_batch(spark, "localhost:9092", "t")
@@ -424,6 +486,138 @@ def test_delta_log_reader_partitions_and_checkpoint(spark, tmp_path):
     )
     df2 = read_delta_snapshot(spark, t)
     assert sorted(r.id for r in df2.collect()) == [1, 2, 3]
+
+
+_ICE_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_ICE_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ],
+        }},
+    ],
+}
+
+
+def _ice_entry(status, path, size, content=0):
+    return {"status": status, "snapshot_id": 7,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": "PARQUET", "record_count": 1,
+                          "file_size_in_bytes": size}}
+
+
+def test_iceberg_metadata_reader(spark, tmp_path):
+    """The jar-free Iceberg read path (sources/iceberg_meta.py +
+    sources/avro_codec.py): metadata.json -> manifest-list avro ->
+    manifest avro -> distributed parquet scan; snapshot and timestamp
+    time travel; loud v2 delete gates."""
+    from witdb_spark.sources.avro_codec import write_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_snapshots,
+        read_iceberg_snapshot,
+    )
+    from witdb_spark.sources.lakehouse import read_table
+
+    t = str(tmp_path / "ice")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    s1 = _delta_write_file(t, "data/f1.parquet", [1, 2], ["a", "b"])
+    s2 = _delta_write_file(t, "data/f2.parquet", [3], ["c"])
+    s3 = _delta_write_file(t, "data/f3.parquet", [4], ["d"])
+
+    # snapshot 100: f1 + f2; snapshot 200: f1 deleted, f3 added
+    m1 = os.path.join(t, "metadata", "m1.avro")
+    write_avro_file(m1, _ICE_MANIFEST_ENTRY_SCHEMA,
+                    [_ice_entry(1, "data/f1.parquet", s1),
+                     _ice_entry(1, "data/f2.parquet", s2)])
+    m2 = os.path.join(t, "metadata", "m2.avro")
+    write_avro_file(m2, _ICE_MANIFEST_ENTRY_SCHEMA,
+                    [_ice_entry(2, "data/f1.parquet", s1),
+                     _ice_entry(0, "data/f2.parquet", s2),
+                     _ice_entry(1, "data/f3.parquet", s3)])
+    ml1 = os.path.join(t, "metadata", "snap-100.avro")
+    ml2 = os.path.join(t, "metadata", "snap-200.avro")
+
+    def mf(p):
+        return {"manifest_path": p, "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 0, "content": 0,
+                "added_snapshot_id": None}
+
+    write_avro_file(ml1, _ICE_MANIFEST_FILE_SCHEMA, [mf(m1)])
+    write_avro_file(ml2, _ICE_MANIFEST_FILE_SCHEMA, [mf(m2)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t",
+        "location": t,
+        "current-snapshot-id": 200,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "name", "type": "string",
+             "required": False},
+        ]}],
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1700000001000,
+             "manifest-list": ml1},
+            {"snapshot-id": 200, "timestamp-ms": 1700000002000,
+             "manifest-list": ml2},
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+
+    latest = read_iceberg_snapshot(spark, t)
+    assert sorted(r.id for r in latest.collect()) == [3, 4]
+    assert latest.columns == ["id", "name"]
+    old = read_iceberg_snapshot(spark, t, snapshot_id=100)
+    assert sorted(r.id for r in old.collect()) == [1, 2, 3]
+    ts = read_iceberg_snapshot(spark, t, timestamp_ms=1700000001500)
+    assert sorted(r.id for r in ts.collect()) == [1, 2, 3]
+    assert [s["snapshot_id"] for s in iceberg_snapshots(t)] == [100, 200]
+    # the lakehouse front door routes here when the jar is absent
+    df = read_table(spark, "iceberg", t, **{"snapshot-id": "100"})
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+    # a DELETE manifest (content=1) gates loudly
+    mld = os.path.join(t, "metadata", "snap-300.avro")
+    dm = dict(mf(m2))
+    dm["content"] = 1
+    write_avro_file(mld, _ICE_MANIFEST_FILE_SCHEMA, [dm])
+    meta["snapshots"].append(
+        {"snapshot-id": 300, "timestamp-ms": 1700000003000,
+         "manifest-list": mld})
+    meta["current-snapshot-id"] = 300
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergProtocolError, match="DELETE manifests"):
+        read_iceberg_snapshot(spark, t)
+    # ...but time travel to a pre-delete snapshot still reads
+    assert sorted(
+        r.id for r in read_iceberg_snapshot(spark, t, snapshot_id=200)
+        .collect()
+    ) == [3, 4]
 
 
 def test_delta_log_reader_protocol_gates(spark, tmp_path):

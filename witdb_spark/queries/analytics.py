@@ -1416,6 +1416,139 @@ def delta_log_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def _build_iceberg_fixture(sf_dir: str) -> str:
+    """Author a small Iceberg table from the region parquet per the
+    PUBLIC table spec (iceberg.apache.org/spec): snapshot 100 carries
+    two data files; snapshot 200's manifest marks one DELETED and adds
+    a rewrite with identical rows — so a correct current-snapshot read
+    equals region exactly, and a reader that ignores entry status
+    double-counts."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from witdb_spark.sources.avro_codec import write_avro_file
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ids = src.column("r_regionkey").to_pylist()
+    names = src.column("r_name").to_pylist()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_fixture_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def wf(name, lo, hi):
+        full = os.path.join(root, name)
+        pq.write_table(
+            pa.table({
+                "r_regionkey": pa.array(
+                    [int(i) for i in ids[lo:hi]], pa.int64()),
+                "r_name": pa.array(names[lo:hi], pa.string()),
+            }),
+            full,
+        )
+        return os.path.getsize(full)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+
+    def entry(status, path, size):
+        return {"status": status, "snapshot_id": 200,
+                "data_file": {"content": 0, "file_path": path,
+                              "file_format": "PARQUET",
+                              "record_count": 1,
+                              "file_size_in_bytes": size}}
+
+    k = max(1, len(ids) // 2)
+    s1 = wf("data/f1.parquet", 0, k)
+    s2 = wf("data/f2.parquet", k, len(ids))
+    s3 = wf("data/f3.parquet", 0, k)
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    write_avro_file(m2, entry_schema, [
+        entry(2, "data/f1.parquet", s1),
+        entry(0, "data/f2.parquet", s2),
+        entry(1, "data/f3.parquet", s3),
+    ])
+    ml2 = os.path.join(root, "metadata", "snap-200.avro")
+    write_avro_file(ml2, list_schema, [{
+        "manifest_path": m2, "manifest_length": os.path.getsize(m2),
+        "partition_spec_id": 0, "content": 0, "added_snapshot_id": None,
+    }])
+    meta = {
+        "format-version": 2, "table-uuid": "witdb-iceberg-fixture",
+        "location": root, "current-snapshot-id": 200,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "r_regionkey", "type": "long",
+             "required": False},
+            {"id": 2, "name": "r_name", "type": "string",
+             "required": False},
+        ]}],
+        "snapshots": [{"snapshot-id": 200,
+                       "timestamp-ms": 1700000002000,
+                       "manifest-list": ml2}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return root
+
+
+@register(
+    "iceberg_meta_reader_snapshot",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+    doc="The jar-free Iceberg read path (sources/iceberg_meta.py over "
+    "sources/avro_codec.py; reference plugin/trino-iceberg reads the "
+    "same public metadata chain): the query authors an Iceberg table "
+    "from region whose current manifest marks one file DELETED and "
+    "adds a rewrite of identical rows, walks metadata.json -> "
+    "manifest-list avro -> manifest avro, and scans the active data "
+    "files as distributed parquet — a reader that ignored entry "
+    "status would double-count and hash-mismatch.",
+    tags=("source", "lakehouse"),
+)
+def iceberg_meta_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.iceberg_meta import read_iceberg_snapshot
+
+    return read_iceberg_snapshot(spark, _build_iceberg_fixture(sf_dir))
+
+
 @register(
     "ctas_writer_roundtrip",
     """

@@ -1,0 +1,329 @@
+"""Minimal Apache Avro object-container-file codec (pure Python).
+
+Implements the PUBLIC Avro 1.x specification (binary encoding + object
+container files: magic ``Obj\\x01``, file-metadata map carrying
+``avro.schema``/``avro.codec``, 16-byte sync marker, then data blocks)
+— enough to READ real Avro files when neither spark-avro nor an avro
+library is on this deployment. Two consumers:
+
+  * sources/io.py ``read_any(fmt="avro")`` fallback: files decode on
+    EXECUTORS (binaryFiles + flatMap), so the scan stays distributed —
+    the driver never materializes rows.
+  * sources/iceberg_meta.py: Iceberg manifest lists and manifests are
+    Avro; decoding them driver-side yields the data-file list (the
+    same thing every Iceberg reader materializes), after which the data
+    scan is ordinary distributed parquet.
+
+Supported: all primitive types, record/enum/array/map/union/fixed,
+named-type references, ``null`` and ``deflate`` codecs (deflate is raw
+DEFLATE per the spec), and the logical types date /
+time[stamp]-millis/micros / decimal. Schema evolution (separate reader
+schema) is out of scope — files decode with their writer schema, which
+is what both consumers need. A tiny writer (null codec) exists for
+fixtures and round-trip tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import struct
+import zlib
+from decimal import Decimal
+
+_MAGIC = b"Obj\x01"
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_NTZ = datetime.datetime(1970, 1, 1)
+
+
+class AvroError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise AvroError("truncated Avro data")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def long(self) -> int:
+        # zigzag varint
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+def _named(schema, names):
+    """Resolve a string schema reference through primitives or the
+    named-type registry."""
+    if isinstance(schema, str):
+        if schema in (
+            "null", "boolean", "int", "long", "float", "double",
+            "bytes", "string",
+        ):
+            return schema
+        if schema in names:
+            return names[schema]
+        raise AvroError(f"unknown Avro type reference {schema!r}")
+    return schema
+
+
+def _register(schema, names):
+    """Walk a schema once, registering named types (record/enum/fixed)
+    under both full and simple names."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = schema["name"]
+            ns = schema.get("namespace")
+            names[name] = schema
+            if ns:
+                names[f"{ns}.{name}"] = schema
+        if t == "record":
+            for f in schema["fields"]:
+                _register(f["type"], names)
+        elif t == "array":
+            _register(schema["items"], names)
+        elif t == "map":
+            _register(schema["values"], names)
+    elif isinstance(schema, list):
+        for s in schema:
+            _register(s, names)
+
+
+def _logical(schema, value):
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt is None:
+        return value
+    if lt == "date":
+        return _EPOCH_DATE + datetime.timedelta(days=value)
+    if lt == "timestamp-millis":
+        return _EPOCH_NTZ + datetime.timedelta(milliseconds=value)
+    if lt == "timestamp-micros":
+        return _EPOCH_NTZ + datetime.timedelta(microseconds=value)
+    if lt == "time-millis":
+        return (_EPOCH_NTZ + datetime.timedelta(milliseconds=value)).time()
+    if lt == "time-micros":
+        return (_EPOCH_NTZ + datetime.timedelta(microseconds=value)).time()
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        unscaled = int.from_bytes(value, "big", signed=True)
+        return Decimal(unscaled).scaleb(-scale)
+    return value
+
+
+def _decode(schema, r: _Reader, names):
+    schema = _named(schema, names)
+    if isinstance(schema, list):  # union: long index, then value
+        idx = r.long()
+        if not 0 <= idx < len(schema):
+            raise AvroError(f"union index {idx} out of range")
+        return _decode(schema[idx], r, names)
+    if isinstance(schema, str):
+        t = schema
+    else:
+        t = schema["type"]
+        if isinstance(t, (dict, list)):  # {"type": {...nested...}}
+            return _decode(t, r, names)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return _logical(schema, r.long()) if isinstance(schema, dict) else r.long()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        v = r.read(r.long())
+        return _logical(schema, v) if isinstance(schema, dict) else v
+    if t == "string":
+        return r.read(r.long()).decode("utf-8")
+    if t == "record":
+        return {
+            f["name"]: _decode(f["type"], r, names)
+            for f in schema["fields"]
+        }
+    if t == "enum":
+        return schema["symbols"][r.long()]
+    if t == "fixed":
+        v = r.read(schema["size"])
+        return _logical(schema, v)
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()  # block byte size, unused
+            for _ in range(n):
+                out.append(_decode(schema["items"], r, names))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.read(r.long()).decode("utf-8")
+                out[k] = _decode(schema["values"], r, names)
+    raise AvroError(f"unsupported Avro type {t!r}")
+
+
+def read_container(data: bytes) -> tuple[dict | list | str, list]:
+    """Decode a whole Avro object container file -> (writer schema,
+    records). Records are dicts for record schemas."""
+    r = _Reader(data)
+    if r.read(4) != _MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    meta = _decode({"type": "map", "values": "bytes"}, r, {})
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroError(
+            f"unsupported Avro codec {codec!r} (null/deflate supported)"
+        )
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    names: dict = {}
+    _register(schema, names)
+    sync = r.read(16)
+    records = []
+    while not r.eof():
+        count = r.long()
+        size = r.long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw DEFLATE per spec
+        br = _Reader(block)
+        for _ in range(count):
+            records.append(_decode(schema, br, names))
+        if r.read(16) != sync:
+            raise AvroError("sync marker mismatch")
+    return schema, records
+
+
+def read_avro_file(path: str) -> tuple[dict | list | str, list]:
+    with open(path, "rb") as f:
+        return read_container(f.read())
+
+
+# ---------------------------------------------------------------- encode
+# Fixture/round-trip writer (null codec only) — the read path above is
+# the product surface.
+
+
+def _zigzag(n: int) -> bytes:
+    acc = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(schema, value, names, out: bytearray):
+    schema = _named(schema, names)
+    if isinstance(schema, list):
+        for i, branch in enumerate(schema):
+            b = _named(branch, names)
+            bt = b if isinstance(b, str) else b["type"]
+            if value is None and bt == "null":
+                out += _zigzag(i)
+                return
+            if value is not None and bt != "null":
+                out += _zigzag(i)
+                _encode(branch, value, names, out)
+                return
+        raise AvroError("no matching union branch")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        out += b"\x01" if value else b"\x00"
+    elif t in ("int", "long"):
+        out += _zigzag(int(value))
+    elif t == "float":
+        out += struct.pack("<f", value)
+    elif t == "double":
+        out += struct.pack("<d", value)
+    elif t == "bytes":
+        out += _zigzag(len(value)) + bytes(value)
+    elif t == "string":
+        enc = value.encode("utf-8")
+        out += _zigzag(len(enc)) + enc
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], value[f["name"]], names, out)
+    elif t == "enum":
+        out += _zigzag(schema["symbols"].index(value))
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise AvroError("fixed size mismatch")
+        out += bytes(value)
+    elif t == "array":
+        if value:
+            out += _zigzag(len(value))
+            for v in value:
+                _encode(schema["items"], v, names, out)
+        out += _zigzag(0)
+    elif t == "map":
+        if value:
+            out += _zigzag(len(value))
+            for k, v in value.items():
+                enc = k.encode("utf-8")
+                out += _zigzag(len(enc)) + enc
+                _encode(schema["values"], v, names, out)
+        out += _zigzag(0)
+    else:
+        raise AvroError(f"unsupported Avro type {t!r}")
+
+
+def write_container(schema, records, sync: bytes = b"witdbsparkavro01") -> bytes:
+    names: dict = {}
+    _register(schema, names)
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    _encode({"type": "map", "values": "bytes"}, meta, {}, out)
+    out += sync
+    if records:
+        block = bytearray()
+        for rec in records:
+            _encode(schema, rec, names, block)
+        out += _zigzag(len(records)) + _zigzag(len(block)) + block + sync
+    return bytes(out)
+
+
+def write_avro_file(path: str, schema, records) -> None:
+    with open(path, "wb") as f:
+        f.write(write_container(schema, records))

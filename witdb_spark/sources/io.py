@@ -65,6 +65,13 @@ def read_any(
 ) -> DataFrame:
     """Format-dispatching reader (csv/json get sane defaults: header on,
     schema either declared or inferred)."""
+    if fmt == "avro" and not _has_avro_module(spark):
+        # jar-free fallback: the pure-Python Avro codec
+        # (sources/avro_codec.py, public Avro spec), decoding on
+        # EXECUTORS via binaryFiles + flatMap so the scan stays
+        # distributed. With spark-avro present the DSv2 reader below
+        # takes over unchanged.
+        return _read_avro_fallback(spark, path)
     _check_format(spark, fmt)
     reader = spark.read.format(fmt)
     if fmt == "csv":
@@ -76,6 +83,149 @@ def read_any(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def _avro_to_spark_type(schema, names):
+    """Writer-schema -> Spark DataType (logical types honored; avro
+    timestamps map to TIMESTAMP_NTZ so results are session-zone-free)."""
+    from pyspark.sql import types as T
+
+    from witdb_spark.sources.avro_codec import AvroError, _named
+
+    schema = _named(schema, names)
+    if isinstance(schema, list):
+        branches = [s for s in schema if s != "null"]
+        if len(branches) != 1:
+            raise AvroError(
+                "only [null, T] Avro unions map to a Spark column type"
+            )
+        return _avro_to_spark_type(branches[0], names)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampNTZType()
+        if lt == "decimal":
+            return T.DecimalType(schema.get("precision", 38),
+                                 schema.get("scale", 0))
+    prims = {
+        "boolean": "BooleanType", "int": "IntegerType",
+        "long": "LongType", "float": "FloatType",
+        "double": "DoubleType", "bytes": "BinaryType",
+        "string": "StringType",
+    }
+    if t in prims:
+        return getattr(T, prims[t])()
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _avro_to_spark_type(f["type"], names)
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(_avro_to_spark_type(schema["items"], names))
+    if t == "map":
+        return T.MapType(
+            T.StringType(), _avro_to_spark_type(schema["values"], names)
+        )
+    from witdb_spark.sources.avro_codec import AvroError as _E
+
+    raise _E(f"unsupported Avro type {t!r}")
+
+
+def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed jar-free Avro scan: the driver decodes ONE header for
+    the schema; files decode on executors (binaryFiles partitions them).
+    The codec source ships inside the closure via exec — executors in a
+    foreign deployment need no witdb_spark on their PYTHONPATH."""
+    import glob
+    import os
+
+    from witdb_spark.sources import avro_codec
+    from witdb_spark.sources.avro_codec import read_avro_file
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(path, "**"), recursive=True)
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+        )
+    else:
+        files = sorted(glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no avro files under {path}")
+    wschema, _ = read_avro_file(files[0])
+    names: dict = {}
+    from witdb_spark.sources.avro_codec import _register
+
+    _register(wschema, names)
+    if not (isinstance(wschema, dict) and wschema.get("type") == "record"):
+        raise ValueError("top-level Avro schema must be a record")
+    spark_schema = _avro_to_spark_type(wschema, names)
+    field_specs = [f["type"] for f in wschema["fields"]]
+    with open(avro_codec.__file__) as f:
+        codec_src = f.read()
+
+    def _tupleize(schema, value, names):
+        # Rows must be tuples (nested structs included) for createDataFrame
+        if value is None:
+            return None
+        if isinstance(schema, str) and schema in names:
+            schema = names[schema]
+        if isinstance(schema, list):
+            branches = [s for s in schema if s != "null"]
+            return _tupleize(branches[0], value, names)
+        if isinstance(schema, dict):
+            t = schema["type"]
+            if t == "record":
+                return tuple(
+                    _tupleize(f["type"], value[f["name"]], names)
+                    for f in schema["fields"]
+                )
+            if t == "array":
+                return [
+                    _tupleize(schema["items"], v, names) for v in value
+                ]
+            if t == "map":
+                return {
+                    k: _tupleize(schema["values"], v, names)
+                    for k, v in value.items()
+                }
+        return value
+
+    wschema_c, names_c = wschema, names
+
+    def decode_file(kv):
+        ns: dict = {}
+        exec(codec_src, ns)
+        _, recs = ns["read_container"](bytes(kv[1]))
+        out = []
+        for rec in recs:
+            out.append(
+                tuple(
+                    _tupleize(ft, rec[fname], names_c)
+                    for ft, fname in zip(
+                        field_specs,
+                        [f["name"] for f in wschema_c["fields"]],
+                    )
+                )
+            )
+        return out
+
+    rdd = spark.sparkContext.binaryFiles(",".join(files)).flatMap(
+        decode_file
+    )
+    return spark.createDataFrame(rdd, spark_schema)
 
 
 def write_table(

@@ -116,6 +116,30 @@ def read_table(
             version=None if version is None else int(version),
             timestamp_ms=ts_ms,
         )
+    if (
+        fmt == "iceberg"
+        and is_path
+        and not connector_available(spark, "iceberg")
+    ):
+        # no-jar read path: walk the public Iceberg metadata chain
+        # (metadata.json -> manifest-list avro -> manifest avro) with
+        # this repo's own Avro codec, then distributed parquet scan.
+        # Spark-iceberg's time-travel option names map onto snapshots.
+        from witdb_spark.sources.iceberg_meta import read_iceberg_snapshot
+
+        snap = options.pop("snapshot-id", None)
+        ts = options.pop("as-of-timestamp", None)
+        if options:
+            raise ValueError(
+                "unsupported iceberg reader options without the jar: "
+                + ", ".join(sorted(options))
+            )
+        return read_iceberg_snapshot(
+            spark,
+            path_or_table,
+            snapshot_id=None if snap is None else int(snap),
+            timestamp_ms=None if ts is None else int(ts),
+        )
     _require(spark, fmt)
     if not is_path:
         return spark.table(path_or_table)
