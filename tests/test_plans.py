@@ -804,6 +804,79 @@ def test_tdigest_weighted_two_level(spark):
         assert abs(got[k] - v) / v < 0.05, (k, got[k], v)
 
 
+def test_sketch_distinct_rewrite():
+    """qdigest_agg(DISTINCT x) spellings fold to a dedup-first subquery
+    (plans/dialect.py::_rewrite_sketch_distinct) — including inside
+    reader scalars — and bail (unchanged) whenever the rewrite could
+    change semantics. Pure-rewrite test, no Spark session."""
+    from witdb_spark.plans.dialect import _rewrite_sketch_distinct as rw
+
+    got = rw(
+        "SELECT g, qdigest_agg(DISTINCT x) AS d,"
+        " count(DISTINCT x) AS n FROM t WHERE y > 1 GROUP BY g"
+    )
+    assert "SELECT DISTINCT g, x AS __dx FROM t WHERE y > 1" in got
+    assert "qdigest_agg(__dx) AS d" in got and "count(__dx) AS n" in got
+    # reader-wrapped build folds too
+    got = rw(
+        "SELECT g, value_at_quantile(qdigest_agg(DISTINCT x), 0.5) AS m"
+        " FROM t GROUP BY g"
+    )
+    assert "value_at_quantile(qdigest_agg(__dx), 0.5) AS m" in got
+    # bails: two different DISTINCT args; dangling raw column in item;
+    # mixed plain+distinct builds; plain count co-aggregate
+    for sql in (
+        "SELECT qdigest_agg(DISTINCT a) AS d, count(DISTINCT b) AS n"
+        " FROM t",
+        "SELECT g, value_at_quantile(qdigest_agg(DISTINCT x), y) AS p"
+        " FROM t GROUP BY g",
+        "SELECT qdigest_agg(DISTINCT a) AS d, tdigest_agg(b) AS t2"
+        " FROM t GROUP BY g",
+        "SELECT g, qdigest_agg(DISTINCT x) AS d, count(*) AS n"
+        " FROM t GROUP BY g",
+    ):
+        assert rw(sql) == sql, sql
+
+
+def test_qdigest_distinct_two_level(spark):
+    """The ALIASED DISTINCT build composes: dedup-first fold, then the
+    PARTIAL->FINAL split over the deduped source — and the median
+    tracks the exact distinct-value median."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag, qdigest_agg(DISTINCT l_extendedprice)"
+        " AS d FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    assert "merge_qdigest" in plan, plan
+    got = {
+        r["l_returnflag"]: r["m"]
+        for r in eng.sql(
+            "SELECT l_returnflag, value_at_quantile("
+            "qdigest_agg(DISTINCT l_extendedprice), 0.5) AS m"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in spark.sql(
+            "SELECT l_returnflag, percentile(v, 0.5) AS m FROM"
+            " (SELECT DISTINCT l_returnflag, l_extendedprice AS v"
+            "  FROM parquet.`%s/lineitem.parquet`) GROUP BY l_returnflag"
+            % SF_DIR
+        ).collect()
+    }
+    for k, v in exact.items():
+        assert abs(got[k] - v) / v < 0.05, (k, got[k], v)
+
+
 def test_generic_merge_rewrite():
     """Type-overloaded merge(sketch) resolves from the producing
     build's alias at transpile time (plans/dialect.py::

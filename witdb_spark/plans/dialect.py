@@ -1393,7 +1393,16 @@ def _rewrite_sketch_filter(sql: str) -> str:
             continue
         cond = clause[wm.end() :].strip()
         fname = m.group(1)
-        folded = f"CASE WHEN {cond} THEN {args[0].strip()} END"
+        val = args[0].strip()
+        dm = re.match(r"(?is)^DISTINCT\b\s*", val)
+        if dm:
+            # mask first, dedupe second (Trino's mask semantics); the
+            # extra NULL in the distinct set is skipped by the build
+            folded = (
+                f"DISTINCT CASE WHEN {cond} THEN {val[dm.end():]} END"
+            )
+        else:
+            folded = f"CASE WHEN {cond} THEN {val} END"
         all_args = ", ".join([folded] + [a.strip() for a in args[1:]])
         repl = f"{fname}({all_args})"
         sql = sql[: pos + m.start()] + repl + sql[f_close + 1 :]
@@ -1535,6 +1544,254 @@ def _rewrite_generic_merge(sql: str) -> str:
             " merge_hll / merge_set_digest"
         )
     return sql
+
+
+def _rewrite_sketch_distinct(sql: str) -> str:
+    """Plan ``sketch_agg(DISTINCT x) ... GROUP BY g`` by deduplicating
+    the argument FIRST (reference AggregationNode mask/distinct
+    planning: Trino lowers DISTINCT aggregates through MarkDistinct
+    before the aggregation): Spark refuses DISTINCT on a Python UDAF
+    outright, so the enclosing block rewrites to
+
+        SELECT g, X_agg(__dx) FROM (
+          SELECT DISTINCT g, x AS __dx FROM t [WHERE ..]) __sk_dedup
+        GROUP BY g
+
+    after which the PARTIAL->FINAL split applies to the deduped source
+    as usual. Conservative canonical shape (like the two-level pass):
+    plain aggregate block, bare group keys, every sketch build's
+    DISTINCT argument identical, co-aggregates limited to
+    count/sum/avg/min/max over the SAME ``DISTINCT x`` (equal by
+    definition after dedup) or min/max over plain x (dedup-invariant).
+    Any other shape leaves the single-level spelling, whose
+    DISTINCT-on-pandas-UDAF error then surfaces unchanged."""
+    pat = (
+        r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest)"
+        r"\s*\(\s*DISTINCT\b"
+    )
+    guard = 0
+    while guard < 50:
+        guard += 1
+        m = _first_code_match(pat, sql)
+        if m is None:
+            break
+        depths, instr = _scan_maps(sql)
+        d = depths[m.start()]
+        # nearest enclosing SELECT: the build may sit nested inside a
+        # reader scalar (value_at_quantile(qdigest_agg(DISTINCT x), q)),
+        # so take the last prior SELECT at depth <= d
+        sel = None
+        for sm in re.finditer(r"\bSELECT\b", sql, re.I):
+            if sm.start() >= m.start():
+                break
+            if not instr[sm.start()] and depths[sm.start()] <= d:
+                sel = sm
+        if sel is None:
+            sql = sql[: m.start()] + "__SKDKEEP_" + sql[m.start() :]
+            continue
+        bd = depths[sel.start()]
+        end = (
+            len(sql)
+            if bd == 0
+            else next(
+                i
+                for i in range(sel.start(), len(sql))
+                if depths[i] < bd and not instr[i]
+            )
+        )
+        block = sql[sel.start() : end]
+        rewritten = _sketch_block_distinct(block)
+        if rewritten is None:
+            sql = sql[: m.start()] + "__SKDKEEP_" + sql[m.start() :]
+            continue
+        sql = sql[: sel.start()] + rewritten + sql[end:]
+    return re.sub(r"__SKDKEEP_([A-Za-z_]+)(\s*\()", r"\1\2", sql)
+
+
+def _fold_nested_distinct_builds(
+    expr: str, dargs: dict[str, str]
+) -> tuple[str | None, int]:
+    """Rewrite every ``build(DISTINCT x)`` nested inside a scalar item
+    (e.g. value_at_quantile(qdigest_agg(DISTINCT x), 0.5)) to
+    ``build(__dx)``, recording x in dargs. Returns (None, 0) when the
+    item keeps any other aggregate machinery — a plain build, a bare
+    count/sum/... call, or a leftover DISTINCT — since those would read
+    the deduplicated source with changed semantics."""
+    pat = (
+        r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest)"
+        r"\s*\(\s*DISTINCT\b"
+    )
+    n = 0
+    while True:
+        m = _first_code_match(pat, expr)
+        if m is None:
+            break
+        open_idx = m.start() + expr[m.start():].index("(")
+        close_idx = _match_paren(expr, open_idx)
+        arg = expr[open_idx + 1 : close_idx].strip()
+        arg = re.sub(r"(?is)^DISTINCT\b\s*", "", arg)
+        if "," in arg:
+            return None, 0
+        dargs.setdefault(_norm_expr(arg), arg)
+        expr = (
+            expr[: m.start()]
+            + m.group(1)
+            + "(__dx)"
+            + expr[close_idx + 1 :]
+        )
+        n += 1
+    leftover = (
+        r"\b(qdigest_agg|tdigest_agg|approx_set|make_set_digest|count"
+        r"|sum|avg|array_agg|listagg|collect_list|collect_set)\s*\("
+    )
+    for lm in _first_code_iter(leftover, expr):
+        if expr[lm.end() :].lstrip().startswith("__dx"):
+            continue
+        return None, 0
+    if _first_code_match(r"\bDISTINCT\b", expr) is not None:
+        return None, 0
+    # every bare identifier left must be __dx or a literal keyword —
+    # a raw-table column reference would dangle once the outer query
+    # reads only the dedup subquery (bail, never break a valid query)
+    allowed = {
+        "__dx", "case", "when", "then", "else", "end", "as", "is",
+        "not", "null", "true", "false", "and", "or", "in", "like",
+        "between", "interval", "asc", "desc", "double", "bigint",
+        "int", "integer", "smallint", "tinyint", "varchar", "string",
+        "decimal", "real", "boolean", "date", "timestamp", "float",
+        "char", "binary", "escape",
+    }
+    instr = _scan_maps(expr)[1]
+    for im in re.finditer(r"[A-Za-z_]\w*", expr):
+        if instr[im.start()]:
+            continue
+        if im.start() > 0 and expr[im.start() - 1] in "0123456789._":
+            continue  # exponent / qualified tail
+        rest = expr[im.end() :].lstrip()
+        if rest.startswith("("):
+            continue  # function name
+        if im.group(0).lower() not in allowed:
+            return None, 0
+    # min/max over the raw argument are dedup-invariant; anything else
+    # aggregate-shaped was caught above
+    return expr, n
+
+
+def _sketch_block_distinct(block: str) -> str | None:
+    """Rewrite one SELECT block for the DISTINCT fold, or None to bail."""
+    bd, binstr = _scan_maps(block)
+    for cm in re.finditer(r"--|/\*", block):
+        if not binstr[cm.start()]:
+            return None  # single-line reassembly vs comments
+
+    def top_kw(pattern: str):
+        for m in re.finditer(pattern, block, re.I):
+            if bd[m.start()] == 0 and not binstr[m.start()]:
+                return m
+        return None
+
+    for bailer in (
+        r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
+        r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
+        r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b", r"\bFETCH\b",
+    ):
+        if top_kw(bailer):
+            return None
+    fm = top_kw(r"\bFROM\b")
+    if fm is None:
+        return None
+    gm = top_kw(r"\bGROUP\s+BY\b")
+    tail_m = (
+        top_kw(r"\bHAVING\b")
+        or top_kw(r"\bORDER\s+BY\b")
+        or top_kw(r"\bLIMIT\b")
+    )
+    tail_start = tail_m.start() if tail_m else len(block)
+    if gm and gm.start() > tail_start:
+        return None
+    items_text = block[len("SELECT") : fm.start()]
+    source_end = gm.start() if gm else tail_start
+    source_text = block[fm.end() : source_end].strip()
+    keys = (
+        [k for k in _split_top_level(block[gm.end() : tail_start]) if k]
+        if gm
+        else []
+    )
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        return None
+    tail_text = block[tail_start:].strip()
+
+    items_out: list[str] = []
+    dargs: dict[str, str] = {}  # normalized -> first raw spelling
+    builds = 0
+    co_aggs = {"count", "sum", "avg", "min", "max"}
+    for item in _split_top_level(items_text):
+        if not item.strip():
+            continue
+        expr, alias = _item_alias(item)
+        if re.fullmatch(r"[A-Za-z_]\w*", expr) and _norm_expr(expr) in {
+            _norm_expr(k) for k in keys
+        }:
+            items_out.append(item.strip())
+            continue
+        call = _parse_agg_call(expr)
+        handled = False
+        if call is not None and alias is not None:
+            fname, args = call
+            dm = re.match(r"(?is)^DISTINCT\b\s*", args)
+            if fname in (
+                "qdigest_agg", "tdigest_agg", "approx_set",
+                "make_set_digest",
+            ):
+                if dm is None:
+                    return None  # mixed distinct/plain builds: ambiguous
+                arg = args[dm.end() :].strip()
+                if "," in arg:
+                    return None  # weighted DISTINCT has no dedup story
+                dargs.setdefault(_norm_expr(arg), arg)
+                builds += 1
+                items_out.append(f"{fname}(__dx) AS {alias}")
+                handled = True
+            elif fname in co_aggs and dm is not None:
+                arg = args[dm.end() :].strip()
+                dargs.setdefault(_norm_expr(arg), arg)
+                items_out.append(f"{fname}(__dx) AS {alias}")
+                handled = True
+            elif fname in ("min", "max"):
+                dargs.setdefault(_norm_expr(args), args)  # dedup-inv.
+                items_out.append(f"{fname}(__dx) AS {alias}")
+                handled = True
+        if not handled:
+            # reader-wrapped spelling: scalar(s) around build(DISTINCT x)
+            # — fold every nested DISTINCT build, then require the item
+            # to carry no other aggregate machinery
+            if alias is None:
+                return None
+            folded, n = _fold_nested_distinct_builds(expr, dargs)
+            if folded is None or n == 0:
+                return None
+            builds += n
+            items_out.append(f"{folded} AS {alias}")
+    if builds == 0 or len(dargs) != 1:
+        return None
+    x_norm, x_raw = next(iter(dargs.items()))
+    # HAVING/ORDER tails that reference the raw argument or their own
+    # DISTINCT spellings would dangle after the rewrite — bail
+    if tail_text and (
+        re.search(r"(?i)\bDISTINCT\b", tail_text)
+        or x_norm in _norm_expr(tail_text)
+    ):
+        return None
+    inner_items = keys + [f"{x_raw} AS __dx"]
+    inner = (
+        f"SELECT DISTINCT {', '.join(inner_items)} FROM {source_text}"
+    )
+    out = f"SELECT {', '.join(items_out)} FROM ({inner}) __sk_dedup"
+    if keys:
+        out += " GROUP BY " + ", ".join(keys)
+    if tail_text:
+        out += " " + tail_text
+    return out
 
 
 def _rewrite_sketch_two_level(sql: str) -> str:
@@ -2092,6 +2349,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_sketch_filter(sql)
     sql = _rewrite_weighted_digests(sql)
     sql = _rewrite_generic_merge(sql)
+    sql = _rewrite_sketch_distinct(sql)
     sql = _rewrite_sketch_two_level(sql)
     sql = _rewrite_agg_calls(sql)
     sql = _rewrite_tablesample(sql)

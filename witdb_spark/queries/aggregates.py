@@ -1019,6 +1019,72 @@ def agg_qdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qdigest_distinct_oracle() -> str:
+    """Replay the DISTINCT build: dedupe (flag, value), then the
+    single-level rank-grid selection (the reader-wrapped spelling keeps
+    the build single-level after the dedup fold) and the
+    value_at_quantile index rule."""
+    import math
+
+    from witdb_spark.operators.qdigest import K_POINTS as KP
+
+    def k(q: float) -> int:
+        return int(math.floor(q * (KP - 1) + 0.5))
+
+    sel = ",\n           ".join(
+        f"(SELECT v FROM s WHERE s.flag = t.flag"
+        f" AND rn = ({k(q)} * (t.n - 1)) // {KP - 1}) AS p{int(q * 100)}"
+        for q in (0.25, 0.5, 0.75)
+    )
+    return f"""
+    WITH r0 AS (
+      SELECT DISTINCT l_returnflag AS flag, l_extendedprice + 0.0e0 AS v
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+    s AS (SELECT flag, v,
+             row_number() OVER (PARTITION BY flag ORDER BY v) - 1 AS rn
+          FROM r0),
+    t AS (SELECT flag, COUNT(*) AS n FROM r0 GROUP BY flag)
+    SELECT t.flag,
+           {sel}
+    FROM t
+    """
+
+
+@register(
+    "agg_qdigest_distinct",
+    _qdigest_distinct_oracle(),
+    doc="DISTINCT sketch build — qdigest_agg(DISTINCT x) (reference "
+    "AggregationNode mask/distinct planning lowers DISTINCT aggregates "
+    "through MarkDistinct). Spark refuses DISTINCT on a Python UDAF "
+    "outright, so plans/dialect.py::_rewrite_sketch_distinct "
+    "deduplicates the argument in a subquery first — including inside "
+    "reader-wrapped spellings like value_at_quantile(build, q) — and "
+    "the oracle replays the dedupe + rank-grid selection exactly.",
+    tags=("aggregate", "approx", "sketch", "dialect"),
+)
+def agg_qdigest_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+        SELECT l_returnflag AS flag,
+               value_at_quantile(qdigest_agg(DISTINCT l_extendedprice),
+                                 0.25) AS p25,
+               value_at_quantile(qdigest_agg(DISTINCT l_extendedprice),
+                                 0.5) AS p50,
+               value_at_quantile(qdigest_agg(DISTINCT l_extendedprice),
+                                 0.75) AS p75
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
 def _tdigest_weighted_oracle() -> str:
     """Replay the weighted single-level t-digest build exactly: sort by
     value, cumulate the (integer-valued) weights, pick the K cosine-grid
