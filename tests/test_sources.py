@@ -287,7 +287,8 @@ def test_lakehouse_connectors_gated(spark):
     from witdb_spark.sources.lakehouse import read_kafka_batch
 
     if not connector_available(spark, "hudi"):
-        with pytest.raises(RuntimeError, match="--packages"):
+        # hudi path reads fall back to the no-jar timeline reader
+        with pytest.raises(FileNotFoundError, match="hoodie"):
             read_table(spark, "hudi", "/tmp/nope")
     if not connector_available(spark, "delta"):
         # delta path reads fall back to the no-jar protocol reader
@@ -618,6 +619,80 @@ def test_iceberg_metadata_reader(spark, tmp_path):
         r.id for r in read_iceberg_snapshot(spark, t, snapshot_id=200)
         .collect()
     ) == [3, 4]
+
+
+def _hudi_commit(t, instant, write_stats=None, replace=None):
+    meta = {}
+    if write_stats:
+        meta["partitionToWriteStats"] = write_stats
+    if replace:
+        meta["partitionToReplaceFileIds"] = replace
+    action = "replacecommit" if replace else "commit"
+    with open(os.path.join(t, ".hoodie", f"{instant}.{action}"), "w") as f:
+        json.dump(meta, f)
+
+
+def test_hudi_timeline_reader(spark, tmp_path):
+    """The jar-free Hudi COW read path (sources/hudi_meta.py, reference
+    plugin/trino-hudi read-optimized lister analog): newest base file
+    per file group across completed commits; replacecommit retires file
+    groups; instant time travel; MOR gates loudly."""
+    from witdb_spark.sources.hudi_meta import (
+        HudiProtocolError,
+        hudi_commits,
+        read_hudi_snapshot,
+    )
+    from witdb_spark.sources.lakehouse import read_table
+
+    t = str(tmp_path / "hudi")
+    os.makedirs(os.path.join(t, ".hoodie"))
+    with open(os.path.join(t, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    # commit 1: file group A v1 (rows 1,2) + group B (row 3)
+    s = _delta_write_file(t, "A_0_20240101000000.parquet", [1, 2],
+                          ["a", "b"])
+    s2 = _delta_write_file(t, "B_0_20240101000000.parquet", [3], ["c"])
+    _hudi_commit(t, "20240101000000", {
+        "": [{"fileId": "A", "path": "A_0_20240101000000.parquet",
+              "totalWriteBytes": s},
+             {"fileId": "B", "path": "B_0_20240101000000.parquet",
+              "totalWriteBytes": s2}]})
+    # commit 2: upsert rewrites group A (rows 1,2 updated + row 4)
+    _delta_write_file(t, "A_0_20240102000000.parquet", [1, 2, 4],
+                      ["a2", "b2", "d"])
+    _hudi_commit(t, "20240102000000", {
+        "": [{"fileId": "A", "path": "A_0_20240102000000.parquet"}]})
+    # an inflight instant must be invisible
+    open(os.path.join(t, ".hoodie",
+                      "20240103000000.commit.inflight"), "w").close()
+
+    latest = read_hudi_snapshot(spark, t)
+    got = {r.id: r.name for r in latest.collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c", 4: "d"}
+    old = read_hudi_snapshot(spark, t, as_of_instant="20240101000000")
+    assert {r.id: r.name for r in old.collect()} == {
+        1: "a", 2: "b", 3: "c"}
+    assert [c["instant"] for c in hudi_commits(t)] == [
+        "20240101000000", "20240102000000"]
+    # front-door fallback + time-travel option name
+    df = read_table(spark, "hudi", t,
+                    **{"as.of.instant": "20240101000000"})
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    # clustering: replacecommit retires group B
+    _delta_write_file(t, "C_0_20240104000000.parquet", [3], ["c"])
+    _hudi_commit(t, "20240104000000",
+                 {"": [{"fileId": "C",
+                        "path": "C_0_20240104000000.parquet"}]},
+                 replace={"": ["B"]})
+    got = {r.id: r.name for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c", 4: "d"}
+    # MOR tables gate loudly
+    t2 = str(tmp_path / "mor")
+    os.makedirs(os.path.join(t2, ".hoodie"))
+    with open(os.path.join(t2, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.type=MERGE_ON_READ\n")
+    with pytest.raises(HudiProtocolError, match="merge-on-read"):
+        read_hudi_snapshot(spark, t2)
 
 
 def test_delta_log_reader_protocol_gates(spark, tmp_path):

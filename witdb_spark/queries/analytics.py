@@ -1549,6 +1549,87 @@ def iceberg_meta_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_snapshot(spark, _build_iceberg_fixture(sf_dir))
 
 
+
+def _build_hudi_fixture(sf_dir: str) -> str:
+    """Author a small Hudi COW table from the region parquet per the
+    public .hoodie timeline layout: commit 1 writes two file groups;
+    commit 2 upserts one group with identical rows (a newer base file)
+    — so a correct read-optimized snapshot equals region exactly, and a
+    reader that kept both base-file versions would double-count."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ids = src.column("r_regionkey").to_pylist()
+    names = src.column("r_name").to_pylist()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_fixture_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, ".hoodie"))
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write(
+            "hoodie.table.name=witdb_hudi_fixture\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+        )
+
+    def wf(name, lo, hi):
+        pq.write_table(
+            pa.table({
+                "r_regionkey": pa.array(
+                    [int(i) for i in ids[lo:hi]], pa.int64()),
+                "r_name": pa.array(names[lo:hi], pa.string()),
+            }),
+            os.path.join(root, name),
+        )
+
+    def commit(instant, stats):
+        with open(
+            os.path.join(root, ".hoodie", f"{instant}.commit"), "w"
+        ) as f:
+            _json.dump({"partitionToWriteStats": {"": stats}}, f)
+
+    k = max(1, len(ids) // 2)
+    wf("A_0_20240101000000.parquet", 0, k)
+    wf("B_0_20240101000000.parquet", k, len(ids))
+    commit("20240101000000", [
+        {"fileId": "A", "path": "A_0_20240101000000.parquet"},
+        {"fileId": "B", "path": "B_0_20240101000000.parquet"},
+    ])
+    wf("A_0_20240102000000.parquet", 0, k)
+    commit("20240102000000", [
+        {"fileId": "A", "path": "A_0_20240102000000.parquet"},
+    ])
+    return root
+
+
+@register(
+    "hudi_timeline_reader_snapshot",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+    doc="The jar-free Hudi copy-on-write read path "
+    "(sources/hudi_meta.py; reference plugin/trino-hudi "
+    "HudiReadOptimizedDirectoryLister serves the same read-optimized "
+    "snapshot): the query authors a two-commit COW table from region "
+    "where commit 2 upserts a file group with identical rows, folds "
+    "the timeline into the newest base file per file group, and scans "
+    "them as distributed parquet — keeping both base-file versions "
+    "would double-count and hash-mismatch.",
+    tags=("source", "lakehouse"),
+)
+def hudi_timeline_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+
+    return read_hudi_snapshot(spark, _build_hudi_fixture(sf_dir))
+
+
 @register(
     "ctas_writer_roundtrip",
     """

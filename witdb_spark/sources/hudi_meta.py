@@ -1,0 +1,132 @@
+"""Jar-free Apache Hudi copy-on-write read path (public table layout).
+
+Reference analog: plugin/trino-hudi (HudiReadOptimizedDirectoryLister)
+serves read-optimized COW snapshots: the newest base parquet file per
+file group among COMPLETED commits. The on-disk layout is public
+(hudi.apache.org/docs — ``.hoodie/`` timeline of ``<instant>.commit``
+JSON actions plus ``hoodie.properties``): each commit's
+``partitionToWriteStats`` names the base files it wrote per file group
+(fileId), and a ``replacecommit`` (clustering / insert-overwrite)
+additionally retires whole file groups via
+``partitionToReplaceFileIds``. Folding the timeline in instant order
+yields the active base-file set; the data scan is then an ordinary
+distributed parquet read (COW base files carry full rows, including
+partition columns and the ``_hoodie_*`` meta columns).
+
+Loud scope-outs: MERGE_ON_READ tables (log-file compaction needs the
+Hudi runtime) and unknown timeline actions that change visible data.
+Pending instants (``.inflight`` / ``.requested``) are ignored — that
+IS snapshot isolation on the timeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class HudiProtocolError(RuntimeError):
+    pass
+
+
+_COMPLETED_RE = re.compile(
+    r"^(\d+)(?:_(\d+))?\.(commit|replacecommit)$"
+)
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, ".hoodie")
+
+
+def _properties(path: str) -> dict[str, str]:
+    p = os.path.join(_meta_dir(path), "hoodie.properties")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"{path} is not a Hudi table (no .hoodie/hoodie.properties)"
+        )
+    props = {}
+    for line in open(p):
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        props[k.strip()] = v.strip()
+    return props
+
+
+def _completed_instants(path: str) -> list[tuple[str, str, str]]:
+    """Sorted (instant, action, file) for completed commits. Hudi
+    instants are lexicographically ordered timestamps (yyyyMMddHHmmss
+    plus optional millis), so string sort IS timeline order."""
+    out = []
+    for name in os.listdir(_meta_dir(path)):
+        m = _COMPLETED_RE.match(name)
+        if m:
+            out.append(
+                (m.group(1), m.group(3), os.path.join(_meta_dir(path), name))
+            )
+    return sorted(out)
+
+
+def hudi_base_files(
+    path: str, as_of_instant: str | None = None
+) -> list[str]:
+    """Fold the timeline into the active base-file list (read-optimized
+    COW snapshot, optionally at/before ``as_of_instant``)."""
+    props = _properties(path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise HudiProtocolError(
+            f"Hudi table type {ttype} needs the hudi-spark bundle"
+            " (merge-on-read log compaction)"
+        )
+    instants = _completed_instants(path)
+    if as_of_instant is not None:
+        instants = [i for i in instants if i[0] <= str(as_of_instant)]
+    if not instants:
+        raise FileNotFoundError(f"{path}: no completed Hudi commits")
+    # (partition, fileId) -> (instant, relative path)
+    groups: dict[tuple[str, str], tuple[str, str]] = {}
+    for instant, action, fpath in instants:
+        with open(fpath) as f:
+            body = f.read().strip()
+        meta = json.loads(body) if body else {}
+        if action == "replacecommit":
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    groups.pop((part, fid), None)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fid, rel = st.get("fileId"), st.get("path")
+                if not fid or not rel:
+                    continue
+                prev = groups.get((part, fid))
+                if prev is None or instant >= prev[0]:
+                    groups[(part, fid)] = (instant, rel)
+    return sorted(
+        os.path.join(path, rel) for _, rel in groups.values()
+    )
+
+
+def read_hudi_snapshot(
+    spark: SparkSession, path: str, as_of_instant: str | None = None
+) -> DataFrame:
+    """Read a Hudi COW table at a snapshot (latest completed commit, or
+    at/before ``as_of_instant``) without the connector jar. COW base
+    files carry full rows, so the scan is plain distributed parquet;
+    the ``_hoodie_*`` meta columns surface like Hudi's own reader."""
+    files = hudi_base_files(path, as_of_instant)
+    return spark.read.parquet(*files)
+
+
+def hudi_commits(path: str) -> list[dict]:
+    """Completed-commit history (reference `timeline` metadata)."""
+    return [
+        {"instant": i, "action": a}
+        for i, a, _ in _completed_instants(path)
+    ]

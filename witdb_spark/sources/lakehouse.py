@@ -140,6 +140,24 @@ def read_table(
             snapshot_id=None if snap is None else int(snap),
             timestamp_ms=None if ts is None else int(ts),
         )
+    if (
+        fmt == "hudi"
+        and is_path
+        and not connector_available(spark, "hudi")
+    ):
+        # no-jar read path: fold the public .hoodie timeline into the
+        # active base-file set (read-optimized COW snapshot) and scan
+        # as distributed parquet. Hudi's own time-travel option name
+        # maps onto the instant argument.
+        from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+
+        asof = options.pop("as.of.instant", None)
+        if options:
+            raise ValueError(
+                "unsupported hudi reader options without the jar: "
+                + ", ".join(sorted(options))
+            )
+        return read_hudi_snapshot(spark, path_or_table, as_of_instant=asof)
     _require(spark, fmt)
     if not is_path:
         return spark.table(path_or_table)
