@@ -54,18 +54,21 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # engine/oracle changed this round, (b) the oldest driver-green queries.
 # After r7 every registered query has a green driver row (cumulative
 # 194/194); the staleness ledger is r3: 44, r4: 50, r6: 50, r7: 50.
-# Round-8 window: r8 registered 70 new/changed queries (TPC-DS
-# tranches 4-7 complete the 99-text suite, plus geometry_collection_
-# ops and the re-oracled geometry_buffer_parity) — more than the 50
-# slots, so the window is ALL new/changed: tranches 4-6 (40), the two
-# geometry entries, and 8 of tranche 7 (q3 q7 q8 q10 q13 q15 q18 +
-# the q16-twin q94). Round 9's head, in order: the remaining 20
-# tranche-7 texts (q19 q21 q24 q35 q52 q54 q63 q69 q71 q72 q73 q79
-# q80 q82 q83 q84 q85 q86 q91 q92 — they sit immediately after
-# position 50 below), then the 44 r3-era
+# Round-8 window: r8 registered 78 new/changed queries (TPC-DS
+# tranches 4-7 complete the 99-text suite; geometry_collection_ops and
+# the re-oracled geometry_buffer_parity; late-r8: the weighted
+# qdigest/tdigest builds, generic merge(), the TABLE() PTF spelling,
+# the three jar-free lakehouse readers, and the DISTINCT sketch fold)
+# — more than the 50 slots, so the window is ALL new/changed:
+# tranches 4-6 (40), the two geometry entries, and 8 of tranche 7
+# (q3 q7 q8 q10 q13 q15 q18 + the q16-twin q94). Round 9's head, in
+# order: the 8 late-r8 queries (below the boundary), then the
+# remaining 20 tranche-7 texts (q19 q21 q24 q35 q52 q54 q63 q69 q71
+# q72 q73 q79 q80 q82 q83 q84 q85 q86 q91 q92), then the 44 r3-era
 # greens, then the r4-era 50. Everything keeps local DuckDB coverage
 # every pytest run (tests/test_queries_oracle.py parameterizes the
-# whole registry).
+# whole registry), and each late-r8 query was additionally
+# hash-verified via the driver-contract emulation before commit.
 _PRIORITY: tuple[str, ...] = (
     # r8-new: TPC-DS tranche 4
     "tpcds_sql_q1", "tpcds_sql_q30", "tpcds_sql_q81", "tpcds_sql_q6",
