@@ -1630,6 +1630,50 @@ def hudi_timeline_reader_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_hudi_snapshot(spark, _build_hudi_fixture(sf_dir))
 
 
+
+@register(
+    "delta_writer_roundtrip",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+    doc="The jar-free Delta WRITE path (sources/delta_log.py write "
+    "half; reference delta connector CTAS/DELETE/INSERT): CTAS region "
+    "into a fresh Delta table (version 0), copy-on-write DELETE half "
+    "the keys (only files containing matches are rewritten), then "
+    "append the deleted rows back — three commits through the "
+    "put-if-absent rule. A correct final snapshot equals region "
+    "exactly; a writer that mislaid a remove or re-add would show "
+    "missing or duplicated rows and hash-mismatch.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def delta_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.region.selectExpr(
+        "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_writer_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(spark, src, path, mode="create")
+    delta_delete_where(spark, path, "r_regionkey % 2 = 0")
+    write_delta(
+        spark, src.filter("r_regionkey % 2 = 0"), path, mode="append"
+    )
+    return read_delta_snapshot(spark, path)
+
+
 @register(
     "ctas_writer_roundtrip",
     """

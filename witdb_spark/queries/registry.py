@@ -109,6 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_qdigest_distinct",
     # (r8-new: no-jar Hudi COW timeline read path)
     "hudi_timeline_reader_snapshot",
+    # (r8-new: no-jar Delta write path — create/COW-delete/append)
+    "delta_writer_roundtrip",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",

@@ -5,6 +5,7 @@ from witdb_spark.sources.lakehouse import (
     read_kafka_batch,
     read_kafka_stream,
     read_table,
+    write_lakehouse_table,
 )
 from witdb_spark.sources.merge import merge_into
 
@@ -20,4 +21,5 @@ __all__ = [
     "read_table",
     "read_kafka_batch",
     "read_kafka_stream",
+    "write_lakehouse_table",
 ]

@@ -252,3 +252,265 @@ def delta_table_version(spark: SparkSession, path: str) -> int:
     """Latest snapshot version (reference SHOW ... table$history analog)."""
     commits, checkpoints = _list_log(path)
     return max(list(commits) + list(checkpoints))
+
+
+# ------------------------------------------------------------------ write
+# The write half of the protocol: data files land under the table root
+# first, then ONE commit JSON makes them visible. Commit atomicity is
+# the protocol's put-if-absent rule — open(..., "x") on N.json either
+# wins the version or raises, which on a local/posix filesystem is
+# exactly Delta's LogStore contract.
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def _partition_values_from_rel(rel: str, part_cols: list[str]) -> dict:
+    """Recover partitionValues from the hive-style directory layout the
+    Spark writer produces (col=value/...; the protocol stores the
+    string serialization, NULL as the hive default marker)."""
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        if k in part_cols:
+            vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    missing = [c for c in part_cols if c not in vals]
+    if missing:
+        raise DeltaProtocolError(
+            f"partition column(s) {missing} absent from written layout"
+        )
+    return vals
+
+
+def _stage_data_files(
+    df, path: str, partition_by: list[str]
+) -> list[dict]:
+    """Write df's rows as parquet under the table root (hive dirs for
+    partitions) and return their add actions. Files keep Spark's
+    part-<task>-<uuid> names, which are globally unique."""
+    import glob
+    import shutil
+    import uuid
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds = []
+    for f in glob.glob(
+        os.path.join(staging, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(f, staging)
+        dest = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(f, dest)
+        adds.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": _partition_values_from_rel(
+                        rel, partition_by
+                    ),
+                    "size": os.path.getsize(dest),
+                    "modificationTime": _now_ms(),
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _try_commit(path: str, version: int, actions: list[dict]) -> bool:
+    log = os.path.join(_log_dir(path))
+    os.makedirs(log, exist_ok=True)
+    target = os.path.join(log, f"{version:020d}.json")
+    try:
+        with open(target, "x") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return True
+    except FileExistsError:
+        return False  # lost the version race — caller re-reads + retries
+
+
+def write_delta(
+    spark: SparkSession,
+    df,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Jar-free Delta write (reference delta connector write path
+    analog): ``create`` authors version 0 (protocol + metaData + adds),
+    ``append`` commits adds, ``overwrite`` commits adds + removes of
+    every currently-active file — all through the put-if-absent commit
+    rule, with append retrying lost version races. Returns the
+    committed version."""
+    if mode not in ("create", "append", "overwrite"):
+        raise ValueError("mode must be create/append/overwrite")
+    exists = os.path.isdir(_log_dir(path))
+    if mode == "create":
+        if exists:
+            raise FileExistsError(f"{path} is already a Delta table")
+        os.makedirs(path, exist_ok=True)
+        part_cols = list(partition_by or [])
+        adds = _stage_data_files(df, path, part_cols)
+        import uuid
+
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "CREATE TABLE AS SELECT",
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": _now_ms(),
+                }
+            },
+        ] + adds
+        if not _try_commit(path, 0, actions):
+            raise FileExistsError(f"{path}: version 0 already committed")
+        return 0
+    if not exists:
+        raise FileNotFoundError(
+            f"{path} is not a Delta table (use mode='create')"
+        )
+    for _ in range(5):
+        _, metadata, state, version = _snapshot_state(
+            spark, path, None, None
+        )
+        part_cols = list(metadata.get("partitionColumns") or [])
+        if partition_by is not None and list(partition_by) != part_cols:
+            raise DeltaProtocolError(
+                f"table is partitioned by {part_cols}, not {partition_by}"
+            )
+        table_cols = [
+            f["name"]
+            for f in json.loads(metadata["schemaString"])["fields"]
+        ]
+        if sorted(df.columns) != sorted(table_cols):
+            raise DeltaProtocolError(
+                f"schema mismatch: table has {table_cols}, data has"
+                f" {df.columns}"
+            )
+        adds = _stage_data_files(df, path, part_cols)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": mode.upper(),
+                }
+            }
+        ]
+        if mode == "overwrite":
+            actions += [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(state)
+            ]
+        actions += adds
+        if _try_commit(path, version + 1, actions):
+            return version + 1
+        # lost the race: orphan the staged files (never referenced by
+        # any commit — invisible to readers) and retry on fresh state
+    raise DeltaProtocolError(
+        f"{path}: lost {5} consecutive commit races"
+    )
+
+
+def delta_delete_where(
+    spark: SparkSession, path: str, predicate_sql: str
+) -> dict:
+    """Copy-on-write DELETE (reference delta connector DELETE): only
+    files that CONTAIN matching rows are rewritten without them; the
+    rest of the table is untouched. One commit: remove(touched) +
+    add(rewrites). Returns {'version', 'files_rewritten'}."""
+    from pyspark.sql import functions as F
+
+    for _ in range(5):
+        _, metadata, state, version = _snapshot_state(
+            spark, path, None, None
+        )
+        part_cols = list(metadata.get("partitionColumns") or [])
+        df = read_delta_snapshot(spark, path).withColumn(
+            "__sf", F.input_file_name()
+        )
+        hit_files = {
+            r["__sf"]
+            for r in df.filter(predicate_sql).select("__sf").distinct().collect()
+        }
+        if not hit_files:
+            return {"version": version, "files_rewritten": 0}
+        # map absolute scan paths back to log-relative add paths
+        by_abs = {
+            os.path.abspath(os.path.join(path, unquote(p))): p
+            for p in state
+        }
+        removed = []
+        for f in hit_files:
+            ap = os.path.abspath(_strip_uri(f))
+            if ap not in by_abs:
+                raise DeltaProtocolError(f"scanned file not in log: {f}")
+            removed.append(by_abs[ap])
+        keep = (
+            df.filter(f"__sf IN ({_in_list(hit_files)})")
+            .filter(f"NOT ({predicate_sql})")
+            .drop("__sf")
+        )
+        adds = _stage_data_files(keep, path, part_cols)
+        actions = (
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "DELETE",
+                    }
+                }
+            ]
+            + [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(removed)
+            ]
+            + adds
+        )
+        if _try_commit(path, version + 1, actions):
+            return {
+                "version": version + 1,
+                "files_rewritten": len(removed),
+            }
+    raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
+
+
+def _strip_uri(p: str) -> str:
+    return re.sub(r"^file:(//)?", "", p)
+
+
+def _in_list(values) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))

@@ -167,6 +167,49 @@ def read_table(
     return reader.load(path_or_table)
 
 
+def write_lakehouse_table(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write a delta/iceberg/hudi table. With the connector jar present
+    this is the DSv2 writer; without it, Delta writes route through the
+    repo's own log-protocol writer (sources/delta_log.write_delta —
+    create/append/overwrite + the put-if-absent commit rule), while
+    iceberg/hudi writes stay jar-gated (their commit protocols hinge on
+    avro manifests / timeline services this deployment cannot author
+    safely)."""
+    spark = df.sparkSession
+    if fmt == "delta" and not connector_available(spark, "delta"):
+        from witdb_spark.sources.delta_log import write_delta
+
+        wmode = (
+            "create"
+            if mode in ("create", "errorifexists")
+            else ("overwrite" if mode == "overwrite" else "append")
+        )
+        if wmode == "append":
+            import os as _os
+
+            # appending to a not-yet-table creates it (DSv2 behavior)
+            if not _os.path.isdir(_os.path.join(path, "_delta_log")):
+                wmode = "create"
+        write_delta(
+            spark, df, path, mode=wmode, partition_by=partition_by
+        )
+        return
+    _require(spark, fmt)
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def read_kafka_batch(
     spark: SparkSession,
     bootstrap_servers: str,
