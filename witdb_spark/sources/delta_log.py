@@ -439,13 +439,17 @@ def write_delta(
     )
 
 
-def delta_delete_where(
-    spark: SparkSession, path: str, predicate_sql: str
+def _rewrite_matched_files(
+    spark: SparkSession,
+    path: str,
+    predicate_sql: str,
+    operation: str,
+    rewrite,
 ) -> dict:
-    """Copy-on-write DELETE (reference delta connector DELETE): only
-    files that CONTAIN matching rows are rewritten without them; the
-    rest of the table is untouched. One commit: remove(touched) +
-    add(rewrites). Returns {'version', 'files_rewritten'}."""
+    """Shared copy-on-write kernel for DELETE/UPDATE (reference delta
+    connector row-level operations): files CONTAINING matches are
+    rewritten through ``rewrite(rows_of_those_files)``; the rest of the
+    table is untouched. One commit: remove(touched) + add(rewrites)."""
     from pyspark.sql import functions as F
 
     for _ in range(5):
@@ -458,7 +462,10 @@ def delta_delete_where(
         )
         hit_files = {
             r["__sf"]
-            for r in df.filter(predicate_sql).select("__sf").distinct().collect()
+            for r in df.filter(predicate_sql)
+            .select("__sf")
+            .distinct()
+            .collect()
         }
         if not hit_files:
             return {"version": version, "files_rewritten": 0}
@@ -473,18 +480,16 @@ def delta_delete_where(
             if ap not in by_abs:
                 raise DeltaProtocolError(f"scanned file not in log: {f}")
             removed.append(by_abs[ap])
-        keep = (
-            df.filter(f"__sf IN ({_in_list(hit_files)})")
-            .filter(f"NOT ({predicate_sql})")
-            .drop("__sf")
+        touched = df.filter(f"__sf IN ({_in_list(hit_files)})").drop(
+            "__sf"
         )
-        adds = _stage_data_files(keep, path, part_cols)
+        adds = _stage_data_files(rewrite(touched), path, part_cols)
         actions = (
             [
                 {
                     "commitInfo": {
                         "timestamp": _now_ms(),
-                        "operation": "DELETE",
+                        "operation": operation,
                     }
                 }
             ]
@@ -506,6 +511,209 @@ def delta_delete_where(
                 "files_rewritten": len(removed),
             }
     raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
+
+
+def delta_delete_where(
+    spark: SparkSession, path: str, predicate_sql: str
+) -> dict:
+    """Copy-on-write DELETE: rewrite matched files without the matching
+    rows. Returns {'version', 'files_rewritten'}."""
+    return _rewrite_matched_files(
+        spark,
+        path,
+        predicate_sql,
+        "DELETE",
+        lambda rows: rows.filter(f"NOT ({predicate_sql})"),
+    )
+
+
+def delta_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate_sql: str,
+    assignments: dict[str, str],
+) -> dict:
+    """Copy-on-write UPDATE: in matched files, matching rows get the
+    SQL-expression assignments applied; unmatched rows in those files
+    are carried verbatim. Returns {'version', 'files_rewritten'}."""
+    from pyspark.sql import functions as F
+
+    def rewrite(rows):
+        out = rows
+        for col, expr in assignments.items():
+            if col not in rows.columns:
+                raise DeltaProtocolError(f"no such column {col!r}")
+            out = out.withColumn(
+                col,
+                F.when(
+                    F.expr(predicate_sql), F.expr(expr)
+                ).otherwise(F.col(col)),
+            )
+        return out
+
+    return _rewrite_matched_files(
+        spark, path, predicate_sql, "UPDATE", rewrite
+    )
+
+
+def delta_merge_into(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: list[str],
+    **merge_kwargs,
+) -> dict:
+    """MERGE INTO a Delta table, file-level copy-on-write (reference
+    delta connector MERGE): any target file containing a key-matched
+    row is rewritten through sources/merge.merge_into applied to JUST
+    those files' rows plus the whole source (a source row matching a
+    row in an untouched file is impossible — that file would be
+    touched), so unmatched files are never rewritten and pure inserts
+    commit as plain adds. Accepts merge_into's clause kwargs."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.merge import merge_into
+
+    for _ in range(5):
+        _, metadata, state, version = _snapshot_state(
+            spark, path, None, None
+        )
+        part_cols = list(metadata.get("partitionColumns") or [])
+        df = read_delta_snapshot(spark, path).withColumn(
+            "__sf", F.input_file_name()
+        )
+        hit_files = {
+            r["__sf"]
+            for r in df.join(
+                source.select(*on).distinct(), on=on, how="left_semi"
+            )
+            .select("__sf")
+            .distinct()
+            .collect()
+        }
+        if hit_files:
+            touched = df.filter(f"__sf IN ({_in_list(hit_files)})").drop(
+                "__sf"
+            )
+        else:
+            touched = df.limit(0).drop("__sf")
+        merged = merge_into(touched, source, on, **merge_kwargs)
+        by_abs = {
+            os.path.abspath(os.path.join(path, unquote(p))): p
+            for p in state
+        }
+        removed = []
+        for f in hit_files:
+            ap = os.path.abspath(_strip_uri(f))
+            if ap not in by_abs:
+                raise DeltaProtocolError(f"scanned file not in log: {f}")
+            removed.append(by_abs[ap])
+        adds = _stage_data_files(merged, path, part_cols)
+        if not removed and not adds:
+            return {"version": version, "files_rewritten": 0}
+        actions = (
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "MERGE",
+                    }
+                }
+            ]
+            + [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(removed)
+            ]
+            + adds
+        )
+        if _try_commit(path, version + 1, actions):
+            return {
+                "version": version + 1,
+                "files_rewritten": len(removed),
+            }
+    raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
+
+
+def delta_checkpoint(spark: SparkSession, path: str) -> int:
+    """Write a classic parquet checkpoint of the CURRENT snapshot plus
+    ``_last_checkpoint`` (the protocol's log-compaction step —
+    reference delta connector CheckpointWriter analog): readers
+    bootstrap from it instead of replaying every JSON commit, which is
+    what keeps a long-lived table's planning O(checkpoint) instead of
+    O(commits). Returns the checkpointed version."""
+    protocol, metadata, state, version = _snapshot_state(
+        spark, path, None, None
+    )
+    rows = [
+        (
+            (
+                int(protocol.get("minReaderVersion", 1)),
+                int(protocol.get("minWriterVersion", 2)),
+            ),
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                metadata.get("id"),
+                (
+                    (metadata.get("format") or {}).get(
+                        "provider", "parquet"
+                    ),
+                    dict((metadata.get("format") or {}).get("options") or {}),
+                ),
+                metadata["schemaString"],
+                list(metadata.get("partitionColumns") or []),
+                dict(metadata.get("configuration") or {}),
+            ),
+            None,
+        ),
+    ] + [
+        (
+            None,
+            None,
+            (
+                add["path"],
+                dict(add.get("partitionValues") or {}),
+                int(add.get("size", 0)),
+                int(add.get("modificationTime", 0)),
+                bool(add.get("dataChange", True)),
+            ),
+        )
+        for add in state.values()
+    ]
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>,"
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    )
+    import glob
+    import shutil
+    import uuid
+
+    staging = os.path.join(path, f".cp-staging-{uuid.uuid4().hex}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    dest = os.path.join(
+        _log_dir(path), f"{version:020d}.checkpoint.parquet"
+    )
+    shutil.move(part, dest)
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version
 
 
 def _strip_uri(p: str) -> str:
