@@ -146,7 +146,13 @@ def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     """Distributed jar-free Avro scan: the driver decodes ONE header for
     the schema; files decode on executors (binaryFiles partitions them).
     The codec source ships inside the closure via exec — executors in a
-    foreign deployment need no witdb_spark on their PYTHONPATH."""
+    foreign deployment need no witdb_spark on their PYTHONPATH.
+
+    Scale note: parallelism is per FILE (binaryFiles holds a whole file
+    in executor memory; Avro blocks inside one file are not split), so
+    this path suits the many-modest-files layout Avro datasets ship in.
+    A single multi-GB file needs the spark-avro jar, which splits on
+    sync markers."""
     import glob
     import os
 
