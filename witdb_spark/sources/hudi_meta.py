@@ -124,6 +124,79 @@ def read_hudi_snapshot(
     return spark.read.parquet(*files)
 
 
+def write_hudi(
+    spark: SparkSession, df, path: str, mode: str = "append"
+) -> str:
+    """Jar-free Hudi COW write, INSERT path only (create/append/
+    overwrite as bulk-insert of fresh file groups; keyed UPSERT needs
+    the hudi-spark bundle's record-key index). Each staged parquet file
+    becomes its own file group; a commit JSON publishes them —
+    overwrite retires every prior file group via a replacecommit, the
+    timeline's own mechanism for insert-overwrite. Returns the commit
+    instant."""
+    import datetime
+    import glob
+    import shutil
+    import uuid
+
+    if mode not in ("create", "append", "overwrite"):
+        raise ValueError("mode must be create/append/overwrite")
+    exists = os.path.isdir(_meta_dir(path))
+    if mode == "create" and exists:
+        raise FileExistsError(f"{path} is already a Hudi table")
+    if not exists:
+        os.makedirs(_meta_dir(path))
+        with open(
+            os.path.join(_meta_dir(path), "hoodie.properties"), "w"
+        ) as f:
+            f.write(
+                "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
+                % os.path.basename(path.rstrip("/"))
+            )
+    else:
+        props = _properties(path)
+        if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
+            raise HudiProtocolError(
+                "writes to MERGE_ON_READ tables need the hudi-spark bundle"
+            )
+    instant = datetime.datetime.utcnow().strftime("%Y%m%d%H%M%S%f")[:17]
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    stats = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        fid = uuid.uuid4().hex
+        rel = f"{fid}_0_{instant}.parquet"
+        shutil.move(f, os.path.join(path, rel))
+        stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "totalWriteBytes": os.path.getsize(
+                    os.path.join(path, rel)
+                ),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    meta: dict = {"partitionToWriteStats": {"": stats}}
+    action = "commit"
+    if mode == "overwrite" and exists:
+        rels = [
+            os.path.relpath(p, path) for p in hudi_base_files(path)
+        ]
+        if any(os.sep in r for r in rels):
+            raise HudiProtocolError(
+                "overwrite of a PARTITIONED Hudi table needs the"
+                " hudi-spark bundle (partitioned replace bookkeeping)"
+            )
+        prior = {r.split("_", 1)[0] for r in rels}
+        meta["partitionToReplaceFileIds"] = {"": sorted(prior)}
+        action = "replacecommit"
+    target = os.path.join(_meta_dir(path), f"{instant}.{action}")
+    with open(target, "x") as f:  # put-if-absent on the instant
+        json.dump(meta, f)
+    return instant
+
+
 def hudi_commits(path: str) -> list[dict]:
     """Completed-commit history (reference `timeline` metadata)."""
     return [

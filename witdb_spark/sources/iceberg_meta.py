@@ -217,6 +217,219 @@ def read_iceberg_snapshot(
     return df.select(*cols)
 
 
+# ------------------------------------------------------------------ write
+# HadoopTables-style commits (public spec: a snapshot = new manifest
+# avro + new manifest list avro + a new vN.metadata.json; the metadata
+# file is the commit point — open-exclusive gives put-if-absent on a
+# posix filesystem; version-hint.text then points readers at it).
+# Self-consistent with this module's reader and shaped per the spec's
+# required fields; full iceberg-library interop (field-id avro
+# attributes, column stats, partition summaries) stays on the jar.
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ],
+        }},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_SPARK_TO_ICE = {
+    "bigint": "long", "int": "int", "integer": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz", "binary": "binary",
+}
+
+
+def _spark_schema_to_iceberg(df) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        ddl = f.dataType.simpleString()
+        if ddl in _SPARK_TO_ICE:
+            t = _SPARK_TO_ICE[ddl]
+        elif ddl.startswith("decimal"):
+            t = ddl.replace("decimal(", "decimal(").replace(",", ", ")
+        else:
+            raise IcebergProtocolError(
+                f"column {f.name!r}: type {ddl} needs the"
+                " iceberg-spark-runtime jar (nested/field-id mapping)"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "type": t,
+                "required": not f.nullable,
+            }
+        )
+    return {"schema-id": 0, "type": "struct", "fields": fields}
+
+
+def write_iceberg(
+    spark: SparkSession, df, path: str, mode: str = "append"
+) -> int:
+    """Jar-free Iceberg write (unpartitioned; create/append/overwrite):
+    data parquet + manifest avro + manifest-list avro, committed by the
+    new vN.metadata.json (open-exclusive = the spec's atomic-swap
+    contract on a filesystem). Returns the committed snapshot id."""
+    import glob
+    import shutil
+    import uuid
+
+    if mode not in ("create", "append", "overwrite"):
+        raise ValueError("mode must be create/append/overwrite")
+    exists = os.path.isdir(os.path.join(path, "metadata"))
+    if mode == "create" and exists:
+        raise FileExistsError(f"{path} is already an Iceberg table")
+    if mode != "create" and not exists:
+        mode = "create"
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    entries = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        rel = os.path.join("data", os.path.basename(f))
+        n_rows = pq.ParquetFile(f).metadata.num_rows
+        shutil.move(f, os.path.join(path, rel))
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    from witdb_spark.sources.avro_codec import write_avro_file
+
+    for _ in range(5):
+        if mode == "create" and not os.path.exists(
+            os.path.join(path, "metadata", "v1.metadata.json")
+        ):
+            meta, version, snap_id = None, 1, 1
+            prior_manifests: list[dict] = []
+            schema = _spark_schema_to_iceberg(df)
+        else:
+            meta = _current_metadata(path)
+            if [f["name"] for f in _table_schema(meta)["fields"]] != list(
+                df.columns
+            ):
+                raise IcebergProtocolError(
+                    f"schema mismatch: table has"
+                    f" {[f['name'] for f in _table_schema(meta)['fields']]},"
+                    f" data has {df.columns}"
+                )
+            schema = _table_schema(meta)
+            snaps = meta.get("snapshots") or []
+            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+            hint = os.path.join(path, "metadata", "version-hint.text")
+            version = (
+                int(open(hint).read().strip()) + 1
+                if os.path.exists(hint)
+                else len(snaps) + 1
+            )
+            prior_manifests = []
+            if mode == "append" and snaps:
+                cur = _pick_snapshot(meta, None, None)
+                _, prior_manifests = read_avro_file(
+                    _resolve(path, cur["manifest-list"])
+                )
+        mpath = os.path.join(
+            path, "metadata", f"m-{uuid.uuid4().hex}.avro"
+        )
+        write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [
+            dict(e, snapshot_id=snap_id) for e in entries
+        ])
+        mlist = os.path.join(
+            path, "metadata", f"snap-{snap_id}.avro"
+        )
+        manifests = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ] + [dict(m) for m in prior_manifests]
+        write_avro_file(mlist, _MANIFEST_FILE_SCHEMA, manifests)
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+            "location": path,
+            "last-column-id": max(
+                (f["id"] for f in schema["fields"]), default=0
+            ),
+            "current-schema-id": schema.get("schema-id", 0),
+            "schemas": [schema],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "current-snapshot-id": snap_id,
+            "snapshots": ((meta or {}).get("snapshots") or [])
+            + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": _now_ms_ice(),
+                    "manifest-list": mlist,
+                }
+            ],
+        }
+        target = os.path.join(
+            path, "metadata", f"v{version}.metadata.json"
+        )
+        try:
+            with open(target, "x") as f:
+                json.dump(new_meta, f)
+        except FileExistsError:
+            continue  # lost the version race — re-read and retry
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"), "w"
+        ) as f:
+            f.write(str(version))
+        return snap_id
+    raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
+def _now_ms_ice() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
 def iceberg_snapshots(path: str) -> list[dict]:
     """Snapshot history (reference `table$snapshots` metadata table)."""
     meta = _current_metadata(path)

@@ -176,13 +176,35 @@ def write_lakehouse_table(
     **options,
 ) -> None:
     """Write a delta/iceberg/hudi table. With the connector jar present
-    this is the DSv2 writer; without it, Delta writes route through the
-    repo's own log-protocol writer (sources/delta_log.write_delta —
-    create/append/overwrite + the put-if-absent commit rule), while
-    iceberg/hudi writes stay jar-gated (their commit protocols hinge on
-    avro manifests / timeline services this deployment cannot author
-    safely)."""
+    this is the DSv2 writer; without it, writes route through the
+    repo's own protocol writers: Delta (sources/delta_log.write_delta —
+    create/append/overwrite, COW DML elsewhere in that module), Iceberg
+    (sources/iceberg_meta.write_iceberg — unpartitioned
+    create/append/overwrite, HadoopTables-style metadata.json commits),
+    and Hudi COW inserts (sources/hudi_meta.write_hudi — fresh file
+    groups per commit; keyed upserts need the bundle's record index)."""
     spark = df.sparkSession
+    if fmt == "iceberg" and not connector_available(spark, "iceberg"):
+        from witdb_spark.sources.iceberg_meta import write_iceberg
+
+        wmode = "create" if mode in ("create", "errorifexists") else mode
+        if partition_by:
+            raise ValueError(
+                "partitioned iceberg writes need the"
+                " iceberg-spark-runtime jar (partition-spec transforms)"
+            )
+        write_iceberg(spark, df, path, mode=wmode)
+        return
+    if fmt == "hudi" and not connector_available(spark, "hudi"):
+        from witdb_spark.sources.hudi_meta import write_hudi
+
+        wmode = "create" if mode in ("create", "errorifexists") else mode
+        if partition_by:
+            raise ValueError(
+                "partitioned hudi writes need the hudi-spark bundle"
+            )
+        write_hudi(spark, df, path, mode=wmode)
+        return
     if fmt == "delta" and not connector_available(spark, "delta"):
         from witdb_spark.sources.delta_log import write_delta
 
