@@ -682,9 +682,12 @@ UNSUPPORTED: dict[str, str] = {
     " the scalable two-level builds stay operator APIs, mirroring the"
     " reference's partial/final accumulator split), and histogram /"
     " multimap_agg / map_union rewrite at transpile time"
-    " (plans/dialect.py _rewrite_agg_calls). The one remaining deviation:"
-    " the reference overloads `merge(sketch)` by operand type; SQL name"
-    " resolution here cannot, so the merge names are type-suffixed."
+    " (plans/dialect.py _rewrite_agg_calls). The merge(sketch) overload"
+    " resolves since r8: _rewrite_generic_merge infers the sketch type"
+    " from the producing build's alias in the same statement (the"
+    " reference's plan-time type dispatch, done at transpile time);"
+    " only storage-read blobs with no visible producer still need the"
+    " type-suffixed names."
     " Historical note on the rest:"
     " the sketch builders/mergers are Python operator APIs"
     " (operators/hll.py, qdigest.py, tdigest.py, setdigest.py) and the"
