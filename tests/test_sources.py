@@ -792,6 +792,44 @@ def test_hudi_write_path(spark, tmp_path):
     ) == [1, 2]
 
 
+def test_delta_optimize_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts the active file set (dataChange=false commit);
+    VACUUM physically deletes unreferenced files past retention — after
+    which time travel to the compacted-away versions stops, exactly
+    Delta's contract."""
+    from witdb_spark.sources.delta_log import (
+        delta_optimize,
+        delta_vacuum,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "otbl")
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id bigint, name string"),
+            t,
+            mode="append" if i else "create",
+        )
+    res = delta_optimize(spark, t, target_files=1)
+    n_before = res["files_before"]
+    assert n_before >= 3 and res["files_after"] == 1
+    assert sorted(
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    ) == [0, 1, 2]
+    # pre-optimize version still reads (files not yet vacuumed)
+    assert sorted(
+        r.id for r in read_delta_snapshot(spark, t, version=2).collect()
+    ) == [0, 1, 2]
+    # vacuum with zero retention deletes every replaced file
+    res = delta_vacuum(spark, t, retain_ms=0)
+    assert res["deleted"] == n_before
+    # current snapshot unaffected; a second vacuum finds nothing
+    assert read_delta_snapshot(spark, t).count() == 3
+    assert delta_vacuum(spark, t, retain_ms=0)["deleted"] == 0
+
+
 def test_delta_merge_into(spark, tmp_path):
     """File-level copy-on-write MERGE on a Delta table: update a
     matched key, delete a matched key on condition, insert unmatched —

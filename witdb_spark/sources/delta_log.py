@@ -716,6 +716,92 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     return version
 
 
+def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dict:
+    """Compaction (reference delta connector OPTIMIZE / Delta's own
+    OPTIMIZE): rewrite the active files of each partition into
+    ``target_files`` larger ones, committed with dataChange=false so
+    streaming readers know no rows changed. Small-file proliferation is
+    THE operational cost of frequent COW commits at scale — compaction
+    plus checkpointing keeps both the data and the log O(content), not
+    O(history). Returns {'version', 'files_before', 'files_after'}."""
+    for _ in range(5):
+        _, metadata, state, version = _snapshot_state(
+            spark, path, None, None
+        )
+        if len(state) <= target_files:
+            return {
+                "version": version,
+                "files_before": len(state),
+                "files_after": len(state),
+            }
+        part_cols = list(metadata.get("partitionColumns") or [])
+        df = read_delta_snapshot(spark, path)
+        if part_cols:
+            df = df.repartition(target_files, *part_cols)
+        else:
+            df = df.coalesce(target_files)
+        adds = _stage_data_files(df, path, part_cols)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        actions = (
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "OPTIMIZE",
+                    }
+                }
+            ]
+            + [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": False,
+                    }
+                }
+                for p in sorted(state)
+            ]
+            + adds
+        )
+        if _try_commit(path, version + 1, actions):
+            return {
+                "version": version + 1,
+                "files_before": len(state),
+                "files_after": len(adds),
+            }
+    raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
+
+
+def delta_vacuum(
+    spark: SparkSession, path: str, retain_ms: int = 7 * 24 * 3600 * 1000
+) -> dict:
+    """VACUUM: physically delete data files no longer referenced by the
+    CURRENT snapshot whose modification time is older than the
+    retention window (the same contract as Delta's VACUUM — time travel
+    to vacuumed versions stops working, which is why the default
+    retention is 7 days). Returns {'deleted': n}."""
+    import glob
+
+    _, _, state, _ = _snapshot_state(spark, path, None, None)
+    active = {
+        os.path.abspath(os.path.join(path, unquote(p))) for p in state
+    }
+    cutoff = _now_ms() / 1000.0 - retain_ms / 1000.0
+    deleted = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, path)
+        if rel.startswith("_delta_log") or rel.startswith("."):
+            continue
+        if os.path.abspath(f) in active:
+            continue
+        if os.path.getmtime(f) > cutoff:
+            continue
+        os.remove(f)
+        deleted += 1
+    return {"deleted": deleted}
+
+
 def _strip_uri(p: str) -> str:
     return re.sub(r"^file:(//)?", "", p)
 
