@@ -146,6 +146,38 @@ def test_transpile_bracket_edges(sql, expected):
     assert transpile(sql) == expected
 
 
+def test_call_delta_procedures(engine, spark, tmp_path):
+    """CALL system.optimize/vacuum/checkpoint — the reference delta
+    connector's procedure surface over path tables."""
+    from witdb_spark.sources.delta_log import (
+        delta_table_version,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "proc_tbl")
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i,)], "id bigint"),
+            t,
+            mode="append" if i else "create",
+        )
+    row = engine.sql(f"CALL system.optimize('{t}')").collect()[0]
+    assert row.files_after == 1 and row.files_before >= 3
+    row = engine.sql(
+        f"CALL system.vacuum(table_path => '{t}', retention => '0s')"
+    ).collect()[0]
+    assert row.deleted_files >= 3
+    row = engine.sql(f"CALL system.checkpoint('{t}')").collect()[0]
+    assert row.checkpointed_version == delta_table_version(spark, t)
+    assert read_delta_snapshot(spark, t).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retention"):
+        engine.sql(f"CALL system.vacuum('{t}', 'soon')")
+
+
 def test_table_ptf_spellings(engine):
     """FROM TABLE(sequence(..)) / TABLE(exclude_columns(..)) — the SQL
     spelling of the polymorphic table functions (reference SPI

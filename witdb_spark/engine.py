@@ -135,6 +135,14 @@ class Engine:
             self.sql(inner).createOrReplaceTempView("__show_stats_q")
             return self.show_stats("__show_stats_q")
         m = re.match(
+            r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint)\s*\(",
+            text, re.I,
+        )
+        if m:  # lakehouse procedures (reference plugin/trino-delta-lake
+            # procedure/VacuumProcedure.java + OptimizeTableProcedure;
+            # path-based tables here, so the argument is the table path)
+            return self._call_delta_procedure(m.group(1).lower(), text, m)
+        m = re.match(
             r"^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
             text, re.I,
         )
@@ -426,6 +434,67 @@ class Engine:
         if named_params:
             return self.spark.sql(spark_sql, args=named_params)
         return self.spark.sql(spark_sql)
+
+    def _call_delta_procedure(self, proc: str, text: str, m) -> DataFrame:
+        """CALL system.vacuum('<path>'[, '<retention>']) /
+        system.optimize('<path>'[, target_files]) /
+        system.checkpoint('<path>') — the reference delta connector's
+        procedure surface (VacuumProcedure.java takes schema, table,
+        retention; path-based tables here take the table path).
+        Returns a one-row summary DataFrame."""
+        from witdb_spark.plans.dialect import (
+            _match_paren,
+            _split_call_args,
+        )
+        from witdb_spark.sources.delta_log import (
+            delta_checkpoint,
+            delta_optimize,
+            delta_vacuum,
+        )
+
+        open_idx = text.index("(", m.start())
+        close_idx = _match_paren(text, open_idx)
+        if text[close_idx + 1 :].strip().rstrip(";").strip():
+            raise ValueError("trailing tokens after CALL procedure")
+        args = []
+        for a in _split_call_args(text[open_idx + 1 : close_idx]):
+            a = a.strip()
+            a = re.sub(r"(?is)^[A-Za-z_]\w*\s*=>\s*", "", a)  # named ok
+            if len(a) >= 2 and a[0] == a[-1] == "'":
+                a = a[1:-1].replace("''", "'")
+            args.append(a)
+        if not args or not args[0]:
+            raise ValueError(f"system.{proc} needs a table path")
+        path = args[0]
+        if proc == "vacuum":
+            retain_ms = 7 * 24 * 3600 * 1000
+            if len(args) > 1:
+                rm = re.fullmatch(r"(\d+)\s*([dhms])", args[1].strip())
+                if rm is None:
+                    raise ValueError(
+                        "retention must look like '7d', '12h', '30m', '0s'"
+                    )
+                retain_ms = int(rm.group(1)) * {
+                    "d": 86_400_000, "h": 3_600_000,
+                    "m": 60_000, "s": 1_000,
+                }[rm.group(2)]
+            res = delta_vacuum(self.spark, path, retain_ms=retain_ms)
+            return self.spark.createDataFrame(
+                [(path, res["deleted"])], "path string, deleted_files bigint"
+            )
+        if proc == "optimize":
+            target = int(args[1]) if len(args) > 1 else 1
+            res = delta_optimize(self.spark, path, target_files=target)
+            return self.spark.createDataFrame(
+                [(path, res["version"], res["files_before"],
+                  res["files_after"])],
+                "path string, version bigint, files_before bigint,"
+                " files_after bigint",
+            )
+        version = delta_checkpoint(self.spark, path)
+        return self.spark.createDataFrame(
+            [(path, version)], "path string, checkpointed_version bigint"
+        )
 
     def _prop_enabled(self, conf: str) -> bool:
         try:
