@@ -139,6 +139,67 @@ def stratified_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_total: int,
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/domain-balance
+    sampler of mBERT/XLM-R — public methodology): per-source quotas
+    proportional to n_s^alpha with alpha = 0.5, so small sources are
+    UP-weighted relative to their share and head sources are capped.
+    Returns the per-source mixing report: size, weight, integer quota,
+    and how many documents the deterministic md5-bucket filter actually
+    kept (the same hash-threshold device as ``stratified_sample`` — no
+    RNG, reproducible across engines and runs).
+
+    Determinism: sqrt is correctly rounded in IEEE 754 (identical in any
+    engine); the weight is floored to integer parts-per-million and the
+    quota computed with INTEGER division, so no cross-engine float
+    summation ever happens. The final keep fraction is one IEEE division.
+
+    Scale shape: one partial-agg shuffle for the source counts, one
+    broadcast of the ~|sources| quota table, one map-only filter, one
+    partial-agg count — the corpus is never shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    a6 = F.floor(F.sqrt(F.col("_n").cast("double")) * F.lit(1000000.0)).cast(
+        "bigint"
+    )
+    weighted = counts.withColumn("weight_ppm", a6)
+    total = weighted.agg(F.sum("weight_ppm").alias("_t"))
+    quota = weighted.crossJoin(F.broadcast(total)).withColumn(
+        "quota", F.expr(f"({int(target_total)} * weight_ppm) div _t")
+    )
+    frac = F.least(
+        F.lit(1.0), F.col("quota").cast("double") / F.col("_n")
+    )
+    quota = quota.withColumn("_frac", frac)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    sampled = (
+        df.join(F.broadcast(quota), strata_col)
+        .where(bucket < F.col("_frac") * 10000)
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        quota.join(sampled, strata_col, "left")
+        .select(
+            strata_col,
+            F.col("_n").alias("n_docs"),
+            "weight_ppm",
+            "quota",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
 # Above this benchmark count the inline-literal expression plan stops
 # scaling (each vector is its own higher-order fold in ONE projection —
 # codegen falls back to interpreted mode and driver planning grows

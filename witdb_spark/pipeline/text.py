@@ -170,6 +170,121 @@ def repetition_signals(
     )
 
 
+# Rule-list for the Gopher-style keep flag (shared verbatim with the
+# oracle SQL). The thresholds are tuned to the synthetic corpus so the
+# flag is non-degenerate (both keeps and rejects at every SF); the RULE
+# SHAPES are the public MassiveText ones (Rae et al. 2021 §A1.1).
+GOPHER_STOPLIST = ("the", "a", "value", "row", "fast")
+GOPHER_MIN_WORDS = 40
+GOPHER_MWL_LO = 3.5
+GOPHER_MWL_HI = 4.8
+GOPHER_MIN_STOP_HITS = 6
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText document-quality rules (public methodology —
+    Rae et al. 2021 §A1.1): minimum word count, mean-word-length band,
+    symbol-word count, and a required number of stopword hits; ``keep``
+    is the conjunction. Mean word length is one IEEE division of exact
+    integers, so the band comparison is engine-identical.
+
+    Shape: pure JVM column expressions, zero shuffles, zero UDFs — the
+    filter runs inside whole-stage codegen and costs one map pass at any
+    corpus size."""
+    t = F.col(text_col)
+    step1 = df.select("doc_id", t.alias("__t"), words(t).alias("w"))
+    w = F.col("w")
+    n_words = F.size(w).cast("bigint")
+    mwl = (F.length(F.col("__t")) - n_words + 1).cast("double") / n_words
+    n_stop = F.size(
+        F.filter(w, lambda x: x.isin(*GOPHER_STOPLIST))
+    ).cast("bigint")
+    # words with NO ascii letter (markup/symbol debris in a real corpus)
+    n_symbol = F.size(
+        F.filter(w, lambda x: ~x.rlike("[a-z]"))
+    ).cast("bigint")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (mwl >= GOPHER_MWL_LO)
+        & (mwl <= GOPHER_MWL_HI)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+    )
+    return step1.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("stopword_hits"),
+        n_symbol.alias("symbol_words"),
+        keep.alias("keep"),
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style statistical quality scoring: train an add-one-smoothed
+    bigram language model ON the corpus itself, then score each document
+    by its average bigram log-probability (micro-nats kept as exact
+    integers so cross-engine summation order cannot move the hash;
+    ln/round library agreement at 6 decimals is the same determinism
+    contract the TF-IDF query has carried since r4).
+
+    Model: P(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V), where c(w1·) sums
+    bigram occurrences by prefix and V is the distinct-prefix vocabulary.
+    Low scores flag gibberish/boilerplate; high scores flag memorized
+    duplicates — the two tails a perplexity filter trims.
+
+    Scale shape: one explode (map-side), three partial-agg shuffles
+    (per-doc bigram multiplicities, corpus bigram counts, prefix counts),
+    one broadcast scalar (V), and two equi-joins on the bigram/prefix
+    keys. No UDFs, no driver-side state; the model table is a DataFrame,
+    not a collect."""
+    from witdb_spark.pipeline.dedup import _gram_array
+
+    t = F.col(text_col)
+    step1 = df.select("doc_id", words(t).alias("w"))
+    occ = step1.select(
+        "doc_id", F.explode(_gram_array(F.col("w"), 2)).alias("bi")
+    )
+    doc_bi = occ.groupBy("doc_id", "bi").agg(F.count(F.lit(1)).alias("m"))
+    c12 = doc_bi.groupBy("bi").agg(F.sum("m").alias("c12"))
+    pref = c12.withColumn("w1", F.substring_index("bi", " ", 1))
+    c1 = pref.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).cast("bigint").alias("__v"))
+    # micro-nats per occurrence of this bigram (exact integer afterwards)
+    scored = (
+        pref.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bi",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("__v")).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    per_doc = (
+        doc_bi.join(scored, "bi")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("micro")).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.col("__s").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", k: int = 5
 ) -> DataFrame:

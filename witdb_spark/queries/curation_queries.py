@@ -196,3 +196,42 @@ def curation_semantic_decontaminated(
     return semantic_decontaminate(
         corpus, bench, threshold=0.35
     ).select("vec_id", "max_bench_cosine")
+
+
+@register(
+    "curation_temperature_mix",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+            CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+              AS weight_ppm
+          FROM c),
+    t AS (SELECT SUM(weight_ppm) AS t FROM w),
+    q AS (SELECT w.source, w.n, w.weight_ppm,
+            CAST((200 * w.weight_ppm) // t.t AS BIGINT) AS quota
+          FROM w CROSS JOIN t),
+    s AS (SELECT d.source, COUNT(*) AS n_sampled
+          FROM documents d JOIN q ON q.source = d.source
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000
+                < LEAST(1.0, CAST(q.quota AS DOUBLE) / q.n) * 10000
+          GROUP BY d.source)
+    SELECT q.source, CAST(q.n AS BIGINT) AS n_docs, q.weight_ppm, q.quota,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM q LEFT JOIN s ON s.source = q.source
+    """,
+    doc="Temperature-based source mixing (pipeline/curation.py "
+    "temperature_mix): per-source quotas proportional to sqrt(n_s) — the "
+    "mBERT/XLM-R domain-balance sampler — with integer parts-per-million "
+    "weights and integer quota division so no cross-engine float "
+    "summation exists; documents selected by the deterministic "
+    "md5-bucket threshold. One tiny agg + broadcast; corpus never "
+    "shuffled.",
+    tags=("pipeline", "curation", "sampling"),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.pipeline.curation import temperature_mix
+
+    return temperature_mix(
+        Tables(spark, sf_dir).documents, "source", "doc_id", 200
+    )

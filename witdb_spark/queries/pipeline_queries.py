@@ -655,3 +655,147 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     pairs = minhash_near_duplicates(docs)
     return duplicate_clusters(pairs)
+
+
+# ------------------------------------------------------------- quality ----
+
+@register(
+    "text_gopher_quality",
+    """
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS mean_word_len,
+            CAST(len(list_filter(w,
+                x -> x IN ('the','a','value','row','fast'))) AS BIGINT)
+              AS stopword_hits,
+            CAST(len(list_filter(w,
+                x -> NOT regexp_matches(x, '[a-z]'))) AS BIGINT)
+              AS symbol_words
+          FROM d)
+    SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_words,
+           (n_words >= 40 AND mean_word_len >= 3.5 AND mean_word_len <= 4.8
+            AND stopword_hits >= 6) AS keep
+    FROM m
+    """,
+    doc="Gopher/MassiveText document-quality rules (pipeline/text.py "
+    "gopher_quality_flags): word-count floor, mean-word-length band, "
+    "symbol-word count, stopword-hit floor, and the conjunction keep "
+    "flag. Pure JVM map pass, zero shuffles.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality_flags(Tables(spark, sf_dir).documents)
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    occ AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS bi
+            FROM d WHERE len(w) >= 2),
+    doc_bi AS (SELECT doc_id, bi, COUNT(*) AS m FROM occ GROUP BY 1, 2),
+    c12 AS (SELECT bi, SUM(m) AS c12 FROM doc_bi GROUP BY bi),
+    pref AS (SELECT bi, c12, string_split(bi, ' ')[1] AS w1 FROM c12),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM pref GROUP BY w1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    scored AS (SELECT p.bi,
+                 CAST(round(ln(CAST(p.c12 + 1 AS DOUBLE)
+                               / CAST(c.c1 + v.v AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS micro
+               FROM pref p JOIN c1 c ON c.w1 = p.w1 CROSS JOIN v)
+    SELECT db.doc_id,
+           CAST(SUM(db.m) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(db.m * s.micro) AS DOUBLE)
+                 / (CAST(SUM(db.m) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+    FROM doc_bi db JOIN scored s ON s.bi = db.bi
+    GROUP BY db.doc_id
+    """,
+    doc="CCNet-style perplexity-proxy filtering (pipeline/text.py "
+    "bigram_logprob): add-one-smoothed bigram LM trained on the corpus "
+    "itself, each document scored by mean bigram log-probability. "
+    "Micro-nat integers keep cross-engine summation exact; explode + "
+    "three partial-agg shuffles + two equi-joins, no UDFs.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logprob(Tables(spark, sf_dir).documents)
+
+
+# ------------------------------------------------------------- packing ----
+
+@register(
+    "pipeline_pack_concat",
+    """
+    WITH d AS (SELECT source, doc_id,
+                 CAST(length(text) // 4 + len(string_split(text, ' '))
+                      AS BIGINT) AS tok
+               FROM documents),
+    o AS (SELECT source, doc_id, tok,
+            CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS end_off
+          FROM d),
+    s AS (SELECT source, doc_id, tok, end_off - tok AS start_off, end_off
+          FROM o),
+    x AS (SELECT source, doc_id, tok, start_off, end_off,
+            unnest(range(start_off // 256, (end_off - 1) // 256 + 1))
+              AS chunk_id
+          FROM s)
+    SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(SUM(LEAST(end_off, (chunk_id + 1) * 256)
+                    - GREATEST(start_off, chunk_id * 256)) AS BIGINT)
+             AS fill_tokens
+    FROM x GROUP BY source, chunk_id
+    """,
+    doc="GPT-style concatenate-and-split sequence packing (pipeline/"
+    "packing.py concat_chunk_pack): documents laid end-to-end per source "
+    "and cut every 256 estimated tokens; per chunk the touching-document "
+    "count, first/last document and fill. Window + exact integer `div` "
+    "arithmetic, one shuffle on source + one partial-agg shuffle.",
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.pipeline.packing import concat_chunk_pack
+
+    return concat_chunk_pack(Tables(spark, sf_dir).documents, budget=256)
+
+
+@register(
+    "pipeline_pack_nextfit",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(length(text) // 4 + len(string_split(text, ' '))
+                  AS BIGINT) AS tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    st AS (
+      SELECT source, rn, doc_id, tok, CAST(1 AS BIGINT) AS bin_id,
+             tok AS cur
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT n.source, n.rn, n.doc_id, n.tok,
+             CASE WHEN s.cur + n.tok > 256 THEN s.bin_id + 1
+                  ELSE s.bin_id END,
+             CASE WHEN s.cur + n.tok > 256 THEN n.tok
+                  ELSE s.cur + n.tok END
+      FROM st s JOIN d n ON n.source = s.source AND n.rn = s.rn + 1)
+    SELECT source, doc_id, tok, bin_id, cur - tok AS bin_offset FROM st
+    """,
+    doc="Boundary-preserving next-fit bin packing (pipeline/packing.py "
+    "greedy_nextfit_pack): per document its bin and in-bin token offset; "
+    "a bin closes when the next document does not fit in the 256-token "
+    "budget. Arrow-batched per-source pandas scan (the recurrence is the "
+    "algorithm's own data dependency); the oracle replays it as a "
+    "recursive CTE — fully independent machinery.",
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.pipeline.packing import greedy_nextfit_pack
+
+    return greedy_nextfit_pack(Tables(spark, sf_dir).documents, budget=256)

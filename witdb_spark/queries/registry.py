@@ -62,7 +62,10 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # — more than the 50 slots, so the window is ALL new/changed:
 # tranches 4-6 (40), the two geometry entries, and 8 of tranche 7
 # (q3 q7 q8 q10 q13 q15 q18 + the q16-twin q94). Round 9's head, in
-# order: the 8 late-r8 queries (below the boundary), then the
+# order: the late-r8 queries (below the boundary — the lakehouse
+# paths, weighted digests, DISTINCT fold, PTF spelling, and the five
+# late LLM-pipeline ops: Gopher rules, bigram-LM scoring, the two
+# sequence packers, temperature mixing), then the
 # remaining 20 tranche-7 texts (q19 q21 q24 q35 q52 q54 q63 q69 q71
 # q72 q73 q79 q80 q82 q83 q84 q85 q86 q91 q92), then the 44 r3-era
 # greens, then the r4-era 50. Everything keeps local DuckDB coverage
@@ -111,6 +114,14 @@ _PRIORITY: tuple[str, ...] = (
     "hudi_timeline_reader_snapshot",
     # (r8-new: no-jar Delta write path — create/COW-delete/append)
     "delta_writer_roundtrip",
+    # (r8-new, late: LLM-pipeline tier growth — Gopher quality rules,
+    # bigram-LM perplexity proxy, both sequence packers, temperature
+    # mixing; hash-verified via the contract emulation in r8)
+    "text_gopher_quality",
+    "text_bigram_logprob",
+    "pipeline_pack_concat",
+    "pipeline_pack_nextfit",
+    "curation_temperature_mix",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
