@@ -667,6 +667,76 @@ def test_sketch_split_filter_and_having_spellings(spark):
     assert set(having) == {"A", "R"}
 
 
+def test_sketch_split_mixed_aggregates(spark):
+    """r8: mixed-aggregate blocks — a sketch build alongside JVM
+    aggregates. Spark rejects GROUPED_AGG pandas UDFs mixed with JVM
+    aggregates in ONE aggregation (INVALID_PANDAS_UDF_PLACEMENT) at any
+    level, so these queries previously could not run at all; the rewrite
+    puts the JVM co-aggs in their own native aggregation tree joined back
+    on null-safe group keys while the sketch tree still splits
+    PARTIAL -> FINAL. The zero-row GLOBAL corner keeps count(*) = 0
+    (the JVM tree is a native global aggregation)."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq,"
+        " min(l_shipdate) AS d0, max(l_shipdate) AS d1,"
+        " hll_cardinality(approx_set(l_orderkey)) AS c"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    got = {r["l_returnflag"]: r for r in df.collect()}
+    want = {
+        r["l_returnflag"]: r
+        for r in spark.sql(
+            "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq,"
+            " min(l_shipdate) AS d0, max(l_shipdate) AS d1,"
+            " COUNT(DISTINCT l_orderkey) AS c"
+            " FROM parquet.`%s/lineitem.parquet`"
+            " GROUP BY l_returnflag" % SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g["n"], g["sq"], g["d0"], g["d1"]) == (
+            w["n"], w["sq"], w["d0"], w["d1"],
+        ), (k, g, w)
+        assert abs(g["c"] - w["c"]) <= max(5, 0.05 * w["c"]), (k, g, w)
+    # zero-row global aggregation: count is 0, not NULL
+    row = eng.sql(
+        "SELECT count(*) AS n, approx_set(l_orderkey) AS h"
+        " FROM lineitem WHERE l_quantity < 0"
+    ).collect()
+    assert len(row) == 1 and row[0]["n"] == 0 and row[0]["h"] is None
+    # non-decomposable JVM aggregates (avg, stddev) ride the JVM tree
+    # natively — no textual decomposition needed
+    got2 = {
+        r["l_returnflag"]: (r["a"], r["s"])
+        for r in eng.sql(
+            "SELECT l_returnflag, avg(l_quantity) AS a,"
+            " stddev(l_quantity) AS s, approx_set(l_orderkey) AS h"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    want2 = {
+        r["l_returnflag"]: (r["a"], r["s"])
+        for r in spark.sql(
+            "SELECT l_returnflag, avg(l_quantity) AS a,"
+            " stddev(l_quantity) AS s"
+            " FROM parquet.`%s/lineitem.parquet`"
+            " GROUP BY l_returnflag" % SF_DIR
+        ).collect()
+    }
+    assert got2 == want2
+
+
 def test_sketch_split_order_by_limit_hoist(spark):
     """r8: outer ORDER BY [LIMIT] — the spelling a report writer uses —
     hoists past the two-level split (ordering runs after aggregation);

@@ -1319,11 +1319,32 @@ _SKETCH_BUILD_FORMS = {
     "make_set_digest": ("merge_set_digest", False),
 }
 
-# NOTE: co-aggregates (count/sum/...) are NOT split alongside sketches:
-# Spark refuses to mix GROUPED_AGG pandas UDFs with non-pandas aggregate
-# functions in one aggregation (INVALID_PANDAS_UDF_PLACEMENT), so such a
-# block fails identically with or without the rewrite — bail and let the
-# single-level error surface.
+# JVM aggregates allowed ALONGSIDE sketch builds in one SELECT block
+# (r8). Spark refuses to mix GROUPED_AGG pandas UDFs with non-pandas
+# aggregates in one aggregation (INVALID_PANDAS_UDF_PLACEMENT) at every
+# level, so a mixed block cannot run single-level at all; the rewrite
+# moves these to their own native aggregation tree joined back on
+# null-safe group keys. Whitelist, not "anything that parses as a
+# call": a scalar expression item must keep bailing the whole block
+# (it would be misplaced into an aggregation). Names valid in both the
+# Trino dialect and Spark SQL, so the rewrite is placement-neutral in
+# the remaining transpiler pipeline.
+_JVM_CO_AGGS = frozenset({
+    "count", "sum", "min", "max", "avg",
+    "count_if", "bool_and", "bool_or", "every",
+    "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop",
+})
+
+# Identifiers permitted in the trailing arguments of a scalar-wrapped
+# sketch build (values_at_quantiles(qdigest_agg(v), array(0.5)) — the
+# trailing args move to the merge level, so they must be literal-only:
+# a source-column reference would not resolve above the aggregation.
+_WRAP_REST_OK = frozenset({
+    "array", "cast", "as", "double", "real", "float", "int", "integer",
+    "bigint", "smallint", "tinyint", "decimal", "true", "false", "null",
+    "interval", "date", "timestamp", "row",
+})
 
 
 def _norm_expr(text: str) -> str:
@@ -1808,9 +1829,12 @@ def _rewrite_sketch_two_level(sql: str) -> str:
     so each group builds SKETCH_SALT_BUCKETS constant-size partials in
     parallel and only K-point blobs cross the final shuffle. Applies to
     the canonical aggregate shape (plain SELECT items over one FROM
-    clause, optional WHERE/GROUP BY, co-aggregates limited to
-    count/sum/min/max, everything aliased). r7 widens the canonical
-    shape one notch: FILTER (WHERE p) on the sketch argument folds to
+    clause, optional WHERE/GROUP BY, everything aliased). JVM
+    co-aggregates (_JVM_CO_AGGS) move to their own native aggregation
+    tree joined back on null-safe group keys — Spark cannot place a
+    GROUPED_AGG pandas UDF next to a JVM aggregate at any level, so
+    mixed blocks would otherwise not run at all (r8). r7 widens the
+    canonical shape one notch: FILTER (WHERE p) on the sketch argument folds to
     CASE WHEN p THEN x END (sketch aggs skip NULLs), and a HAVING whose
     predicate touches only group-key columns hoists into the source
     WHERE. Any other shape keeps the single-level plan unchanged — a
@@ -1834,16 +1858,25 @@ def _rewrite_sketch_two_level(sql: str) -> str:
         if m is None:
             break
         depths, instr = _scan_maps(sql)
-        d = depths[m.start()]
+        # the ENCLOSING select: nearest preceding SELECT whose depth
+        # equals the minimum depth between it and the call. A deeper
+        # preceding SELECT is a sibling subquery (depth dips below it
+        # before the call); a WRAPPED call (hll_cardinality(approx_set(
+        # ...))) sits deeper than its own SELECT, so requiring equal
+        # depths — the pre-r8 rule — never found its block at all.
         sel = None
-        for sm in re.finditer(r"\bSELECT\b", sql, re.I):
-            if sm.start() >= m.start():
-                break
-            if not instr[sm.start()] and depths[sm.start()] == d:
+        for sm in reversed(
+            list(re.finditer(r"\bSELECT\b", sql[: m.start()], re.I))
+        ):
+            if instr[sm.start()]:
+                continue
+            if depths[sm.start()] == min(depths[sm.start() : m.start()]):
                 sel = sm
+                break
         if sel is None:
             sql = keep(sql, m.start())
             continue
+        d = depths[sel.start()]
         if d == 0:
             end = len(sql)
         else:
@@ -1974,7 +2007,13 @@ def _sketch_block_two_level(block: str) -> str | None:
     salts: list[str] = []
     exact_args: list[str] = []
     matched_keys: set[str] = set()
+    plain_items: list[str] = []       # JVM co-aggregate tree select items
+    key_plain_items: list[str] = []   # group keys in the JVM tree
+    final_items: list[str] = []       # join-level select, original order
+    join_refs: list[str] = []         # output names of the group keys
     j = 0
+    n_sketch = 0
+    n_wrapped = 0
     for item in _split_top_level(items_text):
         if not item:
             return None
@@ -1990,8 +2029,12 @@ def _sketch_block_two_level(block: str) -> str | None:
                 ref = expr.split(".")[-1]
             else:
                 return None  # complex unaliased key: output name unclear
-            outer_items.append(f"{ref} AS {ref}" if not alias else f"{ref} AS {alias}")
+            out = alias or ref
+            outer_items.append(f"{ref} AS {out}")
             outer_group.append(ref)
+            key_plain_items.append(f"{expr} AS {out}")
+            join_refs.append(out)
+            final_items.append(f"__pa.{out} AS {out}")
             continue
         call = _parse_agg_call(expr)
         if call is None or alias is None:
@@ -1999,6 +2042,31 @@ def _sketch_block_two_level(block: str) -> str | None:
         fname, args = call
         if re.match(r"(?is)^\s*DISTINCT\b", args):
             return None
+        if fname not in _SKETCH_BUILD_FORMS and fname not in _JVM_CO_AGGS:
+            # scalar-wrapped sketch build — the spelling a user writes
+            # first: hll_cardinality(approx_set(x)),
+            # values_at_quantiles(qdigest_agg(v), array(..)). The wrapper
+            # (and any trailing literal-only arguments) moves to the
+            # merge level; anything else bails the whole block.
+            parts = _split_top_level(args)
+            inner_call = _parse_agg_call(parts[0]) if parts else None
+            rest = [r.strip() for r in parts[1:]]
+            if (
+                inner_call is None
+                or inner_call[0] not in _SKETCH_BUILD_FORMS
+                or any(
+                    t.lower() not in _WRAP_REST_OK
+                    for r in rest
+                    for t in re.findall(r"[A-Za-z_]\w*", r)
+                )
+            ):
+                return None
+            wrapper, (fname, args) = fname, inner_call
+            if re.match(r"(?is)^\s*DISTINCT\b", args):
+                return None
+            n_wrapped += 1
+        else:
+            wrapper, rest = None, []
         if fname in _SKETCH_BUILD_FORMS:
             merge_name, needs_rank_salt = _SKETCH_BUILD_FORMS[fname]
             arg_list = _split_top_level(args)
@@ -2016,17 +2084,45 @@ def _sketch_block_two_level(block: str) -> str | None:
             else:
                 exact_args.append(args)
             inner_items.append(f"__SKPART_{fname}__({args}) AS __sp{j}")
-            outer_items.append(f"{merge_name}(__sp{j}) AS {alias}")
+            merged = f"{merge_name}(__sp{j})"
+            if wrapper is not None:
+                merged = f"{wrapper}({', '.join([merged] + rest)})"
+            outer_items.append(f"{merged} AS {alias}")
+            final_items.append(f"__sk.{alias} AS {alias}")
+            n_sketch += 1
+        elif fname in _JVM_CO_AGGS:
+            # r8: mixed-aggregate blocks. Spark refuses a grouped-agg
+            # pandas UDF alongside JVM aggregates in ONE aggregation
+            # (INVALID_PANDAS_UDF_PLACEMENT) at every level, so without
+            # this branch the query cannot run at all. The JVM co-aggs
+            # move to their own native aggregation tree, joined back to
+            # the sketch tree on null-safe group keys — two scans of the
+            # source, which is the minimum Spark's placement rule allows,
+            # and each tree keeps its ideal plan (JVM partial/final
+            # hash agg; salted pandas PARTIAL -> blob-merge FINAL).
+            plain_items.append(f"{fname}({args}) AS {alias}")
+            final_items.append(f"__pa.{alias} AS {alias}")
         else:
             return None
         j += 1
-    if j == 0:
+    if n_sketch == 0:
+        return None
+    if n_wrapped and not plain_items:
+        # A pure block of wrapped builds runs fine single-level, and the
+        # registered single-level oracles (weighted/DISTINCT digests)
+        # replay exactly that plan — only a MIXED block, which Spark
+        # cannot run single-level at all, justifies changing the digest
+        # to merge-grade under the wrapper.
         return None
     # group keys that never appear as select items still must flow up
     for i, k in enumerate(keys):
         if _norm_expr(k) not in matched_keys:
             inner_items.append(f"{k} AS __gk{i}")
             outer_group.append(f"__gk{i}")
+            if plain_items:
+                outer_items.append(f"__gk{i} AS __gk{i}")
+                key_plain_items.append(f"{k} AS __gk{i}")
+                join_refs.append(f"__gk{i}")
     if not salts:
         salts = [
             f"pmod(hash({', '.join(exact_args)}), {SKETCH_SALT_BUCKETS})"
@@ -2043,7 +2139,27 @@ def _sketch_block_two_level(block: str) -> str | None:
     outer = "SELECT " + ", ".join(outer_items) + f" FROM ({inner}) __sk_part"
     if outer_group:
         outer += " GROUP BY " + ", ".join(outer_group)
-    return outer + trailing
+    if not plain_items:
+        return outer + trailing
+    jvm = "SELECT " + ", ".join(key_plain_items + plain_items)
+    jvm += " FROM " + source_text
+    if keys:
+        jvm += " GROUP BY " + ", ".join(keys)
+    # LEFT JOIN, not inner: both trees emit the same group set when a
+    # group has rows, but a GLOBAL aggregation over ZERO rows is one row
+    # on the JVM side (ANSI: count(*) = 0) and zero rows from an Arrow
+    # grouped-agg UDAF (Spark platform behavior) — the left join keeps
+    # the ANSI row with NULL sketches.
+    cond = (
+        " AND ".join(f"__pa.{r} <=> __sk.{r}" for r in join_refs)
+        if join_refs
+        else "true"
+    )
+    joined = (
+        "SELECT " + ", ".join(final_items)
+        + f" FROM ({jvm}) __pa LEFT JOIN ({outer}) __sk ON {cond}"
+    )
+    return joined + trailing
 
 
 def _rewrite_bit_count(sql: str) -> str:
