@@ -789,6 +789,20 @@ def test_sketch_split_order_by_limit_hoist(spark):
         )
     )
     assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan2)) == 1, plan2
+    # ORDER BY a group key that is NOT an output column: the hoist must
+    # bail (the key is unresolvable above the rewritten block) and the
+    # valid single-level query still runs
+    df3 = eng.sql(
+        "SELECT approx_set(l_orderkey) AS h"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    plan3 = df3._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan3)) == 1, plan3
+    assert len(df3.collect()) == 3
 
 
 def test_qdigest_weighted_two_level(spark):

@@ -1252,3 +1252,118 @@ def test_versioned_table_time_travel(spark, tmp_path):
         f"'{hist[2]['ts'].replace('T', ' ')}'"
     ).collect()[0].n
     assert nt2 == 6
+
+
+def test_delta_update_swap_and_predicate_snapshot(spark, tmp_path):
+    """SQL UPDATE evaluates every assignment RHS and the predicate
+    against the PRE-update row: {'a': 'b', 'b': 'a'} is a swap, and an
+    assignment that falsifies the predicate must not suppress later
+    assignments (r8 review fix: chained withColumn leaked updated
+    values into subsequent expressions)."""
+    from witdb_spark.sources.delta_log import (
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "swaptbl")
+    df0 = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "id bigint, a bigint, b bigint"
+    )
+    write_delta(spark, df0, t, mode="create")
+    delta_update_where(spark, t, "a > 0", {"a": "b", "b": "a"})
+    got = {r.id: (r.a, r.b) for r in read_delta_snapshot(spark, t).collect()}
+    assert got == {1: (100, 10), 2: (200, 20)}
+    # predicate snapshot: zeroing `a` must not stop b's increment
+    t2 = str(tmp_path / "predtbl")
+    write_delta(spark, df0, t2, mode="create")
+    delta_update_where(spark, t2, "a > 0", {"a": "0", "b": "b + 1"})
+    got = {r.id: (r.a, r.b) for r in read_delta_snapshot(spark, t2).collect()}
+    assert got == {1: (0, 101), 2: (0, 201)}
+
+
+def test_delta_dml_on_path_with_space(spark, tmp_path):
+    """input_file_name() percent-encodes URIs; the scan-path -> log-path
+    map must percent-decode them or every DML on a table path containing
+    a space fails with 'scanned file not in log' (r8 review fix)."""
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "my table")
+    df0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, v double"
+    )
+    write_delta(spark, df0, t, mode="create")
+    delta_delete_where(spark, t, "id = 2")
+    got = sorted(r.id for r in read_delta_snapshot(spark, t).collect())
+    assert got == [1, 3]
+
+
+def test_avro_time_logical_types(spark, tmp_path):
+    """Avro time-millis/time-micros surface as nanos-of-day BIGINT (the
+    repo's TIME convention) through the jar-free read path; before the
+    r8 review fix the codec produced datetime.time against an
+    IntegerType column and the read crashed."""
+    from witdb_spark.sources.avro_codec import write_avro_file
+    from witdb_spark.sources.io import read_any
+
+    schema = {
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tm", "type": {"type": "int",
+                                    "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long",
+                                    "logicalType": "time-micros"}},
+        ],
+    }
+    p = str(tmp_path / "t.avro")
+    # 01:02:03.004 and 01:02:03.000004
+    ms = (1 * 3600 + 2 * 60 + 3) * 1000 + 4
+    us = (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 4
+    write_avro_file(p, schema, [{"id": 1, "tm": ms, "tu": us}])
+    row = read_any(spark, p, fmt="avro").collect()[0]
+    assert row.tm == ms * 1_000_000
+    assert row.tu == us * 1_000
+    assert dict(read_any(spark, p, fmt="avro").dtypes)["tm"] == "bigint"
+
+
+def test_lakehouse_delta_overwrite_creates(spark, tmp_path):
+    """mode='overwrite' on a not-yet-existing jar-free Delta table
+    creates it, matching the DSv2 writer's behavior (r8 review fix:
+    previously FileNotFoundError)."""
+    from witdb_spark.sources.delta_log import read_delta_snapshot
+    from witdb_spark.sources.lakehouse import write_lakehouse_table
+
+    t = str(tmp_path / "newtbl")
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    write_lakehouse_table(df, "delta", t, mode="overwrite")
+    assert read_delta_snapshot(spark, t).count() == 1
+
+
+def test_hudi_instant_claimed_before_publish(spark, tmp_path):
+    """write_hudi claims its instant via a put-if-absent .requested
+    marker BEFORE publishing data files (r8 review fix: a same-
+    millisecond collision after publication crashed and orphaned
+    files); markers are invisible to the completed-instant reader."""
+    import glob
+    import os
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_commits,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "htbl")
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    i1 = write_hudi(spark, df, t, mode="create")
+    i2 = write_hudi(spark, df, t, mode="append")
+    assert i1 != i2
+    marks = glob.glob(os.path.join(t, ".hoodie", "*.requested"))
+    assert len(marks) == 2
+    assert [c["instant"] for c in hudi_commits(t)] == sorted([i1, i2])
+    assert read_hudi_snapshot(spark, t).count() == 2

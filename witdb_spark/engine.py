@@ -520,7 +520,7 @@ class Engine:
         name (tpcds q4's year_total output column) is unaffected."""
         from witdb_spark.plans.dialect import _match_paren, _scan_maps
 
-        head = re.match(r"\s*WITH\s+", sql)
+        head = re.match(r"\s*WITH\s+", sql, re.I)
         if head is None or re.match(r"\s*WITH\s+RECURSIVE\b", sql, re.I):
             return sql
 

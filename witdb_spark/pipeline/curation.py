@@ -144,7 +144,6 @@ def temperature_mix(
     strata_col: str,
     id_col: str,
     target_total: int,
-    alpha_sqrt: bool = True,
 ) -> DataFrame:
     """Temperature-based source mixing (the multilingual/domain-balance
     sampler of mBERT/XLM-R — public methodology): per-source quotas

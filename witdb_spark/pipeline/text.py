@@ -203,11 +203,14 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_symbol = F.size(
         F.filter(w, lambda x: ~x.rlike("[a-z]"))
     ).cast("bigint")
+    # >= 80% of words must contain a letter (symbol_words are the
+    # complement), the MassiveText alpha-word rule — exact integer form
     keep = (
         (n_words >= GOPHER_MIN_WORDS)
         & (mwl >= GOPHER_MWL_LO)
         & (mwl <= GOPHER_MWL_HI)
         & (n_stop >= GOPHER_MIN_STOP_HITS)
+        & (n_symbol * 5 <= n_words)
     )
     return step1.select(
         "doc_id",

@@ -1928,6 +1928,7 @@ def _sketch_block_two_level(block: str) -> str | None:
     # item is a bare alias / column / ordinal (an aggregate expression
     # like ORDER BY count(*) would change meaning over the partials).
     trailing = ""
+    sort_cores: list[str] = []
     tm = top_kw(r"\bORDER\s+BY\b") or top_kw(r"\bLIMIT\b")
     if tm:
         tail = block[tm.start():].strip()
@@ -1945,6 +1946,8 @@ def _sketch_block_two_level(block: str) -> str | None:
             ).strip()
             if core and not re.fullmatch(r"[A-Za-z_]\w*|\d+", core):
                 return None
+            if core:
+                sort_cores.append(core)
         trailing = " " + tail
         block = block[: tm.start()]
         bd, binstr = _scan_maps(block)
@@ -2014,6 +2017,7 @@ def _sketch_block_two_level(block: str) -> str | None:
     j = 0
     n_sketch = 0
     n_wrapped = 0
+    out_names: list[str] = []
     for item in _split_top_level(items_text):
         if not item:
             return None
@@ -2035,6 +2039,7 @@ def _sketch_block_two_level(block: str) -> str | None:
             key_plain_items.append(f"{expr} AS {out}")
             join_refs.append(out)
             final_items.append(f"__pa.{out} AS {out}")
+            out_names.append(out)
             continue
         call = _parse_agg_call(expr)
         if call is None or alias is None:
@@ -2104,9 +2109,19 @@ def _sketch_block_two_level(block: str) -> str | None:
             final_items.append(f"__pa.{alias} AS {alias}")
         else:
             return None
+        out_names.append(alias)
         j += 1
     if n_sketch == 0:
         return None
+    # hoisted ORDER BY items must be OUTPUT columns of the block (or
+    # ordinals within range): a group key absent from the select list is
+    # sortable in the original query but unresolvable above the rewrite
+    for core in sort_cores:
+        if re.fullmatch(r"\d+", core):
+            if not 1 <= int(core) <= len(out_names):
+                return None
+        elif core.lower() not in {o.lower() for o in out_names}:
+            return None
     if n_wrapped and not plain_items:
         # A pure block of wrapped builds runs fine single-level, and the
         # registered single-level oracles (weighted/DISTINCT digests)

@@ -675,7 +675,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d)
     SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_words,
            (n_words >= 40 AND mean_word_len >= 3.5 AND mean_word_len <= 4.8
-            AND stopword_hits >= 6) AS keep
+            AND stopword_hits >= 6 AND symbol_words * 5 <= n_words) AS keep
     FROM m
     """,
     doc="Gopher/MassiveText document-quality rules (pipeline/text.py "

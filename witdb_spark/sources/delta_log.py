@@ -539,17 +539,23 @@ def delta_update_where(
     from pyspark.sql import functions as F
 
     def rewrite(rows):
-        out = rows
-        for col, expr in assignments.items():
+        # one SELECT, not chained withColumn: SQL UPDATE evaluates every
+        # assignment RHS and the predicate against the PRE-update row, so
+        # {'a': 'b', 'b': 'a'} is a swap and an assignment that falsifies
+        # the predicate must not suppress later assignments
+        for col in assignments:
             if col not in rows.columns:
                 raise DeltaProtocolError(f"no such column {col!r}")
-            out = out.withColumn(
-                col,
+        return rows.select(
+            *[
                 F.when(
-                    F.expr(predicate_sql), F.expr(expr)
-                ).otherwise(F.col(col)),
-            )
-        return out
+                    F.expr(predicate_sql), F.expr(assignments[c])
+                ).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
 
     return _rewrite_matched_files(
         spark, path, predicate_sql, "UPDATE", rewrite
@@ -803,7 +809,11 @@ def delta_vacuum(
 
 
 def _strip_uri(p: str) -> str:
-    return re.sub(r"^file:(//)?", "", p)
+    """file:-URI -> local path. input_file_name() returns a percent-
+    ENCODED URI (spaces, non-ASCII), while the add-action paths are
+    unquote()d before joining — decode so the two sides of the
+    scan-path -> log-path map agree for any table/partition path."""
+    return unquote(re.sub(r"^file:(//)?", "", p))
 
 
 def _in_list(values) -> str:

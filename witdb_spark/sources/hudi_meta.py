@@ -137,6 +137,7 @@ def write_hudi(
     import datetime
     import glob
     import shutil
+    import time
     import uuid
 
     if mode not in ("create", "append", "overwrite"):
@@ -159,7 +160,30 @@ def write_hudi(
             raise HudiProtocolError(
                 "writes to MERGE_ON_READ tables need the hudi-spark bundle"
             )
-    instant = datetime.datetime.utcnow().strftime("%Y%m%d%H%M%S%f")[:17]
+    # claim the instant FIRST (put-if-absent on a .requested marker,
+    # Hudi's own protocol): two writers in the same millisecond would
+    # otherwise collide on the completed-commit filename only AFTER
+    # their data files were already published. The completed instants
+    # regex ignores .requested, so claims are invisible to readers.
+    action = (
+        "replacecommit" if mode == "overwrite" and exists else "commit"
+    )
+    for _ in range(50):
+        instant = datetime.datetime.utcnow().strftime(
+            "%Y%m%d%H%M%S%f"
+        )[:17]
+        try:
+            with open(
+                os.path.join(
+                    _meta_dir(path), f"{instant}.{action}.requested"
+                ),
+                "x",
+            ):
+                break
+        except FileExistsError:
+            time.sleep(0.001)
+    else:
+        raise HudiProtocolError("could not claim a commit instant")
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     stats = []
@@ -178,8 +202,7 @@ def write_hudi(
         )
     shutil.rmtree(staging, ignore_errors=True)
     meta: dict = {"partitionToWriteStats": {"": stats}}
-    action = "commit"
-    if mode == "overwrite" and exists:
+    if action == "replacecommit":
         rels = [
             os.path.relpath(p, path) for p in hudi_base_files(path)
         ]
@@ -190,9 +213,9 @@ def write_hudi(
             )
         prior = {r.split("_", 1)[0] for r in rels}
         meta["partitionToReplaceFileIds"] = {"": sorted(prior)}
-        action = "replacecommit"
     target = os.path.join(_meta_dir(path), f"{instant}.{action}")
-    with open(target, "x") as f:  # put-if-absent on the instant
+    # the .requested claim made this instant ours; 'x' stays as a belt
+    with open(target, "x") as f:
         json.dump(meta, f)
     return instant
 

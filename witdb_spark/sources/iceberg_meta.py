@@ -374,8 +374,13 @@ def write_iceberg(
         write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [
             dict(e, snapshot_id=snap_id) for e in entries
         ])
+        # uuid in the name (real Iceberg does the same): two concurrent
+        # writers compute the same snap_id from the same current
+        # metadata, and a deterministic pre-commit name would let the
+        # loser clobber the winner's manifest list BEFORE the
+        # open-exclusive metadata commit decides the race
         mlist = os.path.join(
-            path, "metadata", f"snap-{snap_id}.avro"
+            path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
         )
         manifests = [
             {

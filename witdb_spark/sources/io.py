@@ -107,6 +107,11 @@ def _avro_to_spark_type(schema, names):
             return T.DateType()
         if lt in ("timestamp-millis", "timestamp-micros"):
             return T.TimestampNTZType()
+        if lt in ("time-millis", "time-micros"):
+            # Spark has no TIME type; the repo-wide convention (TIME
+            # operator tier) is nanos-of-day BIGINT — _tupleize converts
+            # the codec's datetime.time to match
+            return T.LongType()
         if lt == "decimal":
             return T.DecimalType(schema.get("precision", 38),
                                  schema.get("scale", 0))
@@ -207,6 +212,14 @@ def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
                     k: _tupleize(schema["values"], v, names)
                     for k, v in value.items()
                 }
+            if schema.get("logicalType") in ("time-millis", "time-micros"):
+                # codec yields datetime.time; the Spark column is
+                # nanos-of-day BIGINT (see _avro_to_spark_type)
+                return (
+                    (value.hour * 3600 + value.minute * 60 + value.second)
+                    * 1_000_000_000
+                    + value.microsecond * 1_000
+                )
         return value
 
     wschema_c, names_c = wschema, names

@@ -213,10 +213,11 @@ def write_lakehouse_table(
             if mode in ("create", "errorifexists")
             else ("overwrite" if mode == "overwrite" else "append")
         )
-        if wmode == "append":
+        if wmode in ("append", "overwrite"):
             import os as _os
 
-            # appending to a not-yet-table creates it (DSv2 behavior)
+            # appending to / overwriting a not-yet-table creates it
+            # (DSv2 behavior — the jar-backed writer does the same)
             if not _os.path.isdir(_os.path.join(path, "_delta_log")):
                 wmode = "create"
         write_delta(
