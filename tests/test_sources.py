@@ -1367,3 +1367,45 @@ def test_hudi_instant_claimed_before_publish(spark, tmp_path):
     assert len(marks) == 2
     assert [c["instant"] for c in hudi_commits(t)] == sorted([i1, i2])
     assert read_hudi_snapshot(spark, t).count() == 2
+
+
+def test_iceberg_cow_delete_update(spark, tmp_path):
+    """Jar-free Iceberg copy-on-write DELETE/UPDATE (sources/
+    iceberg_meta.py; reference iceberg connector COW write mode): only
+    files containing matches are rewritten, fully-deleted files vanish
+    from the new snapshot, prior snapshots still read the old data
+    (time travel), and UPDATE evaluates RHS against pre-update rows."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_snapshots,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "icedml")
+    df0 = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 7)], "id bigint, v double"
+    ).repartition(3)
+    base = write_iceberg(spark, df0, t, mode="create")
+    res = iceberg_delete_where(spark, t, "id IN (2, 5)")
+    assert res["files_rewritten"] >= 1
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert got == [1, 3, 4, 6]
+    # time travel: the base snapshot still has all six rows
+    assert read_iceberg_snapshot(spark, t, snapshot_id=base).count() == 6
+    # swap-style update: every RHS sees the pre-update row
+    res2 = iceberg_update_where(
+        spark, t, "id = 3", {"id": "CAST(v AS BIGINT)", "v": "CAST(id AS DOUBLE)"}
+    )
+    assert res2["files_rewritten"] >= 1
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {1: 10.0, 30: 3.0, 4: 40.0, 6: 60.0}
+    # no-match predicates commit nothing new
+    n_snaps = len(iceberg_snapshots(t))
+    res3 = iceberg_delete_where(spark, t, "id = 999")
+    assert res3["files_rewritten"] == 0
+    assert len(iceberg_snapshots(t)) == n_snaps
+    # deleting EVERY row of the table leaves an empty (readable) snapshot
+    iceberg_delete_where(spark, t, "true")
+    assert read_iceberg_snapshot(spark, t).count() == 0

@@ -1675,6 +1675,55 @@ def delta_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_dml_roundtrip",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'REDACTED' ELSE r_name END
+             AS r_name
+    FROM region
+    """,
+    doc="Jar-free Iceberg copy-on-write DML (sources/iceberg_meta.py "
+    "iceberg_delete_where/iceberg_update_where; reference iceberg "
+    "connector COW write mode): CTAS region into a fresh Iceberg "
+    "table, DELETE the odd keys (only matched files rewritten, old "
+    "files retained for time travel), UPDATE key 0's name, then append "
+    "the deleted rows back. The final snapshot must equal region with "
+    "one name redacted; a mislaid kept-file entry or a post-update "
+    "predicate re-evaluation would hash-mismatch.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.region.selectExpr(
+        "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_dml_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(spark, src, path, mode="create")
+    iceberg_delete_where(spark, path, "r_regionkey % 2 = 1")
+    iceberg_update_where(
+        spark, path, "r_regionkey = 0", {"r_name": "'REDACTED'"}
+    )
+    write_iceberg(
+        spark, src.filter("r_regionkey % 2 = 1"), path, mode="append"
+    )
+    return read_iceberg_snapshot(spark, path)
+
+
+@register(
     "ctas_writer_roundtrip",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -429,6 +429,194 @@ def write_iceberg(
     raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
+def _iceberg_rewrite_matched(
+    spark: SparkSession, path: str, predicate_sql: str, rewrite
+) -> dict:
+    """Copy-on-write file rewrite shared by DELETE/UPDATE (reference
+    iceberg connector COW write mode): scan the current snapshot with
+    input_file_name(), rewrite ONLY the files containing predicate
+    matches, and commit a self-contained snapshot whose single manifest
+    lists the kept files as EXISTING (status 0) entries plus the
+    rewritten outputs as ADDED (status 1). Old files stay on disk for
+    time travel. Returns {'snapshot_id', 'files_rewritten'}."""
+    import glob
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.avro_codec import write_avro_file
+    from witdb_spark.sources.delta_log import _strip_uri
+
+    meta = _current_metadata(path)
+    base_snap = _pick_snapshot(meta, None, None)["snapshot-id"]
+    files, cols = iceberg_data_files(path)
+    by_abs = {os.path.abspath(f): f for f in files}
+    if not files:
+        return {"snapshot_id": base_snap, "files_rewritten": 0}
+    df = spark.read.parquet(*sorted(set(files))).withColumn(
+        "__sf", F.input_file_name()
+    )
+    matched_uris = [
+        r["__sf"]
+        for r in df.where(predicate_sql).select("__sf").distinct().collect()
+    ]
+    matched_abs = set()
+    for u in matched_uris:
+        ap = os.path.abspath(_strip_uri(u))
+        if ap not in by_abs:
+            raise IcebergProtocolError(
+                f"scanned file {ap} not in the current snapshot"
+            )
+        matched_abs.add(ap)
+    if not matched_abs:
+        return {"snapshot_id": base_snap, "files_rewritten": 0}
+
+    survivors = rewrite(
+        df.where(
+            F.col("__sf").isin(matched_uris)
+        ).drop("__sf").select(*cols)
+    )
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    survivors.write.mode("overwrite").parquet(staging)
+    snaps = meta.get("snapshots") or []
+    snap_id = max(s["snapshot-id"] for s in snaps) + 1
+    entries = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        n_rows = pq.ParquetFile(f).metadata.num_rows
+        if n_rows == 0:
+            continue  # a fully-deleted file leaves no survivor file
+        rel = os.path.join("data", os.path.basename(f))
+        shutil.move(f, os.path.join(path, rel))
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    # kept files: prior manifest entries whose file survives, re-emitted
+    # as EXISTING with their original counts
+    cur_snap = _pick_snapshot(meta, None, None)
+    _, manifests = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
+    for mf in manifests:
+        _, prior = read_avro_file(_resolve(path, mf["manifest_path"]))
+        for e in prior:
+            if e.get("status", 1) == 2:
+                continue
+            ap = os.path.abspath(
+                _resolve(path, e["data_file"]["file_path"])
+            )
+            if ap in matched_abs:
+                continue
+            entries.append(dict(e, status=0, snapshot_id=snap_id))
+
+    mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA, [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": snap_id,
+        }
+    ])
+    new_meta = dict(
+        meta,
+        **{
+            "current-snapshot-id": snap_id,
+            "snapshots": snaps
+            + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": _now_ms_ice(),
+                    "manifest-list": mlist,
+                }
+            ],
+        },
+    )
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    for _ in range(5):
+        cur = _current_metadata(path)
+        if _pick_snapshot(cur, None, None)["snapshot-id"] != base_snap:
+            raise IcebergProtocolError(
+                f"{path}: concurrent commit during COW rewrite —"
+                " rewritten files are stale; re-run the statement"
+            )
+        version = (
+            int(open(hint).read().strip()) + 1
+            if os.path.exists(hint)
+            else len(snaps) + 1
+        )
+        target = os.path.join(path, "metadata", f"v{version}.metadata.json")
+        try:
+            with open(target, "x") as f:
+                json.dump(new_meta, f)
+        except FileExistsError:
+            continue  # version race with a reader-visible commit; recheck
+        with open(hint, "w") as f:
+            f.write(str(version))
+        return {"snapshot_id": snap_id, "files_rewritten": len(matched_abs)}
+    raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
+def iceberg_delete_where(
+    spark: SparkSession, path: str, predicate_sql: str
+) -> dict:
+    """Copy-on-write DELETE (reference iceberg connector DELETE in COW
+    mode): files containing matches are rewritten without the matching
+    rows; a file whose rows ALL match simply disappears from the new
+    snapshot. Prior snapshots still see the old files (time travel)."""
+    return _iceberg_rewrite_matched(
+        spark, path, predicate_sql,
+        lambda rows: rows.filter(f"NOT ({predicate_sql})"),
+    )
+
+
+def iceberg_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate_sql: str,
+    assignments: dict[str, str],
+) -> dict:
+    """Copy-on-write UPDATE: matching rows in matched files get the SQL
+    assignments applied; every RHS and the predicate evaluate against
+    the PRE-update row (one SELECT, no chained withColumn — the same
+    rule delta_update_where follows)."""
+    from pyspark.sql import functions as F
+
+    def rewrite(rows):
+        for col in assignments:
+            if col not in rows.columns:
+                raise IcebergProtocolError(f"no such column {col!r}")
+        return rows.select(
+            *[
+                F.when(
+                    F.expr(predicate_sql), F.expr(assignments[c])
+                ).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+
+    return _iceberg_rewrite_matched(spark, path, predicate_sql, rewrite)
+
+
 def _now_ms_ice() -> int:
     import time
 
