@@ -1409,3 +1409,44 @@ def test_iceberg_cow_delete_update(spark, tmp_path):
     # deleting EVERY row of the table leaves an empty (readable) snapshot
     iceberg_delete_where(spark, t, "true")
     assert read_iceberg_snapshot(spark, t).count() == 0
+
+
+def test_hudi_cow_delete_update(spark, tmp_path):
+    """Jar-free Hudi copy-on-write DELETE/UPDATE: one replacecommit
+    retires matched file groups and republishes survivors as fresh
+    groups; time travel to the prior instant still sees everything;
+    no-match predicates commit nothing."""
+    from witdb_spark.sources.hudi_meta import (
+        hudi_commits,
+        hudi_delete_where,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "hudml")
+    df0 = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 7)], "id bigint, v double"
+    ).repartition(3)
+    base = write_hudi(spark, df0, t, mode="create")
+    assert hudi_delete_where(spark, t, "id IN (2, 5)") is not None
+    got = sorted(r.id for r in read_hudi_snapshot(spark, t).collect())
+    assert got == [1, 3, 4, 6]
+    assert read_hudi_snapshot(spark, t, as_of_instant=base).count() == 6
+    assert (
+        hudi_update_where(
+            spark, t, "id = 3",
+            {"id": "CAST(v AS BIGINT)", "v": "CAST(id AS DOUBLE)"},
+        )
+        is not None
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {1: 10.0, 30: 3.0, 4: 40.0, 6: 60.0}
+    n = len(hudi_commits(t))
+    assert hudi_delete_where(spark, t, "id = 999") is None
+    assert len(hudi_commits(t)) == n
+    # deleting everything leaves zero active file groups
+    hudi_delete_where(spark, t, "true")
+    from witdb_spark.sources.hudi_meta import hudi_base_files
+
+    assert hudi_base_files(t) == []

@@ -1724,6 +1724,53 @@ def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_dml_roundtrip",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'REDACTED' ELSE r_name END
+             AS r_name
+    FROM region
+    """,
+    doc="Jar-free Hudi copy-on-write DML (sources/hudi_meta.py "
+    "hudi_delete_where/hudi_update_where): CTAS region into a fresh "
+    "Hudi table, DELETE the odd keys (matched file groups retired by a "
+    "replacecommit, survivors republished as fresh groups), UPDATE key "
+    "0's name, append the deleted rows back. The final snapshot must "
+    "hash-equal region with one name redacted.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def hudi_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_delete_where,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.region.selectExpr(
+        "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_dml_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi(spark, src, path, mode="create")
+    hudi_delete_where(spark, path, "r_regionkey % 2 = 1")
+    hudi_update_where(
+        spark, path, "r_regionkey = 0", {"r_name": "'REDACTED'"}
+    )
+    write_hudi(
+        spark, src.filter("r_regionkey % 2 = 1"), path, mode="append"
+    )
+    return read_hudi_snapshot(spark, path).select("r_regionkey", "r_name")
+
+
+@register(
     "ctas_writer_roundtrip",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -124,6 +124,32 @@ def read_hudi_snapshot(
     return spark.read.parquet(*files)
 
 
+def _claim_instant(path: str, action: str) -> str:
+    """Claim a commit instant FIRST (put-if-absent on a ``.requested``
+    marker, Hudi's own protocol): two writers in the same millisecond
+    would otherwise collide on the completed-commit filename only AFTER
+    their data files were already published. The completed-instants
+    regex ignores ``.requested``, so claims are invisible to readers."""
+    import datetime
+    import time
+
+    for _ in range(50):
+        instant = datetime.datetime.utcnow().strftime(
+            "%Y%m%d%H%M%S%f"
+        )[:17]
+        try:
+            with open(
+                os.path.join(
+                    _meta_dir(path), f"{instant}.{action}.requested"
+                ),
+                "x",
+            ):
+                return instant
+        except FileExistsError:
+            time.sleep(0.001)
+    raise HudiProtocolError("could not claim a commit instant")
+
+
 def write_hudi(
     spark: SparkSession, df, path: str, mode: str = "append"
 ) -> str:
@@ -134,10 +160,8 @@ def write_hudi(
     overwrite retires every prior file group via a replacecommit, the
     timeline's own mechanism for insert-overwrite. Returns the commit
     instant."""
-    import datetime
     import glob
     import shutil
-    import time
     import uuid
 
     if mode not in ("create", "append", "overwrite"):
@@ -160,30 +184,10 @@ def write_hudi(
             raise HudiProtocolError(
                 "writes to MERGE_ON_READ tables need the hudi-spark bundle"
             )
-    # claim the instant FIRST (put-if-absent on a .requested marker,
-    # Hudi's own protocol): two writers in the same millisecond would
-    # otherwise collide on the completed-commit filename only AFTER
-    # their data files were already published. The completed instants
-    # regex ignores .requested, so claims are invisible to readers.
     action = (
         "replacecommit" if mode == "overwrite" and exists else "commit"
     )
-    for _ in range(50):
-        instant = datetime.datetime.utcnow().strftime(
-            "%Y%m%d%H%M%S%f"
-        )[:17]
-        try:
-            with open(
-                os.path.join(
-                    _meta_dir(path), f"{instant}.{action}.requested"
-                ),
-                "x",
-            ):
-                break
-        except FileExistsError:
-            time.sleep(0.001)
-    else:
-        raise HudiProtocolError("could not claim a commit instant")
+    instant = _claim_instant(path, action)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     stats = []
@@ -226,3 +230,119 @@ def hudi_commits(path: str) -> list[dict]:
         {"instant": i, "action": a}
         for i, a, _ in _completed_instants(path)
     ]
+
+
+def _hudi_rewrite_matched(
+    spark: SparkSession, path: str, predicate_sql: str, rewrite
+) -> str | None:
+    """Copy-on-write file-group rewrite shared by DELETE/UPDATE: one
+    replacecommit retires every matched file group and publishes the
+    surviving rows as fresh groups — the timeline's own mechanism, so
+    readers (including as-of time travel) need nothing new. Returns the
+    commit instant, or None when no row matched (nothing committed)."""
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import _strip_uri
+
+    files = hudi_base_files(path)
+    by_abs = {os.path.abspath(f): f for f in files}
+    if not files:
+        return None
+    df = spark.read.parquet(*files).withColumn("__sf", F.input_file_name())
+    matched_uris = [
+        r["__sf"]
+        for r in df.where(predicate_sql).select("__sf").distinct().collect()
+    ]
+    if not matched_uris:
+        return None
+    matched_fids = set()
+    for u in matched_uris:
+        ap = os.path.abspath(_strip_uri(u))
+        if ap not in by_abs:
+            raise HudiProtocolError(
+                f"scanned file {ap} not in the current snapshot"
+            )
+        rel = os.path.relpath(ap, path)
+        if os.sep in rel:
+            raise HudiProtocolError(
+                "DML on a PARTITIONED Hudi table needs the hudi-spark"
+                " bundle (partitioned replace bookkeeping)"
+            )
+        matched_fids.add(os.path.basename(rel).split("_", 1)[0])
+
+    survivors = rewrite(
+        df.where(F.col("__sf").isin(matched_uris)).drop("__sf")
+    )
+    instant = _claim_instant(path, "replacecommit")
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    survivors.write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue  # a fully-deleted file group leaves no survivor
+        fid = uuid.uuid4().hex
+        rel = f"{fid}_0_{instant}.parquet"
+        shutil.move(f, os.path.join(path, rel))
+        stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    meta = {
+        "partitionToWriteStats": {"": stats},
+        "partitionToReplaceFileIds": {"": sorted(matched_fids)},
+    }
+    target = os.path.join(_meta_dir(path), f"{instant}.replacecommit")
+    with open(target, "x") as f:
+        json.dump(meta, f)
+    return instant
+
+
+def hudi_delete_where(
+    spark: SparkSession, path: str, predicate_sql: str
+) -> str | None:
+    """Copy-on-write DELETE (reference hudi connector analog): matched
+    file groups are retired by a replacecommit and re-published without
+    the matching rows; prior instants still see the old slices."""
+    return _hudi_rewrite_matched(
+        spark, path, predicate_sql,
+        lambda rows: rows.filter(f"NOT ({predicate_sql})"),
+    )
+
+
+def hudi_update_where(
+    spark: SparkSession,
+    path: str,
+    predicate_sql: str,
+    assignments: dict[str, str],
+) -> str | None:
+    """Copy-on-write UPDATE: every assignment RHS and the predicate
+    evaluate against the PRE-update row (one SELECT, the same rule the
+    Delta and Iceberg paths follow)."""
+    from pyspark.sql import functions as F
+
+    def rewrite(rows):
+        for col in assignments:
+            if col not in rows.columns:
+                raise HudiProtocolError(f"no such column {col!r}")
+        return rows.select(
+            *[
+                F.when(
+                    F.expr(predicate_sql), F.expr(assignments[c])
+                ).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+
+    return _hudi_rewrite_matched(spark, path, predicate_sql, rewrite)
