@@ -61,6 +61,9 @@ HEADLINE = [
     # cross_sales + consecutive-year self-join) — tracks the tranche-4
     # join family round-over-round
     "tpcds_sql_q64",
+    # late-r8: the bigram-LM scorer — explode + three partial-agg
+    # shuffles + two equi-joins; tracks the LLM-pipeline text tier
+    "text_bigram_logprob",
 ]
 
 

@@ -1445,8 +1445,13 @@ def test_hudi_cow_delete_update(spark, tmp_path):
     n = len(hudi_commits(t))
     assert hudi_delete_where(spark, t, "id = 999") is None
     assert len(hudi_commits(t)) == n
-    # deleting everything leaves zero active file groups
+    # deleting everything leaves zero active file groups, and the table
+    # still reads back as a TYPED empty frame (schema travels in the
+    # commit metadata)
     hudi_delete_where(spark, t, "true")
     from witdb_spark.sources.hudi_meta import hudi_base_files
 
     assert hudi_base_files(t) == []
+    empty = read_hudi_snapshot(spark, t)
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"id": "bigint", "v": "double"}

@@ -2156,6 +2156,18 @@ def _sketch_block_two_level(block: str) -> str | None:
         outer += " GROUP BY " + ", ".join(outer_group)
     if not plain_items:
         return outer + trailing
+    # the mixed split scans the source TWICE (Spark cannot place the
+    # pandas UDAF next to JVM aggregates in one aggregation), so a
+    # nondeterministic source would feed the two trees different rows —
+    # bail, surfacing Spark's own mixed-placement error, rather than
+    # silently disagreeing with itself
+    if re.search(
+        r"(?i)\b(rand|randn|random|uuid|shuffle"
+        r"|monotonically_increasing_id)\s*\("
+        r"|\bLIMIT\b|\bTABLESAMPLE\b",
+        re.sub(r"'(?:[^']|'')*'", "''", source_text),
+    ):
+        return None
     jvm = "SELECT " + ", ".join(key_plain_items + plain_items)
     jvm += " FROM " + source_text
     if keys:

@@ -539,22 +539,8 @@ def delta_update_where(
     from pyspark.sql import functions as F
 
     def rewrite(rows):
-        # one SELECT, not chained withColumn: SQL UPDATE evaluates every
-        # assignment RHS and the predicate against the PRE-update row, so
-        # {'a': 'b', 'b': 'a'} is a swap and an assignment that falsifies
-        # the predicate must not suppress later assignments
-        for col in assignments:
-            if col not in rows.columns:
-                raise DeltaProtocolError(f"no such column {col!r}")
-        return rows.select(
-            *[
-                F.when(
-                    F.expr(predicate_sql), F.expr(assignments[c])
-                ).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in rows.columns
-            ]
+        return _apply_assignments(
+            rows, predicate_sql, assignments, DeltaProtocolError
         )
 
     return _rewrite_matched_files(
@@ -806,6 +792,29 @@ def delta_vacuum(
         os.remove(f)
         deleted += 1
     return {"deleted": deleted}
+
+
+def _apply_assignments(rows, predicate_sql: str, assignments, err_cls):
+    """UPDATE semantics shared by the Delta/Iceberg/Hudi COW paths: one
+    SELECT in which every assignment RHS and the predicate evaluate
+    against the PRE-update row — {'a': 'b', 'b': 'a'} swaps, and an
+    assignment that falsifies the predicate cannot suppress later
+    assignments (the chained-withColumn bug this replaced)."""
+    from pyspark.sql import functions as F
+
+    for col in assignments:
+        if col not in rows.columns:
+            raise err_cls(f"no such column {col!r}")
+    return rows.select(
+        *[
+            F.when(
+                F.expr(predicate_sql), F.expr(assignments[c])
+            ).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in rows.columns
+        ]
+    )
 
 
 def _strip_uri(p: str) -> str:

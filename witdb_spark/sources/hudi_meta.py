@@ -119,17 +119,45 @@ def read_hudi_snapshot(
     """Read a Hudi COW table at a snapshot (latest completed commit, or
     at/before ``as_of_instant``) without the connector jar. COW base
     files carry full rows, so the scan is plain distributed parquet;
-    the ``_hoodie_*`` meta columns surface like Hudi's own reader."""
+    the ``_hoodie_*`` meta columns surface like Hudi's own reader. A
+    snapshot whose every file group was retired (delete-all) reads as a
+    TYPED empty frame from the newest commit's schema metadata."""
     files = hudi_base_files(path, as_of_instant)
-    return spark.read.parquet(*files)
+    if files:
+        return spark.read.parquet(*files)
+    from pyspark.sql.types import StructType
+
+    instants = _completed_instants(path)
+    if as_of_instant is not None:
+        instants = [i for i in instants if i[0] <= str(as_of_instant)]
+    for _, _, fpath in reversed(instants):
+        with open(fpath) as f:
+            body = f.read().strip()
+        schema_json = (
+            (json.loads(body) if body else {})
+            .get("extraMetadata", {})
+            .get("schema")
+        )
+        if schema_json:
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+    raise HudiProtocolError(
+        f"{path}: zero active file groups and no schema in the commit"
+        " metadata (library-written table) — add the hudi-spark bundle"
+    )
 
 
-def _claim_instant(path: str, action: str) -> str:
+def _claim_instant(path: str) -> str:
     """Claim a commit instant FIRST (put-if-absent on a ``.requested``
     marker, Hudi's own protocol): two writers in the same millisecond
     would otherwise collide on the completed-commit filename only AFTER
-    their data files were already published. The completed-instants
-    regex ignores ``.requested``, so claims are invisible to readers."""
+    their data files were already published. The marker name carries NO
+    action — a commit and a replacecommit claimed in the same
+    millisecond must also conflict, or the timeline would hold two
+    actions at one instant (ambiguous time travel). The completed-
+    instants regex ignores ``.requested``, so claims are invisible to
+    readers."""
     import datetime
     import time
 
@@ -139,9 +167,7 @@ def _claim_instant(path: str, action: str) -> str:
         )[:17]
         try:
             with open(
-                os.path.join(
-                    _meta_dir(path), f"{instant}.{action}.requested"
-                ),
+                os.path.join(_meta_dir(path), f"{instant}.requested"),
                 "x",
             ):
                 return instant
@@ -187,7 +213,7 @@ def write_hudi(
     action = (
         "replacecommit" if mode == "overwrite" and exists else "commit"
     )
-    instant = _claim_instant(path, action)
+    instant = _claim_instant(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     stats = []
@@ -205,7 +231,12 @@ def write_hudi(
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
-    meta: dict = {"partitionToWriteStats": {"": stats}}
+    meta: dict = {
+        "partitionToWriteStats": {"": stats},
+        # schema travels in the commit metadata (as real Hudi does) so
+        # an all-rows-deleted table can still produce a TYPED empty read
+        "extraMetadata": {"schema": df.schema.json()},
+    }
     if action == "replacecommit":
         rels = [
             os.path.relpath(p, path) for p in hudi_base_files(path)
@@ -252,6 +283,10 @@ def _hudi_rewrite_matched(
     by_abs = {os.path.abspath(f): f for f in files}
     if not files:
         return None
+    # staleness fence: remember the last completed instant we planned
+    # against; a concurrent commit retiring the same groups would make
+    # our survivors duplicate rows, so re-check before publishing
+    base_last = _completed_instants(path)[-1][0]
     df = spark.read.parquet(*files).withColumn("__sf", F.input_file_name())
     matched_uris = [
         r["__sf"]
@@ -277,7 +312,7 @@ def _hudi_rewrite_matched(
     survivors = rewrite(
         df.where(F.col("__sf").isin(matched_uris)).drop("__sf")
     )
-    instant = _claim_instant(path, "replacecommit")
+    instant = _claim_instant(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").parquet(staging)
     import pyarrow.parquet as pq
@@ -300,7 +335,13 @@ def _hudi_rewrite_matched(
     meta = {
         "partitionToWriteStats": {"": stats},
         "partitionToReplaceFileIds": {"": sorted(matched_fids)},
+        "extraMetadata": {"schema": survivors.schema.json()},
     }
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during COW rewrite — rewritten"
+            " file groups are stale; re-run the statement"
+        )
     target = os.path.join(_meta_dir(path), f"{instant}.replacecommit")
     with open(target, "x") as f:
         json.dump(meta, f)
@@ -326,23 +367,13 @@ def hudi_update_where(
     assignments: dict[str, str],
 ) -> str | None:
     """Copy-on-write UPDATE: every assignment RHS and the predicate
-    evaluate against the PRE-update row (one SELECT, the same rule the
-    Delta and Iceberg paths follow)."""
-    from pyspark.sql import functions as F
+    evaluate against the PRE-update row (delta_log._apply_assignments,
+    the rule all three COW paths share)."""
+    from witdb_spark.sources.delta_log import _apply_assignments
 
-    def rewrite(rows):
-        for col in assignments:
-            if col not in rows.columns:
-                raise HudiProtocolError(f"no such column {col!r}")
-        return rows.select(
-            *[
-                F.when(
-                    F.expr(predicate_sql), F.expr(assignments[c])
-                ).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in rows.columns
-            ]
-        )
-
-    return _hudi_rewrite_matched(spark, path, predicate_sql, rewrite)
+    return _hudi_rewrite_matched(
+        spark, path, predicate_sql,
+        lambda rows: _apply_assignments(
+            rows, predicate_sql, assignments, HudiProtocolError
+        ),
+    )

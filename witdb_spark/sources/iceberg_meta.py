@@ -451,8 +451,65 @@ def _iceberg_rewrite_matched(
 
     meta = _current_metadata(path)
     base_snap = _pick_snapshot(meta, None, None)["snapshot-id"]
-    files, cols = iceberg_data_files(path)
-    by_abs = {os.path.abspath(f): f for f in files}
+    # DML gates beyond the read path's: a library-written table may be
+    # partitioned or format-v1 — re-encoding its kept entries through
+    # this module's minimal manifest schema would silently drop the
+    # partition struct (corrupting the table for library readers) or
+    # KeyError mid-commit. Refuse loudly instead.
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "COW DELETE/UPDATE on a format-v1 Iceberg table needs the"
+            " iceberg-spark-runtime jar"
+        )
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise IcebergProtocolError(
+            "COW DELETE/UPDATE on a PARTITIONED Iceberg table needs the"
+            " iceberg-spark-runtime jar"
+        )
+    # one manifest walk serves both the scan list and the kept-entry
+    # re-emit (iceberg_data_files would walk the same chain again)
+    cur_snap = _pick_snapshot(meta, None, None)
+    _, manifests = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
+    all_entries: list[tuple[dict, str]] = []  # (entry, abs data path)
+    _needed = (
+        "content", "file_path", "file_format",
+        "record_count", "file_size_in_bytes",
+    )
+    for mf in manifests:
+        if mf.get("content", 0) == 1:
+            raise IcebergProtocolError(
+                "Iceberg DELETE manifests present (v2 row-level deletes"
+                " need merge-on-read) — add the iceberg-spark-runtime jar"
+            )
+        _, prior = read_avro_file(_resolve(path, mf["manifest_path"]))
+        for e in prior:
+            if e.get("status", 1) == 2:
+                continue
+            d = e["data_file"]
+            if any(k not in d for k in _needed) or d.get("content", 0) != 0:
+                raise IcebergProtocolError(
+                    "manifest entry shape outside this module's writer"
+                    " subset — add the iceberg-spark-runtime jar"
+                )
+            if str(d.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise IcebergProtocolError(
+                    "non-parquet Iceberg data file — add the"
+                    " iceberg-spark-runtime jar"
+                )
+            all_entries.append(
+                (e, os.path.abspath(_resolve(path, d["file_path"])))
+            )
+    files = [ap for _, ap in all_entries]
+    cols = _schema_fields(meta)
+    by_abs = {ap: ap for ap in files}
     if not files:
         return {"snapshot_id": base_snap, "files_rewritten": 0}
     df = spark.read.parquet(*sorted(set(files))).withColumn(
@@ -505,20 +562,10 @@ def _iceberg_rewrite_matched(
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
-    # kept files: prior manifest entries whose file survives, re-emitted
-    # as EXISTING with their original counts
-    cur_snap = _pick_snapshot(meta, None, None)
-    _, manifests = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
-    for mf in manifests:
-        _, prior = read_avro_file(_resolve(path, mf["manifest_path"]))
-        for e in prior:
-            if e.get("status", 1) == 2:
-                continue
-            ap = os.path.abspath(
-                _resolve(path, e["data_file"]["file_path"])
-            )
-            if ap in matched_abs:
-                continue
+    # kept files: the walked entries whose file survives, re-emitted as
+    # EXISTING with their original counts
+    for e, ap in all_entries:
+        if ap not in matched_abs:
             entries.append(dict(e, status=0, snapshot_id=snap_id))
 
     mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
@@ -595,26 +642,16 @@ def iceberg_update_where(
 ) -> dict:
     """Copy-on-write UPDATE: matching rows in matched files get the SQL
     assignments applied; every RHS and the predicate evaluate against
-    the PRE-update row (one SELECT, no chained withColumn — the same
-    rule delta_update_where follows)."""
-    from pyspark.sql import functions as F
+    the PRE-update row (delta_log._apply_assignments, the rule all
+    three COW paths share)."""
+    from witdb_spark.sources.delta_log import _apply_assignments
 
-    def rewrite(rows):
-        for col in assignments:
-            if col not in rows.columns:
-                raise IcebergProtocolError(f"no such column {col!r}")
-        return rows.select(
-            *[
-                F.when(
-                    F.expr(predicate_sql), F.expr(assignments[c])
-                ).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in rows.columns
-            ]
-        )
-
-    return _iceberg_rewrite_matched(spark, path, predicate_sql, rewrite)
+    return _iceberg_rewrite_matched(
+        spark, path, predicate_sql,
+        lambda rows: _apply_assignments(
+            rows, predicate_sql, assignments, IcebergProtocolError
+        ),
+    )
 
 
 def _now_ms_ice() -> int:
