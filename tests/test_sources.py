@@ -1455,3 +1455,50 @@ def test_hudi_cow_delete_update(spark, tmp_path):
     empty = read_hudi_snapshot(spark, t)
     assert empty.count() == 0
     assert dict(empty.dtypes) == {"id": "bigint", "v": "double"}
+
+
+def test_iceberg_merge_into(spark, tmp_path):
+    """File-level MERGE on the jar-free Iceberg table: matched files
+    rewritten through merge_into, unmatched files kept as EXISTING
+    entries, pure inserts commit even with zero matches."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_merge_into,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "icemerge")
+    df0 = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 5)], "id bigint, v double"
+    ).repartition(2)
+    write_iceberg(spark, df0, t, mode="create")
+    src = spark.createDataFrame(
+        [(2, 200.0), (5, 500.0)], "id bigint, v double"
+    )
+    res = iceberg_merge_into(
+        spark, t, src, ["id"],
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=True,
+    )
+    assert res["files_rewritten"] >= 1
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0, 4: 40.0, 5: 500.0}
+    # pure insert: no target file matches, the new rows still commit
+    src2 = spark.createDataFrame([(6, 600.0)], "id bigint, v double")
+    res2 = iceberg_merge_into(
+        spark, t, src2, ["id"],
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=True,
+    )
+    assert res2["files_rewritten"] == 0
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got[6] == 600.0 and len(got) == 6
+    # nothing matched AND nothing to insert: a true no-op
+    res3 = iceberg_merge_into(
+        spark, t, src2.limit(0), ["id"],
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=True,
+    )
+    assert res3["files_rewritten"] == 0

@@ -430,15 +430,22 @@ def write_iceberg(
 
 
 def _iceberg_rewrite_matched(
-    spark: SparkSession, path: str, predicate_sql: str, rewrite
+    spark: SparkSession,
+    path: str,
+    matcher,
+    rewrite,
+    commit_on_no_match: bool = False,
 ) -> dict:
-    """Copy-on-write file rewrite shared by DELETE/UPDATE (reference
-    iceberg connector COW write mode): scan the current snapshot with
-    input_file_name(), rewrite ONLY the files containing predicate
-    matches, and commit a self-contained snapshot whose single manifest
+    """Copy-on-write file rewrite shared by DELETE/UPDATE/MERGE
+    (reference iceberg connector COW write mode): scan the current
+    snapshot with input_file_name(), rewrite ONLY the files ``matcher``
+    flags (it receives the scan and returns the matching ``__sf``
+    column), and commit a self-contained snapshot whose single manifest
     lists the kept files as EXISTING (status 0) entries plus the
     rewritten outputs as ADDED (status 1). Old files stay on disk for
-    time travel. Returns {'snapshot_id', 'files_rewritten'}."""
+    time travel. ``commit_on_no_match`` keeps going when no file
+    matched — MERGE's pure-insert case still commits new files.
+    Returns {'snapshot_id', 'files_rewritten'}."""
     import glob
     import shutil
     import uuid
@@ -510,14 +517,18 @@ def _iceberg_rewrite_matched(
     files = [ap for _, ap in all_entries]
     cols = _schema_fields(meta)
     by_abs = {ap: ap for ap in files}
-    if not files:
+    if not files and not commit_on_no_match:
         return {"snapshot_id": base_snap, "files_rewritten": 0}
-    df = spark.read.parquet(*sorted(set(files))).withColumn(
-        "__sf", F.input_file_name()
-    )
+    if files:
+        df = spark.read.parquet(*sorted(set(files))).withColumn(
+            "__sf", F.input_file_name()
+        )
+    else:
+        df = read_iceberg_snapshot(spark, path).withColumn(
+            "__sf", F.lit("")
+        )
     matched_uris = [
-        r["__sf"]
-        for r in df.where(predicate_sql).select("__sf").distinct().collect()
+        r["__sf"] for r in matcher(df).distinct().collect()
     ]
     matched_abs = set()
     for u in matched_uris:
@@ -527,14 +538,15 @@ def _iceberg_rewrite_matched(
                 f"scanned file {ap} not in the current snapshot"
             )
         matched_abs.add(ap)
-    if not matched_abs:
+    if not matched_abs and not commit_on_no_match:
         return {"snapshot_id": base_snap, "files_rewritten": 0}
 
-    survivors = rewrite(
-        df.where(
-            F.col("__sf").isin(matched_uris)
-        ).drop("__sf").select(*cols)
-    )
+    touched = (
+        df.where(F.col("__sf").isin(matched_uris))
+        if matched_uris
+        else df.limit(0)
+    ).drop("__sf").select(*cols)
+    survivors = rewrite(touched).select(*cols)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").parquet(staging)
     snaps = meta.get("snapshots") or []
@@ -562,6 +574,9 @@ def _iceberg_rewrite_matched(
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
+    if not entries and not matched_abs:
+        # MERGE with nothing to insert and nothing matched: no-op
+        return {"snapshot_id": base_snap, "files_rewritten": 0}
     # kept files: the walked entries whose file survives, re-emitted as
     # EXISTING with their original counts
     for e, ap in all_entries:
@@ -629,7 +644,8 @@ def iceberg_delete_where(
     rows; a file whose rows ALL match simply disappears from the new
     snapshot. Prior snapshots still see the old files (time travel)."""
     return _iceberg_rewrite_matched(
-        spark, path, predicate_sql,
+        spark, path,
+        lambda df: df.where(predicate_sql).select("__sf"),
         lambda rows: rows.filter(f"NOT ({predicate_sql})"),
     )
 
@@ -647,10 +663,39 @@ def iceberg_update_where(
     from witdb_spark.sources.delta_log import _apply_assignments
 
     return _iceberg_rewrite_matched(
-        spark, path, predicate_sql,
+        spark, path,
+        lambda df: df.where(predicate_sql).select("__sf"),
         lambda rows: _apply_assignments(
             rows, predicate_sql, assignments, IcebergProtocolError
         ),
+    )
+
+
+def iceberg_merge_into(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: list[str],
+    **merge_kwargs,
+) -> dict:
+    """MERGE INTO an Iceberg table, file-level copy-on-write (reference
+    iceberg connector MERGE): any file containing a key-matched row is
+    rewritten through sources/merge.merge_into applied to just those
+    files' rows plus the whole source — a source row matching a row in
+    an untouched file is impossible (that file would be matched), so
+    unmatched files stay as EXISTING entries and pure inserts commit as
+    plain adds (commit_on_no_match). Accepts merge_into's clause
+    kwargs (when_matched_update / when_matched_delete /
+    insert_not_matched)."""
+    from witdb_spark.sources.merge import merge_into
+
+    return _iceberg_rewrite_matched(
+        spark, path,
+        lambda df: df.join(
+            source.select(*on).distinct(), on=on, how="left_semi"
+        ).select("__sf"),
+        lambda rows: merge_into(rows, source, on, **merge_kwargs),
+        commit_on_no_match=True,
     )
 
 
