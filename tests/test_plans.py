@@ -735,6 +735,34 @@ def test_sketch_split_mixed_aggregates(spark):
         ).collect()
     }
     assert got2 == want2
+    # wrapped build with a literal-only trailing arg in a mixed block:
+    # the wrapper and its ARRAY argument move to the merge level
+    df3 = eng.sql(
+        "SELECT l_returnflag, count(*) AS n,"
+        " values_at_quantiles(qdigest_agg(l_extendedprice),"
+        " ARRAY[0.25, 0.75]) AS q"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    plan3 = df3._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan3)) == 2, plan3
+    rows3 = df3.collect()
+    assert {r["l_returnflag"] for r in rows3} == {"A", "N", "R"}
+    for r in rows3:
+        assert r["n"] > 0 and len(r["q"]) == 2 and r["q"][0] <= r["q"][1]
+    # nondeterministic source: the two-scan mixed split must bail
+    # (surfacing Spark's own mixed-placement analysis error), never
+    # silently feed the two trees different rows
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
+        eng.sql(
+            "SELECT count(*) AS n, approx_set(l_orderkey) AS h"
+            " FROM lineitem WHERE rand() < 0.5"
+        ).collect()
 
 
 def test_sketch_split_order_by_limit_hoist(spark):
