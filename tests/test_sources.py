@@ -1502,3 +1502,57 @@ def test_iceberg_merge_into(spark, tmp_path):
         insert_not_matched=True,
     )
     assert res3["files_rewritten"] == 0
+
+
+def test_hudi_merge_into(spark, tmp_path):
+    """File-group-level MERGE on the jar-free Hudi table: matched
+    groups rewritten through merge_into, pure inserts commit as fresh
+    groups, no-op merges commit nothing."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_commits,
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "humerge")
+    df0 = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 5)], "id bigint, v double"
+    ).repartition(2)
+    write_hudi(spark, df0, t, mode="create")
+    src = spark.createDataFrame(
+        [(2, 200.0), (5, 500.0)], "id bigint, v double"
+    )
+    assert (
+        hudi_merge_into(
+            spark, t, src, ["id"],
+            when_matched_update={"v": F.col("src.v")},
+            insert_not_matched=True,
+        )
+        is not None
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0, 4: 40.0, 5: 500.0}
+    src2 = spark.createDataFrame([(6, 600.0)], "id bigint, v double")
+    assert (
+        hudi_merge_into(
+            spark, t, src2, ["id"],
+            when_matched_update={"v": F.col("src.v")},
+            insert_not_matched=True,
+        )
+        is not None
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got[6] == 600.0 and len(got) == 6
+    n = len(hudi_commits(t))
+    assert (
+        hudi_merge_into(
+            spark, t, src2.limit(0), ["id"],
+            when_matched_update={"v": F.col("src.v")},
+            insert_not_matched=True,
+        )
+        is None
+    )
+    assert len(hudi_commits(t)) == n

@@ -264,13 +264,20 @@ def hudi_commits(path: str) -> list[dict]:
 
 
 def _hudi_rewrite_matched(
-    spark: SparkSession, path: str, predicate_sql: str, rewrite
+    spark: SparkSession,
+    path: str,
+    matcher,
+    rewrite,
+    commit_on_no_match: bool = False,
 ) -> str | None:
-    """Copy-on-write file-group rewrite shared by DELETE/UPDATE: one
-    replacecommit retires every matched file group and publishes the
-    surviving rows as fresh groups — the timeline's own mechanism, so
-    readers (including as-of time travel) need nothing new. Returns the
-    commit instant, or None when no row matched (nothing committed)."""
+    """Copy-on-write file-group rewrite shared by DELETE/UPDATE/MERGE:
+    one replacecommit retires every file group ``matcher`` flags (it
+    receives the __sf-annotated scan and returns the matching ``__sf``
+    column) and publishes the surviving rows as fresh groups — the
+    timeline's own mechanism, so readers (including as-of time travel)
+    need nothing new. ``commit_on_no_match`` keeps going when no group
+    matched (MERGE's pure-insert case). Returns the commit instant, or
+    None when nothing was committed."""
     import glob
     import shutil
     import uuid
@@ -289,10 +296,9 @@ def _hudi_rewrite_matched(
     base_last = _completed_instants(path)[-1][0]
     df = spark.read.parquet(*files).withColumn("__sf", F.input_file_name())
     matched_uris = [
-        r["__sf"]
-        for r in df.where(predicate_sql).select("__sf").distinct().collect()
+        r["__sf"] for r in matcher(df).distinct().collect()
     ]
-    if not matched_uris:
+    if not matched_uris and not commit_on_no_match:
         return None
     matched_fids = set()
     for u in matched_uris:
@@ -309,9 +315,12 @@ def _hudi_rewrite_matched(
             )
         matched_fids.add(os.path.basename(rel).split("_", 1)[0])
 
-    survivors = rewrite(
-        df.where(F.col("__sf").isin(matched_uris)).drop("__sf")
-    )
+    touched = (
+        df.where(F.col("__sf").isin(matched_uris))
+        if matched_uris
+        else df.limit(0)
+    ).drop("__sf")
+    survivors = rewrite(touched).select(*touched.columns)
     instant = _claim_instant(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").parquet(staging)
@@ -332,6 +341,8 @@ def _hudi_rewrite_matched(
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
+    if not stats and not matched_fids:
+        return None  # MERGE with nothing matched and nothing to insert
     meta = {
         "partitionToWriteStats": {"": stats},
         "partitionToReplaceFileIds": {"": sorted(matched_fids)},
@@ -355,7 +366,8 @@ def hudi_delete_where(
     file groups are retired by a replacecommit and re-published without
     the matching rows; prior instants still see the old slices."""
     return _hudi_rewrite_matched(
-        spark, path, predicate_sql,
+        spark, path,
+        lambda df: df.where(predicate_sql).select("__sf"),
         lambda rows: rows.filter(f"NOT ({predicate_sql})"),
     )
 
@@ -372,8 +384,34 @@ def hudi_update_where(
     from witdb_spark.sources.delta_log import _apply_assignments
 
     return _hudi_rewrite_matched(
-        spark, path, predicate_sql,
+        spark, path,
+        lambda df: df.where(predicate_sql).select("__sf"),
         lambda rows: _apply_assignments(
             rows, predicate_sql, assignments, HudiProtocolError
         ),
+    )
+
+
+def hudi_merge_into(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: list[str],
+    **merge_kwargs,
+) -> str | None:
+    """MERGE INTO a Hudi COW table, file-GROUP-level (the bundle's
+    record-key index does per-RECORD upsert routing; without it, any
+    group containing a key-matched row is rewritten whole through
+    sources/merge.merge_into — coarser writes, identical results). Pure
+    inserts commit as fresh groups with zero rewrites. Accepts
+    merge_into's clause kwargs."""
+    from witdb_spark.sources.merge import merge_into
+
+    return _hudi_rewrite_matched(
+        spark, path,
+        lambda df: df.join(
+            source.select(*on).distinct(), on=on, how="left_semi"
+        ).select("__sf"),
+        lambda rows: merge_into(rows, source, on, **merge_kwargs),
+        commit_on_no_match=True,
     )
