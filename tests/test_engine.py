@@ -710,3 +710,64 @@ def test_session_sql_forms_and_explain_options(engine, spark):
     assert "Scan" in io or "Relation" in io
     with pytest.raises(NotImplementedError):
         engine.sql("EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT 1")
+
+
+def test_lakehouse_maintenance_procedures(spark, tmp_path):
+    """CALL system.expire_snapshots / rollback_to_snapshot (reference
+    iceberg connector procedures) and system.clean (Hudi's cleaner)
+    through Engine.sql, against the jar-free tables."""
+    import glob
+    import os
+
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_snapshots,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_base_files,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = str(tmp_path / "ice")
+    df1 = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    df2 = spark.createDataFrame([(2, "b")], "id bigint, s string")
+    s1 = write_iceberg(spark, df1, t, mode="create")
+    write_iceberg(spark, df2, t, mode="overwrite")
+    # rollback: current points back at s1, history preserved
+    row = eng.sql(
+        f"CALL system.rollback_to_snapshot('{t}', {s1})"
+    ).collect()[0]
+    assert row.current_snapshot_id == s1
+    assert [r.id for r in read_iceberg_snapshot(spark, t).collect()] == [1]
+    # expiring would drop the (rolled-back) current snapshot: loud error
+    with pytest.raises(IcebergProtocolError):
+        eng.sql(f"CALL system.expire_snapshots('{t}', 1)").collect()
+    # roll forward again, then expire: one snapshot left, old files gone
+    s2 = iceberg_snapshots(t)[-1]["snapshot_id"]
+    eng.sql(f"CALL system.rollback_to_snapshot('{t}', {s2})").collect()
+    row = eng.sql(f"CALL system.expire_snapshots('{t}', 1)").collect()[0]
+    assert row.expired_snapshots >= 1 and row.deleted_files >= 1
+    assert len(iceberg_snapshots(t)) == 1
+    assert [r.id for r in read_iceberg_snapshot(spark, t).collect()] == [2]
+
+    h = str(tmp_path / "hud")
+    write_hudi(spark, df1, h, mode="create")
+    write_hudi(spark, df2, h, mode="overwrite")
+    active = {os.path.abspath(p) for p in hudi_base_files(h)}
+    on_disk = {
+        os.path.abspath(p) for p in glob.glob(os.path.join(h, "*.parquet"))
+    }
+    assert active < on_disk  # retired slices still on disk pre-clean
+    row = eng.sql(f"CALL system.clean('{h}', 1)").collect()[0]
+    assert row.deleted_files == len(on_disk - active)
+    assert {
+        os.path.abspath(p) for p in glob.glob(os.path.join(h, "*.parquet"))
+    } == active
+    assert [r.id for r in read_hudi_snapshot(spark, h).collect()] == [2]

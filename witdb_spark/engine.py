@@ -135,7 +135,8 @@ class Engine:
             self.sql(inner).createOrReplaceTempView("__show_stats_q")
             return self.show_stats("__show_stats_q")
         m = re.match(
-            r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint)\s*\(",
+            r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
+            r"|expire_snapshots|rollback_to_snapshot|clean)\s*\(",
             text, re.I,
         )
         if m:  # lakehouse procedures (reference plugin/trino-delta-lake
@@ -440,8 +441,11 @@ class Engine:
         system.optimize('<path>'[, target_files]) /
         system.checkpoint('<path>') — the reference delta connector's
         procedure surface (VacuumProcedure.java takes schema, table,
-        retention; path-based tables here take the table path).
-        Returns a one-row summary DataFrame."""
+        retention; path-based tables here take the table path) — plus
+        system.expire_snapshots('<path>'[, keep_last]) and
+        system.rollback_to_snapshot('<path>', id) (reference iceberg
+        connector procedures) and system.clean('<path>'[, keep_last])
+        (Hudi's cleaner). Returns a one-row summary DataFrame."""
         from witdb_spark.plans.dialect import (
             _match_paren,
             _split_call_args,
@@ -490,6 +494,44 @@ class Engine:
                   res["files_after"])],
                 "path string, version bigint, files_before bigint,"
                 " files_after bigint",
+            )
+        if proc == "expire_snapshots":
+            # reference iceberg connector's expire_snapshots procedure
+            from witdb_spark.sources.iceberg_meta import (
+                iceberg_expire_snapshots,
+            )
+
+            keep = int(args[1]) if len(args) > 1 else 1
+            res = iceberg_expire_snapshots(path, keep_last=keep)
+            return self.spark.createDataFrame(
+                [(path, res["expired_snapshots"], res["deleted_files"])],
+                "path string, expired_snapshots bigint,"
+                " deleted_files bigint",
+            )
+        if proc == "rollback_to_snapshot":
+            # reference RollbackToSnapshotProcedure.java
+            from witdb_spark.sources.iceberg_meta import (
+                iceberg_rollback_to_snapshot,
+            )
+
+            if len(args) < 2:
+                raise ValueError(
+                    "system.rollback_to_snapshot needs a snapshot id"
+                )
+            sid = iceberg_rollback_to_snapshot(path, int(args[1]))
+            return self.spark.createDataFrame(
+                [(path, sid)], "path string, current_snapshot_id bigint"
+            )
+        if proc == "clean":
+            # real Hudi's cleaner (KEEP_LATEST_COMMITS analog)
+            from witdb_spark.sources.hudi_meta import hudi_clean
+
+            keep = int(args[1]) if len(args) > 1 else 1
+            res = hudi_clean(path, keep_last=keep)
+            return self.spark.createDataFrame(
+                [(path, res["retained_instants"], res["deleted_files"])],
+                "path string, retained_instants bigint,"
+                " deleted_files bigint",
             )
         version = delta_checkpoint(self.spark, path)
         return self.spark.createDataFrame(

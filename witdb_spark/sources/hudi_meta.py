@@ -415,3 +415,29 @@ def hudi_merge_into(
         lambda rows: merge_into(rows, source, on, **merge_kwargs),
         commit_on_no_match=True,
     )
+
+
+def hudi_clean(path: str, keep_last: int = 1) -> dict:
+    """Retention maintenance (real Hudi's cleaner, KEEP_LATEST_COMMITS
+    analog): keep every base file visible as of any of the last
+    ``keep_last`` completed instants; delete the rest (slices
+    superseded or retired before the retention window). Unpartitioned
+    layout only — the same subset the writer produces."""
+    import glob
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    instants = _completed_instants(path)
+    if not instants:
+        raise FileNotFoundError(f"{path}: no completed Hudi commits")
+    retained = instants[-keep_last:]
+    referenced: set[str] = set()
+    for inst, _, _ in retained:
+        for p in hudi_base_files(path, as_of_instant=inst):
+            referenced.add(os.path.abspath(p))
+    deleted = 0
+    for p in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.abspath(p) not in referenced:
+            os.remove(p)
+            deleted += 1
+    return {"deleted_files": deleted, "retained_instants": len(retained)}

@@ -716,3 +716,94 @@ def iceberg_snapshots(path: str) -> list[dict]:
         }
         for s in meta.get("snapshots") or []
     ]
+
+
+def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Retention maintenance (reference iceberg connector
+    expire_snapshots table procedure): keep the most recent
+    ``keep_last`` snapshots (always including the current one), delete
+    the files only expired snapshots reference — manifest lists,
+    manifests, and data files — and commit a new metadata version
+    whose history lists just the kept snapshots. Time travel to an
+    expired snapshot becomes an error, as it should."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _current_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+    )
+    cur_id = meta.get("current-snapshot-id")
+    kept = snaps[-keep_last:]
+    if cur_id is not None and all(
+        s["snapshot-id"] != cur_id for s in kept
+    ):
+        raise IcebergProtocolError(
+            "expire_snapshots would drop the CURRENT snapshot"
+        )
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    def _referenced(snap_list):
+        mlists, mpaths, dpaths = set(), set(), set()
+        for s in snap_list:
+            ml = _resolve(path, s["manifest-list"])
+            mlists.add(os.path.abspath(ml))
+            _, manifests = read_avro_file(ml)
+            for mf in manifests:
+                mp = _resolve(path, mf["manifest_path"])
+                mpaths.add(os.path.abspath(mp))
+                _, entries = read_avro_file(mp)
+                for e in entries:
+                    dpaths.add(
+                        os.path.abspath(
+                            _resolve(path, e["data_file"]["file_path"])
+                        )
+                    )
+        return mlists, mpaths, dpaths
+
+    keep_ml, keep_m, keep_d = _referenced(kept)
+    exp_ml, exp_m, exp_d = _referenced(expired)
+    doomed = (exp_ml - keep_ml) | (exp_m - keep_m) | (exp_d - keep_d)
+
+    new_meta = dict(meta, snapshots=kept)
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    version = (
+        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
+    )
+    target = os.path.join(path, "metadata", f"v{version}.metadata.json")
+    with open(target, "x") as f:
+        json.dump(new_meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    deleted = 0
+    for p in sorted(doomed):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def iceberg_rollback_to_snapshot(path: str, snapshot_id: int) -> int:
+    """CALL system.rollback_to_snapshot (the reference iceberg
+    connector's procedure, RollbackToSnapshotProcedure.java): point the
+    table back at an earlier snapshot by committing a new metadata
+    version with current-snapshot-id set to it. History is preserved —
+    this is a new commit, not an erasure."""
+    meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []
+    if all(s["snapshot-id"] != snapshot_id for s in snaps):
+        raise IcebergProtocolError(
+            f"snapshot {snapshot_id} not in table history"
+        )
+    new_meta = dict(meta, **{"current-snapshot-id": snapshot_id})
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    version = (
+        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
+    )
+    target = os.path.join(path, "metadata", f"v{version}.metadata.json")
+    with open(target, "x") as f:
+        json.dump(new_meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    return snapshot_id
