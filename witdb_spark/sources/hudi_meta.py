@@ -288,13 +288,20 @@ def _hudi_rewrite_matched(
 
     files = hudi_base_files(path)
     by_abs = {os.path.abspath(f): f for f in files}
-    if not files:
+    if not files and not commit_on_no_match:
         return None
     # staleness fence: remember the last completed instant we planned
     # against; a concurrent commit retiring the same groups would make
     # our survivors duplicate rows, so re-check before publishing
     base_last = _completed_instants(path)[-1][0]
-    df = spark.read.parquet(*files).withColumn("__sf", F.input_file_name())
+    if files:
+        df = spark.read.parquet(*files).withColumn(
+            "__sf", F.input_file_name()
+        )
+    else:
+        # zero active file groups (delete-all): MERGE pure inserts must
+        # still commit against the typed empty frame
+        df = read_hudi_snapshot(spark, path).withColumn("__sf", F.lit(""))
     matched_uris = [
         r["__sf"] for r in matcher(df).distinct().collect()
     ]
@@ -321,6 +328,10 @@ def _hudi_rewrite_matched(
         else df.limit(0)
     ).drop("__sf")
     survivors = rewrite(touched).select(*touched.columns)
+    if not matched_fids and survivors.isEmpty():
+        # MERGE with nothing matched and nothing to insert: a true
+        # no-op, detected BEFORE claiming an instant or staging files
+        return None
     instant = _claim_instant(path)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").parquet(staging)
@@ -342,7 +353,10 @@ def _hudi_rewrite_matched(
         )
     shutil.rmtree(staging, ignore_errors=True)
     if not stats and not matched_fids:
-        return None  # MERGE with nothing matched and nothing to insert
+        # survivors were all zero-row part files: nothing to publish —
+        # release the claimed instant so no-ops leave no litter
+        os.remove(os.path.join(_meta_dir(path), f"{instant}.requested"))
+        return None
     meta = {
         "partitionToWriteStats": {"": stats},
         "partitionToReplaceFileIds": {"": sorted(matched_fids)},
@@ -431,13 +445,25 @@ def hudi_clean(path: str, keep_last: int = 1) -> dict:
     if not instants:
         raise FileNotFoundError(f"{path}: no completed Hudi commits")
     retained = instants[-keep_last:]
+    newest_completed = instants[-1][0]
     referenced: set[str] = set()
     for inst, _, _ in retained:
         for p in hudi_base_files(path, as_of_instant=inst):
             referenced.add(os.path.abspath(p))
     deleted = 0
+    name_re = re.compile(r"^[0-9a-f]{32}_\d+_(\d+)\.parquet$")
     for p in glob.glob(os.path.join(path, "*.parquet")):
-        if os.path.abspath(p) not in referenced:
-            os.remove(p)
-            deleted += 1
+        if os.path.abspath(p) in referenced:
+            continue
+        m = name_re.match(os.path.basename(p))
+        # only files this module's writers named, and only those whose
+        # embedded instant is covered by a COMPLETED commit — a newer
+        # instant belongs to an IN-FLIGHT writer that published its
+        # files before its commit JSON (the write protocol's order);
+        # deleting them would corrupt that commit. Unknown filenames
+        # are never touched.
+        if m is None or m.group(1) > newest_completed:
+            continue
+        os.remove(p)
+        deleted += 1
     return {"deleted_files": deleted, "retained_instants": len(retained)}

@@ -718,6 +718,62 @@ def iceberg_snapshots(path: str) -> list[dict]:
     ]
 
 
+def _maintenance_gate(meta: dict, proc: str) -> None:
+    """Loud gates shared by the maintenance procedures: a library-written
+    table may carry branch/tag ``refs`` naming snapshots — rewriting
+    current-snapshot-id or the snapshot list under them would make
+    refs-honoring readers and this module's reader see DIFFERENT current
+    states with no error. Same contract as the DML gates: refuse, never
+    misread."""
+    if meta.get("refs"):
+        raise IcebergProtocolError(
+            f"{proc} on a table with branch/tag refs needs the"
+            " iceberg-spark-runtime jar"
+        )
+
+
+def _commit_metadata(path: str, build_new_meta, base_cur_id) -> dict:
+    """The open-exclusive metadata commit shared by the maintenance
+    procedures: re-read the current metadata each attempt, fence on the
+    current snapshot id (a commit landing mid-procedure must abort the
+    procedure, not be silently erased from history), pick the next
+    version from the hint or the existing v*.metadata.json files, and
+    put-if-absent. ``build_new_meta(cur_meta)`` derives the metadata to
+    write from the freshly-read state."""
+    mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    for _ in range(5):
+        cur = _current_metadata(path)
+        if cur.get("current-snapshot-id") != base_cur_id:
+            raise IcebergProtocolError(
+                f"{path}: concurrent commit during the maintenance"
+                " procedure — re-run it"
+            )
+        new_meta = build_new_meta(cur)
+        if os.path.exists(hint):
+            version = int(open(hint).read().strip()) + 1
+        else:
+            existing = [
+                int(m.group(1))
+                for m in (
+                    re.match(r"v(\d+)\.metadata\.json$", f)
+                    for f in os.listdir(mdir)
+                )
+                if m
+            ]
+            version = max(existing, default=0) + 1
+        target = os.path.join(mdir, f"v{version}.metadata.json")
+        try:
+            with open(target, "x") as f:
+                json.dump(new_meta, f)
+        except FileExistsError:
+            continue  # version race — re-read and re-fence
+        with open(hint, "w") as f:
+            f.write(str(version))
+        return new_meta
+    raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
 def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Retention maintenance (reference iceberg connector
     expire_snapshots table procedure): keep the most recent
@@ -729,6 +785,7 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     meta = _current_metadata(path)
+    _maintenance_gate(meta, "expire_snapshots")
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
     )
@@ -744,6 +801,16 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
 
+    manifest_cache: dict[str, list] = {}
+
+    def _read_manifest(p: str) -> list:
+        # append chains re-list the same manifests in every snapshot's
+        # manifest list; memoize so the walk is linear, not quadratic
+        if p not in manifest_cache:
+            _, entries = read_avro_file(p)
+            manifest_cache[p] = entries
+        return manifest_cache[p]
+
     def _referenced(snap_list):
         mlists, mpaths, dpaths = set(), set(), set()
         for s in snap_list:
@@ -751,10 +818,9 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
             mlists.add(os.path.abspath(ml))
             _, manifests = read_avro_file(ml)
             for mf in manifests:
-                mp = _resolve(path, mf["manifest_path"])
-                mpaths.add(os.path.abspath(mp))
-                _, entries = read_avro_file(mp)
-                for e in entries:
+                mp = os.path.abspath(_resolve(path, mf["manifest_path"]))
+                mpaths.add(mp)
+                for e in _read_manifest(mp):
                     dpaths.add(
                         os.path.abspath(
                             _resolve(path, e["data_file"]["file_path"])
@@ -765,17 +831,19 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     keep_ml, keep_m, keep_d = _referenced(kept)
     exp_ml, exp_m, exp_d = _referenced(expired)
     doomed = (exp_ml - keep_ml) | (exp_m - keep_m) | (exp_d - keep_d)
+    kept_ids = {s["snapshot-id"] for s in kept}
 
-    new_meta = dict(meta, snapshots=kept)
-    hint = os.path.join(path, "metadata", "version-hint.text")
-    version = (
-        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
-    )
-    target = os.path.join(path, "metadata", f"v{version}.metadata.json")
-    with open(target, "x") as f:
-        json.dump(new_meta, f)
-    with open(hint, "w") as f:
-        f.write(str(version))
+    def build(cur: dict) -> dict:
+        new = dict(cur, snapshots=kept)
+        if "snapshot-log" in new:
+            new["snapshot-log"] = [
+                e
+                for e in new["snapshot-log"]
+                if e.get("snapshot-id") in kept_ids
+            ]
+        return new
+
+    _commit_metadata(path, build, cur_id)
     deleted = 0
     for p in sorted(doomed):
         if os.path.exists(p):
@@ -791,19 +859,15 @@ def iceberg_rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     version with current-snapshot-id set to it. History is preserved —
     this is a new commit, not an erasure."""
     meta = _current_metadata(path)
+    _maintenance_gate(meta, "rollback_to_snapshot")
     snaps = meta.get("snapshots") or []
     if all(s["snapshot-id"] != snapshot_id for s in snaps):
         raise IcebergProtocolError(
             f"snapshot {snapshot_id} not in table history"
         )
-    new_meta = dict(meta, **{"current-snapshot-id": snapshot_id})
-    hint = os.path.join(path, "metadata", "version-hint.text")
-    version = (
-        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
+    _commit_metadata(
+        path,
+        lambda cur: dict(cur, **{"current-snapshot-id": int(snapshot_id)}),
+        meta.get("current-snapshot-id"),
     )
-    target = os.path.join(path, "metadata", f"v{version}.metadata.json")
-    with open(target, "x") as f:
-        json.dump(new_meta, f)
-    with open(hint, "w") as f:
-        f.write(str(version))
     return snapshot_id
