@@ -1556,3 +1556,41 @@ def test_hudi_merge_into(spark, tmp_path):
         is None
     )
     assert len(hudi_commits(t)) == n
+
+
+def test_merge_into_empty_lakehouse_tables(spark, tmp_path):
+    """MERGE pure-inserts into a table whose every file group/file was
+    deleted (zero active files) still commit — against the typed empty
+    frame — for both jar-free formats."""
+    from witdb_spark.sources.hudi_meta import (
+        hudi_delete_where,
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_merge_into,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    src = spark.createDataFrame([(7, "z")], "id bigint, s string")
+
+    t = str(tmp_path / "ice")
+    write_iceberg(spark, df, t, mode="create")
+    iceberg_delete_where(spark, t, "true")
+    res = iceberg_merge_into(spark, t, src, ["id"], insert_not_matched=True)
+    assert res["files_rewritten"] == 0
+    assert [(r.id, r.s) for r in read_iceberg_snapshot(spark, t).collect()] \
+        == [(7, "z")]
+
+    h = str(tmp_path / "hud")
+    write_hudi(spark, df, h, mode="create")
+    hudi_delete_where(spark, h, "true")
+    assert hudi_merge_into(
+        spark, h, src, ["id"], insert_not_matched=True
+    ) is not None
+    assert [(r.id, r.s) for r in read_hudi_snapshot(spark, h).collect()] \
+        == [(7, "z")]
