@@ -1771,6 +1771,88 @@ def hudi_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_merge_roundtrip",
+    """
+    SELECT fmt, CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           'M:' || r_name AS r_name
+    FROM (SELECT 'delta' AS fmt UNION ALL SELECT 'hudi'
+          UNION ALL SELECT 'iceberg') f
+    CROSS JOIN region
+    """,
+    doc="MERGE INTO across all three jar-free lakehouse formats "
+    "(sources/delta_log.py delta_merge_into, iceberg_meta.py "
+    "iceberg_merge_into, hudi_meta.py hudi_merge_into): each format "
+    "CTASes the even region keys, then merges the full region with "
+    "'M:'-prefixed names — matched rows update, unmatched insert — so "
+    "every final snapshot must equal region with every name prefixed. "
+    "A mislaid kept file, a dropped insert, or post-update predicate "
+    "bleed in ANY of the three paths hash-mismatches its fmt slice.",
+    tags=("source", "lakehouse", "writer", "dml", "merge"),
+)
+def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_merge_into,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_merge_into,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src_all = t.region.selectExpr(
+        "CAST(r_regionkey AS BIGINT) AS r_regionkey",
+        "'M:' || r_name AS r_name",
+    )
+    base = src_all.selectExpr(
+        "r_regionkey", "substring(r_name, 3) AS r_name"
+    ).filter("r_regionkey % 2 = 0")
+    kwargs = dict(
+        when_matched_update={"r_name": F.col("src.r_name")},
+        insert_not_matched=True,
+    )
+    outs = []
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    for fmt, write, merge, read in [
+        ("delta", write_delta, delta_merge_into, read_delta_snapshot),
+        ("hudi", write_hudi, hudi_merge_into, read_hudi_snapshot),
+        (
+            "iceberg",
+            write_iceberg,
+            iceberg_merge_into,
+            read_iceberg_snapshot,
+        ),
+    ]:
+        path = os.path.join(
+            tempfile.gettempdir(), f"witdb_{fmt}_merge_{tag}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        write(spark, base, path, mode="create")
+        merge(spark, path, src_all, ["r_regionkey"], **kwargs)
+        outs.append(
+            read(spark, path)
+            .select("r_regionkey", "r_name")
+            .withColumn("fmt", F.lit(fmt))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("fmt", "r_regionkey", "r_name")
+
+
+@register(
     "ctas_writer_roundtrip",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

@@ -122,9 +122,11 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_pack_concat",
     "pipeline_pack_nextfit",
     "curation_temperature_mix",
-    # (r8-new, late: jar-free Iceberg + Hudi COW DELETE/UPDATE)
+    # (r8-new, late: jar-free Iceberg + Hudi COW DELETE/UPDATE, and
+    # MERGE INTO across all three formats)
     "iceberg_dml_roundtrip",
     "hudi_dml_roundtrip",
+    "lakehouse_merge_roundtrip",
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
