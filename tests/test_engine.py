@@ -771,3 +771,26 @@ def test_lakehouse_maintenance_procedures(spark, tmp_path):
         os.path.abspath(p) for p in glob.glob(os.path.join(h, "*.parquet"))
     } == active
     assert [r.id for r in read_hudi_snapshot(spark, h).collect()] == [2]
+
+    # format-dispatched OPTIMIZE: compaction through the COW rewrite
+    # cores — iceberg commits a snapshot, hudi a clustering
+    # replacecommit; both read back identically with fewer files
+    t2 = str(tmp_path / "ice_opt")
+    many = spark.createDataFrame(
+        [(i, str(i)) for i in range(6)], "id bigint, s string"
+    ).repartition(3)
+    write_iceberg(spark, many, t2, mode="create")
+    row = eng.sql(f"CALL system.optimize('{t2}', 1)").collect()[0]
+    assert row.files_rewritten == 3
+    from witdb_spark.sources.iceberg_meta import iceberg_data_files
+
+    files, _ = iceberg_data_files(t2)
+    assert len(files) == 1
+    assert read_iceberg_snapshot(spark, t2).count() == 6
+    h2 = str(tmp_path / "hud_opt")
+    write_hudi(spark, many, h2, mode="create")
+    assert len(hudi_base_files(h2)) == 3
+    row = eng.sql(f"CALL system.optimize('{h2}', 1)").collect()[0]
+    assert row.instant is not None
+    assert len(hudi_base_files(h2)) == 1
+    assert read_hudi_snapshot(spark, h2).count() == 6

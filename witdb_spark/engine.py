@@ -487,7 +487,29 @@ class Engine:
                 [(path, res["deleted"])], "path string, deleted_files bigint"
             )
         if proc == "optimize":
+            # dispatch by on-disk table format: small-file compaction is
+            # the same operation on every lakehouse layout
             target = int(args[1]) if len(args) > 1 else 1
+            if os.path.isdir(os.path.join(path, "metadata")):
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_optimize,
+                )
+
+                r = iceberg_optimize(self.spark, path, target_files=target)
+                return self.spark.createDataFrame(
+                    [(path, r["snapshot_id"], r["files_rewritten"])],
+                    "path string, snapshot_id bigint,"
+                    " files_rewritten bigint",
+                )
+            if os.path.isdir(os.path.join(path, ".hoodie")):
+                from witdb_spark.sources.hudi_meta import hudi_cluster
+
+                inst = hudi_cluster(
+                    self.spark, path, target_groups=target
+                )
+                return self.spark.createDataFrame(
+                    [(path, inst)], "path string, instant string"
+                )
             res = delta_optimize(self.spark, path, target_files=target)
             return self.spark.createDataFrame(
                 [(path, res["version"], res["files_before"],

@@ -467,3 +467,17 @@ def hudi_clean(path: str, keep_last: int = 1) -> dict:
         os.remove(p)
         deleted += 1
     return {"deleted_files": deleted, "retained_instants": len(retained)}
+
+
+def hudi_cluster(
+    spark: SparkSession, path: str, target_groups: int = 1
+) -> str | None:
+    """Clustering (real Hudi's replacecommit-based clustering service):
+    rewrite the whole active set into ``target_groups`` file groups —
+    one replacecommit retires every prior group and publishes the
+    coalesced ones; prior instants still time-travel."""
+    return _hudi_rewrite_matched(
+        spark, path,
+        lambda df: df.select("__sf"),
+        lambda rows: rows.coalesce(max(1, int(target_groups))),
+    )

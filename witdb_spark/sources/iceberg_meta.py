@@ -871,3 +871,19 @@ def iceberg_rollback_to_snapshot(path: str, snapshot_id: int) -> int:
         meta.get("current-snapshot-id"),
     )
     return snapshot_id
+
+
+def iceberg_optimize(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict:
+    """Small-file compaction (reference iceberg connector's OPTIMIZE
+    table procedure / rewrite_data_files): rewrite the whole active set
+    into ``target_files`` files through the COW rewrite core — one new
+    snapshot, old files retained for time travel. Small-file
+    proliferation is THE operational cost of frequent COW commits at
+    scale."""
+    return _iceberg_rewrite_matched(
+        spark, path,
+        lambda df: df.select("__sf"),
+        lambda rows: rows.coalesce(max(1, int(target_files))),
+    )
