@@ -794,3 +794,33 @@ def test_lakehouse_maintenance_procedures(spark, tmp_path):
     assert row.instant is not None
     assert len(hudi_base_files(h2)) == 1
     assert read_hudi_snapshot(spark, h2).count() == 6
+
+
+def test_maintenance_procedure_dispatch_hints(spark, tmp_path):
+    """A format-mismatched maintenance procedure says which spelling to
+    use instead of surfacing a missing-_delta_log error, and repeated
+    optimize on an already-compact table is a no-op (no snapshot/copy
+    accretion per scheduled run)."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_snapshots,
+        write_iceberg,
+    )
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = str(tmp_path / "ice")
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string").coalesce(1)
+    write_iceberg(spark, df, t, mode="create")
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        eng.sql(f"CALL system.vacuum('{t}')").collect()
+    with pytest.raises(ValueError, match="Delta procedure"):
+        eng.sql(f"CALL system.checkpoint('{t}')").collect()
+    with pytest.raises(ValueError, match="Hudi procedure"):
+        eng.sql(f"CALL system.clean('{t}')").collect()
+    # already compact: optimize commits nothing
+    n = len(iceberg_snapshots(t))
+    row = eng.sql(f"CALL system.optimize('{t}', 1)").collect()[0]
+    assert row.files_rewritten == 0
+    assert len(iceberg_snapshots(t)) == n

@@ -470,6 +470,41 @@ class Engine:
         if not args or not args[0]:
             raise ValueError(f"system.{proc} needs a table path")
         path = args[0]
+        # format sniff once, for every procedure: a delta-only procedure
+        # on an iceberg/hudi path must say which spelling to use, not
+        # surface a confusing missing-_delta_log error
+        fmt = (
+            "iceberg"
+            if os.path.isdir(os.path.join(path, "metadata"))
+            else "hudi"
+            if os.path.isdir(os.path.join(path, ".hoodie"))
+            else "delta"
+        )
+        if proc in ("vacuum", "checkpoint") and fmt != "delta":
+            hint = (
+                " — for retention on this table use system."
+                + ("expire_snapshots" if fmt == "iceberg" else "clean")
+                if proc == "vacuum"
+                else ""
+            )
+            raise ValueError(
+                f"system.{proc} is a Delta procedure; {path} is an"
+                f" {fmt} table{hint}"
+            )
+        if proc == "expire_snapshots" and fmt != "iceberg":
+            raise ValueError(
+                f"system.expire_snapshots is an Iceberg procedure;"
+                f" {path} is a {fmt} table"
+                + (" — use system.vacuum" if fmt == "delta" else
+                   " — use system.clean")
+            )
+        if proc == "clean" and fmt != "hudi":
+            raise ValueError(
+                f"system.clean is a Hudi procedure; {path} is a"
+                f" {fmt} table"
+                + (" — use system.vacuum" if fmt == "delta" else
+                   " — use system.expire_snapshots")
+            )
         if proc == "vacuum":
             retain_ms = 7 * 24 * 3600 * 1000
             if len(args) > 1:
@@ -490,7 +525,7 @@ class Engine:
             # dispatch by on-disk table format: small-file compaction is
             # the same operation on every lakehouse layout
             target = int(args[1]) if len(args) > 1 else 1
-            if os.path.isdir(os.path.join(path, "metadata")):
+            if fmt == "iceberg":
                 from witdb_spark.sources.iceberg_meta import (
                     iceberg_optimize,
                 )
@@ -501,7 +536,7 @@ class Engine:
                     "path string, snapshot_id bigint,"
                     " files_rewritten bigint",
                 )
-            if os.path.isdir(os.path.join(path, ".hoodie")):
+            if fmt == "hudi":
                 from witdb_spark.sources.hudi_meta import hudi_cluster
 
                 inst = hudi_cluster(

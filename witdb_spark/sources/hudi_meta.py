@@ -269,6 +269,7 @@ def _hudi_rewrite_matched(
     matcher,
     rewrite,
     commit_on_no_match: bool = False,
+    op: str = "DML",
 ) -> str | None:
     """Copy-on-write file-group rewrite shared by DELETE/UPDATE/MERGE:
     one replacecommit retires every file group ``matcher`` flags (it
@@ -302,31 +303,43 @@ def _hudi_rewrite_matched(
         # zero active file groups (delete-all): MERGE pure inserts must
         # still commit against the typed empty frame
         df = read_hudi_snapshot(spark, path).withColumn("__sf", F.lit(""))
-    matched_uris = [
-        r["__sf"] for r in matcher(df).distinct().collect()
-    ]
-    if not matched_uris and not commit_on_no_match:
-        return None
+    if matcher is None:
+        # clustering: the matched set is ALL active file groups, known
+        # driver-side — no scan-and-collect, and zero-row file groups
+        # (invisible to a row-derived matcher) are retired too
+        matched_paths = [os.path.abspath(f) for f in files]
+    else:
+        matched_uris = [
+            r["__sf"] for r in matcher(df).distinct().collect()
+        ]
+        if not matched_uris and not commit_on_no_match:
+            return None
+        matched_paths = []
+        for u in matched_uris:
+            ap = os.path.abspath(_strip_uri(u))
+            if ap not in by_abs:
+                raise HudiProtocolError(
+                    f"scanned file {ap} not in the current snapshot"
+                )
+            matched_paths.append(ap)
     matched_fids = set()
-    for u in matched_uris:
-        ap = os.path.abspath(_strip_uri(u))
-        if ap not in by_abs:
-            raise HudiProtocolError(
-                f"scanned file {ap} not in the current snapshot"
-            )
+    for ap in matched_paths:
         rel = os.path.relpath(ap, path)
         if os.sep in rel:
             raise HudiProtocolError(
-                "DML on a PARTITIONED Hudi table needs the hudi-spark"
+                f"{op} on a PARTITIONED Hudi table needs the hudi-spark"
                 " bundle (partitioned replace bookkeeping)"
             )
         matched_fids.add(os.path.basename(rel).split("_", 1)[0])
 
-    touched = (
-        df.where(F.col("__sf").isin(matched_uris))
-        if matched_uris
-        else df.limit(0)
-    ).drop("__sf")
+    if matcher is None:
+        touched = df.drop("__sf")
+    else:
+        touched = (
+            df.where(F.col("__sf").isin(matched_uris))
+            if matched_uris
+            else df.limit(0)
+        ).drop("__sf")
     survivors = rewrite(touched).select(*touched.columns)
     if not matched_fids and survivors.isEmpty():
         # MERGE with nothing matched and nothing to insert: a true
@@ -428,6 +441,7 @@ def hudi_merge_into(
         ).select("__sf"),
         lambda rows: merge_into(rows, source, on, **merge_kwargs),
         commit_on_no_match=True,
+        op="MERGE",
     )
 
 
@@ -475,9 +489,14 @@ def hudi_cluster(
     """Clustering (real Hudi's replacecommit-based clustering service):
     rewrite the whole active set into ``target_groups`` file groups —
     one replacecommit retires every prior group and publishes the
-    coalesced ones; prior instants still time-travel."""
+    coalesced ones; prior instants still time-travel. Already-compact
+    tables are a no-op — an hourly maintenance run must not accrete a
+    table copy per run."""
+    if len(hudi_base_files(path)) <= max(1, int(target_groups)):
+        return None
     return _hudi_rewrite_matched(
         spark, path,
-        lambda df: df.select("__sf"),
+        None,
         lambda rows: rows.coalesce(max(1, int(target_groups))),
+        op="clustering",
     )

@@ -435,6 +435,7 @@ def _iceberg_rewrite_matched(
     matcher,
     rewrite,
     commit_on_no_match: bool = False,
+    op: str = "COW DELETE/UPDATE",
 ) -> dict:
     """Copy-on-write file rewrite shared by DELETE/UPDATE/MERGE
     (reference iceberg connector COW write mode): scan the current
@@ -465,7 +466,7 @@ def _iceberg_rewrite_matched(
     # KeyError mid-commit. Refuse loudly instead.
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
-            "COW DELETE/UPDATE on a format-v1 Iceberg table needs the"
+            f"{op} on a format-v1 Iceberg table needs the"
             " iceberg-spark-runtime jar"
         )
     spec = next(
@@ -478,7 +479,7 @@ def _iceberg_rewrite_matched(
     )
     if spec.get("fields"):
         raise IcebergProtocolError(
-            "COW DELETE/UPDATE on a PARTITIONED Iceberg table needs the"
+            f"{op} on a PARTITIONED Iceberg table needs the"
             " iceberg-spark-runtime jar"
         )
     # one manifest walk serves both the scan list and the kept-entry
@@ -527,25 +528,32 @@ def _iceberg_rewrite_matched(
         df = read_iceberg_snapshot(spark, path).withColumn(
             "__sf", F.lit("")
         )
-    matched_uris = [
-        r["__sf"] for r in matcher(df).distinct().collect()
-    ]
-    matched_abs = set()
-    for u in matched_uris:
-        ap = os.path.abspath(_strip_uri(u))
-        if ap not in by_abs:
-            raise IcebergProtocolError(
-                f"scanned file {ap} not in the current snapshot"
-            )
-        matched_abs.add(ap)
-    if not matched_abs and not commit_on_no_match:
-        return {"snapshot_id": base_snap, "files_rewritten": 0}
-
-    touched = (
-        df.where(F.col("__sf").isin(matched_uris))
-        if matched_uris
-        else df.limit(0)
-    ).drop("__sf").select(*cols)
+    if matcher is None:
+        # compaction: the matched set is definitionally ALL active
+        # files, already known driver-side — no scan-and-collect pass,
+        # no isin over every file URI, and zero-row files (invisible to
+        # a row-derived matcher) are retired too
+        matched_abs = set(by_abs)
+        touched = df.drop("__sf").select(*cols)
+    else:
+        matched_uris = [
+            r["__sf"] for r in matcher(df).distinct().collect()
+        ]
+        matched_abs = set()
+        for u in matched_uris:
+            ap = os.path.abspath(_strip_uri(u))
+            if ap not in by_abs:
+                raise IcebergProtocolError(
+                    f"scanned file {ap} not in the current snapshot"
+                )
+            matched_abs.add(ap)
+        if not matched_abs and not commit_on_no_match:
+            return {"snapshot_id": base_snap, "files_rewritten": 0}
+        touched = (
+            df.where(F.col("__sf").isin(matched_uris))
+            if matched_uris
+            else df.limit(0)
+        ).drop("__sf").select(*cols)
     survivors = rewrite(touched).select(*cols)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     survivors.write.mode("overwrite").parquet(staging)
@@ -696,6 +704,7 @@ def iceberg_merge_into(
         ).select("__sf"),
         lambda rows: merge_into(rows, source, on, **merge_kwargs),
         commit_on_no_match=True,
+        op="MERGE",
     )
 
 
@@ -881,9 +890,19 @@ def iceberg_optimize(
     into ``target_files`` files through the COW rewrite core — one new
     snapshot, old files retained for time travel. Small-file
     proliferation is THE operational cost of frequent COW commits at
-    scale."""
+    scale. Already-compact tables are a no-op (like delta_optimize) —
+    a scheduled hourly run must not accrete a table copy per run."""
+    meta = _current_metadata(path)
+    _maintenance_gate(meta, "optimize")
+    files, _ = iceberg_data_files(path)
+    if len(files) <= max(1, int(target_files)):
+        return {
+            "snapshot_id": meta.get("current-snapshot-id"),
+            "files_rewritten": 0,
+        }
     return _iceberg_rewrite_matched(
         spark, path,
-        lambda df: df.select("__sf"),
+        None,
         lambda rows: rows.coalesce(max(1, int(target_files))),
+        op="OPTIMIZE",
     )
