@@ -1121,3 +1121,30 @@ def test_cte_materialization_option(spark):
         eng.sql("RESET SESSION materialize_repeated_ctes")
     # with the property off again the plan inlines as before
     assert filescans(eng.sql(text)) >= 6
+
+
+def test_late_r8_pipeline_plans(spark):
+    """Scale shapes of the late-r8 pipeline tier: the Gopher quality
+    flags are a pure map (zero Exchange); concat-chunk packing plans ONE
+    window exchange on the packing partition plus the chunk aggregation;
+    the bigram LM scorer and temperature mix never plan a cartesian and
+    keep broadcast joins on the broadcast-sized sides."""
+    plan = plan_of(spark, "text_gopher_quality")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDFs — whole-stage JVM
+
+    plan = plan_of(spark, "pipeline_pack_concat")
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "partial_" in plan
+
+    for q in ("text_bigram_logprob", "curation_temperature_mix"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+    # the corpus side of the temperature-mix filter joins BROADCAST
+    # (quota table is ~|sources| rows): the corpus itself never shuffles
+    plan = plan_of(spark, "curation_temperature_mix")
+    assert "BroadcastHashJoin" in plan
