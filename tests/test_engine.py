@@ -824,3 +824,70 @@ def test_maintenance_procedure_dispatch_hints(spark, tmp_path):
     row = eng.sql(f"CALL system.optimize('{t}', 1)").collect()[0]
     assert row.files_rewritten == 0
     assert len(iceberg_snapshots(t)) == n
+
+
+def test_sql_dml_front_door(spark, tmp_path):
+    """DELETE FROM / UPDATE / MERGE INTO as SQL text on lakehouse path
+    tables (<format>.'<path>') — the reference's DML statements
+    (io.trino.sql.tree Delete/Update/Merge) routed to the jar-free
+    protocol writers."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot, write_hudi
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    df0 = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 5)], "id bigint, v double"
+    )
+    for fmt, write, read in [
+        ("delta", write_delta, read_delta_snapshot),
+        ("iceberg", write_iceberg, read_iceberg_snapshot),
+        ("hudi", write_hudi, read_hudi_snapshot),
+    ]:
+        t = str(tmp_path / f"dml_{fmt}")
+        write(spark, df0, t, mode="create")
+        eng.sql(f"DELETE FROM {fmt}.'{t}' WHERE id = 4")
+        eng.sql(f"UPDATE {fmt}.'{t}' SET v = v + 0.5, id = id WHERE id = 1")
+        got = {r.id: r.v for r in read(spark, t).collect()}
+        assert got == {1: 10.5, 2: 20.0, 3: 30.0}, fmt
+        # MERGE: update id=2 from the source, insert id=9
+        spark.createDataFrame(
+            [(2, 222.0), (9, 999.0)], "id bigint, v double"
+        ).createOrReplaceTempView("dml_src")
+        eng.sql(
+            f"MERGE INTO {fmt}.'{t}' t USING dml_src s ON t.id = s.id"
+            " WHEN MATCHED THEN UPDATE SET v = s.v"
+            " WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+        )
+        got = {r.id: r.v for r in read(spark, t).collect()}
+        assert got == {1: 10.5, 2: 222.0, 3: 30.0, 9: 999.0}, fmt
+        # conditional DELETE clause + subquery source
+        eng.sql(
+            f"MERGE INTO {fmt}.'{t}' t USING"
+            " (SELECT CAST(9 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS v) s"
+            " ON t.id = s.id WHEN MATCHED AND t.v > 100 THEN DELETE"
+        )
+        got = sorted(r.id for r in read(spark, t).collect())
+        assert got == [1, 2, 3], fmt
+    # non-identity inserts and conditional updates bail loudly
+    t = str(tmp_path / "dml_delta")
+    with pytest.raises(UnsupportedTrinoSyntax, match="identity INSERT"):
+        eng.sql(
+            f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id = s.id"
+            " WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 0.0)"
+        )
+    with pytest.raises(UnsupportedTrinoSyntax, match="equi-conditions"):
+        eng.sql(
+            f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id > s.id"
+            " WHEN MATCHED THEN DELETE"
+        )

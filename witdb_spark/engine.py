@@ -143,6 +143,9 @@ class Engine:
             # procedure/VacuumProcedure.java + OptimizeTableProcedure;
             # path-based tables here, so the argument is the table path)
             return self._call_delta_procedure(m.group(1).lower(), text, m)
+        dml = self._sql_lakehouse_dml(text)
+        if dml is not None:
+            return dml
         m = re.match(
             r"^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
             text, re.I,
@@ -594,6 +597,298 @@ class Engine:
         return self.spark.createDataFrame(
             [(path, version)], "path string, checkpointed_version bigint"
         )
+
+    # path-table spelling for the SQL DML front door: the reference
+    # addresses writable connector tables as catalog.schema.table; path
+    # tables here spell <format>.'<path>' (same convention as the CALL
+    # procedures taking table paths)
+    _DML_TABLE = r"(delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+
+    def _sql_lakehouse_dml(self, text: str):
+        """SQL-text DML on jar-free lakehouse path tables — the
+        reference's front door for DELETE/UPDATE/MERGE (io.trino.sql.tree
+        Delete/Update/Merge; the delta/iceberg connectors execute them).
+        Returns a one-row summary DataFrame, or None when ``text`` is
+        not a lakehouse DML statement."""
+        import re as _re
+
+        from witdb_spark.plans.dialect import (
+            UnsupportedTrinoSyntax,
+            _split_top_level,
+        )
+
+        def fragment(sql_fragment: str) -> str:
+            # Trino-dialect fragments (ARRAY literals, functions) go
+            # through the same textual rewrites full statements do
+            return transpile(sql_fragment)
+
+        m = _re.match(
+            r"^\s*DELETE\s+FROM\s+" + self._DML_TABLE
+            + r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+            text, _re.I | _re.S,
+        )
+        if m:
+            fmt, path = m.group(1).lower(), m.group("path")
+            pred = fragment(m.group("pred"))
+            res = self._dml_dispatch(fmt, "delete", path, pred)
+            return self.spark.createDataFrame(
+                [(path, str(res))], "path string, result string"
+            )
+        m = _re.match(
+            r"^\s*UPDATE\s+" + self._DML_TABLE
+            + r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+            text, _re.I | _re.S,
+        )
+        if m:
+            fmt, path = m.group(1).lower(), m.group("path")
+            assignments = {}
+            for item in _split_top_level(m.group("sets")):
+                am = _re.match(
+                    r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _re.S
+                )
+                if am is None:
+                    raise UnsupportedTrinoSyntax(
+                        f"cannot parse UPDATE assignment: {item!r}"
+                    )
+                assignments[am.group(1)] = fragment(am.group(2).strip())
+            pred = fragment(m.group("pred"))
+            res = self._dml_dispatch(
+                fmt, "update", path, pred, assignments
+            )
+            return self.spark.createDataFrame(
+                [(path, str(res))], "path string, result string"
+            )
+        m = _re.match(
+            r"^\s*MERGE\s+INTO\s+" + self._DML_TABLE
+            + r"(?:\s+AS)?(?:\s+(?P<talias>[A-Za-z_]\w*))?\s+USING\s+",
+            text, _re.I | _re.S,
+        )
+        if m:
+            return self._sql_merge(text, m)
+        return None
+
+    def _sql_merge(self, text: str, head):
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from witdb_spark.plans.dialect import (
+            UnsupportedTrinoSyntax,
+            _match_paren,
+            _scan_maps,
+            _split_top_level,
+        )
+
+        def remap_aliases(expr: str, mapping: dict[str, str]) -> str:
+            # alias. -> tgt./src. outside string literals
+            out = expr
+            for old, new in mapping.items():
+                if not old:
+                    continue
+                _, instr = _scan_maps(out)
+                pieces, last = [], 0
+                for mm in _re.finditer(
+                    r"\b%s\s*\." % _re.escape(old), out
+                ):
+                    if instr[mm.start()]:
+                        continue
+                    pieces.append(out[last : mm.start()] + new + ".")
+                    last = mm.end()
+                pieces.append(out[last:])
+                out = "".join(pieces)
+            return out
+
+        fmt, path = head.group(1).lower(), head.group("path")
+        talias = head.group("talias") or ""
+        pos = head.end()
+        rest = text[pos:]
+        if rest.lstrip().startswith("("):
+            open_idx = text.index("(", pos)
+            close_idx = _match_paren(text, open_idx)
+            source = self.sql(text[open_idx + 1 : close_idx])
+            pos = close_idx + 1
+        else:
+            sm = _re.match(r"\s*([A-Za-z_][\w.]*)", rest)
+            source = self.spark.table(sm.group(1))
+            pos += sm.end()
+        sm = _re.match(
+            r"(?:\s+AS)?\s+(?P<salias>[A-Za-z_]\w*)?\s*ON\s+", text[pos:],
+            _re.I,
+        )
+        if sm is None:
+            raise UnsupportedTrinoSyntax("MERGE: expected [alias] ON ...")
+        salias = sm.group("salias") or ""
+        pos += sm.end()
+        # clause list starts at the first top-level WHEN after ON
+        depths, instr = _scan_maps(text)
+        wm = None
+        for mm in _re.finditer(r"\bWHEN\b", text, _re.I):
+            if mm.start() >= pos and not instr[mm.start()] and depths[
+                mm.start()
+            ] == 0:
+                wm = mm
+                break
+        if wm is None:
+            raise UnsupportedTrinoSyntax("MERGE: no WHEN clauses")
+        on_text = text[pos : wm.start()]
+        on_cols = []
+        for part in _re.split(r"(?i)\bAND\b", on_text):
+            em = _re.match(
+                r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+                r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
+                part,
+            )
+            if em is None or em.group(2) != em.group(4):
+                raise UnsupportedTrinoSyntax(
+                    "MERGE ON must be equi-conditions on same-named"
+                    f" columns; got {part!r}"
+                )
+            on_cols.append(em.group(2))
+        mapping = {salias: "src", talias: "tgt"}
+        kwargs: dict = {"insert_not_matched": False}
+        clause_text = text[wm.start() :].rstrip().rstrip(";")
+        # split on top-level WHEN
+        cd, cinstr = _scan_maps(clause_text)
+        starts = [
+            mm.start()
+            for mm in _re.finditer(r"\bWHEN\b", clause_text, _re.I)
+            if cd[mm.start()] == 0 and not cinstr[mm.start()]
+        ]
+        clauses = [
+            clause_text[s:e].strip()
+            for s, e in zip(starts, starts[1:] + [len(clause_text)])
+        ]
+        for cl in clauses:
+            cm = _re.match(
+                r"(?is)^WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN"
+                r"\s+(?P<act>UPDATE\s+SET\s+.+|DELETE)$",
+                cl,
+            )
+            nm = _re.match(
+                r"(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\b"
+                r"(?P<ins>.*)$",
+                cl,
+            )
+            if cm:
+                act = cm.group("act")
+                if act.upper() == "DELETE":
+                    cond = cm.group("cond")
+                    kwargs["when_matched_delete"] = F.expr(
+                        remap_aliases(transpile(cond), mapping)
+                        if cond
+                        else "true"
+                    )
+                else:
+                    if cm.group("cond"):
+                        raise UnsupportedTrinoSyntax(
+                            "MERGE: conditional UPDATE clauses are not"
+                            " supported (unconditional UPDATE SET only)"
+                        )
+                    sets = {}
+                    set_text = _re.sub(
+                        r"(?is)^UPDATE\s+SET\s+", "", act
+                    )
+                    for item in _split_top_level(set_text):
+                        am = _re.match(
+                            r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _re.S
+                        )
+                        if am is None:
+                            raise UnsupportedTrinoSyntax(
+                                f"cannot parse MERGE SET: {item!r}"
+                            )
+                        sets[am.group(1)] = F.expr(
+                            remap_aliases(
+                                transpile(am.group(2).strip()), mapping
+                            )
+                        )
+                    kwargs["when_matched_update"] = sets
+            elif nm:
+                ins = nm.group("ins").strip()
+                ok = ins == ""
+                if not ok:
+                    im = _re.match(
+                        r"(?is)^\((?P<cols>[^)]*)\)\s*VALUES\s*"
+                        r"\((?P<vals>.*)\)$",
+                        ins,
+                    )
+                    if im:
+                        cols = [
+                            c.strip() for c in im.group("cols").split(",")
+                        ]
+                        vals = [
+                            _re.sub(
+                                r"^\s*[A-Za-z_]\w*\s*\.\s*", "", v
+                            ).strip()
+                            for v in _split_top_level(im.group("vals"))
+                        ]
+                        ok = cols == vals and set(cols) == set(
+                            source.columns
+                        )
+                if not ok:
+                    raise UnsupportedTrinoSyntax(
+                        "MERGE: only the identity INSERT of the full"
+                        " source row is supported — INSERT (c1, ..) "
+                        "VALUES (s.c1, ..) covering every source column"
+                    )
+                kwargs["insert_not_matched"] = True
+            else:
+                raise UnsupportedTrinoSyntax(
+                    f"cannot parse MERGE clause: {cl[:80]!r}"
+                )
+        res = self._dml_dispatch(
+            fmt, "merge", path, None, None, source, on_cols, kwargs
+        )
+        return self.spark.createDataFrame(
+            [(path, str(res))], "path string, result string"
+        )
+
+    def _dml_dispatch(
+        self, fmt, op, path, pred=None, assignments=None,
+        source=None, on_cols=None, merge_kwargs=None,
+    ):
+        if fmt == "delta":
+            from witdb_spark.sources import delta_log as M
+
+            fns = {
+                "delete": lambda: M.delta_delete_where(
+                    self.spark, path, pred
+                ),
+                "update": lambda: M.delta_update_where(
+                    self.spark, path, pred, assignments
+                ),
+                "merge": lambda: M.delta_merge_into(
+                    self.spark, path, source, on_cols, **merge_kwargs
+                ),
+            }
+        elif fmt == "iceberg":
+            from witdb_spark.sources import iceberg_meta as M
+
+            fns = {
+                "delete": lambda: M.iceberg_delete_where(
+                    self.spark, path, pred
+                ),
+                "update": lambda: M.iceberg_update_where(
+                    self.spark, path, pred, assignments
+                ),
+                "merge": lambda: M.iceberg_merge_into(
+                    self.spark, path, source, on_cols, **merge_kwargs
+                ),
+            }
+        else:
+            from witdb_spark.sources import hudi_meta as M
+
+            fns = {
+                "delete": lambda: M.hudi_delete_where(
+                    self.spark, path, pred
+                ),
+                "update": lambda: M.hudi_update_where(
+                    self.spark, path, pred, assignments
+                ),
+                "merge": lambda: M.hudi_merge_into(
+                    self.spark, path, source, on_cols, **merge_kwargs
+                ),
+            }
+        return fns[op]()
 
     def _prop_enabled(self, conf: str) -> bool:
         try:
