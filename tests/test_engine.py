@@ -879,8 +879,13 @@ def test_sql_dml_front_door(spark, tmp_path):
         )
         got = sorted(r.id for r in read(spark, t).collect())
         assert got == [1, 2, 3], fmt
-    # non-identity inserts and conditional updates bail loudly
+    # WHERE-less statements touch every row (ANSI semantics)
     t = str(tmp_path / "dml_delta")
+    eng.sql(f"UPDATE delta.'{t}' SET v = 0.0")
+    assert {r.v for r in read_delta_snapshot(spark, t).collect()} == {0.0}
+    eng.sql(f"DELETE FROM delta.'{t}'")
+    assert read_delta_snapshot(spark, t).count() == 0
+    # non-identity inserts and conditional updates bail loudly
     with pytest.raises(UnsupportedTrinoSyntax, match="identity INSERT"):
         eng.sql(
             f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id = s.id"

@@ -624,19 +624,21 @@ class Engine:
 
         m = _re.match(
             r"^\s*DELETE\s+FROM\s+" + self._DML_TABLE
-            + r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+            + r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
             text, _re.I | _re.S,
         )
         if m:
             fmt, path = m.group(1).lower(), m.group("path")
-            pred = fragment(m.group("pred"))
+            # no WHERE = every row (ANSI DELETE semantics)
+            pred = fragment(m.group("pred")) if m.group("pred") else "true"
             res = self._dml_dispatch(fmt, "delete", path, pred)
             return self.spark.createDataFrame(
                 [(path, str(res))], "path string, result string"
             )
         m = _re.match(
             r"^\s*UPDATE\s+" + self._DML_TABLE
-            + r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+            + r"\s+SET\s+(?P<sets>.+?)"
+            r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
             text, _re.I | _re.S,
         )
         if m:
@@ -651,7 +653,7 @@ class Engine:
                         f"cannot parse UPDATE assignment: {item!r}"
                     )
                 assignments[am.group(1)] = fragment(am.group(2).strip())
-            pred = fragment(m.group("pred"))
+            pred = fragment(m.group("pred")) if m.group("pred") else "true"
             res = self._dml_dispatch(
                 fmt, "update", path, pred, assignments
             )
