@@ -896,3 +896,79 @@ def test_sql_dml_front_door(spark, tmp_path):
             f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id > s.id"
             " WHEN MATCHED THEN DELETE"
         )
+
+
+def test_sql_dml_parser_corners(spark, tmp_path):
+    """Corners from the DML-front-door review: EXPLAIN never executes
+    DML; WHERE inside a SET string literal does not split the statement;
+    comparison operators inside assignments survive the comma split;
+    aliases literally named src/tgt map correctly; wrong-case and
+    unknown SET columns are loud; update-before-delete clause order is
+    refused (first-match-wins)."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    t = str(tmp_path / "corner")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b")], "id bigint, v double, s string"
+        ),
+        t,
+        mode="create",
+    )
+    # EXPLAIN does not execute; EXPLAIN (TYPE VALIDATE) neither
+    plan = eng.sql(f"EXPLAIN DELETE FROM delta.'{t}'").collect()[0][0]
+    assert "LakehouseDML" in plan
+    eng.sql(f"EXPLAIN (TYPE VALIDATE) DELETE FROM delta.'{t}'").collect()
+    assert read_delta_snapshot(spark, t).count() == 2
+    # WHERE inside a string literal + comparison operator in a CASE
+    eng.sql(
+        f"UPDATE delta.'{t}' SET s = 'use WHERE wisely',"
+        " v = CASE WHEN v > 15 THEN v + 1 ELSE v END WHERE id = 2"
+    )
+    got = {r.id: (r.v, r.s) for r in read_delta_snapshot(spark, t).collect()}
+    assert got == {1: (10.0, "a"), 2: (21.0, "use WHERE wisely")}
+    # target alias literally named src: the source value must still win
+    spark.createDataFrame(
+        [(1, 111.0)], "id bigint, v double"
+    ).createOrReplaceTempView("corner_src")
+    eng.sql(
+        f"MERGE INTO delta.'{t}' src USING corner_src s ON src.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    assert got[1] == 111.0
+    # wrong-case SET column folds case-insensitively (SQL identifiers)
+    eng.sql(
+        f"MERGE INTO delta.'{t}' t2 USING corner_src s ON t2.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET V = s.v + 1"
+    )
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    assert got[1] == 112.0
+    # unknown SET column is loud
+    with pytest.raises(Exception, match="names no target column"):
+        eng.sql(
+            f"MERGE INTO delta.'{t}' t2 USING corner_src s ON t2.id = s.id"
+            " WHEN MATCHED THEN UPDATE SET nosuch = s.v"
+        )
+    # update-before-delete order is refused (first-match-wins)
+    with pytest.raises(UnsupportedTrinoSyntax, match="first-match-wins"):
+        eng.sql(
+            f"MERGE INTO delta.'{t}' t2 USING corner_src s ON t2.id = s.id"
+            " WHEN MATCHED THEN UPDATE SET v = s.v"
+            " WHEN MATCHED AND t2.v > 5 THEN DELETE"
+        )
+    # malformed USING is the documented loud error, not AttributeError
+    with pytest.raises(UnsupportedTrinoSyntax, match="USING"):
+        eng.sql(
+            f"MERGE INTO delta.'{t}' t2 USING 'oops' s ON t2.id = s.id"
+            " WHEN MATCHED THEN DELETE"
+        )

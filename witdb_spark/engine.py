@@ -193,6 +193,17 @@ class Engine:
                 raise NotImplementedError(
                     "EXPLAIN (FORMAT JSON) is not supported; TEXT only"
                 )
+            dml_desc = self._describe_lakehouse_dml(m.group(2))
+            if dml_desc is not None:
+                # EXPLAIN must NEVER execute DML (only EXPLAIN ANALYZE
+                # runs its statement, per the reference's semantics)
+                if etype == "VALIDATE":
+                    return self.spark.createDataFrame(
+                        [(True,)], "Valid boolean"
+                    )
+                return self.spark.createDataFrame(
+                    [(dml_desc,)], "`Query Plan` string"
+                )
             if etype == "VALIDATE":
                 self.sql(m.group(2))  # analysis errors propagate
                 return self.spark.createDataFrame(
@@ -612,10 +623,7 @@ class Engine:
         not a lakehouse DML statement."""
         import re as _re
 
-        from witdb_spark.plans.dialect import (
-            UnsupportedTrinoSyntax,
-            _split_top_level,
-        )
+        from witdb_spark.plans.dialect import UnsupportedTrinoSyntax
 
         def fragment(sql_fragment: str) -> str:
             # Trino-dialect fragments (ARRAY literals, functions) go
@@ -636,15 +644,38 @@ class Engine:
                 [(path, str(res))], "path string, result string"
             )
         m = _re.match(
-            r"^\s*UPDATE\s+" + self._DML_TABLE
-            + r"\s+SET\s+(?P<sets>.+?)"
-            r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
-            text, _re.I | _re.S,
+            r"^\s*UPDATE\s+" + self._DML_TABLE + r"\s+SET\s+",
+            text, _re.I,
         )
         if m:
+            from witdb_spark.plans.dialect import (
+                _scan_maps,
+                _split_call_args,
+            )
+
             fmt, path = m.group(1).lower(), m.group("path")
+            tail = text[m.end() :].rstrip().rstrip(";")
+            # the SET/WHERE boundary is the first TOP-LEVEL WHERE
+            # outside string literals — a WHERE inside a string or a
+            # scalar-subquery assignment must not split the statement
+            depths, instr = _scan_maps(tail)
+            wm = next(
+                (
+                    mm
+                    for mm in _re.finditer(r"\bWHERE\b", tail, _re.I)
+                    if depths[mm.start()] == 0 and not instr[mm.start()]
+                ),
+                None,
+            )
+            sets_text = tail[: wm.start()] if wm else tail
+            pred = (
+                fragment(tail[wm.end() :].strip()) if wm else "true"
+            )
             assignments = {}
-            for item in _split_top_level(m.group("sets")):
+            # _split_call_args, not _split_top_level: assignment RHS
+            # can contain comparison operators (< > would be taken as
+            # brackets and swallow the comma)
+            for item in _split_call_args(sets_text):
                 am = _re.match(
                     r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _re.S
                 )
@@ -653,7 +684,6 @@ class Engine:
                         f"cannot parse UPDATE assignment: {item!r}"
                     )
                 assignments[am.group(1)] = fragment(am.group(2).strip())
-            pred = fragment(m.group("pred")) if m.group("pred") else "true"
             res = self._dml_dispatch(
                 fmt, "update", path, pred, assignments
             )
@@ -678,27 +708,30 @@ class Engine:
             UnsupportedTrinoSyntax,
             _match_paren,
             _scan_maps,
-            _split_top_level,
+            _split_call_args,
         )
 
         def remap_aliases(expr: str, mapping: dict[str, str]) -> str:
-            # alias. -> tgt./src. outside string literals
-            out = expr
-            for old, new in mapping.items():
-                if not old:
+            # alias. -> tgt./src. outside string literals, in ONE pass:
+            # sequential passes would re-rewrite their own output when a
+            # user alias is literally named 'src' or 'tgt'
+            live = {k: v for k, v in mapping.items() if k}
+            if not live:
+                return expr
+            _, instr = _scan_maps(expr)
+            pat = r"\b(%s)\s*\." % "|".join(
+                _re.escape(k) for k in live
+            )
+            pieces, last = [], 0
+            for mm in _re.finditer(pat, expr):
+                if instr[mm.start()]:
                     continue
-                _, instr = _scan_maps(out)
-                pieces, last = [], 0
-                for mm in _re.finditer(
-                    r"\b%s\s*\." % _re.escape(old), out
-                ):
-                    if instr[mm.start()]:
-                        continue
-                    pieces.append(out[last : mm.start()] + new + ".")
-                    last = mm.end()
-                pieces.append(out[last:])
-                out = "".join(pieces)
-            return out
+                pieces.append(
+                    expr[last : mm.start()] + live[mm.group(1)] + "."
+                )
+                last = mm.end()
+            pieces.append(expr[last:])
+            return "".join(pieces)
 
         fmt, path = head.group(1).lower(), head.group("path")
         talias = head.group("talias") or ""
@@ -711,6 +744,11 @@ class Engine:
             pos = close_idx + 1
         else:
             sm = _re.match(r"\s*([A-Za-z_][\w.]*)", rest)
+            if sm is None:
+                raise UnsupportedTrinoSyntax(
+                    "MERGE USING expects a view/table name or a"
+                    " parenthesized query"
+                )
             source = self.spark.table(sm.group(1))
             pos += sm.end()
         sm = _re.match(
@@ -760,6 +798,7 @@ class Engine:
             clause_text[s:e].strip()
             for s, e in zip(starts, starts[1:] + [len(clause_text)])
         ]
+        clause_order: list[str] = []
         for cl in clauses:
             cm = _re.match(
                 r"(?is)^WHEN\s+MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN"
@@ -780,6 +819,7 @@ class Engine:
                         if cond
                         else "true"
                     )
+                    clause_order.append("delete")
                 else:
                     if cm.group("cond"):
                         raise UnsupportedTrinoSyntax(
@@ -790,7 +830,7 @@ class Engine:
                     set_text = _re.sub(
                         r"(?is)^UPDATE\s+SET\s+", "", act
                     )
-                    for item in _split_top_level(set_text):
+                    for item in _split_call_args(set_text):
                         am = _re.match(
                             r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _re.S
                         )
@@ -804,6 +844,7 @@ class Engine:
                             )
                         )
                     kwargs["when_matched_update"] = sets
+                    clause_order.append("update")
             elif nm:
                 ins = nm.group("ins").strip()
                 ok = ins == ""
@@ -821,7 +862,7 @@ class Engine:
                             _re.sub(
                                 r"^\s*[A-Za-z_]\w*\s*\.\s*", "", v
                             ).strip()
-                            for v in _split_top_level(im.group("vals"))
+                            for v in _split_call_args(im.group("vals"))
                         ]
                         ok = cols == vals and set(cols) == set(
                             source.columns
@@ -837,6 +878,15 @@ class Engine:
                 raise UnsupportedTrinoSyntax(
                     f"cannot parse MERGE clause: {cl[:80]!r}"
                 )
+        if clause_order == ["update", "delete"]:
+            # SQL MERGE is first-matching-clause-wins in WRITTEN order;
+            # the executor evaluates DELETE before UPDATE, which is only
+            # equivalent when DELETE is written first
+            raise UnsupportedTrinoSyntax(
+                "MERGE: write the WHEN MATCHED ... DELETE clause before"
+                " the UPDATE clause (first-match-wins order is preserved"
+                " only in that spelling)"
+            )
         res = self._dml_dispatch(
             fmt, "merge", path, None, None, source, on_cols, kwargs
         )
@@ -1181,9 +1231,40 @@ class Engine:
             value = "-1" if value.upper() == "PARTITIONED" else "67108864"
         self.spark.conf.set(SESSION_PROPERTIES.get(prop, prop), value)
 
+    # plain EXPLAIN must never execute DML; only EXPLAIN ANALYZE runs
+    # its statement (the reference's semantics — ExplainAnalyzeOperator
+    # executes, ExplainTask plans)
+    _DML_HEAD = re.compile(
+        r"^\s*(DELETE\s+FROM|UPDATE|MERGE\s+INTO)\s+"
+        r"(delta|iceberg|hudi)\s*\.\s*'",
+        re.I,
+    )
+
+    def _describe_lakehouse_dml(self, inner: str) -> str | None:
+        m = self._DML_HEAD.match(inner)
+        if m is None:
+            return None
+        verb = " ".join(m.group(1).split()).upper()
+        return (
+            f"LakehouseDML[{verb} on a jar-free {m.group(2).lower()}"
+            " path table]\n"
+            f"  statement: {' '.join(inner.split())}\n"
+            "  copy-on-write rewrite of matched files; EXPLAIN does not"
+            " execute DML — run the statement (or EXPLAIN ANALYZE it)"
+            " to commit"
+        )
+
     def explain(self, text: str, analyze: bool = False) -> str:
         """EXPLAIN [ANALYZE] — formatted plan; with analyze=True the query
-        runs and per-operator metrics come from the executed plan."""
+        runs and per-operator metrics come from the executed plan. A
+        lakehouse DML statement is only EXECUTED under ANALYZE; plain
+        EXPLAIN returns its description without committing anything."""
+        dml_desc = self._describe_lakehouse_dml(text)
+        if dml_desc is not None:
+            if not analyze:
+                return dml_desc
+            summary = self.sql(text).collect()
+            return dml_desc + f"\n  executed: {summary[0].asDict()}"
         df = self.sql(text)
         if analyze:
             df.collect()

@@ -55,14 +55,26 @@ def merge_into(
             ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
         )
 
+    # SQL identifiers fold case-insensitively: match SET keys to target
+    # columns by lower-case, and an assignment naming NO target column is
+    # an error, never a silent no-op
+    updates = {
+        k.lower(): v for k, v in (when_matched_update or {}).items()
+    }
+    known = {f.name.lower() for f in target.schema.fields}
+    unknown = sorted(set(updates) - known)
+    if unknown:
+        raise ValueError(
+            f"MERGE UPDATE SET names no target column: {unknown}"
+        )
     out_cols = []
     for field in target.schema.fields:
         c = field.name
         tgt_c = F.col(f"tgt.{c}")
         src_c = F.col(f"src.{c}") if c in source.columns else F.lit(None)
         val = tgt_c
-        if when_matched_update and c in when_matched_update:
-            val = F.when(matched, when_matched_update[c]).otherwise(tgt_c)
+        if c.lower() in updates:
+            val = F.when(matched, updates[c.lower()]).otherwise(tgt_c)
         if insert_not_matched:
             val = F.when(src_only, src_c).otherwise(val)
         out_cols.append(val.cast(field.dataType).alias(c))
