@@ -1148,3 +1148,61 @@ def test_late_r8_pipeline_plans(spark):
     # (quota table is ~|sources| rows): the corpus itself never shuffles
     plan = plan_of(spark, "curation_temperature_mix")
     assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_mixed_split_randomized_consistency(spark):
+    """Randomized lock on the mixed-aggregate split: for a spread of
+    co-aggregate combinations, group keys, and filters, every JVM
+    co-aggregate through the rewritten mixed query must equal the plain
+    Spark aggregation, and the HLL stays within tolerance of the exact
+    distinct count. approx_set merges are exact, so any disagreement is
+    a rewrite bug, not sketch noise. Deterministic case list (no RNG —
+    resume/replay safe), chosen to cross every co-agg family with
+    grouped/global and filtered/unfiltered shapes."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    cases = [
+        ("l_returnflag", "count(*) AS a, avg(l_quantity) AS b", ""),
+        ("l_linestatus", "sum(l_quantity) AS a, min(l_shipdate) AS b",
+         "WHERE l_quantity > 25"),
+        ("l_returnflag, l_linestatus",
+         "max(l_extendedprice) AS a, stddev_samp(l_discount) AS b", ""),
+        ("", "count(l_comment) AS a, var_pop(l_tax) AS b",
+         "WHERE l_orderkey % 3 = 0"),
+        ("l_shipmode", "count_if(l_quantity > 25) AS a, bool_or(l_tax > 0.05) AS b",
+         "WHERE l_shipdate >= DATE '1996-01-01'"),
+    ]
+    for keys, aggs, where in cases:
+        group = f" GROUP BY {keys}" if keys else ""
+        sel_keys = f"{keys}, " if keys else ""
+        mixed = eng.sql(
+            f"SELECT {sel_keys}{aggs},"
+            " hll_cardinality(approx_set(l_partkey)) AS h"
+            f" FROM lineitem {where}{group}"
+        ).collect()
+        plain = spark.sql(
+            f"SELECT {sel_keys}{aggs},"
+            " COUNT(DISTINCT l_partkey) AS h"
+            f" FROM parquet.`{SF_DIR}/lineitem.parquet` {where}{group}"
+        ).collect()
+        kn = [k.strip() for k in keys.split(",") if k.strip()]
+        gm = {tuple(r[k] for k in kn): r for r in mixed}
+        gp = {tuple(r[k] for k in kn): r for r in plain}
+        assert set(gm) == set(gp), (keys, aggs, where)
+        for key, rp in gp.items():
+            rm = gm[key]
+            for col in ("a", "b"):
+                x, y = rm[col], rp[col]
+                if isinstance(x, float):
+                    # double aggregation is partition-order sensitive
+                    # (stddev/var especially); the two plans sum in
+                    # different orders, so equality holds to ~1e-9 rel
+                    assert x == y or abs(x - y) <= 1e-9 * max(
+                        abs(x), abs(y)
+                    ), (keys, aggs, where, key, col, x, y)
+                else:
+                    assert x == y, (keys, aggs, where, key, col, x, y)
+            assert abs(rm["h"] - rp["h"]) <= max(5, 0.05 * rp["h"]), (
+                keys, aggs, where, key,
+            )
