@@ -1170,7 +1170,7 @@ def test_sketch_mixed_split_randomized_consistency(spark):
          "max(l_extendedprice) AS a, stddev_samp(l_discount) AS b", ""),
         ("", "count(l_suppkey) AS a, var_pop(l_tax) AS b",
          "WHERE l_orderkey % 3 = 0"),
-        ("l_shipmode", "count_if(l_quantity > 25) AS a, bool_or(l_tax > 0.05) AS b",
+        ("l_linenumber", "count_if(l_quantity > 25) AS a, bool_or(l_tax > 0.05) AS b",
          "WHERE l_shipdate >= DATE '1996-01-01'"),
     ]
     for keys, aggs, where in cases:

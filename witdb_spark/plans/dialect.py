@@ -1734,7 +1734,7 @@ def _sketch_block_distinct(block: str) -> str | None:
     source_end = gm.start() if gm else tail_start
     source_text = block[fm.end() : source_end].strip()
     keys = (
-        [k for k in _split_top_level(block[gm.end() : tail_start]) if k]
+        [k for k in _split_call_args(block[gm.end() : tail_start]) if k]
         if gm
         else []
     )
@@ -1746,7 +1746,7 @@ def _sketch_block_distinct(block: str) -> str | None:
     dargs: dict[str, str] = {}  # normalized -> first raw spelling
     builds = 0
     co_aggs = {"count", "sum", "avg", "min", "max"}
-    for item in _split_top_level(items_text):
+    for item in _split_call_args(items_text):
         if not item.strip():
             continue
         expr, alias = _item_alias(item)
@@ -1970,7 +1970,7 @@ def _sketch_block_two_level(block: str) -> str | None:
     items_text = block[len("SELECT") : fm.start()]
     source_text = block[fm.end() : gm.start() if gm else block_end].strip()
     keys = (
-        [k for k in _split_top_level(block[gm.end() : block_end]) if k]
+        [k for k in _split_call_args(block[gm.end() : block_end]) if k]
         if gm
         else []
     )
@@ -2018,7 +2018,7 @@ def _sketch_block_two_level(block: str) -> str | None:
     n_sketch = 0
     n_wrapped = 0
     out_names: list[str] = []
-    for item in _split_top_level(items_text):
+    for item in _split_call_args(items_text):
         if not item:
             return None
         expr, alias = _item_alias(item)
