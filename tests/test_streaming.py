@@ -40,7 +40,35 @@ def run_to_completion(stream_df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates on its own once every batch is processed —
+    # EXCEPT a stateful op holding processing-time timers (the funnel
+    # machine), which keeps the query alive for its timeouts. A fixed
+    # 120s wait silently returned PARTIAL results when the full suite
+    # loaded the machine (seen once: 4 of 20 interval-join rows). Wait
+    # for termination; if the query stays alive, wait until it is
+    # QUIESCENT (no trigger active, no data available, sink row count
+    # stable) before stopping it — slowness is loud, never wrong.
+    import time
+
+    if not q.awaitTermination(120):
+        # processing-time timers keep the trigger cycling, so status
+        # flags never settle; output rows are emitted on DATA (timers
+        # only clean state), so a sink count stable across 5 consecutive
+        # checks (10s) means every input batch has been processed
+        sess = stream_df.sparkSession
+        prev, stable = -1, 0
+        for _ in range(150):
+            cur = sess.table(name).count()
+            stable = stable + 1 if cur == prev else 0
+            if stable >= 5:
+                break
+            prev = cur
+            time.sleep(2)
+        else:
+            raise AssertionError(
+                f"stream {name} neither terminated nor quiesced"
+            )
+        q.stop()
     return q
 
 
