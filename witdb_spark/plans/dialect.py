@@ -1405,7 +1405,7 @@ def _rewrite_sketch_filter(sql: str) -> str:
         f_close = _match_paren(sql, f_open)
         clause = sql[f_open + 1 : f_close].strip()
         wm = re.match(r"(?is)^WHERE\b", clause)
-        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        args = _split_call_args(sql[open_idx + 1 : close_idx])
         # multi-arg builds (e.g. a future weighted qdigest_agg(x, w)):
         # wrap only the first (value) argument — the UDAFs skip NULL
         # values, so nulling the value masks the whole row.
@@ -1450,7 +1450,7 @@ def _rewrite_weighted_digests(sql: str) -> str:
                 break
             open_idx = pos + m.start() + sub[m.start():].index("(")
             close_idx = _match_paren(sql, open_idx)
-            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            args = _split_call_args(sql[open_idx + 1 : close_idx])
             if len(args) not in arities:
                 pos = close_idx + 1
                 continue
@@ -1535,7 +1535,7 @@ def _rewrite_generic_merge(sql: str) -> str:
                 break
             open_idx = pos + m.start() + sub[m.start():].index("(")
             close_idx = _match_paren(sql, open_idx)
-            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            args = _split_call_args(sql[open_idx + 1 : close_idx])
             arg = args[0].strip() if len(args) == 1 else ""
             key = arg.split(".")[-1].lower()
             target = (
@@ -2053,7 +2053,7 @@ def _sketch_block_two_level(block: str) -> str | None:
             # values_at_quantiles(qdigest_agg(v), array(..)). The wrapper
             # (and any trailing literal-only arguments) moves to the
             # merge level; anything else bails the whole block.
-            parts = _split_top_level(args)
+            parts = _split_call_args(args)
             inner_call = _parse_agg_call(parts[0]) if parts else None
             rest = [r.strip() for r in parts[1:]]
             if (
@@ -2074,7 +2074,7 @@ def _sketch_block_two_level(block: str) -> str | None:
             wrapper, rest = None, []
         if fname in _SKETCH_BUILD_FORMS:
             merge_name, needs_rank_salt = _SKETCH_BUILD_FORMS[fname]
-            arg_list = _split_top_level(args)
+            arg_list = _split_call_args(args)
             want_arity = 2 if fname in ("qdigest_agg_w", "tdigest_agg_w") else 1
             if len(arg_list) != want_arity:
                 return None
