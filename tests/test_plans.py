@@ -1206,3 +1206,59 @@ def test_sketch_mixed_split_randomized_consistency(spark):
             assert abs(rm["h"] - rp["h"]) <= max(5, 0.05 * rp["h"]), (
                 keys, aggs, where, key,
             )
+
+
+def test_weighted_filter_fold_splits(spark):
+    """qdigest_agg(x, w) FILTER (WHERE p): the fold injects
+    CASE WHEN p THEN x END into the VALUE argument, whose comparison
+    operator must not break the arg-arity parsing (r8: the angle-bracket
+    splitter did exactly that) — the weighted build still plans
+    PARTIAL -> FINAL and the digest tracks the filtered exact median."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag,"
+        " value_at_quantile(qdigest_agg(l_extendedprice, l_quantity)"
+        " FILTER (WHERE l_quantity > 10), 0.5) AS med"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    got = {r["l_returnflag"]: r["med"] for r in df.collect()}
+    assert set(got) == {"A", "N", "R"}
+    # sanity: the filtered weighted median is within a loose band of the
+    # exact weighted median over the same filtered rows
+    import bisect
+
+    rows = spark.sql(
+        "SELECT l_returnflag, l_extendedprice, l_quantity"
+        f" FROM parquet.`{SF_DIR}/lineitem.parquet`"
+        " WHERE l_quantity > 10"
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_quantity"])
+        )
+    for flag, pairs in per.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum, med = 0, pairs[-1][0]
+        for v, w in pairs:
+            cum += w
+            if cum >= tot / 2:
+                med = v
+                break
+        assert abs(got[flag] - med) <= 0.1 * med, (flag, got[flag], med)
+    # the unaliased plain split still planning two levels under FILTER
+    plan = eng.sql(
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice, l_quantity)"
+        " FILTER (WHERE l_quantity > 10) AS d"
+        " FROM lineitem GROUP BY l_returnflag"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
