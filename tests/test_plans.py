@@ -1187,6 +1187,9 @@ def test_sketch_mixed_split_randomized_consistency(spark):
             f" FROM parquet.`{SF_DIR}/lineitem.parquet` {where}{group}"
         ).collect()
         kn = [k.strip() for k in keys.split(",") if k.strip()]
+        # a join fan-out regression would emit duplicate group rows that
+        # a dict-collapse alone could not see
+        assert len(mixed) == len(plain), (keys, aggs, where)
         gm = {tuple(r[k] for k in kn): r for r in mixed}
         gp = {tuple(r[k] for k in kn): r for r in plain}
         assert set(gm) == set(gp), (keys, aggs, where)
@@ -1227,8 +1230,6 @@ def test_weighted_filter_fold_splits(spark):
     assert set(got) == {"A", "N", "R"}
     # sanity: the filtered weighted median is within a loose band of the
     # exact weighted median over the same filtered rows
-    import bisect
-
     rows = spark.sql(
         "SELECT l_returnflag, l_extendedprice, l_quantity"
         f" FROM parquet.`{SF_DIR}/lineitem.parquet`"

@@ -51,24 +51,37 @@ def run_to_completion(stream_df, tmp_path, name):
     import time
 
     if not q.awaitTermination(120):
-        # processing-time timers keep the trigger cycling, so status
-        # flags never settle; output rows are emitted on DATA (timers
-        # only clean state), so a sink count stable across 5 consecutive
-        # checks (10s) means every input batch has been processed
+        # processing-time timers keep the trigger cycling, so the two
+        # status flags never settle SIMULTANEOUSLY with a count sample;
+        # output rows are emitted on DATA (timers only clean state), so
+        # quiesced = sink count stable across 5 consecutive checks AND
+        # at least one idle observation (no data available) in that
+        # stable window. A query that died mid-wait must surface its
+        # exception, not its partial sink.
         sess = stream_df.sparkSession
-        prev, stable = -1, 0
-        for _ in range(150):
-            cur = sess.table(name).count()
-            stable = stable + 1 if cur == prev else 0
-            if stable >= 5:
-                break
-            prev = cur
-            time.sleep(2)
-        else:
-            raise AssertionError(
-                f"stream {name} neither terminated nor quiesced"
-            )
-        q.stop()
+        try:
+            prev, stable, saw_idle = -1, 0, False
+            for _ in range(150):
+                if q.exception() is not None:
+                    raise q.exception()
+                if not q.isActive:
+                    break  # terminated cleanly after the initial wait
+                cur = sess.table(name).count()
+                if cur == prev:
+                    stable += 1
+                    saw_idle = saw_idle or not q.status["isDataAvailable"]
+                else:
+                    stable, saw_idle = 0, False
+                if stable >= 5 and saw_idle:
+                    break
+                prev = cur
+                time.sleep(2)
+            else:
+                raise AssertionError(
+                    f"stream {name} neither terminated nor quiesced"
+                )
+        finally:
+            q.stop()
     return q
 
 

@@ -1172,7 +1172,7 @@ def _rewrite_listagg(sql: str) -> str:
             return sql
         open_idx = sql.index("(", m.start())
         close_idx = _match_paren(sql, open_idx)
-        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        args = _split_call_args(sql[open_idx + 1 : close_idx])
         if re.search(r"\bON\s+OVERFLOW\b", sql[open_idx:close_idx], re.I):
             raise UnsupportedTrinoSyntax("LISTAGG ON OVERFLOW")
         if not 1 <= len(args) <= 2:
@@ -1289,7 +1289,7 @@ def _rewrite_agg_calls(sql: str) -> str:
                 break
             open_idx = sql.index("(", m.start())
             close_idx = _match_paren(sql, open_idx)
-            args = _split_top_level(sql[open_idx + 1 : close_idx])
+            args = _split_call_args(sql[open_idx + 1 : close_idx])
             if len(args) != nargs:
                 raise UnsupportedTrinoSyntax(
                     f"{m.group(0).strip('(').strip()} takes {nargs} argument(s)"
@@ -2202,7 +2202,7 @@ def _rewrite_bit_count(sql: str) -> str:
             return sql
         open_idx = pos + m.start() + sub[m.start():].index("(")
         close_idx = _match_paren(sql, open_idx)
-        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        args = _split_call_args(sql[open_idx + 1 : close_idx])
         if len(args) != 2:
             pos = open_idx + 1
             continue
@@ -2230,7 +2230,7 @@ def _rewrite_bing_tiles_around(sql: str) -> str:
             return sql
         open_idx = pos + m.start() + sub[m.start():].index("(")
         close_idx = _match_paren(sql, open_idx)
-        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        args = _split_call_args(sql[open_idx + 1 : close_idx])
         if len(args) != 4:
             pos = open_idx + 1
             continue
@@ -2251,7 +2251,7 @@ def _rewrite_features(sql: str) -> str:
             return sql
         open_idx = pos + m.start() + sub[m.start():].index("(")
         close_idx = _match_paren(sql, open_idx)
-        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
+        args = [a.strip() for a in _split_call_args(sql[open_idx + 1 : close_idx])]
         # emit map_from_arrays directly: the late segment pass rewrites
         # every non-empty map( to map_from_arrays( (Trino's 2-array MAP
         # constructor), which would mangle an interleaved map() here
@@ -2279,7 +2279,7 @@ def _rewrite_color_family(sql: str) -> str:
                 break
             open_idx = pos + m.start() + sub[m.start():].index("(")
             close_idx = _match_paren(sql, open_idx)
-            args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
+            args = [a.strip() for a in _split_call_args(sql[open_idx + 1 : close_idx])]
             repl = None
             if name == "color" and len(args) == 3:
                 repl = f"color_interp({args[0]}, {args[1]}, {args[2]})"

@@ -485,7 +485,7 @@ def _extract_navs(measures):
     FINAL default). Each call is replaced by a placeholder column that
     _lower materializes by joining the row-number-indexed source
     partition at anchor_rn -+ n."""
-    from witdb_spark.plans.dialect import _split_top_level
+    from witdb_spark.plans.dialect import _split_call_args
 
     navs = []  # (PREV|NEXT, FIRST|LAST, inner_expr, n, placeholder, explicit)
     out = []
@@ -496,7 +496,7 @@ def _extract_navs(measures):
                 break
             open_idx = expr.index("(", m.start())
             close = _match_paren(expr, open_idx)
-            parts = _split_top_level(expr[open_idx + 1 : close])
+            parts = _split_call_args(expr[open_idx + 1 : close])
             inner = parts[0].strip()
             n = 1
             if len(parts) > 1:
