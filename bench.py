@@ -107,6 +107,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     stage_deltas: dict[str, dict[str, int]] = {}
+    executor_ms: dict[str, int] = {}
+    load_per_query: dict[str, float] = {}
+    load_start = round(os.getloadavg()[0], 2)
     for name in names:
         fn = QUERIES[name].fn
         for _ in range(PREWARM_RUNS):
@@ -126,11 +129,13 @@ def main() -> None:
             round(runs[len(runs) // 2], 3),
             round(runs[-1], 3),
         ]
+        load_per_query[name] = round(os.getloadavg()[0], 2)
         if before is not None and after is not None:
             # delta across the MEASURED_RUNS executions of this query
             stage_deltas[name] = {
                 k: (after[k] - before[k]) // MEASURED_RUNS for k in after
             }
+            executor_ms[name] = stage_deltas[name]["executor_run_ms"]
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -141,6 +146,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stat": f"min_of_{MEASURED_RUNS}",
         "spread": spreads,
+        # r9 (VERDICT r8 task 4): load-normalization context in the
+        # headline itself — a wall delta with flat executor_ms and a
+        # higher loadavg is machine contention, not a plan regression;
+        # executor_ms here is per-measured-run (same basis as wall).
+        "executor_ms": executor_ms,
+        "loadavg": {
+            "start": load_start,
+            "end": round(os.getloadavg()[0], 2),
+            "per_query_1m": load_per_query,
+        },
     }
     # r7 stdout contract fix (VERDICT r6 "What's wrong #2"): the driver
     # tail-captures stdout and BENCH_r06 truncated mid-JSON once stage

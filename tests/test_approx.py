@@ -484,3 +484,29 @@ def test_sql_name_setdigest(spark):
         "SELECT setdigest_cardinality(make_set_digest(v)) AS c FROM sd_a"
     ).collect()[0].c
     assert merged == one_shot
+
+
+def test_qdigest_weighted_rejects_fractional_weight(spark):
+    """r9 (ADVICE): Trino binds qdigest_agg's weight parameter as
+    bigint — a fractional weight is a bind-time type error there, so
+    the UDAF must reject it loudly instead of silently truncating 0.5
+    to 0 (which would drop the point from the cumulative-weight grid).
+    Integral-valued DOUBLE weights (2.0) stay accepted."""
+    from witdb_spark.functions import register_all
+
+    register_all(spark)
+    spark.range(0, 100).selectExpr(
+        "CAST(id AS DOUBLE) AS v",
+        "CAST(CASE WHEN id = 7 THEN 0.5 ELSE 1.0 END AS DOUBLE) AS w",
+    ).createOrReplaceTempView("wfrac_t")
+    import pytest
+
+    with pytest.raises(Exception, match="integer"):
+        spark.sql(
+            "SELECT qdigest_agg_w(v, w) AS d FROM wfrac_t"
+        ).collect()
+    ok = spark.sql(
+        "SELECT value_at_quantile(qdigest_agg_w(v, CAST(2.0 AS DOUBLE)),"
+        " 0.5) AS m FROM wfrac_t WHERE w = 1.0"
+    ).collect()[0].m
+    assert abs(ok - 50.0) < 5.0

@@ -1263,3 +1263,62 @@ def test_weighted_filter_fold_splits(spark):
         )
     )
     assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+
+
+def test_sketch_rewrites_bare_offset():
+    """r9 (ADVICE): a bare OFFSET n — no LIMIT, no ORDER BY — must not
+    leak into the rewritten blocks. The two-level split bails (the
+    OFFSET would otherwise strand inside the partial subquery as
+    unparseable SQL); the DISTINCT fold hoists it to the outer select
+    so it still applies AFTER the aggregation. Pure-rewrite test."""
+    from witdb_spark.plans.dialect import (
+        _rewrite_sketch_distinct,
+        _rewrite_sketch_two_level,
+    )
+
+    bare = (
+        "SELECT g, qdigest_agg(x) AS d FROM t GROUP BY g OFFSET 2"
+    )
+    assert _rewrite_sketch_two_level(bare) == bare
+    got = _rewrite_sketch_distinct(
+        "SELECT qdigest_agg(DISTINCT x) AS d FROM t OFFSET 1"
+    )
+    assert "qdigest_agg(__dx)" in got
+    inner = got[got.index("(") : got.rindex(")")]
+    assert "OFFSET" not in inner.upper(), got
+    assert got.rstrip().upper().endswith("OFFSET 1"), got
+    # LIMIT n OFFSET m (the already-supported spelling) still splits
+    lim_off = (
+        "SELECT g, qdigest_agg(x) AS d FROM t GROUP BY g"
+        " ORDER BY g LIMIT 3 OFFSET 1"
+    )
+    two = _rewrite_sketch_two_level(lim_off)
+    assert "__sk_part" in two and two.rstrip().upper().endswith("OFFSET 1")
+
+
+def test_generic_merge_scope_collision_poisons():
+    """r9 (ADVICE): alias inference is statement-wide, so an alias that
+    is ALSO produced by a non-sketch select item anywhere in the
+    statement must poison inference (raise with the type-suffixed
+    remedy) rather than silently rewrite merge(d) to the wrong type."""
+    import pytest
+
+    from witdb_spark.plans.dialect import (
+        UnsupportedTrinoSyntax,
+        _rewrite_generic_merge,
+    )
+
+    with pytest.raises(UnsupportedTrinoSyntax):
+        _rewrite_generic_merge(
+            "SELECT (SELECT merge(d) FROM"
+            " (SELECT qdigest_agg(v) AS d FROM a GROUP BY g) x) AS q,"
+            " (SELECT merge(d) FROM"
+            " (SELECT plain_col AS d FROM b) y) AS p"
+            " FROM t"
+        )
+    # a cast's AS <type> is not an alias collision for normal names
+    got = _rewrite_generic_merge(
+        "SELECT merge(d) FROM (SELECT qdigest_agg(CAST(v AS double))"
+        " AS d FROM t GROUP BY g) x"
+    )
+    assert "merge_qdigest(d)" in got

@@ -1594,3 +1594,108 @@ def test_merge_into_empty_lakehouse_tables(spark, tmp_path):
     ) is not None
     assert [(r.id, r.s) for r in read_hudi_snapshot(spark, h).collect()] \
         == [(7, "z")]
+
+
+def test_delta_null_partition_roundtrip(spark, tmp_path):
+    """r9 (ADVICE): NULL partition values serialize as
+    __HIVE_DEFAULT_PARTITION__ -> None in partitionValues; the snapshot
+    reader's partition-group sort must not compare None to str. Write a
+    table whose partition column mixes NULL and non-NULL values through
+    this module's own writer and read it back."""
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "nulltbl")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)],
+        "id bigint, p string",
+    )
+    assert write_delta(spark, df, t, mode="create",
+                       partition_by=["p"]) == 0
+    got = sorted(
+        (r.id, r.p) for r in read_delta_snapshot(spark, t).collect()
+    )
+    assert got == [(1, "x"), (2, None), (3, "y"), (4, None)]
+    # COW DML across the NULL partition keeps working
+    delta_delete_where(spark, t, "id = 2")
+    got = sorted(
+        (r.id, r.p) for r in read_delta_snapshot(spark, t).collect()
+    )
+    assert got == [(1, "x"), (3, "y"), (4, None)]
+
+
+def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
+    """r9 (ADVICE): write_iceberg's non-create path must carry the same
+    'refuse, never misread' gates the DML path has — appending to a
+    format-v1, partitioned, or refs-carrying library table would
+    rebuild its metadata in a shape library readers no longer trust —
+    and must carry unknown metadata fields (properties, sort-orders,
+    last-sequence-number) through instead of dropping them."""
+    import json as _json
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        write_iceberg,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+
+    def _mutate(t, fn):
+        mdir = os.path.join(t, "metadata")
+        hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+        mpath = os.path.join(mdir, f"v{hint}.metadata.json")
+        meta = _json.load(open(mpath))
+        fn(meta)
+        _json.dump(meta, open(mpath, "w"))
+
+    # format-v1 gate
+    t1 = str(tmp_path / "v1tbl")
+    write_iceberg(spark, df, t1, mode="create")
+    _mutate(t1, lambda m: m.update({"format-version": 1}))
+    with pytest.raises(IcebergProtocolError, match="format-v1"):
+        write_iceberg(spark, df, t1, mode="append")
+    # partitioned-table gate
+    t2 = str(tmp_path / "parttbl")
+    write_iceberg(spark, df, t2, mode="create")
+    _mutate(t2, lambda m: m.update({"partition-specs": [{
+        "spec-id": 0,
+        "fields": [{"name": "name", "transform": "identity",
+                    "source-id": 2, "field-id": 1000}],
+    }]}))
+    with pytest.raises(IcebergProtocolError, match="partitioned"):
+        write_iceberg(spark, df, t2, mode="append")
+    # refs gate
+    t3 = str(tmp_path / "refstbl")
+    write_iceberg(spark, df, t3, mode="create")
+    _mutate(t3, lambda m: m.update(
+        {"refs": {"main": {"snapshot-id": m["current-snapshot-id"],
+                           "type": "branch"}}}))
+    with pytest.raises(IcebergProtocolError, match="refs"):
+        write_iceberg(spark, df, t3, mode="append")
+    # unknown-field passthrough on a clean append
+    t4 = str(tmp_path / "passtbl")
+    write_iceberg(spark, df, t4, mode="create")
+    _mutate(t4, lambda m: m.update({
+        "properties": {"write.format.default": "parquet"},
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "last-sequence-number": 7,
+    }))
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "b")], "id bigint, name string"),
+        t4, mode="append",
+    )
+    meta = _current_metadata(t4)
+    assert meta["properties"] == {"write.format.default": "parquet"}
+    assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+    assert meta["last-sequence-number"] == 7
+    from witdb_spark.sources.iceberg_meta import read_iceberg_snapshot
+
+    assert sorted(
+        r.id for r in read_iceberg_snapshot(spark, t4).collect()
+    ) == [1, 2]

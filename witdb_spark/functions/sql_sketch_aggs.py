@@ -100,6 +100,10 @@ def register_sketch_aggs(spark: SparkSession) -> int:
         vals, ws = vals[mask] + 0.0, ws[mask]
         if len(ws) and (ws <= 0).any():
             raise ValueError("qdigest_agg: weight must be > 0")
+        if len(ws) and (ws != np.floor(ws)).any():
+            # Trino binds the weight parameter as bigint — a fractional
+            # weight is a type error there, so reject rather than truncate
+            raise ValueError("qdigest_agg: weight must be an integer")
         ws = ws.astype("int64")
         order = np.argsort(vals, kind="stable")
         vals, ws = vals[order], ws[order]

@@ -1504,6 +1504,7 @@ def _rewrite_generic_merge(sql: str) -> str:
             return sql
         # alias -> merge name, from every visible producer call
         amap: dict[str, str | None] = {}
+        producer_alias_pos: set[int] = set()
         for m in _first_code_iter(
             r"\b(%s)\s*\("
             % "|".join(sorted(_SKETCH_MERGE_FOR, key=len, reverse=True)),
@@ -1520,12 +1521,38 @@ def _rewrite_generic_merge(sql: str) -> str:
             if am is None:
                 continue
             alias = am.group(1).lower()
+            producer_alias_pos.add(close_idx + 1 + am.start(1))
             target = _SKETCH_MERGE_FOR[m.group(1).lower()]
             # two producers of different types under one alias name ->
             # ambiguous; poison the alias so resolution raises
             if amap.get(alias, target) != target:
                 target = None
             amap[alias] = target
+        # scope-blindness guard: the inference above matches an alias
+        # ANYWHERE in the statement, so a non-producer `... AS d` in an
+        # unrelated subquery could shadow a producer's `qdigest_agg(x)
+        # AS d` and merge(d) would silently pick the wrong type. Poison
+        # any inferred alias that also appears as a non-producer alias.
+        # `merge(...) AS d` is exempt: a generic merge emits the same
+        # sketch type it consumes, so re-aliasing its result (the
+        # `merge(d) AS d` spelling) is type-consistent — and if the
+        # merge itself is untraceable the statement raises anyway.
+        if amap:
+            for mm in _first_code_iter(r"\bmerge\s*\(", sql):
+                open_idx = mm.start() + sql[mm.start():].index("(")
+                try:
+                    close_idx = _match_paren(sql, open_idx)
+                except Exception:
+                    continue
+                am = re.match(
+                    r"\s+AS\s+(%s)" % ident, sql[close_idx + 1 :], re.I
+                )
+                if am is not None:
+                    producer_alias_pos.add(close_idx + 1 + am.start(1))
+            for am2 in _first_code_iter(r"\bAS\s+(%s)" % ident, sql):
+                alias = am2.group(1).lower()
+                if alias in amap and am2.start(1) not in producer_alias_pos:
+                    amap[alias] = None
         progressed = False
         pos = 0
         while True:
@@ -1726,6 +1753,10 @@ def _sketch_block_distinct(block: str) -> str | None:
         top_kw(r"\bHAVING\b")
         or top_kw(r"\bORDER\s+BY\b")
         or top_kw(r"\bLIMIT\b")
+        # bare OFFSET (no LIMIT/ORDER BY) must also land in the tail —
+        # leaking it into the dedup subquery would apply it BEFORE the
+        # aggregation instead of after
+        or top_kw(r"\bOFFSET\b")
     )
     tail_start = tail_m.start() if tail_m else len(block)
     if gm and gm.start() > tail_start:
@@ -1929,7 +1960,15 @@ def _sketch_block_two_level(block: str) -> str | None:
     # like ORDER BY count(*) would change meaning over the partials).
     trailing = ""
     sort_cores: list[str] = []
-    tm = top_kw(r"\bORDER\s+BY\b") or top_kw(r"\bLIMIT\b")
+    # a bare OFFSET (no ORDER BY/LIMIT) must be seen here too: the
+    # m_tail fullmatch below rejects it (items/lim both empty) and we
+    # bail to the single-level plan instead of emitting unparseable
+    # inner SQL with the OFFSET stranded inside the partial block
+    tm = (
+        top_kw(r"\bORDER\s+BY\b")
+        or top_kw(r"\bLIMIT\b")
+        or top_kw(r"\bOFFSET\b")
+    )
     if tm:
         tail = block[tm.start():].strip()
         m_tail = re.fullmatch(

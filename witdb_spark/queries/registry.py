@@ -50,88 +50,73 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 
 # The driver's correctness gate samples the FIRST 50 names from queries().
-# Rotation rule (every round): lead with (a) anything new or whose
-# engine/oracle changed this round, (b) the oldest driver-green queries.
-# After r7 every registered query has a green driver row (cumulative
-# 194/194); the staleness ledger is r3: 44, r4: 50, r6: 50, r7: 50.
-# Round-8 window: r8 registered 78 new/changed queries (TPC-DS
-# tranches 4-7 complete the 99-text suite; geometry_collection_ops and
-# the re-oracled geometry_buffer_parity; late-r8: the weighted
-# qdigest/tdigest builds, generic merge(), the TABLE() PTF spelling,
-# the three jar-free lakehouse readers, and the DISTINCT sketch fold)
-# — more than the 50 slots, so the window is ALL new/changed:
-# tranches 4-6 (40), the two geometry entries, and 8 of tranche 7
-# (q3 q7 q8 q10 q13 q15 q18 + the q16-twin q94). Round 9's head, in
-# order: the late-r8 queries (below the boundary — the lakehouse
-# paths, weighted digests, DISTINCT fold, PTF spelling, and the five
-# late LLM-pipeline ops: Gopher rules, bigram-LM scoring, the two
-# sequence packers, temperature mixing), then the
-# remaining 20 tranche-7 texts (q19 q21 q24 q35 q52 q54 q63 q69 q71
-# q72 q73 q79 q80 q82 q83 q84 q85 q86 q91 q92), then the 44 r3-era
-# greens, then the r4-era 50. Everything keeps local DuckDB coverage
-# every pytest run (tests/test_queries_oracle.py parameterizes the
-# whole registry), and each late-r8 query was additionally
-# hash-verified via the driver-contract emulation before commit.
+# Rotation rule (every round): lead with (a) anything never driver-verified
+# or whose engine/oracle changed this round, (b) the oldest driver-green
+# queries. Cumulative ledger after r8: 243/280 driver-green; staleness
+# r3: 44, r4: 50, r6: 50, r7: 49, r8: 50; 37 queries (the r8-late 17 +
+# TPC-DS tranche 7's last 20) have never had a driver row.
+# Round-9 window (prescribed by VERDICT r8 task 1): positions 1-37 are
+# exactly the 37 never-driver-verified queries — the 17 late-r8
+# (lakehouse readers/writers/DML roundtrips, weighted digests,
+# agg_merge_generic, agg_qdigest_distinct, ptf_sql_table_spelling, the
+# five late LLM-pipeline ops) then the 20 tranche-7 TPC-DS texts —
+# and positions 38-50 are the 13 stalest r3-era greens in registration
+# order (window_rank_topn .. values_inline_join). Done = CORRECTNESS_r09
+# 50/50 green and cumulative driver coverage 280/280.
+# Round 10's head: the remaining 31 r3-era greens (distinct_order_offset
+# .. datetime_funcs_parity), then the 50 r4-era — after r10 no query's
+# last driver verification should be older than r6.
+# Everything keeps local DuckDB coverage every pytest run
+# (tests/test_queries_oracle.py parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # r8-new: TPC-DS tranche 4
-    "tpcds_sql_q1", "tpcds_sql_q30", "tpcds_sql_q81", "tpcds_sql_q6",
-    "tpcds_sql_q32", "tpcds_sql_q17", "tpcds_sql_q25", "tpcds_sql_q29",
-    "tpcds_sql_q62", "tpcds_sql_q99", "tpcds_sql_q64", "tpcds_sql_q78",
-    # r8-new: TPC-DS tranche 5
-    "tpcds_sql_q2", "tpcds_sql_q9", "tpcds_sql_q28", "tpcds_sql_q43",
-    "tpcds_sql_q48", "tpcds_sql_q50", "tpcds_sql_q53", "tpcds_sql_q57",
-    "tpcds_sql_q58", "tpcds_sql_q66", "tpcds_sql_q76", "tpcds_sql_q97",
-    # r8-new: TPC-DS tranche 6
-    "tpcds_sql_q12", "tpcds_sql_q20", "tpcds_sql_q98", "tpcds_sql_q16",
-    "tpcds_sql_q22", "tpcds_sql_q26", "tpcds_sql_q27", "tpcds_sql_q37",
-    "tpcds_sql_q40", "tpcds_sql_q41", "tpcds_sql_q42", "tpcds_sql_q55",
-    "tpcds_sql_q45", "tpcds_sql_q61", "tpcds_sql_q90", "tpcds_sql_q96",
-    # r8-new: GEOMETRYCOLLECTION operand query
-    "geometry_collection_ops",
-    # r8-changed: oracle strengthened from all-TRUE booleans to numeric
-    # closed-form areas
-    "geometry_buffer_parity",
-    # r8-new: TPC-DS tranche 7, first 8 (window positions 43-50)
-    "tpcds_sql_q3", "tpcds_sql_q7", "tpcds_sql_q8", "tpcds_sql_q10",
-    "tpcds_sql_q13", "tpcds_sql_q15", "tpcds_sql_q18", "tpcds_sql_q94",
-    # --- window boundary: everything below leads round 9 ---
-    # (r8-new: weighted qdigest build — registered after the window
-    # filled; hash-verified via the contract emulation in r8)
+    # never-driver-verified: late-r8 sketch/digest + PTF spelling
     "agg_qdigest_weighted",
-    # (r8-new: weighted t-digest build — same treatment)
     "agg_tdigest_weighted",
-    # (r8-new: type-overloaded merge(sketch) resolved at transpile time)
     "agg_merge_generic",
-    # (r8-new: TABLE(sequence/exclude_columns) SQL spelling)
     "ptf_sql_table_spelling",
-    # (r8-new: no-jar Delta transaction-log read path)
+    # never-driver-verified: jar-free lakehouse readers
     "delta_log_reader_snapshot",
-    # (r8-new: no-jar Iceberg metadata-chain read path)
     "iceberg_meta_reader_snapshot",
-    # (r8-new: DISTINCT sketch builds via dedup-first rewrite)
     "agg_qdigest_distinct",
-    # (r8-new: no-jar Hudi COW timeline read path)
     "hudi_timeline_reader_snapshot",
-    # (r8-new: no-jar Delta write path — create/COW-delete/append)
+    # never-driver-verified: jar-free lakehouse writers + DML
     "delta_writer_roundtrip",
-    # (r8-new, late: LLM-pipeline tier growth — Gopher quality rules,
-    # bigram-LM perplexity proxy, both sequence packers, temperature
-    # mixing; hash-verified via the contract emulation in r8)
+    # never-driver-verified: late-r8 LLM-pipeline tier
     "text_gopher_quality",
     "text_bigram_logprob",
     "pipeline_pack_concat",
     "pipeline_pack_nextfit",
     "curation_temperature_mix",
-    # (r8-new, late: jar-free Iceberg + Hudi COW DELETE/UPDATE, and
-    # MERGE INTO across all three formats)
     "iceberg_dml_roundtrip",
     "hudi_dml_roundtrip",
     "lakehouse_merge_roundtrip",
+    # never-driver-verified: TPC-DS tranche 7, remaining 20
     "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
     "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
     "tpcds_sql_q80", "tpcds_sql_q82", "tpcds_sql_q83", "tpcds_sql_q84",
     "tpcds_sql_q85", "tpcds_sql_q86", "tpcds_sql_q91", "tpcds_sql_q92",
+    # stalest r3-era greens (last driver row: CORRECTNESS_r03) —
+    # positions 38-50 fill the window
+    "window_rank_topn", "window_lag_lead", "window_running_sum",
+    "window_sliding_rows", "window_ntile_dist", "window_range_interval",
+    "setops_intersect_except", "setops_intersect_all", "groupby_rollup",
+    "groupby_cube", "groupby_grouping_sets", "unnest_words",
+    "values_inline_join",
+    # --- window boundary: everything below leads round 10 ---
+    # remaining r3-era greens, oldest-first by registration order
+    "distinct_order_offset", "pivot_event_counts", "lateral_top_event",
+    "crossjoin_theta", "assign_unique_id", "tablesample",
+    "window_groups_frame", "time_of_day_rollup", "ptf_sequence_join",
+    "sessionize_events", "yoy_revenue", "category_share",
+    "session_window_native", "moving_avg_deviation", "window_ignore_nulls",
+    "limit_with_ties", "quantified_comparison", "agg_stats_moments",
+    "agg_skew_kurt", "agg_regr", "agg_minmax_by", "agg_listagg_ordered",
+    "agg_histogram_map", "agg_conditional_bool", "agg_geo_mean_percentiles",
+    "agg_multi_distinct", "agg_approx_sketches", "agg_checksum",
+    "agg_reduce_agg", "agg_approx_most_frequent", "agg_salted_skew",
+    "agg_hll_merge_rollup", "agg_rollup_reuse", "agg_qdigest_rollup",
+    "agg_multimap", "string_funcs_parity", "datetime_funcs_parity",
 )
 
 

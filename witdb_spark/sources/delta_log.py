@@ -231,7 +231,12 @@ def read_delta_snapshot(
         )
 
     parts = []
-    for key, files in sorted(groups.items()):
+    # NULL partition values serialize as None (__HIVE_DEFAULT_PARTITION__);
+    # None-safe sort key: NULLs last within each column, never compared to str
+    for key, files in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
         for c, raw in zip(part_cols, key):
             # partition values are the protocol's string serialization

@@ -345,6 +345,25 @@ def write_iceberg(
             schema = _spark_schema_to_iceberg(df)
         else:
             meta = _current_metadata(path)
+            # Same gates the DML path has: appending to a library-written
+            # table that is format-v1, partitioned, or carries branch/tag
+            # refs would rebuild its metadata in a shape library readers
+            # no longer trust ("refuse, never misread" contract).
+            if meta.get("format-version", 1) != 2:
+                raise IcebergProtocolError(
+                    f"{mode} on a format-v1 Iceberg table needs the"
+                    " iceberg-spark-runtime jar"
+                )
+            specs = {
+                s["spec-id"]: s for s in meta.get("partition-specs") or []
+            }
+            default_spec = specs.get(meta.get("default-spec-id", 0), {})
+            if default_spec.get("fields"):
+                raise IcebergProtocolError(
+                    f"{mode} on a partitioned Iceberg table needs the"
+                    " iceberg-spark-runtime jar"
+                )
+            _maintenance_gate(meta, mode)
             if [f["name"] for f in _table_schema(meta)["fields"]] != list(
                 df.columns
             ):
@@ -392,27 +411,38 @@ def write_iceberg(
             }
         ] + [dict(m) for m in prior_manifests]
         write_avro_file(mlist, _MANIFEST_FILE_SCHEMA, manifests)
-        new_meta = {
-            "format-version": 2,
-            "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
-            "location": path,
-            "last-column-id": max(
-                (f["id"] for f in schema["fields"]), default=0
-            ),
-            "current-schema-id": schema.get("schema-id", 0),
-            "schemas": [schema],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "current-snapshot-id": snap_id,
-            "snapshots": ((meta or {}).get("snapshots") or [])
-            + [
-                {
-                    "snapshot-id": snap_id,
-                    "timestamp-ms": _now_ms_ice(),
-                    "manifest-list": mlist,
-                }
-            ],
-        }
+        # Carry every field the existing metadata has (sort orders,
+        # properties, last-sequence-number, ...) — the gates above
+        # guarantee the fields we DO rewrite are safe to rewrite; the
+        # rest must pass through untouched for library readers.
+        new_meta = dict(meta or {})
+        new_meta.update(
+            {
+                "format-version": 2,
+                "table-uuid": (meta or {}).get(
+                    "table-uuid", str(uuid.uuid4())
+                ),
+                "location": (meta or {}).get("location", path),
+                "last-column-id": max(
+                    (f["id"] for f in schema["fields"]),
+                    default=(meta or {}).get("last-column-id", 0),
+                ),
+                "current-schema-id": schema.get("schema-id", 0),
+                "schemas": (meta or {}).get("schemas") or [schema],
+                "partition-specs": (meta or {}).get("partition-specs")
+                or [{"spec-id": 0, "fields": []}],
+                "default-spec-id": (meta or {}).get("default-spec-id", 0),
+                "current-snapshot-id": snap_id,
+                "snapshots": ((meta or {}).get("snapshots") or [])
+                + [
+                    {
+                        "snapshot-id": snap_id,
+                        "timestamp-ms": _now_ms_ice(),
+                        "manifest-list": mlist,
+                    }
+                ],
+            }
+        )
         target = os.path.join(
             path, "metadata", f"v{version}.metadata.json"
         )
