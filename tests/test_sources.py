@@ -1699,3 +1699,113 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg_snapshot(spark, t4).collect()
     ) == [1, 2]
+
+
+def test_iceberg_position_deletes_roundtrip(spark, tmp_path):
+    """r9: v2 POSITION deletes read jar-free — write a delete snapshot
+    (spec-shaped delete parquet + content=1 manifest + sequence-scoped
+    manifest list), then verify the MOR scan anti-joins exactly the
+    targeted (file, pos) rows; time travel to the pre-delete snapshot
+    still sees them; file-list consumers refuse loudly; equality
+    deletes stay gated."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _iceberg_scan,
+        iceberg_data_files,
+        iceberg_write_position_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "posdel")
+    df0 = spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS s")
+    s1 = write_iceberg(spark, df0.coalesce(1), t, mode="create")
+    write_iceberg(
+        spark,
+        spark.range(10, 20).selectExpr(
+            "id", "CAST(id AS STRING) AS s").coalesce(1),
+        t, mode="append",
+    )
+    # find the physical (file, pos) of the rows to kill via the same
+    # _metadata tagging the reader uses
+    files = [p for p, _ in _iceberg_scan(t)[0]]
+    tagged = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"),
+        "id",
+    )
+    targets = [
+        (r.f, r.p) for r in tagged.where("id IN (3, 7, 15)").collect()
+    ]
+    assert len(targets) == 3
+    sdel = iceberg_write_position_deletes(spark, t, targets)
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert got == [i for i in range(20) if i not in (3, 7, 15)]
+    # snapshot time travel: pre-delete snapshot still has every row
+    assert len(read_iceberg_snapshot(spark, t, snapshot_id=s1)
+               .collect()) == 10
+    # stacking a second delete snapshot composes
+    more = [(r.f, r.p) for r in tagged.where("id = 0").collect()]
+    iceberg_write_position_deletes(spark, t, more)
+    assert 0 not in {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    }
+    # file-list consumers cannot see through live deletes
+    with pytest.raises(IcebergProtocolError, match="position-delete"):
+        iceberg_data_files(t)
+    # deleting an unknown file path is a loud error
+    with pytest.raises(IcebergProtocolError, match="unknown data files"):
+        iceberg_write_position_deletes(spark, t, [("data/nope.parquet", 0)])
+    # appending after deletes keeps both the appended rows and the holes
+    write_iceberg(
+        spark,
+        spark.range(20, 22).selectExpr(
+            "id", "CAST(id AS STRING) AS s").coalesce(1),
+        t, mode="append",
+    )
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert got == [i for i in range(22) if i not in (0, 3, 7, 15)]
+    from witdb_spark.sources.iceberg_meta import iceberg_snapshots
+
+    assert sdel in [s["snapshot_id"] for s in iceberg_snapshots(t)]
+
+
+def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
+    """Equality deletes (content=2) keep the loud jar remedy — the r9
+    position-delete path must not accidentally swallow them."""
+    from witdb_spark.sources.avro_codec import read_avro_file, write_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        IcebergProtocolError,
+        _current_metadata,
+        _pick_snapshot,
+        _resolve,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "eqdel")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a")], "id bigint, s string"),
+        t, mode="create",
+    )
+    meta = _current_metadata(t)
+    snap = _pick_snapshot(meta, None, None)
+    mlist = _resolve(t, snap["manifest-list"])
+    _, manifests = read_avro_file(mlist)
+    mpath = _resolve(t, manifests[0]["manifest_path"])
+    schema, entries = read_avro_file(mpath)
+    entries.append({
+        "status": 1, "snapshot_id": snap["snapshot-id"],
+        "data_file": {
+            "content": 2, "file_path": "data/eq.parquet",
+            "file_format": "PARQUET", "record_count": 1,
+            "file_size_in_bytes": 10,
+        },
+    })
+    write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+        read_iceberg_snapshot(spark, t)

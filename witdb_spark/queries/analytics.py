@@ -1675,6 +1675,66 @@ def delta_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_posdelete_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 3 <> 1
+    """,
+    doc="Jar-free Iceberg v2 POSITION-delete merge-on-read "
+    "(sources/iceberg_meta.py iceberg_write_position_deletes + "
+    "_apply_position_deletes; reference plugin/trino-iceberg/.../delete/"
+    "PositionDeleteFilter.java): CTAS nation into a fresh v2 table "
+    "across two data files, commit a spec-shaped position-delete "
+    "snapshot targeting the n_nationkey%3=1 rows by their physical "
+    "(file, row ordinal), then read. The scan tags rows with the "
+    "parquet _metadata (file_path, row_index) and LEFT ANTI joins the "
+    "sequence-scoped delete rows — a misapplied sequence bound or an "
+    "off-by-one row ordinal hash-mismatches.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def iceberg_posdelete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        _iceberg_scan,
+        iceberg_write_position_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_posdel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("n_nationkey < 12").coalesce(1), path,
+        mode="create",
+    )
+    write_iceberg(
+        spark, src.filter("n_nationkey >= 12").coalesce(1), path,
+        mode="append",
+    )
+    files = [p for p, _ in _iceberg_scan(path)[0]]
+    tagged = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"),
+        "n_nationkey",
+    )
+    targets = [
+        (r.f, r.p)
+        for r in tagged.where("n_nationkey % 3 = 1").collect()
+    ]
+    iceberg_write_position_deletes(spark, path, targets)
+    return read_iceberg_snapshot(spark, path)
+
+
+@register(
     "iceberg_dml_roundtrip",
     """
     SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,

@@ -60,12 +60,13 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # (lakehouse readers/writers/DML roundtrips, weighted digests,
 # agg_merge_generic, agg_qdigest_distinct, ptf_sql_table_spelling, the
 # five late LLM-pipeline ops) then the 20 tranche-7 TPC-DS texts —
-# and positions 38-50 are the 13 stalest r3-era greens in registration
-# order (window_rank_topn .. values_inline_join). Done = CORRECTNESS_r09
-# 50/50 green and cumulative driver coverage 280/280.
-# Round 10's head: the remaining 31 r3-era greens (distinct_order_offset
-# .. datetime_funcs_parity), then the 50 r4-era — after r10 no query's
-# last driver verification should be older than r6.
+# then the r9-new queries (rotation clause (a)), then the stalest
+# r3-era greens filling the remaining slots. Done = CORRECTNESS_r09
+# 50/50 green and cumulative driver coverage = all pre-r9 queries.
+# Round 10's head: whichever r3-era greens missed this window, then
+# the rest of r3 (through datetime_parity), then the 50 r4-era —
+# after r10 no query's last driver verification should be older
+# than r6.
 # Everything keeps local DuckDB coverage every pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
@@ -96,8 +97,11 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
     "tpcds_sql_q80", "tpcds_sql_q82", "tpcds_sql_q83", "tpcds_sql_q84",
     "tpcds_sql_q85", "tpcds_sql_q86", "tpcds_sql_q91", "tpcds_sql_q92",
+    # r9-new: v2 position-delete merge-on-read (rotation rule clause
+    # (a) — new this round, enters the window ahead of stale greens)
+    "iceberg_posdelete_roundtrip",
     # stalest r3-era greens (last driver row: CORRECTNESS_r03) —
-    # positions 38-50 fill the window
+    # the remaining window positions
     "window_rank_topn", "window_lag_lead", "window_running_sum",
     "window_sliding_rows", "window_ntile_dist", "window_range_interval",
     "setops_intersect_except", "setops_intersect_all", "groupby_rollup",

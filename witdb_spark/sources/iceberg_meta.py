@@ -11,8 +11,14 @@ materializes) and hands the data scan to Spark's distributed parquet
 reader, selecting the table schema's columns so missing fields fail
 loudly instead of silently misreading.
 
-Loud scope-outs: live DELETE manifests / delete files (v2 row-level
-deletes need merge-on-read), non-parquet data files, and format
+v2 POSITION deletes are handled jar-free (r9): the snapshot scan tags
+rows with the parquet reader's _metadata (file_path, row_index) and
+LEFT ANTI joins the delete rows, sequence-scoped per the spec —
+merge-on-read done Spark-first. iceberg_write_position_deletes commits
+a spec-shaped delete snapshot (delete parquet + content=1 manifest).
+
+Loud scope-outs: EQUALITY delete files (need the value-predicate
+evaluation layer of the jar), non-parquet data files, and format
 versions beyond 2. Renamed columns are out of scope (data files are
 read by name, the spec's field-id indirection needs a full projection
 layer — the delta-style remedy message says so).
@@ -26,7 +32,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from witdb_spark.sources.avro_codec import read_avro_file
+from witdb_spark.sources.avro_codec import read_avro_file, write_avro_file
 
 
 class IcebergProtocolError(RuntimeError):
@@ -142,13 +148,22 @@ def _resolve(table_path: str, file_path: str) -> str:
     return os.path.join(table_path, p)
 
 
-def iceberg_data_files(
+def _iceberg_scan(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
-) -> tuple[list[str], list[str]]:
-    """Walk metadata → manifest list → manifests, returning (active
-    parquet data files, table column names)."""
+) -> tuple[list[tuple[str, int]], list[tuple[str, int]], list[str]]:
+    """Walk metadata → manifest list → manifests, returning
+    (data, position_deletes, table column names), where data and
+    position_deletes are (absolute parquet path, data sequence number)
+    pairs. Sequence numbers follow the v2 inheritance rule — a null
+    entry sequence inherits the manifest's — and default conservatively
+    when absent everywhere (this module's own writer emits none): 0 for
+    data, +inf for deletes. The defaults are safe for POSITION deletes
+    because a delete row names its target by full file path and Iceberg
+    never reuses file paths; the strict ordering only disambiguates
+    equality deletes, which stay gated (reference
+    plugin/trino-iceberg/.../delete/ reads both kinds)."""
     meta = _current_metadata(path)
     fv = meta.get("format-version", 1)
     if fv not in (1, 2):
@@ -158,33 +173,132 @@ def iceberg_data_files(
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
     mlist = _resolve(path, snap["manifest-list"])
     _, manifests = read_avro_file(mlist)
-    files: list[str] = []
+    data: list[tuple[str, int]] = []
+    deletes: list[tuple[str, int]] = []
     for mf in manifests:
-        if mf.get("content", 0) == 1:
-            raise IcebergProtocolError(
-                "Iceberg DELETE manifests present (v2 row-level"
-                " deletes need merge-on-read) — add the"
-                " iceberg-spark-runtime jar"
-            )
+        mseq = mf.get("sequence_number")
         mpath = _resolve(path, mf["manifest_path"])
         _, entries = read_avro_file(mpath)
         for e in entries:
             if e.get("status", 1) == 2:  # DELETED entry
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:
+            content = df_rec.get("content", 0)
+            if content == 2:
                 raise IcebergProtocolError(
-                    "Iceberg delete files present — add the"
-                    " iceberg-spark-runtime jar"
+                    "Iceberg EQUALITY delete files present — add the"
+                    " iceberg-spark-runtime jar (position deletes are"
+                    " handled jar-free)"
                 )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
-                    f"non-parquet Iceberg data file ({fmt}) — add the"
+                    f"non-parquet Iceberg file ({fmt}) — add the"
                     " iceberg-spark-runtime jar"
                 )
-            files.append(_resolve(path, df_rec["file_path"]))
-    return files, _schema_fields(meta)
+            if mf.get("content", 0) == 1 and content == 0:
+                # a delete manifest must carry content=1/2 entries; a
+                # content=0 entry inside one is a shape this module's
+                # spec subset has no reading for
+                raise IcebergProtocolError(
+                    "Iceberg DELETE manifests with entries outside the"
+                    " position-delete shape — add the"
+                    " iceberg-spark-runtime jar"
+                )
+            eseq = e.get("sequence_number")
+            seq = eseq if eseq is not None else mseq
+            tgt = _resolve(path, df_rec["file_path"])
+            if content == 1:
+                deletes.append((tgt, seq if seq is not None else 2**62))
+            else:
+                data.append((tgt, seq if seq is not None else 0))
+    return data, deletes, _schema_fields(meta)
+
+
+def iceberg_data_files(
+    path: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Active parquet data files + table column names, for callers that
+    need a plain file list (optimize, interop checks). A snapshot with
+    live position deletes has no plain file list — reading it must go
+    through read_iceberg_snapshot's delete-applying scan — so this
+    raises rather than returning files whose rows are partly dead."""
+    data, deletes, cols = _iceberg_scan(path, snapshot_id, timestamp_ms)
+    if deletes:
+        raise IcebergProtocolError(
+            "live position-delete files present — read via"
+            " read_iceberg_snapshot (jar-free MOR scan); file-list"
+            " consumers (optimize) need the deletes compacted first"
+        )
+    return [p for p, _ in data], cols
+
+
+def _norm_file_path(p: str) -> str:
+    """Canonical join key for file paths: strip any URI scheme so the
+    delete rows' stored full URIs (spec: 'full URI with FS scheme')
+    compare equal to Spark's _metadata.file_path rendering."""
+    return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", "", p)
+
+
+def _apply_position_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    data: list[tuple[str, int]],
+    deletes: list[tuple[str, int]],
+) -> DataFrame:
+    """Merge-on-read position-delete application (reference
+    plugin/trino-iceberg/.../delete/PositionDeleteFilter.java, done
+    Spark-first): tag each scanned row with its (file, row ordinal)
+    via the parquet reader's _metadata column — no row numbering
+    shuffle — and LEFT ANTI join against the applicable delete rows.
+    Sequence scoping (a delete applies to data files with
+    data_seq <= delete_seq) folds in by joining the distributed delete
+    rows to a broadcast metadata-scale (file -> data_seq) map. The
+    anti join shuffles on (file, pos) only when the delete side is too
+    big to broadcast — the same shape any MOR reader needs."""
+    from pyspark.sql import functions as F
+
+    norm_expr = (
+        lambda c: F.regexp_replace(
+            c, r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", ""
+        )
+    )
+    by_seq: dict[int, list[str]] = {}
+    for p, s in deletes:
+        by_seq.setdefault(s, []).append(p)
+    del_parts = []
+    for s, ps in sorted(by_seq.items()):
+        del_parts.append(
+            spark.read.parquet(*sorted(set(ps)))
+            .select(
+                norm_expr(F.col("file_path")).alias("__file"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+            .withColumn("__dseq", F.lit(s).cast("long"))
+        )
+    dels = del_parts[0]
+    for part in del_parts[1:]:
+        dels = dels.unionByName(part)
+    file_seq = spark.createDataFrame(
+        [(_norm_file_path(p), s) for p, s in data],
+        "__file string, __data_seq long",
+    )
+    applicable = (
+        dels.join(F.broadcast(file_seq), "__file")
+        .where(F.col("__dseq") >= F.col("__data_seq"))
+        .select("__file", "__pos")
+    )
+    tagged = df.withColumns(
+        {
+            "__file": norm_expr(F.col("_metadata.file_path")),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+    return tagged.join(
+        applicable, ["__file", "__pos"], "left_anti"
+    ).drop("__file", "__pos")
 
 
 def read_iceberg_snapshot(
@@ -197,8 +311,11 @@ def read_iceberg_snapshot(
     the last snapshot committed at/before ``timestamp_ms``) without the
     connector jar. The data scan is an ordinary distributed parquet
     read; selecting the table schema's columns makes a missing or
-    renamed column a loud error instead of a silent misread."""
-    files, cols = iceberg_data_files(path, snapshot_id, timestamp_ms)
+    renamed column a loud error instead of a silent misread. v2
+    POSITION deletes apply jar-free as a merge-on-read anti join
+    (_apply_position_deletes); equality deletes stay loudly gated."""
+    data, deletes, cols = _iceberg_scan(path, snapshot_id, timestamp_ms)
+    files = [p for p, _ in data]
     if not files:
         meta = _current_metadata(path)
         ddl = ", ".join(
@@ -214,6 +331,8 @@ def read_iceberg_snapshot(
             " columns need the field-id projection of the"
             " iceberg-spark-runtime jar)"
         )
+    if deletes:
+        df = _apply_position_deletes(spark, df, data, deletes)
     return df.select(*cols)
 
 
@@ -457,6 +576,143 @@ def write_iceberg(
             f.write(str(version))
         return snap_id
     raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
+# manifest-list schema when a snapshot carries delete manifests: v2
+# adds the sequence_number that scopes which data files a delete
+# applies to. Written only by iceberg_write_position_deletes; readers
+# use .get("sequence_number") so lists in either shape read fine (the
+# avro schema travels with the file).
+_MANIFEST_FILE_SCHEMA_SEQ = {
+    "type": "record", "name": "manifest_file",
+    "fields": _MANIFEST_FILE_SCHEMA["fields"] + [
+        {"name": "sequence_number", "type": ["null", "long"]},
+    ],
+}
+
+
+def iceberg_write_position_deletes(
+    spark: SparkSession,
+    path: str,
+    deletes: list[tuple[str, int]],
+) -> int:
+    """Commit a v2 POSITION-delete snapshot jar-free: write the delete
+    rows as a spec-shaped parquet file (columns file_path string,
+    pos long — the reserved-field schema every Iceberg reader
+    understands), wrap it in a content=1 delete manifest, and commit a
+    snapshot whose manifest list carries the prior data manifests plus
+    the delete manifest at the next sequence number. This is the
+    merge-on-read DELETE the reference's Iceberg connector writes when
+    the table's write.delete.mode is merge-on-read — row-targeted, no
+    data-file rewrite, O(deleted rows) not O(matched files).
+    ``deletes``: (data file path as stored in the table, row ordinal)
+    pairs. Returns the committed snapshot id."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = _current_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "position deletes are a format-v2 feature — this table is v1"
+        )
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
+    if specs.get(meta.get("default-spec-id", 0), {}).get("fields"):
+        raise IcebergProtocolError(
+            "position deletes on a partitioned Iceberg table need the"
+            " iceberg-spark-runtime jar"
+        )
+    _maintenance_gate(meta, "write_position_deletes")
+    if not deletes:
+        return meta.get("current-snapshot-id")
+    base_cur = meta.get("current-snapshot-id")
+    cur_snap = _pick_snapshot(meta, None, None)
+    _, prior = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
+    known = {
+        _norm_file_path(p)
+        for p, _ in _iceberg_scan(path)[0]
+    }
+    rows = sorted(
+        (_norm_file_path(_resolve(path, p)), int(pos)) for p, pos in deletes
+    )
+    unknown = sorted({p for p, _ in rows} - known)
+    if unknown:
+        raise IcebergProtocolError(
+            f"position delete targets unknown data files: {unknown[:3]}"
+        )
+    snaps = meta.get("snapshots") or []
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (meta.get("last-sequence-number") or len(snaps)) + 1
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    dpath = os.path.join("data", f"delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    [p for p, _ in rows], type=pa.string()
+                ),
+                "pos": pa.array([i for _, i in rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(path, dpath),
+    )
+    mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "content": 1,
+                "file_path": dpath,
+                "file_format": "PARQUET",
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(path, dpath)
+                ),
+            },
+        }
+    ])
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+            "sequence_number": seq,
+        }
+    ] + [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+            "sequence_number": m.get("sequence_number"),
+        }
+        for m in prior
+    ])
+
+    def build(cur: dict) -> dict:
+        new = dict(cur)
+        new["current-snapshot-id"] = snap_id
+        new["last-sequence-number"] = seq
+        new["snapshots"] = (cur.get("snapshots") or []) + [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": _now_ms_ice(),
+                "sequence-number": seq,
+                "manifest-list": mlist,
+            }
+        ]
+        return new
+
+    _commit_metadata(path, build, base_cur)
+    return snap_id
 
 
 def _iceberg_rewrite_matched(
