@@ -885,12 +885,26 @@ def test_sql_dml_front_door(spark, tmp_path):
     assert {r.v for r in read_delta_snapshot(spark, t).collect()} == {0.0}
     eng.sql(f"DELETE FROM delta.'{t}'")
     assert read_delta_snapshot(spark, t).count() == 0
-    # non-identity inserts and conditional updates bail loudly
-    with pytest.raises(UnsupportedTrinoSyntax, match="identity INSERT"):
-        eng.sql(
-            f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id = s.id"
-            " WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 0.0)"
-        )
+    # r9: projected INSERT (reference tree/MergeInsert.java column list)
+    # — arbitrary expressions per listed column, unlisted ones NULL
+    eng.sql(
+        f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id = s.id"
+        " WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v / 2)"
+    )
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    assert got == {2: 111.0, 9: 499.5}
+    # r9: conditional UPDATE (reference tree/MergeUpdate.java per-clause
+    # condition) + conditional INSERT
+    eng.sql(
+        f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id = s.id"
+        " WHEN MATCHED AND s.v > 500 THEN UPDATE SET v = s.v"
+        " WHEN NOT MATCHED AND s.v < 500 THEN INSERT (id, v)"
+        " VALUES (s.id, -1.0)"
+    )
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    # id=2 matched but 222 < 500 -> untouched; id=9 matched, 999 > 500
+    # -> updated; no unmatched source rows
+    assert got == {2: 111.0, 9: 999.0}
     with pytest.raises(UnsupportedTrinoSyntax, match="equi-conditions"):
         eng.sql(
             f"MERGE INTO delta.'{t}' t USING dml_src s ON t.id > s.id"

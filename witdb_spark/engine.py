@@ -806,8 +806,8 @@ class Engine:
                 cl,
             )
             nm = _re.match(
-                r"(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\b"
-                r"(?P<ins>.*)$",
+                r"(?is)^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<icond>.+?))?"
+                r"\s+THEN\s+INSERT\b(?P<ins>.*)$",
                 cl,
             )
             if cm:
@@ -821,10 +821,19 @@ class Engine:
                     )
                     clause_order.append("delete")
                 else:
-                    if cm.group("cond"):
+                    if "when_matched_update" in kwargs:
                         raise UnsupportedTrinoSyntax(
-                            "MERGE: conditional UPDATE clauses are not"
-                            " supported (unconditional UPDATE SET only)"
+                            "MERGE: at most one WHEN MATCHED ... UPDATE"
+                            " clause is supported"
+                        )
+                    if cm.group("cond"):
+                        # reference tree/MergeUpdate.java: per-clause
+                        # condition — gate the update to matched rows
+                        # satisfying it
+                        kwargs["when_matched_update_cond"] = F.expr(
+                            remap_aliases(
+                                transpile(cm.group("cond")), mapping
+                            )
                         )
                     sets = {}
                     set_text = _re.sub(
@@ -846,32 +855,61 @@ class Engine:
                     kwargs["when_matched_update"] = sets
                     clause_order.append("update")
             elif nm:
+                if kwargs.get("insert_not_matched"):
+                    raise UnsupportedTrinoSyntax(
+                        "MERGE: at most one WHEN NOT MATCHED ... INSERT"
+                        " clause is supported"
+                    )
                 ins = nm.group("ins").strip()
-                ok = ins == ""
-                if not ok:
+                if ins:
                     im = _re.match(
                         r"(?is)^\((?P<cols>[^)]*)\)\s*VALUES\s*"
                         r"\((?P<vals>.*)\)$",
                         ins,
                     )
-                    if im:
-                        cols = [
-                            c.strip() for c in im.group("cols").split(",")
-                        ]
-                        vals = [
-                            _re.sub(
-                                r"^\s*[A-Za-z_]\w*\s*\.\s*", "", v
-                            ).strip()
-                            for v in _split_call_args(im.group("vals"))
-                        ]
-                        ok = cols == vals and set(cols) == set(
-                            source.columns
+                    if im is None:
+                        raise UnsupportedTrinoSyntax(
+                            "MERGE: INSERT expects no column list"
+                            " (identity insert) or (c1, ..) VALUES"
+                            " (expr1, ..)"
                         )
-                if not ok:
-                    raise UnsupportedTrinoSyntax(
-                        "MERGE: only the identity INSERT of the full"
-                        " source row is supported — INSERT (c1, ..) "
-                        "VALUES (s.c1, ..) covering every source column"
+                    cols = [
+                        c.strip() for c in im.group("cols").split(",")
+                    ]
+                    vals = [
+                        v.strip()
+                        for v in _split_call_args(im.group("vals"))
+                    ]
+                    if len(cols) != len(vals) or not all(
+                        _re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols
+                    ):
+                        raise UnsupportedTrinoSyntax(
+                            "MERGE: INSERT column list and VALUES"
+                            " must pair plain column names with one"
+                            " expression each"
+                        )
+                    identity = [
+                        _re.sub(r"^\s*[A-Za-z_]\w*\s*\.\s*", "", v)
+                        for v in vals
+                    ]
+                    if not (
+                        cols == identity
+                        and set(cols) == set(source.columns)
+                    ):
+                        # reference tree/MergeInsert.java: a column
+                        # list projects the inserted row; unlisted
+                        # target columns become NULL
+                        kwargs["insert_values"] = {
+                            c: F.expr(
+                                remap_aliases(transpile(v), mapping)
+                            )
+                            for c, v in zip(cols, vals)
+                        }
+                if nm.group("icond"):
+                    kwargs["insert_cond"] = F.expr(
+                        remap_aliases(
+                            transpile(nm.group("icond")), mapping
+                        )
                     )
                 kwargs["insert_not_matched"] = True
             else:

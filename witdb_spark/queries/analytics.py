@@ -1913,6 +1913,71 @@ def lakehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_merge_conditional",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 AND n_nationkey >= 10
+                THEN 'U-' || (SELECT n2.n_name FROM nation n2
+                              WHERE n2.n_nationkey * 2 = n.n_nationkey)
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation n
+    UNION ALL
+    SELECT CAST(n_nationkey * 2 AS BIGINT) AS n_nationkey,
+           'NEW' AS n_name, CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey * 2 > 24 AND n_nationkey * 2 <= 40
+    """,
+    doc="r9 MERGE clause surface through the SQL front door (reference "
+    "core/trino-parser tree/MergeUpdate.java per-clause condition, "
+    "tree/MergeInsert.java column list): CTAS nation into a Delta path "
+    "table, MERGE a doubled-key source with WHEN MATCHED AND s.k >= 10 "
+    "THEN UPDATE (prefixes the name) and WHEN NOT MATCHED AND "
+    "s.k <= 40 THEN INSERT (k, name) VALUES (s.k, 'NEW') — the "
+    "projected insert leaves n_regionkey NULL. A condition applied to "
+    "the wrong clause, an insert past the gate, or a non-NULL "
+    "unlisted column hash-mismatches.",
+    tags=("source", "lakehouse", "writer", "dml", "merge"),
+)
+def lakehouse_merge_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_condmerge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(spark, base, path, mode="create")
+    base.selectExpr(
+        "n_nationkey * 2 AS n_nationkey", "n_name"
+    ).createOrReplaceTempView("cond_merge_src")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(
+        f"MERGE INTO delta.'{path}' t USING cond_merge_src s"
+        " ON t.n_nationkey = s.n_nationkey"
+        " WHEN MATCHED AND s.n_nationkey >= 10 THEN UPDATE SET"
+        "   n_name = 'U-' || s.n_name"
+        " WHEN NOT MATCHED AND s.n_nationkey <= 40 THEN INSERT"
+        "   (n_nationkey, n_name) VALUES (s.n_nationkey, 'NEW')"
+    )
+    return read_delta_snapshot(spark, path)
+
+
+@register(
     "ctas_writer_roundtrip",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

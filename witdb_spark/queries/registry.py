@@ -97,9 +97,10 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
     "tpcds_sql_q80", "tpcds_sql_q82", "tpcds_sql_q83", "tpcds_sql_q84",
     "tpcds_sql_q85", "tpcds_sql_q86", "tpcds_sql_q91", "tpcds_sql_q92",
-    # r9-new: v2 position-delete merge-on-read (rotation rule clause
-    # (a) — new this round, enters the window ahead of stale greens)
+    # r9-new (rotation rule clause (a) — new this round, enters the
+    # window ahead of stale greens)
     "iceberg_posdelete_roundtrip",
+    "lakehouse_merge_conditional",
     # stalest r3-era greens (last driver row: CORRECTNESS_r03) —
     # the remaining window positions
     "window_rank_topn", "window_lag_lead", "window_running_sum",

@@ -22,14 +22,28 @@ def merge_into(
     when_matched_update: dict[str, Column] | None = None,
     when_matched_delete: Column | None = None,
     insert_not_matched: bool = True,
+    when_matched_update_cond: Column | None = None,
+    insert_values: dict[str, Column] | None = None,
+    insert_cond: Column | None = None,
 ) -> DataFrame:
     """MERGE INTO target USING source ON <keys>
     [WHEN MATCHED AND <delete_cond> THEN DELETE]
-    [WHEN MATCHED THEN UPDATE SET <assignments>]
-    [WHEN NOT MATCHED THEN INSERT *].
+    [WHEN MATCHED [AND <update_cond>] THEN UPDATE SET <assignments>]
+    [WHEN NOT MATCHED [AND <insert_cond>] THEN INSERT
+        * | (cols) VALUES (exprs)].
 
     Assignments may reference source columns as ``src.<col>`` via the
     aliased join (use F.col('src.x')). Target schema is preserved.
+
+    r9 clause surface (reference core/trino-parser tree/MergeUpdate.java
+    and MergeInsert.java carry a per-clause condition; MergeInsert
+    carries a column list): ``when_matched_update_cond`` gates the
+    UPDATE to matched rows satisfying it (first-match-wins with a
+    preceding DELETE clause is preserved because the delete filter runs
+    first); ``insert_values`` projects the inserted row — listed target
+    columns get their expressions (evaluated over src.*), unlisted ones
+    NULL; ``insert_cond`` gates the INSERT, non-matching source rows
+    are simply not inserted.
     """
     # Plain equality, not eqNullSafe: SQL MERGE ON never matches NULL keys —
     # a NULL-keyed target row is kept as-is and a NULL-keyed source row
@@ -67,20 +81,48 @@ def merge_into(
         raise ValueError(
             f"MERGE UPDATE SET names no target column: {unknown}"
         )
+    ivals = (
+        None
+        if insert_values is None
+        else {k.lower(): v for k, v in insert_values.items()}
+    )
+    if ivals is not None:
+        unknown = sorted(set(ivals) - known)
+        if unknown:
+            raise ValueError(
+                f"MERGE INSERT names no target column: {unknown}"
+            )
+    upd_gate = matched
+    if when_matched_update_cond is not None:
+        upd_gate = matched & F.coalesce(
+            when_matched_update_cond, F.lit(False)
+        )
+    ins_gate = src_only
+    if insert_cond is not None:
+        ins_gate = src_only & F.coalesce(insert_cond, F.lit(False))
     out_cols = []
     for field in target.schema.fields:
         c = field.name
         tgt_c = F.col(f"tgt.{c}")
-        src_c = F.col(f"src.{c}") if c in source.columns else F.lit(None)
+        if ivals is not None:
+            src_c = ivals.get(c.lower(), F.lit(None))
+        else:
+            src_c = (
+                F.col(f"src.{c}") if c in source.columns else F.lit(None)
+            )
         val = tgt_c
         if c.lower() in updates:
-            val = F.when(matched, updates[c.lower()]).otherwise(tgt_c)
+            val = F.when(upd_gate, updates[c.lower()]).otherwise(tgt_c)
         if insert_not_matched:
             val = F.when(src_only, src_c).otherwise(val)
         out_cols.append(val.cast(field.dataType).alias(c))
 
     if not insert_not_matched:
         joined = joined.filter(~src_only)
+    elif insert_cond is not None:
+        # an unmatched source row failing the insert condition simply
+        # does not insert (SQL MERGE: no clause applies -> no row)
+        joined = joined.filter(~src_only | ins_gate)
     return joined.select(*out_cols)
 
 
