@@ -861,3 +861,46 @@ def test_final_running_prefixes_one_row(engine, spark):
         """
     ).collect()
     assert [(r.f, r.l, r.s) for r in rows] == [(10.0, 30.0, 60.0)]
+
+
+def test_runs_fast_path_differential_vs_vm(spark, monkeypatch):
+    """r9: the compiled runs plan must agree ROW-FOR-ROW with the
+    backtracking VM on randomized inputs across pattern shapes in the
+    eligible class (distinct exclusive labels, min>=1 quantifiers).
+    The VM is forced by disabling the eligibility probe."""
+    import importlib
+    import random
+
+    M = importlib.import_module(
+        "witdb_spark.operators.match_recognize"
+    )
+
+    rng = random.Random(1909)
+    patterns = [
+        ({"V": "ty = 'v'", "P": "ty = 'p'"}, "V+ P"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+         "A+ B+ C+"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'"}, "A{2,} B"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+         "A B{1,2} C+"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'"}, "A{2} B{3,}"),
+    ]
+    alphabet = "abcpvx"  # x matches no label anywhere
+    for define, pattern in patterns:
+        rows = []
+        for key in range(6):
+            n = rng.randint(0, 40)
+            for seq in range(n):
+                rows.append((key, seq, rng.choice(alphabet)))
+        df = spark.createDataFrame(rows, "k int, seq int, ty string")
+        assert M._runs_plan_elements(
+            M._parse_pattern(pattern, {x: 1 for x in define}), define
+        ) is not None, pattern
+        fast = M.match_recognize(df, ["k"], "seq", define, pattern)
+        with monkeypatch.context() as mp:
+            mp.setattr(M, "_runs_plan_elements", lambda *a: None)
+            vm = M.match_recognize(df, ["k"], "seq", define, pattern)
+        key = ["k", "seq", "ty", "match_id", "classifier"]
+        a = sorted(map(tuple, fast.select(*key).collect()))
+        b = sorted(map(tuple, vm.select(*key).collect()))
+        assert a == b, (pattern, a[:5], b[:5])

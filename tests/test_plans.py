@@ -1322,3 +1322,43 @@ def test_generic_merge_scope_collision_poisons():
         " AS d FROM t GROUP BY g) x"
     )
     assert "merge_qdigest(d)" in got
+
+
+def test_mr_runs_fast_path_plan(spark):
+    """r9 (VERDICT r8 task 6): unambiguous MATCH_RECOGNIZE patterns —
+    concatenations of distinct, statically-exclusive labels (the
+    mr_funnel shape) — compile to a pure JVM runs plan: NO MapInPandas,
+    no Python in the task. Ambiguous shapes (navigation DEFINEs,
+    overlapping predicates, alternation) still route to the VM."""
+    from witdb_spark.operators.match_recognize import match_recognize
+    from witdb_spark.queries import QUERIES
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+
+    plan = fmt(QUERIES["mr_funnel"].fn(spark, SF_DIR))
+    assert "MapInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the VM path still serves patterns the fast path must refuse:
+    # PREV() navigation is not a static-equality DEFINE
+    ev = spark.range(0, 50).selectExpr(
+        "id % 5 AS k", "id AS seq", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    vm = match_recognize(
+        ev, ["k"], "seq",
+        {"D": "v < PREV(v)", "U": "v > PREV(v)"},
+        "D+ U",
+    )
+    assert "MapInPandas" in fmt(vm)
+    # alternation is ambiguous -> VM
+    alt = match_recognize(
+        ev.selectExpr("k", "seq", "CASE WHEN v > 3 THEN 'a' ELSE 'b'"
+                      " END AS ty"),
+        ["k"], "seq",
+        {"A": "ty = 'a'", "B": "ty = 'b'"},
+        "A (A | B) B",
+    )
+    assert "MapInPandas" in fmt(alt)
