@@ -1362,3 +1362,51 @@ def test_mr_runs_fast_path_plan(spark):
         "A (A | B) B",
     )
     assert "MapInPandas" in fmt(alt)
+
+
+def test_sketch_over_hoist_two_level(spark):
+    """r9 (VERDICT r8 task 7): a windowed co-item no longer bails the
+    sketch PARTIAL->FINAL split — it hoists to a projection around the
+    split (the window evaluates over the aggregated rows either way).
+    Gate: two ArrowAggregatePython levels under the windowed co-item,
+    plus a Window node; values match the split-free spelling."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    sql = (
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d,"
+        " rank() OVER (ORDER BY l_returnflag) AS r"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    df = eng.sql(sql)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    assert re.search(r"\(\d+\) Window", plan), plan
+    got = {(r.l_returnflag, r.r): bytes(r.d) for r in df.collect()}
+    # the windowed item is pure bookkeeping over keys: rank 1..n in key
+    # order; digest blobs equal the windowless split's bit-for-bit (the
+    # salt is deterministic)
+    base = {
+        r.l_returnflag: bytes(r.d)
+        for r in eng.sql(
+            "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert {(k, i + 1): v for i, (k, v) in enumerate(sorted(base.items()))} == got
+    # a window reading a non-key, non-alias expression bails the hoist;
+    # this shape then hits Spark's own mixed-placement refusal (the
+    # documented conservative fallback: bail, surface Spark's error)
+    import pytest
+
+    with pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
+        eng.sql(
+            "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d,"
+            " max(l_quantity) AS mq,"
+            " rank() OVER (ORDER BY max(l_quantity)) AS r"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).collect()

@@ -1927,6 +1927,110 @@ def _rewrite_sketch_two_level(sql: str) -> str:
     return sql
 
 
+_OVER_HOIST_KEYWORDS = {
+    "over", "partition", "by", "order", "asc", "desc", "nulls", "first",
+    "last", "rows", "range", "groups", "between", "and", "unbounded",
+    "preceding", "following", "current", "row", "case", "when", "then",
+    "else", "end", "is", "not", "null", "true", "false", "in", "like",
+    "interval", "as", "double", "bigint", "int", "integer", "smallint",
+    "tinyint", "varchar", "string", "decimal", "real", "boolean", "date",
+    "timestamp", "float",
+}
+
+
+def _sketch_block_over_hoist(block: str) -> str | None:
+    """Hoist top-level windowed select items out of a sketch block so
+    the remainder can split PARTIAL->FINAL (see call site). Returns the
+    wrapped rewrite, or None to keep the single-level plan."""
+    bd, binstr = _scan_maps(block)
+
+    def top_kw(pattern: str):
+        for m in re.finditer(pattern, block, re.I):
+            if bd[m.start()] == 0 and not binstr[m.start()]:
+                return m
+        return None
+
+    fm = top_kw(r"\bFROM\b")
+    if fm is None:
+        return None
+    # strip a trailing ORDER BY/LIMIT/OFFSET — it runs AFTER the window
+    # projection, so it re-attaches to the hoisted outer select
+    tm = (
+        top_kw(r"\bORDER\s+BY\b")
+        or top_kw(r"\bLIMIT\b")
+        or top_kw(r"\bOFFSET\b")
+    )
+    tail = ""
+    if tm:
+        tail = " " + block[tm.start():].strip()
+        block = block[: tm.start()]
+        bd, binstr = _scan_maps(block)
+    gm = top_kw(r"\bGROUP\s+BY\b")
+    if gm is None:
+        return None
+    hm = top_kw(r"\bHAVING\b")
+    keys_end = hm.start() if hm else len(block)
+    keys = [k for k in _split_call_args(block[gm.end() : keys_end]) if k]
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        return None
+    items_text = block[len("SELECT") : fm.start()]
+    inner_items: list[str] = []
+    outer_items: list[str] = []  # original order
+    allowed = {k.lower() for k in keys}
+    win_items: list[tuple[str, str]] = []
+    for item in _split_call_args(items_text):
+        if not item.strip():
+            return None
+        expr, alias = _item_alias(item)
+        has_over = False
+        ed, einstr = _scan_maps(expr)
+        for om in re.finditer(r"\bOVER\b", expr, re.I):
+            if ed[om.start()] == 0 and not einstr[om.start()]:
+                has_over = True
+        if not has_over:
+            inner_items.append(item.strip())
+            if alias:
+                out = alias
+            elif re.fullmatch(r"[A-Za-z_][\w.]*", expr):
+                out = expr.split(".")[-1]
+            else:
+                return None  # unaliased computed item: no outer name
+            outer_items.append(out)
+            allowed.add(out.lower())
+        else:
+            if alias is None:
+                return None
+            win_items.append((expr, alias))
+            outer_items.append(f"{expr} AS {alias}")
+    if not win_items or not inner_items:
+        return None
+    # every bare identifier a windowed item reads must be a column of
+    # the split's output (group key or aggregate alias); function names
+    # and window-grammar keywords are skipped
+    for expr, _alias in win_items:
+        code = re.sub(r"'(?:[^']|'')*'", "''", expr)
+        pos = 0
+        for im in re.finditer(r"[A-Za-z_]\w*", code):
+            if im.start() > 0 and code[im.start() - 1] in "0123456789._":
+                continue
+            rest = code[im.end():].lstrip()
+            if rest.startswith("("):
+                continue  # function name
+            t = im.group(0).lower()
+            if t not in allowed and t not in _OVER_HOIST_KEYWORDS:
+                return None
+    inner_block = (
+        "SELECT " + ", ".join(inner_items) + " " + block[fm.start():]
+    ).strip()
+    rewritten = _sketch_block_two_level(inner_block)
+    if rewritten is None:
+        return None
+    return (
+        f"SELECT {', '.join(outer_items)} FROM ({rewritten}) __sk_win"
+        + tail
+    )
+
+
 def _sketch_block_two_level(block: str) -> str | None:
     """Rewrite one SELECT block (no enclosing parens) or None to bail."""
     bd, binstr = _scan_maps(block)
@@ -1947,12 +2051,19 @@ def _sketch_block_two_level(block: str) -> str | None:
 
     for bailer in (
         r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
-        r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
+        r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
         r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b",
         r"\bFETCH\b",
     ):
         if top_kw(bailer):
             return None
+    if top_kw(r"\bOVER\b"):
+        # r9 (VERDICT r8 task 7): a windowed co-item evaluates over the
+        # AGGREGATED rows, so it hoists to a projection around the
+        # split as long as every identifier it reads is a group key or
+        # an aggregate alias of this block (both are columns of the
+        # split's output). Anything else bails to the single level.
+        return _sketch_block_over_hoist(block)
     # r8: outer ORDER BY [LIMIT [OFFSET]] hoists — result ordering runs
     # AFTER aggregation, so stripping it, splitting, and re-appending to
     # the OUTER select is semantics-preserving. Only when every sort
