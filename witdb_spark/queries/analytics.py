@@ -1978,6 +1978,69 @@ def lakehouse_merge_conditional(
 
 
 @register(
+    "hudi_keyed_upsert_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 4 = 2 THEN 'UPSERTED' ELSE n_name END
+             AS n_name
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey,
+           'INSERTED' AS n_name
+    FROM nation WHERE n_nationkey < 3
+    """,
+    doc="r9 keyed Hudi UPSERT (sources/hudi_meta.py hudi_upsert; "
+    "reference plugin/trino-hudi + the Hudi upsert contract): CTAS "
+    "nation into a COW table with record key n_nationkey split across "
+    "two key-ranged file groups, then upsert a source that rewrites "
+    "the %4==2 names and inserts three new keys. Routing reads parquet "
+    "FOOTER min/max per group (the jar-free stand-in for the bundle's "
+    "record index) so only touched groups are retired by the "
+    "replacecommit. A wrong-range prune, dropped insert, or key "
+    "collision duplicates/misses rows and hash-mismatches.",
+    tags=("source", "lakehouse", "writer", "dml", "merge"),
+)
+def hudi_keyed_upsert_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_upsert,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_upsert_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi(
+        spark, base.filter("n_nationkey < 13").coalesce(1), path,
+        mode="create", record_key="n_nationkey",
+    )
+    write_hudi(
+        spark, base.filter("n_nationkey >= 13").coalesce(1), path,
+        mode="append",
+    )
+    src = base.filter("n_nationkey % 4 = 2").selectExpr(
+        "n_nationkey", "'UPSERTED' AS n_name"
+    ).unionByName(
+        base.filter("n_nationkey < 3").selectExpr(
+            "n_nationkey + 100 AS n_nationkey", "'INSERTED' AS n_name"
+        )
+    )
+    hudi_upsert(spark, path, src)
+    return read_hudi_snapshot(spark, path)
+
+
+@register(
     "ctas_writer_roundtrip",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

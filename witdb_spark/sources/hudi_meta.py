@@ -177,15 +177,22 @@ def _claim_instant(path: str) -> str:
 
 
 def write_hudi(
-    spark: SparkSession, df, path: str, mode: str = "append"
+    spark: SparkSession,
+    df,
+    path: str,
+    mode: str = "append",
+    record_key: str | None = None,
 ) -> str:
-    """Jar-free Hudi COW write, INSERT path only (create/append/
-    overwrite as bulk-insert of fresh file groups; keyed UPSERT needs
-    the hudi-spark bundle's record-key index). Each staged parquet file
-    becomes its own file group; a commit JSON publishes them —
-    overwrite retires every prior file group via a replacecommit, the
-    timeline's own mechanism for insert-overwrite. Returns the commit
-    instant."""
+    """Jar-free Hudi COW write (create/append/overwrite as bulk-insert
+    of fresh file groups; keyed UPSERT routes through hudi_upsert using
+    parquet footer statistics instead of the bundle's record index).
+    Each staged parquet file becomes its own file group; a commit JSON
+    publishes them — overwrite retires every prior file group via a
+    replacecommit, the timeline's own mechanism for insert-overwrite.
+    ``record_key`` (create only) records
+    hoodie.table.recordkey.fields in hoodie.properties, the same key
+    real Hudi tables carry, enabling keyed hudi_upsert without an
+    explicit key argument. Returns the commit instant."""
     import glob
     import shutil
     import uuid
@@ -197,13 +204,23 @@ def write_hudi(
         raise FileExistsError(f"{path} is already a Hudi table")
     if not exists:
         os.makedirs(_meta_dir(path))
+        props_text = (
+            "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
+            % os.path.basename(path.rstrip("/"))
+        )
+        if record_key:
+            if record_key not in df.columns:
+                raise HudiProtocolError(
+                    f"record key {record_key!r} is not a column of the"
+                    f" data ({df.columns})"
+                )
+            props_text += (
+                f"hoodie.table.recordkey.fields={record_key}\n"
+            )
         with open(
             os.path.join(_meta_dir(path), "hoodie.properties"), "w"
         ) as f:
-            f.write(
-                "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
-                % os.path.basename(path.rstrip("/"))
-            )
+            f.write(props_text)
     else:
         props = _properties(path)
         if props.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
@@ -270,6 +287,7 @@ def _hudi_rewrite_matched(
     rewrite,
     commit_on_no_match: bool = False,
     op: str = "DML",
+    scan_files: list[str] | None = None,
 ) -> str | None:
     """Copy-on-write file-group rewrite shared by DELETE/UPDATE/MERGE:
     one replacecommit retires every file group ``matcher`` flags (it
@@ -291,6 +309,18 @@ def _hudi_rewrite_matched(
     by_abs = {os.path.abspath(f): f for f in files}
     if not files and not commit_on_no_match:
         return None
+    if scan_files is not None:
+        # keyed-upsert footer pruning: only a SUPERSET of the groups
+        # that can contain matches needs scanning; the rest are never
+        # read and never rewritten. Must be active files.
+        unknown = [
+            f for f in scan_files if os.path.abspath(f) not in by_abs
+        ]
+        if unknown:
+            raise HudiProtocolError(
+                f"scan pruning produced non-snapshot files: {unknown[:3]}"
+            )
+        files = sorted(scan_files)
     # staleness fence: remember the last completed instant we planned
     # against; a concurrent commit retiring the same groups would make
     # our survivors duplicate rows, so re-check before publishing
@@ -442,6 +472,103 @@ def hudi_merge_into(
         lambda rows: merge_into(rows, source, on, **merge_kwargs),
         commit_on_no_match=True,
         op="MERGE",
+    )
+
+
+def hudi_upsert(
+    spark: SparkSession,
+    path: str,
+    source,
+    record_key: str | None = None,
+) -> str | None:
+    """Keyed UPSERT (reference plugin/trino-hudi read side + the Hudi
+    upsert contract: source rows whose record key exists REPLACE the
+    stored row, the rest insert). The bundle routes records with its
+    record-level index; jar-free, the same routing comes from parquet
+    FOOTER statistics at metadata scale: each base file's footer
+    carries min/max for the key column, so file groups whose key range
+    cannot contain any source key are never read and never rewritten —
+    only touched groups are retired by the replacecommit. A footer
+    without usable statistics makes its group an unconditional
+    candidate (pruning is always a superset of the true match set).
+    ``record_key`` defaults to hoodie.table.recordkey.fields from
+    hoodie.properties. Returns the commit instant, or None if the
+    upsert was a no-op."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.merge import merge_into
+
+    props = _properties(path)
+    key = record_key or props.get("hoodie.table.recordkey.fields")
+    if not key:
+        raise HudiProtocolError(
+            "UPSERT needs a record key: pass record_key= or create the"
+            " table with write_hudi(..., record_key=...)"
+        )
+    if "," in key:
+        raise HudiProtocolError(
+            "composite record keys need the hudi-spark bundle"
+        )
+    if key not in source.columns:
+        raise HudiProtocolError(
+            f"record key {key!r} is not a column of the source"
+        )
+    files = hudi_base_files(path)
+    ranges: list[tuple[str, object, object]] = []
+    candidates: list[str] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        if key not in names:
+            raise HudiProtocolError(
+                f"record key {key!r} absent from base file {f}"
+            )
+        lo, hi, ok = None, None, md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[key]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok:
+            ranges.append((f, lo, hi))
+        else:
+            candidates.append(f)
+    if ranges:
+        key_type = dict(
+            zip(source.schema.names, source.schema.fields)
+        )[key].dataType.simpleString()
+        rng = spark.createDataFrame(
+            ranges, f"__hf string, __lo {key_type}, __hi {key_type}"
+        )
+        hit = rng.join(
+            source.select(F.col(key).alias("__k")).distinct(),
+            (F.col("__k") >= F.col("__lo"))
+            & (F.col("__k") <= F.col("__hi")),
+            "left_semi",
+        )
+        candidates += [r["__hf"] for r in hit.collect()]
+
+    update_cols = {
+        c: F.col(f"src.{c}") for c in source.columns if c != key
+    }
+    return _hudi_rewrite_matched(
+        spark, path,
+        lambda df: df.join(
+            source.select(key).distinct(), on=[key], how="left_semi"
+        ).select("__sf"),
+        lambda rows: merge_into(
+            rows, source, [key],
+            when_matched_update=update_cols,
+            insert_not_matched=True,
+        ),
+        commit_on_no_match=True,
+        op="UPSERT",
+        scan_files=candidates,
     )
 
 
