@@ -165,12 +165,17 @@ def test_ivf_broadcasts_centroids(spark):
 
 
 def test_match_recognize_single_shuffle(spark):
-    """The pattern operator adds exactly one exchange for its partition keys
-    (reference PatternRecognitionNode requires the same distribution): a
-    repartition + partition-local sort, no global sort."""
+    """The pattern operator adds exactly one exchange for its partition
+    keys (reference PatternRecognitionNode requires the same
+    distribution). r9: mr_funnel's shape compiles to the pure-JVM runs
+    plan — no Python operator at all (gated separately in
+    test_mr_runs_fast_path_plan); VM-path shapes (mr_price_slide,
+    PREV navigation) still carry the single Python scan."""
     plan = plan_of(spark, "mr_funnel")
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
-    assert "Sort [user_id" in plan or "sortWithinPartitions" in plan.lower() or "Sort" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Sort" in plan
+    vm_plan = plan_of(spark, "mr_price_slide")
+    assert "MapInPandas" in vm_plan
 
 
 def test_match_recognize_navigation_single_shuffle(spark):
@@ -324,11 +329,16 @@ def test_match_recognize_parallelism_pinned(spark):
     from witdb_spark.catalog import Tables
     from witdb_spark.operators.match_recognize import match_recognize
 
-    ev = Tables(spark, SF_DIR).events.select("user_id", "event_id", "event_type")
+    # r9: the V+ P shape compiles to the JVM runs plan (where AQE's
+    # byte-based coalescing is the RIGHT width policy); the pin matters
+    # for the Python VM path, which PREV navigation still exercises
+    ev = Tables(spark, SF_DIR).events.selectExpr(
+        "user_id", "event_id", "CAST(value AS DOUBLE) AS v"
+    )
     mr = match_recognize(
         ev, ["user_id"], "event_id",
-        {"V": "event_type = 'view'", "P": "event_type = 'purchase'"},
-        "V+ P",
+        {"D": "v < PREV(v)", "U": "v > PREV(v)"},
+        "D+ U",
     )
     mr.count()  # materialize so AQE finalizes the plan
     assert (
@@ -490,7 +500,9 @@ def test_pattern_window_single_operator_pass(spark):
 
     plan = plan_of(spark, "mr_pattern_window")
     nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
-    assert len(nodes) == 1
+    # r9: eligible patterns compile to the JVM runs plan (0 Python
+    # operators); either way there is never a SECOND pattern pass
+    assert len(nodes) <= 1
     assert "CartesianProduct" not in plan
 
 

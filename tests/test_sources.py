@@ -1773,8 +1773,9 @@ def test_iceberg_position_deletes_roundtrip(spark, tmp_path):
 
 
 def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
-    """Equality deletes (content=2) keep the loud jar remedy — the r9
-    position-delete path must not accidentally swallow them."""
+    """A content=2 entry WITHOUT equality_ids is unreadable — the loud
+    jar remedy stays for that malformed/out-of-subset shape (well-formed
+    equality deletes read jar-free, see the roundtrip test)."""
     from witdb_spark.sources.avro_codec import read_avro_file, write_avro_file
     from witdb_spark.sources.iceberg_meta import (
         _MANIFEST_ENTRY_SCHEMA,
@@ -1888,3 +1889,67 @@ def test_hudi_keyed_upsert_footer_routing(spark, tmp_path):
     write_hudi(spark, mk(0, 3), t2, mode="create")
     with pytest.raises(HudiProtocolError, match="record key"):
         hudi_upsert(spark, t2, src)
+
+
+def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
+    """r9: v2 EQUALITY deletes read AND write jar-free. The sequence
+    strictness is the heart of it: a delete at seq N hides matching
+    rows only from data files with seq < N, so re-inserting the same
+    key AFTER the delete stays visible (the MOR upsert primitive).
+    Multi-column deletes compare null-safely on every named column."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_write_equality_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "eqrt")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, s string")
+    write_iceberg(spark, mk([(i, f"s{i}") for i in range(5)]).coalesce(1),
+                  t, mode="create")                     # seq 1
+    write_iceberg(spark, mk([(i, f"s{i}") for i in range(5, 10)])
+                  .coalesce(1), t, mode="append")       # seq 2
+    s_del = iceberg_write_equality_deletes(
+        spark, t, [{"id": 3}, {"id": 7}]
+    )                                                   # seq 3
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+    # re-insert id=3 AFTER the delete: newer sequence -> visible
+    write_iceberg(spark, mk([(3, "reborn")]).coalesce(1),
+                  t, mode="append")                     # seq 4
+    got = {(r.id, r.s) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert (3, "reborn") in got and (3, "s3") not in got
+    assert (7, "s7") not in got
+    # snapshot time travel to the pre-delete state sees everything
+    pre = read_iceberg_snapshot(spark, t, snapshot_id=s_del - 1)
+    assert sorted(r.id for r in pre.collect()) == list(range(10))
+    # multi-column equality delete: only the exact (id, s) pair dies
+    iceberg_write_equality_deletes(
+        spark, t, [{"id": 3, "s": "nope"}, {"id": 5, "s": "s5"}]
+    )
+    got = {(r.id, r.s) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert (3, "reborn") in got and (5, "s5") not in got
+    # equality + position deletes compose on one table
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.iceberg_meta import (
+        _iceberg_scan,
+        iceberg_write_position_deletes,
+    )
+
+    files = [p for p, _ in _iceberg_scan(t)[0]]
+    tagged = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"), "id",
+    )
+    targets = [(r.f, r.p) for r in tagged.where("id = 9").collect()]
+    iceberg_write_position_deletes(spark, t, targets)
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4, 6, 8]
+    # unknown column is loud
+    import pytest as _pytest
+
+    from witdb_spark.sources.iceberg_meta import IcebergProtocolError
+
+    with _pytest.raises(IcebergProtocolError, match="non-table"):
+        iceberg_write_equality_deletes(spark, t, [{"nope": 1}])

@@ -1978,6 +1978,65 @@ def lakehouse_merge_conditional(
 
 
 @register(
+    "iceberg_eqdelete_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'REBORN' AS n_name
+    FROM nation WHERE n_nationkey = 0
+    """,
+    doc="r9 jar-free Iceberg v2 EQUALITY deletes (sources/"
+    "iceberg_meta.py iceberg_write_equality_deletes + "
+    "_apply_row_deletes; reference plugin/trino-iceberg/.../delete/"
+    "EqualityDeleteFilter.java): CTAS nation, commit an equality-delete "
+    "snapshot on n_nationkey for the %5==0 keys, then append key 0 "
+    "back. Sequence strictness is what the hash checks: the delete "
+    "(seq 2) hides only rows from seq-1 data files, so the seq-3 "
+    "re-insert survives; a <=-instead-of-< comparison or a missed "
+    "null-safe column compare hash-mismatches.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def iceberg_eqdelete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_write_equality_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_eqdel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(spark, src.coalesce(1), path, mode="create")
+    keys = [
+        r.n_nationkey
+        for r in src.where("n_nationkey % 5 = 0").collect()
+    ]
+    iceberg_write_equality_deletes(
+        spark, path, [{"n_nationkey": int(k)} for k in keys]
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(0, "REBORN")], "n_nationkey bigint, n_name string"
+        ),
+        path,
+        mode="append",
+    )
+    return read_iceberg_snapshot(spark, path)
+
+
+@register(
     "hudi_keyed_upsert_roundtrip",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

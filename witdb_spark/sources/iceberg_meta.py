@@ -152,18 +152,23 @@ def _iceberg_scan(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
-) -> tuple[list[tuple[str, int]], list[tuple[str, int]], list[str]]:
+) -> tuple[
+    list[tuple[str, int]],
+    list[tuple[str, int, tuple[int, ...] | None]],
+    list[str],
+]:
     """Walk metadata → manifest list → manifests, returning
-    (data, position_deletes, table column names), where data and
-    position_deletes are (absolute parquet path, data sequence number)
-    pairs. Sequence numbers follow the v2 inheritance rule — a null
-    entry sequence inherits the manifest's — and default conservatively
-    when absent everywhere (this module's own writer emits none): 0 for
-    data, +inf for deletes. The defaults are safe for POSITION deletes
-    because a delete row names its target by full file path and Iceberg
-    never reuses file paths; the strict ordering only disambiguates
-    equality deletes, which stay gated (reference
-    plugin/trino-iceberg/.../delete/ reads both kinds)."""
+    (data, deletes, table column names). data entries are (absolute
+    parquet path, data sequence number); delete entries are (path,
+    sequence number, equality field-ids or None for position deletes).
+    Sequence numbers follow the v2 inheritance rule — a null entry
+    sequence inherits the manifest's — and default conservatively when
+    absent (tables written before this module stamped sequences): 0
+    for data, +inf for deletes. The defaults are safe for POSITION
+    deletes because a delete row names its target by full file path
+    and Iceberg never reuses file paths; EQUALITY deletes apply only
+    under data_seq < delete_seq, which the stamped sequences provide
+    (reference plugin/trino-iceberg/.../delete/ reads both kinds)."""
     meta = _current_metadata(path)
     fv = meta.get("format-version", 1)
     if fv not in (1, 2):
@@ -184,12 +189,6 @@ def _iceberg_scan(
                 continue
             df_rec = e["data_file"]
             content = df_rec.get("content", 0)
-            if content == 2:
-                raise IcebergProtocolError(
-                    "Iceberg EQUALITY delete files present — add the"
-                    " iceberg-spark-runtime jar (position deletes are"
-                    " handled jar-free)"
-                )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
@@ -202,14 +201,33 @@ def _iceberg_scan(
                 # spec subset has no reading for
                 raise IcebergProtocolError(
                     "Iceberg DELETE manifests with entries outside the"
-                    " position-delete shape — add the"
+                    " row-delete shape — add the"
                     " iceberg-spark-runtime jar"
                 )
             eseq = e.get("sequence_number")
             seq = eseq if eseq is not None else mseq
             tgt = _resolve(path, df_rec["file_path"])
-            if content == 1:
-                deletes.append((tgt, seq if seq is not None else 2**62))
+            if content == 2:
+                eq_ids = df_rec.get("equality_ids") or e.get(
+                    "equality_ids"
+                )
+                if not eq_ids:
+                    raise IcebergProtocolError(
+                        "Iceberg EQUALITY delete file without"
+                        " equality_ids — add the iceberg-spark-runtime"
+                        " jar"
+                    )
+                deletes.append(
+                    (
+                        tgt,
+                        seq if seq is not None else 2**62,
+                        tuple(int(i) for i in eq_ids),
+                    )
+                )
+            elif content == 1:
+                deletes.append(
+                    (tgt, seq if seq is not None else 2**62, None)
+                )
             else:
                 data.append((tgt, seq if seq is not None else 0))
     return data, deletes, _schema_fields(meta)
@@ -242,22 +260,27 @@ def _norm_file_path(p: str) -> str:
     return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", "", p)
 
 
-def _apply_position_deletes(
+def _apply_row_deletes(
     spark: SparkSession,
     df: DataFrame,
     data: list[tuple[str, int]],
-    deletes: list[tuple[str, int]],
+    deletes: list[tuple[str, int, tuple[int, ...] | None]],
+    id_to_name: dict[int, str],
 ) -> DataFrame:
-    """Merge-on-read position-delete application (reference
-    plugin/trino-iceberg/.../delete/PositionDeleteFilter.java, done
-    Spark-first): tag each scanned row with its (file, row ordinal)
-    via the parquet reader's _metadata column — no row numbering
-    shuffle — and LEFT ANTI join against the applicable delete rows.
-    Sequence scoping (a delete applies to data files with
-    data_seq <= delete_seq) folds in by joining the distributed delete
-    rows to a broadcast metadata-scale (file -> data_seq) map. The
-    anti join shuffles on (file, pos) only when the delete side is too
-    big to broadcast — the same shape any MOR reader needs."""
+    """Merge-on-read delete application (reference
+    plugin/trino-iceberg/.../delete/ PositionDeleteFilter +
+    EqualityDeleteFilter, done Spark-first). POSITION deletes: tag each
+    scanned row with its (file, row ordinal) via the parquet reader's
+    _metadata column — no row numbering shuffle — and LEFT ANTI join
+    the applicable delete rows; a position delete applies to data
+    files with data_seq <= delete_seq. EQUALITY deletes: LEFT ANTI
+    join on the delete file's equality columns with null-safe
+    comparison (spec: null equals null), applying only to rows from
+    data files with data_seq STRICTLY below the delete's. Sequence
+    scoping folds in by joining a broadcast metadata-scale
+    (file -> data_seq) map onto the tagged scan; delete sides
+    broadcast when small (AQE), else the anti joins shuffle — the
+    same shape any MOR reader needs."""
     from pyspark.sql import functions as F
 
     norm_expr = (
@@ -265,30 +288,9 @@ def _apply_position_deletes(
             c, r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", ""
         )
     )
-    by_seq: dict[int, list[str]] = {}
-    for p, s in deletes:
-        by_seq.setdefault(s, []).append(p)
-    del_parts = []
-    for s, ps in sorted(by_seq.items()):
-        del_parts.append(
-            spark.read.parquet(*sorted(set(ps)))
-            .select(
-                norm_expr(F.col("file_path")).alias("__file"),
-                F.col("pos").cast("long").alias("__pos"),
-            )
-            .withColumn("__dseq", F.lit(s).cast("long"))
-        )
-    dels = del_parts[0]
-    for part in del_parts[1:]:
-        dels = dels.unionByName(part)
     file_seq = spark.createDataFrame(
         [(_norm_file_path(p), s) for p, s in data],
         "__file string, __data_seq long",
-    )
-    applicable = (
-        dels.join(F.broadcast(file_seq), "__file")
-        .where(F.col("__dseq") >= F.col("__data_seq"))
-        .select("__file", "__pos")
     )
     tagged = df.withColumns(
         {
@@ -296,9 +298,69 @@ def _apply_position_deletes(
             "__pos": F.col("_metadata.row_index"),
         }
     )
-    return tagged.join(
-        applicable, ["__file", "__pos"], "left_anti"
-    ).drop("__file", "__pos")
+    pos = [(p, s) for p, s, eq in deletes if eq is None]
+    eqs = [(p, s, eq) for p, s, eq in deletes if eq is not None]
+    if pos:
+        by_seq: dict[int, list[str]] = {}
+        for p, s in pos:
+            by_seq.setdefault(s, []).append(p)
+        del_parts = []
+        for s, ps in sorted(by_seq.items()):
+            del_parts.append(
+                spark.read.parquet(*sorted(set(ps)))
+                .select(
+                    norm_expr(F.col("file_path")).alias("__file"),
+                    F.col("pos").cast("long").alias("__pos"),
+                )
+                .withColumn("__dseq", F.lit(s).cast("long"))
+            )
+        dels = del_parts[0]
+        for part in del_parts[1:]:
+            dels = dels.unionByName(part)
+        applicable = (
+            dels.join(F.broadcast(file_seq), "__file")
+            .where(F.col("__dseq") >= F.col("__data_seq"))
+            .select("__file", "__pos")
+        )
+        tagged = tagged.join(
+            applicable, ["__file", "__pos"], "left_anti"
+        )
+    if eqs:
+        tagged = tagged.join(
+            F.broadcast(file_seq), "__file", "left"
+        ).withColumn(
+            "__data_seq", F.coalesce(F.col("__data_seq"), F.lit(0))
+        )
+        # one anti join per (sequence, column-set) delete group; groups
+        # are bounded by commits, and each group's files read in one
+        # distributed scan
+        groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+        for p, s, eq in eqs:
+            groups.setdefault((s, eq), []).append(p)
+        for (s, eq), ps in sorted(groups.items()):
+            try:
+                cols = [id_to_name[i] for i in eq]
+            except KeyError as exc:
+                raise IcebergProtocolError(
+                    f"equality delete references unknown field id"
+                    f" {exc} — add the iceberg-spark-runtime jar"
+                ) from exc
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise IcebergProtocolError(
+                    f"equality delete columns {missing} absent from"
+                    " the scan — add the iceberg-spark-runtime jar"
+                )
+            drows = spark.read.parquet(*sorted(set(ps))).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols]
+            )
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            cond = cond & (F.col("__data_seq") < F.lit(s))
+            tagged = tagged.join(drows, cond, "left_anti")
+        tagged = tagged.drop("__data_seq")
+    return tagged.drop("__file", "__pos")
 
 
 def read_iceberg_snapshot(
@@ -312,8 +374,8 @@ def read_iceberg_snapshot(
     connector jar. The data scan is an ordinary distributed parquet
     read; selecting the table schema's columns makes a missing or
     renamed column a loud error instead of a silent misread. v2
-    POSITION deletes apply jar-free as a merge-on-read anti join
-    (_apply_position_deletes); equality deletes stay loudly gated."""
+    POSITION and EQUALITY deletes apply jar-free as merge-on-read
+    anti joins (_apply_row_deletes)."""
     data, deletes, cols = _iceberg_scan(path, snapshot_id, timestamp_ms)
     files = [p for p, _ in data]
     if not files:
@@ -332,7 +394,11 @@ def read_iceberg_snapshot(
             " iceberg-spark-runtime jar)"
         )
     if deletes:
-        df = _apply_position_deletes(spark, df, data, deletes)
+        meta = _current_metadata(path)
+        id_to_name = {
+            f["id"]: f["name"] for f in _table_schema(meta)["fields"]
+        }
+        df = _apply_row_deletes(spark, df, data, deletes, id_to_name)
     return df.select(*cols)
 
 
@@ -460,6 +526,7 @@ def write_iceberg(
             os.path.join(path, "metadata", "v1.metadata.json")
         ):
             meta, version, snap_id = None, 1, 1
+            seq = 1
             prior_manifests: list[dict] = []
             schema = _spark_schema_to_iceberg(df)
         else:
@@ -494,6 +561,7 @@ def write_iceberg(
             schema = _table_schema(meta)
             snaps = meta.get("snapshots") or []
             snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+            seq = (meta.get("last-sequence-number") or 0) + 1
             hint = os.path.join(path, "metadata", "version-hint.text")
             version = (
                 int(open(hint).read().strip()) + 1
@@ -520,6 +588,10 @@ def write_iceberg(
         mlist = os.path.join(
             path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
         )
+        # stamp the new manifest with the next data sequence number
+        # (v2): equality-delete scoping (data_seq < delete_seq) needs
+        # appends to carry increasing sequences; prior manifests keep
+        # theirs (None for pre-r9 commits -> data_seq defaults 0)
         manifests = [
             {
                 "manifest_path": mpath,
@@ -527,9 +599,13 @@ def write_iceberg(
                 "partition_spec_id": 0,
                 "content": 0,
                 "added_snapshot_id": snap_id,
+                "sequence_number": seq,
             }
-        ] + [dict(m) for m in prior_manifests]
-        write_avro_file(mlist, _MANIFEST_FILE_SCHEMA, manifests)
+        ] + [
+            {**dict(m), "sequence_number": m.get("sequence_number")}
+            for m in prior_manifests
+        ]
+        write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, manifests)
         # Carry every field the existing metadata has (sort orders,
         # properties, last-sequence-number, ...) — the gates above
         # guarantee the fields we DO rewrite are safe to rewrite; the
@@ -552,11 +628,13 @@ def write_iceberg(
                 or [{"spec-id": 0, "fields": []}],
                 "default-spec-id": (meta or {}).get("default-spec-id", 0),
                 "current-snapshot-id": snap_id,
+                "last-sequence-number": seq,
                 "snapshots": ((meta or {}).get("snapshots") or [])
                 + [
                     {
                         "snapshot-id": snap_id,
                         "timestamp-ms": _now_ms_ice(),
+                        "sequence-number": seq,
                         "manifest-list": mlist,
                     }
                 ],
@@ -578,15 +656,38 @@ def write_iceberg(
     raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
-# manifest-list schema when a snapshot carries delete manifests: v2
-# adds the sequence_number that scopes which data files a delete
-# applies to. Written only by iceberg_write_position_deletes; readers
-# use .get("sequence_number") so lists in either shape read fine (the
-# avro schema travels with the file).
+# manifest-list schema carrying the v2 sequence_number that scopes
+# which data files a delete applies to. Readers use
+# .get("sequence_number") so lists in either shape read fine (the avro
+# schema travels with the file).
 _MANIFEST_FILE_SCHEMA_SEQ = {
     "type": "record", "name": "manifest_file",
     "fields": _MANIFEST_FILE_SCHEMA["fields"] + [
         {"name": "sequence_number", "type": ["null", "long"]},
+    ],
+}
+
+# manifest-entry schema for EQUALITY delete files: data_file carries
+# the spec's equality_ids (field 135) naming which table columns the
+# delete rows compare on
+_MANIFEST_ENTRY_SCHEMA_EQ = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2e",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids", "type": [
+                    "null", {"type": "array", "items": "int"},
+                ]},
+            ],
+        }},
     ],
 }
 
@@ -657,21 +758,43 @@ def iceberg_write_position_deletes(
         ),
         os.path.join(path, dpath),
     )
+    return _commit_delete_snapshot(
+        path, base_cur, prior, snap_id, seq, dpath, len(rows), None
+    )
+
+
+def _commit_delete_snapshot(
+    path: str,
+    base_cur,
+    prior: list[dict],
+    snap_id: int,
+    seq: int,
+    dpath: str,
+    n_rows: int,
+    equality_ids: list[int] | None,
+) -> int:
+    """Shared tail of the two delete writers: delete manifest (content=1
+    position / content=2 equality entry), manifest list at the next
+    sequence number carrying the prior manifests, fenced metadata
+    commit bumping last-sequence-number."""
+    import uuid
+
+    content = 2 if equality_ids else 1
+    entry_schema = (
+        _MANIFEST_ENTRY_SCHEMA_EQ if equality_ids else _MANIFEST_ENTRY_SCHEMA
+    )
+    data_file = {
+        "content": content,
+        "file_path": dpath,
+        "file_format": "PARQUET",
+        "record_count": n_rows,
+        "file_size_in_bytes": os.path.getsize(os.path.join(path, dpath)),
+    }
+    if equality_ids:
+        data_file["equality_ids"] = list(equality_ids)
     mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [
-        {
-            "status": 1,
-            "snapshot_id": snap_id,
-            "data_file": {
-                "content": 1,
-                "file_path": dpath,
-                "file_format": "PARQUET",
-                "record_count": len(rows),
-                "file_size_in_bytes": os.path.getsize(
-                    os.path.join(path, dpath)
-                ),
-            },
-        }
+    write_avro_file(mpath, entry_schema, [
+        {"status": 1, "snapshot_id": snap_id, "data_file": data_file}
     ])
     mlist = os.path.join(
         path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -713,6 +836,86 @@ def iceberg_write_position_deletes(
 
     _commit_metadata(path, build, base_cur)
     return snap_id
+
+
+def iceberg_write_equality_deletes(
+    spark: SparkSession,
+    path: str,
+    rows: list[dict],
+    columns: list[str] | None = None,
+) -> int:
+    """Commit a v2 EQUALITY-delete snapshot jar-free (reference
+    plugin/trino-iceberg/.../delete/EqualityDeleteFilter read side;
+    spec: 'Equality delete files identify deleted rows ... by one or
+    more column values'): write the delete rows as a parquet file over
+    the named table columns, wrap it in a content=2 delete manifest
+    whose data_file carries the columns' field ids as equality_ids,
+    and commit at the next sequence number. The delete applies to data
+    files with data_seq STRICTLY below it — rows appended AFTER the
+    delete with the same key values stay visible, which is what makes
+    equality deletes the MOR upsert primitive. ``rows``: dicts of
+    column -> value (None matches NULL, null-equals-null semantics);
+    ``columns`` defaults to the first row's keys. Returns the
+    committed snapshot id."""
+    import glob
+    import shutil
+    import uuid
+
+    meta = _current_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "equality deletes are a format-v2 feature — this table is v1"
+        )
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
+    if specs.get(meta.get("default-spec-id", 0), {}).get("fields"):
+        raise IcebergProtocolError(
+            "equality deletes on a partitioned Iceberg table need the"
+            " iceberg-spark-runtime jar"
+        )
+    _maintenance_gate(meta, "write_equality_deletes")
+    if not rows:
+        return meta.get("current-snapshot-id")
+    cols = list(columns or rows[0].keys())
+    fields = {f["name"]: f["id"] for f in _table_schema(meta)["fields"]}
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise IcebergProtocolError(
+            f"equality delete names non-table columns: {unknown}"
+        )
+    bad = [r for r in rows if set(r) != set(cols)]
+    if bad:
+        raise IcebergProtocolError(
+            f"equality delete rows must carry exactly {cols}:"
+            f" {bad[:2]}"
+        )
+    base_cur = meta.get("current-snapshot-id")
+    cur_snap = _pick_snapshot(meta, None, None)
+    _, prior = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
+    snaps = meta.get("snapshots") or []
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (meta.get("last-sequence-number") or len(snaps)) + 1
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    dpath = os.path.join("data", f"eqdelete-{uuid.uuid4().hex}.parquet")
+    # stage through Spark so the delete columns carry the TABLE's types
+    # (a pyarrow-inferred int32 vs bigint mismatch would silently
+    # mis-compare for library readers)
+    type_of = {
+        f["name"]: _ice_type_ddl(f["type"])
+        for f in _table_schema(meta)["fields"]
+    }
+    sdf = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows],
+        ", ".join(f"`{c}` {type_of[c]}" for c in cols),
+    ).coalesce(1)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    sdf.write.mode("overwrite").parquet(staging)
+    part = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))[0]
+    shutil.move(part, os.path.join(path, dpath))
+    shutil.rmtree(staging, ignore_errors=True)
+    return _commit_delete_snapshot(
+        path, base_cur, prior, snap_id, seq, dpath, len(rows),
+        [fields[c] for c in cols],
+    )
 
 
 def _iceberg_rewrite_matched(
