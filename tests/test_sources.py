@@ -1023,8 +1023,16 @@ def test_delta_log_reader_protocol_gates(spark, tmp_path):
                        "readerFeatures": ["deletionVectors"]}}]
         + _delta_meta_actions()[1:] + [a],
     )
-    with _pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        read_delta_snapshot(spark, t2)
+    # r9: DVs read jar-free — the SNAPSHOT read plans; a malformed
+    # descriptor ('u' path shorter than the 20-char Z85 uuid) is loud
+    # at execution (executor-raised, wrapped by Spark), and write-side
+    # operations still refuse on active DVs
+    with _pytest.raises(Exception, match="deletion vector"):
+        read_delta_snapshot(spark, t2).collect()
+    from witdb_spark.sources.delta_log import delta_checkpoint
+
+    with _pytest.raises(DeltaProtocolError, match="deletion vector"):
+        delta_checkpoint(spark, t2)
 
     t3 = str(tmp_path / "vc")
     s1 = _delta_write_file(t3, "f1.parquet", [1], ["a"])
@@ -1953,3 +1961,130 @@ def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
 
     with _pytest.raises(IcebergProtocolError, match="non-table"):
         iceberg_write_equality_deletes(spark, t, [{"nope": 1}])
+
+
+def test_delta_deletion_vectors_roundtrip(spark, tmp_path):
+    """r9: Delta deletion vectors jar-free — write spec-shaped DVs
+    ('u' storage, Z85 uuid naming, CRC-framed portable roaring) and
+    read them back via the MOR anti join; a second DV on the same file
+    UNIONS the old positions; appends stay DV-safe; operations that
+    would re-serialize DV'd files (COW DML, checkpoint, vacuum,
+    optimize) refuse loudly; inline ('i') descriptors decode too."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        DeltaProtocolError,
+        delta_checkpoint,
+        delta_delete_where,
+        delta_optimize,
+        delta_write_deletion_vectors,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dvtbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "CAST(id AS STRING) AS s").coalesce(1)
+    write_delta(spark, mk(0, 10), t, mode="create")
+    write_delta(spark, mk(10, 20), t, mode="append")
+    tagged = read_delta_snapshot(spark, t).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"), "id",
+    )
+    targets = [(r.f, r.p) for r in tagged.where("id IN (2, 13)").collect()]
+    v1 = delta_write_deletion_vectors(spark, t, targets)
+    got = sorted(r.id for r in read_delta_snapshot(spark, t).collect())
+    assert got == [i for i in range(20) if i not in (2, 13)]
+    # version time travel sees the pre-DV rows
+    assert len(read_delta_snapshot(spark, t, version=v1 - 1)
+               .collect()) == 20
+    # stacking: a second DV on the same file unions the old positions
+    more = [(r.f, r.p) for r in tagged.where("id = 3").collect()]
+    delta_write_deletion_vectors(spark, t, more)
+    got = sorted(r.id for r in read_delta_snapshot(spark, t).collect())
+    assert got == [i for i in range(20) if i not in (2, 3, 13)]
+    # appends are DV-safe and visible
+    write_delta(spark, mk(20, 22), t, mode="append")
+    assert read_delta_snapshot(spark, t).count() == 19
+    # re-serializing operations refuse while DVs are active
+    for op in (
+        lambda: delta_delete_where(spark, t, "id = 5"),
+        lambda: delta_checkpoint(spark, t),
+        lambda: delta_optimize(spark, t),
+    ):
+        with pytest.raises(DeltaProtocolError, match="deletion vector"):
+            op()
+    # inline ('i') descriptor decode
+    from witdb_spark.sources.delta_log import read_deletion_vector
+    from witdb_spark.sources.roaring import (
+        encode_roaring_array,
+        z85_encode,
+    )
+
+    data = encode_roaring_array([0, 7, 65536, 2**33 + 5])
+    pad = (-len(data)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+    }
+    # (z85 needs 4-byte alignment; decode tolerates trailing zero pad
+    # because sizeInBytes is absent here)
+    got_vals = read_deletion_vector(t, desc)
+    assert got_vals == [0, 7, 65536, 2**33 + 5]
+    # corrupted CRC is loud
+    import glob as _glob
+    import struct as _struct
+
+    dvf = _glob.glob(os.path.join(t, "deletion_vector_*.bin"))[0]
+    buf = bytearray(open(dvf, "rb").read())
+    buf[-1] ^= 0xFF
+    open(dvf, "wb").write(bytes(buf))
+    # raised on an executor -> surfaces as Spark's PythonException
+    # wrapping the DeltaProtocolError message
+    with pytest.raises(Exception, match="checksum mismatch"):
+        read_delta_snapshot(spark, t).collect()
+
+
+def test_roaring_z85_codec_spec_vectors():
+    """The pure-Python codecs under the DV path, pinned to PUBLIC spec
+    vectors (not just self-roundtrip): ZeroMQ RFC 32's Z85 example and
+    hand-built RoaringFormatSpec container layouts."""
+    import struct
+
+    from witdb_spark.sources import roaring as R
+
+    assert R.z85_encode(
+        bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    ) == "HelloWorld"
+    assert R.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    # cookie 12346 (no runs): 1 array container, key 0, values [1,5,9]
+    buf = (
+        struct.pack("<ii", 12346, 1)
+        + struct.pack("<HH", 0, 2)
+        + struct.pack("<i", 16)
+        + struct.pack("<3H", 1, 5, 9)
+    )
+    vals, pos = R._decode_bitmap32(buf, 0)
+    assert vals == [1, 5, 9] and pos == len(buf)
+    # cookie 12347 with a RUN container: key 2, run (10, length 4)
+    buf2 = (
+        struct.pack("<i", 12347 | (0 << 16))
+        + b"\x01"
+        + struct.pack("<HH", 2, 3)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 10, 3)
+    )
+    vals2, _ = R._decode_bitmap32(buf2, 0)
+    assert vals2 == [(2 << 16) + v for v in (10, 11, 12, 13)]
+    # array <-> bitmap container selection roundtrip, >2^32 values
+    import random
+
+    rng = random.Random(11)
+    vals = sorted(
+        set(rng.randrange(0, 2**33) for _ in range(4000))
+        | set(range(200000, 206000))  # dense run -> bitmap container
+    )
+    assert R.decode_roaring_array(R.encode_roaring_array(vals)) == vals
+    assert R.decode_roaring_array(R.encode_roaring_array([])) == []

@@ -1978,6 +1978,63 @@ def lakehouse_merge_conditional(
 
 
 @register(
+    "delta_dv_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 4 <> 3
+    """,
+    doc="r9 jar-free Delta deletion vectors (sources/delta_log.py "
+    "delta_write_deletion_vectors + the MOR anti join in "
+    "read_delta_snapshot; sources/roaring.py portable roaring + Z85 "
+    "per PROTOCOL.md 'Deletion Vector Format'; reference "
+    "plugin/trino-delta-lake reads the same frames): CTAS nation "
+    "across two files, commit DVs for the %4==3 rows by physical "
+    "(file, row_index) — 'u' storage, CRC-framed, protocol bumped to "
+    "readerFeatures=[deletionVectors]. A roaring container "
+    "mis-decode, off-by-one row index, or unapplied vector "
+    "hash-mismatches.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_write_deletion_vectors,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_dv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, src.filter("n_nationkey < 12").coalesce(1), path,
+        mode="create",
+    )
+    write_delta(
+        spark, src.filter("n_nationkey >= 12").coalesce(1), path,
+        mode="append",
+    )
+    tagged = read_delta_snapshot(spark, path).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"),
+        "n_nationkey",
+    )
+    targets = [
+        (r.f, r.p) for r in tagged.where("n_nationkey % 4 = 3").collect()
+    ]
+    delta_write_deletion_vectors(spark, path, targets)
+    return read_delta_snapshot(spark, path)
+
+
+@register(
     "iceberg_eqdelete_roundtrip",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

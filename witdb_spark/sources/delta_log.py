@@ -17,9 +17,18 @@ pruning without a connector jar.
 Used by sources/lakehouse.read_table as the fallback when the Delta jar
 is absent; with the jar present the DSv2 connector takes over unchanged.
 
+r9: active DELETION VECTORS read jar-free — descriptors ('u'/'p'/'i'
+storage, Z85, CRC-checked frames) decode through the pure-Python
+roaring codec (sources/roaring.py) ON EXECUTORS, and the snapshot scan
+anti-joins (file, row_index) like any MOR reader;
+delta_write_deletion_vectors commits spec-shaped DVs (protocol bumped
+to readerFeatures=[deletionVectors]). Write-side operations that would
+have to rewrite DV'd files (COW DML, optimize, checkpoint, vacuum)
+still refuse loudly on tables with active DVs.
+
 Loud scope-outs (raise, never silently misread): column mapping other
-than `none`, active deletion vectors, v2 checkpoints, and any reader
-feature outside the understood set.
+than `none`, v2 checkpoints, and any reader feature outside the
+understood set.
 """
 
 from __future__ import annotations
@@ -35,8 +44,8 @@ from pyspark.sql.types import StructType
 
 #: minReaderVersion 3 reader features this module actually honors.
 #: timestampNtz is a plain parquet NTZ read; columnMapping is accepted
-#: only while the table's mode stays "none"; deletionVectors is accepted
-#: only while no ACTIVE add carries one (checked per snapshot below).
+#: only while the table's mode stays "none"; deletionVectors read
+#: jar-free since r9 (write-side ops on DV'd tables still refuse).
 _OK_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -114,9 +123,18 @@ def _check_protocol(protocol: dict) -> None:
 
 
 def _snapshot_state(
-    spark: SparkSession, path: str, version: int | None, timestamp_ms: int | None
+    spark: SparkSession,
+    path: str,
+    version: int | None,
+    timestamp_ms: int | None,
+    allow_dvs: bool = False,
 ) -> tuple[dict, dict, dict[str, dict], int]:
-    """Fold the log into (protocol, metaData, path -> add, version)."""
+    """Fold the log into (protocol, metaData, path -> add, version).
+    ``allow_dvs``: the snapshot READ path applies deletion vectors, so
+    it may see adds carrying them; every other caller (COW DML,
+    optimize, checkpoint, vacuum) must keep refusing — rewriting or
+    re-serializing a DV'd file without honoring its vector would
+    resurrect deleted rows."""
     commits, checkpoints = _list_log(path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"{path}: empty _delta_log")
@@ -193,11 +211,15 @@ def _snapshot_state(
         raise DeltaProtocolError(
             f"Delta column mapping mode {mode!r} needs the delta-spark jar"
         )
-    for add in state.values():
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                "active deletion vectors need the delta-spark jar"
-            )
+    if not allow_dvs:
+        for add in state.values():
+            if add.get("deletionVector"):
+                raise DeltaProtocolError(
+                    "active deletion vectors: this operation would"
+                    " rewrite or re-serialize DV'd files — add the"
+                    " delta-spark jar (snapshot READS handle DVs"
+                    " jar-free)"
+                )
     return protocol, metadata, state, target
 
 
@@ -210,8 +232,13 @@ def read_delta_snapshot(
     """Read a Delta table at a snapshot (latest, an explicit version, or
     the last version committed at/before ``timestamp_ms``) without the
     connector jar — reference TransactionLogAccess/CheckpointEntryIterator
-    analog. Returns a DataFrame in the table's declared column order."""
-    _, metadata, state, _ = _snapshot_state(spark, path, version, timestamp_ms)
+    analog. Returns a DataFrame in the table's declared column order.
+    r9: adds carrying deletion vectors read jar-free — each branch is
+    tagged with the parquet _metadata (file_path, row_index) and the
+    union anti-joins the DV positions, decoded on executors."""
+    _, metadata, state, _ = _snapshot_state(
+        spark, path, version, timestamp_ms, allow_dvs=True
+    )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
@@ -223,12 +250,19 @@ def read_delta_snapshot(
         return spark.createDataFrame([], schema)
 
     groups: dict[tuple, list[str]] = {}
+    dv_descs: list[tuple[str, str]] = []  # (normalized abs file, desc json)
     for add in state.values():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(path, unquote(add["path"]))
-        )
+        abs_file = os.path.join(path, unquote(add["path"]))
+        groups.setdefault(key, []).append(abs_file)
+        if add.get("deletionVector"):
+            dv_descs.append(
+                (
+                    _norm_scan_path(os.path.abspath(abs_file)),
+                    json.dumps(add["deletionVector"]),
+                )
+            )
 
     parts = []
     # NULL partition values serialize as None (__HIVE_DEFAULT_PARTITION__);
@@ -238,6 +272,17 @@ def read_delta_snapshot(
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
+        if dv_descs:
+            df = df.withColumns(
+                {
+                    "__dv_file": F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)",
+                        "",
+                    ),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                }
+            )
         for c, raw in zip(part_cols, key):
             # partition values are the protocol's string serialization
             # (PROTOCOL.md "Partition Value Serialization"); a literal
@@ -250,7 +295,246 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if dv_descs:
+        out = out.join(
+            _dv_positions_df(spark, path, dv_descs),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        ).drop("__dv_file", "__dv_pos")
     return out.select(*[f.name for f in schema.fields])
+
+
+def _norm_scan_path(p: str) -> str:
+    """Strip a URI scheme so log paths compare equal to Spark's
+    _metadata.file_path rendering (same rule as iceberg_meta)."""
+    return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", "", p)
+
+
+def _dv_positions_df(
+    spark: SparkSession, path: str, dv_descs: list[tuple[str, str]]
+) -> DataFrame:
+    """Deletion-vector descriptors -> distributed (file, position)
+    frame. Descriptors are metadata-scale; the POSITIONS (cardinality
+    can be millions per file at 100 TB) are materialized on executors
+    by the pure-Python roaring decode, never on the driver."""
+    desc_df = spark.createDataFrame(
+        dv_descs, "__dv_file string, __dv_desc string"
+    ).repartition(min(len(dv_descs), 64))
+    table_path = path
+
+    def explode_dvs(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from witdb_spark.sources.delta_log import read_deletion_vector
+
+        for pdf in batches:
+            files: list[str] = []
+            poss: list[int] = []
+            for fkey, dtext in zip(pdf["__dv_file"], pdf["__dv_desc"]):
+                for p in read_deletion_vector(
+                    table_path, _json.loads(dtext)
+                ):
+                    files.append(fkey)
+                    poss.append(p)
+            yield _pd.DataFrame({"__dv_file": files, "__dv_pos": poss})
+
+    return desc_df.mapInPandas(
+        explode_dvs, "__dv_file string, __dv_pos long"
+    )
+
+
+def _dv_file_path(table_path: str, desc: dict) -> str:
+    """Resolve a DV descriptor's storage to an absolute file path
+    (PROTOCOL.md "Deletion Vector Descriptor Schema"): 'p' carries an
+    absolute path; 'u' carries [random prefix] + Z85(16-byte UUID),
+    naming <table>/<prefix>/deletion_vector_<uuid>.bin."""
+    import uuid as _uuid
+
+    from witdb_spark.sources.roaring import z85_decode
+
+    st = desc.get("storageType")
+    raw = desc.get("pathOrInlineDv") or ""
+    if st == "p":
+        return _strip_uri(raw)
+    if st == "u":
+        if len(raw) < 20:
+            raise DeltaProtocolError(
+                f"deletion vector 'u' path too short: {raw!r}"
+            )
+        prefix, enc = raw[:-20], raw[-20:]
+        u = _uuid.UUID(bytes=z85_decode(enc))
+        return os.path.join(
+            table_path, prefix, f"deletion_vector_{u}.bin"
+        )
+    raise DeltaProtocolError(
+        f"unsupported deletion vector storageType {st!r}"
+    )
+
+
+def read_deletion_vector(table_path: str, desc: dict) -> list[int]:
+    """Decode one deletion vector descriptor to its sorted row indexes.
+    File frames are [int32 BE size][bitmap bytes][int32 BE CRC-32]
+    with the descriptor's offset at the size field (delta-spark
+    DeletionVectorStore); inline ('i') carries Z85 of the bitmap
+    bytes directly. Size/cardinality are cross-checked loudly."""
+    import struct as _struct
+    import zlib
+
+    from witdb_spark.sources.roaring import decode_roaring_array, z85_decode
+
+    st = desc.get("storageType")
+    if st == "i":
+        data = z85_decode(desc.get("pathOrInlineDv") or "")
+    else:
+        fp = _dv_file_path(table_path, desc)
+        with open(fp, "rb") as f:
+            buf = f.read()
+        off = int(desc.get("offset") or 0)
+        (size,) = _struct.unpack_from(">i", buf, off)
+        data = buf[off + 4 : off + 4 + size]
+        if len(data) != size:
+            raise DeltaProtocolError(f"truncated deletion vector {fp}")
+        (crc,) = _struct.unpack_from(">I", buf, off + 4 + size)
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise DeltaProtocolError(
+                f"deletion vector checksum mismatch in {fp}"
+            )
+    want_size = desc.get("sizeInBytes")
+    if want_size is not None and int(want_size) != len(data):
+        raise DeltaProtocolError(
+            f"deletion vector sizeInBytes {want_size} != {len(data)}"
+        )
+    vals = decode_roaring_array(data)
+    want_card = desc.get("cardinality")
+    if want_card is not None and int(want_card) != len(vals):
+        raise DeltaProtocolError(
+            f"deletion vector cardinality {want_card} != {len(vals)}"
+        )
+    return vals
+
+
+def delta_write_deletion_vectors(
+    spark: SparkSession,
+    path: str,
+    deletes: list[tuple[str, int]],
+) -> int:
+    """Commit deletion vectors — the merge-on-read DELETE the reference
+    delta connector writes when delta.enableDeletionVectors is on:
+    row-targeted, no data-file rewrite, O(deleted rows). ``deletes``:
+    (data file path as stored in the table, row index) pairs. Existing
+    DVs on a touched file are UNIONED in (the protocol replaces a
+    file's descriptor wholesale, so the new vector must carry the old
+    positions too). One DV file ('u' storage: Z85 uuid name, CRC
+    frames) holds every touched file's vector; the commit removes and
+    re-adds each touched file with its descriptor, and bumps the
+    protocol to readerFeatures=[deletionVectors] (minReader 3 /
+    minWriter 7). Returns the committed version."""
+    import struct as _struct
+    import uuid as _uuid
+    import zlib
+
+    from witdb_spark.sources.roaring import (
+        encode_roaring_array,
+        z85_encode,
+    )
+
+    if not deletes:
+        raise ValueError("no deletion targets")
+    by_file: dict[str, set[int]] = {}
+    for p, pos in deletes:
+        # accept _metadata.file_path URIs, absolute paths, or
+        # table-relative add paths
+        by_file.setdefault(_strip_uri(p), set()).add(int(pos))
+    for _ in range(5):
+        protocol, metadata, state, version = _snapshot_state(
+            spark, path, None, None, allow_dvs=True
+        )
+        by_add_path: dict[str, dict] = {}
+        for ap, add in state.items():
+            by_add_path[os.path.abspath(os.path.join(path, unquote(ap)))] = (
+                ap,
+                add,
+            )
+        targets: dict[str, tuple[dict, set[int]]] = {}
+        for p, poss in by_file.items():
+            cand = os.path.abspath(
+                p if os.path.isabs(p) else os.path.join(path, p)
+            )
+            if cand not in by_add_path:
+                raise DeltaProtocolError(
+                    f"deletion vector targets unknown data file: {p}"
+                )
+            ap, add = by_add_path[cand]
+            merged = set(poss)
+            if add.get("deletionVector"):
+                merged |= set(
+                    read_deletion_vector(path, add["deletionVector"])
+                )
+            targets[ap] = (add, merged)
+        dv_uuid = _uuid.uuid4()
+        dv_rel = f"deletion_vector_{dv_uuid}.bin"
+        frames = bytearray(b"\x01")  # format version byte
+        descs: dict[str, dict] = {}
+        for ap, (add, merged) in sorted(targets.items()):
+            data = encode_roaring_array(sorted(merged))
+            offset = len(frames)
+            frames += _struct.pack(">i", len(data))
+            frames += data
+            frames += _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            descs[ap] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(merged),
+            }
+        with open(os.path.join(path, dv_rel), "wb") as f:
+            f.write(bytes(frames))
+        feats_r = sorted(
+            set(protocol.get("readerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        feats_w = sorted(
+            set(protocol.get("writerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "DELETE",
+                    "operationParameters": {"mode": "deletionVectors"},
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": feats_r,
+                    "writerFeatures": feats_w,
+                }
+            },
+        ]
+        for ap, (add, _merged) in sorted(targets.items()):
+            actions.append(
+                {
+                    "remove": {
+                        "path": ap,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                    }
+                }
+            )
+            new_add = dict(add)
+            new_add["deletionVector"] = descs[ap]
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = _now_ms()
+            actions.append({"add": new_add})
+        if _try_commit(path, version + 1, actions):
+            return version + 1
+    raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
 def delta_table_version(spark: SparkSession, path: str) -> int:
@@ -397,8 +681,10 @@ def write_delta(
             f"{path} is not a Delta table (use mode='create')"
         )
     for _ in range(5):
+        # append adds files and overwrite retires whole files — neither
+        # re-serializes an existing DV'd add, so both stay DV-safe
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None
+            spark, path, None, None, allow_dvs=True
         )
         part_cols = list(metadata.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != part_cols:
