@@ -2088,3 +2088,82 @@ def test_roaring_z85_codec_spec_vectors():
     )
     assert R.decode_roaring_array(R.encode_roaring_array(vals)) == vals
     assert R.decode_roaring_array(R.encode_roaring_array([])) == []
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """r9: delta.columnMapping.mode=name reads jar-free — data files
+    carry physical column names (delta.columnMapping.physicalName in
+    the schema field metadata, PROTOCOL.md 'Column Mapping'), the scan
+    renames physical -> logical, and partitionValues keys are physical
+    too. 'id' mapping and writes to mapped tables keep the loud
+    remedy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from witdb_spark.sources.delta_log import (
+        DeltaProtocolError,
+        delta_delete_where,
+        read_delta_snapshot,
+    )
+
+    t = str(tmp_path / "cmtbl")
+    os.makedirs(os.path.join(t, "p-x=a"), exist_ok=True)
+    os.makedirs(os.path.join(t, "p-x=b"), exist_ok=True)
+    # physical file columns: col-aaa (id), col-bbb (name)
+    def wfile(rel, ids, names):
+        pq.write_table(
+            pa.table({"col-aaa": pa.array(ids, pa.int64()),
+                      "col-bbb": pa.array(names, pa.string())}),
+            os.path.join(t, rel),
+        )
+        return os.path.getsize(os.path.join(t, rel))
+
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "x", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "p-x"}},
+        ],
+    })
+    s1 = wfile("p-x=a/f1.parquet", [1, 2], ["a1", "a2"])
+    s2 = wfile("p-x=b/f2.parquet", [3], ["b3"])
+    meta = _delta_meta_actions(schema, part_cols=["x"])
+    meta[0] = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"],
+    }}
+    meta[1]["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    _delta_commit(t, 0, meta + [
+        _add("p-x%3Da/f1.parquet", s1, pv={"p-x": "a"}),
+        _add("p-x%3Db/f2.parquet", s2, pv={"p-x": "b"}),
+    ])
+    got = sorted(
+        (r.id, r.name, r.x)
+        for r in read_delta_snapshot(spark, t).collect()
+    )
+    assert got == [(1, "a1", "a"), (2, "a2", "a"), (3, "b3", "b")]
+    assert read_delta_snapshot(spark, t).columns == ["id", "name", "x"]
+    # writes to a name-mapped table refuse (physical-name emission)
+    with pytest.raises(DeltaProtocolError, match="physical"):
+        delta_delete_where(spark, t, "id = 1")
+    # 'id' mapping keeps the jar remedy
+    t2 = str(tmp_path / "idtbl")
+    s1 = _delta_write_file(t2, "f1.parquet", [1], ["a"])
+    acts = _delta_meta_actions()
+    acts[1]["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "id"
+    }
+    _delta_commit(t2, 0, acts + [_add("f1.parquet", s1)])
+    with pytest.raises(DeltaProtocolError, match="field-id"):
+        read_delta_snapshot(spark, t2)

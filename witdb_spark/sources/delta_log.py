@@ -128,13 +128,16 @@ def _snapshot_state(
     version: int | None,
     timestamp_ms: int | None,
     allow_dvs: bool = False,
+    allow_name_mapping: bool = False,
 ) -> tuple[dict, dict, dict[str, dict], int]:
     """Fold the log into (protocol, metaData, path -> add, version).
     ``allow_dvs``: the snapshot READ path applies deletion vectors, so
     it may see adds carrying them; every other caller (COW DML,
     optimize, checkpoint, vacuum) must keep refusing — rewriting or
     re-serializing a DV'd file without honoring its vector would
-    resurrect deleted rows."""
+    resurrect deleted rows. ``allow_name_mapping``: same split for
+    delta.columnMapping.mode=name — reads rename physical -> logical;
+    writers would have to emit physical names, so they refuse."""
     commits, checkpoints = _list_log(path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"{path}: empty _delta_log")
@@ -207,9 +210,18 @@ def _snapshot_state(
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "none":
+    if mode == "name" and allow_name_mapping:
+        pass  # the snapshot READ path renames physical -> logical
+    elif mode != "none":
         raise DeltaProtocolError(
-            f"Delta column mapping mode {mode!r} needs the delta-spark jar"
+            f"Delta column mapping mode {mode!r}: "
+            + (
+                "only snapshot READS handle name mapping jar-free;"
+                " this operation would have to WRITE physical names"
+                if mode == "name"
+                else "'id' mapping needs the parquet field-id"
+                " projection of the delta-spark jar"
+            )
         )
     if not allow_dvs:
         for add in state.values():
@@ -235,15 +247,46 @@ def read_delta_snapshot(
     analog. Returns a DataFrame in the table's declared column order.
     r9: adds carrying deletion vectors read jar-free — each branch is
     tagged with the parquet _metadata (file_path, row_index) and the
-    union anti-joins the DV positions, decoded on executors."""
+    union anti-joins the DV positions, decoded on executors. r9 also
+    reads delta.columnMapping.mode=name tables: data files carry the
+    PHYSICAL column names from the schema fields'
+    delta.columnMapping.physicalName metadata (PROTOCOL.md "Column
+    Mapping"), the scan reads those and renames to logical; add
+    actions' partitionValues are keyed by physical names too. Nested
+    types under name mapping stay gated (recursive physical renames)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
     _, metadata, state, _ = _snapshot_state(
-        spark, path, version, timestamp_ms, allow_dvs=True
+        spark, path, version, timestamp_ms,
+        allow_dvs=True, allow_name_mapping=True,
     )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    mapped = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) == "name"
+    phys = {f.name: f.name for f in schema.fields}
+    if mapped:
+        for f in schema.fields:
+            if isinstance(f.dataType, (StructType, ArrayType, MapType)):
+                raise DeltaProtocolError(
+                    "column mapping over nested types needs the"
+                    " delta-spark jar (recursive physical renames)"
+                )
+            pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not pn:
+                raise DeltaProtocolError(
+                    f"column mapping mode 'name' but field {f.name!r}"
+                    " carries no physicalName metadata"
+                )
+            phys[f.name] = pn
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
     )
 
     if not state:
@@ -253,7 +296,7 @@ def read_delta_snapshot(
     dv_descs: list[tuple[str, str]] = []  # (normalized abs file, desc json)
     for add in state.values():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys[c]) for c in part_cols)
         abs_file = os.path.join(path, unquote(add["path"]))
         groups.setdefault(key, []).append(abs_file)
         if add.get("deletionVector"):
@@ -283,6 +326,13 @@ def read_delta_snapshot(
                     "__dv_pos": F.col("_metadata.row_index"),
                 }
             )
+        if mapped:
+            keep = [
+                F.col(phys[f.name]).alias(f.name) for f in data_fields
+            ]
+            if dv_descs:
+                keep += [F.col("__dv_file"), F.col("__dv_pos")]
+            df = df.select(*keep)
         for c, raw in zip(part_cols, key):
             # partition values are the protocol's string serialization
             # (PROTOCOL.md "Partition Value Serialization"); a literal
