@@ -2167,3 +2167,109 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     _delta_commit(t2, 0, acts + [_add("f1.parquet", s1)])
     with pytest.raises(DeltaProtocolError, match="field-id"):
         read_delta_snapshot(spark, t2)
+
+
+def test_delta_v2_checkpoint_read(spark, tmp_path):
+    """r9: v2 / uuid-named checkpoints read jar-free (PROTOCOL.md 'V2
+    Spec'): json manifest carrying protocol + metaData +
+    checkpointMetadata + sidecar refs, add batches in
+    _delta_log/_sidecars parquet; bootstrap works with the
+    pre-checkpoint commits DELETED, commits after the checkpoint
+    replay on top, and a version-mismatched checkpointMetadata is
+    loud. A parquet manifest with inline adds reads too."""
+    from witdb_spark.sources.delta_log import (
+        DeltaProtocolError,
+        read_delta_snapshot,
+    )
+
+    t = str(tmp_path / "v2cp")
+    s1 = _delta_write_file(t, "f1.parquet", [1, 2], ["a", "b"])
+    s2 = _delta_write_file(t, "f2.parquet", [3], ["c"])
+    s3 = _delta_write_file(t, "f3.parquet", [4], ["d"])
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+    # sidecar: the add batch for f1/f2
+    spark.createDataFrame(
+        [((p, {}, s, 1700000000000, True),) for p, s in
+         [("f1.parquet", s1), ("f2.parquet", s2)]],
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sc"))
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(str(tmp_path / "sc" / "part-*.parquet"))[0]
+    _shutil.move(part, os.path.join(log, "_sidecars", "s1.parquet"))
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}}
+    meta = _delta_meta_actions()[1]
+    manifest = [
+        proto, meta,
+        {"checkpointMetadata": {"version": 1}},
+        {"sidecar": {"path": "s1.parquet", "sizeInBytes": 1}},
+    ]
+    uuid_name = "00000000000000000001.checkpoint." \
+        "12345678-1234-1234-1234-123456789abc.json"
+    with open(os.path.join(log, uuid_name), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in manifest) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1}, f)
+    # commit AFTER the checkpoint replays on top; 0.json/1.json never
+    # existed (expired) — bootstrap must come from the v2 manifest
+    _delta_commit(t, 2, [_add("f3.parquet", s3)])
+    got = sorted(r.id for r in read_delta_snapshot(spark, t).collect())
+    assert got == [1, 2, 3, 4]
+    # time travel TO the checkpoint version
+    got1 = sorted(
+        r.id for r in read_delta_snapshot(spark, t, version=1).collect()
+    )
+    assert got1 == [1, 2, 3]
+    # parquet manifest flavor with INLINE adds (no sidecar)
+    t2 = str(tmp_path / "v2cp_pq")
+    s1 = _delta_write_file(t2, "f1.parquet", [7], ["x"])
+    log2 = os.path.join(t2, "_delta_log")
+    spark.createDataFrame(
+        [(
+            (3, 7, ["v2Checkpoint"], ["v2Checkpoint"]),
+            None, None, None,
+        ), (
+            None,
+            json.loads(json.dumps(_delta_meta_actions()[1]["metaData"])),
+            None, None,
+        ), (
+            None, None, (1,), None,
+        ), (
+            None, None, None, ("f1.parquet", {}, s1, 1700000000000, True),
+        )],
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>,"
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>>,"
+        "checkpointMetadata struct<version:bigint>,"
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    os.makedirs(log2, exist_ok=True)
+    part = _glob.glob(str(tmp_path / "m2" / "part-*.parquet"))[0]
+    _shutil.move(part, os.path.join(
+        log2,
+        "00000000000000000001.checkpoint."
+        "abcdefab-1234-1234-1234-123456789abc.parquet",
+    ))
+    got2 = [r.id for r in read_delta_snapshot(spark, t2).collect()]
+    assert got2 == [7]
+    # version-mismatched checkpointMetadata is loud
+    t3 = str(tmp_path / "v2cp_bad")
+    log3 = os.path.join(t3, "_delta_log")
+    os.makedirs(log3, exist_ok=True)
+    bad = [proto, meta, {"checkpointMetadata": {"version": 9}}]
+    with open(os.path.join(
+        log3,
+        "00000000000000000001.checkpoint."
+        "12345678-1234-1234-1234-123456789abc.json",
+    ), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in bad) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
+        read_delta_snapshot(spark, t3)

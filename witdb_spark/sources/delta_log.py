@@ -26,9 +26,13 @@ to readerFeatures=[deletionVectors]). Write-side operations that would
 have to rewrite DV'd files (COW DML, optimize, checkpoint, vacuum)
 still refuse loudly on tables with active DVs.
 
-Loud scope-outs (raise, never silently misread): column mapping other
-than `none`, v2 checkpoints, and any reader feature outside the
-understood set.
+r9 also reads column mapping mode=name (physical -> logical renames)
+and V2 / uuid-named CHECKPOINTS (manifest json/parquet +
+checkpointMetadata validation + _sidecars add batches).
+
+Loud scope-outs (raise, never silently misread): column mapping 'id'
+mode, nested types under name mapping, writes to mapped or DV'd
+files, and any reader feature outside the understood set.
 """
 
 from __future__ import annotations
@@ -46,11 +50,20 @@ from pyspark.sql.types import StructType
 #: timestampNtz is a plain parquet NTZ read; columnMapping is accepted
 #: only while the table's mode stays "none"; deletionVectors read
 #: jar-free since r9 (write-side ops on DV'd tables still refuse).
-_OK_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
+_OK_READER_FEATURES = {
+    "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+}
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$"
+)
+# v2 / uuid-named checkpoints (PROTOCOL.md "V2 Spec"): a single
+# manifest file <version>.checkpoint.<uuid>.{json,parquet} holding
+# protocol/metaData/checkpointMetadata plus sidecar actions that point
+# at add-file batches under _delta_log/_sidecars/
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)$"
 )
 
 
@@ -76,12 +89,77 @@ def _list_log(path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
         if m:
             commits[int(m.group(1))] = os.path.join(d, name)
             continue
-        m = _CHECKPOINT_RE.match(name)
+        m = _CHECKPOINT_RE.match(name) or _CHECKPOINT_V2_RE.match(name)
         if m:
             checkpoints.setdefault(int(m.group(1)), []).append(
                 os.path.join(d, name)
             )
     return commits, checkpoints
+
+
+def _read_v2_checkpoint(
+    spark: SparkSession, path: str, manifest: str, cp_version: int
+) -> tuple[dict, dict, list[dict]]:
+    """Read a v2 (uuid-named) checkpoint (PROTOCOL.md "V2 Spec"):
+    the manifest (json lines or parquet) carries protocol, metaData,
+    a checkpointMetadata action whose version must match the file
+    name, inline add actions, and sidecar actions naming add-file
+    batches under _delta_log/_sidecars/. Returns
+    (protocol, metadata, adds). Remove actions in a checkpoint are
+    retained tombstones, not state — same treatment as classic."""
+    protocol: dict = {}
+    metadata: dict = {}
+    adds: list[dict] = []
+    sidecars: list[str] = []
+    cp_meta: dict | None = None
+
+    def fold(action: dict) -> None:
+        nonlocal protocol, metadata, cp_meta
+        if action.get("protocol"):
+            protocol = {
+                k: v for k, v in action["protocol"].items()
+                if v is not None
+            }
+        if action.get("metaData"):
+            metadata = action["metaData"]
+        if action.get("checkpointMetadata"):
+            cp_meta = action["checkpointMetadata"]
+        if action.get("add"):
+            adds.append(action["add"])
+        if action.get("sidecar"):
+            sidecars.append(action["sidecar"]["path"])
+
+    if manifest.endswith(".json"):
+        with open(manifest) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    fold(json.loads(line))
+    else:
+        for r in spark.read.parquet(manifest).collect():
+            fold(
+                {
+                    k: v
+                    for k, v in r.asDict(recursive=True).items()
+                    if v is not None
+                }
+            )
+    if cp_meta is None or int(cp_meta.get("version", -1)) != cp_version:
+        raise DeltaProtocolError(
+            f"v2 checkpoint {os.path.basename(manifest)}: missing or"
+            f" mismatched checkpointMetadata (got {cp_meta})"
+        )
+    for rel in sidecars:
+        sf = os.path.join(_log_dir(path), "_sidecars", unquote(rel))
+        if not os.path.exists(sf):
+            raise DeltaProtocolError(
+                f"v2 checkpoint sidecar missing: {rel}"
+            )
+        for r in spark.read.parquet(sf).collect():
+            d = r.asDict(recursive=True)
+            if d.get("add"):
+                adds.append(d["add"])
+    return protocol, metadata, adds
 
 
 def _commit_timestamp(commit_path: str) -> int:
@@ -166,22 +244,37 @@ def _snapshot_state(
     start = 0
     if cp_versions:
         cp = max(cp_versions)
-        rows = (
-            spark.read.parquet(*sorted(checkpoints[cp]))
-            .select("protocol", "metaData", "add")
-            .collect()
-        )
-        for r in rows:
-            d = r.asDict(recursive=True)
-            if d.get("protocol"):
-                protocol = {
-                    k: v for k, v in d["protocol"].items() if v is not None
-                }
-            if d.get("metaData"):
-                metadata = d["metaData"]
-            if d.get("add"):
-                add = d["add"]
+        v2_files = [
+            f
+            for f in checkpoints[cp]
+            if _CHECKPOINT_V2_RE.match(os.path.basename(f))
+        ]
+        if v2_files:
+            # any single uuid-named manifest is complete; pick one
+            protocol, metadata, adds = _read_v2_checkpoint(
+                spark, path, sorted(v2_files)[0], cp
+            )
+            for add in adds:
                 state[add["path"]] = add
+        else:
+            rows = (
+                spark.read.parquet(*sorted(checkpoints[cp]))
+                .select("protocol", "metaData", "add")
+                .collect()
+            )
+            for r in rows:
+                d = r.asDict(recursive=True)
+                if d.get("protocol"):
+                    protocol = {
+                        k: v
+                        for k, v in d["protocol"].items()
+                        if v is not None
+                    }
+                if d.get("metaData"):
+                    metadata = d["metaData"]
+                if d.get("add"):
+                    add = d["add"]
+                    state[add["path"]] = add
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:
