@@ -1042,8 +1042,19 @@ def test_delta_log_reader_protocol_gates(spark, tmp_path):
                        "readerFeatures": ["v2Checkpoint"]}}]
         + _delta_meta_actions()[1:] + [_add("f1.parquet", s1)],
     )
-    with _pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        read_delta_snapshot(spark, t3)
+    # r9: v2Checkpoint is an HONORED reader feature now — the read works
+    assert [r.id for r in read_delta_snapshot(spark, t3).collect()] == [1]
+    # ...but a feature outside the honored set stays loud
+    t3b = str(tmp_path / "vfx")
+    s1 = _delta_write_file(t3b, "f1.parquet", [1], ["a"])
+    _delta_commit(
+        t3b, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["variantType"]}}]
+        + _delta_meta_actions()[1:] + [_add("f1.parquet", s1)],
+    )
+    with _pytest.raises(DeltaProtocolError, match="variantType"):
+        read_delta_snapshot(spark, t3b)
 
 
 def _ppm(w, h, rgb):
