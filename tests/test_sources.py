@@ -1712,7 +1712,9 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
     meta = _current_metadata(t4)
     assert meta["properties"] == {"write.format.default": "parquet"}
     assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
-    assert meta["last-sequence-number"] == 7
+    # r9: write_iceberg MAINTAINS the sequence counter (needed for
+    # delete scoping) rather than passing it through unchanged
+    assert meta["last-sequence-number"] == 8
     from witdb_spark.sources.iceberg_meta import read_iceberg_snapshot
 
     assert sorted(
