@@ -2048,10 +2048,12 @@ def test_delta_deletion_vectors_roundtrip(spark, tmp_path):
     import glob as _glob
     import struct as _struct
 
-    dvf = _glob.glob(os.path.join(t, "deletion_vector_*.bin"))[0]
-    buf = bytearray(open(dvf, "rb").read())
-    buf[-1] ^= 0xFF
-    open(dvf, "wb").write(bytes(buf))
+    # corrupt every DV file's tail frame (a single file's last frame
+    # may be a superseded, inactive vector)
+    for dvf in _glob.glob(os.path.join(t, "deletion_vector_*.bin")):
+        buf = bytearray(open(dvf, "rb").read())
+        buf[-1] ^= 0xFF
+        open(dvf, "wb").write(bytes(buf))
     # raised on an executor -> surfaces as Spark's PythonException
     # wrapping the DeltaProtocolError message
     with pytest.raises(Exception, match="checksum mismatch"):
