@@ -2288,3 +2288,66 @@ def test_delta_v2_checkpoint_read(spark, tmp_path):
         f.write("\n".join(json.dumps(a) for a in bad) + "\n")
     with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
         read_delta_snapshot(spark, t3)
+
+
+def test_mor_delete_mode_routing(spark, tmp_path):
+    """r9: DELETE honors the table's OWN mode switch like the
+    reference does — delta.enableDeletionVectors=true routes
+    delta_delete_where to a deletion-vector commit (zero files
+    rewritten), and Iceberg's write.delete.mode=merge-on-read routes
+    iceberg_delete_where to a position-delete snapshot; default
+    configs keep copy-on-write."""
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    td = str(tmp_path / "dv_mode")
+    write_delta(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS s"),
+        td, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    res = delta_delete_where(spark, td, "id % 3 = 0")
+    assert res["files_rewritten"] == 0
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(td, "deletion_vector_*.bin"))
+    got = sorted(r.id for r in read_delta_snapshot(spark, td).collect())
+    assert got == [i for i in range(10) if i % 3]
+    # stacked MOR deletes keep composing
+    delta_delete_where(spark, td, "id = 1")
+    got = sorted(r.id for r in read_delta_snapshot(spark, td).collect())
+    assert got == [2, 4, 5, 7, 8]
+    # no-match delete commits nothing
+    v = delta_delete_where(spark, td, "id = 99")
+    assert v["files_rewritten"] == 0
+
+    ti = str(tmp_path / "mor_ice")
+    write_iceberg(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS s"),
+        ti, mode="create",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    res = iceberg_delete_where(spark, ti, "id >= 8")
+    assert res["files_rewritten"] == 0
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, ti).collect())
+    assert got == list(range(8))
+    # default mode still rewrites (COW) — fresh table, no properties
+    tc = str(tmp_path / "cow_ice")
+    write_iceberg(
+        spark,
+        spark.range(0, 6).selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1),
+        tc, mode="create",
+    )
+    res = iceberg_delete_where(spark, tc, "id = 0")
+    assert res["files_rewritten"] >= 1

@@ -333,6 +333,7 @@ def read_delta_snapshot(
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    _row_tags: bool = False,
 ) -> DataFrame:
     """Read a Delta table at a snapshot (latest, an explicit version, or
     the last version committed at/before ``timestamp_ms``) without the
@@ -383,7 +384,15 @@ def read_delta_snapshot(
     )
 
     if not state:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if _row_tags:
+            empty = empty.withColumns(
+                {
+                    "__dv_file": F.lit(None).cast("string"),
+                    "__dv_pos": F.lit(None).cast("long"),
+                }
+            )
+        return empty
 
     groups: dict[tuple, list[str]] = {}
     dv_descs: list[tuple[str, str]] = []  # (normalized abs file, desc json)
@@ -408,7 +417,7 @@ def read_delta_snapshot(
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
-        if dv_descs:
+        if dv_descs or _row_tags:
             df = df.withColumns(
                 {
                     "__dv_file": F.regexp_replace(
@@ -423,7 +432,7 @@ def read_delta_snapshot(
             keep = [
                 F.col(phys[f.name]).alias(f.name) for f in data_fields
             ]
-            if dv_descs:
+            if dv_descs or _row_tags:
                 keep += [F.col("__dv_file"), F.col("__dv_pos")]
             df = df.select(*keep)
         for c, raw in zip(part_cols, key):
@@ -443,8 +452,13 @@ def read_delta_snapshot(
             _dv_positions_df(spark, path, dv_descs),
             ["__dv_file", "__dv_pos"],
             "left_anti",
-        ).drop("__dv_file", "__dv_pos")
-    return out.select(*[f.name for f in schema.fields])
+        )
+        if not _row_tags:
+            out = out.drop("__dv_file", "__dv_pos")
+    keep_cols = [f.name for f in schema.fields]
+    if _row_tags:
+        keep_cols += ["__dv_file", "__dv_pos"]
+    return out.select(*keep_cols)
 
 
 def _norm_scan_path(p: str) -> str:
@@ -779,6 +793,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Jar-free Delta write (reference delta connector write path
     analog): ``create`` authors version 0 (protocol + metaData + adds),
@@ -811,7 +826,9 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    # e.g. delta.enableDeletionVectors=true flips
+                    # delta_delete_where to merge-on-read DV commits
+                    "configuration": dict(configuration or {}),
                     "createdTime": _now_ms(),
                 }
             },
@@ -950,8 +967,40 @@ def _rewrite_matched_files(
 def delta_delete_where(
     spark: SparkSession, path: str, predicate_sql: str
 ) -> dict:
-    """Copy-on-write DELETE: rewrite matched files without the matching
-    rows. Returns {'version', 'files_rewritten'}."""
+    """DELETE FROM ... WHERE. Mode follows the table's own
+    configuration, the same switch the reference honors:
+    delta.enableDeletionVectors=true routes to a merge-on-read
+    deletion-vector commit (row-targeted, no file rewrite — the right
+    trade for sparse deletes; matched positions materialize on the
+    driver, which is what every DV writer does); otherwise
+    copy-on-write rewrites matched files without the matching rows.
+    Returns {'version', 'files_rewritten'}."""
+    _, metadata, _, _ = _snapshot_state(
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=False
+    )
+    dv_mode = (
+        (metadata.get("configuration") or {})
+        .get("delta.enableDeletionVectors", "false")
+        .lower()
+        == "true"
+    )
+    if dv_mode:
+        tagged = read_delta_snapshot(spark, path, _row_tags=True).select(
+            F.col("__dv_file").alias("__f"),
+            F.col("__dv_pos").alias("__p"),
+            F.expr(predicate_sql).alias("__hit"),
+        )
+        targets = [
+            (r["__f"], r["__p"])
+            for r in tagged.where("__hit").collect()
+        ]
+        if not targets:
+            return {
+                "version": delta_table_version(spark, path),
+                "files_rewritten": 0,
+            }
+        v = delta_write_deletion_vectors(spark, path, targets)
+        return {"version": v, "files_rewritten": 0}
     return _rewrite_matched_files(
         spark,
         path,

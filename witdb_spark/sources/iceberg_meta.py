@@ -266,6 +266,7 @@ def _apply_row_deletes(
     data: list[tuple[str, int]],
     deletes: list[tuple[str, int, tuple[int, ...] | None]],
     id_to_name: dict[int, str],
+    keep_tags: bool = False,
 ) -> DataFrame:
     """Merge-on-read delete application (reference
     plugin/trino-iceberg/.../delete/ PositionDeleteFilter +
@@ -360,6 +361,8 @@ def _apply_row_deletes(
             cond = cond & (F.col("__data_seq") < F.lit(s))
             tagged = tagged.join(drows, cond, "left_anti")
         tagged = tagged.drop("__data_seq")
+    if keep_tags:
+        return tagged
     return tagged.drop("__file", "__pos")
 
 
@@ -368,6 +371,7 @@ def read_iceberg_snapshot(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    _row_tags: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot (current, by snapshot id, or
     the last snapshot committed at/before ``timestamp_ms``) without the
@@ -398,7 +402,24 @@ def read_iceberg_snapshot(
         id_to_name = {
             f["id"]: f["name"] for f in _table_schema(meta)["fields"]
         }
-        df = _apply_row_deletes(spark, df, data, deletes, id_to_name)
+        df = _apply_row_deletes(
+            spark, df, data, deletes, id_to_name, keep_tags=_row_tags
+        )
+    elif _row_tags:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {
+                "__file": F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)",
+                    "",
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+    if _row_tags:
+        return df.select(*cols, "__file", "__pos")
     return df.select(*cols)
 
 
@@ -473,7 +494,11 @@ def _spark_schema_to_iceberg(df) -> dict:
 
 
 def write_iceberg(
-    spark: SparkSession, df, path: str, mode: str = "append"
+    spark: SparkSession,
+    df,
+    path: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Jar-free Iceberg write (unpartitioned; create/append/overwrite):
     data parquet + manifest avro + manifest-list avro, committed by the
@@ -611,6 +636,10 @@ def write_iceberg(
         # guarantee the fields we DO rewrite are safe to rewrite; the
         # rest must pass through untouched for library readers.
         new_meta = dict(meta or {})
+        if meta is None and properties:
+            # e.g. write.delete.mode=merge-on-read flips
+            # iceberg_delete_where to position-delete commits
+            new_meta["properties"] = dict(properties)
         new_meta.update(
             {
                 "format-version": 2,
@@ -1136,10 +1165,37 @@ def _iceberg_rewrite_matched(
 def iceberg_delete_where(
     spark: SparkSession, path: str, predicate_sql: str
 ) -> dict:
-    """Copy-on-write DELETE (reference iceberg connector DELETE in COW
-    mode): files containing matches are rewritten without the matching
-    rows; a file whose rows ALL match simply disappears from the new
-    snapshot. Prior snapshots still see the old files (time travel)."""
+    """DELETE FROM ... WHERE. Mode follows the table's own
+    write.delete.mode property, the same switch the reference honors:
+    'merge-on-read' commits a POSITION-delete snapshot (row-targeted,
+    no file rewrite); default 'copy-on-write' rewrites files
+    containing matches without the matching rows — a file whose rows
+    ALL match simply disappears from the new snapshot. Prior snapshots
+    still see the old files (time travel)."""
+    from pyspark.sql import functions as F
+
+    meta = _current_metadata(path)
+    mode = (meta.get("properties") or {}).get(
+        "write.delete.mode", "copy-on-write"
+    )
+    if mode == "merge-on-read":
+        tagged = read_iceberg_snapshot(
+            spark, path, _row_tags=True
+        ).select(
+            F.col("__file").alias("__f"),
+            F.col("__pos").alias("__p"),
+            F.expr(predicate_sql).alias("__hit"),
+        )
+        targets = [
+            (r["__f"], r["__p"]) for r in tagged.where("__hit").collect()
+        ]
+        if not targets:
+            return {
+                "snapshot_id": meta.get("current-snapshot-id"),
+                "files_rewritten": 0,
+            }
+        snap = iceberg_write_position_deletes(spark, path, targets)
+        return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
         spark, path,
         lambda df: df.where(predicate_sql).select("__sf"),
