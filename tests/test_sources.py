@@ -983,13 +983,19 @@ def test_hudi_timeline_reader(spark, tmp_path):
                  replace={"": ["B"]})
     got = {r.id: r.name for r in read_hudi_snapshot(spark, t).collect()}
     assert got == {1: "a2", 2: "b2", 3: "c", 4: "d"}
-    # MOR tables gate loudly
+    # r9: MOR tables READ jar-free (snapshot merge) — an empty one has
+    # no commits yet, which is the loud condition now; WRITE-side file
+    # listing still gates on table type
     t2 = str(tmp_path / "mor")
     os.makedirs(os.path.join(t2, ".hoodie"))
     with open(os.path.join(t2, ".hoodie", "hoodie.properties"), "w") as f:
         f.write("hoodie.table.type=MERGE_ON_READ\n")
-    with pytest.raises(HudiProtocolError, match="merge-on-read"):
+    with pytest.raises(FileNotFoundError, match="no completed"):
         read_hudi_snapshot(spark, t2)
+    from witdb_spark.sources.hudi_meta import hudi_base_files
+
+    with pytest.raises(HudiProtocolError, match="bundle"):
+        hudi_base_files(t2)
 
 
 def test_delta_log_reader_protocol_gates(spark, tmp_path):
@@ -2351,3 +2357,117 @@ def test_mor_delete_mode_routing(spark, tmp_path):
     )
     res = iceberg_delete_where(spark, tc, "id = 0")
     assert res["files_rewritten"] >= 1
+
+
+_HUDI_MOR_FIXTURE = (
+    "/root/reference/plugin/trino-hudi/src/test/resources/"
+    "hudi-testing-data/stock_ticks_mor"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_HUDI_MOR_FIXTURE),
+    reason="reference hudi MOR fixture not present",
+)
+def test_hudi_mor_real_library_fixture(spark):
+    """r9: MERGE_ON_READ snapshot reads validated against a REAL
+    hudi-library table (the reference repo's trino-hudi test fixture —
+    base parquet written at instant 1, an AVRO_DATA log block of 99
+    updates at instant 2): the merged snapshot must show every record
+    at the SECOND commit, and as-of the first instant the original
+    rows."""
+    from witdb_spark.sources.hudi_log import log_records, read_log_blocks
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+
+    df = read_hudi_snapshot(spark, _HUDI_MOR_FIXTURE)
+    assert df.count() == 99
+    cts = [r[0] for r in df.select("_hoodie_commit_time")
+           .distinct().collect()]
+    assert cts == ["20211227092838847"]
+    old = read_hudi_snapshot(
+        spark, _HUDI_MOR_FIXTURE, as_of_instant="20211221030120532"
+    )
+    assert old.count() == 99
+    assert [r[0] for r in old.select("_hoodie_commit_time")
+            .distinct().collect()] == ["20211221030120532"]
+    # record keys identical across versions (pure update batch)
+    new_keys = {r[0] for r in df.select("_hoodie_record_key").collect()}
+    old_keys = {r[0] for r in old.select("_hoodie_record_key").collect()}
+    assert new_keys == old_keys
+    # the raw block parser agrees with the commit metadata
+    import glob as _glob
+
+    logf = _glob.glob(
+        os.path.join(_HUDI_MOR_FIXTURE, "2018/08/31", ".*.log.*")
+    )[0]
+    blocks = read_log_blocks(logf)
+    assert [b["type"] for b in blocks] == [3]
+    assert len(log_records(logf)) == 99
+
+
+def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
+    """r9: the MOR write half — write_hudi_mor_create (base groups
+    with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA
+    log blocks on the owning group's log file, inserts as a fresh base
+    group, one deltacommit) — roundtrips through the merge reader;
+    stacking wins by commit time; time travel sees pre-upsert rows;
+    rollback COMMAND blocks drop their target instant's records;
+    unsupported block types and log-only slices stay loud."""
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_COMMAND,
+        BLOCK_DELETE,
+        HEADER_INSTANT_TIME,
+        HEADER_TARGET_INSTANT_TIME,
+        append_log_block,
+        log_records,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        HudiProtocolError,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor")
+    base = spark.range(0, 20).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v").coalesce(2)
+    c0 = write_hudi_mor_create(spark, base, t, record_key="id")
+    assert read_hudi_snapshot(spark, t).count() == 20
+    src = spark.createDataFrame(
+        [(3, -3.0), (15, -15.0), (100, 1.0)], "id bigint, v double"
+    )
+    hudi_log_upsert(spark, t, src)
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "v").collect()}
+    want = {i: i * 1.5 for i in range(20)}
+    want.update({3: -3.0, 15: -15.0, 100: 1.0})
+    assert got == want
+    # stacked upsert: later commit wins
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(3, 99.0)], "id bigint, v double"),
+    )
+    got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert got2[3] == 99.0 and got2[15] == -15.0
+    # time travel to the create sees the original 20 rows
+    old = read_hudi_snapshot(spark, t, as_of_instant=c0)
+    assert {r.id for r in old.select("id").collect()} == set(range(20))
+    # rollback COMMAND block drops its target instant's records
+    import glob as _glob
+
+    logf = sorted(_glob.glob(os.path.join(t, ".*.log.1_*")))[0]
+    n_before = len(log_records(logf))
+    victim = log_records(logf)[0]["_hoodie_commit_time"]
+    append_log_block(
+        logf, BLOCK_COMMAND,
+        {HEADER_TARGET_INSTANT_TIME: victim, HEADER_INSTANT_TIME: "z"},
+        b"",
+    )
+    assert len(log_records(logf)) < n_before
+    # unsupported DELETE block type is loud
+    append_log_block(
+        logf, BLOCK_DELETE, {HEADER_INSTANT_TIME: "z2"}, b"\x00"
+    )
+    with pytest.raises(Exception, match="bundle"):
+        log_records(logf)

@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "hudi_keyed_upsert_roundtrip",
     "iceberg_eqdelete_roundtrip",
     "delta_dv_roundtrip",
+    "hudi_mor_upsert_roundtrip",
     # stalest r3-era greens (last driver row: CORRECTNESS_r03) —
     # the remaining window positions
     "window_rank_topn", "window_lag_lead", "window_running_sum",

@@ -33,7 +33,7 @@ class HudiProtocolError(RuntimeError):
 
 
 _COMPLETED_RE = re.compile(
-    r"^(\d+)(?:_(\d+))?\.(commit|replacecommit)$"
+    r"^(\d+)(?:_(\d+))?\.(commit|replacecommit|deltacommit)$"
 )
 
 
@@ -113,15 +113,173 @@ def hudi_base_files(
     )
 
 
+def _hudi_file_slices(
+    path: str, as_of_instant: str | None = None
+) -> dict[tuple[str, str], dict]:
+    """Fold the timeline into file SLICES (the MOR unit): per
+    (partition, fileId) the newest base file plus the log files that
+    apply to it — a log's filename embeds the base instant it extends
+    (.{fileId}_{baseInstant}.log.{version}_{token}), so logs written
+    against a base that compaction later replaced drop out naturally.
+    Returns {(part, fid): {"base": (instant, rel) | None,
+    "logs": [(instant, rel), ...] sorted}}."""
+    instants = _completed_instants(path)
+    if as_of_instant is not None:
+        instants = [i for i in instants if i[0] <= str(as_of_instant)]
+    if not instants:
+        raise FileNotFoundError(f"{path}: no completed Hudi commits")
+    slices: dict[tuple[str, str], dict] = {}
+    for instant, action, fpath in instants:
+        with open(fpath) as f:
+            body = f.read().strip()
+        meta = json.loads(body) if body else {}
+        if action == "replacecommit":
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    slices.pop((part, fid), None)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fid, rel = st.get("fileId"), st.get("path")
+                if not fid or not rel:
+                    continue
+                sl = slices.setdefault(
+                    (part, fid), {"base": None, "logs": []}
+                )
+                if ".log." in os.path.basename(rel):
+                    sl["logs"].append((instant, rel))
+                else:
+                    if sl["base"] is None or instant >= sl["base"][0]:
+                        sl["base"] = (instant, rel)
+    for sl in slices.values():
+        if sl["base"] is not None:
+            base_instant = os.path.basename(sl["base"][1]).split("_")[-1]
+            base_instant = base_instant.split(".")[0]
+            sl["logs"] = sorted(
+                (i, r)
+                for i, r in sl["logs"]
+                if f"_{base_instant}.log." in os.path.basename(r)
+            )
+        else:
+            sl["logs"] = sorted(sl["logs"])
+    return slices
+
+
+def _read_mor_snapshot(
+    spark: SparkSession, path: str, as_of_instant: str | None
+) -> DataFrame:
+    """MERGE_ON_READ snapshot (reference plugin/trino-hudi is
+    read-optimized only; this is the snapshot semantics the hudi
+    bundle's realtime reader implements, done Spark-first): base rows
+    union log records (decoded ON EXECUTORS by sources/hudi_log.py —
+    the format validated against a real library log file), then one
+    window picks the winner per record key by commit time (payload
+    OverwriteWithLatestAvroPayload: latest completed commit wins;
+    within one commit the later block/record wins). Records from
+    uncommitted instants in a log file stay invisible. Requires the
+    hoodie meta columns (hoodie.populate.meta.fields, the default) —
+    key + commit time come from the records themselves, so no
+    driver-side state scales with data."""
+    import pandas  # noqa: F401 — fail fast on driver, used on executors
+
+    from pyspark.sql import functions as F
+
+    props = _properties(path)
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "MOR read without hoodie meta fields needs the hudi-spark"
+            " bundle (virtual-key materialization)"
+        )
+    slices = _hudi_file_slices(path, as_of_instant)
+    base_files = sorted(
+        os.path.join(path, sl["base"][1])
+        for sl in slices.values()
+        if sl["base"] is not None
+    )
+    log_files = sorted(
+        os.path.join(path, rel)
+        for sl in slices.values()
+        for _, rel in sl["logs"]
+    )
+    if not base_files:
+        raise HudiProtocolError(
+            "MOR snapshot with log-only file slices (no base file)"
+            " needs the hudi-spark bundle"
+        )
+    base = spark.read.parquet(*base_files)
+    if not log_files:
+        return base
+    completed = {
+        i for i, _, _ in _completed_instants(path)
+        if as_of_instant is None or i <= str(as_of_instant)
+    }
+    schema = base.schema
+
+    logs_df = spark.createDataFrame(
+        [(p,) for p in log_files], "__log string"
+    ).repartition(min(len(log_files), 64))
+
+    def decode_logs(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from witdb_spark.sources.hudi_log import log_records
+
+        for pdf in batches:
+            rows: list[str] = []
+            seqs: list[int] = []
+            for p in pdf["__log"]:
+                for i, rec in enumerate(log_records(p)):
+                    rows.append(_json.dumps(rec))
+                    seqs.append(i)
+            yield _pd.DataFrame({"__json": rows, "__seq": seqs})
+
+    decoded = logs_df.mapInPandas(
+        decode_logs, "__json string, __seq long"
+    )
+    log_rows = decoded.select(
+        F.from_json("__json", schema).alias("r"), "__seq"
+    ).select("r.*", "__seq")
+    # records of instants that never completed are invisible
+    log_rows = log_rows.where(
+        F.col("_hoodie_commit_time").isin(sorted(completed))
+    )
+    merged = base.withColumn("__seq", F.lit(-1).cast("long")).unionByName(
+        log_rows
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_hoodie_record_key").orderBy(
+        F.col("_hoodie_commit_time").desc(), F.col("__seq").desc()
+    )
+    out = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn", "__seq")
+    )
+    if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
+        out = out.where(
+            ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+        )
+    return out.select(*[f.name for f in schema.fields])
+
+
 def read_hudi_snapshot(
     spark: SparkSession, path: str, as_of_instant: str | None = None
 ) -> DataFrame:
-    """Read a Hudi COW table at a snapshot (latest completed commit, or
+    """Read a Hudi table at a snapshot (latest completed commit, or
     at/before ``as_of_instant``) without the connector jar. COW base
     files carry full rows, so the scan is plain distributed parquet;
-    the ``_hoodie_*`` meta columns surface like Hudi's own reader. A
-    snapshot whose every file group was retired (delete-all) reads as a
-    TYPED empty frame from the newest commit's schema metadata."""
+    the ``_hoodie_*`` meta columns surface like Hudi's own reader.
+    r9: MERGE_ON_READ tables read with snapshot semantics — base files
+    merged with log records (_read_mor_snapshot). A snapshot whose
+    every file group was retired (delete-all) reads as a TYPED empty
+    frame from the newest commit's schema metadata."""
+    props = _properties(path)
+    if props.get("hoodie.table.type", "COPY_ON_WRITE") == "MERGE_ON_READ":
+        return _read_mor_snapshot(spark, path, as_of_instant)
     files = hudi_base_files(path, as_of_instant)
     if files:
         return spark.read.parquet(*files)
@@ -570,6 +728,276 @@ def hudi_upsert(
         op="UPSERT",
         scan_files=candidates,
     )
+
+
+_AVRO_FOR_SPARK = {
+    "bigint": "long", "int": "int", "integer": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+}
+
+
+def _avro_schema_for(df, name: str = "witdb_mor") -> dict:
+    fields = []
+    for f in df.schema.fields:
+        ddl = f.dataType.simpleString()
+        if ddl not in _AVRO_FOR_SPARK:
+            raise HudiProtocolError(
+                f"MOR log records: column {f.name!r} type {ddl} needs"
+                " the hudi-spark bundle"
+            )
+        fields.append(
+            {
+                "name": f.name,
+                "type": ["null", _AVRO_FOR_SPARK[ddl]],
+                "default": None,
+            }
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_hudi_mor_create(
+    spark: SparkSession, df, path: str, record_key: str
+) -> str:
+    """Create a MERGE_ON_READ table jar-free: base parquet file groups
+    carrying the hoodie meta columns (the merge key material), one
+    deltacommit publishing them, hoodie.properties declaring
+    MERGE_ON_READ + the record key. Returns the commit instant."""
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(_meta_dir(path)):
+        raise FileExistsError(f"{path} is already a Hudi table")
+    if record_key not in df.columns:
+        raise HudiProtocolError(
+            f"record key {record_key!r} is not a column of the data"
+        )
+    os.makedirs(_meta_dir(path))
+    with open(
+        os.path.join(_meta_dir(path), "hoodie.properties"), "w"
+    ) as f:
+        f.write(
+            "hoodie.table.name=%s\nhoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.recordkey.fields=%s\n"
+            "hoodie.populate.meta.fields=true\n"
+            % (os.path.basename(path.rstrip("/")), record_key)
+        )
+    instant = _claim_instant(path)
+    full = df.select(
+        F.lit(instant).alias("_hoodie_commit_time"),
+        F.concat(
+            F.lit(f"{instant}_0_"),
+            F.monotonically_increasing_id().cast("string"),
+        ).alias("_hoodie_commit_seqno"),
+        F.col(record_key).cast("string").alias("_hoodie_record_key"),
+        F.lit("").alias("_hoodie_partition_path"),
+        F.lit("").alias("_hoodie_file_name"),
+        *df.columns,
+    )
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    full.write.mode("overwrite").parquet(staging)
+    stats = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        fid = uuid.uuid4().hex
+        rel = f"{fid}_0_{instant}.parquet"
+        shutil.move(f, os.path.join(path, rel))
+        stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": "null",
+                "totalWriteBytes": os.path.getsize(
+                    os.path.join(path, rel)
+                ),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    meta = {
+        "partitionToWriteStats": {"": stats},
+        "extraMetadata": {"schema": full.schema.json()},
+        "operationType": "BULK_INSERT",
+    }
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.deltacommit"), "x"
+    ) as f:
+        json.dump(meta, f)
+    return instant
+
+
+def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
+    """MOR UPSERT jar-free (the write that makes MERGE_ON_READ worth
+    having — reference read side plugin/trino-hudi + hudi's realtime
+    semantics): rows whose record key exists append as AVRO_DATA log
+    blocks on their file group's log file (NO base rewrite — the MOR
+    trade); unmatched rows become a fresh base file group. One
+    deltacommit publishes both. Per-group update batches materialize
+    on the driver to write the log frames — O(update batch), the same
+    cost every log writer pays. Returns the commit instant."""
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_AVRO_DATA,
+        HEADER_INSTANT_TIME,
+        HEADER_SCHEMA,
+        append_log_block,
+        encode_avro_block_content,
+    )
+
+    props = _properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "hudi_log_upsert needs a MERGE_ON_READ table (COW tables"
+            " use hudi_upsert)"
+        )
+    key = props.get("hoodie.table.recordkey.fields")
+    if not key or key not in source.columns:
+        raise HudiProtocolError(
+            f"record key {key!r} must be a declared table property and"
+            " a source column"
+        )
+    slices = _hudi_file_slices(path)
+    base_last = _completed_instants(path)[-1][0]
+    base_files = {
+        os.path.join(path, sl["base"][1]): fid
+        for (part, fid), sl in slices.items()
+        if sl["base"] is not None
+    }
+    # route each source row to the file group holding its key
+    base = spark.read.parquet(*sorted(base_files)).select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.input_file_name().alias("__sf"),
+    )
+    src = source.withColumn(
+        "__k", F.col(key).cast("string")
+    )
+    routed = src.join(base, "__k", "left")
+    instant = _claim_instant(path)
+    meta_cols = [
+        "_hoodie_commit_time", "_hoodie_commit_seqno",
+        "_hoodie_record_key", "_hoodie_partition_path",
+        "_hoodie_file_name",
+    ]
+    data_cols = list(source.columns)
+    if any(part for part, _fid in slices):
+        raise HudiProtocolError(
+            "MOR upsert on a PARTITIONED Hudi table needs the"
+            " hudi-spark bundle"
+        )
+    matched = routed.where("__sf IS NOT NULL").collect()
+    stats = []
+    if matched:
+        from witdb_spark.sources.delta_log import _strip_uri
+
+        by_fid: dict[str, list] = {}
+        for r in matched:
+            ap = os.path.abspath(_strip_uri(r["__sf"]))
+            fid = base_files.get(ap)
+            if fid is None:
+                raise HudiProtocolError(
+                    f"scanned base file {ap} not in the current snapshot"
+                )
+            by_fid.setdefault(fid, []).append(r)
+        avro_schema = {
+            "type": "record",
+            "name": "witdb_mor",
+            "fields": [
+                {"name": c, "type": ["null", "string"], "default": None}
+                for c in meta_cols
+            ]
+            + _avro_schema_for(source)["fields"],
+        }
+        for (part, fid), sl in slices.items():
+            if fid not in by_fid:
+                continue
+            base_instant = (
+                os.path.basename(sl["base"][1]).split("_")[-1].split(".")[0]
+            )
+            version = len(sl["logs"]) + 1
+            rel = f".{fid}_{base_instant}.log.{version}_0-0-0"
+            recs = []
+            for i, r in enumerate(by_fid[fid]):
+                rec = {
+                    "_hoodie_commit_time": instant,
+                    "_hoodie_commit_seqno": f"{instant}_0_{i}",
+                    "_hoodie_record_key": r["__k"],
+                    "_hoodie_partition_path": part,
+                    "_hoodie_file_name": fid,
+                }
+                for c in data_cols:
+                    rec[c] = r[c]
+                recs.append(rec)
+            append_log_block(
+                os.path.join(path, rel),
+                BLOCK_AVRO_DATA,
+                {
+                    HEADER_INSTANT_TIME: instant,
+                    HEADER_SCHEMA: json.dumps(avro_schema),
+                },
+                encode_avro_block_content(recs, avro_schema),
+            )
+            stats.append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": base_instant,
+                    "totalWriteBytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                }
+            )
+    inserts = routed.where("__sf IS NULL").select(*data_cols)
+    if not inserts.isEmpty():
+        full = inserts.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat(
+                F.lit(f"{instant}_1_"),
+                F.monotonically_increasing_id().cast("string"),
+            ).alias("_hoodie_commit_seqno"),
+            F.col(key).cast("string").alias("_hoodie_record_key"),
+            F.lit("").alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *data_cols,
+        )
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        full.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in sorted(
+            glob.glob(os.path.join(staging, "part-*.parquet"))
+        ):
+            fid = uuid.uuid4().hex
+            rel = f"{fid}_0_{instant}.parquet"
+            shutil.move(f, os.path.join(path, rel))
+            stats.append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": "null",
+                    "totalWriteBytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during MOR upsert — re-run"
+        )
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.deltacommit"), "x"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {"": stats},
+                "operationType": "UPSERT",
+            },
+            f,
+        )
+    return instant
 
 
 def hudi_clean(path: str, keep_last: int = 1) -> dict:
