@@ -1422,3 +1422,32 @@ def test_sketch_over_hoist_two_level(spark):
             " rank() OVER (ORDER BY max(l_quantity)) AS r"
             " FROM lineitem GROUP BY l_returnflag"
         ).collect()
+
+
+def test_sketch_distinct_over_hoist():
+    """r9: the DISTINCT fold gets the same OVER hoist as the two-level
+    split — a windowed co-item over group keys / aggregate aliases
+    wraps around the dedup-first rewrite; anything else bails. Pure
+    rewrite test."""
+    from witdb_spark.plans.dialect import _rewrite_sketch_distinct as rwd
+
+    got = rwd(
+        "SELECT g, qdigest_agg(DISTINCT x) AS d, count(DISTINCT x) AS n,"
+        " rank() OVER (ORDER BY g) AS r FROM t GROUP BY g"
+    )
+    assert "SELECT DISTINCT g, x AS __dx FROM t" in got
+    assert "rank() OVER (ORDER BY g) AS r FROM (" in got
+    assert got.rstrip().endswith("__sk_win")
+    # window over the aggregate ALIAS hoists too (it is a column of
+    # the fold's output)
+    got2 = rwd(
+        "SELECT g, qdigest_agg(DISTINCT x) AS d, count(DISTINCT x) AS n,"
+        " sum(n) OVER (PARTITION BY g) AS tot FROM t GROUP BY g"
+    )
+    assert "__sk_dedup" in got2 and "sum(n) OVER" in got2
+    # raw-column window bails the whole block (unchanged)
+    bail = (
+        "SELECT g, qdigest_agg(DISTINCT x) AS d,"
+        " rank() OVER (ORDER BY x) AS r FROM t GROUP BY g"
+    )
+    assert rwd(bail) == bail

@@ -1740,11 +1740,17 @@ def _sketch_block_distinct(block: str) -> str | None:
 
     for bailer in (
         r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b", r"\bWINDOW\b",
-        r"\bOVER\b", r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
+        r"\bQUALIFY\b", r"\bSELECT\s+DISTINCT\b",
         r"\bGROUPING\s+SETS\b", r"\bROLLUP\b", r"\bCUBE\b", r"\bFETCH\b",
     ):
         if top_kw(bailer):
             return None
+    if top_kw(r"\bOVER\b"):
+        # r9: same hoist as the two-level split — a windowed co-item
+        # over group keys / aggregate aliases wraps around the fold
+        return _sketch_block_over_hoist(
+            block, inner_rewrite=_sketch_block_distinct
+        )
     fm = top_kw(r"\bFROM\b")
     if fm is None:
         return None
@@ -1938,10 +1944,11 @@ _OVER_HOIST_KEYWORDS = {
 }
 
 
-def _sketch_block_over_hoist(block: str) -> str | None:
+def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
     """Hoist top-level windowed select items out of a sketch block so
-    the remainder can split PARTIAL->FINAL (see call site). Returns the
-    wrapped rewrite, or None to keep the single-level plan."""
+    the remainder can rewrite (PARTIAL->FINAL split by default, the
+    DISTINCT fold via ``inner_rewrite``). Returns the wrapped rewrite,
+    or None to keep the single-level plan."""
     bd, binstr = _scan_maps(block)
 
     def top_kw(pattern: str):
@@ -2022,7 +2029,7 @@ def _sketch_block_over_hoist(block: str) -> str | None:
     inner_block = (
         "SELECT " + ", ".join(inner_items) + " " + block[fm.start():]
     ).strip()
-    rewritten = _sketch_block_two_level(inner_block)
+    rewritten = (inner_rewrite or _sketch_block_two_level)(inner_block)
     if rewritten is None:
         return None
     return (
