@@ -658,6 +658,10 @@ def hudi_upsert(
     from witdb_spark.sources.merge import merge_into
 
     props = _properties(path)
+    if props.get("hoodie.table.type") == "MERGE_ON_READ":
+        # MOR tables take the log-append path — same upsert contract,
+        # no base rewrite
+        return hudi_log_upsert(spark, path, source)
     key = record_key or props.get("hoodie.table.recordkey.fields")
     if not key:
         raise HudiProtocolError(
