@@ -1451,3 +1451,68 @@ def test_sketch_distinct_over_hoist():
         " rank() OVER (ORDER BY x) AS r FROM t GROUP BY g"
     )
     assert rwd(bail) == bail
+
+
+def test_mor_scans_keep_predicate_pushdown(spark, tmp_path):
+    """100 TB discipline for the r9 merge-on-read paths: a predicate
+    above a DV'd Delta read (and an Iceberg read with position
+    deletes) must still reach the parquet scan as PushedFilters — the
+    anti join must not fence off pushdown."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_write_deletion_vectors,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        _iceberg_scan,
+        iceberg_write_position_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+
+    t = str(tmp_path / "dvp")
+    write_delta(
+        spark,
+        spark.range(0, 1000).selectExpr("id", "id % 7 AS g"),
+        t, mode="create",
+    )
+    tag = read_delta_snapshot(spark, t).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"), "id",
+    )
+    delta_write_deletion_vectors(
+        spark, t, [(r.f, r.p) for r in tag.where("id < 5").collect()]
+    )
+    df = read_delta_snapshot(spark, t).where("g = 3").select("id")
+    plan = fmt(df)
+    assert "PushedFilters: [IsNotNull(g), EqualTo(g,3)]" in plan, plan
+    assert df.count() == 142  # 143 multiples-of-7-ish minus the DV'd 3
+
+    ti = str(tmp_path / "icep")
+    write_iceberg(
+        spark,
+        spark.range(0, 1000).selectExpr("id", "id % 7 AS g")
+        .coalesce(2),
+        ti, mode="create",
+    )
+    tagged = spark.read.parquet(
+        *[p for p, _ in _iceberg_scan(ti)[0]]
+    ).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("p"), "id",
+    )
+    iceberg_write_position_deletes(
+        spark, ti, [(r.f, r.p) for r in tagged.where("id < 5").collect()]
+    )
+    dfi = read_iceberg_snapshot(spark, ti).where("g = 3").select("id")
+    plani = fmt(dfi)
+    assert "PushedFilters: [IsNotNull(g), EqualTo(g,3)]" in plani, plani
+    assert dfi.count() == 142
