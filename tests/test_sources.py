@@ -2471,3 +2471,44 @@ def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="bundle"):
         log_records(logf)
+
+
+def test_delta_dv_update_mode(spark, tmp_path):
+    """r9: UPDATE on a delta.enableDeletionVectors=true table runs
+    merge-on-read — one commit shadows the matched rows with a DV and
+    appends their post-update images; assignments evaluate against the
+    PRE-update row; stacking with MOR deletes composes."""
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dvu")
+    write_delta(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    res = delta_update_where(
+        spark, t, "id % 4 = 1", {"v": "v * 100", "id": "id"}
+    )
+    assert res["files_rewritten"] == 0
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    want = {i: float(i) for i in range(10)}
+    want.update({1: 100.0, 5: 500.0, 9: 900.0})
+    assert got == want
+    # single-commit check: exactly one new version for the update
+    log = sorted(os.listdir(os.path.join(t, "_delta_log")))
+    assert [n for n in log if n.endswith(".json")] == [
+        "00000000000000000000.json", "00000000000000000001.json",
+    ]
+    # MOR delete stacks on the updated state
+    delta_delete_where(spark, t, "v = 500.0")
+    got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+    assert 5 not in got and got[1] == 100.0
+    # no-match update commits nothing
+    res = delta_update_where(spark, t, "id = 77", {"v": "0.0"})
+    assert res["files_rewritten"] == 0

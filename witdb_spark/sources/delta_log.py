@@ -576,6 +576,8 @@ def delta_write_deletion_vectors(
     spark: SparkSession,
     path: str,
     deletes: list[tuple[str, int]],
+    extra_actions: list[dict] | None = None,
+    operation: str = "DELETE",
 ) -> int:
     """Commit deletion vectors — the merge-on-read DELETE the reference
     delta connector writes when delta.enableDeletionVectors is on:
@@ -661,7 +663,7 @@ def delta_write_deletion_vectors(
             {
                 "commitInfo": {
                     "timestamp": _now_ms(),
-                    "operation": "DELETE",
+                    "operation": operation,
                     "operationParameters": {"mode": "deletionVectors"},
                 }
             },
@@ -689,6 +691,7 @@ def delta_write_deletion_vectors(
             new_add["dataChange"] = True
             new_add["modificationTime"] = _now_ms()
             actions.append({"add": new_add})
+        actions += list(extra_actions or [])
         if _try_commit(path, version + 1, actions):
             return version + 1
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
@@ -1016,10 +1019,50 @@ def delta_update_where(
     predicate_sql: str,
     assignments: dict[str, str],
 ) -> dict:
-    """Copy-on-write UPDATE: in matched files, matching rows get the
-    SQL-expression assignments applied; unmatched rows in those files
-    are carried verbatim. Returns {'version', 'files_rewritten'}."""
+    """UPDATE ... SET ... WHERE. delta.enableDeletionVectors=true
+    routes to merge-on-read: matched rows are shadowed by a deletion
+    vector and their POST-update images appended as a new file, in ONE
+    commit (update = delete + insert, the DV writer's contract);
+    otherwise copy-on-write — in matched files, matching rows get the
+    SQL-expression assignments applied and unmatched rows in those
+    files are carried verbatim. Assignments and the predicate always
+    evaluate against the PRE-update row. Returns
+    {'version', 'files_rewritten'}."""
     from pyspark.sql import functions as F
+
+    _, metadata, _, _ = _snapshot_state(
+        spark, path, None, None, allow_dvs=True
+    )
+    dv_mode = (
+        (metadata.get("configuration") or {})
+        .get("delta.enableDeletionVectors", "false")
+        .lower()
+        == "true"
+    )
+    if dv_mode:
+        tagged = read_delta_snapshot(spark, path, _row_tags=True)
+        matched = tagged.where(predicate_sql)
+        targets = [
+            (r["__dv_file"], r["__dv_pos"])
+            for r in matched.select("__dv_file", "__dv_pos").collect()
+        ]
+        if not targets:
+            return {
+                "version": delta_table_version(spark, path),
+                "files_rewritten": 0,
+            }
+        updated = _apply_assignments(
+            matched.drop("__dv_file", "__dv_pos"),
+            predicate_sql,
+            assignments,
+            DeltaProtocolError,
+        )
+        part_cols = list(metadata.get("partitionColumns") or [])
+        adds = _stage_data_files(updated, path, part_cols)
+        v = delta_write_deletion_vectors(
+            spark, path, targets, extra_actions=adds, operation="UPDATE"
+        )
+        return {"version": v, "files_rewritten": 0}
 
     def rewrite(rows):
         return _apply_assignments(
