@@ -2512,3 +2512,48 @@ def test_delta_dv_update_mode(spark, tmp_path):
     # no-match update commits nothing
     res = delta_update_where(spark, t, "id = 77", {"v": "0.0"})
     assert res["files_rewritten"] == 0
+
+
+def test_iceberg_mor_update_mode(spark, tmp_path):
+    """r9: UPDATE on an Iceberg table with write.update.mode=
+    merge-on-read commits ONE snapshot — a position-delete manifest
+    shadowing the matched rows plus a data manifest with their
+    post-update images; pre-update RHS evaluation; composes with MOR
+    deletes."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_snapshots,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "morupd")
+    write_iceberg(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1),
+        t, mode="create",
+        properties={
+            "write.update.mode": "merge-on-read",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    res = iceberg_update_where(
+        spark, t, "id % 4 = 1", {"v": "v * 100"}
+    )
+    assert res["files_rewritten"] == 0
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    want = {i: float(i) for i in range(10)}
+    want.update({1: 100.0, 5: 500.0, 9: 900.0})
+    assert got == want
+    # ONE snapshot for the update (create + update = 2 total)
+    assert len(iceberg_snapshots(t)) == 2
+    # MOR delete composes on the updated state
+    iceberg_delete_where(spark, t, "v = 500.0")
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert 5 not in got and got[1] == 100.0
+    # no-match update commits nothing
+    res = iceberg_update_where(spark, t, "id = 77", {"v": "0.0"})
+    assert res["files_rewritten"] == 0
+    assert len(iceberg_snapshots(t)) == 3

@@ -726,6 +726,15 @@ def iceberg_write_position_deletes(
     path: str,
     deletes: list[tuple[str, int]],
 ) -> int:
+    return _iceberg_posdelete_commit(spark, path, deletes, None)
+
+
+def _iceberg_posdelete_commit(
+    spark: SparkSession,
+    path: str,
+    deletes: list[tuple[str, int]],
+    data_adds: list[dict] | None,
+) -> int:
     """Commit a v2 POSITION-delete snapshot jar-free: write the delete
     rows as a spec-shaped parquet file (columns file_path string,
     pos long — the reserved-field schema every Iceberg reader
@@ -788,7 +797,8 @@ def iceberg_write_position_deletes(
         os.path.join(path, dpath),
     )
     return _commit_delete_snapshot(
-        path, base_cur, prior, snap_id, seq, dpath, len(rows), None
+        path, base_cur, prior, snap_id, seq, dpath, len(rows), None,
+        data_adds=data_adds,
     )
 
 
@@ -801,11 +811,14 @@ def _commit_delete_snapshot(
     dpath: str,
     n_rows: int,
     equality_ids: list[int] | None,
+    data_adds: list[dict] | None = None,
 ) -> int:
     """Shared tail of the two delete writers: delete manifest (content=1
     position / content=2 equality entry), manifest list at the next
     sequence number carrying the prior manifests, fenced metadata
-    commit bumping last-sequence-number."""
+    commit bumping last-sequence-number. ``data_adds``: optional ADDED
+    data-file records committed in the SAME snapshot (MOR UPDATE =
+    delete + insert atomically)."""
     import uuid
 
     content = 2 if equality_ids else 1
@@ -825,6 +838,25 @@ def _commit_delete_snapshot(
     write_avro_file(mpath, entry_schema, [
         {"status": 1, "snapshot_id": snap_id, "data_file": data_file}
     ])
+    data_manifests: list[dict] = []
+    if data_adds:
+        dm = os.path.join(
+            path, "metadata", f"m-{uuid.uuid4().hex}.avro"
+        )
+        write_avro_file(dm, _MANIFEST_ENTRY_SCHEMA, [
+            {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+            for rec in data_adds
+        ])
+        data_manifests.append(
+            {
+                "manifest_path": dm,
+                "manifest_length": os.path.getsize(dm),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+                "sequence_number": seq,
+            }
+        )
     mlist = os.path.join(
         path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
@@ -837,7 +869,7 @@ def _commit_delete_snapshot(
             "added_snapshot_id": snap_id,
             "sequence_number": seq,
         }
-    ] + [
+    ] + data_manifests + [
         {
             "manifest_path": m["manifest_path"],
             "manifest_length": m["manifest_length"],
@@ -1209,12 +1241,72 @@ def iceberg_update_where(
     predicate_sql: str,
     assignments: dict[str, str],
 ) -> dict:
-    """Copy-on-write UPDATE: matching rows in matched files get the SQL
-    assignments applied; every RHS and the predicate evaluate against
-    the PRE-update row (delta_log._apply_assignments, the rule all
-    three COW paths share)."""
+    """UPDATE ... SET ... WHERE. write.update.mode=merge-on-read
+    commits ONE snapshot carrying a position-delete manifest that
+    shadows the matched rows AND a data manifest with their
+    post-update images (update = delete + insert atomically); default
+    copy-on-write rewrites matched files. Every RHS and the predicate
+    evaluate against the PRE-update row (delta_log._apply_assignments,
+    the rule all three COW paths share)."""
     from witdb_spark.sources.delta_log import _apply_assignments
 
+    meta = _current_metadata(path)
+    if (meta.get("properties") or {}).get(
+        "write.update.mode"
+    ) == "merge-on-read":
+        import glob
+        import shutil
+        import uuid
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        tagged = read_iceberg_snapshot(spark, path, _row_tags=True)
+        matched = tagged.where(predicate_sql)
+        rows = matched.select("__file", "__pos").collect()
+        if not rows:
+            return {
+                "snapshot_id": meta.get("current-snapshot-id"),
+                "files_rewritten": 0,
+            }
+        updated = _apply_assignments(
+            matched.drop("__file", "__pos"),
+            predicate_sql,
+            assignments,
+            IcebergProtocolError,
+        )
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        updated.write.mode("overwrite").parquet(staging)
+        data_adds = []
+        for f in sorted(
+            glob.glob(os.path.join(staging, "part-*.parquet"))
+        ):
+            n_rows = pq.ParquetFile(f).metadata.num_rows
+            if n_rows == 0:
+                continue
+            rel = os.path.join(
+                "data", f"upd-{uuid.uuid4().hex}.parquet"
+            )
+            os.makedirs(os.path.join(path, "data"), exist_ok=True)
+            shutil.move(f, os.path.join(path, rel))
+            data_adds.append(
+                {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        snap = _iceberg_posdelete_commit(
+            spark, path,
+            [(r["__file"], r["__pos"]) for r in rows],
+            data_adds,
+        )
+        return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
         spark, path,
         lambda df: df.where(predicate_sql).select("__sf"),
