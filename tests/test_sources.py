@@ -1035,10 +1035,10 @@ def test_delta_log_reader_protocol_gates(spark, tmp_path):
     # operations still refuse on active DVs
     with _pytest.raises(Exception, match="deletion vector"):
         read_delta_snapshot(spark, t2).collect()
-    from witdb_spark.sources.delta_log import delta_checkpoint
+    from witdb_spark.sources.delta_log import delta_optimize
 
     with _pytest.raises(DeltaProtocolError, match="deletion vector"):
-        delta_checkpoint(spark, t2)
+        delta_optimize(spark, t2)
 
     t3 = str(tmp_path / "vc")
     s1 = _delta_write_file(t3, "f1.parquet", [1], ["a"])
@@ -2025,14 +2025,23 @@ def test_delta_deletion_vectors_roundtrip(spark, tmp_path):
     # appends are DV-safe and visible
     write_delta(spark, mk(20, 22), t, mode="append")
     assert read_delta_snapshot(spark, t).count() == 19
-    # re-serializing operations refuse while DVs are active
+    # rewriting operations refuse while DVs are active (checkpointing
+    # is DV-aware since r9 and is covered below)
     for op in (
         lambda: delta_delete_where(spark, t, "id = 5"),
-        lambda: delta_checkpoint(spark, t),
         lambda: delta_optimize(spark, t),
     ):
         with pytest.raises(DeltaProtocolError, match="deletion vector"):
             op()
+    # r9: checkpointing a DV'd table carries the descriptors + protocol
+    # features; a bootstrap from the checkpoint (commits deleted) sees
+    # the same deleted rows
+    cp_v = delta_checkpoint(spark, t)
+    for n in os.listdir(os.path.join(t, "_delta_log")):
+        if n.endswith(".json") and int(n.split(".")[0]) <= cp_v:
+            os.remove(os.path.join(t, "_delta_log", n))
+    got = sorted(r.id for r in read_delta_snapshot(spark, t).collect())
+    assert got == [i for i in range(22) if i not in (2, 3, 13)]
     # inline ('i') descriptor decode
     from witdb_spark.sources.delta_log import read_deletion_vector
     from witdb_spark.sources.roaring import (

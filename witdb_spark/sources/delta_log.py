@@ -1164,15 +1164,21 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     reference delta connector CheckpointWriter analog): readers
     bootstrap from it instead of replaying every JSON commit, which is
     what keeps a long-lived table's planning O(checkpoint) instead of
-    O(commits). Returns the checkpointed version."""
+    O(commits). r9: adds carrying deletion vectors checkpoint too —
+    the add struct includes the descriptor and the protocol struct
+    carries reader/writer features, so a bootstrap from the checkpoint
+    sees the same DV'd state the log replay would. Returns the
+    checkpointed version."""
     protocol, metadata, state, version = _snapshot_state(
-        spark, path, None, None
+        spark, path, None, None, allow_dvs=True
     )
     rows = [
         (
             (
                 int(protocol.get("minReaderVersion", 1)),
                 int(protocol.get("minWriterVersion", 2)),
+                protocol.get("readerFeatures"),
+                protocol.get("writerFeatures"),
             ),
             None,
             None,
@@ -1203,17 +1209,31 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                 int(add.get("size", 0)),
                 int(add.get("modificationTime", 0)),
                 bool(add.get("dataChange", True)),
+                (
+                    (
+                        add["deletionVector"].get("storageType"),
+                        add["deletionVector"].get("pathOrInlineDv"),
+                        int(add["deletionVector"].get("offset") or 0),
+                        int(add["deletionVector"].get("sizeInBytes") or 0),
+                        int(add["deletionVector"].get("cardinality") or 0),
+                    )
+                    if add.get("deletionVector")
+                    else None
+                ),
             ),
         )
         for add in state.values()
     ]
     schema = (
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>,"
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>,"
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>"
     )
     import glob
     import shutil
