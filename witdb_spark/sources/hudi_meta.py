@@ -251,7 +251,11 @@ def _read_mor_snapshot(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_hoodie_record_key").orderBy(
+    # record keys are unique only WITHIN a partition path (Hudi's key
+    # contract) — the same key in two partitions is two records
+    w = Window.partitionBy(
+        "_hoodie_partition_path", "_hoodie_record_key"
+    ).orderBy(
         F.col("_hoodie_commit_time").desc(), F.col("__seq").desc()
     )
     out = (
