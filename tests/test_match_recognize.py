@@ -884,6 +884,11 @@ def test_runs_fast_path_differential_vs_vm(spark, monkeypatch):
         ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
          "A B{1,2} C+"),
         ({"A": "ty = 'a'", "B": "ty = 'b'"}, "A{2} B{3,}"),
+        # bounded FIRST element (suffix trim capped), bounded LAST
+        ({"A": "ty = 'a'", "B": "ty = 'b'"}, "A{1,2} B{1,3}"),
+        # interior exact + four elements
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'",
+          "P": "ty = 'p'"}, "A+ B{1} C{1,2} P+"),
     ]
     alphabet = "abcpvx"  # x matches no label anywhere
     for define, pattern in patterns:
