@@ -1516,3 +1516,23 @@ def test_mor_scans_keep_predicate_pushdown(spark, tmp_path):
     plani = fmt(dfi)
     assert "PushedFilters: [IsNotNull(g), EqualTo(g,3)]" in plani, plani
     assert dfi.count() == 142
+
+
+def test_sketch_over_hoist_tail_validation():
+    """r9 self-review fix: the OVER hoist re-attaches the trailing
+    ORDER BY/LIMIT above the wrapper, so a tail that only resolves on
+    the ORIGINAL block (aggregate calls, raw source columns) must bail
+    to the single level — the pre-hoist behavior — instead of becoming
+    an unresolvable outer sort. Tails over output names still hoist."""
+    from witdb_spark.plans.dialect import _rewrite_sketch_two_level as rw
+
+    head = (
+        "SELECT g, qdigest_agg(x) AS d, rank() OVER (ORDER BY g) AS r"
+        " FROM t GROUP BY g"
+    )
+    for tail in (" ORDER BY max(y)", " ORDER BY y", " ORDER BY count(*)"):
+        assert rw(head + tail) == head + tail, tail
+    got = rw(head + " ORDER BY r LIMIT 3")
+    assert "__sk_win ORDER BY r LIMIT 3" in got
+    got2 = rw(head + " ORDER BY upper(g) DESC")
+    assert "__sk_win ORDER BY upper(g) DESC" in got2

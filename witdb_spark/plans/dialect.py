@@ -2011,12 +2011,22 @@ def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
             outer_items.append(f"{expr} AS {alias}")
     if not win_items or not inner_items:
         return None
-    # every bare identifier a windowed item reads must be a column of
-    # the split's output (group key or aggregate alias); function names
-    # and window-grammar keywords are skipped
-    for expr, _alias in win_items:
+    # every bare identifier a windowed item (and the re-attached tail)
+    # reads must be a column of the split's output (group key or
+    # aggregate alias); function names and window-grammar keywords are
+    # skipped. The tail check matters: `ORDER BY max(y)` is valid SQL
+    # on the ORIGINAL block but unresolvable above the wrapper — bail
+    # to the single level (pre-hoist behavior) rather than break it.
+    win_aliases = {a.lower() for _e, a in win_items}
+    if tail and re.search(
+        r"(?i)\b(count|sum|avg|min|max|stddev\w*|var\w*|approx_\w+"
+        r"|qdigest_agg\w*|tdigest_agg\w*|approx_set|make_set_digest)"
+        r"\s*\(",
+        re.sub(r"'(?:[^']|'')*'", "''", tail),
+    ):
+        return None  # aggregate-shaped tail: unresolvable above the wrap
+    for expr in [e for e, _a in win_items] + ([tail] if tail else []):
         code = re.sub(r"'(?:[^']|'')*'", "''", expr)
-        pos = 0
         for im in re.finditer(r"[A-Za-z_]\w*", code):
             if im.start() > 0 and code[im.start() - 1] in "0123456789._":
                 continue
@@ -2024,7 +2034,12 @@ def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
             if rest.startswith("("):
                 continue  # function name
             t = im.group(0).lower()
-            if t not in allowed and t not in _OVER_HOIST_KEYWORDS:
+            if (
+                t not in allowed
+                and t not in win_aliases
+                and t not in _OVER_HOIST_KEYWORDS
+                and t not in ("limit", "offset")
+            ):
                 return None
     inner_block = (
         "SELECT " + ", ".join(inner_items) + " " + block[fm.start():]
