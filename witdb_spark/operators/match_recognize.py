@@ -333,6 +333,8 @@ def _runs_plan_elements(ast, define) -> list[tuple[str, int, int | None]] | None
     if any(n not in define for n in names):
         return None
     # static mutual exclusivity: same LHS expression, distinct literals
+    # (numeric literals compare by VALUE — '1' and '1.0' are the same
+    # constant, so two labels carrying them would overlap)
     lhs_seen, lits = set(), set()
     for name in define:
         cond = define[name]
@@ -342,8 +344,13 @@ def _runs_plan_elements(ast, define) -> list[tuple[str, int, int | None]] | None
         if m is None:
             return None
         lhs_seen.add(re.sub(r"\s+", "", m.group("lhs")).lower())
-        lits.add(m.group("lit").upper() if m.group("lit")[0] != "'"
-                 else m.group("lit"))
+        lit = m.group("lit")
+        if lit[0] == "'":
+            lits.add(lit)
+        elif lit[0].isalpha():  # TRUE/FALSE
+            lits.add(lit.upper())
+        else:
+            lits.add(("num", float(lit)))
     if len(lhs_seen) != 1 or len(lits) != len(define):
         return None
     return elems
