@@ -2566,3 +2566,75 @@ def test_iceberg_mor_update_mode(spark, tmp_path):
     res = iceberg_update_where(spark, t, "id = 77", {"v": "0.0"})
     assert res["files_rewritten"] == 0
     assert len(iceberg_snapshots(t)) == 3
+
+
+def test_mor_merge_mode_routing(spark, tmp_path):
+    """r9: MERGE honors the table-level merge-on-read switches —
+    Iceberg write.merge.mode=merge-on-read commits ONE snapshot
+    (position-delete manifest + merged-image data manifest), Delta
+    enableDeletionVectors shadows matched rows with a DV and appends
+    merged images in one commit; pure inserts commit without shadows;
+    the r9 conditional/projected clause kwargs compose."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_merge_into,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_merge_into,
+        iceberg_snapshots,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    ti = str(tmp_path / "imrg")
+    write_iceberg(
+        spark,
+        spark.range(0, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1),
+        ti, mode="create",
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    src = spark.createDataFrame(
+        [(2, -2.0), (5, -5.0), (20, 200.0)], "id bigint, v double"
+    )
+    res = iceberg_merge_into(
+        spark, ti, src, ["id"],
+        when_matched_update={"v": F.col("src.v")},
+        insert_not_matched=True,
+    )
+    assert res["files_rewritten"] == 0
+    got = {r.id: r.v for r in read_iceberg_snapshot(spark, ti).collect()}
+    want = {i: float(i) for i in range(8)}
+    want.update({2: -2.0, 5: -5.0, 20: 200.0})
+    assert got == want
+    assert len(iceberg_snapshots(ti)) == 2  # create + ONE merge snapshot
+    # pure insert: no shadows, plain append snapshot
+    iceberg_merge_into(
+        spark, ti,
+        spark.createDataFrame([(30, 1.0)], "id bigint, v double"),
+        ["id"], insert_not_matched=True,
+    )
+    assert read_iceberg_snapshot(spark, ti).count() == 10
+
+    td = str(tmp_path / "dmrg")
+    write_delta(
+        spark,
+        spark.range(0, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        td, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    res = delta_merge_into(
+        spark, td, src, ["id"],
+        when_matched_update={"v": F.col("src.v")},
+        when_matched_update_cond=F.col("src.v") < 0,
+        insert_not_matched=True,
+    )
+    assert res["files_rewritten"] == 0
+    got = {r.id: r.v for r in read_delta_snapshot(spark, td).collect()}
+    assert got == want
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(td, "deletion_vector_*.bin"))

@@ -1074,6 +1074,68 @@ def delta_update_where(
     )
 
 
+def _delta_merge_dv(
+    spark: SparkSession, path: str, source, on: list[str], **merge_kwargs
+) -> dict:
+    """MERGE in deletion-vector mode: matched-KEY target rows are
+    shadowed by a DV and their merged images (updated, or carried
+    verbatim when no clause touched them, or omitted when a DELETE
+    clause did) append as new files together with the inserts — ONE
+    commit, no file rewrite. Matched positions materialize on the
+    driver, the cost every DV writer pays."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.merge import merge_into
+
+    tagged = read_delta_snapshot(spark, path, _row_tags=True)
+    matched = tagged.join(
+        source.select(*on).distinct(), on=on, how="left_semi"
+    )
+    targets = [
+        (r["__dv_file"], r["__dv_pos"])
+        for r in matched.select("__dv_file", "__dv_pos").collect()
+    ]
+    survivors = merge_into(
+        matched.drop("__dv_file", "__dv_pos"), source, on, **merge_kwargs
+    )
+    if not targets and survivors.isEmpty():
+        return {
+            "version": delta_table_version(spark, path),
+            "files_rewritten": 0,
+        }
+    _, metadata, _, _ = _snapshot_state(
+        spark, path, None, None, allow_dvs=True
+    )
+    part_cols = list(metadata.get("partitionColumns") or [])
+    adds = _stage_data_files(survivors, path, part_cols)
+    if targets:
+        v = delta_write_deletion_vectors(
+            spark, path, targets, extra_actions=adds, operation="MERGE"
+        )
+    else:
+        # pure insert: plain adds commit (no DV to write)
+        for _ in range(5):
+            _, _, _, version = _snapshot_state(
+                spark, path, None, None, allow_dvs=True
+            )
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "MERGE",
+                    }
+                }
+            ] + adds
+            if _try_commit(path, version + 1, actions):
+                v = version + 1
+                break
+        else:
+            raise DeltaProtocolError(
+                f"{path}: lost 5 consecutive commit races"
+            )
+    return {"version": v, "files_rewritten": 0}
+
+
 def delta_merge_into(
     spark: SparkSession,
     path: str,
@@ -1081,7 +1143,9 @@ def delta_merge_into(
     on: list[str],
     **merge_kwargs,
 ) -> dict:
-    """MERGE INTO a Delta table, file-level copy-on-write (reference
+    """MERGE INTO a Delta table. delta.enableDeletionVectors=true
+    routes to the merge-on-read shadow-and-append (_delta_merge_dv);
+    default file-level copy-on-write (reference
     delta connector MERGE): any target file containing a key-matched
     row is rewritten through sources/merge.merge_into applied to JUST
     those files' rows plus the whole source (a source row matching a
@@ -1092,6 +1156,16 @@ def delta_merge_into(
 
     from witdb_spark.sources.merge import merge_into
 
+    _, md0, _, _ = _snapshot_state(
+        spark, path, None, None, allow_dvs=True
+    )
+    if (
+        (md0.get("configuration") or {})
+        .get("delta.enableDeletionVectors", "false")
+        .lower()
+        == "true"
+    ):
+        return _delta_merge_dv(spark, path, source, on, **merge_kwargs)
     for _ in range(5):
         _, metadata, state, version = _snapshot_state(
             spark, path, None, None

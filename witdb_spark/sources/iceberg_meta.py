@@ -1329,11 +1329,80 @@ def iceberg_merge_into(
     files' rows plus the whole source — a source row matching a row in
     an untouched file is impossible (that file would be matched), so
     unmatched files stay as EXISTING entries and pure inserts commit as
-    plain adds (commit_on_no_match). Accepts merge_into's clause
-    kwargs (when_matched_update / when_matched_delete /
-    insert_not_matched)."""
+    plain adds (commit_on_no_match). write.merge.mode=merge-on-read
+    routes to ONE snapshot shadowing the matched-key rows with a
+    position-delete manifest and appending their merged images + the
+    inserts (r9). Accepts merge_into's clause kwargs
+    (when_matched_update / when_matched_delete / insert_not_matched /
+    the r9 conditional + projected-insert kwargs)."""
     from witdb_spark.sources.merge import merge_into
 
+    meta = _current_metadata(path)
+    if (meta.get("properties") or {}).get(
+        "write.merge.mode"
+    ) == "merge-on-read":
+        import glob
+        import shutil
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        tagged = read_iceberg_snapshot(spark, path, _row_tags=True)
+        matched = tagged.join(
+            source.select(*on).distinct(), on=on, how="left_semi"
+        )
+        rows = matched.select("__file", "__pos").collect()
+        survivors = merge_into(
+            matched.drop("__file", "__pos"), source, on, **merge_kwargs
+        )
+        if not rows and survivors.isEmpty():
+            return {
+                "snapshot_id": meta.get("current-snapshot-id"),
+                "files_rewritten": 0,
+            }
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        survivors.write.mode("overwrite").parquet(staging)
+        data_adds = []
+        for f in sorted(
+            glob.glob(os.path.join(staging, "part-*.parquet"))
+        ):
+            n_rows = pq.ParquetFile(f).metadata.num_rows
+            if n_rows == 0:
+                continue
+            rel = os.path.join(
+                "data", f"mrg-{uuid.uuid4().hex}.parquet"
+            )
+            os.makedirs(os.path.join(path, "data"), exist_ok=True)
+            shutil.move(f, os.path.join(path, rel))
+            data_adds.append(
+                {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, rel)
+                    ),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        if rows:
+            snap = _iceberg_posdelete_commit(
+                spark, path,
+                [(r["__file"], r["__pos"]) for r in rows],
+                data_adds,
+            )
+        else:
+            # pure insert: nothing to shadow — a plain append commit
+            snap = write_iceberg(
+                spark,
+                spark.read.parquet(
+                    *[os.path.join(path, d["file_path"]) for d in data_adds]
+                ),
+                path,
+                mode="append",
+            )
+        return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
         spark, path,
         lambda df: df.join(
