@@ -79,9 +79,13 @@ def hudi_base_files(
     props = _properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
+        # r9: MOR READS go through _read_mor_snapshot (base+log merge);
+        # this plain file list serves COW write/maintenance paths, where
+        # ignoring log records would resurrect or lose rows
         raise HudiProtocolError(
-            f"Hudi table type {ttype} needs the hudi-spark bundle"
-            " (merge-on-read log compaction)"
+            f"Hudi table type {ttype}: file-list consumers (COW"
+            " DML/clean/cluster) need the hudi-spark bundle; snapshot"
+            " READS and hudi_log_upsert handle MOR jar-free"
         )
     instants = _completed_instants(path)
     if as_of_instant is not None:
