@@ -2638,3 +2638,75 @@ def test_mor_merge_mode_routing(spark, tmp_path):
     import glob as _glob
 
     assert _glob.glob(os.path.join(td, "deletion_vector_*.bin"))
+
+
+def test_delete_compaction_maintenance(spark, tmp_path):
+    """r9: maintenance compacts merge-on-read state back to plain
+    files. iceberg_optimize on a snapshot with live deletes rewrites
+    the MERGED rows (deletes folded in) as one overwrite snapshot;
+    hudi_compact merges a MOR table's base+logs into fresh base groups
+    via one replacecommit. Both keep time travel to the MOR state."""
+    from witdb_spark.sources.hudi_meta import (
+        _hudi_file_slices,
+        hudi_compact,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_data_files,
+        iceberg_delete_where,
+        iceberg_optimize,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    ti = str(tmp_path / "icomp")
+    write_iceberg(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(2),
+        ti, mode="create",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    iceberg_delete_where(spark, ti, "id % 2 = 0")
+    import pytest as _pytest
+
+    from witdb_spark.sources.iceberg_meta import IcebergProtocolError
+
+    with _pytest.raises(IcebergProtocolError, match="position-delete"):
+        iceberg_data_files(ti)  # file-list consumers blocked by deletes
+    res = iceberg_optimize(spark, ti)
+    assert res["deletes_compacted"] >= 1
+    # deletes folded away: plain file list works again, rows correct
+    files, _ = iceberg_data_files(ti)
+    assert files
+    got = sorted(r.id for r in read_iceberg_snapshot(spark, ti).collect())
+    assert got == [1, 3, 5, 7, 9]
+
+    th = str(tmp_path / "hcomp")
+    write_hudi_mor_create(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(2),
+        th, record_key="id",
+    )
+    hudi_log_upsert(
+        spark, th,
+        spark.createDataFrame([(3, -3.0), (11, 110.0)],
+                              "id bigint, v double"),
+    )
+    pre = {r.id: r.v for r in read_hudi_snapshot(spark, th)
+           .select("id", "v").collect()}
+    c = hudi_compact(spark, th, target_files=1)
+    post = {r.id: r.v for r in read_hudi_snapshot(spark, th)
+            .select("id", "v").collect()}
+    assert post == pre and post[3] == -3.0 and post[11] == 110.0
+    # compacted to ONE fresh slice with no logs
+    slices = _hudi_file_slices(th)
+    assert len(slices) == 1
+    (_, sl), = slices.items()
+    assert sl["logs"] == [] and sl["base"][0] == c
+    # time travel to the pre-compaction instant still merges logs
+    old = read_hudi_snapshot(spark, th, as_of_instant=str(int(c) - 1))
+    assert {r.id: r.v for r in old.select("id", "v").collect()} == pre

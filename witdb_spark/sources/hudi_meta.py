@@ -1012,6 +1012,73 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     return instant
 
 
+def hudi_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> str:
+    """MOR compaction jar-free (reference: hudi's compaction merges a
+    file slice's base + logs into a new base file): the merged
+    snapshot rewrites as fresh base file groups and ONE replacecommit
+    retires every prior group — after it, log records are folded in
+    and reads are pure parquet again. Prior instants still see the old
+    slices (time travel). Returns the commit instant."""
+    import glob
+    import shutil
+    import uuid
+
+    props = _properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "hudi_compact is for MERGE_ON_READ tables (COW tables use"
+            " CALL system.optimize clustering)"
+        )
+    slices = _hudi_file_slices(path)
+    if any(part for part, _fid in slices):
+        raise HudiProtocolError(
+            "compaction of a PARTITIONED Hudi table needs the"
+            " hudi-spark bundle (partitioned replace bookkeeping)"
+        )
+    base_last = _completed_instants(path)[-1][0]
+    merged = read_hudi_snapshot(spark, path).coalesce(
+        max(1, int(target_files))
+    )
+    instant = _claim_instant(path)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(staging)
+    stats = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        fid = uuid.uuid4().hex
+        rel = f"{fid}_0_{instant}.parquet"
+        shutil.move(f, os.path.join(path, rel))
+        stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": "null",
+                "totalWriteBytes": os.path.getsize(
+                    os.path.join(path, rel)
+                ),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during compaction — re-run"
+        )
+    meta = {
+        "partitionToWriteStats": {"": stats},
+        "partitionToReplaceFileIds": {
+            "": sorted(fid for _part, fid in slices)
+        },
+        "extraMetadata": {"schema": merged.schema.json()},
+        "operationType": "COMPACT",
+    }
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.replacecommit"), "x"
+    ) as f:
+        json.dump(meta, f)
+    return instant
+
+
 def hudi_clean(path: str, keep_last: int = 1) -> dict:
     """Retention maintenance (real Hudi's cleaner, KEEP_LATEST_COMMITS
     analog): keep every base file visible as of any of the last

@@ -1597,10 +1597,25 @@ def iceberg_optimize(
     snapshot, old files retained for time travel. Small-file
     proliferation is THE operational cost of frequent COW commits at
     scale. Already-compact tables are a no-op (like delta_optimize) —
-    a scheduled hourly run must not accrete a table copy per run."""
+    a scheduled hourly run must not accrete a table copy per run.
+    r9: a snapshot carrying live POSITION/EQUALITY deletes compacts
+    them AWAY (reference rewrite_data_files with delete compaction):
+    the merged rows rewrite as fresh files in one overwrite snapshot,
+    after which plain file-list consumers work again."""
     meta = _current_metadata(path)
     _maintenance_gate(meta, "optimize")
-    files, _ = iceberg_data_files(path)
+    data, deletes, _cols = _iceberg_scan(path)
+    if deletes:
+        merged = read_iceberg_snapshot(spark, path).coalesce(
+            max(1, int(target_files))
+        )
+        snap = write_iceberg(spark, merged, path, mode="overwrite")
+        return {
+            "snapshot_id": snap,
+            "files_rewritten": len(data),
+            "deletes_compacted": len(deletes),
+        }
+    files = [p for p, _ in data]
     if len(files) <= max(1, int(target_files)):
         return {
             "snapshot_id": meta.get("current-snapshot-id"),
