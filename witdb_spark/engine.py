@@ -551,11 +551,24 @@ class Engine:
                     " files_rewritten bigint",
                 )
             if fmt == "hudi":
-                from witdb_spark.sources.hudi_meta import hudi_cluster
-
-                inst = hudi_cluster(
-                    self.spark, path, target_groups=target
+                from witdb_spark.sources.hudi_meta import (
+                    _properties,
+                    hudi_cluster,
+                    hudi_compact,
                 )
+
+                if _properties(path).get(
+                    "hoodie.table.type"
+                ) == "MERGE_ON_READ":
+                    # r9: MOR optimize = compaction (fold logs into
+                    # fresh base groups); COW optimize = clustering
+                    inst = hudi_compact(
+                        self.spark, path, target_files=target
+                    )
+                else:
+                    inst = hudi_cluster(
+                        self.spark, path, target_groups=target
+                    )
                 return self.spark.createDataFrame(
                     [(path, inst)], "path string, instant string"
                 )
