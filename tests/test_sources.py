@@ -2710,3 +2710,53 @@ def test_delete_compaction_maintenance(spark, tmp_path):
     # time travel to the pre-compaction instant still merges logs
     old = read_hudi_snapshot(spark, th, as_of_instant=str(int(c) - 1))
     assert {r.id: r.v for r in old.select("id", "v").collect()} == pre
+
+
+def test_avro_bzip2_xz_codecs():
+    """r9: bzip2 and xz Avro container codecs decode via the stdlib
+    (spec codecs; snappy/zstandard keep the loud module remedy)."""
+    import bz2
+    import lzma
+
+    from witdb_spark.sources.avro_codec import (
+        _MAGIC,
+        _Reader,
+        _decode,
+        _encode,
+        _zigzag,
+        read_container,
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    recs = [{"a": i} for i in range(50)]
+    base = write_container(schema, recs)
+    r = _Reader(base)
+    r.read(4)
+    meta = _decode({"type": "map", "values": "bytes"}, r, {})
+    sync = r.read(16)
+    count = r.long()
+    size = r.long()
+    block = r.read(size)
+    for codec, comp in (("bzip2", bz2.compress), ("xz", lzma.compress)):
+        out = bytearray(_MAGIC)
+        m2 = dict(meta)
+        m2["avro.codec"] = codec.encode()
+        _encode({"type": "map", "values": "bytes"}, m2, {}, out)
+        out += sync
+        cb = comp(block)
+        out += _zigzag(count) + _zigzag(len(cb)) + cb + sync
+        _s, got = read_container(bytes(out))
+        assert got == recs, codec
+    import pytest as _pytest
+
+    from witdb_spark.sources.avro_codec import AvroError
+
+    bad = bytearray(_MAGIC)
+    m2 = dict(meta)
+    m2["avro.codec"] = b"snappy"
+    _encode({"type": "map", "values": "bytes"}, m2, {}, bad)
+    bad += sync
+    with _pytest.raises(AvroError, match="snappy"):
+        read_container(bytes(bad))

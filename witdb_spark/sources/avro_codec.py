@@ -203,9 +203,12 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
         raise AvroError("not an Avro object container file (bad magic)")
     meta = _decode({"type": "map", "values": "bytes"}, r, {})
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "bzip2", "xz"):
+        # snappy/zstandard need non-stdlib libraries — loud remedy
         raise AvroError(
-            f"unsupported Avro codec {codec!r} (null/deflate supported)"
+            f"unsupported Avro codec {codec!r}"
+            " (null/deflate/bzip2/xz supported jar-free;"
+            " snappy/zstandard need the spark-avro module)"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     names: dict = {}
@@ -218,6 +221,14 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)  # raw DEFLATE per spec
+        elif codec == "bzip2":
+            import bz2
+
+            block = bz2.decompress(block)
+        elif codec == "xz":
+            import lzma
+
+            block = lzma.decompress(block)
         br = _Reader(block)
         for _ in range(count):
             records.append(_decode(schema, br, names))
