@@ -331,3 +331,104 @@ def test_boolean_fallback_inclusion_exclusion(a, b):
     assert abs(area_a - (ia + da)) < 1e-6, (a, b)
     assert abs(ua - (area_a + area_b - ia)) < 1e-6, (a, b)
     assert abs(sa - (ua - ia)) < 1e-6, (a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40 - 1),
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_roaring_array_roundtrip_property(vals):
+    """Any uint64 set round-trips through the Delta RoaringBitmapArray
+    portable encode/decode, including container-type boundaries."""
+    from witdb_spark.sources.roaring import (
+        decode_roaring_array,
+        encode_roaring_array,
+    )
+
+    want = sorted(set(vals))
+    assert decode_roaring_array(encode_roaring_array(vals)) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=4000, max_value=5000), st.integers(0, 2**16))
+def test_roaring_container_boundary_property(n, base):
+    """Dense spans crossing the 4096 array/bitmap container boundary
+    (and a 16-bit key boundary via the base offset) round-trip."""
+    from witdb_spark.sources.roaring import (
+        decode_roaring_array,
+        encode_roaring_array,
+    )
+
+    vals = list(range(base, base + n))
+    assert decode_roaring_array(encode_roaring_array(vals)) == vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200).map(
+    lambda b: b + b"\x00" * ((-len(b)) % 4)
+))
+def test_z85_roundtrip_property(data):
+    from witdb_spark.sources.roaring import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=24,
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_hudi_log_block_roundtrip_property(tmp_path_factory, rows):
+    """Arbitrary records round-trip through the Hudi log block framing
+    + the bare-datum Avro encode/decode."""
+    import json
+    import os
+    import uuid
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_AVRO_DATA,
+        HEADER_INSTANT_TIME,
+        HEADER_SCHEMA,
+        append_log_block,
+        encode_avro_block_content,
+        log_records,
+    )
+
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "a", "type": ["null", "long"], "default": None},
+            {"name": "b", "type": ["null", "string"], "default": None},
+        ],
+    }
+    recs = [{"a": a, "b": b} for a, b in rows]
+    p = str(
+        tmp_path_factory.mktemp("hlog") / f".f_{uuid.uuid4().hex}.log.1_0"
+    )
+    append_log_block(
+        p, BLOCK_AVRO_DATA,
+        {HEADER_INSTANT_TIME: "1", HEADER_SCHEMA: json.dumps(schema)},
+        encode_avro_block_content(recs, schema),
+    )
+    # a second block in the same file (multi-block framing)
+    append_log_block(
+        p, BLOCK_AVRO_DATA,
+        {HEADER_INSTANT_TIME: "2", HEADER_SCHEMA: json.dumps(schema)},
+        encode_avro_block_content(recs[:3], schema),
+    )
+    assert log_records(p) == recs + recs[:3]
