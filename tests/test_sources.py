@@ -2760,3 +2760,106 @@ def test_avro_bzip2_xz_codecs():
     bad += sync
     with _pytest.raises(AvroError, match="snappy"):
         read_container(bytes(bad))
+
+
+_HUDI_FIXTURES = (
+    "/root/reference/plugin/trino-hudi/src/test/resources/"
+    "hudi-testing-data"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_HUDI_FIXTURES),
+    reason="reference hudi fixtures not present",
+)
+def test_hudi_real_library_cow_tables(spark):
+    """The jar-free Hudi reader against three REAL library-written COW
+    tables (the reference's trino-hudi fixtures), asserting the exact
+    values the reference's own TestHudiSmokeTest asserts: row contents
+    of the non-partitioned table, GOOG's max ts in stock_ticks_cow,
+    and the two commit times of the multi-partitioned table."""
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+
+    non_part = read_hudi_snapshot(
+        spark, os.path.join(_HUDI_FIXTURES, "hudi_non_part_cow")
+    )
+    got = sorted(
+        (r.rowid, r.name)
+        for r in non_part.select("rowid", "name").collect()
+    )
+    assert got == [("row_1", "bob"), ("row_2", "john"), ("row_3", "tom")]
+
+    ticks = read_hudi_snapshot(
+        spark, os.path.join(_HUDI_FIXTURES, "stock_ticks_cow")
+    )
+    goog = (
+        ticks.where("symbol = 'GOOG'")
+        .groupBy("symbol")
+        .agg({"ts": "max"})
+        .collect()
+    )
+    assert [(r[0], r[1]) for r in goog] == [("GOOG", "2018-08-31 10:59:00")]
+
+    pt = read_hudi_snapshot(
+        spark, os.path.join(_HUDI_FIXTURES, "hudi_cow_pt_tbl")
+    )
+    cts = sorted(r[0] for r in pt.select("_hoodie_commit_time").collect())
+    assert cts == ["20220906063435640", "20220906063456550"]
+
+
+_DBX_FIXTURES = (
+    "/root/reference/plugin/trino-delta-lake/src/test/resources/"
+    "databricks"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_DBX_FIXTURES),
+    reason="reference delta fixtures not present",
+)
+def test_delta_real_databricks_tables(spark):
+    """The jar-free Delta reader against REAL Databricks-written tables
+    (the reference's trino-delta-lake fixtures), asserting the exact
+    values the reference's own smoke tests assert: person's 12 rows
+    (checkpoint bootstrap — their commit lines carry trailing bytes
+    the lenient Jackson-style parser must ignore), uppercase_columns'
+    values, and default_partitions' NULL-partition rows."""
+    from witdb_spark.sources.delta_log import read_delta_snapshot
+
+    person = read_delta_snapshot(
+        spark, os.path.join(_DBX_FIXTURES, "person")
+    )
+    assert person.count() == 12  # reference: SELECT COUNT(*) VALUES 12
+    # every variant of the same table reads identically
+    for variant in (
+        "person_without_last_checkpoint",
+        "person_without_old_jsons",
+        "person_without_checkpoints",
+    ):
+        v = read_delta_snapshot(
+            spark, os.path.join(_DBX_FIXTURES, variant)
+        )
+        assert v.count() == 12, variant
+
+    up = read_delta_snapshot(
+        spark, os.path.join(_DBX_FIXTURES, "uppercase_columns")
+    )
+    got = sorted(tuple(r) for r in up.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]  # reference smoke values
+
+    dp = read_delta_snapshot(
+        spark, os.path.join(_DBX_FIXTURES, "default_partitions")
+    )
+    got = {
+        tuple(r)
+        for r in dp.select(
+            "number_partition", "string_partition", "value"
+        ).collect()
+    }
+    assert got == {
+        (None, "partition_a", "jarmuz"),
+        (1, None, "brukselka"),
+        (None, None, "kalafior"),
+    }
+    assert dp.where("number_partition IS NULL").count() == 2
+    assert dp.where("string_partition IS NOT NULL").count() == 1

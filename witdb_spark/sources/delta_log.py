@@ -134,7 +134,7 @@ def _read_v2_checkpoint(
             for line in f:
                 line = line.strip()
                 if line:
-                    fold(json.loads(line))
+                    fold(_parse_action(line))
     else:
         for r in spark.read.parquet(manifest).collect():
             fold(
@@ -162,6 +162,15 @@ def _read_v2_checkpoint(
     return protocol, metadata, adds
 
 
+def _parse_action(line: str) -> dict:
+    """One log action per line — parsed LENIENTLY like the reference's
+    Jackson reader: decode the first JSON object and ignore trailing
+    bytes (real Databricks-written fixtures carry trailing characters
+    after the object; strict json.loads refuses them)."""
+    action, _end = json.JSONDecoder().raw_decode(line)
+    return action
+
+
 def _commit_timestamp(commit_path: str) -> int:
     """Commit time in epoch millis: commitInfo.timestamp when the
     writer recorded one, else the log file's modification time (the
@@ -171,7 +180,7 @@ def _commit_timestamp(commit_path: str) -> int:
             line = line.strip()
             if not line:
                 continue
-            action = json.loads(line)
+            action = _parse_action(line)
             info = action.get("commitInfo")
             if info and "timestamp" in info:
                 return int(info["timestamp"])
@@ -288,7 +297,7 @@ def _snapshot_state(
                 line = line.strip()
                 if not line:
                     continue
-                action = json.loads(line)
+                action = _parse_action(line)
                 if "protocol" in action:
                     protocol = action["protocol"]
                 elif "metaData" in action:
