@@ -2863,6 +2863,33 @@ def test_delta_real_databricks_tables(spark):
     }
     assert dp.where("number_partition IS NULL").count() == 2
     assert dp.where("string_partition IS NOT NULL").count() == 1
+    # OSS-delta fixtures: `partitions` exercises the protocol's string
+    # serialization of ELEVEN partition-column types; every typed
+    # partition value must cast back to the exact typed constant
+    import datetime
+    from decimal import Decimal
+
+    oss = os.path.join(_DBX_FIXTURES, "..", "deltalake")
+    parts = read_delta_snapshot(spark, os.path.join(oss, "partitions"))
+    assert parts.count() == 30
+    vals = set(
+        tuple(r)
+        for r in parts.select(
+            "p_string", "p_byte", "p_short", "p_int", "p_long",
+            "p_decimal", "p_boolean", "p_float", "p_double", "p_date",
+        ).collect()
+    )
+    assert vals == {
+        (
+            "Alice", 123, 12345, 123456789, 1234567890123456789,
+            Decimal("12345678901234567890.123456789012345678"), True,
+            3.1415927410125732, 3.141592653589793,
+            datetime.date(2014, 1, 1),
+        )
+    }
+    assert read_delta_snapshot(
+        spark, os.path.join(oss, "person")
+    ).count() == 12
 
 
 _ICEBERG_FIXTURES = (
