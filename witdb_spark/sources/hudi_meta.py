@@ -901,6 +901,13 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
             "MOR upsert on a PARTITIONED Hudi table needs the"
             " hudi-spark bundle"
         )
+    if any(sl["base"] is None for sl in slices.values()):
+        # a key living only in a log-only slice would wrongly route to
+        # INSERT (duplicate record) — same gate the reader has
+        raise HudiProtocolError(
+            "MOR upsert over log-only file slices needs the hudi-spark"
+            " bundle"
+        )
     matched = routed.where("__sf IS NOT NULL").collect()
     stats = []
     if matched:
