@@ -2890,6 +2890,20 @@ def test_delta_real_databricks_tables(spark):
     assert read_delta_snapshot(
         spark, os.path.join(oss, "person")
     ).count() == 12
+    # legacy-calendar corner: the writer stored DATE '0100-01-01'
+    # under the hybrid Julian calendar; the reference's own smoke test
+    # asserts it reads back as 0099-12-30 (proleptic Gregorian), and
+    # this reader must agree
+    old = read_delta_snapshot(
+        spark, os.path.join(_DBX_FIXTURES, "old_dates")
+    )
+    got = sorted((str(r[0]), r[1]) for r in old.collect())
+    assert got == [
+        ("0099-12-30", 1),
+        ("1582-10-15", 2),
+        ("1960-01-01", 3),
+        ("2020-01-01", 4),
+    ]
 
 
 _ICEBERG_FIXTURES = (
