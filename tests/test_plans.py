@@ -436,6 +436,80 @@ def test_spatial_contains_broadcasts_polygon_side(spark):
     assert "_env" in bcast or "wkt" in bcast, side
 
 
+def test_spatial_contains_unrolled_verify_tier(spark):
+    """r10 (VERDICT r9 task 2): with a driver-collectable single-ring
+    polygon side, the containment verify compiles to literal boolean
+    SQL (CASE-dispatched ray cast) — no higher-order aggregate() fold,
+    no Python eval anywhere in the plan. This removed the engine's
+    worst CPU-per-byte hotspot (~25% CPU and ~35% wall at sf0.1)."""
+    plan = plan_of(spark, "spatial_join_contains")
+    assert "aggregate(" not in plan, "HOF fold should be unrolled"
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, node
+
+
+def test_spatial_contains_tier_differential(spark):
+    """Randomized differential across the three verify tiers (same
+    pattern as the MATCH_RECOGNIZE fast-path gate): random convex and
+    non-convex single-ring polygons on a 0.25 grid × random integer
+    lattice points — the unrolled literal tier, the HOF aggregate()
+    tier, and the numpy kernel tier must agree row for row. Seeded;
+    polygons include a concave ring so even-odd parity (not just
+    half-plane sign) is exercised."""
+    import random
+
+    import witdb_spark.operators.spatial_join as sj
+
+    rng = random.Random(20251015)
+    polys_rows = []
+    for pid in range(8):
+        n = rng.choice([3, 4, 5, 7])
+        cx, cy = rng.uniform(10, 80), rng.uniform(10, 70)
+        pts = []
+        import math
+
+        for i in range(n):
+            ang = 2 * math.pi * i / n
+            r = rng.choice([4.0, 7.25, 11.5]) * (
+                0.4 if (i % 2 and n >= 5) else 1.0  # star => concave
+            )
+            pts.append(
+                (
+                    round((cx + r * math.cos(ang)) * 4) / 4,
+                    round((cy + r * math.sin(ang)) * 4) / 4,
+                )
+            )
+        ring = ", ".join(f"{x!r} {y!r}" for x, y in [*pts, pts[0]])
+        polys_rows.append((pid, f"POLYGON (({ring}))"))
+    polys = spark.createDataFrame(polys_rows, "poly_id int, wkt string")
+    pts_rows = [
+        (i, float(rng.randint(0, 97)), float(rng.randint(0, 89)))
+        for i in range(4000)
+    ]
+    points = spark.createDataFrame(pts_rows, "pt_id int, x double, y double")
+
+    def run():
+        return sorted(
+            (r.pt_id, r.poly_id)
+            for r in sj.spatial_join_contains(
+                points, polys, "x", "y", "wkt", cell_size=16.0
+            ).collect()
+        )
+
+    unrolled = run()
+    saved = (sj._UNROLL_MAX_POLYS, sj._SINGLE_RING)
+    try:
+        sj._UNROLL_MAX_POLYS = 0  # force tier 2 (HOF fold)
+        hof = run()
+        sj._SINGLE_RING = r"^NEVER$"  # force tier 3 (numpy kernel)
+        numpy_tier = run()
+    finally:
+        sj._UNROLL_MAX_POLYS, sj._SINGLE_RING = saved
+    assert unrolled == hof
+    assert unrolled == numpy_tier
+    assert len(unrolled) > 50  # the differential actually joined things
+
+
 def test_self_join_pipelines_reuse_cached_relation(spark):
     """The relations feeding BOTH sides of the LSH/simhash candidate
     self-joins must come from the persisted intermediate (r4: without
@@ -1410,18 +1484,55 @@ def test_sketch_over_hoist_two_level(spark):
         ).collect()
     }
     assert {(k, i + 1): v for i, (k, v) in enumerate(sorted(base.items()))} == got
-    # a window reading a non-key, non-alias expression bails the hoist;
-    # this shape then hits Spark's own mixed-placement refusal (the
-    # documented conservative fallback: bail, surface Spark's error)
+    # a window reading a raw (non-key, non-alias) column bails the
+    # hoist; the single-level fallback then surfaces Spark's own
+    # refusal for the invalid shape (documented conservative fallback)
     import pytest
 
-    with pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
+    with pytest.raises(Exception, match="MISSING_AGGREGATION"):
         eng.sql(
             "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d,"
             " max(l_quantity) AS mq,"
-            " rank() OVER (ORDER BY max(l_quantity)) AS r"
+            " rank() OVER (ORDER BY l_shipdate) AS r"
             " FROM lineitem GROUP BY l_returnflag"
         ).collect()
+
+
+def test_sketch_over_hoist_embedded_aggregate(spark):
+    """r10 (ADVICE r9): a windowed item EMBEDDING a bare aggregate —
+    the share-of-total spelling sum(count(*)) OVER () — used to hoist
+    into an outer select with no GROUP BY (MISSING_GROUP_BY). Now the
+    embedded aggregate is computed in the inner block under a
+    synthetic alias and the window reads the alias; values match
+    DuckDB. Also: `rank() OVER (ORDER BY max(q))` hoists the same way."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    df = eng.sql(
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d,"
+        " sum(count(*)) OVER () AS share"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    got = {(r.l_returnflag, r.share) for r in df.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT l_returnflag, sum(count(*)) OVER () FROM"
+            f" '{SF_DIR}/lineitem.parquet' GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    # embedded agg inside the window's ORDER BY hoists too
+    df2 = eng.sql(
+        "SELECT l_returnflag, qdigest_agg(l_extendedprice) AS d,"
+        " rank() OVER (ORDER BY max(l_quantity)) AS r"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    assert {r.r for r in df2.collect()} <= {1, 2, 3}
 
 
 def test_sketch_distinct_over_hoist():

@@ -1944,6 +1944,67 @@ _OVER_HOIST_KEYWORDS = {
 }
 
 
+_AGG_SHAPE_RE = re.compile(
+    r"(?i)\b(count|sum|avg|min|max|stddev\w*|var\w*|approx_\w+"
+    r"|qdigest_agg\w*|tdigest_agg\w*|approx_set|make_set_digest)"
+    r"\s*\("
+)
+
+
+def _extract_embedded_aggs(
+    expr: str, start_n: int
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """A windowed item may EMBED a bare aggregate over the group —
+    ``sum(count(*)) OVER ()`` (share-of-total) — which is valid on the
+    original block but a MISSING_GROUP_BY above the hoist wrapper (the
+    outer select has no GROUP BY). Rewrite: compute each embedded
+    aggregate in the INNER block under a synthetic alias and reference
+    the alias from the windowed item — it is then a column of the
+    split's output like any aggregate alias. Returns (rewritten expr,
+    [(alias, agg call text)]), or None to bail the hoist entirely
+    (degenerate nesting). The window function itself — the call whose
+    matching close paren is directly followed by OVER — is left alone."""
+    _ed, einstr = _scan_maps(expr)
+    spans: list[tuple[int, int]] = []
+    for m in _AGG_SHAPE_RE.finditer(expr):
+        if einstr[m.start()]:
+            continue
+        i = expr.index("(", m.end() - 1)
+        depth, j = 0, i
+        while j < len(expr):
+            if expr[j] == "(" and not einstr[j]:
+                depth += 1
+            elif expr[j] == ")" and not einstr[j]:
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        else:
+            return None  # unbalanced — malformed, bail
+        if re.match(r"(?i)OVER\b", expr[j + 1 :].lstrip()):
+            continue  # the window function itself
+        spans.append((m.start(), j + 1))
+    # keep outermost spans only (an agg nested in an extracted agg
+    # travels with its parent's text)
+    kept: list[tuple[int, int]] = []
+    for s, e in spans:
+        if kept and s < kept[-1][1]:
+            continue
+        kept.append((s, e))
+    if not kept:
+        return expr, []
+    out: list[tuple[str, str]] = []
+    new = expr
+    for s, e in reversed(kept):
+        text = expr[s:e]
+        if re.search(r"(?i)\bOVER\b", text):
+            return None  # window nested inside an aggregate arg: bail
+        alias = f"__sk_emb{start_n + len(out)}"
+        out.append((alias, text))
+        new = new[:s] + alias + new[e:]
+    return new, out
+
+
 def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
     """Hoist top-level windowed select items out of a sketch block so
     the remainder can rewrite (PARTIAL->FINAL split by default, the
@@ -1985,6 +2046,7 @@ def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
     outer_items: list[str] = []  # original order
     allowed = {k.lower() for k in keys}
     win_items: list[tuple[str, str]] = []
+    emb_items: list[str] = []  # embedded-agg synthetic inner items
     for item in _split_call_args(items_text):
         if not item.strip():
             return None
@@ -2007,10 +2069,18 @@ def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
         else:
             if alias is None:
                 return None
+            ext = _extract_embedded_aggs(expr, len(emb_items))
+            if ext is None:
+                return None
+            expr, embs = ext
+            for emb_alias, emb_text in embs:
+                emb_items.append(f"{emb_text} AS {emb_alias}")
+                allowed.add(emb_alias)
             win_items.append((expr, alias))
             outer_items.append(f"{expr} AS {alias}")
     if not win_items or not inner_items:
         return None
+    inner_items += emb_items
     # every bare identifier a windowed item (and the re-attached tail)
     # reads must be a column of the split's output (group key or
     # aggregate alias); function names and window-grammar keywords are
@@ -2018,11 +2088,8 @@ def _sketch_block_over_hoist(block: str, inner_rewrite=None) -> str | None:
     # on the ORIGINAL block but unresolvable above the wrapper — bail
     # to the single level (pre-hoist behavior) rather than break it.
     win_aliases = {a.lower() for _e, a in win_items}
-    if tail and re.search(
-        r"(?i)\b(count|sum|avg|min|max|stddev\w*|var\w*|approx_\w+"
-        r"|qdigest_agg\w*|tdigest_agg\w*|approx_set|make_set_digest)"
-        r"\s*\(",
-        re.sub(r"'(?:[^']|'')*'", "''", tail),
+    if tail and _AGG_SHAPE_RE.search(
+        re.sub(r"'(?:[^']|'')*'", "''", tail)
     ):
         return None  # aggregate-shaped tail: unresolvable above the wrap
     for expr in [e for e, _a in win_items] + ([tail] if tail else []):

@@ -23,8 +23,9 @@ roaring codec (sources/roaring.py) ON EXECUTORS, and the snapshot scan
 anti-joins (file, row_index) like any MOR reader;
 delta_write_deletion_vectors commits spec-shaped DVs (protocol bumped
 to readerFeatures=[deletionVectors]). Write-side operations that would
-have to rewrite DV'd files (COW DML, optimize, checkpoint, vacuum)
-still refuse loudly on tables with active DVs.
+have to rewrite DV'd files (COW DML, optimize, vacuum) still refuse
+loudly on tables with active DVs; delta_checkpoint serializes DV
+descriptors into the checkpoint and is DV-safe.
 
 r9 also reads column mapping mode=name (physical -> logical renames)
 and V2 / uuid-named CHECKPOINTS (manifest json/parquet +
@@ -45,6 +46,8 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from witdb_spark.sources.paths import norm_path_expr
 
 #: minReaderVersion 3 reader features this module actually honors.
 #: timestampNtz is a plain parquet NTZ read; columnMapping is accepted
@@ -429,10 +432,13 @@ def read_delta_snapshot(
         if dv_descs or _row_tags:
             df = df.withColumns(
                 {
-                    "__dv_file": F.regexp_replace(
-                        F.col("_metadata.file_path"),
-                        r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)",
-                        "",
+                    # percent-DECODE the scan rendering so it joins
+                    # the decoded descriptor keys (line below builds
+                    # them from unquote()d add paths) — an encoded/
+                    # decoded mismatch makes the DV left-anti match
+                    # nothing and silently resurrects deleted rows
+                    "__dv_file": norm_path_expr(
+                        F.col("_metadata.file_path")
                     ),
                     "__dv_pos": F.col("_metadata.row_index"),
                 }

@@ -254,10 +254,13 @@ def iceberg_data_files(
 
 
 def _norm_file_path(p: str) -> str:
-    """Canonical join key for file paths: strip any URI scheme so the
-    delete rows' stored full URIs (spec: 'full URI with FS scheme')
-    compare equal to Spark's _metadata.file_path rendering."""
-    return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", "", p)
+    """Canonical join key for file paths: strip any URI scheme AND
+    percent-decode, so manifest/delete-row paths (raw or URI-encoded,
+    libraries differ) compare equal to Spark's _metadata.file_path
+    rendering after the same normalization (sources/paths.py)."""
+    from witdb_spark.sources.paths import norm_path
+
+    return norm_path(p)
 
 
 def _apply_row_deletes(
@@ -284,11 +287,11 @@ def _apply_row_deletes(
     same shape any MOR reader needs."""
     from pyspark.sql import functions as F
 
-    norm_expr = (
-        lambda c: F.regexp_replace(
-            c, r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)", ""
-        )
-    )
+    # one shared normalizer for BOTH the scan rendering (percent-
+    # encoded URI) and the delete rows' stored file_path — an encoding
+    # mismatch either drops applicable delete rows (un-deleting) or
+    # fails the file_seq join loudly; see sources/paths.py
+    from witdb_spark.sources.paths import norm_path_expr as norm_expr
     file_seq = spark.createDataFrame(
         [(_norm_file_path(p), s) for p, s in data],
         "__file string, __data_seq long",
@@ -408,13 +411,11 @@ def read_iceberg_snapshot(
     elif _row_tags:
         from pyspark.sql import functions as F
 
+        from witdb_spark.sources.paths import norm_path_expr
+
         df = df.withColumns(
             {
-                "__file": F.regexp_replace(
-                    F.col("_metadata.file_path"),
-                    r"^[A-Za-z][A-Za-z0-9+.\-]*:/{0,2}(?=/)",
-                    "",
-                ),
+                "__file": norm_path_expr(F.col("_metadata.file_path")),
                 "__pos": F.col("_metadata.row_index"),
             }
         )
@@ -1360,6 +1361,14 @@ def iceberg_merge_into(
                 "snapshot_id": meta.get("current-snapshot-id"),
                 "files_rewritten": 0,
             }
+        if not rows:
+            # pure insert: nothing to shadow — plain append staged
+            # directly from the survivors frame. (Staging + moving
+            # into data/ and THEN appending would commit a second
+            # copy and orphan the moved files — write_iceberg stages
+            # its own.)
+            snap = write_iceberg(spark, survivors, path, mode="append")
+            return {"snapshot_id": snap, "files_rewritten": 0}
         staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
         survivors.write.mode("overwrite").parquet(staging)
         data_adds = []
@@ -1386,22 +1395,11 @@ def iceberg_merge_into(
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
-        if rows:
-            snap = _iceberg_posdelete_commit(
-                spark, path,
-                [(r["__file"], r["__pos"]) for r in rows],
-                data_adds,
-            )
-        else:
-            # pure insert: nothing to shadow — a plain append commit
-            snap = write_iceberg(
-                spark,
-                spark.read.parquet(
-                    *[os.path.join(path, d["file_path"]) for d in data_adds]
-                ),
-                path,
-                mode="append",
-            )
+        snap = _iceberg_posdelete_commit(
+            spark, path,
+            [(r["__file"], r["__pos"]) for r in rows],
+            data_adds,
+        )
         return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
         spark, path,
