@@ -1683,15 +1683,17 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
     _mutate(t1, lambda m: m.update({"format-version": 1}))
     with pytest.raises(IcebergProtocolError, match="format-v1"):
         write_iceberg(spark, df, t1, mode="append")
-    # partitioned-table gate
+    # partitioned-table gate — r10 narrowed it to NON-identity
+    # transforms (identity partitioning writes jar-free now; covered
+    # by test_iceberg_identity_partitioned_writes)
     t2 = str(tmp_path / "parttbl")
     write_iceberg(spark, df, t2, mode="create")
     _mutate(t2, lambda m: m.update({"partition-specs": [{
         "spec-id": 0,
-        "fields": [{"name": "name", "transform": "identity",
+        "fields": [{"name": "name_bucket", "transform": "bucket[4]",
                     "source-id": 2, "field-id": 1000}],
     }]}))
-    with pytest.raises(IcebergProtocolError, match="partitioned"):
+    with pytest.raises(IcebergProtocolError, match="not identity"):
         write_iceberg(spark, df, t2, mode="append")
     # refs gate
     t3 = str(tmp_path / "refstbl")
@@ -3043,3 +3045,74 @@ def test_iceberg_mor_merge_pure_insert_no_orphans(spark, tmp_path):
         for p in _glob.glob(os.path.join(t, "data", "*.parquet"))
     }
     assert on_disk - referenced == set()
+
+
+def test_iceberg_identity_partitioned_writes(spark, tmp_path):
+    """r10 (VERDICT r9 task 3): identity-partitioned Iceberg writes
+    jar-free — create with partition_by, append picking the spec up
+    from metadata, COW DELETE/UPDATE re-emitting kept partition
+    structs. Manifest entries carry typed partition records
+    (spec 'r102' shape, field-ids 1000+); NULL partitions roundtrip;
+    non-identity transforms still refuse loudly."""
+    import glob as _glob
+    import json as _json
+
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_delete_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "part_tbl")
+    df = spark.range(0, 20).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CONCAT('g', id % 2) END"
+        " AS grp",
+    )
+    write_iceberg(spark, df, t, mode="create",
+                  partition_by=["bucket", "grp"])
+    got = {(r.id, r.bucket, r.grp)
+           for r in read_iceberg_snapshot(spark, t).collect()}
+    want = {(r.id, r.bucket, r.grp) for r in df.collect()}
+    assert got == want  # incl. NULL-partition rows
+    # manifest entries carry typed partition structs
+    m = sorted(_glob.glob(os.path.join(t, "metadata", "m-*.avro")))[0]
+    schema, entries = read_avro_file(m)
+    pf = next(f for f in schema["fields"][2]["type"]["fields"]
+              if f["name"] == "partition")
+    names = [f["name"] for f in pf["type"]["fields"]]
+    assert names == ["bucket", "grp"]
+    assert all("partition" in e["data_file"] for e in entries)
+    assert any(e["data_file"]["partition"]["grp"] is None
+               for e in entries)
+    # data files keep every column physically, under data/<col>=<val>/
+    f0 = entries[0]["data_file"]["file_path"]
+    assert f0.startswith("data/bucket=")
+    # append inherits the spec; COW delete preserves kept structs
+    write_iceberg(spark, spark.range(20, 23).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket",
+        "CONCAT('g', id % 2) AS grp"), t, mode="append")
+    iceberg_delete_where(spark, t, "id % 4 = 0")
+    ids = sorted(r.id for r in read_iceberg_snapshot(spark, t).collect())
+    assert ids == [i for i in range(23) if i % 4 != 0]
+    # metadata spec shape
+    meta = _json.load(open(sorted(_glob.glob(
+        os.path.join(t, "metadata", "v*.metadata.json")))[0]))
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["transform"], f["field-id"]) for f in spec] == [
+        ("identity", 1000), ("identity", 1001)]
+    # non-identity transforms still refuse
+    nit = str(tmp_path / "bucketed")
+    write_iceberg(spark, df, nit, mode="create")
+    m2 = sorted(_glob.glob(os.path.join(
+        nit, "metadata", "v*.metadata.json")))[-1]
+    meta2 = _json.load(open(m2))
+    meta2["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "id_bucket", "transform": "bucket[4]",
+         "source-id": 1, "field-id": 1000}]}]
+    with open(m2, "w") as fh:
+        _json.dump(meta2, fh)
+    with pytest.raises(IcebergProtocolError, match="not identity"):
+        write_iceberg(spark, df, nit, mode="append")

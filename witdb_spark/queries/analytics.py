@@ -1784,6 +1784,63 @@ def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partitioned_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'HQ' ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation WHERE n_nationkey % 5 <> 2
+    """,
+    doc="Jar-free IDENTITY-PARTITIONED Iceberg writes (r10, "
+    "sources/iceberg_meta.py _stage_iceberg_data; reference "
+    "plugin/trino-iceberg/.../IcebergMetadata.java append path + "
+    "PartitionData.java): CTAS nation partitioned by n_regionkey "
+    "(identity transform, partition structs in the manifest, data "
+    "files under data/<col>=<val>/ keeping every column physically), "
+    "append the tail, COW DELETE a key stripe (kept entries re-emit "
+    "their partition structs; survivors re-stage partitioned), UPDATE "
+    "one name. Hash must equal the filtered+redacted nation.",
+    tags=("source", "lakehouse", "writer", "dml", "partitioned"),
+)
+def iceberg_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("n_nationkey < 15"), path,
+        mode="create", partition_by=["n_regionkey"],
+    )
+    write_iceberg(
+        spark, src.filter("n_nationkey >= 15"), path, mode="append"
+    )
+    iceberg_delete_where(spark, path, "n_nationkey % 5 = 2")
+    iceberg_update_where(
+        spark, path, "n_nationkey = 0", {"n_name": "'HQ'"}
+    )
+    return read_iceberg_snapshot(spark, path)
+
+
+@register(
     "hudi_dml_roundtrip",
     """
     SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,

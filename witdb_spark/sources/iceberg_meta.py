@@ -494,19 +494,213 @@ def _spark_schema_to_iceberg(df) -> dict:
     return {"schema-id": 0, "type": "struct", "fields": fields}
 
 
+#: avro twins of the iceberg primitive types this module can put in a
+#: partition struct (identity transforms only — a transform would need
+#: the library's evaluation layer)
+_ICE_TO_AVRO = {
+    "int": "int", "long": "long", "string": "string",
+    "boolean": "boolean", "double": "double", "float": "float",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _identity_part_cols(meta: dict) -> list[dict]:
+    """Default partition spec's fields when EVERY transform is identity
+    (the jar-free writable subset; [] = unpartitioned). Non-identity
+    transforms (bucket/truncate/day/...) raise — evaluating them
+    outside the library would silently mis-partition."""
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
+    fields = specs.get(meta.get("default-spec-id", 0), {}).get(
+        "fields"
+    ) or []
+    bad = [
+        f["name"] for f in fields if f.get("transform") != "identity"
+    ]
+    if bad:
+        raise IcebergProtocolError(
+            f"partition transforms on {bad} are not identity — writes"
+            " need the iceberg-spark-runtime jar"
+        )
+    return fields
+
+
+def _part_avro_fields(part_fields: list[dict], schema: dict) -> list:
+    """Avro record fields for the manifest partition struct (spec:
+    'r102'), typed from the source columns."""
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for pf in part_fields:
+        src = by_id.get(pf["source-id"])
+        t = src["type"] if src else None
+        if not isinstance(t, str) or t not in _ICE_TO_AVRO:
+            raise IcebergProtocolError(
+                f"partition source type {t!r} for {pf['name']!r} is"
+                " outside the jar-free writer subset"
+            )
+        out.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _ICE_TO_AVRO[t]],
+                "field-id": pf.get("field-id"),
+            }
+        )
+    return out
+
+
+def _entry_schema_for(part_avro_fields: list) -> dict:
+    """Manifest-entry avro schema; partitioned specs extend data_file
+    with the typed partition record."""
+    if not part_avro_fields:
+        return _MANIFEST_ENTRY_SCHEMA
+    base = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    df_schema = base["fields"][2]["type"]
+    df_schema["fields"].append(
+        {
+            "name": "partition",
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": part_avro_fields,
+            },
+        }
+    )
+    return base
+
+
+def _typed_part_value(raw: str | None, ice_type: str, name: str):
+    """Hive-style partition directory value -> typed iceberg partition
+    struct value (already percent-decoded; None = NULL partition)."""
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "string":
+        return raw
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type in ("double", "float"):
+        return float(raw)
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (
+            _dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)
+        ).days
+    raise IcebergProtocolError(
+        f"partition column {name!r}: type {ice_type!r} outside the"
+        " jar-free writer subset"
+    )
+
+
+def _stage_iceberg_data(
+    df, path: str, part_fields: list[dict], schema: dict
+) -> list[dict]:
+    """Stage ``df`` as data parquet under <path>/data and return the
+    spec-shaped data_file records. Identity-partitioned specs stage
+    with partitionBy on COPIES of the source columns, so the data
+    files keep every column physically (the same layout iceberg-java
+    writes); partition values parse back from the staged Hive-style
+    directory names and land in the manifest partition struct."""
+    import glob
+    import shutil
+    import uuid
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    by_id = {f["id"]: f for f in schema["fields"]}
+    part_cols = [by_id[pf["source-id"]]["name"] for pf in part_fields]
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    if part_cols:
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise IcebergProtocolError(
+                f"partition columns {missing} absent from the data"
+            )
+        stage_df = df
+        for i, c in enumerate(part_cols):
+            stage_df = stage_df.withColumn(f"__p_{i}", F.col(c))
+        stage_df.write.mode("overwrite").partitionBy(
+            *[f"__p_{i}" for i in range(len(part_cols))]
+        ).parquet(staging)
+        files = sorted(
+            glob.glob(
+                os.path.join(staging, "**", "part-*.parquet"),
+                recursive=True,
+            )
+        )
+    else:
+        df.write.mode("overwrite").parquet(staging)
+        files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    recs = []
+    for f in files:
+        n_rows = pq.ParquetFile(f).metadata.num_rows
+        if n_rows == 0:
+            continue
+        rec: dict = {
+            "content": 0,
+            "file_format": "PARQUET",
+            "record_count": n_rows,
+        }
+        if part_cols:
+            rel_dir = os.path.relpath(os.path.dirname(f), staging)
+            raw_by_idx: dict[int, str | None] = {}
+            dir_by_idx: dict[int, str] = {}
+            for comp in rel_dir.split(os.sep):
+                k, _, v = comp.partition("=")
+                idx = int(k[len("__p_"):])
+                dir_by_idx[idx] = v
+                raw_by_idx[idx] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v)
+                )
+            part_struct = {}
+            dest_dir_parts = []
+            for i, (pf, c) in enumerate(zip(part_fields, part_cols)):
+                t = by_id[pf["source-id"]]["type"]
+                part_struct[pf["name"]] = _typed_part_value(
+                    raw_by_idx[i], t, pf["name"]
+                )
+                dest_dir_parts.append(f"{pf['name']}={dir_by_idx[i]}")
+            rec["partition"] = part_struct
+            rel = os.path.join(
+                "data", *dest_dir_parts,
+                f"{uuid.uuid4().hex}-{os.path.basename(f)}",
+            )
+            os.makedirs(
+                os.path.dirname(os.path.join(path, rel)), exist_ok=True
+            )
+        else:
+            rel = os.path.join("data", os.path.basename(f))
+        shutil.move(f, os.path.join(path, rel))
+        rec["file_path"] = rel
+        rec["file_size_in_bytes"] = os.path.getsize(
+            os.path.join(path, rel)
+        )
+        recs.append(rec)
+    shutil.rmtree(staging, ignore_errors=True)
+    return recs
+
+
 def write_iceberg(
     spark: SparkSession,
     df,
     path: str,
     mode: str = "append",
     properties: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
-    """Jar-free Iceberg write (unpartitioned; create/append/overwrite):
-    data parquet + manifest avro + manifest-list avro, committed by the
-    new vN.metadata.json (open-exclusive = the spec's atomic-swap
-    contract on a filesystem). Returns the committed snapshot id."""
-    import glob
-    import shutil
+    """Jar-free Iceberg write (create/append/overwrite; identity
+    partitioning since r10): data parquet + manifest avro +
+    manifest-list avro, committed by the new vN.metadata.json
+    (open-exclusive = the spec's atomic-swap contract on a
+    filesystem). ``partition_by`` (create only) declares identity
+    partition columns; appends to an identity-partitioned table pick
+    the spec up from the metadata (reference
+    plugin/trino-iceberg/.../IcebergMetadata.java append path +
+    PartitionData.java). Returns the committed snapshot id."""
     import uuid
 
     if mode not in ("create", "append", "overwrite"):
@@ -516,34 +710,46 @@ def write_iceberg(
         raise FileExistsError(f"{path} is already an Iceberg table")
     if mode != "create" and not exists:
         mode = "create"
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
 
-    import pyarrow.parquet as pq
-
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    entries = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        rel = os.path.join("data", os.path.basename(f))
-        n_rows = pq.ParquetFile(f).metadata.num_rows
-        shutil.move(f, os.path.join(path, rel))
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
-                },
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    creating = mode == "create" and not os.path.exists(
+        os.path.join(path, "metadata", "v1.metadata.json")
+    )
+    if creating:
+        schema0 = _spark_schema_to_iceberg(df)
+        by_name = {f["name"]: f for f in schema0["fields"]}
+        part_fields = []
+        for i, c in enumerate(partition_by or []):
+            if c not in by_name:
+                raise IcebergProtocolError(
+                    f"partition column {c!r} not in the data"
+                )
+            part_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        stage_schema = schema0
+    else:
+        pre_meta = _current_metadata(path)
+        part_fields = _identity_part_cols(pre_meta)
+        if partition_by is not None:
+            declared = [pf["name"] for pf in part_fields]
+            if list(partition_by) != declared:
+                raise IcebergProtocolError(
+                    f"partition_by {partition_by} != table spec"
+                    f" {declared}"
+                )
+        stage_schema = _table_schema(pre_meta)
+    part_avro = _part_avro_fields(part_fields, stage_schema)
+    staged = _stage_iceberg_data(df, path, part_fields, stage_schema)
+    entries = [
+        {"status": 1, "snapshot_id": None, "data_file": rec}
+        for rec in staged
+    ]
 
     from witdb_spark.sources.avro_codec import write_avro_file
 
@@ -554,26 +760,26 @@ def write_iceberg(
             meta, version, snap_id = None, 1, 1
             seq = 1
             prior_manifests: list[dict] = []
-            schema = _spark_schema_to_iceberg(df)
+            schema = stage_schema
         else:
             meta = _current_metadata(path)
             # Same gates the DML path has: appending to a library-written
-            # table that is format-v1, partitioned, or carries branch/tag
-            # refs would rebuild its metadata in a shape library readers
-            # no longer trust ("refuse, never misread" contract).
+            # table that is format-v1, non-identity-partitioned, or
+            # carries branch/tag refs would rebuild its metadata in a
+            # shape library readers no longer trust ("refuse, never
+            # misread" contract). Identity partitioning writes jar-free
+            # since r10 (gate narrowed to non-identity transforms —
+            # _identity_part_cols raises on those).
             if meta.get("format-version", 1) != 2:
                 raise IcebergProtocolError(
                     f"{mode} on a format-v1 Iceberg table needs the"
                     " iceberg-spark-runtime jar"
                 )
-            specs = {
-                s["spec-id"]: s for s in meta.get("partition-specs") or []
-            }
-            default_spec = specs.get(meta.get("default-spec-id", 0), {})
-            if default_spec.get("fields"):
+            if [pf["name"] for pf in _identity_part_cols(meta)] != [
+                pf["name"] for pf in part_fields
+            ]:
                 raise IcebergProtocolError(
-                    f"{mode} on a partitioned Iceberg table needs the"
-                    " iceberg-spark-runtime jar"
+                    "partition spec changed concurrently — re-run"
                 )
             _maintenance_gate(meta, mode)
             if [f["name"] for f in _table_schema(meta)["fields"]] != list(
@@ -603,7 +809,7 @@ def write_iceberg(
         mpath = os.path.join(
             path, "metadata", f"m-{uuid.uuid4().hex}.avro"
         )
-        write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, [
+        write_avro_file(mpath, _entry_schema_for(part_avro), [
             dict(e, snapshot_id=snap_id) for e in entries
         ])
         # uuid in the name (real Iceberg does the same): two concurrent
@@ -655,8 +861,15 @@ def write_iceberg(
                 "current-schema-id": schema.get("schema-id", 0),
                 "schemas": (meta or {}).get("schemas") or [schema],
                 "partition-specs": (meta or {}).get("partition-specs")
-                or [{"spec-id": 0, "fields": []}],
+                or [{"spec-id": 0, "fields": part_fields}],
                 "default-spec-id": (meta or {}).get("default-spec-id", 0),
+                "last-partition-id": (meta or {}).get(
+                    "last-partition-id",
+                    max(
+                        (pf["field-id"] for pf in part_fields),
+                        default=999,
+                    ),
+                ),
                 "current-snapshot-id": snap_id,
                 "last-sequence-number": seq,
                 "snapshots": ((meta or {}).get("snapshots") or [])
@@ -1011,28 +1224,18 @@ def _iceberg_rewrite_matched(
     meta = _current_metadata(path)
     base_snap = _pick_snapshot(meta, None, None)["snapshot-id"]
     # DML gates beyond the read path's: a library-written table may be
-    # partitioned or format-v1 — re-encoding its kept entries through
-    # this module's minimal manifest schema would silently drop the
-    # partition struct (corrupting the table for library readers) or
-    # KeyError mid-commit. Refuse loudly instead.
+    # non-identity-partitioned or format-v1 — re-encoding its kept
+    # entries through this module's manifest schema would silently drop
+    # structure (corrupting the table for library readers) or KeyError
+    # mid-commit. Refuse loudly instead. Identity partitioning rewrites
+    # jar-free since r10: kept entries re-emit their partition structs,
+    # rewritten survivors re-stage partitionBy (_stage_iceberg_data).
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
             f"{op} on a format-v1 Iceberg table needs the"
             " iceberg-spark-runtime jar"
         )
-    spec = next(
-        (
-            s
-            for s in meta.get("partition-specs", [])
-            if s.get("spec-id") == meta.get("default-spec-id", 0)
-        ),
-        {"fields": []},
-    )
-    if spec.get("fields"):
-        raise IcebergProtocolError(
-            f"{op} on a PARTITIONED Iceberg table needs the"
-            " iceberg-spark-runtime jar"
-        )
+    part_fields = _identity_part_cols(meta)
     # one manifest walk serves both the scan list and the kept-entry
     # re-emit (iceberg_data_files would walk the same chain again)
     cur_snap = _pick_snapshot(meta, None, None)
@@ -1041,7 +1244,7 @@ def _iceberg_rewrite_matched(
     _needed = (
         "content", "file_path", "file_format",
         "record_count", "file_size_in_bytes",
-    )
+    ) + (("partition",) if part_fields else ())
     for mf in manifests:
         if mf.get("content", 0) == 1:
             raise IcebergProtocolError(
@@ -1106,33 +1309,14 @@ def _iceberg_rewrite_matched(
             else df.limit(0)
         ).drop("__sf").select(*cols)
     survivors = rewrite(touched).select(*cols)
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    survivors.write.mode("overwrite").parquet(staging)
     snaps = meta.get("snapshots") or []
     snap_id = max(s["snapshot-id"] for s in snaps) + 1
-    entries = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        n_rows = pq.ParquetFile(f).metadata.num_rows
-        if n_rows == 0:
-            continue  # a fully-deleted file leaves no survivor file
-        rel = os.path.join("data", os.path.basename(f))
-        shutil.move(f, os.path.join(path, rel))
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
-                },
-            }
+    entries = [
+        {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+        for rec in _stage_iceberg_data(
+            survivors, path, part_fields, _table_schema(meta)
         )
-    shutil.rmtree(staging, ignore_errors=True)
+    ]
     if not entries and not matched_abs:
         # MERGE with nothing to insert and nothing matched: no-op
         return {"snapshot_id": base_snap, "files_rewritten": 0}
@@ -1143,7 +1327,13 @@ def _iceberg_rewrite_matched(
             entries.append(dict(e, status=0, snapshot_id=snap_id))
 
     mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+    write_avro_file(
+        mpath,
+        _entry_schema_for(
+            _part_avro_fields(part_fields, _table_schema(meta))
+        ),
+        entries,
+    )
     mlist = os.path.join(
         path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
@@ -1151,7 +1341,7 @@ def _iceberg_rewrite_matched(
         {
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,
             "added_snapshot_id": snap_id,
         }
