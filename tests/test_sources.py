@@ -2189,16 +2189,101 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     # writes to a name-mapped table refuse (physical-name emission)
     with pytest.raises(DeltaProtocolError, match="physical"):
         delta_delete_where(spark, t, "id = 1")
-    # 'id' mapping keeps the jar remedy
-    t2 = str(tmp_path / "idtbl")
-    s1 = _delta_write_file(t2, "f1.parquet", [1], ["a"])
-    acts = _delta_meta_actions()
-    acts[1]["metaData"]["configuration"] = {
-        "delta.columnMapping.mode": "id"
-    }
-    _delta_commit(t2, 0, acts + [_add("f1.parquet", s1)])
-    with pytest.raises(DeltaProtocolError, match="field-id"):
-        read_delta_snapshot(spark, t2)
+
+
+def _cm_fixture(base: str, mode: str) -> str:
+    """Spec-shaped column-mapping table (PROTOCOL.md 'Column Mapping'):
+    physical parquet names col-*, parquet field ids stamped via
+    pyarrow's PARQUET:field_id, logical schema with
+    physicalName+id metadata on every field incl. NESTED struct
+    members, partitionValues keyed physically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = os.path.join(base, mode)
+    os.makedirs(os.path.join(t, "_delta_log"))
+    fields = [
+        pa.field("col-a", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-s", pa.struct([
+            pa.field("col-x", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+            pa.field("col-y", pa.string(),
+                     metadata={b"PARQUET:field_id": b"5"}),
+        ]), metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    tbl = pa.table({
+        "col-a": pa.array([1, 2, 3], pa.int64()),
+        "col-s": pa.array(
+            [{"col-x": 10, "col-y": "a"}, {"col-x": 20, "col-y": "b"},
+             {"col-x": 30, "col-y": None}],
+            pa.struct([("col-x", pa.int64()), ("col-y", pa.string())]),
+        ),
+    }).cast(pa.schema(fields))
+    pq.write_table(tbl, os.path.join(t, "f1.parquet"))
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+            {"name": "s", "type": {"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 4,
+                     "delta.columnMapping.physicalName": "col-x"}},
+                {"name": "y", "type": "string", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 5,
+                     "delta.columnMapping.physicalName": "col-y"}},
+            ]}, "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s"}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-p"}},
+        ],
+    })
+    with open(os.path.join(t, "_delta_log", "%020d.json" % 0), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cm-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": "5",
+            }}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f1.parquet",
+            "partitionValues": {"col-p": "east"},
+            "size": 1, "modificationTime": 0,
+            "dataChange": True}}) + "\n")
+    return t
+
+
+def test_delta_column_mapping_id_mode_and_nested(spark, tmp_path):
+    """r10 (VERDICT r9 task 4): column mapping mode=id reads jar-free
+    (read schema carries parquet.field.id metadata; Spark's native
+    field-id resolution matches columns whose physical names differ
+    from the logical schema entirely) and NESTED struct fields map in
+    both modes (recursive physical schema + positional cast back).
+    Partition values stay keyed by physical names."""
+    from witdb_spark.sources.delta_log import read_delta_snapshot
+
+    for mode in ("name", "id"):
+        t = _cm_fixture(str(tmp_path), mode)
+        df = read_delta_snapshot(spark, t)
+        assert df.schema.simpleString() == (
+            "struct<a:bigint,s:struct<x:bigint,y:string>,p:string>"
+        ), mode
+        rows = sorted((r.a, r.s.x, r.s.y, r.p) for r in df.collect())
+        assert rows == [
+            (1, 10, "a", "east"), (2, 20, "b", "east"),
+            (3, 30, None, "east"),
+        ], mode
 
 
 def test_delta_v2_checkpoint_read(spark, tmp_path):
@@ -2716,7 +2801,8 @@ def test_delete_compaction_maintenance(spark, tmp_path):
 
 def test_avro_bzip2_xz_codecs():
     """r9: bzip2 and xz Avro container codecs decode via the stdlib
-    (spec codecs; snappy/zstandard keep the loud module remedy)."""
+    (spec codecs; r10 added the pure-Python snappy decoder; zstandard
+    keeps the loud module remedy)."""
     import bz2
     import lzma
 
@@ -2755,12 +2841,14 @@ def test_avro_bzip2_xz_codecs():
 
     from witdb_spark.sources.avro_codec import AvroError
 
+    # snappy decodes jar-free since r10 (tests/test_property.py);
+    # zstandard keeps the loud remedy
     bad = bytearray(_MAGIC)
     m2 = dict(meta)
-    m2["avro.codec"] = b"snappy"
+    m2["avro.codec"] = b"zstandard"
     _encode({"type": "map", "values": "bytes"}, m2, {}, bad)
     bad += sync
-    with _pytest.raises(AvroError, match="snappy"):
+    with _pytest.raises(AvroError, match="zstandard"):
         read_container(bytes(bad))
 
 

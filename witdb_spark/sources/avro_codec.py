@@ -15,9 +15,11 @@ library is on this deployment. Two consumers:
     scan is ordinary distributed parquet.
 
 Supported: all primitive types, record/enum/array/map/union/fixed,
-named-type references, ``null`` and ``deflate`` codecs (deflate is raw
-DEFLATE per the spec), and the logical types date /
-time[stamp]-millis/micros / decimal. Schema evolution (separate reader
+named-type references, the ``null`` / ``deflate`` (raw DEFLATE per the
+spec) / ``bzip2`` / ``xz`` / ``snappy`` (r10: pure-Python raw-snappy
+decoder + big-endian CRC32 frame) codecs, and the logical types date /
+time[stamp]-millis/micros / decimal. ``zstandard`` keeps the loud
+remedy (needs a non-stdlib library). Schema evolution (separate reader
 schema) is out of scope — files decode with their writer schema, which
 is what both consumers need. A tiny writer (null codec) exists for
 fixtures and round-trip tests.
@@ -195,6 +197,93 @@ def _decode(schema, r: _Reader, names):
     raise AvroError(f"unsupported Avro type {t!r}")
 
 
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw (non-framed) snappy decompression, pure Python — the format
+    avro containers, hudi log blocks, and iceberg manifests use
+    (google/snappy format_description.txt, public): a little-endian
+    varint uncompressed length, then literal / copy elements. Copies
+    may overlap forward (run-length semantics), handled byte-wise."""
+    n = shift = pos = 0
+    while True:
+        if pos >= len(data):
+            raise AvroError("snappy: truncated length preamble")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not (b & 0x80):
+            break
+    out = bytearray()
+    ln = len(data)
+    while pos < ln:
+        tag = data[pos]
+        pos += 1
+        ttype = tag & 3
+        if ttype == 0:  # literal
+            sz = tag >> 2
+            if sz >= 60:
+                nb = sz - 59
+                sz = int.from_bytes(data[pos:pos + nb], "little")
+                pos += nb
+            sz += 1
+            if pos + sz > ln:
+                raise AvroError("snappy: truncated literal")
+            out += data[pos:pos + sz]
+            pos += sz
+            continue
+        if ttype == 1:  # copy, 1-byte offset
+            sz = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif ttype == 2:  # copy, 2-byte offset
+            sz = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            sz = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise AvroError("snappy: copy offset out of range")
+        start = len(out) - off
+        if off >= sz:
+            out += out[start:start + sz]
+        else:
+            for i in range(sz):  # overlapping: byte-wise semantics
+                out.append(out[start + i])
+    if len(out) != n:
+        raise AvroError(
+            f"snappy: declared {n} bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Minimal spec-valid snappy compressor (literal elements only —
+    every decoder must accept it; used for fixtures and the writer's
+    symmetry tests, not for ratio)."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    i = 0
+    while i < len(data):
+        chunk = data[i:i + 65536]
+        sz = len(chunk) - 1
+        if sz < 60:
+            out.append(sz << 2)
+        else:
+            out.append(61 << 2)  # 2-byte little-endian length
+            out += sz.to_bytes(2, "little")
+        out += chunk
+        i += len(chunk)
+    return bytes(out)
+
+
 def read_container(data: bytes) -> tuple[dict | list | str, list]:
     """Decode a whole Avro object container file -> (writer schema,
     records). Records are dicts for record schemas."""
@@ -203,12 +292,12 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
         raise AvroError("not an Avro object container file (bad magic)")
     meta = _decode({"type": "map", "values": "bytes"}, r, {})
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "bzip2", "xz"):
-        # snappy/zstandard need non-stdlib libraries — loud remedy
+    if codec not in ("null", "deflate", "bzip2", "xz", "snappy"):
+        # zstandard needs a non-stdlib library — loud remedy
         raise AvroError(
             f"unsupported Avro codec {codec!r}"
-            " (null/deflate/bzip2/xz supported jar-free;"
-            " snappy/zstandard need the spark-avro module)"
+            " (null/deflate/bzip2/xz/snappy supported jar-free;"
+            " zstandard needs the spark-avro module)"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     names: dict = {}
@@ -229,6 +318,15 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
             import lzma
 
             block = lzma.decompress(block)
+        elif codec == "snappy":
+            # avro spec: snappy blocks append a 4-byte BIG-endian
+            # CRC32 of the UNCOMPRESSED data
+            comp, crc = block[:-4], block[-4:]
+            block = snappy_decompress(comp)
+            if (zlib.crc32(block) & 0xFFFFFFFF) != int.from_bytes(
+                crc, "big"
+            ):
+                raise AvroError("snappy: block CRC32 mismatch")
         br = _Reader(block)
         for _ in range(count):
             records.append(_decode(schema, br, names))

@@ -226,8 +226,9 @@ def _snapshot_state(
     optimize, checkpoint, vacuum) must keep refusing — rewriting or
     re-serializing a DV'd file without honoring its vector would
     resurrect deleted rows. ``allow_name_mapping``: same split for
-    delta.columnMapping.mode=name — reads rename physical -> logical;
-    writers would have to emit physical names, so they refuse."""
+    delta.columnMapping.mode=name/id — reads resolve physical names /
+    parquet field ids back to logical; writers would have to emit
+    physical names and ids, so they refuse."""
     commits, checkpoints = _list_log(path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"{path}: empty _delta_log")
@@ -315,17 +316,17 @@ def _snapshot_state(
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode == "name" and allow_name_mapping:
-        pass  # the snapshot READ path renames physical -> logical
+    if mode in ("name", "id") and allow_name_mapping:
+        pass  # the snapshot READ path resolves physical names / ids
     elif mode != "none":
         raise DeltaProtocolError(
             f"Delta column mapping mode {mode!r}: "
             + (
-                "only snapshot READS handle name mapping jar-free;"
+                "only snapshot READS handle column mapping jar-free;"
                 " this operation would have to WRITE physical names"
-                if mode == "name"
-                else "'id' mapping needs the parquet field-id"
-                " projection of the delta-spark jar"
+                " and field ids"
+                if mode in ("name", "id")
+                else "unknown mapping mode"
             )
         )
     if not allow_dvs:
@@ -338,6 +339,89 @@ def _snapshot_state(
                     " jar-free)"
                 )
     return protocol, metadata, state, target
+
+
+def _cm_physical_name(f) -> str:
+    """Field's delta.columnMapping.physicalName (required on every
+    field in both mapping modes — PROTOCOL.md "Column Mapping")."""
+    pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+    if not pn:
+        raise DeltaProtocolError(
+            f"column mapping active but field {f.name!r} carries no"
+            " physicalName metadata"
+        )
+    return pn
+
+
+def _cm_physical_type(dt):
+    """Recursive physical twin of a logical type for mode=name:
+    every nested struct field renamed to its physicalName, structure
+    and order untouched (so a positional cast restores the logical
+    names exactly)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    _cm_physical_name(f),
+                    _cm_physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _cm_physical_type(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _cm_physical_type(dt.keyType),
+            _cm_physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _cm_fieldid_field(f):
+    """StructField carrying parquet.field.id metadata (recursively)
+    for mode=id — Spark's parquet reader then matches columns by the
+    stored field ids instead of names."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    fid = (f.metadata or {}).get("delta.columnMapping.id")
+    if fid is None:
+        raise DeltaProtocolError(
+            f"column mapping mode 'id' but field {f.name!r} carries"
+            " no delta.columnMapping.id metadata"
+        )
+
+    def walk(dt):
+        if isinstance(dt, StructType):
+            return StructType([_cm_fieldid_field(sf) for sf in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(walk(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                walk(dt.keyType), walk(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    return StructField(
+        f.name, walk(f.dataType), f.nullable,
+        {"parquet.field.id": int(fid)},
+    )
 
 
 def read_delta_snapshot(
@@ -353,47 +437,71 @@ def read_delta_snapshot(
     analog. Returns a DataFrame in the table's declared column order.
     r9: adds carrying deletion vectors read jar-free — each branch is
     tagged with the parquet _metadata (file_path, row_index) and the
-    union anti-joins the DV positions, decoded on executors. r9 also
-    reads delta.columnMapping.mode=name tables: data files carry the
-    PHYSICAL column names from the schema fields'
-    delta.columnMapping.physicalName metadata (PROTOCOL.md "Column
-    Mapping"), the scan reads those and renames to logical; add
-    actions' partitionValues are keyed by physical names too. Nested
-    types under name mapping stay gated (recursive physical renames)."""
-    from pyspark.sql.types import ArrayType, MapType, StructField
+    union anti-joins the DV positions, decoded on executors. r9 read
+    delta.columnMapping.mode=name tables (top-level); r10 extends
+    mapping to NESTED types (recursive physical schema, logical names
+    restored by a positional struct cast) and to mode=id (the read
+    schema carries each field's delta.columnMapping.id as
+    parquet.field.id metadata and Spark's native field-id resolution
+    matches columns — spark.sql.parquet.fieldId.read.enabled). Add
+    actions' partitionValues stay keyed by PHYSICAL names in both
+    modes (PROTOCOL.md "Column Mapping"). Reference analog:
+    plugin/trino-delta-lake/.../DeltaLakeSchemaSupport.java."""
+    from pyspark.sql.types import StructField
 
     _, metadata, state, _ = _snapshot_state(
         spark, path, version, timestamp_ms,
         allow_dvs=True, allow_name_mapping=True,
     )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
-    mapped = (metadata.get("configuration") or {}).get(
+    cm_mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) == "name"
+    )
+    mapped = cm_mode in ("name", "id")
+    # phys: logical top-level name -> name to SELECT off the scan;
+    # phys_part: logical name -> partitionValues key (physical in BOTH
+    # mapping modes — the protocol keys partition values physically)
     phys = {f.name: f.name for f in schema.fields}
+    phys_part = dict(phys)
     if mapped:
         for f in schema.fields:
-            if isinstance(f.dataType, (StructType, ArrayType, MapType)):
-                raise DeltaProtocolError(
-                    "column mapping over nested types needs the"
-                    " delta-spark jar (recursive physical renames)"
-                )
-            pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
-            if not pn:
-                raise DeltaProtocolError(
-                    f"column mapping mode 'name' but field {f.name!r}"
-                    " carries no physicalName metadata"
-                )
-            phys[f.name] = pn
+            phys_part[f.name] = _cm_physical_name(f)
+        if cm_mode == "name":
+            phys = dict(phys_part)
+        else:
+            # id mode: the scan matches columns by parquet field id and
+            # keeps LOGICAL names in the read schema. The resolution
+            # switch must be on at EXECUTION time (plans are lazy), so
+            # flip it for the session — it only affects schemas that
+            # carry parquet.field.id metadata.
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(
-        [
-            StructField(phys[f.name], f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
+    if cm_mode == "name":
+        data_schema = StructType(
+            [
+                StructField(
+                    phys[f.name],
+                    _cm_physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    elif cm_mode == "id":
+        data_schema = StructType(
+            [_cm_fieldid_field(f) for f in data_fields]
+        )
+    else:
+        data_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
 
     if not state:
         empty = spark.createDataFrame([], schema)
@@ -410,7 +518,7 @@ def read_delta_snapshot(
     dv_descs: list[tuple[str, str]] = []  # (normalized abs file, desc json)
     for add in state.values():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(phys[c]) for c in part_cols)
+        key = tuple(pv.get(phys_part[c]) for c in part_cols)
         abs_file = os.path.join(path, unquote(add["path"]))
         groups.setdefault(key, []).append(abs_file)
         if add.get("deletionVector"):
@@ -444,8 +552,14 @@ def read_delta_snapshot(
                 }
             )
         if mapped:
+            # name mode: rename physical -> logical; a positional
+            # struct CAST restores nested logical names (the physical
+            # schema is a pure rename, same structure/order). id mode:
+            # names are already logical; the cast strips field-id
+            # metadata only.
             keep = [
-                F.col(phys[f.name]).alias(f.name) for f in data_fields
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
             ]
             if dv_descs or _row_tags:
                 keep += [F.col("__dv_file"), F.col("__dv_pos")]
