@@ -889,6 +889,17 @@ def test_runs_fast_path_differential_vs_vm(spark, monkeypatch):
         # interior exact + four elements
         ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'",
           "P": "ty = 'p'"}, "A+ B{1} C{1,2} P+"),
+        # r10: alternation elements (disjoint label sets = super-label)
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+         "(A | B)+ C"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'",
+          "P": "ty = 'p'"}, "(A | B){2,} (C | P)"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+         "A (B | C){1,3}"),
+        # r10: single-element UNBOUNDED patterns (bounded hi would
+        # allow intra-run restarts, which stays on the VM)
+        ({"E": "ty = 'a'"}, "E{2,}"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'"}, "(A | B){3,}"),
     ]
     alphabet = "abcpvx"  # x matches no label anywhere
     for define, pattern in patterns:

@@ -1439,15 +1439,37 @@ def test_mr_runs_fast_path_plan(spark):
         "D+ U",
     )
     assert "MapInPandas" in fmt(vm)
-    # alternation is ambiguous -> VM
+    # an alternation whose label set OVERLAPS another element's is
+    # ambiguous -> VM (a row's element index is not fixed by its label)
+    tyv = ev.selectExpr(
+        "k", "seq",
+        "CASE WHEN v > 4 THEN 'a' WHEN v > 2 THEN 'b' ELSE 'c' END AS ty",
+    )
     alt = match_recognize(
-        ev.selectExpr("k", "seq", "CASE WHEN v > 3 THEN 'a' ELSE 'b'"
-                      " END AS ty"),
-        ["k"], "seq",
+        tyv, ["k"], "seq",
         {"A": "ty = 'a'", "B": "ty = 'b'"},
         "A (A | B) B",
     )
     assert "MapInPandas" in fmt(alt)
+    # r10 (VERDICT r9 task 7): a DISJOINT alternation element is a
+    # super-label — (A|B)+ C rides the runs fast path
+    alt2 = match_recognize(
+        tyv, ["k"], "seq",
+        {"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
+        "(A | B)+ C",
+    )
+    assert "MapInPandas" not in fmt(alt2), fmt(alt2)
+    # r10: single-element UNBOUNDED rides the fast path (mr_error_burst
+    # E{2,}); BOUNDED stays on the VM — SKIP PAST LAST ROW can restart
+    # a second match inside the same run, which runs arithmetic can't
+    one_unb = match_recognize(
+        tyv, ["k"], "seq", {"A": "ty = 'a'"}, "A{2,}"
+    )
+    assert "MapInPandas" not in fmt(one_unb)
+    one_bnd = match_recognize(
+        tyv, ["k"], "seq", {"A": "ty = 'a'"}, "A{2}"
+    )
+    assert "MapInPandas" in fmt(one_bnd)
 
 
 def test_sketch_over_hoist_two_level(spark):
@@ -1533,6 +1555,23 @@ def test_sketch_over_hoist_embedded_aggregate(spark):
         " FROM lineitem GROUP BY l_returnflag"
     )
     assert {r.r for r in df2.collect()} <= {1, 2, 3}
+    # VERDICT r9 task 8 gate: a group-key-partitioned window over an
+    # embedded aggregate keeps the PARTIAL->FINAL split — two
+    # ArrowAggregatePython levels AND a Window node in one plan
+    df3 = eng.sql(
+        "SELECT l_returnflag, l_linestatus,"
+        " qdigest_agg(l_extendedprice) AS d,"
+        " sum(max(l_quantity)) OVER (PARTITION BY l_returnflag) AS s"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    plan3 = df3._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan3)) == 2
+    assert re.search(r"\(\d+\) Window", plan3)
+    assert df3.count() == 6
 
 
 def test_sketch_distinct_over_hoist():

@@ -281,10 +281,12 @@ def _has_excl(node) -> bool:
 # --------------------------------------------------------- runs fast path
 # r9 (VERDICT r8 task 6): patterns with no backtracking ambiguity lower
 # to a pure JVM plan — no Python VM, no mapInPandas. Eligible shape:
-#   PATTERN (L1{q1} L2{q2} ... Lk{qk})      k >= 2
-# where every element is a single DISTINCT label with a greedy
-# quantifier of minimum >= 1 (bare, +, {m}, {m,}, {m,n}), and the
-# DEFINEs are STATICALLY mutually exclusive: every condition is
+#   PATTERN (E1{q1} E2{q2} ... Ek{qk})      k >= 2
+# where every element is a single label OR an alternation of labels
+# (r10: (A|B) is a SUPER-label under exclusivity), the elements' label
+# sets are pairwise disjoint, each carries a greedy quantifier of
+# minimum >= 1 (bare, +, {m}, {m,}, {m,n}), and the DEFINEs are
+# STATICALLY mutually exclusive: every condition is
 # `<same expression> = <literal>` with pairwise-distinct literals
 # (the funnel shape: event_type = 'view' / event_type = 'purchase').
 # Under those constraints the backtracking VM's behavior collapses to
@@ -312,25 +314,59 @@ _SIMPLE_EQ = re.compile(
 )
 
 
-def _runs_plan_elements(ast, define) -> list[tuple[str, int, int | None]] | None:
-    """(label, lo, hi) per element if the pattern/DEFINE pair is
-    eligible for the runs fast path, else None."""
+def _alt_label_set(node) -> frozenset | None:
+    """Label set of a node that is a single label or an alternation of
+    single labels (recursively), else None. r10: lets `(A|B)+ C`
+    shapes ride the runs fast path — under static exclusivity an
+    alternation of labels is just a SUPER-label (each row carries at
+    most one label, so the greedy alternation consumes exactly the
+    rows whose label is in the set)."""
+    if node[0] == "label":
+        return frozenset([node[2]])
+    if node[0] == "alt":
+        out: frozenset = frozenset()
+        for c in node[1]:
+            s = _alt_label_set(c)
+            if s is None:
+                return None
+            out = out | s
+        return out
+    return None
+
+
+def _runs_plan_elements(
+    ast, define
+) -> list[tuple[frozenset, int, int | None]] | None:
+    """(label set, lo, hi) per element if the pattern/DEFINE pair is
+    eligible for the runs fast path, else None. Elements are single
+    labels or alternations of labels (r10); their label sets must be
+    pairwise disjoint so a row's element index is fixed by its label."""
     items = ast[1] if ast[0] == "cat" else [ast]
-    elems: list[tuple[str, int, int | None]] = []
+    elems: list[tuple[frozenset, int, int | None]] = []
     for node in items:
         if node[0] == "rep":
             child, lo, hi, greedy = node[1], node[2], node[3], node[4]
-            if child[0] != "label" or not greedy or lo < 1:
+            labs = _alt_label_set(child)
+            if labs is None or not greedy or lo < 1:
                 return None
-            elems.append((child[2], lo, hi))
-        elif node[0] == "label":
-            elems.append((node[2], 1, 1))
+            elems.append((labs, lo, hi))
         else:
-            return None
-    names = [e[0] for e in elems]
-    if len(elems) < 2 or len(set(names)) != len(names):
+            labs = _alt_label_set(node)
+            if labs is None:
+                return None
+            elems.append((labs, 1, 1))
+    all_names = [n for s, _lo, _hi in elems for n in sorted(s)]
+    if len(set(all_names)) != len(all_names):
+        return None  # label sets must be pairwise disjoint
+    if len(elems) == 1 and elems[0][2] is not None:
+        # r10: single-element patterns are eligible only UNBOUNDED
+        # (E{2,}): a bounded hi lets SKIP PAST LAST ROW restart a
+        # second match INSIDE the same run (H{2} on a 5-run matches
+        # rows 1-2 then 3-4), which the run arithmetic cannot express
         return None
-    if any(n not in define for n in names):
+    if not elems:
+        return None
+    if any(n not in define for n in all_names):
         return None
     # static mutual exclusivity: same LHS expression, distinct literals
     # (numeric literals compare by VALUE — '1' and '1.0' are the same
@@ -405,13 +441,28 @@ def _match_recognize_runs(
     lab = lab.otherwise(F.lit(0))
     lab_index = {name: i for i, name in enumerate(define, start=1)}
     k = len(elems)
+    # r10: runs group by ELEMENT index, not label — an alternation
+    # element (A|B)+ treats consecutive A/B rows as ONE run. Sets are
+    # pairwise disjoint, so a label fixes its element.
+    elem_of_lab = {
+        lab_index[n]: ei
+        for ei, (labs, _lo, _hi) in enumerate(elems, start=1)
+        for n in labs
+    }
 
     rows = df.withColumn("__mr_lab", lab)
+    elab = None
+    for li, ei in sorted(elem_of_lab.items()):
+        c = F.col("__mr_lab") == F.lit(li)
+        elab = (
+            F.when(c, F.lit(ei)) if elab is None else elab.when(c, F.lit(ei))
+        )
+    rows = rows.withColumn("__mr_elab", elab.otherwise(F.lit(0)))
     rows = rows.withColumn(
         "__mr_chg",
         F.when(
-            F.lag("__mr_lab").over(w).isNull()
-            | (F.lag("__mr_lab").over(w) != F.col("__mr_lab")),
+            F.lag("__mr_elab").over(w).isNull()
+            | (F.lag("__mr_elab").over(w) != F.col("__mr_elab")),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("__mr_run", F.sum("__mr_chg").over(w))
@@ -432,7 +483,7 @@ def _match_recognize_runs(
     # next-run attributes, levels 1..k-1 (see docstring)
     last_row = F.col("__mr_pos") == F.col("__mr_rlen")
     fwd = wrun.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    prev_lab, prev_len = "__mr_lab", "__mr_rlen"
+    prev_lab, prev_len = "__mr_elab", "__mr_rlen"
     for j in range(1, k):
         rows = rows.withColumn(
             f"__mr_nl{j}",
@@ -449,14 +500,14 @@ def _match_recognize_runs(
         )
         prev_lab, prev_len = f"__mr_nl{j}", f"__mr_nn{j}"
 
-    name0, lo0, hi0 = elems[0]
-    cand = (F.col("__mr_lab") == F.lit(lab_index[name0])) & (
+    _labs0, lo0, hi0 = elems[0]
+    cand = (F.col("__mr_elab") == F.lit(1)) & (
         F.col("__mr_rlen") >= F.lit(lo0)
     )
     for j in range(1, k):
-        name_j, lo_j, hi_j = elems[j]
+        _labs_j, lo_j, hi_j = elems[j]
         cand = cand & (
-            F.col(f"__mr_nl{j}") == F.lit(lab_index[name_j])
+            F.col(f"__mr_nl{j}") == F.lit(j + 1)
         ) & (F.col(f"__mr_nn{j}") >= F.lit(lo_j))
         if j < k - 1 and hi_j is not None:
             cand = cand & (F.col(f"__mr_nn{j}") <= F.lit(hi_j))
@@ -486,12 +537,22 @@ def _match_recognize_runs(
         )
         prev_c = f"__mr_c{i}"
 
-    # membership + classifier + trim, dispatched on the row's label
+    # membership + classifier + trim, dispatched on the row's element;
+    # the CLASSIFIER is the row's OWN label name (an alternation
+    # element reports which alternative each row matched)
+    lab_name = None
+    for name, li in lab_index.items():
+        c = F.col("__mr_lab") == F.lit(li)
+        lab_name = (
+            F.when(c, F.lit(name))
+            if lab_name is None
+            else lab_name.when(c, F.lit(name))
+        )
     matched = None
     classifier = None
     keep = None
-    for i, (name, lo, hi) in enumerate(elems):
-        is_lab = F.col("__mr_lab") == F.lit(lab_index[name])
+    for i, (_labs, lo, hi) in enumerate(elems):
+        is_elem = F.col("__mr_elab") == F.lit(i + 1)
         member = F.col("__mr_cand") if i == 0 else F.col(f"__mr_c{i}")
         cap = (
             F.col("__mr_rlen")
@@ -504,12 +565,12 @@ def _match_recognize_runs(
             trim = F.col("__mr_pos") <= cap
         else:
             trim = F.lit(True)
-        cond_i = is_lab & member
+        cond_i = is_elem & member
         matched = cond_i if matched is None else matched | cond_i
         classifier = (
-            F.when(cond_i, F.lit(name))
+            F.when(cond_i, lab_name)
             if classifier is None
-            else classifier.when(cond_i, F.lit(name))
+            else classifier.when(cond_i, lab_name)
         )
         keep = F.when(cond_i, trim) if keep is None else keep.when(
             cond_i, trim
