@@ -2801,8 +2801,8 @@ def test_delete_compaction_maintenance(spark, tmp_path):
 
 def test_avro_bzip2_xz_codecs():
     """r9: bzip2 and xz Avro container codecs decode via the stdlib
-    (spec codecs; r10 added the pure-Python snappy decoder; zstandard
-    keeps the loud module remedy)."""
+    (spec codecs; r10 added the pure-Python snappy decoder and the
+    pyarrow-backed zstandard decoder)."""
     import bz2
     import lzma
 
@@ -2842,14 +2842,51 @@ def test_avro_bzip2_xz_codecs():
     from witdb_spark.sources.avro_codec import AvroError
 
     # snappy decodes jar-free since r10 (tests/test_property.py);
-    # zstandard keeps the loud remedy
+    # a zstandard-tagged block that is NOT a zstd frame fails loudly
     bad = bytearray(_MAGIC)
     m2 = dict(meta)
     m2["avro.codec"] = b"zstandard"
     _encode({"type": "map", "values": "bytes"}, m2, {}, bad)
     bad += sync
+    bad += _zigzag(count) + _zigzag(len(block)) + block + sync
     with _pytest.raises(AvroError, match="zstandard"):
         read_container(bytes(bad))
+
+
+def test_avro_writer_all_codecs():
+    """r10: write_container covers every read-side codec (deflate/
+    bzip2/xz via stdlib, snappy via the pure-Python compressor +
+    big-endian CRC32 frame, zstandard via pyarrow's bundled zstd with
+    the decompressed size recovered from the RFC 8878 frame header)."""
+    from witdb_spark.sources.avro_codec import (
+        _CODECS,
+        AvroError,
+        _zstd_frame_content_size,
+        read_container,
+        write_container,
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": ["null", "double"]}]}
+    recs = [{"a": i, "s": "x" * (i % 7),
+             "d": None if i % 5 == 0 else i * 0.25} for i in range(500)]
+    for codec in _CODECS:
+        _s, got = read_container(write_container(schema, recs, codec=codec))
+        assert got == recs, codec
+    # frame-content-size parse across FCS field widths (1/2/4-byte):
+    for size in (100, 400, 70_000):
+        raw = (bytes(range(256)) * (size // 256 + 1))[:size]
+        frame = zstd_compress(raw)
+        assert _zstd_frame_content_size(frame) == size
+        assert zstd_decompress(frame) == raw
+    import pytest as _pytest
+
+    with _pytest.raises(AvroError, match="bad magic"):
+        zstd_decompress(b"\x00\x01\x02\x03\x04\x05\x06")
 
 
 _HUDI_FIXTURES = (

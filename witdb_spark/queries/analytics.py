@@ -2312,3 +2312,189 @@ def ctas_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"),
     )
+
+
+def _build_cm_id_fixture(sf_dir: str) -> str:
+    """Author a column-mapping mode=id Delta table from nation per
+    PROTOCOL.md 'Column Mapping': parquet files carry UNRELATED
+    physical column names stamped with PARQUET:field_id metadata, the
+    logical schema resolves them by delta.columnMapping.id alone, and
+    partitionValues are keyed by physicalName. A reader matching by
+    name would project all-NULL columns and hash-mismatch."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    keys = [int(v) for v in src.column("n_nationkey").to_pylist()]
+    names = src.column("n_name").to_pylist()
+    regs = [int(v) for v in src.column("n_regionkey").to_pylist()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_cm_id_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    fields = pa.schema([
+        pa.field("phys-k", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("phys-n", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    adds = []
+    for pv in sorted(set(regs)):
+        rel = f"r={pv}/part.parquet"
+        os.makedirs(os.path.join(root, f"r={pv}"), exist_ok=True)
+        rows = [i for i, r in enumerate(regs) if r == pv]
+        pq.write_table(
+            pa.table({
+                "phys-k": pa.array([keys[i] for i in rows], pa.int64()),
+                "phys-n": pa.array([names[i] for i in rows], pa.string()),
+            }).cast(fields),
+            os.path.join(root, rel),
+        )
+        adds.append({"add": {
+            "path": rel,
+            "partitionValues": {"phys-r": str(pv)},
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 0, "dataChange": True,
+        }})
+    schema_string = _json.dumps({"type": "struct", "fields": [
+        {"name": "n_nationkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "phys-k"}},
+        {"name": "n_name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "phys-n"}},
+        {"name": "n_regionkey", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "phys-r"}},
+    ]})
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }},
+        {"metaData": {
+            "id": "witdb-cm-id-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["n_regionkey"],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }},
+    ] + adds
+    with open(os.path.join(root, "_delta_log", "%020d.json" % 0), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    return root
+
+
+@register(
+    "delta_cm_id_reader",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    """,
+    doc="Delta column-mapping mode=id reads jar-free (r10, "
+    "sources/delta_log.py _cm_read_with_field_ids; reference "
+    "plugin/trino-delta-lake/.../DeltaLakeSchemaSupport.java): the "
+    "fixture's parquet files carry physical names unrelated to the "
+    "logical schema, resolvable only through parquet field-id "
+    "metadata stamped from delta.columnMapping.id, with "
+    "partitionValues keyed by physicalName. Result must hash-equal "
+    "nation exactly.",
+    tags=("source", "lakehouse"),
+)
+def delta_cm_id_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from witdb_spark.sources.delta_log import read_delta_snapshot
+
+    return read_delta_snapshot(spark, _build_cm_id_fixture(sf_dir)).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "avro_container_scan",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY order_year
+    """,
+    doc="The jar-free Avro container read path end-to-end (r10; "
+    "sources/avro_codec.py + io.py _read_avro_fallback; reference "
+    "lib/trino-hive-formats avro support is always-on): orders is "
+    "re-encoded as a snappy-compressed Avro object container file "
+    "(pure-Python raw-snappy + big-endian CRC32 frame, date and "
+    "decimal logical types), decoded DISTRIBUTED on executors via "
+    "binaryFiles+flatMap, then aggregated by order year. A codec or "
+    "logical-type bug shifts every value and hash-mismatches.",
+    tags=("source", "format"),
+)
+def avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+    from decimal import Decimal as _Dec
+
+    import pyarrow.parquet as pq
+
+    from witdb_spark.sources.avro_codec import write_avro_file
+    from witdb_spark.sources.io import read_any
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_avro_scan_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    epoch = datetime.date(1970, 1, 1)
+    schema = {"type": "record", "name": "orders", "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_orderdate",
+         "type": {"type": "int", "logicalType": "date"}},
+        {"name": "o_totalprice",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 12, "scale": 2}},
+    ]}
+    keys = src.column("o_orderkey").to_pylist()
+    dates = [
+        d.date() if isinstance(d, datetime.datetime) else d
+        for d in src.column("o_orderdate").to_pylist()
+    ]
+    prices = src.column("o_totalprice").to_pylist()
+    # two container files so the distributed decode actually fans out
+    half = len(keys) // 2
+    for fi, (lo, hi) in enumerate(((0, half), (half, len(keys)))):
+        recs = [
+            {"o_orderkey": int(keys[i]),
+             "o_orderdate": (dates[i] - epoch).days,
+             "o_totalprice": int(
+                 _Dec(repr(prices[i])).scaleb(2).to_integral_value()
+             ).to_bytes(8, "big", signed=True)}
+            for i in range(lo, hi)
+        ]
+        write_avro_file(
+            os.path.join(root, f"part-{fi}.avro"), schema, recs,
+            codec="snappy",
+        )
+    df = read_any(spark, root, fmt="avro")
+    return df.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )

@@ -52,68 +52,35 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r8: 243/280 driver-green; staleness
-# r3: 44, r4: 50, r6: 50, r7: 49, r8: 50; 37 queries (the r8-late 17 +
-# TPC-DS tranche 7's last 20) have never had a driver row.
-# Round-9 window (prescribed by VERDICT r8 task 1): positions 1-37 are
-# exactly the 37 never-driver-verified queries — the 17 late-r8
-# (lakehouse readers/writers/DML roundtrips, weighted digests,
-# agg_merge_generic, agg_qdigest_distinct, ptf_sql_table_spelling, the
-# five late LLM-pipeline ops) then the 20 tranche-7 TPC-DS texts —
-# then the r9-new queries (rotation clause (a)), then the stalest
-# r3-era greens filling the remaining slots. Done = CORRECTNESS_r09
-# 50/50 green and cumulative driver coverage = all pre-r9 queries.
-# Round 10's head: whichever r3-era greens missed this window, then
-# the rest of r3 (through datetime_parity), then the 50 r4-era —
-# after r10 no query's last driver verification should be older
-# than r6.
+# queries. Cumulative ledger after r9: 286/286 driver-green at least once;
+# staleness by latest driver row: r3: 37, r4: 50, r6: 50, r7: 49, r8: 50,
+# r9: 50.
+# Round-10 window (prescribed by VERDICT r9 task 1, adjusted for r10-new
+# work): positions 1-3 are the r10-new queries (jar-free Avro container
+# scan with the snappy codec, Delta column-mapping id-mode reader,
+# identity-partitioned Iceberg writes); 4-6 are queries whose EXECUTION
+# ENGINE changed this round (rotation clause (a)) — mr_subset_moves and
+# mr_error_burst now ride the pure-JVM runs fast path (alternation /
+# single-element-unbounded extension), spatial_join_contains gained the
+# unrolled literal-SQL verify tier; 7-43 are ALL 37 remaining r3-era
+# greens; 44-50 the 7 oldest r4-era greens. Done = CORRECTNESS_r10
+# 50/50 green and no query's last driver row older than r4 (after r11:
+# none older than r6 — r11 head = the remaining 43 r4-era).
 # Everything keeps local DuckDB coverage every pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # never-driver-verified: late-r8 sketch/digest + PTF spelling
-    "agg_qdigest_weighted",
-    "agg_tdigest_weighted",
-    "agg_merge_generic",
-    "ptf_sql_table_spelling",
-    # never-driver-verified: jar-free lakehouse readers
-    "delta_log_reader_snapshot",
-    "iceberg_meta_reader_snapshot",
-    "agg_qdigest_distinct",
-    "hudi_timeline_reader_snapshot",
-    # never-driver-verified: jar-free lakehouse writers + DML
-    "delta_writer_roundtrip",
-    # never-driver-verified: late-r8 LLM-pipeline tier
-    "text_gopher_quality",
-    "text_bigram_logprob",
-    "pipeline_pack_concat",
-    "pipeline_pack_nextfit",
-    "curation_temperature_mix",
-    "iceberg_dml_roundtrip",
-    "hudi_dml_roundtrip",
-    "lakehouse_merge_roundtrip",
-    # never-driver-verified: TPC-DS tranche 7, remaining 20
-    "tpcds_sql_q19", "tpcds_sql_q21", "tpcds_sql_q24", "tpcds_sql_q35",
-    "tpcds_sql_q52", "tpcds_sql_q54", "tpcds_sql_q63", "tpcds_sql_q69",
-    "tpcds_sql_q71", "tpcds_sql_q72", "tpcds_sql_q73", "tpcds_sql_q79",
-    "tpcds_sql_q80", "tpcds_sql_q82", "tpcds_sql_q83", "tpcds_sql_q84",
-    "tpcds_sql_q85", "tpcds_sql_q86", "tpcds_sql_q91", "tpcds_sql_q92",
-    # r9-new (rotation rule clause (a) — new this round, enters the
-    # window ahead of stale greens)
-    "iceberg_posdelete_roundtrip",
-    "lakehouse_merge_conditional",
-    "hudi_keyed_upsert_roundtrip",
-    "iceberg_eqdelete_roundtrip",
-    "delta_dv_roundtrip",
-    "hudi_mor_upsert_roundtrip",
-    # stalest r3-era greens (last driver row: CORRECTNESS_r03) —
-    # the remaining window positions
-    "window_rank_topn", "window_lag_lead", "window_running_sum",
-    "window_sliding_rows", "window_ntile_dist", "window_range_interval",
-    "setops_intersect_except", "setops_intersect_all", "groupby_rollup",
-    "groupby_cube", "groupby_grouping_sets", "unnest_words",
-    "values_inline_join",
-    # --- window boundary: everything below leads round 10 ---
-    # remaining r3-era greens, oldest-first by registration order
+    # r10-new
+    "avro_container_scan",
+    "delta_cm_id_reader",
+    "iceberg_partitioned_roundtrip",
+    # engine changed in r10
+    "mr_subset_moves",
+    "mr_error_burst",
+    "spatial_join_contains",
+    # all 37 remaining r3-era greens (last driver row: CORRECTNESS_r03),
+    # registration order
+    "setops_intersect_all", "groupby_rollup", "groupby_cube",
+    "groupby_grouping_sets", "unnest_words", "values_inline_join",
     "distinct_order_offset", "pivot_event_counts", "lateral_top_event",
     "crossjoin_theta", "assign_unique_id", "tablesample",
     "window_groups_frame", "time_of_day_rollup", "ptf_sequence_join",
@@ -121,11 +88,12 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_native", "moving_avg_deviation", "window_ignore_nulls",
     "limit_with_ties", "quantified_comparison", "agg_stats_moments",
     "agg_skew_kurt", "agg_regr", "agg_minmax_by", "agg_listagg_ordered",
-    "agg_histogram_map", "agg_conditional_bool", "agg_geo_mean_percentiles",
-    "agg_multi_distinct", "agg_approx_sketches", "agg_checksum",
-    "agg_reduce_agg", "agg_approx_most_frequent", "agg_salted_skew",
+    "agg_multi_distinct", "agg_reduce_agg", "agg_salted_skew",
     "agg_hll_merge_rollup", "agg_rollup_reuse", "agg_qdigest_rollup",
     "agg_multimap", "string_funcs_parity", "datetime_funcs_parity",
+    # 7 oldest r4-era greens (the remaining window slots)
+    "agg_tdigest_rollup", "agg_setdigest", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "dedup_ngram_jaccard", "similarity_topk",
 )
 
 

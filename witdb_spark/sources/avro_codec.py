@@ -17,12 +17,15 @@ library is on this deployment. Two consumers:
 Supported: all primitive types, record/enum/array/map/union/fixed,
 named-type references, the ``null`` / ``deflate`` (raw DEFLATE per the
 spec) / ``bzip2`` / ``xz`` / ``snappy`` (r10: pure-Python raw-snappy
-decoder + big-endian CRC32 frame) codecs, and the logical types date /
-time[stamp]-millis/micros / decimal. ``zstandard`` keeps the loud
-remedy (needs a non-stdlib library). Schema evolution (separate reader
-schema) is out of scope — files decode with their writer schema, which
-is what both consumers need. A tiny writer (null codec) exists for
-fixtures and round-trip tests.
+decoder + big-endian CRC32 frame) / ``zstandard`` (r10: pyarrow's
+bundled zstd, decompressed size parsed from the zstd frame header —
+RFC 8878 §3.1.1; loud remedy only when the frame omits
+Frame_Content_Size or pyarrow lacks zstd) codecs, and the logical
+types date / time[stamp]-millis/micros / decimal. Schema evolution
+(separate reader schema) is out of scope — files decode with their
+writer schema, which is what both consumers need. The writer covers
+the same codecs (zstandard via pyarrow) for fixtures, round-trip
+tests, and the avro sink.
 """
 
 from __future__ import annotations
@@ -284,6 +287,58 @@ def snappy_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _zstd_frame_content_size(frame: bytes) -> int:
+    """Parse Frame_Content_Size from a zstd frame header (RFC 8878
+    §3.1.1). Every writer that knows its input size (avro's zstd-jni,
+    pyarrow, the zstd CLI on regular files) emits it; streaming-mode
+    frames omit it and get the loud remedy."""
+    if len(frame) < 6 or frame[:4] != b"\x28\xb5\x2f\xfd":
+        raise AvroError("zstandard: not a zstd frame (bad magic)")
+    fhd = frame[4]
+    fcs_flag = fhd >> 6
+    single_segment = bool(fhd & 0x20)
+    did_flag = fhd & 0x03
+    pos = 5
+    if not single_segment:
+        pos += 1  # Window_Descriptor
+    pos += (0, 1, 2, 4)[did_flag]  # Dictionary_ID
+    if fcs_flag == 0:
+        if not single_segment:
+            raise AvroError(
+                "zstandard: frame omits Frame_Content_Size (streaming-"
+                "mode writer) — re-encode with a size-aware zstd or use"
+                " the spark-avro module"
+            )
+        return frame[pos]
+    nbytes = (0, 2, 4, 8)[fcs_flag]
+    val = int.from_bytes(frame[pos:pos + nbytes], "little")
+    return val + 256 if fcs_flag == 1 else val
+
+
+def _zstd_codec():
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("zstd")
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in
+        raise AvroError(
+            "zstandard codec needs pyarrow with zstd support"
+            f" ({exc}); install pyarrow or use the spark-avro module"
+        ) from exc
+
+
+def zstd_decompress(frame: bytes) -> bytes:
+    size = _zstd_frame_content_size(frame)
+    return bytes(_zstd_codec().decompress(frame, size))
+
+
+def zstd_compress(data: bytes) -> bytes:
+    return bytes(_zstd_codec().compress(data))
+
+
+_CODECS = ("null", "deflate", "bzip2", "xz", "snappy", "zstandard")
+
+
 def read_container(data: bytes) -> tuple[dict | list | str, list]:
     """Decode a whole Avro object container file -> (writer schema,
     records). Records are dicts for record schemas."""
@@ -292,12 +347,10 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
         raise AvroError("not an Avro object container file (bad magic)")
     meta = _decode({"type": "map", "values": "bytes"}, r, {})
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "bzip2", "xz", "snappy"):
-        # zstandard needs a non-stdlib library — loud remedy
+    if codec not in _CODECS:
         raise AvroError(
             f"unsupported Avro codec {codec!r}"
-            " (null/deflate/bzip2/xz/snappy supported jar-free;"
-            " zstandard needs the spark-avro module)"
+            f" (supported jar-free: {'/'.join(_CODECS)})"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     names: dict = {}
@@ -327,6 +380,8 @@ def read_container(data: bytes) -> tuple[dict | list | str, list]:
                 crc, "big"
             ):
                 raise AvroError("snappy: block CRC32 mismatch")
+        elif codec == "zstandard":
+            block = zstd_decompress(block)
         br = _Reader(block)
         for _ in range(count):
             records.append(_decode(schema, br, names))
@@ -341,7 +396,7 @@ def read_avro_file(path: str) -> tuple[dict | list | str, list]:
 
 
 # ---------------------------------------------------------------- encode
-# Fixture/round-trip writer (null codec only) — the read path above is
+# Round-trip writer (all read-side codecs) — the read path above is
 # the product surface.
 
 
@@ -415,13 +470,43 @@ def _encode(schema, value, names, out: bytearray):
         raise AvroError(f"unsupported Avro type {t!r}")
 
 
-def write_container(schema, records, sync: bytes = b"witdbsparkavro01") -> bytes:
+def _compress_block(codec: str, block: bytes) -> bytes:
+    if codec == "null":
+        return block
+    if codec == "deflate":
+        co = zlib.compressobj(wbits=-15)  # raw DEFLATE per spec
+        return co.compress(block) + co.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(block)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(block)
+    if codec == "snappy":
+        crc = (zlib.crc32(block) & 0xFFFFFFFF).to_bytes(4, "big")
+        return snappy_compress(block) + crc
+    if codec == "zstandard":
+        return zstd_compress(block)
+    raise AvroError(
+        f"unsupported Avro codec {codec!r}"
+        f" (supported jar-free: {'/'.join(_CODECS)})"
+    )
+
+
+def write_container(
+    schema,
+    records,
+    sync: bytes = b"witdbsparkavro01",
+    codec: str = "null",
+) -> bytes:
     names: dict = {}
     _register(schema, names)
     out = bytearray(_MAGIC)
     meta = {
         "avro.schema": json.dumps(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     _encode({"type": "map", "values": "bytes"}, meta, {}, out)
     out += sync
@@ -429,10 +514,11 @@ def write_container(schema, records, sync: bytes = b"witdbsparkavro01") -> bytes
         block = bytearray()
         for rec in records:
             _encode(schema, rec, names, block)
-        out += _zigzag(len(records)) + _zigzag(len(block)) + block + sync
+        comp = _compress_block(codec, bytes(block))
+        out += _zigzag(len(records)) + _zigzag(len(comp)) + comp + sync
     return bytes(out)
 
 
-def write_avro_file(path: str, schema, records) -> None:
+def write_avro_file(path: str, schema, records, codec: str = "null") -> None:
     with open(path, "wb") as f:
-        f.write(write_container(schema, records))
+        f.write(write_container(schema, records, codec=codec))
