@@ -1683,17 +1683,17 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
     _mutate(t1, lambda m: m.update({"format-version": 1}))
     with pytest.raises(IcebergProtocolError, match="format-v1"):
         write_iceberg(spark, df, t1, mode="append")
-    # partitioned-table gate — r10 narrowed it to NON-identity
-    # transforms (identity partitioning writes jar-free now; covered
-    # by test_iceberg_identity_partitioned_writes)
+    # partitioned-table gate — late r10 narrowed it to transforms
+    # OUTSIDE the jar-free subset (identity/bucket/truncate/temporal
+    # write jar-free now; void still refuses)
     t2 = str(tmp_path / "parttbl")
     write_iceberg(spark, df, t2, mode="create")
     _mutate(t2, lambda m: m.update({"partition-specs": [{
         "spec-id": 0,
-        "fields": [{"name": "name_bucket", "transform": "bucket[4]",
+        "fields": [{"name": "name_void", "transform": "void",
                     "source-id": 2, "field-id": 1000}],
     }]}))
-    with pytest.raises(IcebergProtocolError, match="not identity"):
+    with pytest.raises(IcebergProtocolError, match="jar"):
         write_iceberg(spark, df, t2, mode="append")
     # refs gate
     t3 = str(tmp_path / "refstbl")
@@ -3228,16 +3228,204 @@ def test_iceberg_identity_partitioned_writes(spark, tmp_path):
     spec = meta["partition-specs"][0]["fields"]
     assert [(f["transform"], f["field-id"]) for f in spec] == [
         ("identity", 1000), ("identity", 1001)]
-    # non-identity transforms still refuse
+    # transforms outside the jar-free subset still refuse
     nit = str(tmp_path / "bucketed")
     write_iceberg(spark, df, nit, mode="create")
     m2 = sorted(_glob.glob(os.path.join(
         nit, "metadata", "v*.metadata.json")))[-1]
     meta2 = _json.load(open(m2))
     meta2["partition-specs"] = [{"spec-id": 0, "fields": [
-        {"name": "id_bucket", "transform": "bucket[4]",
+        {"name": "id_void", "transform": "void",
          "source-id": 1, "field-id": 1000}]}]
     with open(m2, "w") as fh:
         _json.dump(meta2, fh)
-    with pytest.raises(IcebergProtocolError, match="not identity"):
+    with pytest.raises(IcebergProtocolError, match="jar"):
         write_iceberg(spark, df, nit, mode="append")
+
+
+def test_iceberg_transform_spec_pins():
+    """r10: the jar-free partition-transform layer
+    (sources/iceberg_transforms.py) against the PUBLIC Iceberg spec's
+    Appendix B hash requirements — the same pinned values the
+    reference asserts in TestIcebergBucketing.java."""
+    import datetime
+
+    from witdb_spark.sources.iceberg_transforms import (
+        TransformError,
+        bucket_hash,
+        bucket_value,
+        default_field_name,
+        parse_partition_by,
+        result_type,
+        transform_value,
+    )
+
+    assert bucket_hash(34, "int") == 2017239379
+    assert bucket_hash(34, "long") == 2017239379
+    assert bucket_hash("iceberg", "string") == 1210000089
+    d = datetime.date(2017, 11, 16)
+    assert bucket_hash(d, "date") == -653330422
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert bucket_hash(ts, "timestamp") == -2047944441
+    assert bucket_value(34, 16, "long") == 2017239379 % 16
+    assert bucket_value(None, 16, "long") is None
+    # transform result values (spec 'Partition Transforms' table)
+    assert transform_value("year", d, "date") == 47
+    assert transform_value("month", d, "date") == 574
+    assert transform_value("day", ts, "timestamp") == d
+    assert transform_value("hour", ts, "timestamp") == 17486 * 24 + 22
+    assert transform_value("truncate[10]", -1, "int") == -10
+    assert transform_value("truncate[3]", "iceberg", "string") == "ice"
+    # partition_by spellings and field naming
+    assert parse_partition_by("bucket(16, id)") == ("id", "bucket[16]")
+    assert parse_partition_by("truncate(3, name)") == ("name", "truncate[3]")
+    assert parse_partition_by("days(ts)") == ("ts", "day")
+    assert parse_partition_by("plain_col") == ("plain_col", "identity")
+    assert default_field_name("id", "bucket[16]") == "id_bucket"
+    assert default_field_name("ts", "day") == "ts_day"
+    # loud gates
+    with pytest.raises(TransformError, match="jar"):
+        result_type("bucket[4]", "decimal(10, 2)")
+    with pytest.raises(TransformError):
+        result_type("void", "int")
+    with pytest.raises(TransformError):
+        result_type("hour", "date")
+
+
+def test_iceberg_transform_expr_differential(spark):
+    """Randomized differential: the Spark-side transform_expr (pure
+    JVM murmur3 arithmetic for fixed-width bucket sources; pandas UDF
+    only for strings) row-for-row equals the Python twin on every
+    supported (transform, source-type) pair, NULLs included — and the
+    fixed-width bucket plan contains NO Python eval."""
+    import datetime
+    import random
+
+    from witdb_spark.sources.iceberg_transforms import (
+        transform_expr,
+        transform_value,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            rnd.randint(-2**31, 2**31 - 1),
+            rnd.randint(-2**62, 2**62),
+            datetime.date(1900, 1, 1)
+            + datetime.timedelta(days=rnd.randint(0, 120000)),
+            datetime.datetime(1950, 1, 1)
+            + datetime.timedelta(
+                seconds=rnd.randint(0, 4_000_000_000),
+                microseconds=rnd.randint(0, 999999),
+            ),
+            "".join(
+                rnd.choice("abcdefg hijklmnoé中")
+                for _ in range(rnd.randint(0, 20))
+            ),
+        )
+        for _ in range(200)
+    ] + [(None, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "i int, l long, d date, ts timestamp_ntz, s string"
+    )
+    local = df.collect()
+    cases = [
+        ("bucket[16]", "i", "int"), ("bucket[7]", "l", "long"),
+        ("bucket[1024]", "d", "date"), ("bucket[31]", "ts", "timestamp"),
+        ("bucket[16]", "s", "string"),
+        ("truncate[10]", "i", "int"), ("truncate[1000]", "l", "long"),
+        ("truncate[3]", "s", "string"),
+        ("year", "d", "date"), ("month", "d", "date"),
+        ("day", "d", "date"), ("year", "ts", "timestamp"),
+        ("month", "ts", "timestamp"), ("day", "ts", "timestamp"),
+        ("hour", "ts", "timestamp"),
+    ]
+    for tr, col, typ in cases:
+        got = [r[0] for r in df.select(transform_expr(tr, col, typ)).collect()]
+        want = [
+            transform_value(tr, r[col], typ) if r[col] is not None else None
+            for r in local
+        ]
+        want = [
+            w.date() if isinstance(w, __import__("datetime").datetime) else w
+            for w in want
+        ]
+        assert got == want, (tr, col, typ)
+    plan = (
+        df.select(transform_expr("bucket[16]", "l", "long").alias("b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan  # stays in whole-stage codegen
+
+
+def test_iceberg_transform_partitioned_roundtrip(spark, tmp_path):
+    """r10: create/append/DELETE/UPDATE on a table partitioned by
+    bucket(4, id) + months(d) + truncate(3, name) and a second table
+    by day(ts) — manifests carry transform-result-typed partition
+    structs, directories render iceberg-java style, and every row
+    survives the roundtrip."""
+    import datetime
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    rows = [
+        (
+            i, f"name{i}",
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i * 17),
+            datetime.datetime(2021, 6, 1) + datetime.timedelta(hours=i * 7),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, d date, ts timestamp_ntz"
+    )
+    t = str(tmp_path / "transformed")
+    write_iceberg(
+        spark, df.filter("id < 25"), t, mode="create",
+        partition_by=["bucket(4, id)", "months(d)", "truncate(3, name)"],
+    )
+    write_iceberg(spark, df.filter("id >= 25"), t, mode="append")
+    assert sorted(
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    ) == list(range(40))
+    iceberg_delete_where(spark, t, "id % 5 = 2")
+    iceberg_update_where(spark, t, "id = 0", {"name": "'ZERO'"})
+    got = {r.id: r.name for r in read_iceberg_snapshot(spark, t).collect()}
+    assert sorted(got) == [i for i in range(40) if i % 5 != 2]
+    assert got[0] == "ZERO"
+    # iceberg-java-style dirs: bucket ints, month ordinals, ISO days
+    import glob as _glob
+
+    dirs = {
+        os.path.relpath(p, t)
+        for p in _glob.glob(os.path.join(t, "data", "*"))
+    }
+    assert any(d.startswith("data/id_bucket=") for d in dirs), dirs
+    t2 = str(tmp_path / "byday")
+    write_iceberg(spark, df, t2, mode="create", partition_by=["day(ts)"])
+    assert sorted(
+        r.id for r in read_iceberg_snapshot(spark, t2).collect()
+    ) == list(range(40))
+    assert any(
+        "ts_day=2021-06-0" in p
+        for p in _glob.glob(os.path.join(t2, "data", "*"))
+    )
+    # the manifest partition struct is transform-result-typed
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        _pick_snapshot,
+        _resolve,
+    )
+
+    meta = _current_metadata(t2)
+    snap = _pick_snapshot(meta, None, None)
+    _, mlist = read_avro_file(_resolve(t2, snap["manifest-list"]))
+    _, entries = read_avro_file(_resolve(t2, mlist[0]["manifest_path"]))
+    pv = entries[0]["data_file"]["partition"]["ts_day"]
+    assert isinstance(pv, datetime.date)

@@ -2498,3 +2498,61 @@ def avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"),
     )
+
+
+@register(
+    "iceberg_transform_partitioned_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 3
+    """,
+    doc="Jar-free NON-IDENTITY partition transforms (r10, "
+    "sources/iceberg_transforms.py; reference plugin/trino-iceberg/"
+    ".../PartitionTransforms.java + spec Appendix B): CTAS an orders "
+    "slice partitioned by bucket(8, o_orderkey) + months(o_orderdate) "
+    "— the bucket compiles to pure-JVM murmur3 arithmetic at staging "
+    "— append the tail, COW DELETE a key stripe (survivors re-stage "
+    "with transforms recomputed; kept entries re-emit their "
+    "result-typed partition structs). Hash must equal the filtered "
+    "orders slice.",
+    tags=("source", "lakehouse", "writer", "dml", "partitioned"),
+)
+def iceberg_transform_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.filter("o_orderkey <= 2000").selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS o_orderkey",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "o_orderpriority",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_iceberg_transform_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("o_orderkey <= 1000"), path, mode="create",
+        partition_by=["bucket(8, o_orderkey)", "months(o_orderdate)"],
+    )
+    write_iceberg(
+        spark, src.filter("o_orderkey > 1000"), path, mode="append"
+    )
+    iceberg_delete_where(spark, path, "o_orderkey % 7 = 3")
+    return read_iceberg_snapshot(spark, path).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )

@@ -495,8 +495,8 @@ def _spark_schema_to_iceberg(df) -> dict:
 
 
 #: avro twins of the iceberg primitive types this module can put in a
-#: partition struct (identity transforms only — a transform would need
-#: the library's evaluation layer)
+#: partition struct (keyed by transform RESULT type — the jar-free
+#: transform layer is sources/iceberg_transforms.py)
 _ICE_TO_AVRO = {
     "int": "int", "long": "long", "string": "string",
     "boolean": "boolean", "double": "double", "float": "float",
@@ -504,37 +504,61 @@ _ICE_TO_AVRO = {
 }
 
 
-def _identity_part_cols(meta: dict) -> list[dict]:
-    """Default partition spec's fields when EVERY transform is identity
-    (the jar-free writable subset; [] = unpartitioned). Non-identity
-    transforms (bucket/truncate/day/...) raise — evaluating them
-    outside the library would silently mis-partition."""
+def _writable_part_fields(meta: dict) -> list[dict]:
+    """Default partition spec's fields when every transform is in the
+    jar-free writable subset — identity, bucket[N], truncate[W],
+    year/month/day/hour over supported source types
+    (sources/iceberg_transforms.py; [] = unpartitioned). Anything else
+    (void, bucket over decimal, ...) raises — evaluating it outside
+    the spec'd transform layer would silently mis-partition."""
+    from witdb_spark.sources.iceberg_transforms import (
+        TransformError,
+        result_type,
+    )
+
     specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
     fields = specs.get(meta.get("default-spec-id", 0), {}).get(
         "fields"
     ) or []
-    bad = [
-        f["name"] for f in fields if f.get("transform") != "identity"
-    ]
-    if bad:
-        raise IcebergProtocolError(
-            f"partition transforms on {bad} are not identity — writes"
-            " need the iceberg-spark-runtime jar"
-        )
+    by_id = {f["id"]: f for f in _table_schema(meta)["fields"]}
+    for f in fields:
+        src = by_id.get(f["source-id"])
+        src_t = src["type"] if src else None
+        try:
+            result_type(f.get("transform", "identity"), src_t)
+        except TransformError as exc:
+            raise IcebergProtocolError(
+                f"partition field {f['name']!r}: {exc} — writes need"
+                " the iceberg-spark-runtime jar"
+            ) from exc
     return fields
+
+
+def _part_result_type(pf: dict, schema: dict) -> str:
+    """A partition field's RESULT iceberg type (= source type for
+    identity; int for bucket/year/month/hour; date for day; ...)."""
+    from witdb_spark.sources.iceberg_transforms import result_type
+
+    by_id = {f["id"]: f for f in schema["fields"]}
+    src = by_id.get(pf["source-id"])
+    t = src["type"] if src else None
+    if not isinstance(t, str):
+        raise IcebergProtocolError(
+            f"partition source type {t!r} for {pf['name']!r} is"
+            " outside the jar-free writer subset"
+        )
+    return result_type(pf.get("transform", "identity"), t)
 
 
 def _part_avro_fields(part_fields: list[dict], schema: dict) -> list:
     """Avro record fields for the manifest partition struct (spec:
-    'r102'), typed from the source columns."""
-    by_id = {f["id"]: f for f in schema["fields"]}
+    'r102'), typed by each field's transform RESULT type."""
     out = []
     for pf in part_fields:
-        src = by_id.get(pf["source-id"])
-        t = src["type"] if src else None
-        if not isinstance(t, str) or t not in _ICE_TO_AVRO:
+        t = _part_result_type(pf, schema)
+        if t not in _ICE_TO_AVRO:
             raise IcebergProtocolError(
-                f"partition source type {t!r} for {pf['name']!r} is"
+                f"partition result type {t!r} for {pf['name']!r} is"
                 " outside the jar-free writer subset"
             )
         out.append(
@@ -596,11 +620,15 @@ def _stage_iceberg_data(
     df, path: str, part_fields: list[dict], schema: dict
 ) -> list[dict]:
     """Stage ``df`` as data parquet under <path>/data and return the
-    spec-shaped data_file records. Identity-partitioned specs stage
-    with partitionBy on COPIES of the source columns, so the data
-    files keep every column physically (the same layout iceberg-java
-    writes); partition values parse back from the staged Hive-style
-    directory names and land in the manifest partition struct."""
+    spec-shaped data_file records. Partitioned specs stage with
+    partitionBy on COMPUTED transform columns (identity = a copy of
+    the source; bucket/truncate/temporal evaluate jar-free in
+    sources/iceberg_transforms.py — bucket over fixed-width types as
+    pure JVM murmur3 arithmetic), so the data files keep every column
+    physically (the same layout iceberg-java writes); partition VALUES
+    parse back from the staged Hive-style directory names, typed by
+    the transform result type, and land in the manifest partition
+    struct."""
     import glob
     import shutil
     import uuid
@@ -608,6 +636,8 @@ def _stage_iceberg_data(
 
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+
+    from witdb_spark.sources.iceberg_transforms import transform_expr
 
     by_id = {f["id"]: f for f in schema["fields"]}
     part_cols = [by_id[pf["source-id"]]["name"] for pf in part_fields]
@@ -619,8 +649,14 @@ def _stage_iceberg_data(
                 f"partition columns {missing} absent from the data"
             )
         stage_df = df
-        for i, c in enumerate(part_cols):
-            stage_df = stage_df.withColumn(f"__p_{i}", F.col(c))
+        for i, (pf, c) in enumerate(zip(part_fields, part_cols)):
+            stage_df = stage_df.withColumn(
+                f"__p_{i}",
+                transform_expr(
+                    pf.get("transform", "identity"), c,
+                    by_id[pf["source-id"]]["type"],
+                ),
+            )
         stage_df.write.mode("overwrite").partitionBy(
             *[f"__p_{i}" for i in range(len(part_cols))]
         ).parquet(staging)
@@ -659,7 +695,7 @@ def _stage_iceberg_data(
             part_struct = {}
             dest_dir_parts = []
             for i, (pf, c) in enumerate(zip(part_fields, part_cols)):
-                t = by_id[pf["source-id"]]["type"]
+                t = _part_result_type(pf, schema)
                 part_struct[pf["name"]] = _typed_part_value(
                     raw_by_idx[i], t, pf["name"]
                 )
@@ -693,14 +729,18 @@ def write_iceberg(
     partition_by: list[str] | None = None,
 ) -> int:
     """Jar-free Iceberg write (create/append/overwrite; identity
-    partitioning since r10): data parquet + manifest avro +
+    partitioning since r10, bucket[N]/truncate[W]/year/month/day/hour
+    transforms since late r10): data parquet + manifest avro +
     manifest-list avro, committed by the new vN.metadata.json
     (open-exclusive = the spec's atomic-swap contract on a
-    filesystem). ``partition_by`` (create only) declares identity
-    partition columns; appends to an identity-partitioned table pick
+    filesystem). ``partition_by`` (create only) takes bare column
+    names or Spark-DDL transform spellings — ``bucket(16, id)``,
+    ``truncate(3, name)``, ``days(ts)`` — evaluated by
+    sources/iceberg_transforms.py; appends to a partitioned table pick
     the spec up from the metadata (reference
     plugin/trino-iceberg/.../IcebergMetadata.java append path +
-    PartitionData.java). Returns the committed snapshot id."""
+    PartitionData.java, PartitionTransforms.java). Returns the
+    committed snapshot id."""
     import uuid
 
     if mode not in ("create", "append", "overwrite"):
@@ -716,18 +756,26 @@ def write_iceberg(
         os.path.join(path, "metadata", "v1.metadata.json")
     )
     if creating:
+        from witdb_spark.sources.iceberg_transforms import (
+            default_field_name,
+            parse_partition_by,
+            result_type,
+        )
+
         schema0 = _spark_schema_to_iceberg(df)
         by_name = {f["name"]: f for f in schema0["fields"]}
         part_fields = []
-        for i, c in enumerate(partition_by or []):
+        for i, entry in enumerate(partition_by or []):
+            c, transform = parse_partition_by(entry)
             if c not in by_name:
                 raise IcebergProtocolError(
                     f"partition column {c!r} not in the data"
                 )
+            result_type(transform, by_name[c]["type"])  # loud gate
             part_fields.append(
                 {
-                    "name": c,
-                    "transform": "identity",
+                    "name": default_field_name(c, transform),
+                    "transform": transform,
                     "source-id": by_name[c]["id"],
                     "field-id": 1000 + i,
                 }
@@ -735,10 +783,19 @@ def write_iceberg(
         stage_schema = schema0
     else:
         pre_meta = _current_metadata(path)
-        part_fields = _identity_part_cols(pre_meta)
+        part_fields = _writable_part_fields(pre_meta)
         if partition_by is not None:
+            from witdb_spark.sources.iceberg_transforms import (
+                default_field_name,
+                parse_partition_by,
+            )
+
             declared = [pf["name"] for pf in part_fields]
-            if list(partition_by) != declared:
+            asked = [
+                default_field_name(*parse_partition_by(e))
+                for e in partition_by
+            ]
+            if asked != declared:
                 raise IcebergProtocolError(
                     f"partition_by {partition_by} != table spec"
                     f" {declared}"
@@ -768,14 +825,14 @@ def write_iceberg(
             # carries branch/tag refs would rebuild its metadata in a
             # shape library readers no longer trust ("refuse, never
             # misread" contract). Identity partitioning writes jar-free
-            # since r10 (gate narrowed to non-identity transforms —
-            # _identity_part_cols raises on those).
+            # since r10, bucket/truncate/temporal transforms since
+            # late r10 (_writable_part_fields raises on the rest).
             if meta.get("format-version", 1) != 2:
                 raise IcebergProtocolError(
                     f"{mode} on a format-v1 Iceberg table needs the"
                     " iceberg-spark-runtime jar"
                 )
-            if [pf["name"] for pf in _identity_part_cols(meta)] != [
+            if [pf["name"] for pf in _writable_part_fields(meta)] != [
                 pf["name"] for pf in part_fields
             ]:
                 raise IcebergProtocolError(
@@ -1227,15 +1284,17 @@ def _iceberg_rewrite_matched(
     # non-identity-partitioned or format-v1 — re-encoding its kept
     # entries through this module's manifest schema would silently drop
     # structure (corrupting the table for library readers) or KeyError
-    # mid-commit. Refuse loudly instead. Identity partitioning rewrites
-    # jar-free since r10: kept entries re-emit their partition structs,
-    # rewritten survivors re-stage partitionBy (_stage_iceberg_data).
+    # mid-commit. Refuse loudly instead. Partitioned rewrites run
+    # jar-free since r10 (identity, then bucket/truncate/temporal
+    # transforms late-r10): kept entries re-emit their partition
+    # structs, rewritten survivors re-stage partitionBy with the
+    # transform recomputed (_stage_iceberg_data).
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
             f"{op} on a format-v1 Iceberg table needs the"
             " iceberg-spark-runtime jar"
         )
-    part_fields = _identity_part_cols(meta)
+    part_fields = _writable_part_fields(meta)
     # one manifest walk serves both the scan list and the kept-entry
     # re-emit (iceberg_data_files would walk the same chain again)
     cur_snap = _pick_snapshot(meta, None, None)
