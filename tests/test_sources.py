@@ -3429,3 +3429,190 @@ def test_iceberg_transform_partitioned_roundtrip(spark, tmp_path):
     _, entries = read_avro_file(_resolve(t2, mlist[0]["manifest_path"]))
     pv = entries[0]["data_file"]["partition"]["ts_day"]
     assert isinstance(pv, datetime.date)
+
+
+def test_skipping_predicate_parser():
+    """r10: the conservative conjunct parser behind lakehouse file
+    skipping (sources/skipping.py; reference TupleDomain/
+    DomainTranslator analog) — anything outside the subset returns
+    None (= scan everything), never a wrong clause."""
+    import datetime
+
+    from witdb_spark.sources.skipping import Clause, parse_conjuncts
+
+    assert parse_conjuncts("a = 3 AND b < 'x' AND c IS NOT NULL") == [
+        Clause("a", "=", 3), Clause("b", "<", "x"), Clause("c", "notnull"),
+    ]
+    assert parse_conjuncts("d >= DATE '1995-01-01'") == [
+        Clause("d", ">=", datetime.date(1995, 1, 1))
+    ]
+    assert parse_conjuncts("ts < TIMESTAMP '2021-06-01 12:00:00'") == [
+        Clause("ts", "<", datetime.datetime(2021, 6, 1, 12, 0))
+    ]
+    assert parse_conjuncts("a IN (1, 2) AND `b c` = 'it''s'") == [
+        Clause("a", "in", (1, 2)), Clause("b c", "=", "it's"),
+    ]
+    assert parse_conjuncts("3 <= a") == [Clause("a", ">=", 3)]
+    # everything outside the subset -> None, conservatively
+    for bad in ("a = 3 OR b = 4", "NOT a = 3", "upper(a) = 'X'",
+                "a = b", "a BETWEEN 1 AND 2", "(a = 1 AND b = 2) AND c = 3"):
+        assert parse_conjuncts(bad) is None, bad
+
+
+def test_delta_file_skipping(spark, tmp_path):
+    """r10: read_delta_snapshot(where=) prunes add entries by
+    partition values and per-file stats (written by _stage_data_files
+    from parquet footers, PROTOCOL.md 'Per-file Statistics'), then
+    re-applies the predicate — results always equal full-scan+filter,
+    and the pruned scan lists strictly fewer files where stats allow."""
+    import datetime
+
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    rows = [
+        (
+            i, f"n{i}",
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+            float(i) * 1.5,
+            i % 3 if i % 7 else None,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, d date, v double, cat int"
+    ).repartition(4, "id")
+    t = str(tmp_path / "skiptbl")
+    write_delta(spark, df, t, mode="create", partition_by=["cat"])
+    full = read_delta_snapshot(spark, t)
+    nf = len(full.inputFiles())
+    prunes = 0
+    for where in (
+        "d < DATE '2020-01-20'", "cat = 2", "cat IS NULL",
+        "id >= 350 AND cat = 1", "v > 500.0", "name = 'n5'",
+        "id IN (3, 5)", "d <> DATE '2020-01-01'",
+    ):
+        pruned = read_delta_snapshot(spark, t, where=where)
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in full.filter(where).collect()
+        ), where
+        prunes += len(pruned.inputFiles()) < nf
+    assert prunes >= 4  # partition + stats pruning both engage
+    # unanalyzable predicate: full scan, correct rows
+    odd = read_delta_snapshot(spark, t, where="id % 2 = 1 OR cat = 9")
+    assert odd.count() == full.filter("id % 2 = 1 OR cat = 9").count()
+
+
+def test_iceberg_partition_pruning(spark, tmp_path):
+    """r10: read_iceberg_snapshot(where=) prunes manifest entries via
+    transform projection (bucket equality, monotonic range projection
+    for temporal/truncate) before the scan is built."""
+    import datetime
+
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    rows = [
+        (
+            i, f"name{i % 10}",
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, d date")
+    t = str(tmp_path / "prunetbl")
+    write_iceberg(
+        spark, df, t, mode="create",
+        partition_by=["bucket(8, id)", "months(d)"],
+    )
+    full = read_iceberg_snapshot(spark, t)
+    nf = len(full.inputFiles())
+    cases = {
+        "id = 37": True,
+        "id IN (5, 50, 150)": True,
+        "d >= DATE '2020-06-01'": True,
+        "d = DATE '2020-03-01' AND id < 100": True,
+        "name = 'name3'": False,  # not a partition source: no pruning
+    }
+    for where, should_prune in cases.items():
+        pruned = read_iceberg_snapshot(spark, t, where=where)
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in full.filter(where).collect()
+        ), where
+        if should_prune:
+            assert len(pruned.inputFiles()) < nf, where
+
+
+def test_skipping_soundness_randomized(spark, tmp_path):
+    """Property: over randomized simple predicates, pruned-read +
+    filter ALWAYS equals full-read + filter on both delta and iceberg
+    (skipping may only ever drop files that cannot match)."""
+    import datetime
+    import random
+
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            rnd.randint(0, 100),
+            rnd.choice(["a", "b", "c", None]),
+            datetime.date(2020, 1, 1)
+            + datetime.timedelta(days=rnd.randint(0, 400)),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string, d date")
+    td = str(tmp_path / "sound_delta")
+    ti = str(tmp_path / "sound_ice")
+    write_delta(spark, df.repartition(6, "k"), td, mode="create")
+    write_iceberg(
+        spark, df, ti, mode="create",
+        partition_by=["bucket(4, k)", "months(d)"],
+    )
+    d_full = read_delta_snapshot(spark, td)
+    i_full = read_iceberg_snapshot(spark, ti)
+    ops = ["=", "<", "<=", ">", ">=", "<>"]
+    for _ in range(25):
+        conj = []
+        if rnd.random() < 0.8:
+            conj.append(f"k {rnd.choice(ops)} {rnd.randint(-5, 105)}")
+        if rnd.random() < 0.5:
+            dd = datetime.date(2020, 1, 1) + datetime.timedelta(
+                days=rnd.randint(-10, 420)
+            )
+            conj.append(f"d {rnd.choice(ops)} DATE '{dd.isoformat()}'")
+        if rnd.random() < 0.3:
+            conj.append(
+                rnd.choice(["s IS NULL", "s IS NOT NULL", "s = 'b'",
+                            "s IN ('a', 'c')"])
+            )
+        if not conj:
+            conj = ["k >= 0"]
+        where = " AND ".join(conj)
+        key = lambda t: (t[0], t[1] is None, t[1] or "", t[2])  # noqa: E731
+        for full, reader, tbl in (
+            (d_full, read_delta_snapshot, td),
+            (i_full, read_iceberg_snapshot, ti),
+        ):
+            got = sorted(
+                ((r.k, r.s, r.d)
+                 for r in reader(spark, tbl, where=where).collect()),
+                key=key,
+            )
+            want = sorted(
+                ((r.k, r.s, r.d) for r in full.filter(where).collect()),
+                key=key,
+            )
+            assert got == want, (tbl, where)

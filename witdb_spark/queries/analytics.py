@@ -2556,3 +2556,112 @@ def iceberg_transform_partitioned_roundtrip(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         "o_orderpriority",
     )
+
+
+@register(
+    "delta_skipping_scan",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc="Delta data skipping end-to-end (r10, sources/skipping.py + "
+    "read_delta_snapshot(where=); reference TupleDomain pruning over "
+    "AddFileEntry stats in plugin/trino-delta-lake): orders lands in "
+    "a Delta table partitioned by o_orderstatus with per-file "
+    "min/max/nullCount stats from the parquet footers; the read "
+    "prunes add entries by partition value AND o_orderdate stats "
+    "range before the scan is built, then re-applies the predicate. "
+    "The aggregate must hash-equal the oracle over the unpruned "
+    "source — a skipping bug that drops a matching file shifts "
+    "every group.",
+    tags=("source", "lakehouse", "skipping"),
+)
+def delta_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.selectExpr(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_skip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, src.repartition(8, "o_orderkey"), path, mode="create",
+        partition_by=["o_orderstatus"],
+    )
+    pruned = read_delta_snapshot(
+        spark, path,
+        where="o_orderstatus = 'F' AND o_orderdate >= DATE '1994-01-01'"
+              " AND o_orderdate < DATE '1996-01-01'",
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "iceberg_pruned_scan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_custkey = 371 AND o_orderdate >= DATE '1993-01-01'
+    """,
+    doc="Iceberg manifest-level partition pruning (r10, transform "
+    "projection per the spec — sources/iceberg_transforms.py "
+    "partition_struct_can_match; reference "
+    "plugin/trino-iceberg/.../IcebergSplitSource residuals): orders "
+    "lands partitioned by bucket(8, o_custkey) + months(o_orderdate); "
+    "the read prunes manifest entries by bucket equality AND month "
+    "range projection before listing any file, then re-applies the "
+    "predicate. Result must hash-equal the unpruned oracle.",
+    tags=("source", "lakehouse", "skipping", "partitioned"),
+)
+def iceberg_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_prune_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src, path, mode="create",
+        partition_by=["bucket(8, o_custkey)", "months(o_orderdate)"],
+    )
+    pruned = read_iceberg_snapshot(
+        spark, path,
+        where="o_custkey = 371 AND o_orderdate >= DATE '1993-01-01'",
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )

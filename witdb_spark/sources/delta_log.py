@@ -424,11 +424,84 @@ def _cm_fieldid_field(f):
     )
 
 
+def _typed_partition_value(raw: str | None, spark_type_ddl: str):
+    """Delta's string partition-value serialization -> typed python
+    value for skipping comparisons; None when the type is outside the
+    comparison subset (then: no pruning on that column)."""
+    import datetime as _dt
+
+    if raw is None:
+        return None
+    t = spark_type_ddl
+    try:
+        if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+            return int(raw)
+        if t in ("float", "double"):
+            return float(raw)
+        if t == "date":
+            return _dt.date.fromisoformat(raw)
+        if t.startswith("timestamp"):
+            from witdb_spark.sources.skipping import _parse_ts
+
+            return _parse_ts(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        if t == "string":
+            return raw
+    except ValueError:
+        return NotImplemented
+    return NotImplemented  # decimal/binary/nested: skip pruning
+
+
+def _delta_add_can_match(
+    clauses, add: dict, part_cols: list[str], phys_part: dict,
+    type_by_col: dict,
+) -> bool:
+    """Conservative file-skipping check for one add action: partition
+    values match exactly, data columns by the stats range; any unknown
+    -> True (scan the file)."""
+    from witdb_spark.sources.skipping import (
+        clause_can_match,
+        partition_value_can_match,
+    )
+
+    stats = None
+    if add.get("stats"):
+        try:
+            stats = json.loads(add["stats"])
+        except (TypeError, ValueError):
+            stats = None
+    for cl in clauses:
+        if cl.col in part_cols:
+            raw = (add.get("partitionValues") or {}).get(
+                phys_part.get(cl.col, cl.col)
+            )
+            val = _typed_partition_value(raw, type_by_col.get(cl.col, ""))
+            if val is NotImplemented:
+                continue
+            if not partition_value_can_match(cl, val):
+                return False
+        elif stats:
+            # stats are keyed physically under column mapping, like
+            # partitionValues (PROTOCOL.md 'Per-file Statistics')
+            sc = phys_part.get(cl.col, cl.col)
+            if not clause_can_match(
+                cl,
+                (stats.get("minValues") or {}).get(sc),
+                (stats.get("maxValues") or {}).get(sc),
+                (stats.get("nullCount") or {}).get(sc),
+                stats.get("numRecords"),
+            ):
+                return False
+    return True
+
+
 def read_delta_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
     _row_tags: bool = False,
 ) -> DataFrame:
     """Read a Delta table at a snapshot (latest, an explicit version, or
@@ -446,7 +519,12 @@ def read_delta_snapshot(
     matches columns — spark.sql.parquet.fieldId.read.enabled). Add
     actions' partitionValues stay keyed by PHYSICAL names in both
     modes (PROTOCOL.md "Column Mapping"). Reference analog:
-    plugin/trino-delta-lake/.../DeltaLakeSchemaSupport.java."""
+    plugin/trino-delta-lake/.../DeltaLakeSchemaSupport.java.
+    ``where`` (r10) turns on FILE SKIPPING: add entries are pruned by
+    partition values and per-file stats (the reference's TupleDomain
+    pruning over AddFileEntry stats) before the scan is built, then
+    the full predicate re-applies to the rows — pruning never changes
+    results; at fleet scale the win is never listing pruned files."""
     from pyspark.sql.types import StructField
 
     _, metadata, state, _ = _snapshot_state(
@@ -480,6 +558,21 @@ def read_delta_snapshot(
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if where is not None:
+        from witdb_spark.sources.skipping import parse_conjuncts
+
+        clauses = parse_conjuncts(where)
+        if clauses:  # None = unanalyzable -> scan everything
+            type_by_col = {
+                f.name: f.dataType.simpleString() for f in schema.fields
+            }
+            state = {
+                k: add
+                for k, add in state.items()
+                if _delta_add_can_match(
+                    clauses, add, part_cols, phys_part, type_by_col
+                )
+            }
     if cm_mode == "name":
         data_schema = StructType(
             [
@@ -587,7 +680,12 @@ def read_delta_snapshot(
     keep_cols = [f.name for f in schema.fields]
     if _row_tags:
         keep_cols += ["__dv_file", "__dv_pos"]
-    return out.select(*keep_cols)
+    out = out.select(*keep_cols)
+    if where is not None:
+        # skipping above is conservative; the full predicate re-applies
+        # so pruning can NEVER change results
+        out = out.filter(where)
+    return out
 
 
 def _norm_scan_path(p: str) -> str:
@@ -867,12 +965,79 @@ def _partition_values_from_rel(rel: str, part_cols: list[str]) -> dict:
     return vals
 
 
+def _file_stats_json(f: str) -> str | None:
+    """Per-file stats for the add action (PROTOCOL.md 'Per-file
+    Statistics': numRecords/minValues/maxValues/nullCount), aggregated
+    from the parquet footer's row-group column statistics — what the
+    reference persists via AddFileEntry.stats and what
+    read_delta_snapshot's file skipping prunes on. Columns without
+    usable footer stats are simply omitted (readers treat missing
+    stats as unknown)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(f).metadata
+    except Exception:
+        return None
+    num_records = md.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — out of the skipping subset
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                mins[name] = maxs[name] = None  # poison: drop below
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    mins[name] = maxs[name] = None
+                    continue
+            if name in mins and mins[name] is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+
+    def ser(v):
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ", timespec="microseconds")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
+    stats = {
+        "numRecords": num_records,
+        "minValues": {k: ser(v) for k, v in mins.items() if v is not None},
+        "maxValues": {k: ser(v) for k, v in maxs.items() if v is not None},
+        "nullCount": nulls,
+    }
+    try:
+        return json.dumps(stats)
+    except (TypeError, ValueError):
+        return None
+
+
 def _stage_data_files(
     df, path: str, partition_by: list[str]
 ) -> list[dict]:
     """Write df's rows as parquet under the table root (hive dirs for
-    partitions) and return their add actions. Files keep Spark's
-    part-<task>-<uuid> names, which are globally unique."""
+    partitions) and return their add actions, each carrying per-file
+    stats for data skipping. Files keep Spark's part-<task>-<uuid>
+    names, which are globally unique."""
     import glob
     import shutil
     import uuid
@@ -890,19 +1055,19 @@ def _stage_data_files(
         dest = os.path.join(path, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.move(f, dest)
-        adds.append(
-            {
-                "add": {
-                    "path": rel.replace(os.sep, "/"),
-                    "partitionValues": _partition_values_from_rel(
-                        rel, partition_by
-                    ),
-                    "size": os.path.getsize(dest),
-                    "modificationTime": _now_ms(),
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": _partition_values_from_rel(
+                rel, partition_by
+            ),
+            "size": os.path.getsize(dest),
+            "modificationTime": _now_ms(),
+            "dataChange": True,
+        }
+        stats = _file_stats_json(dest)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 

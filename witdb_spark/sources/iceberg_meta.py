@@ -152,6 +152,7 @@ def _iceberg_scan(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    prune=None,
 ) -> tuple[
     list[tuple[str, int]],
     list[tuple[str, int, tuple[int, ...] | None]],
@@ -229,6 +230,12 @@ def _iceberg_scan(
                     (tgt, seq if seq is not None else 2**62, None)
                 )
             else:
+                # manifest-level partition pruning: callers pass a
+                # conservative can-match over the entry's partition
+                # struct (read_iceberg_snapshot where=); pruned files
+                # are never listed, opened, or row-tagged
+                if prune is not None and not prune(df_rec):
+                    continue
                 data.append((tgt, seq if seq is not None else 0))
     return data, deletes, _schema_fields(meta)
 
@@ -374,6 +381,7 @@ def read_iceberg_snapshot(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
     _row_tags: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot (current, by snapshot id, or
@@ -382,8 +390,38 @@ def read_iceberg_snapshot(
     read; selecting the table schema's columns makes a missing or
     renamed column a loud error instead of a silent misread. v2
     POSITION and EQUALITY deletes apply jar-free as merge-on-read
-    anti joins (_apply_row_deletes)."""
-    data, deletes, cols = _iceberg_scan(path, snapshot_id, timestamp_ms)
+    anti joins (_apply_row_deletes). ``where`` turns on MANIFEST-LEVEL
+    partition pruning (transform projection per the spec — identity/
+    truncate/temporal ranges, bucket equality) before the scan is
+    built, then re-applies the full predicate to the rows, so pruning
+    never changes results — at fleet scale the win is never listing
+    the pruned files at all."""
+    prune = None
+    if where is not None:
+        from witdb_spark.sources.iceberg_transforms import (
+            partition_struct_can_match,
+        )
+        from witdb_spark.sources.skipping import parse_conjuncts
+
+        clauses = parse_conjuncts(where)
+        if clauses:
+            meta0 = _current_metadata(path)
+            specs = {
+                s["spec-id"]: s
+                for s in meta0.get("partition-specs") or []
+            }
+            pf = specs.get(meta0.get("default-spec-id", 0), {}).get(
+                "fields"
+            ) or []
+            sf = _table_schema(meta0)["fields"]
+            if pf:
+                def prune(df_rec, _pf=pf, _sf=sf, _cl=clauses):
+                    return partition_struct_can_match(
+                        _cl, _pf, _sf, df_rec.get("partition")
+                    )
+    data, deletes, cols = _iceberg_scan(
+        path, snapshot_id, timestamp_ms, prune=prune
+    )
     files = [p for p, _ in data]
     if not files:
         meta = _current_metadata(path)
@@ -420,8 +458,13 @@ def read_iceberg_snapshot(
             }
         )
     if _row_tags:
-        return df.select(*cols, "__file", "__pos")
-    return df.select(*cols)
+        df = df.select(*cols, "__file", "__pos")
+    else:
+        df = df.select(*cols)
+    if where is not None:
+        # pruning above is conservative; the full predicate re-applies
+        df = df.filter(where)
+    return df
 
 
 # ------------------------------------------------------------------ write

@@ -377,3 +377,120 @@ def _bucket_string_udf(n: int):
         ).astype("Int32")
 
     return _bucket
+
+
+# ---------------------------------------------------- predicate pruning
+
+
+def partition_struct_can_match(
+    clauses, part_fields: list[dict], schema_fields: list[dict],
+    struct: dict | None,
+) -> bool:
+    """Conservative manifest-level pruning (the reference's
+    residual-predicate projection in
+    plugin/trino-iceberg/.../IcebergSplitSource + the spec's
+    'Transform projection' rules): can a data file with partition
+    ``struct`` contain a row satisfying every clause? Monotonic
+    transforms (identity/truncate/temporal) project range comparisons
+    by transforming the literal; bucket projects equality only.
+    Unknown anything -> True (scan the file)."""
+    from witdb_spark.sources.skipping import (
+        partition_value_can_match,
+    )
+
+    if struct is None:
+        return True
+    by_src: dict[int, list[dict]] = {}
+    for pf in part_fields:
+        by_src.setdefault(pf["source-id"], []).append(pf)
+    id_by_name = {f["name"]: f for f in schema_fields}
+    for cl in clauses:
+        src = id_by_name.get(cl.col)
+        if src is None:
+            continue
+        for pf in by_src.get(src["id"], ()):
+            if pf["name"] not in struct and cl.op not in ("isnull",):
+                continue
+            pv = struct.get(pf["name"])
+            kind, param = parse_transform(pf.get("transform", "identity"))
+            # transform(NULL) is NULL for every transform, so the
+            # NULL-ness projections hold universally
+            if cl.op == "isnull":
+                if pf["name"] in struct and pv is not None:
+                    return False
+                continue
+            if pv is None:
+                return False  # all-null source; comparisons never match
+            if cl.op == "notnull":
+                continue
+            if kind == "identity":
+                if not partition_value_can_match(cl, pv):
+                    return False
+                continue
+            if kind == "bucket":
+                if cl.op == "=":
+                    try:
+                        want = bucket_value(cl.value, param, src["type"])
+                    except (TransformError, TypeError, ValueError):
+                        continue
+                    if pv != want:
+                        return False
+                elif cl.op == "in":
+                    try:
+                        wants = {
+                            bucket_value(v, param, src["type"])
+                            for v in cl.value
+                        }
+                    except (TransformError, TypeError, ValueError):
+                        continue
+                    if pv not in wants:
+                        return False
+                continue
+            # monotonic transforms: row `x op lit` implies
+            # `t(x) op' t(lit)` with strict ops relaxed
+            try:
+                tl = transform_value(
+                    pf["transform"], cl.value, src["type"]
+                )
+            except (TransformError, TypeError, ValueError):
+                continue
+            if cl.op == "=":
+                if _neq(pv, tl):
+                    return False
+            elif cl.op == "in":
+                try:
+                    wants = [
+                        transform_value(pf["transform"], v, src["type"])
+                        for v in cl.value
+                    ]
+                except (TransformError, TypeError, ValueError):
+                    continue
+                if all(_neq(pv, w) for w in wants):
+                    return False
+            elif cl.op in ("<", "<="):
+                if _cmp_known(pv, tl) == 1:  # pv > t(lit): no row can be < lit
+                    return False
+            elif cl.op in (">", ">="):
+                if _cmp_known(pv, tl) == -1:
+                    return False
+            # '<>' never prunes under a lossy transform
+    return True
+
+
+def _cmp_known(a, b) -> int:
+    """-1/0/1 when comparable, 0 (no prune) otherwise."""
+    try:
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+        return 0
+    except TypeError:
+        return 0
+
+
+def _neq(a, b) -> bool:
+    try:
+        return not (a == b)
+    except TypeError:
+        return False

@@ -98,6 +98,7 @@ def read_table(
 
         version = options.pop("versionAsOf", None)
         ts = options.pop("timestampAsOf", None)
+        where = options.pop("where", None)  # file skipping (r10)
         if options:
             raise ValueError(
                 "unsupported delta reader options without the jar: "
@@ -115,6 +116,7 @@ def read_table(
             path_or_table,
             version=None if version is None else int(version),
             timestamp_ms=ts_ms,
+            where=where,
         )
     if (
         fmt == "iceberg"
@@ -129,6 +131,7 @@ def read_table(
 
         snap = options.pop("snapshot-id", None)
         ts = options.pop("as-of-timestamp", None)
+        where = options.pop("where", None)  # manifest pruning (r10)
         if options:
             raise ValueError(
                 "unsupported iceberg reader options without the jar: "
@@ -139,6 +142,7 @@ def read_table(
             path_or_table,
             snapshot_id=None if snap is None else int(snap),
             timestamp_ms=None if ts is None else int(ts),
+            where=where,
         )
     if (
         fmt == "hudi"
