@@ -2186,9 +2186,13 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     )
     assert got == [(1, "a1", "a"), (2, "a2", "a"), (3, "b3", "b")]
     assert read_delta_snapshot(spark, t).columns == ["id", "name", "x"]
-    # writes to a name-mapped table refuse (physical-name emission)
-    with pytest.raises(DeltaProtocolError, match="physical"):
-        delta_delete_where(spark, t, "id = 1")
+    # COW DML on name-mapped tables works since late r10: survivors
+    # re-stage physically (test_delta_column_mapping_writes covers the
+    # full create/append/DML surface)
+    delta_delete_where(spark, t, "id = 1")
+    assert sorted(
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    ) == [2, 3]
 
 
 def _cm_fixture(base: str, mode: str) -> str:
@@ -3616,3 +3620,88 @@ def test_skipping_soundness_randomized(spark, tmp_path):
                 key=key,
             )
             assert got == want, (tbl, where)
+
+
+@pytest.mark.parametrize("cm_mode", ["name", "id"])
+def test_delta_column_mapping_writes(spark, tmp_path, cm_mode):
+    """r10: the full WRITE surface on column-mapped tables — CREATE
+    generates col-<uuid> physicalNames + ids (PROTOCOL.md 'Column
+    Mapping'), staging renames logical -> physical and stamps
+    parquet.field.id so Spark's writer emits real field ids, appends
+    and COW DELETE/UPDATE/MERGE re-stage survivors physically, and
+    partitionValues + per-file stats stay keyed physically. File
+    skipping composes (clauses logical, stats physical)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        DeltaProtocolError,
+        delta_delete_where,
+        delta_merge_into,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / f"cmw_{cm_mode}")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(30)],
+        "id bigint, name string, p int",
+    )
+    write_delta(
+        spark, df.filter("id < 20"), t, mode="create",
+        partition_by=["p"],
+        configuration={"delta.columnMapping.mode": cm_mode},
+    )
+    write_delta(spark, df.filter("id >= 20"), t, mode="append")
+    assert sorted(
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    ) == list(range(30))
+    # physical layout on disk: col-* names, real parquet field ids,
+    # physically-keyed partitionValues and stats
+    pf = pq.ParquetFile(sorted(_glob.glob(t + "/*/*.parquet"))[0])
+    assert all(n.startswith("col-") for n in pf.schema_arrow.names)
+    assert pf.schema_arrow.field(0).metadata.get(b"PARQUET:field_id")
+    line = [
+        json.loads(ln)
+        for ln in open(sorted(_glob.glob(t + "/_delta_log/*.json"))[0])
+    ]
+    add = next(a["add"] for a in line if "add" in a)
+    assert all(k.startswith("col-") for k in add["partitionValues"])
+    assert all(
+        k.startswith("col-")
+        for k in json.loads(add["stats"])["minValues"]
+    )
+    delta_delete_where(spark, t, "id % 5 = 2")
+    delta_update_where(spark, t, "id = 0", {"name": "'ZERO'"})
+    src = spark.createDataFrame(
+        [(1, "MERGED", 1), (100, "NEW", 2)],
+        "id bigint, name string, p int",
+    )
+    delta_merge_into(
+        spark, t, src, ["id"],
+        when_matched_update={"name": F.col("src.name")},
+    )
+    rows = {r.id: r.name for r in read_delta_snapshot(spark, t).collect()}
+    assert rows[0] == "ZERO" and rows[1] == "MERGED" and rows[100] == "NEW"
+    assert sorted(rows) == sorted(
+        [i for i in range(30) if i % 5 != 2] + [100]
+    )
+    # skipping composes: logical clauses against physical stats/pv keys
+    pruned = read_delta_snapshot(spark, t, where="p = 1 AND id >= 10")
+    full = read_delta_snapshot(spark, t)
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.filter("p = 1 AND id >= 10").collect()
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # nested columns keep the loud writer gate
+    nested = spark.createDataFrame(
+        [(1, {"x": 2})], "id bigint, s struct<x: bigint>"
+    )
+    with pytest.raises(DeltaProtocolError, match="nested"):
+        write_delta(
+            spark, nested, str(tmp_path / "cmw_nested"), mode="create",
+            configuration={"delta.columnMapping.mode": cm_mode},
+        )

@@ -2665,3 +2665,57 @@ def iceberg_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"),
     )
+
+
+@register(
+    "delta_cm_writer_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'HQ' ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation WHERE n_nationkey % 6 <> 4
+    """,
+    doc="Writer-side Delta column mapping (r10, delta_log.py "
+    "_stage_physical/_cm_create_schema; reference "
+    "plugin/trino-delta-lake/.../DeltaLakeSchemaSupport.java + "
+    "DeltaLakeMergeSink physical-name emission): CTAS nation with "
+    "delta.columnMapping.mode=name — files carry col-<uuid> physical "
+    "names with parquet field ids, partitionValues and stats keyed "
+    "physically — append the tail, COW DELETE a stripe, UPDATE one "
+    "name. Reading back through the id/name resolution must "
+    "hash-equal the filtered+redacted nation.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def delta_cm_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_cmw_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, src.filter("n_nationkey < 15"), path, mode="create",
+        partition_by=["n_regionkey"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta(
+        spark, src.filter("n_nationkey >= 15"), path, mode="append"
+    )
+    delta_delete_where(spark, path, "n_nationkey % 6 = 4")
+    delta_update_where(spark, path, "n_nationkey = 0", {"n_name": "'HQ'"})
+    return read_delta_snapshot(spark, path)

@@ -1031,6 +1031,72 @@ def _file_stats_json(f: str) -> str | None:
         return None
 
 
+def _stage_physical(df, metadata: dict):
+    """For column-mapped tables (delta.columnMapping.mode=name/id),
+    convert a LOGICAL DataFrame into the physical staging form the
+    protocol requires of writers: columns renamed to each field's
+    delta.columnMapping.physicalName and stamped with parquet.field.id
+    metadata (Spark's parquet writer emits the ids natively —
+    spark.sql.parquet.fieldId.write.enabled). Returns (staged df,
+    physical partition column names). Unmapped tables pass through.
+    Nested types stay loud — writer-side nested mapping needs the
+    recursive physical-schema rewrite the jar does."""
+    from pyspark.sql import functions as F
+
+    cfg = metadata.get("configuration") or {}
+    mode = cfg.get("delta.columnMapping.mode", "none")
+    part_cols = list(metadata.get("partitionColumns") or [])
+    if mode == "none":
+        return df, part_cols
+    schema = json.loads(metadata["schemaString"])
+    phys: dict[str, str] = {}
+    sel = []
+    for f in schema["fields"]:
+        if not isinstance(f["type"], str):
+            raise DeltaProtocolError(
+                f"column mapping write: nested column {f['name']!r}"
+                " needs the delta-spark jar (recursive physical-name"
+                " emission)"
+            )
+        md = f.get("metadata") or {}
+        pn = md.get("delta.columnMapping.physicalName")
+        fid = md.get("delta.columnMapping.id")
+        if pn is None or fid is None:
+            raise DeltaProtocolError(
+                f"column mapping write: field {f['name']!r} lacks"
+                " physicalName/id metadata"
+            )
+        phys[f["name"]] = pn
+        sel.append(
+            F.col(f["name"]).alias(
+                pn, metadata={"parquet.field.id": int(fid)}
+            )
+        )
+    return df.select(*sel), [phys[c] for c in part_cols]
+
+
+def _cm_create_schema(df, mode: str) -> str:
+    """schemaString for CREATE on a column-mapped table: every
+    top-level field gets an id and a col-<uuid> physicalName, the
+    delta-spark convention (PROTOCOL.md 'Column Mapping')."""
+    import uuid
+
+    fields = []
+    for i, f in enumerate(json.loads(df.schema.json())["fields"], 1):
+        if not isinstance(f["type"], str):
+            raise DeltaProtocolError(
+                f"column mapping create: nested column {f['name']!r}"
+                " needs the delta-spark jar"
+            )
+        f = dict(f)
+        f["metadata"] = {
+            "delta.columnMapping.id": i,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+        }
+        fields.append(f)
+    return json.dumps({"type": "struct", "fields": fields})
+
+
 def _stage_data_files(
     df, path: str, partition_by: list[str]
 ) -> list[dict]:
@@ -1106,9 +1172,31 @@ def write_delta(
             raise FileExistsError(f"{path} is already a Delta table")
         os.makedirs(path, exist_ok=True)
         part_cols = list(partition_by or [])
-        adds = _stage_data_files(df, path, part_cols)
         import uuid
 
+        cfg = dict(configuration or {})
+        cm_mode = cfg.get("delta.columnMapping.mode", "none")
+        if cm_mode not in ("none", "name", "id"):
+            raise DeltaProtocolError(
+                f"unknown column mapping mode {cm_mode!r}"
+            )
+        if cm_mode != "none":
+            schema_string = _cm_create_schema(df, cm_mode)
+            cfg.setdefault(
+                "delta.columnMapping.maxColumnId", str(len(df.columns))
+            )
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            stage_meta = {
+                "schemaString": schema_string,
+                "partitionColumns": part_cols,
+                "configuration": cfg,
+            }
+            stage_df, stage_parts = _stage_physical(df, stage_meta)
+        else:
+            schema_string = df.schema.json()
+            protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+            stage_df, stage_parts = df, part_cols
+        adds = _stage_data_files(stage_df, path, stage_parts)
         actions = [
             {
                 "commitInfo": {
@@ -1116,16 +1204,16 @@ def write_delta(
                     "operation": "CREATE TABLE AS SELECT",
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": protocol},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": part_cols,
                     # e.g. delta.enableDeletionVectors=true flips
                     # delta_delete_where to merge-on-read DV commits
-                    "configuration": dict(configuration or {}),
+                    "configuration": cfg,
                     "createdTime": _now_ms(),
                 }
             },
@@ -1139,9 +1227,11 @@ def write_delta(
         )
     for _ in range(5):
         # append adds files and overwrite retires whole files — neither
-        # re-serializes an existing DV'd add, so both stay DV-safe
+        # re-serializes an existing DV'd add, so both stay DV-safe;
+        # column-mapped tables stage through _stage_physical (r10)
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None, allow_dvs=True
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
         )
         part_cols = list(metadata.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != part_cols:
@@ -1157,7 +1247,8 @@ def write_delta(
                 f"schema mismatch: table has {table_cols}, data has"
                 f" {df.columns}"
             )
-        adds = _stage_data_files(df, path, part_cols)
+        stage_df, stage_parts = _stage_physical(df, metadata)
+        adds = _stage_data_files(stage_df, path, stage_parts)
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -1202,9 +1293,8 @@ def _rewrite_matched_files(
 
     for _ in range(5):
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None
+            spark, path, None, None, allow_name_mapping=True
         )
-        part_cols = list(metadata.get("partitionColumns") or [])
         df = read_delta_snapshot(spark, path).withColumn(
             "__sf", F.input_file_name()
         )
@@ -1231,7 +1321,10 @@ def _rewrite_matched_files(
         touched = df.filter(f"__sf IN ({_in_list(hit_files)})").drop(
             "__sf"
         )
-        adds = _stage_data_files(rewrite(touched), path, part_cols)
+        # column-mapped tables rewrite LOGICAL rows, then re-stage
+        # physically (rename + parquet field ids) per the protocol
+        stage_df, stage_parts = _stage_physical(rewrite(touched), metadata)
+        adds = _stage_data_files(stage_df, path, stage_parts)
         actions = (
             [
                 {
@@ -1273,7 +1366,7 @@ def delta_delete_where(
     copy-on-write rewrites matched files without the matching rows.
     Returns {'version', 'files_rewritten'}."""
     _, metadata, _, _ = _snapshot_state(
-        spark, path, None, None, allow_dvs=True, allow_name_mapping=False
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     dv_mode = (
         (metadata.get("configuration") or {})
@@ -1325,7 +1418,7 @@ def delta_update_where(
     from pyspark.sql import functions as F
 
     _, metadata, _, _ = _snapshot_state(
-        spark, path, None, None, allow_dvs=True
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     dv_mode = (
         (metadata.get("configuration") or {})
@@ -1398,7 +1491,7 @@ def _delta_merge_dv(
             "files_rewritten": 0,
         }
     _, metadata, _, _ = _snapshot_state(
-        spark, path, None, None, allow_dvs=True
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     part_cols = list(metadata.get("partitionColumns") or [])
     adds = _stage_data_files(survivors, path, part_cols)
@@ -1451,7 +1544,7 @@ def delta_merge_into(
     from witdb_spark.sources.merge import merge_into
 
     _, md0, _, _ = _snapshot_state(
-        spark, path, None, None, allow_dvs=True
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     if (
         (md0.get("configuration") or {})
@@ -1462,9 +1555,8 @@ def delta_merge_into(
         return _delta_merge_dv(spark, path, source, on, **merge_kwargs)
     for _ in range(5):
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None
+            spark, path, None, None, allow_name_mapping=True
         )
-        part_cols = list(metadata.get("partitionColumns") or [])
         df = read_delta_snapshot(spark, path).withColumn(
             "__sf", F.input_file_name()
         )
@@ -1494,7 +1586,8 @@ def delta_merge_into(
             if ap not in by_abs:
                 raise DeltaProtocolError(f"scanned file not in log: {f}")
             removed.append(by_abs[ap])
-        adds = _stage_data_files(merged, path, part_cols)
+        stage_df, stage_parts = _stage_physical(merged, metadata)
+        adds = _stage_data_files(stage_df, path, stage_parts)
         if not removed and not adds:
             return {"version": version, "files_rewritten": 0}
         actions = (
