@@ -3705,3 +3705,73 @@ def test_delta_column_mapping_writes(spark, tmp_path, cm_mode):
             spark, nested, str(tmp_path / "cmw_nested"), mode="create",
             configuration={"delta.columnMapping.mode": cm_mode},
         )
+
+
+def test_hudi_partitioned_cow(spark, tmp_path):
+    """late r10: partitioned Hudi COW — create/append land hive-style
+    <col>=<val>/ file groups with write stats and replace bookkeeping
+    keyed by partition path (the timeline fold's own grain);
+    DELETE/UPDATE/MERGE/UPSERT re-stage survivors partitioned;
+    read_hudi_snapshot(where=) prunes the scan by partition dirs;
+    cluster + clean work recursively."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_base_files,
+        hudi_clean,
+        hudi_cluster,
+        hudi_delete_where,
+        hudi_merge_into,
+        hudi_update_where,
+        hudi_upsert,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "hudi_part")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(30)],
+        "id bigint, name string, p int",
+    )
+    write_hudi(
+        spark, df.filter("id < 20"), t, mode="create",
+        record_key="id", partition_by=["p"],
+    )
+    write_hudi(spark, df.filter("id >= 20"), t, mode="append")
+    assert sorted(
+        r.id for r in read_hudi_snapshot(spark, t).collect()
+    ) == list(range(30))
+    rels = [os.path.relpath(f, t) for f in hudi_base_files(t)]
+    assert rels and all(r.startswith("p=") for r in rels)
+    hudi_delete_where(spark, t, "id % 5 = 2")
+    hudi_update_where(spark, t, "id = 0", {"name": "'ZERO'"})
+    src = spark.createDataFrame(
+        [(1, "MERGED", 1), (100, "NEW", 2)],
+        "id bigint, name string, p int",
+    )
+    hudi_merge_into(
+        spark, t, src, ["id"],
+        when_matched_update={"name": F.col("src.name")},
+    )
+    up = spark.createDataFrame(
+        [(3, "UPSERTED", 0), (200, "INS", 2)],
+        "id bigint, name string, p int",
+    )
+    hudi_upsert(spark, t, up)
+    rows = {r.id: r.name for r in read_hudi_snapshot(spark, t).collect()}
+    assert rows[0] == "ZERO" and rows[1] == "MERGED"
+    assert rows[3] == "UPSERTED" and rows[100] == "NEW" and rows[200] == "INS"
+    assert sorted(rows) == sorted(
+        [i for i in range(30) if i % 5 != 2] + [100, 200]
+    )
+    full = read_hudi_snapshot(spark, t)
+    pr = read_hudi_snapshot(spark, t, where="p = 1 AND id >= 10")
+    assert sorted(r.id for r in pr.collect()) == sorted(
+        r.id for r in full.filter("p = 1 AND id >= 10").collect()
+    )
+    assert len(pr.inputFiles()) < len(full.inputFiles())
+    hudi_cluster(spark, t)
+    assert {r.id for r in read_hudi_snapshot(spark, t).collect()} == set(rows)
+    res = hudi_clean(t)
+    assert res["deleted_files"] > 0
+    assert {r.id for r in read_hudi_snapshot(spark, t).collect()} == set(rows)

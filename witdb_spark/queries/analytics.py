@@ -2719,3 +2719,59 @@ def delta_cm_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_delete_where(spark, path, "n_nationkey % 6 = 4")
     delta_update_where(spark, path, "n_nationkey = 0", {"n_name": "'HQ'"})
     return read_delta_snapshot(spark, path)
+
+
+@register(
+    "hudi_partitioned_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey = 0 THEN 'HQ' ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation WHERE n_nationkey % 5 <> 3
+    """,
+    doc="Partitioned Hudi COW jar-free (late r10, hudi_meta.py "
+    "_stage_hudi_files; reference plugin/trino-hudi partition-aware "
+    "file listing): CTAS nation partitioned by n_regionkey "
+    "(hive-style dirs, write stats + replace bookkeeping keyed by "
+    "partition path), append the tail, COW DELETE a stripe (matched "
+    "groups retired per-partition, survivors re-staged partitioned), "
+    "UPDATE one name, read back with a no-op where that exercises "
+    "the partition-dir pruner. Hash must equal the filtered+redacted "
+    "nation.",
+    tags=("source", "lakehouse", "writer", "dml", "partitioned"),
+)
+def hudi_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_delete_where,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi(
+        spark, src.filter("n_nationkey < 15").coalesce(1), path,
+        mode="create", partition_by=["n_regionkey"],
+    )
+    write_hudi(
+        spark, src.filter("n_nationkey >= 15").coalesce(1), path,
+        mode="append",
+    )
+    hudi_delete_where(spark, path, "n_nationkey % 5 = 3")
+    hudi_update_where(spark, path, "n_nationkey = 0", {"n_name": "'HQ'"})
+    return read_hudi_snapshot(
+        spark, path, where="n_regionkey >= 0"
+    ).select("n_nationkey", "n_name", "n_regionkey")

@@ -56,16 +56,17 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # staleness by latest driver row: r3: 37, r4: 50, r6: 50, r7: 49, r8: 50,
 # r9: 50.
 # Round-10 window (prescribed by VERDICT r9 task 1, adjusted for r10-new
-# work): positions 1-7 are the r10-new queries (jar-free Avro container
+# work): positions 1-8 are the r10-new queries (jar-free Avro container
 # scan with the snappy codec, Delta column-mapping id-mode reader AND
 # writer-side mapping, identity- and transform-partitioned Iceberg
-# writes, Delta stats skipping + Iceberg manifest pruning); 8-10 are
-# queries whose EXECUTION
+# writes, partitioned Hudi COW, Delta stats skipping + Iceberg
+# manifest pruning); 9-11 are queries whose EXECUTION
 # ENGINE changed this round (rotation clause (a)) — mr_subset_moves and
 # mr_error_burst now ride the pure-JVM runs fast path (alternation /
 # single-element-unbounded extension), spatial_join_contains gained the
-# unrolled literal-SQL verify tier; 11-47 are ALL 37 remaining r3-era
-# greens; 48-50 the 3 oldest r4-era greens. Done = CORRECTNESS_r10
+# unrolled literal-SQL verify tier; 12-48 are ALL 37 remaining r3-era
+# greens; 49-50 the 2 oldest r4-era greens (engine-changed slots 9-11
+# are themselves r4/r6-era, so 42 of 50 slots refresh staleness). Done = CORRECTNESS_r10
 # 50/50 green and no query's last driver row older than r4 (after r11:
 # none older than r6 — r11 head = the remaining 43 r4-era).
 # Everything keeps local DuckDB coverage every pytest run
@@ -79,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "delta_skipping_scan",
     "iceberg_pruned_scan",
     "delta_cm_writer_roundtrip",
+    "hudi_partitioned_roundtrip",
     # engine changed in r10
     "mr_subset_moves",
     "mr_error_burst",
@@ -97,8 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_multi_distinct", "agg_reduce_agg", "agg_salted_skew",
     "agg_hll_merge_rollup", "agg_rollup_reuse", "agg_qdigest_rollup",
     "agg_multimap", "string_funcs_parity", "datetime_funcs_parity",
-    # 3 oldest r4-era greens (the remaining window slots)
-    "agg_tdigest_rollup", "agg_setdigest", "dedup_exact",
+    # 2 oldest r4-era greens (the remaining window slots)
+    "agg_tdigest_rollup", "agg_setdigest",
 )
 
 

@@ -274,8 +274,71 @@ def _read_mor_snapshot(
     return out.select(*[f.name for f in schema.fields])
 
 
+def _prune_hudi_files(files: list[str], path: str, where: str) -> list[str]:
+    """Partition-dir pruning for the COW scan: hive-style <col>=<val>
+    dirs parse back to typed values (types from one parquet footer —
+    base files keep partition columns physically) and conservative
+    can-match drops files whose partition values cannot satisfy the
+    predicate. Any doubt -> keep the file."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    from witdb_spark.sources.delta_log import _typed_partition_value
+    from witdb_spark.sources.skipping import (
+        parse_conjuncts,
+        partition_value_can_match,
+    )
+
+    part_fields = _hudi_partition_fields(path)
+    if not part_fields:
+        return files
+    clauses = parse_conjuncts(where)
+    if not clauses:
+        return files
+    clauses = [c for c in clauses if c.col in part_fields]
+    if not clauses:
+        return files
+    arrow = pq.ParquetFile(files[0]).schema_arrow
+    type_by_col = {
+        f.name: str(f.type) for f in arrow
+    }
+    _ddl = {
+        "int64": "bigint", "int32": "int", "string": "string",
+        "large_string": "string", "double": "double", "float": "float",
+        "bool": "boolean", "date32[day]": "date",
+    }
+    kept = []
+    for f in files:
+        rel = os.path.relpath(f, path)
+        vals: dict[str, str | None] = {}
+        for comp in rel.split(os.sep)[:-1]:
+            k, _, v = comp.partition("=")
+            vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+        ok = True
+        for cl in clauses:
+            if cl.col not in vals:
+                continue
+            t = type_by_col.get(cl.col, "")
+            ddl = _ddl.get(t, "timestamp" if "timestamp" in t else "")
+            val = _typed_partition_value(vals[cl.col], ddl)
+            if val is NotImplemented:
+                continue
+            if not partition_value_can_match(cl, val):
+                ok = False
+                break
+        if ok:
+            kept.append(f)
+    return kept
+
+
 def read_hudi_snapshot(
-    spark: SparkSession, path: str, as_of_instant: str | None = None
+    spark: SparkSession,
+    path: str,
+    as_of_instant: str | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a Hudi table at a snapshot (latest completed commit, or
     at/before ``as_of_instant``) without the connector jar. COW base
@@ -284,12 +347,21 @@ def read_hudi_snapshot(
     r9: MERGE_ON_READ tables read with snapshot semantics — base files
     merged with log records (_read_mor_snapshot). A snapshot whose
     every file group was retired (delete-all) reads as a TYPED empty
-    frame from the newest commit's schema metadata."""
+    frame from the newest commit's schema metadata. ``where`` (r10)
+    prunes partitioned COW scans by hive-dir partition values before
+    the scan is built (MOR applies the filter only), then re-applies
+    the full predicate — pruning never changes results."""
     props = _properties(path)
     if props.get("hoodie.table.type", "COPY_ON_WRITE") == "MERGE_ON_READ":
-        return _read_mor_snapshot(spark, path, as_of_instant)
+        out = _read_mor_snapshot(spark, path, as_of_instant)
+        return out.filter(where) if where is not None else out
     files = hudi_base_files(path, as_of_instant)
     if files:
+        if where is not None:
+            pruned = _prune_hudi_files(files, path, where)
+            if not pruned:
+                return spark.read.parquet(*files).filter(where).limit(0)
+            return spark.read.parquet(*pruned).filter(where)
         return spark.read.parquet(*files)
     from pyspark.sql.types import StructType
 
@@ -342,12 +414,102 @@ def _claim_instant(path: str) -> str:
     raise HudiProtocolError("could not claim a commit instant")
 
 
+def _hudi_partition_fields(path: str) -> list[str]:
+    """hoodie.table.partition.fields from hoodie.properties (the same
+    key real Hudi tables carry); [] = unpartitioned."""
+    raw = _properties(path).get("hoodie.table.partition.fields", "")
+    return [c for c in raw.split(",") if c]
+
+
+def _stage_hudi_files(
+    df, path: str, instant: str, part_fields: list[str]
+) -> dict[str, list[dict]]:
+    """Stage ``df`` as fresh file groups and return the
+    partitionToWriteStats dict. Partitioned tables stage with
+    partitionBy on COPIES of the partition columns (base files keep
+    every column physically, like real Hudi), land under hive-style
+    <col>=<val>/ dirs, and key their write stats by partition path —
+    the same (partition, fileId) grain the timeline fold uses.
+    Zero-row part files publish no group."""
+    import glob
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    if part_fields:
+        missing = [c for c in part_fields if c not in df.columns]
+        if missing:
+            raise HudiProtocolError(
+                f"partition columns {missing} absent from the data"
+            )
+        sdf = df
+        for i, c in enumerate(part_fields):
+            sdf = sdf.withColumn(f"__hp_{i}", F.col(c))
+        sdf.write.mode("overwrite").partitionBy(
+            *[f"__hp_{i}" for i in range(len(part_fields))]
+        ).parquet(staging)
+        files = sorted(glob.glob(
+            os.path.join(staging, "**", "part-*.parquet"), recursive=True
+        ))
+    else:
+        df.write.mode("overwrite").parquet(staging)
+        files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    out: dict[str, list[dict]] = {}
+    for f in files:
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue
+        fid = uuid.uuid4().hex
+        base = f"{fid}_0_{instant}.parquet"
+        if part_fields:
+            rel_dir = os.path.relpath(os.path.dirname(f), staging)
+            by_idx: dict[int, str] = {}
+            for comp in rel_dir.split(os.sep):
+                k, _, v = comp.partition("=")
+                by_idx[int(k[len("__hp_"):])] = v
+            part_dir = "/".join(
+                f"{part_fields[i]}={by_idx[i]}"
+                for i in range(len(part_fields))
+            )
+            os.makedirs(os.path.join(path, part_dir), exist_ok=True)
+            rel, part_key = f"{part_dir}/{base}", part_dir
+        else:
+            rel, part_key = base, ""
+        shutil.move(f, os.path.join(path, rel))
+        out.setdefault(part_key, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "totalWriteBytes": os.path.getsize(
+                    os.path.join(path, rel)
+                ),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _group_fids_by_partition(rels: list[str]) -> dict[str, list[str]]:
+    """Relative base-file paths -> {partition path: [fileId, ...]} for
+    replacecommit bookkeeping."""
+    out: dict[str, set] = {}
+    for r in rels:
+        part = os.path.dirname(r).replace(os.sep, "/")
+        out.setdefault(part, set()).add(
+            os.path.basename(r).split("_", 1)[0]
+        )
+    return {p: sorted(fids) for p, fids in out.items()}
+
+
 def write_hudi(
     spark: SparkSession,
     df,
     path: str,
     mode: str = "append",
     record_key: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Jar-free Hudi COW write (create/append/overwrite as bulk-insert
     of fresh file groups; keyed UPSERT routes through hudi_upsert using
@@ -355,20 +517,24 @@ def write_hudi(
     Each staged parquet file becomes its own file group; a commit JSON
     publishes them — overwrite retires every prior file group via a
     replacecommit, the timeline's own mechanism for insert-overwrite.
-    ``record_key`` (create only) records
-    hoodie.table.recordkey.fields in hoodie.properties, the same key
-    real Hudi tables carry, enabling keyed hudi_upsert without an
-    explicit key argument. Returns the commit instant."""
-    import glob
-    import shutil
-    import uuid
-
+    ``record_key`` / ``partition_by`` (create only) record
+    hoodie.table.recordkey.fields / hoodie.table.partition.fields in
+    hoodie.properties, the same keys real Hudi tables carry;
+    partitioned tables land hive-style <col>=<val>/ file groups with
+    write stats keyed by partition path (late r10). Returns the
+    commit instant."""
     if mode not in ("create", "append", "overwrite"):
         raise ValueError("mode must be create/append/overwrite")
     exists = os.path.isdir(_meta_dir(path))
     if mode == "create" and exists:
         raise FileExistsError(f"{path} is already a Hudi table")
     if not exists:
+        part_fields = list(partition_by or [])
+        missing = [c for c in part_fields if c not in df.columns]
+        if missing:
+            raise HudiProtocolError(
+                f"partition columns {missing} absent from the data"
+            )
         os.makedirs(_meta_dir(path))
         props_text = (
             "hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
@@ -383,6 +549,11 @@ def write_hudi(
             props_text += (
                 f"hoodie.table.recordkey.fields={record_key}\n"
             )
+        if part_fields:
+            props_text += (
+                "hoodie.table.partition.fields=%s\n"
+                % ",".join(part_fields)
+            )
         with open(
             os.path.join(_meta_dir(path), "hoodie.properties"), "w"
         ) as f:
@@ -393,44 +564,32 @@ def write_hudi(
             raise HudiProtocolError(
                 "writes to MERGE_ON_READ tables need the hudi-spark bundle"
             )
+        part_fields = _hudi_partition_fields(path)
+        if partition_by is not None and list(partition_by) != part_fields:
+            raise HudiProtocolError(
+                f"table is partitioned by {part_fields},"
+                f" not {partition_by}"
+            )
     action = (
         "replacecommit" if mode == "overwrite" and exists else "commit"
     )
+    prior_rels = (
+        [os.path.relpath(p, path) for p in hudi_base_files(path)]
+        if action == "replacecommit"
+        else []
+    )
     instant = _claim_instant(path)
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    stats = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        fid = uuid.uuid4().hex
-        rel = f"{fid}_0_{instant}.parquet"
-        shutil.move(f, os.path.join(path, rel))
-        stats.append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "totalWriteBytes": os.path.getsize(
-                    os.path.join(path, rel)
-                ),
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    stats_by_part = _stage_hudi_files(df, path, instant, part_fields)
     meta: dict = {
-        "partitionToWriteStats": {"": stats},
+        "partitionToWriteStats": stats_by_part or {"": []},
         # schema travels in the commit metadata (as real Hudi does) so
         # an all-rows-deleted table can still produce a TYPED empty read
         "extraMetadata": {"schema": df.schema.json()},
     }
     if action == "replacecommit":
-        rels = [
-            os.path.relpath(p, path) for p in hudi_base_files(path)
-        ]
-        if any(os.sep in r for r in rels):
-            raise HudiProtocolError(
-                "overwrite of a PARTITIONED Hudi table needs the"
-                " hudi-spark bundle (partitioned replace bookkeeping)"
-            )
-        prior = {r.split("_", 1)[0] for r in rels}
-        meta["partitionToReplaceFileIds"] = {"": sorted(prior)}
+        meta["partitionToReplaceFileIds"] = _group_fids_by_partition(
+            prior_rels
+        )
     target = os.path.join(_meta_dir(path), f"{instant}.{action}")
     # the .requested claim made this instant ours; 'x' stays as a belt
     with open(target, "x") as f:
@@ -463,10 +622,6 @@ def _hudi_rewrite_matched(
     need nothing new. ``commit_on_no_match`` keeps going when no group
     matched (MERGE's pure-insert case). Returns the commit instant, or
     None when nothing was committed."""
-    import glob
-    import shutil
-    import uuid
-
     from pyspark.sql import functions as F
 
     from witdb_spark.sources.delta_log import _strip_uri
@@ -518,15 +673,8 @@ def _hudi_rewrite_matched(
                     f"scanned file {ap} not in the current snapshot"
                 )
             matched_paths.append(ap)
-    matched_fids = set()
-    for ap in matched_paths:
-        rel = os.path.relpath(ap, path)
-        if os.sep in rel:
-            raise HudiProtocolError(
-                f"{op} on a PARTITIONED Hudi table needs the hudi-spark"
-                " bundle (partitioned replace bookkeeping)"
-            )
-        matched_fids.add(os.path.basename(rel).split("_", 1)[0])
+    matched_rels = [os.path.relpath(ap, path) for ap in matched_paths]
+    replace_by_part = _group_fids_by_partition(matched_rels)
 
     if matcher is None:
         touched = df.drop("__sf")
@@ -537,38 +685,22 @@ def _hudi_rewrite_matched(
             else df.limit(0)
         ).drop("__sf")
     survivors = rewrite(touched).select(*touched.columns)
-    if not matched_fids and survivors.isEmpty():
+    if not matched_rels and survivors.isEmpty():
         # MERGE with nothing matched and nothing to insert: a true
         # no-op, detected BEFORE claiming an instant or staging files
         return None
     instant = _claim_instant(path)
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    survivors.write.mode("overwrite").parquet(staging)
-    import pyarrow.parquet as pq
-
-    stats = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        if pq.ParquetFile(f).metadata.num_rows == 0:
-            continue  # a fully-deleted file group leaves no survivor
-        fid = uuid.uuid4().hex
-        rel = f"{fid}_0_{instant}.parquet"
-        shutil.move(f, os.path.join(path, rel))
-        stats.append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "totalWriteBytes": os.path.getsize(os.path.join(path, rel)),
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
-    if not stats and not matched_fids:
+    stats_by_part = _stage_hudi_files(
+        survivors, path, instant, _hudi_partition_fields(path)
+    )
+    if not stats_by_part and not matched_rels:
         # survivors were all zero-row part files: nothing to publish —
         # release the claimed instant so no-ops leave no litter
         os.remove(os.path.join(_meta_dir(path), f"{instant}.requested"))
         return None
     meta = {
-        "partitionToWriteStats": {"": stats},
-        "partitionToReplaceFileIds": {"": sorted(matched_fids)},
+        "partitionToWriteStats": stats_by_part or {"": []},
+        "partitionToReplaceFileIds": replace_by_part or {"": []},
         "extraMetadata": {"schema": survivors.schema.json()},
     }
     if _completed_instants(path)[-1][0] != base_last:
@@ -1107,7 +1239,9 @@ def hudi_clean(path: str, keep_last: int = 1) -> dict:
             referenced.add(os.path.abspath(p))
     deleted = 0
     name_re = re.compile(r"^[0-9a-f]{32}_\d+_(\d+)\.parquet$")
-    for p in glob.glob(os.path.join(path, "*.parquet")):
+    for p in glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
         if os.path.abspath(p) in referenced:
             continue
         m = name_re.match(os.path.basename(p))
