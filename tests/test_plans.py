@@ -1686,3 +1686,50 @@ def test_sketch_over_hoist_tail_validation():
     assert "__sk_win ORDER BY r LIMIT 3" in got
     got2 = rw(head + " ORDER BY upper(g) DESC")
     assert "__sk_win ORDER BY upper(g) DESC" in got2
+
+
+def test_sketch_over_hoist_partitioned_window(spark):
+    """r10 (VERDICT r9 task 8): a windowed co-item PARTITIONED BY a
+    group key — including one embedding a bare aggregate
+    (sum(count(*)) OVER (PARTITION BY k), the per-group share
+    spelling) — still takes the two-level PARTIAL->FINAL sketch split,
+    with the window hoisted to a projection around it. Gate: two
+    ArrowAggregatePython levels + a Window node; values match the
+    single-level oracle evaluation."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    sql = (
+        "SELECT l_returnflag, l_linestatus,"
+        " qdigest_agg(l_extendedprice) AS d,"
+        " sum(count(*)) OVER (PARTITION BY l_returnflag) AS flag_rows,"
+        " rank() OVER (PARTITION BY l_returnflag"
+        "              ORDER BY l_linestatus) AS r"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    df = eng.sql(sql)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowAggregatePython", plan)) == 2, plan
+    assert re.search(r"\(\d+\) Window", plan), plan
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.flag_rows, r.r)
+        for r in df.collect()
+    }
+    # windowed values check against a plain Spark evaluation of the
+    # same shape without the sketch (the window is key bookkeeping)
+    ref = {
+        (r.l_returnflag, r.l_linestatus): (r.flag_rows, r.r)
+        for r in spark.sql(
+            "SELECT l_returnflag, l_linestatus,"
+            " sum(count(*)) OVER (PARTITION BY l_returnflag)"
+            "   AS flag_rows,"
+            " rank() OVER (PARTITION BY l_returnflag"
+            "              ORDER BY l_linestatus) AS r"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ).collect()
+    }
+    assert got == ref

@@ -445,7 +445,18 @@ def _encode(schema, value, names, out: bytearray):
         out += _zigzag(len(enc)) + enc
     elif t == "record":
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], names, out)
+            ft = f["type"]
+            if (
+                f["name"] not in value
+                and isinstance(ft, list)
+                and "null" in ft
+            ):
+                # nullable field absent from the dict -> null branch
+                # (lets schemas grow optional fields without every
+                # producer of older records re-materializing them)
+                _encode(ft, None, names, out)
+            else:
+                _encode(ft, value[f["name"]], names, out)
     elif t == "enum":
         out += _zigzag(schema["symbols"].index(value))
     elif t == "fixed":

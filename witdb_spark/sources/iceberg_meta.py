@@ -376,6 +376,51 @@ def _apply_row_deletes(
     return tagged.drop("__file", "__pos")
 
 
+def _bounds_can_match(clauses, schema_fields: list[dict], df_rec: dict) -> bool:
+    """File-level stats pruning over the manifest entry's column-stats
+    maps (spec lower_bounds/upper_bounds/value_counts/
+    null_value_counts; reference analog the library's
+    InclusiveMetricsEvaluator) — decoded per the single-value binary
+    serialization. Works on OUR manifests and on real library-written
+    ones (same avro map shape). Any missing stat -> scan the file."""
+    from witdb_spark.sources.skipping import clause_can_match
+
+    def as_map(key):
+        raw = df_rec.get(key)
+        if not raw:
+            return {}
+        try:
+            return {e["key"]: e["value"] for e in raw}
+        except (TypeError, KeyError):
+            return {}
+
+    lower = as_map("lower_bounds")
+    upper = as_map("upper_bounds")
+    nulls = as_map("null_value_counts")
+    counts = as_map("value_counts")
+    if not (lower or nulls or counts):
+        return True
+    by_name = {f["name"]: f for f in schema_fields}
+    for cl in clauses:
+        f = by_name.get(cl.col)
+        if f is None or not isinstance(f["type"], str):
+            continue
+        fid, t = f["id"], f["type"]
+        if t not in _BOUND_TYPES:
+            continue
+        lo = (
+            _ice_single_deser(t, lower[fid]) if fid in lower else None
+        )
+        hi = (
+            _ice_single_deser(t, upper[fid]) if fid in upper else None
+        )
+        if not clause_can_match(
+            cl, lo, hi, nulls.get(fid), counts.get(fid)
+        ):
+            return False
+    return True
+
+
 def read_iceberg_snapshot(
     spark: SparkSession,
     path: str,
@@ -414,11 +459,13 @@ def read_iceberg_snapshot(
                 "fields"
             ) or []
             sf = _table_schema(meta0)["fields"]
-            if pf:
-                def prune(df_rec, _pf=pf, _sf=sf, _cl=clauses):
-                    return partition_struct_can_match(
-                        _cl, _pf, _sf, df_rec.get("partition")
-                    )
+
+            def prune(df_rec, _pf=pf, _sf=sf, _cl=clauses):
+                if _pf and not partition_struct_can_match(
+                    _cl, _pf, _sf, df_rec.get("partition")
+                ):
+                    return False
+                return _bounds_can_match(_cl, _sf, df_rec)
     data, deletes, cols = _iceberg_scan(
         path, snapshot_id, timestamp_ms, prune=prune
     )
@@ -614,24 +661,104 @@ def _part_avro_fields(part_fields: list[dict], schema: dict) -> list:
     return out
 
 
+def _k_v_map(name: str, value_type: str) -> list:
+    """The avro shape iceberg-java uses for int-keyed data_file maps
+    (value_counts / lower_bounds / ...): nullable array of key/value
+    records."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": value_type},
+                ],
+            },
+        },
+    ]
+
+
 def _entry_schema_for(part_avro_fields: list) -> dict:
     """Manifest-entry avro schema; partitioned specs extend data_file
-    with the typed partition record."""
-    if not part_avro_fields:
-        return _MANIFEST_ENTRY_SCHEMA
+    with the typed partition record. data_file carries the spec's
+    column-stats maps (value/null counts, lower/upper bounds) as
+    nullable fields — entries without stats encode the null branch."""
     base = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
     df_schema = base["fields"][2]["type"]
-    df_schema["fields"].append(
-        {
-            "name": "partition",
-            "type": {
-                "type": "record",
-                "name": "r102",
-                "fields": part_avro_fields,
-            },
-        }
-    )
+    if part_avro_fields:
+        df_schema["fields"].append(
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": part_avro_fields,
+                },
+            }
+        )
+    df_schema["fields"] += [
+        {"name": "value_counts", "type": _k_v_map("k119_v120", "long")},
+        {"name": "null_value_counts",
+         "type": _k_v_map("k121_v122", "long")},
+        {"name": "lower_bounds", "type": _k_v_map("k126_v127", "bytes")},
+        {"name": "upper_bounds", "type": _k_v_map("k129_v130", "bytes")},
+    ]
     return base
+
+
+#: iceberg types whose single-value binary serialization (spec
+#: 'Appendix D: Single-value serialization') this module writes and
+#: prunes on. float/double stay out: parquet footer min/max is not
+#: NaN-safe and the spec requires nan_value_counts to trust it.
+_BOUND_TYPES = ("int", "long", "date", "timestamp", "timestamptz",
+                "string")
+
+
+def _ice_single_ser(ice_type: str, v) -> bytes | None:
+    import datetime as _dt
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "date":
+        if isinstance(v, _dt.date):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return _struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            v = (
+                v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
+        return _struct.pack("<q", int(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def _ice_single_deser(ice_type: str, b: bytes):
+    import datetime as _dt
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=_struct.unpack("<i", b)[0]
+        )
+    if ice_type in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=_struct.unpack("<q", b)[0]
+        )
+    if ice_type == "string":
+        return b.decode("utf-8", errors="replace")
+    return None
 
 
 def _typed_part_value(raw: str | None, ice_type: str, name: str):
@@ -758,9 +885,87 @@ def _stage_iceberg_data(
         rec["file_size_in_bytes"] = os.path.getsize(
             os.path.join(path, rel)
         )
+        rec.update(_column_stats(os.path.join(path, rel), schema))
         recs.append(rec)
     shutil.rmtree(staging, ignore_errors=True)
     return recs
+
+
+def _column_stats(file_path: str, schema: dict) -> dict:
+    """Spec column-stats maps for one staged data file, aggregated
+    from the parquet footer (reference analog: the library's
+    MetricsConfig defaults; our reader's bounds pruning consumes them
+    in read_iceberg_snapshot). Columns outside _BOUND_TYPES or without
+    usable footer stats are simply absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except Exception:
+        return {}
+    id_by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    counts: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            fid = id_by_name.get(name)
+            t = type_by_name.get(name)
+            if fid is None or not isinstance(t, str) or (
+                t not in _BOUND_TYPES
+            ):
+                continue
+            # parquet num_values includes nulls — exactly the spec's
+            # value_counts semantics
+            counts[fid] = counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                mins[fid] = None
+                continue
+            if st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if not st.has_min_max or (fid in mins and mins[fid] is None):
+                mins[fid] = None
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    mins[fid] = None
+                    continue
+            mins[fid] = lo if fid not in mins else min(mins[fid], lo)
+            maxs[fid] = hi if fid not in maxs else max(maxs[fid], hi)
+    out: dict = {}
+    lower, upper = [], []
+    for fid, lo in mins.items():
+        if lo is None or fid not in maxs:
+            continue
+        name = next(n for n, i in id_by_name.items() if i == fid)
+        t = type_by_name[name]
+        lb = _ice_single_ser(t, lo)
+        ub = _ice_single_ser(t, maxs[fid])
+        if lb is None or ub is None:
+            continue
+        lower.append({"key": fid, "value": lb})
+        upper.append({"key": fid, "value": ub})
+    if lower:
+        out["lower_bounds"] = lower
+        out["upper_bounds"] = upper
+    if counts:
+        out["value_counts"] = [
+            {"key": k, "value": v} for k, v in sorted(counts.items())
+        ]
+    if nulls:
+        out["null_value_counts"] = [
+            {"key": k, "value": v} for k, v in sorted(nulls.items())
+        ]
+    return out
 
 
 def write_iceberg(
