@@ -3875,3 +3875,102 @@ def test_iceberg_bounds_real_library_manifest():
     assert _bounds_can_match(
         parse_conjuncts("c_name >= 'Customer#'"), schema_fields, d
     )
+
+
+def test_iceberg_manifest_list_pruning(spark, tmp_path, monkeypatch):
+    """r10: manifest-LIST-level pruning — snapshot manifest entries
+    carry positional field_summary records (contains_null + transform-
+    result-typed bounds over each manifest's partition structs), and a
+    predicate that cannot match a manifest's summary means the
+    manifest avro is NEVER OPENED. At fleet scale this is the
+    O(manifests) win on top of per-entry pruning. Strict ops relax to
+    inclusive under lossy transforms (a < at a month boundary must not
+    over-prune)."""
+    import datetime
+
+    import witdb_spark.sources.iceberg_meta as IM
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, datetime.date(2020, 1, 1) + datetime.timedelta(days=i))
+                for i in range(lo, hi)
+            ],
+            "id bigint, d date",
+        )
+
+    t = str(tmp_path / "mlist")
+    write_iceberg(spark, mk(0, 60), t, mode="create",
+                  partition_by=["months(d)"])
+    write_iceberg(spark, mk(60, 120), t, mode="append")
+    write_iceberg(spark, mk(120, 180), t, mode="append")
+    opened: list[str] = []
+    orig = IM.read_avro_file
+
+    def counting(p):
+        opened.append(p)
+        return orig(p)
+
+    monkeypatch.setattr(IM, "read_avro_file", counting)
+    full = read_iceberg_snapshot(spark, t)
+    n_full = len([p for p in opened if "/m-" in p])
+    opened.clear()
+    pr = read_iceberg_snapshot(spark, t, where="d >= DATE '2020-05-15'")
+    n_pruned = len([p for p in opened if "/m-" in p])
+    assert n_full == 3 and n_pruned == 1
+    assert sorted(r.id for r in pr.collect()) == sorted(
+        r.id for r in full.filter("d >= DATE '2020-05-15'").collect()
+    )
+    # month-boundary strictness: d < first-of-month keeps the manifest
+    # containing that month's earlier rows
+    pr2 = read_iceberg_snapshot(spark, t, where="d < DATE '2020-03-01'")
+    assert sorted(r.id for r in pr2.collect()) == sorted(
+        r.id for r in full.filter("d < DATE '2020-03-01'").collect()
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(
+        "/root/reference/testing/trino-tests/src/test/resources/iceberg"
+    ),
+    reason="reference iceberg fixtures not present",
+)
+def test_iceberg_manifest_summary_real_library():
+    """The summary evaluator against a REAL iceberg-library manifest
+    list (the reference's trino-tests partitioned orders fixture,
+    day-partitioned on o_orderdate: summary bounds [8035, 10440] epoch
+    days = 1992-01-01 .. 1998-08-02)."""
+    import glob as _glob
+
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import _ice_single_deser
+    from witdb_spark.sources.iceberg_transforms import (
+        manifest_summary_can_match,
+    )
+    from witdb_spark.sources.skipping import parse_conjuncts
+
+    m = sorted(_glob.glob(
+        "/root/reference/testing/trino-tests/src/test/resources/"
+        "iceberg/tpch/sf1000/orc/partitioned/orders/metadata/snap-*.avro"
+    ))[0]
+    _s, recs = read_avro_file(m)
+    summ = recs[0]["partitions"]
+    assert summ and summ[0]["lower_bound"] is not None
+    part_fields = [{"name": "o_orderdate_day", "transform": "day",
+                    "source-id": 5, "field-id": 1000}]
+    schema_fields = [{"id": 5, "name": "o_orderdate", "type": "date"}]
+
+    def check(where):
+        return manifest_summary_can_match(
+            parse_conjuncts(where), part_fields, schema_fields, summ,
+            _ice_single_deser,
+        )
+
+    assert check("o_orderdate >= DATE '1995-01-01'")
+    assert not check("o_orderdate < DATE '1992-01-01'")
+    assert not check("o_orderdate > DATE '1998-12-31'")
+    assert check("o_orderdate = DATE '1993-06-15'")

@@ -153,6 +153,7 @@ def _iceberg_scan(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     prune=None,
+    prune_manifest=None,
 ) -> tuple[
     list[tuple[str, int]],
     list[tuple[str, int, tuple[int, ...] | None]],
@@ -182,6 +183,12 @@ def _iceberg_scan(
     data: list[tuple[str, int]] = []
     deletes: list[tuple[str, int]] = []
     for mf in manifests:
+        if (
+            prune_manifest is not None
+            and mf.get("content", 0) == 0  # never skip delete manifests
+            and not prune_manifest(mf)
+        ):
+            continue
         mseq = mf.get("sequence_number")
         mpath = _resolve(path, mf["manifest_path"])
         _, entries = read_avro_file(mpath)
@@ -441,7 +448,7 @@ def read_iceberg_snapshot(
     built, then re-applies the full predicate to the rows, so pruning
     never changes results — at fleet scale the win is never listing
     the pruned files at all."""
-    prune = None
+    prune = prune_manifest = None
     if where is not None:
         from witdb_spark.sources.iceberg_transforms import (
             partition_struct_can_match,
@@ -466,8 +473,20 @@ def read_iceberg_snapshot(
                 ):
                     return False
                 return _bounds_can_match(_cl, _sf, df_rec)
+
+            if pf:
+                from witdb_spark.sources.iceberg_transforms import (
+                    manifest_summary_can_match,
+                )
+
+                def prune_manifest(mf, _pf=pf, _sf=sf, _cl=clauses):
+                    return manifest_summary_can_match(
+                        _cl, _pf, _sf, mf.get("partitions"),
+                        _ice_single_deser,
+                    )
     data, deletes, cols = _iceberg_scan(
-        path, snapshot_id, timestamp_ms, prune=prune
+        path, snapshot_id, timestamp_ms,
+        prune=prune, prune_manifest=prune_manifest,
     )
     files = [p for p, _ in data]
     if not files:
@@ -549,8 +568,62 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        # spec field_summary list, POSITIONAL per partition-spec field
+        # — lets readers prune whole manifests before opening them
+        # (the codec encodes the null branch for producers that omit it)
+        {"name": "partitions", "type": ["null", {
+            "type": "array",
+            "items": {
+                "type": "record", "name": "r508",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "contains_nan",
+                     "type": ["null", "boolean"]},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]},
+                ],
+            },
+        }]},
     ],
 }
+
+
+def _partition_summaries(
+    entries: list[dict], part_fields: list[dict], schema: dict
+) -> list[dict] | None:
+    """field_summary records (positional per spec field) over a new
+    manifest's LIVE entries' partition structs — bounds in the
+    single-value serialization of each field's transform RESULT
+    type."""
+    if not part_fields:
+        return None
+    out = []
+    for pf in part_fields:
+        t = _part_result_type(pf, schema)
+        vals = []
+        has_null = False
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            struct = (e.get("data_file") or {}).get("partition") or {}
+            v = struct.get(pf["name"])
+            if v is None:
+                has_null = True
+            else:
+                vals.append(v)
+        lo = hi = None
+        if vals:
+            lo = _ice_single_ser(t, min(vals))
+            hi = _ice_single_ser(t, max(vals))
+        out.append(
+            {
+                "contains_null": has_null,
+                "contains_nan": False,
+                "lower_bound": lo,
+                "upper_bound": hi,
+            }
+        )
+    return out
 
 _SPARK_TO_ICE = {
     "bigint": "long", "int": "int", "integer": "int", "string": "string",
@@ -1137,6 +1210,9 @@ def write_iceberg(
                 "content": 0,
                 "added_snapshot_id": snap_id,
                 "sequence_number": seq,
+                "partitions": _partition_summaries(
+                    entries, part_fields, schema
+                ),
             }
         ] + [
             {**dict(m), "sequence_number": m.get("sequence_number")}
@@ -1396,6 +1472,7 @@ def _commit_delete_snapshot(
             "content": m.get("content", 0),
             "added_snapshot_id": m.get("added_snapshot_id"),
             "sequence_number": m.get("sequence_number"),
+            "partitions": m.get("partitions"),
         }
         for m in prior
     ])
@@ -1651,6 +1728,9 @@ def _iceberg_rewrite_matched(
             "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,
             "added_snapshot_id": snap_id,
+            "partitions": _partition_summaries(
+                entries, part_fields, _table_schema(meta)
+            ),
         }
     ])
     new_meta = dict(

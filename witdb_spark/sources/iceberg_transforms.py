@@ -494,3 +494,117 @@ def _neq(a, b) -> bool:
         return not (a == b)
     except TypeError:
         return False
+
+
+def manifest_summary_can_match(
+    clauses, part_fields: list[dict], schema_fields: list[dict],
+    summaries: list[dict] | None, deser,
+) -> bool:
+    """Manifest-LIST-level pruning over the spec's positional
+    field_summary records (contains_null + lower/upper bound per
+    partition-spec field) — a manifest whose summary cannot satisfy
+    the predicate is never even opened. ``deser`` decodes the bounds
+    (single-value serialization, iceberg_meta._ice_single_deser).
+    Monotonic transforms project range comparisons; bucket projects
+    equality; a null lower_bound means every value in the manifest is
+    NULL (spec). Any doubt -> open the manifest."""
+    from witdb_spark.sources.skipping import _range_can_match
+
+    if not summaries or not part_fields:
+        return True
+    id_by_name = {f["name"]: f for f in schema_fields}
+    for cl in clauses:
+        src = id_by_name.get(cl.col)
+        if src is None:
+            continue
+        for idx, pf in enumerate(part_fields):
+            if pf["source-id"] != src["id"] or idx >= len(summaries):
+                continue
+            fs = summaries[idx] or {}
+            kind, param = parse_transform(pf.get("transform", "identity"))
+            if cl.op == "isnull":
+                if fs.get("contains_null") is False:
+                    return False
+                continue
+            all_null = (
+                fs.get("lower_bound") is None
+                and fs.get("contains_null") is True
+            )
+            if all_null:
+                return False  # comparisons / IS NOT NULL never match
+            if cl.op == "notnull":
+                continue
+            if fs.get("lower_bound") is None or fs.get(
+                "upper_bound"
+            ) is None:
+                continue
+            try:
+                rt = result_type(pf.get("transform", "identity"),
+                                 src["type"])
+                lo = deser(rt, fs["lower_bound"])
+                hi = deser(rt, fs["upper_bound"])
+            except Exception:
+                continue  # undecodable summary: open the manifest
+            if lo is None or hi is None:
+                continue
+            if kind == "identity":
+                if cl.op == "in":
+                    if not any(
+                        _range_can_match("=", lo, hi, v)
+                        for v in cl.value
+                    ):
+                        return False
+                elif not _range_can_match(cl.op, lo, hi, cl.value):
+                    return False
+                continue
+            if kind == "bucket":
+                if cl.op in ("=", "in"):
+                    vals = cl.value if cl.op == "in" else (cl.value,)
+                    try:
+                        wants = [
+                            bucket_value(v, param, src["type"])
+                            for v in vals
+                        ]
+                    except (TransformError, TypeError, ValueError):
+                        continue
+                    if not any(
+                        _range_can_match("=", lo, hi, w) for w in wants
+                    ):
+                        return False
+                continue
+            # monotonic transforms: project the literal(s)
+            try:
+                if cl.op == "in":
+                    wants = [
+                        transform_value(pf["transform"], v, src["type"])
+                        for v in cl.value
+                    ]
+                    if not any(
+                        _range_can_match("=", lo, hi, w) for w in wants
+                    ):
+                        return False
+                    continue
+                tl = transform_value(
+                    pf["transform"], cl.value, src["type"]
+                )
+            except (TransformError, TypeError, ValueError):
+                continue
+            if cl.op in ("=", "<", "<=", ">", ">="):
+                # x < lit only implies t(x) <= t(lit) for a LOSSY
+                # monotonic transform — strict ops must RELAX to their
+                # inclusive forms or a boundary manifest (lo == t(lit),
+                # rows earlier inside the same day/month/...) would be
+                # pruned wrongly. day over a DATE source is lossless
+                # (t(x) == x), so it keeps the strict op.
+                op = cl.op
+                if not _lossless(kind, src["type"]):
+                    op = {"<": "<=", ">": ">="}.get(op, op)
+                if not _range_can_match(op, lo, hi, tl):
+                    return False
+    return True
+
+
+def _lossless(kind: str, src_type: str) -> bool:
+    """Transforms where t(x) == x up to representation: strict range
+    ops project without relaxation."""
+    return kind == "identity" or (kind == "day" and src_type == "date")
