@@ -430,10 +430,14 @@ def test_spatial_contains_broadcasts_polygon_side(spark):
 
     m = _re.search(r"BroadcastHashJoin.*?Build(Left|Right)", plan, _re.S)
     assert m is not None
-    # the build side must contain the polygon UDF (_env), not the scan
-    side = m.group(1)
-    bcast = plan.split("BroadcastExchange")[1][:2000]
-    assert "_env" in bcast or "wkt" in bcast, side
+    # the broadcast subtree must be the polygon side — since r10 a
+    # VALUES LocalRelation (local_df; createDataFrame would schedule
+    # 32 python-worker tasks per action) — and the points parquet scan
+    # must stay on the streamed side, never under an exchange
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "LocalTableScan" in bcast[:3000]
+    head = plan.split("BroadcastExchange", 1)[0]
+    assert "Scan parquet" in head  # events stream; polygons build
 
 
 def test_spatial_contains_unrolled_verify_tier(spark):

@@ -207,14 +207,28 @@ def spatial_join_contains(
                     math.floor(min(ys) / cs), math.floor(max(ys) / cs) + 1
                 ):
                     cell_rows.append((w, cx, cy))
-        cells_map = polys.sparkSession.createDataFrame(
-            cell_rows, "_w string, _cx long, _cy long"
+        # the cell map is a VALUES LocalRelation, NOT createDataFrame:
+        # parallelizing a python list schedules defaultParallelism
+        # python-worker tasks (32 tasks for 60 rows — measured ~50s of
+        # blocked executorRunTime at sf0.1 for ~1s of real CPU), while
+        # VALUES folds driver-side with zero tasks. The inner join onto
+        # the polygon side broadcasts explicitly — it sits inside the
+        # outer broadcast exchange, out of AQE's reach, and would plan
+        # as a 64-partition SortMergeJoin otherwise.
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
+        values = ", ".join(
+            f"('{esc(w)}', {cx}, {cy})" for w, cx, cy in cell_rows
+        )
+        cells_map = polys.sparkSession.sql(
+            f"SELECT col1 AS _w, CAST(col2 AS LONG) AS _cx,"
+            f" CAST(col3 AS LONG) AS _cy FROM VALUES {values}"
         )
         cells = F.broadcast(
-            polys.join(cells_map, F.col(wkt_col) == F.col("_w")).drop("_w")
+            polys.coalesce(1).join(
+                F.broadcast(cells_map), F.col(wkt_col) == F.col("_w")
+            ).drop("_w")
         )
         cand = pts.join(cells, ["_cx", "_cy"]).drop("_cx", "_cy")
-        esc = lambda s: s.replace("'", "''")  # noqa: E731
         branches = " ".join(
             f"WHEN '{esc(w)}' THEN {_unrolled_contains_pred(w, px, py)}"
             for w in sample

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from witdb_spark.catalog import Tables
 from witdb_spark.queries.registry import register
-from witdb_spark.queries.shared import DEC, dsum, sql_sum
+from witdb_spark.queries.shared import DEC, dsum, local_df, sql_sum
 
 # DuckDB oracle twin of catalog.Tables._read_events: the parquet ts column is
 # TIMESTAMP(NANOS); both engines operate on exact int64 nanoseconds (ts_ns) so
@@ -384,7 +384,8 @@ def unnest_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    tiers = spark.createDataFrame(
+    tiers = local_df(
+        spark,
         [
             ("1-URGENT", "hot"),
             ("2-HIGH", "hot"),
@@ -392,7 +393,7 @@ def values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("4-NOT SPECIFIED", "cold"),
             ("5-LOW", "cold"),
         ],
-        ["prio", "tier"],
+        "prio string, tier string",
     )
     return (
         t.orders.join(F.broadcast(tiers), F.col("o_orderpriority") == F.col("prio"))
