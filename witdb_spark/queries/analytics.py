@@ -2201,9 +2201,8 @@ def iceberg_eqdelete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_iceberg(
         spark,
-        spark.createDataFrame(
-            [(0, "REBORN")], "n_nationkey bigint, n_name string"
-        ),
+        local_df(spark, [(0, "REBORN")],
+                 "n_nationkey bigint, n_name string"),
         path,
         mode="append",
     )

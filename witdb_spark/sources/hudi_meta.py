@@ -899,55 +899,70 @@ def _avro_schema_for(df, name: str = "witdb_mor") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def write_hudi_mor_create(
-    spark: SparkSession, df, path: str, record_key: str
-) -> str:
-    """Create a MERGE_ON_READ table jar-free: base parquet file groups
-    carrying the hoodie meta columns (the merge key material), one
-    deltacommit publishing them, hoodie.properties declaring
-    MERGE_ON_READ + the record key. Returns the commit instant."""
+def _hoodie_partition_path_expr(part_fields: list[str]):
+    """The _hoodie_partition_path string hudi stamps: hive-style
+    col=value segments joined by '/'. NULL partition values are
+    rejected upstream (the stamped string and the staged directory
+    must agree byte-for-byte)."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "/",
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in part_fields
+        ],
+    )
+
+
+def _stage_mor_groups(
+    full, path: str, instant: str, part_fields: list[str]
+) -> dict[str, list[dict]]:
+    """Stage meta-columned MOR rows as fresh base file groups, keyed
+    by partition path — the rows' _hoodie_partition_path is already
+    stamped, so staging partitions directly on it (one dir level,
+    value = the full hive-style path)."""
     import glob
     import shutil
     import uuid
 
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    if os.path.isdir(_meta_dir(path)):
-        raise FileExistsError(f"{path} is already a Hudi table")
-    if record_key not in df.columns:
-        raise HudiProtocolError(
-            f"record key {record_key!r} is not a column of the data"
-        )
-    os.makedirs(_meta_dir(path))
-    with open(
-        os.path.join(_meta_dir(path), "hoodie.properties"), "w"
-    ) as f:
-        f.write(
-            "hoodie.table.name=%s\nhoodie.table.type=MERGE_ON_READ\n"
-            "hoodie.table.recordkey.fields=%s\n"
-            "hoodie.populate.meta.fields=true\n"
-            % (os.path.basename(path.rstrip("/")), record_key)
-        )
-    instant = _claim_instant(path)
-    full = df.select(
-        F.lit(instant).alias("_hoodie_commit_time"),
-        F.concat(
-            F.lit(f"{instant}_0_"),
-            F.monotonically_increasing_id().cast("string"),
-        ).alias("_hoodie_commit_seqno"),
-        F.col(record_key).cast("string").alias("_hoodie_record_key"),
-        F.lit("").alias("_hoodie_partition_path"),
-        F.lit("").alias("_hoodie_file_name"),
-        *df.columns,
-    )
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    full.write.mode("overwrite").parquet(staging)
-    stats = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+    if part_fields:
+        (
+            full.withColumn("__hpp", F.col("_hoodie_partition_path"))
+            .write.mode("overwrite").partitionBy("__hpp").parquet(staging)
+        )
+        files = sorted(glob.glob(
+            os.path.join(staging, "**", "part-*.parquet"), recursive=True
+        ))
+    else:
+        full.write.mode("overwrite").parquet(staging)
+        files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    from urllib.parse import unquote
+
+    out: dict[str, list[dict]] = {}
+    for f in files:
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue
         fid = uuid.uuid4().hex
-        rel = f"{fid}_0_{instant}.parquet"
+        base = f"{fid}_0_{instant}.parquet"
+        if part_fields:
+            comp = os.path.relpath(os.path.dirname(f), staging)
+            part = unquote(comp.partition("=")[2])
+            if part == "__HIVE_DEFAULT_PARTITION__":
+                raise HudiProtocolError(
+                    "NULL partition values in a MOR table need the"
+                    " hudi-spark bundle"
+                )
+            os.makedirs(os.path.join(path, part), exist_ok=True)
+            rel, part_key = f"{part}/{base}", part
+        else:
+            rel, part_key = base, ""
         shutil.move(f, os.path.join(path, rel))
-        stats.append(
+        out.setdefault(part_key, []).append(
             {
                 "fileId": fid,
                 "path": rel,
@@ -958,8 +973,71 @@ def write_hudi_mor_create(
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def write_hudi_mor_create(
+    spark: SparkSession,
+    df,
+    path: str,
+    record_key: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Create a MERGE_ON_READ table jar-free: base parquet file groups
+    carrying the hoodie meta columns (the merge key material), one
+    deltacommit publishing them, hoodie.properties declaring
+    MERGE_ON_READ + the record key. ``partition_by`` (late r10) lands
+    hive-style partition dirs with _hoodie_partition_path stamped to
+    match — the (partition, fileId) grain the slice fold and the MOR
+    merge window already use. Returns the commit instant."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(_meta_dir(path)):
+        raise FileExistsError(f"{path} is already a Hudi table")
+    if record_key not in df.columns:
+        raise HudiProtocolError(
+            f"record key {record_key!r} is not a column of the data"
+        )
+    part_fields = list(partition_by or [])
+    missing = [c for c in part_fields if c not in df.columns]
+    if missing:
+        raise HudiProtocolError(
+            f"partition columns {missing} absent from the data"
+        )
+    os.makedirs(_meta_dir(path))
+    props_text = (
+        "hoodie.table.name=%s\nhoodie.table.type=MERGE_ON_READ\n"
+        "hoodie.table.recordkey.fields=%s\n"
+        "hoodie.populate.meta.fields=true\n"
+        % (os.path.basename(path.rstrip("/")), record_key)
+    )
+    if part_fields:
+        props_text += (
+            "hoodie.table.partition.fields=%s\n" % ",".join(part_fields)
+        )
+    with open(
+        os.path.join(_meta_dir(path), "hoodie.properties"), "w"
+    ) as f:
+        f.write(props_text)
+    instant = _claim_instant(path)
+    full = df.select(
+        F.lit(instant).alias("_hoodie_commit_time"),
+        F.concat(
+            F.lit(f"{instant}_0_"),
+            F.monotonically_increasing_id().cast("string"),
+        ).alias("_hoodie_commit_seqno"),
+        F.col(record_key).cast("string").alias("_hoodie_record_key"),
+        (
+            _hoodie_partition_path_expr(part_fields)
+            if part_fields
+            else F.lit("")
+        ).alias("_hoodie_partition_path"),
+        F.lit("").alias("_hoodie_file_name"),
+        *df.columns,
+    )
+    stats_by_part = _stage_mor_groups(full, path, instant, part_fields)
     meta = {
-        "partitionToWriteStats": {"": stats},
+        "partitionToWriteStats": stats_by_part or {"": []},
         "extraMetadata": {"schema": full.schema.json()},
         "operationType": "BULK_INSERT",
     }
@@ -1028,11 +1106,7 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
         "_hoodie_file_name",
     ]
     data_cols = list(source.columns)
-    if any(part for part, _fid in slices):
-        raise HudiProtocolError(
-            "MOR upsert on a PARTITIONED Hudi table needs the"
-            " hudi-spark bundle"
-        )
+    part_fields = _hudi_partition_fields(path)
     if any(sl["base"] is None for sl in slices.values()):
         # a key living only in a log-only slice would wrongly route to
         # INSERT (duplicate record) — same gate the reader has
@@ -1041,7 +1115,7 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
             " bundle"
         )
     matched = routed.where("__sf IS NOT NULL").collect()
-    stats = []
+    stats_by_part: dict[str, list] = {}
     if matched:
         from witdb_spark.sources.delta_log import _strip_uri
 
@@ -1070,7 +1144,9 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
                 os.path.basename(sl["base"][1]).split("_")[-1].split(".")[0]
             )
             version = len(sl["logs"]) + 1
-            rel = f".{fid}_{base_instant}.log.{version}_0-0-0"
+            log_name = f".{fid}_{base_instant}.log.{version}_0-0-0"
+            part_dir = os.path.dirname(sl["base"][1])
+            rel = f"{part_dir}/{log_name}" if part_dir else log_name
             recs = []
             for i, r in enumerate(by_fid[fid]):
                 rec = {
@@ -1092,7 +1168,7 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
                 },
                 encode_avro_block_content(recs, avro_schema),
             )
-            stats.append(
+            stats_by_part.setdefault(part, []).append(
                 {
                     "fileId": fid,
                     "path": rel,
@@ -1104,36 +1180,31 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
             )
     inserts = routed.where("__sf IS NULL").select(*data_cols)
     if not inserts.isEmpty():
-        full = inserts.select(
+        if part_fields:
+            missing = [c for c in part_fields if c not in data_cols]
+            if missing:
+                raise HudiProtocolError(
+                    f"partition columns {missing} absent from the source"
+                )
+        full = inserts.coalesce(1).select(
             F.lit(instant).alias("_hoodie_commit_time"),
             F.concat(
                 F.lit(f"{instant}_1_"),
                 F.monotonically_increasing_id().cast("string"),
             ).alias("_hoodie_commit_seqno"),
             F.col(key).cast("string").alias("_hoodie_record_key"),
-            F.lit("").alias("_hoodie_partition_path"),
+            (
+                _hoodie_partition_path_expr(part_fields)
+                if part_fields
+                else F.lit("")
+            ).alias("_hoodie_partition_path"),
             F.lit("").alias("_hoodie_file_name"),
             *data_cols,
         )
-        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-        full.coalesce(1).write.mode("overwrite").parquet(staging)
-        for f in sorted(
-            glob.glob(os.path.join(staging, "part-*.parquet"))
-        ):
-            fid = uuid.uuid4().hex
-            rel = f"{fid}_0_{instant}.parquet"
-            shutil.move(f, os.path.join(path, rel))
-            stats.append(
-                {
-                    "fileId": fid,
-                    "path": rel,
-                    "prevCommit": "null",
-                    "totalWriteBytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
-                }
-            )
-        shutil.rmtree(staging, ignore_errors=True)
+        for part_key, recs in _stage_mor_groups(
+            full, path, instant, part_fields
+        ).items():
+            stats_by_part.setdefault(part_key, []).extend(recs)
     if _completed_instants(path)[-1][0] != base_last:
         raise HudiProtocolError(
             f"{path}: concurrent commit during MOR upsert — re-run"
@@ -1143,7 +1214,7 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     ) as f:
         json.dump(
             {
-                "partitionToWriteStats": {"": stats},
+                "partitionToWriteStats": stats_by_part or {"": []},
                 "operationType": "UPSERT",
             },
             f,
@@ -1160,10 +1231,6 @@ def hudi_compact(
     retires every prior group — after it, log records are folded in
     and reads are pure parquet again. Prior instants still see the old
     slices (time travel). Returns the commit instant."""
-    import glob
-    import shutil
-    import uuid
-
     props = _properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiProtocolError(
@@ -1171,43 +1238,28 @@ def hudi_compact(
             " CALL system.optimize clustering)"
         )
     slices = _hudi_file_slices(path)
-    if any(part for part, _fid in slices):
-        raise HudiProtocolError(
-            "compaction of a PARTITIONED Hudi table needs the"
-            " hudi-spark bundle (partitioned replace bookkeeping)"
-        )
+    part_fields = _hudi_partition_fields(path)
     base_last = _completed_instants(path)[-1][0]
     merged = read_hudi_snapshot(spark, path).coalesce(
         max(1, int(target_files))
     )
     instant = _claim_instant(path)
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(staging)
-    stats = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        fid = uuid.uuid4().hex
-        rel = f"{fid}_0_{instant}.parquet"
-        shutil.move(f, os.path.join(path, rel))
-        stats.append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "prevCommit": "null",
-                "totalWriteBytes": os.path.getsize(
-                    os.path.join(path, rel)
-                ),
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    # partitioned tables re-stage per partition (the merged rows carry
+    # their stamped _hoodie_partition_path); coalesce keeps the
+    # per-partition group count at target_files
+    stats_by_part = _stage_mor_groups(merged, path, instant, part_fields)
     if _completed_instants(path)[-1][0] != base_last:
         raise HudiProtocolError(
             f"{path}: concurrent commit during compaction — re-run"
         )
+    replace: dict[str, list] = {}
+    for part, fid in slices:
+        replace.setdefault(part, []).append(fid)
     meta = {
-        "partitionToWriteStats": {"": stats},
+        "partitionToWriteStats": stats_by_part or {"": []},
         "partitionToReplaceFileIds": {
-            "": sorted(fid for _part, fid in slices)
-        },
+            p_: sorted(fids) for p_, fids in replace.items()
+        } or {"": []},
         "extraMetadata": {"schema": merged.schema.json()},
         "operationType": "COMPACT",
     }
