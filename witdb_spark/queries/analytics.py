@@ -2775,3 +2775,68 @@ def hudi_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_snapshot(
         spark, path, where="n_regionkey >= 0"
     ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "hudi_mor_partitioned_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 4 = 2 THEN 'UPSERTED'
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), 'INSERTED',
+           CAST(n_regionkey AS INT)
+    FROM nation WHERE n_nationkey < 3
+    """,
+    doc="Partitioned MERGE_ON_READ roundtrip (late r10, hudi_meta.py "
+    "_stage_mor_groups + hudi_log_upsert partition routing; reference "
+    "plugin/trino-hudi stock_ticks_mor layout): CTAS nation as a MOR "
+    "table partitioned by n_regionkey (hive dirs, "
+    "_hoodie_partition_path stamped to match), log-upsert a key "
+    "stripe (AVRO_DATA blocks under each owning group's partition "
+    "dir) plus fresh inserts, and read the merged snapshot — base "
+    "rows overridden by executor-decoded log records, latest commit "
+    "wins per key.",
+    tags=("source", "lakehouse", "writer", "dml", "partitioned"),
+)
+def hudi_mor_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_morp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path,
+        record_key="n_nationkey", partition_by=["n_regionkey"],
+    )
+    src = base.filter("n_nationkey % 4 = 2").selectExpr(
+        "n_nationkey", "'UPSERTED' AS n_name", "n_regionkey"
+    ).unionByName(
+        base.filter("n_nationkey < 3").selectExpr(
+            "n_nationkey + 100 AS n_nationkey",
+            "'INSERTED' AS n_name", "n_regionkey",
+        )
+    )
+    hudi_log_upsert(spark, path, src)
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
