@@ -4039,3 +4039,47 @@ def test_hudi_partitioned_mor(spark, tmp_path):
             spark, t, as_of_instant=str(int(c) - 1)
         ).collect()
     } == pre
+
+
+def test_delta_cm_maintenance(spark, tmp_path):
+    """late r10: OPTIMIZE / VACUUM / checkpoint run on column-mapped
+    tables — optimize re-stages rows physically, vacuum compares file
+    paths only, the checkpoint re-serializes the mapped schemaString
+    verbatim and reads bootstrap from it; file skipping still prunes
+    afterwards."""
+    from witdb_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_optimize,
+        delta_vacuum,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "cm_maint")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(40)],
+        "id bigint, name string, p int",
+    ).repartition(6)
+    write_delta(
+        spark, df, t, mode="create", partition_by=["p"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta(
+        spark, df.selectExpr("id + 100 AS id", "name", "p"), t,
+        mode="append",
+    )
+    r = delta_optimize(spark, t, target_files=3)
+    assert r["files_after"] < r["files_before"]
+    want = sorted(list(range(40)) + [i + 100 for i in range(40)])
+    assert sorted(
+        x.id for x in read_delta_snapshot(spark, t).collect()
+    ) == want
+    delta_checkpoint(spark, t)
+    assert delta_vacuum(spark, t, retain_ms=0)["deleted"] > 0
+    assert sorted(
+        x.id for x in read_delta_snapshot(spark, t).collect()
+    ) == want
+    pr = read_delta_snapshot(spark, t, where="p = 1 AND id >= 100")
+    assert sorted(x.id for x in pr.collect()) == sorted(
+        i + 100 for i in range(40) if i % 3 == 1
+    )

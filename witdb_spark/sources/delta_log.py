@@ -29,11 +29,19 @@ descriptors into the checkpoint and is DV-safe.
 
 r9 also reads column mapping mode=name (physical -> logical renames)
 and V2 / uuid-named CHECKPOINTS (manifest json/parquet +
-checkpointMetadata validation + _sidecars add batches).
+checkpointMetadata validation + _sidecars add batches). r10 completes
+COLUMN MAPPING: mode=id reads (parquet field-id resolution), nested
+mapping in both modes (read side), and the WRITE half — CREATE
+generates physicalNames+ids, staging renames logical -> physical with
+real parquet field ids, DML/optimize/vacuum/checkpoint all run on
+mapped tables. r10 also adds per-file STATS on every add (footer
+min/max/nullCount) and read-side FILE SKIPPING
+(read_delta_snapshot(where=), sources/skipping.py).
 
-Loud scope-outs (raise, never silently misread): column mapping 'id'
-mode, nested types under name mapping, writes to mapped or DV'd
-files, and any reader feature outside the understood set.
+Loud scope-outs (raise, never silently misread): writer-side NESTED
+column mapping, row rewrites on DV'd files (COW DML/optimize/vacuum
+on tables with active DVs), and any reader feature outside the
+understood set.
 """
 
 from __future__ import annotations
@@ -1631,7 +1639,7 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     sees the same DV'd state the log replay would. Returns the
     checkpointed version."""
     protocol, metadata, state, version = _snapshot_state(
-        spark, path, None, None, allow_dvs=True
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     rows = [
         (
@@ -1725,7 +1733,7 @@ def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dic
     O(history). Returns {'version', 'files_before', 'files_after'}."""
     for _ in range(5):
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None
+            spark, path, None, None, allow_name_mapping=True
         )
         if len(state) <= target_files:
             return {
@@ -1739,7 +1747,9 @@ def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dic
             df = df.repartition(target_files, *part_cols)
         else:
             df = df.coalesce(target_files)
-        adds = _stage_data_files(df, path, part_cols)
+        # column-mapped tables re-stage physically (r10)
+        stage_df, stage_parts = _stage_physical(df, metadata)
+        adds = _stage_data_files(stage_df, path, stage_parts)
         for a in adds:
             a["add"]["dataChange"] = False
         actions = (
@@ -1782,7 +1792,10 @@ def delta_vacuum(
     retention is 7 days). Returns {'deleted': n}."""
     import glob
 
-    _, _, state, _ = _snapshot_state(spark, path, None, None)
+    # mapping-safe: vacuum compares file PATHS only, no row rewrites
+    _, _, state, _ = _snapshot_state(
+        spark, path, None, None, allow_name_mapping=True
+    )
     active = {
         os.path.abspath(os.path.join(path, unquote(p))) for p in state
     }
