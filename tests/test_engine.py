@@ -986,3 +986,53 @@ def test_sql_dml_parser_corners(spark, tmp_path):
             f"MERGE INTO delta.'{t}' t2 USING 'oops' s ON t2.id = s.id"
             " WHEN MATCHED THEN DELETE"
         )
+
+
+def test_sql_lakehouse_table_refs(spark, tmp_path):
+    """late r10: SELECT over fmt.'/path' spellings through Engine.sql
+    (the reference's catalog-qualified table access) — each ref
+    becomes a temp view over the jar-free reader, and a simple
+    single-table WHERE pushes into the reader's file skipping
+    (sound: the reader re-applies the predicate; any shape doubt
+    falls back to the unpruned view)."""
+    import datetime
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    e = Engine(spark)
+    td = str(tmp_path / "refs_delta")
+    ti = str(tmp_path / "refs_ice")
+    rows = [
+        (i, f"n{i}", datetime.date(2020, 1, 1) + datetime.timedelta(days=i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, d date")
+    write_delta(spark, df.repartition(4, "id"), td, mode="create")
+    write_iceberg(spark, df, ti, mode="create", partition_by=["months(d)"])
+    assert e.sql(f"SELECT count(*) AS n FROM delta.'{td}'").collect()[0].n == 200
+    q = e.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{ti}'"
+        " WHERE d >= DATE '2020-06-01'"
+    )
+    assert q.collect()[0].n == sum(
+        1 for _i, _n, d in rows if d >= datetime.date(2020, 6, 1)
+    )
+    # the pushed view scans fewer files than the full table
+    pushed = spark.table(e._lake_ref_views[-1])
+    assert len(pushed.inputFiles()) < len(
+        read_iceberg_snapshot(spark, ti).inputFiles()
+    )
+    # join of two spellings: correct (no pushdown attempted)
+    q4 = e.sql(
+        f"SELECT count(*) AS n FROM delta.'{td}' a"
+        f" JOIN iceberg.'{ti}' b ON a.id = b.id WHERE a.id < 10"
+    )
+    assert q4.collect()[0].n == 10
+    # a ref spelled inside a string literal is never rewritten
+    q5 = e.sql(f"SELECT 'delta.''/nope''' AS s FROM delta.'{td}' LIMIT 1")
+    assert "delta." in q5.collect()[0].s

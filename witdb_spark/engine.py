@@ -98,6 +98,7 @@ class Engine:
         self.view_store = view_store
         self._views: dict[str, str] = {}
         self._versioned: dict[str, "object"] = {}  # name -> VersionedTable
+        self._lake_ref_views: list[str] = []  # fmt.'/path' temp views
         if sf_dir is not None:
             Tables(spark, sf_dir).register_views()
         register_all(spark)
@@ -146,6 +147,7 @@ class Engine:
         dml = self._sql_lakehouse_dml(text)
         if dml is not None:
             return dml
+        text = self._rewrite_lakehouse_refs(text)
         m = re.match(
             r"^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
             text, re.I,
@@ -627,6 +629,76 @@ class Engine:
     # tables here spell <format>.'<path>' (same convention as the CALL
     # procedures taking table paths)
     _DML_TABLE = r"(delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+
+    def _rewrite_lakehouse_refs(self, text: str) -> str:
+        """SELECT over ``fmt.'/path'`` table spellings (the reference's
+        catalog-qualified table access, served by its delta/iceberg/hudi
+        connectors): each distinct ref registers a temp view over the
+        jar-free reader, and a simple single-table statement pushes its
+        WHERE into the reader — Delta stats skipping / Iceberg manifest
+        pruning / Hudi partition-dir pruning straight from SQL text.
+        Pushdown is best-effort and sound: readers re-apply the full
+        predicate, and any shape doubt (joins, subqueries, qualified
+        column refs, a ref inside a string literal) falls back to the
+        plain unpruned view."""
+        import re as _re
+
+        from witdb_spark.plans.dialect import _scan_maps
+        from witdb_spark.sources.lakehouse import read_table
+
+        if _re.match(
+            r"^\s*(EXPLAIN|MERGE|UPDATE|DELETE|INSERT|CALL)\b",
+            text, _re.I,
+        ):
+            # DML spellings belong to _sql_lakehouse_dml / the
+            # procedures; EXPLAIN recurses into sql() for SELECTs, so
+            # its inner query still gets the rewrite there
+            return text
+        pat = _re.compile(
+            r"(delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'", _re.I
+        )
+        _depths, instr = _scan_maps(text)
+        refs = [m for m in pat.finditer(text) if not instr[m.start()]]
+        if not refs:
+            return text
+        distinct = {(m.group(1).lower(), m.group("path")) for m in refs}
+        where = None
+        if len(distinct) == 1 and not _re.search(
+            r"\bJOIN\b|\(\s*SELECT\b", text, _re.I
+        ):
+            wm = _re.search(
+                r"\bWHERE\b(?P<pred>.*?)(?:\bGROUP\s+BY\b|\bHAVING\b"
+                r"|\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b|;|$)",
+                text, _re.I | _re.S,
+            )
+            if wm:
+                pred = transpile(wm.group("pred").strip())
+                # qualified refs (alias.col) would not resolve inside
+                # the reader's re-applied filter
+                code = _re.sub(r"'(?:[^']|'')*'", "''", pred)
+                if not _re.search(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", code):
+                    where = pred
+        views: dict[tuple[str, str], str] = {}
+        out = text
+        for m in reversed(refs):
+            key = (m.group(1).lower(), m.group("path"))
+            if key not in views:
+                name = f"__lake_ref_{len(self._lake_ref_views)}"
+                self._lake_ref_views.append(name)
+                df = None
+                if where is not None:
+                    try:
+                        df = read_table(
+                            self.spark, key[0], key[1], where=where
+                        )
+                    except Exception:
+                        df = None  # exotic predicate: unpruned view
+                if df is None:
+                    df = read_table(self.spark, key[0], key[1])
+                df.createOrReplaceTempView(name)
+                views[key] = name
+            out = out[: m.start()] + views[key] + out[m.end():]
+        return out
 
     def _sql_lakehouse_dml(self, text: str):
         """SQL-text DML on jar-free lakehouse path tables — the

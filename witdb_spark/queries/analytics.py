@@ -2840,3 +2840,48 @@ def hudi_mor_partitioned_roundtrip(
     return read_hudi_snapshot(spark, path).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "sql_lakehouse_select",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey <= 5000
+    GROUP BY o_orderpriority
+    """,
+    doc="The SQL front door over fmt.'/path' table spellings (late "
+    "r10, engine.py _rewrite_lakehouse_refs; reference catalog-"
+    "qualified table access via the delta connector): orders lands in "
+    "a Delta table, then Engine.sql runs a Trino-dialect GROUP BY "
+    "over delta.'<path>' with the WHERE pushed into the jar-free "
+    "reader's file skipping (partition value + stats pruning before "
+    "the scan is built; the reader re-applies the predicate, so "
+    "pruning can never change the hash).",
+    tags=("source", "lakehouse", "sql", "skipping"),
+)
+def sql_lakehouse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_sql_lake_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, src.repartition(8, "o_orderkey"), path, mode="create",
+        partition_by=["o_orderstatus"],
+    )
+    return Engine(spark).sql(
+        f"SELECT o_orderpriority, count(*) AS n FROM delta.'{path}'"
+        " WHERE o_orderstatus = 'F' AND o_orderkey <= 5000"
+        " GROUP BY o_orderpriority"
+    )
