@@ -3696,15 +3696,34 @@ def test_delta_column_mapping_writes(spark, tmp_path, cm_mode):
         r.id for r in full.filter("p = 1 AND id >= 10").collect()
     )
     assert len(pruned.inputFiles()) < len(full.inputFiles())
-    # nested columns keep the loud writer gate
+    # nested columns write too (late r10): a positional cast renames
+    # every inner field to its physicalName and stamps its field id
     nested = spark.createDataFrame(
-        [(1, {"x": 2})], "id bigint, s struct<x: bigint>"
+        [(i, {"x": i * 10, "y": f"s{i}"}) for i in range(6)],
+        "id bigint, s struct<x: bigint, y: string>",
     )
-    with pytest.raises(DeltaProtocolError, match="nested"):
-        write_delta(
-            spark, nested, str(tmp_path / "cmw_nested"), mode="create",
-            configuration={"delta.columnMapping.mode": cm_mode},
-        )
+    tn = str(tmp_path / "cmw_nested")
+    write_delta(
+        spark, nested, tn, mode="create",
+        configuration={"delta.columnMapping.mode": cm_mode},
+    )
+    back = read_delta_snapshot(spark, tn)
+    assert back.schema["s"].dataType.fieldNames() == ["x", "y"]
+    assert sorted((r.id, r.s.x, r.s.y) for r in back.collect()) == [
+        (i, i * 10, f"s{i}") for i in range(6)
+    ]
+    import pyarrow.parquet as _pq
+
+    arrow = _pq.ParquetFile(
+        sorted(_glob.glob(tn + "/*.parquet"))[0]
+    ).schema_arrow
+    sf = [f for f in arrow if str(f.type).startswith("struct")][0]
+    assert sf.type.field(0).name.startswith("col-")
+    assert b"PARQUET:field_id" in (sf.type.field(0).metadata or {})
+    delta_delete_where(spark, tn, "id = 3")
+    assert sorted(
+        r.id for r in read_delta_snapshot(spark, tn).collect()
+    ) == [0, 1, 2, 4, 5]
 
 
 def test_hudi_partitioned_cow(spark, tmp_path):

@@ -38,10 +38,14 @@ mapped tables. r10 also adds per-file STATS on every add (footer
 min/max/nullCount) and read-side FILE SKIPPING
 (read_delta_snapshot(where=), sources/skipping.py).
 
-Loud scope-outs (raise, never silently misread): writer-side NESTED
-column mapping, row rewrites on DV'd files (COW DML/optimize/vacuum
-on tables with active DVs), and any reader feature outside the
-understood set.
+r10 completes the write half for NESTED types too: a positional cast
+renames every inner field to its physicalName and stamps its field id
+(_cm_write_type — the exact inverse of the read path's
+logical-restoring cast).
+
+Loud scope-outs (raise, never silently misread): row rewrites on DV'd
+files (COW DML/optimize/vacuum on tables with active DVs) and any
+reader feature outside the understood set.
 """
 
 from __future__ import annotations
@@ -1039,16 +1043,60 @@ def _file_stats_json(f: str) -> str | None:
         return None
 
 
+def _cm_write_type(dt):
+    """Recursive physical twin of a logical type FOR THE WRITER:
+    every nested struct field renamed to its physicalName AND stamped
+    with parquet.field.id metadata, so a positional cast to this type
+    produces exactly the parquet schema mode=name/id readers resolve.
+    Structure and order untouched."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(dt, StructType):
+        fields = []
+        for f in dt.fields:
+            md = f.metadata or {}
+            fid = md.get("delta.columnMapping.id")
+            pn = md.get("delta.columnMapping.physicalName")
+            if fid is None or pn is None:
+                raise DeltaProtocolError(
+                    f"column mapping write: nested field {f.name!r}"
+                    " lacks physicalName/id metadata"
+                )
+            fields.append(
+                StructField(
+                    pn,
+                    _cm_write_type(f.dataType),
+                    f.nullable,
+                    metadata={"parquet.field.id": int(fid)},
+                )
+            )
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_cm_write_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _cm_write_type(dt.keyType),
+            _cm_write_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _stage_physical(df, metadata: dict):
     """For column-mapped tables (delta.columnMapping.mode=name/id),
     convert a LOGICAL DataFrame into the physical staging form the
     protocol requires of writers: columns renamed to each field's
     delta.columnMapping.physicalName and stamped with parquet.field.id
     metadata (Spark's parquet writer emits the ids natively —
-    spark.sql.parquet.fieldId.write.enabled). Returns (staged df,
-    physical partition column names). Unmapped tables pass through.
-    Nested types stay loud — writer-side nested mapping needs the
-    recursive physical-schema rewrite the jar does."""
+    spark.sql.parquet.fieldId.write.enabled); nested types rename +
+    stamp recursively through a positional cast to the physical twin
+    type (_cm_write_type). Returns (staged df, physical partition
+    column names). Unmapped tables pass through."""
     from pyspark.sql import functions as F
 
     cfg = metadata.get("configuration") or {}
@@ -1056,53 +1104,78 @@ def _stage_physical(df, metadata: dict):
     part_cols = list(metadata.get("partitionColumns") or [])
     if mode == "none":
         return df, part_cols
-    schema = json.loads(metadata["schemaString"])
+    from pyspark.sql.types import StructType
+
+    logical = StructType.fromJson(json.loads(metadata["schemaString"]))
     phys: dict[str, str] = {}
     sel = []
-    for f in schema["fields"]:
-        if not isinstance(f["type"], str):
-            raise DeltaProtocolError(
-                f"column mapping write: nested column {f['name']!r}"
-                " needs the delta-spark jar (recursive physical-name"
-                " emission)"
-            )
-        md = f.get("metadata") or {}
+    for f in logical.fields:
+        md = f.metadata or {}
         pn = md.get("delta.columnMapping.physicalName")
         fid = md.get("delta.columnMapping.id")
         if pn is None or fid is None:
             raise DeltaProtocolError(
-                f"column mapping write: field {f['name']!r} lacks"
+                f"column mapping write: field {f.name!r} lacks"
                 " physicalName/id metadata"
             )
-        phys[f["name"]] = pn
+        phys[f.name] = pn
+        col = F.col(f.name)
+        tgt = _cm_write_type(f.dataType)
+        if tgt != f.dataType:
+            # nested types: a positional cast renames every inner
+            # field to its physicalName and stamps its field id (the
+            # exact inverse of the read path's logical-restoring cast)
+            col = col.cast(tgt)
         sel.append(
-            F.col(f["name"]).alias(
-                pn, metadata={"parquet.field.id": int(fid)}
-            )
+            col.alias(pn, metadata={"parquet.field.id": int(fid)})
         )
     return df.select(*sel), [phys[c] for c in part_cols]
 
 
-def _cm_create_schema(df, mode: str) -> str:
-    """schemaString for CREATE on a column-mapped table: every
-    top-level field gets an id and a col-<uuid> physicalName, the
-    delta-spark convention (PROTOCOL.md 'Column Mapping')."""
+def _cm_create_schema(df, mode: str) -> tuple[str, int]:
+    """schemaString for CREATE on a column-mapped table: EVERY field
+    (nested included, depth-first) gets an id and a col-<uuid>
+    physicalName, the delta-spark convention (PROTOCOL.md 'Column
+    Mapping'). Returns (schemaString, maxColumnId)."""
     import uuid
 
-    fields = []
-    for i, f in enumerate(json.loads(df.schema.json())["fields"], 1):
-        if not isinstance(f["type"], str):
-            raise DeltaProtocolError(
-                f"column mapping create: nested column {f['name']!r}"
-                " needs the delta-spark jar"
-            )
-        f = dict(f)
-        f["metadata"] = {
-            "delta.columnMapping.id": i,
-            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
-        }
-        fields.append(f)
-    return json.dumps({"type": "struct", "fields": fields})
+    counter = [0]
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [walk_field(f) for f in t["fields"]],
+                }
+            if t.get("type") == "array":
+                return dict(t, elementType=walk_type(t["elementType"]))
+            if t.get("type") == "map":
+                return dict(
+                    t,
+                    keyType=walk_type(t["keyType"]),
+                    valueType=walk_type(t["valueType"]),
+                )
+        return t
+
+    def walk_field(f):
+        counter[0] += 1
+        return dict(
+            f,
+            type=walk_type(f["type"]),
+            metadata={
+                "delta.columnMapping.id": counter[0],
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            },
+        )
+
+    fields = [
+        walk_field(f) for f in json.loads(df.schema.json())["fields"]
+    ]
+    return (
+        json.dumps({"type": "struct", "fields": fields}),
+        counter[0],
+    )
 
 
 def _stage_data_files(
@@ -1189,9 +1262,9 @@ def write_delta(
                 f"unknown column mapping mode {cm_mode!r}"
             )
         if cm_mode != "none":
-            schema_string = _cm_create_schema(df, cm_mode)
+            schema_string, max_id = _cm_create_schema(df, cm_mode)
             cfg.setdefault(
-                "delta.columnMapping.maxColumnId", str(len(df.columns))
+                "delta.columnMapping.maxColumnId", str(max_id)
             )
             protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
             stage_meta = {
