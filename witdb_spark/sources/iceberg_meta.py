@@ -1260,6 +1260,15 @@ def write_iceberg(
                         "timestamp-ms": _now_ms_ice(),
                         "sequence-number": seq,
                         "manifest-list": mlist,
+                        # spec v2: summary with the operation key is
+                        # required on every snapshot
+                        "summary": {
+                            "operation": (
+                                "overwrite"
+                                if mode == "overwrite"
+                                else "append"
+                            )
+                        },
                     }
                 ],
             }
@@ -1487,6 +1496,7 @@ def _commit_delete_snapshot(
                 "timestamp-ms": _now_ms_ice(),
                 "sequence-number": seq,
                 "manifest-list": mlist,
+                "summary": {"operation": "delete"},
             }
         ]
         return new
@@ -1743,6 +1753,7 @@ def _iceberg_rewrite_matched(
                     "snapshot-id": snap_id,
                     "timestamp-ms": _now_ms_ice(),
                     "manifest-list": mlist,
+                    "summary": {"operation": "overwrite"},
                 }
             ],
         },
