@@ -1251,6 +1251,14 @@ def write_iceberg(
                         default=999,
                     ),
                 ),
+                # spec v2 REQUIRED fields library parsers validate:
+                # an unsorted order + the update timestamp
+                "sort-orders": (meta or {}).get("sort-orders")
+                or [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": (meta or {}).get(
+                    "default-sort-order-id", 0
+                ),
+                "last-updated-ms": _now_ms_ice(),
                 "current-snapshot-id": snap_id,
                 "last-sequence-number": seq,
                 "snapshots": ((meta or {}).get("snapshots") or [])
@@ -1490,6 +1498,7 @@ def _commit_delete_snapshot(
         new = dict(cur)
         new["current-snapshot-id"] = snap_id
         new["last-sequence-number"] = seq
+        new["last-updated-ms"] = _now_ms_ice()
         new["snapshots"] = (cur.get("snapshots") or []) + [
             {
                 "snapshot-id": snap_id,
@@ -1747,6 +1756,7 @@ def _iceberg_rewrite_matched(
         meta,
         **{
             "current-snapshot-id": snap_id,
+            "last-updated-ms": _now_ms_ice(),
             "snapshots": snaps
             + [
                 {
