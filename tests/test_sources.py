@@ -4102,3 +4102,174 @@ def test_delta_cm_maintenance(spark, tmp_path):
     assert sorted(x.id for x in pr.collect()) == sorted(
         i + 100 for i in range(40) if i % 3 == 1
     )
+
+
+def test_delta_dv_dml_on_column_mapped_table(spark, tmp_path):
+    """r11 (ADVICE r10 high): DV-mode UPDATE and MERGE on a table with
+    BOTH delta.columnMapping.mode=name/id AND enableDeletionVectors
+    must stage their appended files through the physical column form
+    (_stage_physical) — the bug appended logical-named files without
+    parquet field ids, which read back all-NULL (silent corruption)."""
+    from witdb_spark.sources.delta_log import (
+        delta_merge_into,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    for cm_mode in ("name", "id"):
+        t = str(tmp_path / f"dvcm_{cm_mode}")
+        write_delta(
+            spark,
+            spark.range(0, 10).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS v"
+            ),
+            t, mode="create",
+            configuration={
+                "delta.enableDeletionVectors": "true",
+                "delta.columnMapping.mode": cm_mode,
+            },
+        )
+        res = delta_update_where(
+            spark, t, "id % 4 = 1", {"v": "v * 100"}
+        )
+        assert res["files_rewritten"] == 0
+        got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+        want = {i: float(i) for i in range(10)}
+        want.update({1: 100.0, 5: 500.0, 9: 900.0})
+        assert got == want  # all-NULL read-back would fail here
+        # MERGE: update one key, insert a new one — both images land in
+        # appended files that must carry physical names/field ids
+        from pyspark.sql import functions as F
+
+        src = spark.createDataFrame(
+            [(2, 222.0), (100, 1000.0)], "id bigint, v double"
+        )
+        delta_merge_into(
+            spark, t, src, ["id"],
+            when_matched_update={"v": F.col("src.v")},
+        )
+        got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+        want.update({2: 222.0, 100: 1000.0})
+        assert got == want
+        # DV DELETE on the mapped table (only re-adds existing entries
+        # with descriptors — no column data written)
+        from witdb_spark.sources.delta_log import delta_delete_where
+
+        delta_delete_where(spark, t, "id = 100")
+        del want[100]
+        got = {r.id: r.v for r in read_delta_snapshot(spark, t).collect()}
+        assert got == want
+
+
+def test_iceberg_cow_dml_on_date_partitions(spark, tmp_path):
+    """r11 (ADVICE r10 medium): COW DML on tables partitioned by
+    day(ts) or identity over a DATE column must re-emit kept manifest
+    entries — decoded avro logical-date partition values come back as
+    datetime.date while newly staged entries carry epoch-day ints; the
+    writer and _partition_summaries normalize both representations
+    (the bug crashed mid-DML with TypeError after staging files)."""
+    import datetime as dt
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    # day(ts) transform partitioning
+    t = str(tmp_path / "ice_dayts")
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + i % 3, 6, 0, 0), float(i))
+            for i in range(12)
+        ],
+        "id bigint, ts timestamp_ntz, v double",
+    ).coalesce(2)
+    write_iceberg(spark, df, t, mode="create", partition_by=["day(ts)"])
+    res = iceberg_delete_where(spark, t, "id % 4 = 1")
+    assert res["files_rewritten"] >= 1
+    got = sorted(
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    )
+    assert got == [i for i in range(12) if i % 4 != 1]
+
+    # identity over a date column
+    t2 = str(tmp_path / "ice_identdate")
+    df2 = spark.createDataFrame(
+        [(i, dt.date(2024, 2, 1 + i % 3), float(i)) for i in range(12)],
+        "id bigint, d date, v double",
+    ).coalesce(2)
+    write_iceberg(spark, df2, t2, mode="create", partition_by=["d"])
+    # UPDATE touches only one partition's files: the other partitions'
+    # entries are kept (status=0) and re-emitted with date values
+    res = iceberg_update_where(
+        spark, t2, "d = DATE'2024-02-01'", {"v": "v + 1000"}
+    )
+    got = {
+        r.id: r.v for r in read_iceberg_snapshot(spark, t2).collect()
+    }
+    want = {
+        i: float(i) + (1000.0 if i % 3 == 0 else 0.0) for i in range(12)
+    }
+    assert got == want
+    # partition pruning still works over the rewritten metadata
+    pruned = read_iceberg_snapshot(
+        spark, t2, where="d = DATE'2024-02-02'"
+    )
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(12) if i % 3 == 1
+    ]
+
+
+def test_empty_string_partition_values_distinct_from_null(spark, tmp_path):
+    """r11 (ADVICE r10 medium): Spark's hive-style staging renders BOTH
+    NULL and '' partition values as __HIVE_DEFAULT_PARTITION__; the
+    jar-free writers escape '' through a sentinel (paths.py) so the two
+    stay distinct in recovered metadata — pruning ``col = ''`` must NOT
+    drop files that contain matching rows, and values must round-trip."""
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        read_hudi_snapshot,
+        write_hudi,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+    from witdb_spark.sources.paths import EMPTY_PARTITION_SENTINEL
+
+    rows = [
+        (1, "", 10.0), (2, None, 20.0), (3, "x", 30.0),
+        # a genuine sentinel-prefixed value must round-trip via quoting
+        (4, EMPTY_PARTITION_SENTINEL, 40.0),
+    ]
+    schema = "id bigint, p string, v double"
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    want = {r[0]: r[1] for r in rows}
+
+    t = str(tmp_path / "delta_esc")
+    write_delta(spark, df, t, mode="create", partition_by=["p"])
+    got = {r.id: r.p for r in read_delta_snapshot(spark, t).collect()}
+    assert got == want
+    pruned = read_delta_snapshot(spark, t, where="p = ''")
+    assert sorted(r.id for r in pruned.collect()) == [1]
+
+    t = str(tmp_path / "ice_esc")
+    write_iceberg(spark, df, t, mode="create", partition_by=["p"])
+    got = {r.id: r.p for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == want
+    pruned = read_iceberg_snapshot(spark, t, where="p = ''")
+    assert sorted(r.id for r in pruned.collect()) == [1]
+
+    t = str(tmp_path / "hudi_esc")
+    write_hudi(spark, df, t, mode="create", record_key="id",
+               partition_by=["p"])
+    got = {r.id: r.p for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == want
+    pruned = read_hudi_snapshot(spark, t, where="p = ''")
+    assert sorted(r.id for r in pruned.collect()) == [1]

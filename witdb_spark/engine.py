@@ -683,8 +683,11 @@ class Engine:
         for m in reversed(refs):
             key = (m.group(1).lower(), m.group("path"))
             if key not in views:
-                name = f"__lake_ref_{len(self._lake_ref_views)}"
-                self._lake_ref_views.append(name)
+                # per-statement names reused across statements (a
+                # resolved plan keeps its view's snapshot — temp view
+                # resolution is analysis-time), so views never
+                # accumulate on the shared session
+                name = f"__lake_ref_{len(views)}"
                 df = None
                 if where is not None:
                     try:
@@ -698,6 +701,15 @@ class Engine:
                 df.createOrReplaceTempView(name)
                 views[key] = name
             out = out[: m.start()] + views[key] + out[m.end():]
+        # drop any prior statement's views this one didn't replace
+        for stale in self._lake_ref_views[len(views):]:
+            try:
+                self.spark.catalog.dropTempView(stale)
+            except Exception:
+                pass
+        self._lake_ref_views = [
+            f"__lake_ref_{i}" for i in range(len(views))
+        ]
         return out
 
     def _sql_lakehouse_dml(self, text: str):

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
+        # engine default, not a per-read side effect: field-id
+        # resolution only engages for request schemas that CARRY
+        # parquet.field.id metadata (delta column-mapping id mode);
+        # all other parquet reads are untouched. Spark has no
+        # per-read switch for this and plans are lazy, so a
+        # set-restore around the read would break execution.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -433,6 +433,25 @@ def _encode(schema, value, names, out: bytearray):
     if t == "boolean":
         out += b"\x01" if value else b"\x00"
     elif t in ("int", "long"):
+        # decoded logical types round-trip: date -> epoch days,
+        # datetime -> epoch micros/millis per the schema's logicalType
+        # (re-emitting decoded records through the writer is a core
+        # path — iceberg kept-manifest entries carry datetime.date)
+        if isinstance(value, datetime.datetime):
+            lt = (
+                schema.get("logicalType")
+                if isinstance(schema, dict)
+                else None
+            )
+            unit = 1_000 if lt == "timestamp-millis" else 1_000_000
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=value.tzinfo
+            )
+            value = round(
+                (value - epoch).total_seconds() * unit
+            )
+        elif isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
         out += _zigzag(int(value))
     elif t == "float":
         out += struct.pack("<f", value)

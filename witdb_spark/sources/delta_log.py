@@ -561,9 +561,11 @@ def read_delta_snapshot(
         else:
             # id mode: the scan matches columns by parquet field id and
             # keeps LOGICAL names in the read schema. The resolution
-            # switch must be on at EXECUTION time (plans are lazy), so
-            # flip it for the session — it only affects schemas that
-            # carry parquet.field.id metadata.
+            # switch must be on at EXECUTION time (plans are lazy) and
+            # Spark exposes no per-read option for it, so it is an
+            # ENGINE SESSION DEFAULT (session.py) — ensured here for
+            # sessions built elsewhere. Safe globally: it only affects
+            # request schemas that carry parquet.field.id metadata.
             spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
             )
@@ -846,8 +848,12 @@ def delta_write_deletion_vectors(
         # table-relative add paths
         by_file.setdefault(_strip_uri(p), set()).add(int(pos))
     for _ in range(5):
+        # allow_name_mapping: DV commits only re-add existing entries
+        # with descriptors — no column data is (re)written here; the
+        # extra_actions adds were staged physical by the caller
         protocol, metadata, state, version = _snapshot_state(
-            spark, path, None, None, allow_dvs=True
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
         )
         by_add_path: dict[str, dict] = {}
         for ap, add in state.items():
@@ -966,8 +972,13 @@ def _partition_values_from_rel(rel: str, part_cols: list[str]) -> dict:
             continue
         k, v = seg.split("=", 1)
         if k in part_cols:
+            from witdb_spark.sources.paths import (
+                unescape_partition_value,
+            )
+
             vals[k] = (
-                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                None if v == "__HIVE_DEFAULT_PARTITION__"
+                else unescape_partition_value(unquote(v))
             )
     missing = [c for c in part_cols if c not in vals]
     if missing:
@@ -997,6 +1008,7 @@ def _file_stats_json(f: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    bad_nulls: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -1006,9 +1018,22 @@ def _file_stats_json(f: str) -> str | None:
                 continue
             st = col.statistics
             if st is None:
+                # a stats-less row group may hold values outside the
+                # other groups' bounds (and nulls): poison min/max AND
+                # the null count for this column, or skipping would
+                # prune files that contain matching rows
+                mins[name] = maxs[name] = None
+                bad_nulls.add(name)
+                nulls.pop(name, None)
                 continue
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
+            if name not in bad_nulls:
+                if st.null_count is None:
+                    # partial null counts are as unsound as partial
+                    # bounds — drop the column's count entirely
+                    bad_nulls.add(name)
+                    nulls.pop(name, None)
+                else:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max:
                 mins[name] = maxs[name] = None  # poison: drop below
                 continue
@@ -1190,6 +1215,24 @@ def _stage_data_files(
     import uuid
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    if partition_by:
+        # '' and NULL both render as __HIVE_DEFAULT_PARTITION__ in
+        # hive-style directories; escaping '' (paths.py sentinel)
+        # before partitionBy keeps them distinct in the recovered
+        # partitionValues. Content is unaffected: partitionBy drops
+        # the column from the staged files.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        from witdb_spark.sources.paths import (
+            escape_empty_partition_expr,
+        )
+
+        for c in partition_by:
+            if isinstance(df.schema[c].dataType, StringType):
+                df = df.withColumn(
+                    c, escape_empty_partition_expr(F.col(c))
+                )
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -1525,8 +1568,11 @@ def delta_update_where(
             assignments,
             DeltaProtocolError,
         )
-        part_cols = list(metadata.get("partitionColumns") or [])
-        adds = _stage_data_files(updated, path, part_cols)
+        # column-mapped tables stage physical names + field ids exactly
+        # like the COW paths — appending logical-named files to a
+        # mapped table would read back all-NULL
+        stage_df, stage_parts = _stage_physical(updated, metadata)
+        adds = _stage_data_files(stage_df, path, stage_parts)
         v = delta_write_deletion_vectors(
             spark, path, targets, extra_actions=adds, operation="UPDATE"
         )
@@ -1574,8 +1620,10 @@ def _delta_merge_dv(
     _, metadata, _, _ = _snapshot_state(
         spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
-    part_cols = list(metadata.get("partitionColumns") or [])
-    adds = _stage_data_files(survivors, path, part_cols)
+    # stage through the column-mapping physical form (same contract as
+    # the COW/append paths — see delta_update_where)
+    stage_df, stage_parts = _stage_physical(survivors, metadata)
+    adds = _stage_data_files(stage_df, path, stage_parts)
     if targets:
         v = delta_write_deletion_vectors(
             spark, path, targets, extra_actions=adds, operation="MERGE"

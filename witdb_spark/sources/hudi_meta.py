@@ -445,9 +445,22 @@ def _stage_hudi_files(
             raise HudiProtocolError(
                 f"partition columns {missing} absent from the data"
             )
+        from pyspark.sql.types import StringType
+
+        from witdb_spark.sources.paths import (
+            escape_empty_partition_expr,
+        )
+
         sdf = df
         for i, c in enumerate(part_fields):
-            sdf = sdf.withColumn(f"__hp_{i}", F.col(c))
+            col = F.col(c)
+            if isinstance(df.schema[c].dataType, StringType):
+                # keep '' distinct from NULL through the hive-style
+                # staging round-trip (paths.py sentinel); unescaped
+                # below so the final layout matches the stamped
+                # _hoodie_partition_path convention ("p=")
+                col = escape_empty_partition_expr(col)
+            sdf = sdf.withColumn(f"__hp_{i}", col)
         sdf.write.mode("overwrite").partitionBy(
             *[f"__hp_{i}" for i in range(len(part_fields))]
         ).parquet(staging)
@@ -464,10 +477,22 @@ def _stage_hudi_files(
         fid = uuid.uuid4().hex
         base = f"{fid}_0_{instant}.parquet"
         if part_fields:
+            from witdb_spark.sources.paths import (
+                EMPTY_PARTITION_SENTINEL,
+            )
+
             rel_dir = os.path.relpath(os.path.dirname(f), staging)
             by_idx: dict[int, str] = {}
             for comp in rel_dir.split(os.sep):
                 k, _, v = comp.partition("=")
+                # unescape the '' sentinel but keep the percent
+                # encoding (the final dir value stays encoded, like
+                # the staged one); NULL's __HIVE_DEFAULT_PARTITION__
+                # marker passes through untouched
+                if v == EMPTY_PARTITION_SENTINEL:
+                    v = ""
+                elif v.startswith(EMPTY_PARTITION_SENTINEL):
+                    v = v[len(EMPTY_PARTITION_SENTINEL):]
                 by_idx[int(k[len("__hp_"):])] = v
             part_dir = "/".join(
                 f"{part_fields[i]}={by_idx[i]}"

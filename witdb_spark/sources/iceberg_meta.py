@@ -595,6 +595,8 @@ def _partition_summaries(
     manifest's LIVE entries' partition structs — bounds in the
     single-value serialization of each field's transform RESULT
     type."""
+    import datetime as _dt
+
     if not part_fields:
         return None
     out = []
@@ -610,6 +612,13 @@ def _partition_summaries(
             if v is None:
                 has_null = True
             else:
+                # kept entries decoded from avro carry logical-date
+                # values as datetime.date while newly staged entries
+                # carry epoch-day ints — normalize so min/max compare
+                if isinstance(v, _dt.date) and not isinstance(
+                    v, _dt.datetime
+                ):
+                    v = (v - _dt.date(1970, 1, 1)).days
                 vals.append(v)
         lo = hi = None
         if vals:
@@ -891,15 +900,21 @@ def _stage_iceberg_data(
             raise IcebergProtocolError(
                 f"partition columns {missing} absent from the data"
             )
+        from witdb_spark.sources.paths import (
+            escape_empty_partition_expr,
+        )
+
         stage_df = df
         for i, (pf, c) in enumerate(zip(part_fields, part_cols)):
-            stage_df = stage_df.withColumn(
-                f"__p_{i}",
-                transform_expr(
-                    pf.get("transform", "identity"), c,
-                    by_id[pf["source-id"]]["type"],
-                ),
+            expr = transform_expr(
+                pf.get("transform", "identity"), c,
+                by_id[pf["source-id"]]["type"],
             )
+            if _part_result_type(pf, schema) == "string":
+                # keep '' distinct from NULL through the hive-style
+                # staging directory round-trip (paths.py sentinel)
+                expr = escape_empty_partition_expr(expr)
+            stage_df = stage_df.withColumn(f"__p_{i}", expr)
         stage_df.write.mode("overwrite").partitionBy(
             *[f"__p_{i}" for i in range(len(part_cols))]
         ).parquet(staging)
@@ -927,13 +942,20 @@ def _stage_iceberg_data(
             rel_dir = os.path.relpath(os.path.dirname(f), staging)
             raw_by_idx: dict[int, str | None] = {}
             dir_by_idx: dict[int, str] = {}
+            from witdb_spark.sources.paths import (
+                unescape_partition_value,
+            )
+
             for comp in rel_dir.split(os.sep):
                 k, _, v = comp.partition("=")
                 idx = int(k[len("__p_"):])
+                # dest dir keeps the staged (escaped) rendering —
+                # readers resolve files through the manifest struct,
+                # never the directory name
                 dir_by_idx[idx] = v
                 raw_by_idx[idx] = (
                     None if v == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(v)
+                    else unescape_partition_value(unquote(v))
                 )
             part_struct = {}
             dest_dir_parts = []
