@@ -3457,10 +3457,51 @@ def test_skipping_predicate_parser():
         Clause("a", "in", (1, 2)), Clause("b c", "=", "it's"),
     ]
     assert parse_conjuncts("3 <= a") == [Clause("a", ">=", 3)]
+    assert parse_conjuncts("(a = 1 AND b = 2) AND c = 3") == [
+        Clause("a", "=", 1), Clause("b", "=", 2), Clause("c", "=", 3),
+    ]
     # everything outside the subset -> None, conservatively
-    for bad in ("a = 3 OR b = 4", "NOT a = 3", "upper(a) = 'X'",
-                "a = b", "a BETWEEN 1 AND 2", "(a = 1 AND b = 2) AND c = 3"):
+    for bad in ("NOT a = 3", "upper(a) = 'X'",
+                "a = b", "a BETWEEN 1 AND 2", "a = 1 OR NOT b = 2"):
         assert parse_conjuncts(bad) is None, bad
+    # OR: flat conjunct view refuses, the predicate tree handles it
+    assert parse_conjuncts("a = 3 OR b = 4") is None
+
+
+def test_skipping_predicate_tree_or():
+    """r11: OR support — parse_predicate builds an AND/OR tree and
+    predicate_can_match evaluates it conservatively (union of domains
+    across disjuncts, the reference's TupleDomain.columnWiseUnion:
+    core/trino-spi/.../predicate/TupleDomain.java)."""
+    from witdb_spark.sources.skipping import (
+        Clause,
+        clause_can_match,
+        parse_predicate,
+        predicate_can_match,
+    )
+
+    p = parse_predicate("a = 1 OR a = 5")
+    assert p is not None and p.kind == "or" and len(p.children) == 2
+    # precedence: AND binds tighter than OR
+    p2 = parse_predicate("a = 1 AND b = 2 OR c = 3")
+    assert p2.kind == "or" and p2.children[0].kind == "and"
+    # parenthesized OR under AND
+    p3 = parse_predicate("(a = 1 OR b = 2) AND c = 3")
+    assert p3.kind == "and" and p3.children[0].kind == "or"
+    # any unanalyzable disjunct poisons the whole tree
+    assert parse_predicate("a = 1 OR upper(b) = 'X'") is None
+    assert parse_predicate("NOT (a = 1 OR b = 2)") is None
+
+    # evaluation against a file whose a-range is [2, 3]
+    def atom(cl: Clause) -> bool:
+        lo, hi = {"a": (2, 3)}.get(cl.col, (None, None))
+        return clause_can_match(cl, lo, hi, 0, 10)
+
+    assert not predicate_can_match(parse_predicate("a = 1 OR a = 5"), atom)
+    assert predicate_can_match(parse_predicate("a = 1 OR a = 2"), atom)
+    assert not predicate_can_match(parse_predicate("a = 2 AND a = 5"), atom)
+    # unknown column in one disjunct -> can match (conservative)
+    assert predicate_can_match(parse_predicate("a = 1 OR z = 9"), atom)
 
 
 def test_delta_file_skipping(spark, tmp_path):
@@ -3504,6 +3545,14 @@ def test_delta_file_skipping(spark, tmp_path):
         ), where
         prunes += len(pruned.inputFiles()) < nf
     assert prunes >= 4  # partition + stats pruning both engage
+    # r11: OR prunes as a union of domains — both disjuncts are
+    # outside every file's range, so the file count still drops
+    for where in ("id = -1 OR id = 10000", "cat = 2 OR cat IS NULL"):
+        pruned = read_delta_snapshot(spark, t, where=where)
+        assert sorted(r.id for r in pruned.collect()) == sorted(
+            r.id for r in full.filter(where).collect()
+        ), where
+        assert len(pruned.inputFiles()) < nf, where
     # unanalyzable predicate: full scan, correct rows
     odd = read_delta_snapshot(spark, t, where="id % 2 = 1 OR cat = 9")
     assert odd.count() == full.filter("id % 2 = 1 OR cat = 9").count()
@@ -3605,6 +3654,19 @@ def test_skipping_soundness_randomized(spark, tmp_path):
         if not conj:
             conj = ["k >= 0"]
         where = " AND ".join(conj)
+        # r11: half the predicates get an OR wrapper/disjunct so the
+        # union-of-domains path is exercised under the same property
+        if rnd.random() < 0.5:
+            extra = rnd.choice(
+                [f"k = {rnd.randint(-5, 105)}",
+                 f"d < DATE '2020-0{rnd.randint(1, 9)}-15'",
+                 "s = 'a'"]
+            )
+            where = (
+                f"({where}) OR {extra}"
+                if rnd.random() < 0.5
+                else f"{extra} OR ({where})"
+            )
         key = lambda t: (t[0], t[1] is None, t[1] or "", t[2])  # noqa: E731
         for full, reader, tbl in (
             (d_full, read_delta_snapshot, td),

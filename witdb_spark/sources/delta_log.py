@@ -466,15 +466,17 @@ def _typed_partition_value(raw: str | None, spark_type_ddl: str):
 
 
 def _delta_add_can_match(
-    clauses, add: dict, part_cols: list[str], phys_part: dict,
+    pred, add: dict, part_cols: list[str], phys_part: dict,
     type_by_col: dict,
 ) -> bool:
     """Conservative file-skipping check for one add action: partition
     values match exactly, data columns by the stats range; any unknown
-    -> True (scan the file)."""
+    -> True (scan the file). ``pred`` is a skipping.Pred tree — AND/OR
+    compose via predicate_can_match (columnWiseUnion analog for OR)."""
     from witdb_spark.sources.skipping import (
         clause_can_match,
         partition_value_can_match,
+        predicate_can_match,
     )
 
     stats = None
@@ -483,29 +485,30 @@ def _delta_add_can_match(
             stats = json.loads(add["stats"])
         except (TypeError, ValueError):
             stats = None
-    for cl in clauses:
+
+    def atom_can_match(cl) -> bool:
         if cl.col in part_cols:
             raw = (add.get("partitionValues") or {}).get(
                 phys_part.get(cl.col, cl.col)
             )
             val = _typed_partition_value(raw, type_by_col.get(cl.col, ""))
             if val is NotImplemented:
-                continue
-            if not partition_value_can_match(cl, val):
-                return False
-        elif stats:
+                return True
+            return partition_value_can_match(cl, val)
+        if stats:
             # stats are keyed physically under column mapping, like
             # partitionValues (PROTOCOL.md 'Per-file Statistics')
             sc = phys_part.get(cl.col, cl.col)
-            if not clause_can_match(
+            return clause_can_match(
                 cl,
                 (stats.get("minValues") or {}).get(sc),
                 (stats.get("maxValues") or {}).get(sc),
                 (stats.get("nullCount") or {}).get(sc),
                 stats.get("numRecords"),
-            ):
-                return False
-    return True
+            )
+        return True
+
+    return predicate_can_match(pred, atom_can_match)
 
 
 def read_delta_snapshot(
@@ -573,10 +576,10 @@ def read_delta_snapshot(
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     if where is not None:
-        from witdb_spark.sources.skipping import parse_conjuncts
+        from witdb_spark.sources.skipping import parse_predicate
 
-        clauses = parse_conjuncts(where)
-        if clauses:  # None = unanalyzable -> scan everything
+        pred = parse_predicate(where)
+        if pred is not None:  # None = unanalyzable -> scan everything
             type_by_col = {
                 f.name: f.dataType.simpleString() for f in schema.fields
             }
@@ -584,7 +587,7 @@ def read_delta_snapshot(
                 k: add
                 for k, add in state.items()
                 if _delta_add_can_match(
-                    clauses, add, part_cols, phys_part, type_by_col
+                    pred, add, part_cols, phys_part, type_by_col
                 )
             }
     if cm_mode == "name":

@@ -286,18 +286,16 @@ def _prune_hudi_files(files: list[str], path: str, where: str) -> list[str]:
 
     from witdb_spark.sources.delta_log import _typed_partition_value
     from witdb_spark.sources.skipping import (
-        parse_conjuncts,
+        parse_predicate,
         partition_value_can_match,
+        predicate_can_match,
     )
 
     part_fields = _hudi_partition_fields(path)
     if not part_fields:
         return files
-    clauses = parse_conjuncts(where)
-    if not clauses:
-        return files
-    clauses = [c for c in clauses if c.col in part_fields]
-    if not clauses:
+    pred = parse_predicate(where)
+    if pred is None:
         return files
     arrow = pq.ParquetFile(files[0]).schema_arrow
     type_by_col = {
@@ -317,19 +315,18 @@ def _prune_hudi_files(files: list[str], path: str, where: str) -> list[str]:
             vals[k] = (
                 None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
             )
-        ok = True
-        for cl in clauses:
-            if cl.col not in vals:
-                continue
+        def atom(cl, _vals=vals) -> bool:
+            # non-partition atoms are unknown at file level -> can match
+            if cl.col not in part_fields or cl.col not in _vals:
+                return True
             t = type_by_col.get(cl.col, "")
             ddl = _ddl.get(t, "timestamp" if "timestamp" in t else "")
-            val = _typed_partition_value(vals[cl.col], ddl)
+            val = _typed_partition_value(_vals[cl.col], ddl)
             if val is NotImplemented:
-                continue
-            if not partition_value_can_match(cl, val):
-                ok = False
-                break
-        if ok:
+                return True
+            return partition_value_can_match(cl, val)
+
+        if predicate_can_match(pred, atom):
             kept.append(f)
     return kept
 

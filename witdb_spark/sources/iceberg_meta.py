@@ -453,10 +453,13 @@ def read_iceberg_snapshot(
         from witdb_spark.sources.iceberg_transforms import (
             partition_struct_can_match,
         )
-        from witdb_spark.sources.skipping import parse_conjuncts
+        from witdb_spark.sources.skipping import (
+            parse_predicate,
+            predicate_can_match,
+        )
 
-        clauses = parse_conjuncts(where)
-        if clauses:
+        pred_tree = parse_predicate(where)
+        if pred_tree is not None:
             meta0 = _current_metadata(path)
             specs = {
                 s["spec-id"]: s
@@ -467,22 +470,30 @@ def read_iceberg_snapshot(
             ) or []
             sf = _table_schema(meta0)["fields"]
 
-            def prune(df_rec, _pf=pf, _sf=sf, _cl=clauses):
-                if _pf and not partition_struct_can_match(
-                    _cl, _pf, _sf, df_rec.get("partition")
-                ):
-                    return False
-                return _bounds_can_match(_cl, _sf, df_rec)
+            def prune(df_rec, _pf=pf, _sf=sf, _pred=pred_tree):
+                # per-atom evaluation so OR composes as a union of
+                # domains (each helper ANDs a singleton clause list)
+                def atom(cl):
+                    if _pf and not partition_struct_can_match(
+                        [cl], _pf, _sf, df_rec.get("partition")
+                    ):
+                        return False
+                    return _bounds_can_match([cl], _sf, df_rec)
+
+                return predicate_can_match(_pred, atom)
 
             if pf:
                 from witdb_spark.sources.iceberg_transforms import (
                     manifest_summary_can_match,
                 )
 
-                def prune_manifest(mf, _pf=pf, _sf=sf, _cl=clauses):
-                    return manifest_summary_can_match(
-                        _cl, _pf, _sf, mf.get("partitions"),
-                        _ice_single_deser,
+                def prune_manifest(mf, _pf=pf, _sf=sf, _pred=pred_tree):
+                    return predicate_can_match(
+                        _pred,
+                        lambda cl: manifest_summary_can_match(
+                            [cl], _pf, _sf, mf.get("partitions"),
+                            _ice_single_deser,
+                        ),
                     )
     data, deletes, cols = _iceberg_scan(
         path, snapshot_id, timestamp_ms,

@@ -10,9 +10,14 @@ driver drops add-entries / manifest entries whose partition values or
 column stats cannot satisfy the predicate, so the distributed scan is
 built over the surviving file set only.
 
-Everything here is CONSERVATIVE: ``parse_conjuncts`` returns None for
-any SQL it cannot fully analyze (OR, functions, casts, ...), and
-``clause_can_match`` answers True whenever in doubt. Callers always
+Everything here is CONSERVATIVE: ``parse_predicate`` returns None for
+any SQL it cannot fully analyze (NOT, functions, casts, ...), and
+``clause_can_match`` answers True whenever in doubt. AND/OR compose
+soundly over per-file can-match: a file can satisfy ``A AND B`` only
+if it can satisfy every conjunct independently (an over-approximation
+— never prunes a matching file), and can satisfy ``A OR B`` if it can
+satisfy any disjunct (the reference's TupleDomain.columnWiseUnion
+analog). Callers always
 re-apply the full predicate with ``DataFrame.filter``, so pruning is
 purely a scan-size optimization and can never change results — the
 property test in tests/test_sources.py holds pruned+filter ==
@@ -90,12 +95,11 @@ def _parse_ts(s: str) -> datetime.datetime:
     raise ValueError(f"unparsable timestamp literal {s!r}")
 
 
-def _split_top_and(s: str) -> list[str] | None:
-    """Split on top-level AND (outside quotes/parens); None if a
-    top-level OR/NOT appears — the whole predicate is unanalyzable
-    then (conservative)."""
+def _split_top(s: str, kw: str) -> list[str]:
+    """Split on a top-level keyword (outside quotes/parens, word
+    boundaries). Returns [s] when the keyword does not appear."""
     parts, depth, i, start = [], 0, 0, 0
-    n = len(s)
+    n, k = len(s), len(kw)
     upper = s.upper()
     while i < n:
         ch = s[i]
@@ -114,29 +118,18 @@ def _split_top_and(s: str) -> list[str] | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0:
-            for kw in ("AND", "OR", "NOT"):
-                if (
-                    upper.startswith(kw, i)
-                    and (i == 0 or not s[i - 1].isalnum() and s[i - 1] != "_")
-                    and (
-                        i + len(kw) >= n
-                        or (not s[i + len(kw)].isalnum()
-                            and s[i + len(kw)] != "_")
-                    )
-                ):
-                    if kw == "NOT" and upper[:i].rstrip().endswith("IS"):
-                        i += 3  # IS NOT NULL — not a boolean NOT
-                        break
-                    if kw != "AND":
-                        return None
-                    parts.append(s[start:i])
-                    start = i + 3
-                    i += 3
-                    break
-            else:
-                i += 1
-                continue
+        elif (
+            depth == 0
+            and upper.startswith(kw, i)
+            and (i == 0 or (not s[i - 1].isalnum() and s[i - 1] != "_"))
+            and (
+                i + k >= n
+                or (not s[i + k].isalnum() and s[i + k] != "_")
+            )
+        ):
+            parts.append(s[start:i])
+            start = i + k
+            i += k
             continue
         i += 1
     parts.append(s[start:])
@@ -158,57 +151,124 @@ def _strip_parens(s: str) -> str:
     return s
 
 
+@dataclass(frozen=True)
+class Pred:
+    """Predicate tree node: an AND/OR of subtrees, or an atom clause."""
+
+    kind: str                       # 'and' | 'or' | 'atom'
+    children: tuple = ()            # Pred operands for and/or
+    clause: Clause | None = None    # the atom for kind == 'atom'
+
+
+def _parse_atom(atom: str) -> Clause | None:
+    """One comparison/IN/IS NULL atom -> Clause, or None (unanalyzable)."""
+    m = _ATOM_NULL.match(atom)
+    if m:
+        col = m.group(1) or m.group(2)
+        return Clause(col, "notnull" if m.group(3) else "isnull")
+    m = _ATOM_COL_OP_LIT.match(atom)
+    if m:
+        col = m.group(1) or m.group(2)
+        op = m.group(3)
+        try:
+            return Clause(col, op, _lit_groups(m.groups()[3:]))
+        except ValueError:
+            return None
+    m = _ATOM_LIT_OP_COL.match(atom)
+    if m:
+        try:
+            val = _lit_groups(m.groups()[:6])
+        except ValueError:
+            return None
+        return Clause(m.group(8) or m.group(9), _FLIP[m.group(7)], val)
+    m = _ATOM_IN.match(atom)
+    if m:
+        col = m.group(1) or m.group(2)
+        vals = []
+        for item in m.group(3).split(","):
+            lm = _LIT_ONLY.match(item)
+            if not lm:
+                return None
+            try:
+                vals.append(_lit_groups(lm.groups()))
+            except ValueError:
+                return None
+        return Clause(col, "in", tuple(vals))
+    return None
+
+
+def parse_predicate(where: str) -> Pred | None:
+    """SQL predicate -> AND/OR tree of analyzable atoms, or None when
+    ANY part is outside the supported subset (callers then scan all
+    files — never guess). NOT (other than IS NOT NULL) stays
+    unanalyzable: its atoms fail to parse."""
+    return _parse_or(where)
+
+
+def _parse_or(s: str) -> Pred | None:
+    parts = _split_top(s, "OR")
+    if len(parts) > 1:
+        kids = tuple(_parse_and(p) for p in parts)
+        if any(k is None for k in kids):
+            return None
+        return Pred("or", kids)
+    return _parse_and(s)
+
+
+def _parse_and(s: str) -> Pred | None:
+    # OR was split first (lower precedence), so depth-0 AND operands
+    # here are terms: atoms or parenthesized groups.
+    parts = _split_top(s, "AND")
+    if len(parts) > 1:
+        kids = tuple(_parse_term(p) for p in parts)
+        if any(k is None for k in kids):
+            return None
+        return Pred("and", kids)
+    return _parse_term(s)
+
+
+def _parse_term(s: str) -> Pred | None:
+    stripped = _strip_parens(s)
+    if stripped != s.strip():
+        return _parse_or(stripped)
+    cl = _parse_atom(stripped)
+    return Pred("atom", clause=cl) if cl is not None else None
+
+
+def predicate_can_match(pred: Pred, atom_can_match) -> bool:
+    """Conservative can-any-row-match over the tree: AND requires every
+    conjunct individually matchable, OR any disjunct.
+    ``atom_can_match(clause) -> bool`` supplies the per-file stats
+    evaluation; it must answer True whenever in doubt."""
+    if pred.kind == "atom":
+        return atom_can_match(pred.clause)
+    if pred.kind == "and":
+        return all(
+            predicate_can_match(c, atom_can_match) for c in pred.children
+        )
+    return any(
+        predicate_can_match(c, atom_can_match) for c in pred.children
+    )
+
+
 def parse_conjuncts(where: str) -> list[Clause] | None:
-    """SQL predicate -> list of analyzable conjuncts, or None when ANY
-    part is outside the supported subset (callers then scan all files
-    — never guess)."""
-    parts = _split_top_and(where)
-    if parts is None:
+    """SQL predicate -> flat conjunct list when the tree is a pure AND
+    of atoms; None otherwise (including any OR — callers wanting OR
+    pruning use parse_predicate/predicate_can_match)."""
+    pred = parse_predicate(where)
+    if pred is None:
         return None
     out: list[Clause] = []
-    for part in parts:
-        atom = _strip_parens(part)
-        m = _ATOM_NULL.match(atom)
-        if m:
-            col = m.group(1) or m.group(2)
-            out.append(Clause(col, "notnull" if m.group(3) else "isnull"))
-            continue
-        m = _ATOM_COL_OP_LIT.match(atom)
-        if m:
-            col = m.group(1) or m.group(2)
-            op = m.group(3)
-            try:
-                val = _lit_groups(m.groups()[3:])
-            except ValueError:
-                return None
-            out.append(Clause(col, op, val))
-            continue
-        m = _ATOM_LIT_OP_COL.match(atom)
-        if m:
-            try:
-                val = _lit_groups(m.groups()[:6])
-            except ValueError:
-                return None
-            op = _FLIP[m.group(7)]
-            col = m.group(8) or m.group(9)
-            out.append(Clause(col, op, val))
-            continue
-        m = _ATOM_IN.match(atom)
-        if m:
-            col = m.group(1) or m.group(2)
-            vals = []
-            for item in m.group(3).split(","):
-                lm = _LIT_ONLY.match(item)
-                if not lm:
-                    return None
-                try:
-                    vals.append(_lit_groups(lm.groups()))
-                except ValueError:
-                    return None
-            out.append(Clause(col, "in", tuple(vals)))
-            continue
-        return None
-    return out
+
+    def walk(p: Pred) -> bool:
+        if p.kind == "atom":
+            out.append(p.clause)
+            return True
+        if p.kind == "and":
+            return all(walk(c) for c in p.children)
+        return False
+
+    return out if walk(pred) else None
 
 
 # ----------------------------------------------------------- evaluation
