@@ -2505,6 +2505,147 @@ def test_hudi_mor_real_library_fixture(spark):
     assert len(log_records(logf)) == 99
 
 
+def test_hudi_mor_logonly_real_log_fixture(spark, tmp_path):
+    """r11: a LOG-ONLY file slice backed by the REAL library log file
+    (stock_ticks_mor's AVRO_DATA block re-published as a slice with NO
+    base parquet — the compaction-lagged shape): the reader derives
+    the schema from the log SCHEMA header and merges all 99 records;
+    values agree with the full fixture's merged read."""
+    import glob as _glob
+    import shutil
+
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+
+    t = str(tmp_path / "logonly_real")
+    os.makedirs(os.path.join(t, ".hoodie"))
+    shutil.copy(
+        os.path.join(_HUDI_MOR_FIXTURE, ".hoodie", "hoodie.properties"),
+        os.path.join(t, ".hoodie", "hoodie.properties"),
+    )
+    logf = _glob.glob(
+        os.path.join(_HUDI_MOR_FIXTURE, "2018/08/31", ".*.log.*")
+    )[0]
+    rel = os.path.join("2018/08/31", os.path.basename(logf))
+    os.makedirs(os.path.join(t, "2018/08/31"))
+    shutil.copy(logf, os.path.join(t, rel))
+    fid = os.path.basename(logf).lstrip(".").split("_")[0]
+    # the log records carry commit time 20211227092838847 — publish it
+    with open(
+        os.path.join(t, ".hoodie", "20211227092838847.deltacommit"), "w"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "2018/08/31": [{"fileId": fid, "path": rel}]
+                },
+                "operationType": "UPSERT",
+            },
+            f,
+        )
+    df = read_hudi_snapshot(spark, t)
+    assert df.count() == 99
+    assert [
+        r[0] for r in df.select("_hoodie_commit_time").distinct().collect()
+    ] == ["20211227092838847"]
+    # same values the full (base + log) fixture merges to: the log is a
+    # pure update batch, so the merged snapshot IS the log batch
+    full = read_hudi_snapshot(spark, _HUDI_MOR_FIXTURE)
+    want = {
+        r["key"]: (r["close"], r["volume"])
+        for r in full.select("key", "close", "volume").collect()
+    }
+    got = {
+        r["key"]: (r["close"], r["volume"])
+        for r in df.select("key", "close", "volume").collect()
+    }
+    assert got == want
+
+
+def test_hudi_mor_logonly_roundtrip(spark, tmp_path):
+    """r11: the synthetic LOG-ONLY lifecycle — hudi_log_insert starts
+    fresh file groups as pure log files (no base parquet anywhere),
+    the reader merges them, hudi_log_upsert routes matched keys INTO
+    the log-only slice's log (previously loud), inserts still land as
+    base groups, and compaction folds everything back to parquet."""
+    import glob as _glob
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_compact,
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_logonly")
+    empty = spark.createDataFrame([], "id bigint, v double")
+    write_hudi_mor_create(spark, empty, t, record_key="id")
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    hudi_log_insert(spark, t, rows)
+    # the table has NO parquet data files at all
+    assert not _glob.glob(os.path.join(t, "*.parquet"))
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "v").collect()}
+    assert got == {i: float(i) for i in range(10)}
+    # upsert: keys 3, 7 live ONLY in the log-only slice -> must route
+    # to its log (not duplicate as inserts); 100 is a fresh base group
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(3, -3.0), (7, -7.0), (100, 1.0)], "id bigint, v double"
+        ),
+    )
+    got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    want = {i: float(i) for i in range(10)}
+    want.update({3: -3.0, 7: -7.0, 100: 1.0})
+    assert got2 == want  # len-equality => no duplicated keys
+    # compaction folds the log-only slices into parquet base groups
+    hudi_compact(spark, t)
+    got3 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert got3 == want
+    assert _glob.glob(os.path.join(t, "*.parquet"))
+
+
+def test_hudi_mor_logonly_partitioned(spark, tmp_path):
+    """r11: log-only groups on a PARTITIONED MOR table — one log file
+    per partition dir, upserts route per slice, partition pruning via
+    where= still composes with the log decode."""
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_logonly_part")
+    empty = spark.createDataFrame([], "id bigint, cat string, v double")
+    write_hudi_mor_create(
+        spark, empty, t, record_key="id", partition_by=["cat"]
+    )
+    rows = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(8)],
+        "id bigint, cat string, v double",
+    )
+    hudi_log_insert(spark, t, rows)
+    assert os.path.isdir(os.path.join(t, "cat=a"))
+    got = {r.id: (r.cat, r.v) for r in read_hudi_snapshot(spark, t)
+           .select("id", "cat", "v").collect()}
+    assert got == {i: ("ab"[i % 2], float(i)) for i in range(8)}
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "a", -2.0)], "id bigint, cat string, v double"
+        ),
+    )
+    got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert got2[2] == -2.0 and len(got2) == 8
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA
@@ -2571,6 +2712,96 @@ def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="bundle"):
         log_records(logf)
+
+
+def test_dml_mor_writers_never_collect_rows(spark, tmp_path, monkeypatch):
+    """r11 scale gate: the merge-on-read DML writers — Delta DV
+    DELETE/UPDATE/MERGE, Iceberg position deletes, Hudi log upsert —
+    build row-level artifacts ON EXECUTORS (bitmaps/delete parquet/log
+    blocks) and the driver only ever collects per-file descriptors.
+    Spies on DataFrame.collect: with thousands of matched rows, no
+    single collect may return more than a file-count-bounded result."""
+    # patch the CONCRETE class — pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4 and its collect is never the one invoked
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_merge_into,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    n = 4000
+    data = spark.range(n).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).repartition(4)
+    td = str(tmp_path / "gate_delta")
+    ti = str(tmp_path / "gate_ice")
+    th = str(tmp_path / "gate_hudi")
+    write_delta(
+        spark, data, td, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_iceberg(
+        spark, data, ti, mode="create",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    write_hudi_mor_create(spark, data, th, record_key="id")
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    # every statement matches >= n/2 rows across only a handful of files
+    delta_delete_where(spark, td, "id % 2 = 0")
+    delta_update_where(spark, td, "id % 2 = 1", {"v": "v + 0.5"})
+    from pyspark.sql import functions as F
+
+    delta_merge_into(
+        spark, td,
+        spark.range(0, n, 3).selectExpr("id", "CAST(-1 AS DOUBLE) AS v"),
+        on=["id"],
+        when_matched_update={"v": F.col("src.v")},
+    )
+    iceberg_delete_where(spark, ti, "id < 3500")
+    hudi_log_upsert(
+        spark, th,
+        spark.range(0, n, 2).selectExpr("id", "CAST(-2 AS DOUBLE) AS v"),
+    )
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert sizes, "the DML paths never collected even descriptors?"
+    assert max(sizes) <= 64, sizes  # descriptors/file lists only
+    # and the statements actually did their work: delete keeps the
+    # 2000 odd ids, merge updates odd multiples of 3 and re-inserts
+    # the 667 even multiples of 3 it did not match
+    delta = {
+        r.id: r.v for r in read_delta_snapshot(spark, td).collect()
+    }
+    assert len(delta) == 2667
+    assert delta[3] == -1.0 and delta[1] == 1.5 and 2 not in delta
+    assert read_iceberg_snapshot(spark, ti).count() == 500
+    hudi = {
+        r.id: r.v
+        for r in read_hudi_snapshot(spark, th).select("id", "v").collect()
+    }
+    assert len(hudi) == n and hudi[0] == -2.0 and hudi[1] == 1.0
 
 
 def test_delta_dv_update_mode(spark, tmp_path):

@@ -2843,6 +2843,128 @@ def hudi_mor_partitioned_roundtrip(
 
 
 @register(
+    "hudi_mor_logonly_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 4 = 1 THEN 'UPSERTED'
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 200 AS BIGINT), 'INSERTED',
+           CAST(n_regionkey AS INT)
+    FROM nation WHERE n_nationkey < 2
+    """,
+    doc="LOG-ONLY MERGE_ON_READ roundtrip (r11, hudi_meta.py "
+    "hudi_log_insert + the log-only read/upsert paths; reference "
+    "plugin/trino-hudi realtime read of compaction-lagged slices): "
+    "the table starts EMPTY, every nation row arrives as AVRO_DATA "
+    "log blocks in fresh base-less file groups (no parquet data file "
+    "exists at all — the schema derives from the log SCHEMA header), "
+    "then an upsert routes matched keys INTO the log-only slices' "
+    "logs and inserts as new base groups. Log files are written by "
+    "executors; the merged snapshot must equal the oracle exactly "
+    "(a mis-routed key would duplicate).",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def hudi_mor_logonly_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS INT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_morlo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.limit(0), path, record_key="n_nationkey"
+    )
+    hudi_log_insert(spark, path, base)
+    src = base.filter("n_nationkey % 4 = 1").selectExpr(
+        "n_nationkey", "'UPSERTED' AS n_name", "n_regionkey"
+    ).unionByName(
+        base.filter("n_nationkey < 2").selectExpr(
+            "n_nationkey + 200 AS n_nationkey",
+            "'INSERTED' AS n_name", "n_regionkey",
+        )
+    )
+    hudi_log_upsert(spark, path, src)
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "delta_skipping_or_scan",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'P'
+       OR (o_orderstatus = 'F' AND o_orderdate < DATE '1993-01-01')
+    GROUP BY o_orderpriority
+    """,
+    doc="OR-predicate file skipping (r11, sources/skipping.py "
+    "parse_predicate/predicate_can_match; reference "
+    "TupleDomain.columnWiseUnion in core/trino-spi): the same Delta "
+    "layout as delta_skipping_scan read under a disjunctive WHERE — "
+    "a file survives if ANY disjunct can match its partition value / "
+    "stats range, so the rare 'P' partition plus the early-'F' date "
+    "range scan without listing the rest. The aggregate must "
+    "hash-equal the unpruned oracle.",
+    tags=("source", "lakehouse", "skipping"),
+)
+def delta_skipping_or_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.selectExpr(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_skipor_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, src.repartition(8, "o_orderkey"), path, mode="create",
+        partition_by=["o_orderstatus"],
+    )
+    pruned = read_delta_snapshot(
+        spark, path,
+        where="o_orderstatus = 'P' OR (o_orderstatus = 'F'"
+              " AND o_orderdate < DATE '1993-01-01')",
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
     "sql_lakehouse_select",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n

@@ -52,55 +52,44 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r9: 286/286 driver-green at least once;
-# staleness by latest driver row: r3: 37, r4: 50, r6: 50, r7: 49, r8: 50,
-# r9: 50.
-# Round-10 window (prescribed by VERDICT r9 task 1, adjusted for r10-new
-# work): positions 1-8 are the r10-new queries (jar-free Avro container
-# scan with the snappy codec, Delta column-mapping id-mode reader AND
-# writer-side mapping, identity- and transform-partitioned Iceberg
-# writes, partitioned Hudi COW, Delta stats skipping + Iceberg
-# manifest pruning); 9-11 are queries whose EXECUTION
-# ENGINE changed this round (rotation clause (a)) — mr_subset_moves and
-# mr_error_burst now ride the pure-JVM runs fast path (alternation /
-# single-element-unbounded extension), spatial_join_contains gained the
-# unrolled literal-SQL verify tier; 12-48 are ALL 37 remaining r3-era
-# greens; 49-50 the 2 oldest r4-era greens (engine-changed slots 9-11
-# are themselves r4/r6-era, so 42 of 50 slots refresh staleness). Done = CORRECTNESS_r10
-# 50/50 green and no query's last driver row older than r4 (after r11:
-# none older than r6 — r11 head = the remaining 43 r4-era).
-# Everything keeps local DuckDB coverage every pytest run
-# (tests/test_queries_oracle.py parameterizes the whole registry).
+# queries. Cumulative ledger after r10: 294/296 driver-green at least
+# once; staleness by latest driver row: r4: 46, r6: 49, r7: 49, r8: 50,
+# r9: 50, r10: 50; never-checked: the 2 late-r10 registrations.
+# Round-11 window (prescribed by VERDICT r10 task 1): positions 1-2 the
+# two never-driver-checked late-r10 queries; 3-4 the r11-new queries
+# (log-only MERGE_ON_READ lifecycle, OR-predicate file skipping); 5-50
+# ALL 46 remaining r4-era greens — after r11 no query's last driver row
+# is older than r6 and every registered query has a driver row.
+# Engine-changed-in-r11 queries already holding an r10 row
+# (delta_skipping_scan / iceberg_pruned_scan over the new predicate
+# tree; the DV/posdelete/log-upsert DML paths now distributed) stay
+# out: the window is exactly full, their r10 rows are the freshest in
+# the ledger, delta_skipping_or_scan / hudi_mor_logonly_roundtrip
+# drive the new engines in-window, and every one keeps local DuckDB
+# coverage each pytest run (tests/test_queries_oracle.py parameterizes
+# the whole registry) plus the r11 no-row-collect gate.
 _PRIORITY: tuple[str, ...] = (
-    # r10-new
-    "avro_container_scan",
-    "delta_cm_id_reader",
-    "iceberg_partitioned_roundtrip",
-    "iceberg_transform_partitioned_roundtrip",
-    "delta_skipping_scan",
-    "iceberg_pruned_scan",
-    "delta_cm_writer_roundtrip",
-    "hudi_partitioned_roundtrip",
-    # engine changed in r10
-    "mr_subset_moves",
-    "mr_error_burst",
-    "spatial_join_contains",
-    # all 37 remaining r3-era greens (last driver row: CORRECTNESS_r03),
+    # never driver-checked (late-r10 registrations)
+    "hudi_mor_partitioned_roundtrip",
+    "sql_lakehouse_select",
+    # r11-new
+    "hudi_mor_logonly_roundtrip",
+    "delta_skipping_or_scan",
+    # all 46 r4-era greens (last driver row: CORRECTNESS_r04),
     # registration order
-    "setops_intersect_all", "groupby_rollup", "groupby_cube",
-    "groupby_grouping_sets", "unnest_words", "values_inline_join",
-    "distinct_order_offset", "pivot_event_counts", "lateral_top_event",
-    "crossjoin_theta", "assign_unique_id", "tablesample",
-    "window_groups_frame", "time_of_day_rollup", "ptf_sequence_join",
-    "sessionize_events", "yoy_revenue", "category_share",
-    "session_window_native", "moving_avg_deviation", "window_ignore_nulls",
-    "limit_with_ties", "quantified_comparison", "agg_stats_moments",
-    "agg_skew_kurt", "agg_regr", "agg_minmax_by", "agg_listagg_ordered",
-    "agg_multi_distinct", "agg_reduce_agg", "agg_salted_skew",
-    "agg_hll_merge_rollup", "agg_rollup_reuse", "agg_qdigest_rollup",
-    "agg_multimap", "string_funcs_parity", "datetime_funcs_parity",
-    # 2 oldest r4-era greens (the remaining window slots)
-    "agg_tdigest_rollup", "agg_setdigest",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "similarity_topk", "similarity_lsh_buckets",
+    "embedding_near_dup", "text_quality", "multimodal_metadata",
+    "multimodal_frame_sample", "similarity_ivf_topk",
+    "math_funcs_parity", "json_funcs_parity", "regex_funcs_parity",
+    "binary_funcs_parity", "bitwise_funcs_parity", "array_hof_parity",
+    "url_funcs_parity", "sql_json_2016_parity", "geo_funcs_parity",
+    "geometry_funcs_parity", "try_fallback_parse", "mr_funnel",
+    "mr_sql_funnel", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "tpch_q10", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q2",
+    "tpch_q11", "tpch_q20",
 )
 
 

@@ -945,6 +945,182 @@ def delta_write_deletion_vectors(
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
+def _dv_build_distributed(spark: SparkSession, path: str, matched) -> list:
+    """Build deletion vectors ON EXECUTORS: ``matched`` is a DataFrame
+    carrying (__dv_file, __dv_pos) row tags; one applyInPandas task per
+    touched data file sorts its positions, unions the file's EXISTING
+    deletion vector, Roaring-encodes, and writes its own 'u'-storage DV
+    file — the driver receives only O(touched files) descriptor rows,
+    never row positions (the 100 TB shape of the reference's
+    MergeWriterOperator: core/trino-main/.../MergeWriterOperator.java
+    keeps position streams in the workers and ships fragments to the
+    coordinator). Returns [Row(ap, desc, existing)]; the existing
+    descriptor JSON is echoed back so the commit can detect a
+    concurrent DV write and refuse loudly instead of losing positions."""
+    _, _, state0, _ = _snapshot_state(
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
+    )
+    table_abs = os.path.abspath(path)
+    # normalized absolute file -> (add path, existing DV descriptor
+    # json). O(table files) driver memory — the same order the log
+    # replay above already holds.
+    by_norm: dict[str, tuple[str, str | None]] = {}
+    for ap, add in state0.items():
+        cand = os.path.abspath(os.path.join(table_abs, unquote(ap)))
+        by_norm[cand] = (
+            ap,
+            json.dumps(add["deletionVector"])
+            if add.get("deletionVector")
+            else None,
+        )
+
+    def write_group(pdf):
+        import json as _j
+        import os as _os
+        import struct as _struct
+        import uuid as _uuid
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        from witdb_spark.sources.delta_log import (
+            _strip_uri,
+            read_deletion_vector,
+        )
+        from witdb_spark.sources.roaring import (
+            encode_roaring_array,
+            z85_encode,
+        )
+
+        raw = str(pdf["__dv_file"].iloc[0])
+        hit = by_norm.get(_os.path.abspath(_strip_uri(raw)))
+        if hit is None:
+            raise ValueError(
+                f"deletion vector targets unknown data file: {raw}"
+            )
+        ap, existing = hit
+        merged = {int(p) for p in pdf["__dv_pos"]}
+        if existing:
+            merged |= set(
+                read_deletion_vector(table_abs, _j.loads(existing))
+            )
+        data = encode_roaring_array(sorted(merged))
+        dv_uuid = _uuid.uuid4()
+        frames = bytearray(b"\x01")
+        offset = len(frames)
+        frames += _struct.pack(">i", len(data))
+        frames += data
+        frames += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+        final = _os.path.join(table_abs, f"deletion_vector_{dv_uuid}.bin")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(frames))
+        _os.replace(tmp, final)  # task retries leave only orphan uuids
+        desc = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(merged),
+        }
+        return _pd.DataFrame(
+            {
+                "ap": [ap],
+                "desc": [_j.dumps(desc)],
+                "existing": [existing or ""],
+            }
+        )
+
+    return (
+        matched.select("__dv_file", "__dv_pos")
+        .groupBy("__dv_file")
+        .applyInPandas(write_group, "ap string, desc string, existing string")
+        .collect()
+    )
+
+
+def _dv_commit_distributed(
+    spark: SparkSession,
+    path: str,
+    per_file: list,
+    extra_actions: list[dict] | None = None,
+    operation: str = "DELETE",
+) -> int:
+    """Commit executor-built deletion vectors (``per_file`` from
+    _dv_build_distributed). If a concurrent commit changed a touched
+    file's DV (or removed the file) between the build and the commit,
+    refuses loudly — the vectors were unioned against the old state and
+    silently committing would resurrect deleted rows."""
+    descs = {r["ap"]: json.loads(r["desc"]) for r in per_file}
+    assumed = {r["ap"]: (r["existing"] or None) for r in per_file}
+    for _ in range(5):
+        protocol, _, state, version = _snapshot_state(
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        for ap in descs:
+            add = state.get(ap)
+            if add is None:
+                raise DeltaProtocolError(
+                    f"DV target {ap} no longer in the snapshot"
+                    " (concurrent commit) — re-run the statement"
+                )
+            cur = (
+                json.dumps(add["deletionVector"])
+                if add.get("deletionVector")
+                else None
+            )
+            if cur != assumed[ap]:
+                raise DeltaProtocolError(
+                    f"concurrent deletion-vector commit on {ap}"
+                    " — re-run the statement"
+                )
+        feats_r = sorted(
+            set(protocol.get("readerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        feats_w = sorted(
+            set(protocol.get("writerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": operation,
+                    "operationParameters": {"mode": "deletionVectors"},
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": feats_r,
+                    "writerFeatures": feats_w,
+                }
+            },
+        ]
+        for ap in sorted(descs):
+            actions.append(
+                {
+                    "remove": {
+                        "path": ap,
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                    }
+                }
+            )
+            new_add = dict(state[ap])
+            new_add["deletionVector"] = descs[ap]
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = _now_ms()
+            actions.append({"add": new_add})
+        actions += list(extra_actions or [])
+        if _try_commit(path, version + 1, actions):
+            return version + 1
+    raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
 def delta_table_version(spark: SparkSession, path: str) -> int:
     """Latest snapshot version (reference SHOW ... table$history analog)."""
     commits, checkpoints = _list_log(path)
@@ -1502,21 +1678,18 @@ def delta_delete_where(
         == "true"
     )
     if dv_mode:
-        tagged = read_delta_snapshot(spark, path, _row_tags=True).select(
-            F.col("__dv_file").alias("__f"),
-            F.col("__dv_pos").alias("__p"),
-            F.expr(predicate_sql).alias("__hit"),
+        # matched positions NEVER reach the driver: the bitmaps build
+        # and write executor-side, the driver commits descriptors
+        matched = read_delta_snapshot(spark, path, _row_tags=True).where(
+            predicate_sql
         )
-        targets = [
-            (r["__f"], r["__p"])
-            for r in tagged.where("__hit").collect()
-        ]
-        if not targets:
+        per_file = _dv_build_distributed(spark, path, matched)
+        if not per_file:
             return {
                 "version": delta_table_version(spark, path),
                 "files_rewritten": 0,
             }
-        v = delta_write_deletion_vectors(spark, path, targets)
+        v = _dv_commit_distributed(spark, path, per_file)
         return {"version": v, "files_rewritten": 0}
     return _rewrite_matched_files(
         spark,
@@ -1556,11 +1729,10 @@ def delta_update_where(
     if dv_mode:
         tagged = read_delta_snapshot(spark, path, _row_tags=True)
         matched = tagged.where(predicate_sql)
-        targets = [
-            (r["__dv_file"], r["__dv_pos"])
-            for r in matched.select("__dv_file", "__dv_pos").collect()
-        ]
-        if not targets:
+        # executor-side bitmap build first: nothing is staged when no
+        # row matched, and the driver only ever holds descriptors
+        per_file = _dv_build_distributed(spark, path, matched)
+        if not per_file:
             return {
                 "version": delta_table_version(spark, path),
                 "files_rewritten": 0,
@@ -1576,8 +1748,8 @@ def delta_update_where(
         # mapped table would read back all-NULL
         stage_df, stage_parts = _stage_physical(updated, metadata)
         adds = _stage_data_files(stage_df, path, stage_parts)
-        v = delta_write_deletion_vectors(
-            spark, path, targets, extra_actions=adds, operation="UPDATE"
+        v = _dv_commit_distributed(
+            spark, path, per_file, extra_actions=adds, operation="UPDATE"
         )
         return {"version": v, "files_rewritten": 0}
 
@@ -1598,8 +1770,8 @@ def _delta_merge_dv(
     shadowed by a DV and their merged images (updated, or carried
     verbatim when no clause touched them, or omitted when a DELETE
     clause did) append as new files together with the inserts — ONE
-    commit, no file rewrite. Matched positions materialize on the
-    driver, the cost every DV writer pays."""
+    commit, no file rewrite. Matched positions stay on the executors
+    (_dv_build_distributed); the driver commits per-file descriptors."""
     from pyspark.sql import functions as F
 
     from witdb_spark.sources.merge import merge_into
@@ -1608,14 +1780,11 @@ def _delta_merge_dv(
     matched = tagged.join(
         source.select(*on).distinct(), on=on, how="left_semi"
     )
-    targets = [
-        (r["__dv_file"], r["__dv_pos"])
-        for r in matched.select("__dv_file", "__dv_pos").collect()
-    ]
+    per_file = _dv_build_distributed(spark, path, matched)
     survivors = merge_into(
         matched.drop("__dv_file", "__dv_pos"), source, on, **merge_kwargs
     )
-    if not targets and survivors.isEmpty():
+    if not per_file and survivors.isEmpty():
         return {
             "version": delta_table_version(spark, path),
             "files_rewritten": 0,
@@ -1627,9 +1796,9 @@ def _delta_merge_dv(
     # the COW/append paths — see delta_update_where)
     stage_df, stage_parts = _stage_physical(survivors, metadata)
     adds = _stage_data_files(stage_df, path, stage_parts)
-    if targets:
-        v = delta_write_deletion_vectors(
-            spark, path, targets, extra_actions=adds, operation="MERGE"
+    if per_file:
+        v = _dv_commit_distributed(
+            spark, path, per_file, extra_actions=adds, operation="MERGE"
         )
     else:
         # pure insert: plain adds commit (no DV to write)

@@ -170,6 +170,50 @@ def _hudi_file_slices(
     return slices
 
 
+def _spark_schema_from_log(log_path: str):
+    """Spark schema for a LOG-ONLY file slice: the avro record schema
+    travels in every data block's SCHEMA header (HoodieLogFormat), so
+    one driver-side header read of one log file recovers the table
+    shape — no base parquet needed. Scalar avro types only (the same
+    subset the jar-free log writer emits); anything else raises."""
+    from pyspark.sql import types as T
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_AVRO_DATA,
+        HEADER_SCHEMA,
+        read_log_blocks,
+    )
+
+    spark_for_avro = {
+        "long": T.LongType(), "int": T.IntegerType(),
+        "string": T.StringType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+    }
+    for b in read_log_blocks(log_path):
+        if b["type"] != BLOCK_AVRO_DATA:
+            continue
+        schema_json = b["headers"].get(HEADER_SCHEMA)
+        if not schema_json:
+            continue
+        avro = json.loads(schema_json)
+        fields = []
+        for f in avro.get("fields") or []:
+            t = f["type"]
+            if isinstance(t, list):  # ["null", prim]
+                prims = [x for x in t if x != "null"]
+                t = prims[0] if len(prims) == 1 else t
+            if not isinstance(t, str) or t not in spark_for_avro:
+                raise HudiProtocolError(
+                    f"log-only slice schema: field {f['name']!r} avro"
+                    f" type {t!r} needs the hudi-spark bundle"
+                )
+            fields.append(T.StructField(f["name"], spark_for_avro[t], True))
+        return T.StructType(fields)
+    raise HudiProtocolError(
+        f"{log_path}: no data block with a SCHEMA header"
+    )
+
+
 def _read_mor_snapshot(
     spark: SparkSession, path: str, as_of_instant: str | None
 ) -> DataFrame:
@@ -206,19 +250,26 @@ def _read_mor_snapshot(
         for sl in slices.values()
         for _, rel in sl["logs"]
     )
-    if not base_files:
-        raise HudiProtocolError(
-            "MOR snapshot with log-only file slices (no base file)"
-            " needs the hudi-spark bundle"
-        )
-    base = spark.read.parquet(*base_files)
+    if base_files:
+        base = spark.read.parquet(*base_files)
+        schema = base.schema
+    else:
+        # LOG-ONLY table (compaction-lagged / insert-to-log shape —
+        # reference plugin/trino-hudi realtime read path): the schema
+        # comes from one log block's SCHEMA header, the rows entirely
+        # from the distributed log decode below
+        if not log_files:
+            raise HudiProtocolError(
+                f"{path}: MOR snapshot with no base or log files"
+            )
+        base = None
+        schema = _spark_schema_from_log(log_files[0])
     if not log_files:
         return base
     completed = {
         i for i, _, _ in _completed_instants(path)
         if as_of_instant is None or i <= str(as_of_instant)
     }
-    schema = base.schema
 
     logs_df = spark.createDataFrame(
         [(p,) for p in log_files], "__log string"
@@ -250,8 +301,12 @@ def _read_mor_snapshot(
     log_rows = log_rows.where(
         F.col("_hoodie_commit_time").isin(sorted(completed))
     )
-    merged = base.withColumn("__seq", F.lit(-1).cast("long")).unionByName(
+    merged = (
         log_rows
+        if base is None
+        else base.withColumn(
+            "__seq", F.lit(-1).cast("long")
+        ).unionByName(log_rows)
     )
     from pyspark.sql import Window
 
@@ -1070,28 +1125,230 @@ def write_hudi_mor_create(
     return instant
 
 
+def _write_log_blocks_distributed(
+    routed,
+    path: str,
+    instant: str,
+    avro_schema: dict,
+    group_info: dict[str, dict],
+    data_cols: list[str],
+) -> list:
+    """Write one AVRO_DATA log file per file group ON THE EXECUTORS:
+    ``routed`` carries (__grp, __k, *data_cols); applyInPandas shuffles
+    rows to one task per group, which stamps the hoodie meta columns,
+    binary-avro-encodes the batch, and lands the framed log file — the
+    driver receives only [Row(grp, rel, nbytes)] descriptors, never
+    record batches (reference analog: hudi's log writers run in the
+    executors; core/trino-main/.../MergeWriterOperator.java for the
+    fragment-to-coordinator shape). ``group_info``:
+    {group key: {'rel': log rel path, 'fid': ..., 'part': ...}} —
+    O(file groups) metadata captured by the task closure."""
+    table_abs = os.path.abspath(path)
+
+    def write_group(pdf):
+        import json as _json
+        import math as _math
+        import os as _os
+
+        import pandas as _pd
+
+        from witdb_spark.sources.hudi_log import (
+            BLOCK_AVRO_DATA,
+            HEADER_INSTANT_TIME,
+            HEADER_SCHEMA,
+            append_log_block,
+            encode_avro_block_content,
+        )
+
+        grp = str(pdf["__grp"].iloc[0])
+        info = group_info[grp]
+        types = {}
+        for fld in avro_schema["fields"]:
+            t = fld["type"]
+            if isinstance(t, list):
+                t = [x for x in t if x != "null"][0]
+            types[fld["name"]] = t
+
+        def conv(v, t):
+            # pandas re-types nullable ints as float64 etc. — coerce
+            # back by the avro field type so the binary encode is exact
+            if v is None or v is _pd.NaT:
+                return None
+            if isinstance(v, float) and _math.isnan(v):
+                return None
+            if t in ("long", "int"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "boolean":
+                return bool(v)
+            return str(v)
+
+        recs = []
+        for i, d in enumerate(pdf.to_dict("records")):
+            rec = {
+                "_hoodie_commit_time": instant,
+                "_hoodie_commit_seqno": f"{instant}_0_{i}",
+                "_hoodie_record_key": str(d["__k"]),
+                "_hoodie_partition_path": info["part"],
+                "_hoodie_file_name": info["fid"],
+            }
+            for c in data_cols:
+                rec[c] = conv(d[c], types[c])
+            recs.append(rec)
+        final = _os.path.join(table_abs, info["rel"])
+        parent = _os.path.dirname(final)
+        if parent:
+            _os.makedirs(parent, exist_ok=True)
+        tmp = final + ".tmp"
+        try:
+            _os.remove(tmp)
+        except FileNotFoundError:
+            pass
+        append_log_block(
+            tmp,
+            BLOCK_AVRO_DATA,
+            {
+                HEADER_INSTANT_TIME: instant,
+                HEADER_SCHEMA: _json.dumps(avro_schema),
+            },
+            encode_avro_block_content(recs, avro_schema),
+        )
+        _os.replace(tmp, final)  # one task per group; retry rewrites
+        return _pd.DataFrame(
+            {
+                "grp": [grp],
+                "rel": [info["rel"]],
+                "nbytes": [_os.path.getsize(final)],
+            }
+        )
+
+    return (
+        routed.groupBy("__grp")
+        .applyInPandas(write_group, "grp string, rel string, nbytes long")
+        .collect()
+    )
+
+
+def _meta_string_avro_fields() -> list[dict]:
+    return [
+        {"name": c, "type": ["null", "string"], "default": None}
+        for c in (
+            "_hoodie_commit_time", "_hoodie_commit_seqno",
+            "_hoodie_record_key", "_hoodie_partition_path",
+            "_hoodie_file_name",
+        )
+    ]
+
+
+def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
+    """INSERT rows into a MERGE_ON_READ table as NEW LOG-ONLY file
+    groups — the compaction-lagged shape real tables show (hudi's
+    insert-into-log path; the reference's plugin/trino-hudi read side
+    must merge such slices): no base parquet is written at all, one
+    AVRO_DATA log file per partition starts a fresh file group, and a
+    deltacommit publishes them. The reader derives the schema from the
+    log SCHEMA header and hudi_log_upsert routes matched keys into the
+    slice's log. Log files are written by the executors; the driver
+    sees per-group descriptors. Returns the commit instant."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    props = _properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "hudi_log_insert needs a MERGE_ON_READ table"
+        )
+    key = props.get("hoodie.table.recordkey.fields")
+    if not key or key not in source.columns:
+        raise HudiProtocolError(
+            f"record key {key!r} must be a declared table property and"
+            " a source column"
+        )
+    part_fields = _hudi_partition_fields(path)
+    missing = [c for c in part_fields if c not in source.columns]
+    if missing:
+        raise HudiProtocolError(
+            f"partition columns {missing} absent from the source"
+        )
+    base_last = _completed_instants(path)[-1][0]
+    instant = _claim_instant(path)
+    data_cols = list(source.columns)
+    src = source.select(
+        F.col(key).cast("string").alias("__k"),
+        (
+            _hoodie_partition_path_expr(part_fields)
+            if part_fields
+            else F.lit("")
+        ).alias("__grp"),
+        *data_cols,
+    )
+    parts = [
+        r["__grp"] for r in src.select("__grp").distinct().collect()
+    ]
+    if any(p is None for p in parts):
+        raise HudiProtocolError(
+            "NULL partition values in a MOR table need the hudi-spark"
+            " bundle"
+        )
+    group_info = {}
+    for part in parts:
+        fid = uuid.uuid4().hex
+        name = f".{fid}_{instant}.log.1_0-0-0"
+        group_info[part] = {
+            "rel": f"{part}/{name}" if part else name,
+            "fid": fid,
+            "part": part,
+        }
+    avro_schema = {
+        "type": "record",
+        "name": "witdb_mor",
+        "fields": _meta_string_avro_fields()
+        + _avro_schema_for(source)["fields"],
+    }
+    stats_by_part: dict[str, list] = {}
+    for r in _write_log_blocks_distributed(
+        src, path, instant, avro_schema, group_info, data_cols
+    ):
+        info = group_info[r["grp"]]
+        stats_by_part.setdefault(info["part"], []).append(
+            {
+                "fileId": info["fid"],
+                "path": r["rel"],
+                "prevCommit": "null",
+                "totalWriteBytes": r["nbytes"],
+            }
+        )
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during MOR log insert — re-run"
+        )
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.deltacommit"), "x"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": stats_by_part or {"": []},
+                "operationType": "INSERT",
+            },
+            f,
+        )
+    return instant
+
+
 def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     """MOR UPSERT jar-free (the write that makes MERGE_ON_READ worth
     having — reference read side plugin/trino-hudi + hudi's realtime
     semantics): rows whose record key exists append as AVRO_DATA log
     blocks on their file group's log file (NO base rewrite — the MOR
     trade); unmatched rows become a fresh base file group. One
-    deltacommit publishes both. Per-group update batches materialize
-    on the driver to write the log frames — O(update batch), the same
-    cost every log writer pays. Returns the commit instant."""
-    import glob
-    import shutil
-    import uuid
-
+    deltacommit publishes both. Keys living in LOG-ONLY slices route
+    to that slice's log (r11). The routing map and the log frames are
+    built ON EXECUTORS (_write_log_blocks_distributed) — the driver
+    never sees matched rows, only per-group descriptors. Returns the
+    commit instant."""
     from pyspark.sql import functions as F
-
-    from witdb_spark.sources.hudi_log import (
-        BLOCK_AVRO_DATA,
-        HEADER_INSTANT_TIME,
-        HEADER_SCHEMA,
-        append_log_block,
-        encode_avro_block_content,
-    )
 
     props = _properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
@@ -1107,100 +1364,121 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
         )
     slices = _hudi_file_slices(path)
     base_last = _completed_instants(path)[-1][0]
-    base_files = {
-        os.path.join(path, sl["base"][1]): fid
-        for (part, fid), sl in slices.items()
-        if sl["base"] is not None
-    }
-    # route each source row to the file group holding its key
-    base = spark.read.parquet(*sorted(base_files)).select(
-        F.col("_hoodie_record_key").alias("__k"),
-        F.input_file_name().alias("__sf"),
-    )
-    src = source.withColumn(
-        "__k", F.col(key).cast("string")
-    )
-    routed = src.join(base, "__k", "left")
-    instant = _claim_instant(path)
-    meta_cols = [
-        "_hoodie_commit_time", "_hoodie_commit_seqno",
-        "_hoodie_record_key", "_hoodie_partition_path",
-        "_hoodie_file_name",
-    ]
+    completed = {i for i, _, _ in _completed_instants(path)}
     data_cols = list(source.columns)
     part_fields = _hudi_partition_fields(path)
-    if any(sl["base"] is None for sl in slices.values()):
-        # a key living only in a log-only slice would wrongly route to
-        # INSERT (duplicate record) — same gate the reader has
-        raise HudiProtocolError(
-            "MOR upsert over log-only file slices needs the hudi-spark"
-            " bundle"
+    # key -> file group, built DISTRIBUTED: base keys from the parquet
+    # scan (fileId parsed from the base file name), log-only keys from
+    # the executor-side log decode
+    keymaps = []
+    base_paths = sorted(
+        os.path.join(path, sl["base"][1])
+        for sl in slices.values()
+        if sl["base"] is not None
+    )
+    if base_paths:
+        keymaps.append(
+            spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__k"),
+                F.regexp_extract(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    "^([^_]+)",
+                    1,
+                ).alias("__grp"),
+            )
         )
-    matched = routed.where("__sf IS NOT NULL").collect()
-    stats_by_part: dict[str, list] = {}
-    if matched:
-        from witdb_spark.sources.delta_log import _strip_uri
+    logonly_logs = [
+        (os.path.join(path, rel), fid)
+        for (part, fid), sl in slices.items()
+        if sl["base"] is None
+        for _, rel in sl["logs"]
+    ]
+    if logonly_logs:
+        logs_df = spark.createDataFrame(
+            logonly_logs, "__log string, __fid string"
+        ).repartition(min(len(logonly_logs), 64))
 
-        by_fid: dict[str, list] = {}
-        for r in matched:
-            ap = os.path.abspath(_strip_uri(r["__sf"]))
-            fid = base_files.get(ap)
-            if fid is None:
-                raise HudiProtocolError(
-                    f"scanned base file {ap} not in the current snapshot"
-                )
-            by_fid.setdefault(fid, []).append(r)
-        avro_schema = {
-            "type": "record",
-            "name": "witdb_mor",
-            "fields": [
-                {"name": c, "type": ["null", "string"], "default": None}
-                for c in meta_cols
-            ]
-            + _avro_schema_for(source)["fields"],
-        }
-        for (part, fid), sl in slices.items():
-            if fid not in by_fid:
-                continue
+        def decode_keys(batches, _completed=completed):
+            import pandas as _pd
+
+            from witdb_spark.sources.hudi_log import log_records
+
+            for pdf in batches:
+                ks: list[str] = []
+                gs: list[str] = []
+                for p, fid in zip(pdf["__log"], pdf["__fid"]):
+                    for rec in log_records(p):
+                        if rec.get("_hoodie_commit_time") in _completed:
+                            ks.append(str(rec.get("_hoodie_record_key")))
+                            gs.append(str(fid))
+                yield _pd.DataFrame({"__k": ks, "__grp": gs})
+
+        keymaps.append(
+            logs_df.mapInPandas(decode_keys, "__k string, __grp string")
+        )
+    if not keymaps:
+        raise HudiProtocolError(f"{path}: MOR table with no file slices")
+    keymap = keymaps[0]
+    for km in keymaps[1:]:
+        keymap = keymap.unionByName(km)
+    keymap = keymap.dropDuplicates(["__k"])
+    src = source.withColumn("__k", F.col(key).cast("string"))
+    routed = src.join(keymap, "__k", "left")
+    # per-group log targets: O(file groups) driver metadata
+    group_info: dict[str, dict] = {}
+    for (part, fid), sl in slices.items():
+        if sl["base"] is not None:
             base_instant = (
                 os.path.basename(sl["base"][1]).split("_")[-1].split(".")[0]
             )
-            version = len(sl["logs"]) + 1
-            log_name = f".{fid}_{base_instant}.log.{version}_0-0-0"
             part_dir = os.path.dirname(sl["base"][1])
-            rel = f"{part_dir}/{log_name}" if part_dir else log_name
-            recs = []
-            for i, r in enumerate(by_fid[fid]):
-                rec = {
-                    "_hoodie_commit_time": instant,
-                    "_hoodie_commit_seqno": f"{instant}_0_{i}",
-                    "_hoodie_record_key": r["__k"],
-                    "_hoodie_partition_path": part,
-                    "_hoodie_file_name": fid,
-                }
-                for c in data_cols:
-                    rec[c] = r[c]
-                recs.append(rec)
-            append_log_block(
-                os.path.join(path, rel),
-                BLOCK_AVRO_DATA,
-                {
-                    HEADER_INSTANT_TIME: instant,
-                    HEADER_SCHEMA: json.dumps(avro_schema),
-                },
-                encode_avro_block_content(recs, avro_schema),
+        else:
+            first_log = os.path.basename(sl["logs"][0][1])
+            # .{fid}_{baseInstant}.log.{version}_{token}
+            base_instant = (
+                first_log.lstrip(".").split("_", 1)[1].split(".log")[0]
             )
-            stats_by_part.setdefault(part, []).append(
+            part_dir = os.path.dirname(sl["logs"][0][1])
+        name = f".{fid}_{base_instant}.log.{len(sl['logs']) + 1}_0-0-0"
+        group_info[fid] = {
+            "rel": f"{part_dir}/{name}" if part_dir else name,
+            "fid": fid,
+            "part": part,
+            "prev": base_instant,
+        }
+    # an unsupported data type only blocks the LOG write — pure-insert
+    # upserts (new keys land as parquet base groups) keep working
+    try:
+        avro_fields = _avro_schema_for(source)["fields"]
+    except HudiProtocolError:
+        avro_fields = None
+    matched = routed.where("__grp IS NOT NULL").select(
+        "__grp", "__k", *data_cols
+    )
+    instant = _claim_instant(path)
+    stats_by_part: dict[str, list] = {}
+    if avro_fields is None:
+        if not matched.isEmpty():
+            _avro_schema_for(source)  # re-raise the informative error
+    else:
+        avro_schema = {
+            "type": "record",
+            "name": "witdb_mor",
+            "fields": _meta_string_avro_fields() + avro_fields,
+        }
+        for r in _write_log_blocks_distributed(
+            matched, path, instant, avro_schema, group_info, data_cols
+        ):
+            info = group_info[r["grp"]]
+            stats_by_part.setdefault(info["part"], []).append(
                 {
-                    "fileId": fid,
-                    "path": rel,
-                    "prevCommit": base_instant,
-                    "totalWriteBytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
+                    "fileId": info["fid"],
+                    "path": r["rel"],
+                    "prevCommit": info["prev"],
+                    "totalWriteBytes": r["nbytes"],
                 }
             )
-    inserts = routed.where("__sf IS NULL").select(*data_cols)
+    inserts = routed.where("__grp IS NULL").select(*data_cols)
     if not inserts.isEmpty():
         if part_fields:
             missing = [c for c in part_fields if c not in data_cols]

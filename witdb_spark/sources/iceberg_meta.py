@@ -1447,6 +1447,99 @@ def _iceberg_posdelete_commit(
     )
 
 
+def _iceberg_posdelete_commit_df(
+    spark: SparkSession,
+    path: str,
+    matched,
+    data_adds: list[dict] | None,
+) -> int | None:
+    """Distributed twin of _iceberg_posdelete_commit: ``matched`` is a
+    DataFrame carrying (__file, __pos) row tags. The delete rows are
+    hash-partitioned by target file and written as spec-sorted
+    (file_path, pos) parquet delete files BY THE EXECUTORS — the driver
+    collects only the distinct touched-file list for validation and the
+    staged delete-file descriptors, never row positions (the
+    reference's merge sinks run in workers: core/trino-main/.../
+    MergeWriterOperator.java). Returns the committed snapshot id, or
+    None when nothing matched (caller decides what a no-op returns)."""
+    import glob
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    meta = _current_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "position deletes are a format-v2 feature — this table is v1"
+        )
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
+    if specs.get(meta.get("default-spec-id", 0), {}).get("fields"):
+        raise IcebergProtocolError(
+            "position deletes on a partitioned Iceberg table need the"
+            " iceberg-spark-runtime jar"
+        )
+    _maintenance_gate(meta, "write_position_deletes")
+    base_cur = meta.get("current-snapshot-id")
+    cur_snap = _pick_snapshot(meta, None, None)
+    _, prior = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
+    # validation stays O(touched files): distinct paths only
+    touched = sorted(
+        r["__file"]
+        for r in matched.select("__file").distinct().collect()
+    )
+    if not touched:
+        return None
+    known = {_norm_file_path(p) for p, _ in _iceberg_scan(path)[0]}
+    unknown = sorted(
+        p for p in touched
+        if _norm_file_path(_resolve(path, p)) not in known
+    )
+    if unknown:
+        raise IcebergProtocolError(
+            f"position delete targets unknown data files: {unknown[:3]}"
+        )
+    bad = [p for p in touched if _norm_file_path(_resolve(path, p)) != p]
+    if bad:
+        # tags always come from norm_path_expr; anything else would
+        # store a key readers cannot match
+        raise IcebergProtocolError(
+            f"unnormalized row-tag path: {bad[0]!r}"
+        )
+    snaps = meta.get("snapshots") or []
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (meta.get("last-sequence-number") or len(snaps)) + 1
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    (
+        matched.select(
+            F.col("__file").alias("file_path"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        # spec: a position delete file is sorted by (file_path, pos);
+        # hash-partitioning by file keeps each target's rows together
+        .repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    dfiles: list[tuple[str, int]] = []
+    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        nr = pq.ParquetFile(f).metadata.num_rows
+        if nr == 0:
+            continue
+        rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.parquet")
+        shutil.move(f, os.path.join(path, rel))
+        dfiles.append((rel, nr))
+    shutil.rmtree(staging, ignore_errors=True)
+    return _commit_delete_snapshot(
+        path, base_cur, prior, snap_id, seq,
+        [d for d, _ in dfiles], [n for _, n in dfiles], None,
+        data_adds=data_adds,
+    )
+
+
 def _commit_delete_snapshot(
     path: str,
     base_cur,
@@ -1463,26 +1556,37 @@ def _commit_delete_snapshot(
     sequence number carrying the prior manifests, fenced metadata
     commit bumping last-sequence-number. ``data_adds``: optional ADDED
     data-file records committed in the SAME snapshot (MOR UPDATE =
-    delete + insert atomically)."""
+    delete + insert atomically). ``dpath``/``n_rows`` may be parallel
+    LISTS — one delete manifest carrying an entry per delete file (the
+    distributed writers land one sorted delete file per shuffle
+    partition)."""
     import uuid
 
     content = 2 if equality_ids else 1
     entry_schema = (
         _MANIFEST_ENTRY_SCHEMA_EQ if equality_ids else _MANIFEST_ENTRY_SCHEMA
     )
-    data_file = {
-        "content": content,
-        "file_path": dpath,
-        "file_format": "PARQUET",
-        "record_count": n_rows,
-        "file_size_in_bytes": os.path.getsize(os.path.join(path, dpath)),
-    }
-    if equality_ids:
-        data_file["equality_ids"] = list(equality_ids)
+    dfiles = (
+        list(zip(dpath, n_rows))
+        if isinstance(dpath, (list, tuple))
+        else [(dpath, n_rows)]
+    )
+    entries = []
+    for dp, nr in dfiles:
+        data_file = {
+            "content": content,
+            "file_path": dp,
+            "file_format": "PARQUET",
+            "record_count": nr,
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, dp)),
+        }
+        if equality_ids:
+            data_file["equality_ids"] = list(equality_ids)
+        entries.append(
+            {"status": 1, "snapshot_id": snap_id, "data_file": data_file}
+        )
     mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, entry_schema, [
-        {"status": 1, "snapshot_id": snap_id, "data_file": data_file}
-    ])
+    write_avro_file(mpath, entry_schema, entries)
     data_manifests: list[dict] = []
     if data_adds:
         dm = os.path.join(
@@ -1843,22 +1947,17 @@ def iceberg_delete_where(
         "write.delete.mode", "copy-on-write"
     )
     if mode == "merge-on-read":
-        tagged = read_iceberg_snapshot(
+        # matched positions never reach the driver — the sorted delete
+        # parquet files are written by the executors
+        matched = read_iceberg_snapshot(
             spark, path, _row_tags=True
-        ).select(
-            F.col("__file").alias("__f"),
-            F.col("__pos").alias("__p"),
-            F.expr(predicate_sql).alias("__hit"),
-        )
-        targets = [
-            (r["__f"], r["__p"]) for r in tagged.where("__hit").collect()
-        ]
-        if not targets:
+        ).where(predicate_sql)
+        snap = _iceberg_posdelete_commit_df(spark, path, matched, None)
+        if snap is None:
             return {
                 "snapshot_id": meta.get("current-snapshot-id"),
                 "files_rewritten": 0,
             }
-        snap = iceberg_write_position_deletes(spark, path, targets)
         return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
         spark, path,
@@ -1895,8 +1994,7 @@ def iceberg_update_where(
 
         tagged = read_iceberg_snapshot(spark, path, _row_tags=True)
         matched = tagged.where(predicate_sql)
-        rows = matched.select("__file", "__pos").collect()
-        if not rows:
+        if matched.isEmpty():
             return {
                 "snapshot_id": meta.get("current-snapshot-id"),
                 "files_rewritten": 0,
@@ -1933,10 +2031,8 @@ def iceberg_update_where(
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
-        snap = _iceberg_posdelete_commit(
-            spark, path,
-            [(r["__file"], r["__pos"]) for r in rows],
-            data_adds,
+        snap = _iceberg_posdelete_commit_df(
+            spark, path, matched, data_adds
         )
         return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
@@ -1983,16 +2079,16 @@ def iceberg_merge_into(
         matched = tagged.join(
             source.select(*on).distinct(), on=on, how="left_semi"
         )
-        rows = matched.select("__file", "__pos").collect()
+        has_matches = not matched.isEmpty()
         survivors = merge_into(
             matched.drop("__file", "__pos"), source, on, **merge_kwargs
         )
-        if not rows and survivors.isEmpty():
+        if not has_matches and survivors.isEmpty():
             return {
                 "snapshot_id": meta.get("current-snapshot-id"),
                 "files_rewritten": 0,
             }
-        if not rows:
+        if not has_matches:
             # pure insert: nothing to shadow — plain append staged
             # directly from the survivors frame. (Staging + moving
             # into data/ and THEN appending would commit a second
@@ -2026,10 +2122,8 @@ def iceberg_merge_into(
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
-        snap = _iceberg_posdelete_commit(
-            spark, path,
-            [(r["__file"], r["__pos"]) for r in rows],
-            data_adds,
+        snap = _iceberg_posdelete_commit_df(
+            spark, path, matched, data_adds
         )
         return {"snapshot_id": snap, "files_rewritten": 0}
     return _iceberg_rewrite_matched(
