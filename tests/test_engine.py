@@ -1036,3 +1036,28 @@ def test_sql_lakehouse_table_refs(spark, tmp_path):
     # a ref spelled inside a string literal is never rewritten
     q5 = e.sql(f"SELECT 'delta.''/nope''' AS s FROM delta.'{td}' LIMIT 1")
     assert "delta." in q5.collect()[0].s
+    # r11: an ALIASED single-table WHERE still pushes down — the one
+    # alias in scope resolves by stripping its qualifier; only foreign
+    # qualifiers refuse pushdown
+    q6 = e.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{ti}' t"
+        " WHERE t.d >= DATE '2020-06-01' AND t.name <> 'delta.x'"
+    )
+    assert q6.collect()[0].n == sum(
+        1 for _i, _n, d in rows if d >= datetime.date(2020, 6, 1)
+    )
+    pushed6 = spark.table(e._lake_ref_views[-1])
+    assert len(pushed6.inputFiles()) < len(
+        read_iceberg_snapshot(spark, ti).inputFiles()
+    )
+    # AS-spelled alias too
+    q7 = e.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{ti}' AS tt"
+        " WHERE tt.d < DATE '2020-02-01'"
+    )
+    assert q7.collect()[0].n == sum(
+        1 for _i, _n, d in rows if d < datetime.date(2020, 2, 1)
+    )
+    assert len(spark.table(e._lake_ref_views[-1]).inputFiles()) < len(
+        read_iceberg_snapshot(spark, ti).inputFiles()
+    )

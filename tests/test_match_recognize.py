@@ -896,10 +896,18 @@ def test_runs_fast_path_differential_vs_vm(spark, monkeypatch):
           "P": "ty = 'p'"}, "(A | B){2,} (C | P)"),
         ({"A": "ty = 'a'", "B": "ty = 'b'", "C": "ty = 'c'"},
          "A (B | C){1,3}"),
-        # r10: single-element UNBOUNDED patterns (bounded hi would
-        # allow intra-run restarts, which stays on the VM)
+        # r10: single-element UNBOUNDED patterns
         ({"E": "ty = 'a'"}, "E{2,}"),
         ({"A": "ty = 'a'", "B": "ty = 'b'"}, "(A | B){3,}"),
+        # r11: single-element BOUNDED patterns — SKIP PAST LAST ROW
+        # restarts INSIDE a run; chunk arithmetic must agree with the
+        # VM on every chunk boundary and tail length
+        ({"E": "ty = 'a'"}, "E{2,5}"),
+        ({"E": "ty = 'a'"}, "E{1,3}"),
+        ({"E": "ty = 'a'"}, "E{3}"),
+        ({"E": "ty = 'a'"}, "E"),
+        ({"A": "ty = 'a'", "B": "ty = 'b'"}, "(A | B){2,4}"),
+        ({"E": "ty = 'p'", "Z": "ty = 'x'"}, "E{2,2}"),
     ]
     alphabet = "abcpvx"  # x matches no label anywhere
     for define, pattern in patterns:

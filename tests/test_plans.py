@@ -1464,16 +1464,23 @@ def test_mr_runs_fast_path_plan(spark):
     )
     assert "MapInPandas" not in fmt(alt2), fmt(alt2)
     # r10: single-element UNBOUNDED rides the fast path (mr_error_burst
-    # E{2,}); BOUNDED stays on the VM — SKIP PAST LAST ROW can restart
-    # a second match inside the same run, which runs arithmetic can't
+    # E{2,}); r11: BOUNDED does too — SKIP PAST LAST ROW restarting
+    # inside the run is chunk arithmetic
+    # (_match_recognize_runs_single_bounded), still zero Python
     one_unb = match_recognize(
         tyv, ["k"], "seq", {"A": "ty = 'a'"}, "A{2,}"
     )
     assert "MapInPandas" not in fmt(one_unb)
-    one_bnd = match_recognize(
-        tyv, ["k"], "seq", {"A": "ty = 'a'"}, "A{2}"
+    for pat in ("A{2}", "A{2,5}"):
+        one_bnd = match_recognize(
+            tyv, ["k"], "seq", {"A": "ty = 'a'"}, pat
+        )
+        assert "MapInPandas" not in fmt(one_bnd), pat
+    # a RELUCTANT bounded quantifier is not greedy-chunkable -> VM
+    rel = match_recognize(
+        tyv, ["k"], "seq", {"A": "ty = 'a'"}, "A{2,5}?"
     )
-    assert "MapInPandas" in fmt(one_bnd)
+    assert "MapInPandas" in fmt(rel)
 
 
 def test_sketch_over_hoist_two_level(spark):

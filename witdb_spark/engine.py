@@ -673,8 +673,35 @@ class Engine:
             )
             if wm:
                 pred = transpile(wm.group("pred").strip())
-                # qualified refs (alias.col) would not resolve inside
-                # the reader's re-applied filter
+                # r11: a single-table statement may alias its ref
+                # (FROM delta.'p' t WHERE t.col = ...) — the one alias
+                # in scope resolves safely by stripping its qualifier
+                # (t.col IS col against the reader's view). Alias
+                # detection refuses clause keywords.
+                am = _re.search(
+                    self._DML_TABLE + r"\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)",
+                    text,
+                    _re.I,
+                )
+                if am and am.group("alias").upper() not in (
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                    "OFFSET", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+                    "ON", "FETCH", "WINDOW", "CROSS", "INNER", "LEFT",
+                    "RIGHT", "FULL", "NATURAL", "TABLESAMPLE",
+                ):
+                    alias = am.group("alias")
+                    # literal-aware strip: alias. only outside strings
+                    parts = _re.split(r"('(?:[^']|'')*')", pred)
+                    rx = _re.compile(
+                        rf"\b{_re.escape(alias)}\s*\.\s*(?=[A-Za-z_])",
+                        _re.I,
+                    )
+                    pred = "".join(
+                        p if i % 2 else rx.sub("", p)
+                        for i, p in enumerate(parts)
+                    )
+                # any OTHER qualified ref would not resolve inside the
+                # reader's re-applied filter — no pushdown then
                 code = _re.sub(r"'(?:[^']|'')*'", "''", pred)
                 if not _re.search(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", code):
                     where = pred

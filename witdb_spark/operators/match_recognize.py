@@ -358,12 +358,9 @@ def _runs_plan_elements(
     all_names = [n for s, _lo, _hi in elems for n in sorted(s)]
     if len(set(all_names)) != len(all_names):
         return None  # label sets must be pairwise disjoint
-    if len(elems) == 1 and elems[0][2] is not None:
-        # r10: single-element patterns are eligible only UNBOUNDED
-        # (E{2,}): a bounded hi lets SKIP PAST LAST ROW restart a
-        # second match INSIDE the same run (H{2} on a 5-run matches
-        # rows 1-2 then 3-4), which the run arithmetic cannot express
-        return None
+    # r11: single-element BOUNDED patterns (E{2,5}) are eligible too —
+    # SKIP PAST LAST ROW restarting inside the run is modular chunk
+    # arithmetic (dispatched to _match_recognize_runs_single_bounded)
     if not elems:
         return None
     if any(n not in define for n in all_names):
@@ -592,6 +589,86 @@ def _match_recognize_runs(
 
 
 
+def _match_recognize_runs_single_bounded(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    define: Mapping[str, str],
+    elems: list[tuple[frozenset, int, int | None]],
+) -> DataFrame:
+    """Single-element BOUNDED quantifier (``E{lo,hi}``, E a label or an
+    alternation of exclusive labels) — the SKIP PAST LAST ROW
+    restart-inside-the-run case the generic runs plan cannot express
+    (r10 excluded it). Greedy matching plus SKIP PAST LAST ROW chops a
+    label run into consecutive chunks of exactly ``hi`` rows and one
+    tail of ``rlen % hi`` rows that matches iff >= ``lo``, so per-row
+    membership, match starts, and match ordinals are modular
+    arithmetic over (pos, rlen): pure whole-stage-codegen windows over
+    ONE hash Exchange on the PARTITION BY key, no Python VM. Output
+    contract identical to the VM path (reference
+    core/trino-main/.../operator/window/matcher/Matcher.java — same
+    answers, no backtracking)."""
+    labs, lo, hi = elems[0]
+    pk = list(partition_by)
+    w = Window.partitionBy(*pk).orderBy(order_by)
+    lab = None
+    for i, name in enumerate(define, start=1):
+        c = F.expr(define[name])
+        lab = F.when(c, F.lit(i)) if lab is None else lab.when(c, F.lit(i))
+    lab = lab.otherwise(F.lit(0))
+    lab_index = {name: i for i, name in enumerate(define, start=1)}
+    member = [lab_index[n] for n in sorted(labs)]
+    rows = df.withColumn("__mr_lab", lab).withColumn(
+        "__mr_el", F.col("__mr_lab").isin(member).cast("int")
+    )
+    rows = rows.withColumn(
+        "__mr_chg",
+        F.when(
+            F.lag("__mr_el").over(w).isNull()
+            | (F.lag("__mr_el").over(w) != F.col("__mr_el")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__mr_run", F.sum("__mr_chg").over(w))
+    wrun = Window.partitionBy(*pk, "__mr_run").orderBy(order_by)
+    rows = (
+        rows.withColumn("__mr_pos", F.row_number().over(wrun))
+        .withColumn(
+            "__mr_rlen",
+            F.count(F.lit(1)).over(
+                wrun.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    chunk = F.floor((F.col("__mr_pos") - F.lit(1)) / F.lit(hi))
+    full_chunks = F.floor(F.col("__mr_rlen") / F.lit(hi))
+    tail_ok = (F.col("__mr_rlen") % F.lit(hi)) >= F.lit(lo)
+    matched = (F.col("__mr_el") == 1) & (
+        (chunk < full_chunks) | tail_ok
+    )
+    start = matched & (((F.col("__mr_pos") - F.lit(1)) % F.lit(hi)) == 0)
+    rows = rows.withColumn(
+        "__mr_mid",
+        F.sum(F.when(start, 1).otherwise(0)).over(w),
+    )
+    lab_name = None
+    for name, li in lab_index.items():
+        c = F.col("__mr_lab") == F.lit(li)
+        lab_name = (
+            F.when(c, F.lit(name))
+            if lab_name is None
+            else lab_name.when(c, F.lit(name))
+        )
+    # alias every output column: fresh attribute ids, like the VM path
+    out_cols = [f.name for f in df.schema.fields]
+    return rows.where(matched).select(
+        *[F.col(c).alias(c) for c in out_cols],
+        F.col("__mr_mid").cast("long").alias("match_id"),
+        lab_name.alias("classifier"),
+    )
+
+
 def _compile_vm(ast) -> list[tuple]:
     prog: list[tuple] = []
     excl_depth = [0]
@@ -756,9 +833,15 @@ def match_recognize(
     if after_match == "past last row" and rows_per_match == "all":
         elems = _runs_plan_elements(ast, define)
         if elems is not None:
-            out = _match_recognize_runs(
-                df, partition_by, order_by, define, elems
-            )
+            if len(elems) == 1 and elems[0][2] is not None:
+                # r11: E{lo,hi} — intra-run restarts as chunk arithmetic
+                out = _match_recognize_runs_single_bounded(
+                    df, partition_by, order_by, define, elems
+                )
+            else:
+                out = _match_recognize_runs(
+                    df, partition_by, order_by, define, elems
+                )
             if exclusion_mode == "flag":
                 # callers in flag mode read an `excluded` column;
                 # eligible patterns carry no exclusions, so it is

@@ -54,6 +54,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- python exchange is Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r11 (VERDICT r10 task 6): the sketch UDAF profile showed the
+        # qdigest/tdigest cost is the Arrow/py-worker floor, not
+        # per-value Python (builds are numpy-vectorized): dominant
+        # stage 939 ms run vs 408 ms CPU, pure-JVM percentile_approx
+        # floor 331 ms. Larger Arrow batches shave the slice/transfer
+        # overhead (qdigest run 1617 -> 1514 ms at 256k; the default
+        # is 10k); single-column sketch batches at 256k rows are ~2 MB.
+        # Wide rows stay safe: Spark 4's
+        # spark.sql.execution.arrow.maxBytesPerBatch (64 MB default)
+        # caps every batch by BYTES, so multimodal binary columns chop
+        # long before 256k records. The residual gap is worker
+        # scheduling, irreducible without a JVM-side sketch.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "262144"
+        )
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
         # engine default, not a per-read side effect: field-id
