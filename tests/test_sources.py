@@ -2714,6 +2714,98 @@ def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
         log_records(logf)
 
 
+def test_iceberg_partitioned_position_deletes(spark, tmp_path):
+    """r11: merge-on-read DML on a PARTITIONED Iceberg table
+    (previously a loud gate): file-scoped delete files carry each
+    target's partition struct in a spec-shaped content=1 manifest,
+    MOR UPDATE stages post-update images through the partition-aware
+    writer staging, and predicate pruning stays sound on the
+    delete-carrying snapshot."""
+    import datetime
+
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        _pick_snapshot,
+        _resolve,
+        iceberg_delete_where,
+        iceberg_merge_into,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "part_posdel")
+    rows = [
+        (
+            i,
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+            float(i),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, d date, v double")
+    write_iceberg(
+        spark, df, t, mode="create",
+        partition_by=["months(d)", "bucket(4, id)"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+            "write.merge.mode": "merge-on-read",
+        },
+    )
+    res = iceberg_delete_where(spark, t, "id % 3 = 0")
+    assert res["files_rewritten"] == 0
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {i for i in range(120) if i % 3 != 0}
+    # the delete manifest is content=1 with partition structs per entry
+    meta = _current_metadata(t)
+    snap = _pick_snapshot(meta, None, None)
+    _, manifests = read_avro_file(_resolve(t, snap["manifest-list"]))
+    dels = [m for m in manifests if m.get("content") == 1]
+    assert dels and all(
+        m["partition_spec_id"] == meta.get("default-spec-id", 0)
+        for m in dels
+    )
+    _, entries = read_avro_file(_resolve(t, dels[0]["manifest_path"]))
+    assert entries
+    for e in entries:
+        rec = e["data_file"]
+        assert rec["content"] == 1
+        assert set(rec["partition"]) == {"d_month", "id_bucket"}
+    # MOR UPDATE: post-update images land in the spec layout
+    res2 = iceberg_update_where(
+        spark, t, "id = 10", {"v": "-1.0", "id": "id", "d": "d"}
+    )
+    assert res2["files_rewritten"] == 0
+    vals = {
+        r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()
+    }
+    assert vals[10] == -1.0 and vals[11] == 11.0
+    # MOR MERGE on the partitioned table
+    src = spark.createDataFrame(
+        [(20, datetime.date(2020, 1, 21), -20.0),
+         (500, datetime.date(2021, 6, 1), 1.0)],
+        "id bigint, d date, v double",
+    )
+    iceberg_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"v": F.col("src.v")},
+    )
+    vals3 = {
+        r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()
+    }
+    assert vals3[20] == -20.0 and vals3[500] == 1.0
+    # pruning stays sound on the delete-carrying snapshot
+    pruned = read_iceberg_snapshot(
+        spark, t, where="d >= DATE '2020-03-01'"
+    )
+    full = read_iceberg_snapshot(spark, t)
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.filter("d >= DATE '2020-03-01'").collect()
+    )
+
+
 def test_dml_mor_writers_never_collect_rows(spark, tmp_path, monkeypatch):
     """r11 scale gate: the merge-on-read DML writers — Delta DV
     DELETE/UPDATE/MERGE, Iceberg position deletes, Hudi log upsert —

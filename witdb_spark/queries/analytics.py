@@ -2559,6 +2559,76 @@ def iceberg_transform_partitioned_roundtrip(
 
 
 @register(
+    "iceberg_mor_partitioned_dml",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CASE WHEN o_orderkey % 11 = 5 THEN 'RUSH'
+                ELSE o_orderpriority END AS o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 3
+    """,
+    doc="Merge-on-read DML on a PARTITIONED Iceberg table (r11, "
+    "iceberg_meta.py _iceberg_posdelete_commit_df; reference "
+    "plugin/trino-iceberg merge-on-read delete/update sinks): orders "
+    "lands partitioned by months(o_orderdate) + bucket(4, o_orderkey) "
+    "with write.delete/update.mode=merge-on-read; DELETE shadows a "
+    "key stripe with FILE-SCOPED position-delete files (one sorted "
+    "parquet per target, each manifest entry carrying the target's "
+    "partition struct — written by executors), UPDATE stages "
+    "post-update images through the partition-aware staging in the "
+    "same snapshot. The read applies the v2 deletes as anti joins; "
+    "result must hash-equal the oracle.",
+    tags=("source", "lakehouse", "writer", "dml", "partitioned"),
+)
+def iceberg_mor_partitioned_dml(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.filter("o_orderkey <= 2000").selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_morp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src, path, mode="create",
+        partition_by=["months(o_orderdate)", "bucket(4, o_orderkey)"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    iceberg_delete_where(spark, path, "o_orderkey % 7 = 3")
+    iceberg_update_where(
+        spark, path, "o_orderkey % 11 = 5",
+        {
+            "o_orderkey": "o_orderkey",
+            "o_orderpriority": "'RUSH'",
+            "o_orderdate": "o_orderdate",
+        },
+    )
+    return read_iceberg_snapshot(spark, path).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+@register(
     "delta_skipping_scan",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

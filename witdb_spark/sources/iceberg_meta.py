@@ -1454,33 +1454,32 @@ def _iceberg_posdelete_commit_df(
     data_adds: list[dict] | None,
 ) -> int | None:
     """Distributed twin of _iceberg_posdelete_commit: ``matched`` is a
-    DataFrame carrying (__file, __pos) row tags. The delete rows are
-    hash-partitioned by target file and written as spec-sorted
-    (file_path, pos) parquet delete files BY THE EXECUTORS — the driver
-    collects only the distinct touched-file list for validation and the
-    staged delete-file descriptors, never row positions (the
-    reference's merge sinks run in workers: core/trino-main/.../
-    MergeWriterOperator.java). Returns the committed snapshot id, or
-    None when nothing matched (caller decides what a no-op returns)."""
-    import glob
-    import shutil
-    import uuid
-
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
+    DataFrame carrying (__file, __pos) row tags. FILE-SCOPED delete
+    files — one spec-sorted (file_path, pos) parquet per target data
+    file, the shape modern iceberg writers emit — are written BY THE
+    EXECUTORS (one applyInPandas task per target); the driver collects
+    only per-file descriptors, never row positions (the reference's
+    merge sinks run in workers: core/trino-main/.../
+    MergeWriterOperator.java). r11: PARTITIONED tables work — each
+    delete entry carries its single target file's partition struct, so
+    the delete manifest is spec-shaped for the table's default spec.
+    Returns the committed snapshot id, or None when nothing matched
+    (caller decides what a no-op returns)."""
     meta = _current_metadata(path)
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
             "position deletes are a format-v2 feature — this table is v1"
         )
     specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
-    if specs.get(meta.get("default-spec-id", 0), {}).get("fields"):
+    spec_id = meta.get("default-spec-id", 0)
+    part_fields = specs.get(spec_id, {}).get("fields") or []
+    if sum(1 for s in specs.values() if s.get("fields")) > 1:
         raise IcebergProtocolError(
-            "position deletes on a partitioned Iceberg table need the"
-            " iceberg-spark-runtime jar"
+            "position deletes under partition-spec EVOLUTION need the"
+            " iceberg-spark-runtime jar (per-manifest spec routing)"
         )
     _maintenance_gate(meta, "write_position_deletes")
+    schema = _table_schema(meta)
     base_cur = meta.get("current-snapshot-id")
     cur_snap = _pick_snapshot(meta, None, None)
     _, prior = read_avro_file(_resolve(path, cur_snap["manifest-list"]))
@@ -1491,10 +1490,24 @@ def _iceberg_posdelete_commit_df(
     )
     if not touched:
         return None
-    known = {_norm_file_path(p) for p, _ in _iceberg_scan(path)[0]}
+    # one manifest walk: known file set + each file's partition struct
+    part_by_file: dict[str, dict | None] = {}
+    for mf in prior:
+        if mf.get("content", 0) != 0:
+            continue
+        _, entries = read_avro_file(_resolve(path, mf["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            rec = e["data_file"]
+            if rec.get("content", 0) != 0:
+                continue
+            part_by_file[
+                _norm_file_path(_resolve(path, rec["file_path"]))
+            ] = rec.get("partition")
     unknown = sorted(
         p for p in touched
-        if _norm_file_path(_resolve(path, p)) not in known
+        if _norm_file_path(_resolve(path, p)) not in part_by_file
     )
     if unknown:
         raise IcebergProtocolError(
@@ -1511,32 +1524,75 @@ def _iceberg_posdelete_commit_df(
     snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
     seq = (meta.get("last-sequence-number") or len(snaps)) + 1
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    (
+    table_abs = os.path.abspath(path)
+
+    def write_group(pdf):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        fp = str(pdf["file_path"].iloc[0])
+        pos = sorted(int(p) for p in pdf["pos"])
+        rel = _os.path.join(
+            "data", f"delete-{_uuid.uuid4().hex}.parquet"
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array(
+                        [fp] * len(pos), type=_pa.string()
+                    ),
+                    "pos": _pa.array(pos, type=_pa.int64()),
+                }
+            ),
+            _os.path.join(table_abs, rel),
+        )
+        return _pd.DataFrame(
+            {
+                "f": [fp],
+                "rel": [rel],
+                "nrows": [len(pos)],
+                "nbytes": [
+                    _os.path.getsize(_os.path.join(table_abs, rel))
+                ],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    per_file = (
         matched.select(
             F.col("__file").alias("file_path"),
             F.col("__pos").cast("long").alias("pos"),
         )
-        # spec: a position delete file is sorted by (file_path, pos);
-        # hash-partitioning by file keeps each target's rows together
-        .repartition("file_path")
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("overwrite")
-        .parquet(staging)
+        .groupBy("file_path")
+        .applyInPandas(
+            write_group, "f string, rel string, nrows long, nbytes long"
+        )
+        .collect()
     )
-    dfiles: list[tuple[str, int]] = []
-    for f in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-        nr = pq.ParquetFile(f).metadata.num_rows
-        if nr == 0:
-            continue
-        rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.parquet")
-        shutil.move(f, os.path.join(path, rel))
-        dfiles.append((rel, nr))
-    shutil.rmtree(staging, ignore_errors=True)
+    delete_records = []
+    for r in sorted(per_file, key=lambda r: r["rel"]):
+        rec = {
+            "content": 1,
+            "file_path": r["rel"],
+            "file_format": "PARQUET",
+            "record_count": r["nrows"],
+            "file_size_in_bytes": r["nbytes"],
+        }
+        if part_fields:
+            rec["partition"] = part_by_file[r["f"]] or {}
+        delete_records.append(rec)
     return _commit_delete_snapshot(
-        path, base_cur, prior, snap_id, seq,
-        [d for d, _ in dfiles], [n for _, n in dfiles], None,
+        path, base_cur, prior, snap_id, seq, None, None, None,
         data_adds=data_adds,
+        delete_records=delete_records,
+        part_fields=part_fields,
+        schema=schema,
+        spec_id=spec_id,
     )
 
 
@@ -1550,6 +1606,10 @@ def _commit_delete_snapshot(
     n_rows: int,
     equality_ids: list[int] | None,
     data_adds: list[dict] | None = None,
+    delete_records: list[dict] | None = None,
+    part_fields: list[dict] | None = None,
+    schema: dict | None = None,
+    spec_id: int = 0,
 ) -> int:
     """Shared tail of the two delete writers: delete manifest (content=1
     position / content=2 equality entry), manifest list at the next
@@ -1557,67 +1617,87 @@ def _commit_delete_snapshot(
     commit bumping last-sequence-number. ``data_adds``: optional ADDED
     data-file records committed in the SAME snapshot (MOR UPDATE =
     delete + insert atomically). ``dpath``/``n_rows`` may be parallel
-    LISTS — one delete manifest carrying an entry per delete file (the
-    distributed writers land one sorted delete file per shuffle
-    partition)."""
+    LISTS; ``delete_records`` (r11) supersedes them with complete
+    data_file records — partitioned specs carry each entry's typed
+    partition struct, encoded with the same partition-extended entry
+    schema the data writer uses."""
     import uuid
 
     content = 2 if equality_ids else 1
+    part_avro = (
+        _part_avro_fields(part_fields, schema) if part_fields else []
+    )
     entry_schema = (
-        _MANIFEST_ENTRY_SCHEMA_EQ if equality_ids else _MANIFEST_ENTRY_SCHEMA
+        _MANIFEST_ENTRY_SCHEMA_EQ
+        if equality_ids
+        else _entry_schema_for(part_avro)
     )
-    dfiles = (
-        list(zip(dpath, n_rows))
-        if isinstance(dpath, (list, tuple))
-        else [(dpath, n_rows)]
-    )
-    entries = []
-    for dp, nr in dfiles:
-        data_file = {
-            "content": content,
-            "file_path": dp,
-            "file_format": "PARQUET",
-            "record_count": nr,
-            "file_size_in_bytes": os.path.getsize(os.path.join(path, dp)),
-        }
-        if equality_ids:
-            data_file["equality_ids"] = list(equality_ids)
-        entries.append(
-            {"status": 1, "snapshot_id": snap_id, "data_file": data_file}
+    if delete_records is None:
+        dfiles = (
+            list(zip(dpath, n_rows))
+            if isinstance(dpath, (list, tuple))
+            else [(dpath, n_rows)]
         )
+        delete_records = []
+        for dp, nr in dfiles:
+            data_file = {
+                "content": content,
+                "file_path": dp,
+                "file_format": "PARQUET",
+                "record_count": nr,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(path, dp)
+                ),
+            }
+            if equality_ids:
+                data_file["equality_ids"] = list(equality_ids)
+            delete_records.append(data_file)
+    entries = [
+        {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+        for rec in delete_records
+    ]
     mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
     write_avro_file(mpath, entry_schema, entries)
+    del_manifest = {
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": spec_id,
+        "content": 1,
+        "added_snapshot_id": snap_id,
+        "sequence_number": seq,
+    }
     data_manifests: list[dict] = []
     if data_adds:
         dm = os.path.join(
             path, "metadata", f"m-{uuid.uuid4().hex}.avro"
         )
-        write_avro_file(dm, _MANIFEST_ENTRY_SCHEMA, [
+        adds_entries = [
             {"status": 1, "snapshot_id": snap_id, "data_file": rec}
             for rec in data_adds
-        ])
+        ]
+        write_avro_file(dm, _entry_schema_for(part_avro), adds_entries)
         data_manifests.append(
             {
                 "manifest_path": dm,
                 "manifest_length": os.path.getsize(dm),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "added_snapshot_id": snap_id,
                 "sequence_number": seq,
+                "partitions": (
+                    _partition_summaries(
+                        adds_entries, part_fields, schema
+                    )
+                    if part_fields
+                    else None
+                ),
             }
         )
     mlist = os.path.join(
         path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
     write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, [
-        {
-            "manifest_path": mpath,
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
-            "content": 1,
-            "added_snapshot_id": snap_id,
-            "sequence_number": seq,
-        }
+        del_manifest
     ] + data_manifests + [
         {
             "manifest_path": m["manifest_path"],
@@ -1985,13 +2065,6 @@ def iceberg_update_where(
     if (meta.get("properties") or {}).get(
         "write.update.mode"
     ) == "merge-on-read":
-        import glob
-        import shutil
-        import uuid
-
-        import pyarrow.parquet as pq
-        from pyspark.sql import functions as F
-
         tagged = read_iceberg_snapshot(spark, path, _row_tags=True)
         matched = tagged.where(predicate_sql)
         if matched.isEmpty():
@@ -2005,32 +2078,18 @@ def iceberg_update_where(
             assignments,
             IcebergProtocolError,
         )
-        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-        updated.write.mode("overwrite").parquet(staging)
-        data_adds = []
-        for f in sorted(
-            glob.glob(os.path.join(staging, "part-*.parquet"))
-        ):
-            n_rows = pq.ParquetFile(f).metadata.num_rows
-            if n_rows == 0:
-                continue
-            rel = os.path.join(
-                "data", f"upd-{uuid.uuid4().hex}.parquet"
-            )
-            os.makedirs(os.path.join(path, "data"), exist_ok=True)
-            shutil.move(f, os.path.join(path, rel))
-            data_adds.append(
-                {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
-                }
-            )
-        shutil.rmtree(staging, ignore_errors=True)
+        # the shared partition-aware staging (r11): post-update images
+        # land in the table's spec layout with partition structs, so
+        # MOR UPDATE works on partitioned tables too
+        specs = {
+            s["spec-id"]: s for s in meta.get("partition-specs") or []
+        }
+        pfs = specs.get(meta.get("default-spec-id", 0), {}).get(
+            "fields"
+        ) or []
+        data_adds = _stage_iceberg_data(
+            updated, path, pfs, _table_schema(meta)
+        )
         snap = _iceberg_posdelete_commit_df(
             spark, path, matched, data_adds
         )
@@ -2069,12 +2128,6 @@ def iceberg_merge_into(
     if (meta.get("properties") or {}).get(
         "write.merge.mode"
     ) == "merge-on-read":
-        import glob
-        import shutil
-        import uuid
-
-        import pyarrow.parquet as pq
-
         tagged = read_iceberg_snapshot(spark, path, _row_tags=True)
         matched = tagged.join(
             source.select(*on).distinct(), on=on, how="left_semi"
@@ -2096,32 +2149,16 @@ def iceberg_merge_into(
             # its own.)
             snap = write_iceberg(spark, survivors, path, mode="append")
             return {"snapshot_id": snap, "files_rewritten": 0}
-        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-        survivors.write.mode("overwrite").parquet(staging)
-        data_adds = []
-        for f in sorted(
-            glob.glob(os.path.join(staging, "part-*.parquet"))
-        ):
-            n_rows = pq.ParquetFile(f).metadata.num_rows
-            if n_rows == 0:
-                continue
-            rel = os.path.join(
-                "data", f"mrg-{uuid.uuid4().hex}.parquet"
-            )
-            os.makedirs(os.path.join(path, "data"), exist_ok=True)
-            shutil.move(f, os.path.join(path, rel))
-            data_adds.append(
-                {
-                    "content": 0,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(path, rel)
-                    ),
-                }
-            )
-        shutil.rmtree(staging, ignore_errors=True)
+        # partition-aware staging (r11) — see iceberg_update_where
+        specs = {
+            s["spec-id"]: s for s in meta.get("partition-specs") or []
+        }
+        pfs = specs.get(meta.get("default-spec-id", 0), {}).get(
+            "fields"
+        ) or []
+        data_adds = _stage_iceberg_data(
+            survivors, path, pfs, _table_schema(meta)
+        )
         snap = _iceberg_posdelete_commit_df(
             spark, path, matched, data_adds
         )
