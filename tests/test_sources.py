@@ -2646,6 +2646,118 @@ def test_hudi_mor_logonly_partitioned(spark, tmp_path):
     assert got2[2] == -2.0 and len(got2) == 8
 
 
+def test_hudi_mor_virtual_keys(spark, tmp_path):
+    """r11: VIRTUAL-KEY MOR tables (hoodie.populate.meta.fields=false
+    — previously a loud gate) read jar-free: no _hoodie_* columns in
+    any file, record key = the declared recordkey field, commit time =
+    the base file name's embedded instant / the log block's
+    INSTANT_TIME header, partition path = the file's directory. Log
+    updates override base rows; time travel works; composite keys and
+    virtual-key WRITES stay loud."""
+    import glob as _glob
+    import shutil
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_AVRO_DATA,
+        HEADER_INSTANT_TIME,
+        HEADER_SCHEMA,
+        append_log_block,
+        encode_avro_block_content,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        HudiProtocolError,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+    )
+
+    t = str(tmp_path / "virt")
+    os.makedirs(os.path.join(t, ".hoodie"))
+    i1, i2 = "20240101000000000", "20240102000000000"
+    with open(os.path.join(t, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write(
+            "hoodie.table.name=virt\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.recordkey.fields=id\n"
+            "hoodie.populate.meta.fields=false\n"
+        )
+    # base file: plain data columns, instant embedded in the name
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    ).coalesce(1)
+    staging = str(tmp_path / "stage")
+    df.write.mode("overwrite").parquet(staging)
+    src = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    fid = "aabbccdd"
+    base_rel = f"{fid}_0-1-1_{i1}.parquet"
+    shutil.copy(src, os.path.join(t, base_rel))
+    with open(os.path.join(t, ".hoodie", f"{i1}.deltacommit"), "w") as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [{"fileId": fid, "path": base_rel}]
+                },
+                "operationType": "BULK_INSERT",
+            },
+            f,
+        )
+    # log block: data-only records, commit time ONLY in the header
+    avro = {
+        "type": "record", "name": "virt",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "double"], "default": None},
+        ],
+    }
+    log_rel = f".{fid}_{i1}.log.1_0-0-0"
+    append_log_block(
+        os.path.join(t, log_rel),
+        BLOCK_AVRO_DATA,
+        {HEADER_INSTANT_TIME: i2, HEADER_SCHEMA: json.dumps(avro)},
+        encode_avro_block_content(
+            [{"id": 3, "v": -3.0}, {"id": 7, "v": -7.0}], avro
+        ),
+    )
+    with open(os.path.join(t, ".hoodie", f"{i2}.deltacommit"), "w") as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [{"fileId": fid, "path": log_rel}]
+                },
+                "operationType": "UPSERT",
+            },
+            f,
+        )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "v").collect()}
+    want = {i: float(i) for i in range(10)}
+    want.update({3: -3.0, 7: -7.0})
+    assert got == want
+    assert "_hoodie_commit_time" not in read_hudi_snapshot(
+        spark, t
+    ).columns
+    # time travel to the base instant sees the originals
+    old = {r.id: r.v for r in
+           read_hudi_snapshot(spark, t, as_of_instant=i1)
+           .select("id", "v").collect()}
+    assert old == {i: float(i) for i in range(10)}
+    # virtual-key WRITES stay loud
+    with pytest.raises(HudiProtocolError, match="bundle"):
+        hudi_log_upsert(
+            spark, t,
+            spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
+        )
+    # composite record keys stay loud on read
+    with open(os.path.join(t, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write(
+            "hoodie.table.name=virt\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.recordkey.fields=id,v\n"
+            "hoodie.populate.meta.fields=false\n"
+        )
+    with pytest.raises(HudiProtocolError, match="composite"):
+        read_hudi_snapshot(spark, t).collect()
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA

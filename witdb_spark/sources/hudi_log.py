@@ -170,11 +170,14 @@ def append_log_block(
         f.write(bytes(body))
 
 
-def log_records(path: str) -> list[dict]:
+def log_records(path: str, with_instants: bool = False) -> list:
     """All data records of a log file, honoring COMMAND rollbacks:
     a command block targeting instant T drops earlier blocks whose
     INSTANT_TIME is T (the library's rollback mechanism). Unsupported
-    payload blocks raise loudly."""
+    payload blocks raise loudly. ``with_instants`` yields
+    (record, block INSTANT_TIME) pairs instead — virtual-key tables
+    (hoodie.populate.meta.fields=false) carry no _hoodie_commit_time
+    column, so the block header is the record's commit time."""
     kept: list[dict] = []
     for b in read_log_blocks(path):
         t = b["type"]
@@ -194,10 +197,15 @@ def log_records(path: str) -> list[dict]:
                 f"{path}: log block type {t} (delete/hfile/parquet/cdc)"
                 " needs the hudi-spark bundle"
             )
-    out: list[dict] = []
+    out: list = []
     for b in kept:
         schema_json = b["headers"].get(HEADER_SCHEMA)
         if not schema_json:
             raise HudiLogError(f"{path}: data block without SCHEMA header")
-        out.extend(decode_avro_block(b["content"], schema_json))
+        recs = decode_avro_block(b["content"], schema_json)
+        if with_instants:
+            instant = b["headers"].get(HEADER_INSTANT_TIME)
+            out.extend((r, instant) for r in recs)
+        else:
+            out.extend(recs)
     return out

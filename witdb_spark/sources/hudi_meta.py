@@ -235,10 +235,8 @@ def _read_mor_snapshot(
 
     props = _properties(path)
     if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "MOR read without hoodie meta fields needs the hudi-spark"
-            " bundle (virtual-key materialization)"
-        )
+        # r11: virtual keys — materialize the merge key material
+        return _read_mor_snapshot_virtual(spark, path, as_of_instant, props)
     slices = _hudi_file_slices(path, as_of_instant)
     base_files = sorted(
         os.path.join(path, sl["base"][1])
@@ -321,6 +319,142 @@ def _read_mor_snapshot(
         merged.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
         .drop("__rn", "__seq")
+    )
+    if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
+        out = out.where(
+            ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+        )
+    return out.select(*[f.name for f in schema.fields])
+
+
+def _read_mor_snapshot_virtual(
+    spark: SparkSession, path: str, as_of_instant: str | None, props: dict
+) -> DataFrame:
+    """MOR snapshot for VIRTUAL-KEY tables
+    (hoodie.populate.meta.fields=false — r11; previously a loud gate):
+    the data files carry NO _hoodie_* columns, so the merge key
+    material is MATERIALIZED instead of read — record key = the
+    declared hoodie.table.recordkey.fields column, commit time = the
+    base file name's embedded instant (base rows) or the log block's
+    INSTANT_TIME header (log rows), partition path = the file's
+    directory relative to the table root. Single-field record keys
+    only (composite keys render 'k1:v1,k2:v2' in the bundle's key
+    generators — loud). Reference plugin/trino-hudi reads such tables
+    via the library's HoodieTableMetaClient key generator."""
+    import pandas  # noqa: F401 — fail fast on driver, used on executors
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.paths import norm_path_expr
+
+    key_field = (props.get("hoodie.table.recordkey.fields") or "").strip()
+    if not key_field or "," in key_field:
+        raise HudiProtocolError(
+            "virtual-key MOR tables need a single declared"
+            " hoodie.table.recordkey.fields column (composite keys need"
+            " the hudi-spark bundle)"
+        )
+    slices = _hudi_file_slices(path, as_of_instant)
+    base_files = sorted(
+        os.path.join(path, sl["base"][1])
+        for sl in slices.values()
+        if sl["base"] is not None
+    )
+    log_entries = sorted(
+        (os.path.join(path, rel), part)
+        for (part, _fid), sl in slices.items()
+        for _, rel in sl["logs"]
+    )
+    if base_files:
+        base = spark.read.parquet(*base_files)
+        schema = base.schema
+    else:
+        if not log_entries:
+            raise HudiProtocolError(
+                f"{path}: MOR snapshot with no base or log files"
+            )
+        base = None
+        schema = _spark_schema_from_log(log_entries[0][0])
+    if key_field not in [f.name for f in schema.fields]:
+        raise HudiProtocolError(
+            f"declared record key {key_field!r} is not a data column"
+        )
+    completed = {
+        i for i, _, _ in _completed_instants(path)
+        if as_of_instant is None or i <= str(as_of_instant)
+    }
+    table_abs = os.path.abspath(path)
+    merged = None
+    if base is not None:
+        p = norm_path_expr(F.input_file_name())
+        rel = F.substring(p, len(table_abs) + 2, 2147483647)
+        base = base.select(
+            "*",
+            F.when(
+                rel.contains("/"),
+                F.regexp_replace(rel, "/[^/]*$", ""),
+            ).otherwise(F.lit("")).alias("__h_part"),
+            # base name {fid}_{token}_{instant}.parquet — the trailing
+            # digits ARE the commit instant
+            F.regexp_extract(rel, r"_([0-9]+)\.parquet$", 1).alias(
+                "__h_commit"
+            ),
+            F.lit(-1).cast("long").alias("__seq"),
+        )
+        merged = base
+    if log_entries:
+        logs_df = spark.createDataFrame(
+            log_entries, "__log string, __part string"
+        ).repartition(min(len(log_entries), 64))
+
+        def decode_logs(batches, _completed=completed):
+            import json as _json
+
+            import pandas as _pd
+
+            from witdb_spark.sources.hudi_log import log_records
+
+            for pdf in batches:
+                rows, parts, commits, seqs = [], [], [], []
+                for lp, part in zip(pdf["__log"], pdf["__part"]):
+                    for i, (rec, instant) in enumerate(
+                        log_records(lp, with_instants=True)
+                    ):
+                        if instant not in _completed:
+                            continue
+                        rows.append(_json.dumps(rec))
+                        parts.append(str(part))
+                        commits.append(str(instant))
+                        seqs.append(i)
+                yield _pd.DataFrame(
+                    {
+                        "__json": rows,
+                        "__h_part": parts,
+                        "__h_commit": commits,
+                        "__seq": seqs,
+                    }
+                )
+
+        decoded = logs_df.mapInPandas(
+            decode_logs,
+            "__json string, __h_part string, __h_commit string,"
+            " __seq long",
+        )
+        log_rows = decoded.select(
+            F.from_json("__json", schema).alias("r"),
+            "__h_part", "__h_commit", "__seq",
+        ).select("r.*", "__h_part", "__h_commit", "__seq")
+        merged = (
+            log_rows if merged is None else merged.unionByName(log_rows)
+        )
+    w = Window.partitionBy(
+        "__h_part", F.col(key_field).cast("string")
+    ).orderBy(F.col("__h_commit").desc(), F.col("__seq").desc())
+    out = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn", "__seq", "__h_part", "__h_commit")
     )
     if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
         out = out.where(
@@ -1260,6 +1394,11 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
         raise HudiProtocolError(
             "hudi_log_insert needs a MERGE_ON_READ table"
         )
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
+            " need the hudi-spark bundle — reads work jar-free"
+        )
     key = props.get("hoodie.table.recordkey.fields")
     if not key or key not in source.columns:
         raise HudiProtocolError(
@@ -1355,6 +1494,11 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
         raise HudiProtocolError(
             "hudi_log_upsert needs a MERGE_ON_READ table (COW tables"
             " use hudi_upsert)"
+        )
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
+            " need the hudi-spark bundle — reads work jar-free"
         )
     key = props.get("hoodie.table.recordkey.fields")
     if not key or key not in source.columns:
@@ -1536,6 +1680,11 @@ def hudi_compact(
         raise HudiProtocolError(
             "hudi_compact is for MERGE_ON_READ tables (COW tables use"
             " CALL system.optimize clustering)"
+        )
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "virtual-key MOR compaction (hoodie.populate.meta.fields="
+            "false) needs the hudi-spark bundle — reads work jar-free"
         )
     slices = _hudi_file_slices(path)
     part_fields = _hudi_partition_fields(path)
