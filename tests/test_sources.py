@@ -2758,6 +2758,64 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
         read_hudi_snapshot(spark, t).collect()
 
 
+def test_hudi_mor_null_partition_values(spark, tmp_path):
+    """r11: NULL partition values in a MOR table (previously loud):
+    the stamped _hoodie_partition_path renders the hive default marker
+    — what real hudi's hive-style key generator emits — so create,
+    log insert, and upsert route NULL-partition rows consistently and
+    `cat IS NULL` pruning composes."""
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_nullpart")
+    rows = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else "ab"[i % 2], float(i))
+         for i in range(9)],
+        "id bigint, cat string, v double",
+    )
+    write_hudi_mor_create(
+        spark, rows, t, record_key="id", partition_by=["cat"]
+    )
+    assert os.path.isdir(
+        os.path.join(t, "cat=__HIVE_DEFAULT_PARTITION__")
+    )
+    got = {r.id: (r.cat, r.v) for r in read_hudi_snapshot(spark, t)
+           .select("id", "cat", "v").collect()}
+    assert got == {
+        i: (None if i % 3 == 0 else "ab"[i % 2], float(i))
+        for i in range(9)
+    }
+    # upsert a key living in the NULL partition + a new NULL-part key
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(3, None, -3.0), (100, None, 1.0)],
+            "id bigint, cat string, v double",
+        ),
+    )
+    got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert got2[3] == -3.0 and got2[100] == 1.0 and len(got2) == 10
+    # log-only insert into the NULL partition
+    hudi_log_insert(
+        spark, t,
+        spark.createDataFrame(
+            [(200, None, 2.0)], "id bigint, cat string, v double"
+        ),
+    )
+    # NULL-pruned read stays exact
+    pruned = read_hudi_snapshot(spark, t, where="cat IS NULL")
+    full = read_hudi_snapshot(spark, t)
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.filter("cat IS NULL").collect()
+    )
+    assert 200 in {r.id for r in pruned.collect()}
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA

@@ -1112,15 +1112,22 @@ def _avro_schema_for(df, name: str = "witdb_mor") -> dict:
 
 def _hoodie_partition_path_expr(part_fields: list[str]):
     """The _hoodie_partition_path string hudi stamps: hive-style
-    col=value segments joined by '/'. NULL partition values are
-    rejected upstream (the stamped string and the staged directory
-    must agree byte-for-byte)."""
+    col=value segments joined by '/'. NULL partition values render the
+    hive default marker (r11 — what real hudi's hive-style key
+    generator emits), so the stamped string and the staged directory
+    agree byte-for-byte and the whole path expression is never NULL."""
     from pyspark.sql import functions as F
 
     return F.concat_ws(
         "/",
         *[
-            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(
+                    F.col(c).cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ),
+            )
             for c in part_fields
         ],
     )
@@ -1162,12 +1169,10 @@ def _stage_mor_groups(
         base = f"{fid}_0_{instant}.parquet"
         if part_fields:
             comp = os.path.relpath(os.path.dirname(f), staging)
+            # __hpp is the FULL stamped hive-style path (never NULL —
+            # NULL partition VALUES render the hive marker inside it),
+            # so the staged dir value round-trips verbatim
             part = unquote(comp.partition("=")[2])
-            if part == "__HIVE_DEFAULT_PARTITION__":
-                raise HudiProtocolError(
-                    "NULL partition values in a MOR table need the"
-                    " hudi-spark bundle"
-                )
             os.makedirs(os.path.join(path, part), exist_ok=True)
             rel, part_key = f"{part}/{base}", part
         else:
@@ -1426,11 +1431,6 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
     parts = [
         r["__grp"] for r in src.select("__grp").distinct().collect()
     ]
-    if any(p is None for p in parts):
-        raise HudiProtocolError(
-            "NULL partition values in a MOR table need the hudi-spark"
-            " bundle"
-        )
     group_info = {}
     for part in parts:
         fid = uuid.uuid4().hex
