@@ -2816,6 +2816,69 @@ def test_hudi_mor_null_partition_values(spark, tmp_path):
     assert 200 in {r.id for r in pruned.collect()}
 
 
+def test_hudi_mor_log_delete_update(spark, tmp_path):
+    """r11: row-targeted DML on MERGE_ON_READ tables — DELETE appends
+    tombstone DELETE log blocks (SCHEMA-headered avro of the hoodie
+    key fields; the merge reader drops a key whose latest record is a
+    tombstone), UPDATE appends post-update images via the log upsert.
+    No base file is ever rewritten; time travel sees prior rows;
+    delete-then-upsert resurrects the key; header-less (library
+    serialization) DELETE payloads stay loud."""
+    import glob as _glob
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_DELETE,
+        HEADER_INSTANT_TIME,
+        append_log_block,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_delete_where,
+        hudi_log_upsert,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_dml")
+    base = spark.range(0, 20).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+    ).coalesce(2)
+    c0 = write_hudi_mor_create(spark, base, t, record_key="id")
+    bases_before = set(_glob.glob(os.path.join(t, "*.parquet")))
+    # DELETE: tombstones, no rewrite
+    inst = hudi_delete_where(spark, t, "id % 4 = 0")
+    assert inst is not None
+    assert set(_glob.glob(os.path.join(t, "*.parquet"))) == bases_before
+    got = {r.id for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 4}
+    # the log carries a DELETE block read back by log_entries
+    logf = sorted(_glob.glob(os.path.join(t, ".*.log.*")))[0]
+    assert any(d for _r, _i, d in log_entries(logf))
+    # time travel to the create sees every row
+    assert read_hudi_snapshot(spark, t, as_of_instant=c0).count() == 20
+    # UPDATE routes through the log (post-update images)
+    assert hudi_update_where(spark, t, "id = 5", {"v": "-5.0"}) is not None
+    assert set(_glob.glob(os.path.join(t, "*.parquet"))) == bases_before
+    vals = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert vals[5] == -5.0 and vals[7] == 10.5 and 4 not in vals
+    # upsert of a deleted key resurrects it
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(8, 88.0)], "id bigint, v double"),
+    )
+    vals2 = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert vals2[8] == 88.0
+    # no-match DELETE commits nothing
+    assert hudi_delete_where(spark, t, "id = 999") is None
+    # a header-less DELETE block (library kryo payload) is loud
+    append_log_block(
+        logf, BLOCK_DELETE, {HEADER_INSTANT_TIME: "z9"}, b"\x00\x01"
+    )
+    with pytest.raises(Exception, match="bundle"):
+        read_hudi_snapshot(spark, t).collect()
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA

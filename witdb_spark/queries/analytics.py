@@ -2980,6 +2980,57 @@ def hudi_mor_logonly_roundtrip(
 
 
 @register(
+    "hudi_mor_log_delete_dml",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 6 = 1 THEN 'PATCHED'
+                ELSE n_name END AS n_name
+    FROM nation WHERE n_nationkey % 4 <> 2
+    """,
+    doc="Row-targeted DML on MERGE_ON_READ Hudi (r11, hudi_meta.py "
+    "hudi_log_delete / hudi_update_where MOR routing — the hudi "
+    "analog of Delta DVs and Iceberg position deletes; real hudi "
+    "appends HoodieDeleteBlock tombstones): DELETE appends "
+    "SCHEMA-headered tombstone DELETE log blocks on each owning "
+    "slice's log (executor-written, no base rewrite), UPDATE appends "
+    "post-update images via the log upsert, and the merge reader "
+    "drops keys whose latest record is a tombstone. Result must "
+    "hash-equal the oracle.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def hudi_mor_log_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_delete_where,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_mordel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(2), path, record_key="n_nationkey"
+    )
+    hudi_delete_where(spark, path, "n_nationkey % 4 = 2")
+    hudi_update_where(
+        spark, path, "n_nationkey % 6 = 1", {"n_name": "'PATCHED'"}
+    )
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
     "delta_skipping_or_scan",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

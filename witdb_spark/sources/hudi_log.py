@@ -170,18 +170,29 @@ def append_log_block(
         f.write(bytes(body))
 
 
-def log_records(path: str, with_instants: bool = False) -> list:
-    """All data records of a log file, honoring COMMAND rollbacks:
-    a command block targeting instant T drops earlier blocks whose
-    INSTANT_TIME is T (the library's rollback mechanism). Unsupported
-    payload blocks raise loudly. ``with_instants`` yields
-    (record, block INSTANT_TIME) pairs instead — virtual-key tables
-    (hoodie.populate.meta.fields=false) carry no _hoodie_commit_time
-    column, so the block header is the record's commit time."""
+def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
+    """All (record, block INSTANT_TIME, is_tombstone) entries of a log
+    file, honoring COMMAND rollbacks: a command block targeting instant
+    T drops earlier blocks whose INSTANT_TIME is T (the library's
+    rollback mechanism). DELETE blocks (r11) decode when they carry a
+    SCHEMA header — the shape this module's own MOR delete writer
+    emits (tombstone records of the hoodie key fields; hudi's
+    HoodieDeleteRecord analog: recordKey/partitionPath) — and the
+    records return with is_tombstone=True; header-less DELETE payloads
+    (the library's kryo/avro-list serializations) raise loudly.
+    HFILE/PARQUET/CDC blocks raise."""
     kept: list[dict] = []
     for b in read_log_blocks(path):
         t = b["type"]
         if t == BLOCK_AVRO_DATA:
+            kept.append(b)
+        elif t == BLOCK_DELETE:
+            if not b["headers"].get(HEADER_SCHEMA):
+                raise HudiLogError(
+                    f"{path}: DELETE log block without a SCHEMA header"
+                    " (library kryo/avro-list payload) needs the"
+                    " hudi-spark bundle"
+                )
             kept.append(b)
         elif t == BLOCK_COMMAND:
             target = b["headers"].get(HEADER_TARGET_INSTANT_TIME)
@@ -194,7 +205,7 @@ def log_records(path: str, with_instants: bool = False) -> list:
             continue
         else:
             raise HudiLogError(
-                f"{path}: log block type {t} (delete/hfile/parquet/cdc)"
+                f"{path}: log block type {t} (hfile/parquet/cdc)"
                 " needs the hudi-spark bundle"
             )
     out: list = []
@@ -203,9 +214,26 @@ def log_records(path: str, with_instants: bool = False) -> list:
         if not schema_json:
             raise HudiLogError(f"{path}: data block without SCHEMA header")
         recs = decode_avro_block(b["content"], schema_json)
-        if with_instants:
-            instant = b["headers"].get(HEADER_INSTANT_TIME)
-            out.extend((r, instant) for r in recs)
-        else:
-            out.extend(recs)
+        instant = b["headers"].get(HEADER_INSTANT_TIME)
+        out.extend(
+            (r, instant, b["type"] == BLOCK_DELETE) for r in recs
+        )
+    return out
+
+
+def log_records(path: str, with_instants: bool = False) -> list:
+    """Data records only (no tombstones) of a log file — the r9 shape
+    kept for callers that predate DELETE-block support; a log carrying
+    tombstones must be read through log_entries. ``with_instants``
+    yields (record, block INSTANT_TIME) pairs — virtual-key tables
+    (hoodie.populate.meta.fields=false) carry no _hoodie_commit_time
+    column, so the block header is the record's commit time."""
+    out: list = []
+    for rec, instant, is_del in log_entries(path):
+        if is_del:
+            raise HudiLogError(
+                f"{path}: log carries DELETE tombstones — read it via"
+                " log_entries"
+            )
+        out.append((rec, instant) if with_instants else rec)
     return out

@@ -278,23 +278,29 @@ def _read_mor_snapshot(
 
         import pandas as _pd
 
-        from witdb_spark.sources.hudi_log import log_records
+        from witdb_spark.sources.hudi_log import log_entries
 
         for pdf in batches:
             rows: list[str] = []
             seqs: list[int] = []
+            dels: list[bool] = []
             for p in pdf["__log"]:
-                for i, rec in enumerate(log_records(p)):
+                for i, (rec, _inst, is_del) in enumerate(
+                    log_entries(p)
+                ):
                     rows.append(_json.dumps(rec))
                     seqs.append(i)
-            yield _pd.DataFrame({"__json": rows, "__seq": seqs})
+                    dels.append(is_del)
+            yield _pd.DataFrame(
+                {"__json": rows, "__seq": seqs, "__del": dels}
+            )
 
     decoded = logs_df.mapInPandas(
-        decode_logs, "__json string, __seq long"
+        decode_logs, "__json string, __seq long, __del boolean"
     )
     log_rows = decoded.select(
-        F.from_json("__json", schema).alias("r"), "__seq"
-    ).select("r.*", "__seq")
+        F.from_json("__json", schema).alias("r"), "__seq", "__del"
+    ).select("r.*", "__seq", "__del")
     # records of instants that never completed are invisible
     log_rows = log_rows.where(
         F.col("_hoodie_commit_time").isin(sorted(completed))
@@ -302,9 +308,9 @@ def _read_mor_snapshot(
     merged = (
         log_rows
         if base is None
-        else base.withColumn(
-            "__seq", F.lit(-1).cast("long")
-        ).unionByName(log_rows)
+        else base.withColumn("__seq", F.lit(-1).cast("long"))
+        .withColumn("__del", F.lit(False))
+        .unionByName(log_rows)
     )
     from pyspark.sql import Window
 
@@ -318,7 +324,9 @@ def _read_mor_snapshot(
     out = (
         merged.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
-        .drop("__rn", "__seq")
+        # a key whose latest record is a DELETE tombstone is dead
+        .where(~F.col("__del"))
+        .drop("__rn", "__seq", "__del")
     )
     if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
         out = out.where(
@@ -413,14 +421,19 @@ def _read_mor_snapshot_virtual(
 
             import pandas as _pd
 
-            from witdb_spark.sources.hudi_log import log_records
+            from witdb_spark.sources.hudi_log import log_entries
 
             for pdf in batches:
                 rows, parts, commits, seqs = [], [], [], []
                 for lp, part in zip(pdf["__log"], pdf["__part"]):
-                    for i, (rec, instant) in enumerate(
-                        log_records(lp, with_instants=True)
+                    for i, (rec, instant, is_del) in enumerate(
+                        log_entries(lp)
                     ):
+                        if is_del:
+                            raise HudiProtocolError(
+                                "DELETE tombstones on a virtual-key"
+                                " table need the hudi-spark bundle"
+                            )
                         if instant not in _completed:
                             continue
                         rows.append(_json.dumps(rec))
@@ -928,9 +941,15 @@ def _hudi_rewrite_matched(
 def hudi_delete_where(
     spark: SparkSession, path: str, predicate_sql: str
 ) -> str | None:
-    """Copy-on-write DELETE (reference hudi connector analog): matched
-    file groups are retired by a replacecommit and re-published without
-    the matching rows; prior instants still see the old slices."""
+    """DELETE ... WHERE, routed by table type like the other formats'
+    mode switches: MERGE_ON_READ tables append tombstone DELETE log
+    blocks (hudi_log_delete — row-targeted, no base rewrite, r11);
+    COPY_ON_WRITE retires matched file groups via a replacecommit and
+    re-publishes them without the matching rows. Prior instants still
+    see the old slices either way."""
+    props = _properties(path)
+    if props.get("hoodie.table.type") == "MERGE_ON_READ":
+        return hudi_log_delete(spark, path, predicate_sql)
     return _hudi_rewrite_matched(
         spark, path,
         lambda df: df.where(predicate_sql).select("__sf"),
@@ -944,11 +963,31 @@ def hudi_update_where(
     predicate_sql: str,
     assignments: dict[str, str],
 ) -> str | None:
-    """Copy-on-write UPDATE: every assignment RHS and the predicate
-    evaluate against the PRE-update row (delta_log._apply_assignments,
-    the rule all three COW paths share)."""
+    """UPDATE ... WHERE, routed by table type: MERGE_ON_READ tables
+    append the POST-update images of matched rows as log records via
+    hudi_log_upsert (r11 — every matched key exists, so the upsert
+    routes them all as updates; no base rewrite); COPY_ON_WRITE
+    rewrites matched file groups. Every assignment RHS and the
+    predicate evaluate against the PRE-update row
+    (delta_log._apply_assignments, the rule all three COW paths
+    share)."""
     from witdb_spark.sources.delta_log import _apply_assignments
 
+    props = _properties(path)
+    if props.get("hoodie.table.type") == "MERGE_ON_READ":
+        matched = read_hudi_snapshot(spark, path).where(predicate_sql)
+        if matched.isEmpty():
+            return None
+        data_cols = [
+            c for c in matched.columns if not c.startswith("_hoodie_")
+        ]
+        updated = _apply_assignments(
+            matched.select(*data_cols),
+            predicate_sql,
+            assignments,
+            HudiProtocolError,
+        )
+        return hudi_log_upsert(spark, path, updated)
     return _hudi_rewrite_matched(
         spark, path,
         lambda df: df.where(predicate_sql).select("__sf"),
@@ -1271,6 +1310,7 @@ def _write_log_blocks_distributed(
     avro_schema: dict,
     group_info: dict[str, dict],
     data_cols: list[str],
+    btype: int | None = None,
 ) -> list:
     """Write one AVRO_DATA log file per file group ON THE EXECUTORS:
     ``routed`` carries (__grp, __k, *data_cols); applyInPandas shuffles
@@ -1346,7 +1386,7 @@ def _write_log_blocks_distributed(
             pass
         append_log_block(
             tmp,
-            BLOCK_AVRO_DATA,
+            BLOCK_AVRO_DATA if btype is None else btype,
             {
                 HEADER_INSTANT_TIME: instant,
                 HEADER_SCHEMA: _json.dumps(avro_schema),
@@ -1367,6 +1407,95 @@ def _write_log_blocks_distributed(
         .applyInPandas(write_group, "grp string, rel string, nbytes long")
         .collect()
     )
+
+
+def _mor_keymap(spark, path: str, slices: dict, completed: set):
+    """record key -> file group (fid) map, built DISTRIBUTED: base
+    keys from the parquet scan (fileId parsed from the base file
+    name), log-only slices' keys from the executor-side log decode
+    (tombstoned keys still belong to their slice — an upsert of a
+    deleted key re-inserts via its group). One fid per key."""
+    from pyspark.sql import functions as F
+
+    keymaps = []
+    base_paths = sorted(
+        os.path.join(path, sl["base"][1])
+        for sl in slices.values()
+        if sl["base"] is not None
+    )
+    if base_paths:
+        keymaps.append(
+            spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__k"),
+                F.regexp_extract(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    "^([^_]+)",
+                    1,
+                ).alias("__grp"),
+            )
+        )
+    logonly_logs = [
+        (os.path.join(path, rel), fid)
+        for (part, fid), sl in slices.items()
+        if sl["base"] is None
+        for _, rel in sl["logs"]
+    ]
+    if logonly_logs:
+        logs_df = spark.createDataFrame(
+            logonly_logs, "__log string, __fid string"
+        ).repartition(min(len(logonly_logs), 64))
+
+        def decode_keys(batches, _completed=completed):
+            import pandas as _pd
+
+            from witdb_spark.sources.hudi_log import log_entries
+
+            for pdf in batches:
+                ks: list[str] = []
+                gs: list[str] = []
+                for p, fid in zip(pdf["__log"], pdf["__fid"]):
+                    for rec, _inst, _is_del in log_entries(p):
+                        if rec.get("_hoodie_commit_time") in _completed:
+                            ks.append(str(rec.get("_hoodie_record_key")))
+                            gs.append(str(fid))
+                yield _pd.DataFrame({"__k": ks, "__grp": gs})
+
+        keymaps.append(
+            logs_df.mapInPandas(decode_keys, "__k string, __grp string")
+        )
+    if not keymaps:
+        raise HudiProtocolError(f"{path}: MOR table with no file slices")
+    keymap = keymaps[0]
+    for km in keymaps[1:]:
+        keymap = keymap.unionByName(km)
+    return keymap.dropDuplicates(["__k"])
+
+
+def _mor_group_targets(slices: dict) -> dict[str, dict]:
+    """Per-file-group NEXT log file targets — O(file groups) driver
+    metadata captured by the distributed log writers' task closures."""
+    group_info: dict[str, dict] = {}
+    for (part, fid), sl in slices.items():
+        if sl["base"] is not None:
+            base_instant = (
+                os.path.basename(sl["base"][1]).split("_")[-1].split(".")[0]
+            )
+            part_dir = os.path.dirname(sl["base"][1])
+        else:
+            first_log = os.path.basename(sl["logs"][0][1])
+            # .{fid}_{baseInstant}.log.{version}_{token}
+            base_instant = (
+                first_log.lstrip(".").split("_", 1)[1].split(".log")[0]
+            )
+            part_dir = os.path.dirname(sl["logs"][0][1])
+        name = f".{fid}_{base_instant}.log.{len(sl['logs']) + 1}_0-0-0"
+        group_info[fid] = {
+            "rel": f"{part_dir}/{name}" if part_dir else name,
+            "fid": fid,
+            "part": part,
+            "prev": base_instant,
+        }
+    return group_info
 
 
 def _meta_string_avro_fields() -> list[dict]:
@@ -1476,6 +1605,86 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
     return instant
 
 
+def hudi_log_delete(
+    spark: SparkSession, path: str, predicate_sql: str
+) -> str | None:
+    """MOR DELETE as tombstone DELETE log blocks — row-targeted, no
+    base rewrite: the hudi analog of Delta's deletion vectors and
+    Iceberg's position deletes (real hudi appends HoodieDeleteBlock
+    with HoodieDeleteRecord(recordKey, partitionPath) payloads; this
+    module's blocks carry the same key material as avro records of the
+    hoodie meta fields under a SCHEMA header, which log_entries reads
+    back — library kryo/avro-list payloads stay loud). Matched keys
+    route to their owning file slice and the DELETE block appends to
+    its log ON THE EXECUTORS (one task per group; the driver commits
+    descriptors). The merge reader drops a key whose latest record is
+    a tombstone; prior instants still see the rows. Returns the commit
+    instant, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_log import BLOCK_DELETE
+
+    props = _properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "hudi_log_delete needs a MERGE_ON_READ table (COW tables"
+            " route through hudi_delete_where's rewrite)"
+        )
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
+            " need the hudi-spark bundle — reads work jar-free"
+        )
+    slices = _hudi_file_slices(path)
+    base_last = _completed_instants(path)[-1][0]
+    completed = {i for i, _, _ in _completed_instants(path)}
+    matched = (
+        read_hudi_snapshot(spark, path)
+        .where(predicate_sql)
+        .select(F.col("_hoodie_record_key").alias("__k"))
+    )
+    if matched.isEmpty():
+        return None
+    keymap = _mor_keymap(spark, path, slices, completed)
+    routed = matched.join(keymap, "__k", "inner").select("__grp", "__k")
+    group_info = _mor_group_targets(slices)
+    avro_schema = {
+        "type": "record",
+        "name": "witdb_mor_delete",
+        "fields": _meta_string_avro_fields(),
+    }
+    instant = _claim_instant(path)
+    stats_by_part: dict[str, list] = {}
+    for r in _write_log_blocks_distributed(
+        routed, path, instant, avro_schema, group_info,
+        data_cols=[], btype=BLOCK_DELETE,
+    ):
+        info = group_info[r["grp"]]
+        stats_by_part.setdefault(info["part"], []).append(
+            {
+                "fileId": info["fid"],
+                "path": r["rel"],
+                "prevCommit": info["prev"],
+                "totalWriteBytes": r["nbytes"],
+            }
+        )
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during MOR delete — re-run"
+        )
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.deltacommit"), "x"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": stats_by_part or {"": []},
+                "operationType": "DELETE",
+            },
+            f,
+        )
+    return instant
+
+
 def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     """MOR UPSERT jar-free (the write that makes MERGE_ON_READ worth
     having — reference read side plugin/trino-hudi + hudi's realtime
@@ -1511,85 +1720,10 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     completed = {i for i, _, _ in _completed_instants(path)}
     data_cols = list(source.columns)
     part_fields = _hudi_partition_fields(path)
-    # key -> file group, built DISTRIBUTED: base keys from the parquet
-    # scan (fileId parsed from the base file name), log-only keys from
-    # the executor-side log decode
-    keymaps = []
-    base_paths = sorted(
-        os.path.join(path, sl["base"][1])
-        for sl in slices.values()
-        if sl["base"] is not None
-    )
-    if base_paths:
-        keymaps.append(
-            spark.read.parquet(*base_paths).select(
-                F.col("_hoodie_record_key").alias("__k"),
-                F.regexp_extract(
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                    "^([^_]+)",
-                    1,
-                ).alias("__grp"),
-            )
-        )
-    logonly_logs = [
-        (os.path.join(path, rel), fid)
-        for (part, fid), sl in slices.items()
-        if sl["base"] is None
-        for _, rel in sl["logs"]
-    ]
-    if logonly_logs:
-        logs_df = spark.createDataFrame(
-            logonly_logs, "__log string, __fid string"
-        ).repartition(min(len(logonly_logs), 64))
-
-        def decode_keys(batches, _completed=completed):
-            import pandas as _pd
-
-            from witdb_spark.sources.hudi_log import log_records
-
-            for pdf in batches:
-                ks: list[str] = []
-                gs: list[str] = []
-                for p, fid in zip(pdf["__log"], pdf["__fid"]):
-                    for rec in log_records(p):
-                        if rec.get("_hoodie_commit_time") in _completed:
-                            ks.append(str(rec.get("_hoodie_record_key")))
-                            gs.append(str(fid))
-                yield _pd.DataFrame({"__k": ks, "__grp": gs})
-
-        keymaps.append(
-            logs_df.mapInPandas(decode_keys, "__k string, __grp string")
-        )
-    if not keymaps:
-        raise HudiProtocolError(f"{path}: MOR table with no file slices")
-    keymap = keymaps[0]
-    for km in keymaps[1:]:
-        keymap = keymap.unionByName(km)
-    keymap = keymap.dropDuplicates(["__k"])
+    keymap = _mor_keymap(spark, path, slices, completed)
     src = source.withColumn("__k", F.col(key).cast("string"))
     routed = src.join(keymap, "__k", "left")
-    # per-group log targets: O(file groups) driver metadata
-    group_info: dict[str, dict] = {}
-    for (part, fid), sl in slices.items():
-        if sl["base"] is not None:
-            base_instant = (
-                os.path.basename(sl["base"][1]).split("_")[-1].split(".")[0]
-            )
-            part_dir = os.path.dirname(sl["base"][1])
-        else:
-            first_log = os.path.basename(sl["logs"][0][1])
-            # .{fid}_{baseInstant}.log.{version}_{token}
-            base_instant = (
-                first_log.lstrip(".").split("_", 1)[1].split(".log")[0]
-            )
-            part_dir = os.path.dirname(sl["logs"][0][1])
-        name = f".{fid}_{base_instant}.log.{len(sl['logs']) + 1}_0-0-0"
-        group_info[fid] = {
-            "rel": f"{part_dir}/{name}" if part_dir else name,
-            "fid": fid,
-            "part": part,
-            "prev": base_instant,
-        }
+    group_info = _mor_group_targets(slices)
     # an unsupported data type only blocks the LOG write — pure-insert
     # upserts (new keys land as parquet base groups) keep working
     try:
