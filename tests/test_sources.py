@@ -2879,6 +2879,67 @@ def test_hudi_mor_log_delete_update(spark, tmp_path):
         read_hudi_snapshot(spark, t).collect()
 
 
+def test_hudi_mor_merge_into(spark, tmp_path):
+    """r11: MERGE INTO a MERGE_ON_READ table commits ONE deltacommit —
+    matched survivors as log data records, WHEN MATCHED DELETE keys as
+    tombstones in the same log file, inserts as fresh base groups; no
+    base rewrite. Record-key assignment refuses (hudi's immutability
+    contract)."""
+    import glob as _glob
+
+    from witdb_spark.sources.hudi_meta import (
+        HudiProtocolError,
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_merge")
+    base = spark.range(0, 12).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2)
+    write_hudi_mor_create(spark, base, t, record_key="id")
+    bases_before = set(_glob.glob(os.path.join(t, "*.parquet")))
+    commits_before = len(
+        _glob.glob(os.path.join(t, ".hoodie", "*.deltacommit"))
+    )
+    src = spark.createDataFrame(
+        [(2, -2.0), (5, 0.0), (100, 1.0)], "id bigint, v double"
+    )
+    inst = hudi_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_delete=F.col("src.v") == 0.0,
+        when_matched_update={"v": F.col("src.v")},
+    )
+    assert inst is not None
+    # exactly ONE new commit; old base files untouched, one new group
+    assert len(
+        _glob.glob(os.path.join(t, ".hoodie", "*.deltacommit"))
+    ) == commits_before + 1
+    assert bases_before <= set(_glob.glob(os.path.join(t, "*.parquet")))
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "v").collect()}
+    want = {i: float(i) for i in range(12) if i != 5}
+    want.update({2: -2.0, 100: 1.0})
+    assert got == want
+    # pure insert merge: fresh group, zero log growth
+    logs_before = set(_glob.glob(os.path.join(t, ".*.log.*")))
+    hudi_merge_into(
+        spark, t,
+        spark.createDataFrame([(200, 2.0)], "id bigint, v double"),
+        on=["id"],
+        when_matched_update={"v": F.col("src.v")},
+    )
+    assert set(_glob.glob(os.path.join(t, ".*.log.*"))) == logs_before
+    assert read_hudi_snapshot(spark, t).count() == len(want) + 1
+    # record key assignment refuses
+    with pytest.raises(HudiProtocolError, match="immutable"):
+        hudi_merge_into(
+            spark, t, src, on=["id"],
+            when_matched_update={"id": F.col("src.id"), "v": F.col("src.v")},
+        )
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA

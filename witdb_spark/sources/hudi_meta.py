@@ -1004,14 +1004,21 @@ def hudi_merge_into(
     on: list[str],
     **merge_kwargs,
 ) -> str | None:
-    """MERGE INTO a Hudi COW table, file-GROUP-level (the bundle's
-    record-key index does per-RECORD upsert routing; without it, any
-    group containing a key-matched row is rewritten whole through
-    sources/merge.merge_into — coarser writes, identical results). Pure
-    inserts commit as fresh groups with zero rewrites. Accepts
+    """MERGE INTO a Hudi table. COW tables are file-GROUP-level (the
+    bundle's record-key index does per-RECORD upsert routing; without
+    it, any group containing a key-matched row is rewritten whole
+    through sources/merge.merge_into — coarser writes, identical
+    results; pure inserts commit as fresh groups with zero rewrites).
+    MERGE_ON_READ tables (r11) commit ONE deltacommit: matched
+    survivors append as AVRO_DATA log records on their owning slice,
+    matched-but-DELETEd keys as tombstones in the SAME log file, and
+    inserts as fresh base groups — no base rewrite. Accepts
     merge_into's clause kwargs."""
     from witdb_spark.sources.merge import merge_into
 
+    props = _properties(path)
+    if props.get("hoodie.table.type") == "MERGE_ON_READ":
+        return _hudi_mor_merge(spark, path, source, on, **merge_kwargs)
     return _hudi_rewrite_matched(
         spark, path,
         lambda df: df.join(
@@ -1021,6 +1028,142 @@ def hudi_merge_into(
         commit_on_no_match=True,
         op="MERGE",
     )
+
+
+def _hudi_mor_merge(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: list[str],
+    **merge_kwargs,
+) -> str | None:
+    """MERGE on MERGE_ON_READ, one atomic deltacommit (see
+    hudi_merge_into): survivors of the matched rows route by record
+    key to their slice's log (post-merge images as data records),
+    matched keys absent from the survivors (WHEN MATCHED DELETE) as
+    tombstones in the same executor-written log file, inserts as
+    fresh base groups. The record key is immutable (hudi's own
+    contract) — an UPDATE assignment on it refuses."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.merge import merge_into
+
+    props = _properties(path)
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
+            " need the hudi-spark bundle — reads work jar-free"
+        )
+    key = props.get("hoodie.table.recordkey.fields")
+    if not key or key not in source.columns:
+        raise HudiProtocolError(
+            f"record key {key!r} must be a declared table property and"
+            " a source column"
+        )
+    if key in (merge_kwargs.get("when_matched_update") or {}):
+        raise HudiProtocolError(
+            f"the record key {key!r} is immutable — MERGE cannot"
+            " assign it"
+        )
+    slices = _hudi_file_slices(path)
+    base_last = _completed_instants(path)[-1][0]
+    completed = {i for i, _, _ in _completed_instants(path)}
+    part_fields = _hudi_partition_fields(path)
+    snapshot = read_hudi_snapshot(spark, path)
+    data_cols = [
+        c for c in snapshot.columns if not c.startswith("_hoodie_")
+    ]
+    matched = snapshot.select(*data_cols).join(
+        source.select(*on).distinct(), on=on, how="left_semi"
+    )
+    survivors = merge_into(matched, source, on, **merge_kwargs)
+    if matched.isEmpty() and survivors.isEmpty():
+        return None
+    keymap = _mor_keymap(spark, path, slices, completed)
+    src = survivors.withColumn("__k", F.col(key).cast("string"))
+    routed = src.join(keymap, "__k", "left")
+    # matched keys whose row vanished from the survivors were DELETEd
+    deleted = (
+        matched.select(F.col(key).cast("string").alias("__k"))
+        .distinct()
+        .join(src.select("__k").distinct(), "__k", "left_anti")
+        .join(keymap, "__k", "inner")
+    )
+    log_rows = routed.where("__grp IS NOT NULL").select(
+        "__grp", "__k", *data_cols, F.lit(False).alias("__mdel")
+    ).unionByName(
+        deleted.select(
+            "__grp",
+            "__k",
+            *[F.lit(None).cast(snapshot.schema[c].dataType).alias(c)
+              for c in data_cols],
+            F.lit(True).alias("__mdel"),
+        )
+    )
+    group_info = _mor_group_targets(slices)
+    avro_schema = {
+        "type": "record",
+        "name": "witdb_mor",
+        "fields": _meta_string_avro_fields()
+        + _avro_schema_for(survivors.select(*data_cols))["fields"],
+    }
+    instant = _claim_instant(path)
+    stats_by_part: dict[str, list] = {}
+    for r in _write_log_blocks_distributed(
+        log_rows, path, instant, avro_schema, group_info, data_cols,
+        del_col="__mdel",
+    ):
+        info = group_info[r["grp"]]
+        stats_by_part.setdefault(info["part"], []).append(
+            {
+                "fileId": info["fid"],
+                "path": r["rel"],
+                "prevCommit": info["prev"],
+                "totalWriteBytes": r["nbytes"],
+            }
+        )
+    inserts = routed.where("__grp IS NULL").select(*data_cols)
+    if not inserts.isEmpty():
+        if part_fields:
+            missing = [c for c in part_fields if c not in data_cols]
+            if missing:
+                raise HudiProtocolError(
+                    f"partition columns {missing} absent from the source"
+                )
+        full = inserts.coalesce(1).select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat(
+                F.lit(f"{instant}_1_"),
+                F.monotonically_increasing_id().cast("string"),
+            ).alias("_hoodie_commit_seqno"),
+            F.col(key).cast("string").alias("_hoodie_record_key"),
+            (
+                _hoodie_partition_path_expr(part_fields)
+                if part_fields
+                else F.lit("")
+            ).alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *data_cols,
+        )
+        for part_key, recs in _stage_mor_groups(
+            full, path, instant, part_fields
+        ).items():
+            stats_by_part.setdefault(part_key, []).extend(recs)
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during MOR merge — re-run"
+        )
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.deltacommit"), "x"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": stats_by_part or {"": []},
+                "operationType": "UPSERT",
+            },
+            f,
+        )
+    return instant
 
 
 def hudi_upsert(
@@ -1311,6 +1454,7 @@ def _write_log_blocks_distributed(
     group_info: dict[str, dict],
     data_cols: list[str],
     btype: int | None = None,
+    del_col: str | None = None,
 ) -> list:
     """Write one AVRO_DATA log file per file group ON THE EXECUTORS:
     ``routed`` carries (__grp, __k, *data_cols); applyInPandas shuffles
@@ -1321,7 +1465,11 @@ def _write_log_blocks_distributed(
     executors; core/trino-main/.../MergeWriterOperator.java for the
     fragment-to-coordinator shape). ``group_info``:
     {group key: {'rel': log rel path, 'fid': ..., 'part': ...}} —
-    O(file groups) metadata captured by the task closure."""
+    O(file groups) metadata captured by the task closure. ``del_col``
+    (r11, MERGE): a boolean column splitting the group's rows into
+    data records and DELETE tombstones — both land in the SAME log
+    file (an AVRO_DATA block then a DELETE block), so a MERGE commits
+    atomically."""
     table_abs = os.path.abspath(path)
 
     def write_group(pdf):
@@ -1333,10 +1481,14 @@ def _write_log_blocks_distributed(
 
         from witdb_spark.sources.hudi_log import (
             BLOCK_AVRO_DATA,
+            BLOCK_DELETE,
             HEADER_INSTANT_TIME,
             HEADER_SCHEMA,
             append_log_block,
             encode_avro_block_content,
+        )
+        from witdb_spark.sources.hudi_meta import (
+            _meta_string_avro_fields,
         )
 
         grp = str(pdf["__grp"].iloc[0])
@@ -1364,6 +1516,7 @@ def _write_log_blocks_distributed(
             return str(v)
 
         recs = []
+        tombs = []
         for i, d in enumerate(pdf.to_dict("records")):
             rec = {
                 "_hoodie_commit_time": instant,
@@ -1372,6 +1525,9 @@ def _write_log_blocks_distributed(
                 "_hoodie_partition_path": info["part"],
                 "_hoodie_file_name": info["fid"],
             }
+            if del_col is not None and bool(d[del_col]):
+                tombs.append(rec)  # tombstone: key material only
+                continue
             for c in data_cols:
                 rec[c] = conv(d[c], types[c])
             recs.append(rec)
@@ -1384,15 +1540,31 @@ def _write_log_blocks_distributed(
             _os.remove(tmp)
         except FileNotFoundError:
             pass
-        append_log_block(
-            tmp,
-            BLOCK_AVRO_DATA if btype is None else btype,
-            {
-                HEADER_INSTANT_TIME: instant,
-                HEADER_SCHEMA: _json.dumps(avro_schema),
-            },
-            encode_avro_block_content(recs, avro_schema),
-        )
+        if recs:
+            append_log_block(
+                tmp,
+                BLOCK_AVRO_DATA if btype is None else btype,
+                {
+                    HEADER_INSTANT_TIME: instant,
+                    HEADER_SCHEMA: _json.dumps(avro_schema),
+                },
+                encode_avro_block_content(recs, avro_schema),
+            )
+        if tombs:
+            del_schema = {
+                "type": "record",
+                "name": "witdb_mor_delete",
+                "fields": _meta_string_avro_fields(),
+            }
+            append_log_block(
+                tmp,
+                BLOCK_DELETE,
+                {
+                    HEADER_INSTANT_TIME: instant,
+                    HEADER_SCHEMA: _json.dumps(del_schema),
+                },
+                encode_avro_block_content(tombs, del_schema),
+            )
         _os.replace(tmp, final)  # one task per group; retry rewrites
         return _pd.DataFrame(
             {
