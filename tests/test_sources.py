@@ -2652,8 +2652,8 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
     any file, record key = the declared recordkey field, commit time =
     the base file name's embedded instant / the log block's
     INSTANT_TIME header, partition path = the file's directory. Log
-    updates override base rows; time travel works; composite keys and
-    virtual-key WRITES stay loud."""
+    updates override base rows; time travel works; composite keys
+    merge on the key-column tuple; virtual-key WRITES stay loud."""
     import glob as _glob
     import shutil
 
@@ -2746,7 +2746,9 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
             spark, t,
             spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
         )
-    # composite record keys stay loud on read
+    # COMPOSITE record keys (r11): row identity = the tuple of key
+    # columns, so the (3, -3.0) log record is a NEW identity, not an
+    # update of (3, 3.0) — both are visible
     with open(os.path.join(t, ".hoodie", "hoodie.properties"), "w") as f:
         f.write(
             "hoodie.table.name=virt\n"
@@ -2754,8 +2756,10 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
             "hoodie.table.recordkey.fields=id,v\n"
             "hoodie.populate.meta.fields=false\n"
         )
-    with pytest.raises(HudiProtocolError, match="composite"):
-        read_hudi_snapshot(spark, t).collect()
+    comp = {(r.id, r.v) for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert {(3, 3.0), (3, -3.0), (7, 7.0), (7, -7.0)} <= comp
+    assert len(comp) == 12
 
 
 def test_hudi_mor_null_partition_values(spark, tmp_path):

@@ -345,10 +345,12 @@ def _read_mor_snapshot_virtual(
     declared hoodie.table.recordkey.fields column, commit time = the
     base file name's embedded instant (base rows) or the log block's
     INSTANT_TIME header (log rows), partition path = the file's
-    directory relative to the table root. Single-field record keys
-    only (composite keys render 'k1:v1,k2:v2' in the bundle's key
-    generators — loud). Reference plugin/trino-hudi reads such tables
-    via the library's HoodieTableMetaClient key generator."""
+    directory relative to the table root. COMPOSITE record keys work
+    too (r11): row identity is the tuple of the declared key columns —
+    the merge window partitions on all of them, so the bundle's
+    'k1:v1,k2:v2' string rendering is never needed. Reference
+    plugin/trino-hudi reads such tables via the library's
+    HoodieTableMetaClient key generator."""
     import pandas  # noqa: F401 — fail fast on driver, used on executors
 
     from pyspark.sql import Window
@@ -356,12 +358,17 @@ def _read_mor_snapshot_virtual(
 
     from witdb_spark.sources.paths import norm_path_expr
 
-    key_field = (props.get("hoodie.table.recordkey.fields") or "").strip()
-    if not key_field or "," in key_field:
+    key_fields = [
+        k.strip()
+        for k in (props.get("hoodie.table.recordkey.fields") or "").split(
+            ","
+        )
+        if k.strip()
+    ]
+    if not key_fields:
         raise HudiProtocolError(
-            "virtual-key MOR tables need a single declared"
-            " hoodie.table.recordkey.fields column (composite keys need"
-            " the hudi-spark bundle)"
+            "virtual-key MOR tables need declared"
+            " hoodie.table.recordkey.fields columns"
         )
     slices = _hudi_file_slices(path, as_of_instant)
     base_files = sorted(
@@ -384,9 +391,13 @@ def _read_mor_snapshot_virtual(
             )
         base = None
         schema = _spark_schema_from_log(log_entries[0][0])
-    if key_field not in [f.name for f in schema.fields]:
+    missing_keys = [
+        k for k in key_fields if k not in [f.name for f in schema.fields]
+    ]
+    if missing_keys:
         raise HudiProtocolError(
-            f"declared record key {key_field!r} is not a data column"
+            f"declared record key column(s) {missing_keys} are not"
+            " data columns"
         )
     completed = {
         i for i, _, _ in _completed_instants(path)
@@ -462,7 +473,7 @@ def _read_mor_snapshot_virtual(
             log_rows if merged is None else merged.unionByName(log_rows)
         )
     w = Window.partitionBy(
-        "__h_part", F.col(key_field).cast("string")
+        "__h_part", *[F.col(k) for k in key_fields]
     ).orderBy(F.col("__h_commit").desc(), F.col("__seq").desc())
     out = (
         merged.withColumn("__rn", F.row_number().over(w))
