@@ -879,6 +879,29 @@ def test_sql_dml_front_door(spark, tmp_path):
         )
         got = sorted(r.id for r in read(spark, t).collect())
         assert got == [1, 2, 3], fmt
+    # r11: the same SQL text drives a MERGE_ON_READ hudi table — the
+    # writers route to tombstone/log-append DML, no base rewrite
+    import glob as _glob
+    import os
+
+    from witdb_spark.sources.hudi_meta import write_hudi_mor_create
+
+    tm = str(tmp_path / "dml_hudi_mor")
+    write_hudi_mor_create(spark, df0, tm, record_key="id")
+    bases = set(_glob.glob(os.path.join(tm, "*.parquet")))
+    eng.sql(f"DELETE FROM hudi.'{tm}' WHERE id = 4")
+    eng.sql(f"UPDATE hudi.'{tm}' SET v = v + 0.5, id = id WHERE id = 1")
+    assert set(_glob.glob(os.path.join(tm, "*.parquet"))) == bases
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, tm).collect()}
+    assert got == {1: 10.5, 2: 20.0, 3: 30.0}
+    eng.sql(
+        f"MERGE INTO hudi.'{tm}' t USING dml_src s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+        " WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, tm).collect()}
+    assert got == {1: 10.5, 2: 222.0, 3: 30.0, 9: 999.0}
+
     # WHERE-less statements touch every row (ANSI semantics)
     t = str(tmp_path / "dml_delta")
     eng.sql(f"UPDATE delta.'{t}' SET v = 0.0")
