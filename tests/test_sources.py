@@ -2875,9 +2875,24 @@ def test_hudi_mor_log_delete_update(spark, tmp_path):
     assert vals2[8] == 88.0
     # no-match DELETE commits nothing
     assert hudi_delete_where(spark, t, "id = 999") is None
-    # a header-less DELETE block (library kryo payload) is loud
+    # compaction folds tombstones away: dead keys stay dead in the
+    # fresh base groups, resurrections and updates persist
+    from witdb_spark.sources.hudi_meta import hudi_compact
+
+    hudi_compact(spark, t)
+    vals3 = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert vals3 == vals2
+    # a header-less DELETE block (library kryo payload) on an ACTIVE
+    # log (compaction retired the old ones) is loud
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+    )
+    active = max(
+        _glob.glob(os.path.join(t, ".*.log.*")), key=os.path.getmtime
+    )
     append_log_block(
-        logf, BLOCK_DELETE, {HEADER_INSTANT_TIME: "z9"}, b"\x00\x01"
+        active, BLOCK_DELETE, {HEADER_INSTANT_TIME: "z9"}, b"\x00\x01"
     )
     with pytest.raises(Exception, match="bundle"):
         read_hudi_snapshot(spark, t).collect()
