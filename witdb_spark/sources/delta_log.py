@@ -963,7 +963,8 @@ def _dv_build_distributed(spark: SparkSession, path: str, matched) -> list:
     table_abs = os.path.abspath(path)
     # normalized absolute file -> (add path, existing DV descriptor
     # json). O(table files) driver memory — the same order the log
-    # replay above already holds.
+    # replay above already holds. BROADCAST, not closure-captured:
+    # the map ships once per executor instead of once per task.
     by_norm: dict[str, tuple[str, str | None]] = {}
     for ap, add in state0.items():
         cand = os.path.abspath(os.path.join(table_abs, unquote(ap)))
@@ -973,6 +974,7 @@ def _dv_build_distributed(spark: SparkSession, path: str, matched) -> list:
             if add.get("deletionVector")
             else None,
         )
+    bc_norm = spark.sparkContext.broadcast(by_norm)
 
     def write_group(pdf):
         import json as _j
@@ -993,7 +995,7 @@ def _dv_build_distributed(spark: SparkSession, path: str, matched) -> list:
         )
 
         raw = str(pdf["__dv_file"].iloc[0])
-        hit = by_norm.get(_os.path.abspath(_strip_uri(raw)))
+        hit = bc_norm.value.get(_os.path.abspath(_strip_uri(raw)))
         if hit is None:
             raise ValueError(
                 f"deletion vector targets unknown data file: {raw}"
@@ -1031,12 +1033,17 @@ def _dv_build_distributed(spark: SparkSession, path: str, matched) -> list:
             }
         )
 
-    return (
-        matched.select("__dv_file", "__dv_pos")
-        .groupBy("__dv_file")
-        .applyInPandas(write_group, "ap string, desc string, existing string")
-        .collect()
-    )
+    try:
+        return (
+            matched.select("__dv_file", "__dv_pos")
+            .groupBy("__dv_file")
+            .applyInPandas(
+                write_group, "ap string, desc string, existing string"
+            )
+            .collect()
+        )
+    finally:
+        bc_norm.unpersist()
 
 
 def _dv_commit_distributed(
