@@ -3228,6 +3228,117 @@ def test_iceberg_partitioned_position_deletes(spark, tmp_path):
     )
 
 
+def test_delta_iceberg_mor_dml_randomized_model(spark, tmp_path):
+    """r11 soundness property, the delta/iceberg twin of the hudi
+    lifecycle model: random interleavings of row-targeted DML (DV /
+    position-delete DELETE, MOR UPDATE, MOR MERGE, append) checked
+    step-by-step against a dict model on both formats — cross-op
+    interactions (stacked vectors, delete-then-reinsert, updates of
+    previously-updated rows) that single-op tests cannot see."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_merge_into,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_merge_into,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    start = [(i, float(i)) for i in range(0, 16, 2)]
+    td = str(tmp_path / "model_delta")
+    ti = str(tmp_path / "model_ice")
+    write_delta(
+        spark,
+        spark.createDataFrame(start, "id bigint, v double").coalesce(2),
+        td, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame(start, "id bigint, v double").coalesce(2),
+        ti, mode="create",
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+            "write.merge.mode": "merge-on-read",
+        },
+    )
+
+    for fmt, path, delete, update, merge, read, append in [
+        ("delta", td, delta_delete_where, delta_update_where,
+         delta_merge_into, read_delta_snapshot,
+         lambda df: write_delta(spark, df, td, mode="append")),
+        ("iceberg", ti, iceberg_delete_where, iceberg_update_where,
+         iceberg_merge_into, read_iceberg_snapshot,
+         lambda df: write_iceberg(spark, df, ti, mode="append")),
+    ]:
+        rnd = random.Random(404 if fmt == "delta" else 405)
+        model = dict(start)
+        next_id = 200
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "id bigint, v double")
+
+        for step in range(10):
+            op = rnd.choice(["delete", "update", "merge", "append"])
+            if op == "delete":
+                if not model:
+                    continue
+                victim = rnd.choice(sorted(model))
+                delete(spark, path, f"id = {victim}")
+                model.pop(victim)
+            elif op == "update":
+                if not model:
+                    continue
+                lo = rnd.choice(sorted(model))
+                update(
+                    spark, path, f"id <= {lo}",
+                    {"v": "v + 100.0", "id": "id"},
+                )
+                model = {
+                    k: (v + 100.0 if k <= lo else v)
+                    for k, v in model.items()
+                }
+            elif op == "merge":
+                keys = rnd.sample(sorted(model), min(2, len(model)))
+                src = (
+                    [(keys[0], 0.0)] if keys else []
+                ) + [(k, float(step)) for k in keys[1:]] + [
+                    (next_id, 7.0)
+                ]
+                next_id += 1
+                merge(
+                    spark, path, df_of(src), on=["id"],
+                    when_matched_delete=F.col("src.v") == 0.0,
+                    when_matched_update={"v": F.col("src.v")},
+                )
+                for k, v in src:
+                    if k in model and v == 0.0:
+                        model.pop(k)
+                    else:
+                        model[k] = v
+            else:
+                rows = [(next_id + j, float(step)) for j in range(2)]
+                next_id += 2
+                append(df_of(rows))
+                model.update(rows)
+            got = {
+                r.id: r.v
+                for r in read(spark, path).select("id", "v").collect()
+            }
+            assert got == model, (fmt, step, op, got, model)
+
+
 def test_dml_mor_writers_never_collect_rows(spark, tmp_path, monkeypatch):
     """r11 scale gate: the merge-on-read DML writers — Delta DV
     DELETE/UPDATE/MERGE, Iceberg position deletes, Hudi log upsert —
