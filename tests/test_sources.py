@@ -4485,13 +4485,23 @@ def test_skipping_soundness_randomized(spark, tmp_path):
     df = spark.createDataFrame(rows, "k bigint, s string, d date")
     td = str(tmp_path / "sound_delta")
     ti = str(tmp_path / "sound_ice")
+    th = str(tmp_path / "sound_hudi")
     write_delta(spark, df.repartition(6, "k"), td, mode="create")
     write_iceberg(
         spark, df, ti, mode="create",
         partition_by=["bucket(4, k)", "months(d)"],
     )
+    # r11: hudi partition-dir pruning joins the property — hive-style
+    # s=<val> dirs incl. the NULL marker, predicates re-applied
+    from witdb_spark.sources.hudi_meta import (
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    write_hudi(spark, df, th, mode="create", partition_by=["s"])
     d_full = read_delta_snapshot(spark, td)
     i_full = read_iceberg_snapshot(spark, ti)
+    h_full = read_hudi_snapshot(spark, th)
     ops = ["=", "<", "<=", ">", ">=", "<>"]
     for _ in range(25):
         conj = []
@@ -4527,6 +4537,7 @@ def test_skipping_soundness_randomized(spark, tmp_path):
         for full, reader, tbl in (
             (d_full, read_delta_snapshot, td),
             (i_full, read_iceberg_snapshot, ti),
+            (h_full, read_hudi_snapshot, th),
         ):
             got = sorted(
                 ((r.k, r.s, r.d)
