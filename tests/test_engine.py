@@ -935,6 +935,45 @@ def test_sql_dml_front_door(spark, tmp_path):
         )
 
 
+def test_sql_table_changes_function(spark, tmp_path):
+    """r11: the SQL spelling of CDC —
+    TABLE(system.table_changes('<path>'[, since[, end]])) through
+    Engine.sql (reference TableChangesFunction) — composes with plain
+    projections/aggregations and leaves string literals alone."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+
+    eng = Engine(spark)
+    t = str(tmp_path / "tc")
+    write_delta(
+        spark,
+        spark.range(0, 6).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_where(spark, t, "id >= 4")
+    rows = eng.sql(
+        "SELECT _change_type, count(*) AS n FROM"
+        f" TABLE(system.table_changes('{t}')) GROUP BY _change_type"
+    ).collect()
+    got = {r._change_type: r.n for r in rows}
+    assert got == {"insert": 6, "delete": 2}
+    # since-version restriction + delta. qualifier
+    only = eng.sql(
+        "SELECT id FROM"
+        f" TABLE(system.table_changes(delta.'{t}', 1, 1))"
+    ).collect()
+    assert sorted(r.id for r in only) == [4, 5]
+    # a spelling inside a string literal is untouched
+    s = eng.sql(
+        "SELECT 'TABLE(system.table_changes(''x''))' AS s"
+    ).collect()
+    assert "table_changes" in s[0].s
+
+
 def test_sql_dml_parser_corners(spark, tmp_path):
     """Corners from the DML-front-door review: EXPLAIN never executes
     DML; WHERE inside a SET string literal does not split the statement;

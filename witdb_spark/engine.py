@@ -147,6 +147,7 @@ class Engine:
         dml = self._sql_lakehouse_dml(text)
         if dml is not None:
             return dml
+        text = self._rewrite_table_changes(text)
         text = self._rewrite_lakehouse_refs(text)
         m = re.match(
             r"^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
@@ -629,6 +630,44 @@ class Engine:
     # tables here spell <format>.'<path>' (same convention as the CALL
     # procedures taking table paths)
     _DML_TABLE = r"(delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+
+    # the reference spells CDC access TABLE(system.table_changes(
+    # schema_name, table_name, since_version)); path tables here take
+    # TABLE(system.table_changes('<path>'[, since[, end]])) with an
+    # optional delta. qualifier — same convention as the procedures
+    _TABLE_CHANGES = re.compile(
+        r"TABLE\s*\(\s*system\s*\.\s*table_changes\s*\(\s*"
+        r"(?:delta\s*\.\s*)?'(?P<path>[^']+)'\s*"
+        r"(?:,\s*(?P<start>\d+)\s*)?(?:,\s*(?P<end>\d+)\s*)?\)\s*\)",
+        re.I,
+    )
+
+    def _rewrite_table_changes(self, text: str) -> str:
+        """``TABLE(system.table_changes('<path>', since[, end]))`` ->
+        a temp view over sources/delta_log.delta_table_changes
+        (reference plugin/trino-delta-lake tablechanges/
+        TableChangesFunction.java). Matches inside string literals are
+        left alone."""
+        from witdb_spark.plans.dialect import _scan_maps
+        from witdb_spark.sources.delta_log import delta_table_changes
+
+        _depths, instr = _scan_maps(text)
+        out = text
+        n = 0
+        for m in reversed(list(self._TABLE_CHANGES.finditer(text))):
+            if instr[m.start()]:
+                continue
+            df = delta_table_changes(
+                self.spark,
+                m.group("path"),
+                int(m.group("start") or 0),
+                int(m.group("end")) if m.group("end") else None,
+            )
+            name = f"__table_changes_{n}"
+            n += 1
+            df.createOrReplaceTempView(name)
+            out = out[: m.start()] + name + out[m.end():]
+        return out
 
     def _rewrite_lakehouse_refs(self, text: str) -> str:
         """SELECT over ``fmt.'/path'`` table spellings (the reference's

@@ -2980,6 +2980,70 @@ def hudi_mor_logonly_roundtrip(
 
 
 @register(
+    "delta_table_changes_cdf",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete', 1
+    FROM nation WHERE n_nationkey % 5 = 2
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'update_preimage', 2
+    FROM nation WHERE n_nationkey = 4
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), 'RENAMED', 'update_postimage', 2
+    FROM nation WHERE n_nationkey = 4
+    """,
+    doc="Delta Change Data Feed (r11, delta_log.py delta_table_changes;"
+    " reference plugin/trino-delta-lake tablechanges/"
+    "TableChangesFunction.java — TABLE(system.table_changes(...))): "
+    "nation lands in a deletion-vector Delta table, a DV DELETE "
+    "shadows a key stripe and a DV UPDATE rewrites one name; the "
+    "change stream synthesizes from the log — creates as inserts, "
+    "exactly the newly-shadowed rows as deletes (positions decoded on "
+    "executors), update_preimage/update_postimage pairs for the "
+    "UPDATE — and must hash-equal the hand-replayed oracle.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def delta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_table_changes,
+        delta_update_where,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_cdf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark, base.coalesce(2), path, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_where(spark, path, "n_nationkey % 5 = 2")
+    delta_update_where(
+        spark, path, "n_nationkey = 4",
+        {"n_name": "'RENAMED'", "n_nationkey": "n_nationkey"},
+    )
+    return delta_table_changes(spark, path).select(
+        "n_nationkey",
+        "n_name",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+@register(
     "hudi_mor_log_delete_dml",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
