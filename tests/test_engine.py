@@ -974,6 +974,93 @@ def test_sql_table_changes_function(spark, tmp_path):
     assert "table_changes" in s[0].s
 
 
+def test_sql_metadata_tables(spark, tmp_path):
+    """r11: the reference's system metadata tables
+    ("table$history"-style; delta $history/$properties/$partitions,
+    iceberg $snapshots/$history/$manifests/$files/$properties, hudi
+    $timeline) spelled fmt.'<path>$<name>' through the SQL front door
+    — metadata-scale reads, no data file opened."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import write_hudi
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    td = str(tmp_path / "meta_delta")
+    df0 = spark.range(0, 10).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS cat"
+    )
+    write_delta(
+        spark, df0.coalesce(1), td, mode="create", partition_by=["cat"]
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, "9")], "id bigint, cat string"),
+        td, mode="append",
+    )
+    delta_delete_where(spark, td, "id = 100")
+    hist = eng.sql(
+        f"SELECT version, operation FROM delta.'{td}$history'"
+        " ORDER BY version"
+    ).collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert hist[2].operation == "DELETE"
+    parts = eng.sql(
+        "SELECT partition, record_count FROM"
+        f" delta.'{td}$partitions' ORDER BY partition"
+    ).collect()
+    assert sum(r.record_count for r in parts) == 10  # id=100 deleted
+    assert len(parts) == 3
+
+    ti = str(tmp_path / "meta_ice")
+    write_iceberg(spark, df0.coalesce(1), ti, mode="create")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, "9")], "id bigint, cat string"),
+        ti, mode="append",
+    )
+    snaps = eng.sql(
+        f"SELECT operation FROM iceberg.'{ti}$snapshots'"
+        " ORDER BY committed_at"
+    ).collect()
+    assert [r.operation for r in snaps] == ["append", "append"]
+    files = eng.sql(
+        "SELECT CAST(SUM(record_count) AS BIGINT) AS n FROM"
+        f" iceberg.'{ti}$files' WHERE content = 0"
+    ).collect()
+    assert files[0].n == 11
+    h = eng.sql(
+        f"SELECT is_current_ancestor FROM iceberg.'{ti}$history'"
+    ).collect()
+    assert all(r.is_current_ancestor for r in h) and len(h) == 2
+    assert eng.sql(
+        f"SELECT * FROM iceberg.'{ti}$manifests' WHERE content = 0"
+    ).count() >= 1
+
+    th = str(tmp_path / "meta_hudi")
+    write_hudi(spark, df0, th, mode="create")
+    tl = eng.sql(
+        f"SELECT action, state FROM hudi.'{th}$timeline'"
+    ).collect()
+    assert tl and all(r.state == "COMPLETED" for r in tl)
+
+    # joins of a metadata table with the data table compose
+    joined = eng.sql(
+        f"SELECT count(*) AS n FROM delta.'{td}' t"
+        f" CROSS JOIN (SELECT max(version) AS v FROM delta.'{td}$history') h"
+    ).collect()
+    assert joined[0].n == 10
+
+    # unknown metadata table name is loud with the supported list
+    with pytest.raises(Exception, match="supported"):
+        eng.sql(f"SELECT * FROM delta.'{td}$bogus'").collect()
+
+
 def test_sql_dml_parser_corners(spark, tmp_path):
     """Corners from the DML-front-door review: EXPLAIN never executes
     DML; WHERE inside a SET string literal does not split the statement;

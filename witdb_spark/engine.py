@@ -755,7 +755,18 @@ class Engine:
                 # accumulate on the shared session
                 name = f"__lake_ref_{len(views)}"
                 df = None
-                if where is not None:
+                if "$" in key[1]:
+                    # fmt.'<path>$<name>' — the reference's system
+                    # metadata tables ("table$history" spelling)
+                    from witdb_spark.sources.meta_tables import (
+                        metadata_table,
+                    )
+
+                    tbl_path, _, meta_name = key[1].rpartition("$")
+                    df = metadata_table(
+                        self.spark, key[0], tbl_path, meta_name
+                    )
+                if df is None and where is not None:
                     try:
                         df = read_table(
                             self.spark, key[0], key[1], where=where

@@ -2225,6 +2225,27 @@ def _commit_metadata(path: str, build_new_meta, base_cur_id) -> dict:
                 " procedure — re-run it"
             )
         new_meta = build_new_meta(cur)
+        # spec-shaped snapshot-log: every commit that moves
+        # current-snapshot-id appends a history entry (what the
+        # library writes; feeds the $history metadata table). Builders
+        # that already managed the log (rollback truncation) win.
+        new_cur = new_meta.get("current-snapshot-id")
+        if (
+            new_cur is not None
+            and new_cur != cur.get("current-snapshot-id")
+            and new_meta.get("snapshot-log") == cur.get("snapshot-log")
+        ):
+            ts = next(
+                (
+                    s["timestamp-ms"]
+                    for s in new_meta.get("snapshots") or []
+                    if s["snapshot-id"] == new_cur
+                ),
+                _now_ms_ice(),
+            )
+            new_meta["snapshot-log"] = list(
+                cur.get("snapshot-log") or []
+            ) + [{"timestamp-ms": ts, "snapshot-id": new_cur}]
         if os.path.exists(hint):
             version = int(open(hint).read().strip()) + 1
         else:
