@@ -1042,6 +1042,17 @@ def test_sql_metadata_tables(spark, tmp_path):
         f"SELECT * FROM iceberg.'{ti}$manifests' WHERE content = 0"
     ).count() >= 1
 
+    pt = eng.sql(
+        "SELECT CAST(SUM(record_count) AS BIGINT) AS n,"
+        " CAST(COUNT(*) AS BIGINT) AS groups FROM"
+        f" iceberg.'{ti}$partitions'"
+    ).collect()
+    assert pt[0].n == 11 and pt[0].groups == 1  # unpartitioned: 1 group
+    refs = eng.sql(
+        f"SELECT name, type FROM iceberg.'{ti}$refs'"
+    ).collect()
+    assert [(r.name, r.type) for r in refs] == [("main", "branch")]
+
     th = str(tmp_path / "meta_hudi")
     write_hudi(spark, df0, th, mode="create")
     tl = eng.sql(

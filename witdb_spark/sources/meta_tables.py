@@ -293,6 +293,73 @@ def _ice_files(spark: SparkSession, path: str) -> DataFrame:
     ).filter("file_path <> ''")
 
 
+def _ice_partitions(spark: SparkSession, path: str) -> DataFrame:
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        _pick_snapshot,
+        _resolve,
+    )
+
+    meta = _current_metadata(path)
+    snap = _pick_snapshot(meta, None, None)
+    _, manifests = read_avro_file(_resolve(path, snap["manifest-list"]))
+    agg: dict[str, list[int]] = {}
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # data files only, like the reference's table
+        _, entries = read_avro_file(_resolve(path, m["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            rec = e["data_file"]
+            if rec.get("content", 0) != 0:
+                continue
+            key = json.dumps(rec.get("partition") or {}, default=str)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += int(rec.get("record_count") or 0)
+            cur[2] += int(rec.get("file_size_in_bytes") or 0)
+    rows = [
+        (k, n, rec, sz) for k, (n, rec, sz) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows or [("{}", 0, 0, 0)],
+        "partition string, file_count bigint, record_count bigint,"
+        " total_size bigint",
+    ).filter("file_count > 0")
+
+
+def _ice_refs(spark: SparkSession, path: str) -> DataFrame:
+    from witdb_spark.sources.iceberg_meta import _current_metadata
+
+    meta = _current_metadata(path)
+    refs = meta.get("refs") or {}
+    if not refs and meta.get("current-snapshot-id") is not None:
+        # spec: a table without explicit refs still has the implicit
+        # `main` branch at the current snapshot
+        refs = {
+            "main": {
+                "snapshot-id": meta["current-snapshot-id"],
+                "type": "branch",
+            }
+        }
+    rows = [
+        (
+            name,
+            str(r.get("type") or ""),
+            r.get("snapshot-id"),
+            r.get("max-reference-age-ms"),
+        )
+        for name, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(
+        rows or [("", "", None, None)],
+        "name string, type string, snapshot_id bigint,"
+        " max_reference_age_ms bigint",
+    ).filter("name <> ''")
+
+
 # ------------------------------------------------------------------- hudi
 
 
@@ -318,5 +385,7 @@ _TABLES = {
     ("iceberg", "properties"): _ice_properties,
     ("iceberg", "manifests"): _ice_manifests,
     ("iceberg", "files"): _ice_files,
+    ("iceberg", "partitions"): _ice_partitions,
+    ("iceberg", "refs"): _ice_refs,
     ("hudi", "timeline"): _hudi_timeline,
 }
