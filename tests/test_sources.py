@@ -3328,6 +3328,57 @@ def test_delta_table_changes_cdf(spark, tmp_path):
     assert all(r["_commit_timestamp"] is not None for r in ch)
 
 
+def test_iceberg_incremental_scan(spark, tmp_path):
+    """r11: incremental APPEND scan (spec 'Incremental processing') —
+    exclusive-start/inclusive-end snapshot ranges yield exactly the
+    rows each append committed, stamped with _snapshot_id; non-append
+    snapshots in the range refuse."""
+    import pytest
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_delete_where,
+        iceberg_incremental_scan,
+        iceberg_snapshots,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "inc")
+    write_iceberg(
+        spark,
+        spark.range(0, 5).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="create",
+    )
+    write_iceberg(
+        spark,
+        spark.range(10, 13).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="append",
+    )
+    write_iceberg(
+        spark,
+        spark.range(20, 22).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="append",
+    )
+    s = [x["snapshot_id"] for x in iceberg_snapshots(t)]
+    assert len(s) == 3
+    inc = iceberg_incremental_scan(spark, t, s[0]).collect()
+    assert sorted(r.id for r in inc) == [10, 11, 12, 20, 21]
+    by_snap = {r.id: r._snapshot_id for r in inc}
+    assert by_snap[10] == s[1] and by_snap[20] == s[2]
+    # partial range: only the middle append
+    mid = iceberg_incremental_scan(spark, t, s[0], s[1]).collect()
+    assert sorted(r.id for r in mid) == [10, 11, 12]
+    # empty range
+    assert iceberg_incremental_scan(spark, t, s[2]).count() == 0
+    # a delete snapshot inside the range refuses
+    iceberg_delete_where(spark, t, "id = 0")
+    s2 = [x["snapshot_id"] for x in iceberg_snapshots(t)]
+    with pytest.raises(IcebergProtocolError, match="APPEND-only"):
+        iceberg_incremental_scan(spark, t, s[0], s2[-1]).collect()
+    # but the append-only prefix still reads
+    assert iceberg_incremental_scan(spark, t, s[0], s[2]).count() == 5
+
+
 def test_delta_iceberg_mor_dml_randomized_model(spark, tmp_path):
     """r11 soundness property, the delta/iceberg twin of the hudi
     lifecycle model: random interleavings of row-targeted DML (DV /

@@ -2980,6 +2980,68 @@ def hudi_mor_logonly_roundtrip(
 
 
 @register(
+    "iceberg_incremental_scan",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+           CAST(2 AS BIGINT) AS snapshot_id
+    FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), o_orderpriority, CAST(3 AS BIGINT)
+    FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+    """,
+    doc="Iceberg incremental APPEND scan (r11, iceberg_meta.py "
+    "iceberg_incremental_scan; the spec's 'Incremental processing' "
+    "read — Spark's start/end-snapshot-id options): orders lands in "
+    "three append snapshots; the scan from the FIRST snapshot yields "
+    "exactly the second and third appends' rows, each stamped with "
+    "its committing _snapshot_id (deterministic ids: the writer "
+    "numbers snapshots max+1). Exclusive start / inclusive end — the "
+    "chaining contract an incremental consumer needs.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_incremental_scan as inc_scan,
+    )
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_snapshots,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS o_orderkey", "o_orderpriority"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_inc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("o_orderkey <= 1000"), path, mode="create"
+    )
+    write_iceberg(
+        spark,
+        src.filter("o_orderkey > 1000 AND o_orderkey <= 2000"),
+        path, mode="append",
+    )
+    write_iceberg(
+        spark,
+        src.filter("o_orderkey > 2000 AND o_orderkey <= 3000"),
+        path, mode="append",
+    )
+    first = iceberg_snapshots(path)[0]["snapshot_id"]
+    return inc_scan(spark, path, first).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("_snapshot_id").alias("snapshot_id"),
+    )
+
+
+@register(
     "delta_table_changes_cdf",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
