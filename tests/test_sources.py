@@ -2959,6 +2959,69 @@ def test_hudi_mor_merge_into(spark, tmp_path):
         )
 
 
+def test_hudi_incremental_read(spark, tmp_path):
+    """r11: hudi's incremental query on MOR — latest state of records
+    whose winning commit is after the consumer's checkpoint instant;
+    chains across upserts, survives compaction (rows keep their
+    original commit stamps), deleted keys do not emit."""
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_compact,
+        hudi_delete_where,
+        hudi_incremental_read,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "inc_mor")
+    c0 = write_hudi_mor_create(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, record_key="id",
+    )
+    c1 = hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(3, -3.0), (100, 1.0)], "id bigint, v double"
+        ),
+    )
+    inc = hudi_incremental_read(spark, t, c0)
+    assert {(r.id, r.v) for r in inc.select("id", "v").collect()} == {
+        (3, -3.0), (100, 1.0)
+    }
+    # chaining: nothing after c1
+    assert hudi_incremental_read(spark, t, c1).count() == 0
+    # a second upsert; incremental from c1 sees only it
+    c2 = hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(3, 33.0)], "id bigint, v double"),
+    )
+    got = hudi_incremental_read(spark, t, c1).select("id", "v").collect()
+    assert {(r.id, r.v) for r in got} == {(3, 33.0)}
+    # end_instant bound: as of c1 the second upsert is invisible
+    got2 = hudi_incremental_read(
+        spark, t, c0, end_instant=c1
+    ).select("id", "v").collect()
+    assert {(r.id, r.v) for r in got2} == {(3, -3.0), (100, 1.0)}
+    # deleted keys do not emit
+    hudi_delete_where(spark, t, "id = 100")
+    assert {
+        r.id
+        for r in hudi_incremental_read(spark, t, c1)
+        .select("id").collect()
+    } == {3}
+    # compaction preserves per-row commit stamps
+    hudi_compact(spark, t)
+    assert {
+        (r.id, r.v)
+        for r in hudi_incremental_read(spark, t, c1)
+        .select("id", "v").collect()
+    } == {(3, 33.0)}
+    assert read_hudi_snapshot(spark, t).count() == 10
+    assert len(_completed_instants(t)) >= 5
+
+
 def test_hudi_mor_randomized_lifecycle_model(spark, tmp_path):
     """r11 soundness property: a random interleaving of MOR operations
     (log insert / upsert / tombstone delete / update / merge /

@@ -2980,6 +2980,60 @@ def hudi_mor_logonly_roundtrip(
 
 
 @register(
+    "hudi_incremental_read",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'TOUCHED' AS n_name
+    FROM nation WHERE n_nationkey % 3 = 1
+    UNION ALL
+    SELECT CAST(n_nationkey + 300 AS BIGINT), 'FRESH'
+    FROM nation WHERE n_nationkey < 2
+    """,
+    doc="Hudi incremental query on MERGE_ON_READ (r11, hudi_meta.py "
+    "hudi_incremental_read; hoodie.datasource.query.type=incremental "
+    "— THE consumption pattern MOR exists for): nation lands as a MOR "
+    "table, an upsert touches a key stripe and inserts fresh keys, "
+    "and the incremental read from the create instant returns exactly "
+    "the latest state of the touched + fresh records — nothing from "
+    "the untouched base.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_incremental_read as inc_read,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_inc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    c0 = write_hudi_mor_create(
+        spark, base.coalesce(2), path, record_key="n_nationkey"
+    )
+    src = base.filter("n_nationkey % 3 = 1").selectExpr(
+        "n_nationkey", "'TOUCHED' AS n_name"
+    ).unionByName(
+        base.filter("n_nationkey < 2").selectExpr(
+            "n_nationkey + 300 AS n_nationkey", "'FRESH' AS n_name"
+        )
+    )
+    hudi_log_upsert(spark, path, src)
+    return inc_read(spark, path, c0).select("n_nationkey", "n_name")
+
+
+@register(
     "iceberg_incremental_scan",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,

@@ -59,11 +59,12 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # two never-driver-checked late-r10 queries; 3-4 the r11-new queries
 # (log-only MERGE_ON_READ lifecycle, OR-predicate file skipping); 5-50
 # ALL 46 remaining r4-era greens — after r11 no query's last driver row
-# is older than r6. The 4 LATE-r11 registrations
+# is older than r6. The 5 LATE-r11 registrations
 # (iceberg_mor_partitioned_dml, hudi_mor_log_delete_dml,
-# delta_table_changes_cdf, iceberg_incremental_scan) were registered
-# after this window froze; all are contract-emulation green +
-# TZ-probed locally and lead r12, the staging the late-r10 pair used.
+# delta_table_changes_cdf, iceberg_incremental_scan,
+# hudi_incremental_read) were registered after this window froze;
+# all are contract-emulation green + TZ-probed locally and lead r12,
+# the staging the late-r10 pair used.
 # Engine-changed-in-r11 queries already holding an r10 row
 # (delta_skipping_scan / iceberg_pruned_scan over the new predicate
 # tree; the DV/posdelete/log-upsert DML paths now distributed) stay

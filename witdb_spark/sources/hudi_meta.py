@@ -1983,6 +1983,42 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     return instant
 
 
+def hudi_incremental_read(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Hudi's INCREMENTAL QUERY (the feature MOR exists for —
+    hoodie.datasource.query.type=incremental): the LATEST state of
+    every record whose winning commit is AFTER ``begin_instant``, up
+    to ``end_instant`` (default: latest) — exclusive begin, inclusive
+    end, so consumers chain calls with the last instant they saw. The
+    jar-free MOR snapshot already merges per key and carries each
+    row's winning _hoodie_commit_time, so the incremental read is the
+    snapshot at ``end`` filtered by commit time — no extra pass.
+    Like real hudi's incremental mode, hard-deleted keys do not emit
+    (no tombstone images). MERGE_ON_READ with populated meta fields
+    only; COW tables carry no per-row commit material jar-free."""
+    from pyspark.sql import functions as F
+
+    props = _properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "incremental queries need a MERGE_ON_READ table (COW rows"
+            " carry no commit-time column jar-free)"
+        )
+    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
+        raise HudiProtocolError(
+            "incremental queries on virtual-key tables need the"
+            " hudi-spark bundle"
+        )
+    snap = _read_mor_snapshot(spark, path, end_instant)
+    return snap.filter(
+        F.col("_hoodie_commit_time") > str(begin_instant)
+    )
+
+
 def hudi_compact(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> str:
