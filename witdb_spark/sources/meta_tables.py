@@ -16,7 +16,6 @@ is ever opened, which is exactly what makes `$files` useful on a
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
