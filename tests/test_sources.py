@@ -3291,6 +3291,56 @@ def test_iceberg_partitioned_position_deletes(spark, tmp_path):
     )
 
 
+def test_delta_restore(spark, tmp_path):
+    """r11: RESTORE TO VERSION AS OF — one new commit re-creates the
+    target snapshot's state (re-added files keep their original
+    entries including deletion vectors), history is preserved, the
+    restore composes with DV DML, and CALL system.restore drives it
+    from SQL."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_restore,
+        delta_table_version,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "restore")
+    write_delta(
+        spark,
+        spark.range(0, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "id bigint, v double"),
+        t, mode="append",
+    )                                       # v1
+    delta_delete_where(spark, t, "id >= 6")  # v2: DV shadows 6,7,100
+    assert read_delta_snapshot(spark, t).count() == 6
+    res = delta_restore(spark, t, 1)         # v3: back to pre-delete
+    assert res["version"] == 3 and res["files_added"] >= 1
+    got = {r.id for r in read_delta_snapshot(spark, t).collect()}
+    assert got == set(range(8)) | {100}
+    # history preserved: v2 still readable
+    assert read_delta_snapshot(spark, t, version=2).count() == 6
+    # restore BACK to the DV version: re-added entries carry the DV
+    delta_restore(spark, t, 2)               # v4
+    assert read_delta_snapshot(spark, t).count() == 6
+    # no-op restore
+    v = delta_table_version(spark, t)
+    assert delta_restore(spark, t, v)["files_added"] == 0
+    # SQL procedure spelling
+    eng = Engine(spark)
+    out = eng.sql(f"CALL system.restore('{t}', 0)").collect()
+    assert out[0].files_removed >= 0
+    assert {r.id for r in read_delta_snapshot(spark, t).collect()} == set(
+        range(8)
+    )
+
+
 def test_delta_table_changes_cdf(spark, tmp_path):
     """r11: delta_table_changes — the reference's
     TABLE(system.table_changes(...)) (plugin/trino-delta-lake

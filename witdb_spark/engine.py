@@ -137,7 +137,7 @@ class Engine:
             return self.show_stats("__show_stats_q")
         m = re.match(
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
-            r"|expire_snapshots|rollback_to_snapshot|clean)\s*\(",
+            r"|expire_snapshots|rollback_to_snapshot|clean|restore)\s*\(",
             text, re.I,
         )
         if m:  # lakehouse procedures (reference plugin/trino-delta-lake
@@ -507,6 +507,26 @@ class Engine:
             raise ValueError(
                 f"system.{proc} is a Delta procedure; {path} is an"
                 f" {fmt} table{hint}"
+            )
+        if proc == "restore":
+            if fmt != "delta":
+                raise ValueError(
+                    f"system.restore is a Delta procedure; {path} is"
+                    f" an {fmt} table — use system.rollback_to_snapshot"
+                    if fmt == "iceberg"
+                    else f"system.restore is a Delta procedure; {path}"
+                    f" is a {fmt} table"
+                )
+            from witdb_spark.sources.delta_log import delta_restore
+
+            if len(args) < 2:
+                raise ValueError("system.restore needs a version")
+            res = delta_restore(self.spark, path, int(args[1]))
+            return self.spark.createDataFrame(
+                [(path, res["version"], res["files_added"],
+                  res["files_removed"])],
+                "path string, version bigint, files_added bigint,"
+                " files_removed bigint",
             )
         if proc == "expire_snapshots" and fmt != "iceberg":
             raise ValueError(

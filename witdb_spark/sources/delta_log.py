@@ -2382,6 +2382,82 @@ def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dic
     raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
 
 
+def delta_restore(spark: SparkSession, path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — delta's own RESTORE (the
+    iceberg-side analog, rollback_to_snapshot, is already a CALL
+    procedure here): ONE new commit makes the table's state equal the
+    target snapshot — files the current snapshot dropped are re-added
+    with their original entries (partition values, stats, deletion
+    vectors), files the target lacks are removed, and a changed
+    metaData (schema/configuration) is re-emitted. History is
+    preserved: the restore is itself a version, and time travel still
+    reaches everything in between. Refuses loudly when a needed file
+    was vacuumed away. Returns {'version', 'files_added',
+    'files_removed'}."""
+    target = int(version)
+    for _ in range(5):
+        _, m_old, state_old, _ = _snapshot_state(
+            spark, path, target, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        _, m_cur, state_cur, cur_v = _snapshot_state(
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        if target == cur_v:
+            return {
+                "version": cur_v, "files_added": 0, "files_removed": 0
+            }
+        adds = []
+        for ap, add in state_old.items():
+            cur = state_cur.get(ap)
+            if cur is not None and json.dumps(
+                cur.get("deletionVector"), sort_keys=True
+            ) == json.dumps(add.get("deletionVector"), sort_keys=True):
+                continue  # present with the same row-visibility
+            fp = os.path.join(path, unquote(ap))
+            if not os.path.exists(fp):
+                raise DeltaProtocolError(
+                    f"RESTORE to {target} needs {ap}, which was"
+                    " vacuumed away"
+                )
+            new_add = dict(add)
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = _now_ms()
+            adds.append({"add": new_add})
+        removes = [
+            {
+                "remove": {
+                    "path": ap,
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                }
+            }
+            for ap in sorted(set(state_cur) - set(state_old))
+        ]
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": str(target)},
+                }
+            }
+        ]
+        if json.dumps(m_old, sort_keys=True) != json.dumps(
+            m_cur, sort_keys=True
+        ):
+            actions.append({"metaData": m_old})
+        actions += removes + adds
+        if _try_commit(path, cur_v + 1, actions):
+            return {
+                "version": cur_v + 1,
+                "files_added": len(adds),
+                "files_removed": len(removes),
+            }
+    raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
 def delta_vacuum(
     spark: SparkSession, path: str, retain_ms: int = 7 * 24 * 3600 * 1000
 ) -> dict:
