@@ -2959,6 +2959,48 @@ def test_hudi_mor_merge_into(spark, tmp_path):
         )
 
 
+def test_hudi_clean_mor(spark, tmp_path):
+    """r11: the cleaner on MERGE_ON_READ — after compaction retires
+    old slices, their base and log files become cleanable (the newest
+    log version of each retired group is retained as the in-flight
+    fence); the live snapshot is untouched and still reads exactly."""
+    import glob as _glob
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_clean,
+        hudi_compact,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "clean_mor")
+    write_hudi_mor_create(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, record_key="id",
+    )
+    for k in (2, 5):
+        hudi_log_upsert(
+            spark, t,
+            spark.createDataFrame([(k, -float(k))], "id bigint, v double"),
+        )
+    want = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    hudi_compact(spark, t)
+    n_parquet = len(_glob.glob(os.path.join(t, "**", "*.parquet"),
+                               recursive=True))
+    res = hudi_clean(t, keep_last=1)
+    assert res["deleted_files"] >= 1
+    # retired base files gone; at most one log per retired group kept
+    assert len(
+        _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+    ) < n_parquet
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "v").collect()}
+    assert got == want
+
+
 def test_hudi_incremental_read(spark, tmp_path):
     """r11: hudi's incremental query on MOR — latest state of records
     whose winning commit is after the consumer's checkpoint instant;

@@ -2074,10 +2074,14 @@ def hudi_compact(
 
 def hudi_clean(path: str, keep_last: int = 1) -> dict:
     """Retention maintenance (real Hudi's cleaner, KEEP_LATEST_COMMITS
-    analog): keep every base file visible as of any of the last
-    ``keep_last`` completed instants; delete the rest (slices
-    superseded or retired before the retention window). Unpartitioned
-    layout only — the same subset the writer produces."""
+    analog): keep every file visible as of any of the last
+    ``keep_last`` completed instants; delete the rest. COW keeps base
+    files; MERGE_ON_READ (r11) keeps each retained instant's SLICES —
+    base AND log files — so compaction-retired logs become cleanable.
+    Only files this module's writers named are ever touched, and only
+    when their embedded instant is covered by a COMPLETED commit (a
+    newer instant belongs to an in-flight writer that published files
+    before its commit JSON — the write protocol's order)."""
     import glob
 
     if keep_last < 1:
@@ -2087,28 +2091,59 @@ def hudi_clean(path: str, keep_last: int = 1) -> dict:
         raise FileNotFoundError(f"{path}: no completed Hudi commits")
     retained = instants[-keep_last:]
     newest_completed = instants[-1][0]
+    is_mor = (
+        _properties(path).get("hoodie.table.type") == "MERGE_ON_READ"
+    )
     referenced: set[str] = set()
     for inst, _, _ in retained:
-        for p in hudi_base_files(path, as_of_instant=inst):
-            referenced.add(os.path.abspath(p))
+        if is_mor:
+            for sl in _hudi_file_slices(path, as_of_instant=inst).values():
+                if sl["base"] is not None:
+                    referenced.add(
+                        os.path.abspath(os.path.join(path, sl["base"][1]))
+                    )
+                for _i, rel in sl["logs"]:
+                    referenced.add(os.path.abspath(os.path.join(path, rel)))
+        else:
+            for p in hudi_base_files(path, as_of_instant=inst):
+                referenced.add(os.path.abspath(p))
     deleted = 0
-    name_re = re.compile(r"^[0-9a-f]{32}_\d+_(\d+)\.parquet$")
+    base_re = re.compile(r"^[0-9a-f]{32}_\d+_(\d+)\.parquet$")
     for p in glob.glob(
         os.path.join(path, "**", "*.parquet"), recursive=True
     ):
         if os.path.abspath(p) in referenced:
             continue
-        m = name_re.match(os.path.basename(p))
-        # only files this module's writers named, and only those whose
-        # embedded instant is covered by a COMPLETED commit — a newer
-        # instant belongs to an IN-FLIGHT writer that published its
-        # files before its commit JSON (the write protocol's order);
-        # deleting them would corrupt that commit. Unknown filenames
-        # are never touched.
+        m = base_re.match(os.path.basename(p))
         if m is None or m.group(1) > newest_completed:
             continue
         os.remove(p)
         deleted += 1
+    if is_mor:
+        # logs embed their BASE instant, which cannot fence in-flight
+        # appends the way base-file names do — so additionally keep
+        # the HIGHEST log version of every (fid, base-instant) group:
+        # an in-flight append is always the newest version, and the
+        # cost is one retained file per retired group
+        log_re = re.compile(
+            r"^\.([0-9a-f]{32})_(\d+)\.log\.(\d+)_0-0-0$"
+        )
+        by_group: dict[tuple[str, str], list[tuple[int, str]]] = {}
+        for p in set(
+            glob.glob(os.path.join(path, "**", ".*.log.*"), recursive=True)
+        ) | set(glob.glob(os.path.join(path, ".*.log.*"))):
+            if os.path.abspath(p) in referenced:
+                continue
+            m = log_re.match(os.path.basename(p))
+            if m is None or m.group(2) > newest_completed:
+                continue
+            by_group.setdefault(
+                (m.group(1), m.group(2)), []
+            ).append((int(m.group(3)), p))
+        for vs in by_group.values():
+            for _v, p in sorted(vs)[:-1]:
+                os.remove(p)
+                deleted += 1
     return {"deleted_files": deleted, "retained_instants": len(retained)}
 
 
