@@ -1695,13 +1695,29 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
     }]}))
     with pytest.raises(IcebergProtocolError, match="jar"):
         write_iceberg(spark, df, t2, mode="append")
-    # refs gate
+    # refs (r11: first-class) — an EXPLICIT main ref no longer gates:
+    # the commit moves it with current-snapshot-id (what library
+    # writers do); a DIVERGED non-main branch still refuses (its
+    # writes need the library's branch routing)
     t3 = str(tmp_path / "refstbl")
     write_iceberg(spark, df, t3, mode="create")
     _mutate(t3, lambda m: m.update(
         {"refs": {"main": {"snapshot-id": m["current-snapshot-id"],
                            "type": "branch"}}}))
-    with pytest.raises(IcebergProtocolError, match="refs"):
+    write_iceberg(spark, df, t3, mode="append")
+    meta3 = _json.load(open(os.path.join(
+        t3, "metadata",
+        f"v{open(os.path.join(t3, 'metadata', 'version-hint.text')).read().strip()}.metadata.json",
+    )))
+    assert (
+        meta3["refs"]["main"]["snapshot-id"]
+        == meta3["current-snapshot-id"]
+    )
+    _mutate(t3, lambda m: m.update(
+        {"refs": dict(m["refs"], dev={
+            "snapshot-id": m["snapshots"][0]["snapshot-id"],
+            "type": "branch"})}))
+    with pytest.raises(IcebergProtocolError, match="diverged branch"):
         write_iceberg(spark, df, t3, mode="append")
     # unknown-field passthrough on a clean append
     t4 = str(tmp_path / "passtbl")
@@ -3481,6 +3497,66 @@ def test_delta_table_changes_cdf(spark, tmp_path):
         delta_table_changes(spark, tc, 0, 99)
     # timestamps are real
     assert all(r["_commit_timestamp"] is not None for r in ch)
+
+
+def test_iceberg_refs(spark, tmp_path):
+    """r11: named refs — tags/branches (spec 'Refs'; the reference's
+    FOR VERSION AS OF '<name>'): create points at a snapshot, reads
+    resolve by name, $refs lists them, expire_snapshots RETAINS ref'd
+    snapshots, and dropping the ref makes them expirable again."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_create_ref,
+        iceberg_drop_ref,
+        iceberg_expire_snapshots,
+        iceberg_snapshots,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "refs")
+    write_iceberg(
+        spark,
+        spark.range(0, 4).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="create",
+    )
+    s1 = iceberg_snapshots(t)[0]["snapshot_id"]
+    iceberg_create_ref(t, "v1-release", "tag", s1)
+    write_iceberg(
+        spark,
+        spark.range(10, 12).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        t, mode="append",
+    )
+    # ref read sees the tagged snapshot; main sees current
+    assert read_iceberg_snapshot(spark, t, ref="v1-release").count() == 4
+    assert read_iceberg_snapshot(spark, t, ref="main").count() == 6
+    with pytest.raises(ValueError, match="no Iceberg ref"):
+        read_iceberg_snapshot(spark, t, ref="nope").collect()
+    # the SQL metadata table lists it alongside the implicit main
+    eng = Engine(spark)
+    names = {
+        r.name
+        for r in eng.sql(f"SELECT name FROM iceberg.'{t}$refs'").collect()
+    }
+    assert names == {"main", "v1-release"}
+    # expire retains the ref'd snapshot
+    res = iceberg_expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 0
+    assert read_iceberg_snapshot(spark, t, ref="v1-release").count() == 4
+    # dropping the ref makes it expirable
+    iceberg_drop_ref(t, "v1-release")
+    res2 = iceberg_expire_snapshots(t, keep_last=1)
+    assert res2["expired_snapshots"] == 1
+    with pytest.raises(ValueError):
+        read_iceberg_snapshot(spark, t, snapshot_id=s1).collect()
+    # guards
+    with pytest.raises(IcebergProtocolError, match="main"):
+        iceberg_create_ref(t, "main")
+    with pytest.raises(ValueError, match="no Iceberg snapshot"):
+        iceberg_create_ref(t, "x", "tag", 999999)
 
 
 def test_iceberg_incremental_scan(spark, tmp_path):

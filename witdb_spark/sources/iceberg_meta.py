@@ -434,10 +434,13 @@ def read_iceberg_snapshot(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     where: str | None = None,
+    ref: str | None = None,
     _row_tags: bool = False,
 ) -> DataFrame:
-    """Read an Iceberg table at a snapshot (current, by snapshot id, or
-    the last snapshot committed at/before ``timestamp_ms``) without the
+    """Read an Iceberg table at a snapshot (current, by snapshot id,
+    the last snapshot committed at/before ``timestamp_ms``, or a named
+    ``ref`` — a tag/branch, the reference's FOR VERSION AS OF '<name>';
+    'main' means current) without the
     connector jar. The data scan is an ordinary distributed parquet
     read; selecting the table schema's columns makes a missing or
     renamed column a loud error instead of a silent misread. v2
@@ -448,6 +451,16 @@ def read_iceberg_snapshot(
     built, then re-applies the full predicate to the rows, so pruning
     never changes results — at fleet scale the win is never listing
     the pruned files at all."""
+    if ref is not None:
+        if snapshot_id is not None or timestamp_ms is not None:
+            raise ValueError(
+                "pass ONE of snapshot_id / timestamp_ms / ref"
+            )
+        if ref != "main":
+            refs = _current_metadata(path).get("refs") or {}
+            if ref not in refs:
+                raise ValueError(f"no Iceberg ref {ref!r}")
+            snapshot_id = refs[ref]["snapshot-id"]
     prune = prune_manifest = None
     if where is not None:
         from witdb_spark.sources.iceberg_transforms import (
@@ -1314,6 +1327,17 @@ def write_iceberg(
                 ],
             }
         )
+        # spec-shaped history + explicit-main sync (same rules the
+        # _commit_metadata path applies)
+        new_meta["snapshot-log"] = list(
+            (meta or {}).get("snapshot-log") or []
+        ) + [
+            {
+                "timestamp-ms": new_meta["snapshots"][-1]["timestamp-ms"],
+                "snapshot-id": snap_id,
+            }
+        ]
+        _sync_main_ref(new_meta)
         target = os.path.join(
             path, "metadata", f"v{version}.metadata.json"
         )
@@ -2180,6 +2204,62 @@ def _now_ms_ice() -> int:
     return int(time.time() * 1000)
 
 
+def iceberg_create_ref(
+    path: str,
+    name: str,
+    ref_type: str = "tag",
+    snapshot_id: int | None = None,
+) -> int:
+    """Create (or move) a named REF — a tag or branch (spec 'Refs';
+    the reference's iceberg connector reads them as `FOR VERSION AS OF
+    '<name>'`): one metadata commit adds ``refs[name] = {snapshot-id,
+    type}`` pointing at ``snapshot_id`` (default: current). Snapshots
+    a ref points at are protected from expire_snapshots. Returns the
+    referenced snapshot id."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    if name == "main":
+        raise IcebergProtocolError(
+            "'main' is the implicit current branch — use"
+            " rollback_to_snapshot to move it"
+        )
+    meta = _current_metadata(path)
+    base_cur = meta.get("current-snapshot-id")
+    sid = base_cur if snapshot_id is None else int(snapshot_id)
+    if all(
+        s["snapshot-id"] != sid for s in meta.get("snapshots") or []
+    ):
+        raise ValueError(f"no Iceberg snapshot {sid}")
+
+    def build(cur: dict) -> dict:
+        new = dict(cur)
+        refs = dict(new.get("refs") or {})
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        new["refs"] = refs
+        new["last-updated-ms"] = _now_ms_ice()
+        return new
+
+    _commit_metadata(path, build, base_cur)
+    return sid
+
+
+def iceberg_drop_ref(path: str, name: str) -> None:
+    """Drop a named tag/branch (its snapshot becomes expirable)."""
+    meta = _current_metadata(path)
+    if name not in (meta.get("refs") or {}):
+        raise ValueError(f"no ref {name!r}")
+
+    def build(cur: dict) -> dict:
+        new = dict(cur)
+        refs = dict(new.get("refs") or {})
+        refs.pop(name, None)
+        new["refs"] = refs
+        new["last-updated-ms"] = _now_ms_ice()
+        return new
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+
+
 def iceberg_incremental_scan(
     spark: SparkSession,
     path: str,
@@ -2292,17 +2372,48 @@ def iceberg_snapshots(path: str) -> list[dict]:
 
 
 def _maintenance_gate(meta: dict, proc: str) -> None:
-    """Loud gates shared by the maintenance procedures: a library-written
-    table may carry branch/tag ``refs`` naming snapshots — rewriting
-    current-snapshot-id or the snapshot list under them would make
-    refs-honoring readers and this module's reader see DIFFERENT current
-    states with no error. Same contract as the DML gates: refuse, never
-    misread."""
-    if meta.get("refs"):
-        raise IcebergProtocolError(
-            f"{proc} on a table with branch/tag refs needs the"
-            " iceberg-spark-runtime jar"
-        )
+    """Gate shared by the writers/maintenance procedures. r11: the
+    blanket branch/tag ``refs`` refusal is gone — refs are first-class
+    now (iceberg_create_ref/iceberg_drop_ref, ref= reads, $refs), the
+    writers only ever advance the implicit main, and
+    expire_snapshots RETAINS every ref'd snapshot, so a named ref's
+    reader always still resolves. A DIVERGED branch (one pointing at a
+    snapshot off main's ancestry that expects to RECEIVE writes) is
+    the one shape that still needs the library's branch-write
+    routing — refuse only that."""
+    cur = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    for name, r in (meta.get("refs") or {}).items():
+        if (
+            r.get("type") == "branch"
+            and name != "main"
+            and r.get("snapshot-id") in snaps
+            and r.get("snapshot-id") != cur
+        ):
+            raise IcebergProtocolError(
+                f"{proc} on a table with the diverged branch {name!r}"
+                " needs the iceberg-spark-runtime jar (branch-write"
+                " routing); tags are fine"
+            )
+
+
+def _sync_main_ref(new_meta: dict) -> None:
+    """Keep an EXPLICIT ``main`` ref pointing at the new current
+    snapshot (in place): library readers resolve main from the ref,
+    so a commit that moves current-snapshot-id must move the ref with
+    it — what the library's own writers do. Named tags/branches are
+    never touched."""
+    refs = new_meta.get("refs")
+    cur = new_meta.get("current-snapshot-id")
+    if (
+        refs
+        and "main" in refs
+        and cur is not None
+        and refs["main"].get("snapshot-id") != cur
+    ):
+        refs = dict(refs)
+        refs["main"] = dict(refs["main"], **{"snapshot-id": cur})
+        new_meta["refs"] = refs
 
 
 def _commit_metadata(path: str, build_new_meta, base_cur_id) -> dict:
@@ -2344,6 +2455,7 @@ def _commit_metadata(path: str, build_new_meta, base_cur_id) -> dict:
             new_meta["snapshot-log"] = list(
                 cur.get("snapshot-log") or []
             ) + [{"timestamp-ms": ts, "snapshot-id": new_cur}]
+        _sync_main_ref(new_meta)
         if os.path.exists(hint):
             version = int(open(hint).read().strip()) + 1
         else:
@@ -2384,14 +2496,24 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
         meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
     )
     cur_id = meta.get("current-snapshot-id")
-    kept = snaps[-keep_last:]
+    # spec: snapshots referenced by a branch/tag are retained by the
+    # reference's retention policies regardless of count-based expiry
+    ref_ids = {
+        r.get("snapshot-id")
+        for r in (meta.get("refs") or {}).values()
+        if r.get("snapshot-id") is not None
+    }
+    kept_ids = {
+        s["snapshot-id"] for s in snaps[-keep_last:]
+    } | ref_ids
+    kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
     if cur_id is not None and all(
         s["snapshot-id"] != cur_id for s in kept
     ):
         raise IcebergProtocolError(
             "expire_snapshots would drop the CURRENT snapshot"
         )
-    expired = snaps[:-keep_last]
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
 

@@ -333,15 +333,13 @@ def _ice_refs(spark: SparkSession, path: str) -> DataFrame:
     from witdb_spark.sources.iceberg_meta import _current_metadata
 
     meta = _current_metadata(path)
-    refs = meta.get("refs") or {}
-    if not refs and meta.get("current-snapshot-id") is not None:
-        # spec: a table without explicit refs still has the implicit
-        # `main` branch at the current snapshot
-        refs = {
-            "main": {
-                "snapshot-id": meta["current-snapshot-id"],
-                "type": "branch",
-            }
+    refs = dict(meta.get("refs") or {})
+    if "main" not in refs and meta.get("current-snapshot-id") is not None:
+        # spec: the implicit `main` branch is always the current
+        # snapshot, whether or not explicit refs exist
+        refs["main"] = {
+            "snapshot-id": meta["current-snapshot-id"],
+            "type": "branch",
         }
     rows = [
         (
