@@ -2660,6 +2660,29 @@ def test_hudi_mor_logonly_partitioned(spark, tmp_path):
     got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
             .select("id", "v").collect()}
     assert got2[2] == -2.0 and len(got2) == 8
+    # r11: where= prunes whole SLICES. New-key upserts land base
+    # groups per partition, so the file-count drop is observable
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(100, "a", 1.0), (101, "b", 2.0)],
+            "id bigint, cat string, v double",
+        ),
+    )
+    full = read_hudi_snapshot(spark, t)
+    pruned = read_hudi_snapshot(spark, t, where="cat = 'a'")
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.filter("cat = 'a'").collect()
+    )
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # all-pruned predicate: typed empty frame
+    none = read_hudi_snapshot(spark, t, where="cat = 'zz'")
+    assert none.count() == 0 and "v" in none.columns
+    # OR predicates compose with slice pruning
+    both = read_hudi_snapshot(
+        spark, t, where="cat = 'a' OR cat = 'b'"
+    )
+    assert both.count() == 10
 
 
 def test_hudi_mor_virtual_keys(spark, tmp_path):

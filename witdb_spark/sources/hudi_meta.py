@@ -214,8 +214,79 @@ def _spark_schema_from_log(log_path: str):
     )
 
 
+def _prune_mor_slices(
+    slices: dict, path: str, where: str
+) -> dict:
+    """Partition-dir pruning for MERGE_ON_READ (r11; the COW analog is
+    _prune_hudi_files): drop whole (partition, fileId) SLICES whose
+    hive-style partition values cannot satisfy the predicate — neither
+    the base file nor any log is ever listed. Conservative like every
+    pruner here: non-hive partition paths, unknown types, and
+    unanalyzable predicates keep the slice; callers re-apply the full
+    predicate."""
+    from witdb_spark.sources.delta_log import _typed_partition_value
+    from witdb_spark.sources.skipping import (
+        parse_predicate,
+        partition_value_can_match,
+        predicate_can_match,
+    )
+
+    part_fields = _hudi_partition_fields(path)
+    if not part_fields:
+        return slices
+    pred = parse_predicate(where)
+    if pred is None:
+        return slices
+    # partition column types from one base parquet footer when any
+    # slice has a base; log-only tables fall back to no typed pruning
+    type_by_col: dict[str, str] = {}
+    base_rel = next(
+        (sl["base"][1] for sl in slices.values() if sl["base"]), None
+    )
+    if base_rel is not None:
+        import pyarrow.parquet as pq
+
+        _ddl = {
+            "int64": "bigint", "int32": "int", "string": "string",
+            "large_string": "string", "double": "double",
+            "float": "float", "bool": "boolean", "date32[day]": "date",
+        }
+        arrow = pq.ParquetFile(
+            os.path.join(path, base_rel)
+        ).schema_arrow
+        for f in arrow:
+            t = str(f.type)
+            type_by_col[f.name] = _ddl.get(
+                t, "timestamp" if "timestamp" in t else ""
+            )
+    kept = {}
+    for (part, fid), sl in slices.items():
+        vals: dict[str, str | None] = {}
+        for comp in part.split("/"):
+            k, sep, v = comp.partition("=")
+            if sep:
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+
+        def atom(cl, _vals=vals) -> bool:
+            if cl.col not in part_fields or cl.col not in _vals:
+                return True
+            val = _typed_partition_value(
+                _vals[cl.col], type_by_col.get(cl.col, "")
+            )
+            if val is NotImplemented:
+                return True
+            return partition_value_can_match(cl, val)
+
+        if predicate_can_match(pred, atom):
+            kept[(part, fid)] = sl
+    return kept
+
+
 def _read_mor_snapshot(
-    spark: SparkSession, path: str, as_of_instant: str | None
+    spark: SparkSession, path: str, as_of_instant: str | None,
+    where: str | None = None,
 ) -> DataFrame:
     """MERGE_ON_READ snapshot (reference plugin/trino-hudi is
     read-optimized only; this is the snapshot semantics the hudi
@@ -238,6 +309,14 @@ def _read_mor_snapshot(
         # r11: virtual keys — materialize the merge key material
         return _read_mor_snapshot_virtual(spark, path, as_of_instant, props)
     slices = _hudi_file_slices(path, as_of_instant)
+    if where is not None:
+        # slice-level partition pruning — the caller re-applies the
+        # full predicate, so this can never change results
+        slices = _prune_mor_slices(slices, path, where)
+        if not slices:
+            # every slice pruned: a typed empty frame via the unpruned
+            # plan with LIMIT 0 (metadata-scale; nothing executes)
+            return _read_mor_snapshot(spark, path, as_of_instant).limit(0)
     base_files = sorted(
         os.path.join(path, sl["base"][1])
         for sl in slices.values()
@@ -559,11 +638,16 @@ def read_hudi_snapshot(
     every file group was retired (delete-all) reads as a TYPED empty
     frame from the newest commit's schema metadata. ``where`` (r10)
     prunes partitioned COW scans by hive-dir partition values before
-    the scan is built (MOR applies the filter only), then re-applies
-    the full predicate — pruning never changes results."""
+    the scan is built; r11 extends the same pruning to MOR at SLICE
+    grain (base and logs of a non-matching partition are never
+    listed). The full predicate always re-applies — pruning never
+    changes results."""
     props = _properties(path)
     if props.get("hoodie.table.type", "COPY_ON_WRITE") == "MERGE_ON_READ":
-        out = _read_mor_snapshot(spark, path, as_of_instant)
+        # r11: where= prunes whole file SLICES by hive-dir partition
+        # values before base or log files are listed; the full
+        # predicate re-applies below, so pruning never changes results
+        out = _read_mor_snapshot(spark, path, as_of_instant, where=where)
         return out.filter(where) if where is not None else out
     files = hudi_base_files(path, as_of_instant)
     if files:
