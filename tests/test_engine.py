@@ -1221,3 +1221,58 @@ def test_sql_lakehouse_table_refs(spark, tmp_path):
     assert len(spark.table(e._lake_ref_views[-1]).inputFiles()) < len(
         read_iceberg_snapshot(spark, ti).inputFiles()
     )
+
+
+def test_sql_comma_self_join_no_pushdown(spark, tmp_path):
+    """r12 (ADVICE r11): a comma self-join of the SAME lakehouse path
+    (FROM delta.'p' a, delta.'p' b) shares one temp view, so a pushed
+    a-side predicate would also filter b — pushdown must refuse when
+    the ref occurs more than once (the \\bJOIN\\b guard misses
+    commas) and the cross join must return every pair."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+
+    eng = Engine(spark)
+    t = str(tmp_path / "selfjoin")
+    write_delta(
+        spark,
+        spark.range(0, 5).selectExpr("id", "id * 10 AS x").coalesce(1),
+        t, mode="create",
+    )
+    rows = eng.sql(
+        f"SELECT a.id AS aid, b.id AS bid FROM delta.'{t}' a,"
+        f" delta.'{t}' b WHERE a.id = 1"
+    ).collect()
+    assert sorted((r.aid, r.bid) for r in rows) == [
+        (1, b) for b in range(5)
+    ]
+    # single-ref pushdown still prunes (alias-stripped predicate)
+    one = eng.sql(
+        f"SELECT t.id FROM delta.'{t}' t WHERE t.id = 1"
+    ).collect()
+    assert [r.id for r in one] == [1]
+
+
+def test_sql_dollar_in_plain_path(spark, tmp_path):
+    """r12 (ADVICE r11): '$' inside a table DIRECTORY name
+    (/data/proj$v2/tbl-style) is not a metadata-table spelling — only
+    a KNOWN $name suffix routes to metadata_table; anything else reads
+    as a plain path."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+
+    eng = Engine(spark)
+    d = tmp_path / "proj$v2"
+    d.mkdir()
+    t = str(d / "tbl")
+    write_delta(
+        spark, spark.range(0, 3).selectExpr("id").coalesce(1),
+        t, mode="create",
+    )
+    got = eng.sql(
+        f"SELECT id FROM delta.'{t}' ORDER BY id"
+    ).collect()
+    assert [r.id for r in got] == [0, 1, 2]
+    # the metadata spelling still routes on a known suffix
+    hist = eng.sql(f"SELECT version FROM delta.'{t}$history'").collect()
+    assert [r.version for r in hist] == [0]

@@ -720,9 +720,12 @@ class Engine:
         refs = [m for m in pat.finditer(text) if not instr[m.start()]]
         if not refs:
             return text
-        distinct = {(m.group(1).lower(), m.group("path")) for m in refs}
         where = None
-        if len(distinct) == 1 and not _re.search(
+        # exactly ONE ref occurrence: the same path twice (a comma
+        # self-join — FROM delta.'p' a, delta.'p' b) shares one temp
+        # view, so a pushed one-side predicate would wrongly filter
+        # the other side too (the \bJOIN\b guard can't see commas)
+        if len(refs) == 1 and not _re.search(
             r"\bJOIN\b|\(\s*SELECT\b", text, _re.I
         ):
             wm = _re.search(
@@ -777,15 +780,20 @@ class Engine:
                 df = None
                 if "$" in key[1]:
                     # fmt.'<path>$<name>' — the reference's system
-                    # metadata tables ("table$history" spelling)
+                    # metadata tables ("table$history" spelling). Only
+                    # a KNOWN suffix routes here; a plain directory
+                    # whose name contains '$' (/data/proj$v2/tbl)
+                    # stays a normal table read
                     from witdb_spark.sources.meta_tables import (
+                        is_metadata_name,
                         metadata_table,
                     )
 
                     tbl_path, _, meta_name = key[1].rpartition("$")
-                    df = metadata_table(
-                        self.spark, key[0], tbl_path, meta_name
-                    )
+                    if is_metadata_name(key[0], meta_name):
+                        df = metadata_table(
+                            self.spark, key[0], tbl_path, meta_name
+                        )
                 if df is None and where is not None:
                     try:
                         df = read_table(

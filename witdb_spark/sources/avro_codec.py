@@ -443,12 +443,20 @@ def _encode(schema, value, names, out: bytearray):
                 if isinstance(schema, dict)
                 else None
             )
-            unit = 1_000 if lt == "timestamp-millis" else 1_000_000
             epoch = datetime.datetime(
                 1970, 1, 1, tzinfo=value.tzinfo
             )
-            value = round(
-                (value - epoch).total_seconds() * unit
+            # integer (days, seconds, microseconds) arithmetic is
+            # exact at any timestamp; float total_seconds() drifts a
+            # microsecond at extreme dates
+            delta = value - epoch
+            micros = (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
+            value = (
+                micros // 1_000 if lt == "timestamp-millis" else micros
             )
         elif isinstance(value, datetime.date):
             value = (value - datetime.date(1970, 1, 1)).days

@@ -1598,7 +1598,7 @@ def _cm_write_type(dt):
     return dt
 
 
-def _stage_physical(df, metadata: dict):
+def _stage_physical(df, metadata: dict, extra_cols: tuple[str, ...] = ()):
     """For column-mapped tables (delta.columnMapping.mode=name/id),
     convert a LOGICAL DataFrame into the physical staging form the
     protocol requires of writers: columns renamed to each field's
@@ -1607,7 +1607,9 @@ def _stage_physical(df, metadata: dict):
     spark.sql.parquet.fieldId.write.enabled); nested types rename +
     stamp recursively through a positional cast to the physical twin
     type (_cm_write_type). Returns (staged df, physical partition
-    column names). Unmapped tables pass through."""
+    column names). Unmapped tables pass through. ``extra_cols`` are
+    carried VERBATIM after the mapped columns — CDC staging keeps
+    ``_change_type`` un-mapped, the delta-spark convention."""
     from pyspark.sql import functions as F
 
     cfg = metadata.get("configuration") or {}
@@ -1640,6 +1642,7 @@ def _stage_physical(df, metadata: dict):
         sel.append(
             col.alias(pn, metadata={"parquet.field.id": int(fid)})
         )
+    sel += [F.col(c) for c in extra_cols]
     return df.select(*sel), [phys[c] for c in part_cols]
 
 
@@ -1746,6 +1749,107 @@ def _stage_data_files(
         adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
+
+
+def _cdf_enabled(metadata: dict) -> bool:
+    return (
+        (metadata.get("configuration") or {})
+        .get("delta.enableChangeDataFeed", "false")
+        .lower()
+        == "true"
+    )
+
+
+def _stage_cdc_files(change_df, path: str, metadata: dict) -> list[dict]:
+    """Write labeled change rows (table columns + ``_change_type``) as
+    Change Data Files under ``_change_data/`` (Delta PROTOCOL.md "Add
+    CDC File" / "Writer Requirements for AddCDCFile") and return their
+    ``cdc`` actions. Partitioned like data files (hive dirs, physical
+    partitionValues); ``_change_type`` itself is stored literally and
+    never column-mapped, matching delta-spark. cdc actions carry
+    dataChange=false per the protocol. A ZERO-row change set still
+    stages one empty cdc file: a commit that rewrote files without
+    changing any row must carry an authoritative (empty) cdc action or
+    readers would synthesize the whole rewritten files as changes."""
+    import glob
+    import shutil
+    import uuid
+
+    staged, phys_parts = _stage_physical(
+        change_df, metadata, extra_cols=("_change_type",)
+    )
+    empty = staged.isEmpty()
+    parts_eff = [] if empty else list(phys_parts)
+    if parts_eff:
+        from pyspark.sql.types import StringType
+
+        from witdb_spark.sources.paths import escape_empty_partition_expr
+
+        for c in parts_eff:
+            if isinstance(staged.schema[c].dataType, StringType):
+                staged = staged.withColumn(
+                    c, escape_empty_partition_expr(F.col(c))
+                )
+    staging = os.path.join(path, f".staging-cdc-{uuid.uuid4().hex}")
+    writer = (staged.coalesce(1) if empty else staged).write.mode(
+        "overwrite"
+    )
+    if parts_eff:
+        writer = writer.partitionBy(*parts_eff)
+    writer.parquet(staging)
+    actions = []
+    for f in glob.glob(
+        os.path.join(staging, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(f, staging)
+        dest = os.path.join(path, "_change_data", rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(f, dest)
+        actions.append(
+            {
+                "cdc": {
+                    "path": "_change_data/" + rel.replace(os.sep, "/"),
+                    "partitionValues": _partition_values_from_rel(
+                        rel, parts_eff
+                    ),
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def _cdc_classify(before, after, on: list[str]):
+    """Row-level change rows between two images of the same logical
+    relation keyed by ``on`` (MERGE's change stream): rows common to
+    both images drop out; a key present in both diffs emits an
+    update_preimage/update_postimage pair, a key only in the before
+    diff emits delete, only in the after diff emits insert. Pure
+    set-algebra over DataFrames — exceptAll + semi/anti joins, no
+    driver collect."""
+    pre = before.exceptAll(after)
+    post = after.exceptAll(before)
+    k_pre = pre.select(*on).distinct()
+    k_post = post.select(*on).distinct()
+    ct = "_change_type"
+    return (
+        pre.join(k_post, on, "left_semi")
+        .withColumn(ct, F.lit("update_preimage"))
+        .unionByName(
+            pre.join(k_post, on, "left_anti")
+            .withColumn(ct, F.lit("delete"))
+        )
+        .unionByName(
+            post.join(k_pre, on, "left_semi")
+            .withColumn(ct, F.lit("update_postimage"))
+        )
+        .unionByName(
+            post.join(k_pre, on, "left_anti")
+            .withColumn(ct, F.lit("insert"))
+        )
+    )
 
 
 def _try_commit(path: str, version: int, actions: list[dict]) -> bool:

@@ -1070,6 +1070,24 @@ def hudi_update_where(
 
     props = _properties(path)
     if props.get("hoodie.table.type") == "MERGE_ON_READ":
+        # the record key is immutable (hudi's own contract — the same
+        # guard _hudi_mor_merge applies): assigning it would route the
+        # post-image through hudi_log_upsert as an unmatched key and
+        # INSERT a fresh base group while the old key stays live —
+        # a silent duplicate instead of an update
+        key_fields = {
+            k.strip()
+            for k in (
+                props.get("hoodie.table.recordkey.fields") or ""
+            ).split(",")
+            if k.strip()
+        }
+        hit = key_fields & set(assignments)
+        if hit:
+            raise HudiProtocolError(
+                f"the record key field(s) {sorted(hit)} are immutable"
+                " — UPDATE cannot assign them"
+            )
         matched = read_hudi_snapshot(spark, path).where(predicate_sql)
         if matched.isEmpty():
             return None
@@ -1571,6 +1589,7 @@ def _write_log_blocks_distributed(
         import json as _json
         import math as _math
         import os as _os
+        import uuid as _uuid
 
         import pandas as _pd
 
@@ -1630,11 +1649,10 @@ def _write_log_blocks_distributed(
         parent = _os.path.dirname(final)
         if parent:
             _os.makedirs(parent, exist_ok=True)
-        tmp = final + ".tmp"
-        try:
-            _os.remove(tmp)
-        except FileNotFoundError:
-            pass
+        # per-attempt unique tmp: a speculative/zombie duplicate of
+        # this task must not interleave appends into a shared tmp —
+        # whichever attempt's os.replace lands last wins whole
+        tmp = final + f".{_uuid.uuid4().hex}.tmp"
         if recs:
             append_log_block(
                 tmp,

@@ -24,6 +24,13 @@ class MetadataTableError(ValueError):
     pass
 
 
+def is_metadata_name(fmt: str, name: str) -> bool:
+    """True when ``$name`` is a known metadata table for ``fmt`` —
+    callers use this to distinguish the ``table$history`` spelling
+    from a plain path that happens to contain '$'."""
+    return (fmt.lower(), name.lower()) in _TABLES
+
+
 def metadata_table(
     spark: SparkSession, fmt: str, path: str, name: str
 ) -> DataFrame:
@@ -118,7 +125,14 @@ def _delta_partitions(spark: SparkSession, path: str) -> DataFrame:
                 stats = {}
         cur = agg.setdefault(key, [0, 0])
         cur[0] += 1
-        cur[1] += int(stats.get("numRecords") or 0)
+        # rows shadowed by a deletion vector are not live — subtract
+        # its cardinality from the file's numRecords
+        dv = add.get("deletionVector") or {}
+        cur[1] += max(
+            0,
+            int(stats.get("numRecords") or 0)
+            - int(dv.get("cardinality") or 0),
+        )
     rows = [
         (json.dumps(dict(zip(part_cols, k))), n, rec)
         for k, (n, rec) in sorted(agg.items(), key=lambda kv: kv[0] or ())
