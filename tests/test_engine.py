@@ -952,7 +952,10 @@ def test_sql_table_changes_function(spark, tmp_path):
         spark,
         spark.range(0, 6).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
         t, mode="create",
-        configuration={"delta.enableDeletionVectors": "true"},
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
     )
     delta_delete_where(spark, t, "id >= 4")
     rows = eng.sql(

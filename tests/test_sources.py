@@ -3423,13 +3423,15 @@ def test_delta_restore(spark, tmp_path):
 
 
 def test_delta_table_changes_cdf(spark, tmp_path):
-    """r11: delta_table_changes — the reference's
-    TABLE(system.table_changes(...)) (plugin/trino-delta-lake
-    tablechanges/TableChangesFunction.java) synthesized from the
-    transaction log: appends yield inserts, DV DELETE commits yield
-    exactly the newly-shadowed rows, DV UPDATE commits yield
-    update_preimage/update_postimage pairs, stacked vectors diff
-    correctly, and ranges/gates behave."""
+    """r11/r12: delta_table_changes (Delta PROTOCOL.md 'Change Data
+    Files'; beyond-reference — Trino 411 has no table_changes): the
+    feed requires delta.enableChangeDataFeed=true, DML commits carry
+    authoritative cdc parquet under _change_data/, appends replay as
+    synthesized inserts, DV DELETE yields exactly the deleted rows, DV
+    UPDATE yields update_preimage/update_postimage pairs, and
+    ranges/gates behave."""
+    import glob as _glob
+
     import pytest
 
     from witdb_spark.sources.delta_log import (
@@ -3448,7 +3450,10 @@ def test_delta_table_changes_cdf(spark, tmp_path):
             "id bigint, v double, cat string",
         ).coalesce(2),
         t, mode="create", partition_by=["cat"],
-        configuration={"delta.enableDeletionVectors": "true"},
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
     )
     # v1: append
     write_delta(
@@ -3497,7 +3502,14 @@ def test_delta_table_changes_cdf(spark, tmp_path):
     # range restriction
     sub = delta_table_changes(spark, t, 2, 3).collect()
     assert {r["_commit_version"] for r in sub} == {2, 3}
-    # COW delete (fresh table, no DV config): remove yields live rows
+    # the DML commits wrote real Change Data Files
+    assert _glob.glob(
+        os.path.join(t, "_change_data", "**", "*.parquet"),
+        recursive=True,
+    )
+    # COW delete on a CDF table: the rewrite commit carries cdc — a
+    # 1-row delete emits EXACTLY one change row, not the whole
+    # rewritten file's pre/post pairs
     tc = str(tmp_path / "cdf_cow")
     write_delta(
         spark,
@@ -3505,21 +3517,34 @@ def test_delta_table_changes_cdf(spark, tmp_path):
             [(i, float(i)) for i in range(4)], "id bigint, v double"
         ).coalesce(1),
         tc, mode="create",
+        configuration={"delta.enableChangeDataFeed": "true"},
     )
     delta_delete_where(spark, tc, "id = 1")
     cow = delta_table_changes(spark, tc, 1, 1).collect()
-    got = sorted((r.id, r._change_type) for r in cow)
-    # the rewrite removes the old file (4 live rows out) and adds the
-    # survivor file (3 rows in) — net change = delete of id=1
-    assert got == [
-        (0, "delete"), (0, "insert"), (1, "delete"),
-        (2, "delete"), (2, "insert"), (3, "delete"), (3, "insert"),
+    assert [(r.id, r.v, r._change_type) for r in cow] == [
+        (1, 1.0, "delete")
+    ]
+    # COW update: exactly one pre/post pair
+    delta_update_where(spark, tc, "id = 2", {"v": "v * 10"})
+    upd = delta_table_changes(spark, tc, 2, 2).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in upd) == [
+        (2, 2.0, "update_preimage"),
+        (2, 20.0, "update_postimage"),
     ]
     # out-of-range requests are loud
     with pytest.raises(ValueError, match="outside"):
         delta_table_changes(spark, tc, 0, 99)
     # timestamps are real
     assert all(r["_commit_timestamp"] is not None for r in ch)
+    # a table that never enabled CDF refuses loudly
+    tn = str(tmp_path / "cdf_off")
+    write_delta(
+        spark, spark.range(0, 3).selectExpr("id"), tn, mode="create"
+    )
+    with pytest.raises(
+        DeltaProtocolError, match="enableChangeDataFeed"
+    ):
+        delta_table_changes(spark, tn)
 
 
 def test_iceberg_refs(spark, tmp_path):
@@ -5736,3 +5761,192 @@ def test_avro_reencode_extreme_timestamp_exact(spark):
             ) // 1_000
         assert got_ts == micros, (want, got_ts, micros)
         assert got_ms == micros // 1_000
+
+
+def test_delta_cdf_merge_classification(spark, tmp_path):
+    """r12: MERGE on a CDF table writes a Change Data File whose rows
+    classify per-key — updated keys as pre/post pairs, deleted keys as
+    delete, new keys as insert, carried-verbatim rows in rewritten
+    files emit NOTHING (the r11 over-report this replaces)."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_merge_into,
+        delta_table_changes,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    for dv in (False, True):
+        t = str(tmp_path / f"cdf_merge_{dv}")
+        cfg = {"delta.enableChangeDataFeed": "true"}
+        if dv:
+            cfg["delta.enableDeletionVectors"] = "true"
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(6)], "id bigint, v double"
+            ).coalesce(1),
+            t, mode="create", configuration=cfg,
+        )
+        src = spark.createDataFrame(
+            [(1, -1.0), (3, 0.0), (9, 9.0), (5, 5.0)],
+            "id bigint, v double",
+        )
+        delta_merge_into(
+            spark, t, src, on=["id"],
+            when_matched_delete=F.col("src.v") == 0.0,
+            when_matched_update={"v": F.col("src.v")},
+        )
+        # id=1 updated (0->-1), id=3 deleted, id=9 inserted, id=5
+        # matched but value unchanged -> NO change row
+        ch = sorted(
+            (r.id, r.v, r._change_type)
+            for r in delta_table_changes(spark, t, 1, 1).collect()
+        )
+        assert ch == [
+            (1, -1.0, "update_postimage"),
+            (1, 1.0, "update_preimage"),
+            (3, 3.0, "delete"),
+            (9, 9.0, "insert"),
+        ], (dv, ch)
+        got = {
+            r.id: r.v for r in read_delta_snapshot(spark, t).collect()
+        }
+        assert got == {0: 0.0, 1: -1.0, 2: 2.0, 4: 4.0, 5: 5.0, 9: 9.0}
+
+
+def test_delta_cdf_column_mapped(spark, tmp_path):
+    """r12 (closes the r11 gate): CDF on column-mapped tables — the
+    change reads route through the physical-schema path (renamed data
+    files + literally-stored _change_type in the cdc parquet), both
+    mapping modes, partitioned."""
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_table_changes,
+        delta_update_where,
+        write_delta,
+    )
+
+    for cm in ("name", "id"):
+        t = str(tmp_path / f"cdf_cm_{cm}")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i), "ab"[i % 2]) for i in range(6)],
+                "id bigint, v double, cat string",
+            ).coalesce(1),
+            t, mode="create", partition_by=["cat"],
+            configuration={
+                "delta.columnMapping.mode": cm,
+                "delta.enableChangeDataFeed": "true",
+            },
+        )
+        delta_delete_where(spark, t, "id = 2")
+        delta_update_where(spark, t, "id = 3", {"v": "v + 100"})
+        ch = delta_table_changes(spark, t).collect()
+        by_ver: dict = {}
+        for r in ch:
+            by_ver.setdefault(r["_commit_version"], []).append(r)
+        assert sorted(
+            (r.id, r.cat, r._change_type) for r in by_ver[0]
+        ) == [(i, "ab"[i % 2], "insert") for i in range(6)]
+        assert [(r.id, r.v, r.cat, r._change_type) for r in by_ver[1]] == [
+            (2, 2.0, "a", "delete")
+        ]
+        assert sorted(
+            (r.id, r.v, r._change_type) for r in by_ver[2]
+        ) == [
+            (3, 3.0, "update_preimage"),
+            (3, 103.0, "update_postimage"),
+        ]
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """r12: partition-spec evolution (Iceberg spec 'Partition
+    Evolution') — iceberg_evolve_spec appends a new default spec as a
+    metadata-only commit; old manifests keep their own spec-id, reads
+    resolve each manifest's structs against ITS spec, pruning stays
+    sound across specs, and field-ids are stable for repeated
+    (source, transform) pairs."""
+    import pytest
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        iceberg_evolve_spec,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_evolve")
+    rows0 = [(i, float(i), "ab"[i % 2]) for i in range(8)]
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            rows0, "id bigint, v double, cat string"
+        ).coalesce(1),
+        t, mode="create",  # spec 0: unpartitioned
+    )
+    # evolve: identity on cat
+    sid1 = iceberg_evolve_spec(spark, t, ["cat"])
+    assert sid1 == 1
+    rows1 = [(i, float(i), "ab"[i % 2]) for i in range(100, 108)]
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            rows1, "id bigint, v double, cat string"
+        ).coalesce(1),
+        t, mode="append",
+    )
+    # evolve again: bucket(4, id)
+    sid2 = iceberg_evolve_spec(spark, t, ["bucket(4, id)"])
+    assert sid2 == 2
+    rows2 = [(i, float(i), "ab"[i % 2]) for i in range(200, 208)]
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            rows2, "id bigint, v double, cat string"
+        ).coalesce(1),
+        t, mode="append",
+    )
+    meta = _current_metadata(t)
+    assert meta["default-spec-id"] == 2
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1, 2]
+    # full read sees every spec's files
+    allrows = {(r.id, r.cat) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert allrows == {(i, c) for i, _, c in rows0 + rows1 + rows2}
+    # pruned read == unpruned + filter (soundness across specs)
+    want = sorted(
+        r.id for r in read_iceberg_snapshot(spark, t)
+        .where("cat = 'a'").collect()
+    )
+    pruned = read_iceberg_snapshot(spark, t, where="cat = 'a'")
+    assert sorted(r.id for r in pruned.collect()) == want
+    # the spec-1 'b'-partition file is actually pruned; spec-0/2 files
+    # stay (their specs can't prune on cat)
+    full_files = set(read_iceberg_snapshot(spark, t).inputFiles())
+    assert len(set(pruned.inputFiles())) < len(full_files)
+    # re-evolving an existing shape reuses its spec-id + field-ids
+    assert iceberg_evolve_spec(spark, t, ["cat"]) == 1
+    meta2 = _current_metadata(t)
+    assert len(meta2["partition-specs"]) == 3
+    fid_cat = [
+        f["field-id"]
+        for s in meta2["partition-specs"]
+        for f in s["fields"]
+        if f["transform"] == "identity"
+    ]
+    assert len(set(fid_cat)) == 1  # stable field-id across specs
+    # appends under the re-pointed default keep working
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(300, 0.5, "a")], "id bigint, v double, cat string"
+        ),
+        t, mode="append",
+    )
+    assert read_iceberg_snapshot(spark, t).count() == 25
+    # bad column is loud
+    with pytest.raises(IcebergProtocolError, match="not in the schema"):
+        iceberg_evolve_spec(spark, t, ["nope"])

@@ -3111,15 +3111,15 @@ def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_nationkey AS BIGINT), 'RENAMED', 'update_postimage', 2
     FROM nation WHERE n_nationkey = 4
     """,
-    doc="Delta Change Data Feed (r11, delta_log.py delta_table_changes;"
-    " reference plugin/trino-delta-lake tablechanges/"
-    "TableChangesFunction.java — TABLE(system.table_changes(...))): "
-    "nation lands in a deletion-vector Delta table, a DV DELETE "
-    "shadows a key stripe and a DV UPDATE rewrites one name; the "
-    "change stream synthesizes from the log — creates as inserts, "
-    "exactly the newly-shadowed rows as deletes (positions decoded on "
-    "executors), update_preimage/update_postimage pairs for the "
-    "UPDATE — and must hash-equal the hand-replayed oracle.",
+    doc="Delta Change Data Feed (r11; r12 gates on "
+    "delta.enableChangeDataFeed and the DML writes real Change Data "
+    "Files — Delta PROTOCOL.md 'Change Data Files'; beyond-reference: "
+    "Trino 411 has no table_changes): nation lands in a CDF+DV Delta "
+    "table, a DV DELETE shadows a key stripe and a DV UPDATE rewrites "
+    "one name — both commits carry cdc parquet under _change_data/ "
+    "(authoritative), the create replays as synthesized inserts "
+    "(add-only commits are exact without cdc) — and the stream must "
+    "hash-equal the hand-replayed oracle.",
     tags=("source", "lakehouse", "cdc"),
 )
 def delta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3144,7 +3144,10 @@ def delta_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     write_delta(
         spark, base.coalesce(2), path, mode="create",
-        configuration={"delta.enableDeletionVectors": "true"},
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
     )
     delta_delete_where(spark, path, "n_nationkey % 5 = 2")
     delta_update_where(
@@ -3308,3 +3311,58 @@ def sql_lakehouse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHERE o_orderstatus = 'F' AND o_orderkey <= 5000"
         " GROUP BY o_orderpriority"
     )
+
+
+@register(
+    "iceberg_spec_evolution_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+    doc="Partition-spec EVOLUTION reads (r12, iceberg_meta.py "
+    "iceberg_evolve_spec + spec-routed pruning in "
+    "read_iceberg_snapshot; Iceberg spec 'Partition Evolution', "
+    "reference plugin/trino-iceberg manifest handling): nation lands "
+    "unpartitioned (spec 0), the spec evolves to identity on "
+    "n_regionkey (metadata-only commit), a second append lands under "
+    "spec 1, and a pruned read on n_regionkey resolves each "
+    "manifest's partition structs against ITS OWN spec — the spec-1 "
+    "manifest prunes by partition, the spec-0 one conservatively "
+    "scans and re-filters. Result must hash-equal the plain filtered "
+    "oracle (pruning never changes results).",
+    tags=("source", "lakehouse", "writer"),
+)
+def iceberg_spec_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_evolve_spec,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_evolve_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("n_nationkey < 12").coalesce(1),
+        path, mode="create",
+    )
+    iceberg_evolve_spec(spark, path, ["n_regionkey"])
+    write_iceberg(
+        spark, src.filter("n_nationkey >= 12").coalesce(1),
+        path, mode="append",
+    )
+    return read_iceberg_snapshot(spark, path, where="n_regionkey = 2")

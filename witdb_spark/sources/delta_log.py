@@ -1140,26 +1140,31 @@ def delta_table_changes(
     start_version: int = 0,
     end_version: int | None = None,
 ) -> DataFrame:
-    """Change Data Feed over a version range — the reference's
-    ``TABLE(system.table_changes(...))`` table function
-    (plugin/trino-delta-lake/.../tablechanges/TableChangesFunction.java):
-    per commit, explicit ``cdc`` actions are AUTHORITATIVE when present
-    (their parquet carries _change_type; PROTOCOL.md 'Add CDC File' —
-    other adds/removes in that commit are not changes); otherwise the
-    changes synthesize from the log: fresh adds yield their rows, data
-    removes yield the file's live rows (minus its deletion vector as of
-    the PRIOR version), and a same-path DV re-add yields exactly the
-    newly-shadowed positions. Labels follow commitInfo.operation —
+    """Change Data Feed over a version range. BEYOND-REFERENCE: the
+    reference (Trino 411) has no table_changes function — the
+    semantics here follow Delta PROTOCOL.md "Change Data Files" / "Add
+    CDC File" and delta-spark's CDCReader, which later Trino versions
+    also adopted. Requires delta.enableChangeDataFeed=true (r12 gate —
+    real readers refuse tables that never recorded change files). Per
+    commit, explicit ``cdc`` actions are AUTHORITATIVE when present
+    (their parquet carries _change_type; other adds/removes in that
+    commit are not changes — this repo's own DML writes them, see
+    _stage_cdc_files); otherwise the changes synthesize from the log,
+    which is exact for the commit shapes CDF-enabled writers may leave
+    cdc-less (blind appends -> inserts, whole-file deletes -> deletes,
+    DV re-adds -> exactly the newly-shadowed positions, RESTORE's
+    whole-file add/remove). Labels follow commitInfo.operation —
     UPDATE commits label update_preimage/update_postimage, everything
     else delete/insert. Output = table columns + _change_type,
     _commit_version, _commit_timestamp.
 
     DV position sets are decoded ON EXECUTORS (_dv_positions_df) and
     filtered by semi/anti joins on (file, row_index) row tags — the
-    driver handles only descriptors. Loud scope gates: column-mapped
-    tables, a schema change inside the range, and commits already
-    dropped from the log (checkpoint-subsumed/vacuumed) — CDC needs
-    the original commit JSONs, the same requirement the reference has."""
+    driver handles only descriptors. Column-mapped tables (name/id)
+    read through the physical-schema path like read_delta_snapshot
+    (r12). Loud scope gates: a schema change inside the range, and
+    commits already dropped from the log (checkpoint-subsumed or
+    vacuumed) — CDC needs the original commit JSONs."""
     from pyspark.sql.types import StructType as _ST
 
     from witdb_spark.sources.paths import norm_path_expr
@@ -1183,27 +1188,61 @@ def delta_table_changes(
     _, metadata, _, _ = _snapshot_state(
         spark, path, end, None, allow_dvs=True, allow_name_mapping=True
     )
-    if (metadata.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) != "none":
+    if not _cdf_enabled(metadata):
         raise DeltaProtocolError(
-            "table_changes on a column-mapped table needs the"
-            " delta-spark jar"
+            "table_changes requires delta.enableChangeDataFeed=true —"
+            " set it in the table configuration (at CREATE or via a"
+            " metadata commit) BEFORE the change range; without it"
+            " writers record no Change Data Files and rewrite commits"
+            " cannot be replayed row-exactly (Delta PROTOCOL.md"
+            " 'Change Data Files')"
         )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    cfg = metadata.get("configuration") or {}
+    cm_mode = cfg.get("delta.columnMapping.mode", "none")
+    mapped = cm_mode in ("name", "id")
+    phys = {f.name: f.name for f in schema.fields}
+    phys_part = dict(phys)
+    if mapped:
+        for f in schema.fields:
+            phys_part[f.name] = _cm_physical_name(f)
+        if cm_mode == "name":
+            phys = dict(phys_part)
+        else:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
-    data_schema = _ST(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    from pyspark.sql.types import StringType as _StringT
+    from pyspark.sql.types import StructField as _SF
 
-    def read_files(file_pvs: list[tuple[str, dict]]):
-        """[(rel path, partitionValues)] -> DataFrame with row tags
-        (__dv_file/__dv_pos) and typed partition literals injected —
-        the same grouping the snapshot reader uses."""
+    if cm_mode == "name":
+        phys_fields = [
+            _SF(phys[f.name], _cm_physical_type(f.dataType), f.nullable)
+            for f in data_fields
+        ]
+    elif cm_mode == "id":
+        phys_fields = [_cm_fieldid_field(f) for f in data_fields]
+    else:
+        phys_fields = [
+            _SF(f.name, f.dataType, f.nullable) for f in data_fields
+        ]
+
+    def read_files(file_pvs: list[tuple[str, dict]], with_ct=False):
+        """[(rel path, partitionValues)] -> DataFrame with typed
+        partition literals injected and (data files) __dv_file/__dv_pos
+        row tags — the same cm-aware grouping the snapshot reader uses.
+        ``with_ct`` reads Change Data Files: ``_change_type`` appended
+        to the scan schema (stored un-mapped), no row tags."""
+        scan_schema = _ST(
+            phys_fields
+            + ([_SF("_change_type", _StringT())] if with_ct else [])
+        )
         groups: dict[tuple, list[str]] = {}
         for rel, pv in file_pvs:
-            key = tuple((pv or {}).get(c) for c in part_cols)
+            key = tuple((pv or {}).get(phys_part[c]) for c in part_cols)
             groups.setdefault(key, []).append(
                 os.path.join(path, unquote(rel))
             )
@@ -1212,15 +1251,27 @@ def delta_table_changes(
             groups.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            df = spark.read.schema(data_schema).parquet(*sorted(files))
-            df = df.withColumns(
-                {
-                    "__dv_file": norm_path_expr(
-                        F.col("_metadata.file_path")
-                    ),
-                    "__dv_pos": F.col("_metadata.row_index"),
-                }
-            )
+            df = spark.read.schema(scan_schema).parquet(*sorted(files))
+            if not with_ct:
+                df = df.withColumns(
+                    {
+                        "__dv_file": norm_path_expr(
+                            F.col("_metadata.file_path")
+                        ),
+                        "__dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            if mapped:
+                keep = [
+                    F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                    for f in data_fields
+                ]
+                keep += (
+                    [F.col("_change_type")]
+                    if with_ct
+                    else [F.col("__dv_file"), F.col("__dv_pos")]
+                )
+                df = df.select(*keep)
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(
                     c, F.lit(raw).cast(part_fields[c].dataType)
@@ -1286,46 +1337,25 @@ def delta_table_changes(
             or int(os.path.getmtime(commits[v]) * 1000)
         )
         if cdcs:
-            # explicit CDC parquet: carries _change_type physically;
-            # partition values injected from the action like data files
-            from pyspark.sql.types import StringType, StructField
-
-            cdc_schema = _ST(
-                data_schema.fields
-                + [StructField("_change_type", StringType())]
+            # explicit Change Data Files: carry _change_type physically
+            # (authoritative for this commit — adds/removes are not
+            # changes); cm-aware read via the shared scanner. An empty
+            # cdc file (a rewrite that changed no row) contributes
+            # zero rows and still suppresses synthesis.
+            cdf = read_files(
+                [(c["path"], c.get("partitionValues")) for c in cdcs],
+                with_ct=True,
             )
-            groups: dict[tuple, list[str]] = {}
-            for c in cdcs:
-                key = tuple(
-                    (c.get("partitionValues") or {}).get(pc)
-                    for pc in part_cols
+            changes.append(
+                cdf.select(
+                    *[F.col(f.name) for f in schema.fields],
+                    F.col("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.timestamp_millis(F.lit(ts)).alias(
+                        "_commit_timestamp"
+                    ),
                 )
-                groups.setdefault(key, []).append(
-                    os.path.join(path, unquote(c["path"]))
-                )
-            for key, files in sorted(
-                groups.items(),
-                key=lambda kv: tuple(
-                    (x is None, x or "") for x in kv[0]
-                ),
-            ):
-                cdf = spark.read.schema(cdc_schema).parquet(
-                    *sorted(files)
-                )
-                for pc, raw in zip(part_cols, key):
-                    cdf = cdf.withColumn(
-                        pc, F.lit(raw).cast(part_fields[pc].dataType)
-                    )
-                changes.append(
-                    cdf.select(
-                        *[F.col(f.name) for f in schema.fields],
-                        F.col("_change_type"),
-                        F.lit(v).cast("long").alias("_commit_version"),
-                        F.timestamp_millis(F.lit(ts)).alias(
-                            "_commit_timestamp"
-                        ),
-                    )
-                )
+            )
         else:
             op = str(info.get("operation") or "").upper()
             pre_label = (
@@ -1998,11 +2028,17 @@ def _rewrite_matched_files(
     predicate_sql: str,
     operation: str,
     rewrite,
+    cdc_rows=None,
 ) -> dict:
     """Shared copy-on-write kernel for DELETE/UPDATE (reference delta
     connector row-level operations): files CONTAINING matches are
     rewritten through ``rewrite(rows_of_those_files)``; the rest of the
-    table is untouched. One commit: remove(touched) + add(rewrites)."""
+    table is untouched. One commit: remove(touched) + add(rewrites).
+    When delta.enableChangeDataFeed=true, ``cdc_rows(touched_rows)``
+    supplies the labeled change rows (table columns + _change_type)
+    and the SAME commit carries their Change Data Files — readers
+    replay exactly the changed rows, never the whole rewritten
+    files."""
     from pyspark.sql import functions as F
 
     for _ in range(5):
@@ -2039,6 +2075,11 @@ def _rewrite_matched_files(
         # physically (rename + parquet field ids) per the protocol
         stage_df, stage_parts = _stage_physical(rewrite(touched), metadata)
         adds = _stage_data_files(stage_df, path, stage_parts)
+        cdc_actions = (
+            _stage_cdc_files(cdc_rows(touched), path, metadata)
+            if cdc_rows is not None and _cdf_enabled(metadata)
+            else []
+        )
         actions = (
             [
                 {
@@ -2059,6 +2100,7 @@ def _rewrite_matched_files(
                 for p in sorted(removed)
             ]
             + adds
+            + cdc_actions
         )
         if _try_commit(path, version + 1, actions):
             return {
@@ -2100,7 +2142,19 @@ def delta_delete_where(
                 "version": delta_table_version(spark, path),
                 "files_rewritten": 0,
             }
-        v = _dv_commit_distributed(spark, path, per_file)
+        extra = (
+            _stage_cdc_files(
+                matched.drop("__dv_file", "__dv_pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                path, metadata,
+            )
+            if _cdf_enabled(metadata)
+            else []
+        )
+        v = _dv_commit_distributed(
+            spark, path, per_file, extra_actions=extra
+        )
         return {"version": v, "files_rewritten": 0}
     return _rewrite_matched_files(
         spark,
@@ -2108,6 +2162,9 @@ def delta_delete_where(
         predicate_sql,
         "DELETE",
         lambda rows: rows.filter(f"NOT ({predicate_sql})"),
+        cdc_rows=lambda rows: rows.filter(predicate_sql).withColumn(
+            "_change_type", F.lit("delete")
+        ),
     )
 
 
@@ -2159,6 +2216,18 @@ def delta_update_where(
         # mapped table would read back all-NULL
         stage_df, stage_parts = _stage_physical(updated, metadata)
         adds = _stage_data_files(stage_df, path, stage_parts)
+        if _cdf_enabled(metadata):
+            pre = matched.drop("__dv_file", "__dv_pos")
+            adds += _stage_cdc_files(
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    updated.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                ),
+                path, metadata,
+            )
         v = _dv_commit_distributed(
             spark, path, per_file, extra_actions=adds, operation="UPDATE"
         )
@@ -2169,8 +2238,18 @@ def delta_update_where(
             rows, predicate_sql, assignments, DeltaProtocolError
         )
 
+    def cdc_rows(rows):
+        m = rows.filter(predicate_sql)
+        return m.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            _apply_assignments(
+                m, predicate_sql, assignments, DeltaProtocolError
+            ).withColumn("_change_type", F.lit("update_postimage"))
+        )
+
     return _rewrite_matched_files(
-        spark, path, predicate_sql, "UPDATE", rewrite
+        spark, path, predicate_sql, "UPDATE", rewrite, cdc_rows=cdc_rows
     )
 
 
@@ -2208,6 +2287,16 @@ def _delta_merge_dv(
     stage_df, stage_parts = _stage_physical(survivors, metadata)
     adds = _stage_data_files(stage_df, path, stage_parts)
     if per_file:
+        if _cdf_enabled(metadata):
+            # MERGE's change stream: diff the matched image against
+            # the merged one — carried-verbatim rows emit nothing
+            adds += _stage_cdc_files(
+                _cdc_classify(
+                    matched.drop("__dv_file", "__dv_pos"),
+                    survivors, on,
+                ),
+                path, metadata,
+            )
         v = _dv_commit_distributed(
             spark, path, per_file, extra_actions=adds, operation="MERGE"
         )
@@ -2302,6 +2391,15 @@ def delta_merge_into(
         adds = _stage_data_files(stage_df, path, stage_parts)
         if not removed and not adds:
             return {"version": version, "files_rewritten": 0}
+        cdc_actions = []
+        if removed and _cdf_enabled(metadata):
+            # a rewrite commit on a CDF table must carry Change Data
+            # Files (even empty ones) or readers would synthesize the
+            # whole rewritten files; insert-only merges stay cdc-less
+            # (add-only synthesis is exact)
+            cdc_actions = _stage_cdc_files(
+                _cdc_classify(touched, merged, on), path, metadata
+            )
         actions = (
             [
                 {
@@ -2322,6 +2420,7 @@ def delta_merge_into(
                 for p in sorted(removed)
             ]
             + adds
+            + cdc_actions
         )
         if _try_commit(path, version + 1, actions):
             return {

@@ -240,8 +240,12 @@ def _iceberg_scan(
                 # manifest-level partition pruning: callers pass a
                 # conservative can-match over the entry's partition
                 # struct (read_iceberg_snapshot where=); pruned files
-                # are never listed, opened, or row-tagged
-                if prune is not None and not prune(df_rec):
+                # are never listed, opened, or row-tagged. The entry's
+                # struct resolves against ITS manifest's spec-id
+                # (partition evolution, r12).
+                if prune is not None and not prune(
+                    df_rec, mf.get("partition_spec_id", 0)
+                ):
                     continue
                 data.append((tgt, seq if seq is not None else 0))
     return data, deletes, _schema_fields(meta)
@@ -474,18 +478,23 @@ def read_iceberg_snapshot(
         pred_tree = parse_predicate(where)
         if pred_tree is not None:
             meta0 = _current_metadata(path)
-            specs = {
-                s["spec-id"]: s
+            # r12 partition-spec EVOLUTION: each manifest's partition
+            # structs/summaries are resolved against the manifest's OWN
+            # spec-id (spec 'Partition Evolution' — specs are never
+            # rewritten), not the table's default
+            spec_fields = {
+                s["spec-id"]: (s.get("fields") or [])
                 for s in meta0.get("partition-specs") or []
             }
-            pf = specs.get(meta0.get("default-spec-id", 0), {}).get(
-                "fields"
-            ) or []
             sf = _table_schema(meta0)["fields"]
 
-            def prune(df_rec, _pf=pf, _sf=sf, _pred=pred_tree):
+            def prune(
+                df_rec, spec_id, _sfd=spec_fields, _sf=sf, _pred=pred_tree
+            ):
                 # per-atom evaluation so OR composes as a union of
                 # domains (each helper ANDs a singleton clause list)
+                _pf = _sfd.get(spec_id) or []
+
                 def atom(cl):
                     if _pf and not partition_struct_can_match(
                         [cl], _pf, _sf, df_rec.get("partition")
@@ -495,12 +504,19 @@ def read_iceberg_snapshot(
 
                 return predicate_can_match(_pred, atom)
 
-            if pf:
+            if any(spec_fields.values()):
                 from witdb_spark.sources.iceberg_transforms import (
                     manifest_summary_can_match,
                 )
 
-                def prune_manifest(mf, _pf=pf, _sf=sf, _pred=pred_tree):
+                def prune_manifest(
+                    mf, _sfd=spec_fields, _sf=sf, _pred=pred_tree
+                ):
+                    _pf = _sfd.get(
+                        mf.get("partition_spec_id", 0)
+                    ) or []
+                    if not _pf:
+                        return True  # unpartitioned-spec manifest
                     return predicate_can_match(
                         _pred,
                         lambda cl: manifest_summary_can_match(
@@ -1087,6 +1103,94 @@ def _column_stats(file_path: str, schema: dict) -> dict:
     return out
 
 
+def iceberg_evolve_spec(
+    spark: SparkSession, path: str, partition_by: list[str]
+) -> int:
+    """ALTER-style partition-spec EVOLUTION (Iceberg spec 'Partition
+    Evolution'; reference plugin/trino-iceberg/.../IcebergMetadata.java
+    setTablePartitioning): append a NEW spec built from
+    ``partition_by`` (bare columns or transform spellings —
+    ``bucket(16, id)``, ``days(ts)``, ``[]`` = unpartitioned) and make
+    it the default for FUTURE writes. Metadata-only commit: no
+    snapshot, no data rewrite — every existing manifest keeps its own
+    spec-id and readers resolve each manifest's partition structs
+    against that spec (r12, read_iceberg_snapshot pruning). A
+    (source-id, transform) pair that already exists in ANY spec reuses
+    its field-id, the spec's stability rule; a field set identical to
+    an existing spec just repoints default-spec-id. Returns the new
+    default spec id."""
+    from witdb_spark.sources.iceberg_transforms import (
+        default_field_name,
+        parse_partition_by,
+        result_type,
+    )
+
+    meta = _current_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "spec evolution on a format-v1 Iceberg table needs the"
+            " iceberg-spark-runtime jar"
+        )
+    schema = _table_schema(meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    specs = list(
+        meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    )
+    existing_fid = {
+        (f["transform"], f["source-id"]): f["field-id"]
+        for s in specs
+        for f in s.get("fields") or []
+    }
+    last_pid = meta.get(
+        "last-partition-id",
+        max(existing_fid.values(), default=999),
+    )
+    fields = []
+    for entry in partition_by or []:
+        c, transform = parse_partition_by(entry)
+        if c not in by_name:
+            raise IcebergProtocolError(
+                f"partition column {c!r} not in the schema"
+            )
+        result_type(transform, by_name[c]["type"])  # loud gate
+        fid = existing_fid.get((transform, by_name[c]["id"]))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        fields.append(
+            {
+                "name": default_field_name(c, transform),
+                "transform": transform,
+                "source-id": by_name[c]["id"],
+                "field-id": fid,
+            }
+        )
+    shape = [(f["transform"], f["source-id"]) for f in fields]
+    for s in specs:
+        if [
+            (f["transform"], f["source-id"])
+            for f in s.get("fields") or []
+        ] == shape:
+            new_id = s["spec-id"]
+            break
+    else:
+        new_id = max(s["spec-id"] for s in specs) + 1
+        specs = specs + [{"spec-id": new_id, "fields": fields}]
+
+    def build(cur):
+        new = dict(cur)
+        new["partition-specs"] = specs
+        new["default-spec-id"] = new_id
+        new["last-partition-id"] = max(
+            last_pid, cur.get("last-partition-id", 999)
+        )
+        new["last-updated-ms"] = _now_ms_ice()
+        return new
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+    return new_id
+
+
 def write_iceberg(
     spark: SparkSession,
     df,
@@ -1252,7 +1356,12 @@ def write_iceberg(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                # the spec these entries were STAGED under (the current
+                # default); prior manifests keep their own spec-id —
+                # partition evolution never rewrites them
+                "partition_spec_id": (
+                    0 if meta is None else meta.get("default-spec-id", 0)
+                ),
                 "content": 0,
                 "added_snapshot_id": snap_id,
                 "sequence_number": seq,
@@ -1500,7 +1609,8 @@ def _iceberg_posdelete_commit_df(
     if sum(1 for s in specs.values() if s.get("fields")) > 1:
         raise IcebergProtocolError(
             "position deletes under partition-spec EVOLUTION need the"
-            " iceberg-spark-runtime jar (per-manifest spec routing)"
+            " iceberg-spark-runtime jar (per-manifest spec routing —"
+            " reads work jar-free since r12; iceberg_evolve_spec)"
         )
     _maintenance_gate(meta, "write_position_deletes")
     schema = _table_schema(meta)
@@ -1608,7 +1718,21 @@ def _iceberg_posdelete_commit_df(
             "file_size_in_bytes": r["nbytes"],
         }
         if part_fields:
-            rec["partition"] = part_by_file[r["f"]] or {}
+            struct = part_by_file[r["f"]]
+            if struct is None or any(
+                pf["name"] not in struct for pf in part_fields
+            ):
+                # the target was written under an OLDER spec whose
+                # struct lacks the default spec's fields — writing it
+                # into a default-spec delete manifest would misdescribe
+                # it to library readers (evolution write gate; reads
+                # are spec-routed since r12)
+                raise IcebergProtocolError(
+                    f"position delete target {r['f']} predates the"
+                    " current partition spec — compact/rewrite it"
+                    " first, or add the iceberg-spark-runtime jar"
+                )
+            rec["partition"] = struct
         delete_records.append(rec)
     return _commit_delete_snapshot(
         path, base_cur, prior, snap_id, seq, None, None, None,
