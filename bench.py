@@ -107,10 +107,54 @@ def _wait_for_quiet_box() -> bool:
     return os.getloadavg()[0] <= LOAD_GATE
 
 
+def _round_number() -> int:
+    """Next round number inferred from the driver's BENCH_r{N}.json
+    files — at bench time the current round's file does not exist yet,
+    so max(existing)+1 names this run's archive."""
+    import glob
+    import re
+
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+        for m in [re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))]
+        if m
+    ]
+    return (max(ns) + 1) if ns else 0
+
+
+def _load_prev_stages():
+    """The previous round's stage sidecar for delta_vs_prev (r12,
+    VERDICT r11 task 4: byte drift must self-adjudicate — sidecars are
+    archived per round now, so the comparison needs no archaeology).
+    Prefers the newest BENCH_STAGES_r{N}.json; falls back to the
+    un-numbered r11-era sidecar."""
+    import glob
+    import re
+
+    cands = glob.glob(os.path.join(REPO_ROOT, "BENCH_STAGES_r*.json"))
+
+    def rn(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    path = (
+        max(cands, key=rn)
+        if cands
+        else os.path.join(REPO_ROOT, "BENCH_STAGES.json")
+    )
+    try:
+        with open(path) as f:
+            return json.load(f), os.path.basename(path)
+    except (OSError, ValueError):
+        return None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    prev_stages, prev_name = _load_prev_stages()
     quiet = _wait_for_quiet_box()
 
     from witdb_spark.queries import QUERIES
@@ -190,22 +234,59 @@ def main() -> None:
             "per_query_1m": load_per_query,
         },
     }
+    # r12 (VERDICT r11 task 4): per-query byte comparison against the
+    # previous round's archived sidecar, IN the headline — a wall/CPU
+    # delta with bytes_flat covering the query is machine noise by the
+    # numbers; a query in bytes_changed is a real plan/volume change.
+    if prev_stages and stage_deltas and prev_stages.get("sf") == out["sf"]:
+        prev_sm = prev_stages.get("stage_metrics_per_run") or {}
+        byte_keys = ("shuffle_read_b", "shuffle_write_b", "input_b")
+        flat, changed = [], {}
+        for qname, cur in stage_deltas.items():
+            p = prev_sm.get(qname)
+            if p is None:
+                continue
+            diffs = {
+                k: [p.get(k, 0), cur[k]]
+                for k in byte_keys
+                if abs(cur[k] - p.get(k, 0))
+                > max(1024, 0.02 * max(cur[k], p.get(k, 0)))
+            }
+            if diffs:
+                changed[qname] = diffs
+            else:
+                flat.append(qname)
+        out["delta_vs_prev"] = {
+            "baseline": prev_name,
+            "bytes_flat": sorted(flat),
+            "bytes_changed": changed,
+        }
     # r7 stdout contract fix (VERDICT r6 "What's wrong #2"): the driver
     # tail-captures stdout and BENCH_r06 truncated mid-JSON once stage
     # metrics rode the headline line. Stage metrics now go to a sidecar
     # file (and an EARLIER stdout line for humans); the compact headline
     # object is the LAST stdout line, small enough for any tail window.
     if stage_deltas:
+        sidecar = {
+            "sf": out["sf"],
+            "stage_metrics_per_run": stage_deltas,
+            "spread_min_median_max_sec": spreads,
+        }
+        # r12: the sidecar is ARCHIVED per round (BENCH_STAGES_r{N})
+        # so round-over-round byte comparison never needs archaeology;
+        # the un-numbered name stays for compatibility. Only the
+        # default-SF (driver) run archives — ad-hoc sf0.01 iteration
+        # must not clobber the round record.
         try:
             with open(os.path.join(REPO_ROOT, "BENCH_STAGES.json"), "w") as f:
-                json.dump(
-                    {
-                        "sf": out["sf"],
-                        "stage_metrics_per_run": stage_deltas,
-                        "spread_min_median_max_sec": spreads,
-                    },
-                    f,
-                )
+                json.dump(sidecar, f)
+            if "SPARK_GRAFT_SF_DIR" not in os.environ:
+                rn = _round_number()
+                with open(
+                    os.path.join(REPO_ROOT, f"BENCH_STAGES_r{rn:02d}.json"),
+                    "w",
+                ) as f:
+                    json.dump(sidecar, f)
         except OSError:
             pass
         print(json.dumps({"stage_metrics_per_run": stage_deltas}))

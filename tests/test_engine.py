@@ -1070,9 +1070,19 @@ def test_sql_metadata_tables(spark, tmp_path):
     ).collect()
     assert joined[0].n == 10
 
-    # unknown metadata table name is loud with the supported list
-    with pytest.raises(Exception, match="supported"):
+    # r12 (ADVICE r11): an unknown $suffix is treated as a PLAIN PATH
+    # (directories may legitimately contain '$'), so the front door
+    # reports a missing table, not a metadata-table error; the direct
+    # metadata_table API stays loud with the supported list
+    with pytest.raises(Exception, match="not a Delta table"):
         eng.sql(f"SELECT * FROM delta.'{td}$bogus'").collect()
+    from witdb_spark.sources.meta_tables import (
+        MetadataTableError,
+        metadata_table,
+    )
+
+    with pytest.raises(MetadataTableError, match="supported"):
+        metadata_table(spark, "delta", td, "bogus")
 
 
 def test_sql_dml_parser_corners(spark, tmp_path):
@@ -1279,3 +1289,53 @@ def test_sql_dollar_in_plain_path(spark, tmp_path):
     # the metadata spelling still routes on a known suffix
     hist = eng.sql(f"SELECT version FROM delta.'{t}$history'").collect()
     assert [r.version for r in hist] == [0]
+
+
+def test_sql_alter_table_partitioning(spark, tmp_path):
+    """r12: the reference's spec-evolution SQL spelling —
+    ALTER TABLE iceberg.'<path>' SET PROPERTIES partitioning =
+    ARRAY[...] (trino-iceberg setTableProperties) routes to
+    iceberg_evolve_spec; transform spellings with embedded commas
+    parse; other properties refuse loudly."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        write_iceberg,
+    )
+
+    eng = Engine(spark)
+    t = str(tmp_path / "alter_ice")
+    write_iceberg(
+        spark,
+        spark.range(0, 4).selectExpr(
+            "id", "CAST(id % 2 AS STRING) AS cat"
+        ),
+        t, mode="create",
+    )
+    out = eng.sql(
+        f"ALTER TABLE iceberg.'{t}' SET PROPERTIES partitioning ="
+        " ARRAY['cat', 'bucket(4, id)']"
+    ).collect()
+    assert out[0].spec_id == 1
+    meta = _current_metadata(t)
+    assert meta["default-spec-id"] == 1
+    fields = meta["partition-specs"][1]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("cat", "identity"), ("id_bucket", "bucket[4]"),
+    ]
+    # appends under the evolved spec just work through the writer
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, "9")], "id bigint, cat string"),
+        t, mode="append",
+    )
+    rows = eng.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{t}'"
+    ).collect()
+    assert rows[0].n == 5
+    with pytest.raises(NotImplementedError, match="partitioning"):
+        eng.sql(
+            f"ALTER TABLE iceberg.'{t}' SET PROPERTIES foo = 'bar'"
+        )

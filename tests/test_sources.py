@@ -1717,8 +1717,12 @@ def test_iceberg_append_gates_and_passthrough(spark, tmp_path):
         {"refs": dict(m["refs"], dev={
             "snapshot-id": m["snapshots"][0]["snapshot-id"],
             "type": "branch"})}))
+    # r12: APPENDS are gate-exempt with a diverged branch present
+    # (they delete nothing and touch no other ref); the destructive
+    # surface — overwrite and maintenance — still refuses
+    write_iceberg(spark, df, t3, mode="append")
     with pytest.raises(IcebergProtocolError, match="diverged branch"):
-        write_iceberg(spark, df, t3, mode="append")
+        write_iceberg(spark, df, t3, mode="overwrite")
     # unknown-field passthrough on a clean append
     t4 = str(tmp_path / "passtbl")
     write_iceberg(spark, df, t4, mode="create")
@@ -2779,12 +2783,17 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
            read_hudi_snapshot(spark, t, as_of_instant=i1)
            .select("id", "v").collect()}
     assert old == {i: float(i) for i in range(10)}
-    # virtual-key WRITES stay loud
-    with pytest.raises(HudiProtocolError, match="bundle"):
-        hudi_log_upsert(
-            spark, t,
-            spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
-        )
+    # virtual-key WRITES work since r12: the upsert routes by the
+    # declared key column and appends a data-only log record
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
+    )
+    got2 = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+            .select("id", "v").collect()}
+    assert got2[1] == 9.0 and len(got2) == 10
+    want.update({1: 9.0})
+    assert got2 == want
     # COMPOSITE record keys (r11): row identity = the tuple of key
     # columns, so the (3, -3.0) log record is a NEW identity, not an
     # update of (3, 3.0) — both are visible
@@ -2798,7 +2807,7 @@ def test_hudi_mor_virtual_keys(spark, tmp_path):
     comp = {(r.id, r.v) for r in read_hudi_snapshot(spark, t)
             .select("id", "v").collect()}
     assert {(3, 3.0), (3, -3.0), (7, 7.0), (7, -7.0)} <= comp
-    assert len(comp) == 12
+    assert len(comp) == 13  # 10 base + 3 distinct log identities
 
 
 def test_hudi_mor_null_partition_values(spark, tmp_path):
@@ -5950,3 +5959,356 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
     # bad column is loud
     with pytest.raises(IcebergProtocolError, match="not in the schema"):
         iceberg_evolve_spec(spark, t, ["nope"])
+
+
+def test_hudi_library_avro_delete_block(spark, tmp_path):
+    """r12: header-less DELETE log blocks in the LIBRARY's avro-list
+    serialization (HoodieDeleteBlock v3: int32 version, int32 length,
+    binary-avro HoodieDeleteRecordList) decode jar-free — both
+    published orderingVal union shapes — and merge as tombstones;
+    kryo payloads (v1/v2) stay loud."""
+    import glob as _glob
+    import struct as _struct
+
+    import pytest
+
+    from witdb_spark.sources.avro_codec import _encode, _register
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_DELETE,
+        HEADER_INSTANT_TIME,
+        HudiLogError,
+        _delete_record_list_schema,
+        append_log_block,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_libdel")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id bigint, v double"
+        ).coalesce(1),
+        t,
+        record_key="id",
+    )
+    hudi_log_upsert(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(i, float(i) + 0.5) for i in range(3)],
+            "id bigint, v double",
+        ),
+    )
+    logs = _glob.glob(os.path.join(t, "**", ".*.log.*"), recursive=True)
+    assert logs, "expected a MOR log file"
+    log = logs[0]
+    instant = log_entries(log)[0][1]
+
+    def lib_delete_content(keys, wrappers, ver=3):
+        schema = _delete_record_list_schema(wrappers)
+        names: dict = {}
+        _register(schema, names)
+        payload = bytearray()
+        _encode(
+            schema,
+            {
+                "deleteRecordList": [
+                    {
+                        "recordKey": str(k),
+                        "partitionPath": "",
+                        "orderingVal": ov,
+                    }
+                    for k, ov in keys
+                ]
+            },
+            names,
+            payload,
+        )
+        return _struct.pack(">ii", ver, len(payload)) + bytes(payload)
+
+    # primitive-union shape deletes id=1; wrapper shape deletes id=2
+    append_log_block(
+        log, BLOCK_DELETE, {HEADER_INSTANT_TIME: instant},
+        lib_delete_content([("1", None)], wrappers=False),
+    )
+    append_log_block(
+        log, BLOCK_DELETE, {HEADER_INSTANT_TIME: instant},
+        lib_delete_content(
+            [("2", {"value": 7})], wrappers=True
+        ),
+    )
+    got = {
+        r.id: r.v for r in read_hudi_snapshot(spark, t).collect()
+    }
+    assert got == {0: 0.5, 3: 3.0, 4: 4.0, 5: 5.0}
+    # tombstones surface through log_entries with synthesized keys
+    tombs = [
+        rec["_hoodie_record_key"]
+        for rec, _i, is_del in log_entries(log)
+        if is_del
+    ]
+    assert sorted(tombs) == ["1", "2"]
+    # kryo serialization versions stay loud
+    append_log_block(
+        log, BLOCK_DELETE, {HEADER_INSTANT_TIME: instant},
+        lib_delete_content([("3", None)], wrappers=False, ver=2),
+    )
+    with pytest.raises(HudiLogError, match="kryo|hudi-spark"):
+        log_entries(log)
+
+
+def test_hudi_virtual_key_mor_writes(spark, tmp_path):
+    """r12 (closes the r11 write gate): full jar-free write lifecycle
+    on VIRTUAL-KEY MOR tables (hoodie.populate.meta.fields=false) —
+    create without meta columns, log-insert fresh log-only groups,
+    upsert routes by the declared key columns (updates append
+    data-only log records, new keys land as base groups), COMPOSITE
+    keys roundtrip, partitioned tables stage hive-style."""
+    import glob as _glob
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    # ---- single key, unpartitioned
+    t = str(tmp_path / "virt_w")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id bigint, v double"
+        ).coalesce(1),
+        t, record_key="id", populate_meta_fields=False,
+    )
+    snap = read_hudi_snapshot(spark, t)
+    assert "_hoodie_commit_time" not in snap.columns
+    assert {r.id: r.v for r in snap.collect()} == {
+        i: float(i) for i in range(6)
+    }
+    # base parquet carries NO meta columns
+    base = _glob.glob(os.path.join(t, "*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    assert not [
+        c for c in pq.ParquetFile(base).schema_arrow.names
+        if c.startswith("_hoodie_")
+    ]
+    # upsert: update 3 existing + insert 1 new
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, -0.5), (5, -5.5), (100, 1.0)], "id bigint, v double"
+        ),
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {0: -0.5, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0,
+                   5: -5.5, 100: 1.0}
+    # log file exists and carries data-only records
+    from witdb_spark.sources.hudi_log import log_entries
+
+    log = _glob.glob(os.path.join(t, ".*.log.*"))[0]
+    rec = log_entries(log)[0][0]
+    assert "_hoodie_record_key" not in rec and "id" in rec
+    # log-insert starts fresh log-only groups
+    hudi_log_insert(
+        spark, t,
+        spark.createDataFrame([(200, 2.0)], "id bigint, v double"),
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got[200] == 2.0 and len(got) == 8
+    # upsert into the log-only group routes to its log
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(200, -2.0)], "id bigint, v double"),
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got[200] == -2.0 and len(got) == 8
+
+    # ---- COMPOSITE key + partitioned
+    t2 = str(tmp_path / "virt_comp")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, "xy"[i % 2], float(i)) for i in range(6)],
+            "id bigint, grp string, v double",
+        ).coalesce(1),
+        t2, record_key="id,grp", partition_by=["grp"],
+        populate_meta_fields=False,
+    )
+    # same id, different grp = different identity; updates route by
+    # the (id, grp) tuple
+    hudi_log_upsert(
+        spark, t2,
+        spark.createDataFrame(
+            [(2, "x", -2.0), (2, "y", 99.0)],
+            "id bigint, grp string, v double",
+        ),
+    )
+    got = {(r.id, r.grp): r.v
+           for r in read_hudi_snapshot(spark, t2).collect()}
+    assert got[(2, "x")] == -2.0      # update of the existing (2, x)
+    assert got[(2, "y")] == 99.0      # NEW identity (2, y): insert
+    assert len(got) == 7
+    # hive-style partition dirs staged
+    assert os.path.isdir(os.path.join(t2, "grp=x"))
+
+
+def test_iceberg_branch_writes(spark, tmp_path):
+    """r12: branch WRITE routing (spec 'Refs') — append on top of a
+    named branch's head: the new snapshot parents the branch head, the
+    ref moves, main stays untouched; the branch may keep growing
+    (diverged lineage is linear); main appends stay gate-exempt with
+    diverged branches present; create/overwrite on a branch refuse;
+    expire_snapshots keeps retaining ref'd heads."""
+    import pytest
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        iceberg_create_ref,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_branch")
+    write_iceberg(
+        spark,
+        spark.range(0, 5).selectExpr("id"), t, mode="create",
+    )
+    iceberg_create_ref(t, "audit", ref_type="branch")
+    # write to the branch: main unchanged, branch sees the new rows
+    write_iceberg(
+        spark,
+        spark.range(100, 103).selectExpr("id"), t, branch="audit",
+    )
+    main_ids = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    br_ids = {
+        r.id
+        for r in read_iceberg_snapshot(spark, t, ref="audit").collect()
+    }
+    assert main_ids == set(range(5))
+    assert br_ids == set(range(5)) | {100, 101, 102}
+    # the branch keeps growing linearly (already-diverged case)
+    write_iceberg(
+        spark, spark.range(200, 201).selectExpr("id"), t, branch="audit"
+    )
+    br_ids = {
+        r.id
+        for r in read_iceberg_snapshot(spark, t, ref="audit").collect()
+    }
+    assert 200 in br_ids and len(br_ids) == 9
+    # main appends stay allowed while a diverged branch exists
+    write_iceberg(spark, spark.range(5, 7).selectExpr("id"), t)
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    } == set(range(7))
+    # branch unaffected by the main append
+    assert {
+        r.id
+        for r in read_iceberg_snapshot(spark, t, ref="audit").collect()
+    } == set(range(5)) | {100, 101, 102, 200}
+    meta = _current_metadata(t)
+    # parentage recorded; main's snapshot-log has no branch commits
+    br_head = meta["refs"]["audit"]["snapshot-id"]
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert "parent-snapshot-id" in by_id[br_head]
+    log_ids = {e["snapshot-id"] for e in meta["snapshot-log"]}
+    assert br_head not in log_ids
+    # unknown branch / non-append modes are loud
+    with pytest.raises(IcebergProtocolError, match="no branch"):
+        write_iceberg(
+            spark, spark.range(1).selectExpr("id"), t, branch="nope"
+        )
+    with pytest.raises(IcebergProtocolError, match="append-only"):
+        write_iceberg(
+            spark, spark.range(1).selectExpr("id"), t,
+            mode="overwrite", branch="audit",
+        )
+
+
+def test_hudi_parquet_data_block(spark, tmp_path):
+    """r12: PARQUET_DATA log blocks (hudi's HoodieParquetDataBlock —
+    the content IS an in-memory parquet file) decode jar-free via
+    pyarrow and merge like AVRO_DATA records; non-parquet payloads
+    stay loud; HFILE blocks stay loud."""
+    import glob as _glob
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_HFILE_DATA,
+        BLOCK_PARQUET_DATA,
+        HEADER_INSTANT_TIME,
+        HudiLogError,
+        append_log_block,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "mor_pq")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id bigint, v double"
+        ).coalesce(1),
+        t, record_key="id",
+    )
+    # start a log on the slice via a normal upsert, then append a
+    # library-style PARQUET block updating id=1 (meta-columned records,
+    # what populate.meta.fields=true tables carry)
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(0, -0.5)], "id bigint, v double"),
+    )
+    log = _glob.glob(os.path.join(t, ".*.log.*"))[0]
+    instant = log_entries(log)[-1][1]
+    i2 = str(int(instant) + 1)
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "_hoodie_commit_time": [i2],
+                "_hoodie_commit_seqno": [f"{i2}_0_0"],
+                "_hoodie_record_key": ["1"],
+                "_hoodie_partition_path": [""],
+                "_hoodie_file_name": [""],
+                "id": pa.array([1], type=pa.int64()),
+                "v": pa.array([111.0], type=pa.float64()),
+            }
+        ),
+        buf,
+    )
+    append_log_block(
+        log, BLOCK_PARQUET_DATA, {HEADER_INSTANT_TIME: i2},
+        buf.getvalue(),
+    )
+    with open(os.path.join(t, ".hoodie", f"{i2}.deltacommit"), "w") as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {"": []},
+                "operationType": "UPSERT",
+            },
+            f,
+        )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {0: -0.5, 1: 111.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    # non-parquet payload refuses loudly
+    append_log_block(
+        log, BLOCK_PARQUET_DATA, {HEADER_INSTANT_TIME: i2}, b"JUNK",
+    )
+    with pytest.raises(HudiLogError, match="bundle"):
+        log_entries(log)

@@ -144,6 +144,56 @@ class Engine:
             # procedure/VacuumProcedure.java + OptimizeTableProcedure;
             # path-based tables here, so the argument is the table path)
             return self._call_delta_procedure(m.group(1).lower(), text, m)
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\s*\.\s*"
+            r"'(?P<path>[^']+)'\s+SET\s+PROPERTIES\s+"
+            r"(?P<key>[A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(?P<val>.+?)\s*;?\s*$",
+            text, re.I | re.S,
+        )
+        if m:
+            # the reference's spec-evolution front door: trino-iceberg's
+            # ALTER TABLE ... SET PROPERTIES partitioning = ARRAY[...]
+            # (IcebergMetadata.setTableProperties); other properties
+            # refuse loudly rather than silently no-op
+            if (
+                m.group("fmt").lower() == "iceberg"
+                and m.group("key").lower() == "partitioning"
+            ):
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_evolve_spec,
+                )
+
+                val = m.group("val").strip()
+                am = re.match(r"^ARRAY\s*\[(?P<items>.*)\]$", val, re.I | re.S)
+                if not am:
+                    raise ValueError(
+                        "partitioning expects ARRAY['col', 'bucket(N,"
+                        " col)', ...]"
+                    )
+                entries = [
+                    e.strip().strip("'")
+                    for e in am.group("items").split(",")
+                ]
+                # transform spellings contain commas — re-join split
+                # fragments until parens balance
+                joined: list[str] = []
+                for e in entries:
+                    if joined and joined[-1].count("(") > joined[-1].count(")"):
+                        joined[-1] = f"{joined[-1]}, {e}"
+                    else:
+                        joined.append(e)
+                spec_id = iceberg_evolve_spec(
+                    self.spark, m.group("path"),
+                    [e for e in joined if e],
+                )
+                return self.spark.createDataFrame(
+                    [(spec_id,)], "spec_id int"
+                )
+            raise NotImplementedError(
+                f"ALTER TABLE SET PROPERTIES {m.group('key')} on"
+                f" {m.group('fmt')} tables is not supported jar-free"
+                " (iceberg 'partitioning' is)"
+            )
         dml = self._sql_lakehouse_dml(text)
         if dml is not None:
             return dml

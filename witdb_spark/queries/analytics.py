@@ -3366,3 +3366,153 @@ def iceberg_spec_evolution_scan(
         path, mode="append",
     )
     return read_iceberg_snapshot(spark, path, where="n_regionkey = 2")
+
+
+@register(
+    "hudi_virtual_key_upsert",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 7 = 3 THEN 'VPATCH'
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS BIGINT), 'VNEW',
+           CAST(n_regionkey AS BIGINT)
+    FROM nation WHERE n_nationkey < 3
+    """,
+    doc="VIRTUAL-KEY MOR write lifecycle (r12, hudi_meta.py — "
+    "hoodie.populate.meta.fields=false; hudi's virtual-key mode, "
+    "which plugin/trino-hudi reads via the library's key generator): "
+    "nation lands as a meta-column-free MERGE_ON_READ base, one "
+    "upsert appends DATA-ONLY log records for every n%7=3 key and "
+    "inserts three fresh keys as new base groups; the virtual merge "
+    "reader derives keys from the declared column and commit times "
+    "from file names/log headers. Result must hash-equal the "
+    "hand-applied oracle.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def hudi_virtual_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_vkey_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(2), path,
+        record_key="n_nationkey", populate_meta_fields=False,
+    )
+    updates = base.filter("n_nationkey % 7 = 3").selectExpr(
+        "n_nationkey", "'VPATCH' AS n_name", "n_regionkey"
+    )
+    inserts = base.filter("n_nationkey < 3").selectExpr(
+        "n_nationkey + 1000 AS n_nationkey",
+        "'VNEW' AS n_name",
+        "n_regionkey",
+    )
+    hudi_log_upsert(spark, path, updates.unionByName(inserts))
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "hudi_library_delete_block_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 4 <> 1
+    """,
+    doc="Library-serialized DELETE log blocks (r12, hudi_log.py "
+    "decode_delete_block; hudi-common HoodieDeleteBlock v3 — int32 "
+    "version, int32 length, binary-avro HoodieDeleteRecordList): "
+    "nation lands as a MOR base + one upsert log, then a HEADER-LESS "
+    "DELETE block in the library's avro-list serialization (encoded "
+    "here byte-for-byte as the library frames it) tombstones every "
+    "n%4=1 key; the merge reader must decode it jar-free and drop "
+    "exactly those keys. Result must hash-equal the oracle.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def hudi_library_delete_block_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import shutil
+    import struct
+    import tempfile
+
+    from witdb_spark.sources.avro_codec import _encode, _register
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_DELETE,
+        HEADER_INSTANT_TIME,
+        _delete_record_list_schema,
+        append_log_block,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_libdel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path, record_key="n_nationkey"
+    )
+    # an ordinary upsert opens the slice's log file
+    hudi_log_upsert(
+        spark, path, base.filter("n_nationkey = 0").limit(1)
+    )
+    log = glob.glob(os.path.join(path, ".*.log.*"))[0]
+    instant = log_entries(log)[0][1]
+    victims = [
+        str(r.n_nationkey)
+        for r in base.filter("n_nationkey % 4 = 1")
+        .select("n_nationkey").collect()
+    ]
+    schema = _delete_record_list_schema(wrappers=False)
+    names: dict = {}
+    _register(schema, names)
+    payload = bytearray()
+    _encode(
+        schema,
+        {
+            "deleteRecordList": [
+                {"recordKey": k, "partitionPath": "", "orderingVal": None}
+                for k in victims
+            ]
+        },
+        names,
+        payload,
+    )
+    append_log_block(
+        log,
+        BLOCK_DELETE,
+        {HEADER_INSTANT_TIME: instant},
+        struct.pack(">ii", 3, len(payload)) + bytes(payload),
+    )
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )

@@ -52,49 +52,58 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r10: 294/296 driver-green at least
-# once; staleness by latest driver row: r4: 46, r6: 49, r7: 49, r8: 50,
-# r9: 50, r10: 50; never-checked: the 2 late-r10 registrations.
-# Round-11 window (prescribed by VERDICT r10 task 1): positions 1-2 the
-# two never-driver-checked late-r10 queries; 3-4 the r11-new queries
-# (log-only MERGE_ON_READ lifecycle, OR-predicate file skipping); 5-50
-# ALL 46 remaining r4-era greens — after r11 no query's last driver row
-# is older than r6. The 5 LATE-r11 registrations
-# (iceberg_mor_partitioned_dml, hudi_mor_log_delete_dml,
-# delta_table_changes_cdf, iceberg_incremental_scan,
-# hudi_incremental_read) were registered after this window froze;
-# all are contract-emulation green + TZ-probed locally and lead r12,
-# the staging the late-r10 pair used.
-# Engine-changed-in-r11 queries already holding an r10 row
-# (delta_skipping_scan / iceberg_pruned_scan over the new predicate
-# tree; the DV/posdelete/log-upsert DML paths now distributed) stay
-# out: the window is exactly full, their r10 rows are the freshest in
-# the ledger, delta_skipping_or_scan / hudi_mor_logonly_roundtrip
-# drive the new engines in-window, and every one keeps local DuckDB
+# queries. Cumulative ledger after r11: 298/303 driver-green at least
+# once, ZERO latest-row failures; staleness by latest driver row:
+# r6: 49, r7: 49, r8: 50, r9: 50, r10: 50, r11: 50; never-checked: the
+# 5 late-r11 registrations.
+# Round-12 window (VERDICT r11 task 1): positions 1-5 the five
+# never-driver-checked late-r11 queries (delta_table_changes_cdf's
+# ENGINE also changed this round: CDF now gates on
+# enableChangeDataFeed and the DML writes real cdc files — the oracle
+# is unchanged; iceberg_incremental_scan gained the branch-ancestry
+# filter); 6-8 the r12-new queries (partition-spec evolution reads,
+# virtual-key MOR writes, library avro-list DELETE blocks); 9-10 two
+# engine-changed-in-r12 queries holding recent rows
+# (sql_lakehouse_select — pushdown now refuses multi-occurrence refs;
+# iceberg_pruned_scan — pruning resolves per-manifest spec-ids); 11-50
+# forty of the 49 r6-era greens. The 9 deferred r6-era queries
+# (tpch_sql_q3/q7/q8/q9/q20/q21/q22, tpcds_sql_q70/q88 — all SQL
+# front-door texts whose engine family is represented in-window by
+# tpch_sql_q11/q13/q15/q17/q18/q2 and tpcds_sql_q36/q47) lead r13
+# alongside any r13-new; every deferred query keeps local DuckDB
 # coverage each pytest run (tests/test_queries_oracle.py parameterizes
-# the whole registry) plus the r11 no-row-collect gate.
+# the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (late-r10 registrations)
-    "hudi_mor_partitioned_roundtrip",
+    # never driver-checked (late-r11 registrations)
+    "iceberg_mor_partitioned_dml",
+    "hudi_mor_log_delete_dml",
+    "delta_table_changes_cdf",
+    "iceberg_incremental_scan",
+    "hudi_incremental_read",
+    # r12-new
+    "iceberg_spec_evolution_scan",
+    "hudi_virtual_key_upsert",
+    "hudi_library_delete_block_scan",
+    # engine changed in r12 (fresh rows exist, but the code under the
+    # query moved: re-drive)
     "sql_lakehouse_select",
-    # r11-new
-    "hudi_mor_logonly_roundtrip",
-    "delta_skipping_or_scan",
-    # all 46 r4-era greens (last driver row: CORRECTNESS_r04),
-    # registration order
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "similarity_topk", "similarity_lsh_buckets",
-    "embedding_near_dup", "text_quality", "multimodal_metadata",
-    "multimodal_frame_sample", "similarity_ivf_topk",
-    "math_funcs_parity", "json_funcs_parity", "regex_funcs_parity",
-    "binary_funcs_parity", "bitwise_funcs_parity", "array_hof_parity",
-    "url_funcs_parity", "sql_json_2016_parity", "geo_funcs_parity",
-    "geometry_funcs_parity", "try_fallback_parse", "mr_funnel",
-    "mr_sql_funnel", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q10", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q2",
-    "tpch_q11", "tpch_q20",
+    "iceberg_pruned_scan",
+    # 40 of the 49 r6-era greens (last driver row: CORRECTNESS_r06)
+    "bing_tile_funcs_parity", "codec_funcs_parity", "curation_chunks",
+    "curation_decontaminated", "curation_pii_scrub",
+    "curation_semantic_decontaminated", "curation_stratified_sample",
+    "dedup_clusters", "geometry_accessors_parity",
+    "geometry_union_agg_rollup", "groupby_grouping_operation",
+    "mr_all_rows_running", "mr_label_nav_all_rows",
+    "mr_nav_in_aggregate", "mr_nav_measures", "mr_pattern_window",
+    "mr_plateau_ends", "mr_price_slide", "mr_rally",
+    "multimodal_features", "multimodal_resize", "recursive_factorial",
+    "recursive_reachability", "spatial_join_distance",
+    "text_fingerprint", "text_langid", "text_repetition",
+    "text_tfidf_top_terms", "time_funcs_parity", "timetz_funcs_parity",
+    "tpcds_multicount_scan", "tpcds_rollup_rank", "tpcds_sql_q36",
+    "tpcds_sql_q47", "tpch_sql_q11", "tpch_sql_q13", "tpch_sql_q15",
+    "tpch_sql_q17", "tpch_sql_q18", "tpch_sql_q2",
 )
 
 

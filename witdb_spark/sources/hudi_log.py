@@ -25,8 +25,11 @@ per record int32 length + one binary-encoded Avro datum of the
 header's SCHEMA (decoded with sources/avro_codec's raw decoder — no
 container framing). COMMAND blocks are rollback markers: a command
 block targeting instant T invalidates earlier blocks of T in the same
-log. DELETE / HFILE / PARQUET / CDC blocks raise loudly (their
-payloads are library-serialization-specific).
+log. DELETE blocks decode both this module's SCHEMA-headered shape and
+the library's avro-list serialization (r12, decode_delete_block);
+PARQUET_DATA blocks decode via pyarrow (r12, decode_parquet_block —
+the content IS a parquet file). HFILE / CDC blocks and kryo DELETE
+payloads raise loudly (library-serialization-specific).
 """
 
 from __future__ import annotations
@@ -42,6 +45,8 @@ BLOCK_COMMAND = 0
 BLOCK_DELETE = 1
 BLOCK_CORRUPT = 2
 BLOCK_AVRO_DATA = 3
+BLOCK_HFILE_DATA = 4
+BLOCK_PARQUET_DATA = 5
 
 HEADER_INSTANT_TIME = 0
 HEADER_TARGET_INSTANT_TIME = 1
@@ -126,6 +131,135 @@ def decode_avro_block(content: bytes, schema_json: str) -> list[dict]:
     return out
 
 
+def _delete_record_list_schema(wrappers: bool) -> dict:
+    """The library's HoodieDeleteRecordList avro schema
+    (hudi-common/src/main/avro/HoodieDeleteRecordList.avsc, public) —
+    an array of HoodieDeleteRecord{recordKey, partitionPath,
+    orderingVal}. Two published shapes of the orderingVal union exist
+    across hudi versions: bare primitives, and single-field wrapper
+    records (HoodieIntWrapper etc.); the decoder tries both under a
+    consume-exactly check."""
+    if wrappers:
+        ordering = ["null"] + [
+            {
+                "type": "record",
+                "name": f"Hoodie{n}Wrapper",
+                "namespace": "org.apache.hudi.avro.model",
+                "fields": [{"name": "value", "type": t}],
+            }
+            for n, t in (
+                ("Boolean", "boolean"), ("Int", "int"),
+                ("Long", "long"), ("Float", "float"),
+                ("Double", "double"), ("Bytes", "bytes"),
+                ("String", "string"),
+                ("Decimal", "bytes"),
+                ("Date", {"type": "int", "logicalType": "date"}),
+                (
+                    "TimestampMicros",
+                    {"type": "long",
+                     "logicalType": "timestamp-micros"},
+                ),
+            )
+        ]
+    else:
+        ordering = [
+            "null", "boolean", "int", "long", "float", "double",
+            "bytes", "string",
+        ]
+    return {
+        "namespace": "org.apache.hudi.avro.model",
+        "type": "record",
+        "name": "HoodieDeleteRecordList",
+        "fields": [
+            {
+                "name": "deleteRecordList",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "HoodieDeleteRecord",
+                        "fields": [
+                            {
+                                "name": "recordKey",
+                                "type": ["null", "string"],
+                                "default": None,
+                            },
+                            {
+                                "name": "partitionPath",
+                                "type": ["null", "string"],
+                                "default": None,
+                            },
+                            {
+                                "name": "orderingVal",
+                                "type": ordering,
+                                "default": None,
+                            },
+                        ],
+                    },
+                },
+            }
+        ],
+    }
+
+
+def decode_delete_block(content: bytes, path: str) -> list[dict]:
+    """Library-serialized DELETE block content (no SCHEMA header) ->
+    [{'recordKey', 'partitionPath'}]. Framing (hudi-common
+    HoodieDeleteBlock.getContentBytes, public): int32 serialization
+    version, int32 payload length, payload. Version >= 3 is a binary
+    avro datum of HoodieDeleteRecordList (decoded here, r12 — tried
+    against both published orderingVal union shapes under a strict
+    consume-exactly-the-payload check, so a wrong shape refuses
+    instead of misreading); versions 1/2 are kryo-serialized
+    HoodieKey[]/DeleteRecord[] and stay loud."""
+    if len(content) < 8:
+        raise HudiLogError(
+            f"{path}: DELETE block content too short to frame —"
+            " unknown serialization needs the hudi-spark bundle"
+        )
+    ver, plen = struct.unpack_from(">ii", content, 0)
+    if 8 + plen != len(content):
+        raise HudiLogError(
+            f"{path}: DELETE block framing mismatch"
+            f" (8+{plen} != {len(content)}) — unknown serialization"
+            " needs the hudi-spark bundle"
+        )
+    if ver < 3:
+        raise HudiLogError(
+            f"{path}: DELETE log block serialization v{ver}"
+            " (kryo HoodieKey[]/DeleteRecord[]) needs the hudi-spark"
+            " bundle"
+        )
+    payload = content[8:]
+    for wrappers in (False, True):
+        schema = _delete_record_list_schema(wrappers)
+        names: dict = {}
+        _register(schema, names)
+        r = _Reader(payload)
+        try:
+            rec = _decode(schema, r, names)
+        except Exception:
+            continue
+        if not r.eof():
+            continue
+        out = []
+        for d in rec.get("deleteRecordList") or []:
+            if d.get("recordKey") is None:
+                break
+            out.append(
+                {
+                    "recordKey": str(d["recordKey"]),
+                    "partitionPath": str(d.get("partitionPath") or ""),
+                }
+            )
+        else:
+            return out
+    raise HudiLogError(
+        f"{path}: DELETE log block v{ver} payload does not decode as"
+        " HoodieDeleteRecordList — needs the hudi-spark bundle"
+    )
+
+
 def encode_avro_block_content(records: list[dict], schema) -> bytes:
     """Records -> AVRO_DATA block content (int32 version 1, int32
     count, per record int32 length + binary Avro datum)."""
@@ -174,25 +308,21 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
     """All (record, block INSTANT_TIME, is_tombstone) entries of a log
     file, honoring COMMAND rollbacks: a command block targeting instant
     T drops earlier blocks whose INSTANT_TIME is T (the library's
-    rollback mechanism). DELETE blocks (r11) decode when they carry a
-    SCHEMA header — the shape this module's own MOR delete writer
-    emits (tombstone records of the hoodie key fields; hudi's
-    HoodieDeleteRecord analog: recordKey/partitionPath) — and the
-    records return with is_tombstone=True; header-less DELETE payloads
-    (the library's kryo/avro-list serializations) raise loudly.
-    HFILE/PARQUET/CDC blocks raise."""
+    rollback mechanism). DELETE blocks decode two ways: with a SCHEMA
+    header — the shape this module's own MOR delete writer emits
+    (tombstone records of the hoodie key fields) — or header-less in
+    the library's avro-list serialization (r12, decode_delete_block;
+    tombstones synthesize their _hoodie_* key fields from the decoded
+    HoodieDeleteRecords + the block's INSTANT_TIME). Either way the
+    records return with is_tombstone=True; kryo payloads (block
+    serialization v1/v2) raise loudly. PARQUET_DATA blocks (r12)
+    decode via pyarrow — their content IS a parquet file (hudi's
+    HoodieParquetDataBlock; PAR1-magic-checked, loud otherwise).
+    HFILE/CDC blocks raise."""
     kept: list[dict] = []
     for b in read_log_blocks(path):
         t = b["type"]
-        if t == BLOCK_AVRO_DATA:
-            kept.append(b)
-        elif t == BLOCK_DELETE:
-            if not b["headers"].get(HEADER_SCHEMA):
-                raise HudiLogError(
-                    f"{path}: DELETE log block without a SCHEMA header"
-                    " (library kryo/avro-list payload) needs the"
-                    " hudi-spark bundle"
-                )
+        if t in (BLOCK_AVRO_DATA, BLOCK_DELETE, BLOCK_PARQUET_DATA):
             kept.append(b)
         elif t == BLOCK_COMMAND:
             target = b["headers"].get(HEADER_TARGET_INSTANT_TIME)
@@ -205,20 +335,87 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
             continue
         else:
             raise HudiLogError(
-                f"{path}: log block type {t} (hfile/parquet/cdc)"
+                f"{path}: log block type {t} (hfile/cdc)"
                 " needs the hudi-spark bundle"
             )
     out: list = []
     for b in kept:
         schema_json = b["headers"].get(HEADER_SCHEMA)
+        instant = b["headers"].get(HEADER_INSTANT_TIME)
+        if b["type"] == BLOCK_PARQUET_DATA:
+            out.extend(
+                (r, instant, False)
+                for r in decode_parquet_block(b["content"], path)
+            )
+            continue
+        if not schema_json and b["type"] == BLOCK_DELETE:
+            # library avro-list tombstones: synthesize the key-field
+            # record shape the merge reader consumes; commit time is
+            # the block's instant
+            out.extend(
+                (
+                    {
+                        "_hoodie_record_key": d["recordKey"],
+                        "_hoodie_partition_path": d["partitionPath"],
+                        "_hoodie_commit_time": instant,
+                    },
+                    instant,
+                    True,
+                )
+                for d in decode_delete_block(b["content"], path)
+            )
+            continue
         if not schema_json:
             raise HudiLogError(f"{path}: data block without SCHEMA header")
         recs = decode_avro_block(b["content"], schema_json)
-        instant = b["headers"].get(HEADER_INSTANT_TIME)
         out.extend(
             (r, instant, b["type"] == BLOCK_DELETE) for r in recs
         )
     return out
+
+
+def decode_parquet_block(content: bytes, path: str) -> list[dict]:
+    """PARQUET_DATA block content -> list of record dicts. The
+    library's HoodieParquetDataBlock serializes the batch as a whole
+    in-memory parquet file (hudi-common, public) — so the content is
+    PAR1-framed and pyarrow reads it directly; values normalize to
+    JSON-friendly python (dates/timestamps -> ISO strings, the shape
+    the MOR reader's from_json pass parses). Anything that is not a
+    parquet payload refuses loudly."""
+    import io
+
+    if content[:4] != b"PAR1":
+        raise HudiLogError(
+            f"{path}: PARQUET_DATA block content is not a parquet"
+            " payload — needs the hudi-spark bundle"
+        )
+    try:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(io.BytesIO(content))
+    except Exception as exc:
+        raise HudiLogError(
+            f"{path}: PARQUET_DATA block failed to parse: {exc}"
+        ) from exc
+
+    def norm(v):
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, _dt.datetime
+            ) else v.isoformat()
+        if isinstance(v, _Dec):
+            return str(v)
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    return [
+        {k: norm(v) for k, v in rec.items()}
+        for rec in table.to_pylist()
+    ]
 
 
 def log_records(path: str, with_instants: bool = False) -> list:

@@ -1082,7 +1082,14 @@ def hudi_update_where(
             ).split(",")
             if k.strip()
         }
-        hit = key_fields & set(assignments)
+        hit = {
+            k
+            for k in key_fields & set(assignments)
+            # the no-op spelling SET id = id is legal everywhere —
+            # only a key-CHANGING assignment is refused
+            if str(assignments[k]).strip().strip("`").lower()
+            != k.lower()
+        }
         if hit:
             raise HudiProtocolError(
                 f"the record key field(s) {sorted(hit)} are immutable"
@@ -1429,12 +1436,15 @@ def _hoodie_partition_path_expr(part_fields: list[str]):
 
 
 def _stage_mor_groups(
-    full, path: str, instant: str, part_fields: list[str]
+    full, path: str, instant: str, part_fields: list[str],
+    virtual: bool = False,
 ) -> dict[str, list[dict]]:
-    """Stage meta-columned MOR rows as fresh base file groups, keyed
-    by partition path — the rows' _hoodie_partition_path is already
-    stamped, so staging partitions directly on it (one dir level,
-    value = the full hive-style path)."""
+    """Stage MOR rows as fresh base file groups, keyed by partition
+    path. Meta-columned rows partition directly on their stamped
+    _hoodie_partition_path; ``virtual`` rows (r12 —
+    hoodie.populate.meta.fields=false tables carry NO meta columns)
+    compute the same hive-style path from the partition fields
+    instead."""
     import glob
     import shutil
     import uuid
@@ -1444,8 +1454,13 @@ def _stage_mor_groups(
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     if part_fields:
+        hpp = (
+            _hoodie_partition_path_expr(part_fields)
+            if virtual
+            else F.col("_hoodie_partition_path")
+        )
         (
-            full.withColumn("__hpp", F.col("_hoodie_partition_path"))
+            full.withColumn("__hpp", hpp)
             .write.mode("overwrite").partitionBy("__hpp").parquet(staging)
         )
         files = sorted(glob.glob(
@@ -1493,6 +1508,7 @@ def write_hudi_mor_create(
     path: str,
     record_key: str,
     partition_by: list[str] | None = None,
+    populate_meta_fields: bool = True,
 ) -> str:
     """Create a MERGE_ON_READ table jar-free: base parquet file groups
     carrying the hoodie meta columns (the merge key material), one
@@ -1500,14 +1516,27 @@ def write_hudi_mor_create(
     MERGE_ON_READ + the record key. ``partition_by`` (late r10) lands
     hive-style partition dirs with _hoodie_partition_path stamped to
     match — the (partition, fileId) grain the slice fold and the MOR
-    merge window already use. Returns the commit instant."""
+    merge window already use. ``populate_meta_fields=False`` (r12)
+    creates a VIRTUAL-KEY table: no _hoodie_* columns anywhere, key
+    material derives from the declared record-key column(s) —
+    ``record_key`` may then be a comma-separated COMPOSITE — and
+    commit times from file names / log block headers
+    (_read_mor_snapshot_virtual). Returns the commit instant."""
     from pyspark.sql import functions as F
 
     if os.path.isdir(_meta_dir(path)):
         raise FileExistsError(f"{path} is already a Hudi table")
-    if record_key not in df.columns:
+    key_fields = [k.strip() for k in record_key.split(",") if k.strip()]
+    if populate_meta_fields and len(key_fields) != 1:
         raise HudiProtocolError(
-            f"record key {record_key!r} is not a column of the data"
+            "composite record keys need the bundle's key generator on"
+            " meta-fields tables — use populate_meta_fields=False"
+        )
+    missing_keys = [k for k in key_fields if k not in df.columns]
+    if missing_keys:
+        raise HudiProtocolError(
+            f"record key column(s) {missing_keys} are not columns of"
+            " the data"
         )
     part_fields = list(partition_by or [])
     missing = [c for c in part_fields if c not in df.columns]
@@ -1519,8 +1548,12 @@ def write_hudi_mor_create(
     props_text = (
         "hoodie.table.name=%s\nhoodie.table.type=MERGE_ON_READ\n"
         "hoodie.table.recordkey.fields=%s\n"
-        "hoodie.populate.meta.fields=true\n"
-        % (os.path.basename(path.rstrip("/")), record_key)
+        "hoodie.populate.meta.fields=%s\n"
+        % (
+            os.path.basename(path.rstrip("/")),
+            record_key,
+            "true" if populate_meta_fields else "false",
+        )
     )
     if part_fields:
         props_text += (
@@ -1531,22 +1564,28 @@ def write_hudi_mor_create(
     ) as f:
         f.write(props_text)
     instant = _claim_instant(path)
-    full = df.select(
-        F.lit(instant).alias("_hoodie_commit_time"),
-        F.concat(
-            F.lit(f"{instant}_0_"),
-            F.monotonically_increasing_id().cast("string"),
-        ).alias("_hoodie_commit_seqno"),
-        F.col(record_key).cast("string").alias("_hoodie_record_key"),
-        (
-            _hoodie_partition_path_expr(part_fields)
-            if part_fields
-            else F.lit("")
-        ).alias("_hoodie_partition_path"),
-        F.lit("").alias("_hoodie_file_name"),
-        *df.columns,
+    if populate_meta_fields:
+        full = df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.concat(
+                F.lit(f"{instant}_0_"),
+                F.monotonically_increasing_id().cast("string"),
+            ).alias("_hoodie_commit_seqno"),
+            F.col(record_key).cast("string").alias("_hoodie_record_key"),
+            (
+                _hoodie_partition_path_expr(part_fields)
+                if part_fields
+                else F.lit("")
+            ).alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *df.columns,
+        )
+    else:
+        full = df
+    stats_by_part = _stage_mor_groups(
+        full, path, instant, part_fields,
+        virtual=not populate_meta_fields,
     )
-    stats_by_part = _stage_mor_groups(full, path, instant, part_fields)
     meta = {
         "partitionToWriteStats": stats_by_part or {"": []},
         "extraMetadata": {"schema": full.schema.json()},
@@ -1694,12 +1733,44 @@ def _write_log_blocks_distributed(
     )
 
 
-def _mor_keymap(spark, path: str, slices: dict, completed: set):
+#: composite-key string rendering shared by the virtual-key write
+#: paths' Spark expressions and executor-side log decodes — the two
+#: sides must agree byte-for-byte or routing silently misses
+_VKEY_SEP = "\x1f"
+_VKEY_NULL = "\x00null\x00"
+
+
+def _virtual_key_expr(key_fields: list[str]):
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        _VKEY_SEP,
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit(_VKEY_NULL))
+            for k in key_fields
+        ],
+    )
+
+
+def _virtual_key_of(rec: dict, key_fields: list[str]) -> str:
+    return _VKEY_SEP.join(
+        _VKEY_NULL if rec.get(k) is None else str(rec[k])
+        for k in key_fields
+    )
+
+
+def _mor_keymap(
+    spark, path: str, slices: dict, completed: set,
+    key_fields: list[str] | None = None,
+):
     """record key -> file group (fid) map, built DISTRIBUTED: base
     keys from the parquet scan (fileId parsed from the base file
     name), log-only slices' keys from the executor-side log decode
     (tombstoned keys still belong to their slice — an upsert of a
-    deleted key re-inserts via its group). One fid per key."""
+    deleted key re-inserts via its group). One fid per key.
+    ``key_fields`` (r12, VIRTUAL-KEY tables): derive the key from the
+    declared record-key data column(s) instead of _hoodie_record_key —
+    _virtual_key_expr/_virtual_key_of keep the two renderings equal."""
     from pyspark.sql import functions as F
 
     keymaps = []
@@ -1709,9 +1780,14 @@ def _mor_keymap(spark, path: str, slices: dict, completed: set):
         if sl["base"] is not None
     )
     if base_paths:
+        key_col = (
+            F.col("_hoodie_record_key")
+            if key_fields is None
+            else _virtual_key_expr(key_fields)
+        )
         keymaps.append(
             spark.read.parquet(*base_paths).select(
-                F.col("_hoodie_record_key").alias("__k"),
+                key_col.alias("__k"),
                 F.regexp_extract(
                     F.element_at(F.split(F.input_file_name(), "/"), -1),
                     "^([^_]+)",
@@ -1730,18 +1806,28 @@ def _mor_keymap(spark, path: str, slices: dict, completed: set):
             logonly_logs, "__log string, __fid string"
         ).repartition(min(len(logonly_logs), 64))
 
-        def decode_keys(batches, _completed=completed):
+        def decode_keys(batches, _completed=completed, _kf=key_fields):
             import pandas as _pd
 
             from witdb_spark.sources.hudi_log import log_entries
+            from witdb_spark.sources.hudi_meta import _virtual_key_of
 
             for pdf in batches:
                 ks: list[str] = []
                 gs: list[str] = []
                 for p, fid in zip(pdf["__log"], pdf["__fid"]):
-                    for rec, _inst, _is_del in log_entries(p):
-                        if rec.get("_hoodie_commit_time") in _completed:
-                            ks.append(str(rec.get("_hoodie_record_key")))
+                    for rec, inst, _is_del in log_entries(p):
+                        committed = (
+                            rec.get("_hoodie_commit_time") in _completed
+                            if _kf is None
+                            else inst in _completed
+                        )
+                        if committed:
+                            ks.append(
+                                str(rec.get("_hoodie_record_key"))
+                                if _kf is None
+                                else _virtual_key_of(rec, _kf)
+                            )
                             gs.append(str(fid))
                 yield _pd.DataFrame({"__k": ks, "__grp": gs})
 
@@ -1803,7 +1889,10 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
     deltacommit publishes them. The reader derives the schema from the
     log SCHEMA header and hudi_log_upsert routes matched keys into the
     slice's log. Log files are written by the executors; the driver
-    sees per-group descriptors. Returns the commit instant."""
+    sees per-group descriptors. VIRTUAL-KEY tables (r12,
+    hoodie.populate.meta.fields=false, composite keys allowed) write
+    data-only records — the reader takes commit times from block
+    headers. Returns the commit instant."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -1813,16 +1902,22 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
         raise HudiProtocolError(
             "hudi_log_insert needs a MERGE_ON_READ table"
         )
-    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
-            " need the hudi-spark bundle — reads work jar-free"
-        )
+    virtual = (
+        props.get("hoodie.populate.meta.fields", "true").lower()
+        == "false"
+    )
     key = props.get("hoodie.table.recordkey.fields")
-    if not key or key not in source.columns:
+    key_fields = [k.strip() for k in (key or "").split(",") if k.strip()]
+    missing_keys = [k for k in key_fields if k not in source.columns]
+    if not key_fields or missing_keys:
         raise HudiProtocolError(
             f"record key {key!r} must be a declared table property and"
-            " a source column"
+            " its column(s) present in the source"
+        )
+    if not virtual and len(key_fields) != 1:
+        raise HudiProtocolError(
+            "composite record keys on meta-fields tables need the"
+            " bundle's key generator"
         )
     part_fields = _hudi_partition_fields(path)
     missing = [c for c in part_fields if c not in source.columns]
@@ -1834,7 +1929,11 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
     instant = _claim_instant(path)
     data_cols = list(source.columns)
     src = source.select(
-        F.col(key).cast("string").alias("__k"),
+        (
+            _virtual_key_expr(key_fields)
+            if virtual
+            else F.col(key).cast("string")
+        ).alias("__k"),
         (
             _hoodie_partition_path_expr(part_fields)
             if part_fields
@@ -1857,8 +1956,12 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
     avro_schema = {
         "type": "record",
         "name": "witdb_mor",
-        "fields": _meta_string_avro_fields()
-        + _avro_schema_for(source)["fields"],
+        "fields": (
+            _avro_schema_for(source)["fields"]
+            if virtual
+            else _meta_string_avro_fields()
+            + _avro_schema_for(source)["fields"]
+        ),
     }
     stats_by_part: dict[str, list] = {}
     for r in _write_log_blocks_distributed(
@@ -1979,8 +2082,11 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
     deltacommit publishes both. Keys living in LOG-ONLY slices route
     to that slice's log (r11). The routing map and the log frames are
     built ON EXECUTORS (_write_log_blocks_distributed) — the driver
-    never sees matched rows, only per-group descriptors. Returns the
-    commit instant."""
+    never sees matched rows, only per-group descriptors. VIRTUAL-KEY
+    tables (r12, hoodie.populate.meta.fields=false): routing keys
+    derive from the declared record-key data column(s) — composite
+    keys render through _virtual_key_expr — log records and fresh base
+    groups carry NO meta columns. Returns the commit instant."""
     from pyspark.sql import functions as F
 
     props = _properties(path)
@@ -1989,24 +2095,38 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
             "hudi_log_upsert needs a MERGE_ON_READ table (COW tables"
             " use hudi_upsert)"
         )
-    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
-            " need the hudi-spark bundle — reads work jar-free"
-        )
+    virtual = (
+        props.get("hoodie.populate.meta.fields", "true").lower()
+        == "false"
+    )
     key = props.get("hoodie.table.recordkey.fields")
-    if not key or key not in source.columns:
+    key_fields = [k.strip() for k in (key or "").split(",") if k.strip()]
+    missing_keys = [k for k in key_fields if k not in source.columns]
+    if not key_fields or missing_keys:
         raise HudiProtocolError(
             f"record key {key!r} must be a declared table property and"
-            " a source column"
+            " its column(s) present in the source"
+        )
+    if not virtual and len(key_fields) != 1:
+        raise HudiProtocolError(
+            "composite record keys on meta-fields tables need the"
+            " bundle's key generator"
         )
     slices = _hudi_file_slices(path)
     base_last = _completed_instants(path)[-1][0]
     completed = {i for i, _, _ in _completed_instants(path)}
     data_cols = list(source.columns)
     part_fields = _hudi_partition_fields(path)
-    keymap = _mor_keymap(spark, path, slices, completed)
-    src = source.withColumn("__k", F.col(key).cast("string"))
+    keymap = _mor_keymap(
+        spark, path, slices, completed,
+        key_fields=key_fields if virtual else None,
+    )
+    src = source.withColumn(
+        "__k",
+        _virtual_key_expr(key_fields)
+        if virtual
+        else F.col(key).cast("string"),
+    )
     routed = src.join(keymap, "__k", "left")
     group_info = _mor_group_targets(slices)
     # an unsupported data type only blocks the LOG write — pure-insert
@@ -2024,10 +2144,17 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
         if not matched.isEmpty():
             _avro_schema_for(source)  # re-raise the informative error
     else:
+        # virtual-key tables carry NO meta columns anywhere — log
+        # records are plain data fields (the schema drives the encode;
+        # the virtual reader takes commit time from the block header)
         avro_schema = {
             "type": "record",
             "name": "witdb_mor",
-            "fields": _meta_string_avro_fields() + avro_fields,
+            "fields": (
+                avro_fields
+                if virtual
+                else _meta_string_avro_fields() + avro_fields
+            ),
         }
         for r in _write_log_blocks_distributed(
             matched, path, instant, avro_schema, group_info, data_cols
@@ -2049,23 +2176,26 @@ def hudi_log_upsert(spark: SparkSession, path: str, source) -> str:
                 raise HudiProtocolError(
                     f"partition columns {missing} absent from the source"
                 )
-        full = inserts.coalesce(1).select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            F.concat(
-                F.lit(f"{instant}_1_"),
-                F.monotonically_increasing_id().cast("string"),
-            ).alias("_hoodie_commit_seqno"),
-            F.col(key).cast("string").alias("_hoodie_record_key"),
-            (
-                _hoodie_partition_path_expr(part_fields)
-                if part_fields
-                else F.lit("")
-            ).alias("_hoodie_partition_path"),
-            F.lit("").alias("_hoodie_file_name"),
-            *data_cols,
-        )
+        if virtual:
+            full = inserts.coalesce(1)
+        else:
+            full = inserts.coalesce(1).select(
+                F.lit(instant).alias("_hoodie_commit_time"),
+                F.concat(
+                    F.lit(f"{instant}_1_"),
+                    F.monotonically_increasing_id().cast("string"),
+                ).alias("_hoodie_commit_seqno"),
+                F.col(key).cast("string").alias("_hoodie_record_key"),
+                (
+                    _hoodie_partition_path_expr(part_fields)
+                    if part_fields
+                    else F.lit("")
+                ).alias("_hoodie_partition_path"),
+                F.lit("").alias("_hoodie_file_name"),
+                *data_cols,
+            )
         for part_key, recs in _stage_mor_groups(
-            full, path, instant, part_fields
+            full, path, instant, part_fields, virtual=virtual
         ).items():
             stats_by_part.setdefault(part_key, []).extend(recs)
     if _completed_instants(path)[-1][0] != base_last:

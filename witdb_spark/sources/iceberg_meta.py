@@ -76,8 +76,14 @@ def _pick_snapshot(
                 return s
         raise ValueError(f"no Iceberg snapshot {snapshot_id}")
     if timestamp_ms is not None:
+        # timestamp travel follows MAIN's history: branch commits
+        # (r12) interleave by timestamp but belong to their own lineage
+        main_ids = _main_ancestry_ids(meta)
         eligible = [
-            s for s in snaps if s["timestamp-ms"] <= int(timestamp_ms)
+            s
+            for s in snaps
+            if s["timestamp-ms"] <= int(timestamp_ms)
+            and (main_ids is None or s["snapshot-id"] in main_ids)
         ]
         if not eligible:
             raise ValueError(
@@ -89,6 +95,39 @@ def _pick_snapshot(
         if s["snapshot-id"] == cur:
             return s
     return max(snaps, key=lambda s: s["timestamp-ms"])
+
+
+def _main_ancestry_ids(meta: dict) -> set | None:
+    """Snapshot ids on MAIN's lineage, or None when every snapshot is
+    main's (no diverged branch to exclude). Branch commits (r12) are
+    identified by walking parent-snapshot-id links from each non-main
+    branch head, stopping at any snapshot that main's snapshot-log
+    records or that carries no parent link (a pre-branch main
+    snapshot) — sound for both this repo's tables (only branch appends
+    stamp parents) and library tables (full parent chains + complete
+    snapshot-logs)."""
+    snaps = meta.get("snapshots") or []
+    refs = meta.get("refs") or {}
+    heads = [
+        r.get("snapshot-id")
+        for name, r in refs.items()
+        if r.get("type") == "branch" and name != "main"
+    ]
+    if not heads:
+        return None
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    log_ids = {e["snapshot-id"] for e in meta.get("snapshot-log") or []}
+    excl: set = set()
+    for sid in heads:
+        while sid in by_id and sid not in log_ids and sid not in excl:
+            s = by_id[sid]
+            if "parent-snapshot-id" not in s:
+                break
+            excl.add(sid)
+            sid = s.get("parent-snapshot-id")
+    if not excl:
+        return None
+    return {s["snapshot-id"] for s in snaps} - excl
 
 
 def _table_schema(meta: dict) -> dict:
@@ -1198,6 +1237,7 @@ def write_iceberg(
     mode: str = "append",
     properties: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Jar-free Iceberg write (create/append/overwrite; identity
     partitioning since r10, bucket[N]/truncate[W]/year/month/day/hour
@@ -1210,12 +1250,24 @@ def write_iceberg(
     sources/iceberg_transforms.py; appends to a partitioned table pick
     the spec up from the metadata (reference
     plugin/trino-iceberg/.../IcebergMetadata.java append path +
-    PartitionData.java, PartitionTransforms.java). Returns the
-    committed snapshot id."""
+    PartitionData.java, PartitionTransforms.java).
+    ``branch`` (r12, spec 'Refs' write side — Spark's
+    ``branch_<name>`` write routing): append ON TOP OF the named
+    branch's head — the new snapshot's parent is the branch head, the
+    ref moves to it, and main/current-snapshot-id stay untouched; the
+    branch may already be diverged (its lineage grows linearly).
+    Append-only; the branch must exist (iceberg_create_ref). Merging a
+    diverged branch back into main stays loud. Returns the committed
+    snapshot id."""
     import uuid
 
     if mode not in ("create", "append", "overwrite"):
         raise ValueError("mode must be create/append/overwrite")
+    if branch is not None and mode != "append":
+        raise IcebergProtocolError(
+            "branch writes are append-only — create/overwrite route"
+            " through main"
+        )
     exists = os.path.isdir(os.path.join(path, "metadata"))
     if mode == "create" and exists:
         raise FileExistsError(f"{path} is already an Iceberg table")
@@ -1309,7 +1361,12 @@ def write_iceberg(
                 raise IcebergProtocolError(
                     "partition spec changed concurrently — re-run"
                 )
-            _maintenance_gate(meta, mode)
+            if mode != "append":
+                # appends are gate-exempt (r12): they delete nothing
+                # and touch no other ref, so a diverged branch's
+                # lineage stays intact — exactly why branch writes
+                # are append-only
+                _maintenance_gate(meta, mode)
             if [f["name"] for f in _table_schema(meta)["fields"]] != list(
                 df.columns
             ):
@@ -1328,9 +1385,24 @@ def write_iceberg(
                 if os.path.exists(hint)
                 else len(snaps) + 1
             )
+            branch_head = None
+            if branch is not None:
+                ref = (meta.get("refs") or {}).get(branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise IcebergProtocolError(
+                        f"no branch {branch!r} — create it with"
+                        " iceberg_create_ref(..., ref_type='branch')"
+                    )
+                branch_head = ref["snapshot-id"]
             prior_manifests = []
             if mode == "append" and snaps:
-                cur = _pick_snapshot(meta, None, None)
+                if branch is not None:
+                    cur = next(
+                        s for s in snaps
+                        if s["snapshot-id"] == branch_head
+                    )
+                else:
+                    cur = _pick_snapshot(meta, None, None)
                 _, prior_manifests = read_avro_file(
                     _resolve(path, cur["manifest-list"])
                 )
@@ -1436,16 +1508,35 @@ def write_iceberg(
                 ],
             }
         )
-        # spec-shaped history + explicit-main sync (same rules the
-        # _commit_metadata path applies)
-        new_meta["snapshot-log"] = list(
-            (meta or {}).get("snapshot-log") or []
-        ) + [
-            {
-                "timestamp-ms": new_meta["snapshots"][-1]["timestamp-ms"],
-                "snapshot-id": snap_id,
-            }
-        ]
+        if branch is not None:
+            # branch append: the new snapshot joins the table's
+            # snapshot set with the BRANCH head as its parent; the ref
+            # moves, main/current and the main snapshot-log stay put
+            new_meta["snapshots"][-1]["parent-snapshot-id"] = branch_head
+            new_meta["current-snapshot-id"] = (meta or {}).get(
+                "current-snapshot-id"
+            )
+            new_meta["snapshot-log"] = list(
+                (meta or {}).get("snapshot-log") or []
+            )
+            refs = dict(new_meta.get("refs") or {})
+            refs[branch] = dict(
+                refs[branch], **{"snapshot-id": snap_id}
+            )
+            new_meta["refs"] = refs
+        else:
+            # spec-shaped history + explicit-main sync (same rules the
+            # _commit_metadata path applies)
+            new_meta["snapshot-log"] = list(
+                (meta or {}).get("snapshot-log") or []
+            ) + [
+                {
+                    "timestamp-ms": new_meta["snapshots"][-1][
+                        "timestamp-ms"
+                    ],
+                    "snapshot-id": snap_id,
+                }
+            ]
         _sync_main_ref(new_meta)
         target = os.path.join(
             path, "metadata", f"v{version}.metadata.json"
@@ -2408,6 +2499,12 @@ def iceberg_incremental_scan(
         meta.get("snapshots") or [],
         key=lambda s: (s["timestamp-ms"], s["snapshot-id"]),
     )
+    # branch commits (r12) interleave in the snapshots list by
+    # timestamp but are NOT part of main's lineage — exclude them so a
+    # branch append never leaks into a main incremental range
+    main_ids = _main_ancestry_ids(meta)
+    if main_ids is not None:
+        snaps = [s for s in snaps if s["snapshot-id"] in main_ids]
     by_id = {s["snapshot-id"]: s for s in snaps}
     if from_snapshot_id not in by_id:
         raise IcebergProtocolError(
@@ -2501,10 +2598,13 @@ def _maintenance_gate(meta: dict, proc: str) -> None:
     now (iceberg_create_ref/iceberg_drop_ref, ref= reads, $refs), the
     writers only ever advance the implicit main, and
     expire_snapshots RETAINS every ref'd snapshot, so a named ref's
-    reader always still resolves. A DIVERGED branch (one pointing at a
-    snapshot off main's ancestry that expects to RECEIVE writes) is
-    the one shape that still needs the library's branch-write
-    routing — refuse only that."""
+    reader always still resolves. r12: plain APPENDS are gate-exempt
+    (they delete nothing and touch no other ref) and branch appends
+    route through write_iceberg(branch=...); what still refuses with a
+    DIVERGED branch present is the destructive/maintenance surface —
+    overwrite, row-level deletes, expire, rollback, optimize — where
+    the jar's branch-aware retention would be needed to not strand the
+    branch's lineage."""
     cur = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
     for name, r in (meta.get("refs") or {}).items():
@@ -2516,8 +2616,8 @@ def _maintenance_gate(meta: dict, proc: str) -> None:
         ):
             raise IcebergProtocolError(
                 f"{proc} on a table with the diverged branch {name!r}"
-                " needs the iceberg-spark-runtime jar (branch-write"
-                " routing); tags are fine"
+                " needs the iceberg-spark-runtime jar (branch-aware"
+                " retention); tags and appends are fine"
             )
 
 
