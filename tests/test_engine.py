@@ -1339,3 +1339,127 @@ def test_sql_alter_table_partitioning(spark, tmp_path):
         eng.sql(
             f"ALTER TABLE iceberg.'{t}' SET PROPERTIES foo = 'bar'"
         )
+
+
+def test_sql_insert_into_lakehouse(spark, tmp_path):
+    """r12: the INSERT front door — INSERT INTO fmt.'<path>'
+    [(cols)] SELECT|VALUES through Engine.sql appends via the jar-free
+    writers (delta/iceberg appends; hudi routes COW bulk-insert vs MOR
+    log-insert by table type). Positional alignment casts to the
+    target schema; an explicit column list fills unlisted columns with
+    NULL; arity/unknown-column errors are loud."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+    from witdb_spark.sources.hudi_meta import (
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    td = str(tmp_path / "ins_delta")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(0, "zero")], "id bigint, name string"
+        ),
+        td, mode="create",
+    )
+    out = eng.sql(
+        f"INSERT INTO delta.'{td}' VALUES (1, 'one'), (2, 'two')"
+    ).collect()
+    assert out[0].rows == 2
+    got = {
+        r.id: r.name
+        for r in eng.sql(f"SELECT * FROM delta.'{td}'").collect()
+    }
+    assert got == {0: "zero", 1: "one", 2: "two"}
+    # column list: unlisted columns land NULL, order remaps
+    eng.sql(f"INSERT INTO delta.'{td}' (name) VALUES ('ghost')")
+    rows = eng.sql(
+        f"SELECT id, name FROM delta.'{td}' WHERE id IS NULL"
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(None, "ghost")]
+
+    ti = str(tmp_path / "ins_ice")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(0, "zero")], "id bigint, name string"),
+        ti, mode="create",
+    )
+    # INSERT ... SELECT reading another lakehouse table composes
+    eng.sql(
+        f"INSERT INTO iceberg.'{ti}' SELECT id + 10, name FROM"
+        f" delta.'{td}' WHERE id = 1"
+    )
+    assert sorted(
+        r.id for r in eng.sql(f"SELECT id FROM iceberg.'{ti}'").collect()
+    ) == [0, 11]
+
+    th = str(tmp_path / "ins_hudi_mor")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame([(0, 0.0)], "id bigint, v double")
+        .coalesce(1),
+        th, record_key="id",
+    )
+    eng.sql(f"INSERT INTO hudi.'{th}' VALUES (5, 5.5)")
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, th).collect()}
+    assert got == {0: 0.0, 5: 5.5}
+
+    with pytest.raises(ValueError, match="arity|columns"):
+        eng.sql(f"INSERT INTO delta.'{td}' VALUES (1)")
+    with pytest.raises(ValueError, match="not in the table"):
+        eng.sql(f"INSERT INTO delta.'{td}' (nope) VALUES (1)")
+
+
+def test_sql_ctas_lakehouse(spark, tmp_path):
+    """r12: CTAS onto a lakehouse path through the front door —
+    CREATE TABLE fmt.'<path>' [WITH (partitioned_by = ARRAY[...],
+    record_key = '...')] AS SELECT (reference CreateTableTask + the
+    connectors' beginCreateTable): authors version 0 jar-free and the
+    table reads back through the same front door."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    src = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(6)],
+        "id bigint, cat string, v double",
+    )
+    src.createOrReplaceTempView("ctas_src")
+    td = str(tmp_path / "ctas_delta")
+    out = eng.sql(
+        f"CREATE TABLE delta.'{td}' WITH (partitioned_by ="
+        " ARRAY['cat']) AS SELECT * FROM ctas_src WHERE id < 4"
+    ).collect()
+    assert out[0].rows == 4
+    got = eng.sql(
+        f"SELECT id FROM delta.'{td}' WHERE cat = 'a' ORDER BY id"
+    ).collect()
+    assert [r.id for r in got] == [0, 2]
+    # partition pruning works on the CTAS'd table (hive dirs + log)
+    parts = eng.sql(
+        f"SELECT partition FROM delta.'{td}$partitions'"
+    ).collect()
+    assert len(parts) == 2
+
+    ti = str(tmp_path / "ctas_ice")
+    eng.sql(
+        f"CREATE TABLE iceberg.'{ti}' AS SELECT id, v FROM ctas_src"
+    )
+    assert eng.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{ti}'"
+    ).collect()[0].n == 6
+
+    th = str(tmp_path / "ctas_hudi")
+    eng.sql(
+        f"CREATE TABLE hudi.'{th}' WITH (record_key = 'id') AS"
+        " SELECT id, v FROM ctas_src"
+    )
+    # the recorded key makes keyed DML work on the CTAS'd table
+    eng.sql(f"DELETE FROM hudi.'{th}' WHERE id = 0")
+    assert eng.sql(
+        f"SELECT count(*) AS n FROM hudi.'{th}'"
+    ).collect()[0].n == 5

@@ -194,6 +194,65 @@ class Engine:
                 f" {m.group('fmt')} tables is not supported jar-free"
                 " (iceberg 'partitioning' is)"
             )
+        m = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\s*\.\s*"
+            r"'(?P<path>[^']+)'\s*"
+            r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<q>.+?)\s*;?\s*$",
+            text, re.I | re.S,
+        )
+        if m:
+            # CTAS onto a lakehouse path (reference CreateTableTask +
+            # the connectors' beginCreateTable): evaluate the query,
+            # author version 0 with the jar-free writer. WITH props:
+            # partitioned_by = ARRAY[...] (delta/iceberg/hudi),
+            # record_key = '<col>' (hudi).
+            fmt = m.group("fmt").lower()
+            path, props_txt = m.group("path"), m.group("props") or ""
+            part_by = None
+            record_key = None
+            pm = re.search(
+                r"partitioned_by\s*=\s*ARRAY\s*\[(?P<items>[^\]]*)\]",
+                props_txt, re.I,
+            )
+            if pm:
+                part_by = [
+                    e.strip().strip("'")
+                    for e in pm.group("items").split(",")
+                    if e.strip()
+                ]
+            rm = re.search(
+                r"record_key\s*=\s*'(?P<k>[^']+)'", props_txt, re.I
+            )
+            if rm:
+                record_key = rm.group("k")
+            df = self.sql(m.group("q"))
+            n = df.count()
+            if fmt == "delta":
+                from witdb_spark.sources.delta_log import write_delta
+
+                write_delta(
+                    self.spark, df, path, mode="create",
+                    partition_by=part_by,
+                )
+            elif fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    write_iceberg,
+                )
+
+                write_iceberg(
+                    self.spark, df, path, mode="create",
+                    partition_by=part_by,
+                )
+            else:
+                from witdb_spark.sources.hudi_meta import write_hudi
+
+                write_hudi(
+                    self.spark, df, path, mode="create",
+                    record_key=record_key, partition_by=part_by,
+                )
+            return self.spark.createDataFrame(
+                [(path, n)], "path string, rows bigint"
+            )
         dml = self._sql_lakehouse_dml(text)
         if dml is not None:
             return dml
@@ -882,6 +941,105 @@ class Engine:
             # through the same textual rewrites full statements do
             return transpile(sql_fragment)
 
+        m = _re.match(
+            r"^\s*INSERT\s+INTO\s+" + self._DML_TABLE
+            + r"\s*(?:\((?P<cols>[^)]*)\)\s*)?(?P<q>(?:SELECT|VALUES|"
+            r"TABLE|WITH)\b.+?)\s*;?\s*$",
+            text, _re.I | _re.S,
+        )
+        if m:
+            # the reference's INSERT front door (io.trino.sql.tree
+            # Insert; delta/iceberg connectors execute it — the hudi
+            # connector there is read-only, this repo's writers go
+            # further): evaluate the query, align columns to the
+            # target schema (positionally, or by the explicit column
+            # list with NULLs for unlisted columns), append.
+            fmt, path = m.group(1).lower(), m.group("path")
+            from pyspark.sql import functions as F
+
+            from witdb_spark.sources.lakehouse import read_table
+
+            target = read_table(self.spark, fmt, path).schema
+            if fmt == "hudi":
+                # the hoodie meta columns are writer-stamped, never
+                # user-supplied
+                from pyspark.sql.types import StructType as _ST
+
+                target = _ST(
+                    [
+                        f for f in target.fields
+                        if not f.name.startswith("_hoodie_")
+                    ]
+                )
+            df = self.sql(m.group("q"))
+            if m.group("cols"):
+                listed = [
+                    c.strip().strip('"')
+                    for c in m.group("cols").split(",")
+                ]
+                unknown = [
+                    c for c in listed
+                    if c not in [f.name for f in target.fields]
+                ]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column(s) {unknown} not in the table"
+                    )
+                if len(listed) != len(df.columns):
+                    raise ValueError(
+                        "INSERT column list and query arity differ"
+                    )
+                by_name = dict(zip(listed, df.columns))
+                df = df.select(
+                    *[
+                        F.col(by_name[f.name]).cast(f.dataType).alias(
+                            f.name
+                        )
+                        if f.name in by_name
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target.fields
+                    ]
+                )
+            else:
+                if len(df.columns) != len(target.fields):
+                    raise ValueError(
+                        f"INSERT query has {len(df.columns)} columns,"
+                        f" table has {len(target.fields)}"
+                    )
+                df = df.select(
+                    *[
+                        F.col(c).cast(f.dataType).alias(f.name)
+                        for c, f in zip(df.columns, target.fields)
+                    ]
+                )
+            n = df.count()
+            if fmt == "delta":
+                from witdb_spark.sources.delta_log import write_delta
+
+                write_delta(self.spark, df, path, mode="append")
+            elif fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    write_iceberg,
+                )
+
+                write_iceberg(self.spark, df, path, mode="append")
+            else:
+                from witdb_spark.sources.hudi_meta import (
+                    _properties,
+                    hudi_log_insert,
+                    write_hudi,
+                )
+
+                if (
+                    _properties(path).get("hoodie.table.type")
+                    == "MERGE_ON_READ"
+                ):
+                    hudi_log_insert(self.spark, path, df)
+                else:
+                    write_hudi(self.spark, df, path, mode="append")
+            return self.spark.createDataFrame(
+                [(path, n)], "path string, rows bigint"
+            )
         m = _re.match(
             r"^\s*DELETE\s+FROM\s+" + self._DML_TABLE
             + r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",

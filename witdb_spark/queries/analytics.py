@@ -3516,3 +3516,51 @@ def hudi_library_delete_block_scan(
     return read_hudi_snapshot(spark, path).select(
         "n_nationkey", "n_name"
     )
+
+
+@register(
+    "sql_lakehouse_ctas_insert",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_regionkey <> 3
+    UNION ALL
+    SELECT CAST(n_nationkey + 500 AS BIGINT), 'INSERTED'
+    FROM nation WHERE n_regionkey = 0
+    """,
+    doc="CTAS + INSERT through the SQL front door (r12, engine.py —"
+    " reference CreateTableTask / io.trino.sql.tree.Insert executed by"
+    " the delta connector): CREATE TABLE delta.'<path>' AS SELECT"
+    " filters nation into a fresh jar-free Delta table, INSERT INTO"
+    " ... SELECT appends a second commit (positional alignment casts"
+    " to the target schema), and the final front-door read must"
+    " hash-equal the hand-unioned oracle. Late-r12 registration —"
+    " leads r13's driver window.",
+    tags=("writer", "dml", "lakehouse"),
+)
+def sql_lakehouse_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_sql_ctas_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    eng.sql(
+        f"CREATE TABLE delta.'{path}' AS SELECT"
+        " CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name"
+        " FROM nation WHERE n_regionkey <> 3"
+    )
+    eng.sql(
+        f"INSERT INTO delta.'{path}' SELECT"
+        " CAST(n_nationkey + 500 AS BIGINT), 'INSERTED'"
+        " FROM nation WHERE n_regionkey = 0"
+    )
+    return eng.sql(
+        f"SELECT n_nationkey, n_name FROM delta.'{path}'"
+    )
