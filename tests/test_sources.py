@@ -6312,3 +6312,73 @@ def test_hudi_parquet_data_block(spark, tmp_path):
     )
     with pytest.raises(HudiLogError, match="bundle"):
         log_entries(log)
+
+
+def test_iceberg_mor_dml_under_spec_evolution(spark, tmp_path):
+    """r12 (closes the last evolution gate): row-targeted MOR DML on a
+    table whose data spans MULTIPLE partition specs — delete entries
+    group by their target's manifest spec-id, one spec-shaped delete
+    manifest per spec in a single snapshot; UPDATE stages post-images
+    under the current default spec; reads stay exact across specs."""
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        _pick_snapshot,
+        _resolve,
+        iceberg_delete_where,
+        iceberg_evolve_spec,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_evolve_dml")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i), "ab"[i % 2]) for i in range(6)],
+            "id bigint, v double, cat string",
+        ).coalesce(1),
+        t, mode="create",
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    iceberg_evolve_spec(spark, t, ["cat"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i), "ab"[i % 2]) for i in range(100, 106)],
+            "id bigint, v double, cat string",
+        ).coalesce(1),
+        t, mode="append",
+    )
+    # DELETE matches rows in BOTH specs' files
+    res = iceberg_delete_where(spark, t, "id IN (1, 101)")
+    assert res["files_rewritten"] == 0  # merge-on-read, no rewrite
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {0, 2, 3, 4, 5, 100, 102, 103, 104, 105}
+    # the delete snapshot carries one delete manifest PER spec, each
+    # declaring its own spec-id
+    meta = _current_metadata(t)
+    snap = _pick_snapshot(meta, None, None)
+    _, manifests = read_avro_file(_resolve(t, snap["manifest-list"]))
+    del_specs = sorted(
+        m.get("partition_spec_id", 0)
+        for m in manifests
+        if m.get("content", 0) == 1
+    )
+    assert del_specs == [0, 1]
+    # UPDATE across specs: post-images land under the default spec
+    iceberg_update_where(spark, t, "id IN (2, 102)", {"v": "v + 1000"})
+    vals = {
+        r.id: r.v for r in read_iceberg_snapshot(spark, t).collect()
+    }
+    assert vals[2] == 1002.0 and vals[102] == 1102.0
+    assert len(vals) == 10
+    # pruning on the evolved column stays sound with deletes live
+    pruned = read_iceberg_snapshot(spark, t, where="cat = 'a'")
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        i for i in got if i % 2 == 0
+    )

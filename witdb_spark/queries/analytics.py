@@ -3564,3 +3564,69 @@ def sql_lakehouse_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         f"SELECT n_nationkey, n_name FROM delta.'{path}'"
     )
+
+
+@register(
+    "iceberg_mor_evolved_dml",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 9 = 4 THEN 'EPATCH'
+                ELSE n_name END AS n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey % 6 <> 2
+    """,
+    doc="Row-targeted MOR DML across EVOLVED partition specs (r12,"
+    " iceberg_meta.py _iceberg_posdelete_commit_df per-spec delete"
+    " manifests; Iceberg spec 'Partition Evolution' + 'Position Delete"
+    " Files'): nation lands unpartitioned (spec 0), the spec evolves"
+    " to identity on n_regionkey, a second slice appends under spec 1,"
+    " then one merge-on-read DELETE and one UPDATE each match rows in"
+    " BOTH specs' files — delete entries group by their target's"
+    " manifest spec-id (one spec-shaped delete manifest per spec,"
+    " single snapshot), post-images stage under the current default"
+    " spec. Result must hash-equal the hand-applied oracle.",
+    tags=("source", "lakehouse", "writer", "dml"),
+)
+def iceberg_mor_evolved_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_delete_where,
+        iceberg_evolve_spec,
+        iceberg_update_where,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_evodml_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, src.filter("n_nationkey < 12").coalesce(1),
+        path, mode="create",
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    iceberg_evolve_spec(spark, path, ["n_regionkey"])
+    write_iceberg(
+        spark, src.filter("n_nationkey >= 12").coalesce(1),
+        path, mode="append",
+    )
+    iceberg_delete_where(spark, path, "n_nationkey % 6 = 2")
+    iceberg_update_where(
+        spark, path, "n_nationkey % 9 = 4", {"n_name": "'EPATCH'"}
+    )
+    return read_iceberg_snapshot(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -1685,10 +1685,12 @@ def _iceberg_posdelete_commit_df(
     only per-file descriptors, never row positions (the reference's
     merge sinks run in workers: core/trino-main/.../
     MergeWriterOperator.java). r11: PARTITIONED tables work — each
-    delete entry carries its single target file's partition struct, so
-    the delete manifest is spec-shaped for the table's default spec.
-    Returns the committed snapshot id, or None when nothing matched
-    (caller decides what a no-op returns)."""
+    delete entry carries its single target file's partition struct.
+    r12: partition-spec EVOLUTION works — delete entries group by
+    their TARGET's manifest spec-id and each spec gets its own
+    spec-shaped delete manifest in the same snapshot (previously a
+    loud multi-spec gate). Returns the committed snapshot id, or None
+    when nothing matched (caller decides what a no-op returns)."""
     meta = _current_metadata(path)
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
@@ -1697,12 +1699,6 @@ def _iceberg_posdelete_commit_df(
     specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
     spec_id = meta.get("default-spec-id", 0)
     part_fields = specs.get(spec_id, {}).get("fields") or []
-    if sum(1 for s in specs.values() if s.get("fields")) > 1:
-        raise IcebergProtocolError(
-            "position deletes under partition-spec EVOLUTION need the"
-            " iceberg-spark-runtime jar (per-manifest spec routing —"
-            " reads work jar-free since r12; iceberg_evolve_spec)"
-        )
     _maintenance_gate(meta, "write_position_deletes")
     schema = _table_schema(meta)
     base_cur = meta.get("current-snapshot-id")
@@ -1716,10 +1712,13 @@ def _iceberg_posdelete_commit_df(
     if not touched:
         return None
     # one manifest walk: known file set + each file's partition struct
-    part_by_file: dict[str, dict | None] = {}
+    # AND its manifest's spec-id (r12: delete entries are written under
+    # the spec the TARGET was written under — partition evolution)
+    part_by_file: dict[str, tuple[int, dict | None]] = {}
     for mf in prior:
         if mf.get("content", 0) != 0:
             continue
+        mf_sid = mf.get("partition_spec_id", 0)
         _, entries = read_avro_file(_resolve(path, mf["manifest_path"]))
         for e in entries:
             if e.get("status", 1) == 2:
@@ -1729,7 +1728,7 @@ def _iceberg_posdelete_commit_df(
                 continue
             part_by_file[
                 _norm_file_path(_resolve(path, rec["file_path"]))
-            ] = rec.get("partition")
+            ] = (mf_sid, rec.get("partition"))
     unknown = sorted(
         p for p in touched
         if _norm_file_path(_resolve(path, p)) not in part_by_file
@@ -1799,8 +1798,13 @@ def _iceberg_posdelete_commit_df(
         )
         .collect()
     )
-    delete_records = []
+    # group delete entries by the TARGET's spec-id: each spec gets its
+    # own delete manifest whose entries carry that spec's struct shape
+    # (r12 — partition evolution; previously a loud multi-spec gate)
+    by_spec: dict[int, list[dict]] = {}
     for r in sorted(per_file, key=lambda r: r["rel"]):
+        t_sid, struct = part_by_file[r["f"]]
+        t_pf = specs.get(t_sid, {}).get("fields") or []
         rec = {
             "content": 1,
             "file_path": r["rel"],
@@ -1808,30 +1812,28 @@ def _iceberg_posdelete_commit_df(
             "record_count": r["nrows"],
             "file_size_in_bytes": r["nbytes"],
         }
-        if part_fields:
-            struct = part_by_file[r["f"]]
+        if t_pf:
             if struct is None or any(
-                pf["name"] not in struct for pf in part_fields
+                pf["name"] not in struct for pf in t_pf
             ):
-                # the target was written under an OLDER spec whose
-                # struct lacks the default spec's fields — writing it
-                # into a default-spec delete manifest would misdescribe
-                # it to library readers (evolution write gate; reads
-                # are spec-routed since r12)
                 raise IcebergProtocolError(
-                    f"position delete target {r['f']} predates the"
-                    " current partition spec — compact/rewrite it"
-                    " first, or add the iceberg-spark-runtime jar"
+                    f"position delete target {r['f']}: its manifest's"
+                    f" spec {t_sid} declares fields its partition"
+                    " struct lacks — inconsistent table metadata"
                 )
             rec["partition"] = struct
-        delete_records.append(rec)
+        by_spec.setdefault(t_sid, []).append(rec)
+    delete_groups = [
+        (recs, specs.get(sid, {}).get("fields") or [], sid)
+        for sid, recs in sorted(by_spec.items())
+    ]
     return _commit_delete_snapshot(
         path, base_cur, prior, snap_id, seq, None, None, None,
         data_adds=data_adds,
-        delete_records=delete_records,
         part_fields=part_fields,
         schema=schema,
         spec_id=spec_id,
+        delete_groups=delete_groups,
     )
 
 
@@ -1849,6 +1851,7 @@ def _commit_delete_snapshot(
     part_fields: list[dict] | None = None,
     schema: dict | None = None,
     spec_id: int = 0,
+    delete_groups: list[tuple[list[dict], list[dict], int]] | None = None,
 ) -> int:
     """Shared tail of the two delete writers: delete manifest (content=1
     position / content=2 equality entry), manifest list at the next
@@ -1859,52 +1862,64 @@ def _commit_delete_snapshot(
     LISTS; ``delete_records`` (r11) supersedes them with complete
     data_file records — partitioned specs carry each entry's typed
     partition struct, encoded with the same partition-extended entry
-    schema the data writer uses."""
+    schema the data writer uses. ``delete_groups`` (r12, partition-spec
+    EVOLUTION): [(records, part_fields, spec_id)] writes ONE delete
+    manifest PER SPEC, each entry's struct encoded with its own spec's
+    fields — targets under different specs commit atomically."""
     import uuid
 
     content = 2 if equality_ids else 1
     part_avro = (
         _part_avro_fields(part_fields, schema) if part_fields else []
     )
-    entry_schema = (
-        _MANIFEST_ENTRY_SCHEMA_EQ
-        if equality_ids
-        else _entry_schema_for(part_avro)
-    )
-    if delete_records is None:
-        dfiles = (
-            list(zip(dpath, n_rows))
-            if isinstance(dpath, (list, tuple))
-            else [(dpath, n_rows)]
+    if delete_groups is None:
+        if delete_records is None:
+            dfiles = (
+                list(zip(dpath, n_rows))
+                if isinstance(dpath, (list, tuple))
+                else [(dpath, n_rows)]
+            )
+            delete_records = []
+            for dp, nr in dfiles:
+                data_file = {
+                    "content": content,
+                    "file_path": dp,
+                    "file_format": "PARQUET",
+                    "record_count": nr,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(path, dp)
+                    ),
+                }
+                if equality_ids:
+                    data_file["equality_ids"] = list(equality_ids)
+                delete_records.append(data_file)
+        delete_groups = [(delete_records, part_fields or [], spec_id)]
+    del_manifests = []
+    for g_records, g_pf, g_sid in delete_groups:
+        g_avro = _part_avro_fields(g_pf, schema) if g_pf else []
+        entry_schema = (
+            _MANIFEST_ENTRY_SCHEMA_EQ
+            if equality_ids
+            else _entry_schema_for(g_avro)
         )
-        delete_records = []
-        for dp, nr in dfiles:
-            data_file = {
-                "content": content,
-                "file_path": dp,
-                "file_format": "PARQUET",
-                "record_count": nr,
-                "file_size_in_bytes": os.path.getsize(
-                    os.path.join(path, dp)
-                ),
+        entries = [
+            {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+            for rec in g_records
+        ]
+        mpath = os.path.join(
+            path, "metadata", f"m-{uuid.uuid4().hex}.avro"
+        )
+        write_avro_file(mpath, entry_schema, entries)
+        del_manifests.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": g_sid,
+                "content": 1,
+                "added_snapshot_id": snap_id,
+                "sequence_number": seq,
             }
-            if equality_ids:
-                data_file["equality_ids"] = list(equality_ids)
-            delete_records.append(data_file)
-    entries = [
-        {"status": 1, "snapshot_id": snap_id, "data_file": rec}
-        for rec in delete_records
-    ]
-    mpath = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
-    write_avro_file(mpath, entry_schema, entries)
-    del_manifest = {
-        "manifest_path": mpath,
-        "manifest_length": os.path.getsize(mpath),
-        "partition_spec_id": spec_id,
-        "content": 1,
-        "added_snapshot_id": snap_id,
-        "sequence_number": seq,
-    }
+        )
     data_manifests: list[dict] = []
     if data_adds:
         dm = os.path.join(
@@ -1935,9 +1950,8 @@ def _commit_delete_snapshot(
     mlist = os.path.join(
         path, "metadata", f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
-    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, [
-        del_manifest
-    ] + data_manifests + [
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, del_manifests
+                    + data_manifests + [
         {
             "manifest_path": m["manifest_path"],
             "manifest_length": m["manifest_length"],
