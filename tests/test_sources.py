@@ -6382,3 +6382,90 @@ def test_iceberg_mor_dml_under_spec_evolution(spark, tmp_path):
     assert sorted(r.id for r in pruned.collect()) == sorted(
         i for i in got if i % 2 == 0
     )
+
+
+def test_delta_cdf_randomized_replay(spark, tmp_path):
+    """r12 soundness property: for a RANDOM interleaving of DML on a
+    CDF-enabled table (append / COW+DV delete / update / merge), the
+    change stream must REPLAY exactly — applying each version's
+    changes (insert/update_postimage add a row, delete/update_preimage
+    remove one) onto the previous snapshot's multiset reproduces the
+    next snapshot, for every version."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_merge_into,
+        delta_table_changes,
+        delta_table_version,
+        delta_update_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    rnd = random.Random(77)
+    for dv in (False, True):
+        t = str(tmp_path / f"cdf_replay_{dv}")
+        cfg = {"delta.enableChangeDataFeed": "true"}
+        if dv:
+            cfg["delta.enableDeletionVectors"] = "true"
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(8)],
+                "id bigint, v double",
+            ).coalesce(2),
+            t, mode="create", configuration=cfg,
+        )
+        next_id = 100
+        for step in range(6):
+            op = rnd.choice(["append", "delete", "update", "merge"])
+            if op == "append":
+                write_delta(
+                    spark,
+                    spark.createDataFrame(
+                        [(next_id, -1.0)], "id bigint, v double"
+                    ),
+                    t, mode="append",
+                )
+                next_id += 1
+            elif op == "delete":
+                delta_delete_where(spark, t, f"id % 5 = {step % 5}")
+            elif op == "update":
+                delta_update_where(
+                    spark, t, f"id % 4 = {step % 4}",
+                    {"v": "v + 10.0"},
+                )
+            else:
+                src = spark.createDataFrame(
+                    [(rnd.randrange(8), 0.0), (next_id, 7.0)],
+                    "id bigint, v double",
+                )
+                next_id += 1
+                delta_merge_into(
+                    spark, t, src, on=["id"],
+                    when_matched_delete=F.col("src.v") == 0.0,
+                    when_matched_update={"v": F.col("src.v")},
+                )
+        latest = delta_table_version(spark, t)
+        ch = delta_table_changes(spark, t).collect()
+        by_ver: dict = {}
+        for r in ch:
+            by_ver.setdefault(r["_commit_version"], []).append(r)
+        model: Counter = Counter()
+        for v in range(0, latest + 1):
+            for r in by_ver.get(v, []):
+                key = (r.id, r.v)
+                if r._change_type in ("insert", "update_postimage"):
+                    model[key] += 1
+                else:
+                    model[key] -= 1
+            snap = Counter(
+                (r.id, r.v)
+                for r in read_delta_snapshot(spark, t, version=v)
+                .collect()
+            )
+            assert +model == snap, (dv, v, +model, snap)
