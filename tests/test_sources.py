@@ -6469,3 +6469,48 @@ def test_delta_cdf_randomized_replay(spark, tmp_path):
                 .collect()
             )
             assert +model == snap, (dv, v, +model, snap)
+
+
+def test_hudi_virtual_key_incremental_read(spark, tmp_path):
+    """r12: incremental queries on VIRTUAL-KEY MOR tables — the
+    derived winning commit (base file-name instant / log block header)
+    filters in place of _hoodie_commit_time; chaining from a
+    checkpoint instant yields exactly the later commits' latest
+    states, without meta columns anywhere."""
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_incremental_read,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "virt_inc")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id bigint, v double"
+        ).coalesce(1),
+        t, record_key="id", populate_meta_fields=False,
+    )
+    c0 = _completed_instants(t)[-1][0]
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(1, -1.0), (50, 5.0)], "id bigint, v double"
+        ),
+    )
+    c1 = _completed_instants(t)[-1][0]
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(2, -2.0)], "id bigint, v double"),
+    )
+    inc = {(r.id, r.v) for r in hudi_incremental_read(spark, t, c0)
+           .collect()}
+    assert inc == {(1, -1.0), (50, 5.0), (2, -2.0)}
+    inc2 = {(r.id, r.v) for r in hudi_incremental_read(spark, t, c1)
+            .collect()}
+    assert inc2 == {(2, -2.0)}
+    assert "__h_commit" not in hudi_incremental_read(spark, t, c0).columns
+    # snapshot unaffected
+    assert read_hudi_snapshot(spark, t).count() == 6

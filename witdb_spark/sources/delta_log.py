@@ -1164,7 +1164,14 @@ def delta_table_changes(
     read through the physical-schema path like read_delta_snapshot
     (r12). Loud scope gates: a schema change inside the range, and
     commits already dropped from the log (checkpoint-subsumed or
-    vacuumed) — CDC needs the original commit JSONs."""
+    vacuumed) — CDC needs the original commit JSONs.
+
+    Plan-size note: the result unions one branch per commit in the
+    range (each needs its own _commit_version/timestamp literals and
+    file set), so the plan grows O(versions). Real CDC consumption
+    windows are small (a consumer chains from its checkpoint); a
+    10k-version backfill should iterate sub-ranges and union the
+    COLLECTED results, not the plans."""
     from pyspark.sql.types import StructType as _ST
 
     from witdb_spark.sources.paths import norm_path_expr

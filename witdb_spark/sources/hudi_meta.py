@@ -415,7 +415,8 @@ def _read_mor_snapshot(
 
 
 def _read_mor_snapshot_virtual(
-    spark: SparkSession, path: str, as_of_instant: str | None, props: dict
+    spark: SparkSession, path: str, as_of_instant: str | None, props: dict,
+    _with_commit: bool = False,
 ) -> DataFrame:
     """MOR snapshot for VIRTUAL-KEY tables
     (hoodie.populate.meta.fields=false — r11; previously a loud gate):
@@ -557,13 +558,18 @@ def _read_mor_snapshot_virtual(
     out = (
         merged.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
-        .drop("__rn", "__seq", "__h_part", "__h_commit")
+        .drop("__rn", "__seq", "__h_part")
     )
     if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
         out = out.where(
             ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
         )
-    return out.select(*[f.name for f in schema.fields])
+    keep = [f.name for f in schema.fields]
+    if _with_commit:
+        # r12: incremental reads need each row's WINNING commit — the
+        # derived __h_commit is exactly that
+        keep += ["__h_commit"]
+    return out.select(*keep)
 
 
 def _prune_hudi_files(files: list[str], path: str, where: str) -> list[str]:
@@ -2230,8 +2236,10 @@ def hudi_incremental_read(
     row's winning _hoodie_commit_time, so the incremental read is the
     snapshot at ``end`` filtered by commit time — no extra pass.
     Like real hudi's incremental mode, hard-deleted keys do not emit
-    (no tombstone images). MERGE_ON_READ with populated meta fields
-    only; COW tables carry no per-row commit material jar-free."""
+    (no tombstone images). MERGE_ON_READ only; COW tables carry no
+    per-row commit material jar-free. VIRTUAL-KEY tables work too
+    (r12): the derived winning commit (file-name instant / log block
+    header) filters in place of _hoodie_commit_time."""
     from pyspark.sql import functions as F
 
     props = _properties(path)
@@ -2241,10 +2249,12 @@ def hudi_incremental_read(
             " carry no commit-time column jar-free)"
         )
     if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "incremental queries on virtual-key tables need the"
-            " hudi-spark bundle"
+        snap = _read_mor_snapshot_virtual(
+            spark, path, end_instant, props, _with_commit=True
         )
+        return snap.filter(
+            F.col("__h_commit") > str(begin_instant)
+        ).drop("__h_commit")
     snap = _read_mor_snapshot(spark, path, end_instant)
     return snap.filter(
         F.col("_hoodie_commit_time") > str(begin_instant)
