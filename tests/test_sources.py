@@ -3816,7 +3816,12 @@ def test_dml_mor_writers_never_collect_rows(spark, tmp_path, monkeypatch):
     th = str(tmp_path / "gate_hudi")
     write_delta(
         spark, data, td, mode="create",
-        configuration={"delta.enableDeletionVectors": "true"},
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            # r12: CDF staging (cdc parquet per DML commit) must also
+            # stay executor-side — the spy covers it too
+            "delta.enableChangeDataFeed": "true",
+        },
     )
     write_iceberg(
         spark, data, ti, mode="create",
