@@ -1463,3 +1463,45 @@ def test_sql_ctas_lakehouse(spark, tmp_path):
     assert eng.sql(
         f"SELECT count(*) AS n FROM hudi.'{th}'"
     ).collect()[0].n == 5
+
+
+def test_sql_ctas_delta_table_properties(spark, tmp_path):
+    """r12: CTAS WITH the trino-delta-lake table-property spellings —
+    column_mapping_mode / change_data_feed_enabled /
+    deletion_vectors_enabled map onto the delta configuration keys, so
+    a front-door-created table immediately serves cm reads, a CDF
+    stream, and DV deletes."""
+    from witdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id bigint, v double"
+    ).createOrReplaceTempView("ctas_props_src")
+    t = str(tmp_path / "ctas_props")
+    eng.sql(
+        f"CREATE TABLE delta.'{t}' WITH (column_mapping_mode = 'name',"
+        " change_data_feed_enabled = true, deletion_vectors_enabled ="
+        " true) AS SELECT * FROM ctas_props_src"
+    )
+    import json as _json
+    import os.path as _osp
+
+    meta_cfg = None
+    with open(_osp.join(t, "_delta_log",
+                        "00000000000000000000.json")) as f:
+        for line in f:
+            a = _json.loads(line)
+            if a.get("metaData"):
+                meta_cfg = a["metaData"]["configuration"]
+    assert meta_cfg["delta.columnMapping.mode"] == "name"
+    assert meta_cfg["delta.enableChangeDataFeed"] == "true"
+    assert meta_cfg["delta.enableDeletionVectors"] == "true"
+    # DV delete + CDF read compose on the created table (cm incl.)
+    eng.sql(f"DELETE FROM delta.'{t}' WHERE id = 3")
+    ch = eng.sql(
+        "SELECT _change_type, count(*) AS n FROM"
+        f" TABLE(system.table_changes('{t}', 1)) GROUP BY _change_type"
+    ).collect()
+    assert {r._change_type: r.n for r in ch} == {"delete": 1}
+    got = eng.sql(f"SELECT id FROM delta.'{t}'").collect()
+    assert sorted(r.id for r in got) == [0, 1, 2, 4, 5]

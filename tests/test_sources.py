@@ -6519,3 +6519,170 @@ def test_hudi_virtual_key_incremental_read(spark, tmp_path):
     assert "__h_commit" not in hudi_incremental_read(spark, t, c0).columns
     # snapshot unaffected
     assert read_hudi_snapshot(spark, t).count() == 6
+
+
+def test_hudi_virtual_key_full_dml_lifecycle(spark, tmp_path):
+    """r12 (closes the last virtual-key gates): DELETE tombstones,
+    MERGE, and compaction on hoodie.populate.meta.fields=false tables.
+    Tombstone recordKeys use hudi's own rendering (single col = the
+    value; composite = 'f1:v1,f2:v2'), the virtual reader merges rows
+    and tombstones in that key domain, time travel sees pre-delete
+    rows, and compaction folds everything back to meta-column-free
+    parquet."""
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_compact,
+        hudi_delete_where,
+        hudi_log_upsert,
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = str(tmp_path / "virt_dml")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id bigint, v double"
+        ).coalesce(1),
+        t, record_key="id", populate_meta_fields=False,
+    )
+    # DELETE: tombstones on the owning slice's log
+    assert hudi_delete_where(spark, t, "id IN (1, 5)") is not None
+    c_del = _completed_instants(t)[-1][0]
+    got = {r.id for r in read_hudi_snapshot(spark, t).collect()}
+    assert got == {0, 2, 3, 4, 6, 7}
+    # time travel: the instant BEFORE the delete still sees the rows
+    pre = read_hudi_snapshot(
+        spark, t,
+        as_of_instant=str(int(c_del) - 1),
+    )
+    assert {r.id for r in pre.collect()} == set(range(8))
+    # delete-then-upsert resurrects via the same key domain
+    hudi_log_upsert(
+        spark, t,
+        spark.createDataFrame([(1, -1.0)], "id bigint, v double"),
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert got[1] == -1.0 and 5 not in got
+    # MERGE: update + delete + insert in one deltacommit
+    src = spark.createDataFrame(
+        [(2, 0.0), (3, 33.0), (100, 1.0)], "id bigint, v double"
+    )
+    hudi_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_delete=F.col("src.v") == 0.0,
+        when_matched_update={"v": F.col("src.v")},
+    )
+    got = {r.id: r.v for r in read_hudi_snapshot(spark, t).collect()}
+    assert 2 not in got and got[3] == 33.0 and got[100] == 1.0
+    assert len(got) == 7
+    # compaction folds to pure meta-column-free parquet
+    hudi_compact(spark, t)
+    snap = read_hudi_snapshot(spark, t)
+    assert {r.id: r.v for r in snap.collect()} == got
+    assert not [c for c in snap.columns if c.startswith("_hoodie_")]
+
+    # COMPOSITE keys: tombstones render 'f1:v1,f2:v2'
+    t2 = str(tmp_path / "virt_dml_comp")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(
+            [(i, "xy"[i % 2], float(i)) for i in range(6)],
+            "id bigint, grp string, v double",
+        ).coalesce(1),
+        t2, record_key="id,grp", populate_meta_fields=False,
+    )
+    hudi_delete_where(spark, t2, "id = 2 AND grp = 'x'")
+    got2 = {(r.id, r.grp) for r in read_hudi_snapshot(spark, t2)
+            .collect()}
+    assert (2, "x") not in got2 and len(got2) == 5
+
+
+def test_hudi_virtual_key_randomized_lifecycle(spark, tmp_path):
+    """r12 soundness property: a random interleaving of virtual-key
+    MOR operations (log insert / upsert / tombstone delete / merge /
+    compaction) keeps the merged snapshot equal to a python dict
+    model at every step — the virtual reader's rendered-key merge
+    domain never loses or resurrects an identity."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_compact,
+        hudi_delete_where,
+        hudi_log_insert,
+        hudi_log_upsert,
+        hudi_merge_into,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    rnd = random.Random(412)
+    t = str(tmp_path / "virt_model")
+    start = [(i, float(i)) for i in range(0, 12, 2)]
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(start, "id bigint, v double").coalesce(2),
+        t, record_key="id", populate_meta_fields=False,
+    )
+    model = dict(start)
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id bigint, v double")
+
+    def check(step):
+        got = {r.id: r.v for r in read_hudi_snapshot(spark, t)
+               .select("id", "v").collect()}
+        assert got == model, (step, got, model)
+
+    next_id = 100
+    for step in range(10):
+        op = rnd.choice(
+            ["insert", "upsert", "delete", "merge", "compact"]
+        )
+        if op == "insert":
+            rows = [(next_id + j, float(step)) for j in range(2)]
+            next_id += 2
+            hudi_log_insert(spark, t, df_of(rows))
+            model.update(rows)
+        elif op == "upsert":
+            keys = rnd.sample(sorted(model), min(3, len(model)))
+            rows = [(k, float(step) + 0.5) for k in keys] + [
+                (next_id, -1.0)
+            ]
+            next_id += 1
+            hudi_log_upsert(spark, t, df_of(rows))
+            model.update(rows)
+        elif op == "delete":
+            if not model:
+                continue
+            victim = rnd.choice(sorted(model))
+            hudi_delete_where(spark, t, f"id = {victim}")
+            model.pop(victim, None)
+        elif op == "merge":
+            keys = rnd.sample(sorted(model), min(2, len(model)))
+            src = [(k, 0.0) for k in keys[:1]] + [
+                (k, float(step)) for k in keys[1:]
+            ] + [(next_id, 7.0)]
+            next_id += 1
+            hudi_merge_into(
+                spark, t, df_of(src), on=["id"],
+                when_matched_delete=F.col("src.v") == 0.0,
+                when_matched_update={"v": F.col("src.v")},
+            )
+            for k, v in src:
+                if k in model and v == 0.0:
+                    model.pop(k)
+                else:
+                    model[k] = v
+        else:
+            hudi_compact(spark, t)
+        check(step)
+    assert not [
+        c for c in read_hudi_snapshot(spark, t).columns
+        if c.startswith("_hoodie_")
+    ]

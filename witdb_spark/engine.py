@@ -204,14 +204,19 @@ class Engine:
             # CTAS onto a lakehouse path (reference CreateTableTask +
             # the connectors' beginCreateTable): evaluate the query,
             # author version 0 with the jar-free writer. WITH props:
-            # partitioned_by = ARRAY[...] (delta/iceberg/hudi),
-            # record_key = '<col>' (hudi).
+            # partitioned_by = ARRAY[...] (the trino-delta-lake
+            # spelling; iceberg's own `partitioning` accepted too),
+            # record_key = '<col>' (hudi), and the trino-delta-lake
+            # table properties column_mapping_mode /
+            # change_data_feed_enabled / deletion_vectors_enabled
+            # mapping onto the delta configuration keys.
             fmt = m.group("fmt").lower()
             path, props_txt = m.group("path"), m.group("props") or ""
             part_by = None
             record_key = None
             pm = re.search(
-                r"partitioned_by\s*=\s*ARRAY\s*\[(?P<items>[^\]]*)\]",
+                r"(?:partitioned_by|partitioning)\s*=\s*ARRAY\s*"
+                r"\[(?P<items>[^\]]*)\]",
                 props_txt, re.I,
             )
             if pm:
@@ -225,6 +230,29 @@ class Engine:
             )
             if rm:
                 record_key = rm.group("k")
+            configuration: dict[str, str] = {}
+            for prop, conf in (
+                ("column_mapping_mode", "delta.columnMapping.mode"),
+                (
+                    "change_data_feed_enabled",
+                    "delta.enableChangeDataFeed",
+                ),
+                (
+                    "deletion_vectors_enabled",
+                    "delta.enableDeletionVectors",
+                ),
+            ):
+                vm = re.search(
+                    rf"{prop}\s*=\s*(?:'(?P<s>[^']*)'"
+                    r"|(?P<b>true|false))",
+                    props_txt, re.I,
+                )
+                if vm:
+                    configuration[conf] = (
+                        vm.group("s")
+                        if vm.group("s") is not None
+                        else vm.group("b").lower()
+                    )
             df = self.sql(m.group("q"))
             n = df.count()
             if fmt == "delta":
@@ -233,6 +261,7 @@ class Engine:
                 write_delta(
                     self.spark, df, path, mode="create",
                     partition_by=part_by,
+                    configuration=configuration or None,
                 )
             elif fmt == "iceberg":
                 from witdb_spark.sources.iceberg_meta import (

@@ -500,6 +500,8 @@ def _read_mor_snapshot_virtual(
                 "__h_commit"
             ),
             F.lit(-1).cast("long").alias("__seq"),
+            _virtual_key_expr(key_fields).alias("__h_key"),
+            F.lit(False).alias("__h_del"),
         )
         merged = base
     if log_entries:
@@ -507,27 +509,35 @@ def _read_mor_snapshot_virtual(
             log_entries, "__log string, __part string"
         ).repartition(min(len(log_entries), 64))
 
-        def decode_logs(batches, _completed=completed):
+        def decode_logs(batches, _completed=completed, _kf=key_fields):
             import json as _json
 
             import pandas as _pd
 
             from witdb_spark.sources.hudi_log import log_entries
+            from witdb_spark.sources.hudi_meta import _virtual_key_of
 
             for pdf in batches:
                 rows, parts, commits, seqs = [], [], [], []
+                keys, dels = [], []
                 for lp, part in zip(pdf["__log"], pdf["__part"]):
                     for i, (rec, instant, is_del) in enumerate(
                         log_entries(lp)
                     ):
-                        if is_del:
-                            raise HudiProtocolError(
-                                "DELETE tombstones on a virtual-key"
-                                " table need the hudi-spark bundle"
-                            )
                         if instant not in _completed:
                             continue
-                        rows.append(_json.dumps(rec))
+                        if is_del:
+                            # tombstone: key material only — the
+                            # recordKey is hudi's own rendering, the
+                            # same domain _virtual_key_of produces
+                            rows.append("{}")
+                            keys.append(
+                                str(rec.get("_hoodie_record_key"))
+                            )
+                        else:
+                            rows.append(_json.dumps(rec))
+                            keys.append(_virtual_key_of(rec, _kf))
+                        dels.append(bool(is_del))
                         parts.append(str(part))
                         commits.append(str(instant))
                         seqs.append(i)
@@ -537,28 +547,39 @@ def _read_mor_snapshot_virtual(
                         "__h_part": parts,
                         "__h_commit": commits,
                         "__seq": seqs,
+                        "__h_key": keys,
+                        "__h_del": dels,
                     }
                 )
 
         decoded = logs_df.mapInPandas(
             decode_logs,
             "__json string, __h_part string, __h_commit string,"
-            " __seq long",
+            " __seq long, __h_key string, __h_del boolean",
         )
         log_rows = decoded.select(
             F.from_json("__json", schema).alias("r"),
-            "__h_part", "__h_commit", "__seq",
-        ).select("r.*", "__h_part", "__h_commit", "__seq")
+            "__h_part", "__h_commit", "__seq", "__h_key", "__h_del",
+        ).select(
+            "r.*", "__h_part", "__h_commit", "__seq", "__h_key",
+            "__h_del",
+        )
         merged = (
             log_rows if merged is None else merged.unionByName(log_rows)
         )
-    w = Window.partitionBy(
-        "__h_part", *[F.col(k) for k in key_fields]
-    ).orderBy(F.col("__h_commit").desc(), F.col("__seq").desc())
+    # row identity = (partition path, RENDERED record key) — the same
+    # stringy domain hudi keys live in; tombstones carry no data
+    # columns, so the rendering (not the typed tuple) is the only key
+    # domain both row kinds share
+    w = Window.partitionBy("__h_part", "__h_key").orderBy(
+        F.col("__h_commit").desc(), F.col("__seq").desc()
+    )
     out = (
         merged.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
-        .drop("__rn", "__seq", "__h_part")
+        # a key whose latest record is a tombstone is dead
+        .where(~F.col("__h_del"))
+        .drop("__rn", "__seq", "__h_part", "__h_key", "__h_del")
     )
     if "_hoodie_is_deleted" in [f.name for f in schema.fields]:
         out = out.where(
@@ -1175,22 +1196,36 @@ def _hudi_mor_merge(
     from witdb_spark.sources.merge import merge_into
 
     props = _properties(path)
-    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
-            " need the hudi-spark bundle — reads work jar-free"
-        )
+    virtual = (
+        props.get("hoodie.populate.meta.fields", "true").lower()
+        == "false"
+    )
     key = props.get("hoodie.table.recordkey.fields")
-    if not key or key not in source.columns:
+    key_fields = [k.strip() for k in (key or "").split(",") if k.strip()]
+    missing_keys = [k for k in key_fields if k not in source.columns]
+    if not key_fields or missing_keys:
         raise HudiProtocolError(
             f"record key {key!r} must be a declared table property and"
-            " a source column"
+            " its column(s) present in the source"
         )
-    if key in (merge_kwargs.get("when_matched_update") or {}):
+    if not virtual and len(key_fields) != 1:
         raise HudiProtocolError(
-            f"the record key {key!r} is immutable — MERGE cannot"
-            " assign it"
+            "composite record keys on meta-fields tables need the"
+            " bundle's key generator"
         )
+    hit = set(key_fields) & set(
+        merge_kwargs.get("when_matched_update") or {}
+    )
+    if hit:
+        raise HudiProtocolError(
+            f"the record key field(s) {sorted(hit)} are immutable —"
+            " MERGE cannot assign them"
+        )
+    key_expr = (
+        _virtual_key_expr(key_fields)
+        if virtual
+        else F.col(key).cast("string")
+    )
     slices = _hudi_file_slices(path)
     base_last = _completed_instants(path)[-1][0]
     completed = {i for i, _, _ in _completed_instants(path)}
@@ -1205,12 +1240,15 @@ def _hudi_mor_merge(
     survivors = merge_into(matched, source, on, **merge_kwargs)
     if matched.isEmpty() and survivors.isEmpty():
         return None
-    keymap = _mor_keymap(spark, path, slices, completed)
-    src = survivors.withColumn("__k", F.col(key).cast("string"))
+    keymap = _mor_keymap(
+        spark, path, slices, completed,
+        key_fields=key_fields if virtual else None,
+    )
+    src = survivors.withColumn("__k", key_expr)
     routed = src.join(keymap, "__k", "left")
     # matched keys whose row vanished from the survivors were DELETEd
     deleted = (
-        matched.select(F.col(key).cast("string").alias("__k"))
+        matched.select(key_expr.alias("__k"))
         .distinct()
         .join(src.select("__k").distinct(), "__k", "left_anti")
         .join(keymap, "__k", "inner")
@@ -1227,11 +1265,15 @@ def _hudi_mor_merge(
         )
     )
     group_info = _mor_group_targets(slices)
+    data_avro = _avro_schema_for(survivors.select(*data_cols))["fields"]
     avro_schema = {
         "type": "record",
         "name": "witdb_mor",
-        "fields": _meta_string_avro_fields()
-        + _avro_schema_for(survivors.select(*data_cols))["fields"],
+        "fields": (
+            data_avro
+            if virtual
+            else _meta_string_avro_fields() + data_avro
+        ),
     }
     instant = _claim_instant(path)
     stats_by_part: dict[str, list] = {}
@@ -1256,23 +1298,26 @@ def _hudi_mor_merge(
                 raise HudiProtocolError(
                     f"partition columns {missing} absent from the source"
                 )
-        full = inserts.coalesce(1).select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            F.concat(
-                F.lit(f"{instant}_1_"),
-                F.monotonically_increasing_id().cast("string"),
-            ).alias("_hoodie_commit_seqno"),
-            F.col(key).cast("string").alias("_hoodie_record_key"),
-            (
-                _hoodie_partition_path_expr(part_fields)
-                if part_fields
-                else F.lit("")
-            ).alias("_hoodie_partition_path"),
-            F.lit("").alias("_hoodie_file_name"),
-            *data_cols,
-        )
+        if virtual:
+            full = inserts.coalesce(1)
+        else:
+            full = inserts.coalesce(1).select(
+                F.lit(instant).alias("_hoodie_commit_time"),
+                F.concat(
+                    F.lit(f"{instant}_1_"),
+                    F.monotonically_increasing_id().cast("string"),
+                ).alias("_hoodie_commit_seqno"),
+                F.col(key).cast("string").alias("_hoodie_record_key"),
+                (
+                    _hoodie_partition_path_expr(part_fields)
+                    if part_fields
+                    else F.lit("")
+                ).alias("_hoodie_partition_path"),
+                F.lit("").alias("_hoodie_file_name"),
+                *data_cols,
+            )
         for part_key, recs in _stage_mor_groups(
-            full, path, instant, part_fields
+            full, path, instant, part_fields, virtual=virtual
         ).items():
             stats_by_part.setdefault(part_key, []).extend(recs)
     if _completed_instants(path)[-1][0] != base_last:
@@ -1739,28 +1784,41 @@ def _write_log_blocks_distributed(
     )
 
 
-#: composite-key string rendering shared by the virtual-key write
-#: paths' Spark expressions and executor-side log decodes — the two
-#: sides must agree byte-for-byte or routing silently misses
-_VKEY_SEP = "\x1f"
-_VKEY_NULL = "\x00null\x00"
+#: virtual-key string rendering = hudi's OWN record-key rendering
+#: (KeyGenUtils: single column -> the value's string; composite ->
+#: 'f1:v1,f2:v2'; NULL -> '__null__') — shared by the virtual write
+#: paths' Spark expressions, the executor-side log decodes, and the
+#: tombstone recordKeys, so this repo's tombstones and the library's
+#: land in the same key domain. The stringy domain is hudi's contract:
+#: composite values containing ','/':' collide there exactly as here.
+_VKEY_NULL = "__null__"
 
 
 def _virtual_key_expr(key_fields: list[str]):
     from pyspark.sql import functions as F
 
+    if len(key_fields) == 1:
+        return F.coalesce(
+            F.col(key_fields[0]).cast("string"), F.lit(_VKEY_NULL)
+        )
     return F.concat_ws(
-        _VKEY_SEP,
+        ",",
         *[
-            F.coalesce(F.col(k).cast("string"), F.lit(_VKEY_NULL))
+            F.concat(
+                F.lit(f"{k}:"),
+                F.coalesce(F.col(k).cast("string"), F.lit(_VKEY_NULL)),
+            )
             for k in key_fields
         ],
     )
 
 
 def _virtual_key_of(rec: dict, key_fields: list[str]) -> str:
-    return _VKEY_SEP.join(
-        _VKEY_NULL if rec.get(k) is None else str(rec[k])
+    if len(key_fields) == 1:
+        v = rec.get(key_fields[0])
+        return _VKEY_NULL if v is None else str(v)
+    return ",".join(
+        f"{k}:" + (_VKEY_NULL if rec.get(k) is None else str(rec[k]))
         for k in key_fields
     )
 
@@ -2007,13 +2065,15 @@ def hudi_log_delete(
     Iceberg's position deletes (real hudi appends HoodieDeleteBlock
     with HoodieDeleteRecord(recordKey, partitionPath) payloads; this
     module's blocks carry the same key material as avro records of the
-    hoodie meta fields under a SCHEMA header, which log_entries reads
-    back — library kryo/avro-list payloads stay loud). Matched keys
-    route to their owning file slice and the DELETE block appends to
-    its log ON THE EXECUTORS (one task per group; the driver commits
-    descriptors). The merge reader drops a key whose latest record is
-    a tombstone; prior instants still see the rows. Returns the commit
-    instant, or None when nothing matched."""
+    hoodie meta fields under a SCHEMA header, and log_entries also
+    decodes the library's avro-list payloads since r12 — only kryo
+    stays loud). Matched keys route to their owning file slice and the
+    DELETE block appends to its log ON THE EXECUTORS (one task per
+    group; the driver commits descriptors). The merge reader drops a
+    key whose latest record is a tombstone; prior instants still see
+    the rows. VIRTUAL-KEY tables work too (r12): tombstone recordKeys
+    use hudi's own key rendering, the domain the virtual reader merges
+    in. Returns the commit instant, or None when nothing matched."""
     from pyspark.sql import functions as F
 
     from witdb_spark.sources.hudi_log import BLOCK_DELETE
@@ -2024,22 +2084,36 @@ def hudi_log_delete(
             "hudi_log_delete needs a MERGE_ON_READ table (COW tables"
             " route through hudi_delete_where's rewrite)"
         )
-    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "virtual-key MOR writes (hoodie.populate.meta.fields=false)"
-            " need the hudi-spark bundle — reads work jar-free"
-        )
+    virtual = (
+        props.get("hoodie.populate.meta.fields", "true").lower()
+        == "false"
+    )
+    key_fields = [
+        k.strip()
+        for k in (props.get("hoodie.table.recordkey.fields") or "")
+        .split(",")
+        if k.strip()
+    ]
     slices = _hudi_file_slices(path)
     base_last = _completed_instants(path)[-1][0]
     completed = {i for i, _, _ in _completed_instants(path)}
     matched = (
         read_hudi_snapshot(spark, path)
         .where(predicate_sql)
-        .select(F.col("_hoodie_record_key").alias("__k"))
+        .select(
+            (
+                _virtual_key_expr(key_fields)
+                if virtual
+                else F.col("_hoodie_record_key")
+            ).alias("__k")
+        )
     )
     if matched.isEmpty():
         return None
-    keymap = _mor_keymap(spark, path, slices, completed)
+    keymap = _mor_keymap(
+        spark, path, slices, completed,
+        key_fields=key_fields if virtual else None,
+    )
     routed = matched.join(keymap, "__k", "inner").select("__grp", "__k")
     group_info = _mor_group_targets(slices)
     avro_schema = {
@@ -2269,18 +2343,22 @@ def hudi_compact(
     snapshot rewrites as fresh base file groups and ONE replacecommit
     retires every prior group — after it, log records are folded in
     and reads are pure parquet again. Prior instants still see the old
-    slices (time travel). Returns the commit instant."""
+    slices (time travel). VIRTUAL-KEY tables compact too (r12): the
+    rewritten base carries no meta columns; like real hudi without
+    meta fields, per-row commit provenance resets to the compaction
+    instant (there is no column to preserve it in), so incremental
+    consumers should checkpoint before compacting. Returns the commit
+    instant."""
     props = _properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiProtocolError(
             "hudi_compact is for MERGE_ON_READ tables (COW tables use"
             " CALL system.optimize clustering)"
         )
-    if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
-        raise HudiProtocolError(
-            "virtual-key MOR compaction (hoodie.populate.meta.fields="
-            "false) needs the hudi-spark bundle — reads work jar-free"
-        )
+    virtual = (
+        props.get("hoodie.populate.meta.fields", "true").lower()
+        == "false"
+    )
     slices = _hudi_file_slices(path)
     part_fields = _hudi_partition_fields(path)
     base_last = _completed_instants(path)[-1][0]
@@ -2289,9 +2367,12 @@ def hudi_compact(
     )
     instant = _claim_instant(path)
     # partitioned tables re-stage per partition (the merged rows carry
-    # their stamped _hoodie_partition_path); coalesce keeps the
+    # their stamped _hoodie_partition_path; virtual tables recompute
+    # the hive path from the partition columns); coalesce keeps the
     # per-partition group count at target_files
-    stats_by_part = _stage_mor_groups(merged, path, instant, part_fields)
+    stats_by_part = _stage_mor_groups(
+        merged, path, instant, part_fields, virtual=virtual
+    )
     if _completed_instants(path)[-1][0] != base_last:
         raise HudiProtocolError(
             f"{path}: concurrent commit during compaction — re-run"
