@@ -6686,3 +6686,80 @@ def test_hudi_virtual_key_randomized_lifecycle(spark, tmp_path):
         c for c in read_hudi_snapshot(spark, t).columns
         if c.startswith("_hoodie_")
     ]
+
+
+def test_hudi_mor_logical_type_log_records(spark, tmp_path):
+    """r12: MOR log records carry DATE / TIMESTAMP_NTZ / DECIMAL
+    columns (the avro logical encodings hudi's writers use — date as
+    epoch days, timestamps as micros, decimal as unscaled big-endian
+    bytes) and round-trip exactly through upsert -> merge read ->
+    compaction; log-only slices recover the typed schema from the
+    SCHEMA header."""
+    import datetime
+    from decimal import Decimal
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_compact,
+        hudi_log_insert,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.date(2024, 1, 1 + i),
+            datetime.datetime(2026, 8, 16, 9, 0, i, 123456),
+            Decimal(f"{i}.25"),
+        )
+        for i in range(4)
+    ]
+    ddl = (
+        "id bigint, d date, ts timestamp_ntz, amt decimal(10,2)"
+    )
+    t = str(tmp_path / "mor_logical")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(rows, ddl).coalesce(1),
+        t, record_key="id",
+    )
+    # upsert rewrites one row's logical values through a LOG record
+    upd = (
+        2,
+        datetime.date(1999, 12, 31),
+        datetime.datetime(2030, 1, 1, 0, 0, 0, 999999),
+        Decimal("-7.50"),
+    )
+    hudi_log_upsert(spark, t, spark.createDataFrame([upd], ddl))
+    got = {
+        (r.id): (r.d, r.ts, r.amt)
+        for r in read_hudi_snapshot(spark, t)
+        .select("id", "d", "ts", "amt").collect()
+    }
+    assert got[2] == (upd[1], upd[2], upd[3])
+    assert got[0] == (rows[0][1], rows[0][2], rows[0][3])
+    # log-ONLY slice: the typed schema comes from the SCHEMA header
+    t2 = str(tmp_path / "mor_logical_logonly")
+    write_hudi_mor_create(
+        spark,
+        spark.createDataFrame(rows, ddl).coalesce(1).limit(0),
+        t2, record_key="id",
+    )
+    hudi_log_insert(spark, t2, spark.createDataFrame(rows, ddl))
+    snap2 = read_hudi_snapshot(spark, t2)
+    assert [f.dataType.simpleString() for f in snap2.schema.fields
+            if f.name in ("d", "ts", "amt")] == [
+        "date", "timestamp_ntz", "decimal(10,2)"
+    ]
+    got2 = {r.id: (r.d, r.ts, r.amt) for r in snap2
+            .select("id", "d", "ts", "amt").collect()}
+    assert got2 == {r[0]: (r[1], r[2], r[3]) for r in rows}
+    # compaction folds logical values back to parquet exactly
+    hudi_compact(spark, t)
+    got3 = {
+        r.id: (r.d, r.ts, r.amt)
+        for r in read_hudi_snapshot(spark, t)
+        .select("id", "d", "ts", "amt").collect()
+    }
+    assert got3 == got

@@ -3630,3 +3630,62 @@ def iceberg_mor_evolved_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_snapshot(spark, path).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "hudi_mor_logical_types",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(CASE WHEN o_orderkey % 10 = 7
+                         THEN DATE '1999-12-31' ELSE o_orderdate END,
+                    '%Y-%m-%d') AS o_orderdate,
+           CAST(CASE WHEN o_orderkey % 10 = 7 THEN -1.00
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 800
+    """,
+    doc="DATE/DECIMAL columns through MOR log records (r12,"
+    " hudi_meta.py _avro_schema_for logical encodings — epoch-day"
+    " dates, unscaled-bytes decimals, the same avro logical types"
+    " hudi's writers emit): orders lands as a MOR base, one upsert"
+    " rewrites every o%10=7 row's date and price THROUGH THE LOG, and"
+    " the merged snapshot must hash-equal the hand-patched oracle"
+    " (dates compared as strings — the engine-neutral form).",
+    tags=("source", "lakehouse", "writer"),
+)
+def hudi_mor_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    src = t.orders.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS o_orderkey",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice",
+    ).filter("o_orderkey <= 800")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_logical_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, src.coalesce(2), path, record_key="o_orderkey"
+    )
+    hudi_log_upsert(
+        spark, path,
+        src.filter("o_orderkey % 10 = 7").selectExpr(
+            "o_orderkey",
+            "DATE '1999-12-31' AS o_orderdate",
+            "CAST(-1.00 AS DECIMAL(12,2)) AS o_totalprice",
+        ),
+    )
+    return read_hudi_snapshot(spark, path).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -466,6 +466,15 @@ def _encode(schema, value, names, out: bytearray):
     elif t == "double":
         out += struct.pack("<d", value)
     elif t == "bytes":
+        if isinstance(value, Decimal):
+            # logical decimal: big-endian two's-complement unscaled int
+            # at the schema's scale (the exact inverse of _logical)
+            scale = (
+                schema.get("scale", 0) if isinstance(schema, dict) else 0
+            )
+            unscaled = int(value.scaleb(scale))
+            blen = max(1, (unscaled.bit_length() + 8) // 8)
+            value = unscaled.to_bytes(blen, "big", signed=True)
         out += _zigzag(len(value)) + bytes(value)
     elif t == "string":
         enc = value.encode("utf-8")

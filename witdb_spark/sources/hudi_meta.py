@@ -202,6 +202,28 @@ def _spark_schema_from_log(log_path: str):
             if isinstance(t, list):  # ["null", prim]
                 prims = [x for x in t if x != "null"]
                 t = prims[0] if len(prims) == 1 else t
+            if isinstance(t, dict) and t.get("logicalType"):
+                # r12 logical types (same encodings the log writer
+                # emits): avro timestamps carry no NTZ/TZ distinction —
+                # NTZ is this repo's convention (testdata parquet)
+                lt = t["logicalType"]
+                if lt == "date":
+                    st: object = T.DateType()
+                elif lt.startswith("timestamp-"):
+                    st = T.TimestampNTZType()
+                elif lt == "decimal":
+                    st = T.DecimalType(
+                        int(t.get("precision", 38)),
+                        int(t.get("scale", 0)),
+                    )
+                else:
+                    raise HudiProtocolError(
+                        f"log-only slice schema: field {f['name']!r}"
+                        f" logical type {lt!r} needs the hudi-spark"
+                        " bundle"
+                    )
+                fields.append(T.StructField(f["name"], st, True))
+                continue
             if not isinstance(t, str) or t not in spark_for_avro:
                 raise HudiProtocolError(
                     f"log-only slice schema: field {f['name']!r} avro"
@@ -367,7 +389,7 @@ def _read_mor_snapshot(
                 for i, (rec, _inst, is_del) in enumerate(
                     log_entries(p)
                 ):
-                    rows.append(_json.dumps(rec))
+                    rows.append(_json.dumps(rec, default=str))  # dates/timestamps/decimals -> from_json-parsable strings
                     seqs.append(i)
                     dels.append(is_del)
             yield _pd.DataFrame(
@@ -535,7 +557,7 @@ def _read_mor_snapshot_virtual(
                                 str(rec.get("_hoodie_record_key"))
                             )
                         else:
-                            rows.append(_json.dumps(rec))
+                            rows.append(_json.dumps(rec, default=str))  # dates/timestamps/decimals -> from_json-parsable strings
                             keys.append(_virtual_key_of(rec, _kf))
                         dels.append(bool(is_del))
                         parts.append(str(part))
@@ -1441,6 +1463,10 @@ def hudi_upsert(
 _AVRO_FOR_SPARK = {
     "bigint": "long", "int": "int", "integer": "int", "string": "string",
     "double": "double", "float": "float", "boolean": "boolean",
+    # r12: logical types — the same avro encodings hudi's writers use
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
 }
 
 
@@ -1448,7 +1474,17 @@ def _avro_schema_for(df, name: str = "witdb_mor") -> dict:
     fields = []
     for f in df.schema.fields:
         ddl = f.dataType.simpleString()
-        if ddl not in _AVRO_FOR_SPARK:
+        if ddl.startswith("decimal("):
+            p, s = ddl[len("decimal("):-1].split(",")
+            avro_t: object = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": int(p),
+                "scale": int(s.strip()),
+            }
+        elif ddl in _AVRO_FOR_SPARK:
+            avro_t = _AVRO_FOR_SPARK[ddl]
+        else:
             raise HudiProtocolError(
                 f"MOR log records: column {f.name!r} type {ddl} needs"
                 " the hudi-spark bundle"
@@ -1456,7 +1492,7 @@ def _avro_schema_for(df, name: str = "witdb_mor") -> dict:
         fields.append(
             {
                 "name": f.name,
-                "type": ["null", _AVRO_FOR_SPARK[ddl]],
+                "type": ["null", avro_t],
                 "default": None,
             }
         )
@@ -1711,6 +1747,18 @@ def _write_log_blocks_distributed(
                 return None
             if isinstance(v, float) and _math.isnan(v):
                 return None
+            if isinstance(t, dict):
+                # logical types (r12): the codec's encoder converts
+                # date/datetime/Decimal exactly — just normalize the
+                # pandas carriers
+                lt = t.get("logicalType")
+                if lt == "date" and hasattr(v, "to_pydatetime"):
+                    return v.to_pydatetime().date()
+                if lt and lt.startswith("timestamp") and hasattr(
+                    v, "to_pydatetime"
+                ):
+                    return v.to_pydatetime()
+                return v
             if t in ("long", "int"):
                 return int(v)
             if t in ("double", "float"):
