@@ -6763,3 +6763,66 @@ def test_hudi_mor_logical_type_log_records(spark, tmp_path):
         .select("id", "d", "ts", "amt").collect()
     }
     assert got3 == got
+
+
+def test_iceberg_equality_deletes_on_partitioned_table(spark, tmp_path):
+    """r12: GLOBAL equality deletes on a PARTITIONED table via an
+    unpartitioned spec in the table's history (Iceberg spec 'Equality
+    delete files': unpartitioned-spec delete files apply globally) —
+    a table created unpartitioned then evolved takes jar-free equality
+    deletes that hit rows in EVERY partition; a table with no
+    unpartitioned spec anywhere refuses loudly."""
+    import pytest
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        iceberg_evolve_spec,
+        iceberg_write_equality_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_eq_part")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(6)],
+            "id bigint, cat string",
+        ).coalesce(1),
+        t, mode="create",  # spec 0: unpartitioned
+    )
+    iceberg_evolve_spec(spark, t, ["cat"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(100, 104)],
+            "id bigint, cat string",
+        ).coalesce(1),
+        t, mode="append",  # spec 1: partitioned by cat
+    )
+    # keys in both partitions and both specs' files
+    iceberg_write_equality_deletes(
+        spark, t, [{"id": 1}, {"id": 100}, {"id": 103}]
+    )
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {0, 2, 3, 4, 5, 101, 102}
+    # rows appended AFTER the delete with the same keys stay visible
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "b")], "id bigint, cat string"),
+        t, mode="append",
+    )
+    assert 1 in {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    }
+    # no unpartitioned spec anywhere -> loud
+    t2 = str(tmp_path / "ice_eq_nopart")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(1, "a")], "id bigint, cat string"
+        ),
+        t2, mode="create", partition_by=["cat"],
+    )
+    with pytest.raises(IcebergProtocolError, match="UNPARTITIONED"):
+        iceberg_write_equality_deletes(spark, t2, [{"id": 1}])

@@ -2013,10 +2013,25 @@ def iceberg_write_equality_deletes(
             "equality deletes are a format-v2 feature — this table is v1"
         )
     specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
-    if specs.get(meta.get("default-spec-id", 0), {}).get("fields"):
+    # spec 'Equality delete files': a delete file stored with an
+    # UNPARTITIONED spec applies as a GLOBAL delete — so a partitioned
+    # table takes equality deletes through any unpartitioned spec in
+    # its history (tables created unpartitioned then evolved always
+    # have one); partition-SCOPED equality deletes stay on the jar
+    eq_spec_id = next(
+        (
+            sid
+            for sid, s in sorted(specs.items())
+            if not s.get("fields")
+        ),
+        None if specs else 0,
+    )
+    if eq_spec_id is None:
         raise IcebergProtocolError(
-            "equality deletes on a partitioned Iceberg table need the"
-            " iceberg-spark-runtime jar"
+            "equality deletes on a partitioned Iceberg table need an"
+            " UNPARTITIONED spec in partition-specs (the spec's global"
+            " delete shape) — or the iceberg-spark-runtime jar for"
+            " partition-scoped deletes"
         )
     _maintenance_gate(meta, "write_equality_deletes")
     if not rows:
@@ -2061,6 +2076,7 @@ def iceberg_write_equality_deletes(
     return _commit_delete_snapshot(
         path, base_cur, prior, snap_id, seq, dpath, len(rows),
         [fields[c] for c in cols],
+        spec_id=eq_spec_id,
     )
 
 
