@@ -4943,9 +4943,34 @@ def test_skipping_soundness_randomized(spark, tmp_path):
     )
 
     write_hudi(spark, df, th, mode="create", partition_by=["s"])
+    # r12: an iceberg table whose data spans THREE specs (unpartitioned
+    # -> bucket(4, k) -> months(d)) joins the property — per-manifest
+    # spec routing must stay sound under every random predicate
+    from witdb_spark.sources.iceberg_meta import iceberg_evolve_spec
+
+    te = str(tmp_path / "sound_ice_evolved")
+    thirds = [rows[:170], rows[170:340], rows[340:]]
+    write_iceberg(
+        spark,
+        spark.createDataFrame(thirds[0], "k bigint, s string, d date"),
+        te, mode="create",
+    )
+    iceberg_evolve_spec(spark, te, ["bucket(4, k)"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame(thirds[1], "k bigint, s string, d date"),
+        te, mode="append",
+    )
+    iceberg_evolve_spec(spark, te, ["months(d)"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame(thirds[2], "k bigint, s string, d date"),
+        te, mode="append",
+    )
     d_full = read_delta_snapshot(spark, td)
     i_full = read_iceberg_snapshot(spark, ti)
     h_full = read_hudi_snapshot(spark, th)
+    e_full = read_iceberg_snapshot(spark, te)
     ops = ["=", "<", "<=", ">", ">=", "<>"]
     for _ in range(25):
         conj = []
@@ -4982,6 +5007,7 @@ def test_skipping_soundness_randomized(spark, tmp_path):
             (d_full, read_delta_snapshot, td),
             (i_full, read_iceberg_snapshot, ti),
             (h_full, read_hudi_snapshot, th),
+            (e_full, read_iceberg_snapshot, te),
         ):
             got = sorted(
                 ((r.k, r.s, r.d)
