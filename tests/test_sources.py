@@ -6852,3 +6852,34 @@ def test_iceberg_equality_deletes_on_partitioned_table(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="UNPARTITIONED"):
         iceberg_write_equality_deletes(spark, t2, [{"id": 1}])
+
+
+def test_iceberg_explicit_position_deletes_partitioned(spark, tmp_path):
+    """r12: the explicit (file, pos) position-delete API routes
+    partitioned tables through the file-scoped distributed writer —
+    entries land with their target's partition struct and spec."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_write_position_deletes,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_posdel_part")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(8)],
+            "id bigint, cat string",
+        ).coalesce(1),
+        t, mode="create", partition_by=["cat"],
+    )
+    # find each row's (file, ordinal) via the row-tagged read
+    tagged = read_iceberg_snapshot(spark, t, _row_tags=True)
+    victims = [
+        (r["__file"], r["__pos"])
+        for r in tagged.where("id IN (2, 3)").collect()
+    ]
+    assert len(victims) == 2
+    iceberg_write_position_deletes(spark, t, victims)
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {0, 1, 4, 5, 6, 7}

@@ -1595,6 +1595,28 @@ def iceberg_write_position_deletes(
     path: str,
     deletes: list[tuple[str, int]],
 ) -> int:
+    """Commit explicit (data file path, row ordinal) position deletes.
+    Unpartitioned single-spec tables take the compact one-delete-file
+    commit; partitioned or spec-evolved tables route through the
+    distributed file-scoped writer (r12), which groups entries by
+    their target's manifest spec."""
+    meta = _current_metadata(path)
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs") or []}
+    if any(s.get("fields") for s in specs.values()):
+        from pyspark.sql import functions as F
+
+        matched = spark.createDataFrame(
+            [
+                (_norm_file_path(_resolve(path, p)), int(pos))
+                for p, pos in deletes
+            ]
+            or [("", 0)],
+            "__file string, __pos long",
+        ).filter(F.col("__file") != "")
+        snap = _iceberg_posdelete_commit_df(spark, path, matched, None)
+        if snap is None:
+            return meta.get("current-snapshot-id")
+        return snap
     return _iceberg_posdelete_commit(spark, path, deletes, None)
 
 
