@@ -6883,3 +6883,50 @@ def test_iceberg_explicit_position_deletes_partitioned(spark, tmp_path):
     iceberg_write_position_deletes(spark, t, victims)
     got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
     assert got == {0, 1, 4, 5, 6, 7}
+
+
+def test_hudi_cow_composite_key_upsert(spark, tmp_path):
+    """r12: COW keyed UPSERT with a COMPOSITE record key — routing
+    prunes file groups by per-column footer-range overlap (a column
+    whose range misses the source's bounds prunes the group), matched
+    groups rewrite via the multi-column merge, new identities insert;
+    same-id-different-grp rows are distinct identities."""
+    from witdb_spark.sources.hudi_meta import (
+        hudi_base_files,
+        hudi_upsert,
+        read_hudi_snapshot,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "cow_comp")
+    write_hudi(
+        spark,
+        spark.createDataFrame(
+            [(i, "xy"[i % 2], float(i)) for i in range(8)],
+            "id bigint, grp string, v double",
+        ).repartition(2, "id"),
+        t, mode="create", record_key="id,grp",
+    )
+    n_files = len(hudi_base_files(t))
+    assert n_files >= 2
+    src = spark.createDataFrame(
+        [(2, "x", -2.0), (2, "y", 99.0), (100, "z", 1.0)],
+        "id bigint, grp string, v double",
+    )
+    hudi_upsert(spark, t, src)
+    got = {(r.id, r.grp): r.v for r in read_hudi_snapshot(spark, t)
+           .select("id", "grp", "v").collect()}
+    assert got[(2, "x")] == -2.0   # update of existing identity
+    assert got[(2, "y")] == 99.0   # NEW identity, same id
+    assert got[(100, "z")] == 1.0  # insert
+    assert len(got) == 10
+    # no-overlap source prunes every group: pure insert, no rewrite
+    before = set(hudi_base_files(t))
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(900, "q", 0.5)], "id bigint, grp string, v double"
+        ),
+    )
+    assert before <= set(hudi_base_files(t))  # no group retired
+    assert read_hudi_snapshot(spark, t).count() == 11

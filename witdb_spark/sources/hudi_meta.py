@@ -909,9 +909,14 @@ def write_hudi(
             % os.path.basename(path.rstrip("/"))
         )
         if record_key:
-            if record_key not in df.columns:
+            bad = [
+                k
+                for k in (x.strip() for x in record_key.split(","))
+                if k and k not in df.columns
+            ]
+            if bad:
                 raise HudiProtocolError(
-                    f"record key {record_key!r} is not a column of the"
+                    f"record key column(s) {bad} are not columns of the"
                     f" data ({df.columns})"
                 )
             props_text += (
@@ -1394,63 +1399,112 @@ def hudi_upsert(
             "UPSERT needs a record key: pass record_key= or create the"
             " table with write_hudi(..., record_key=...)"
         )
-    if "," in key:
+    key_fields = [k.strip() for k in key.split(",") if k.strip()]
+    missing_keys = [k for k in key_fields if k not in source.columns]
+    if missing_keys:
         raise HudiProtocolError(
-            "composite record keys need the hudi-spark bundle"
-        )
-    if key not in source.columns:
-        raise HudiProtocolError(
-            f"record key {key!r} is not a column of the source"
+            f"record key column(s) {missing_keys} are not columns of"
+            " the source"
         )
     files = hudi_base_files(path)
-    ranges: list[tuple[str, object, object]] = []
     candidates: list[str] = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        names = {
-            md.schema.column(i).name: i for i in range(md.num_columns)
-        }
-        if key not in names:
-            raise HudiProtocolError(
-                f"record key {key!r} absent from base file {f}"
+    if len(key_fields) == 1:
+        # single key: per-file range vs the EXACT source key set
+        # (range-join pruning — tighter than bound overlap)
+        kf = key_fields[0]
+        ranges: list[tuple[str, object, object]] = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            if kf not in names:
+                raise HudiProtocolError(
+                    f"record key {kf!r} absent from base file {f}"
+                )
+            lo, hi, ok = None, None, md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[kf]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                ranges.append((f, lo, hi))
+            else:
+                candidates.append(f)
+        if ranges:
+            key_type = dict(
+                zip(source.schema.names, source.schema.fields)
+            )[kf].dataType.simpleString()
+            rng = spark.createDataFrame(
+                ranges, f"__hf string, __lo {key_type}, __hi {key_type}"
             )
-        lo, hi, ok = None, None, md.num_row_groups > 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(names[key]).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if ok:
-            ranges.append((f, lo, hi))
-        else:
-            candidates.append(f)
-    if ranges:
-        key_type = dict(
-            zip(source.schema.names, source.schema.fields)
-        )[key].dataType.simpleString()
-        rng = spark.createDataFrame(
-            ranges, f"__hf string, __lo {key_type}, __hi {key_type}"
-        )
-        hit = rng.join(
-            source.select(F.col(key).alias("__k")).distinct(),
-            (F.col("__k") >= F.col("__lo"))
-            & (F.col("__k") <= F.col("__hi")),
-            "left_semi",
-        )
-        candidates += [r["__hf"] for r in hit.collect()]
+            hit = rng.join(
+                source.select(F.col(kf).alias("__k")).distinct(),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+                "left_semi",
+            )
+            candidates += [r["__hf"] for r in hit.collect()]
+    else:
+        # COMPOSITE keys (r12): a file prunes only when SOME key
+        # column's footer range misses the source's bounds entirely —
+        # conservative per-column overlap, one 1-row bounds collect
+        b = source.agg(
+            *[F.min(k).alias(f"__lo_{i}") for i, k in
+              enumerate(key_fields)],
+            *[F.max(k).alias(f"__hi_{i}") for i, k in
+              enumerate(key_fields)],
+        ).collect()[0]
+        src_bounds = [
+            (b[f"__lo_{i}"], b[f"__hi_{i}"])
+            for i in range(len(key_fields))
+        ]
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            miss = [k for k in key_fields if k not in names]
+            if miss:
+                raise HudiProtocolError(
+                    f"record key column(s) {miss} absent from base"
+                    f" file {f}"
+                )
+            can_match = True
+            for i, kf in enumerate(key_fields):
+                lo, hi, ok = None, None, md.num_row_groups > 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[kf]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                slo, shi = src_bounds[i]
+                if ok and slo is not None and (hi < slo or lo > shi):
+                    can_match = False
+                    break
+            if can_match:
+                candidates.append(f)
 
     update_cols = {
-        c: F.col(f"src.{c}") for c in source.columns if c != key
+        c: F.col(f"src.{c}")
+        for c in source.columns
+        if c not in key_fields
     }
     return _hudi_rewrite_matched(
         spark, path,
         lambda df: df.join(
-            source.select(key).distinct(), on=[key], how="left_semi"
+            source.select(*key_fields).distinct(),
+            on=key_fields, how="left_semi",
         ).select("__sf"),
         lambda rows: merge_into(
-            rows, source, [key],
+            rows, source, key_fields,
             when_matched_update=update_cols,
             insert_not_matched=True,
         ),
