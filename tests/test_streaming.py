@@ -250,3 +250,83 @@ def test_interval_join_matches_batch(spark, tmp_path, staged_events):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     q.stop()
+
+
+def test_delta_cdf_streaming_source(spark, tmp_path):
+    """r12: the Change Data Feed as a STRUCTURED STREAMING source
+    (Spark 4 python DataSource; streaming/cdf_source.py) — offsets are
+    commit versions, microbatches serve cdc-backed and synthesized
+    change rows decoded ON EXECUTORS (pyarrow + pure-python DV
+    reader), and availableNow drains the full history exactly like the
+    batch delta_table_changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_table_changes,
+        delta_update_where,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+
+    t = str(tmp_path / "cdf_stream")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i), "ab"[i % 2]) for i in range(8)],
+            "id bigint, v double, cat string",
+        ).coalesce(2),
+        t, mode="create", partition_by=["cat"],
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    delta_delete_where(spark, t, "id IN (0, 3)")
+    delta_update_where(spark, t, "id = 5", {"v": "-5.0"})
+
+    spark.dataSource.register(DeltaCDFDataSource)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("witdb_delta_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out).select(
+        "id", "v", "cat", "_change_type", "_commit_version"
+    ).collect()
+    batch = delta_table_changes(spark, t).select(
+        "id", "v", "cat", "_change_type", "_commit_version"
+    ).collect()
+    key = lambda r: (  # noqa: E731
+        r._commit_version, r._change_type, r.id
+    )
+    assert sorted(got, key=key) == sorted(batch, key=key)
+    assert len(got) == 8 + 2 + 2  # creates + DV deletes + update pair
+    # a NEW commit continues the stream from the CHECKPOINT — only
+    # the increment lands
+    delta_delete_where(spark, t, "id = 6")
+    drain()
+    got2 = spark.read.parquet(out).select(
+        "id", "_change_type", "_commit_version"
+    ).collect()
+    assert len(got2) == len(got) + 1
+    inc = [
+        (r.id, r._change_type)
+        for r in got2
+        if r._commit_version == 3
+    ]
+    assert inc == [(6, "delete")]

@@ -3689,3 +3689,69 @@ def hudi_mor_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@register(
+    "delta_cdf_stream_drain",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), 'delete', 1
+    FROM nation WHERE n_nationkey % 3 = 1
+    """,
+    doc="The Change Data Feed as a STRUCTURED STREAMING source (r12,"
+    " streaming/cdf_source.py — a Spark 4 python DataSource; offsets"
+    " are commit versions, rows decode on executors with pyarrow + the"
+    " pure-python DV reader; beyond-reference: Trino has neither"
+    " table_changes nor streaming): nation lands in a CDF+DV table,"
+    " one DV DELETE shadows n%3=1, and an availableNow drain of the"
+    " stream into parquet must hash-equal the hand-replayed oracle —"
+    " the STREAMING path, not the batch reader, produces the rows.",
+    tags=("streaming", "lakehouse", "cdc"),
+)
+def delta_cdf_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_cdf_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "tbl")
+    write_delta(
+        spark, base.coalesce(2), path, mode="create",
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    delta_delete_where(spark, path, "n_nationkey % 3 = 1")
+    spark.dataSource.register(DeltaCDFDataSource)
+    out = os.path.join(root, "out")
+    q = (
+        spark.readStream.format("witdb_delta_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out).select(
+        "n_nationkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
