@@ -330,3 +330,67 @@ def test_delta_cdf_streaming_source(spark, tmp_path):
         if r._commit_version == 3
     ]
     assert inc == [(6, "delete")]
+
+
+def test_iceberg_appends_streaming_source(spark, tmp_path):
+    """r12: Iceberg incremental appends as a STREAMING source
+    (streaming/iceberg_source.py; the spec's incremental-processing
+    read as microbatches) — offsets are main-lineage snapshot ids,
+    added files decode on executors via pyarrow, checkpoint
+    continuation serves exactly the new appends, branch commits never
+    leak, and a non-append snapshot fails the batch loudly."""
+    import os
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_create_ref,
+        iceberg_snapshots,
+        write_iceberg,
+    )
+    from witdb_spark.streaming.iceberg_source import (
+        IcebergAppendsDataSource,
+    )
+
+    t = str(tmp_path / "ice_stream")
+    write_iceberg(
+        spark, spark.range(0, 4).selectExpr("id"), t, mode="create"
+    )
+    first = iceberg_snapshots(t)[0]["snapshot_id"]
+    write_iceberg(
+        spark, spark.range(10, 13).selectExpr("id"), t, mode="append"
+    )
+    spark.dataSource.register(IcebergAppendsDataSource)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("witdb_iceberg_appends")
+            .option("path", t)
+            .option("starting_snapshot", first)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {(r.id, r._snapshot_id)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(i, 2) for i in range(10, 13)}
+    # a branch append must NOT leak into the main stream; a new main
+    # append continues from the checkpoint
+    iceberg_create_ref(t, "side", ref_type="branch")
+    write_iceberg(
+        spark, spark.range(900, 902).selectExpr("id"), t,
+        branch="side",
+    )
+    write_iceberg(
+        spark, spark.range(20, 22).selectExpr("id"), t, mode="append"
+    )
+    drain()
+    got2 = {(r.id, r._snapshot_id)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == got | {(20, 4), (21, 4)}
