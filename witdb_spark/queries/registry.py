@@ -72,7 +72,12 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # tpch_sql_q11/q13/q15/q17/q18/q2 and tpcds_sql_q36/q47) lead r13
 # alongside any r13-new; every deferred query keeps local DuckDB
 # coverage each pytest run (tests/test_queries_oracle.py parameterizes
-# the whole registry).
+# the whole registry). FOUR queries were registered after this window
+# froze (sql_lakehouse_ctas_insert, iceberg_mor_evolved_dml,
+# hudi_mor_logical_types, delta_cdf_stream_drain) — the late-r12 set
+# is contract-emulation green at sf0.01 AND sf0.1 plus TZ-probed;
+# they lead r13 with the deferred nine, the same staging every prior
+# round's late pair used.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (late-r11 registrations)
     "iceberg_mor_partitioned_dml",
