@@ -1505,3 +1505,54 @@ def test_sql_ctas_delta_table_properties(spark, tmp_path):
     assert {r._change_type: r.n for r in ch} == {"delete": 1}
     got = eng.sql(f"SELECT id FROM delta.'{t}'").collect()
     assert sorted(r.id for r in got) == [0, 1, 2, 4, 5]
+
+
+def test_sql_truncate_and_drop_table(spark, tmp_path):
+    """r12: TRUNCATE TABLE (metadata-only commit — removes/empty
+    manifest list/replacecommit; time travel survives) and DROP TABLE
+    (directory removal) through the front door, all three formats."""
+    import os.path as _osp
+
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import write_hudi
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    df = spark.range(0, 6).selectExpr("id")
+    td = str(tmp_path / "tr_delta")
+    ti = str(tmp_path / "tr_ice")
+    th = str(tmp_path / "tr_hudi")
+    write_delta(spark, df, td, mode="create")
+    write_iceberg(spark, df, ti, mode="create")
+    write_hudi(spark, df, th, mode="create")
+    for fmt, t in (("delta", td), ("iceberg", ti), ("hudi", th)):
+        eng.sql(f"TRUNCATE TABLE {fmt}.'{t}'")
+        assert (
+            eng.sql(f"SELECT count(*) AS n FROM {fmt}.'{t}'")
+            .collect()[0].n == 0
+        ), fmt
+        # truncate is append-able: the table lives on
+        eng.sql(f"INSERT INTO {fmt}.'{t}' VALUES (99)")
+        assert (
+            eng.sql(f"SELECT count(*) AS n FROM {fmt}.'{t}'")
+            .collect()[0].n == 1
+        ), fmt
+    # delta time travel still sees the pre-truncate rows
+    assert read_delta_snapshot(spark, td, version=0).count() == 6
+    # DROP removes the directory; re-CREATE works
+    eng.sql(f"DROP TABLE delta.'{td}'")
+    assert not _osp.isdir(td)
+    with pytest.raises(FileNotFoundError, match="not a"):
+        eng.sql(f"DROP TABLE delta.'{td}'")
+    eng.sql(
+        f"CREATE TABLE delta.'{td}' AS SELECT CAST(1 AS BIGINT) AS id"
+    )
+    assert eng.sql(
+        f"SELECT count(*) AS n FROM delta.'{td}'"
+    ).collect()[0].n == 1

@@ -195,6 +195,51 @@ class Engine:
                 " (iceberg 'partitioning' is)"
             )
         m = re.match(
+            r"^\s*(?P<op>TRUNCATE|DROP)\s+TABLE\s+"
+            r"(?P<fmt>delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+            r"\s*;?\s*$",
+            text, re.I,
+        )
+        if m:
+            # reference TruncateTableTask / DropTableTask. TRUNCATE is
+            # a metadata commit (no file deletion — time travel
+            # survives, vacuum/clean reclaims); DROP removes the table
+            # directory, the connectors' behavior for managed tables.
+            fmt, path = m.group("fmt").lower(), m.group("path")
+            if m.group("op").upper() == "DROP":
+                import shutil
+
+                marker = {
+                    "delta": os.path.join(path, "_delta_log"),
+                    "iceberg": os.path.join(path, "metadata"),
+                    "hudi": os.path.join(path, ".hoodie"),
+                }[fmt]
+                if not os.path.isdir(marker):
+                    raise FileNotFoundError(
+                        f"{path} is not a {fmt} table"
+                    )
+                shutil.rmtree(path)
+                return self.spark.createDataFrame(
+                    [(path, "dropped")], "path string, result string"
+                )
+            if fmt == "delta":
+                from witdb_spark.sources.delta_log import delta_truncate
+
+                res = str(delta_truncate(self.spark, path))
+            elif fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_truncate,
+                )
+
+                res = str(iceberg_truncate(self.spark, path))
+            else:
+                from witdb_spark.sources.hudi_meta import hudi_truncate
+
+                res = str(hudi_truncate(self.spark, path))
+            return self.spark.createDataFrame(
+                [(path, res)], "path string, result string"
+            )
+        m = re.match(
             r"^\s*CREATE\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\s*\.\s*"
             r"'(?P<path>[^']+)'\s*"
             r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<q>.+?)\s*;?\s*$",

@@ -2437,6 +2437,41 @@ def delta_merge_into(
     raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
 
 
+def delta_truncate(spark: SparkSession, path: str) -> dict:
+    """TRUNCATE TABLE (reference TruncateTableTask + the delta
+    connector's executeTruncate): ONE commit removing every active
+    add — no file rewrite, no data deletion (time travel still sees
+    the rows; vacuum reclaims them later). CDF tables record the
+    truncate as whole-file deletes, which synthesis serves exactly."""
+    for _ in range(5):
+        _, _, state, version = _snapshot_state(
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        if not state:
+            return {"version": version, "files_removed": 0}
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "TRUNCATE",
+                }
+            }
+        ] + [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(state)
+        ]
+        if _try_commit(path, version + 1, actions):
+            return {"version": version + 1, "files_removed": len(state)}
+    raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
 def delta_checkpoint(spark: SparkSession, path: str) -> int:
     """Write a classic parquet checkpoint of the CURRENT snapshot plus
     ``_last_checkpoint`` (the protocol's log-compaction step —

@@ -2497,6 +2497,38 @@ def hudi_compact(
     return instant
 
 
+def hudi_truncate(spark: SparkSession, path: str) -> str:
+    """TRUNCATE TABLE: ONE replacecommit retiring every file group
+    (base and log-only slices alike) with no replacement groups — the
+    timeline's own insert-overwrite-with-nothing shape. No file
+    deletion; prior instants still time-travel; the cleaner reclaims
+    retired slices later. Returns the commit instant."""
+    slices = _hudi_file_slices(path)
+    base_last = _completed_instants(path)[-1][0]
+    instant = _claim_instant(path)
+    replace: dict[str, list] = {}
+    for part, fid in slices:
+        replace.setdefault(part, []).append(fid)
+    if _completed_instants(path)[-1][0] != base_last:
+        raise HudiProtocolError(
+            f"{path}: concurrent commit during TRUNCATE — re-run"
+        )
+    with open(
+        os.path.join(_meta_dir(path), f"{instant}.replacecommit"), "x"
+    ) as f:
+        json.dump(
+            {
+                "partitionToWriteStats": {"": []},
+                "partitionToReplaceFileIds": {
+                    p_: sorted(fids) for p_, fids in replace.items()
+                } or {"": []},
+                "operationType": "DELETE_PARTITION",
+            },
+            f,
+        )
+    return instant
+
+
 def hudi_clean(path: str, keep_last: int = 1) -> dict:
     """Retention maintenance (real Hudi's cleaner, KEEP_LATEST_COMMITS
     analog): keep every file visible as of any of the last

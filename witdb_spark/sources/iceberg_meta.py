@@ -2471,6 +2471,43 @@ def _now_ms_ice() -> int:
     return int(time.time() * 1000)
 
 
+def iceberg_truncate(spark: SparkSession, path: str) -> int:
+    """TRUNCATE TABLE (reference TruncateTableTask + the iceberg
+    connector's executeDelete-with-no-filter shape): commit a snapshot
+    whose manifest list is EMPTY — no file rewrite, no data deletion;
+    prior snapshots still time-travel. Returns the new snapshot id."""
+    import uuid as _uuid
+
+    meta = _current_metadata(path)
+    _maintenance_gate(meta, "truncate")
+    snaps = meta.get("snapshots") or []
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (meta.get("last-sequence-number") or len(snaps)) + 1
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, [])
+
+    def build(cur: dict) -> dict:
+        new = dict(cur)
+        new["current-snapshot-id"] = snap_id
+        new["last-sequence-number"] = seq
+        new["last-updated-ms"] = _now_ms_ice()
+        new["snapshots"] = (cur.get("snapshots") or []) + [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": _now_ms_ice(),
+                "sequence-number": seq,
+                "manifest-list": mlist,
+                "summary": {"operation": "delete"},
+            }
+        ]
+        return new
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+    return snap_id
+
+
 def iceberg_create_ref(
     path: str,
     name: str,
