@@ -1,3 +1,5 @@
+from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+from witdb_spark.streaming.iceberg_source import IcebergAppendsDataSource
 from witdb_spark.streaming.ops import (
     interval_join_views_purchases,
     session_windows,
@@ -14,4 +16,7 @@ __all__ = [
     "stream_dedup",
     "session_windows",
     "stateful_funnels",
+    # r12: incremental streaming SOURCES (Spark 4 python DataSource)
+    "DeltaCDFDataSource",
+    "IcebergAppendsDataSource",
 ]
