@@ -1335,10 +1335,18 @@ def test_sql_alter_table_partitioning(spark, tmp_path):
         f"SELECT count(*) AS n FROM iceberg.'{t}'"
     ).collect()
     assert rows[0].n == 5
-    with pytest.raises(NotImplementedError, match="partitioning"):
-        eng.sql(
-            f"ALTER TABLE iceberg.'{t}' SET PROPERTIES foo = 'bar'"
-        )
+    # arbitrary iceberg properties land as a metadata commit (r12,
+    # iceberg_set_properties); hudi stays loud (the reference's hudi
+    # connector is read-only)
+    eng.sql(f"ALTER TABLE iceberg.'{t}' SET PROPERTIES foo = 'bar'")
+    assert _current_metadata(t)["properties"]["foo"] == "bar"
+    from witdb_spark.sources.hudi_meta import write_hudi
+
+    th = str(tmp_path / "alter_hudi")
+    write_hudi(spark, spark.range(1).selectExpr("id"), th,
+               mode="create")
+    with pytest.raises(NotImplementedError, match="read-only"):
+        eng.sql(f"ALTER TABLE hudi.'{th}' SET PROPERTIES foo = 'bar'")
 
 
 def test_sql_insert_into_lakehouse(spark, tmp_path):
@@ -1556,3 +1564,76 @@ def test_sql_truncate_and_drop_table(spark, tmp_path):
     assert eng.sql(
         f"SELECT count(*) AS n FROM delta.'{td}'"
     ).collect()[0].n == 1
+
+
+def test_sql_alter_set_properties(spark, tmp_path):
+    """r12: ALTER TABLE ... SET PROPERTIES on existing tables — delta
+    (trino property spellings map onto configuration keys; enabling
+    CDF/DVs post-create makes the row-level machinery live) and
+    iceberg (write.delete.mode flips DELETE to merge-on-read);
+    DEFAULT unsets; column-mapping flips refuse."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import delta_table_changes
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        write_iceberg,
+    )
+
+    eng = Engine(spark)
+    td = str(tmp_path / "alter_delta")
+    eng.sql(
+        f"CREATE TABLE delta.'{td}' AS SELECT"
+        " CAST(id AS BIGINT) AS id FROM range(6)"
+    )
+    # CDF refuses before the property lands
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        delta_table_changes(spark, td)
+    eng.sql(
+        f"ALTER TABLE delta.'{td}' SET PROPERTIES"
+        " change_data_feed_enabled = true"
+    )
+    eng.sql(
+        f"ALTER TABLE delta.'{td}' SET PROPERTIES"
+        " deletion_vectors_enabled = true"
+    )
+    # DML now runs in DV mode and records real change files
+    eng.sql(f"DELETE FROM delta.'{td}' WHERE id = 2")
+    ch = eng.sql(
+        "SELECT _change_type, count(*) AS n FROM"
+        f" TABLE(system.table_changes('{td}', 2)) GROUP BY _change_type"
+    ).collect()
+    assert {r._change_type: r.n for r in ch} == {"delete": 1}
+    # DEFAULT unsets the key
+    eng.sql(
+        f"ALTER TABLE delta.'{td}' SET PROPERTIES"
+        " change_data_feed_enabled = DEFAULT"
+    )
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        delta_table_changes(spark, td)
+    # cm flips refuse
+    with pytest.raises(Exception, match="columnMapping"):
+        eng.sql(
+            f"ALTER TABLE delta.'{td}' SET PROPERTIES"
+            " column_mapping_mode = 'name'"
+        )
+
+    ti = str(tmp_path / "alter_ice")
+    write_iceberg(
+        spark, spark.range(0, 6).selectExpr("id"), ti, mode="create"
+    )
+    eng.sql(
+        f"ALTER TABLE iceberg.'{ti}' SET PROPERTIES"
+        " \"write.delete.mode\" = 'merge-on-read'"
+    )
+    meta = _current_metadata(ti)
+    assert meta["properties"]["write.delete.mode"] == "merge-on-read"
+    # the flipped mode routes DELETE to a position-delete snapshot
+    from witdb_spark.sources.iceberg_meta import iceberg_delete_where
+
+    res = iceberg_delete_where(spark, ti, "id = 3")
+    assert res["files_rewritten"] == 0
+    assert eng.sql(
+        f"SELECT count(*) AS n FROM iceberg.'{ti}'"
+    ).collect()[0].n == 5

@@ -147,7 +147,8 @@ class Engine:
         m = re.match(
             r"^\s*ALTER\s+TABLE\s+(?P<fmt>delta|iceberg|hudi)\s*\.\s*"
             r"'(?P<path>[^']+)'\s+SET\s+PROPERTIES\s+"
-            r"(?P<key>[A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(?P<val>.+?)\s*;?\s*$",
+            r"(?P<key>\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_.]*)"
+            r"\s*=\s*(?P<val>.+?)\s*;?\s*$",
             text, re.I | re.S,
         )
         if m:
@@ -189,10 +190,58 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(spec_id,)], "spec_id int"
                 )
-            raise NotImplementedError(
-                f"ALTER TABLE SET PROPERTIES {m.group('key')} on"
-                f" {m.group('fmt')} tables is not supported jar-free"
-                " (iceberg 'partitioning' is)"
+            # plain property: 'string' | true/false | number
+            raw = m.group("val").strip().rstrip(";").strip()
+            if len(raw) >= 2 and raw[0] == raw[-1] == "'":
+                val = raw[1:-1].replace("''", "'")
+            elif raw.upper() in ("TRUE", "FALSE"):
+                val = raw.lower()
+            elif re.fullmatch(r"-?\d+(\.\d+)?", raw):
+                val = raw
+            elif raw.upper() == "DEFAULT":
+                val = None  # Trino's RESET-to-default spelling: unset
+            else:
+                raise ValueError(
+                    f"SET PROPERTIES value {raw!r}: expected a string"
+                    " literal, TRUE/FALSE, a number, or DEFAULT"
+                )
+            key, fmt = m.group("key").strip('"'), m.group("fmt").lower()
+            if fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_set_properties,
+                )
+
+                iceberg_set_properties(
+                    self.spark, m.group("path"), {key: val}
+                )
+            elif fmt == "delta":
+                from witdb_spark.sources.delta_log import (
+                    delta_set_properties,
+                )
+
+                # the trino-delta-lake property spellings map onto the
+                # delta configuration keys; raw delta.* keys pass
+                # through verbatim
+                key = {
+                    "change_data_feed_enabled":
+                        "delta.enableChangeDataFeed",
+                    "deletion_vectors_enabled":
+                        "delta.enableDeletionVectors",
+                    "column_mapping_mode": "delta.columnMapping.mode",
+                    "checkpoint_interval": "delta.checkpointInterval",
+                }.get(key.lower(), key)
+                delta_set_properties(
+                    self.spark, m.group("path"), {key: val}
+                )
+            else:
+                raise NotImplementedError(
+                    "ALTER TABLE SET PROPERTIES on hudi tables is not"
+                    " supported jar-free (the reference's hudi"
+                    " connector is read-only)"
+                )
+            return self.spark.createDataFrame(
+                [(key, "" if val is None else val)],
+                "key string, value string",
             )
         m = re.match(
             r"^\s*(?P<op>TRUNCATE|DROP)\s+TABLE\s+"

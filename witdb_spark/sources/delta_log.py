@@ -2437,6 +2437,52 @@ def delta_merge_into(
     raise DeltaProtocolError(f"{path}: lost {5} consecutive commit races")
 
 
+def delta_set_properties(
+    spark: SparkSession, path: str, properties: dict[str, str]
+) -> int:
+    """ALTER TABLE ... SET PROPERTIES as a metadata commit (reference
+    SetPropertiesTask + the delta connector's setTableProperties): one
+    commit re-emitting the metaData action with the merged
+    configuration — the standard way to enable delta.enableChangeData
+    Feed / delta.enableDeletionVectors on an EXISTING table. A value
+    of None unsets the key. Column-mapping mode cannot be flipped this
+    way (existing files lack the physical naming) — refused."""
+    cur_mode_new = properties.get("delta.columnMapping.mode")
+    for _ in range(5):
+        _, metadata, _, version = _snapshot_state(
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        cfg = dict(metadata.get("configuration") or {})
+        if (
+            cur_mode_new is not None
+            and cur_mode_new != cfg.get("delta.columnMapping.mode", "none")
+        ):
+            raise DeltaProtocolError(
+                "delta.columnMapping.mode cannot be changed on an"
+                " existing table jar-free (files lack the physical"
+                " naming) — create the table with it"
+            )
+        for k, v in properties.items():
+            if v is None:
+                cfg.pop(k, None)
+            else:
+                cfg[k] = str(v)
+        new_meta = dict(metadata, configuration=cfg)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET TBLPROPERTIES",
+                }
+            },
+            {"metaData": new_meta},
+        ]
+        if _try_commit(path, version + 1, actions):
+            return version + 1
+    raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
+
+
 def delta_truncate(spark: SparkSession, path: str) -> dict:
     """TRUNCATE TABLE (reference TruncateTableTask + the delta
     connector's executeTruncate): ONE commit removing every active

@@ -2471,6 +2471,38 @@ def _now_ms_ice() -> int:
     return int(time.time() * 1000)
 
 
+def iceberg_set_properties(
+    spark: SparkSession, path: str, properties: dict[str, str]
+) -> None:
+    """ALTER TABLE ... SET PROPERTIES as a metadata-only commit
+    (reference trino-iceberg setTableProperties): merge into the
+    metadata's ``properties`` map — the way write.delete.mode /
+    write.merge.mode / write.update.mode flip to merge-on-read on an
+    EXISTING table. A value of None unsets the key. ``partitioning``
+    is spec evolution — route it through iceberg_evolve_spec."""
+    if "partitioning" in properties:
+        raise IcebergProtocolError(
+            "'partitioning' is spec evolution — use"
+            " iceberg_evolve_spec / ALTER TABLE ... SET PROPERTIES"
+            " partitioning = ARRAY[...]"
+        )
+    meta = _current_metadata(path)
+
+    def build(cur: dict) -> dict:
+        new = dict(cur)
+        props = dict(new.get("properties") or {})
+        for k, v in properties.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = str(v)
+        new["properties"] = props
+        new["last-updated-ms"] = _now_ms_ice()
+        return new
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+
+
 def iceberg_truncate(spark: SparkSession, path: str) -> int:
     """TRUNCATE TABLE (reference TruncateTableTask + the iceberg
     connector's executeDelete-with-no-filter shape): commit a snapshot
