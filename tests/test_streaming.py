@@ -394,3 +394,63 @@ def test_iceberg_appends_streaming_source(spark, tmp_path):
     got2 = {(r.id, r._snapshot_id)
             for r in spark.read.parquet(out).collect()}
     assert got2 == got | {(20, 4), (21, 4)}
+
+
+def test_delta_cdf_stream_column_mapped(spark, tmp_path):
+    """r12: the CDF stream serves mode=name COLUMN-MAPPED tables
+    (flat schemas) — data files and partitionValues are keyed by
+    physical names; the stream maps them back to logical columns."""
+    import os
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_table_changes,
+        delta_update_where,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+
+    t = str(tmp_path / "cdf_stream_cm")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i), "ab"[i % 2]) for i in range(6)],
+            "id bigint, v double, cat string",
+        ).coalesce(1),
+        t, mode="create", partition_by=["cat"],
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    delta_delete_where(spark, t, "id = 2")
+    delta_update_where(spark, t, "id = 3", {"v": "v + 100"})
+    spark.dataSource.register(DeltaCDFDataSource)
+    out = os.path.join(str(tmp_path), "out")
+    q = (
+        spark.readStream.format("witdb_delta_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r._commit_version, r._change_type, r.id)  # noqa: E731
+    got = sorted(
+        spark.read.parquet(out)
+        .select("id", "v", "cat", "_change_type", "_commit_version")
+        .collect(),
+        key=key,
+    )
+    want = sorted(
+        delta_table_changes(spark, t)
+        .select("id", "v", "cat", "_change_type", "_commit_version")
+        .collect(),
+        key=key,
+    )
+    assert got == want and len(got) == 6 + 1 + 2

@@ -21,9 +21,11 @@ Usage:
         .load())
 
 Scope gates (loud): delta.enableChangeDataFeed must be true;
-column-mapped tables and schema changes inside the stream refuse;
-commits dropped from the log (vacuumed/checkpoint-subsumed) refuse —
-the stream needs the original commit JSONs, like the batch reader.
+mode=name column mapping streams for FLAT schemas (physical names
+ride each partition's schema triple; r12) while mode=id and nested
+mapped types refuse; schema changes inside the stream refuse; commits
+dropped from the log (vacuumed/checkpoint-subsumed) refuse — the
+stream needs the original commit JSONs, like the batch reader.
 """
 
 from __future__ import annotations
@@ -86,7 +88,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
 
         self.path = path
         self.start_version = starting_version
-        self.fields = schema_fields  # [(name, ddl)] incl. partitions
+        self.fields = schema_fields  # [(name, ddl, physical name)]
         commits, _ = _list_log(path)
         if not commits:
             raise ValueError(f"{path}: empty _delta_log")
@@ -282,7 +284,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             rows_iter = enumerate(table.to_pylist())
         for _i, rec in rows_iter:
             out = []
-            for name, ddl in it.fields:
+            for name, ddl, phys in it.fields:
                 if name == "_change_type":
                     out.append(
                         rec["_change_type"]
@@ -293,10 +295,11 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                     out.append(it.version)
                 elif name == "_commit_timestamp":
                     out.append(ts)
-                elif name in names:
-                    out.append(rec[name])
+                elif phys in names:  # data files store PHYSICAL names
+                    out.append(rec[phys])
                 else:  # partition column: typed from the action
-                    v = _typed_partition_value(it.pv.get(name), ddl)
+                    # (partitionValues are keyed physically too)
+                    v = _typed_partition_value(it.pv.get(phys), ddl)
                     out.append(None if v is NotImplemented else v)
             yield tuple(out)
 
@@ -332,16 +335,25 @@ class DeltaCDFDataSource(DataSource):
                 "the CDF stream requires delta.enableChangeDataFeed="
                 "true on the table"
             )
-        if (metadata.get("configuration") or {}).get(
+        cm_mode = (metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
-        ) != "none":
-            raise DeltaProtocolError(
-                "the CDF STREAM does not serve column-mapped tables"
-                " yet — use the batch delta_table_changes"
-            )
-        return StructType.fromJson(
-            json.loads(metadata["schemaString"])
         )
+        if cm_mode == "id":
+            raise DeltaProtocolError(
+                "the CDF STREAM serves mode=name column mapping;"
+                " mode=id needs field-id resolution — use the batch"
+                " delta_table_changes"
+            )
+        st = StructType.fromJson(json.loads(metadata["schemaString"]))
+        if cm_mode == "name" and any(
+            f.dataType.typeName() in ("struct", "array", "map")
+            for f in st.fields
+        ):
+            raise DeltaProtocolError(
+                "the CDF STREAM serves FLAT column-mapped schemas —"
+                " nested mapped types need the batch reader"
+            )
+        return st
 
     def schema(self) -> str:
         st = self._table_schema()
@@ -354,8 +366,31 @@ class DeltaCDFDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> DeltaCDFStreamReader:
+        # mode=name column mapping (flat — gated in schema()): data
+        # files and partitionValues are keyed PHYSICALLY; ship the
+        # per-field physical name with the schema triple
+        st = self._table_schema()
+        from witdb_spark.sources.delta_log import _cm_physical_name
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        from witdb_spark.sources.delta_log import _snapshot_state
+
+        _, metadata, _, _ = _snapshot_state(
+            spark, self.options["path"], None, None,
+            allow_dvs=True, allow_name_mapping=True,
+        )
+        mapped = (metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) == "name"
+        phys = {
+            f.name: (_cm_physical_name(f) if mapped else f.name)
+            for f in st.fields
+        }
         fields = [
-            (f.name, f.dataType.simpleString()) for f in schema.fields
+            (f.name, f.dataType.simpleString(), phys.get(f.name, f.name))
+            for f in schema.fields
         ]
         return DeltaCDFStreamReader(
             self.options["path"],
