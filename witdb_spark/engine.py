@@ -347,32 +347,43 @@ class Engine:
                         if vm.group("s") is not None
                         else vm.group("b").lower()
                     )
-            df = self.sql(m.group("q"))
-            n = df.count()
-            if fmt == "delta":
-                from witdb_spark.sources.delta_log import write_delta
+            # persist before counting: count() + the write would
+            # otherwise evaluate the query twice — a double scan, and
+            # a non-deterministic query could commit different rows
+            # than it reports (r12 ADVICE)
+            df = self.sql(m.group("q")).persist()
+            try:
+                n = df.count()
+                if fmt == "delta":
+                    from witdb_spark.sources.delta_log import (
+                        write_delta,
+                    )
 
-                write_delta(
-                    self.spark, df, path, mode="create",
-                    partition_by=part_by,
-                    configuration=configuration or None,
-                )
-            elif fmt == "iceberg":
-                from witdb_spark.sources.iceberg_meta import (
-                    write_iceberg,
-                )
+                    write_delta(
+                        self.spark, df, path, mode="create",
+                        partition_by=part_by,
+                        configuration=configuration or None,
+                    )
+                elif fmt == "iceberg":
+                    from witdb_spark.sources.iceberg_meta import (
+                        write_iceberg,
+                    )
 
-                write_iceberg(
-                    self.spark, df, path, mode="create",
-                    partition_by=part_by,
-                )
-            else:
-                from witdb_spark.sources.hudi_meta import write_hudi
+                    write_iceberg(
+                        self.spark, df, path, mode="create",
+                        partition_by=part_by,
+                    )
+                else:
+                    from witdb_spark.sources.hudi_meta import (
+                        write_hudi,
+                    )
 
-                write_hudi(
-                    self.spark, df, path, mode="create",
-                    record_key=record_key, partition_by=part_by,
-                )
+                    write_hudi(
+                        self.spark, df, path, mode="create",
+                        record_key=record_key, partition_by=part_by,
+                    )
+            finally:
+                df.unpersist()
             return self.spark.createDataFrame(
                 [(path, n)], "path string, rows bigint"
             )
@@ -1135,31 +1146,40 @@ class Engine:
                         for c, f in zip(df.columns, target.fields)
                     ]
                 )
-            n = df.count()
-            if fmt == "delta":
-                from witdb_spark.sources.delta_log import write_delta
+            # persist before counting: single evaluation for the
+            # count AND the write (r12 ADVICE — a non-deterministic
+            # query must commit exactly the rows it reports)
+            df = df.persist()
+            try:
+                n = df.count()
+                if fmt == "delta":
+                    from witdb_spark.sources.delta_log import (
+                        write_delta,
+                    )
 
-                write_delta(self.spark, df, path, mode="append")
-            elif fmt == "iceberg":
-                from witdb_spark.sources.iceberg_meta import (
-                    write_iceberg,
-                )
+                    write_delta(self.spark, df, path, mode="append")
+                elif fmt == "iceberg":
+                    from witdb_spark.sources.iceberg_meta import (
+                        write_iceberg,
+                    )
 
-                write_iceberg(self.spark, df, path, mode="append")
-            else:
-                from witdb_spark.sources.hudi_meta import (
-                    _properties,
-                    hudi_log_insert,
-                    write_hudi,
-                )
-
-                if (
-                    _properties(path).get("hoodie.table.type")
-                    == "MERGE_ON_READ"
-                ):
-                    hudi_log_insert(self.spark, path, df)
+                    write_iceberg(self.spark, df, path, mode="append")
                 else:
-                    write_hudi(self.spark, df, path, mode="append")
+                    from witdb_spark.sources.hudi_meta import (
+                        _properties,
+                        hudi_log_insert,
+                        write_hudi,
+                    )
+
+                    if (
+                        _properties(path).get("hoodie.table.type")
+                        == "MERGE_ON_READ"
+                    ):
+                        hudi_log_insert(self.spark, path, df)
+                    else:
+                        write_hudi(self.spark, df, path, mode="append")
+            finally:
+                df.unpersist()
             return self.spark.createDataFrame(
                 [(path, n)], "path string, rows bigint"
             )

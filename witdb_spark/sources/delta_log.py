@@ -925,15 +925,7 @@ def delta_write_deletion_vectors(
             },
         ]
         for ap, (add, _merged) in sorted(targets.items()):
-            actions.append(
-                {
-                    "remove": {
-                        "path": ap,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": True,
-                    }
-                }
-            )
+            actions.append(_remove_action(ap, add))
             new_add = dict(add)
             new_add["deletionVector"] = descs[ap]
             new_add["dataChange"] = True
@@ -1108,15 +1100,7 @@ def _dv_commit_distributed(
             },
         ]
         for ap in sorted(descs):
-            actions.append(
-                {
-                    "remove": {
-                        "path": ap,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": True,
-                    }
-                }
-            )
+            actions.append(_remove_action(ap, state[ap]))
             new_add = dict(state[ap])
             new_add["deletionVector"] = descs[ap]
             new_add["dataChange"] = True
@@ -1211,27 +1195,31 @@ def delta_table_changes(
     phys = {f.name: f.name for f in schema.fields}
     phys_part = dict(phys)
     if mapped:
+        # BOTH mapping modes match data-file columns by PHYSICAL name
+        # here: PROTOCOL.md 'Writer Requirements for Column Mapping'
+        # obliges every writer to "write data files by using the
+        # physical column and field names", and physical names are as
+        # rename-stable as field ids, so name-vs-id resolution is
+        # equivalent for any compliant table. This keeps the CDF read
+        # free of the spark.sql.parquet.fieldId.read.enabled session
+        # conf (r12 ADVICE: setting it here leaked into unrelated
+        # parquet reads — plans are lazy, so a set/restore around plan
+        # CONSTRUCTION cannot scope it). Snapshot reads keep true
+        # field-id matching via the engine session default.
         for f in schema.fields:
             phys_part[f.name] = _cm_physical_name(f)
-        if cm_mode == "name":
-            phys = dict(phys_part)
-        else:
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.read.enabled", "true"
-            )
+        phys = dict(phys_part)
     part_cols = list(metadata.get("partitionColumns") or [])
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     from pyspark.sql.types import StringType as _StringT
     from pyspark.sql.types import StructField as _SF
 
-    if cm_mode == "name":
+    if mapped:
         phys_fields = [
             _SF(phys[f.name], _cm_physical_type(f.dataType), f.nullable)
             for f in data_fields
         ]
-    elif cm_mode == "id":
-        phys_fields = [_cm_fieldid_field(f) for f in data_fields]
     else:
         phys_fields = [
             _SF(f.name, f.dataType, f.nullable) for f in data_fields
@@ -1302,8 +1290,13 @@ def delta_table_changes(
             F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
         )
 
-    # DV state as of the version BEFORE the range (checkpoint-capable)
+    # DV + partitionValues state as of the version BEFORE the range
+    # (checkpoint-capable). pv_state backs whole-file remove synthesis
+    # on logs whose removes lack extendedFileMetadata (pre-r13 commits
+    # and third-party writers) — a bare remove would otherwise serve
+    # NULL partition columns.
     dv_state: dict[str, str] = {}
+    pv_state: dict[str, dict | None] = {}
     if start > 0:
         _, _, st0, _ = _snapshot_state(
             spark, path, start - 1, None,
@@ -1313,6 +1306,9 @@ def delta_table_changes(
             a["path"]: json.dumps(a["deletionVector"])
             for a in st0.values()
             if a.get("deletionVector")
+        }
+        pv_state = {
+            a["path"]: a.get("partitionValues") for a in st0.values()
         }
     changes: list[DataFrame] = []
     for v in range(start, end + 1):
@@ -1435,7 +1431,10 @@ def delta_table_changes(
             for rel, r in removed.items():
                 if rel in readded:
                     continue
-                rows = read_files([(rel, r.get("partitionValues"))])
+                rows = read_files(
+                    [(rel, r.get("partitionValues")
+                      or pv_state.get(rel))]
+                )
                 old_dv = dv_state.get(rel)
                 if old_dv is not None:
                     rows = rows.join(
@@ -1446,10 +1445,11 @@ def delta_table_changes(
                         "left_anti",
                     )
                 changes.append(stamp(rows, pre_label, v, ts))
-        # roll the DV state forward
+        # roll the DV + partitionValues state forward
         add_paths = set()
         for add in adds:
             add_paths.add(add["path"])
+            pv_state[add["path"]] = add.get("partitionValues")
             if add.get("deletionVector"):
                 dv_state[add["path"]] = json.dumps(add["deletionVector"])
             else:
@@ -1457,6 +1457,7 @@ def delta_table_changes(
         for r in removes:
             if r["path"] not in add_paths:
                 dv_state.pop(r["path"], None)
+                pv_state.pop(r["path"], None)
     if not changes:
         empty = spark.createDataFrame([], schema)
         return empty.select(
@@ -1483,6 +1484,29 @@ def _now_ms() -> int:
     import time
 
     return int(time.time() * 1000)
+
+
+def _remove_action(
+    rel: str, add: dict | None, data_change: bool = True
+) -> dict:
+    """Remove action stamped with the removed file's partitionValues
+    and size copied from its active add (PROTOCOL.md 'Remove File':
+    ``extendedFileMetadata=true`` means partitionValues/size/tags are
+    present — what delta-spark's writers emit). CDF whole-file
+    synthesis reconstructs partition COLUMNS from
+    ``remove.partitionValues``; a bare remove on a partitioned table
+    would serve NULL partition values (r12 ADVICE, medium)."""
+    rm: dict = {
+        "path": rel,
+        "deletionTimestamp": _now_ms(),
+        "dataChange": data_change,
+    }
+    if add is not None:
+        rm["extendedFileMetadata"] = True
+        rm["partitionValues"] = dict(add.get("partitionValues") or {})
+        if add.get("size") is not None:
+            rm["size"] = add["size"]
+    return {"remove": rm}
 
 
 def _partition_values_from_rel(rel: str, part_cols: list[str]) -> dict:
@@ -2010,14 +2034,7 @@ def write_delta(
         ]
         if mode == "overwrite":
             actions += [
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": True,
-                    }
-                }
-                for p in sorted(state)
+                _remove_action(p, state[p]) for p in sorted(state)
             ]
         actions += adds
         if _try_commit(path, version + 1, actions):
@@ -2096,16 +2113,7 @@ def _rewrite_matched_files(
                     }
                 }
             ]
-            + [
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": True,
-                    }
-                }
-                for p in sorted(removed)
-            ]
+            + [_remove_action(p, state[p]) for p in sorted(removed)]
             + adds
             + cdc_actions
         )
@@ -2416,16 +2424,7 @@ def delta_merge_into(
                     }
                 }
             ]
-            + [
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": True,
-                    }
-                }
-                for p in sorted(removed)
-            ]
+            + [_remove_action(p, state[p]) for p in sorted(removed)]
             + adds
             + cdc_actions
         )
@@ -2503,16 +2502,7 @@ def delta_truncate(spark: SparkSession, path: str) -> dict:
                     "operation": "TRUNCATE",
                 }
             }
-        ] + [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": _now_ms(),
-                    "dataChange": True,
-                }
-            }
-            for p in sorted(state)
-        ]
+        ] + [_remove_action(p, state[p]) for p in sorted(state)]
         if _try_commit(path, version + 1, actions):
             return {"version": version + 1, "files_removed": len(state)}
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
@@ -2653,13 +2643,7 @@ def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dic
                 }
             ]
             + [
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": _now_ms(),
-                        "dataChange": False,
-                    }
-                }
+                _remove_action(p, state[p], data_change=False)
                 for p in sorted(state)
             ]
             + adds
@@ -2717,13 +2701,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> dict:
             new_add["modificationTime"] = _now_ms()
             adds.append({"add": new_add})
         removes = [
-            {
-                "remove": {
-                    "path": ap,
-                    "deletionTimestamp": _now_ms(),
-                    "dataChange": True,
-                }
-            }
+            _remove_action(ap, state_cur[ap])
             for ap in sorted(set(state_cur) - set(state_old))
         ]
         actions: list[dict] = [
