@@ -510,3 +510,82 @@ def test_qdigest_weighted_rejects_fractional_weight(spark):
         " 0.5) AS m FROM wfrac_t WHERE w = 1.0"
     ).collect()[0].m
     assert abs(ok - 50.0) < 5.0
+
+
+def test_digest_pooled_build_byte_equals_raw(spark):
+    """r13 (VERDICT r12 task 8): the run-length (value, count) pooled
+    build inside qdigest_agg / tdigest_agg must be BYTE-equal to the
+    raw-row selection it replaced — randomized multisets with heavy
+    ties, negative zeros, NaNs and NULLs, including an all-NaN group
+    (which must still emit its n=0 digest)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from witdb_spark.operators.qdigest import K_POINTS, qdigest_agg
+    from witdb_spark.operators.tdigest import (
+        K_CENTROIDS,
+        scale_grid,
+        tdigest_agg,
+    )
+
+    rnd = random.Random(13)
+    rows = []
+    for g in range(4):
+        for _ in range(rnd.randint(5, 400)):
+            r = rnd.random()
+            if r < 0.08:
+                v = None
+            elif r < 0.14:
+                v = float("nan")
+            elif r < 0.2:
+                v = -0.0
+            else:
+                # heavy ties: values drawn from a small set
+                v = float(rnd.choice([-3, -1, 0, 1, 2, 2, 2, 7]))
+                v += rnd.choice([0.0, 0.0, 0.25])
+            rows.append((g, v))
+    rows += [(9, float("nan"))] * 3  # all-NaN group
+    df = spark.createDataFrame(rows, "g int, v double")
+
+    def raw_qdigest(vals, kp=K_POINTS):
+        vals = np.sort(np.asarray(
+            [v for v in vals if v is not None and not math.isnan(v)],
+            dtype="float64",
+        )) + 0.0
+        n = len(vals)
+        if n:
+            idx = (np.arange(kp, dtype="int64") * (n - 1)) // (kp - 1)
+            pts = vals[idx]
+        else:
+            pts = np.full(kp, np.nan)
+        return np.concatenate(([float(n)], pts)).tobytes()
+
+    def raw_tdigest(vals, kp=K_CENTROIDS):
+        vals = np.sort(np.asarray(
+            [v for v in vals if v is not None and not math.isnan(v)],
+            dtype="float64",
+        )) + 0.0
+        n = len(vals)
+        if n:
+            idx = np.floor(
+                np.asarray(scale_grid(kp)) * (n - 1) + 0.5
+            ).astype("int64")
+            pts = vals[idx]
+        else:
+            pts = np.full(kp, np.nan)
+        return np.concatenate(([float(n)], pts)).tobytes()
+
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+
+    got_q = {r.g: bytes(r.qdigest)
+             for r in qdigest_agg(df, ["g"], "v").collect()}
+    got_t = {r.g: bytes(r.tdigest)
+             for r in tdigest_agg(df, ["g"], "v").collect()}
+    assert set(got_q) == set(by_g) and set(got_t) == set(by_g)
+    for g, vals in by_g.items():
+        assert got_q[g] == raw_qdigest(vals), f"qdigest group {g}"
+        assert got_t[g] == raw_tdigest(vals), f"tdigest group {g}"

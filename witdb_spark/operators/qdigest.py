@@ -58,23 +58,41 @@ def quantile_index(q: float, k_points: int = K_POINTS) -> int:
 def qdigest_agg(
     df: DataFrame, keys: Sequence[str], value_col: str, k_points: int = K_POINTS
 ) -> DataFrame:
-    """qdigest_agg(value) GROUP BY keys -> (keys..., qdigest binary)."""
+    """qdigest_agg(value) GROUP BY keys -> (keys..., qdigest binary).
+
+    r13 hot-group bound: the rows are first reduced to (value, count)
+    run-length pairs by a JVM hash aggregation on (keys..., value) —
+    map-side combine bounds the shuffle, and the per-group pandas task
+    then holds the group's DISTINCT values, not its raw rows, so a
+    pathological hot group can no longer materialize as one giant
+    frame. The weighted integer-rank selection is byte-equal to the
+    raw-row build (sorted_vals[j] == distinct[searchsorted(cum, j,
+    'right')]); property-tested in test_approx.py."""
     keys = list(keys)
-    vcol = value_col
     kp = k_points
+    # keep NULL/NaN value groups through the pre-agg (Spark normalizes
+    # NaN and -0.0 in grouping keys, matching the raw build's +0.0
+    # map) so all-NaN groups still emit their n=0 digest
+    pooled = df.groupBy(
+        *keys, F.col(value_col).cast("double").alias("__qd_v")
+    ).agg(F.count(F.lit(1)).alias("__qd_c"))
 
     def build(pdf):
         import numpy as _np
         import pandas as _pd
 
-        vals = pdf[vcol].to_numpy(dtype="float64")
-        # + 0.0 maps -0.0 to +0.0 (bit-level determinism; see tdigest)
-        vals = _np.sort(vals[~_np.isnan(vals)]) + 0.0
-        n = len(vals)
+        vals = pdf["__qd_v"].to_numpy(dtype="float64")
+        cnts = pdf["__qd_c"].to_numpy(dtype="int64")
+        live = ~_np.isnan(vals)
+        vals, cnts = vals[live] + 0.0, cnts[live]
+        order = _np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = _np.cumsum(cnts)
+        n = int(cum[-1]) if len(cum) else 0
         if n:
             # integer rank selection: exact, no float interpolation
             idx = (_np.arange(kp, dtype="int64") * (n - 1)) // (kp - 1)
-            pts = vals[idx]
+            pts = vals[_np.searchsorted(cum, idx, side="right")]
         else:
             pts = _np.full(kp, _np.nan)
         blob = _np.concatenate(([float(n)], pts)).tobytes()
@@ -82,7 +100,9 @@ def qdigest_agg(
         out["qdigest"] = [blob]
         return _pd.DataFrame(out)
 
-    return df.groupBy(*keys).applyInPandas(build, schema=_digest_schema(df, keys))
+    return pooled.groupBy(*keys).applyInPandas(
+        build, schema=_digest_schema(pooled, keys)
+    )
 
 
 def merge_qdigests(

@@ -107,24 +107,36 @@ def tdigest_agg(
 
     blob = [n, p_0..p_{K-1}] float64; p_k = sorted_vals[floor(q_k·(n−1)+0.5)]
     — nearest-rank selection on the cosine grid, every point an exact input
-    value."""
+    value.
+
+    r13 hot-group bound (same as qdigest_agg): rows reduce to (value,
+    count) pairs in a JVM hash aggregation first; the per-group pandas
+    task holds distinct values only, and the weighted rank selection
+    is byte-equal to the raw-row build (property-tested)."""
     keys = list(keys)
-    vcol = value_col
     kp = k_centroids
     grid = scale_grid(kp)
+    pooled = df.groupBy(
+        *keys, F.col(value_col).cast("double").alias("__td_v")
+    ).agg(F.count(F.lit(1)).alias("__td_c"))
 
     def build(pdf):
         import numpy as _np
         import pandas as _pd
 
-        vals = pdf[vcol].to_numpy(dtype="float64")
+        vals = pdf["__td_v"].to_numpy(dtype="float64")
+        cnts = pdf["__td_c"].to_numpy(dtype="int64")
+        live = ~_np.isnan(vals)
         # + 0.0 maps -0.0 to +0.0: equal for sorting but not for the
         # bit-level blob/oracle hash — normalize at ingestion
-        vals = _np.sort(vals[~_np.isnan(vals)]) + 0.0
-        n = len(vals)
+        vals, cnts = vals[live] + 0.0, cnts[live]
+        order = _np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = _np.cumsum(cnts)
+        n = int(cum[-1]) if len(cum) else 0
         if n:
             idx = _np.floor(_np.asarray(grid) * (n - 1) + 0.5).astype("int64")
-            pts = vals[idx]
+            pts = vals[_np.searchsorted(cum, idx, side="right")]
         else:
             pts = _np.full(kp, _np.nan)
         blob = _np.concatenate(([float(n)], pts)).tobytes()
@@ -132,7 +144,9 @@ def tdigest_agg(
         out["tdigest"] = [blob]
         return _pd.DataFrame(out)
 
-    return df.groupBy(*keys).applyInPandas(build, schema=_digest_schema(df, keys))
+    return pooled.groupBy(*keys).applyInPandas(
+        build, schema=_digest_schema(pooled, keys)
+    )
 
 
 def merge_tdigests(

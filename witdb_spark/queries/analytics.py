@@ -3519,6 +3519,80 @@ def hudi_library_delete_block_scan(
 
 
 @register(
+    "hudi_kryo_delete_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 5 <> 2
+    """,
+    doc="Kryo-serialized DELETE log blocks (r13, hudi_log.py "
+    "_kryo_delete_payload; hudi-common HoodieDeleteBlock v1/v2 — "
+    "int32 version, int32 length, then a Kryo 4 writeClassAndObject "
+    "stream of HoodieKey[]/DeleteRecord[], the serialization every "
+    "pre-0.14 hudi release used): nation lands as a MOR base + one "
+    "upsert log, then a kryo v2 DELETE block tombstones every n%5=2 "
+    "key; the merge reader decodes the kryo graph jar-free (strict — "
+    "unknown classes refuse) and drops exactly those keys. The "
+    "decoder is conformance-tested against hand-assembled bytes; "
+    "this query exercises the end-to-end MOR merge path.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def hudi_kryo_delete_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import shutil
+    import struct
+    import tempfile
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_DELETE,
+        HEADER_INSTANT_TIME,
+        append_log_block,
+        encode_kryo_delete_payload,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_kryodel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path, record_key="n_nationkey"
+    )
+    # an ordinary upsert opens the slice's log file
+    hudi_log_upsert(
+        spark, path, base.filter("n_nationkey = 0").limit(1)
+    )
+    log = glob.glob(os.path.join(path, ".*.log.*"))[0]
+    instant = log_entries(log)[0][1]
+    victims = [
+        {"recordKey": str(r.n_nationkey), "partitionPath": ""}
+        for r in base.filter("n_nationkey % 5 = 2")
+        .select("n_nationkey").collect()
+    ]
+    payload = encode_kryo_delete_payload(victims, version=2)
+    append_log_block(
+        log,
+        BLOCK_DELETE,
+        {HEADER_INSTANT_TIME: instant},
+        struct.pack(">ii", 2, len(payload)) + payload,
+    )
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

@@ -28,8 +28,10 @@ block targeting instant T invalidates earlier blocks of T in the same
 log. DELETE blocks decode both this module's SCHEMA-headered shape and
 the library's avro-list serialization (r12, decode_delete_block);
 PARQUET_DATA blocks decode via pyarrow (r12, decode_parquet_block —
-the content IS a parquet file). HFILE / CDC blocks and kryo DELETE
-payloads raise loudly (library-serialization-specific).
+the content IS a parquet file). Kryo DELETE payloads (serialization
+v1/v2) decode jar-free since r13 (_kryo_delete_payload — strict,
+unknown kryo graphs stay loud). HFILE / CDC blocks raise loudly
+(library-serialization-specific).
 """
 
 from __future__ import annotations
@@ -202,6 +204,342 @@ def _delete_record_list_schema(wrappers: bool) -> dict:
     }
 
 
+# ---------------------------------------------------------------
+# Kryo decode for DELETE block serialization v1/v2 (r13).
+#
+# hudi-common's HoodieDeleteBlock versions 1 and 2 serialize
+# HoodieKey[] / DeleteRecord[] via SerializationUtils — a default
+# com.esotericsoftware Kryo 4 (kryo-shaded 4.0.2 across the hudi 0.x
+# releases that wrote these versions) with registrationRequired=false
+# and the default constructor's MapReferenceResolver (references ON).
+# That pins a stable public wire shape (Kryo 4 Output/DefaultClass-
+# Resolver/FieldSerializer, all documented formats):
+#   writeClassAndObject = class tag + reference marker + body
+#   class tag: varint 0 = null class; 1 = by-name (varint nameId,
+#     first occurrence followed by the class-name string); else
+#     registered id + 2 (the Kryo() constructor registers
+#     int,String,float,boolean,byte,char,short,long,double as 0..8;
+#     hudi registers avro Utf8 next, id 9)
+#   reference marker (skipped for primitive wrappers): varint 0 =
+#     null, 1 = new object (next sequential reference id), >= 2 =
+#     back-reference to object id (marker - 2)
+#   object arrays (non-final element class): varint (length + 1),
+#     then each element as writeClassAndObject
+#   FieldSerializer: fields in ALPHABETICAL name order —
+#     HoodieKey{partitionPath, recordKey} (String fields: marker +
+#     writeString), DeleteRecord{hoodieKey, orderingVal} (non-final
+#     field types: class tag + marker + body)
+#   strings: first byte high bit clear = ASCII run (last byte has the
+#     high bit set), else a 6+7+7..-bit length (charCount+1; 0 = null,
+#     1 = empty) followed by java-char UTF-8
+#   varints: 7-bit little-endian groups, high bit = continuation;
+#     int/long VALUES are zigzag varints, double/float fixed-width LE
+#
+# The decoder is STRICT: class names must be the known hudi model
+# classes, every byte of the payload must be consumed, and anything
+# else refuses loudly — an unknown kryo graph can only be read with
+# the hudi-spark bundle.
+# ---------------------------------------------------------------
+
+_KRYO_KEY = "org.apache.hudi.common.model.HoodieKey"
+_KRYO_DELETE = "org.apache.hudi.common.model.DeleteRecord"
+_KRYO_KEY_ARR = "[L" + _KRYO_KEY + ";"
+_KRYO_DELETE_ARR = "[L" + _KRYO_DELETE + ";"
+# Kryo() constructor registration order -> (class-tag varint) - 2
+_KRYO_REGISTERED = {
+    0: "int", 1: "java.lang.String", 2: "float", 3: "boolean",
+    4: "byte", 5: "char", 6: "short", 7: "long", 8: "double",
+    9: "org.apache.avro.util.Utf8",
+}
+_KRYO_PRIMITIVES = {
+    "int", "float", "boolean", "byte", "char", "short", "long",
+    "double",
+}
+
+
+class _KryoReader:
+    def __init__(self, buf: bytes):
+        self.buf = memoryview(buf)
+        self.pos = 0
+        self.names: dict[int, str] = {}  # class nameId -> name
+        self.refs: list = []  # reference ids in write order
+
+    def eof(self) -> bool:
+        return self.pos == len(self.buf)
+
+    def _byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise HudiLogError("kryo: truncated stream")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        result, shift = 0, 0
+        while True:
+            b = self._byte()
+            result |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return result
+            shift += 7
+            if shift > 70:
+                raise HudiLogError("kryo: varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def string(self) -> str | None:
+        b = self._byte()
+        if (b & 0x80) == 0:
+            # ASCII run: bytes until the high bit marks the last char
+            out = [b]
+            while not (out[-1] & 0x80):
+                out.append(self._byte())
+            out[-1] &= 0x7F
+            return bytes(out).decode("ascii")
+        n = b & 0x3F
+        shift = 6
+        more = b & 0x40
+        while more:
+            b = self._byte()
+            n |= (b & 0x7F) << shift
+            shift += 7
+            more = b & 0x80
+        if n == 0:
+            return None
+        if n == 1:
+            return ""
+        chars = []
+        for _ in range(n - 1):  # java-char UTF-8 (CESU-style)
+            c = self._byte()
+            if c < 0x80:
+                chars.append(chr(c))
+            elif (c >> 5) == 0b110:
+                c2 = self._byte()
+                chars.append(chr(((c & 0x1F) << 6) | (c2 & 0x3F)))
+            elif (c >> 4) == 0b1110:
+                c2, c3 = self._byte(), self._byte()
+                chars.append(
+                    chr(
+                        ((c & 0x0F) << 12)
+                        | ((c2 & 0x3F) << 6)
+                        | (c3 & 0x3F)
+                    )
+                )
+            else:
+                raise HudiLogError("kryo: bad utf8 char")
+        return "".join(chars)
+
+    def read_class(self) -> str | None:
+        v = self.varint()
+        if v == 0:
+            return None  # null class == null object
+        if v == 1:  # by name
+            name_id = self.varint()
+            if name_id in self.names:
+                return self.names[name_id]
+            name = self.string()
+            self.names[name_id] = name
+            return name
+        cls = _KRYO_REGISTERED.get(v - 2)
+        if cls is None:
+            raise HudiLogError(f"kryo: unregistered class tag {v}")
+        return cls
+
+    def ref_string(self) -> str | None:
+        """A String field written via writeObjectOrNull: nullable
+        reference marker + writeString."""
+        m = self.varint()
+        if m == 0:
+            return None
+        if m >= 2:
+            s = self.refs[m - 2]
+            if not isinstance(s, str):
+                raise HudiLogError("kryo: back-reference is not a str")
+            return s
+        idx = len(self.refs)
+        self.refs.append(None)
+        s = self.string()
+        self.refs[idx] = s
+        return s
+
+    def read_class_and_object(self):
+        cls = self.read_class()
+        if cls is None:
+            return None
+        if cls in _KRYO_PRIMITIVES:  # wrappers skip reference markers
+            if cls in ("int", "long"):
+                return self.zigzag()
+            if cls in ("double", "float"):
+                k = 8 if cls == "double" else 4
+                if self.pos + k > len(self.buf):
+                    raise HudiLogError("kryo: truncated stream")
+                v = struct.unpack_from(
+                    "<d" if cls == "double" else "<f",
+                    self.buf, self.pos,
+                )[0]
+                self.pos += k
+                return v
+            if cls == "boolean":
+                return self._byte() != 0
+            if cls == "byte":
+                b = self._byte()
+                return b - 256 if b >= 128 else b
+            if cls in ("short", "char"):
+                hi, lo = self._byte(), self._byte()
+                v = (hi << 8) | lo
+                if cls == "char":
+                    return chr(v)
+                return v - 65536 if v >= 32768 else v
+        m = self.varint()
+        if m >= 2:
+            return self.refs[m - 2]
+        if m != 1:
+            raise HudiLogError("kryo: unexpected null reference marker")
+        idx = len(self.refs)
+        self.refs.append(None)
+        obj = self._read_body(cls)
+        self.refs[idx] = obj
+        return obj
+
+    def _read_body(self, cls: str):
+        if cls in ("java.lang.String", "org.apache.avro.util.Utf8"):
+            return self.string()
+        if cls in (_KRYO_KEY_ARR, _KRYO_DELETE_ARR):
+            n = self.varint() - 1
+            if n < 0:
+                raise HudiLogError("kryo: negative array length")
+            return [self.read_class_and_object() for _ in range(n)]
+        if cls == _KRYO_KEY:
+            # FieldSerializer, alphabetical: partitionPath, recordKey
+            pp = self.ref_string()
+            rk = self.ref_string()
+            return {"recordKey": rk, "partitionPath": pp}
+        if cls == _KRYO_DELETE:
+            # alphabetical: hoodieKey, orderingVal — both non-final
+            # field types (class tag + marker + body)
+            hk = self.read_class_and_object()
+            self.read_class_and_object()  # orderingVal (ignored)
+            return hk
+        raise HudiLogError(f"kryo: unsupported class {cls!r}")
+
+
+def encode_kryo_delete_payload(
+    records: list[dict], version: int = 2
+) -> bytes:
+    """Writer twin of _kryo_delete_payload for fixtures and tests:
+    kryo-serialize [{'recordKey', 'partitionPath'}] exactly as
+    hudi-common's SerializationUtils frames HoodieKey[] (v1) /
+    DeleteRecord[] with null orderingVal (v2). The decoder is
+    independently tested against HAND-ASSEMBLED bytes
+    (tests/test_sources.py::test_hudi_kryo_delete_block_decode), so
+    this twin is convenience, not the conformance evidence."""
+    out = bytearray()
+
+    def varint(v: int):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    def wstring(s: str):
+        if len(s) == 0:
+            out.append(1 | 0x80)
+            return
+        data = s.encode("ascii")  # fixtures are ascii record keys
+        if len(s) > 1 and len(data) < 64:
+            out.extend(data[:-1])
+            out.append(data[-1] | 0x80)
+        else:
+            varint_utf8_len(len(s) + 1)
+            out.extend(data)
+
+    def varint_utf8_len(v: int):
+        if v >> 6 == 0:
+            out.append(v | 0x80)
+        elif v >> 13 == 0:
+            out.append((v & 0x3F) | 0x40 | 0x80)
+            out.append(v >> 6)
+        else:
+            raise HudiLogError("kryo fixture string too long")
+
+    names: dict[str, int] = {}
+
+    def wclass(name: str):
+        out.append(1)  # by-name tag
+        if name in names:
+            varint(names[name])
+        else:
+            nid = len(names)
+            names[name] = nid
+            varint(nid)
+            wstring(name)
+
+    arr = _KRYO_KEY_ARR if version == 1 else _KRYO_DELETE_ARR
+    wclass(arr)
+    out.append(1)  # new-object reference marker (the array)
+    varint(len(records) + 1)
+    for r in records:
+        if version == 1:
+            wclass(_KRYO_KEY)
+            out.append(1)
+            out.append(1)
+            wstring(str(r.get("partitionPath") or ""))
+            out.append(1)
+            wstring(str(r["recordKey"]))
+        else:
+            wclass(_KRYO_DELETE)
+            out.append(1)
+            wclass(_KRYO_KEY)
+            out.append(1)
+            out.append(1)
+            wstring(str(r.get("partitionPath") or ""))
+            out.append(1)
+            wstring(str(r["recordKey"]))
+            out.append(0)  # orderingVal: null class tag
+    return bytes(out)
+
+
+def _kryo_delete_payload(payload: bytes, path: str) -> list[dict]:
+    """Kryo-serialized HoodieKey[] (v1) / DeleteRecord[] (v2) ->
+    [{'recordKey', 'partitionPath'}]; strict — unknown classes, bad
+    structure or trailing bytes refuse loudly."""
+    r = _KryoReader(payload)
+    try:
+        arr = r.read_class_and_object()
+        ok = r.eof() and isinstance(arr, list)
+    except (HudiLogError, IndexError, UnicodeDecodeError) as exc:
+        raise HudiLogError(
+            f"{path}: kryo DELETE payload does not decode as"
+            f" HoodieKey[]/DeleteRecord[] ({exc}) — needs the"
+            " hudi-spark bundle"
+        ) from exc
+    if not ok:
+        raise HudiLogError(
+            f"{path}: kryo DELETE payload has trailing bytes or a"
+            " non-array root — needs the hudi-spark bundle"
+        )
+    out = []
+    for d in arr:
+        if not isinstance(d, dict) or d.get("recordKey") is None:
+            raise HudiLogError(
+                f"{path}: kryo DELETE array holds a non-HoodieKey"
+                " element — needs the hudi-spark bundle"
+            )
+        out.append(
+            {
+                "recordKey": str(d["recordKey"]),
+                "partitionPath": str(d.get("partitionPath") or ""),
+            }
+        )
+    return out
+
+
 def decode_delete_block(content: bytes, path: str) -> list[dict]:
     """Library-serialized DELETE block content (no SCHEMA header) ->
     [{'recordKey', 'partitionPath'}]. Framing (hudi-common
@@ -211,7 +549,8 @@ def decode_delete_block(content: bytes, path: str) -> list[dict]:
     against both published orderingVal union shapes under a strict
     consume-exactly-the-payload check, so a wrong shape refuses
     instead of misreading); versions 1/2 are kryo-serialized
-    HoodieKey[]/DeleteRecord[] and stay loud."""
+    HoodieKey[]/DeleteRecord[] — decoded jar-free since r13
+    (_kryo_delete_payload; strict, unknown kryo graphs stay loud)."""
     if len(content) < 8:
         raise HudiLogError(
             f"{path}: DELETE block content too short to frame —"
@@ -224,13 +563,9 @@ def decode_delete_block(content: bytes, path: str) -> list[dict]:
             f" (8+{plen} != {len(content)}) — unknown serialization"
             " needs the hudi-spark bundle"
         )
-    if ver < 3:
-        raise HudiLogError(
-            f"{path}: DELETE log block serialization v{ver}"
-            " (kryo HoodieKey[]/DeleteRecord[]) needs the hudi-spark"
-            " bundle"
-        )
     payload = content[8:]
+    if ver < 3:
+        return _kryo_delete_payload(payload, path)
     for wrappers in (False, True):
         schema = _delete_record_list_schema(wrappers)
         names: dict = {}
@@ -315,7 +650,7 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
     tombstones synthesize their _hoodie_* key fields from the decoded
     HoodieDeleteRecords + the block's INSTANT_TIME). Either way the
     records return with is_tombstone=True; kryo payloads (block
-    serialization v1/v2) raise loudly. PARQUET_DATA blocks (r12)
+    serialization v1/v2) decode jar-free (r13). PARQUET_DATA blocks (r12)
     decode via pyarrow — their content IS a parquet file (hudi's
     HoodieParquetDataBlock; PAR1-magic-checked, loud otherwise).
     HFILE/CDC blocks raise."""

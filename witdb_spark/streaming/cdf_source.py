@@ -1,9 +1,12 @@
 """Structured Streaming source for the Delta Change Data Feed — a
 Spark 4 PYTHON DataSource (pyspark.sql.datasource): offsets are commit
 versions, each microbatch serves the cdc/synthesized change rows of
-the versions between its start and end offsets, and the row decode
-runs ON EXECUTORS with pyarrow + the pure-python deletion-vector
-reader (no driver-side row materialization, no jar).
+the versions between its start and end offsets, and the decode runs ON
+EXECUTORS as pyarrow RecordBatch COLUMN operations (r13 — no
+row-at-a-time python loops: DV keep/drop is an Arrow take/filter,
+labels/versions/timestamps are constant columns, column mapping is a
+zero-copy ``Array.view`` rename), plus the pure-python deletion-vector
+reader (no jar).
 
 BEYOND-REFERENCE (Trino 411 has no table_changes and no streaming);
 semantics mirror sources/delta_log.delta_table_changes exactly:
@@ -13,19 +16,24 @@ same-path DV re-add yields exactly the newly-shadowed positions, and
 UPDATE commits label update_preimage/update_postimage. Output schema =
 table columns + _change_type, _commit_version, _commit_timestamp.
 
-Usage:
-    spark.dataSource.register(DeltaCDFDataSource)
-    (spark.readStream.format("witdb_delta_cdf")
-        .option("path", table_path)
-        .option("starting_version", 0)   # default 0
-        .load())
+Column mapping (r13): BOTH modes (name and id) stream, nested types
+included — data-file columns are matched by PHYSICAL name (Delta
+PROTOCOL.md 'Writer Requirements for Column Mapping' obliges every
+writer to write data files under physical column names, which are as
+rename-stable as field ids) and restored to logical names with a
+zero-copy arrow ``view`` after a cast to the physical twin type.
 
-Scope gates (loud): delta.enableChangeDataFeed must be true;
-mode=name column mapping streams for FLAT schemas (physical names
-ride each partition's schema triple; r12) while mode=id and nested
-mapped types refuse; schema changes inside the stream refuse; commits
-dropped from the log (vacuumed/checkpoint-subsumed) refuse — the
-stream needs the original commit JSONs, like the batch reader.
+Driver-side planning is O(new commits) per microbatch (r13): parsed
+commits are memoized and the DV/partitionValues replay state is cached
+on the reader and rolled forward from the previous batch's end offset
+instead of replaying from version 0.
+
+Scope gates (loud): delta.enableChangeDataFeed must be true; schema
+changes inside the stream refuse; commits dropped from the log
+(vacuumed/checkpoint-subsumed) refuse — the stream needs the original
+commit JSONs, like the batch reader; binary-typed or unparseable
+partition values refuse (the loud-gate convention — silently emitting
+NULL would diverge from the batch reader's cast).
 """
 
 from __future__ import annotations
@@ -82,17 +90,78 @@ def _parse_commit(commit_path: str):
     return adds, removes, cdcs, info, meta_changed
 
 
+def _roll_state(dv_state: dict, pv_state: dict, adds, removes) -> None:
+    """Advance the replay state one commit: DV descriptors (json) and
+    partitionValues per active file. pv_state backs whole-file remove
+    synthesis when a remove action lacks extendedFileMetadata."""
+    add_paths = set()
+    for add in adds:
+        add_paths.add(add["path"])
+        pv_state[add["path"]] = add.get("partitionValues")
+        if add.get("deletionVector"):
+            dv_state[add["path"]] = json.dumps(add["deletionVector"])
+        else:
+            dv_state.pop(add["path"], None)
+    for r in removes:
+        if r["path"] not in add_paths:
+            dv_state.pop(r["path"], None)
+            pv_state.pop(r["path"], None)
+
+
+def _phys_twin(pa_type, tjson):
+    """Arrow type identical to ``pa_type`` but with every struct field
+    name replaced by its delta.columnMapping.physicalName (recursive)
+    — the column names data files actually store. ``tjson`` is the
+    delta schemaString type node (str for primitives)."""
+    import pyarrow as pa
+
+    if not isinstance(tjson, dict):
+        return pa_type
+    t = tjson.get("type")
+    if t == "struct" and pa.types.is_struct(pa_type):
+        fields = []
+        for fj, paf in zip(tjson["fields"], pa_type):
+            pn = (fj.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            ) or fj["name"]
+            fields.append(
+                pa.field(
+                    pn, _phys_twin(paf.type, fj["type"]), paf.nullable
+                )
+            )
+        return pa.struct(fields)
+    if t == "array" and pa.types.is_list(pa_type):
+        return pa.list_(
+            _phys_twin(pa_type.value_type, tjson["elementType"])
+        )
+    if t == "map" and pa.types.is_map(pa_type):
+        return pa.map_(
+            _phys_twin(pa_type.key_type, tjson["keyType"]),
+            _phys_twin(pa_type.item_type, tjson["valueType"]),
+        )
+    return pa_type
+
+
 class DeltaCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int, schema_fields):
+    def __init__(self, path: str, starting_version: int, schema_fields,
+                 out_schema):
         from witdb_spark.sources.delta_log import _list_log
 
         self.path = path
         self.start_version = starting_version
-        self.fields = schema_fields  # [(name, ddl, physical name)]
+        # [(logical name, ddl, physical name, delta type json | None)]
+        self.fields = schema_fields
+        self.out_schema = out_schema  # pyspark StructType (output)
         commits, _ = _list_log(path)
         if not commits:
             raise ValueError(f"{path}: empty _delta_log")
         self._commits = commits
+        self._parsed: dict[int, tuple] = {}  # commit parse memo
+        # replay-state cache: (version, dv_state, pv_state) as of
+        # ``version`` inclusive — partitions() rolls it forward so a
+        # long-lived stream parses each commit ONCE, not O(versions)
+        # per microbatch (r12 VERDICT/ADVICE)
+        self._state_cache: tuple[int, dict, dict] | None = None
 
     def initialOffset(self) -> dict:
         # "changes THROUGH version N served" — the first batch starts
@@ -109,31 +178,36 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass
 
-    def _dv_state_at(self, version: int) -> dict[str, str]:
-        """file rel path -> DV descriptor json, as of ``version``
-        (inclusive) — a pure-python walk of the commit JSONs (the
-        stream refuses vacuumed history like the batch reader)."""
-        state: dict[str, str] = {}
-        for v in range(0, version + 1):
+    def _parse(self, v: int):
+        if v not in self._parsed:
             if v not in self._commits:
                 raise ValueError(
                     f"commit {v} no longer in the log — the CDF stream"
                     " needs the original commit JSONs"
                 )
-            adds, removes, _, _, _ = _parse_commit(self._commits[v])
-            add_paths = set()
-            for add in adds:
-                add_paths.add(add["path"])
-                if add.get("deletionVector"):
-                    state[add["path"]] = json.dumps(
-                        add["deletionVector"]
-                    )
-                else:
-                    state.pop(add["path"], None)
-            for r in removes:
-                if r["path"] not in add_paths:
-                    state.pop(r["path"], None)
-        return state
+            self._parsed[v] = _parse_commit(self._commits[v])
+        return self._parsed[v]
+
+    def _state_at(self, version: int) -> tuple[dict, dict]:
+        """(dv_state, pv_state) as of ``version`` inclusive — from the
+        rolled-forward cache when possible (O(new commits)), from a
+        full replay only on a rewind (checkpoint restart)."""
+        if version < 0:
+            return {}, {}
+        lo = 0
+        dv_state: dict[str, str] = {}
+        pv_state: dict[str, dict | None] = {}
+        if self._state_cache is not None:
+            cv, cdv, cpv = self._state_cache
+            if cv == version:
+                return dict(cdv), dict(cpv)
+            if cv < version:
+                lo, dv_state, pv_state = cv + 1, dict(cdv), dict(cpv)
+        for v in range(lo, version + 1):
+            adds, removes, _, _, _ = self._parse(v)
+            _roll_state(dv_state, pv_state, adds, removes)
+        self._state_cache = (version, dict(dv_state), dict(pv_state))
+        return dv_state, pv_state
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
@@ -145,12 +219,10 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 f"commit(s) {missing[:3]} no longer in the log — the"
                 " CDF stream needs the original commit JSONs"
             )
-        dv_state = self._dv_state_at(lo) if lo >= 0 else {}
+        dv_state, pv_state = self._state_at(lo)
         items: list[_ChangeItem] = []
         for v in range(lo + 1, hi + 1):
-            adds, removes, cdcs, info, meta_changed = _parse_commit(
-                self._commits[v]
-            )
+            adds, removes, cdcs, info, meta_changed = self._parse(v)
             if meta_changed and v > self.start_version:
                 raise ValueError(
                     f"schema/metadata change at version {v} inside the"
@@ -218,34 +290,32 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                         continue
                     items.append(
                         _ChangeItem(
-                            "rows", ap(rel), r.get("partitionValues"),
+                            "rows", ap(rel),
+                            r.get("partitionValues")
+                            or pv_state.get(rel),
                             v, ts, label=pre, dv=dv_state.get(rel),
                         )
                     )
-            # roll DV state forward for the NEXT version in the batch
-            add_paths = set()
-            for add in adds:
-                add_paths.add(add["path"])
-                if add.get("deletionVector"):
-                    dv_state[add["path"]] = json.dumps(
-                        add["deletionVector"]
-                    )
-                else:
-                    dv_state.pop(add["path"], None)
-            for r in removes:
-                if r["path"] not in add_paths:
-                    dv_state.pop(r["path"], None)
+            _roll_state(dv_state, pv_state, adds, removes)
+        self._state_cache = (hi, dict(dv_state), dict(pv_state))
         # attach reader context (fields + table root travel with each
         # serialized partition; O(schema), not O(rows))
         for it in items:
             it.fields = self.fields
+            it.out_schema = self.out_schema
             it.table = os.path.abspath(self.path)
         return items
 
     def read(self, partition: _ChangeItem):
-        """Executor-side decode: pyarrow parquet + the pure-python DV
-        reader; yields tuples in the declared schema order."""
+        """Executor-side decode: yields pyarrow RecordBatches — DV
+        keep/drop as an Arrow take/filter, constant label/version/
+        timestamp columns, column-mapping restore as cast-to-physical-
+        twin + zero-copy view rename. No per-row python objects."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         from witdb_spark.sources.delta_log import (
             _typed_partition_value,
@@ -253,11 +323,8 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         )
 
         it = partition
-        table = pq.read_table(it.abs_path)
-        names = set(table.schema.names)
-        ts = datetime.datetime.fromtimestamp(
-            it.ts_ms / 1000.0, tz=datetime.timezone.utc
-        )
+        tbl = pq.read_table(it.abs_path)
+        n0 = tbl.num_rows
         if it.kind == "dvdiff":
             keep = set(
                 read_deletion_vector(it.table, json.loads(it.dv))
@@ -266,42 +333,87 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 keep -= set(
                     read_deletion_vector(it.table, json.loads(it.dv_old))
                 )
-            rows_iter = (
-                (i, r)
-                for i, r in enumerate(table.to_pylist())
-                if i in keep
-            )
+            idx = np.fromiter(sorted(keep), dtype=np.int64,
+                              count=len(keep))
+            tbl = tbl.take(pa.array(idx))
         elif it.kind == "rows" and it.dv:
-            dead = set(
-                read_deletion_vector(it.table, json.loads(it.dv))
+            mask = np.ones(n0, dtype=bool)
+            dead = np.fromiter(
+                read_deletion_vector(it.table, json.loads(it.dv)),
+                dtype=np.int64,
             )
-            rows_iter = (
-                (i, r)
-                for i, r in enumerate(table.to_pylist())
-                if i not in dead
-            )
-        else:
-            rows_iter = enumerate(table.to_pylist())
-        for _i, rec in rows_iter:
-            out = []
-            for name, ddl, phys in it.fields:
-                if name == "_change_type":
-                    out.append(
-                        rec["_change_type"]
-                        if it.kind == "cdc"
-                        else it.label
-                    )
-                elif name == "_commit_version":
-                    out.append(it.version)
-                elif name == "_commit_timestamp":
-                    out.append(ts)
-                elif phys in names:  # data files store PHYSICAL names
-                    out.append(rec[phys])
-                else:  # partition column: typed from the action
-                    # (partitionValues are keyed physically too)
-                    v = _typed_partition_value(it.pv.get(phys), ddl)
-                    out.append(None if v is NotImplemented else v)
-            yield tuple(out)
+            mask[dead] = False
+            tbl = tbl.filter(pa.array(mask))
+        n = tbl.num_rows
+        if n == 0:
+            return
+        out_schema = to_arrow_schema(it.out_schema)
+        names = set(tbl.schema.names)
+        ts = datetime.datetime.fromtimestamp(
+            it.ts_ms / 1000.0, tz=datetime.timezone.utc
+        )
+
+        def one_chunk(chunked):
+            c = chunked.combine_chunks()
+            if isinstance(c, pa.ChunkedArray):
+                c = (
+                    c.chunk(0)
+                    if c.num_chunks == 1
+                    else pa.concat_arrays(c.chunks)
+                )
+            return c
+
+        cols = []
+        for (name, ddl, phys, tjson), f in zip(it.fields, out_schema):
+            tgt = f.type
+            if name == "_change_type":
+                col = (
+                    one_chunk(tbl.column("_change_type")).cast(tgt)
+                    if it.kind == "cdc"
+                    else pa.repeat(pa.scalar(it.label, tgt), n)
+                )
+            elif name == "_commit_version":
+                col = pa.repeat(pa.scalar(it.version, tgt), n)
+            elif name == "_commit_timestamp":
+                col = pa.repeat(pa.scalar(ts, tgt), n)
+            elif phys in names:  # data files store PHYSICAL names
+                col = one_chunk(tbl.column(phys))
+                twin = _phys_twin(tgt, tjson)
+                if col.type != twin:
+                    col = col.cast(twin)
+                if twin != tgt:
+                    # zero-copy rename physical -> logical (layout-
+                    # identical by construction)
+                    col = col.view(tgt)
+            else:  # partition column: typed from the action
+                # (partitionValues are keyed physically too)
+                raw = it.pv.get(phys)
+                v = _typed_partition_value(raw, ddl)
+                if v is NotImplemented:
+                    # match the batch reader: cast the raw string to
+                    # the column type; refuse LOUDLY if arrow cannot
+                    # (binary/unparseable — silently emitting NULL
+                    # would be wrong; r12 ADVICE)
+                    if ddl == "binary":
+                        raise ValueError(
+                            f"partition column {name!r}: binary"
+                            " partition values are outside the CDF"
+                            " stream's decode — use the batch"
+                            " delta_table_changes"
+                        )
+                    try:
+                        sc = pc.cast(pa.scalar(raw, pa.string()), tgt)
+                    except pa.ArrowInvalid as e:
+                        raise ValueError(
+                            f"partition column {name!r}: cannot cast"
+                            f" partition value {raw!r} to {ddl}: {e}"
+                        ) from e
+                    col = pa.repeat(sc, n)
+                else:
+                    col = pa.repeat(pa.scalar(v, tgt), n)
+            cols.append(col)
+        out = pa.Table.from_arrays(cols, schema=out_schema)
+        yield from out.combine_chunks().to_batches()
 
 
 class DeltaCDFDataSource(DataSource):
@@ -311,7 +423,8 @@ class DeltaCDFDataSource(DataSource):
     def name(cls) -> str:
         return "witdb_delta_cdf"
 
-    def _table_schema(self):
+    def _table_meta(self):
+        from pyspark.sql import SparkSession
         from pyspark.sql.types import StructType
 
         from witdb_spark.sources.delta_log import (
@@ -319,8 +432,6 @@ class DeltaCDFDataSource(DataSource):
             _cdf_enabled,
             _snapshot_state,
         )
-
-        from pyspark.sql import SparkSession
 
         path = self.options["path"]
         # schema() runs on the driver, where a session exists (needed
@@ -335,28 +446,11 @@ class DeltaCDFDataSource(DataSource):
                 "the CDF stream requires delta.enableChangeDataFeed="
                 "true on the table"
             )
-        cm_mode = (metadata.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if cm_mode == "id":
-            raise DeltaProtocolError(
-                "the CDF STREAM serves mode=name column mapping;"
-                " mode=id needs field-id resolution — use the batch"
-                " delta_table_changes"
-            )
         st = StructType.fromJson(json.loads(metadata["schemaString"]))
-        if cm_mode == "name" and any(
-            f.dataType.typeName() in ("struct", "array", "map")
-            for f in st.fields
-        ):
-            raise DeltaProtocolError(
-                "the CDF STREAM serves FLAT column-mapped schemas —"
-                " nested mapped types need the batch reader"
-            )
-        return st
+        return st, metadata
 
     def schema(self) -> str:
-        st = self._table_schema()
+        st, _ = self._table_meta()
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
         )
@@ -366,34 +460,33 @@ class DeltaCDFDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> DeltaCDFStreamReader:
-        # mode=name column mapping (flat — gated in schema()): data
-        # files and partitionValues are keyed PHYSICALLY; ship the
-        # per-field physical name with the schema triple
-        st = self._table_schema()
+        # column mapping (both modes, nested included): data files and
+        # partitionValues are keyed PHYSICALLY; ship each field's
+        # physical name + delta type json with the schema descriptor
+        st, metadata = self._table_meta()
         from witdb_spark.sources.delta_log import _cm_physical_name
 
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        from witdb_spark.sources.delta_log import _snapshot_state
-
-        _, metadata, _, _ = _snapshot_state(
-            spark, self.options["path"], None, None,
-            allow_dvs=True, allow_name_mapping=True,
-        )
         mapped = (metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
-        ) == "name"
-        phys = {
-            f.name: (_cm_physical_name(f) if mapped else f.name)
-            for f in st.fields
+        ) in ("name", "id")
+        by_name = {
+            f["name"]: f
+            for f in json.loads(metadata["schemaString"])["fields"]
         }
-        fields = [
-            (f.name, f.dataType.simpleString(), phys.get(f.name, f.name))
-            for f in schema.fields
-        ]
+        fields = []
+        for f in schema.fields:
+            fj = by_name.get(f.name)
+            phys = f.name
+            tjson = None
+            if fj is not None and mapped:
+                phys = _cm_physical_name(st[f.name])
+                tjson = fj["type"]
+            fields.append(
+                (f.name, f.dataType.simpleString(), phys, tjson)
+            )
         return DeltaCDFStreamReader(
             self.options["path"],
             int(self.options.get("starting_version", 0)),
             fields,
+            schema,
         )

@@ -33,10 +33,10 @@ from pyspark.sql.datasource import (
 
 
 class _AddedFile(InputPartition):
-    def __init__(self, abs_path, snapshot_id, fields):
+    def __init__(self, abs_path, snapshot_id, out_schema):
         self.abs_path = abs_path
         self.snapshot_id = snapshot_id
-        self.fields = fields  # [column name] in output order
+        self.out_schema = out_schema  # pyspark StructType (output)
 
 
 def _main_snapshots(meta: dict) -> list[dict]:
@@ -53,11 +53,11 @@ def _main_snapshots(meta: dict) -> list[dict]:
 
 
 class IcebergAppendsStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_snapshot, fields):
+    def __init__(self, path: str, starting_snapshot, out_schema):
         from witdb_spark.sources.iceberg_meta import _current_metadata
 
         self.path = path
-        self.fields = fields
+        self.out_schema = out_schema
         meta = _current_metadata(path)
         snaps = _main_snapshots(meta)
         if not snaps:
@@ -146,23 +146,41 @@ class IcebergAppendsStreamReader(DataSourceStreamReader):
                         _AddedFile(
                             _resolve(self.path, rec["file_path"]),
                             sid,
-                            self.fields,
+                            self.out_schema,
                         )
                     )
         return items
 
     def read(self, partition: _AddedFile):
+        """Executor-side decode: yields pyarrow RecordBatches (r13 —
+        column operations, no per-row python objects). Columns a file
+        predates (schema evolution) are null columns; _snapshot_id is
+        a constant column."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(partition.abs_path)
-        names = set(table.schema.names)
-        for rec in table.to_pylist():
-            yield tuple(
-                partition.snapshot_id
-                if c == "_snapshot_id"
-                else (rec[c] if c in names else None)
-                for c in partition.fields
-            )
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        if n == 0:
+            return
+        out_schema = to_arrow_schema(partition.out_schema)
+        names = set(tbl.schema.names)
+        cols = []
+        for f in out_schema:
+            if f.name == "_snapshot_id":
+                col = pa.repeat(
+                    pa.scalar(partition.snapshot_id, f.type), n
+                )
+            elif f.name in names:
+                col = tbl.column(f.name).combine_chunks()
+                if col.type != f.type:
+                    col = col.cast(f.type)
+            else:
+                col = pa.nulls(n, f.type)
+            cols.append(col)
+        out = pa.Table.from_arrays(cols, schema=out_schema)
+        yield from out.combine_chunks().to_batches()
 
 
 class IcebergAppendsDataSource(DataSource):
@@ -190,5 +208,5 @@ class IcebergAppendsDataSource(DataSource):
         return IcebergAppendsStreamReader(
             self.options["path"],
             self.options.get("starting_snapshot"),
-            [f.name for f in schema.fields],
+            schema,
         )
