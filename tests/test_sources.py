@@ -7121,3 +7121,92 @@ def test_hudi_kryo_delete_block_decode(spark):
         decode_delete_block(
             struct.pack(">ii", 1, len(p)) + bytes(p), "t"
         )
+
+
+def test_iceberg_fast_forward(spark, tmp_path):
+    """r13 (VERDICT r12 task 5): CALL system.fast_forward — publish a
+    branch lineage back to main when main's head is an ancestor of
+    the branch head (pure fast-forward); main then serves the
+    branch's rows; a diverged branch refuses loudly; branch-to-branch
+    fast-forward moves the ref only; the SQL CALL spelling works."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        iceberg_create_ref,
+        iceberg_fast_forward,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_ff")
+    write_iceberg(
+        spark, spark.range(0, 5).selectExpr("id"), t, mode="create"
+    )
+    iceberg_create_ref(t, "staging", ref_type="branch")
+    write_iceberg(
+        spark, spark.range(100, 103).selectExpr("id"), t,
+        branch="staging",
+    )
+    write_iceberg(
+        spark, spark.range(200, 201).selectExpr("id"), t,
+        branch="staging",
+    )
+    # main unchanged so far
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    } == set(range(5))
+    res = iceberg_fast_forward(t, "main", "staging")
+    assert res["current_head"] == _current_metadata(t)[
+        "current-snapshot-id"
+    ]
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == set(range(5)) | {100, 101, 102, 200}
+    # history: the published head is in main's snapshot-log now
+    meta = _current_metadata(t)
+    assert meta["current-snapshot-id"] in {
+        e["snapshot-id"] for e in meta["snapshot-log"]
+    }
+    # no-op fast-forward (same heads) returns without a commit
+    again = iceberg_fast_forward(t, "main", "staging")
+    assert again["previous_head"] == again["current_head"]
+    # a stale branch fast-forwards up to main (ref move only)
+    iceberg_create_ref(
+        t, "old", ref_type="branch",
+        snapshot_id=meta["snapshot-log"][0]["snapshot-id"],
+    )
+    iceberg_fast_forward(t, "old", "main")
+    assert _current_metadata(t)["refs"]["old"]["snapshot-id"] == (
+        meta["current-snapshot-id"]
+    )
+    # diverged: append to main, then append to a branch cut earlier
+    iceberg_create_ref(
+        t, "diverge", ref_type="branch",
+        snapshot_id=meta["snapshot-log"][0]["snapshot-id"],
+    )
+    write_iceberg(
+        spark, spark.range(300, 301).selectExpr("id"), t,
+        branch="diverge",
+    )
+    with pytest.raises(IcebergProtocolError, match="diverged"):
+        iceberg_fast_forward(t, "main", "diverge")
+    # SQL CALL spelling (trino-iceberg procedure)
+    eng = Engine(spark)
+    write_iceberg(
+        spark, spark.range(400, 402).selectExpr("id"), t,
+        branch="staging",
+    )
+    row = eng.sql(
+        f"CALL system.fast_forward('{t}', 'main', 'staging')"
+    ).collect()[0]
+    assert row.current_head == _current_metadata(t)[
+        "current-snapshot-id"
+    ]
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    } == set(range(5)) | {100, 101, 102, 200, 400, 401}
+    # wrong-format table refuses with the right hint
+    with pytest.raises(Exception, match="Iceberg procedure"):
+        eng.sql("CALL system.fast_forward('/tmp/nope', 'main', 'b')")

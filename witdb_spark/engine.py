@@ -137,7 +137,8 @@ class Engine:
             return self.show_stats("__show_stats_q")
         m = re.match(
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
-            r"|expire_snapshots|rollback_to_snapshot|clean|restore)\s*\(",
+            r"|expire_snapshots|rollback_to_snapshot|fast_forward"
+            r"|clean|restore)\s*\(",
             text, re.I,
         )
         if m:  # lakehouse procedures (reference plugin/trino-delta-lake
@@ -871,6 +872,30 @@ class Engine:
             sid = iceberg_rollback_to_snapshot(path, int(args[1]))
             return self.spark.createDataFrame(
                 [(path, sid)], "path string, current_snapshot_id bigint"
+            )
+        if proc == "fast_forward":
+            # trino-iceberg's own fast_forward procedure: publish a
+            # branch lineage (r13)
+            if fmt != "iceberg":
+                raise ValueError(
+                    f"system.fast_forward is an Iceberg procedure;"
+                    f" {path} is a {fmt} table"
+                )
+            from witdb_spark.sources.iceberg_meta import (
+                iceberg_fast_forward,
+            )
+
+            if len(args) < 3:
+                raise ValueError(
+                    "system.fast_forward needs ('<path>', '<branch>',"
+                    " '<to>')"
+                )
+            res = iceberg_fast_forward(path, args[1], args[2])
+            return self.spark.createDataFrame(
+                [(path, res["branch"], res["previous_head"],
+                  res["current_head"])],
+                "path string, branch string, previous_head bigint,"
+                " current_head bigint",
             )
         if proc == "clean":
             # real Hudi's cleaner (KEEP_LATEST_COMMITS analog)

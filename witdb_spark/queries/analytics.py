@@ -3593,6 +3593,64 @@ def hudi_kryo_delete_scan(
 
 
 @register(
+    "iceberg_fast_forward_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 2000 AS BIGINT), 'STAGED'
+    FROM nation WHERE n_regionkey = 1
+    """,
+    doc="Branch publish lifecycle (r13, iceberg_meta.py "
+    "iceberg_fast_forward; trino-iceberg's own fast_forward "
+    "procedure): nation lands as an Iceberg table, a 'staging' "
+    "branch is cut, two appends land ON the branch (main stays "
+    "untouched — asserted), then CALL system.fast_forward publishes "
+    "the branch lineage to main as one metadata commit. Main must "
+    "then serve base + staged rows, hash-equal to the oracle.",
+    tags=("source", "lakehouse", "versioned"),
+)
+def iceberg_fast_forward_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_create_ref,
+        iceberg_fast_forward,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    staged = t.nation.filter("n_regionkey = 1").selectExpr(
+        "CAST(n_nationkey + 2000 AS BIGINT) AS n_nationkey",
+        "'STAGED' AS n_name",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_ff_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(spark, base.coalesce(1), path, mode="create")
+    iceberg_create_ref(path, "staging", ref_type="branch")
+    half = staged.filter("n_nationkey % 2 = 0")
+    other = staged.filter("n_nationkey % 2 = 1")
+    write_iceberg(spark, half.coalesce(1), path, branch="staging")
+    write_iceberg(spark, other.coalesce(1), path, branch="staging")
+    if read_iceberg_snapshot(spark, path).count() != base.count():
+        raise AssertionError("branch appends leaked into main")
+    iceberg_fast_forward(path, "main", "staging")
+    return read_iceberg_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

@@ -2934,6 +2934,81 @@ def iceberg_rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+def iceberg_fast_forward(path: str, branch: str, to: str) -> dict:
+    """CALL system.fast_forward (trino-iceberg's own procedure
+    spelling, procedure/FastForwardProcedure semantics): move
+    ``branch`` forward to the head of ``to`` when the move is a pure
+    FAST-FORWARD — ``branch``'s current head must be an ancestor of
+    ``to``'s head (walked via parent-snapshot-id). This publishes
+    work staged on a branch (iceberg_create_ref + branch appends)
+    back to main as one metadata commit: no snapshot is rewritten or
+    removed, history is preserved, and main's readers immediately
+    serve the branch's lineage. A DIVERGED branch (its head off
+    ``to``'s lineage) refuses loudly — a true merge/cherry-pick
+    rewrites snapshots and needs the iceberg library. 'main' is
+    accepted on either side (the implicit current branch). Returns
+    {'branch', 'previous_head', 'current_head'}."""
+    meta = _current_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    refs = meta.get("refs") or {}
+
+    def head_of(name: str):
+        if name == "main":
+            return meta.get("current-snapshot-id")
+        r = refs.get(name)
+        if r is None or r.get("type") != "branch":
+            raise IcebergProtocolError(
+                f"no branch {name!r} — create it with"
+                " iceberg_create_ref(..., ref_type='branch')"
+            )
+        return r["snapshot-id"]
+
+    from_head = head_of(branch)
+    to_head = head_of(to)
+    if to_head is None or to_head not in snaps:
+        raise IcebergProtocolError(
+            f"branch {to!r} has no resolvable head snapshot"
+        )
+    if from_head == to_head:
+        return {
+            "branch": branch,
+            "previous_head": from_head,
+            "current_head": to_head,
+        }
+    ancestry: set[int] = set()
+    cur = to_head
+    while cur is not None and cur in snaps and cur not in ancestry:
+        ancestry.add(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+    if from_head is not None and from_head not in ancestry:
+        raise IcebergProtocolError(
+            f"branch {branch!r} (head {from_head}) has diverged from"
+            f" {to!r} (head {to_head}) — fast_forward only publishes"
+            " an append lineage; a diverged merge/cherry-pick needs"
+            " the iceberg library"
+        )
+
+    def build(cur_meta: dict) -> dict:
+        new = dict(cur_meta)
+        if branch == "main":
+            new["current-snapshot-id"] = to_head
+        else:
+            refs2 = dict(new.get("refs") or {})
+            refs2[branch] = dict(
+                refs2[branch], **{"snapshot-id": to_head}
+            )
+            new["refs"] = refs2
+        new["last-updated-ms"] = _now_ms_ice()
+        return new
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+    return {
+        "branch": branch,
+        "previous_head": from_head,
+        "current_head": to_head,
+    }
+
+
 def iceberg_optimize(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> dict:
