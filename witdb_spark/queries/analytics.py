@@ -3651,6 +3651,145 @@ def iceberg_fast_forward_scan(
 
 
 @register(
+    "hudi_cdc_block_read",
+    """
+    SELECT 'u' AS op, CAST(n_nationkey AS BIGINT) AS key,
+           'PATCHED' AS name
+    FROM nation WHERE n_nationkey % 6 = 2
+    UNION ALL
+    SELECT 'd', CAST(n_nationkey AS BIGINT), NULL
+    FROM nation WHERE n_nationkey % 6 = 5
+    """,
+    doc="CDC_DATA log blocks (r13, hudi_log.py log_cdc_entries + "
+    "hudi_meta.hudi_cdc_changes; hudi RFC-51 'Change-Data-Capture', "
+    "block type 6): a MOR table's log gains cdc blocks in BOTH "
+    "supplemental logging modes — data_before_after (JSON-string row "
+    "images) for every n%6=2 update and op_key_only for every n%6=5 "
+    "delete — framed exactly as the library writes them. "
+    "hudi_cdc_changes decodes them executor-side, the after-images "
+    "parse via from_json, and snapshot reads skip the blocks "
+    "(asserted inside). Hash-equal to the oracle's change set.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def hudi_cdc_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import shutil
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.avro_codec import _encode, _register
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_CDC_DATA,
+        HEADER_INSTANT_TIME,
+        HEADER_SCHEMA,
+        append_log_block,
+        log_entries,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_cdc_changes,
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path, record_key="n_nationkey"
+    )
+    hudi_log_upsert(
+        spark, path,
+        base.filter("n_nationkey % 6 = 2").selectExpr(
+            "n_nationkey", "'PATCHED' AS n_name"
+        ),
+    )
+    log = glob.glob(os.path.join(path, ".*.log.*"))[0]
+    instant = log_entries(log)[0][1]
+    n_before = read_hudi_snapshot(spark, path).count()
+    full_schema = {
+        "type": "record", "name": "Record",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "ts_ms", "type": ["null", "string"],
+             "default": None},
+            {"name": "before", "type": ["null", "string"],
+             "default": None},
+            {"name": "after", "type": ["null", "string"],
+             "default": None},
+        ],
+    }
+    key_schema = {
+        "type": "record", "name": "Record",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "record_key", "type": ["null", "string"],
+             "default": None},
+        ],
+    }
+
+    def block(schema, recs):
+        names: dict = {}
+        _register(schema, names)
+        content = bytearray(struct.pack(">ii", 1, len(recs)))
+        for rec in recs:
+            datum = bytearray()
+            _encode(schema, rec, names, datum)
+            content += struct.pack(">i", len(datum)) + bytes(datum)
+        append_log_block(
+            log, BLOCK_CDC_DATA,
+            {HEADER_INSTANT_TIME: instant,
+             HEADER_SCHEMA: json.dumps(schema)},
+            bytes(content),
+        )
+
+    updates = base.filter("n_nationkey % 6 = 2").collect()
+    block(full_schema, [
+        {
+            "op": "u", "ts_ms": "1700000000000",
+            "before": json.dumps(
+                {"key": r.n_nationkey, "name": r.n_name}
+            ),
+            "after": json.dumps(
+                {"key": r.n_nationkey, "name": "PATCHED"}
+            ),
+        }
+        for r in updates
+    ])
+    deletes = base.filter("n_nationkey % 6 = 5").collect()
+    block(key_schema, [
+        {"op": "d", "record_key": str(r.n_nationkey)}
+        for r in deletes
+    ])
+    # snapshot reads must skip cdc blocks (supplemental info)
+    if read_hudi_snapshot(spark, path).count() != n_before:
+        raise AssertionError("cdc blocks leaked into the snapshot")
+    ch = hudi_cdc_changes(spark, path)
+    parsed = ch.select(
+        "op",
+        F.coalesce(
+            F.from_json(
+                "after", "key bigint, name string"
+            )["key"],
+            F.col("record_key").cast("bigint"),
+        ).alias("key"),
+        F.from_json("after", "key bigint, name string")["name"].alias(
+            "name"
+        ),
+    )
+    return parsed
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

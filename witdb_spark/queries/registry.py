@@ -52,63 +52,64 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r11: 298/303 driver-green at least
-# once, ZERO latest-row failures; staleness by latest driver row:
-# r6: 49, r7: 49, r8: 50, r9: 50, r10: 50, r11: 50; never-checked: the
-# 5 late-r11 registrations.
-# Round-12 window (VERDICT r11 task 1): positions 1-5 the five
-# never-driver-checked late-r11 queries (delta_table_changes_cdf's
-# ENGINE also changed this round: CDF now gates on
-# enableChangeDataFeed and the DML writes real cdc files — the oracle
-# is unchanged; iceberg_incremental_scan gained the branch-ancestry
-# filter); 6-8 the r12-new queries (partition-spec evolution reads,
-# virtual-key MOR writes, library avro-list DELETE blocks); 9-10 two
-# engine-changed-in-r12 queries holding recent rows
-# (sql_lakehouse_select — pushdown now refuses multi-occurrence refs;
-# iceberg_pruned_scan — pruning resolves per-manifest spec-ids); 11-50
-# forty of the 49 r6-era greens. The 9 deferred r6-era queries
-# (tpch_sql_q3/q7/q8/q9/q20/q21/q22, tpcds_sql_q70/q88 — all SQL
-# front-door texts whose engine family is represented in-window by
-# tpch_sql_q11/q13/q15/q17/q18/q2 and tpcds_sql_q36/q47) lead r13
-# alongside any r13-new; every deferred query keeps local DuckDB
-# coverage each pytest run (tests/test_queries_oracle.py parameterizes
-# the whole registry). FOUR queries were registered after this window
-# froze (sql_lakehouse_ctas_insert, iceberg_mor_evolved_dml,
-# hudi_mor_logical_types, delta_cdf_stream_drain) — the late-r12 set
-# is contract-emulation green at sf0.01 AND sf0.1 plus TZ-probed;
-# they lead r13 with the deferred nine, the same staging every prior
-# round's late pair used.
+# queries. Cumulative ledger after r12: 306 ever driver-checked, ZERO
+# latest-row failures; staleness by latest driver row: r6: 9, r7: 49,
+# r8: 50, r9: 50, r10: 49, r11: 49, r12: 50; never-checked: the 4
+# late-r12 registrations.
+# Round-13 window (VERDICT r12 task 1): positions 1-4 the four
+# never-driver-checked late-r12 registrations; 5-13 the nine deferred
+# r6-era SQL texts (tpch_sql_q3/q7/q8/q9/q20/q21/q22,
+# tpcds_sql_q70/q88); 14-16 the r13-new queries (kryo DELETE log
+# blocks, iceberg branch fast-forward, hudi CDC_DATA block read);
+# 17-19 engine-changed-in-r13
+# re-drives — delta_table_changes_cdf (remove actions now stamp
+# partitionValues, synthesis gained the pv fallback and the id-mode
+# physical-name read path) and agg_qdigest/tdigest_sql_names (builds
+# now pre-aggregate to (value, count) pairs; both also r7-stale);
+# 20-50 the r7-era backfill: all 11 remaining non-SQL-text r7 queries,
+# all 9 r7 tpch_sql texts, and 11 of the 27 r7 tpcds_sql texts chosen
+# for shape diversity. The 16 deferred tpcds texts
+# (q11/q14/q46/q56/q59/q60/q65/q67/q68/q74/q75/q77/q87/q89/q93/q95) have
+# their families represented in-window (q4 & q74 are the
+# year-over-year CTE pair, q23 & q14 the big multi-CTE pair, q5/q33
+# cover the channel-union rollups of q56/q60/q77, q51 the rolling-
+# window family of q59, q34 the household
+# family of q46/q68, q38 the INTERSECT family of q87) and lead r14;
+# every deferred query keeps local DuckDB coverage each pytest run
+# (tests/test_queries_oracle.py parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (late-r11 registrations)
-    "iceberg_mor_partitioned_dml",
-    "hudi_mor_log_delete_dml",
+    # never driver-checked (late-r12 registrations)
+    "sql_lakehouse_ctas_insert",
+    "iceberg_mor_evolved_dml",
+    "hudi_mor_logical_types",
+    "delta_cdf_stream_drain",
+    # r6-era (the nine deferred from the r12 window)
+    "tpch_sql_q3", "tpch_sql_q7", "tpch_sql_q8", "tpch_sql_q9",
+    "tpch_sql_q20", "tpch_sql_q21", "tpch_sql_q22",
+    "tpcds_sql_q70", "tpcds_sql_q88",
+    # r13-new
+    "hudi_kryo_delete_scan",
+    "iceberg_fast_forward_scan",
+    "hudi_cdc_block_read",
+    # engine changed in r13 (re-drive)
     "delta_table_changes_cdf",
-    "iceberg_incremental_scan",
-    "hudi_incremental_read",
-    # r12-new
-    "iceberg_spec_evolution_scan",
-    "hudi_virtual_key_upsert",
-    "hudi_library_delete_block_scan",
-    # engine changed in r12 (fresh rows exist, but the code under the
-    # query moved: re-drive)
-    "sql_lakehouse_select",
-    "iceberg_pruned_scan",
-    # 40 of the 49 r6-era greens (last driver row: CORRECTNESS_r06)
-    "bing_tile_funcs_parity", "codec_funcs_parity", "curation_chunks",
-    "curation_decontaminated", "curation_pii_scrub",
-    "curation_semantic_decontaminated", "curation_stratified_sample",
-    "dedup_clusters", "geometry_accessors_parity",
-    "geometry_union_agg_rollup", "groupby_grouping_operation",
-    "mr_all_rows_running", "mr_label_nav_all_rows",
-    "mr_nav_in_aggregate", "mr_nav_measures", "mr_pattern_window",
-    "mr_plateau_ends", "mr_price_slide", "mr_rally",
-    "multimodal_features", "multimodal_resize", "recursive_factorial",
-    "recursive_reachability", "spatial_join_distance",
-    "text_fingerprint", "text_langid", "text_repetition",
-    "text_tfidf_top_terms", "time_funcs_parity", "timetz_funcs_parity",
-    "tpcds_multicount_scan", "tpcds_rollup_rank", "tpcds_sql_q36",
-    "tpcds_sql_q47", "tpch_sql_q11", "tpch_sql_q13", "tpch_sql_q15",
-    "tpch_sql_q17", "tpch_sql_q18", "tpch_sql_q2",
+    "agg_qdigest_sql_names",
+    "agg_tdigest_sql_names",
+    # r7-era backfill: the 11 non-SQL-text queries
+    "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
+    "agg_conditional_bool", "agg_geo_mean_percentiles",
+    "agg_histogram_map", "agg_histogram_sql_names",
+    "ctas_writer_roundtrip", "delete_update_snapshot",
+    "merge_upsert_result", "mr_label_nav_in_aggregate",
+    # r7-era backfill: all 9 tpch SQL texts
+    "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
+    "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
+    "tpch_sql_q19",
+    # r7-era backfill: 11 of 27 tpcds SQL texts (shape-diverse)
+    "tpcds_sql_q4", "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31",
+    "tpcds_sql_q33", "tpcds_sql_q34", "tpcds_sql_q38",
+    "tpcds_sql_q39", "tpcds_sql_q44", "tpcds_sql_q49",
+    "tpcds_sql_q51",
 )
 
 

@@ -49,6 +49,7 @@ BLOCK_CORRUPT = 2
 BLOCK_AVRO_DATA = 3
 BLOCK_HFILE_DATA = 4
 BLOCK_PARQUET_DATA = 5
+BLOCK_CDC_DATA = 6
 
 HEADER_INSTANT_TIME = 0
 HEADER_TARGET_INSTANT_TIME = 1
@@ -666,11 +667,15 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
                 for kb in kept
                 if kb["headers"].get(HEADER_INSTANT_TIME) != target
             ]
-        elif t == BLOCK_CORRUPT:
+        elif t in (BLOCK_CORRUPT, BLOCK_CDC_DATA):
+            # CDC_DATA blocks (RFC-51) carry SUPPLEMENTAL change info
+            # (op/before/after images) alongside the data blocks of
+            # the same commit — hudi's own snapshot reader skips them
+            # too; serve them via log_cdc_entries (r13)
             continue
         else:
             raise HudiLogError(
-                f"{path}: log block type {t} (hfile/cdc)"
+                f"{path}: log block type {t} (hfile)"
                 " needs the hudi-spark bundle"
             )
     out: list = []
@@ -768,4 +773,42 @@ def log_records(path: str, with_instants: bool = False) -> list:
                 " log_entries"
             )
         out.append((rec, instant) if with_instants else rec)
+    return out
+
+
+def log_cdc_entries(path: str) -> list[tuple[dict, str | None]]:
+    """CDC_DATA block records of one log file (r13 — hudi RFC-51
+    'Change Data Capture', hoodie.table.cdc.enabled): each block is
+    avro-framed like AVRO_DATA with its schema in the SCHEMA header;
+    under the default supplemental logging mode (data_before_after)
+    records carry {op: 'i'|'u'|'d', ts_ms, before, after} with the
+    before/after images as JSON STRINGS (hudi serializes the record
+    images to json in the cdc file). op_key_only / data_before modes
+    decode with their own header schemas the same way. COMMAND
+    rollbacks apply as for data blocks. Returns
+    [(record, block INSTANT_TIME)]."""
+    kept: list[dict] = []
+    for b in read_log_blocks(path):
+        t = b["type"]
+        if t == BLOCK_CDC_DATA:
+            kept.append(b)
+        elif t == BLOCK_COMMAND:
+            target = b["headers"].get(HEADER_TARGET_INSTANT_TIME)
+            kept = [
+                kb
+                for kb in kept
+                if kb["headers"].get(HEADER_INSTANT_TIME) != target
+            ]
+    out: list = []
+    for b in kept:
+        schema_json = b["headers"].get(HEADER_SCHEMA)
+        if not schema_json:
+            raise HudiLogError(
+                f"{path}: CDC_DATA block without SCHEMA header"
+            )
+        instant = b["headers"].get(HEADER_INSTANT_TIME)
+        out.extend(
+            (r, instant)
+            for r in decode_avro_block(b["content"], schema_json)
+        )
     return out
