@@ -74,7 +74,9 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # year-over-year CTE pair, q23 & q14 the big multi-CTE pair, q5/q33
 # cover the channel-union rollups of q56/q60/q77, q51 the rolling-
 # window family of q59, q34 the household
-# family of q46/q68, q38 the INTERSECT family of q87) and lead r14;
+# family of q46/q68, q38 the INTERSECT family of q87, in-window
+# q70/q88 and the r6-green tpcds_rollup_rank the ranking shapes of
+# q44/q49) and lead r14;
 # every deferred query keeps local DuckDB coverage each pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry).
 _PRIORITY: tuple[str, ...] = (
@@ -93,23 +95,23 @@ _PRIORITY: tuple[str, ...] = (
     "hudi_cdc_block_read",
     # engine changed in r13 (re-drive)
     "delta_table_changes_cdf",
-    "agg_qdigest_sql_names",
-    "agg_tdigest_sql_names",
-    # r7-era backfill: the 11 non-SQL-text queries
+    "agg_qdigest_rollup",
+    "agg_tdigest_rollup",
+    # r7-era backfill: the 13 non-SQL-text queries
     "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
     "agg_conditional_bool", "agg_geo_mean_percentiles",
     "agg_histogram_map", "agg_histogram_sql_names",
+    "agg_qdigest_sql_names", "agg_tdigest_sql_names",
     "ctas_writer_roundtrip", "delete_update_snapshot",
     "merge_upsert_result", "mr_label_nav_in_aggregate",
     # r7-era backfill: all 9 tpch SQL texts
     "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
     "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
     "tpch_sql_q19",
-    # r7-era backfill: 11 of 27 tpcds SQL texts (shape-diverse)
+    # r7-era backfill: 9 of 27 tpcds SQL texts (shape-diverse)
     "tpcds_sql_q4", "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31",
     "tpcds_sql_q33", "tpcds_sql_q34", "tpcds_sql_q38",
-    "tpcds_sql_q39", "tpcds_sql_q44", "tpcds_sql_q49",
-    "tpcds_sql_q51",
+    "tpcds_sql_q39", "tpcds_sql_q51",
 )
 
 
