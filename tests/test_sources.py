@@ -7332,3 +7332,57 @@ def test_hudi_cdc_data_blocks(spark, tmp_path):
         ("i", None, None, json.dumps({"id": 9, "v": 9.0}), instant),
         ("d", "5", None, None, instant),
     ])
+
+
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    """r13: remove_orphan_files (reference trino-iceberg
+    RemoveOrphanFilesTableProcedure) — unreferenced files under the
+    table location older than the retention delete; referenced data/
+    manifest/metadata files and YOUNG orphans survive; snapshots all
+    stay readable; SQL CALL spelling works."""
+    import os as _os
+    import time
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_remove_orphan_files,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_orphans")
+    write_iceberg(
+        spark, spark.range(0, 10).selectExpr("id"), t, mode="create"
+    )
+    write_iceberg(
+        spark, spark.range(10, 15).selectExpr("id"), t, mode="append"
+    )
+    # plant orphans: a data-dir leftover and a metadata-dir leftover,
+    # both backdated past the retention, plus one YOUNG orphan
+    old = time.time() - 10 * 86400
+    orphan1 = _os.path.join(t, "data", "orphan-task-retry.parquet")
+    _os.makedirs(_os.path.dirname(orphan1), exist_ok=True)
+    open(orphan1, "wb").write(b"junk")
+    _os.utime(orphan1, (old, old))
+    orphan2 = _os.path.join(t, "metadata", "orphan-manifest.avro")
+    open(orphan2, "wb").write(b"junk")
+    _os.utime(orphan2, (old, old))
+    young = _os.path.join(t, "data", "young-inflight.parquet")
+    open(young, "wb").write(b"junk")
+
+    res = iceberg_remove_orphan_files(t)
+    assert res["deleted_files"] == 2
+    assert not _os.path.exists(orphan1)
+    assert not _os.path.exists(orphan2)
+    assert _os.path.exists(young)  # retention guard
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    } == set(range(15))
+    # SQL spelling with explicit 0s retention removes the young one
+    row = Engine(spark).sql(
+        f"CALL system.remove_orphan_files('{t}', '0s')"
+    ).collect()[0]
+    assert row.deleted_files == 1 and not _os.path.exists(young)
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, t).collect()
+    } == set(range(15))

@@ -138,7 +138,7 @@ class Engine:
         m = re.match(
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
             r"|expire_snapshots|rollback_to_snapshot|fast_forward"
-            r"|clean|restore)\s*\(",
+            r"|remove_orphan_files|clean|restore)\s*\(",
             text, re.I,
         )
         if m:  # lakehouse procedures (reference plugin/trino-delta-lake
@@ -703,8 +703,10 @@ class Engine:
         system.checkpoint('<path>') — the reference delta connector's
         procedure surface (VacuumProcedure.java takes schema, table,
         retention; path-based tables here take the table path) — plus
-        system.expire_snapshots('<path>'[, keep_last]) and
-        system.rollback_to_snapshot('<path>', id) (reference iceberg
+        system.expire_snapshots('<path>'[, keep_last]),
+        system.rollback_to_snapshot('<path>', id),
+        system.remove_orphan_files('<path>'[, retention]) and
+        system.fast_forward('<path>', branch, to) (reference iceberg
         connector procedures) and system.clean('<path>'[, keep_last])
         (Hudi's cleaner). Returns a one-row summary DataFrame."""
         from witdb_spark.plans.dialect import (
@@ -872,6 +874,38 @@ class Engine:
             sid = iceberg_rollback_to_snapshot(path, int(args[1]))
             return self.spark.createDataFrame(
                 [(path, sid)], "path string, current_snapshot_id bigint"
+            )
+        if proc == "remove_orphan_files":
+            # reference RemoveOrphanFilesTableProcedure.java (r13)
+            if fmt != "iceberg":
+                raise ValueError(
+                    f"system.remove_orphan_files is an Iceberg"
+                    f" procedure; {path} is a {fmt} table"
+                    + (" — use system.vacuum" if fmt == "delta" else "")
+                )
+            from witdb_spark.sources.iceberg_meta import (
+                iceberg_remove_orphan_files,
+            )
+
+            retain_ms = 7 * 24 * 3600 * 1000
+            if len(args) > 1:
+                rm = re.fullmatch(r"(\d+)\s*([dhms])", args[1].strip())
+                if rm is None:
+                    raise ValueError(
+                        "retention must look like '7d', '12h', '30m',"
+                        " '0s'"
+                    )
+                retain_ms = int(rm.group(1)) * {
+                    "d": 86_400_000, "h": 3_600_000,
+                    "m": 60_000, "s": 1_000,
+                }[rm.group(2)]
+            res = iceberg_remove_orphan_files(
+                path, retention_ms=retain_ms
+            )
+            return self.spark.createDataFrame(
+                [(path, res["scanned_files"], res["deleted_files"])],
+                "path string, scanned_files bigint,"
+                " deleted_files bigint",
             )
         if proc == "fast_forward":
             # trino-iceberg's own fast_forward procedure: publish a

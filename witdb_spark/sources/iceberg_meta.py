@@ -2913,6 +2913,64 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
 
+def iceberg_remove_orphan_files(
+    path: str, retention_ms: int = 7 * 24 * 3600 * 1000
+) -> dict:
+    """remove_orphan_files (reference iceberg connector
+    procedure/RemoveOrphanFilesTableProcedure.java): delete files
+    under the table location that NO snapshot in the current metadata
+    references — leftovers of failed/raced commits and task retries —
+    and that are older than ``retention_ms`` (the reference's
+    retention_threshold, default 7d; the age guard keeps in-flight
+    writers' freshly staged files safe). Referenced = every
+    snapshot's manifest list, every manifest they list, every
+    data/delete file those carry, all v*.metadata.json history,
+    version-hint.text and statistics files. Metadata commits are NOT
+    made — orphans are by definition outside the metadata graph."""
+    import time as _time
+
+    meta = _current_metadata(path)
+    root = os.path.abspath(path)
+    referenced: set[str] = set()
+    mdir = os.path.join(root, "metadata")
+    for f in os.listdir(mdir):
+        if re.match(r"v\d+\.metadata\.json$", f) or f == "version-hint.text":
+            referenced.add(os.path.abspath(os.path.join(mdir, f)))
+    for st in meta.get("statistics") or []:
+        referenced.add(
+            os.path.abspath(_resolve(path, st["statistics-path"]))
+        )
+    manifest_cache: dict[str, list] = {}
+    for s in meta.get("snapshots") or []:
+        ml = os.path.abspath(_resolve(path, s["manifest-list"]))
+        referenced.add(ml)
+        _, manifests = read_avro_file(ml)
+        for mf in manifests:
+            mp = os.path.abspath(_resolve(path, mf["manifest_path"]))
+            referenced.add(mp)
+            if mp not in manifest_cache:
+                _, manifest_cache[mp] = read_avro_file(mp)
+            for e in manifest_cache[mp]:
+                referenced.add(
+                    os.path.abspath(
+                        _resolve(path, e["data_file"]["file_path"])
+                    )
+                )
+    cutoff = _time.time() - retention_ms / 1000.0
+    scanned = deleted = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            fp = os.path.abspath(os.path.join(dirpath, f))
+            scanned += 1
+            if fp in referenced:
+                continue
+            if os.path.getmtime(fp) >= cutoff:
+                continue  # young file: a concurrent writer may own it
+            os.remove(fp)
+            deleted += 1
+    return {"scanned_files": scanned, "deleted_files": deleted}
+
+
 def iceberg_rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     """CALL system.rollback_to_snapshot (the reference iceberg
     connector's procedure, RollbackToSnapshotProcedure.java): point the
