@@ -1637,3 +1637,70 @@ def test_sql_alter_set_properties(spark, tmp_path):
     assert eng.sql(
         f"SELECT count(*) AS n FROM iceberg.'{ti}'"
     ).collect()[0].n == 5
+
+
+def test_analyze_extended_stats_lifecycle(spark, tmp_path):
+    """r13: ANALYZE delta.'<path>' (reference AnalyzeTask +
+    trino-delta-lake extended statistics) persists per-column
+    NDV/data_size to _trino_meta/extended_stats.json; SHOW STATS FOR
+    the path table serves the persisted values over the live ones
+    (proven with a sentinel edit); CALL system.drop_extended_stats
+    removes the sidecar and SHOW STATS reverts to live; iceberg
+    ANALYZE refuses with the Puffin rationale."""
+    import json
+    import os
+
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    t = str(tmp_path / "stats_delta")
+    write_delta(
+        spark,
+        spark.range(0, 100).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS s"
+        ).coalesce(1),
+        t, mode="create",
+    )
+    row = eng.sql(f"ANALYZE delta.'{t}'").collect()[0]
+    assert row.analyzed_columns == 2 and row.row_count == 100.0
+    f = os.path.join(t, "_trino_meta", "extended_stats.json")
+    assert os.path.exists(f)
+    stats = json.load(open(f))
+    assert stats["columnStatistics"]["id"]["ndv"] == pytest.approx(
+        100, rel=0.05
+    )
+    # sentinel: persisted values take precedence over live computation
+    stats["columnStatistics"]["id"]["ndv"] = 12345.0
+    json.dump(stats, open(f, "w"))
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR delta.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == 12345.0
+    # drop and revert to live
+    row = eng.sql(
+        f"CALL system.drop_extended_stats('{t}')"
+    ).collect()[0]
+    assert row.dropped and not os.path.exists(f)
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR delta.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == pytest.approx(100, rel=0.05)
+    # second drop reports dropped=false
+    assert not eng.sql(
+        f"CALL system.drop_extended_stats('{t}')"
+    ).collect()[0].dropped
+    # iceberg ANALYZE refuses loudly with the Puffin rationale
+    ti = str(tmp_path / "stats_ice")
+    write_iceberg(
+        spark, spark.range(5).selectExpr("id"), ti, mode="create"
+    )
+    with pytest.raises(Exception, match="Puffin"):
+        eng.sql(f"ANALYZE iceberg.'{ti}'")

@@ -597,3 +597,52 @@ def test_delta_cdf_stream_mode_id_nested(spark, tmp_path):
             key=key,
         )
         assert got == want and len(got) == 6 + 1
+
+
+def test_delta_cdf_stream_state_cache_rewind(spark, tmp_path):
+    """r13: a checkpoint RESTART can replay an earlier offset range
+    than the reader's cached state (cache version > lo) — the cache
+    must not poison the replay: partitions() recomputes from version
+    0 and the served rows equal the batch reader for the re-driven
+    range."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_table_changes,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+
+    t = str(tmp_path / "cdf_rewind")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id bigint, v double"
+        ).coalesce(1),
+        t, mode="create",
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    for i in (1, 4, 6):
+        delta_delete_where(spark, t, f"id = {i}")  # versions 1..3
+    ds = DeltaCDFDataSource(options={"path": t})
+    reader = ds.streamReader(_parse_datatype_string(ds.schema()))
+    # advance the cache to version 3
+    reader.partitions({"version": -1}, {"version": 3})
+    assert reader._state_cache[0] == 3
+    # rewind: re-drive versions 1..2 (checkpoint replay after restart)
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows.extend(b.to_pylist())
+    got = sorted((r["id"], r["_change_type"], r["_commit_version"])
+                 for r in rows)
+    want = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in delta_table_changes(spark, t, 1, 2).collect()
+    )
+    assert got == want == [(1, "delete", 1), (4, "delete", 2)]

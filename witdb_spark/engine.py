@@ -123,9 +123,43 @@ class Engine:
         m = _SHOW_COLUMNS.match(text)
         if m:
             return self.show_columns(m.group("name"))
+        m = re.match(
+            r"^\s*SHOW\s+STATS\s+FOR\s+"
+            r"(?P<fmt>delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+            r"\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # lakehouse path tables: persisted extended stats (a
+            # prior ANALYZE) override the live NDV/data_size, the
+            # reference trino-delta-lake behavior
+            from witdb_spark.sources.lakehouse import read_table
+
+            fmt, path = m.group("fmt").lower(), m.group("path")
+            read_table(self.spark, fmt, path).createOrReplaceTempView(
+                "__show_stats_t"
+            )
+            return self.show_stats(
+                "__show_stats_t",
+                extended=(
+                    self._load_extended_stats(path)
+                    if fmt == "delta"
+                    else None
+                ),
+            )
         m = _SHOW_STATS.match(text)
         if m:
             return self.show_stats(m.group("name"))
+        m = re.match(
+            r"^\s*ANALYZE\s+"
+            r"(?P<fmt>delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+            r"\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference AnalyzeTask -> trino-delta-lake extended
+            # statistics (persisted NDV/data_size sidecar)
+            return self._analyze_table(
+                m.group("fmt").lower(), m.group("path")
+            )
         m = re.match(r"^\s*SHOW\s+STATS\s+FOR\s*\(", text, re.I)
         if m:  # SHOW STATS FOR (query) — reference ShowStatsRewrite
             from witdb_spark.plans.dialect import _match_paren
@@ -138,7 +172,8 @@ class Engine:
         m = re.match(
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
             r"|expire_snapshots|rollback_to_snapshot|fast_forward"
-            r"|remove_orphan_files|clean|restore)\s*\(",
+            r"|remove_orphan_files|drop_extended_stats|clean|restore)"
+            r"\s*\(",
             text, re.I,
         )
         if m:  # lakehouse procedures (reference plugin/trino-delta-lake
@@ -874,6 +909,20 @@ class Engine:
             sid = iceberg_rollback_to_snapshot(path, int(args[1]))
             return self.spark.createDataFrame(
                 [(path, sid)], "path string, current_snapshot_id bigint"
+            )
+        if proc == "drop_extended_stats":
+            # reference trino-delta-lake DropExtendedStatsProcedure
+            if fmt != "delta":
+                raise ValueError(
+                    f"system.drop_extended_stats is a Delta procedure;"
+                    f" {path} is a {fmt} table"
+                )
+            f = self._extended_stats_file(path)
+            existed = os.path.exists(f)
+            if existed:
+                os.remove(f)
+            return self.spark.createDataFrame(
+                [(path, existed)], "path string, dropped boolean"
             )
         if proc == "remove_orphan_files":
             # reference RemoveOrphanFilesTableProcedure.java (r13)
@@ -1813,14 +1862,106 @@ class Engine:
             self._mv_storage = tempfile.mkdtemp(prefix="witdb_mv_")
         return self._mv_storage
 
-    def show_stats(self, table: str) -> DataFrame:
+    @staticmethod
+    def _extended_stats_file(path: str) -> str:
+        # trino-delta-lake's sidecar location (ExtendedStatistics /
+        # MetaDirStatisticsAccess: <table>/_trino_meta/
+        # extended_stats.json). The reference serializes NDV as an
+        # airlift HLL blob; jar-free we persist the resolved number
+        # (documented divergence — same location, same role).
+        return os.path.join(path, "_trino_meta", "extended_stats.json")
+
+    def _load_extended_stats(self, path: str) -> dict | None:
+        import json as _json
+
+        f = self._extended_stats_file(path)
+        if not os.path.exists(f):
+            return None
+        with open(f) as fh:
+            return _json.load(fh).get("columnStatistics") or None
+
+    def _analyze_table(self, fmt: str, path: str) -> DataFrame:
+        """ANALYZE delta.'<path>' (reference AnalyzeTask +
+        trino-delta-lake's extended statistics): one aggregation pass
+        collects per-column NDV and data size, persisted to
+        _trino_meta/extended_stats.json; SHOW STATS serves them until
+        CALL system.drop_extended_stats removes the sidecar. Iceberg
+        ANALYZE persists Puffin sketch files in the reference — out of
+        jar-free scope, loud; hudi has no ANALYZE."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if fmt != "delta":
+            raise ValueError(
+                f"ANALYZE on {fmt} is not supported jar-free"
+                + (
+                    " — the reference persists iceberg statistics as"
+                    " Puffin sketch files (library serialization);"
+                    " SHOW STATS computes live statistics instead"
+                    if fmt == "iceberg"
+                    else " (the reference has no hudi ANALYZE);"
+                    " SHOW STATS computes live statistics instead"
+                )
+            )
+        from witdb_spark.sources.lakehouse import read_table
+
+        df = read_table(self.spark, fmt, path)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for f in df.schema.fields:
+            c = f.name
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+            if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+                aggs.append(
+                    F.sum(F.octet_length(F.col(c)))
+                    .cast("double")
+                    .alias(f"{c}__sz")
+                )
+        r = df.agg(*aggs).collect()[0].asDict()
+        col_stats = {
+            f.name: {
+                "ndv": float(r[f"{f.name}__ndv"]),
+                **(
+                    {"totalSizeInBytes": r[f"{f.name}__sz"]}
+                    if f"{f.name}__sz" in r
+                    and r[f"{f.name}__sz"] is not None
+                    else {}
+                ),
+            }
+            for f in df.schema.fields
+        }
+        import time as _time
+
+        out = {
+            "modelVersion": 7,
+            "alreadyAnalyzedModifiedTime": int(_time.time() * 1000),
+            "analyzedColumns": [f.name for f in df.schema.fields],
+            "columnStatistics": col_stats,
+        }
+        target = self._extended_stats_file(path)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(out, fh)
+        os.replace(tmp, target)
+        return self.spark.createDataFrame(
+            [(path, len(col_stats), float(r["__n"]))],
+            "path string, analyzed_columns bigint, row_count double",
+        )
+
+    def show_stats(
+        self, table: str, extended: dict | None = None
+    ) -> DataFrame:
         """SHOW STATS FOR t — Trino's layout (reference
         sql/rewrite/ShowStatsRewrite.java): one row per column with
         data_size, distinct_values_count (approx), nulls_fraction,
         low_value, high_value, plus the trailing row_count summary row.
         Computed in ONE aggregation pass over the table (every stat is an
-        ordinary partial/final agg), not via stored catalog stats — the
-        analyzer-on-read equivalent of the reference's connector stats."""
+        ordinary partial/final agg) — unless ``extended`` carries a
+        prior ANALYZE's persisted column statistics, which override
+        NDV/data_size exactly like the reference serves its extended
+        statistics sidecar."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -1843,11 +1984,12 @@ class Engine:
         rows = []
         for f in df.schema.fields:
             c = f.name
+            ext = (extended or {}).get(c) or {}
             rows.append(
                 (
                     c,
-                    r.get(f"{c}__sz"),
-                    float(r[f"{c}__ndv"]),
+                    ext.get("totalSizeInBytes", r.get(f"{c}__sz")),
+                    float(ext.get("ndv", r[f"{c}__ndv"])),
                     (1.0 - r[f"{c}__nn"] / n) if n else 0.0,
                     r.get(f"{c}__lo"),
                     r.get(f"{c}__hi"),
