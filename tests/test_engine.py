@@ -1704,3 +1704,70 @@ def test_analyze_extended_stats_lifecycle(spark, tmp_path):
     )
     with pytest.raises(Exception, match="Puffin"):
         eng.sql(f"ANALYZE iceberg.'{ti}'")
+
+
+def test_register_unregister_table(spark, tmp_path):
+    """r13: CALL system.register_table / unregister_table (reference
+    RegisterTableProcedure in both the delta and iceberg connectors):
+    an existing table directory registers under a session name,
+    fmt.<name> references re-resolve the directory's CURRENT state
+    per statement (never a stale snapshot — proven by an append after
+    registration), DML works through the name, wrong-format
+    references refuse, and unregistering removes the name."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    td = str(tmp_path / "reg_delta")
+    write_delta(
+        spark, spark.range(0, 5).selectExpr("id"), td, mode="create"
+    )
+    row = eng.sql(
+        f"CALL system.register_table('events_d', '{td}')"
+    ).collect()[0]
+    assert (row.name, row.format) == ("events_d", "delta")
+    assert eng.sql("SELECT count(*) AS n FROM delta.events_d").collect()[
+        0
+    ].n == 5
+    # liveness: a write AFTER registration is visible through the name
+    write_delta(
+        spark, spark.range(5, 8).selectExpr("id"), td, mode="append"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM delta.events_d").collect()[
+        0
+    ].n == 8
+    # DML through the registered name
+    eng.sql("DELETE FROM delta.events_d WHERE id >= 6")
+    assert eng.sql("SELECT count(*) AS n FROM delta.events_d").collect()[
+        0
+    ].n == 6
+    # iceberg registration sniffs its format; wrong-format refs refuse
+    ti = str(tmp_path / "reg_ice")
+    write_iceberg(
+        spark, spark.range(3).selectExpr("id"), ti, mode="create"
+    )
+    eng.sql(f"CALL system.register_table('events_i', '{ti}')")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM iceberg.events_i"
+    ).collect()[0].n == 3
+    with pytest.raises(Exception, match="registered as iceberg"):
+        eng.sql("SELECT * FROM delta.events_i")
+    # a string literal containing the pattern is untouched
+    lit = eng.sql(
+        "SELECT 'delta.events_d' AS s FROM delta.events_d LIMIT 1"
+    ).collect()[0].s
+    assert lit == "delta.events_d"
+    # unregister drops the name; re-reference refuses downstream
+    eng.sql("CALL system.unregister_table('events_d')")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM delta.events_d").collect()
+    with pytest.raises(Exception, match="no registered table"):
+        eng.sql("CALL system.unregister_table('events_d')")
+    # a non-table directory refuses registration
+    with pytest.raises(Exception, match="not a delta"):
+        eng.sql(
+            f"CALL system.register_table('nope', '{tmp_path}')"
+        )

@@ -99,6 +99,9 @@ class Engine:
         self._views: dict[str, str] = {}
         self._versioned: dict[str, "object"] = {}  # name -> VersionedTable
         self._lake_ref_views: list[str] = []  # fmt.'/path' temp views
+        # CALL system.register_table: session name -> (fmt, path);
+        # references spell fmt.<name> and re-resolve per statement
+        self._registered_tables: dict[str, tuple[str, str]] = {}
         if sf_dir is not None:
             Tables(spark, sf_dir).register_views()
         register_all(spark)
@@ -111,6 +114,7 @@ class Engine:
         binding (the reference's PREPARE/EXECUTE analog, PrepareTask.java).
         View DDL (CREATE/DROP VIEW, SHOW COLUMNS) is dispatched here, as the
         reference dispatches DataDefinitionTasks before planning."""
+        text = self._resolve_registered_tables(text)
         m = _CREATE_VIEW.match(text)
         if m:
             return self.create_view(
@@ -172,7 +176,8 @@ class Engine:
         m = re.match(
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
             r"|expire_snapshots|rollback_to_snapshot|fast_forward"
-            r"|remove_orphan_files|drop_extended_stats|clean|restore)"
+            r"|remove_orphan_files|drop_extended_stats"
+            r"|register_table|unregister_table|clean|restore)"
             r"\s*\(",
             text, re.I,
         )
@@ -767,6 +772,49 @@ class Engine:
             args.append(a)
         if not args or not args[0]:
             raise ValueError(f"system.{proc} needs a table path")
+        if proc == "register_table":
+            # reference RegisterTableProcedure (delta + iceberg ship
+            # one): register an EXISTING table directory under a
+            # session name; fmt.<name> references re-resolve the
+            # directory's CURRENT state per statement (r13)
+            if len(args) < 2:
+                raise ValueError(
+                    "system.register_table needs ('<name>', '<path>')"
+                )
+            name, tpath = args[0], args[1]
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(
+                    f"register_table name {name!r} must be an"
+                    " identifier"
+                )
+            tfmt = (
+                "iceberg"
+                if os.path.isdir(os.path.join(tpath, "metadata"))
+                else "hudi"
+                if os.path.isdir(os.path.join(tpath, ".hoodie"))
+                else "delta"
+                if os.path.isdir(os.path.join(tpath, "_delta_log"))
+                else None
+            )
+            if tfmt is None:
+                raise ValueError(
+                    f"{tpath}: not a delta/iceberg/hudi table"
+                    " directory"
+                )
+            self._registered_tables[name.lower()] = (tfmt, tpath)
+            return self.spark.createDataFrame(
+                [(name.lower(), tfmt, tpath)],
+                "name string, format string, path string",
+            )
+        if proc == "unregister_table":
+            name = args[0].lower()
+            if name not in self._registered_tables:
+                raise ValueError(f"no registered table {args[0]!r}")
+            tfmt, tpath = self._registered_tables.pop(name)
+            return self.spark.createDataFrame(
+                [(name, tfmt, tpath)],
+                "name string, format string, path string",
+            )
         path = args[0]
         # format sniff once, for every procedure: a delta-only procedure
         # on an iceberg/hudi path must say which spelling to use, not
@@ -1861,6 +1909,44 @@ class Engine:
 
             self._mv_storage = tempfile.mkdtemp(prefix="witdb_mv_")
         return self._mv_storage
+
+    def _resolve_registered_tables(self, text: str) -> str:
+        """``fmt.<name>`` references for tables registered via CALL
+        system.register_table (reference RegisterTableProcedure —
+        registers an EXISTING table directory under a catalog name;
+        here the catalog is the engine session) rewrite to the
+        ``fmt.'<path>'`` spelling per statement, so every read/DML
+        re-resolves the table's CURRENT state — a registered name is
+        never a stale snapshot. String literals are skipped."""
+        if not self._registered_tables:
+            return text
+        import re as _re
+
+        from witdb_spark.plans.dialect import _scan_maps
+
+        names = "|".join(
+            _re.escape(n) for n in self._registered_tables
+        )
+        pat = _re.compile(
+            rf"\b(delta|iceberg|hudi)\s*\.\s*({names})\b(?!\s*')",
+            _re.I,
+        )
+        _depths, instr = _scan_maps(text)
+        out, last = [], 0
+        for m in pat.finditer(text):
+            if instr[m.start()]:
+                continue
+            fmt, path = self._registered_tables[m.group(2).lower()]
+            if fmt != m.group(1).lower():
+                raise ValueError(
+                    f"table {m.group(2)!r} is registered as {fmt}, not"
+                    f" {m.group(1).lower()}"
+                )
+            out.append(text[last : m.start()])
+            out.append(f"{fmt}.'{path}'")
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
 
     @staticmethod
     def _extended_stats_file(path: str) -> str:
