@@ -646,3 +646,127 @@ def test_delta_cdf_stream_state_cache_rewind(spark, tmp_path):
         for r in delta_table_changes(spark, t, 1, 2).collect()
     )
     assert got == want == [(1, "delete", 1), (4, "delete", 2)]
+
+
+def test_delta_txn_identifiers_and_stream_sink(spark, tmp_path):
+    """r13: SetTransaction identifiers (PROTOCOL.md 'Transaction
+    Identifiers') + the exactly-once streaming SINK. (a) an append
+    with (appId, version) already recorded is an idempotent no-op;
+    (b) txn state survives checkpoint compaction (bootstraps from the
+    checkpoint's txn column after the commit JSONs are deleted);
+    (c) the end-to-end loop — Delta CDF STREAM of table A sinking
+    into Delta table B — lands every change row once, a REPLAYED
+    foreachBatch commits nothing, and an incremental second drain
+    appends only the new changes."""
+    import os
+
+    from witdb_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_delete_where,
+        delta_table_changes,
+        delta_txn_versions,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+    from witdb_spark.streaming.delta_sink import delta_stream_writer
+
+    # (a) idempotent txn appends
+    t = str(tmp_path / "txn_tbl")
+    write_delta(
+        spark, spark.range(0, 3).selectExpr("id"), t, mode="create"
+    )
+    write_delta(
+        spark, spark.range(10, 13).selectExpr("id"), t,
+        txn_app_id="app1", txn_version=0,
+    )
+    n1 = read_delta_snapshot(spark, t).count()
+    write_delta(  # same (app, version): no-op
+        spark, spark.range(20, 23).selectExpr("id"), t,
+        txn_app_id="app1", txn_version=0,
+    )
+    assert read_delta_snapshot(spark, t).count() == n1 == 6
+    write_delta(  # higher version commits
+        spark, spark.range(30, 31).selectExpr("id"), t,
+        txn_app_id="app1", txn_version=1,
+    )
+    assert read_delta_snapshot(spark, t).count() == 7
+    assert delta_txn_versions(spark, t) == {"app1": 1}
+    # (b) txn survives checkpoint compaction
+    cp_v = delta_checkpoint(spark, t)
+    for v in range(cp_v + 1):  # drop the pre-checkpoint commit JSONs
+        f = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(f):
+            os.remove(f)
+    assert delta_txn_versions(spark, t) == {"app1": 1}
+    write_delta(  # still a no-op after compaction
+        spark, spark.range(40, 43).selectExpr("id"), t,
+        txn_app_id="app1", txn_version=1,
+    )
+    assert read_delta_snapshot(spark, t).count() == 7
+
+    # (c) CDF stream -> delta sink loop
+    src = str(tmp_path / "loop_src")
+    dst = str(tmp_path / "loop_dst")
+    ckpt = str(tmp_path / "loop_ckpt")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id bigint, v double"
+        ).coalesce(1),
+        src, mode="create",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete_where(spark, src, "id = 2")
+    spark.dataSource.register(DeltaCDFDataSource)
+
+    def drain():
+        q = (
+            delta_stream_writer(
+                spark.readStream.format("witdb_delta_cdf")
+                .option("path", src).load(),
+                dst, ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    key = lambda r: (r[2], r[0], r[1])  # noqa: E731
+    got = sorted(
+        ((r.id, r._change_type, r._commit_version)
+         for r in read_delta_snapshot(spark, dst).collect()),
+        key=key,
+    )
+    want = sorted(
+        ((r.id, r._change_type, r._commit_version)
+         for r in delta_table_changes(spark, src).collect()),
+        key=key,
+    )
+    assert got == want and len(got) == 7
+    # a replayed batch commits nothing (simulate the post-crash rerun
+    # of an already-committed epoch)
+    from witdb_spark.sources.delta_log import write_delta as _wd
+
+    app = "witdb-delta-sink:" + os.path.abspath(ckpt)
+    _wd(
+        spark,
+        read_delta_snapshot(spark, dst),  # any rows — must be ignored
+        dst, mode="append", txn_app_id=app, txn_version=0,
+    )
+    assert read_delta_snapshot(spark, dst).count() == 7
+    # incremental: new source changes drain as an append-only delta
+    delta_delete_where(spark, src, "id = 4")
+    drain()
+    got2 = sorted(
+        ((r.id, r._change_type, r._commit_version)
+         for r in read_delta_snapshot(spark, dst).collect()),
+        key=key,
+    )
+    want2 = sorted(
+        ((r.id, r._change_type, r._commit_version)
+         for r in delta_table_changes(spark, src).collect()),
+        key=key,
+    )
+    assert got2 == want2 and len(got2) == 8

@@ -3790,6 +3790,74 @@ def hudi_cdc_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_cdf_stream_sink_loop",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           'insert' AS _change_type
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete'
+    FROM nation WHERE n_nationkey % 9 = 4
+    """,
+    doc="The full jar-free streaming LOOP (r13, streaming/"
+    "delta_sink.py + cdf_source.py): nation lands as a CDF-enabled "
+    "Delta table, a DELETE commits change rows, the CDF STREAM "
+    "(witdb_delta_cdf, Arrow-batch decode) drains via availableNow "
+    "into a SECOND Delta table through delta_stream_writer — "
+    "foreachBatch appends stamped with SetTransaction identifiers "
+    "(PROTOCOL.md 'Transaction Identifiers'), so a replayed batch "
+    "commits nothing (exactly-once). The sink table's rows must "
+    "hash-equal the oracle's change set.",
+    tags=("streaming", "lakehouse", "cdc", "writer"),
+)
+def delta_cdf_stream_sink_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+    from witdb_spark.streaming.delta_sink import delta_stream_writer
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"witdb_cdfloop_src_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"witdb_cdfloop_dst_{tag}")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"witdb_cdfloop_ckpt_{tag}"
+    )
+    for p in (src, dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    write_delta(
+        spark, base.coalesce(1), src, mode="create",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete_where(spark, src, "n_nationkey % 9 = 4")
+    spark.dataSource.register(DeltaCDFDataSource)
+    q = (
+        delta_stream_writer(
+            spark.readStream.format("witdb_delta_cdf")
+            .option("path", src).load(),
+            dst, ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_delta_snapshot(spark, dst).select(
+        "n_nationkey", "n_name", "_change_type"
+    )
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

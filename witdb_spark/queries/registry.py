@@ -59,9 +59,10 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # Round-13 window (VERDICT r12 task 1): positions 1-4 the four
 # never-driver-checked late-r12 registrations; 5-13 the nine deferred
 # r6-era SQL texts (tpch_sql_q3/q7/q8/q9/q20/q21/q22,
-# tpcds_sql_q70/q88); 14-16 the r13-new queries (kryo DELETE log
-# blocks, iceberg branch fast-forward, hudi CDC_DATA block read);
-# 17-19 engine-changed-in-r13
+# tpcds_sql_q70/q88); 14-17 the r13-new queries (kryo DELETE log
+# blocks, iceberg branch fast-forward, hudi CDC_DATA block read, the
+# CDF-stream-to-delta-sink exactly-once loop); 18-20
+# engine-changed-in-r13
 # re-drives — delta_table_changes_cdf (remove actions now stamp
 # partitionValues, synthesis gained the pv fallback and the id-mode
 # physical-name read path) and agg_qdigest/tdigest_sql_names (builds
@@ -72,8 +73,9 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # (q11/q14/q46/q56/q59/q60/q65/q67/q68/q74/q75/q77/q87/q89/q93/q95) have
 # their families represented in-window (q4 & q74 are the
 # year-over-year CTE pair, q23 & q14 the big multi-CTE pair, q5/q33
-# cover the channel-union rollups of q56/q60/q77, q51 the rolling-
-# window family of q59, q34 the household
+# cover the channel-union rollups of q56/q60/q77, the r12-green
+# tpcds_sql_q47/q36 the window/rollup family of q51/q59, q34 the
+# household
 # family of q46/q68, q38 the INTERSECT family of q87, in-window
 # q70/q88 and the r6-green tpcds_rollup_rank the ranking shapes of
 # q44/q49) and lead r14;
@@ -93,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "hudi_kryo_delete_scan",
     "iceberg_fast_forward_scan",
     "hudi_cdc_block_read",
+    "delta_cdf_stream_sink_loop",
     # engine changed in r13 (re-drive)
     "delta_table_changes_cdf",
     "agg_qdigest_rollup",
@@ -108,10 +111,10 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
     "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
     "tpch_sql_q19",
-    # r7-era backfill: 9 of 27 tpcds SQL texts (shape-diverse)
+    # r7-era backfill: 8 of 27 tpcds SQL texts (shape-diverse)
     "tpcds_sql_q4", "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31",
     "tpcds_sql_q33", "tpcds_sql_q34", "tpcds_sql_q38",
-    "tpcds_sql_q39", "tpcds_sql_q51",
+    "tpcds_sql_q39",
 )
 
 

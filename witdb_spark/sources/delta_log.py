@@ -1932,15 +1932,28 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Jar-free Delta write (reference delta connector write path
     analog): ``create`` authors version 0 (protocol + metaData + adds),
     ``append`` commits adds, ``overwrite`` commits adds + removes of
     every currently-active file — all through the put-if-absent commit
     rule, with append retrying lost version races. Returns the
-    committed version."""
+    committed version.
+
+    ``txn_app_id`` + ``txn_version`` (r13, PROTOCOL.md 'Transaction
+    Identifiers'): the commit also records a ``txn`` (SetTransaction)
+    action, and a write whose version is <= the app's last recorded
+    txn version is an idempotent NO-OP (nothing staged, current
+    version returned) — the exactly-once contract streaming sinks
+    replay batches against."""
     if mode not in ("create", "append", "overwrite"):
         raise ValueError("mode must be create/append/overwrite")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version come together")
+    if txn_app_id is not None and mode == "create":
+        raise ValueError("txn identifiers apply to append/overwrite")
     exists = os.path.isdir(_log_dir(path))
     if mode == "create":
         if exists:
@@ -2008,6 +2021,10 @@ def write_delta(
             spark, path, None, None,
             allow_dvs=True, allow_name_mapping=True,
         )
+        if txn_app_id is not None:
+            last = delta_txn_versions(spark, path).get(txn_app_id)
+            if last is not None and int(txn_version) <= last:
+                return version  # already committed: idempotent no-op
         part_cols = list(metadata.get("partitionColumns") or [])
         if partition_by is not None and list(partition_by) != part_cols:
             raise DeltaProtocolError(
@@ -2036,6 +2053,16 @@ def write_delta(
             actions += [
                 _remove_action(p, state[p]) for p in sorted(state)
             ]
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": int(txn_version),
+                        "lastUpdated": _now_ms(),
+                    }
+                }
+            )
         actions += adds
         if _try_commit(path, version + 1, actions):
             return version + 1
@@ -2508,6 +2535,49 @@ def delta_truncate(spark: SparkSession, path: str) -> dict:
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
+def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
+    """Latest SetTransaction version per appId (PROTOCOL.md
+    'Transaction Identifiers'): bootstraps from the newest
+    checkpoint's ``txn`` column when present (both this writer's
+    classic checkpoints and library v2 checkpoints keep non-file
+    actions in the main checkpoint file), then replays the commit
+    JSONs after it. Streaming sinks consult this for idempotent
+    (exactly-once) batch replay; checkpoints written before txn
+    support contribute none (a txn recorded only in a
+    checkpoint-subsumed commit by an OLD checkpoint is gone — the
+    protocol forbids that state, and this writer's checkpoints carry
+    txn forward)."""
+    commits, checkpoints = _list_log(path)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"{path}: not a Delta table")
+    txns: dict[str, int] = {}
+    start = 0
+    if checkpoints:
+        cp = max(checkpoints)
+        df = spark.read.parquet(*sorted(checkpoints[cp]))
+        if "txn" in df.columns:
+            for r in (
+                df.select("txn").where("txn IS NOT NULL").collect()
+            ):
+                t = r["txn"]
+                if t["appId"] is not None:
+                    txns[t["appId"]] = int(t["version"])
+        start = cp + 1
+    for v in sorted(commits):
+        if v < start:
+            continue
+        with open(commits[v]) as f:
+            for line in f:
+                line = line.strip()
+                if not line or '"txn"' not in line:
+                    continue
+                action = _parse_action(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = int(t["version"])
+    return txns
+
+
 def delta_checkpoint(spark: SparkSession, path: str) -> int:
     """Write a classic parquet checkpoint of the CURRENT snapshot plus
     ``_last_checkpoint`` (the protocol's log-compaction step —
@@ -2517,11 +2587,15 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     O(commits). r9: adds carrying deletion vectors checkpoint too —
     the add struct includes the descriptor and the protocol struct
     carries reader/writer features, so a bootstrap from the checkpoint
-    sees the same DV'd state the log replay would. Returns the
+    sees the same DV'd state the log replay would. r13: the latest
+    SetTransaction version per appId checkpoints too (PROTOCOL.md
+    'Checkpoints' requires txn actions be preserved — streaming-sink
+    idempotence must survive log compaction). Returns the
     checkpointed version."""
     protocol, metadata, state, version = _snapshot_state(
         spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
+    txns = delta_txn_versions(spark, path)
     rows = [
         (
             (
@@ -2530,6 +2604,7 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                 protocol.get("readerFeatures"),
                 protocol.get("writerFeatures"),
             ),
+            None,
             None,
             None,
         ),
@@ -2547,6 +2622,7 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                 list(metadata.get("partitionColumns") or []),
                 dict(metadata.get("configuration") or {}),
             ),
+            None,
             None,
         ),
     ] + [
@@ -2571,8 +2647,12 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
                     else None
                 ),
             ),
+            None,
         )
         for add in state.values()
+    ] + [
+        (None, None, None, (app, int(v)))
+        for app, v in sorted(txns.items())
     ]
     schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
@@ -2583,7 +2663,8 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>"
+        "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>,"
+        "txn struct<appId:string,version:bigint>"
     )
     import glob
     import shutil
