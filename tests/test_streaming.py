@@ -770,3 +770,89 @@ def test_delta_txn_identifiers_and_stream_sink(spark, tmp_path):
         key=key,
     )
     assert got2 == want2 and len(got2) == 8
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """r13: the Iceberg streaming sink — epoch markers in the
+    snapshot summary (the iceberg library's own Spark-sink
+    convention) make replayed batches no-ops; the end-to-end loop
+    streams one Iceberg table's incremental appends into ANOTHER
+    iceberg table exactly once, and an incremental second drain
+    appends only the new snapshot's rows."""
+    import os
+
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+    from witdb_spark.streaming.iceberg_sink import (
+        iceberg_last_committed_epoch,
+        iceberg_stream_writer,
+    )
+    from witdb_spark.streaming.iceberg_source import (
+        IcebergAppendsDataSource,
+    )
+
+    src = str(tmp_path / "sink_src")
+    dst = str(tmp_path / "sink_dst")
+    ckpt = str(tmp_path / "sink_ckpt")
+    write_iceberg(
+        spark, spark.range(0, 4).selectExpr("id"), src, mode="create"
+    )
+    first = _current_metadata(src)["current-snapshot-id"]
+    write_iceberg(
+        spark, spark.range(10, 13).selectExpr("id"), src, mode="append"
+    )
+    spark.dataSource.register(IcebergAppendsDataSource)
+
+    def drain():
+        q = (
+            iceberg_stream_writer(
+                spark.readStream.format("witdb_iceberg_appends")
+                .option("path", src)
+                .option("starting_snapshot", first)
+                .load(),
+                dst, ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {r.id for r in read_iceberg_snapshot(spark, dst).collect()}
+    assert got == {10, 11, 12}
+    app = "witdb-iceberg-sink:" + os.path.abspath(ckpt)
+    last = iceberg_last_committed_epoch(dst, app)
+    assert last is not None
+    # replayed batch: same epoch appends nothing
+    from witdb_spark.streaming.iceberg_sink import iceberg_stream_writer as _  # noqa: F401
+    from witdb_spark.sources.iceberg_meta import write_iceberg as _wi
+
+    before = len(_current_metadata(dst)["snapshots"])
+    # simulate the sink's replay guard directly
+    from witdb_spark.streaming import iceberg_sink as sinkmod
+
+    def replay(df, bid):
+        lastv = sinkmod.iceberg_last_committed_epoch(dst, app)
+        if lastv is not None and bid <= lastv:
+            return
+        _wi(spark, df, dst, mode="append", summary_extra={
+            "streaming-app-id": app,
+            "streaming-epoch-id": str(bid),
+        })
+
+    replay(spark.range(90, 93).selectExpr("id"), last)  # duplicate epoch
+    assert len(_current_metadata(dst)["snapshots"]) == before
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, dst).collect()
+    } == {10, 11, 12}
+    # incremental drain: only the new snapshot's rows arrive
+    write_iceberg(
+        spark, spark.range(20, 22).selectExpr("id"), src, mode="append"
+    )
+    drain()
+    assert {
+        r.id for r in read_iceberg_snapshot(spark, dst).collect()
+    } == {10, 11, 12, 20, 21}

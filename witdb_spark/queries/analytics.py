@@ -3858,6 +3858,88 @@ def delta_cdf_stream_sink_loop(
 
 
 @register(
+    "iceberg_appends_stream_sink_loop",
+    """
+    SELECT CAST(n_nationkey + 3000 AS BIGINT) AS n_nationkey,
+           'APPENDED' AS n_name
+    FROM nation WHERE n_regionkey IN (0, 2)
+    """,
+    doc="The Iceberg streaming LOOP (r13, streaming/iceberg_sink.py "
+    "+ iceberg_source.py): nation lands as an Iceberg table, two "
+    "further appends land, the incremental-appends STREAM "
+    "(witdb_iceberg_appends, Arrow-batch decode, offsets = "
+    "main-lineage snapshot ids) drains everything after the first "
+    "snapshot via availableNow into a SECOND iceberg table through "
+    "iceberg_stream_writer — appends stamped with "
+    "streaming-app-id/epoch-id snapshot-summary markers (the "
+    "library's own Spark-sink idempotence convention), so replayed "
+    "batches commit nothing. The sink table must hash-equal the "
+    "appended subset.",
+    tags=("streaming", "lakehouse", "writer"),
+)
+def iceberg_appends_stream_sink_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+    from witdb_spark.streaming.iceberg_sink import iceberg_stream_writer
+    from witdb_spark.streaming.iceberg_source import (
+        IcebergAppendsDataSource,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    appended = t.nation.filter("n_regionkey IN (0, 2)").selectExpr(
+        "CAST(n_nationkey + 3000 AS BIGINT) AS n_nationkey",
+        "'APPENDED' AS n_name",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"witdb_iceloop_src_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"witdb_iceloop_dst_{tag}")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"witdb_iceloop_ckpt_{tag}"
+    )
+    for p in (src, dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    write_iceberg(spark, base.coalesce(1), src, mode="create")
+    first = _current_metadata(src)["current-snapshot-id"]
+    write_iceberg(
+        spark,
+        appended.filter("n_nationkey % 2 = 0").coalesce(1),
+        src, mode="append",
+    )
+    write_iceberg(
+        spark,
+        appended.filter("n_nationkey % 2 = 1").coalesce(1),
+        src, mode="append",
+    )
+    spark.dataSource.register(IcebergAppendsDataSource)
+    q = (
+        iceberg_stream_writer(
+            spark.readStream.format("witdb_iceberg_appends")
+            .option("path", src)
+            .option("starting_snapshot", first)
+            .load(),
+            dst, ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_iceberg_snapshot(spark, dst).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

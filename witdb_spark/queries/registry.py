@@ -59,10 +59,10 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # Round-13 window (VERDICT r12 task 1): positions 1-4 the four
 # never-driver-checked late-r12 registrations; 5-13 the nine deferred
 # r6-era SQL texts (tpch_sql_q3/q7/q8/q9/q20/q21/q22,
-# tpcds_sql_q70/q88); 14-17 the r13-new queries (kryo DELETE log
+# tpcds_sql_q70/q88); 14-18 the r13-new queries (kryo DELETE log
 # blocks, iceberg branch fast-forward, hudi CDC_DATA block read, the
-# CDF-stream-to-delta-sink exactly-once loop); 18-20
-# engine-changed-in-r13
+# CDF-stream-to-delta-sink and iceberg-appends-to-iceberg-sink
+# exactly-once loops); 19-21 engine-changed-in-r13
 # re-drives — delta_table_changes_cdf (remove actions now stamp
 # partitionValues, synthesis gained the pv fallback and the id-mode
 # physical-name read path) and agg_qdigest/tdigest_sql_names (builds
@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_fast_forward_scan",
     "hudi_cdc_block_read",
     "delta_cdf_stream_sink_loop",
+    "iceberg_appends_stream_sink_loop",
     # engine changed in r13 (re-drive)
     "delta_table_changes_cdf",
     "agg_qdigest_rollup",
@@ -111,10 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
     "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
     "tpch_sql_q19",
-    # r7-era backfill: 8 of 27 tpcds SQL texts (shape-diverse)
+    # r7-era backfill: 7 of 27 tpcds SQL texts (shape-diverse)
     "tpcds_sql_q4", "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31",
     "tpcds_sql_q33", "tpcds_sql_q34", "tpcds_sql_q38",
-    "tpcds_sql_q39",
 )
 
 

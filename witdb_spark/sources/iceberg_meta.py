@@ -1238,6 +1238,7 @@ def write_iceberg(
     properties: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
     branch: str | None = None,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Jar-free Iceberg write (create/append/overwrite; identity
     partitioning since r10, bucket[N]/truncate[W]/year/month/day/hour
@@ -1257,7 +1258,11 @@ def write_iceberg(
     ref moves to it, and main/current-snapshot-id stay untouched; the
     branch may already be diverged (its lineage grows linearly).
     Append-only; the branch must exist (iceberg_create_ref). Merging a
-    diverged branch back into main stays loud. Returns the committed
+    diverged branch back into main stays loud.
+    ``summary_extra`` (r13): free-form string keys merged into the new
+    snapshot's summary — the streaming sink's exactly-once epoch
+    markers ride here, the same snapshot-summary channel the iceberg
+    library's own Spark streaming sink uses. Returns the committed
     snapshot id."""
     import uuid
 
@@ -1496,13 +1501,20 @@ def write_iceberg(
                         "sequence-number": seq,
                         "manifest-list": mlist,
                         # spec v2: summary with the operation key is
-                        # required on every snapshot
+                        # required on every snapshot; summary_extra
+                        # carries free-form keys (the streaming sink's
+                        # epoch markers ride here, the same channel the
+                        # iceberg library's Spark streaming sink uses)
                         "summary": {
                             "operation": (
                                 "overwrite"
                                 if mode == "overwrite"
                                 else "append"
-                            )
+                            ),
+                            **{
+                                str(k): str(v)
+                                for k, v in (summary_extra or {}).items()
+                            },
                         },
                     }
                 ],
