@@ -856,3 +856,93 @@ def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
     assert {
         r.id for r in read_iceberg_snapshot(spark, dst).collect()
     } == {10, 11, 12, 20, 21}
+
+
+def test_hudi_stream_sink_exactly_once(spark, tmp_path):
+    """r13: the Hudi streaming sink — epoch markers in the commit
+    extraMetadata (hudi's own deltastreamer-checkpoint channel) make
+    replayed batches no-ops, for BOTH table types: COW batches land
+    as bulk-insert commits, MOR batches as log-insert deltacommits;
+    an incremental second drain appends only the new rows."""
+    import os
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+    from witdb_spark.streaming.hudi_sink import (
+        hudi_last_committed_epoch,
+        hudi_stream_writer,
+    )
+
+    src = str(tmp_path / "hudi_sink_src")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id bigint, v double"
+        ).coalesce(1),
+        src, mode="create",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    spark.dataSource.register(DeltaCDFDataSource)
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        dst = str(tmp_path / f"hudi_sink_{tt}")
+        ckpt = str(tmp_path / f"hudi_ckpt_{tt}")
+
+        def drain():
+            q = (
+                hudi_stream_writer(
+                    spark.readStream.format("witdb_delta_cdf")
+                    .option("path", src).load()
+                    .select("id", "v", "_change_type"),
+                    dst, ckpt, record_key="id", table_type=tt,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        got = sorted(
+            (r.id, r._change_type)
+            for r in read_hudi_snapshot(spark, dst)
+            .select("id", "_change_type").collect()
+        )
+        assert got == [(i, "insert") for i in range(5)], (tt, got)
+        app = "witdb-hudi-sink:" + os.path.abspath(ckpt)
+        last = hudi_last_committed_epoch(dst, app)
+        assert last is not None and last >= 0
+        # duplicate-epoch replay commits nothing: a second availableNow
+        # drain with an unchanged source re-plans from the checkpoint
+        # and the epoch guard leaves the timeline untouched
+        before = read_hudi_snapshot(spark, dst).count()
+        drain()
+        assert read_hudi_snapshot(spark, dst).count() == before
+        assert hudi_last_committed_epoch(dst, app) == last
+    # incremental: a new source change drains as one more batch (MOR)
+    delta_delete_where(spark, src, "id = 3")
+    dst = str(tmp_path / "hudi_sink_MERGE_ON_READ")
+    ckpt = str(tmp_path / "hudi_ckpt_MERGE_ON_READ")
+    q = (
+        hudi_stream_writer(
+            spark.readStream.format("witdb_delta_cdf")
+            .option("path", src).load()
+            .select("id", "v", "_change_type"),
+            dst, ckpt, record_key="id", table_type="MERGE_ON_READ",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.id, r._change_type)
+        for r in read_hudi_snapshot(spark, dst)
+        .select("id", "_change_type").collect()
+    )
+    # the sink target is a KEYED MOR table: the merge reader keeps the
+    # LATEST record per key, so id=3's delete change row replaces its
+    # earlier insert row — upsert semantics, the point of a keyed sink
+    assert (3, "delete") in rows and (3, "insert") not in rows
+    assert len(rows) == 5

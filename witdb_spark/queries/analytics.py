@@ -3940,6 +3940,79 @@ def iceberg_appends_stream_sink_loop(
 
 
 @register(
+    "hudi_cdf_stream_sink_loop",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           'insert' AS _change_type
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'delete'
+    FROM nation WHERE n_nationkey % 8 = 5
+    """,
+    doc="The Hudi streaming sink loop (r13, streaming/hudi_sink.py): "
+    "the CDF STREAM of a Delta table drains via availableNow into a "
+    "COPY_ON_WRITE Hudi table through hudi_stream_writer — each "
+    "batch publishes one bulk-insert commit whose extraMetadata "
+    "carries streaming-app-id/epoch-id markers (hudi's own "
+    "deltastreamer-checkpoint channel), so a replayed batch commits "
+    "nothing. One drain = one batch; the sink table must hash-equal "
+    "the oracle's change set. (A MERGE_ON_READ sink target instead "
+    "UPSERTS by record key — tested in test_streaming.)",
+    tags=("streaming", "lakehouse", "cdc", "writer"),
+)
+def hudi_cdf_stream_sink_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+    from witdb_spark.sources.hudi_meta import read_hudi_snapshot
+    from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+    from witdb_spark.streaming.hudi_sink import hudi_stream_writer
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(
+        tempfile.gettempdir(), f"witdb_hudiloop_src_{tag}"
+    )
+    dst = os.path.join(
+        tempfile.gettempdir(), f"witdb_hudiloop_dst_{tag}"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"witdb_hudiloop_ckpt_{tag}"
+    )
+    for p in (src, dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    write_delta(
+        spark, base.coalesce(1), src, mode="create",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete_where(spark, src, "n_nationkey % 8 = 5")
+    spark.dataSource.register(DeltaCDFDataSource)
+    q = (
+        hudi_stream_writer(
+            spark.readStream.format("witdb_delta_cdf")
+            .option("path", src).load()
+            .select("n_nationkey", "n_name", "_change_type"),
+            dst, ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_hudi_snapshot(spark, dst).select(
+        "n_nationkey", "n_name", "_change_type"
+    )
+
+
+@register(
     "sql_lakehouse_ctas_insert",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

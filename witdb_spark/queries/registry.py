@@ -81,6 +81,11 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # q44/q49) and lead r14;
 # every deferred query keeps local DuckDB coverage each pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry).
+# ONE query was registered after this window froze
+# (hudi_cdf_stream_sink_loop — the hudi member of the streaming-sink
+# family; contract-emulation green at sf0.01 UTC + America/New_York
+# and at sf0.1): it leads r14 with the deferred tpcds texts, the same
+# staging every prior round's late registrations used.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (late-r12 registrations)
     "sql_lakehouse_ctas_insert",

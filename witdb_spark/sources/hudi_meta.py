@@ -878,6 +878,7 @@ def write_hudi(
     mode: str = "append",
     record_key: str | None = None,
     partition_by: list[str] | None = None,
+    extra_metadata: dict[str, str] | None = None,
 ) -> str:
     """Jar-free Hudi COW write (create/append/overwrite as bulk-insert
     of fresh file groups; keyed UPSERT routes through hudi_upsert using
@@ -956,8 +957,17 @@ def write_hudi(
     meta: dict = {
         "partitionToWriteStats": stats_by_part or {"": []},
         # schema travels in the commit metadata (as real Hudi does) so
-        # an all-rows-deleted table can still produce a TYPED empty read
-        "extraMetadata": {"schema": df.schema.json()},
+        # an all-rows-deleted table can still produce a TYPED empty
+        # read; extra_metadata rides the same map (hudi's own channel
+        # for e.g. deltastreamer checkpoint keys — the streaming
+        # sink's epoch markers live here, r13)
+        "extraMetadata": {
+            "schema": df.schema.json(),
+            **{
+                str(k): str(v)
+                for k, v in (extra_metadata or {}).items()
+            },
+        },
     }
     if action == "replacecommit":
         meta["partitionToReplaceFileIds"] = _group_fids_by_partition(
@@ -2046,7 +2056,12 @@ def _meta_string_avro_fields() -> list[dict]:
     ]
 
 
-def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
+def hudi_log_insert(
+    spark: SparkSession,
+    path: str,
+    source,
+    extra_metadata: dict[str, str] | None = None,
+) -> str:
     """INSERT rows into a MERGE_ON_READ table as NEW LOG-ONLY file
     groups — the compaction-lagged shape real tables show (hudi's
     insert-into-log path; the reference's plugin/trino-hudi read side
@@ -2153,6 +2168,16 @@ def hudi_log_insert(spark: SparkSession, path: str, source) -> str:
             {
                 "partitionToWriteStats": stats_by_part or {"": []},
                 "operationType": "INSERT",
+                **(
+                    {
+                        "extraMetadata": {
+                            str(k): str(v)
+                            for k, v in extra_metadata.items()
+                        }
+                    }
+                    if extra_metadata
+                    else {}
+                ),
             },
             f,
         )

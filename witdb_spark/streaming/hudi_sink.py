@@ -1,0 +1,115 @@
+"""Structured Streaming SINK into a jar-free Hudi table with
+EXACTLY-ONCE batch semantics (r13) — the hudi member of the sink
+family (delta_sink.py: SetTransaction actions; iceberg_sink.py:
+snapshot-summary epoch markers).
+
+Hudi's own streaming writers (DeltaStreamer / the Spark streaming
+sink) persist their source checkpoint in the commit's
+``extraMetadata`` map and skip already-committed batches on restart.
+This sink mirrors that: every microbatch publishes one commit
+(COPY_ON_WRITE bulk-insert) or deltacommit (MERGE_ON_READ log-insert)
+whose extraMetadata carries ``streaming-app-id`` (stable across
+restarts: derived from the checkpoint location unless given) and
+``streaming-epoch-id`` (the batch id); a replayed batch whose epoch is
+already on the completed timeline commits NOTHING.
+
+Usage:
+    q = (hudi_stream_writer(stream_df, table_path, ckpt,
+                            record_key="id")
+         .trigger(availableNow=True).start())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def hudi_last_committed_epoch(path: str, app_id: str) -> int | None:
+    """Largest streaming-epoch-id any COMPLETED instant recorded for
+    ``app_id`` (None if the app never committed). The cleaner retains
+    instants, not the reverse — replay protection only needs the
+    latest epoch, which the newest instant carries."""
+    from witdb_spark.sources.hudi_meta import _completed_instants
+
+    last: int | None = None
+    for _inst, _action, fpath in _completed_instants(path):
+        with open(fpath) as f:
+            body = f.read().strip()
+        meta = (json.loads(body) if body else {}).get(
+            "extraMetadata"
+        ) or {}
+        if meta.get("streaming-app-id") != app_id:
+            continue
+        epoch = int(meta["streaming-epoch-id"])
+        last = epoch if last is None else max(last, epoch)
+    return last
+
+
+def hudi_stream_writer(
+    sdf,
+    path: str,
+    checkpoint_location: str,
+    record_key: str | None = None,
+    table_type: str = "COPY_ON_WRITE",
+    app_id: str | None = None,
+):
+    """DataStreamWriter appending ``sdf``'s microbatches to the Hudi
+    table at ``path`` exactly once per batch id — COW batches land as
+    bulk-insert commits, MOR batches as log-insert deltacommits.
+    Returns the writer (caller picks trigger and calls .start())."""
+    from witdb_spark.sources.hudi_meta import (
+        _meta_dir,
+        _properties,
+        hudi_log_insert,
+        write_hudi,
+        write_hudi_mor_create,
+    )
+
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            "table_type must be COPY_ON_WRITE or MERGE_ON_READ"
+        )
+    app = app_id or (
+        "witdb-hudi-sink:" + os.path.abspath(checkpoint_location)
+    )
+
+    def _batch(df, batch_id: int) -> None:
+        spark = df.sparkSession
+        if not os.path.isdir(_meta_dir(path)):
+            # EMPTY create so batch 0's rows land via the
+            # epoch-stamped commit below
+            if table_type == "MERGE_ON_READ":
+                if record_key is None:
+                    raise ValueError(
+                        "a MERGE_ON_READ sink needs record_key"
+                    )
+                write_hudi_mor_create(
+                    spark, df.limit(0), path, record_key=record_key
+                )
+            else:
+                write_hudi(
+                    spark, df.limit(0), path, mode="create",
+                    record_key=record_key,
+                )
+        last = hudi_last_committed_epoch(path, app)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed batch: already on the timeline
+        marks = {
+            "streaming-app-id": app,
+            "streaming-epoch-id": str(int(batch_id)),
+        }
+        if (
+            _properties(path).get("hoodie.table.type")
+            == "MERGE_ON_READ"
+        ):
+            hudi_log_insert(spark, path, df, extra_metadata=marks)
+        else:
+            write_hudi(
+                spark, df, path, mode="append", extra_metadata=marks
+            )
+
+    return (
+        sdf.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_location)
+    )
