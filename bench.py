@@ -13,10 +13,16 @@ r4 local re-runs of the same commits return r2-level numbers (tpch_q1
 1.37s) with those queries still untouched — consistent with sandbox load
 variance, not a plan regression (all hot plans are gated in
 tests/test_plans.py). To make any future drift diagnosable instead of
-arguable, each run now also emits `stage_metrics_per_run` (executor CPU
-ms, shuffle/input bytes per query, from the UI REST API): a wall-clock
-delta with flat stage metrics is machine noise; one with rising shuffle
-bytes or CPU is a real regression.
+arguable, each run now also emits `stage_metrics_per_run` (per query,
+from the UI REST API): `executor_run_ms` (task WALL time summed across
+tasks — load- and frequency-sensitive), `executor_cpu_ms` (task CPU
+time, r14 — the load-insensitive signal VERDICT r13 asked for: r13's
++29% run time with byte-flat plans could not be adjudicated without
+it), and shuffle/input bytes. A wall-clock delta with flat bytes and
+flat CPU is machine noise; rising shuffle bytes or rising CPU is a
+real regression. Each run also times a fixed JVM-only calibration spin
+(`calibration`) so cross-round machine-speed drift is directly
+measurable.
 """
 
 from __future__ import annotations
@@ -79,12 +85,21 @@ def _stage_totals(spark) -> dict[str, int] | None:
         url = f"http://127.0.0.1:{port}/api/v1/applications/{app_id}/stages?status=complete"
         with urllib.request.urlopen(url, timeout=5) as r:
             stages = json.loads(r.read())
-        tot = {"executor_run_ms": 0, "shuffle_read_b": 0, "shuffle_write_b": 0, "input_b": 0}
+        tot = {
+            "executor_run_ms": 0,
+            "executor_cpu_ms": 0,
+            "shuffle_read_b": 0,
+            "shuffle_write_b": 0,
+            "input_b": 0,
+        }
+        cpu_ns = 0
         for s in stages:
             tot["executor_run_ms"] += s.get("executorRunTime", 0)
+            cpu_ns += s.get("executorCpuTime", 0)  # REST reports ns
             tot["shuffle_read_b"] += s.get("shuffleReadBytes", 0)
             tot["shuffle_write_b"] += s.get("shuffleWriteBytes", 0)
             tot["input_b"] += s.get("inputBytes", 0)
+        tot["executor_cpu_ms"] = cpu_ns // 1_000_000
         return tot
     except Exception:
         return None
@@ -171,8 +186,33 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     stage_deltas: dict[str, dict[str, int]] = {}
     executor_ms: dict[str, int] = {}
+    executor_cpu_ms: dict[str, int] = {}
     load_per_query: dict[str, float] = {}
     load_start = round(os.getloadavg()[0], 2)
+
+    # r14 calibration (VERDICT r13): a FIXED JVM-only spin — same bytes,
+    # same plan, every round — so machine-speed drift (CPU frequency,
+    # sandbox throttling) is measured directly instead of inferred from
+    # query deltas. ~0.5s of pure codegen arithmetic, no I/O, no shuffle.
+    def _calibrate() -> dict:
+        spin = lambda: spark.range(0, 150_000_000, 1, 32).selectExpr(  # noqa: E731
+            "sum(id % 7919) AS s"
+        ).collect()
+        spin()  # prewarm
+        cb = _stage_totals(spark)
+        walls = sorted(_timed(spin) for _ in range(3))
+        ca = _stage_totals(spark)
+        rec = {"wall_sec_min_of_3": round(walls[0], 4)}
+        if cb is not None and ca is not None:
+            rec["cpu_ms_per_run"] = (
+                ca["executor_cpu_ms"] - cb["executor_cpu_ms"]
+            ) // 3
+            rec["run_ms_per_run"] = (
+                ca["executor_run_ms"] - cb["executor_run_ms"]
+            ) // 3
+        return rec
+
+    calibration = _calibrate()
     for name in names:
         fn = QUERIES[name].fn
         for _ in range(PREWARM_RUNS):
@@ -199,15 +239,19 @@ def main() -> None:
                 k: (after[k] - before[k]) // MEASURED_RUNS for k in after
             }
             executor_ms[name] = stage_deltas[name]["executor_run_ms"]
+            executor_cpu_ms[name] = stage_deltas[name]["executor_cpu_ms"]
 
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
-        # the load-insensitive primary signal, next to wall: total
-        # executor CPU-side run time per measured run across the suite
+        # executor_ms_total sums task WALL time (load-sensitive);
+        # executor_cpu_ms_total (r14) sums task CPU time — the
+        # load-insensitive primary signal for round-over-round drift
         "executor_ms_total": sum(executor_ms.values()),
+        "executor_cpu_ms_total": sum(executor_cpu_ms.values()),
+        "calibration": calibration,
         "load_gate": {
             "gate_1m": LOAD_GATE,
             "quiet_at_start": quiet,
@@ -228,6 +272,7 @@ def main() -> None:
         # higher loadavg is machine contention, not a plan regression;
         # executor_ms here is per-measured-run (same basis as wall).
         "executor_ms": executor_ms,
+        "executor_cpu_ms": executor_cpu_ms,
         "loadavg": {
             "start": load_start,
             "end": round(os.getloadavg()[0], 2),

@@ -1771,3 +1771,83 @@ def test_register_unregister_table(spark, tmp_path):
         eng.sql(
             f"CALL system.register_table('nope', '{tmp_path}')"
         )
+
+
+def test_extended_stats_track_writes(spark, tmp_path):
+    """r14 (ADVICE r13): extended statistics stay honest across
+    writes. ANALYZE persists the md5-HLL register sketch per column;
+    an APPEND through write_delta merges the new batch's sketch
+    (NDV grows to cover the union) and adds string byte sizes; a
+    destructive write (DELETE) drops the sidecar so SHOW STATS
+    reverts to live values instead of serving pre-delete NDV."""
+    import json
+    import os
+
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        extended_stats_file,
+        write_delta,
+    )
+
+    eng = Engine(spark)
+    t = str(tmp_path / "stats_track")
+    write_delta(
+        spark,
+        spark.range(0, 100).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS s"
+        ).coalesce(1),
+        t, mode="create",
+    )
+    eng.sql(f"ANALYZE delta.'{t}'")
+    f = extended_stats_file(t)
+    side0 = json.load(open(f))
+    assert "hll" in side0["columnStatistics"]["id"]
+    ndv0 = side0["columnStatistics"]["id"]["ndv"]
+    sz0 = side0["columnStatistics"]["s"]["totalSizeInBytes"]
+    assert ndv0 == pytest.approx(100, rel=0.06)
+    # append 100 NEW ids (and 93 new s values): sketch merges, NDV ~200
+    write_delta(
+        spark,
+        spark.range(100, 200).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1),
+        t, mode="append",
+    )
+    side1 = json.load(open(f))
+    assert side1["columnStatistics"]["id"]["ndv"] == pytest.approx(
+        200, rel=0.06
+    )
+    assert side1["columnStatistics"]["s"]["totalSizeInBytes"] > sz0
+    # an idempotent re-append of the SAME rows moves NDV nowhere
+    # (sketch union is idempotent)
+    write_delta(
+        spark,
+        spark.range(100, 200).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1),
+        t, mode="append",
+    )
+    side2 = json.load(open(f))
+    assert (
+        side2["columnStatistics"]["id"]["ndv"]
+        == side1["columnStatistics"]["id"]["ndv"]
+    )
+    # SHOW STATS serves the merged NDV
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR delta.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == pytest.approx(200, rel=0.06)
+    # destructive write drops the sidecar -> live stats again
+    delta_delete_where(spark, t, "id >= 100")
+    assert not os.path.exists(f)
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR delta.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == pytest.approx(100, rel=0.06)

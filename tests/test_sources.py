@@ -7386,3 +7386,70 @@ def test_iceberg_remove_orphan_files(spark, tmp_path):
     assert {
         r.id for r in read_iceberg_snapshot(spark, t).collect()
     } == set(range(15))
+
+
+def test_iceberg_remove_orphan_files_library_named_metadata(spark, tmp_path):
+    """r14 (ADVICE r13 high): library writers name metadata files
+    <seq>-<uuid>.metadata.json, not v<N>.metadata.json. Every
+    *.metadata.json must count as referenced regardless of naming —
+    the reference protects all of ReachableFileUtil
+    .metadataFileLocations — else remove_orphan_files deletes the
+    CURRENT metadata and bricks the table. Puffin statistics of
+    non-current metadata versions are reachable history and survive
+    too."""
+    import json as _json
+    import os as _os
+    import time
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_remove_orphan_files,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_lib_named")
+    write_iceberg(
+        spark, spark.range(0, 10).selectExpr("id"), t, mode="create"
+    )
+    write_iceberg(
+        spark, spark.range(10, 15).selectExpr("id"), t, mode="append"
+    )
+    mdir = _os.path.join(t, "metadata")
+    # rename every v<N>.metadata.json to library style <seq>-<uuid>
+    renames = {}
+    for f in sorted(_os.listdir(mdir)):
+        if f.startswith("v") and f.endswith(".metadata.json"):
+            seq = f[1:].split(".")[0]
+            lib = f"{int(seq):05d}-deadbeef-{seq}.metadata.json"
+            _os.rename(_os.path.join(mdir, f), _os.path.join(mdir, lib))
+            renames[f] = lib
+    cur = max(renames.values())
+    open(_os.path.join(mdir, "version-hint.text"), "w").write(
+        cur[: -len(".metadata.json")]
+    )
+    # a puffin stats file referenced only by the NON-current metadata
+    old_meta = _os.path.join(mdir, min(renames.values()))
+    puffin = _os.path.join(mdir, "old-version.stats")
+    open(puffin, "wb").write(b"PFA1fakepuffin")
+    m = _json.load(open(old_meta))
+    m["statistics"] = [
+        {"snapshot-id": 1, "statistics-path": puffin}
+    ]
+    _json.dump(m, open(old_meta, "w"))
+    # backdate EVERYTHING so only referenced-ness protects files
+    old = time.time() - 30 * 86400
+    for dirpath, _d, files in _os.walk(t):
+        for f in files:
+            p = _os.path.join(dirpath, f)
+            _os.utime(p, (old, old))
+    before = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert before == set(range(15))
+    iceberg_remove_orphan_files(t, retention_ms=0)
+    # every metadata.json, the hint, and the old-version puffin survive
+    remaining = set(_os.listdir(mdir))
+    for lib in renames.values():
+        assert lib in remaining, f"metadata file {lib} was deleted"
+    assert "version-hint.text" in remaining
+    assert _os.path.exists(puffin), "non-current puffin deleted"
+    after = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert after == set(range(15))

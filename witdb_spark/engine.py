@@ -787,6 +787,14 @@ class Engine:
                     f"register_table name {name!r} must be an"
                     " identifier"
                 )
+            if "'" in tpath:
+                # the path is later re-interpolated into fmt.'<path>'
+                # literals (_resolve_registered_tables); a quote would
+                # mangle every downstream statement (ADVICE r13)
+                raise ValueError(
+                    f"register_table path {tpath!r} must not contain"
+                    " a single quote"
+                )
             tfmt = (
                 "iceberg"
                 if os.path.isdir(os.path.join(tpath, "metadata"))
@@ -1954,8 +1962,12 @@ class Engine:
         # MetaDirStatisticsAccess: <table>/_trino_meta/
         # extended_stats.json). The reference serializes NDV as an
         # airlift HLL blob; jar-free we persist the resolved number
-        # (documented divergence — same location, same role).
-        return os.path.join(path, "_trino_meta", "extended_stats.json")
+        # (documented divergence — same location, same role). The
+        # canonical path lives next to the write paths that maintain
+        # the sidecar (delta_log.extended_stats_file).
+        from witdb_spark.sources.delta_log import extended_stats_file
+
+        return extended_stats_file(path)
 
     def _load_extended_stats(self, path: str) -> dict | None:
         import json as _json
@@ -1968,12 +1980,20 @@ class Engine:
 
     def _analyze_table(self, fmt: str, path: str) -> DataFrame:
         """ANALYZE delta.'<path>' (reference AnalyzeTask +
-        trino-delta-lake's extended statistics): one aggregation pass
-        collects per-column NDV and data size, persisted to
-        _trino_meta/extended_stats.json; SHOW STATS serves them until
-        CALL system.drop_extended_stats removes the sidecar. Iceberg
-        ANALYZE persists Puffin sketch files in the reference — out of
-        jar-free scope, loud; hudi has no ANALYZE."""
+        trino-delta-lake's extended statistics): collects per-column
+        NDV — persisted as the md5-HLL register sketch itself, the
+        jar-free analog of the reference's airlift HLL blobs — and
+        data size, to _trino_meta/extended_stats.json; SHOW STATS
+        serves them until CALL system.drop_extended_stats removes the
+        sidecar. Lifecycle mirrors the reference (r14, ADVICE r13):
+        APPENDs through this engine's delta writer MERGE the new
+        batch's sketch into the sidecar (union = per-register MAX) and
+        add its byte sizes, so served NDV/data_size track inserts;
+        destructive writes (overwrite/DELETE/UPDATE/MERGE/TRUNCATE/
+        RESTORE) DROP the sidecar — an HLL cannot subtract — and SHOW
+        STATS falls back to live computation. Iceberg ANALYZE persists
+        Puffin sketch files in the reference — out of jar-free scope,
+        loud; hudi has no ANALYZE."""
         import json as _json
 
         from pyspark.sql import functions as F
@@ -1991,13 +2011,16 @@ class Engine:
                     " SHOW STATS computes live statistics instead"
                 )
             )
+        from witdb_spark.sources.delta_log import (
+            column_hll_registers,
+            hll_estimate_py,
+        )
         from witdb_spark.sources.lakehouse import read_table
 
         df = read_table(self.spark, fmt, path)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for f in df.schema.fields:
             c = f.name
-            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
             if isinstance(f.dataType, (T.StringType, T.BinaryType)):
                 aggs.append(
                     F.sum(F.octet_length(F.col(c)))
@@ -2005,9 +2028,14 @@ class Engine:
                     .alias(f"{c}__sz")
                 )
         r = df.agg(*aggs).collect()[0].asDict()
+        sketches = column_hll_registers(df, df.columns)
         col_stats = {
             f.name: {
-                "ndv": float(r[f"{f.name}__ndv"]),
+                "ndv": hll_estimate_py(sketches.get(f.name) or {}),
+                "hll": {
+                    str(k): v
+                    for k, v in (sketches.get(f.name) or {}).items()
+                },
                 **(
                     {"totalSizeInBytes": r[f"{f.name}__sz"]}
                     if f"{f.name}__sz" in r

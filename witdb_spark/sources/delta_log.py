@@ -933,6 +933,7 @@ def delta_write_deletion_vectors(
             actions.append({"add": new_add})
         actions += list(extra_actions or [])
         if _try_commit(path, version + 1, actions):
+            drop_extended_stats(path)  # rows vanished; sketch can't follow
             return version + 1
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
@@ -1108,6 +1109,7 @@ def _dv_commit_distributed(
             actions.append({"add": new_add})
         actions += list(extra_actions or [])
         if _try_commit(path, version + 1, actions):
+            drop_extended_stats(path)  # rows vanished; sketch can't follow
             return version + 1
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
@@ -2065,6 +2067,10 @@ def write_delta(
             )
         actions += adds
         if _try_commit(path, version + 1, actions):
+            if mode == "append":
+                update_extended_stats_on_append(spark, path, df)
+            else:
+                drop_extended_stats(path)
             return version + 1
         # lost the race: orphan the staged files (never referenced by
         # any commit — invisible to readers) and retry on fresh state
@@ -2145,6 +2151,7 @@ def _rewrite_matched_files(
             + cdc_actions
         )
         if _try_commit(path, version + 1, actions):
+            drop_extended_stats(path)  # HLLs can't subtract changed rows
             return {
                 "version": version + 1,
                 "files_rewritten": len(removed),
@@ -2456,6 +2463,7 @@ def delta_merge_into(
             + cdc_actions
         )
         if _try_commit(path, version + 1, actions):
+            drop_extended_stats(path)  # HLLs can't subtract changed rows
             return {
                 "version": version + 1,
                 "files_rewritten": len(removed),
@@ -2531,6 +2539,7 @@ def delta_truncate(spark: SparkSession, path: str) -> dict:
             }
         ] + [_remove_action(p, state[p]) for p in sorted(state)]
         if _try_commit(path, version + 1, actions):
+            drop_extended_stats(path)  # table emptied; sketch is stale
             return {"version": version + 1, "files_removed": len(state)}
     raise DeltaProtocolError(f"{path}: lost 5 consecutive commit races")
 
@@ -2800,6 +2809,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> dict:
             actions.append({"metaData": m_old})
         actions += removes + adds
         if _try_commit(path, cur_v + 1, actions):
+            drop_extended_stats(path)  # visible rows changed wholesale
             return {
                 "version": cur_v + 1,
                 "files_added": len(adds),
@@ -2873,3 +2883,133 @@ def _strip_uri(p: str) -> str:
 
 def _in_list(values) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
+
+
+# ---------------------------------------------------------------------------
+# Extended statistics sidecar (trino-delta-lake ExtendedStatistics /
+# MetaDirStatisticsAccess: <table>/_trino_meta/extended_stats.json).
+# The reference persists per-column NDV as airlift HLL blobs and MERGES
+# the new data's sketch into them on INSERT when extended statistics
+# exist (TransactionLogWriter + DeltaLakeMetadata.finishInsert); we do
+# the same jar-free with the md5-HLL register sketches from
+# operators/hll.py (sparse {bucket: max-rho} maps in the JSON).
+# Destructive writes (overwrite / DELETE / UPDATE / MERGE) DROP the
+# sidecar — an HLL cannot subtract, and serving pre-delete NDV as
+# authoritative would be the stale-stats bug ADVICE r13 flagged.
+# ---------------------------------------------------------------------------
+
+
+def extended_stats_file(path: str) -> str:
+    return os.path.join(path, "_trino_meta", "extended_stats.json")
+
+
+def hll_estimate_py(regs: dict[int, int]) -> float:
+    """Python twin of operators/hll.py's _FINAL estimate expression
+    (same alpha, same 61-bit window, same linear-counting fallback)."""
+    import math
+
+    M = 1024
+    TWO61 = 1 << 61
+    nz = len(regs)
+    sp = sum(1 << (61 - r) for r in regs.values())
+    s = (sp + (M - nz) * TWO61) / float(TWO61)
+    est = (0.7213 / (1.0 + 1.079 / M)) * M * M / s
+    if est <= 2.5 * M and (M - nz) > 0:
+        est = M * math.log(M / float(M - nz))
+    return round(est, 6)
+
+
+def column_hll_registers(df, cols: list[str]) -> dict[str, dict[int, int]]:
+    """Per-column HLL register sketches in ONE shuffle pass: stack the
+    columns long (col, value-as-string), bucket/rho via the md5 scheme
+    every other HLL surface uses, groupBy(col, bucket) MAX(rho). At
+    most len(cols)*1024 rows ever reach the driver — sketch-sized, not
+    data-sized, at any table scale."""
+    from witdb_spark.operators.hll import _bucket_rho
+
+    if not cols:
+        return {}
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    long_df = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (__col, __v)"
+    ).where("__v is not null")
+    b, rho = _bucket_rho("__v")
+    regs = (
+        long_df.select("__col", b, rho)
+        .groupBy("__col", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .collect()
+    )
+    out: dict[str, dict[int, int]] = {c: {} for c in cols}
+    for row in regs:
+        out[row["__col"]][int(row["bucket"])] = int(row["r"])
+    return out
+
+
+def drop_extended_stats(path: str) -> bool:
+    f = extended_stats_file(path)
+    if os.path.exists(f):
+        os.remove(f)
+        return True
+    return False
+
+
+def update_extended_stats_on_append(spark, path: str, df) -> None:
+    """Post-commit, best-effort: if an ANALYZE sidecar exists, merge
+    the appended batch's HLL registers into each analyzed column's
+    sketch (per-register MAX — sketch union), re-resolve NDV from the
+    merged sketch, and add the batch's string/binary byte sizes.
+    Sidecars from before sketches were persisted (no 'hll' key) can't
+    be merged and are dropped instead of being served stale."""
+    target = extended_stats_file(path)
+    if not os.path.exists(target):
+        return
+    try:
+        with open(target) as fh:
+            side = json.load(fh)
+        col_stats = side.get("columnStatistics") or {}
+        cols = [c for c in col_stats if c in df.columns]
+        if any("hll" not in col_stats[c] for c in cols):
+            drop_extended_stats(path)
+            return
+        fresh = column_hll_registers(df, cols)
+        from pyspark.sql import types as T
+
+        sz_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in col_stats
+            and isinstance(f.dataType, (T.StringType, T.BinaryType))
+        ]
+        sizes = {}
+        if sz_cols:
+            row = df.agg(
+                *[
+                    F.sum(F.octet_length(F.col(c)))
+                    .cast("double")
+                    .alias(c)
+                    for c in sz_cols
+                ]
+            ).collect()[0]
+            sizes = row.asDict()
+        for c in cols:
+            merged = {
+                int(k): int(v) for k, v in col_stats[c]["hll"].items()
+            }
+            for bkt, r in fresh.get(c, {}).items():
+                if r > merged.get(bkt, 0):
+                    merged[bkt] = r
+            col_stats[c]["hll"] = {str(k): v for k, v in merged.items()}
+            col_stats[c]["ndv"] = hll_estimate_py(merged)
+            if sizes.get(c) is not None:
+                col_stats[c]["totalSizeInBytes"] = (
+                    col_stats[c].get("totalSizeInBytes") or 0.0
+                ) + sizes[c]
+        side["alreadyAnalyzedModifiedTime"] = _now_ms()
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(side, fh)
+        os.replace(tmp, target)
+    except (OSError, ValueError, KeyError):
+        # stats are advisory; a corrupt sidecar must not fail a write
+        drop_extended_stats(path)

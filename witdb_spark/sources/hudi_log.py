@@ -30,7 +30,9 @@ the library's avro-list serialization (r12, decode_delete_block);
 PARQUET_DATA blocks decode via pyarrow (r12, decode_parquet_block —
 the content IS a parquet file). Kryo DELETE payloads (serialization
 v1/v2) decode jar-free since r13 (_kryo_delete_payload — strict,
-unknown kryo graphs stay loud). HFILE / CDC blocks raise loudly
+unknown kryo graphs stay loud). CDC_DATA blocks (RFC-51) are served
+via log_cdc_entries since r13 (snapshot reads skip them, as hudi's own
+reader does). Only HFILE blocks still raise loudly
 (library-serialization-specific).
 """
 
@@ -654,7 +656,8 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
     serialization v1/v2) decode jar-free (r13). PARQUET_DATA blocks (r12)
     decode via pyarrow — their content IS a parquet file (hudi's
     HoodieParquetDataBlock; PAR1-magic-checked, loud otherwise).
-    HFILE/CDC blocks raise."""
+    CDC_DATA blocks are supplemental change info — skipped here,
+    served by log_cdc_entries (r13); HFILE blocks raise."""
     kept: list[dict] = []
     for b in read_log_blocks(path):
         t = b["type"]

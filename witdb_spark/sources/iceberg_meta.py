@@ -2936,22 +2936,45 @@ def iceberg_remove_orphan_files(
     retention_threshold, default 7d; the age guard keeps in-flight
     writers' freshly staged files safe). Referenced = every
     snapshot's manifest list, every manifest they list, every
-    data/delete file those carry, all v*.metadata.json history,
-    version-hint.text and statistics files. Metadata commits are NOT
-    made — orphans are by definition outside the metadata graph."""
+    data/delete file those carry, EVERY *.metadata.json in the
+    metadata dir (regardless of naming — library writers use
+    <seq>-<uuid>.metadata.json, not v<N>; the reference protects all
+    reachable metadata via ReachableFileUtil.metadataFileLocations),
+    version-hint.text, and the statistics / partition-statistics
+    puffin files of every metadata version — not just the current
+    one. Metadata commits are NOT made — orphans are by definition
+    outside the metadata graph."""
     import time as _time
 
-    meta = _current_metadata(path)
+    _current_metadata(path)  # existence gate: refuse on a non-table
     root = os.path.abspath(path)
     referenced: set[str] = set()
     mdir = os.path.join(root, "metadata")
     for f in os.listdir(mdir):
-        if re.match(r"v\d+\.metadata\.json$", f) or f == "version-hint.text":
-            referenced.add(os.path.abspath(os.path.join(mdir, f)))
-    for st in meta.get("statistics") or []:
-        referenced.add(
-            os.path.abspath(_resolve(path, st["statistics-path"]))
-        )
+        if f.endswith(".metadata.json") or f == "version-hint.text":
+            full = os.path.abspath(os.path.join(mdir, f))
+            referenced.add(full)
+            if f == "version-hint.text":
+                continue
+            # Statistics of EVERY metadata version stay protected —
+            # a rolled-back table's non-current puffin files are
+            # reachable history, not orphans.
+            try:
+                hist = json.load(open(full))
+            except (OSError, ValueError):
+                continue
+            for key in ("statistics", "partition-statistics"):
+                for st in hist.get(key) or []:
+                    sp = st.get("statistics-path") or st.get(
+                        "partition-statistics-path"
+                    )
+                    if sp:
+                        referenced.add(os.path.abspath(_resolve(path, sp)))
+            for entry in hist.get("metadata-log") or []:
+                mf = entry.get("metadata-file")
+                if mf:
+                    referenced.add(os.path.abspath(_resolve(path, mf)))
+    meta = _current_metadata(path)
     manifest_cache: dict[str, list] = {}
     for s in meta.get("snapshots") or []:
         ml = os.path.abspath(_resolve(path, s["manifest-list"]))

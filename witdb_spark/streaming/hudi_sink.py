@@ -25,25 +25,40 @@ import json
 import os
 
 
+# (path, app_id) -> (newest instant examined, last epoch found).
+# Purely an I/O saver: a cold process rescans the timeline and gets
+# the same answer, so restarts stay exactly-once.
+_EPOCH_CACHE: dict[tuple[str, str], tuple[str, int | None]] = {}
+
+
 def hudi_last_committed_epoch(path: str, app_id: str) -> int | None:
     """Largest streaming-epoch-id any COMPLETED instant recorded for
-    ``app_id`` (None if the app never committed). The cleaner retains
-    instants, not the reverse — replay protection only needs the
-    latest epoch, which the newest instant carries."""
+    ``app_id`` (None if the app never committed). Scans the timeline
+    NEWEST-FIRST and stops at the first instant carrying the app's
+    marker — epochs are monotone per app, so the newest marked
+    instant holds the max — and caches the scan frontier per
+    (path, app) so steady-state microbatches parse O(new instants)
+    files, not O(timeline) (ADVICE r13)."""
     from witdb_spark.sources.hudi_meta import _completed_instants
 
-    last: int | None = None
-    for _inst, _action, fpath in _completed_instants(path):
+    key = (os.path.abspath(path), app_id)
+    seen_upto, cached = _EPOCH_CACHE.get(key, ("", None))
+    instants = _completed_instants(path)
+    newest = instants[-1][0] if instants else ""
+    for inst, _action, fpath in reversed(instants):
+        if inst <= seen_upto:
+            break  # older than the cached frontier: already examined
         with open(fpath) as f:
             body = f.read().strip()
         meta = (json.loads(body) if body else {}).get(
             "extraMetadata"
         ) or {}
-        if meta.get("streaming-app-id") != app_id:
-            continue
-        epoch = int(meta["streaming-epoch-id"])
-        last = epoch if last is None else max(last, epoch)
-    return last
+        if meta.get("streaming-app-id") == app_id:
+            epoch = int(meta["streaming-epoch-id"])
+            cached = epoch if cached is None else max(cached, epoch)
+            break
+    _EPOCH_CACHE[key] = (newest, cached)
+    return cached
 
 
 def hudi_stream_writer(
