@@ -4249,3 +4249,85 @@ def delta_cdf_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@register(
+    "hudi_hfile_block_read",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 7 = 3 THEN 'HFILED'
+                ELSE n_name END AS n_name
+    FROM nation
+    """,
+    doc="HFILE log blocks (r14, hudi_log.decode_hfile_block over "
+    "sources/hfile.py — the public HBase HFile v2/v3 layout, jar-"
+    "free; reference plugin/trino-hudi reads them via the hudi "
+    "library's HBase reader): nation lands as a MOR base, an upsert "
+    "opens the file group's log, then an HFILE_DATA block — a "
+    "complete inlined HFile whose cells are (record key, avro datum) "
+    "under the block's SCHEMA header, GZ-compressed, CRC32C-checked "
+    "— patches every n%7=3 name. The MOR merge reader decodes it "
+    "like any data block; hash-equal to the CASE oracle.",
+    tags=("source", "lakehouse"),
+)
+def hudi_hfile_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_log import (
+        BLOCK_HFILE_DATA,
+        HEADER_INSTANT_TIME,
+        HEADER_SCHEMA,
+        append_log_block,
+        encode_hfile_block_content,
+        log_entries,
+        read_log_blocks,
+    )
+    from witdb_spark.sources.hudi_meta import (
+        hudi_log_upsert,
+        read_hudi_snapshot,
+        write_hudi_mor_create,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_hfile_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path, record_key="n_nationkey"
+    )
+    # an ordinary upsert opens the slice's log and fixes the record
+    # schema this table's log blocks carry
+    hudi_log_upsert(
+        spark, path, base.filter("n_nationkey = 0").limit(1)
+    )
+    log = glob.glob(os.path.join(path, ".*.log.*"))[0]
+    blk = read_log_blocks(log)[0]
+    schema_json = blk["headers"][HEADER_SCHEMA]
+    instant = blk["headers"][HEADER_INSTANT_TIME]
+    template, _, _ = log_entries(log)[0]
+    records = []
+    for r in base.filter("n_nationkey % 7 = 3").collect():
+        rec = dict(template)
+        rec["_hoodie_record_key"] = str(r.n_nationkey)
+        rec["n_nationkey"] = int(r.n_nationkey)
+        rec["n_name"] = "HFILED"
+        records.append(rec)
+    append_log_block(
+        log,
+        BLOCK_HFILE_DATA,
+        {HEADER_INSTANT_TIME: instant, HEADER_SCHEMA: schema_json},
+        encode_hfile_block_content(
+            records, json.loads(schema_json)
+        ),
+    )
+    return read_hudi_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )

@@ -32,8 +32,9 @@ the content IS a parquet file). Kryo DELETE payloads (serialization
 v1/v2) decode jar-free since r13 (_kryo_delete_payload — strict,
 unknown kryo graphs stay loud). CDC_DATA blocks (RFC-51) are served
 via log_cdc_entries since r13 (snapshot reads skip them, as hudi's own
-reader does). Only HFILE blocks still raise loudly
-(library-serialization-specific).
+reader does). HFILE blocks decode jar-free since r14
+(decode_hfile_block over sources/hfile.py's public-spec HBase HFile
+v2/v3 reader) — every hudi log block type is now served.
 """
 
 from __future__ import annotations
@@ -614,6 +615,48 @@ def encode_avro_block_content(records: list[dict], schema) -> bytes:
     return bytes(out)
 
 
+def decode_hfile_block(
+    content: bytes, schema_json: str, path: str
+) -> list[dict]:
+    """HFILE_DATA block content -> record dicts (r14). The content is
+    a complete inlined HFile (hudi HoodieHFileDataBlock; reference
+    plugin/trino-hudi reads it via the hudi library's
+    HoodieLogFileReader -> HBase HFile.Reader): each cell's row is the
+    record key, its value the binary-avro datum under the block's
+    SCHEMA header. sources/hfile.py walks the public HBase v2/v3
+    layout jar-free."""
+    from witdb_spark.sources.hfile import read_hfile_cells
+
+    schema = json.loads(schema_json)
+    names: dict = {}
+    _register(schema, names)
+    out: list[dict] = []
+    for _row, val in read_hfile_cells(content, path):
+        out.append(_decode(schema, _Reader(val), names))
+    return out
+
+
+def encode_hfile_block_content(
+    records: list[dict], schema, key_field: str = "_hoodie_record_key",
+    compression: str = "gz",
+) -> bytes:
+    """Records -> HFILE_DATA block content: avro-encode each record
+    under ``schema``, key cells by ``key_field`` (hudi sorts by record
+    key), and assemble the inlined HFile via sources/hfile.write_hfile.
+    Conformance twin of decode_hfile_block."""
+    from witdb_spark.sources.avro_codec import _encode
+    from witdb_spark.sources.hfile import write_hfile
+
+    names: dict = {}
+    _register(schema, names)
+    cells = []
+    for rec in records:
+        datum = bytearray()
+        _encode(schema, rec, names, datum)
+        cells.append((str(rec[key_field]).encode(), bytes(datum)))
+    return write_hfile(cells, compression=compression)
+
+
 def append_log_block(
     path: str,
     btype: int,
@@ -657,11 +700,18 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
     decode via pyarrow — their content IS a parquet file (hudi's
     HoodieParquetDataBlock; PAR1-magic-checked, loud otherwise).
     CDC_DATA blocks are supplemental change info — skipped here,
-    served by log_cdc_entries (r13); HFILE blocks raise."""
+    served by log_cdc_entries (r13). HFILE blocks (r14) decode via
+    the jar-free HBase HFile reader (decode_hfile_block) — cell
+    values are avro datums under the block's SCHEMA header."""
     kept: list[dict] = []
     for b in read_log_blocks(path):
         t = b["type"]
-        if t in (BLOCK_AVRO_DATA, BLOCK_DELETE, BLOCK_PARQUET_DATA):
+        if t in (
+            BLOCK_AVRO_DATA,
+            BLOCK_DELETE,
+            BLOCK_PARQUET_DATA,
+            BLOCK_HFILE_DATA,
+        ):
             kept.append(b)
         elif t == BLOCK_COMMAND:
             target = b["headers"].get(HEADER_TARGET_INSTANT_TIME)
@@ -678,8 +728,8 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
             continue
         else:
             raise HudiLogError(
-                f"{path}: log block type {t} (hfile)"
-                " needs the hudi-spark bundle"
+                f"{path}: unknown log block type {t}"
+                " — needs the hudi-spark bundle"
             )
     out: list = []
     for b in kept:
@@ -689,6 +739,18 @@ def log_entries(path: str) -> list[tuple[dict, str | None, bool]]:
             out.extend(
                 (r, instant, False)
                 for r in decode_parquet_block(b["content"], path)
+            )
+            continue
+        if b["type"] == BLOCK_HFILE_DATA:
+            if not schema_json:
+                raise HudiLogError(
+                    f"{path}: HFILE block without SCHEMA header"
+                )
+            out.extend(
+                (r, instant, False)
+                for r in decode_hfile_block(
+                    b["content"], schema_json, path
+                )
             )
             continue
         if not schema_json and b["type"] == BLOCK_DELETE:

@@ -110,7 +110,8 @@ def _delta_partitions(spark: SparkSession, path: str) -> DataFrame:
     from witdb_spark.sources.delta_log import _snapshot_state
 
     _, metadata, state, _ = _snapshot_state(
-        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
+        spark, path, None, None,
+        allow_dvs=True, allow_name_mapping=True, keep_stats=True,
     )
     part_cols = list(metadata.get("partitionColumns") or [])
     agg: dict[tuple, list[int]] = {}
