@@ -1646,7 +1646,7 @@ def test_analyze_extended_stats_lifecycle(spark, tmp_path):
     the path table serves the persisted values over the live ones
     (proven with a sentinel edit); CALL system.drop_extended_stats
     removes the sidecar and SHOW STATS reverts to live; iceberg
-    ANALYZE refuses with the Puffin rationale."""
+    ANALYZE (since r14) writes Puffin statistics."""
     import json
     import os
 
@@ -1697,13 +1697,14 @@ def test_analyze_extended_stats_lifecycle(spark, tmp_path):
     assert not eng.sql(
         f"CALL system.drop_extended_stats('{t}')"
     ).collect()[0].dropped
-    # iceberg ANALYZE refuses loudly with the Puffin rationale
+    # iceberg ANALYZE writes Puffin statistics since r14 (its own
+    # lifecycle test: test_iceberg_analyze_puffin_stats)
     ti = str(tmp_path / "stats_ice")
     write_iceberg(
         spark, spark.range(5).selectExpr("id"), ti, mode="create"
     )
-    with pytest.raises(Exception, match="Puffin"):
-        eng.sql(f"ANALYZE iceberg.'{ti}'")
+    row = eng.sql(f"ANALYZE iceberg.'{ti}'").collect()[0]
+    assert row.analyzed_columns == 1 and row.row_count == 5.0
 
 
 def test_register_unregister_table(spark, tmp_path):
@@ -1851,3 +1852,116 @@ def test_extended_stats_track_writes(spark, tmp_path):
         if r.column_name
     }
     assert got["id"] == pytest.approx(100, rel=0.06)
+
+
+def test_iceberg_analyze_puffin_stats(spark, tmp_path):
+    """r14: ANALYZE iceberg.'<path>' (reference trino-iceberg
+    TableStatisticsWriter): writes a Puffin statistics file whose
+    theta-sketch blobs carry per-column 'ndv' properties, registers
+    it in metadata.statistics keyed by the analyzed snapshot, SHOW
+    STATS serves those NDVs over live computation, a NEW snapshot
+    makes them inapplicable (stats are per-snapshot), and CALL
+    system.drop_extended_stats removes entries + files. The Puffin
+    envelope and sketches are validated by the format readers."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        iceberg_ndv_stats,
+        write_iceberg,
+    )
+    from witdb_spark.sources.puffin import (
+        read_puffin,
+        read_puffin_blob,
+        read_theta_sketch,
+    )
+
+    eng = Engine(spark)
+    t = str(tmp_path / "ice_puffin")
+    write_iceberg(
+        spark,
+        spark.range(0, 300).selectExpr(
+            "id", "CAST(id % 9 AS STRING) AS s"
+        ),
+        t,
+        mode="create",
+    )
+    row = eng.sql(f"ANALYZE iceberg.'{t}'").collect()[0]
+    assert row.analyzed_columns == 2 and row.row_count == 300.0
+    meta = _current_metadata(t)
+    stats = meta.get("statistics")
+    assert stats and stats[0]["snapshot-id"] == meta[
+        "current-snapshot-id"
+    ]
+    # the Puffin file parses, and each blob is a valid theta sketch
+    metas, props, _ = read_puffin(stats[0]["statistics-path"])
+    assert {m["type"] for m in metas} == {
+        "apache-datasketches-theta-v1"
+    }
+    for m in metas:
+        hashes, theta = read_theta_sketch(
+            read_puffin_blob(stats[0]["statistics-path"], m)
+        )
+        assert all(h < theta for h in hashes)
+    ndv = iceberg_ndv_stats(t)
+    assert ndv["id"]["ndv"] == 300.0 and ndv["s"]["ndv"] == 9.0
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR iceberg.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == 300.0 and got["s"] == 9.0
+    # a new snapshot is NOT covered by the old statistics entry
+    write_iceberg(
+        spark,
+        spark.range(300, 400).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ),
+        t,
+        mode="append",
+    )
+    assert iceberg_ndv_stats(t) is None
+    got = {
+        r.column_name: r.distinct_values_count
+        for r in eng.sql(f"SHOW STATS FOR iceberg.'{t}'").collect()
+        if r.column_name
+    }
+    assert got["id"] == pytest.approx(400, rel=0.06)  # live again
+    # re-analyze covers the new snapshot; drop removes everything
+    eng.sql(f"ANALYZE iceberg.'{t}'")
+    assert iceberg_ndv_stats(t)["id"]["ndv"] == 400.0
+    import glob as _glob
+    import os as _os
+
+    row = eng.sql(
+        f"CALL system.drop_extended_stats('{t}')"
+    ).collect()[0]
+    assert row.dropped
+    assert not _current_metadata(t).get("statistics")
+    assert not _glob.glob(_os.path.join(t, "metadata", "*.stats"))
+    assert not eng.sql(
+        f"CALL system.drop_extended_stats('{t}')"
+    ).collect()[0].dropped
+
+
+def test_iceberg_analyze_estimation_mode(spark, tmp_path):
+    """r14: above k=4096 distinct values the theta sketch enters
+    estimation mode (KMV boundary) — the served NDV stays within the
+    sketch's error bounds instead of clamping at k."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_ndv_stats,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_puffin_est")
+    write_iceberg(
+        spark, spark.range(0, 30000).selectExpr("id"), t, mode="create"
+    )
+    Engine(spark).sql(f"ANALYZE iceberg.'{t}'")
+    assert iceberg_ndv_stats(t)["id"]["ndv"] == pytest.approx(
+        30000, rel=0.05
+    )

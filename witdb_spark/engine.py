@@ -142,14 +142,20 @@ class Engine:
             read_table(self.spark, fmt, path).createOrReplaceTempView(
                 "__show_stats_t"
             )
-            return self.show_stats(
-                "__show_stats_t",
-                extended=(
-                    self._load_extended_stats(path)
-                    if fmt == "delta"
-                    else None
-                ),
-            )
+            if fmt == "delta":
+                ext = self._load_extended_stats(path)
+            elif fmt == "iceberg":
+                # r14: NDV from the current snapshot's Puffin
+                # statistics (blob 'ndv' properties — where the
+                # reference TableStatisticsReader looks)
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_ndv_stats,
+                )
+
+                ext = iceberg_ndv_stats(path)
+            else:
+                ext = None
+            return self.show_stats("__show_stats_t", extended=ext)
         m = _SHOW_STATS.match(text)
         if m:
             return self.show_stats(m.group("name"))
@@ -967,11 +973,22 @@ class Engine:
                 [(path, sid)], "path string, current_snapshot_id bigint"
             )
         if proc == "drop_extended_stats":
-            # reference trino-delta-lake DropExtendedStatsProcedure
+            # reference DropExtendedStatsProcedure — both the delta
+            # and (r14) iceberg connectors ship this spelling; iceberg
+            # drops the Puffin statistics entries + files
+            if fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    iceberg_drop_statistics,
+                )
+
+                return self.spark.createDataFrame(
+                    [(path, iceberg_drop_statistics(path))],
+                    "path string, dropped boolean",
+                )
             if fmt != "delta":
                 raise ValueError(
-                    f"system.drop_extended_stats is a Delta procedure;"
-                    f" {path} is a {fmt} table"
+                    f"system.drop_extended_stats is a Delta/Iceberg"
+                    f" procedure; {path} is a {fmt} table"
                 )
             f = self._extended_stats_file(path)
             existed = os.path.exists(f)
@@ -1991,25 +2008,39 @@ class Engine:
         add its byte sizes, so served NDV/data_size track inserts;
         destructive writes (overwrite/DELETE/UPDATE/MERGE/TRUNCATE/
         RESTORE) DROP the sidecar — an HLL cannot subtract — and SHOW
-        STATS falls back to live computation. Iceberg ANALYZE persists
-        Puffin sketch files in the reference — out of jar-free scope,
-        loud; hudi has no ANALYZE."""
+        STATS falls back to live computation. ANALYZE iceberg.'<path>'
+        (r14) persists Puffin statistics files with theta sketches —
+        the reference trino-iceberg's own artifact
+        (iceberg_meta.iceberg_analyze); hudi has no ANALYZE."""
         import json as _json
 
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        if fmt == "iceberg":
+            # r14: Puffin statistics files with theta sketches — the
+            # reference trino-iceberg's own ANALYZE artifact
+            # (sources/puffin.py implements both public formats)
+            from witdb_spark.sources.iceberg_meta import iceberg_analyze
+
+            r = iceberg_analyze(self.spark, path)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        path,
+                        r["analyzed_columns"],
+                        r["row_count"],
+                        r["statistics_path"],
+                    )
+                ],
+                "path string, analyzed_columns bigint,"
+                " row_count double, statistics_path string",
+            )
         if fmt != "delta":
             raise ValueError(
                 f"ANALYZE on {fmt} is not supported jar-free"
-                + (
-                    " — the reference persists iceberg statistics as"
-                    " Puffin sketch files (library serialization);"
-                    " SHOW STATS computes live statistics instead"
-                    if fmt == "iceberg"
-                    else " (the reference has no hudi ANALYZE);"
-                    " SHOW STATS computes live statistics instead"
-                )
+                " (the reference has no hudi ANALYZE);"
+                " SHOW STATS computes live statistics instead"
             )
         from witdb_spark.sources.delta_log import (
             column_hll_registers,

@@ -4331,3 +4331,63 @@ def hudi_hfile_block_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_snapshot(spark, path).select(
         "n_nationkey", "n_name"
     )
+
+
+@register(
+    "iceberg_analyze_puffin_stats",
+    """
+    SELECT 'k2000' AS column_name,
+           CAST(COUNT(DISTINCT c_custkey % 2000) AS DOUBLE) AS ndv
+    FROM customer
+    UNION ALL
+    SELECT 'segment',
+           CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE)
+    FROM customer
+    ORDER BY column_name
+    """,
+    doc="Puffin statistics end-to-end (r14, sources/puffin.py + "
+    "iceberg_meta.iceberg_analyze; reference trino-iceberg "
+    "TableStatisticsWriter/Reader + AnalyzeTask): customer-derived "
+    "columns land as an Iceberg table, ANALYZE iceberg.'<path>' "
+    "builds apache-datasketches-theta-v1 sketches (murmur3_x64_128, "
+    "exact mode under k=4096) into a Puffin file registered in "
+    "metadata.statistics, and SHOW STATS serves each blob's ndv "
+    "property — compared hash-exact against COUNT(DISTINCT). The "
+    "k+1-smallest-hash collection is a JVM TakeOrderedAndProject "
+    "over executor-side Arrow-batched hashing: O(k) driver memory "
+    "at any scale.",
+    tags=("source", "lakehouse", "stats"),
+)
+def iceberg_analyze_puffin_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    t = Tables(spark, sf_dir)
+    src = t.customer.selectExpr(
+        "CAST(c_custkey % 2000 AS BIGINT) AS k2000",
+        "c_mktsegment AS segment",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_puffin_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(spark, src.coalesce(2), path, mode="create")
+    eng = Engine(spark)
+    eng.sql(f"ANALYZE iceberg.'{path}'")
+    return (
+        eng.sql(f"SHOW STATS FOR iceberg.'{path}'")
+        .where("column_name IS NOT NULL")
+        .select(
+            "column_name",
+            F.col("distinct_values_count").alias("ndv"),
+        )
+        .orderBy("column_name")
+    )

@@ -3251,3 +3251,162 @@ def iceberg_optimize(
         lambda rows: rows.coalesce(max(1, int(target_files))),
         op="OPTIMIZE",
     )
+
+
+def iceberg_analyze(spark, path: str) -> dict:
+    """ANALYZE iceberg.'<path>' (r14 — the reference trino-iceberg's
+    TableStatisticsWriter + AnalyzeTask): per-column NDV is collected
+    as an apache-datasketches-theta-v1 sketch, persisted in a Puffin
+    statistics file under metadata/, and registered in the table
+    metadata's ``statistics`` list keyed by the analyzed snapshot.
+    SHOW STATS serves NDV from each blob's ``ndv`` property — exactly
+    where the reference's TableStatisticsReader looks.
+
+    Distributed shape: per column the table projects to its DISTINCT
+    values (JVM shuffle), hashes executor-side (Arrow-batched pandas
+    over murmur3_x64_128, sources/puffin.py), and only the k+1
+    smallest hashes reach the driver via TakeOrderedAndProject —
+    O(k) driver memory at any table size. Exact mode under k=4096
+    distinct values; KMV extrapolation above."""
+    import uuid as _uuid
+
+    from witdb_spark.sources.puffin import (
+        NOMINAL_K,
+        THETA_BLOB_TYPE,
+        build_theta_sketch,
+        write_puffin,
+    )
+
+    meta = _current_metadata(path)
+    snap = _pick_snapshot(meta, None, None)
+    sid = snap["snapshot-id"]
+    seq = snap.get("sequence-number", 0)
+    fields = _table_schema(meta)["fields"]
+    df = read_iceberg_snapshot(spark, path)
+    n = df.count()
+
+    def _hash_col(batches):
+        import pandas as _pd
+
+        from witdb_spark.sources.puffin import theta_hash
+
+        for pdf in batches:
+            col = pdf.iloc[:, 0]
+            yield _pd.DataFrame(
+                {
+                    "h": _pd.Series(
+                        [theta_hash(str(v).encode()) for v in col],
+                        dtype="int64",
+                    )
+                }
+            )
+
+    blobs = []
+    for f in fields:
+        name = f["name"]
+        hashes = [
+            r["h"]
+            for r in df.select(name)
+            .where(f"`{name}` IS NOT NULL")
+            .distinct()
+            .mapInPandas(_hash_col, "h long")
+            .orderBy("h")
+            .limit(NOMINAL_K + 1)
+            .collect()
+        ]
+        data, est = build_theta_sketch(sorted(set(hashes)))
+        blobs.append(
+            {
+                "type": THETA_BLOB_TYPE,
+                "fields": [f["id"]],
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "data": data,
+                "properties": {"ndv": str(int(round(est)))},
+            }
+        )
+    rel = os.path.join(
+        "metadata", f"{sid}-{_uuid.uuid4()}.stats"
+    )
+    full = os.path.join(path, rel)
+    entry = write_puffin(full, blobs)
+    stats_entry = {
+        "snapshot-id": sid,
+        "statistics-path": full,
+        "file-size-in-bytes": entry["file_size"],
+        "file-footer-size-in-bytes": entry["footer_size"],
+        "blob-metadata": entry["blob_metadata"],
+    }
+
+    def build(cur: dict) -> dict:
+        keep = [
+            s
+            for s in (cur.get("statistics") or [])
+            if s.get("snapshot-id") != sid
+        ]
+        return dict(cur, statistics=keep + [stats_entry])
+
+    _commit_metadata(path, build, meta.get("current-snapshot-id"))
+    return {
+        "snapshot_id": sid,
+        "analyzed_columns": len(fields),
+        "row_count": float(n),
+        "statistics_path": full,
+    }
+
+
+def iceberg_ndv_stats(path: str) -> dict[str, dict] | None:
+    """NDV map {column: {'ndv': float}} from the CURRENT snapshot's
+    Puffin statistics (blob ``ndv`` properties — the reference
+    TableStatisticsReader's source); None when the current snapshot
+    was never analyzed."""
+    meta = _current_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    entry = next(
+        (
+            s
+            for s in (meta.get("statistics") or [])
+            if s.get("snapshot-id") == cur
+        ),
+        None,
+    )
+    if entry is None:
+        return None
+    id_to_name = {
+        f["id"]: f["name"] for f in _table_schema(meta)["fields"]
+    }
+    from witdb_spark.sources.puffin import THETA_BLOB_TYPE
+
+    out: dict[str, dict] = {}
+    for bm in entry.get("blob-metadata") or []:
+        if bm.get("type") != THETA_BLOB_TYPE:
+            continue
+        ndv = (bm.get("properties") or {}).get("ndv")
+        flds = bm.get("fields") or []
+        if ndv is None or len(flds) != 1:
+            continue
+        name = id_to_name.get(flds[0])
+        if name:
+            out[name] = {"ndv": float(ndv)}
+    return out or None
+
+
+def iceberg_drop_statistics(path: str) -> bool:
+    """CALL system.drop_extended_stats on an iceberg table (the
+    reference trino-iceberg ships the same procedure name): remove
+    every statistics entry from the metadata and delete the Puffin
+    files. Returns whether anything was dropped."""
+    meta = _current_metadata(path)
+    entries = meta.get("statistics") or []
+    if not entries:
+        return False
+    _commit_metadata(
+        path,
+        lambda cur: dict(cur, statistics=[]),
+        meta.get("current-snapshot-id"),
+    )
+    for e in entries:
+        p = _resolve(path, e["statistics-path"])
+        if os.path.exists(p):
+            os.remove(p)
+    return True
