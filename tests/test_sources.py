@@ -7708,3 +7708,73 @@ def test_hudi_hfile_log_block_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="HFile|hfile"):
         log_entries(log2)
+
+
+def test_iceberg_cherry_pick_diverged_branch(spark, tmp_path):
+    """r14: CALL system.cherrypick_snapshot (iceberg library
+    SnapshotManager.cherrypick / Spark CherrypickSnapshotProcedure) —
+    a DIVERGED branch's append snapshot re-applies onto main as a new
+    snapshot (fast_forward refuses exactly this shape); the new
+    commit lists the cherry-picked manifests under its own sequence
+    number; ancestors no-op; delete snapshots refuse."""
+    import pytest
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        iceberg_cherry_pick,
+        iceberg_create_ref,
+        iceberg_delete_where,
+        iceberg_fast_forward,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_cherry")
+    write_iceberg(
+        spark, spark.range(0, 100).selectExpr("id"), t, mode="create"
+    )
+    iceberg_create_ref(t, "wap", ref_type="branch")
+    # diverge: main gains an append AND the branch gains an append
+    write_iceberg(
+        spark, spark.range(100, 150).selectExpr("id"), t, mode="append"
+    )
+    write_iceberg(
+        spark,
+        spark.range(1000, 1040).selectExpr("id"),
+        t,
+        branch="wap",
+    )
+    meta = _current_metadata(t)
+    wap_head = meta["refs"]["wap"]["snapshot-id"]
+    # fast_forward refuses the diverged publish, naming the remedy
+    with pytest.raises(IcebergProtocolError, match="cherrypick"):
+        iceberg_fast_forward(t, "main", "wap")
+    res = Engine(spark).sql(
+        f"CALL system.cherrypick_snapshot('{t}', {wap_head})"
+    ).collect()[0]
+    assert res.source_snapshot_id == wap_head
+    got = {r.id for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == set(range(150)) | set(range(1000, 1040))
+    # sequence number advanced onto the new head
+    meta2 = _current_metadata(t)
+    head = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    assert head["sequence-number"] == meta2["last-sequence-number"]
+    assert head["summary"]["operation"] == "append"
+    # cherry-picking an ancestor is a no-op
+    prev = meta2["current-snapshot-id"]
+    res = iceberg_cherry_pick(t, prev)
+    assert res["current_snapshot_id"] == prev
+    # a delete snapshot refuses
+    iceberg_delete_where(spark, t, "id >= 1030")
+    meta3 = _current_metadata(t)
+    del_id = meta3["current-snapshot-id"]
+    write_iceberg(
+        spark, spark.range(150, 160).selectExpr("id"), t, mode="append"
+    )
+    with pytest.raises(IcebergProtocolError, match="APPEND|append"):
+        iceberg_cherry_pick(t, del_id)

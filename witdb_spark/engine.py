@@ -183,7 +183,8 @@ class Engine:
             r"^\s*CALL\s+system\.(vacuum|optimize|checkpoint"
             r"|expire_snapshots|rollback_to_snapshot|fast_forward"
             r"|remove_orphan_files|drop_extended_stats"
-            r"|register_table|unregister_table|clean|restore)"
+            r"|register_table|unregister_table|clean|restore"
+            r"|cherrypick_snapshot)"
             r"\s*\(",
             text, re.I,
         )
@@ -1028,6 +1029,30 @@ class Engine:
                 [(path, res["scanned_files"], res["deleted_files"])],
                 "path string, scanned_files bigint,"
                 " deleted_files bigint",
+            )
+        if proc == "cherrypick_snapshot":
+            # the iceberg library's CherrypickSnapshotProcedure
+            # spelling: re-apply an append snapshot onto main (r14)
+            if fmt != "iceberg":
+                raise ValueError(
+                    f"system.cherrypick_snapshot is an Iceberg"
+                    f" procedure; {path} is a {fmt} table"
+                )
+            if len(args) < 2:
+                raise ValueError(
+                    "system.cherrypick_snapshot needs"
+                    " ('<path>', snapshot_id)"
+                )
+            from witdb_spark.sources.iceberg_meta import (
+                iceberg_cherry_pick,
+            )
+
+            res = iceberg_cherry_pick(path, int(args[1]))
+            return self.spark.createDataFrame(
+                [(path, res["source_snapshot_id"],
+                  res["current_snapshot_id"])],
+                "path string, source_snapshot_id bigint,"
+                " current_snapshot_id bigint",
             )
         if proc == "fast_forward":
             # trino-iceberg's own fast_forward procedure: publish a

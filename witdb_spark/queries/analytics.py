@@ -4391,3 +4391,79 @@ def iceberg_analyze_puffin_stats(
         )
         .orderBy("column_name")
     )
+
+
+@register(
+    "iceberg_cherry_pick_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS BIGINT), 'MAINLINE'
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT CAST(n_nationkey + 3000 AS BIGINT), 'CHERRY'
+    FROM nation WHERE n_regionkey = 2
+    """,
+    doc="Diverged-branch publish (r14, iceberg_meta.py "
+    "iceberg_cherry_pick; the iceberg library's SnapshotManager"
+    ".cherrypick / Spark CherrypickSnapshotProcedure — the shape r13's"
+    " fast_forward refuses): a WAP branch stages an append while main "
+    "itself advances (true divergence), then CALL "
+    "system.cherrypick_snapshot re-applies the branch's append "
+    "snapshot onto main's head as a new commit with a fresh sequence "
+    "number. Main serves base + mainline + cherry rows, hash-equal "
+    "to the three-way UNION oracle.",
+    tags=("source", "lakehouse", "versioned"),
+)
+def iceberg_cherry_pick_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        iceberg_create_ref,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_cherry_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(spark, base.coalesce(1), path, mode="create")
+    iceberg_create_ref(path, "wap", ref_type="branch")
+    write_iceberg(
+        spark,
+        t.nation.filter("n_regionkey = 2").selectExpr(
+            "CAST(n_nationkey + 3000 AS BIGINT) AS n_nationkey",
+            "'CHERRY' AS n_name",
+        ).coalesce(1),
+        path,
+        branch="wap",
+    )
+    # main advances independently -> the branch is now DIVERGED
+    write_iceberg(
+        spark,
+        t.nation.filter("n_regionkey = 0").selectExpr(
+            "CAST(n_nationkey + 1000 AS BIGINT) AS n_nationkey",
+            "'MAINLINE' AS n_name",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    wap_head = _current_metadata(path)["refs"]["wap"]["snapshot-id"]
+    Engine(spark).sql(
+        f"CALL system.cherrypick_snapshot('{path}', {wap_head})"
+    )
+    return read_iceberg_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )

@@ -3187,8 +3187,9 @@ def iceberg_fast_forward(path: str, branch: str, to: str) -> dict:
         raise IcebergProtocolError(
             f"branch {branch!r} (head {from_head}) has diverged from"
             f" {to!r} (head {to_head}) — fast_forward only publishes"
-            " an append lineage; a diverged merge/cherry-pick needs"
-            " the iceberg library"
+            " an append lineage; re-apply the diverged APPEND"
+            " snapshots with CALL system.cherrypick_snapshot (r14);"
+            " rewriting ops need the iceberg library"
         )
 
     def build(cur_meta: dict) -> dict:
@@ -3410,3 +3411,123 @@ def iceberg_drop_statistics(path: str) -> bool:
         if os.path.exists(p):
             os.remove(p)
     return True
+
+
+def iceberg_cherry_pick(path: str, snapshot_id: int) -> dict:
+    """CALL system.cherrypick_snapshot (the iceberg library's
+    SnapshotManager.cherrypick, exposed by Spark's
+    CherrypickSnapshotProcedure; complements r13's fast_forward for
+    DIVERGED branches): re-apply one APPEND snapshot's added manifests
+    on top of the CURRENT main head as a brand-new snapshot. Appends
+    cannot conflict (no files are removed or rewritten), so this is
+    the publishable subset of a diverged lineage — exactly the subset
+    the library cherry-picks without a conflict check; overwrite /
+    delete / replace snapshots still refuse loudly (their re-apply
+    needs conflict detection against files main may have rewritten).
+    The cherry-picked manifests are re-listed under the NEW commit's
+    sequence number (the library's behavior: added entries inherit
+    the applying snapshot's sequence), so equality-delete scoping
+    keeps working. Returns {'source_snapshot_id',
+    'current_snapshot_id'}."""
+    import uuid as _uuid
+
+    meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    src = by_id.get(int(snapshot_id))
+    if src is None:
+        raise IcebergProtocolError(
+            f"snapshot {snapshot_id} not in table history"
+        )
+    op = (src.get("summary") or {}).get("operation", "append")
+    if op != "append":
+        raise IcebergProtocolError(
+            f"cherrypick_snapshot: snapshot {snapshot_id} is"
+            f" {op!r} — only APPEND snapshots re-apply without"
+            " conflict detection; rewriting ops need the"
+            " iceberg-spark-runtime jar"
+        )
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None or cur_id not in by_id:
+        raise IcebergProtocolError(
+            "cherrypick_snapshot needs a current snapshot to apply"
+            " onto"
+        )
+    # ancestor of main already? then its files are already live
+    seen: set[int] = set()
+    walk = cur_id
+    while walk is not None and walk in by_id and walk not in seen:
+        seen.add(walk)
+        walk = by_id[walk].get("parent-snapshot-id")
+    if int(snapshot_id) in seen:
+        return {
+            "source_snapshot_id": int(snapshot_id),
+            "current_snapshot_id": cur_id,
+        }
+    _, src_list = read_avro_file(_resolve(path, src["manifest-list"]))
+    parent_paths: set[str] = set()
+    pid = src.get("parent-snapshot-id")
+    if pid is not None and pid in by_id:
+        _, pl = read_avro_file(
+            _resolve(path, by_id[pid]["manifest-list"])
+        )
+        parent_paths = {m["manifest_path"] for m in pl}
+    new_manifests = [
+        m for m in src_list if m["manifest_path"] not in parent_paths
+    ]
+    if any(m.get("content", 0) != 0 for m in new_manifests):
+        raise IcebergProtocolError(
+            "cherrypick_snapshot: the snapshot added DELETE manifests"
+            " — row-delete re-application needs conflict detection"
+            " (iceberg-spark-runtime jar)"
+        )
+    if not new_manifests:
+        return {
+            "source_snapshot_id": int(snapshot_id),
+            "current_snapshot_id": cur_id,
+        }
+    _, cur_list = read_avro_file(
+        _resolve(path, by_id[cur_id]["manifest-list"])
+    )
+    seq = meta.get("last-sequence-number", 0) + 1
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    )
+    listed = [
+        {**dict(m), "sequence_number": seq, "added_snapshot_id": snap_id}
+        for m in new_manifests
+    ] + [
+        {**dict(m), "sequence_number": m.get("sequence_number")}
+        for m in cur_list
+    ]
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, listed)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": cur_id,
+        "timestamp-ms": _now_ms_ice(),
+        "sequence-number": seq,
+        "manifest-list": mlist,
+        "summary": {
+            "operation": "append",
+            "source-snapshot-id": str(snapshot_id),
+        },
+    }
+
+    def build(cur_meta: dict) -> dict:
+        return dict(
+            cur_meta,
+            **{
+                "snapshots": (cur_meta.get("snapshots") or [])
+                + [new_snap],
+                "current-snapshot-id": snap_id,
+                "last-sequence-number": seq,
+                "last-updated-ms": _now_ms_ice(),
+            },
+        )
+
+    _commit_metadata(path, build, cur_id)
+    return {
+        "source_snapshot_id": int(snapshot_id),
+        "current_snapshot_id": snap_id,
+    }
