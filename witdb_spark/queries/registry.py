@@ -52,74 +52,57 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r12: 306 ever driver-checked, ZERO
-# latest-row failures; staleness by latest driver row: r6: 9, r7: 49,
-# r8: 50, r9: 50, r10: 49, r11: 49, r12: 50; never-checked: the 4
-# late-r12 registrations.
-# Round-13 window (VERDICT r12 task 1): positions 1-4 the four
-# never-driver-checked late-r12 registrations; 5-13 the nine deferred
-# r6-era SQL texts (tpch_sql_q3/q7/q8/q9/q20/q21/q22,
-# tpcds_sql_q70/q88); 14-18 the r13-new queries (kryo DELETE log
-# blocks, iceberg branch fast-forward, hudi CDC_DATA block read, the
-# CDF-stream-to-delta-sink and iceberg-appends-to-iceberg-sink
-# exactly-once loops); 19-21 engine-changed-in-r13
-# re-drives — delta_table_changes_cdf (remove actions now stamp
-# partitionValues, synthesis gained the pv fallback and the id-mode
-# physical-name read path) and agg_qdigest/tdigest_sql_names (builds
-# now pre-aggregate to (value, count) pairs; both also r7-stale);
-# 20-50 the r7-era backfill: all 11 remaining non-SQL-text r7 queries,
-# all 9 r7 tpch_sql texts, and 11 of the 27 r7 tpcds_sql texts chosen
-# for shape diversity. The 16 deferred tpcds texts
-# (q11/q14/q46/q56/q59/q60/q65/q67/q68/q74/q75/q77/q87/q89/q93/q95) have
-# their families represented in-window (q4 & q74 are the
-# year-over-year CTE pair, q23 & q14 the big multi-CTE pair, q5/q33
-# cover the channel-union rollups of q56/q60/q77, the r12-green
-# tpcds_sql_q47/q36 the window/rollup family of q51/q59, q34 the
-# household
-# family of q46/q68, q38 the INTERSECT family of q87, in-window
-# q70/q88 and the r6-green tpcds_rollup_rank the ranking shapes of
-# q44/q49) and lead r14;
-# every deferred query keeps local DuckDB coverage each pytest run
-# (tests/test_queries_oracle.py parameterizes the whole registry).
-# ONE query was registered after this window froze
-# (hudi_cdf_stream_sink_loop — the hudi member of the streaming-sink
-# family; contract-emulation green at sf0.01 UTC + America/New_York
-# and at sf0.1): it leads r14 with the deferred tpcds texts, the same
-# staging every prior round's late registrations used.
+# queries. Cumulative ledger after r13: 315 of 316 then-registered queries
+# ever driver-checked, ZERO latest-row failures; staleness by latest driver
+# row entering r14: r7: 20, r8: 50, r9: 50, r10: 47, r11: 49, r12: 49,
+# r13: 50; never-checked: hudi_cdf_stream_sink_loop (late-r13) + the three
+# r14-new registrations.
+# Round-14 window: positions 1-4 the never-driver-checked queries —
+# hudi_cdf_stream_sink_loop (late-r13 streaming sink) and the three
+# r14-new registrations (hudi_hfile_block_read: jar-free HBase HFile
+# log blocks; iceberg_analyze_puffin_stats: ANALYZE -> Puffin theta
+# sketches; iceberg_cherry_pick_scan: diverged-branch publish);
+# 5-24 the ENTIRE remaining r7-era staleness — all 20 deferred tpcds
+# texts — draining r7 to zero the way r13 drained r6; 25-34 engine-
+# changed re-drives: every delta snapshot READ now plans through
+# _snapshot_files_plan (distributed checkpoint planning, executor-side
+# file skipping — the seven delta read/write/DV/column-mapping/
+# skipping queries), iceberg scans plan manifests on executors past 8
+# manifests (iceberg_pruned_scan, iceberg_mor_partitioned_dml,
+# iceberg_incremental_scan); 35-50 sixteen r8-era backfills chosen for
+# shape diversity (both geometry parity queries; tpcds q2/q9/q13/q17/
+# q25/q28/q29/q40/q57/q64/q66/q78/q94/q97 spanning date-window CTEs,
+# channel unions, multi-store joins, returns/catalog correlations).
+# The 34 deferred r8 texts keep local DuckDB coverage every pytest run
+# (tests/test_queries_oracle.py parameterizes the whole registry) and
+# lead r15 with whatever r14 registers late.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (late-r12 registrations)
-    "sql_lakehouse_ctas_insert",
-    "iceberg_mor_evolved_dml",
-    "hudi_mor_logical_types",
-    "delta_cdf_stream_drain",
-    # r6-era (the nine deferred from the r12 window)
-    "tpch_sql_q3", "tpch_sql_q7", "tpch_sql_q8", "tpch_sql_q9",
-    "tpch_sql_q20", "tpch_sql_q21", "tpch_sql_q22",
-    "tpcds_sql_q70", "tpcds_sql_q88",
-    # r13-new
-    "hudi_kryo_delete_scan",
-    "iceberg_fast_forward_scan",
-    "hudi_cdc_block_read",
-    "delta_cdf_stream_sink_loop",
-    "iceberg_appends_stream_sink_loop",
-    # engine changed in r13 (re-drive)
-    "delta_table_changes_cdf",
-    "agg_qdigest_rollup",
-    "agg_tdigest_rollup",
-    # r7-era backfill: the 13 non-SQL-text queries
-    "agg_approx_most_frequent", "agg_approx_sketches", "agg_checksum",
-    "agg_conditional_bool", "agg_geo_mean_percentiles",
-    "agg_histogram_map", "agg_histogram_sql_names",
-    "agg_qdigest_sql_names", "agg_tdigest_sql_names",
-    "ctas_writer_roundtrip", "delete_update_snapshot",
-    "merge_upsert_result", "mr_label_nav_in_aggregate",
-    # r7-era backfill: all 9 tpch SQL texts
-    "tpch_sql_q1", "tpch_sql_q4", "tpch_sql_q5", "tpch_sql_q6",
-    "tpch_sql_q10", "tpch_sql_q12", "tpch_sql_q14", "tpch_sql_q16",
-    "tpch_sql_q19",
-    # r7-era backfill: 7 of 27 tpcds SQL texts (shape-diverse)
-    "tpcds_sql_q4", "tpcds_sql_q5", "tpcds_sql_q23", "tpcds_sql_q31",
-    "tpcds_sql_q33", "tpcds_sql_q34", "tpcds_sql_q38",
+    # never driver-checked (late-r13 + r14-new)
+    "hudi_cdf_stream_sink_loop",
+    "hudi_hfile_block_read",
+    "iceberg_analyze_puffin_stats",
+    "iceberg_cherry_pick_scan",
+    # r7-era staleness: ALL 20 remaining tpcds texts (drain to zero)
+    "tpcds_sql_q11", "tpcds_sql_q14", "tpcds_sql_q39",
+    "tpcds_sql_q44", "tpcds_sql_q46", "tpcds_sql_q49",
+    "tpcds_sql_q51", "tpcds_sql_q56", "tpcds_sql_q59",
+    "tpcds_sql_q60", "tpcds_sql_q65", "tpcds_sql_q67",
+    "tpcds_sql_q68", "tpcds_sql_q74", "tpcds_sql_q75",
+    "tpcds_sql_q77", "tpcds_sql_q87", "tpcds_sql_q89",
+    "tpcds_sql_q93", "tpcds_sql_q95",
+    # engine changed in r14 (distributed snapshot planning re-drives)
+    "delta_log_reader_snapshot", "delta_writer_roundtrip",
+    "delta_dv_roundtrip", "delta_cm_id_reader",
+    "delta_cm_writer_roundtrip", "delta_skipping_scan",
+    "delta_skipping_or_scan", "iceberg_pruned_scan",
+    "iceberg_mor_partitioned_dml", "iceberg_incremental_scan",
+    # r8-era backfill (16 of 50, shape-diverse)
+    "geometry_buffer_parity", "geometry_collection_ops",
+    "tpcds_sql_q2", "tpcds_sql_q9", "tpcds_sql_q13",
+    "tpcds_sql_q17", "tpcds_sql_q25", "tpcds_sql_q28",
+    "tpcds_sql_q29", "tpcds_sql_q40", "tpcds_sql_q57",
+    "tpcds_sql_q64", "tpcds_sql_q66", "tpcds_sql_q78",
+    "tpcds_sql_q94", "tpcds_sql_q97",
 )
 
 
