@@ -7778,3 +7778,72 @@ def test_iceberg_cherry_pick_diverged_branch(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="APPEND|append"):
         iceberg_cherry_pick(t, del_id)
+
+
+def test_delta_checkpoint_stats_and_multipart(spark, tmp_path, monkeypatch):
+    """r14: the checkpoint writer builds add rows distributed, now
+    CARRIES per-file stats (previously dropped — file skipping
+    survives log compaction), and emits the protocol's multi-part
+    form above the per-part row budget; bootstrap from both forms
+    round-trips, and skipping still prunes off checkpoint stats."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from witdb_spark.sources import delta_log as dl
+    from witdb_spark.sources.delta_log import (
+        delta_checkpoint,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "cp_stats")
+    write_delta(
+        spark,
+        spark.range(0, 200).selectExpr("id", "id % 4 AS p").repartition(6),
+        t,
+        mode="create",
+    )
+    delta_checkpoint(spark, t)
+    cp = glob.glob(_os.path.join(t, "_delta_log", "*.checkpoint.parquet"))
+    assert len(cp) == 1
+    cdf = spark.read.parquet(cp[0])
+    adds = cdf.where("add IS NOT NULL").select("add.stats").collect()
+    assert adds and all(r.stats for r in adds)
+    st = _json.loads(adds[0].stats)
+    assert "minValues" in st and "numRecords" in st
+    # prune THROUGH the checkpoint: commits retire, stats still prune
+    got = read_delta_snapshot(spark, t, where="id < 10")
+    assert {r.id for r in got.collect()} == set(range(10))
+    # multi-part form
+    monkeypatch.setattr(dl, "_CHECKPOINT_PART_ROWS", 3)
+    t2 = str(tmp_path / "cp_multi")
+    write_delta(
+        spark,
+        spark.range(0, 100).selectExpr("id").repartition(8),
+        t2,
+        mode="create",
+    )
+    v = delta_checkpoint(spark, t2)
+    parts = sorted(
+        glob.glob(
+            _os.path.join(t2, "_delta_log", "*.checkpoint.*.*.parquet")
+        )
+    )
+    assert len(parts) > 1
+    lc = _json.load(
+        open(_os.path.join(t2, "_delta_log", "_last_checkpoint"))
+    )
+    assert lc["parts"] == len(parts) and lc["version"] == v
+    # bootstrap from the multi-part checkpoint alone
+    for c in glob.glob(_os.path.join(t2, "_delta_log", "*.json")):
+        _os.remove(c)
+    assert {
+        r.id for r in read_delta_snapshot(spark, t2).collect()
+    } == set(range(100))
+    write_delta(
+        spark, spark.range(100, 110).selectExpr("id"), t2, mode="append"
+    )
+    assert {
+        r.id for r in read_delta_snapshot(spark, t2).collect()
+    } == set(range(110))

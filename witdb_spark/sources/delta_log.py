@@ -393,15 +393,17 @@ def _snapshot_state(
 
 
 _FILES_ENTRY_SCHEMA = (
-    "path string, pv map<string,string>, stats string, dv string"
+    "path string, pv map<string,string>, size bigint, mtime bigint,"
+    " dataChange boolean, stats string, dv string"
 )
 
 
 def _adds_projection(df):
-    """(path, pv, stats, dv) projection off any relation carrying an
-    ``add`` struct column; None when the relation has no adds. The dv
-    descriptor travels as its JSON rendering so checkpoint-resident
-    and commit-resident adds share one schema."""
+    """(path, pv, size, mtime, dataChange, stats, dv) projection off
+    any relation carrying an ``add`` struct column; None when the
+    relation has no adds. The dv descriptor travels as its JSON
+    rendering so checkpoint-resident and commit-resident adds share
+    one schema."""
     if "add" not in df.columns:
         return None
     add_t = df.schema["add"].dataType
@@ -420,6 +422,14 @@ def _adds_projection(df):
             "partitionValues", "map<string,string>",
             F.col("add.partitionValues"),
         ).alias("pv"),
+        opt("size", "bigint", F.col("add.size")).alias("size"),
+        opt(
+            "modificationTime", "bigint",
+            F.col("add.modificationTime"),
+        ).alias("mtime"),
+        opt(
+            "dataChange", "boolean", F.col("add.dataChange")
+        ).alias("dataChange"),
         opt("stats", "string", F.col("add.stats")).alias("stats"),
         opt(
             "deletionVector", "string",
@@ -432,6 +442,11 @@ def _entry_of(add: dict) -> tuple:
     return (
         add["path"],
         add.get("partitionValues") or None,
+        int(add["size"]) if add.get("size") is not None else None,
+        int(add["modificationTime"])
+        if add.get("modificationTime") is not None
+        else None,
+        bool(add.get("dataChange", True)),
         add.get("stats"),
         json.dumps(add["deletionVector"])
         if add.get("deletionVector")
@@ -2937,26 +2952,59 @@ def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
     return txns
 
 
+#: add rows per checkpoint part file; above this the writer emits the
+#: protocol's multi-part form so a fleet reads the checkpoint in
+#: parallel (tests shrink it to exercise the naming)
+_CHECKPOINT_PART_ROWS = 200_000
+
+
 def delta_checkpoint(spark: SparkSession, path: str) -> int:
     """Write a classic parquet checkpoint of the CURRENT snapshot plus
     ``_last_checkpoint`` (the protocol's log-compaction step —
     reference delta connector CheckpointWriter analog): readers
     bootstrap from it instead of replaying every JSON commit, which is
     what keeps a long-lived table's planning O(checkpoint) instead of
-    O(commits). r9: adds carrying deletion vectors checkpoint too —
-    the add struct includes the descriptor and the protocol struct
-    carries reader/writer features, so a bootstrap from the checkpoint
-    sees the same DV'd state the log replay would. r13: the latest
-    SetTransaction version per appId checkpoints too (PROTOCOL.md
-    'Checkpoints' requires txn actions be preserved — streaming-sink
-    idempotence must survive log compaction). Returns the
-    checkpointed version."""
-    protocol, metadata, state, version = _snapshot_state(
-        spark, path, None, None,
-        allow_dvs=True, allow_name_mapping=True, keep_stats=True,
+    O(commits). r9: adds carrying deletion vectors checkpoint too.
+    r13: the latest SetTransaction version per appId checkpoints too
+    (PROTOCOL.md 'Checkpoints' requires txn actions be preserved).
+    r14: the add rows are built DISTRIBUTED from the snapshot plan
+    (_snapshot_files_plan) — checkpointing a checkpoint-backed table
+    never collects the file inventory to the driver, and the written
+    add struct now CARRIES per-file stats (the column the previous
+    writer dropped — file skipping survives log compaction). Tables
+    above ~200k files write a MULTI-PART checkpoint
+    (NNN.checkpoint.ooo.ppp.parquet, the protocol's parallel-read
+    form). Returns the checkpointed version."""
+    import glob
+    import shutil
+    import uuid
+
+    protocol, metadata, version, state, files_df = _snapshot_files_plan(
+        spark, path, None, None
     )
     txns = delta_txn_versions(spark, path)
-    rows = [
+    if files_df is None:
+        files_df = spark.createDataFrame(
+            [_entry_of(a) for a in state.values()], _FILES_ENTRY_SCHEMA
+        )
+    dv_ddl = (
+        "storageType string, pathOrInlineDv string, offset bigint,"
+        " sizeInBytes bigint, cardinality bigint"
+    )
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>,"
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>,"
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>,"
+        "txn struct<appId:string,version:bigint>"
+    )
+    head_rows = [
         (
             (
                 int(protocol.get("minReaderVersion", 1)),
@@ -2986,62 +3034,74 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
             None,
         ),
     ] + [
-        (
-            None,
-            None,
-            (
-                add["path"],
-                dict(add.get("partitionValues") or {}),
-                int(add.get("size", 0)),
-                int(add.get("modificationTime", 0)),
-                bool(add.get("dataChange", True)),
-                (
-                    (
-                        add["deletionVector"].get("storageType"),
-                        add["deletionVector"].get("pathOrInlineDv"),
-                        int(add["deletionVector"].get("offset") or 0),
-                        int(add["deletionVector"].get("sizeInBytes") or 0),
-                        int(add["deletionVector"].get("cardinality") or 0),
-                    )
-                    if add.get("deletionVector")
-                    else None
-                ),
-            ),
-            None,
-        )
-        for add in state.values()
-    ] + [
         (None, None, None, (app, int(v)))
         for app, v in sorted(txns.items())
     ]
-    schema = (
-        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
-        "readerFeatures:array<string>,writerFeatures:array<string>>,"
-        "metaData struct<id:string,format:struct<provider:string,"
-        "options:map<string,string>>,schemaString:string,"
-        "partitionColumns:array<string>,configuration:map<string,string>>,"
-        "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean,"
-        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>,"
-        "txn struct<appId:string,version:bigint>"
+    head_df = spark.createDataFrame(head_rows, schema)
+    adds_df = files_df.select(
+        F.lit(None).cast(
+            "struct<minReaderVersion:int,minWriterVersion:int,"
+            "readerFeatures:array<string>,writerFeatures:array<string>>"
+        ).alias("protocol"),
+        F.lit(None).cast(
+            "struct<id:string,format:struct<provider:string,"
+            "options:map<string,string>>,schemaString:string,"
+            "partitionColumns:array<string>,"
+            "configuration:map<string,string>>"
+        ).alias("metaData"),
+        F.struct(
+            F.col("path"),
+            F.coalesce(
+                F.col("pv"),
+                F.expr("map()").cast("map<string,string>"),
+            ).alias("partitionValues"),
+            F.coalesce(F.col("size"), F.lit(0)).alias("size"),
+            F.coalesce(F.col("mtime"), F.lit(0)).alias(
+                "modificationTime"
+            ),
+            F.coalesce(F.col("dataChange"), F.lit(True)).alias(
+                "dataChange"
+            ),
+            F.col("stats"),
+            F.from_json(F.col("dv"), dv_ddl).alias("deletionVector"),
+        ).alias("add"),
+        F.lit(None).cast(
+            "struct<appId:string,version:bigint>"
+        ).alias("txn"),
     )
-    import glob
-    import shutil
-    import uuid
-
+    n_adds = adds_df.count()
+    per = _CHECKPOINT_PART_ROWS
+    parts = max(1, min(64, -(-n_adds // per)))
+    out_df = head_df.unionByName(adds_df)
+    out_df = out_df.coalesce(parts) if parts > 1 else out_df.coalesce(1)
     staging = os.path.join(path, f".cp-staging-{uuid.uuid4().hex}")
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staging)
-    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-    dest = os.path.join(
-        _log_dir(path), f"{version:020d}.checkpoint.parquet"
-    )
-    shutil.move(part, dest)
+    out_df.write.mode("overwrite").parquet(staging)
+    written = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    if len(written) == 1:
+        dest = os.path.join(
+            _log_dir(path), f"{version:020d}.checkpoint.parquet"
+        )
+        shutil.move(written[0], dest)
+        cp_doc = {"version": version, "size": n_adds + len(head_rows)}
+    else:
+        n = len(written)
+        for i, p in enumerate(written, start=1):
+            shutil.move(
+                p,
+                os.path.join(
+                    _log_dir(path),
+                    f"{version:020d}.checkpoint.{i:010d}.{n:010d}"
+                    ".parquet",
+                ),
+            )
+        cp_doc = {
+            "version": version,
+            "size": n_adds + len(head_rows),
+            "parts": n,
+        }
     shutil.rmtree(staging, ignore_errors=True)
     with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
+        json.dump(cp_doc, f)
     return version
 
 

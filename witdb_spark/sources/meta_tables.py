@@ -107,37 +107,69 @@ def _delta_properties(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _delta_partitions(spark: SparkSession, path: str) -> DataFrame:
-    from witdb_spark.sources.delta_log import _snapshot_state
+    """$partitions: per-partition file/record counts. r14: aggregates
+    in the JVM over the distributed snapshot plan — the driver sees
+    O(partitions) aggregate rows, never the O(files) add inventory
+    (stats stay executor-side; DV-shadowed rows subtract via the
+    descriptor's cardinality)."""
+    from pyspark.sql import functions as F
 
-    _, metadata, state, _ = _snapshot_state(
-        spark, path, None, None,
-        allow_dvs=True, allow_name_mapping=True, keep_stats=True,
+    from witdb_spark.sources.delta_log import (
+        _FILES_ENTRY_SCHEMA,
+        _entry_of,
+        _snapshot_files_plan,
+    )
+
+    _, metadata, _v, state, files_df = _snapshot_files_plan(
+        spark, path, None, None
     )
     part_cols = list(metadata.get("partitionColumns") or [])
-    agg: dict[tuple, list[int]] = {}
-    for add in state.values():
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        stats = {}
-        if add.get("stats"):
-            try:
-                stats = json.loads(add["stats"])
-            except (TypeError, ValueError):
-                stats = {}
-        cur = agg.setdefault(key, [0, 0])
-        cur[0] += 1
-        # rows shadowed by a deletion vector are not live — subtract
-        # its cardinality from the file's numRecords
-        dv = add.get("deletionVector") or {}
-        cur[1] += max(
-            0,
-            int(stats.get("numRecords") or 0)
-            - int(dv.get("cardinality") or 0),
+    if files_df is None:
+        files_df = spark.createDataFrame(
+            [_entry_of(a) for a in state.values()], _FILES_ENTRY_SCHEMA
         )
-    rows = [
-        (json.dumps(dict(zip(part_cols, k))), n, rec)
-        for k, (n, rec) in sorted(agg.items(), key=lambda kv: kv[0] or ())
+    live = F.greatest(
+        F.lit(0),
+        F.coalesce(
+            F.get_json_object(F.col("stats"), "$.numRecords").cast(
+                "bigint"
+            ),
+            F.lit(0),
+        )
+        - F.coalesce(
+            F.get_json_object(F.col("dv"), "$.cardinality").cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+    )
+    keys = [
+        F.col("pv").getItem(c).alias(f"__p{i}")
+        for i, c in enumerate(part_cols)
     ]
+    agg_rows = (
+        files_df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(live).alias("__rec"),
+        )
+        .collect()
+    )
+    rows = sorted(
+        (
+            json.dumps(
+                dict(
+                    zip(
+                        part_cols,
+                        (r[f"__p{i}"] for i in range(len(part_cols))),
+                    )
+                )
+            ),
+            int(r["__n"]),
+            int(r["__rec"] or 0),
+        )
+        for r in agg_rows
+    )
     return spark.createDataFrame(
         rows or [("{}", 0, 0)],
         "partition string, file_count bigint, record_count bigint",
