@@ -953,7 +953,9 @@ class Engine:
             )
 
             keep = int(args[1]) if len(args) > 1 else 1
-            res = iceberg_expire_snapshots(path, keep_last=keep)
+            res = iceberg_expire_snapshots(
+                path, keep_last=keep, spark=self.spark
+            )
             return self.spark.createDataFrame(
                 [(path, res["expired_snapshots"], res["deleted_files"])],
                 "path string, expired_snapshots bigint,"
@@ -1023,7 +1025,7 @@ class Engine:
                     "m": 60_000, "s": 1_000,
                 }[rm.group(2)]
             res = iceberg_remove_orphan_files(
-                path, retention_ms=retain_ms
+                path, retention_ms=retain_ms, spark=self.spark
             )
             return self.spark.createDataFrame(
                 [(path, res["scanned_files"], res["deleted_files"])],

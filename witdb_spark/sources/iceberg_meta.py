@@ -2947,7 +2947,65 @@ def _commit_metadata(path: str, build_new_meta, base_cur_id) -> dict:
     raise IcebergProtocolError(f"{path}: lost 5 consecutive commit races")
 
 
-def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
+def _manifest_file_paths(
+    path: str, mpaths: list[str], spark=None
+) -> dict[str, list[str]]:
+    """manifest ABS path -> [entry data-file ABS paths] (ALL entry
+    statuses — a DELETED entry's file may still exist and is still
+    referenced). Decodes on executors when spark is given and the
+    manifest count clears _DIST_MANIFEST_THRESHOLD (r14 — the
+    maintenance twin of _scan_manifests_distributed: expire/orphan
+    walks over thousands of manifests were serial driver-side avro)."""
+    mpaths = sorted(set(mpaths))
+    if spark is None or len(mpaths) < _DIST_MANIFEST_THRESHOLD:
+        out: dict[str, list[str]] = {}
+        for mp in mpaths:
+            _, entries = read_avro_file(mp)
+            out[mp] = [
+                os.path.abspath(
+                    _resolve(path, e["data_file"]["file_path"])
+                )
+                for e in entries
+            ]
+        return out
+    bc = spark.sparkContext.broadcast(mpaths)
+    n = len(mpaths)
+
+    def decode(batches, _path=path):
+        import pandas as _pd
+
+        from witdb_spark.sources.iceberg_meta import (
+            _resolve as _res,
+            read_avro_file as _raf,
+        )
+
+        for pdf in batches:
+            ms, fs = [], []
+            for i in pdf["id"]:
+                mp = bc.value[int(i)]
+                _, entries = _raf(mp)
+                for e in entries:
+                    ms.append(mp)
+                    fs.append(
+                        os.path.abspath(
+                            _res(_path, e["data_file"]["file_path"])
+                        )
+                    )
+            yield _pd.DataFrame({"m": ms, "f": fs})
+
+    rows = (
+        spark.range(0, n, 1, min(n, 64))
+        .mapInPandas(decode, "m string, f string")
+        .collect()
+    )
+    bc.unpersist()
+    out = {mp: [] for mp in mpaths}
+    for r in rows:
+        out[r["m"]].append(r["f"])
+    return out
+
+
+def iceberg_expire_snapshots(path: str, keep_last: int = 1, spark=None) -> dict:
     """Retention maintenance (reference iceberg connector
     expire_snapshots table procedure): keep the most recent
     ``keep_last`` snapshots (always including the current one), delete
@@ -2984,35 +3042,28 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
     if not expired:
         return {"expired_snapshots": 0, "deleted_files": 0}
 
-    manifest_cache: dict[str, list] = {}
-
-    def _read_manifest(p: str) -> list:
-        # append chains re-list the same manifests in every snapshot's
-        # manifest list; memoize so the walk is linear, not quadratic
-        if p not in manifest_cache:
-            _, entries = read_avro_file(p)
-            manifest_cache[p] = entries
-        return manifest_cache[p]
-
-    def _referenced(snap_list):
-        mlists, mpaths, dpaths = set(), set(), set()
+    def _lists_and_manifests(snap_list):
+        mlists, mpaths = set(), set()
         for s in snap_list:
             ml = _resolve(path, s["manifest-list"])
             mlists.add(os.path.abspath(ml))
             _, manifests = read_avro_file(ml)
             for mf in manifests:
-                mp = os.path.abspath(_resolve(path, mf["manifest_path"]))
-                mpaths.add(mp)
-                for e in _read_manifest(mp):
-                    dpaths.add(
-                        os.path.abspath(
-                            _resolve(path, e["data_file"]["file_path"])
-                        )
-                    )
-        return mlists, mpaths, dpaths
+                mpaths.add(
+                    os.path.abspath(_resolve(path, mf["manifest_path"]))
+                )
+        return mlists, mpaths
 
-    keep_ml, keep_m, keep_d = _referenced(kept)
-    exp_ml, exp_m, exp_d = _referenced(expired)
+    keep_ml, keep_m = _lists_and_manifests(kept)
+    exp_ml, exp_m = _lists_and_manifests(expired)
+    # ONE decode pass over the union (append chains re-list the same
+    # manifests in every snapshot — dedup makes the walk linear), on
+    # executors when a session is provided (r14)
+    by_manifest = _manifest_file_paths(
+        path, sorted(keep_m | exp_m), spark
+    )
+    keep_d = {p for m in keep_m for p in by_manifest[m]}
+    exp_d = {p for m in exp_m for p in by_manifest[m]}
     doomed = (exp_ml - keep_ml) | (exp_m - keep_m) | (exp_d - keep_d)
     kept_ids = {s["snapshot-id"] for s in kept}
 
@@ -3036,7 +3087,7 @@ def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> dict:
 
 
 def iceberg_remove_orphan_files(
-    path: str, retention_ms: int = 7 * 24 * 3600 * 1000
+    path: str, retention_ms: int = 7 * 24 * 3600 * 1000, spark=None
 ) -> dict:
     """remove_orphan_files (reference iceberg connector
     procedure/RemoveOrphanFilesTableProcedure.java): delete files
@@ -3085,22 +3136,20 @@ def iceberg_remove_orphan_files(
                 if mf:
                     referenced.add(os.path.abspath(_resolve(path, mf)))
     meta = _current_metadata(path)
-    manifest_cache: dict[str, list] = {}
+    mpaths: set[str] = set()
     for s in meta.get("snapshots") or []:
         ml = os.path.abspath(_resolve(path, s["manifest-list"]))
         referenced.add(ml)
         _, manifests = read_avro_file(ml)
         for mf in manifests:
-            mp = os.path.abspath(_resolve(path, mf["manifest_path"]))
-            referenced.add(mp)
-            if mp not in manifest_cache:
-                _, manifest_cache[mp] = read_avro_file(mp)
-            for e in manifest_cache[mp]:
-                referenced.add(
-                    os.path.abspath(
-                        _resolve(path, e["data_file"]["file_path"])
-                    )
-                )
+            mpaths.add(
+                os.path.abspath(_resolve(path, mf["manifest_path"]))
+            )
+    referenced |= mpaths
+    # one deduplicated decode pass over every live manifest —
+    # executor-parallel when a session is provided (r14)
+    for files in _manifest_file_paths(path, sorted(mpaths), spark).values():
+        referenced.update(files)
     cutoff = _time.time() - retention_ms / 1000.0
     scanned = deleted = 0
     for dirpath, _dirs, files in os.walk(root):
