@@ -946,3 +946,143 @@ def test_hudi_stream_sink_exactly_once(spark, tmp_path):
     # earlier insert row — upsert semantics, the point of a keyed sink
     assert (3, "delete") in rows and (3, "insert") not in rows
     assert len(rows) == 5
+
+
+def test_hudi_changes_stream_source(spark, tmp_path):
+    """r14: the hudi incremental change stream (streaming/
+    hudi_source.py — the hudi member of the source family; streaming
+    twin of hudi_incremental_read). Covers: MOR log upserts (AVRO
+    blocks) and fresh base groups, COW upsert REWRITES (only the
+    changed rows emit — per-row _hoodie_commit_time isolates them),
+    restart continuation from the checkpoint, and the virtual-key
+    refusal."""
+    import os
+
+    import pytest
+
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_log_upsert,
+        hudi_upsert,
+        write_hudi,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.streaming import HudiChangesDataSource
+
+    spark.dataSource.register(HudiChangesDataSource)
+
+    # ---- MOR: log upserts + fresh keys ----
+    t = str(tmp_path / "mor_src")
+    base = spark.range(0, 20).selectExpr(
+        "id", "CAST(id * 2 AS STRING) AS v"
+    )
+    write_hudi_mor_create(spark, base.coalesce(1), t, record_key="id")
+    first = _completed_instants(t)[-1][0]
+    hudi_log_upsert(
+        spark, t, spark.range(3, 6).selectExpr("id", "'P1' AS v")
+    )
+    out = str(tmp_path / "out1")
+    ckpt = str(tmp_path / "ckpt1")
+
+    def drain():
+        q = (
+            spark.readStream.format("witdb_hudi_changes")
+            .option("path", t)
+            .option("starting_instant", first)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out).select("id", "v").collect()
+    }
+    assert got == {(3, "P1"), (4, "P1"), (5, "P1")}
+    # restart continuation: only NEW commits emit after the ckpt
+    hudi_log_upsert(
+        spark, t,
+        spark.range(100, 103).selectExpr("id", "CAST(id AS STRING) AS v"),
+    )
+    drain()
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out).select("id", "v").collect()
+    }
+    assert got == {(3, "P1"), (4, "P1"), (5, "P1")} | {
+        (i, str(i)) for i in range(100, 103)
+    }
+
+    # ---- COW: appends serve whole files; upsert rewrites refuse
+    # (meta-less COW rows carry no commit provenance — the same gate
+    # the batch hudi_incremental_read enforces) ----
+    t2 = str(tmp_path / "cow_src")
+    write_hudi(
+        spark,
+        spark.range(0, 30).selectExpr("id", "CAST(id AS STRING) AS v")
+        .coalesce(1),
+        t2,
+        mode="create",
+        record_key="id",
+    )
+    first2 = _completed_instants(t2)[-1][0]
+    write_hudi(
+        spark,
+        spark.range(40, 43).selectExpr("id", "CAST(id AS STRING) AS v")
+        .coalesce(1),
+        t2,
+        mode="append",
+    )
+    out2 = str(tmp_path / "out2")
+
+    def drain_cow():
+        q = (
+            spark.readStream.format("witdb_hudi_changes")
+            .option("path", t2)
+            .option("starting_instant", first2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain_cow()
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out2).select("id", "v").collect()
+    }
+    assert got == {(i, str(i)) for i in range(40, 43)}
+    hudi_upsert(
+        spark, t2, spark.range(7, 9).selectExpr("id", "'NEW' AS v")
+    )
+    with pytest.raises(Exception, match="MERGE_ON_READ|provenance"):
+        drain_cow()
+
+    # ---- virtual-key tables refuse loudly ----
+    t3 = str(tmp_path / "vk_src")
+    write_hudi_mor_create(
+        spark,
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v"),
+        t3,
+        record_key="id",
+        populate_meta_fields=False,
+    )
+    with pytest.raises(Exception, match="virtual-key|meta.fields"):
+        (
+            spark.readStream.format("witdb_hudi_changes")
+            .option("path", t3)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

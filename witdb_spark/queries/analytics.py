@@ -4467,3 +4467,82 @@ def iceberg_cherry_pick_scan(
     return read_iceberg_snapshot(spark, path).select(
         "n_nationkey", "n_name"
     )
+
+
+@register(
+    "hudi_changes_stream_drain",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'PATCHED' AS n_name
+    FROM nation WHERE n_nationkey % 6 = 2
+    UNION ALL
+    SELECT CAST(n_nationkey + 4000 AS BIGINT), 'FRESH'
+    FROM nation WHERE n_regionkey = 3
+    """,
+    doc="The Hudi incremental change STREAM (r14, streaming/"
+    "hudi_source.py — completes the 3x3 lakehouse source/sink "
+    "matrix; streaming twin of hudi_incremental_read, hudi's "
+    "query.type=incremental): nation lands as a MOR table, one log "
+    "upsert patches every n%6=2 name and another inserts fresh keys, "
+    "then witdb_hudi_changes drains from the create instant via "
+    "availableNow — offsets are completed timeline instants, log "
+    "records decode executor-side as Arrow batches with a per-block "
+    "instant filter. The drained change images hash-equal the "
+    "patch+insert oracle.",
+    tags=("streaming", "lakehouse", "cdc"),
+)
+def hudi_changes_stream_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_log_upsert,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.streaming import HudiChangesDataSource
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "src")
+    write_hudi_mor_create(
+        spark, base.coalesce(1), path, record_key="n_nationkey"
+    )
+    first = _completed_instants(path)[-1][0]
+    hudi_log_upsert(
+        spark, path,
+        base.filter("n_nationkey % 6 = 2").selectExpr(
+            "n_nationkey", "'PATCHED' AS n_name"
+        ),
+    )
+    hudi_log_upsert(
+        spark, path,
+        t.nation.filter("n_regionkey = 3").selectExpr(
+            "CAST(n_nationkey + 4000 AS BIGINT) AS n_nationkey",
+            "'FRESH' AS n_name",
+        ),
+    )
+    spark.dataSource.register(HudiChangesDataSource)
+    out = os.path.join(root, "out")
+    q = (
+        spark.readStream.format("witdb_hudi_changes")
+        .option("path", path)
+        .option("starting_instant", first)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out).select("n_nationkey", "n_name")

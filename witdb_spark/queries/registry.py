@@ -75,7 +75,11 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # channel unions, multi-store joins, returns/catalog correlations).
 # The 34 deferred r8 texts keep local DuckDB coverage every pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry) and
-# lead r15 with whatever r14 registers late.
+# lead r15 with whatever r14 registers late. Late-r14 registration
+# (after this window froze): hudi_changes_stream_drain — the hudi
+# incremental change STREAM completing the 3x3 source/sink matrix;
+# contract-emulation green at sf0.01 (UTC) on registration; it leads
+# r15 with the deferred r8 texts.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (late-r13 + r14-new)
     "hudi_cdf_stream_sink_loop",

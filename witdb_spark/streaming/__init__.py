@@ -1,4 +1,5 @@
 from witdb_spark.streaming.cdf_source import DeltaCDFDataSource
+from witdb_spark.streaming.hudi_source import HudiChangesDataSource
 from witdb_spark.streaming.iceberg_source import IcebergAppendsDataSource
 from witdb_spark.streaming.ops import (
     interval_join_views_purchases,
@@ -19,4 +20,6 @@ __all__ = [
     # r12: incremental streaming SOURCES (Spark 4 python DataSource)
     "DeltaCDFDataSource",
     "IcebergAppendsDataSource",
+    # r14: the hudi member — incremental change stream
+    "HudiChangesDataSource",
 ]
