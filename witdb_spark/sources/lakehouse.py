@@ -247,7 +247,10 @@ def read_kafka_batch(
 ) -> DataFrame:
     """Batch scan of a Kafka topic's offset range — exactly the reference's
     kafka connector model (plugin/trino-kafka reads topics as bounded
-    tables; SURVEY.md §2.11)."""
+    tables; SURVEY.md §2.11). Environment status: no broker in the
+    sandbox (localhost:9092 re-probed each round — r12/r13/r14 all
+    refused) and the kafka connector jar is absent, so the gate below
+    stays the loud remedy."""
     _require(spark, "kafka")
     reader = (
         spark.read.format("kafka")
