@@ -514,3 +514,124 @@ def test_snappy_avro_container_block():
     assert got == recs
     with _pytest.raises(AvroError, match="CRC32"):
         read_container(container(0xDEADBEEF))
+
+
+# ---------------------------------------------------------------------------
+# r14: distributed snapshot planning equivalence — a random sequence of
+# delta writes (append / overwrite / delete / checkpoint) must leave the
+# distributed files plan and the classic dict fold byte-identical, at the
+# latest version AND at every historical version.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "overwrite", "delete", "checkpoint"]),
+        min_size=2,
+        max_size=6,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_snapshot_files_plan_matches_dict_fold(spark, tmp_path_factory, ops, seed):
+    import json as _json
+
+    from witdb_spark.sources.delta_log import (
+        _snapshot_files_plan,
+        _snapshot_state,
+        delta_checkpoint,
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path_factory.mktemp("plan_prop") / "t")
+    rng = seed
+    write_delta(
+        spark,
+        spark.range(0, 40).selectExpr("id", "id % 3 AS p"),
+        t,
+        mode="create",
+        partition_by=["p"],
+    )
+    lo = 40
+    did_checkpoint = False
+    for op in ops:
+        rng = (rng * 1103515245 + 12345) % (1 << 31)
+        if op == "append":
+            write_delta(
+                spark,
+                spark.range(lo, lo + 10 + rng % 7).selectExpr(
+                    "id", "id % 3 AS p"
+                ),
+                t,
+                mode="append",
+            )
+            lo += 10 + rng % 7
+        elif op == "overwrite":
+            write_delta(
+                spark,
+                spark.range(lo, lo + 5).selectExpr("id", "id % 3 AS p"),
+                t,
+                mode="overwrite",
+            )
+            lo += 5
+        elif op == "delete":
+            delta_delete_where(spark, t, f"id % 5 = {rng % 5}")
+        else:
+            delta_checkpoint(spark, t)
+            did_checkpoint = True
+    # compare at the latest and at every version
+    from witdb_spark.sources.delta_log import delta_table_version
+
+    latest = delta_table_version(spark, t)
+    for v in range(latest + 1):
+        _, _, _, state, files_df = _snapshot_files_plan(spark, t, v, None)
+        if files_df is not None:
+            planned = {
+                r["path"]: (r["pv"], r["stats"], r["dv"])
+                for r in files_df.collect()
+            }
+        else:
+            planned = {
+                p: (
+                    a.get("partitionValues") or None,
+                    a.get("stats"),
+                    _json.dumps(a["deletionVector"])
+                    if a.get("deletionVector")
+                    else None,
+                )
+                for p, a in state.items()
+            }
+        _, _, dstate, _ = _snapshot_state(
+            spark, t, v, None,
+            allow_dvs=True, allow_name_mapping=True, keep_stats=True,
+        )
+        assert set(planned) == set(dstate), f"v{v}: path sets differ"
+        for p, (pv, stats, dv) in planned.items():
+            a = dstate[p]
+            assert (pv or {}) == (a.get("partitionValues") or {}), (v, p)
+            assert (stats or None) == (a.get("stats") or None), (v, p)
+            want_dv = (
+                _json.dumps(a["deletionVector"])
+                if a.get("deletionVector")
+                else None
+            )
+            if dv is not None or want_dv is not None:
+                # dv travels as to_json (null fields dropped) on the
+                # distributed side — compare parsed
+                got = _json.loads(dv) if dv else None
+                want = _json.loads(want_dv) if want_dv else None
+                if want:
+                    want = {k: x for k, x in want.items() if x is not None}
+                assert got == want, (v, p)
+    # the read itself agrees with itself across a checkpoint boundary
+    if did_checkpoint:
+        rows = {r.id for r in read_delta_snapshot(spark, t).collect()}
+        assert rows == {
+            r.id
+            for r in read_delta_snapshot(spark, t, where="id >= 0").collect()
+        }
