@@ -507,3 +507,60 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("node").alias("doc_id"), "cluster")
+
+
+def passage_boilerplate(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 2,
+    min_docs: int = 10,
+):
+    """Cross-document COMMON-PASSAGE removal stats (r14) — the CCNet /
+    C4-style boilerplate pass LLM corpora run before training: split
+    each document into consecutive ``chunk_words``-word passages, call
+    a passage boilerplate when it appears VERBATIM in at least
+    ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs), and report per document how much survives.
+
+    Scale shape: the words array materializes in its own projection
+    (a lambda capturing split() re-evaluates it per element —
+    the r4 codegen gotcha), passages explode once, the frequency
+    count is ONE shuffle on the passage text, and the flagging join
+    shares that key so the exchange is reused — no second scan of the
+    corpus, no driver-side state. Returns
+    (id_col, n_chunks, boilerplate_chunks, kept_words)."""
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words")
+    )
+    chunked = words.selectExpr(
+        id_col,
+        f"transform(sequence(0, cast(ceil(size(__words)/{chunk_words}.0)"
+        f" AS INT) - 1), i -> array_join(slice(__words,"
+        f" i*{chunk_words}+1, {chunk_words}), ' ')) AS __chunks",
+    )
+    ex = chunked.select(
+        F.col(id_col), F.explode("__chunks").alias("__chunk")
+    )
+    counts = ex.groupBy("__chunk").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    flagged = ex.join(counts, "__chunk")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
+            ).alias("boilerplate_chunks"),
+            F.sum(
+                F.when(
+                    F.col("__nd") < min_docs,
+                    F.size(F.split(F.col("__chunk"), " ")),
+                ).otherwise(0)
+            ).alias("kept_words"),
+        )
+        .orderBy(id_col)
+    )

@@ -799,3 +799,46 @@ def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from witdb_spark.pipeline.packing import greedy_nextfit_pack
 
     return greedy_nextfit_pack(Tables(spark, sf_dir).documents, budget=256)
+
+
+@register(
+    "dedup_passage_boilerplate",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, unnest(
+        [array_to_string(words[i*2+1 : i*2+2], ' ')
+         for i in range(0, CAST(ceil(len(words)/2.0) AS INT))]
+      ) AS chunk
+      FROM w
+    ),
+    n AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n.nd >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS boilerplate_chunks,
+           CAST(SUM(CASE WHEN n.nd < 10
+                         THEN len(string_split(c.chunk, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_words
+    FROM c JOIN n USING (chunk)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Common-passage boilerplate removal (r14, pipeline/dedup.py "
+    "passage_boilerplate) — the CCNet/C4-style pass LLM corpora run "
+    "before training: consecutive 2-word passages that appear "
+    "verbatim in >= 10 distinct documents flag as boilerplate "
+    "(headers/footers/license blurbs); per-doc survival stats. ONE "
+    "shuffle on the passage text; the flagging join shares the "
+    "aggregation key so the exchange is reused. Hash-equal to the "
+    "DuckDB list-comprehension oracle.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_passage_boilerplate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup.passage_boilerplate(Tables(spark, sf_dir).documents)
