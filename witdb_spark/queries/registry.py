@@ -75,10 +75,12 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # channel unions, multi-store joins, returns/catalog correlations).
 # The 34 deferred r8 texts keep local DuckDB coverage every pytest run
 # (tests/test_queries_oracle.py parameterizes the whole registry) and
-# lead r15 with whatever r14 registers late. Late-r14 registration
-# (after this window froze): hudi_changes_stream_drain — the hudi
-# incremental change STREAM completing the 3x3 source/sink matrix;
-# contract-emulation green at sf0.01 (UTC) on registration; it leads
+# lead r15 with whatever r14 registers late. Late-r14 registrations
+# (after this window froze): hudi_changes_stream_drain (the hudi
+# incremental change STREAM completing the 3x3 source/sink matrix)
+# and dedup_passage_boilerplate (CCNet/C4-style common-passage
+# removal over documents); both contract-emulation green at sf0.01
+# UTC on registration (the passage query also at sf0.1); they lead
 # r15 with the deferred r8 texts.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (late-r13 + r14-new)
