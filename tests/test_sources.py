@@ -7896,3 +7896,78 @@ def test_iceberg_maintenance_distributed_manifest_walk(spark, tmp_path):
     assert {
         r.id for r in read_iceberg_snapshot(spark, t).collect()
     } == set(range(n))
+
+
+def test_delta_v2_checkpoint_writer_roundtrip(spark, tmp_path):
+    """r14: delta_checkpoint(v2=True) writes the PROTOCOL.md V2 form
+    — uuid-named manifest (protocol/metaData/checkpointMetadata/txn/
+    sidecar actions) + add sidecar batches under _delta_log/_sidecars
+    — and BOTH readers (the classic dict fold and the distributed
+    files plan) bootstrap from it with no commit JSONs; txn
+    identifiers survive; CALL system.checkpoint(path, 'v2') spells
+    it."""
+    import glob
+    import os as _os
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        _snapshot_files_plan,
+        delta_txn_versions,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "v2cp")
+    write_delta(
+        spark,
+        spark.range(0, 120).selectExpr("id", "id % 4 AS p"),
+        t,
+        mode="create",
+        partition_by=["p"],
+    )
+    write_delta(
+        spark,
+        spark.range(120, 150).selectExpr("id", "id % 4 AS p"),
+        t,
+        mode="append",
+        txn_app_id="appA",
+        txn_version=7,
+    )
+    row = Engine(spark).sql(
+        f"CALL system.checkpoint('{t}', 'v2')"
+    ).collect()[0]
+    v = row.checkpointed_version
+    manifests = glob.glob(
+        _os.path.join(t, "_delta_log", "*.checkpoint.*-*.parquet")
+    )
+    assert len(manifests) == 1
+    assert glob.glob(
+        _os.path.join(t, "_delta_log", "_sidecars", "*.parquet")
+    )
+    # bootstrap with every commit json gone
+    for c in glob.glob(_os.path.join(t, "_delta_log", "*.json")):
+        _os.remove(c)
+    assert {
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    } == set(range(150))
+    # distributed plan takes the v2 branch (manifest parquet + sidecars)
+    _, _, _, state, files_df = _snapshot_files_plan(spark, t, None, None)
+    assert state is None and files_df is not None
+    assert files_df.count() > 0
+    # txn identifiers survived log compaction
+    assert delta_txn_versions(spark, t).get("appA") == 7
+    # skipping still prunes through v2 checkpoint stats
+    assert {
+        r.id
+        for r in read_delta_snapshot(
+            spark, t, where="p = 1 AND id < 40"
+        ).collect()
+    } == {i for i in range(40) if i % 4 == 1}
+    # and the table keeps working: append after compaction
+    write_delta(
+        spark, spark.range(150, 160).selectExpr("id", "id % 4 AS p"),
+        t, mode="append",
+    )
+    assert {
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    } == set(range(160))

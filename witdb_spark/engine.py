@@ -1091,7 +1091,10 @@ class Engine:
                 "path string, retained_instants bigint,"
                 " deleted_files bigint",
             )
-        version = delta_checkpoint(self.spark, path)
+        version = delta_checkpoint(
+            self.spark, path,
+            v2=(len(args) > 1 and str(args[1]).lower() == "v2"),
+        )
         return self.spark.createDataFrame(
             [(path, version)], "path string, checkpointed_version bigint"
         )

@@ -2958,7 +2958,9 @@ def delta_txn_versions(spark: SparkSession, path: str) -> dict[str, int]:
 _CHECKPOINT_PART_ROWS = 200_000
 
 
-def delta_checkpoint(spark: SparkSession, path: str) -> int:
+def delta_checkpoint(
+    spark: SparkSession, path: str, v2: bool = False
+) -> int:
     """Write a classic parquet checkpoint of the CURRENT snapshot plus
     ``_last_checkpoint`` (the protocol's log-compaction step —
     reference delta connector CheckpointWriter analog): readers
@@ -2974,7 +2976,14 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     writer dropped — file skipping survives log compaction). Tables
     above ~200k files write a MULTI-PART checkpoint
     (NNN.checkpoint.ooo.ppp.parquet, the protocol's parallel-read
-    form). Returns the checkpointed version."""
+    form). ``v2=True`` (r14) writes the PROTOCOL.md "V2 Spec" form
+    instead: a uuid-named manifest
+    (NNN.checkpoint.<uuid>.parquet carrying protocol / metaData /
+    checkpointMetadata / txn / sidecar actions) plus add-file sidecar
+    parquet batches under _delta_log/_sidecars/ — the shape
+    delta-spark writes under v2Checkpoint, and the one this module's
+    readers have consumed since r12. Returns the checkpointed
+    version."""
     import glob
     import shutil
     import uuid
@@ -3072,6 +3081,62 @@ def delta_checkpoint(spark: SparkSession, path: str) -> int:
     n_adds = adds_df.count()
     per = _CHECKPOINT_PART_ROWS
     parts = max(1, min(64, -(-n_adds // per)))
+    if v2:
+        # sidecar batches: add-only parquet under _delta_log/_sidecars
+        sc_dir = os.path.join(_log_dir(path), "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        staging = os.path.join(path, f".cp-v2-staging-{uuid.uuid4().hex}")
+        adds_df.select("add").coalesce(parts).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        sidecars = []
+        for p in sorted(
+            glob.glob(os.path.join(staging, "part-*.parquet"))
+        ):
+            name = f"{uuid.uuid4()}.parquet"
+            shutil.move(p, os.path.join(sc_dir, name))
+            sidecars.append(
+                (name, os.path.getsize(os.path.join(sc_dir, name)))
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        v2_schema = (
+            "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+            "readerFeatures:array<string>,writerFeatures:array<string>>,"
+            "metaData struct<id:string,format:struct<provider:string,"
+            "options:map<string,string>>,schemaString:string,"
+            "partitionColumns:array<string>,"
+            "configuration:map<string,string>>,"
+            "checkpointMetadata struct<version:bigint>,"
+            "txn struct<appId:string,version:bigint>,"
+            "sidecar struct<path:string,sizeInBytes:bigint,"
+            "modificationTime:bigint>"
+        )
+        v2_rows = [
+            (hr[0], hr[1], None, hr[3], None) for hr in head_rows
+        ] + [(None, None, (version,), None, None)] + [
+            (None, None, None, None, (name, size, _now_ms()))
+            for name, size in sidecars
+        ]
+        mstage = os.path.join(
+            path, f".cp-v2-manifest-{uuid.uuid4().hex}"
+        )
+        spark.createDataFrame(v2_rows, v2_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(mstage)
+        mpart = glob.glob(os.path.join(mstage, "part-*.parquet"))[0]
+        dest = os.path.join(
+            _log_dir(path),
+            f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+        )
+        shutil.move(mpart, dest)
+        shutil.rmtree(mstage, ignore_errors=True)
+        with open(
+            os.path.join(_log_dir(path), "_last_checkpoint"), "w"
+        ) as f:
+            json.dump(
+                {"version": version, "size": n_adds + len(v2_rows)}, f
+            )
+        return version
     out_df = head_df.unionByName(adds_df)
     out_df = out_df.coalesce(parts) if parts > 1 else out_df.coalesce(1)
     staging = os.path.join(path, f".cp-staging-{uuid.uuid4().hex}")
