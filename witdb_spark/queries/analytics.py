@@ -4546,3 +4546,53 @@ def hudi_changes_stream_drain(
     )
     q.awaitTermination(180)
     return spark.read.parquet(out).select("n_nationkey", "n_name")
+
+
+@register(
+    "delta_v2_checkpoint_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey % 9 <> 4
+    """,
+    doc="V2 checkpoint WRITE + bootstrap (r14, delta_log.py "
+    "delta_checkpoint(v2=True); PROTOCOL.md 'V2 Spec' — the form "
+    "delta-spark writes under v2Checkpoint, read jar-free here since "
+    "r12): nation lands as a Delta table, a DELETE prunes n%9=4, "
+    "CALL system.checkpoint(path, 'v2') compacts the log into a "
+    "uuid-named manifest + _sidecars add batches, every commit JSON "
+    "is removed, and the snapshot re-reads from the checkpoint alone "
+    "through the distributed files plan — hash-equal to the "
+    "filter oracle.",
+    tags=("source", "lakehouse", "versioned"),
+)
+def delta_v2_checkpoint_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_delta_v2cp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(spark, base.coalesce(2), path, mode="create")
+    delta_delete_where(spark, path, "n_nationkey % 9 = 4")
+    Engine(spark).sql(f"CALL system.checkpoint('{path}', 'v2')")
+    for c in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(c)
+    return read_delta_snapshot(spark, path).select(
+        "n_nationkey", "n_name"
+    )
