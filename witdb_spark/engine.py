@@ -747,15 +747,17 @@ class Engine:
     def _call_delta_procedure(self, proc: str, text: str, m) -> DataFrame:
         """CALL system.vacuum('<path>'[, '<retention>']) /
         system.optimize('<path>'[, target_files]) /
-        system.checkpoint('<path>') — the reference delta connector's
-        procedure surface (VacuumProcedure.java takes schema, table,
-        retention; path-based tables here take the table path) — plus
-        system.expire_snapshots('<path>'[, keep_last]),
-        system.rollback_to_snapshot('<path>', id),
-        system.remove_orphan_files('<path>'[, retention]) and
-        system.fast_forward('<path>', branch, to) (reference iceberg
-        connector procedures) and system.clean('<path>'[, keep_last])
-        (Hudi's cleaner). Returns a one-row summary DataFrame."""
+        system.checkpoint('<path>'[, 'v2']) — the reference delta
+        connector's procedure surface (VacuumProcedure.java takes
+        schema, table, retention; path-based tables here take the
+        table path) — plus system.expire_snapshots('<path>'[,
+        keep_last]), system.rollback_to_snapshot('<path>', id),
+        system.remove_orphan_files('<path>'[, retention]),
+        system.fast_forward('<path>', branch, to) and
+        system.cherrypick_snapshot('<path>', id) (reference iceberg
+        connector + iceberg library procedures) and
+        system.clean('<path>'[, keep_last]) (Hudi's cleaner).
+        Returns a one-row summary DataFrame."""
         from witdb_spark.plans.dialect import (
             _match_paren,
             _split_call_args,
