@@ -1965,3 +1965,52 @@ def test_iceberg_analyze_estimation_mode(spark, tmp_path):
     assert iceberg_ndv_stats(t)["id"]["ndv"] == pytest.approx(
         30000, rel=0.05
     )
+
+
+def test_show_create_table_lakehouse(spark, tmp_path):
+    """r14: SHOW CREATE TABLE fmt.'<path>' renders Trino's layout —
+    columns in Trino type spellings plus the connector's WITH(...)
+    properties (partitioning, table configuration, location) — for
+    all three lakehouse formats."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import write_delta
+    from witdb_spark.sources.hudi_meta import write_hudi_mor_create
+    from witdb_spark.sources.iceberg_meta import write_iceberg
+
+    eng = Engine(spark)
+    d = str(tmp_path / "sc_delta")
+    write_delta(
+        spark,
+        spark.range(5).selectExpr(
+            "id", "CAST(id AS STRING) AS s", "id % 2 AS p"
+        ),
+        d,
+        mode="create",
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    ddl = eng.sql(f"SHOW CREATE TABLE delta.'{d}'").collect()[0][0]
+    assert "id bigint" in ddl and "s varchar" in ddl
+    assert "partitioned_by = ARRAY['p']" in ddl
+    assert "delta.enableChangeDataFeed = 'true'" in ddl
+    assert f"location = '{d}'" in ddl
+
+    i = str(tmp_path / "sc_ice")
+    write_iceberg(
+        spark,
+        spark.range(5).selectExpr("id", "id % 2 AS p"),
+        i,
+        mode="create",
+        partition_by=["p"],
+    )
+    ddl = eng.sql(f"SHOW CREATE TABLE iceberg.'{i}'").collect()[0][0]
+    assert "partitioning = ARRAY['p']" in ddl
+    assert "format_version = 2" in ddl
+
+    h = str(tmp_path / "sc_hudi")
+    write_hudi_mor_create(
+        spark, spark.range(5).selectExpr("id"), h, record_key="id"
+    )
+    ddl = eng.sql(f"SHOW CREATE TABLE hudi.'{h}'").collect()[0][0]
+    assert "hoodie.table.type = 'MERGE_ON_READ'" in ddl
+    assert "hoodie.table.recordkey.fields = 'id'" in ddl

@@ -128,6 +128,20 @@ class Engine:
         if m:
             return self.show_columns(m.group("name"))
         m = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+"
+            r"(?P<fmt>delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
+            r"\s*;?\s*$",
+            text, re.I,
+        )
+        if m:  # reference ShowCreate (TABLE) for lakehouse path
+            # tables: Trino's rendering — column list in Trino type
+            # names plus the WITH(...) property block each connector
+            # exposes (ShowCreateTask + connector getTableProperties).
+            # Matched BEFORE lake-ref rewriting so the path survives.
+            return self._show_create_lakehouse(
+                m.group("fmt").lower(), m.group("path")
+            )
+        m = re.match(
             r"^\s*SHOW\s+STATS\s+FOR\s+"
             r"(?P<fmt>delta|iceberg|hudi)\s*\.\s*'(?P<path>[^']+)'"
             r"\s*;?\s*$",
@@ -2179,6 +2193,112 @@ class Engine:
             "column_name string, data_size double, distinct_values_count"
             " double, nulls_fraction double, low_value string, high_value"
             " string, row_count double",
+        )
+
+    @staticmethod
+    def _trino_type(spark_simple: str) -> str:
+        """Spark simpleString -> the Trino spelling SHOW CREATE TABLE
+        prints (reference TypeSignature rendering)."""
+        t = spark_simple
+        base = {
+            "string": "varchar", "int": "integer", "integer": "integer",
+            "bigint": "bigint", "long": "bigint", "smallint": "smallint",
+            "tinyint": "tinyint", "double": "double", "float": "real",
+            "boolean": "boolean", "date": "date", "binary": "varbinary",
+            "timestamp": "timestamp(6) with time zone",
+            "timestamp_ntz": "timestamp(6)",
+        }
+        if t in base:
+            return base[t]
+        for prefix, out in (
+            ("decimal", "decimal"),
+            ("array<", None),
+            ("map<", None),
+            ("struct<", None),
+        ):
+            if t.startswith(prefix):
+                if prefix == "decimal":
+                    return t  # decimal(p,s) spells the same
+                return t  # nested types pass through spark-spelled
+        return t
+
+    def _show_create_lakehouse(self, fmt: str, path: str) -> DataFrame:
+        """SHOW CREATE TABLE fmt.'<path>' — Trino's one-column layout
+        with the connector's WITH(...) properties (r14): partitioning,
+        location, and the table's own configuration/properties."""
+        from witdb_spark.sources.lakehouse import read_table
+
+        df = read_table(self.spark, fmt, path)
+        props: list[tuple[str, str]] = []
+        if fmt == "delta":
+            from witdb_spark.sources.delta_log import (
+                _snapshot_files_plan,
+            )
+
+            _, metadata, _v, _s, _f = _snapshot_files_plan(
+                self.spark, path, None, None
+            )
+            part = list(metadata.get("partitionColumns") or [])
+            if part:
+                props.append(
+                    (
+                        "partitioned_by",
+                        "ARRAY[" + ", ".join(f"'{c}'" for c in part) + "]",
+                    )
+                )
+            for k, v in sorted(
+                (metadata.get("configuration") or {}).items()
+            ):
+                props.append((k, f"'{v}'"))
+        elif fmt == "iceberg":
+            from witdb_spark.sources.iceberg_meta import (
+                _current_metadata,
+            )
+
+            meta = _current_metadata(path)
+            spec = next(
+                (
+                    s
+                    for s in meta.get("partition-specs") or []
+                    if s.get("spec-id") == meta.get("default-spec-id", 0)
+                ),
+                None,
+            )
+            fields = [f["name"] for f in (spec or {}).get("fields") or []]
+            if fields:
+                props.append(
+                    (
+                        "partitioning",
+                        "ARRAY[" + ", ".join(f"'{f}'" for f in fields) + "]",
+                    )
+                )
+            props.append(("format_version", str(meta.get("format-version", 2))))
+            for k, v in sorted((meta.get("properties") or {}).items()):
+                props.append((k, f"'{v}'"))
+        else:
+            from witdb_spark.sources.hudi_meta import _properties
+
+            hp = _properties(path)
+            for k in (
+                "hoodie.table.type",
+                "hoodie.table.recordkey.fields",
+                "hoodie.table.partition.fields",
+                "hoodie.populate.meta.fields",
+            ):
+                if hp.get(k):
+                    props.append((k, f"'{hp[k]}'"))
+        props.append(("location", f"'{path}'"))
+        cols = ",\n   ".join(
+            f"{f.name} {self._trino_type(f.dataType.simpleString())}"
+            for f in df.schema.fields
+        )
+        with_block = ",\n   ".join(f"{k} = {v}" for k, v in props)
+        ddl = (
+            f"CREATE TABLE {fmt}.\"{path}\" (\n   {cols}\n)\n"
+            f"WITH (\n   {with_block}\n)"
+        )
+        return self.spark.createDataFrame(
+            [(ddl,)], "`Create Table` string"
         )
 
     def show_columns(self, table: str) -> DataFrame:
