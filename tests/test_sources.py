@@ -7971,3 +7971,53 @@ def test_delta_v2_checkpoint_writer_roundtrip(spark, tmp_path):
     assert {
         r.id for r in read_delta_snapshot(spark, t).collect()
     } == set(range(160))
+
+
+def test_delta_vacuum_dv_tables(spark, tmp_path):
+    """r14: VACUUM runs on deletion-vector tables (it compares paths,
+    rewrites nothing — the allow_dvs refusal was over-broad): the
+    CURRENT snapshot's .bin vectors are referenced and survive;
+    vectors superseded by a later DV commit are orphans and reclaim;
+    reads stay correct afterwards."""
+    import glob
+    import os as _os
+
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        delta_vacuum,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "vac_dv")
+    write_delta(
+        spark,
+        spark.range(0, 100).selectExpr("id").coalesce(1),
+        t,
+        mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_where(spark, t, "id >= 90")
+    first_bins = set(
+        glob.glob(_os.path.join(t, "**", "deletion_vector_*.bin"),
+                  recursive=True)
+    )
+    assert first_bins
+    # a second DV delete supersedes the first file's descriptor: the
+    # old .bin becomes an orphan
+    delta_delete_where(spark, t, "id >= 80")
+    all_bins = set(
+        glob.glob(_os.path.join(t, "**", "deletion_vector_*.bin"),
+                  recursive=True)
+    )
+    assert len(all_bins) > len(first_bins)
+    res = delta_vacuum(spark, t, retain_ms=0)
+    assert res["deleted"] >= 1
+    left = set(
+        glob.glob(_os.path.join(t, "**", "deletion_vector_*.bin"),
+                  recursive=True)
+    )
+    assert left and left < all_bins  # current vector kept, orphan gone
+    assert {
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    } == set(range(80))

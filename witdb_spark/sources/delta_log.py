@@ -3303,19 +3303,33 @@ def delta_vacuum(
     CURRENT snapshot whose modification time is older than the
     retention window (the same contract as Delta's VACUUM — time travel
     to vacuumed versions stops working, which is why the default
-    retention is 7 days). Returns {'deleted': n}."""
+    retention is 7 days). r14: DV'd tables vacuum too (vacuum compares
+    file paths, rewrites nothing — the allow_dvs gate was over-broad),
+    the CURRENT snapshot's deletion-vector files count as referenced,
+    and ORPHANED .bin vectors (superseded by later DV commits) reclaim
+    alongside retired parquet. Returns {'deleted': n}."""
     import glob
 
     # mapping-safe: vacuum compares file PATHS only, no row rewrites
     _, _, state, _ = _snapshot_state(
-        spark, path, None, None, allow_name_mapping=True
+        spark, path, None, None, allow_dvs=True, allow_name_mapping=True
     )
     active = {
         os.path.abspath(os.path.join(path, unquote(p))) for p in state
     }
+    for add in state.values():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            active.add(os.path.abspath(_dv_file_path(path, dv)))
     cutoff = _now_ms() / 1000.0 - retain_ms / 1000.0
     deleted = 0
-    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+    candidates = glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ) + glob.glob(
+        os.path.join(path, "**", "deletion_vector_*.bin"),
+        recursive=True,
+    )
+    for f in candidates:
         rel = os.path.relpath(f, path)
         if rel.startswith("_delta_log") or rel.startswith("."):
             continue
