@@ -8021,3 +8021,47 @@ def test_delta_vacuum_dv_tables(spark, tmp_path):
     assert {
         r.id for r in read_delta_snapshot(spark, t).collect()
     } == set(range(80))
+
+
+def test_delta_optimize_purges_deletion_vectors(spark, tmp_path):
+    """r14: OPTIMIZE on a DV table rewrites through the DV-applied
+    snapshot — vectors purge (Delta's REORG APPLY PURGE), rows stay
+    identical, the commit is dataChange=false, and time travel to the
+    pre-optimize version still sees the DV-applied state."""
+    from witdb_spark.sources.delta_log import (
+        _snapshot_state,
+        delta_optimize,
+        delta_table_version,
+        read_delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "opt_dv")
+    write_delta(
+        spark,
+        spark.range(0, 60).selectExpr("id").repartition(4),
+        t,
+        mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    from witdb_spark.sources.delta_log import delta_delete_where
+
+    delta_delete_where(spark, t, "id % 7 = 3")
+    pre_v = delta_table_version(spark, t)
+    want = {i for i in range(60) if i % 7 != 3}
+    res = delta_optimize(spark, t, target_files=2)
+    assert res["files_after"] <= 2
+    _, _, state, _ = _snapshot_state(
+        spark, t, None, None, allow_dvs=True, allow_name_mapping=True
+    )
+    assert not any(a.get("deletionVector") for a in state.values())
+    assert {
+        r.id for r in read_delta_snapshot(spark, t).collect()
+    } == want
+    # pre-optimize version still DV-applied
+    assert {
+        r.id for r in read_delta_snapshot(spark, t, version=pre_v).collect()
+    } == want
+    # a compact DV-free table is still a no-op
+    res = delta_optimize(spark, t, target_files=2)
+    assert res["files_before"] == res["files_after"]

@@ -3177,12 +3177,20 @@ def delta_optimize(spark: SparkSession, path: str, target_files: int = 1) -> dic
     streaming readers know no rows changed. Small-file proliferation is
     THE operational cost of frequent COW commits at scale — compaction
     plus checkpointing keeps both the data and the log O(content), not
-    O(history). Returns {'version', 'files_before', 'files_after'}."""
+    O(history). r14: DV'd tables compact too — the snapshot read
+    applies the vectors, so the rewrite PURGES them (Delta's own
+    REORG TABLE ... APPLY (PURGE)); a table whose only excess baggage
+    is deletion vectors still rewrites even at the target file count.
+    Returns {'version', 'files_before', 'files_after'}."""
     for _ in range(5):
         _, metadata, state, version = _snapshot_state(
-            spark, path, None, None, allow_name_mapping=True
+            spark, path, None, None,
+            allow_dvs=True, allow_name_mapping=True,
         )
-        if len(state) <= target_files:
+        has_dvs = any(
+            a.get("deletionVector") for a in state.values()
+        )
+        if len(state) <= target_files and not has_dvs:
             return {
                 "version": version,
                 "files_before": len(state),
