@@ -44,6 +44,11 @@ def hudi_last_committed_epoch(path: str, app_id: str) -> int | None:
     key = (os.path.abspath(path), app_id)
     seen_upto, cached = _EPOCH_CACHE.get(key, ("", None))
     instants = _completed_instants(path)
+    if seen_upto and all(i != seen_upto for i, _a, _f in instants):
+        # the cached frontier is gone from the timeline — the table
+        # was recreated at this path (or its history archived); a
+        # stale cache here could silently skip batches, so rescan
+        seen_upto, cached = "", None
     newest = instants[-1][0] if instants else ""
     for inst, _action, fpath in reversed(instants):
         if inst <= seen_upto:
