@@ -1744,3 +1744,44 @@ def test_sketch_over_hoist_partitioned_window(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_checkpoint_scan_prunes_stats_column(spark, tmp_path):
+    """r14 plan gate: the distributed snapshot plan's collect path
+    must keep add.stats OUT of the checkpoint parquet ReadSchema
+    (nested-schema pruning through the projection chain) — stats are
+    the dominant per-add bytes and only the executor-side skipping
+    filter ever needs them."""
+    import re
+
+    from witdb_spark.sources.delta_log import (
+        _snapshot_files_plan,
+        delta_checkpoint,
+        write_delta,
+    )
+
+    t = str(tmp_path / "cp_prune_gate")
+    write_delta(
+        spark,
+        spark.range(0, 500).selectExpr("id", "CAST(id AS STRING) AS s"),
+        t,
+        mode="create",
+    )
+    delta_checkpoint(spark, t)
+    write_delta(
+        spark, spark.range(500, 520).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ), t, mode="append",
+    )
+    _, _, _, state, files_df = _snapshot_files_plan(spark, t, None, None)
+    assert state is None and files_df is not None
+    plan = (
+        files_df.select("path", "pv", "dv")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "stats" not in m.group(1), m.group(1)
+    assert "deletionVector" in m.group(1) or "dv" in m.group(1)
