@@ -1037,7 +1037,10 @@ def test_delta_log_reader_protocol_gates(spark, tmp_path):
         read_delta_snapshot(spark, t2).collect()
     from witdb_spark.sources.delta_log import delta_optimize
 
-    with _pytest.raises(DeltaProtocolError, match="deletion vector"):
+    # r14: OPTIMIZE plans DV'd tables (compact-and-purge) — the
+    # malformed descriptor is still loud, raised executor-side during
+    # the purge read (wrapped by Spark, so match the message)
+    with _pytest.raises(Exception, match="deletion vector"):
         delta_optimize(spark, t2)
 
     t3 = str(tmp_path / "vc")
@@ -2047,14 +2050,12 @@ def test_delta_deletion_vectors_roundtrip(spark, tmp_path):
     # appends are DV-safe and visible
     write_delta(spark, mk(20, 22), t, mode="append")
     assert read_delta_snapshot(spark, t).count() == 19
-    # rewriting operations refuse while DVs are active (checkpointing
-    # is DV-aware since r9 and is covered below)
-    for op in (
-        lambda: delta_delete_where(spark, t, "id = 5"),
-        lambda: delta_optimize(spark, t),
-    ):
-        with pytest.raises(DeltaProtocolError, match="deletion vector"):
-            op()
+    # COW row-rewrites still refuse while DVs are active (OPTIMIZE
+    # compacts-and-purges since r14 — covered by
+    # test_delta_optimize_purges_deletion_vectors; checkpointing is
+    # DV-aware since r9 and is covered below)
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        delta_delete_where(spark, t, "id = 5")
     # r9: checkpointing a DV'd table carries the descriptors + protocol
     # features; a bootstrap from the checkpoint (commits deleted) sees
     # the same deleted rows
