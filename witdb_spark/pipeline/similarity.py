@@ -310,3 +310,132 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "match_id", "cosine", F.col("rn").alias("rank"))
     )
+
+
+_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *"
+    " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (r14) — the third scale path next to
+    lsh_buckets and ivf_topk, and the one that shrinks the CORPUS
+    itself: each vector splits into ``m`` subvectors, each subvector
+    is replaced by the id of its nearest codeword from a per-subspace
+    codebook of ``ksub`` centroids, and query scoring is ADC
+    (asymmetric distance computation) — a table lookup per subspace
+    instead of a full-dimension scan. At 100 TB the encoded corpus is
+    m small ints per vector (~32 bits here vs 64 floats), encoding is
+    a PURE MAP stage (codebooks inline as literals, per-row argmin
+    fold — the ivf_corpus_cells construction), and scoring is a
+    BROADCAST join of the m*ksub*|queries| distance table against the
+    long code relation plus one decimal-sum aggregation: no full
+    vectors ever shuffle.
+
+    Determinism (oracle-exact): codebooks are the lowest-``ksub``
+    corpus vectors' slices (the IVF coarse-quantizer convention —
+    swap trained codebooks in production without changing the plan);
+    per-subspace L2^2 distances round to 6 places and sum as
+    DECIMAL(20,6) (order-free exact addition, the registry's decimal
+    rule); argmin ties break on the lower codeword id. Returns
+    (query_id, match_id, adc DOUBLE, rank INT) with rank <= k by ADC
+    ascending."""
+    from pyspark.sql import Window
+
+    dim = len(
+        corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    cent_rows = (
+        corpus.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()  # ksub rows — inline-as-literals, not a data loop
+    )
+    # codebook[j] = [(cid, literal of the j-th slice)]
+    codebooks = [
+        [
+            (r.cid, _vec_literal(r.cv[j * sub : (j + 1) * sub]))
+            for r in cent_rows
+        ]
+        for j in range(m)
+    ]
+
+    def slice_expr(col: str, j: int) -> str:
+        return f"slice({col}, {j * sub + 1}, {sub})"
+
+    # ---- encode: one argmin fold per subspace, zero shuffles ----
+    enc = []
+    for j in range(m):
+        sl = slice_expr(vec_col, j)
+        entries = [
+            F.struct(
+                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, lit in codebooks[j]
+        ]
+        enc.append(
+            F.array_min(F.array(*entries))["cid"].alias(f"__c{j}")
+        )
+    codes = corpus.select(F.col(id_col).alias("match_id"), *enc)
+    code_pairs = ", ".join(
+        f"{j}, __c{j}" for j in range(m)
+    )
+    long_codes = codes.selectExpr(
+        "match_id", f"stack({m}, {code_pairs}) AS (j, cid)"
+    )
+
+    # ---- per-(query, subspace, codeword) ADC distance table ----
+    qcols = []
+    for j in range(m):
+        sl = slice_expr(vec_col, j)
+        for cid, lit in codebooks[j]:
+            qcols.append(
+                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias(
+                    f"__d_{j}_{cid}"
+                )
+            )
+    qd = queries.select(F.col(id_col).alias("query_id"), *qcols)
+    dist_triples = ", ".join(
+        f"{j}, {cid}, __d_{j}_{cid}"
+        for j in range(m)
+        for cid, _ in codebooks[j]
+    )
+    qd_long = qd.selectExpr(
+        "query_id",
+        f"stack({m * ksub}, {dist_triples}) AS (j, cid, d)",
+    )
+
+    adc = (
+        long_codes.join(F.broadcast(qd_long), ["j", "cid"])
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(20,6)")).alias("__s")
+        )
+        .select(
+            "query_id",
+            "match_id",
+            F.col("__s").cast("double").alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("match_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc", "rank")
+    )

@@ -842,3 +842,70 @@ def dedup_passage_boilerplate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return dedup.passage_boilerplate(Tables(spark, sf_dir).documents)
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) *"
+        f" (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+
+
+@register(
+    "similarity_pq_topk",
+    f"""
+    WITH js AS (SELECT unnest(range(0, 4)) AS j),
+    cb AS (
+      SELECT vec_id AS cid, j,
+             embedding[j*16+1 : j*16+16] AS cvec
+      FROM embeddings, js WHERE vec_id < 8),
+    corp AS (
+      SELECT vec_id AS match_id, j,
+             embedding[j*16+1 : j*16+16] AS svec
+      FROM embeddings, js),
+    codes AS (
+      SELECT match_id, j, cid FROM (
+        SELECT c.match_id, c.j, b.cid,
+               row_number() OVER (
+                 PARTITION BY c.match_id, c.j
+                 ORDER BY round({_l2_sql('c.svec', 'b.cvec')}, 6), b.cid
+               ) AS rn
+        FROM corp c JOIN cb b USING (j)) x
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, j,
+             embedding[j*16+1 : j*16+16] AS qvec
+      FROM embeddings, js WHERE vec_id < 5),
+    adc AS (
+      SELECT q.query_id, codes.match_id,
+             CAST(SUM(CAST(round({_l2_sql('q.qvec', 'cb.cvec')}, 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS adc
+      FROM codes
+      JOIN cb ON cb.j = codes.j AND cb.cid = codes.cid
+      JOIN q ON q.j = codes.j
+      GROUP BY q.query_id, codes.match_id)
+    SELECT query_id, match_id, adc, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, match_id) AS rn
+          FROM adc) r
+    WHERE rn <= 5
+    """,
+    doc="Product-quantization ANN (r14, pipeline/similarity.py::"
+    "pq_topk — the third scale path next to LSH and IVF, the one "
+    "that shrinks the CORPUS: 64-dim vectors encode to m=4 codeword "
+    "ids against per-subspace codebooks of 8, and queries score via "
+    "ADC table lookups — a broadcast join of the 160-entry distance "
+    "table plus one decimal-sum agg; no full vectors shuffle at any "
+    "scale). Deterministic codebooks (lowest-id slices), round-6 + "
+    "DECIMAL(20,6) summation, lowest-codeword tie-breaks — the "
+    "DuckDB oracle replays the identical algorithm, exact hash "
+    "match.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, m=4, ksub=8
+    )

@@ -79,10 +79,12 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # (after this window froze): hudi_changes_stream_drain (the hudi
 # incremental change STREAM completing the 3x3 source/sink matrix)
 # and dedup_passage_boilerplate (CCNet/C4-style common-passage
-# removal over documents), and delta_v2_checkpoint_roundtrip (the V2
-# checkpoint WRITER + bootstrap); all contract-emulation green at
-# sf0.01 UTC on registration (the passage query also at sf0.1); they
-# lead r15 with the deferred r8 texts.
+# removal over documents), delta_v2_checkpoint_roundtrip (the V2
+# checkpoint WRITER + bootstrap), and similarity_pq_topk (product-
+# quantization ANN — the corpus-shrinking third scale path); all
+# contract-emulation green at sf0.01 UTC on registration (the
+# passage + PQ queries also at sf0.1); they lead r15 with the
+# deferred r8 texts.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (late-r13 + r14-new)
     "hudi_cdf_stream_sink_loop",
