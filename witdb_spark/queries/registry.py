@@ -52,66 +52,71 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # The driver's correctness gate samples the FIRST 50 names from queries().
 # Rotation rule (every round): lead with (a) anything never driver-verified
 # or whose engine/oracle changed this round, (b) the oldest driver-green
-# queries. Cumulative ledger after r13: 315 of 316 then-registered queries
-# ever driver-checked, ZERO latest-row failures; staleness by latest driver
-# row entering r14: r7: 20, r8: 50, r9: 50, r10: 47, r11: 49, r12: 49,
-# r13: 50; never-checked: hudi_cdf_stream_sink_loop (late-r13) + the three
-# r14-new registrations.
-# Round-14 window: positions 1-4 the never-driver-checked queries —
-# hudi_cdf_stream_sink_loop (late-r13 streaming sink) and the three
-# r14-new registrations (hudi_hfile_block_read: jar-free HBase HFile
-# log blocks; iceberg_analyze_puffin_stats: ANALYZE -> Puffin theta
-# sketches; iceberg_cherry_pick_scan: diverged-branch publish);
-# 5-24 the ENTIRE remaining r7-era staleness — all 20 deferred tpcds
-# texts — draining r7 to zero the way r13 drained r6; 25-34 engine-
-# changed re-drives: every delta snapshot READ now plans through
-# _snapshot_files_plan (distributed checkpoint planning, executor-side
-# file skipping — the seven delta read/write/DV/column-mapping/
-# skipping queries), iceberg scans plan manifests on executors past 8
-# manifests (iceberg_pruned_scan, iceberg_mor_partitioned_dml,
-# iceberg_incremental_scan); 35-50 sixteen r8-era backfills chosen for
-# shape diversity (both geometry parity queries; tpcds q2/q9/q13/q17/
-# q25/q28/q29/q40/q57/q64/q66/q78/q94/q97 spanning date-window CTEs,
-# channel unions, multi-store joins, returns/catalog correlations).
-# The 34 deferred r8 texts keep local DuckDB coverage every pytest run
-# (tests/test_queries_oracle.py parameterizes the whole registry) and
-# lead r15 with whatever r14 registers late. Late-r14 registrations
-# (after this window froze): hudi_changes_stream_drain (the hudi
-# incremental change STREAM completing the 3x3 source/sink matrix)
-# and dedup_passage_boilerplate (CCNet/C4-style common-passage
-# removal over documents), delta_v2_checkpoint_roundtrip (the V2
-# checkpoint WRITER + bootstrap), and similarity_pq_topk (product-
-# quantization ANN — the corpus-shrinking third scale path); all
-# contract-emulation green at sf0.01 UTC on registration (the
-# passage + PQ queries also at sf0.1); they lead r15 with the
-# deferred r8 texts.
+# queries. Cumulative ledger after r14 (recomputed from all fourteen
+# CORRECTNESS files): 319/323 registered queries ever driver-checked, ZERO
+# latest-row failures; staleness by latest driver row entering r15:
+# r8: 34, r9: 47, r10: 44, r11: 48, r12: 46, r13: 50, r14: 50;
+# never-checked: the four late-r14 registrations.
+# Round-15 window: positions 1-4 the never-driver-checked late-r14
+# registrations (hudi_changes_stream_drain: hudi incremental change
+# STREAM completing the 3x3 source/sink matrix;
+# delta_v2_checkpoint_roundtrip: V2 checkpoint WRITER + bootstrap;
+# dedup_passage_boilerplate: CCNet/C4-style common-passage removal;
+# similarity_pq_topk: product-quantization ANN) — after this window
+# lands, every registered query has a driver row for the first time;
+# 5-38 the ENTIRE remaining r8-era staleness — all 34 deferred tpcds
+# texts — draining r8 to zero the way r14 drained r7; 39-50 r15-new
+# registrations + engine-changed re-drives + shape-diverse r9
+# backfills: similarity_ivfpq_topk (IVF cell probe composed with PQ
+# ADC scoring — the 100 TB ANN shape), iceberg_cherry_pick_conflict
+# (delete-carrying cherry-pick with the library's conflict check),
+# hudi_rewrite_stream_drain (COW rewrite commits attributed via
+# _hoodie_commit_time instead of refusing); engine-changed re-drives
+# iceberg_cherry_pick_scan (cherry-pick generalized past appends),
+# similarity_ivf_topk + similarity_pq_topk's parents share code the
+# composition touches, cbo_broadcast_from_stats (ANALYZE stats fed to
+# Spark CBO); r9 backfills hudi_timeline_reader_snapshot,
+# lakehouse_merge_roundtrip, agg_qdigest_weighted,
+# curation_temperature_mix, window_range_interval chosen for shape
+# diversity (lakehouse timeline, MERGE, sketch agg, pipeline mix,
+# RANGE interval frames). The remaining r9 texts keep local DuckDB
+# coverage every pytest run (tests/test_queries_oracle.py
+# parameterizes the whole registry) and lead r16 with whatever r15
+# registers late.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (late-r13 + r14-new)
-    "hudi_cdf_stream_sink_loop",
-    "hudi_hfile_block_read",
-    "iceberg_analyze_puffin_stats",
+    # never driver-checked (late-r14)
+    "hudi_changes_stream_drain",
+    "delta_v2_checkpoint_roundtrip",
+    "dedup_passage_boilerplate",
+    "similarity_pq_topk",
+    # r8-era staleness: ALL 34 remaining tpcds texts (drain to zero)
+    "tpcds_sql_q1", "tpcds_sql_q3", "tpcds_sql_q6",
+    "tpcds_sql_q7", "tpcds_sql_q8", "tpcds_sql_q10",
+    "tpcds_sql_q12", "tpcds_sql_q15", "tpcds_sql_q16",
+    "tpcds_sql_q18", "tpcds_sql_q20", "tpcds_sql_q22",
+    "tpcds_sql_q26", "tpcds_sql_q27", "tpcds_sql_q30",
+    "tpcds_sql_q32", "tpcds_sql_q37", "tpcds_sql_q41",
+    "tpcds_sql_q42", "tpcds_sql_q43", "tpcds_sql_q45",
+    "tpcds_sql_q48", "tpcds_sql_q50", "tpcds_sql_q53",
+    "tpcds_sql_q55", "tpcds_sql_q58", "tpcds_sql_q61",
+    "tpcds_sql_q62", "tpcds_sql_q76", "tpcds_sql_q81",
+    "tpcds_sql_q90", "tpcds_sql_q96", "tpcds_sql_q98",
+    "tpcds_sql_q99",
+    # r15-new registrations (filled in as they land this round)
+    "similarity_ivfpq_topk",
+    "iceberg_cherry_pick_conflict",
+    "hudi_rewrite_stream_drain",
+    "cbo_broadcast_from_stats",
+    # engine-changed re-drives (cherry-pick generalization, ANN shared code)
     "iceberg_cherry_pick_scan",
-    # r7-era staleness: ALL 20 remaining tpcds texts (drain to zero)
-    "tpcds_sql_q11", "tpcds_sql_q14", "tpcds_sql_q39",
-    "tpcds_sql_q44", "tpcds_sql_q46", "tpcds_sql_q49",
-    "tpcds_sql_q51", "tpcds_sql_q56", "tpcds_sql_q59",
-    "tpcds_sql_q60", "tpcds_sql_q65", "tpcds_sql_q67",
-    "tpcds_sql_q68", "tpcds_sql_q74", "tpcds_sql_q75",
-    "tpcds_sql_q77", "tpcds_sql_q87", "tpcds_sql_q89",
-    "tpcds_sql_q93", "tpcds_sql_q95",
-    # engine changed in r14 (distributed snapshot planning re-drives)
-    "delta_log_reader_snapshot", "delta_writer_roundtrip",
-    "delta_dv_roundtrip", "delta_cm_id_reader",
-    "delta_cm_writer_roundtrip", "delta_skipping_scan",
-    "delta_skipping_or_scan", "iceberg_pruned_scan",
-    "iceberg_mor_partitioned_dml", "iceberg_incremental_scan",
-    # r8-era backfill (16 of 50, shape-diverse)
-    "geometry_buffer_parity", "geometry_collection_ops",
-    "tpcds_sql_q2", "tpcds_sql_q9", "tpcds_sql_q13",
-    "tpcds_sql_q17", "tpcds_sql_q25", "tpcds_sql_q28",
-    "tpcds_sql_q29", "tpcds_sql_q40", "tpcds_sql_q57",
-    "tpcds_sql_q64", "tpcds_sql_q66", "tpcds_sql_q78",
-    "tpcds_sql_q94", "tpcds_sql_q97",
+    "similarity_ivf_topk",
+    "similarity_topk",
+    # r9-era backfill (shape-diverse)
+    "hudi_timeline_reader_snapshot",
+    "lakehouse_merge_roundtrip",
+    "agg_qdigest_weighted",
+    "curation_temperature_mix",
+    "window_range_interval",
 )
 
 
