@@ -1785,3 +1785,39 @@ def test_checkpoint_scan_prunes_stats_column(spark, tmp_path):
     assert m, plan
     assert "stats" not in m.group(1), m.group(1)
     assert "deletionVector" in m.group(1) or "dv" in m.group(1)
+
+
+def test_ivfpq_cell_prune_precedes_adc(spark):
+    """r15 plan gate: in the composed IVF x PQ ANN the corpus codes must
+    be CELL-PRUNED (broadcast join against the probe list) BEFORE the ADC
+    distance-table join and its aggregation — the whole point of the
+    composition is that ADC work runs at ~(n_probe/n_centroids)
+    selectivity, not over the full corpus the way standalone pq_topk
+    does. Also pins: both joins broadcast (nothing shuffles the corpus),
+    the ADC sum partial-aggregates map-side, and the per-query top-k is a
+    WindowGroupLimit, not a global sort."""
+    plan = plan_of(spark, "similarity_ivfpq_topk")
+    # two broadcast hash joins: (a) codes x probe-list on cell,
+    # (b) survivors x distance-table on (query_id, j, cid)
+    bhj = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(
+            r"\((\d+)\) BroadcastHashJoin[^\n]*\n((?:[^\n]*\n){1,4})", plan
+        )
+    }
+    cell_nodes = [n for n, d in bhj.items() if re.search(r"keys.*\[cell#", d)]
+    adc_nodes = [
+        n
+        for n, d in bhj.items()
+        if re.search(r"keys.*query_id#\d+L?, j#\d+, cid#\d+", d)
+    ]
+    assert cell_nodes and adc_nodes, plan[:4000]
+    # formatted-plan node ids are assigned children-first: the cell-prune
+    # join must be a descendant of (numbered before) the ADC join
+    assert min(cell_nodes) < min(adc_nodes), (cell_nodes, adc_nodes)
+    # the corpus never shuffles into either join
+    assert "SortMergeJoin" not in plan
+    # map-side partial aggregation of the decimal ADC sum
+    assert re.search(r"partial_sum", plan), plan[:4000]
+    # top-k via rank-limit pushdown, not a full per-query sort
+    assert "WindowGroupLimit" in plan

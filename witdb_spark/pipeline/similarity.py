@@ -319,6 +319,177 @@ _L2 = (
 )
 
 
+def _pq_codebooks(corpus: DataFrame, m: int, ksub: int, vec_col: str, id_col: str):
+    """Deterministic per-subspace codebooks: the lowest-``ksub`` corpus
+    vectors' slices (the same inline-as-literals convention as the IVF
+    coarse quantizer — swap trained codebooks in at production without
+    changing the plan). Returns (sub, codebooks) where codebooks[j] =
+    [(cid, sql_literal_of_slice_j)]."""
+    dim = len(corpus.select(F.col(vec_col)).limit(1).collect()[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    cent_rows = (
+        corpus.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()  # ksub rows — inline-as-literals, not a data loop
+    )
+    codebooks = [
+        [(r.cid, _vec_literal(r.cv[j * sub : (j + 1) * sub])) for r in cent_rows]
+        for j in range(m)
+    ]
+    return sub, codebooks
+
+
+def _pq_encode_cols(vec_col: str, sub: int, codebooks: list) -> list:
+    """PQ encode as pure-map argmin folds: one column per subspace holding
+    the nearest codeword id (round-6 L2^2, ties to the lower cid)."""
+    enc = []
+    for j, book in enumerate(codebooks):
+        sl = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        entries = [
+            F.struct(
+                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, lit in book
+        ]
+        enc.append(F.array_min(F.array(*entries))["cid"].alias(f"__c{j}"))
+    return enc
+
+
+def _pq_query_distance_table(
+    queries: DataFrame, sub: int, codebooks: list, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-(query, subspace, codeword) ADC distance table in long form:
+    (query_id, j, cid, d). m*ksub*|queries| rows — broadcast-sized by
+    construction."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    qcols = []
+    for j, book in enumerate(codebooks):
+        sl = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        for cid, lit in book:
+            qcols.append(
+                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias(f"__d_{j}_{cid}")
+            )
+    qd = queries.select(F.col(id_col).alias("query_id"), *qcols)
+    dist_triples = ", ".join(
+        f"{j}, {cid}, __d_{j}_{cid}" for j in range(m) for cid, _ in codebooks[j]
+    )
+    return qd.selectExpr(
+        "query_id", f"stack({m * ksub}, {dist_triples}) AS (j, cid, d)"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF x PQ ANN (r15) — the composed 100 TB index shape: IVF's coarse
+    quantizer prunes the candidate set to the queries' ``n_probe`` nearest
+    cells, then PQ's ADC table-lookup scores ONLY those candidates.
+    Standalone ``pq_topk`` scores the whole corpus per query (that is what
+    PQ alone is); standalone ``ivf_topk`` scores full-dimension vectors.
+    The composition is Faiss's IVFADC layout (here with by_residual=False:
+    codes encode the raw vector, not the residual against its cell
+    centroid — residual encoding needs per-cell query tables, m*ksub*
+    n_probe per query, and buys recall, not a different plan shape; the
+    non-residual variant keeps the distance table cell-independent and the
+    oracle exactly replayable).
+
+    Plan shape, inside-out:
+      1. Corpus index build is ONE map stage (no shuffle): cell id via the
+         ivf_corpus_cells argmax fold + m codeword ids via argmin folds,
+         all against inlined literals, then stack() to long codes
+         (match_id, cell, j, cid) — m small ints per vector; the full
+         vectors never leave the scan.
+      2. Queries probe their n_probe nearest cells (broadcast centroid
+         join + per-query window — query side is small by construction)
+         and the probe list broadcasts back against the long codes: the
+         corpus relation is CELL-PRUNED before any scoring work, at
+         ~(n_probe/n_centroids) selectivity.
+      3. ADC: the m*ksub*|queries| distance table broadcasts onto the
+         surviving codes on (query_id, j, cid); one partial-aggregated
+         decimal sum per (query, match) and a per-query top-k window
+         (WindowGroupLimit) finish it. No full vectors ever shuffle; the
+         only exchange carries (query_id, match_id, decimal) for probed
+         candidates only.
+
+    Determinism (oracle-exact, the registry's rules): round-6 L2^2,
+    DECIMAL(20,6) order-free summation, argmin/argmax ties to the lower
+    id, final ties to the lower match_id. Returns (query_id, match_id,
+    adc DOUBLE, rank INT), rank <= k by ADC ascending.
+
+    Reference analog: none — the reference has no ANN (SURVEY §2 maps its
+    cosine_similarity scalar only); this is the beyond-reference tier's
+    scale path."""
+    sub, codebooks = _pq_codebooks(corpus, m, ksub, vec_col, id_col)
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()  # n_centroids rows — inline-as-literals
+    )
+    cent_lits = [(r.cid, _vec_literal(r.cv)) for r in cent_rows]
+    cents = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", F.sqrt(dot_expr("cv", "cv")))
+    )
+
+    # 1. corpus index: cell + codes in one projection over the scan
+    cells = ivf_corpus_cells(corpus, cent_lits, vec_col, id_col)
+    codes_wide = cells.select(
+        "match_id", F.col("cid").alias("cell"), *_pq_encode_cols("cvec", sub, codebooks)
+    )
+    code_pairs = ", ".join(f"{j}, __c{j}" for j in range(m))
+    long_codes = codes_wide.selectExpr(
+        "match_id", "cell", f"stack({m}, {code_pairs}) AS (j, cid)"
+    )
+
+    # 2. query cell probe (broadcast cents, window top-n_probe)
+    qscored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("qn", F.sqrt(dot_expr("qvec", "qvec")))
+        .join(F.broadcast(cents))
+        .withColumn(
+            "ccos", F.round(dot_expr("qvec", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    query_cells = (
+        qscored.withColumn("crn", F.row_number().over(wp))
+        .filter(F.col("crn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+
+    # 3. cell-prune THEN ADC-score: probe list broadcasts onto the codes,
+    # distance table broadcasts onto the survivors
+    qd_long = _pq_query_distance_table(queries, sub, codebooks, vec_col, id_col)
+    candidates = long_codes.join(F.broadcast(query_cells), "cell")
+    adc = (
+        candidates.join(F.broadcast(qd_long), ["query_id", "j", "cid"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum(F.col("d").cast("decimal(20,6)")).alias("__s"))
+        .select("query_id", "match_id", F.col("__s").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("match_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

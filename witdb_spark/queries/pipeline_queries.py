@@ -909,3 +909,81 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, m=4, ksub=8
     )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    f"""
+    WITH js AS (SELECT unnest(range(0, 4)) AS j),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cv, {_norm_sql('embedding')} AS cn
+      FROM embeddings WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings),
+    queries AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings WHERE vec_id < 5),
+    corpus_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='corpus', probe=1)}),
+    query_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='queries', probe=2)}),
+    cb AS (
+      SELECT vec_id AS cid, j,
+             embedding[j*16+1 : j*16+16] AS cvec
+      FROM embeddings, js WHERE vec_id < 8),
+    corp AS (
+      SELECT vec_id AS match_id, j,
+             embedding[j*16+1 : j*16+16] AS svec
+      FROM embeddings, js),
+    codes AS (
+      SELECT match_id, j, cid FROM (
+        SELECT c.match_id, c.j, b.cid,
+               row_number() OVER (
+                 PARTITION BY c.match_id, c.j
+                 ORDER BY round({_l2_sql('c.svec', 'b.cvec')}, 6), b.cid
+               ) AS rn
+        FROM corp c JOIN cb b USING (j)) x
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, j,
+             embedding[j*16+1 : j*16+16] AS qvec
+      FROM embeddings, js WHERE vec_id < 5),
+    cand AS (
+      SELECT qc.v_id AS query_id, mc.v_id AS match_id
+      FROM query_cells qc JOIN corpus_cells mc USING (cid)),
+    adc AS (
+      SELECT cd.query_id, cd.match_id,
+             CAST(SUM(CAST(round({_l2_sql('q.qvec', 'cb.cvec')}, 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS adc
+      FROM cand cd
+      JOIN codes ON codes.match_id = cd.match_id
+      JOIN cb ON cb.j = codes.j AND cb.cid = codes.cid
+      JOIN q ON q.query_id = cd.query_id AND q.j = codes.j
+      GROUP BY cd.query_id, cd.match_id)
+    SELECT query_id, match_id, adc, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, match_id) AS rn
+          FROM adc) r
+    WHERE rn <= 5
+    """,
+    doc="IVF x PQ composed ANN (r15, pipeline/similarity.py::"
+    "ivfpq_topk — the actual 100 TB index shape, closing the r14 "
+    "VERDICT's Next #2): IVF's coarse quantizer prunes the corpus to "
+    "each query's 2 probed cells of 8, THEN PQ's ADC table lookups "
+    "score only the surviving candidates — standalone PQ scans "
+    "everything, standalone IVF scores full-dimension vectors. "
+    "Faiss IVFADC layout with by_residual=False (codes encode raw "
+    "vectors, keeping the distance table cell-independent). Index "
+    "build is one map stage (cell argmax + m=4 codeword argmins "
+    "against inlined literals); the probe list and the 160-entry "
+    "distance table both broadcast; the only exchange carries "
+    "(query, match, decimal) for probed candidates. Deterministic "
+    "codebooks/centroids like its parents; the DuckDB oracle "
+    "replays the identical algorithm, exact hash match.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_centroids=8, n_probe=2, m=4, ksub=8,
+    )
