@@ -8066,3 +8066,213 @@ def test_delta_optimize_purges_deletion_vectors(spark, tmp_path):
     # a compact DV-free table is still a no-op
     res = delta_optimize(spark, t, target_files=2)
     assert res["files_before"] == res["files_after"]
+
+
+def test_iceberg_dynamic_overwrite_semantics(spark, tmp_path):
+    """r15: iceberg_dynamic_overwrite (Spark's dynamic
+    partitionOverwriteMode / iceberg-java ReplacePartitions) replaces
+    exactly the partitions the incoming data touches; untouched
+    partitions' manifests carry through UNREWRITTEN (same manifest
+    paths); the snapshot carries replace-partitions=true + an explicit
+    parent-snapshot-id (what cherry-pick's conflict check keys on);
+    unpartitioned tables refuse."""
+    import pytest
+
+    from witdb_spark.sources.avro_codec import read_avro_file
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        _resolve,
+        iceberg_dynamic_overwrite,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ice_dyn")
+    base = spark.createDataFrame(
+        [(i, i % 3, "base") for i in range(12)],
+        "id long, r long, tag string",
+    )
+    write_iceberg(
+        spark, base.coalesce(1), t, mode="create", partition_by=["r"]
+    )
+    meta1 = _current_metadata(t)
+    s1 = meta1["current-snapshot-id"]
+    _, list1 = read_avro_file(
+        _resolve(t, next(
+            s for s in meta1["snapshots"] if s["snapshot-id"] == s1
+        )["manifest-list"])
+    )
+    paths1 = {m["manifest_path"] for m in list1}
+    s2 = iceberg_dynamic_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, 1, "fresh") for i in range(3)],
+            "id long, r long, tag string",
+        ).coalesce(1),
+        t,
+    )
+    got = {(r.id, r.r, r.tag) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {(i, i % 3, "base") for i in range(12) if i % 3 != 1} | {
+        (100 + i, 1, "fresh") for i in range(3)
+    }
+    meta2 = _current_metadata(t)
+    head = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == s2
+    )
+    assert head["summary"]["operation"] == "overwrite"
+    assert head["summary"]["replace-partitions"] == "true"
+    assert head["parent-snapshot-id"] == s1
+    # the base manifest HAD r=1 entries, so it was rewritten; but a
+    # second dynamic overwrite of r=1 only must leave the r=0/r=2
+    # survivors' manifest untouched this time (no r=1 entries left in it)
+    _, list2 = read_avro_file(_resolve(t, head["manifest-list"]))
+    s3 = iceberg_dynamic_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(200, 1, "fresher")], "id long, r long, tag string"
+        ).coalesce(1),
+        t,
+    )
+    meta3 = _current_metadata(t)
+    head3 = next(s for s in meta3["snapshots"] if s["snapshot-id"] == s3)
+    _, list3 = read_avro_file(_resolve(t, head3["manifest-list"]))
+    carried2 = {m["manifest_path"] for m in list2} - {
+        m["manifest_path"]
+        for m in list2
+        if m["added_snapshot_id"] == s2
+    }
+    # every carried manifest from snap2 that held only untouched
+    # partitions appears verbatim in snap3's list
+    assert carried2 <= {m["manifest_path"] for m in list3}
+    got3 = {(r.id, r.r, r.tag) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got3 == {
+        (i, i % 3, "base") for i in range(12) if i % 3 != 1
+    } | {(200, 1, "fresher")}
+    # unpartitioned refuses
+    t2 = str(tmp_path / "ice_dyn_unpart")
+    write_iceberg(spark, spark.range(5).selectExpr("id"), t2, mode="create")
+    with pytest.raises(IcebergProtocolError, match="UNPARTITIONED"):
+        iceberg_dynamic_overwrite(
+            spark, spark.range(3).selectExpr("id"), t2
+        )
+
+
+def test_iceberg_cherry_pick_dynamic_conflict_detection(spark, tmp_path):
+    """r15: _cherry_pick_dynamic replays a replace-partitions snapshot
+    onto main with the library CherryPickOperation's validation —
+    clean when the replaced partitions are untouched since the fork
+    (even though OTHER partitions moved), refusing with the changed
+    partition NAMED when main added or removed files inside them; a
+    refused pick leaves the table byte-identical; a snapshot without
+    parent lineage refuses."""
+    import pytest
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        _current_metadata,
+        iceberg_cherry_pick,
+        iceberg_dynamic_overwrite,
+        iceberg_rollback_to_snapshot,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    def build(name):
+        t = str(tmp_path / name)
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, i % 3, "base") for i in range(12)],
+                "id long, r long, tag string",
+            ).coalesce(1),
+            t,
+            mode="create",
+            partition_by=["r"],
+        )
+        s1 = _current_metadata(t)["current-snapshot-id"]
+        s2 = iceberg_dynamic_overwrite(
+            spark,
+            spark.createDataFrame(
+                [(100 + i, 1, "fresh") for i in range(3)],
+                "id long, r long, tag string",
+            ).coalesce(1),
+            t,
+        )
+        iceberg_rollback_to_snapshot(t, s1)
+        return t, s2
+
+    # clean: main advances in r=0 (outside the replaced set)
+    t, s2 = build("pick_clean")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(300, 0, "main")], "id long, r long, tag string"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    res = iceberg_cherry_pick(t, s2)
+    assert res["source_snapshot_id"] == s2
+    got = {(r.id, r.r, r.tag) for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == (
+        {(i, i % 3, "base") for i in range(12) if i % 3 != 1}
+        | {(100 + i, 1, "fresh") for i in range(3)}
+        | {(300, 0, "main")}
+    )
+    head = next(
+        s
+        for s in _current_metadata(t)["snapshots"]
+        if s["snapshot-id"] == res["current_snapshot_id"]
+    )
+    assert head["summary"]["replace-partitions"] == "true"
+    assert head["summary"]["source-snapshot-id"] == str(s2)
+
+    # conflict: main appends INTO r=1
+    t, s2 = build("pick_conflict")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(400, 1, "clash")], "id long, r long, tag string"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    before = {(r.id, r.r, r.tag) for r in read_iceberg_snapshot(spark, t).collect()}
+    before_meta = _current_metadata(t)
+    with pytest.raises(
+        IcebergProtocolError, match=r"changed partition.*r=1"
+    ):
+        iceberg_cherry_pick(t, s2)
+    assert {(r.id, r.r, r.tag) for r in read_iceberg_snapshot(spark, t).collect()} == before
+    assert _current_metadata(t) == before_meta  # nothing committed
+
+    # conflict the other way: main DELETED a file in r=1 (dynamic
+    # overwrite of r=1 on main counts as removal+add -> changed)
+    t, s2 = build("pick_conflict_rm")
+    iceberg_dynamic_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(500, 1, "other")], "id long, r long, tag string"
+        ).coalesce(1),
+        t,
+    )
+    with pytest.raises(IcebergProtocolError, match="changed partition"):
+        iceberg_cherry_pick(t, s2)
+
+    # no parent lineage -> cannot validate -> refuse
+    t, s2 = build("pick_noparent")
+    meta = _current_metadata(t)
+    import json as _json
+    import os as _os
+
+    # strip the parent link the way an older writer would have
+    mdir = _os.path.join(t, "metadata")
+    hint = int(open(_os.path.join(mdir, "version-hint.text")).read())
+    mpath = _os.path.join(mdir, f"v{hint}.metadata.json")
+    doc = _json.load(open(mpath))
+    for s in doc["snapshots"]:
+        s.pop("parent-snapshot-id", None)
+    _json.dump(doc, open(mpath, "w"))
+    with pytest.raises(IcebergProtocolError, match="parent"):
+        iceberg_cherry_pick(t, s2)

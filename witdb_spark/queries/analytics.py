@@ -4469,6 +4469,173 @@ def iceberg_cherry_pick_scan(
     )
 
 
+def _cherry_dyn_fixture(spark: SparkSession, sf_dir: str, name: str):
+    """Shared fixture for the dynamic-overwrite cherry-pick pair: a
+    nation table partitioned by n_regionkey, a dynamic overwrite of
+    region 2 (REPLACED rows), then a rollback so the overwrite is OFF
+    main's ancestry — the diverged-commit shape cherrypick_snapshot
+    re-applies. Returns (path, overwrite_snapshot_id)."""
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_dynamic_overwrite,
+        iceberg_rollback_to_snapshot,
+        write_iceberg,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        "n_name",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_ice_{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark, base.coalesce(1), path, mode="create",
+        partition_by=["n_regionkey"],
+    )
+    from witdb_spark.sources.iceberg_meta import _current_metadata
+
+    s1 = _current_metadata(path)["current-snapshot-id"]
+    replaced = t.nation.filter("n_regionkey = 2").selectExpr(
+        "CAST(n_nationkey + 2000 AS BIGINT) AS n_nationkey",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        "'REPLACED' AS n_name",
+    )
+    s2 = iceberg_dynamic_overwrite(spark, replaced.coalesce(1), path)
+    iceberg_rollback_to_snapshot(path, s1)
+    return path, s2
+
+
+@register(
+    "iceberg_cherry_pick_dynamic",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT CAST(n_nationkey + 2000 AS BIGINT),
+           CAST(n_regionkey AS BIGINT), 'REPLACED'
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS BIGINT),
+           CAST(n_regionkey AS BIGINT), 'MAINLINE'
+    FROM nation WHERE n_regionkey = 4
+    """,
+    doc="Dynamic-overwrite cherry-pick, CLEAN case (r15, "
+    "iceberg_meta.py iceberg_dynamic_overwrite + _cherry_pick_dynamic"
+    " — the iceberg library's ReplacePartitions replay inside "
+    "CherryPickOperation, closing the r14 'appends only' partial): a "
+    "replace-partitions snapshot (region 2 rewritten) falls off main "
+    "via rollback, main advances in a DIFFERENT partition (region 4 "
+    "append), then CALL system.cherrypick_snapshot re-applies the "
+    "overwrite — the conflict validation passes because the replaced "
+    "partition is untouched since the fork, untouched partitions' "
+    "manifests carry through unrewritten. Final table hash-equals "
+    "the three-way oracle.",
+    tags=("source", "lakehouse", "versioned"),
+)
+def iceberg_cherry_pick_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.iceberg_meta import (
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    path, s2 = _cherry_dyn_fixture(spark, sf_dir, "cherry_dyn")
+    t = Tables(spark, sf_dir)
+    # main advances in a partition the overwrite never touched
+    write_iceberg(
+        spark,
+        t.nation.filter("n_regionkey = 4").selectExpr(
+            "CAST(n_nationkey + 1000 AS BIGINT) AS n_nationkey",
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+            "'MAINLINE' AS n_name",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    Engine(spark).sql(
+        f"CALL system.cherrypick_snapshot('{path}', {s2})"
+    )
+    return read_iceberg_snapshot(spark, path).select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+
+
+@register(
+    "iceberg_cherry_pick_conflict",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           'refused: changed partition' AS pick_status
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 5000 AS BIGINT), 'CLASH',
+           'refused: changed partition'
+    FROM nation WHERE n_regionkey = 2
+    """,
+    doc="Dynamic-overwrite cherry-pick, CONFLICT case (r15, "
+    "iceberg_meta.py _cherry_pick_dynamic — the library "
+    "CherryPickOperation's validateReplacedPartitions refusal): after "
+    "the replace-partitions snapshot forks off, main appends INTO the "
+    "replaced partition (region 2), so replaying the overwrite would "
+    "clobber a commit it never saw — cherrypick_snapshot refuses with "
+    "the changed partition named and the table stays EXACTLY as main "
+    "left it (13 base + clash rows, no partial apply). The query "
+    "returns the post-refusal table + the refusal status, hash-equal "
+    "to the untouched-state oracle.",
+    tags=("source", "lakehouse", "versioned"),
+)
+def iceberg_cherry_pick_conflict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from witdb_spark.sources.iceberg_meta import (
+        IcebergProtocolError,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    path, s2 = _cherry_dyn_fixture(spark, sf_dir, "cherry_conf")
+    t = Tables(spark, sf_dir)
+    # main advances INSIDE the replaced partition -> replay must refuse
+    write_iceberg(
+        spark,
+        t.nation.filter("n_regionkey = 2").selectExpr(
+            "CAST(n_nationkey + 5000 AS BIGINT) AS n_nationkey",
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+            "'CLASH' AS n_name",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    from witdb_spark.sources.iceberg_meta import iceberg_cherry_pick
+
+    try:
+        iceberg_cherry_pick(path, s2)
+        raise AssertionError(
+            "cherrypick_snapshot applied a conflicting dynamic"
+            " overwrite — the conflict validation is broken"
+        )
+    except IcebergProtocolError as e:
+        if "changed partition" not in str(e):
+            raise
+        status = "refused: changed partition"
+    return read_iceberg_snapshot(spark, path).select(
+        "n_nationkey",
+        "n_name",
+        F.lit(status).alias("pick_status"),
+    )
+
+
 @register(
     "hudi_changes_stream_drain",
     """

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     # r15-new registrations (filled in as they land this round)
     "similarity_ivfpq_topk",
     "iceberg_cherry_pick_conflict",
+    "iceberg_cherry_pick_dynamic",
     "hudi_rewrite_stream_drain",
     "cbo_broadcast_from_stats",
     # engine-changed re-drives (cherry-pick generalization, ANN shared code)
@@ -116,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "lakehouse_merge_roundtrip",
     "agg_qdigest_weighted",
     "curation_temperature_mix",
-    "window_range_interval",
 )
 
 

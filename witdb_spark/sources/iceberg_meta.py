@@ -3462,22 +3462,231 @@ def iceberg_drop_statistics(path: str) -> bool:
     return True
 
 
+def _part_tuple(rec: dict) -> tuple:
+    """Canonical hashable rendering of a data_file record's partition
+    struct (name-sorted items) — the identity dynamic overwrite and its
+    cherry-pick conflict check compare partitions by. Values come out of
+    the same avro codec on every path, so python-level equality is
+    type-consistent."""
+    p = rec.get("partition") or {}
+    return tuple(sorted((str(k), v) for k, v in p.items()))
+
+
+def _no_spec_evolution_gate(path: str, mlist: list[dict], meta: dict, proc: str):
+    """Dynamic partition overwrite (and its cherry-pick) compares
+    partition structs by value: entries staged under an EVOLVED spec
+    could render the same field names with different transforms, so any
+    live data manifest off the default spec refuses loudly instead of
+    silently replacing the wrong files."""
+    default_spec = meta.get("default-spec-id", 0)
+    for mf in mlist:
+        if mf.get("content", 0) == 0 and mf.get(
+            "partition_spec_id", 0
+        ) != default_spec:
+            raise IcebergProtocolError(
+                f"{proc} on a table with evolved partition specs needs"
+                " the iceberg-spark-runtime jar (spec-aware partition"
+                " replacement)"
+            )
+
+
+def _rewrite_without_partitions(
+    path: str, cur_list: list[dict], replaced: set
+) -> list[dict]:
+    """Manifest-list entries for the current snapshot with every live
+    content=0 entry whose partition is in ``replaced`` dropped. Manifests
+    the replacement never touches carry through byte-identical; touched
+    ones are rewritten with their own avro schema (surviving entries
+    keep their status and explicit sequence numbers; the rewritten
+    manifest keeps the ORIGINAL sequence_number/added_snapshot_id so
+    entry-seq inheritance and delete scoping are unchanged). Driver-side
+    and metadata-scale by design — the same O(manifests) bound every
+    writer commit carries."""
+    import uuid as _uuid
+
+    out: list[dict] = []
+    for mf in cur_list:
+        if mf.get("content", 0) != 0:
+            out.append(
+                {**dict(mf), "sequence_number": mf.get("sequence_number")}
+            )
+            continue
+        mpath = _resolve(path, mf["manifest_path"])
+        schema, entries = read_avro_file(mpath)
+        survivors = [
+            e
+            for e in entries
+            if e.get("status", 1) == 2
+            or e["data_file"].get("content", 0) != 0
+            or _part_tuple(e["data_file"]) not in replaced
+        ]
+        if len(survivors) == len(entries):
+            out.append(
+                {**dict(mf), "sequence_number": mf.get("sequence_number")}
+            )
+            continue
+        if not survivors:
+            continue  # the whole manifest was replaced
+        new_path = os.path.join(
+            path, "metadata", f"m-{_uuid.uuid4().hex}.avro"
+        )
+        write_avro_file(new_path, schema, survivors)
+        out.append(
+            {
+                **dict(mf),
+                "manifest_path": new_path,
+                "manifest_length": os.path.getsize(new_path),
+                "sequence_number": mf.get("sequence_number"),
+            }
+        )
+    return out
+
+
+def _live_files_in_partitions(
+    path: str, snap: dict, replaced: set
+) -> set[tuple]:
+    """(partition_tuple, normalized path) of the live data files whose
+    partition is in ``replaced`` at ``snap`` — the per-partition state
+    the cherry-pick conflict check compares between the picked
+    snapshot's parent and the current head."""
+    _, mlist = read_avro_file(_resolve(path, snap["manifest-list"]))
+    out: set[tuple] = set()
+    for mf in mlist:
+        if mf.get("content", 0) != 0:
+            continue
+        _, entries = read_avro_file(_resolve(path, mf["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            rec = e["data_file"]
+            if rec.get("content", 0) != 0:
+                continue
+            pt = _part_tuple(rec)
+            if pt in replaced:
+                out.add((pt, _norm_file_path(rec["file_path"])))
+    return out
+
+
+def iceberg_dynamic_overwrite(spark, df, path: str) -> int:
+    """Dynamic partition overwrite (Spark's INSERT OVERWRITE with
+    spark.sql.sources.partitionOverwriteMode=dynamic; iceberg-java's
+    ReplacePartitions operation): replace exactly the partitions the
+    incoming data touches, leave every other partition's files live.
+    Commits one overwrite snapshot with the library's
+    ``replace-partitions=true`` summary property and an explicit
+    parent-snapshot-id — the two facts cherrypick_snapshot's conflict
+    validation keys on. The partitions NOT being replaced never
+    rewrite: their manifests carry through untouched; only manifests
+    containing replaced entries are rewritten (metadata-scale, the
+    standard commit bound).
+
+    Reference analog: trino-iceberg executes this via the library's
+    ReplacePartitions (IcebergMetadata.beginInsert overwrite path);
+    jar-free here over the same metadata shapes write_iceberg emits."""
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        raise IcebergProtocolError(f"{path} is not an Iceberg table")
+    meta = _current_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "dynamic overwrite on a format-v1 Iceberg table needs the"
+            " iceberg-spark-runtime jar"
+        )
+    _maintenance_gate(meta, "dynamic overwrite")
+    part_fields = _writable_part_fields(meta)
+    if not part_fields:
+        raise IcebergProtocolError(
+            "dynamic overwrite of an UNPARTITIONED table replaces"
+            " everything — use write_iceberg(mode='overwrite')"
+        )
+    schema = _table_schema(meta)
+    if [f["name"] for f in schema["fields"]] != list(df.columns):
+        raise IcebergProtocolError(
+            f"schema mismatch: table has"
+            f" {[f['name'] for f in schema['fields']]},"
+            f" data has {df.columns}"
+        )
+    cur_id = meta.get("current-snapshot-id")
+    cur = _pick_snapshot(meta, None, None)
+    _, cur_list = read_avro_file(_resolve(path, cur["manifest-list"]))
+    _no_spec_evolution_gate(path, cur_list, meta, "dynamic overwrite")
+
+    import uuid as _uuid
+
+    staged = _stage_iceberg_data(df, path, part_fields, schema)
+    replaced = {_part_tuple(rec) for rec in staged}
+    snaps = meta.get("snapshots") or []
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = (meta.get("last-sequence-number") or 0) + 1
+    part_avro = _part_avro_fields(part_fields, schema)
+    entries = [
+        {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+        for rec in staged
+    ]
+    mpath = os.path.join(path, "metadata", f"m-{_uuid.uuid4().hex}.avro")
+    write_avro_file(mpath, _entry_schema_for(part_avro), entries)
+    listed = [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": 0,
+            "added_snapshot_id": snap_id,
+            "sequence_number": seq,
+            "partitions": _partition_summaries(
+                entries, part_fields, schema
+            ),
+        }
+    ] + _rewrite_without_partitions(path, cur_list, replaced)
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, listed)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": cur_id,
+        "timestamp-ms": _now_ms_ice(),
+        "sequence-number": seq,
+        "manifest-list": mlist,
+        "summary": {
+            "operation": "overwrite",
+            "replace-partitions": "true",
+        },
+    }
+    _commit_metadata(
+        path,
+        lambda cur_meta: dict(
+            cur_meta,
+            **{
+                "snapshots": (cur_meta.get("snapshots") or []) + [new_snap],
+                "current-snapshot-id": snap_id,
+                "last-sequence-number": seq,
+                "last-updated-ms": _now_ms_ice(),
+            },
+        ),
+        cur_id,
+    )
+    return snap_id
+
+
 def iceberg_cherry_pick(path: str, snapshot_id: int) -> dict:
     """CALL system.cherrypick_snapshot (the iceberg library's
     SnapshotManager.cherrypick, exposed by Spark's
     CherrypickSnapshotProcedure; complements r13's fast_forward for
-    DIVERGED branches): re-apply one APPEND snapshot's added manifests
-    on top of the CURRENT main head as a brand-new snapshot. Appends
-    cannot conflict (no files are removed or rewritten), so this is
-    the publishable subset of a diverged lineage — exactly the subset
-    the library cherry-picks without a conflict check; overwrite /
-    delete / replace snapshots still refuse loudly (their re-apply
-    needs conflict detection against files main may have rewritten).
-    The cherry-picked manifests are re-listed under the NEW commit's
-    sequence number (the library's behavior: added entries inherit
-    the applying snapshot's sequence), so equality-delete scoping
-    keeps working. Returns {'source_snapshot_id',
-    'current_snapshot_id'}."""
+    DIVERGED branches): re-apply one snapshot's changes on top of the
+    CURRENT main head as a brand-new snapshot. Two shapes re-apply —
+    the SAME two the library's CherryPickOperation accepts:
+      - APPEND snapshots: added manifests re-list under the new
+        commit's sequence number; appends cannot conflict (no files
+        are removed or rewritten).
+      - DYNAMIC OVERWRITES (summary replace-partitions=true, r15 —
+        iceberg_dynamic_overwrite / the library's ReplacePartitions):
+        re-applied with the library's conflict validation — the
+        replaced partitions must be unchanged between the picked
+        snapshot's parent and the current head, else the pick refuses
+        with the changed partitions named (_cherry_pick_dynamic).
+    Any other operation refuses loudly (the library's own
+    "not an append and not a dynamic overwrite" ValidationException).
+    Returns {'source_snapshot_id', 'current_snapshot_id'}."""
     import uuid as _uuid
 
     meta = _current_metadata(path)
@@ -3488,13 +3697,18 @@ def iceberg_cherry_pick(path: str, snapshot_id: int) -> dict:
         raise IcebergProtocolError(
             f"snapshot {snapshot_id} not in table history"
         )
-    op = (src.get("summary") or {}).get("operation", "append")
-    if op != "append":
+    summary = src.get("summary") or {}
+    op = summary.get("operation", "append")
+    dynamic = (
+        op == "overwrite" and summary.get("replace-partitions") == "true"
+    )
+    if op != "append" and not dynamic:
         raise IcebergProtocolError(
             f"cherrypick_snapshot: snapshot {snapshot_id} is"
-            f" {op!r} — only APPEND snapshots re-apply without"
-            " conflict detection; rewriting ops need the"
-            " iceberg-spark-runtime jar"
+            f" {op!r} — not an append and not a dynamic overwrite"
+            " (the two shapes the iceberg library's"
+            " CherryPickOperation re-applies); other rewrites need"
+            " the iceberg-spark-runtime jar"
         )
     cur_id = meta.get("current-snapshot-id")
     if cur_id is None or cur_id not in by_id:
@@ -3513,6 +3727,8 @@ def iceberg_cherry_pick(path: str, snapshot_id: int) -> dict:
             "source_snapshot_id": int(snapshot_id),
             "current_snapshot_id": cur_id,
         }
+    if dynamic:
+        return _cherry_pick_dynamic(path, meta, by_id, src, cur_id)
     _, src_list = read_avro_file(_resolve(path, src["manifest-list"]))
     parent_paths: set[str] = set()
     pid = src.get("parent-snapshot-id")
@@ -3578,5 +3794,128 @@ def iceberg_cherry_pick(path: str, snapshot_id: int) -> dict:
     _commit_metadata(path, build, cur_id)
     return {
         "source_snapshot_id": int(snapshot_id),
+        "current_snapshot_id": snap_id,
+    }
+
+
+def _cherry_pick_dynamic(
+    path: str, meta: dict, by_id: dict, src: dict, cur_id: int
+) -> dict:
+    """Re-apply a DYNAMIC-OVERWRITE snapshot (summary
+    replace-partitions=true — iceberg_dynamic_overwrite or the
+    library's ReplacePartitions) onto the current head, with the
+    library CherryPickOperation's conflict validation: the partitions
+    the picked snapshot replaced must be UNCHANGED between the picked
+    snapshot's parent and the current head — any file added to or
+    removed from those partitions on main since the fork makes the
+    replay ambiguous and refuses loudly (the library's "Cannot
+    cherry-pick replace partitions with changed partition"
+    ValidationException). Partitions main touched OUTSIDE the replaced
+    set never conflict. Metadata-scale throughout (manifest decode,
+    the standard commit bound)."""
+    import uuid as _uuid
+
+    src_id = src["snapshot-id"]
+    pid = src.get("parent-snapshot-id")
+    if pid is None or pid not in by_id:
+        raise IcebergProtocolError(
+            f"cherrypick_snapshot: dynamic-overwrite snapshot {src_id}"
+            " has no resolvable parent-snapshot-id — the conflict"
+            " check cannot establish the pre-overwrite partition state"
+        )
+    _, src_list = read_avro_file(_resolve(path, src["manifest-list"]))
+    src_adds = [
+        m for m in src_list if m.get("added_snapshot_id") == src_id
+    ]
+    if any(m.get("content", 0) != 0 for m in src_adds):
+        raise IcebergProtocolError(
+            "cherrypick_snapshot: the dynamic-overwrite snapshot added"
+            " DELETE manifests — row-delete re-application needs the"
+            " iceberg-spark-runtime jar"
+        )
+    replaced: set = set()
+    for mf in src_adds:
+        _, entries = read_avro_file(_resolve(path, mf["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            rec = e["data_file"]
+            if rec.get("content", 0) != 0:
+                continue
+            if not rec.get("partition"):
+                raise IcebergProtocolError(
+                    "cherrypick_snapshot: replace-partitions snapshot"
+                    " with unpartitioned files — full-table overwrite"
+                    " replay needs the iceberg-spark-runtime jar"
+                )
+            replaced.add(_part_tuple(rec))
+    if not replaced:
+        return {
+            "source_snapshot_id": int(src_id),
+            "current_snapshot_id": cur_id,
+        }
+    cur = by_id[cur_id]
+    _, cur_list = read_avro_file(_resolve(path, cur["manifest-list"]))
+    _no_spec_evolution_gate(path, cur_list, meta, "cherrypick_snapshot")
+    at_parent = _live_files_in_partitions(path, by_id[pid], replaced)
+    at_head = _live_files_in_partitions(path, cur, replaced)
+    if at_parent != at_head:
+        changed = sorted(
+            {pt for pt, _ in at_parent.symmetric_difference(at_head)}
+        )
+        pretty = ", ".join(
+            "{" + ", ".join(f"{k}={v}" for k, v in pt) + "}"
+            for pt in changed
+        )
+        raise IcebergProtocolError(
+            "cherrypick_snapshot: cannot cherry-pick replace"
+            f" partitions with changed partition: {pretty}"
+            " (files in the replaced partitions moved on main since"
+            f" snapshot {src_id}'s parent {pid} — the replay would"
+            " clobber commits it never saw)"
+        )
+    snaps = meta.get("snapshots") or []
+    seq = (meta.get("last-sequence-number") or 0) + 1
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    listed = [
+        {
+            **dict(m),
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+        for m in src_adds
+    ] + _rewrite_without_partitions(path, cur_list, replaced)
+    mlist = os.path.join(
+        path, "metadata", f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(mlist, _MANIFEST_FILE_SCHEMA_SEQ, listed)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": cur_id,
+        "timestamp-ms": _now_ms_ice(),
+        "sequence-number": seq,
+        "manifest-list": mlist,
+        "summary": {
+            "operation": "overwrite",
+            "replace-partitions": "true",
+            "source-snapshot-id": str(src_id),
+        },
+    }
+    _commit_metadata(
+        path,
+        lambda cur_meta: dict(
+            cur_meta,
+            **{
+                "snapshots": (cur_meta.get("snapshots") or [])
+                + [new_snap],
+                "current-snapshot-id": snap_id,
+                "last-sequence-number": seq,
+                "last-updated-ms": _now_ms_ice(),
+            },
+        ),
+        cur_id,
+    )
+    return {
+        "source_snapshot_id": int(src_id),
         "current_snapshot_id": snap_id,
     }
