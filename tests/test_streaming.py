@@ -1060,11 +1060,36 @@ def test_hudi_changes_stream_source(spark, tmp_path):
         for r in spark.read.parquet(out2).select("id", "v").collect()
     }
     assert got == {(i, str(i)) for i in range(40, 43)}
+    # r15: a COW upsert REWRITE now streams — the anti-diff against
+    # the retired group's base file attributes exactly the changed
+    # rows (the 28 carried rows of the rewritten 0..29 group are
+    # suppressed; the untouched 40..42 group never re-emits)
     hudi_upsert(
         spark, t2, spark.range(7, 9).selectExpr("id", "'NEW' AS v")
     )
-    with pytest.raises(Exception, match="MERGE_ON_READ|provenance"):
-        drain_cow()
+    drain_cow()
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out2).select("id", "v").collect()
+    }
+    assert got == {(i, str(i)) for i in range(40, 43)} | {
+        (7, "NEW"), (8, "NEW")
+    }
+    # a rewrite that also INSERTS fresh keys emits updates + inserts
+    hudi_upsert(
+        spark, t2,
+        spark.range(8, 11).selectExpr("id", "'UP2' AS v"),
+    )
+    drain_cow()
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out2).select("id", "v").collect()
+    }
+    assert got == (
+        {(i, str(i)) for i in range(40, 43)}
+        | {(7, "NEW"), (8, "NEW")}
+        | {(8, "UP2"), (9, "UP2"), (10, "UP2")}
+    )
 
     # ---- virtual-key tables refuse loudly ----
     t3 = str(tmp_path / "vk_src")
@@ -1086,3 +1111,53 @@ def test_hudi_changes_stream_source(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_hudi_changes_stream_cow_rewrite_partitioned(spark, tmp_path):
+    """r15: COW rewrite attribution on a PARTITIONED table — the
+    predecessor lookup keys by the commit's partition path, so the
+    anti-diff must suppress carried rows per partition (a lookup miss
+    would silently emit every carried row); rows the upsert never
+    touched in OTHER partitions do not emit."""
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_upsert,
+        write_hudi,
+    )
+    from witdb_spark.streaming import HudiChangesDataSource
+
+    spark.dataSource.register(HudiChangesDataSource)
+    t = str(tmp_path / "cow_part")
+    base = spark.range(0, 30).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS p", "CAST(id AS STRING) AS v"
+    )
+    write_hudi(
+        spark, base.coalesce(1), t, mode="create",
+        record_key="id", partition_by=["p"],
+    )
+    first = _completed_instants(t)[-1][0]
+    # update two keys in partition 1 only
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, 1, "X"), (7, 1, "X")], "id long, p int, v string"
+        ),
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("witdb_hudi_changes")
+        .option("path", t)
+        .option("starting_instant", first)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.p, r.v)
+        for r in spark.read.parquet(out).select("id", "p", "v").collect()
+    }
+    assert got == {(4, 1, "X"), (7, 1, "X")}, got

@@ -4716,6 +4716,88 @@ def hudi_changes_stream_drain(
 
 
 @register(
+    "hudi_rewrite_stream_drain",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'PATCHED' AS n_name
+    FROM nation WHERE n_nationkey % 5 = 1
+    UNION ALL
+    SELECT CAST(n_nationkey + 4000 AS BIGINT), 'FRESH'
+    FROM nation WHERE n_regionkey = 3
+    """,
+    doc="COW-rewrite streaming attribution (r15, streaming/"
+    "hudi_source.py — narrows the r14 gate that refused meta-less COW"
+    " rewrites outright): nation lands as a COPY_ON_WRITE table, an "
+    "append adds fresh keys, then a keyed UPSERT rewrites the base "
+    "file group (a replacecommit retiring it). The drain serves the "
+    "append whole AND attributes the rewrite by the executor-side "
+    "anti-diff against the retired group's base file: only the "
+    "patched rows emit, the carried-over base rows are suppressed, "
+    "and the untouched appended group never re-emits. Hash-equal to "
+    "the patch+insert oracle.",
+    tags=("streaming", "lakehouse", "cdc"),
+)
+def hudi_rewrite_stream_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_upsert,
+        write_hudi,
+    )
+    from witdb_spark.streaming import HudiChangesDataSource
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_rwstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "src")
+    write_hudi(
+        spark, base.coalesce(1), path, mode="create",
+        record_key="n_nationkey",
+    )
+    first = _completed_instants(path)[-1][0]
+    write_hudi(
+        spark,
+        t.nation.filter("n_regionkey = 3").selectExpr(
+            "CAST(n_nationkey + 4000 AS BIGINT) AS n_nationkey",
+            "'FRESH' AS n_name",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    hudi_upsert(
+        spark, path,
+        base.filter("n_nationkey % 5 = 1").selectExpr(
+            "n_nationkey", "'PATCHED' AS n_name"
+        ),
+    )
+    spark.dataSource.register(HudiChangesDataSource)
+    out = os.path.join(root, "out")
+    q = (
+        spark.readStream.format("witdb_hudi_changes")
+        .option("path", path)
+        .option("starting_instant", first)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out).select("n_nationkey", "n_name")
+
+
+@register(
     "delta_v2_checkpoint_roundtrip",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

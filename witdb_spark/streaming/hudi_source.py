@@ -12,11 +12,17 @@ base parquet files from each commit's partitionToWriteStats —
 filtered to rows whose _hoodie_commit_time IS that instant when the
 file carries meta columns (MOR base groups: a rewrite preserves old
 rows' commit times, so only changed rows emit), served whole for
-pure-ADD commits on meta-less COW files, refused loudly for COW
-rewrites (the gate hudi_incremental_read enforces: no per-row commit
-material jar-free) — and log-file records whose block INSTANT_TIME
-matches (AVRO/PARQUET/HFILE blocks alike; tombstones do not emit —
-hudi's own incremental mode serves no delete images either).
+pure-ADD commits on meta-less COW files, and for meta-less COW
+REWRITES (r15 — this previously refused) attributed by an
+executor-side anti-diff against the retired file groups' base files:
+the commit's rows are the new file's rows minus the rows carried
+over unchanged, which under hudi's unique-record-key contract is
+exactly the per-key change-image set; the diff still refuses loudly
+when the predecessor state is not reconstructible (cleaned files, or
+retired groups that carried logs without meta columns) — and
+log-file records whose block INSTANT_TIME matches (AVRO/PARQUET/
+HFILE blocks alike; tombstones do not emit — hudi's own incremental
+mode serves no delete images either).
 Compaction/clustering replacecommits move rows without changing them
 and are skipped, like hudi's incremental reader.
 
@@ -51,12 +57,20 @@ from pyspark.sql.datasource import (
 
 
 class _ChangeFile(InputPartition):
-    def __init__(self, kind, abs_path, instant, out_schema, op=""):
+    def __init__(
+        self, kind, abs_path, instant, out_schema, op="", prev_paths=()
+    ):
         self.kind = kind  # "base" | "log"
         self.abs_path = abs_path
         self.instant = instant
         self.out_schema = out_schema  # pyspark StructType (output)
         self.op = op  # "rewrite" | "add" (routing for meta-less files)
+        # predecessor base files of the file groups this rewrite
+        # RETIRED in the same partition (r15): the anti-diff base for
+        # meta-less COW attribution; () for adds, None when the
+        # predecessor state is not reconstructible (log-bearing or
+        # cleaned groups) so the diff path must refuse
+        self.prev_paths = prev_paths
 
 
 def _newest_base_file(path: str) -> str | None:
@@ -121,9 +135,15 @@ class HudiChangesStreamReader(DataSourceStreamReader):
         if lo == hi:
             return []
         items: list[_ChangeFile] = []
+        # fold the WHOLE timeline in instant order so each rewrite in
+        # (lo, hi] can look up the base files of the groups it retired
+        # AS OF just before it committed — the anti-diff predecessors
+        # meta-less COW attribution needs (r15). The fold is the same
+        # (partition, fileId) -> newest-base walk hudi_base_files does;
+        # metadata-scale, driver-side, like every planner here.
+        groups: dict[tuple, str] = {}  # (part, fid) -> rel base path
+        logged: set[tuple] = set()  # (part, fid) with log files
         for instant, action, fpath in _completed_instants(self.path):
-            if not (lo < instant <= hi):
-                continue
             if action not in (
                 "commit", "deltacommit", "replacecommit"
             ):
@@ -131,45 +151,74 @@ class HudiChangesStreamReader(DataSourceStreamReader):
             with open(fpath) as f:
                 body = f.read().strip()
             meta = json.loads(body) if body else {}
-            if action == "replacecommit" and str(
+            compaction = action == "replacecommit" and str(
                 meta.get("operationType") or ""
-            ).upper() in ("COMPACT", "CLUSTER", "CLUSTERING"):
-                # rows move, none change (hudi's incremental reader
-                # skips these too); UPSERT/DELETE replacecommits DO
-                # carry new row images and stream (the per-row
-                # commit-time filter isolates them)
-                continue
-            for stats in (
-                meta.get("partitionToWriteStats") or {}
-            ).values():
+            ).upper() in ("COMPACT", "CLUSTER", "CLUSTERING")
+            wstats = meta.get("partitionToWriteStats") or {}
+            replaced = meta.get("partitionToReplaceFileIds") or {}
+            if lo < instant <= hi and not compaction:
+                # rows move, none change, under compaction (hudi's
+                # incremental reader skips these too); UPSERT/DELETE
+                # replacecommits DO carry new row images and stream
+                # pure-add commits (create/append/bulk insert) own
+                # every row of their files; anything that RETIRES
+                # file groups is a rewrite
+                op = (
+                    "rewrite"
+                    if action == "replacecommit" or replaced
+                    else "add"
+                )
+                prev_by_part: dict[str, tuple | None] = {}
+                if op == "rewrite":
+                    for part, fids in replaced.items():
+                        if any((part, fid) in logged for fid in fids):
+                            # a retired group had log files: its full
+                            # row state is base+logs, not the base
+                            # alone — the diff path must refuse
+                            prev_by_part[part] = None
+                            continue
+                        prev_by_part[part] = tuple(
+                            os.path.join(self.path, groups[(part, fid)])
+                            for fid in fids
+                            if (part, fid) in groups
+                        )
+                for part, stats in wstats.items():
+                    for st in stats:
+                        rel = st.get("path")
+                        if not rel:
+                            continue
+                        ap = os.path.join(self.path, rel)
+                        base = os.path.basename(rel)
+                        if rel.endswith(".parquet"):
+                            items.append(
+                                _ChangeFile(
+                                    "base", ap, instant,
+                                    self.out_schema, op,
+                                    prev_by_part.get(part, ()),
+                                )
+                            )
+                        elif ".log." in base:
+                            items.append(
+                                _ChangeFile(
+                                    "log", ap, instant,
+                                    self.out_schema, op,
+                                )
+                            )
+            # apply this instant to the fold AFTER planning against
+            # the pre-instant state
+            for part, fids in replaced.items():
+                for fid in fids:
+                    groups.pop((part, fid), None)
+                    logged.discard((part, fid))
+            for part, stats in wstats.items():
                 for st in stats:
-                    rel = st.get("path")
-                    if not rel:
+                    fid, rel = st.get("fileId"), st.get("path")
+                    if not fid or not rel:
                         continue
-                    ap = os.path.join(self.path, rel)
-                    base = os.path.basename(rel)
-                    # pure-add commits (create/append/bulk insert)
-                    # own every row of their files; anything that
-                    # RETIRES file groups is a rewrite
-                    op = (
-                        "rewrite"
-                        if action == "replacecommit"
-                        or meta.get("partitionToReplaceFileIds")
-                        else "add"
-                    )
                     if rel.endswith(".parquet"):
-                        items.append(
-                            _ChangeFile(
-                                "base", ap, instant,
-                                self.out_schema, op,
-                            )
-                        )
-                    elif ".log." in base:
-                        items.append(
-                            _ChangeFile(
-                                "log", ap, instant, self.out_schema, op
-                            )
-                        )
+                        groups[(part, fid)] = rel
+                    else:
+                        logged.add((part, fid))
         # a log file accrues blocks across commits and appears in
         # several instants' writeStats — the per-partition instant
         # filter keeps each (file, instant) pair exact; dedup pairs
@@ -233,16 +282,79 @@ class HudiChangesStreamReader(DataSourceStreamReader):
                 )
             elif partition.op == "add":
                 pass  # fully-new file: every row belongs to the commit
-            else:
-                # meta-less COW rewrite (UPSERT/DELETE): the same gate
-                # hudi_incremental_read enforces — no per-row commit
-                # material jar-free
+            elif partition.prev_paths is None:
+                # the retired groups' pre-rewrite state is not
+                # reconstructible (log-bearing groups without meta
+                # columns) — refuse rather than misattribute
                 raise ValueError(
-                    f"{partition.abs_path}: {partition.op or 'rewrite'}"
-                    " commit on a table without _hoodie_commit_time —"
-                    " incremental streams need a MERGE_ON_READ table"
-                    " (COW rows carry no commit provenance jar-free)"
+                    f"{partition.abs_path}: rewrite commit retired"
+                    " log-bearing file groups on a table without"
+                    " _hoodie_commit_time — per-row attribution needs"
+                    " the hudi-spark bundle (or a MERGE_ON_READ table)"
                 )
+            else:
+                # meta-less COW rewrite (UPSERT/DELETE, r15 — the gate
+                # this replaced refused outright): the commit's rows
+                # are the new file's rows MINUS the rows carried over
+                # unchanged from the file groups it retired in the
+                # same partition. Hudi record keys are unique per
+                # group, so the full-row anti-diff is exactly the
+                # per-key change-image set: updated rows differ,
+                # carried rows match, fresh inserts match nothing.
+                # Executor-side, bounded by the file-group size — the
+                # same memory bound the MOR base+log merge carries.
+                # Rows moved ACROSS partitions by an update emit in
+                # their new partition (they match no predecessor
+                # there), matching upsert change semantics. Tombstones
+                # do not emit, like hudi's own incremental mode.
+                missing = [
+                    p for p in partition.prev_paths
+                    if not os.path.exists(p)
+                ]
+                if missing:
+                    raise ValueError(
+                        f"{partition.abs_path}: predecessor base"
+                        f" file(s) {missing[:2]} of the rewrite were"
+                        " cleaned — re-anchor the stream with"
+                        " starting_instant past this commit"
+                    )
+                if partition.prev_paths:
+                    data_cols = [
+                        f.name
+                        for f in out_schema
+                        if f.name != "_commit_instant"
+                        and f.name in tbl.schema.names
+                    ]
+                    new_pd = (
+                        tbl.select(data_cols)
+                        .to_pandas()
+                        .reset_index(drop=True)
+                    )
+                    prev_pd = pa.concat_tables(
+                        [
+                            pq.read_table(p, columns=data_cols)
+                            for p in partition.prev_paths
+                        ],
+                        promote_options="permissive",
+                    ).to_pandas()
+                    try:
+                        marked = new_pd.merge(
+                            prev_pd.drop_duplicates(),
+                            on=data_cols,
+                            how="left",
+                            indicator=True,
+                        )
+                    except TypeError as e:  # unhashable column types
+                        raise ValueError(
+                            f"{partition.abs_path}: COW rewrite"
+                            " attribution cannot diff nested/"
+                            f" unhashable columns jar-free ({e}) —"
+                            " use a MERGE_ON_READ table"
+                        ) from e
+                    keep = (
+                        marked["_merge"] == "left_only"
+                    ).to_numpy()
+                    tbl = tbl.filter(pa.array(keep))
             yield from shape(tbl)
             return
         from witdb_spark.sources.hudi_log import log_entries
