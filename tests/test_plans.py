@@ -1821,3 +1821,57 @@ def test_ivfpq_cell_prune_precedes_adc(spark):
     assert re.search(r"partial_sum", plan), plan[:4000]
     # top-k via rank-limit pushdown, not a full per-query sort
     assert "WindowGroupLimit" in plan
+
+
+def test_cbo_stats_flip_broadcast(spark, tmp_path):
+    """r15 plan gate: persisted ANALYZE statistics feed join
+    distribution (the reference CBO's AUTOMATIC mode — broadcast when
+    the build side's ESTIMATED size fits the limit, estimates from
+    connector stats). Fixture: a DV-enabled delta dim whose parquet
+    bytes exceed the broadcast threshold but whose LIVE rows (after a
+    95% deletion-vector delete) fit well under it. Spark's file-byte
+    estimate cannot see the DVs, so the engine join plans sort-merge —
+    until ANALYZE persists the post-delete cardinality/size, after
+    which the same statement broadcasts. Results identical both ways."""
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+
+    eng = Engine(spark)
+    p = str(tmp_path / "cbo_dim")
+    dim = spark.range(0, 5000).selectExpr(
+        "id % 25 AS k", "md5(CAST(id AS STRING)) AS pad", "id AS uid"
+    )
+    write_delta(
+        spark, dim.coalesce(1), p, mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_where(spark, p, "uid % 20 != 0")  # 95% gone, via DVs
+    spark.range(0, 50000).selectExpr(
+        "id % 25 AS k", "id AS v"
+    ).createOrReplaceTempView("cbo_big")
+    # the join must CARRY the wide column: Spark scales a pruned
+    # projection's estimate by column width, so a k-only join would
+    # slip under the threshold on file bytes alone
+    q = (
+        "SELECT b.k, COUNT(DISTINCT d.pad) AS n FROM cbo_big b"
+        f" JOIN delta.'{p}' d ON b.k = d.k GROUP BY b.k"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+        df1 = eng.sql(q)
+        plan1 = df1._jdf.queryExecution().executedPlan().toString()
+        want = {(r.k, r.n) for r in df1.collect()}
+        assert "SortMergeJoin" in plan1 and (
+            "BroadcastHashJoin" not in plan1
+        ), plan1[:2000]
+        eng.sql(f"ANALYZE delta.'{p}'")
+        df2 = eng.sql(q)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2, plan2[:2000]
+        assert {(r.k, r.n) for r in df2.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1237,6 +1237,21 @@ class Engine:
                 code = _re.sub(r"'(?:[^']|'')*'", "''", pred)
                 if not _re.search(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", code):
                     where = pred
+        # r15 stats-fed join distribution (the reference CBO's
+        # AUTOMATIC mode: broadcast the build side when its ESTIMATED
+        # size fits the limit, estimates from connector statistics):
+        # in a JOIN statement, a ref whose persisted ANALYZE size fits
+        # under spark.sql.autoBroadcastJoinThreshold gets a broadcast
+        # hint — ANALYZE sees post-DV/post-delete cardinality that
+        # Spark's file-byte estimate cannot, so a heavily-deleted dim
+        # flips from sort-merge to broadcast exactly when the stats
+        # say it should. Unanalyzed tables keep Spark's own estimate.
+        has_join = _re.search(r"\bJOIN\b", text, _re.I) is not None
+        bcast_limit = _parse_byte_conf(
+            self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10MB"
+            )
+        )
         views: dict[tuple[str, str], str] = {}
         out = text
         for m in reversed(refs):
@@ -1273,6 +1288,10 @@ class Engine:
                         df = None  # exotic predicate: unpruned view
                 if df is None:
                     df = read_table(self.spark, key[0], key[1])
+                if has_join and bcast_limit > 0 and "$" not in key[1]:
+                    est = self._cbo_broadcast_size(key[0], key[1])
+                    if est is not None and est <= bcast_limit:
+                        df = df.hint("broadcast")
                 df.createOrReplaceTempView(name)
                 views[key] = name
             out = out[: m.start()] + views[key] + out[m.end():]
@@ -2041,6 +2060,52 @@ class Engine:
         with open(f) as fh:
             return _json.load(fh).get("columnStatistics") or None
 
+    def _cbo_broadcast_size(self, fmt: str, path: str) -> float | None:
+        """Persisted-ANALYZE table size for join-distribution choices
+        (r15 — the reference's CBO consumes connector statistics the
+        same way; here the delta sidecar / iceberg Puffin entry): the
+        POST-delete live-data estimate ANALYZE computed, or None when
+        the table was never analyzed (the caller then leaves Spark's
+        own file-byte estimate in charge). Advisory by construction —
+        any read failure is None, never an error."""
+        import json as _json
+
+        try:
+            if fmt == "delta":
+                f = self._extended_stats_file(path)
+                if not os.path.exists(f):
+                    return None
+                with open(f) as fh:
+                    v = _json.load(fh).get("tableSizeBytes")
+                return float(v) if v is not None else None
+            if fmt == "iceberg":
+                from witdb_spark.sources.iceberg_meta import (
+                    _current_metadata,
+                )
+
+                meta = _current_metadata(path)
+                cur = meta.get("current-snapshot-id")
+                entry = next(
+                    (
+                        s
+                        for s in (meta.get("statistics") or [])
+                        if s.get("snapshot-id") == cur
+                    ),
+                    None,
+                )
+                if entry is None:
+                    return None
+                for bm in entry.get("blob-metadata") or []:
+                    v = (bm.get("properties") or {}).get(
+                        "witdb-table-size-bytes"
+                    )
+                    if v is not None:
+                        return float(v)
+                return None
+        except (OSError, ValueError, KeyError):
+            return None
+        return None  # hudi has no ANALYZE (reference parity)
+
     def _analyze_table(self, fmt: str, path: str) -> DataFrame:
         """ANALYZE delta.'<path>' (reference AnalyzeTask +
         trino-delta-lake's extended statistics): collects per-column
@@ -2129,6 +2194,20 @@ class Engine:
             "alreadyAnalyzedModifiedTime": int(_time.time() * 1000),
             "analyzedColumns": [f.name for f in df.schema.fields],
             "columnStatistics": col_stats,
+            # r15: table-level cardinality/size computed over the LIVE
+            # rows (post-DV, post-delete) — the numbers the CBO layer
+            # (_cbo_broadcast_size) feeds into join-distribution
+            # choices; a file-byte estimate cannot see DV'd rows.
+            # Jar-free extension keys of the reference's sidecar
+            # (library readers ignore unknown JSON keys).
+            "rowCount": float(r["__n"]),
+            "tableSizeBytes": _cbo_size_estimate(
+                df.schema, float(r["__n"]),
+                {
+                    f.name: r.get(f"{f.name}__sz")
+                    for f in df.schema.fields
+                },
+            ),
         }
         target = self._extended_stats_file(path)
         os.makedirs(os.path.dirname(target), exist_ok=True)
@@ -2474,3 +2553,64 @@ def _register_versioned_methods() -> None:
 
 
 _register_versioned_methods()
+
+
+def _cbo_size_estimate(
+    schema, row_count: float, measured_sizes: dict
+) -> float:
+    """Table byte-size estimate from ANALYZE-time facts: measured
+    string/binary byte totals where available, row_count x the Spark
+    type's defaultSize for fixed-width columns — the same
+    row-count-times-width model Spark's own SizeInBytesOnlyStatsPlan
+    visitor applies, fed with POST-delete cardinality a file-byte
+    estimate cannot see (the reference's CBO similarly sizes from
+    connector row counts, sql/planner/CostCalculatorUsingExchanges)."""
+    from pyspark.sql import types as T
+
+    def width(dt) -> float:
+        # the JVM DataType.defaultSize values (not exposed to python)
+        if isinstance(dt, (T.BooleanType, T.ByteType)):
+            return 1.0
+        if isinstance(dt, T.ShortType):
+            return 2.0
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4.0
+        if isinstance(dt, T.DecimalType):
+            return 8.0 if dt.precision <= 18 else 16.0
+        if isinstance(dt, T.ArrayType):
+            return width(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return width(dt.keyType) + width(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return sum(width(f.dataType) for f in dt.fields)
+        return 8.0  # long/double/timestamp/interval
+
+    total = 0.0
+    for f in schema.fields:
+        m = measured_sizes.get(f.name)
+        if m is not None:
+            total += float(m)
+        elif isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            total += row_count * 20.0  # unmeasured varlen: Spark default
+        else:
+            total += row_count * width(f.dataType)
+    return total
+
+
+def _parse_byte_conf(v: str) -> float:
+    """'10485760' / '10MB' / '1g' / '-1' -> bytes (SparkConf byte-string
+    grammar subset; negative disables)."""
+    s = str(v).strip().lower()
+    mult = 1.0
+    for suf, m in (
+        ("kb", 1024.0), ("mb", 1024.0**2), ("gb", 1024.0**3),
+        ("tb", 1024.0**4), ("k", 1024.0), ("m", 1024.0**2),
+        ("g", 1024.0**3), ("t", 1024.0**4), ("b", 1.0),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return float(s) * mult
+    except ValueError:
+        return -1.0

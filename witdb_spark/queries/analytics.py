@@ -4469,6 +4469,68 @@ def iceberg_cherry_pick_scan(
     )
 
 
+@register(
+    "cbo_broadcast_from_stats",
+    """
+    SELECT n.n_name, COUNT(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey <> 1
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="Persisted-ANALYZE statistics feeding join distribution (r15, "
+    "engine.py _cbo_broadcast_size + the _rewrite_lakehouse_refs "
+    "broadcast hint — the reference CBO's AUTOMATIC join-distribution "
+    "mode consuming connector statistics): nation lands as a "
+    "DV-enabled delta table, a deletion-vector DELETE drops region 1 "
+    "(file bytes unchanged — Spark's own estimate cannot see it), "
+    "ANALYZE persists the post-delete rowCount/tableSizeBytes into "
+    "the sidecar, and the engine's JOIN against customer broadcasts "
+    "the dim off those numbers. The companion plan gate "
+    "(test_plans.py::test_cbo_stats_flip_broadcast) pins the actual "
+    "sort-merge -> broadcast flip; this query value-checks the "
+    "stats-hinted path against the plain-SQL oracle.",
+    tags=("engine", "cbo", "lakehouse"),
+)
+def cbo_broadcast_from_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.engine import Engine
+    from witdb_spark.sources.delta_log import (
+        delta_delete_where,
+        write_delta,
+    )
+
+    t = Tables(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_cbo_nat_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        spark,
+        t.nation.selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+            "n_name",
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+        ).coalesce(1),
+        path,
+        mode="create",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_where(spark, path, "n_regionkey = 1")
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.sql(f"ANALYZE delta.'{path}'")
+    return eng.sql(
+        "SELECT d.n_name, COUNT(*) AS n_cust FROM customer c"
+        f" JOIN delta.'{path}' d ON c.c_nationkey = d.n_nationkey"
+        " GROUP BY d.n_name ORDER BY d.n_name"
+    )
+
+
 def _cherry_dyn_fixture(spark: SparkSession, sf_dir: str, name: str):
     """Shared fixture for the dynamic-overwrite cherry-pick pair: a
     nation table partitioned by n_regionkey, a dynamic overwrite of

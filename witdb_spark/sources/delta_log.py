@@ -3481,17 +3481,17 @@ def update_extended_stats_on_append(spark, path: str, df) -> None:
             if f.name in col_stats
             and isinstance(f.dataType, (T.StringType, T.BinaryType))
         ]
-        sizes = {}
-        if sz_cols:
-            row = df.agg(
-                *[
-                    F.sum(F.octet_length(F.col(c)))
-                    .cast("double")
-                    .alias(c)
-                    for c in sz_cols
-                ]
-            ).collect()[0]
-            sizes = row.asDict()
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.octet_length(F.col(c)))
+                .cast("double")
+                .alias(c)
+                for c in sz_cols
+            ],
+        ).collect()[0]
+        sizes = row.asDict()
+        batch_n = float(sizes.pop("__n"))
         for c in cols:
             merged = {
                 int(k): int(v) for k, v in col_stats[c]["hll"].items()
@@ -3505,6 +3505,21 @@ def update_extended_stats_on_append(spark, path: str, df) -> None:
                 col_stats[c]["totalSizeInBytes"] = (
                     col_stats[c].get("totalSizeInBytes") or 0.0
                 ) + sizes[c]
+        # r15: keep the table-level CBO facts tracking appends too —
+        # add the batch's cardinality and its size under the same
+        # model ANALYZE used (measured varlen bytes + row_count x
+        # fixed type widths)
+        if side.get("rowCount") is not None:
+            side["rowCount"] = float(side["rowCount"]) + batch_n
+        if side.get("tableSizeBytes") is not None:
+            from witdb_spark.engine import _cbo_size_estimate
+
+            side["tableSizeBytes"] = float(
+                side["tableSizeBytes"]
+            ) + _cbo_size_estimate(
+                df.schema, batch_n,
+                {c: sizes.get(c) for c in df.columns},
+            )
         side["alreadyAnalyzedModifiedTime"] = _now_ms()
         tmp = target + ".tmp"
         with open(tmp, "w") as fh:

@@ -3375,6 +3375,43 @@ def iceberg_analyze(spark, path: str) -> dict:
                 "properties": {"ndv": str(int(round(est)))},
             }
         )
+    # r15: table-level cardinality/size over the LIVE rows (post
+    # pos/eq-delete) ride as extra properties on the first blob —
+    # spec-legal (blob properties are an open string map, library
+    # readers ignore unknown keys) and the numbers the engine's CBO
+    # layer feeds into join-distribution choices; a file-byte estimate
+    # cannot see deleted rows.
+    if blobs:
+        from pyspark.sql import functions as _F
+        from pyspark.sql import types as _T
+
+        sz_cols = [
+            f["name"]
+            for f, sf in zip(fields, df.schema.fields)
+            if isinstance(sf.dataType, (_T.StringType, _T.BinaryType))
+        ]
+        sizes = {}
+        if sz_cols:
+            row = df.agg(
+                *[
+                    _F.sum(_F.octet_length(_F.col(c)))
+                    .cast("double")
+                    .alias(c)
+                    for c in sz_cols
+                ]
+            ).collect()[0]
+            sizes = row.asDict()
+        from witdb_spark.engine import _cbo_size_estimate
+
+        blobs[0]["properties"] = dict(
+            blobs[0]["properties"],
+            **{
+                "witdb-row-count": str(float(n)),
+                "witdb-table-size-bytes": str(
+                    _cbo_size_estimate(df.schema, float(n), sizes)
+                ),
+            },
+        )
     rel = os.path.join(
         "metadata", f"{sid}-{_uuid.uuid4()}.stats"
     )
