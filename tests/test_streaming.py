@@ -1161,3 +1161,135 @@ def test_hudi_changes_stream_cow_rewrite_partitioned(spark, tmp_path):
         for r in spark.read.parquet(out).select("id", "p", "v").collect()
     }
     assert got == {(4, 1, "X"), (7, 1, "X")}, got
+
+
+def test_iceberg_appends_stream_rewind(spark, tmp_path):
+    """r15 (VERDICT r14 #6, the :602 delta shape for iceberg): a
+    checkpoint RESTART can re-drive an EARLIER offset range than the
+    last one planned — partitions() must recompute that range from
+    the metadata alone, unpoisoned by any later planning, and the
+    served rows must equal the batch incremental scan of the same
+    range."""
+    from witdb_spark.sources.iceberg_meta import (
+        _current_metadata,
+        iceberg_incremental_scan,
+        write_iceberg,
+    )
+    from witdb_spark.streaming.iceberg_source import (
+        IcebergAppendsDataSource,
+    )
+
+    t = str(tmp_path / "ice_rewind")
+    write_iceberg(
+        spark, spark.range(0, 4).selectExpr("id"), t, mode="create"
+    )
+    sids = [_current_metadata(t)["current-snapshot-id"]]
+    for lo in (10, 20, 30):
+        write_iceberg(
+            spark,
+            spark.range(lo, lo + 3).selectExpr("id"),
+            t, mode="append",
+        )
+        sids.append(_current_metadata(t)["current-snapshot-id"])
+    from pyspark.sql.types import _parse_datatype_string
+
+    ds = IcebergAppendsDataSource(options={"path": t})
+    reader = ds.streamReader(_parse_datatype_string(ds.schema()))
+    # advance planning to the newest range first (what a pre-crash
+    # trigger did)...
+    assert reader.partitions(
+        {"snapshot_id": sids[2]}, {"snapshot_id": sids[3]}
+    )
+    # ...then rewind: a restarted checkpoint re-drives range 0 -> 1
+    parts = reader.partitions(
+        {"snapshot_id": sids[0]}, {"snapshot_id": sids[1]}
+    )
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows.extend(x["id"] for x in b.to_pylist())
+    want = sorted(
+        r.id
+        for r in iceberg_incremental_scan(
+            spark, t, sids[0], sids[1]
+        ).collect()
+    )
+    assert sorted(rows) == want == [10, 11, 12]
+
+
+def test_hudi_changes_stream_rewind(spark, tmp_path):
+    """r15 (VERDICT r14 #6, the :602 delta shape for hudi): re-driving
+    an earlier instant range after a checkpoint rewind recomputes from
+    the timeline alone — and with the r15 rewrite-attribution fold,
+    a rewound range ending BEFORE later rewrites must diff each
+    rewrite against the predecessor state AS OF its own commit, not
+    the current head."""
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_incremental_read,
+        hudi_log_upsert,
+        hudi_upsert,
+        write_hudi,
+        write_hudi_mor_create,
+    )
+    from witdb_spark.streaming.hudi_source import HudiChangesDataSource
+
+    # ---- MOR: rewind to an earlier log-upsert range ----
+    t = str(tmp_path / "mor_rewind")
+    write_hudi_mor_create(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS v"),
+        t, record_key="id",
+    )
+    i0 = _completed_instants(t)[-1][0]
+    hudi_log_upsert(
+        spark, t, spark.range(2, 4).selectExpr("id", "'A' AS v")
+    )
+    i1 = _completed_instants(t)[-1][0]
+    hudi_log_upsert(
+        spark, t, spark.range(5, 7).selectExpr("id", "'B' AS v")
+    )
+    i2 = _completed_instants(t)[-1][0]
+    ds = HudiChangesDataSource(options={"path": t})
+    reader = ds.streamReader(ds.schema())
+    assert reader.partitions({"instant": i1}, {"instant": i2})
+    parts = reader.partitions({"instant": i0}, {"instant": i1})
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows.extend((x["id"], x["v"]) for x in b.to_pylist())
+    want = sorted(
+        (r.id, r.v)
+        for r in hudi_incremental_read(spark, t, i0, i1)
+        .select("id", "v").collect()
+    )
+    assert sorted(rows) == want == [(2, "A"), (3, "A")]
+
+    # ---- COW: the rewound range contains a REWRITE followed by a
+    # later rewrite of the same group — attribution must use the
+    # pre-first-rewrite predecessors, not the head state ----
+    t2 = str(tmp_path / "cow_rewind")
+    write_hudi(
+        spark,
+        spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS v")
+        .coalesce(1),
+        t2, mode="create", record_key="id",
+    )
+    c0 = _completed_instants(t2)[-1][0]
+    hudi_upsert(
+        spark, t2, spark.range(1, 3).selectExpr("id", "'U1' AS v")
+    )
+    c1 = _completed_instants(t2)[-1][0]
+    hudi_upsert(
+        spark, t2, spark.range(2, 5).selectExpr("id", "'U2' AS v")
+    )
+    c2 = _completed_instants(t2)[-1][0]
+    ds2 = HudiChangesDataSource(options={"path": t2})
+    reader2 = ds2.streamReader(ds2.schema())
+    assert reader2.partitions({"instant": c1}, {"instant": c2})
+    parts = reader2.partitions({"instant": c0}, {"instant": c1})
+    rows = []
+    for p in parts:
+        for b in reader2.read(p):
+            rows.extend((x["id"], x["v"]) for x in b.to_pylist())
+    assert sorted(rows) == [(1, "U1"), (2, "U1")]
