@@ -635,3 +635,76 @@ def test_snapshot_files_plan_matches_dict_fold(spark, tmp_path_factory, ops, see
             r.id
             for r in read_delta_snapshot(spark, t, where="id >= 0").collect()
         }
+
+
+# ---------------------------------------------------------------------------
+# r15: iceberg dynamic partition overwrite vs a pure-python dict fold
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "dyn"]),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),   # partition
+                    st.integers(0, 99),  # payload
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dynamic_overwrite_matches_dict_fold(spark, tmp_path_factory, ops):
+    """Randomized append/dynamic-overwrite sequences: the table's live
+    rows must always equal the obvious python fold (append extends a
+    partition's rows; a dynamic overwrite REPLACES exactly the
+    partitions present in its batch and leaves the rest alone)."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_dynamic_overwrite,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path_factory.mktemp("dyn_prop") / "tbl")
+    model: dict[int, list[tuple[int, int, int]]] = {}
+    uid = 0
+    for i, (kind, batch) in enumerate(ops):
+        rows = []
+        for p, payload in batch:
+            rows.append((uid, p, payload))
+            uid += 1
+        df = spark.createDataFrame(
+            rows, "id long, p long, payload long"
+        ).coalesce(1)
+        if i == 0:
+            write_iceberg(
+                spark, df, t, mode="create", partition_by=["p"]
+            )
+            for r in rows:
+                model.setdefault(r[1], []).append(r)
+            continue
+        if kind == "append":
+            write_iceberg(spark, df, t, mode="append")
+            for r in rows:
+                model.setdefault(r[1], []).append(r)
+        else:
+            iceberg_dynamic_overwrite(spark, df, t)
+            for p in {r[1] for r in rows}:
+                model[p] = []
+            for r in rows:
+                model.setdefault(r[1], []).append(r)
+    got = sorted(
+        (r.id, r.p, r.payload)
+        for r in read_iceberg_snapshot(spark, t).collect()
+    )
+    want = sorted(r for rows in model.values() for r in rows)
+    assert got == want
