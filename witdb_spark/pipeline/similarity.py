@@ -383,6 +383,58 @@ def _pq_query_distance_table(
     )
 
 
+def _residual_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    n_centroids: int,
+    cent_vecs: list,
+    vec_col: str,
+    id_col: str,
+):
+    """Deterministic RESIDUAL codebooks for by_residual IVFPQ: codeword
+    i of every subspace comes from corpus vector ``n_centroids + i``
+    minus centroid ``i % n_centroids`` — assignment-free (an argmax
+    here would have to replicate bit-for-bit in the oracle; a fixed
+    pairing doesn't), exact in IEEE (float->double widening then one
+    double subtraction, identical in python/Spark/DuckDB), and swaps
+    for trained codebooks in production without changing the plan.
+    Returns (sub, codebooks) with codebooks[j] = [(cid, literal)]."""
+    dim = len(cent_vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rows = (
+        corpus.filter(
+            (F.col(id_col) >= n_centroids)
+            & (F.col(id_col) < n_centroids + ksub)
+        )
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(
+            f"residual codebooks need corpus ids"
+            f" [{n_centroids}, {n_centroids + ksub})"
+        )
+    books = []
+    for j in range(m):
+        book = []
+        for i, r in enumerate(rows):
+            cent = cent_vecs[i % n_centroids]
+            res = [
+                float(a) - float(b)
+                for a, b in zip(
+                    r.cv[j * sub : (j + 1) * sub],
+                    cent[j * sub : (j + 1) * sub],
+                )
+            ]
+            book.append((i, _vec_literal(res)))
+        books.append(book)
+    return sub, books
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -393,6 +445,7 @@ def ivfpq_topk(
     ksub: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF x PQ ANN (r15) — the composed 100 TB index shape: IVF's coarse
     quantizer prunes the candidate set to the queries' ``n_probe`` nearest
@@ -429,10 +482,21 @@ def ivfpq_topk(
     id, final ties to the lower match_id. Returns (query_id, match_id,
     adc DOUBLE, rank INT), rank <= k by ADC ascending.
 
+    ``by_residual=True`` (r15 — Faiss's IVFADC default): codes encode
+    the residual v - centroid(cell(v)) instead of the raw vector, which
+    concentrates the quantizer's budget on the within-cell spread and
+    buys recall at identical plan shape. The ADC distance table gains a
+    cell dimension (n_centroids * m * ksub entries per query — still
+    broadcast-sized for moderate nlist; at 100k+ centroids compute it
+    per probed cell via a pre-join instead) and the join keys grow to
+    (query_id, cell, j, cid). Residual arithmetic is float->double
+    widening plus one double subtraction — exact in IEEE, so the
+    DuckDB oracle replays it bit-for-bit; residual codebooks come from
+    a fixed assignment-free pairing (_residual_codebooks).
+
     Reference analog: none — the reference has no ANN (SURVEY §2 maps its
     cosine_similarity scalar only); this is the beyond-reference tier's
     scale path."""
-    sub, codebooks = _pq_codebooks(corpus, m, ksub, vec_col, id_col)
     cent_rows = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -440,6 +504,13 @@ def ivfpq_topk(
         .collect()  # n_centroids rows — inline-as-literals
     )
     cent_lits = [(r.cid, _vec_literal(r.cv)) for r in cent_rows]
+    if by_residual:
+        sub, codebooks = _residual_codebooks(
+            corpus, m, ksub, n_centroids,
+            [list(r.cv) for r in cent_rows], vec_col, id_col,
+        )
+    else:
+        sub, codebooks = _pq_codebooks(corpus, m, ksub, vec_col, id_col)
     cents = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -448,9 +519,34 @@ def ivfpq_topk(
 
     # 1. corpus index: cell + codes in one projection over the scan
     cells = ivf_corpus_cells(corpus, cent_lits, vec_col, id_col)
-    codes_wide = cells.select(
-        "match_id", F.col("cid").alias("cell"), *_pq_encode_cols("cvec", sub, codebooks)
-    )
+    if by_residual:
+        # residual = v - centroid(cell): an n_centroids-branch CASE
+        # over inlined centroid literals — still a pure map stage
+        # (Catalyst inlines the CASE into each subspace fold; the
+        # re-evaluation is a constant factor over the folds the
+        # non-residual encode already runs)
+        res_expr = None
+        for cid, lit in cent_lits:
+            branch = F.expr(
+                f"zip_with(cvec, {lit}, (x, y) -> CAST(x AS DOUBLE) - y)"
+            )
+            res_expr = (
+                F.when(F.col("cid") == int(cid), branch)
+                if res_expr is None
+                else res_expr.when(F.col("cid") == int(cid), branch)
+            )
+        enc_src = cells.withColumn("__res", res_expr)
+        codes_wide = enc_src.select(
+            "match_id",
+            F.col("cid").alias("cell"),
+            *_pq_encode_cols("__res", sub, codebooks),
+        )
+    else:
+        codes_wide = cells.select(
+            "match_id",
+            F.col("cid").alias("cell"),
+            *_pq_encode_cols("cvec", sub, codebooks),
+        )
     code_pairs = ", ".join(f"{j}, __c{j}" for j in range(m))
     long_codes = codes_wide.selectExpr(
         "match_id", "cell", f"stack({m}, {code_pairs}) AS (j, cid)"
@@ -474,10 +570,37 @@ def ivfpq_topk(
 
     # 3. cell-prune THEN ADC-score: probe list broadcasts onto the codes,
     # distance table broadcasts onto the survivors
-    qd_long = _pq_query_distance_table(queries, sub, codebooks, vec_col, id_col)
+    if by_residual:
+        qcols, quads = [], []
+        for ccid, clit in cent_lits:
+            for j, book in enumerate(codebooks):
+                res_slice = (
+                    f"slice(zip_with({vec_col}, {clit},"
+                    f" (x, y) -> CAST(x AS DOUBLE) - y),"
+                    f" {j * sub + 1}, {sub})"
+                )
+                for cid, lit in book:
+                    qcols.append(
+                        F.round(
+                            F.expr(_L2.format(a=res_slice, b=lit)), 6
+                        ).alias(f"__d_{ccid}_{j}_{cid}")
+                    )
+                    quads.append(f"{ccid}, {j}, {cid}, __d_{ccid}_{j}_{cid}")
+        qd_long = queries.select(
+            F.col(id_col).alias("query_id"), *qcols
+        ).selectExpr(
+            "query_id",
+            f"stack({len(quads)}, {', '.join(quads)}) AS (cell, j, cid, d)",
+        )
+        adc_keys = ["query_id", "cell", "j", "cid"]
+    else:
+        qd_long = _pq_query_distance_table(
+            queries, sub, codebooks, vec_col, id_col
+        )
+        adc_keys = ["query_id", "j", "cid"]
     candidates = long_codes.join(F.broadcast(query_cells), "cell")
     adc = (
-        candidates.join(F.broadcast(qd_long), ["query_id", "j", "cid"])
+        candidates.join(F.broadcast(qd_long), adc_keys)
         .groupBy("query_id", "match_id")
         .agg(F.sum(F.col("d").cast("decimal(20,6)")).alias("__s"))
         .select("query_id", "match_id", F.col("__s").cast("double").alias("adc"))

@@ -978,12 +978,100 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance table both broadcast; the only exchange carries "
     "(query, match, decimal) for probed candidates. Deterministic "
     "codebooks/centroids like its parents; the DuckDB oracle "
-    "replays the identical algorithm, exact hash match.",
-    tags=("pipeline", "similarity", "ann"),
+    "replays the identical algorithm, exact hash match. Bench-tagged "
+    "(r15): the composed index is the ANN scale path, so its wall/"
+    "CPU/bytes track round-over-round next to the brute-force "
+    "baseline (similarity_topk).",
+    tags=("pipeline", "similarity", "ann", "bench"),
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Tables(spark, sf_dir).embeddings
     return similarity.ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 5),
         k=5, n_centroids=8, n_probe=2, m=4, ksub=8,
+    )
+
+
+@register(
+    "similarity_ivfpq_residual_topk",
+    f"""
+    WITH js AS (SELECT unnest(range(0, 4)) AS j),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cv, {_norm_sql('embedding')} AS cn
+      FROM embeddings WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings),
+    queries AS (
+      SELECT vec_id AS v_id, embedding AS v_vec, {_norm_sql('embedding')} AS vn
+      FROM embeddings WHERE vec_id < 5),
+    corpus_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='corpus', probe=1)}),
+    query_cells AS ({_IVF_ASSIGN.format(dot=_dot_sql('v.v_vec', 'c.cv'), side='queries', probe=2)}),
+    rcb AS (
+      SELECT b.vec_id - 8 AS cid, j,
+             list_transform(range(j*16+1, j*16+17),
+                            i -> CAST(b.embedding[i] AS DOUBLE)
+                                 - CAST(c.cv[i] AS DOUBLE)) AS cvec
+      FROM embeddings b JOIN cents c ON c.cid = (b.vec_id - 8) % 8, js
+      WHERE b.vec_id >= 8 AND b.vec_id < 16),
+    corp_res AS (
+      SELECT cc.v_id AS match_id, cc.cid AS cell, j,
+             list_transform(range(j*16+1, j*16+17),
+                            i -> CAST(cc.v_vec[i] AS DOUBLE)
+                                 - CAST(c.cv[i] AS DOUBLE)) AS svec
+      FROM corpus_cells cc JOIN cents c ON c.cid = cc.cid, js),
+    codes AS (
+      SELECT match_id, cell, j, cid FROM (
+        SELECT r.match_id, r.cell, r.j, b.cid,
+               row_number() OVER (
+                 PARTITION BY r.match_id, r.j
+                 ORDER BY round({_l2_sql('r.svec', 'b.cvec')}, 6), b.cid
+               ) AS rn
+        FROM corp_res r JOIN rcb b USING (j)) x
+      WHERE rn = 1),
+    q_res AS (
+      SELECT qc.v_id AS query_id, qc.cid AS cell, j,
+             list_transform(range(j*16+1, j*16+17),
+                            i -> CAST(qc.v_vec[i] AS DOUBLE)
+                                 - CAST(c.cv[i] AS DOUBLE)) AS qvec
+      FROM query_cells qc JOIN cents c ON c.cid = qc.cid, js),
+    cand AS (
+      SELECT qc.v_id AS query_id, mc.v_id AS match_id, qc.cid AS cell
+      FROM query_cells qc JOIN corpus_cells mc ON qc.cid = mc.cid),
+    adc AS (
+      SELECT cd.query_id, cd.match_id,
+             CAST(SUM(CAST(round({_l2_sql('qr.qvec', 'cb.cvec')}, 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS adc
+      FROM cand cd
+      JOIN codes ON codes.match_id = cd.match_id
+      JOIN rcb cb ON cb.j = codes.j AND cb.cid = codes.cid
+      JOIN q_res qr ON qr.query_id = cd.query_id AND qr.cell = cd.cell
+                   AND qr.j = codes.j
+      GROUP BY cd.query_id, cd.match_id)
+    SELECT query_id, match_id, adc, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, match_id) AS rn
+          FROM adc) r
+    WHERE rn <= 5
+    """,
+    doc="IVF x PQ with RESIDUAL encoding (r15, pipeline/similarity.py"
+    "::ivfpq_topk(by_residual=True) — Faiss IVFADC's default layout): "
+    "codes quantize v - centroid(cell(v)) instead of the raw vector, "
+    "concentrating the codebook budget on within-cell spread (the "
+    "recall lever over the plain composition, same plan shape). The "
+    "ADC table gains a cell dimension (8*4*8 = 256 entries/query, "
+    "still broadcast) and join keys grow to (query, cell, subspace, "
+    "codeword). Residual arithmetic is float->double widening + one "
+    "double subtraction — IEEE-exact, so the DuckDB oracle replays "
+    "it bit-for-bit; codebooks come from the assignment-free fixed "
+    "pairing vec(8+i) - centroid(i%8). Hash-exact.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_centroids=8, n_probe=2, m=4, ksub=8, by_residual=True,
     )

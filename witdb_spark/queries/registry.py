@@ -68,18 +68,21 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # texts — draining r8 to zero the way r14 drained r7; 39-50 r15-new
 # registrations + engine-changed re-drives + shape-diverse r9
 # backfills: similarity_ivfpq_topk (IVF cell probe composed with PQ
-# ADC scoring — the 100 TB ANN shape), iceberg_cherry_pick_conflict
-# (delete-carrying cherry-pick with the library's conflict check),
-# hudi_rewrite_stream_drain (COW rewrite commits attributed via
-# _hoodie_commit_time instead of refusing); engine-changed re-drives
+# ADC scoring — the 100 TB ANN shape, bench-tagged) and
+# similarity_ivfpq_residual_topk (Faiss IVFADC's default residual
+# encoding — the recall lever at the same plan shape);
+# iceberg_cherry_pick_dynamic + iceberg_cherry_pick_conflict
+# (dynamic-overwrite cherry-pick with the library's
+# changed-partition conflict validation, clean + refused);
+# hudi_rewrite_stream_drain (COW rewrite commits attributed by
+# executor-side anti-diff against the retired groups instead of
+# refusing); cbo_broadcast_from_stats (persisted ANALYZE stats fed
+# into broadcast decisions); engine-changed re-drives
 # iceberg_cherry_pick_scan (cherry-pick generalized past appends),
-# similarity_ivf_topk + similarity_pq_topk's parents share code the
-# composition touches, cbo_broadcast_from_stats (ANALYZE stats fed to
-# Spark CBO); r9 backfills hudi_timeline_reader_snapshot,
-# lakehouse_merge_roundtrip, agg_qdigest_weighted,
-# curation_temperature_mix, window_range_interval chosen for shape
-# diversity (lakehouse timeline, MERGE, sketch agg, pipeline mix,
-# RANGE interval frames). The remaining r9 texts keep local DuckDB
+# similarity_ivf_topk + similarity_topk (the composition's parents /
+# baseline); r9 backfills hudi_timeline_reader_snapshot,
+# lakehouse_merge_roundtrip, agg_qdigest_weighted chosen for shape
+# diversity (lakehouse timeline, MERGE, sketch agg). The remaining r9 texts keep local DuckDB
 # coverage every pytest run (tests/test_queries_oracle.py
 # parameterizes the whole registry) and lead r16 with whatever r15
 # registers late.
@@ -104,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q99",
     # r15-new registrations (filled in as they land this round)
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
     "iceberg_cherry_pick_conflict",
     "iceberg_cherry_pick_dynamic",
     "hudi_rewrite_stream_drain",
@@ -116,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "hudi_timeline_reader_snapshot",
     "lakehouse_merge_roundtrip",
     "agg_qdigest_weighted",
-    "curation_temperature_mix",
 )
 
 
