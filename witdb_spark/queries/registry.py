@@ -79,10 +79,11 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # refusing); cbo_broadcast_from_stats (persisted ANALYZE stats fed
 # into broadcast decisions); engine-changed re-drives
 # iceberg_cherry_pick_scan (cherry-pick generalized past appends),
-# similarity_ivf_topk + similarity_topk (the composition's parents /
-# baseline); r9 backfills hudi_timeline_reader_snapshot,
-# lakehouse_merge_roundtrip, agg_qdigest_weighted chosen for shape
-# diversity (lakehouse timeline, MERGE, sketch agg). The remaining r9 texts keep local DuckDB
+# iceberg_analyze_puffin_stats (iceberg_analyze now stashes
+# table-size blob properties), similarity_ivf_topk + similarity_topk
+# (the composition's parents / baseline); r9 backfills
+# hudi_timeline_reader_snapshot, lakehouse_merge_roundtrip chosen
+# for shape diversity (lakehouse timeline, MERGE). The remaining r9 texts keep local DuckDB
 # coverage every pytest run (tests/test_queries_oracle.py
 # parameterizes the whole registry) and lead r16 with whatever r15
 # registers late.
@@ -112,14 +113,15 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_cherry_pick_dynamic",
     "hudi_rewrite_stream_drain",
     "cbo_broadcast_from_stats",
-    # engine-changed re-drives (cherry-pick generalization, ANN shared code)
+    # engine-changed re-drives (cherry-pick generalization, ANN shared
+    # code, iceberg_analyze now stashes table-size blob properties)
     "iceberg_cherry_pick_scan",
+    "iceberg_analyze_puffin_stats",
     "similarity_ivf_topk",
     "similarity_topk",
     # r9-era backfill (shape-diverse)
     "hudi_timeline_reader_snapshot",
     "lakehouse_merge_roundtrip",
-    "agg_qdigest_weighted",
 )
 
 
