@@ -8276,3 +8276,59 @@ def test_iceberg_cherry_pick_dynamic_conflict_detection(spark, tmp_path):
     _json.dump(doc, open(mpath, "w"))
     with pytest.raises(IcebergProtocolError, match="parent"):
         iceberg_cherry_pick(t, s2)
+
+
+def test_iceberg_dynamic_overwrite_maintenance_walks(spark, tmp_path):
+    """r15: the dynamic-overwrite commit shape (rewritten carried
+    manifests + fresh add manifest) must survive the maintenance
+    procedures — expire_snapshots retires the pre-overwrite lineage
+    without breaking the head, and remove_orphan_files deletes
+    nothing a live snapshot still references."""
+    from witdb_spark.sources.iceberg_meta import (
+        iceberg_dynamic_overwrite,
+        iceberg_expire_snapshots,
+        iceberg_remove_orphan_files,
+        read_iceberg_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "dyn_maint")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3, "base") for i in range(12)],
+            "id long, r long, tag string",
+        ).coalesce(1),
+        t, mode="create", partition_by=["r"],
+    )
+    iceberg_dynamic_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, "fresh")], "id long, r long, tag string"
+        ).coalesce(1),
+        t,
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(200, 0, "more")], "id long, r long, tag string"
+        ).coalesce(1),
+        t, mode="append",
+    )
+    want = {(i, i % 3, "base") for i in range(12) if i % 3 != 1} | {
+        (100, 1, "fresh"), (200, 0, "more")
+    }
+    assert {
+        (r.id, r.r, r.tag)
+        for r in read_iceberg_snapshot(spark, t).collect()
+    } == want
+    res = iceberg_remove_orphan_files(t, retention_ms=0, spark=spark)
+    assert {
+        (r.id, r.r, r.tag)
+        for r in read_iceberg_snapshot(spark, t).collect()
+    } == want, res
+    iceberg_expire_snapshots(t, keep_last=1, spark=spark)
+    assert {
+        (r.id, r.r, r.tag)
+        for r in read_iceberg_snapshot(spark, t).collect()
+    } == want
