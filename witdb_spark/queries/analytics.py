@@ -4860,6 +4860,78 @@ def hudi_rewrite_stream_drain(
 
 
 @register(
+    "hudi_cow_incremental_read",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           'PATCHED' AS n_name
+    FROM nation WHERE n_nationkey % 5 = 1 AND n_nationkey <> 11
+    UNION ALL
+    SELECT CAST(n_nationkey + 4000 AS BIGINT), 'FRESH'
+    FROM nation WHERE n_regionkey = 3
+    """,
+    doc="COW BATCH incremental query (r15, hudi_meta.py "
+    "_hudi_cow_incremental — the batch twin of the streaming rewrite "
+    "attribution, retiring the MOR-only gate): nation lands as a "
+    "COPY_ON_WRITE table, an append adds FRESH keys, a keyed upsert "
+    "patches n%5=1, and a DELETE removes one patched key. "
+    "hudi_incremental_read serves the latest image per record key "
+    "across the range via the witdb_hudi_changes batch reader "
+    "(rewrites anti-diffed executor-side), semi-joined against the "
+    "end snapshot so the deleted key drops — hudi's own incremental "
+    "semantics (no tombstone images). Hash-equal to the "
+    "patch+insert-minus-delete oracle.",
+    tags=("source", "lakehouse", "cdc"),
+)
+def hudi_cow_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from witdb_spark.sources.hudi_meta import (
+        _completed_instants,
+        hudi_delete_where,
+        hudi_upsert,
+        hudi_incremental_read,
+        write_hudi,
+    )
+
+    t = Tables(spark, sf_dir)
+    base = t.nation.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"witdb_hudi_cowincr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi(
+        spark, base.coalesce(1), path, mode="create",
+        record_key="n_nationkey",
+    )
+    first = _completed_instants(path)[-1][0]
+    write_hudi(
+        spark,
+        t.nation.filter("n_regionkey = 3").selectExpr(
+            "CAST(n_nationkey + 4000 AS BIGINT) AS n_nationkey",
+            "'FRESH' AS n_name",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    hudi_upsert(
+        spark, path,
+        base.filter("n_nationkey % 5 = 1").selectExpr(
+            "n_nationkey", "'PATCHED' AS n_name"
+        ),
+    )
+    hudi_delete_where(spark, path, "n_nationkey = 11")
+    return hudi_incremental_read(spark, path, first).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
     "delta_v2_checkpoint_roundtrip",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

@@ -76,8 +76,10 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # changed-partition conflict validation, clean + refused);
 # hudi_rewrite_stream_drain (COW rewrite commits attributed by
 # executor-side anti-diff against the retired groups instead of
-# refusing); cbo_broadcast_from_stats (persisted ANALYZE stats fed
-# into broadcast decisions); engine-changed re-drives
+# refusing) + hudi_cow_incremental_read (the batch twin — latest
+# image per key, deleted keys dropped, retiring the MOR-only gate);
+# cbo_broadcast_from_stats (persisted ANALYZE stats fed into
+# broadcast decisions); engine-changed re-drives
 # iceberg_cherry_pick_scan (cherry-pick generalized past appends),
 # iceberg_analyze_puffin_stats (iceberg_analyze now stashes
 # table-size blob properties), similarity_ivf_topk + similarity_topk
@@ -112,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_cherry_pick_conflict",
     "iceberg_cherry_pick_dynamic",
     "hudi_rewrite_stream_drain",
+    "hudi_cow_incremental_read",
     "cbo_broadcast_from_stats",
     # engine-changed re-drives (cherry-pick generalization, ANN shared
     # code, iceberg_analyze now stashes table-size blob properties)
@@ -119,9 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "iceberg_analyze_puffin_stats",
     "similarity_ivf_topk",
     "similarity_topk",
-    # r9-era backfill (shape-diverse)
+    # r9-era backfill
     "hudi_timeline_reader_snapshot",
-    "lakehouse_merge_roundtrip",
 )
 
 

@@ -2437,17 +2437,20 @@ def hudi_incremental_read(
     row's winning _hoodie_commit_time, so the incremental read is the
     snapshot at ``end`` filtered by commit time — no extra pass.
     Like real hudi's incremental mode, hard-deleted keys do not emit
-    (no tombstone images). MERGE_ON_READ only; COW tables carry no
-    per-row commit material jar-free. VIRTUAL-KEY tables work too
-    (r12): the derived winning commit (file-name instant / log block
-    header) filters in place of _hoodie_commit_time."""
+    (no tombstone images). COW tables serve too since r15
+    (_hudi_cow_incremental — per-commit change images from the
+    witdb_hudi_changes batch reader's rewrite anti-diff, folded to the
+    latest image per record key and semi-joined against the
+    end-snapshot so deleted keys drop; keyless COW tables still refuse
+    loudly). VIRTUAL-KEY tables work too (r12): the derived winning
+    commit (file-name instant / log block header) filters in place of
+    _hoodie_commit_time."""
     from pyspark.sql import functions as F
 
     props = _properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
-        raise HudiProtocolError(
-            "incremental queries need a MERGE_ON_READ table (COW rows"
-            " carry no commit-time column jar-free)"
+        return _hudi_cow_incremental(
+            spark, path, begin_instant, end_instant, props
         )
     if props.get("hoodie.populate.meta.fields", "true").lower() == "false":
         snap = _read_mor_snapshot_virtual(
@@ -2460,6 +2463,62 @@ def hudi_incremental_read(
     return snap.filter(
         F.col("_hoodie_commit_time") > str(begin_instant)
     )
+
+
+def _hudi_cow_incremental(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str,
+    end_instant: str | None,
+    props: dict,
+) -> DataFrame:
+    """COW incremental query (r15 — the batch twin of the streaming
+    rewrite attribution; previously a loud MOR-only gate): per-commit
+    change images come from the witdb_hudi_changes BATCH reader (adds
+    served whole, rewrites attributed by the executor-side anti-diff
+    against retired file groups), then batch semantics fold them to
+    the LATEST image per record key across the range, and a left-semi
+    join against the end-instant snapshot drops keys that no longer
+    exist (hudi's incremental mode emits no tombstones). Needs the
+    declared record key (keyless tables refuse — without a key there
+    is no 'latest per record')."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = props.get("hoodie.table.recordkey.fields")
+    key_fields = [
+        k.strip() for k in (key or "").split(",") if k.strip()
+    ]
+    if not key_fields:
+        raise HudiProtocolError(
+            "COW incremental queries need"
+            " hoodie.table.recordkey.fields (there is no 'latest"
+            " image per record' without a record key); keyless COW"
+            " needs the hudi-spark bundle"
+        )
+    from witdb_spark.streaming.hudi_source import HudiChangesDataSource
+
+    spark.dataSource.register(HudiChangesDataSource)
+    r = (
+        spark.read.format("witdb_hudi_changes")
+        .option("path", path)
+        .option("starting_instant", str(begin_instant))
+    )
+    if end_instant is not None:
+        r = r.option("ending_instant", str(end_instant))
+    changes = r.load()
+    w = Window.partitionBy(*key_fields).orderBy(
+        F.col("_commit_instant").desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_commit_instant")
+    )
+    snap_keys = read_hudi_snapshot(
+        spark, path, as_of_instant=end_instant
+    ).select(*key_fields).distinct()
+    return latest.join(snap_keys, on=key_fields, how="left_semi")
 
 
 def hudi_compact(
