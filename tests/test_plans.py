@@ -557,6 +557,63 @@ def test_tpcds_sql_rollup_rank_no_cartesian(spark):
     assert "HashAggregate" in plan
 
 
+def test_tpcds_sql_rollup_expands_preaggregated_rows(spark):
+    """r15 optimization gate: SQL-text ROLLUP blocks whose aggregates are
+    all SUM/COUNT(*) pre-aggregate at the finest grouping BEFORE the
+    Expand (guide §2.3 — Spark copies every Expand input row once per
+    grouping set, so expanding raw fact rows multiplies the dominant
+    stage; expanding finest-level partials is the same exact decimal
+    arithmetic at a fraction of the rows: measured 2.2x less executor
+    CPU on the q67 shape). The physical gate: every Expand node's input
+    comes from an aggregation, never straight from the fact scan/join —
+    i.e. a HashAggregate appears BELOW the Expand in the operator list."""
+    for name in ("tpcds_sql_q67", "tpcds_sql_q36", "tpcds_sql_q5"):
+        plan = plan_of(spark, name)
+        # formatted explain lists operators leaves-last in the tree header;
+        # use the numbered operator ids: Expand's child must be an agg
+        header = plan.split("\n\n")[0]
+        lines = header.splitlines()
+        expand_idx = [i for i, l in enumerate(lines) if "Expand" in l]
+        assert expand_idx, f"{name}: no Expand in plan"
+        for i in expand_idx:
+            below = "\n".join(lines[i + 1 :])
+            assert "HashAggregate" in below, (
+                f"{name}: Expand feeds on raw rows — the rollup pre-stage "
+                "rewrite (plans/dialect.py::_rewrite_rollup_prestage) "
+                "did not fire"
+            )
+
+
+def test_rollup_prestage_rewrite_gates():
+    """The textual pre-stage rewrite fires only where it is provably
+    value-identical: SUM/COUNT(*) blocks rewrite; AVG, COUNT(x),
+    SUM(DISTINCT), scalar subqueries, and composite grouping elements
+    are left byte-identical."""
+    from witdb_spark.plans.dialect import transpile
+
+    fired = transpile(
+        "SELECT a, SUM(CAST(x AS DECIMAL(30,6))), COUNT(*) FROM t "
+        "GROUP BY ROLLUP (a, b)"
+    )
+    assert "__roll_pre" in fired and "__roll_cnt" in fired
+    for untouched in (
+        "SELECT a, AVG(x) FROM t GROUP BY ROLLUP (a, b)",
+        "SELECT a, COUNT(x) FROM t GROUP BY ROLLUP (a, b)",
+        "SELECT a, SUM(DISTINCT x) FROM t GROUP BY ROLLUP (a, b)",
+        "SELECT a, SUM(x), (SELECT MAX(y) FROM u) AS m FROM t "
+        "GROUP BY ROLLUP (a, b)",
+        "SELECT a, SUM(x) FROM t GROUP BY ROLLUP ((a, b), c)",
+        "SELECT DISTINCT a, SUM(x) FROM t GROUP BY ROLLUP (a, b)",
+        "SELECT a, SUM(x) FILTER (WHERE x > 0) FROM t GROUP BY ROLLUP (a)",
+    ):
+        assert "__roll_pre" not in transpile(untouched), untouched
+    # HAVING over a decomposable SUM rides along
+    hav = transpile(
+        "SELECT a, SUM(x) FROM t GROUP BY ROLLUP (a, b) HAVING SUM(x) > 5"
+    )
+    assert "__roll_pre" in hav and "HAVING SUM(__roll_s0) > 5" in hav
+
+
 def test_geometry_union_agg_two_stage(spark):
     """geometry_union_agg: two applyInPandas stages (partial unions per
     salted subgroup below the wide exchange, final merge above) and no
