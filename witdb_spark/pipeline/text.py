@@ -235,11 +235,17 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     Low scores flag gibberish/boilerplate; high scores flag memorized
     duplicates — the two tails a perplexity filter trims.
 
-    Scale shape: one explode (map-side), three partial-agg shuffles
-    (per-doc bigram multiplicities, corpus bigram counts, prefix counts),
-    one broadcast scalar (V), and two equi-joins on the bigram/prefix
-    keys. No UDFs, no driver-side state; the model table is a DataFrame,
-    not a collect."""
+    Scale shape: one explode (map-side), two partial-agg shuffles
+    (corpus bigram counts, prefix counts), one broadcast scalar (V), and
+    one equi-join of occurrences against the model on the bigram key.
+    No UDFs, no driver-side state; the model table is a DataFrame, not a
+    collect. The per-doc bigram-multiplicity table earlier rounds
+    materialized (groupBy(doc_id, bi) — a full shuffle of every distinct
+    per-doc bigram whose final aggregation ran once per consumer) is
+    algebraically redundant: c(w1 w2) is the plain occurrence count by
+    bigram, and the per-doc totals are plain sums over occurrences —
+    micro-nats are exact integers, so summing per occurrence instead of
+    per (doc, bigram) group cannot move a bit."""
     from witdb_spark.pipeline.dedup import _gram_array
 
     t = F.col(text_col)
@@ -247,8 +253,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     occ = step1.select(
         "doc_id", F.explode(_gram_array(F.col("w"), 2)).alias("bi")
     )
-    doc_bi = occ.groupBy("doc_id", "bi").agg(F.count(F.lit(1)).alias("m"))
-    c12 = doc_bi.groupBy("bi").agg(F.sum("m").alias("c12"))
+    c12 = occ.groupBy("bi").agg(F.count(F.lit(1)).alias("c12"))
     pref = c12.withColumn("w1", F.substring_index("bi", " ", 1))
     c1 = pref.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).cast("bigint").alias("__v"))
@@ -270,11 +275,11 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     per_doc = (
-        doc_bi.join(scored, "bi")
+        occ.join(scored, "bi")
         .groupBy("doc_id")
         .agg(
-            F.sum("m").alias("n_bigrams"),
-            F.sum(F.col("m") * F.col("micro")).alias("__s"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micro").alias("__s"),
         )
     )
     return per_doc.select(
