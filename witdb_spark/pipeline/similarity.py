@@ -223,21 +223,28 @@ def ivf_corpus_cells(
 
     Tie-break matches the oracle's ORDER BY cosine DESC, cid: the struct
     compares (cosine, -cid) lexicographically, so equal cosines pick the
-    lowest centroid id."""
-    vn = F.sqrt(dot_expr(vec_col, vec_col))
-    entries = []
-    for cid, arr in cent_lits:
-        cn = F.sqrt(F.expr(_DOT.format(a=arr, b=arr)))
-        cos = F.round(F.expr(_DOT.format(a=vec_col, b=arr)) / (vn * cn), 6)
-        entries.append(
-            F.struct(cos.alias("c"), F.lit(-int(cid)).alias("nc"))
+    lowest centroid id.
+
+    Built as ONE selectExpr over SQL text: per-centroid Column
+    construction cost thousands of py4j round-trips (~0.75 ms each) of
+    pure driver wall before any task ran — the parser builds the
+    identical expression tree in a single call."""
+    vn_sql = f"sqrt({_DOT.format(a=vec_col, b=vec_col)})"
+    entries = ", ".join(
+        "named_struct('c', round({dot} / ({vn} * sqrt({cc})), 6),"
+        " 'nc', {nc})".format(
+            dot=_DOT.format(a=vec_col, b=arr),
+            vn=vn_sql,
+            cc=_DOT.format(a=arr, b=arr),
+            nc=-int(cid),
         )
-    best = F.array_max(F.array(*entries))
-    return corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cvec"),
-        vn.alias("vn"),
-        (-best["nc"]).cast("long").alias("cid"),
+        for cid, arr in cent_lits
+    )
+    return corpus.selectExpr(
+        f"{id_col} AS match_id",
+        f"{vec_col} AS cvec",
+        f"{vn_sql} AS vn",
+        f"CAST(-(array_max(array({entries})).nc) AS BIGINT) AS cid",
     )
 
 
@@ -319,43 +326,57 @@ _L2 = (
 )
 
 
-def _pq_codebooks(corpus: DataFrame, m: int, ksub: int, vec_col: str, id_col: str):
+def _pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    vec_col: str,
+    id_col: str,
+    rows: list | None = None,
+):
     """Deterministic per-subspace codebooks: the lowest-``ksub`` corpus
     vectors' slices (the same inline-as-literals convention as the IVF
     coarse quantizer — swap trained codebooks in at production without
     changing the plan). Returns (sub, codebooks) where codebooks[j] =
-    [(cid, sql_literal_of_slice_j)]."""
-    dim = len(corpus.select(F.col(vec_col)).limit(1).collect()[0][0])
+    [(cid, sql_literal_of_slice_j)]. ``rows`` lets a caller that already
+    collected (cid, cv) rows (e.g. for IVF centroids) share ONE driver
+    job instead of paying a separate collect + a limit(1) dim probe."""
+    if rows is None:
+        rows = (
+            corpus.filter(F.col(id_col) < ksub)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .collect()  # ksub rows — inline-as-literals, not a data loop
+        )
+    else:
+        rows = [r for r in rows if r.cid < ksub]
+    if not rows:
+        raise ValueError(f"PQ codebooks need corpus ids in [0, {ksub})")
+    dim = len(rows[0].cv)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    cent_rows = (
-        corpus.filter(F.col(id_col) < ksub)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()  # ksub rows — inline-as-literals, not a data loop
-    )
     codebooks = [
-        [(r.cid, _vec_literal(r.cv[j * sub : (j + 1) * sub])) for r in cent_rows]
+        [(r.cid, _vec_literal(r.cv[j * sub : (j + 1) * sub])) for r in rows]
         for j in range(m)
     ]
     return sub, codebooks
 
 
-def _pq_encode_cols(vec_col: str, sub: int, codebooks: list) -> list:
-    """PQ encode as pure-map argmin folds: one column per subspace holding
-    the nearest codeword id (round-6 L2^2, ties to the lower cid)."""
+def _pq_encode_exprs(vec_col: str, sub: int, codebooks: list) -> list:
+    """PQ encode as pure-map argmin folds: one SQL expression string per
+    subspace holding the nearest codeword id (round-6 L2^2, ties to the
+    lower cid). Strings, not Columns: the caller splices them into one
+    selectExpr so plan construction is a single py4j round-trip."""
     enc = []
     for j, book in enumerate(codebooks):
         sl = f"slice({vec_col}, {j * sub + 1}, {sub})"
-        entries = [
-            F.struct(
-                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
+        entries = ", ".join(
+            f"named_struct('d', round({_L2.format(a=sl, b=lit)}, 6),"
+            f" 'cid', {int(cid)})"
             for cid, lit in book
-        ]
-        enc.append(F.array_min(F.array(*entries))["cid"].alias(f"__c{j}"))
+        )
+        enc.append(f"array_min(array({entries})).cid AS __c{j}")
     return enc
 
 
@@ -372,9 +393,9 @@ def _pq_query_distance_table(
         sl = f"slice({vec_col}, {j * sub + 1}, {sub})"
         for cid, lit in book:
             qcols.append(
-                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias(f"__d_{j}_{cid}")
+                f"round({_L2.format(a=sl, b=lit)}, 6) AS __d_{j}_{cid}"
             )
-    qd = queries.select(F.col(id_col).alias("query_id"), *qcols)
+    qd = queries.selectExpr(f"{id_col} AS query_id", *qcols)
     dist_triples = ", ".join(
         f"{j}, {cid}, __d_{j}_{cid}" for j in range(m) for cid, _ in codebooks[j]
     )
@@ -391,6 +412,7 @@ def _residual_codebooks(
     cent_vecs: list,
     vec_col: str,
     id_col: str,
+    rows: list | None = None,
 ):
     """Deterministic RESIDUAL codebooks for by_residual IVFPQ: codeword
     i of every subspace comes from corpus vector ``n_centroids + i``
@@ -399,20 +421,25 @@ def _residual_codebooks(
     pairing doesn't), exact in IEEE (float->double widening then one
     double subtraction, identical in python/Spark/DuckDB), and swaps
     for trained codebooks in production without changing the plan.
-    Returns (sub, codebooks) with codebooks[j] = [(cid, literal)]."""
+    Returns (sub, codebooks) with codebooks[j] = [(cid, literal)].
+    ``rows`` shares a caller's already-collected (cid, cv) rows — one
+    driver job for centroids + codebooks instead of two."""
     dim = len(cent_vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    rows = (
-        corpus.filter(
-            (F.col(id_col) >= n_centroids)
-            & (F.col(id_col) < n_centroids + ksub)
+    if rows is None:
+        rows = (
+            corpus.filter(
+                (F.col(id_col) >= n_centroids)
+                & (F.col(id_col) < n_centroids + ksub)
+            )
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .collect()
         )
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()
-    )
+    else:
+        rows = [r for r in rows if n_centroids <= r.cid < n_centroids + ksub]
     if len(rows) < ksub:
         raise ValueError(
             f"residual codebooks need corpus ids"
@@ -497,20 +524,28 @@ def ivfpq_topk(
     Reference analog: none — the reference has no ANN (SURVEY §2 maps its
     cosine_similarity scalar only); this is the beyond-reference tier's
     scale path."""
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
+    # ONE driver job collects centroid + codebook seed rows together
+    # (they were three jobs — centroids, codebooks, a limit(1) dim probe
+    # — each paying plan compile + scheduling for a handful of rows)
+    need = n_centroids + ksub if by_residual else max(n_centroids, ksub)
+    base_rows = (
+        corpus.filter(F.col(id_col) < need)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy("cid")
-        .collect()  # n_centroids rows — inline-as-literals
+        .collect()  # <= n_centroids + ksub rows — inline-as-literals
     )
+    cent_rows = [r for r in base_rows if r.cid < n_centroids]
     cent_lits = [(r.cid, _vec_literal(r.cv)) for r in cent_rows]
     if by_residual:
         sub, codebooks = _residual_codebooks(
             corpus, m, ksub, n_centroids,
             [list(r.cv) for r in cent_rows], vec_col, id_col,
+            rows=base_rows,
         )
     else:
-        sub, codebooks = _pq_codebooks(corpus, m, ksub, vec_col, id_col)
+        sub, codebooks = _pq_codebooks(
+            corpus, m, ksub, vec_col, id_col, rows=base_rows
+        )
     cents = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -525,27 +560,22 @@ def ivfpq_topk(
         # (Catalyst inlines the CASE into each subspace fold; the
         # re-evaluation is a constant factor over the folds the
         # non-residual encode already runs)
-        res_expr = None
-        for cid, lit in cent_lits:
-            branch = F.expr(
-                f"zip_with(cvec, {lit}, (x, y) -> CAST(x AS DOUBLE) - y)"
-            )
-            res_expr = (
-                F.when(F.col("cid") == int(cid), branch)
-                if res_expr is None
-                else res_expr.when(F.col("cid") == int(cid), branch)
-            )
-        enc_src = cells.withColumn("__res", res_expr)
-        codes_wide = enc_src.select(
+        case_sql = "CASE " + " ".join(
+            f"WHEN (cid = {int(cid)}) THEN"
+            f" zip_with(cvec, {lit}, (x, y) -> CAST(x AS DOUBLE) - y)"
+            for cid, lit in cent_lits
+        ) + " END"
+        enc_src = cells.selectExpr("*", f"{case_sql} AS __res")
+        codes_wide = enc_src.selectExpr(
             "match_id",
-            F.col("cid").alias("cell"),
-            *_pq_encode_cols("__res", sub, codebooks),
+            "cid AS cell",
+            *_pq_encode_exprs("__res", sub, codebooks),
         )
     else:
-        codes_wide = cells.select(
+        codes_wide = cells.selectExpr(
             "match_id",
-            F.col("cid").alias("cell"),
-            *_pq_encode_cols("cvec", sub, codebooks),
+            "cid AS cell",
+            *_pq_encode_exprs("cvec", sub, codebooks),
         )
     code_pairs = ", ".join(f"{j}, __c{j}" for j in range(m))
     long_codes = codes_wide.selectExpr(
@@ -581,13 +611,12 @@ def ivfpq_topk(
                 )
                 for cid, lit in book:
                     qcols.append(
-                        F.round(
-                            F.expr(_L2.format(a=res_slice, b=lit)), 6
-                        ).alias(f"__d_{ccid}_{j}_{cid}")
+                        f"round({_L2.format(a=res_slice, b=lit)}, 6)"
+                        f" AS __d_{ccid}_{j}_{cid}"
                     )
                     quads.append(f"{ccid}, {j}, {cid}, __d_{ccid}_{j}_{cid}")
-        qd_long = queries.select(
-            F.col(id_col).alias("query_id"), *qcols
+        qd_long = queries.selectExpr(
+            f"{id_col} AS query_id", *qcols
         ).selectExpr(
             "query_id",
             f"stack({len(quads)}, {', '.join(quads)}) AS (cell, j, cid, d)",
@@ -646,45 +675,15 @@ def pq_topk(
     ascending."""
     from pyspark.sql import Window
 
-    dim = len(
-        corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
-    )
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
-    cent_rows = (
-        corpus.filter(F.col(id_col) < ksub)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()  # ksub rows — inline-as-literals, not a data loop
-    )
-    # codebook[j] = [(cid, literal of the j-th slice)]
-    codebooks = [
-        [
-            (r.cid, _vec_literal(r.cv[j * sub : (j + 1) * sub]))
-            for r in cent_rows
-        ]
-        for j in range(m)
-    ]
-
-    def slice_expr(col: str, j: int) -> str:
-        return f"slice({col}, {j * sub + 1}, {sub})"
+    # one driver job (shared helper) builds the codebooks; dim comes
+    # from the collected rows instead of a separate limit(1) probe
+    sub, codebooks = _pq_codebooks(corpus, m, ksub, vec_col, id_col)
 
     # ---- encode: one argmin fold per subspace, zero shuffles ----
-    enc = []
-    for j in range(m):
-        sl = slice_expr(vec_col, j)
-        entries = [
-            F.struct(
-                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, lit in codebooks[j]
-        ]
-        enc.append(
-            F.array_min(F.array(*entries))["cid"].alias(f"__c{j}")
-        )
-    codes = corpus.select(F.col(id_col).alias("match_id"), *enc)
+    codes = corpus.selectExpr(
+        f"{id_col} AS match_id",
+        *_pq_encode_exprs(vec_col, sub, codebooks),
+    )
     code_pairs = ", ".join(
         f"{j}, __c{j}" for j in range(m)
     )
@@ -693,24 +692,8 @@ def pq_topk(
     )
 
     # ---- per-(query, subspace, codeword) ADC distance table ----
-    qcols = []
-    for j in range(m):
-        sl = slice_expr(vec_col, j)
-        for cid, lit in codebooks[j]:
-            qcols.append(
-                F.round(F.expr(_L2.format(a=sl, b=lit)), 6).alias(
-                    f"__d_{j}_{cid}"
-                )
-            )
-    qd = queries.select(F.col(id_col).alias("query_id"), *qcols)
-    dist_triples = ", ".join(
-        f"{j}, {cid}, __d_{j}_{cid}"
-        for j in range(m)
-        for cid, _ in codebooks[j]
-    )
-    qd_long = qd.selectExpr(
-        "query_id",
-        f"stack({m * ksub}, {dist_triples}) AS (j, cid, d)",
+    qd_long = _pq_query_distance_table(
+        queries, sub, codebooks, vec_col, id_col
     )
 
     adc = (
