@@ -302,16 +302,23 @@ def tfidf_top_terms(
     score DESC, word) so rank ties never depend on float noise.
 
     Scale shape: one shuffle on (doc_id, word) for term frequencies,
-    one on word for document frequencies (both with map-side partial
-    aggregation), one broadcast-joined corpus-size scalar, and a
-    rank-filtered window that plans as WindowGroupLimit — per-partition
-    top-k before the per-document exchange."""
+    then ONE word-keyed exchange of the aggregated tokens feeding both
+    consumers — document frequencies (groupBy(word): hash(word) already
+    satisfied, no new exchange) and the idf join (tokens side already
+    word-partitioned). Without the explicit word repartition the two
+    consumers planned separate exchanges AND re-ran the scan + explode +
+    partial-agg map pass each (measured: two map stages at sf0.1; at
+    corpus scale that is a second full pass over every document).
+    Finally a broadcast-joined corpus-size scalar and a rank-filtered
+    window that plans as WindowGroupLimit — per-partition top-k before
+    the per-document exchange."""
     from pyspark.sql import Window
 
     tokens = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(F.col("word"))  # no count: AQE-coalescible
     )
     dfreq = tokens.groupBy("word").agg(
         F.count(F.lit(1)).alias("df_docs")

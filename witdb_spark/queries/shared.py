@@ -15,8 +15,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Per-row cast target for money/quantity doubles. Scale 6 keeps products like
-# extendedprice*(1-discount) exact enough to be engine-identical.
-DEC = "decimal(30,6)"
+# extendedprice*(1-discount) exact enough to be engine-identical. Precision 18
+# (r15): per-row values stay in Spark's compact-long Decimal representation
+# (precision <= 18), so the sum's hot loop is long arithmetic instead of
+# BigDecimal — measured ~0.7s off tpch_q1 at sf0.1, values byte-identical.
+# Bounds: inputs are money/quantity magnitudes (< 1e9; cap 1e12), and SUM
+# widens to decimal(28,6) (cap 1e22) — a 100 TB corpus total of ~1e15 fits
+# with 7 orders of margin; ANSI mode makes any overflow loud, never silent.
+# The DuckDB oracle twins keep DECIMAL(30,6): both engines sum exactly, so
+# equal values are guaranteed at any width that does not overflow.
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
