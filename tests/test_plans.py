@@ -614,6 +614,44 @@ def test_rollup_prestage_rewrite_gates():
     assert "__roll_pre" in hav and "HAVING SUM(__roll_s0) > 5" in hav
 
 
+def test_year_predicate_pushes_date_bounds(spark):
+    """r15 optimization gate: sargable year() predicates in SQL texts
+    reach the parquet scan as NTZ range bounds (guide §6 — a function
+    of the column never pushes, so year(l_shipdate) = 1996 used to scan
+    and decode every row group; the range spelling prunes on row-group
+    statistics and, at production scale, on date partitions)."""
+    plan = plan_of(spark, "tpcds_sql_q62")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_shipdate,1997-01-01" in plan
+
+
+def test_year_range_rewrite_gates():
+    """The year()->range rewrite fires only where it is provably
+    value-identical: catalog NTZ columns compared to integer literal
+    years. Non-literal comparisons, other columns, aliased names, and
+    string literals are left byte-identical."""
+    from witdb_spark.plans.dialect import _rewrite_year_ranges
+
+    out = _rewrite_year_ranges("WHERE year(o_orderdate) = 1996")
+    assert "TIMESTAMP_NTZ '1996-01-01 00:00:00'" in out
+    assert "TIMESTAMP_NTZ '1997-01-01 00:00:00'" in out
+    # contiguous IN collapses to one range; gapped IN keeps per-year ORs
+    one = _rewrite_year_ranges("WHERE year(l_shipdate) IN (1996, 1997)")
+    assert one.count(">=") == 1 and "1998-01-01" in one
+    two = _rewrite_year_ranges("WHERE year(l_shipdate) IN (1995, 1997)")
+    assert two.count(" OR ") == 1
+    for untouched in (
+        "WHERE year(o_orderdate) = (SELECT 1 FROM x)",  # non-literal
+        "WHERE year(sr.r_date) = 1998",  # not a catalog NTZ column
+        "WHERE year(o_orderdate) NOT IN (1996)",  # NOT form
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS yr FROM o",  # no cmp
+        "SELECT 'year(o_orderdate) = 1996' AS s",  # string literal
+        # the query re-aliases the name: type no longer guaranteed
+        "SELECT x AS o_orderdate, year(o_orderdate) = 1996 FROM t",
+    ):
+        assert _rewrite_year_ranges(untouched) == untouched, untouched
+
+
 def test_geometry_union_agg_two_stage(spark):
     """geometry_union_agg: two applyInPandas stages (partial unions per
     salted subgroup below the wide exchange, final merge above) and no

@@ -2753,6 +2753,7 @@ def transpile(sql: str) -> str:
     parts = [p if p.startswith("'") else _rewrite_segment(p) for p in parts]
     sql = "".join(parts)
     sql = _rewrite_with_strings(sql)
+    sql = _rewrite_year_ranges(sql)
     return _rewrite_rollup_prestage(sql)
 
 
@@ -2780,6 +2781,102 @@ _CLAUSE_AFTER_GROUP = re.compile(
     r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.I
 )
 _SIMPLE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+#: Columns the year-range rewrite may fire on: the catalog's temporal
+#: columns (parquet timestamp_ntz — year() over them is session-zone
+#: independent, and NTZ bound predicates push to the parquet scan).
+#: year() over any OTHER expression is left alone: the rewrite cannot
+#: see types, so it trusts only these fixed-schema names — and skips a
+#: name entirely if the query aliases anything AS that name.
+_YEAR_RANGE_COLS = ("l_shipdate", "o_orderdate", "ts")
+
+_YEAR_CMP = re.compile(
+    r"\byear\s*\(\s*(?P<col>(?:[A-Za-z_][A-Za-z0-9_]*\.)?(?P<base>{names}))"
+    r"\s*\)\s*(?:"
+    r"(?P<op><=|>=|<|>|=)\s*(?P<y>\d{{4}})\b"
+    r"|(?P<in>IN)\s*\(\s*(?P<list>\d{{4}}(?:\s*,\s*\d{{4}})*)\s*\)"
+    r"|(?P<bet>BETWEEN)\s+(?P<y1>\d{{4}})\s+AND\s+(?P<y2>\d{{4}})\b"
+    r")".format(names="|".join(_YEAR_RANGE_COLS)),
+    re.I,
+)
+
+
+def _year_bound(y: int) -> str:
+    return f"TIMESTAMP_NTZ '{y}-01-01 00:00:00'"
+
+
+def _year_range_expr(col: str, lo: int, hi_excl: int) -> str:
+    return f"({col} >= {_year_bound(lo)} AND {col} < {_year_bound(hi_excl)})"
+
+
+def _rewrite_year_ranges(sql: str) -> str:
+    """Turn sargable year() predicates into NTZ range predicates.
+
+    ``year(col) = 1996`` evaluates the extraction per row and — being a
+    function of the column — never reaches the parquet scan, so
+    PushedFilters carries only IsNotNull and every row group is read
+    and decoded (guide §6: predicate pushdown must reach the scan).
+    The equivalent range form
+
+        (col >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+         AND col < TIMESTAMP_NTZ '1997-01-01 00:00:00')
+
+    pushes both bounds (GreaterThanOrEqual/LessThan on NTZ, verified in
+    the plan gate), enabling row-group/page statistics pruning — and at
+    production scale, partition pruning on date-partitioned layouts.
+    The equivalence is per-expression and total: for every timestamp
+    value (and NULL, where both spellings are NULL) the two forms agree,
+    in any context — WHERE, JOIN ON, CASE, under NOT. Handled shapes:
+    ``=``, ``<``, ``<=``, ``>``, ``>=``, ``IN (literal years)`` (one
+    range when contiguous, OR of ranges otherwise) and ``BETWEEN``.
+    Only fires on the catalog's fixed NTZ columns (_YEAR_RANGE_COLS),
+    never inside string literals, and a name the query re-aliases
+    (``AS <name>``) is skipped outright — the Spark-side text changes,
+    the DuckDB oracle text never does."""
+    skip = {
+        name
+        for name in _YEAR_RANGE_COLS
+        if _first_code_match(rf"\bAS\s+{name}\b", sql)
+    }
+    while True:
+        instr = _scan_maps(sql)[1]
+        m = None
+        for cand in _YEAR_CMP.finditer(sql):
+            if not instr[cand.start()] and cand.group("base").lower() not in skip:
+                m = cand
+                break
+        if m is None:
+            return sql
+        col = m.group("col")
+        if m.group("op"):
+            op, y = m.group("op"), int(m.group("y"))
+            if op == "=":
+                repl = _year_range_expr(col, y, y + 1)
+            elif op == "<":
+                repl = f"({col} < {_year_bound(y)})"
+            elif op == "<=":
+                repl = f"({col} < {_year_bound(y + 1)})"
+            elif op == ">":
+                repl = f"({col} >= {_year_bound(y + 1)})"
+            else:  # >=
+                repl = f"({col} >= {_year_bound(y)})"
+        elif m.group("in"):
+            years = sorted({int(v) for v in m.group("list").split(",")})
+            if years == list(range(years[0], years[-1] + 1)):
+                repl = _year_range_expr(col, years[0], years[-1] + 1)
+            else:
+                repl = (
+                    "("
+                    + " OR ".join(
+                        _year_range_expr(col, y, y + 1) for y in years
+                    )
+                    + ")"
+                )
+        else:  # BETWEEN
+            y1, y2 = int(m.group("y1")), int(m.group("y2"))
+            repl = _year_range_expr(col, y1, y2 + 1)
+        sql = sql[: m.start()] + repl + sql[m.end() :]
 
 
 def _rewrite_rollup_prestage(sql: str) -> str:
