@@ -302,23 +302,26 @@ def tfidf_top_terms(
     score DESC, word) so rank ties never depend on float noise.
 
     Scale shape: one shuffle on (doc_id, word) for term frequencies,
-    then ONE word-keyed exchange of the aggregated tokens feeding both
-    consumers — document frequencies (groupBy(word): hash(word) already
-    satisfied, no new exchange) and the idf join (tokens side already
-    word-partitioned). Without the explicit word repartition the two
-    consumers planned separate exchanges AND re-ran the scan + explode +
-    partial-agg map pass each (measured: two map stages at sf0.1; at
-    corpus scale that is a second full pass over every document).
-    Finally a broadcast-joined corpus-size scalar and a rank-filtered
-    window that plans as WindowGroupLimit — per-partition top-k before
-    the per-document exchange."""
+    one on word for document frequencies (both with map-side partial
+    aggregation), one broadcast-joined corpus-size scalar, and a
+    rank-filtered window that plans as WindowGroupLimit — per-partition
+    top-k before the per-document exchange.
+
+    r15 examination (kept as-is after measuring two alternatives at
+    sf0.1): (a) an explicit repartition(word) of the aggregated tokens
+    — one wide exchange feeding both the dfreq groupBy and the idf
+    join — measured WORSE in suite: +1.2 MB shuffle, +20% executor
+    CPU; (b) COUNT(tf) in dfreq to make both token subtrees
+    canonicalize equal for AQE exchange reuse — reuse did not fire
+    (two map stages either way, byte-identical, CPU within noise).
+    The two map passes over documents remain; both are scan + explode
+    + map-side partial aggregation with no wide intermediate."""
     from pyspark.sql import Window
 
     tokens = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .repartition(F.col("word"))  # no count: AQE-coalescible
     )
     dfreq = tokens.groupBy("word").agg(
         F.count(F.lit(1)).alias("df_docs")
