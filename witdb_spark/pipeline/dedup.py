@@ -448,7 +448,16 @@ def duplicate_clusters(
     )
     # materialize the symmetrized edge list ONCE: every round joins it,
     # and without the checkpoint each round would re-execute the whole
-    # upstream pair-generation DAG (e.g. the MinHash banding pipeline)
+    # upstream pair-generation DAG (e.g. the MinHash banding pipeline).
+    # r15 negative result: pre-partitioning by dst before the checkpoint
+    # (to strip the per-round edge-side exchange) does NOT work under
+    # AQE — AdaptiveSparkPlanExec reports UnknownPartitioning to
+    # Dataset.localCheckpoint, so the LogicalRDD drops the partitioning
+    # and every round re-exchanges anyway (verified on 4.1.2; with AQE
+    # off the partitioning IS preserved). persist() would keep the
+    # partitioning visible but registers the subtree in the
+    # CacheManager, where the next invocation's identical canonical
+    # plan would silently reuse it across bench runs — rejected.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
