@@ -586,32 +586,102 @@ def test_tpcds_sql_rollup_expands_preaggregated_rows(spark):
 
 def test_rollup_prestage_rewrite_gates():
     """The textual pre-stage rewrite fires only where it is provably
-    value-identical: SUM/COUNT(*) blocks rewrite; AVG, COUNT(x),
-    SUM(DISTINCT), scalar subqueries, and composite grouping elements
-    are left byte-identical."""
+    value-identical: SUM-of-decimal-cast/COUNT(*) blocks rewrite; AVG,
+    COUNT(x), SUM(DISTINCT), float-typed SUM arguments (r16 hardening:
+    two-level double summation reorders), scalar subqueries, and
+    composite grouping elements are left byte-identical."""
     from witdb_spark.plans.dialect import transpile
 
+    DEC = "CAST(x AS DECIMAL(30,6))"
     fired = transpile(
-        "SELECT a, SUM(CAST(x AS DECIMAL(30,6))), COUNT(*) FROM t "
-        "GROUP BY ROLLUP (a, b)"
+        f"SELECT a, SUM({DEC}), COUNT(*) FROM t GROUP BY ROLLUP (a, b)"
     )
     assert "__roll_pre" in fired and "__roll_cnt" in fired
     for untouched in (
         "SELECT a, AVG(x) FROM t GROUP BY ROLLUP (a, b)",
         "SELECT a, COUNT(x) FROM t GROUP BY ROLLUP (a, b)",
-        "SELECT a, SUM(DISTINCT x) FROM t GROUP BY ROLLUP (a, b)",
-        "SELECT a, SUM(x), (SELECT MAX(y) FROM u) AS m FROM t "
+        f"SELECT a, SUM(DISTINCT {DEC}) FROM t GROUP BY ROLLUP (a, b)",
+        # r16 (ADVICE r15): SUM over a non-decimal-cast argument could be
+        # a float — two-level summation would reorder it, so ineligible
+        "SELECT a, SUM(x) FROM t GROUP BY ROLLUP (a, b)",
+        f"SELECT a, SUM({DEC}), (SELECT MAX(y) FROM u) AS m FROM t "
         "GROUP BY ROLLUP (a, b)",
-        "SELECT a, SUM(x) FROM t GROUP BY ROLLUP ((a, b), c)",
-        "SELECT DISTINCT a, SUM(x) FROM t GROUP BY ROLLUP (a, b)",
-        "SELECT a, SUM(x) FILTER (WHERE x > 0) FROM t GROUP BY ROLLUP (a)",
+        f"SELECT a, SUM({DEC}) FROM t GROUP BY ROLLUP ((a, b), c)",
+        f"SELECT DISTINCT a, SUM({DEC}) FROM t GROUP BY ROLLUP (a, b)",
+        f"SELECT a, SUM({DEC}) FILTER (WHERE x > 0) FROM t "
+        "GROUP BY ROLLUP (a)",
+        # r16 (VERDICT r15): an aggregate NAME the rewrite does not know
+        # positively (here percentile_cont) makes the block ineligible —
+        # the old allowlist check was blind to unknown aggregates
+        f"SELECT a, SUM({DEC}), PERCENTILE_CONT(a, 0.5) AS m FROM t "
+        "GROUP BY ROLLUP (a, b)",
     ):
         assert "__roll_pre" not in transpile(untouched), untouched
     # HAVING over a decomposable SUM rides along
     hav = transpile(
-        "SELECT a, SUM(x) FROM t GROUP BY ROLLUP (a, b) HAVING SUM(x) > 5"
+        f"SELECT a, SUM({DEC}) FROM t GROUP BY ROLLUP (a, b) "
+        f"HAVING SUM({DEC}) > 5"
     )
     assert "__roll_pre" in hav and "HAVING SUM(__roll_s0) > 5" in hav
+
+
+def test_rollup_prestage_rewrites_order_by_tail():
+    """ADVICE r15 (medium): the tail after the grouping keys belongs to
+    the same block — ORDER BY SUM(...) must be rewritten to the partial
+    alias (the spliced block no longer exposes raw columns), and a
+    grouping-expression reference in ORDER BY must be renamed to its
+    pre-stage alias. Text from a set operation onward is the next block
+    and stays verbatim."""
+    from witdb_spark.plans.dialect import transpile
+
+    DEC = "CAST(x AS DECIMAL(30,6))"
+    out = transpile(
+        f"SELECT a, SUM({DEC}) AS s FROM t GROUP BY ROLLUP (a, b) "
+        f"ORDER BY SUM({DEC}) DESC LIMIT 5"
+    )
+    assert "__roll_pre" in out
+    assert "ORDER BY SUM(__roll_s0) DESC LIMIT 5" in out
+    # grouping-expression reference in the tail renames to the alias
+    out2 = transpile(
+        f"SELECT year(d) AS yr, SUM({DEC}) AS s FROM t "
+        f"GROUP BY ROLLUP (year(d), b) ORDER BY year(d)"
+    )
+    assert "__roll_pre" in out2 and "ORDER BY __roll_g0" in out2
+    # a WINDOW clause in the tail -> whole block left alone
+    out3 = transpile(
+        f"SELECT a, SUM({DEC}) AS s FROM t GROUP BY ROLLUP (a, b) "
+        "WINDOW w AS (PARTITION BY a)"
+    )
+    assert "__roll_pre" not in out3
+
+
+def test_year_month_conjunction_rewrite():
+    """r16: ``year(col) = Y AND month(col) = M`` collapses to one NTZ
+    month range (12x tighter row-group pruning than the year range);
+    mixed columns, invalid months and fractional literals are left to
+    the year-only rewrite or untouched."""
+    from witdb_spark.plans.dialect import (
+        _rewrite_year_month_ranges,
+        _rewrite_year_ranges,
+    )
+
+    out = _rewrite_year_month_ranges(
+        "WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 12"
+    )
+    assert "TIMESTAMP_NTZ '1995-12-01 00:00:00'" in out
+    assert "TIMESTAMP_NTZ '1996-01-01 00:00:00'" in out
+    assert "month(" not in out
+    # different columns in the two halves: month rewrite must not fire
+    mixed = "WHERE year(o_orderdate) = 1995 AND month(l_shipdate) = 12"
+    assert _rewrite_year_month_ranges(mixed) == mixed
+    # invalid month: left for the year-only rewrite
+    bad = "WHERE year(ts) = 1995 AND month(ts) = 13"
+    assert _rewrite_year_month_ranges(bad) == bad
+    # fractional year literal never matches partially (ADVICE r15)
+    frac = "WHERE year(l_shipdate) BETWEEN 1995 AND 1997.5"
+    assert _rewrite_year_ranges(frac) == frac
+    frac2 = "WHERE year(l_shipdate) = 1996.5"
+    assert _rewrite_year_ranges(frac2) == frac2
 
 
 def test_year_predicate_pushes_date_bounds(spark):

@@ -2753,34 +2753,46 @@ def transpile(sql: str) -> str:
     parts = [p if p.startswith("'") else _rewrite_segment(p) for p in parts]
     sql = "".join(parts)
     sql = _rewrite_with_strings(sql)
+    sql = _rewrite_year_month_ranges(sql)
     sql = _rewrite_year_ranges(sql)
-    return _rewrite_rollup_prestage(sql)
+    sql = _rewrite_rollup_prestage(sql)
+    from witdb_spark.plans.eager_agg import rewrite_eager_dim_agg
 
+    sql = rewrite_eager_dim_agg(sql)
+    return _rewrite_sum_decimal_narrowing(sql)
 
-#: Aggregate-function names that may appear in a SELECT list. The rollup
-#: pre-stage rewrite only fires when every aggregate call in the block is
-#: decomposable the way it rewrites them (SUM -> SUM of partial SUMs,
-#: COUNT(*) -> SUM of partial COUNTs); any other name in this list makes
-#: the block ineligible and the query is left untouched.
-_AGG_CALL = re.compile(
-    r"\b(SUM|COUNT|AVG|MEAN|MIN|MAX|STDDEV|STDDEV_SAMP|STDDEV_POP|VARIANCE"
-    r"|VAR_SAMP|VAR_POP|CORR|COVAR_SAMP|COVAR_POP|SKEWNESS|KURTOSIS"
-    r"|ARRAY_AGG|COLLECT_LIST|COLLECT_SET|LISTAGG|STRING_AGG|BOOL_AND"
-    r"|BOOL_OR|EVERY|SOME|ANY_VALUE|ARBITRARY|FIRST|FIRST_VALUE|LAST"
-    r"|LAST_VALUE|APPROX_DISTINCT|APPROX_PERCENTILE|PERCENTILE_APPROX"
-    r"|APPROX_MOST_FREQUENT|HISTOGRAM|HISTOGRAM_NUMERIC|MAP_AGG|MAP_UNION"
-    r"|MULTIMAP_AGG|CHECKSUM|COUNT_IF|REDUCE_AGG|GEOMETRIC_MEAN|MIN_BY"
-    r"|MAX_BY|BIT_AND|BIT_OR|BIT_XOR|BITWISE_AND_AGG|BITWISE_OR_AGG"
-    r"|BITWISE_XOR_AGG|QDIGEST_AGG|TDIGEST_AGG|MERGE|REGR_SLOPE"
-    r"|REGR_INTERCEPT|KURTOSIS_POP|MODE)\s*\(",
-    re.I,
-)
 
 _ROLLUP_HEAD = re.compile(r"\bGROUP\s+BY\s+(ROLLUP|CUBE)\s*\(", re.I)
 _CLAUSE_AFTER_GROUP = re.compile(
     r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.I
 )
+_SET_OP = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.I)
 _SIMPLE_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+#: Every `name(`-shaped call in a candidate block must be positively
+#: classified for the pre-aggregation rewrites to fire (VERDICT r15: the
+#: old check consulted an aggregate-name list, so an aggregate MISSING
+#: from the list was invisible and the rewrite could silently feed it
+#: pre-aggregated rows). Names here can never be aggregate calls —
+#: keywords that precede '(' in SQL, plus scalar functions appearing in
+#: the query corpus. Anything not listed, not SUM/COUNT/GROUPING, and
+#: not a window call (followed by OVER) makes the block ineligible.
+_NONAGG_CALL_NAMES = frozenset(
+    """as from in on and or not where by over partition rows range between
+    when then else case end rollup cube grouping values exists decimal
+    varchar char numeric int integer bigint smallint tinyint double float
+    real date timestamp time interval boolean array map row struct
+    cast try_cast coalesce nullif if ifnull nvl nvl2 greatest least
+    abs round floor ceil ceiling sign sqrt cbrt exp ln log log2 log10
+    power pow mod pmod truncate year month day dayofmonth dayofweek
+    dayofyear hour minute second quarter week weekofyear date_trunc
+    trunc date_add date_sub date_diff datediff add_months last_day
+    extract to_date to_timestamp from_unixtime unix_timestamp
+    substr substring concat concat_ws length lower upper trim ltrim
+    rtrim lpad rpad replace translate split regexp_like regexp_extract
+    regexp_replace like rlike position instr locate reverse repeat
+    strpos starts_with ends_with contains format_number typeof""".split()
+)
 
 
 #: Columns the year-range rewrite may fire on: the catalog's temporal
@@ -2793,10 +2805,14 @@ _YEAR_RANGE_COLS = ("l_shipdate", "o_orderdate", "ts")
 
 _YEAR_CMP = re.compile(
     r"\byear\s*\(\s*(?P<col>(?:[A-Za-z_][A-Za-z0-9_]*\.)?(?P<base>{names}))"
+    # year literals end with (?![\w.]) rather than \b so a fractional
+    # literal (year(ts) = 1996.5, BETWEEN 1995 AND 1997.5) never matches
+    # partially and corrupts the splice (ADVICE r15) — the predicate is
+    # left untouched instead.
     r"\s*\)\s*(?:"
-    r"(?P<op><=|>=|<|>|=)\s*(?P<y>\d{{4}})\b"
+    r"(?P<op><=|>=|<|>|=)\s*(?P<y>\d{{4}})(?![\w.])"
     r"|(?P<in>IN)\s*\(\s*(?P<list>\d{{4}}(?:\s*,\s*\d{{4}})*)\s*\)"
-    r"|(?P<bet>BETWEEN)\s+(?P<y1>\d{{4}})\s+AND\s+(?P<y2>\d{{4}})\b"
+    r"|(?P<bet>BETWEEN)\s+(?P<y1>\d{{4}})\s+AND\s+(?P<y2>\d{{4}})(?![\w.])"
     r")".format(names="|".join(_YEAR_RANGE_COLS)),
     re.I,
 )
@@ -2808,6 +2824,57 @@ def _year_bound(y: int) -> str:
 
 def _year_range_expr(col: str, lo: int, hi_excl: int) -> str:
     return f"({col} >= {_year_bound(lo)} AND {col} < {_year_bound(hi_excl)})"
+
+
+_MONTH_CMP = re.compile(
+    r"\byear\s*\(\s*(?P<col>(?:[A-Za-z_][A-Za-z0-9_]*\.)?(?P<base>{names}))\s*\)"
+    r"\s*=\s*(?P<y>\d{{4}})(?![\w.])\s+AND\s+"
+    r"month\s*\(\s*(?P<col2>(?:[A-Za-z_][A-Za-z0-9_]*\.)?(?P<base2>{names}))\s*\)"
+    r"\s*=\s*(?P<m>\d{{1,2}})(?![\w.])".format(
+        names="|".join(_YEAR_RANGE_COLS)
+    ),
+    re.I,
+)
+
+
+def _month_bound(y: int, mo: int) -> str:
+    return f"TIMESTAMP_NTZ '{y}-{mo:02d}-01 00:00:00'"
+
+
+def _rewrite_year_month_ranges(sql: str) -> str:
+    """``year(col) = Y AND month(col) = M`` -> one NTZ month range.
+
+    Runs BEFORE _rewrite_year_ranges (which would otherwise consume the
+    year() half alone and leave the month() half unsargable). Same total
+    per-expression equivalence as the year rewrite — NULL input yields
+    NULL under both spellings, the conjunction is replaced as a unit so
+    it composes under OR/NOT/CASE — and the month range prunes 12x
+    tighter than the year range at the scan. Fires only on the fixed
+    NTZ catalog columns, both sides naming the SAME column, never
+    inside strings, and skips re-aliased names (guide §6)."""
+    skip = {
+        name
+        for name in _YEAR_RANGE_COLS
+        if _first_code_match(rf"\bAS\s+{name}\b", sql)
+    }
+    while True:
+        instr = _scan_maps(sql)[1]
+        m = None
+        for cand in _MONTH_CMP.finditer(sql):
+            if (
+                not instr[cand.start()]
+                and cand.group("base").lower() not in skip
+                and cand.group("col").lower() == cand.group("col2").lower()
+                and 1 <= int(cand.group("m")) <= 12
+            ):
+                m = cand
+                break
+        if m is None:
+            return sql
+        col, y, mo = m.group("col"), int(m.group("y")), int(m.group("m"))
+        hi = _month_bound(y + 1, 1) if mo == 12 else _month_bound(y, mo + 1)
+        repl = f"({col} >= {_month_bound(y, mo)} AND {col} < {hi})"
+        sql = sql[: m.start()] + repl + sql[m.end() :]
 
 
 def _rewrite_year_ranges(sql: str) -> str:
@@ -2879,6 +2946,369 @@ def _rewrite_year_ranges(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[m.end() :]
 
 
+#: magnitude cap for the decimal-narrowing rewrite: the per-row bound
+#: must stay 4 orders of magnitude under decimal(18,6)'s 10^12 range, so
+#: even a 10^14-row (beyond-100 PB) SUM stays inside decimal(28,6)'s
+#: 10^22 — and ANSI mode (pinned in session.py) makes any violation an
+#: error, never a silent NULL.
+_NARROW_BOUND_CAP = 1e8
+
+_SUM_CAST = re.compile(r"\bSUM\s*\(", re.I)
+_CAST_DEC_TAIL = re.compile(
+    r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$", re.I
+)
+_NUM_LIT = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _expr_abs_bound(expr: str) -> float:
+    """Conservative |value| bound via interval arithmetic over the
+    catalog's declared column bounds (catalog.COLUMN_ABS_BOUNDS):
+    |a+b|,|a-b| <= |a|+|b|, |a*b| <= |a||b|, CASE -> max over branch
+    values (branch CONDITIONS cannot change a value bound). Anything
+    not understood — division, function calls, unknown identifiers —
+    returns inf, which keeps the narrowing rewrite off."""
+    from witdb_spark.catalog import COLUMN_ABS_BOUNDS
+
+    INF = float("inf")
+
+    def tok_bound(t: str) -> float:
+        t = t.strip()
+        if not t:
+            return INF
+        if _NUM_LIT.match(t):
+            return float(t)
+        base = t.rsplit(".", 1)[-1].lower()
+        return COLUMN_ABS_BOUNDS.get(base, INF)
+
+    def bound(e: str) -> float:
+        e = e.strip()
+        if not e:
+            return INF
+        # CASE WHEN ... THEN v [WHEN .. THEN v] [ELSE v] END
+        cm = re.match(r"^CASE\b(.*)\bEND$", e, re.I | re.S)
+        if cm:
+            inner = cm.group(1)
+            vals = []
+            for vm in re.finditer(
+                r"\b(?:THEN|ELSE)\b(.*?)(?=\bWHEN\b|\bELSE\b|$)",
+                inner,
+                re.I | re.S,
+            ):
+                vals.append(bound(vm.group(1)))
+            return max(vals) if vals else INF
+        # strip one layer of wrapping parens
+        if e.startswith("("):
+            close = _match_paren(e, 0)
+            if close == len(e) - 1:
+                return bound(e[1:-1])
+        # split on top-level +/- (unary minus handled by empty lhs)
+        depth = 0
+        for i, c, in_str in _in_string_scan(e):
+            if in_str:
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c in "+-" and depth == 0 and i > 0:
+                prev = e[:i].rstrip()
+                if prev and (prev[-1].isalnum() or prev[-1] in ")_."):
+                    if prev[-1].lower() == "e" and len(prev) > 1 and prev[-2].isdigit():
+                        continue  # exponent sign in 1.0e-2
+                    return bound(e[:i]) + bound(e[i + 1 :])
+        if e.startswith("-") or e.startswith("+"):
+            return bound(e[1:])
+        # top-level *
+        depth = 0
+        for i, c, in_str in _in_string_scan(e):
+            if in_str:
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "*" and depth == 0:
+                return bound(e[:i]) * bound(e[i + 1 :])
+        # atom: literal or column ref
+        if "(" in e or ")" in e or "'" in e or "/" in e or " " in e:
+            return INF
+        return tok_bound(e)
+
+    try:
+        return bound(expr)
+    except Exception:
+        return INF
+
+
+def _rewrite_sum_decimal_narrowing(sql: str) -> str:
+    """``SUM(CAST(e AS DECIMAL(p,6)))`` with p > 18 ->
+    ``CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DECIMAL(min(38,p+10),6))``.
+
+    Precision <= 18 keeps every per-row value in Spark's compact-long
+    Decimal representation instead of heap BigDecimal — the same
+    narrowing r15 applied to the DataFrame-side ``dsum`` helper (1.28x
+    on tpch_q1), now for the SQL texts where the wide cast is the
+    oracle-parity idiom. Three exactness facts make it value-identical:
+    (1) the per-row cast rounds to 6 dp HALF_UP under both widths
+    whenever |e| < 10^12, and the rewrite only fires when interval
+    arithmetic over catalog.COLUMN_ABS_BOUNDS proves |e| <= 10^8;
+    (2) decimal summation is exact and associative at either width, and
+    a 10^8-bounded summand cannot overflow SUM's decimal(28,6) buffer
+    below 10^14 rows (ANSI mode, pinned in session.py, errors rather
+    than NULLing if that ever changed); (3) the outer CAST back to
+    DECIMAL(min(38,p+10),6) — SUM's result type for the original width —
+    is exact widening, so the expression's TYPE is bit-identical too
+    (CTE schemas, HAVING comparisons and the driver's schema hash see
+    no difference). Only the Spark-side text changes; the DuckDB oracle
+    text never does. Runs LAST in transpile so the rollup/eager
+    pre-stage rewrites see the original decimal-cast idiom, and their
+    inner partial SUMs (whose results the outer stages re-aggregate)
+    get narrowed here too."""
+    out = sql
+    search = 0
+    while True:
+        _, instr = _scan_maps(out)
+        m = None
+        for cand in _SUM_CAST.finditer(out, search):
+            if not instr[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return out
+        search = m.end()
+        s_open = m.end() - 1
+        try:
+            s_close = _match_paren(out, s_open)
+        except Exception:
+            continue
+        arg = out[s_open + 1 : s_close].strip()
+        cm = re.match(r"CAST\s*\(", arg, re.I)
+        if not cm:
+            continue
+        try:
+            c_close = _match_paren(arg, cm.end() - 1)
+        except Exception:
+            continue
+        if c_close != len(arg) - 1:
+            continue
+        body = arg[cm.end() : c_close]
+        tm = _CAST_DEC_TAIL.search(body)
+        if tm is None:
+            continue
+        p, s = int(tm.group(1)), int(tm.group(2))
+        if p <= 18 or s != 6:
+            continue
+        inner_expr = body[: tm.start()]
+        if _expr_abs_bound(inner_expr) > _NARROW_BOUND_CAP:
+            continue
+        outp = min(38, p + 10)
+        repl = (
+            f"CAST(SUM(CAST({inner_expr.strip()} AS DECIMAL(18,6)))"
+            f" AS DECIMAL({outp},6))"
+        )
+        out = out[: m.start()] + repl + out[s_close + 1 :]
+        search = m.start() + len(repl)
+
+
+def _is_decimal_cast(arg: str, dec_cols: frozenset[str] = frozenset()) -> bool:
+    """True when the whole expression is provably DECIMAL-typed, so SUM
+    over it is exact decimal summation (associative — the two-level
+    pre-aggregation rewrites are then value-identical, ADVICE r15; a
+    double-typed SUM would reorder float addition and is refused).
+    Grammar of provably-decimal expressions: an outermost
+    ``CAST(... AS DECIMAL(p,s))`` (the corpus's exactness idiom); a
+    plain/qualified column listed in ``dec_cols`` (resolved from its
+    ``AS name`` definitions by _decimal_typed_cols); a numeric literal
+    without an exponent (Spark types ``0`` / ``0.5`` as exact
+    decimals; ``0.5e0`` is a double and refused); CASE / COALESCE /
+    SUM over decimal expressions; and +,-,* combinations of these
+    (Spark's decimal arithmetic yields decimals; any internal rounding
+    or overflow behaves identically on both sides of the rewrite
+    because the ARGUMENT expression itself is never altered)."""
+    a = arg.strip()
+    if not a:
+        return False
+    # strip one layer of wrapping parens
+    if a.startswith("("):
+        try:
+            if _match_paren(a, 0) == len(a) - 1:
+                return _is_decimal_cast(a[1:-1], dec_cols)
+        except Exception:
+            return False
+    if re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", a):
+        return a.rsplit(".", 1)[-1].lower() in dec_cols
+    if re.fullmatch(r"\d+(\.\d+)?", a):
+        return True  # exact integer/decimal literal
+    cm = re.match(r"^CASE\b(.*)\bEND$", a, re.I | re.S)
+    if cm:
+        branches = re.findall(
+            r"\b(?:THEN|ELSE)\b(.*?)(?=\bWHEN\b|\bELSE\b|$)",
+            cm.group(1),
+            re.I | re.S,
+        )
+        return bool(branches) and all(
+            _is_decimal_cast(b, dec_cols) for b in branches
+        )
+    # top-level +,-,* : every operand must be decimal
+    depth = 0
+    for i, c, in_str in _in_string_scan(a):
+        if in_str:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c in "+-*" and depth == 0 and i > 0:
+            prev = a[:i].rstrip()
+            if prev and (prev[-1].isalnum() or prev[-1] in ")_."):
+                return _is_decimal_cast(prev, dec_cols) and _is_decimal_cast(
+                    a[i + 1 :], dec_cols
+                )
+    fm = re.match(r"(CAST|COALESCE|SUM)\s*\(", a, re.I)
+    if not fm:
+        return False
+    try:
+        close = _match_paren(a, fm.end() - 1)
+    except Exception:
+        return False
+    if close != len(a) - 1:
+        return False
+    inner = a[fm.end() : close]
+    head = fm.group(1).upper()
+    if head == "CAST":
+        return bool(
+            re.search(
+                r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*$", inner, re.I
+            )
+        )
+    if head == "COALESCE":
+        return all(
+            _is_decimal_cast(p, dec_cols) for p in _split_top_level(inner)
+        )
+    # SUM over a decimal expression is decimal-typed
+    return _is_decimal_cast(inner, dec_cols)
+
+
+def _decimal_typed_cols(sql: str) -> frozenset[str]:
+    """Column names whose EVERY ``AS <name>`` definition in the text is a
+    provably decimal-typed expression (_is_decimal_cast grammar) — so
+    SUM over the bare name is decimal summation. Definitions may
+    reference other defined names (q77's ``profit - coalesce(...)``
+    chains through two CTE levels), so membership is solved to a
+    fixpoint; a name also defined anywhere as anything non-decimal is
+    excluded."""
+    _, instr = _scan_maps(sql)
+    defs: list[tuple[str, str]] = []
+    for m in re.finditer(r"\bAS\s+([A-Za-z_]\w*)", sql, re.I):
+        if instr[m.start()]:
+            continue
+        name = m.group(1).lower()
+        # walk back over the expression this AS closes: scan left to the
+        # previous same-depth comma or opening paren (the select-list
+        # item boundary)
+        j = m.start() - 1
+        depth = 0
+        start = None
+        while j >= 0:
+            c = sql[j]
+            if instr[j]:
+                j -= 1
+                continue
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                start = j + 1
+                break
+            j -= 1
+        if start is None:
+            start = 0
+        expr = sql[start : m.start()]
+        expr = re.sub(r"^\s*SELECT\b", "", expr, flags=re.I)
+        defs.append((name, expr))
+    # Greatest fixpoint: start from every defined name and remove any
+    # whose SOME definition is not provably decimal under the current
+    # assumption set (a union branch like ``coalesce(returns_amt, CAST(0
+    # AS DECIMAL(30,6)))`` references the sibling scope's column of the
+    # same name, so the least fixpoint cannot bootstrap). Soundness
+    # anchor: a name that is also a PHYSICAL catalog column is never
+    # assumed decimal — the fixture schemas carry no decimal columns, so
+    # every real value chain must ground out in an explicit decimal CAST
+    # or an exact literal; an assumption set member that cannot is
+    # removed by the AND rule.
+    from witdb_spark.catalog import TABLE_COLUMNS
+
+    physical = {c for cols in TABLE_COLUMNS.values() for c in cols}
+    dec = frozenset(
+        {n for n, _ in defs if n not in physical}
+    )
+    for _ in range(6):
+        status: dict[str, bool] = {}
+        for name, expr in defs:
+            ok = _is_decimal_cast(expr, dec)
+            status[name] = status.get(name, True) and ok
+        new = frozenset(
+            n for n, ok in status.items() if ok and n not in physical
+        )
+        if new == dec:
+            break
+        dec = new
+    return dec
+
+
+def _cte_bodies(sql: str) -> dict[str, str]:
+    """``name AS ( body )`` spans found anywhere in the text."""
+    out: dict[str, str] = {}
+    _, instr = _scan_maps(sql)
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\s+AS\s*\(", sql, re.I):
+        if instr[m.start()]:
+            continue
+        try:
+            close = _match_paren(sql, m.end() - 1)
+        except Exception:
+            continue
+        out[m.group(1).lower()] = sql[m.end() : close]
+    return out
+
+
+def _decimal_cols_for_scope(sql: str, scope_text: str) -> frozenset[str]:
+    """Decimal-typed column names visible FROM a block's own source
+    subtree: the block's FROM text plus the bodies of every CTE it
+    references, transitively. Scoping matters — an unrelated outer
+    ``CAST(SUM(sales) AS DOUBLE) AS sales`` must not poison the CTE's
+    decimal ``sales`` (q77/q80 shape)."""
+    bodies = _cte_bodies(sql)
+    texts, seen = [scope_text], set()
+    frontier = [scope_text]
+    while frontier:
+        t = frontier.pop()
+        for tok in re.findall(r"[A-Za-z_]\w*", t):
+            n = tok.lower()
+            if n in bodies and n not in seen:
+                seen.add(n)
+                texts.append(bodies[n])
+                frontier.append(bodies[n])
+    return _decimal_typed_cols("\n".join(texts))
+
+
+def _sub_code(pat: re.Pattern, repl: str, text: str) -> str:
+    """re.sub that skips matches starting inside string literals."""
+    _, instr = _scan_maps(text)
+    out, last = [], 0
+    for m in pat.finditer(text):
+        if instr[m.start()]:
+            continue
+        out.append(text[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _rewrite_rollup_prestage(sql: str) -> str:
     """Pre-aggregate at the finest grouping before ROLLUP/CUBE.
 
@@ -2947,6 +3377,8 @@ def _rewrite_rollup_prestage(sql: str) -> str:
         from_where = sql[frm[1] : m.start()]
         if "__roll_pre" in from_where:
             continue  # already rewritten (the spliced text re-scans)
+        # decimal-typedness resolves against THIS block's source subtree
+        dec_cols = _decimal_cols_for_scope(sql, from_where)
         # ---- optional HAVING between the key list and the next clause ----
         scope_end = len(sql)
         for p in range(close_idx + 1, len(sql)):
@@ -2963,40 +3395,71 @@ def _rewrite_rollup_prestage(sql: str) -> str:
         hm = re.match(r"\s*HAVING\b", having, re.I)
         if having.strip() and not hm:
             continue  # unexpected text after the key list — leave alone
+        # ---- the tail after HAVING (ORDER BY/LIMIT/...) belongs to the
+        # SAME block up to a set operation, so its aggregate calls and
+        # grouping-expression references must be rewritten too (ADVICE
+        # r15: ORDER BY SUM(x) after the splice referenced raw columns
+        # the rewritten block no longer exposes). Text from a UNION/
+        # INTERSECT/EXCEPT onward is the NEXT block — left verbatim.
+        tail = sql[having_end:scope_end]
+        rest_at = scope_end
+        for sm in _SET_OP.finditer(tail):
+            p = having_end + sm.start()
+            if not instr[p] and depths[p] == d:
+                rest_at = p
+                tail = sql[having_end:rest_at]
+                break
         # ---- eligibility: every aggregate call is SUM(...) or COUNT(*) ----
-        body = select_list + having
-        if re.search(r"\bSELECT\b", body, re.I) or re.search(
-            r"\bFILTER\s*\(", body, re.I
+        body = select_list + having + tail
+        if (
+            re.search(r"\bSELECT\b", body, re.I)
+            or re.search(r"\bFILTER\s*\(", body, re.I)
+            or re.search(r"\bWINDOW\b", tail, re.I)
         ):
-            continue  # scalar subquery / FILTER clause — leave alone
+            continue  # scalar subquery / FILTER / WINDOW clause — leave alone
         # (start, end, arg, is_sum) spans per part, parts rewritten
-        # independently so length drift in one never corrupts the other
-        part_sums: list[list[tuple[int, int, str, bool]]] = [[], []]
+        # independently so length drift in one never corrupts the other.
+        # Every `name(` call must be positively classified (VERDICT r15):
+        # SUM/COUNT(*) decompose, GROUPING and known scalar names are
+        # transparent, `anything(...) OVER` is a window call whose inner
+        # aggregates are matched separately — any OTHER call could be an
+        # unknown aggregate over pre-aggregated rows, so the block is
+        # left untouched.
+        part_sums: list[list[tuple[int, int, str, bool]]] = [[], [], []]
         eligible = True
-        for pi, part in enumerate((select_list, having)):
+        for pi, part in enumerate((select_list, having, tail)):
             _, pinstr = _scan_maps(part)
-            for am in _AGG_CALL.finditer(part):
+            for am in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", part):
                 if pinstr[am.start()]:
                     continue
                 name = am.group(1).upper()
+                if name.lower() in _NONAGG_CALL_NAMES:
+                    continue
                 a_open = am.end() - 1
                 a_close = _match_paren(part, a_open)
                 arg = part[a_open + 1 : a_close]
                 after = part[a_close + 1 :].lstrip()
                 is_window = after.upper().startswith("OVER")
                 if name == "SUM" and not is_window:
-                    if re.match(r"\s*DISTINCT\b", arg, re.I):
+                    # exactness gate (ADVICE r15): two-level summation is
+                    # provably value-identical only for exact types —
+                    # require the argument to be an outermost CAST to
+                    # DECIMAL (the corpus's determinism idiom) so a float
+                    # SUM never reorders through the pre-stage
+                    if not _is_decimal_cast(arg, dec_cols):
                         eligible = False
                         break
                     part_sums[pi].append((am.start(), a_close + 1, arg, True))
                 elif name == "COUNT" and arg.strip() == "*" and not is_window:
                     part_sums[pi].append((am.start(), a_close + 1, "", False))
+                elif name not in ("SUM", "COUNT") and is_window:
+                    continue  # rank()/row_number() OVER — window-only call
                 else:
                     eligible = False
                     break
             if not eligible:
                 break
-        all_sums = part_sums[0] + part_sums[1]
+        all_sums = part_sums[0] + part_sums[1] + part_sums[2]
         if not eligible or not all_sums:
             continue
         # overlapping spans (within one part) would corrupt the splice
@@ -3018,9 +3481,9 @@ def _rewrite_rollup_prestage(sql: str) -> str:
                     arg_alias[norm] = f"__roll_s{len(arg_alias)}"
             else:
                 need_cnt = True
-        # ---- rewrite the outer SELECT list / HAVING (end -> start) ----
-        new_parts = [select_list, having]
-        for pi in (0, 1):
+        # ---- rewrite the outer SELECT list / HAVING / tail (end -> start) ----
+        new_parts = [select_list, having, tail]
+        for pi in (0, 1, 2):
             for start, end, arg, is_sum in sorted(part_sums[pi], reverse=True):
                 repl = (
                     f"SUM({arg_alias[' '.join(arg.split())]})"
@@ -3039,10 +3502,15 @@ def _rewrite_rollup_prestage(sql: str) -> str:
                 alias = f"__roll_g{i}"
                 inner_keys.append(f"{k} AS {alias}")
                 outer_keys.append(alias)
+                # anchored so `year(x)` never matches inside a longer
+                # identifier call like `myyear(x)`, and string-literal
+                # occurrences are skipped (ADVICE r15)
                 pat = re.compile(
-                    r"\s+".join(re.escape(tok) for tok in k.split())
+                    r"(?<![\w.])"
+                    + r"\s+".join(re.escape(tok) for tok in k.split())
+                    + (r"(?![\w.])" if re.match(r"[\w]", k[-1]) else "")
                 )
-                new_parts = [pat.sub(alias, p) for p in new_parts]
+                new_parts = [_sub_code(pat, alias, p) for p in new_parts]
         # one inner partial SUM per alias (whitespace-variant spellings of
         # the same argument share an alias — emit the first-seen spelling)
         seen: set[str] = set()
@@ -3059,11 +3527,11 @@ def _rewrite_rollup_prestage(sql: str) -> str:
             f"SELECT {', '.join(inner_keys + agg_items)} "
             f"FROM {from_where.strip()} GROUP BY {', '.join(keys)}"
         )
-        new_sel, new_hav = new_parts
+        new_sel, new_hav, new_tail = new_parts
         block = (
             f"SELECT {new_sel.strip()} FROM ({inner}) AS __roll_pre "
             f"GROUP BY {m.group(1).upper()} ({', '.join(outer_keys)})"
             f"{(' ' + new_hav.strip()) if new_hav.strip() else ''} "
         )
-        sql = sql[: sel.start()] + block + sql[having_end:]
+        sql = sql[: sel.start()] + block + new_tail + sql[rest_at:]
         search_from = sel.start()  # re-scan: splice moved every index
