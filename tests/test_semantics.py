@@ -311,3 +311,152 @@ def test_map_shaped_aggregate_rewrites(spark):
         ).collect()
     }
     assert u == {1: {"a": 1, "b": 2}, 2: {"a": 9}}
+
+
+# ---------------------------------------------------------------------------
+# r16: declared catalog constraints backing the transpiler's eager-agg and
+# decimal-narrowing rewrites. These gates make the declarations LOAD-BEARING:
+# a fixture violating them fails the suite before a wrong plan can ship.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def test_declared_unique_columns_hold():
+    """catalog.UNIQUE_COLUMNS: every declared column is UNIQUE and NOT
+    NULL in every fixture directory (the eager-agg rewrite's 1:1-join
+    and key<->attribute-bijection arguments depend on exactly this)."""
+    import os
+
+    import duckdb
+
+    from witdb_spark.catalog import UNIQUE_COLUMNS
+
+    con = duckdb.connect()
+    for d in _FIXTURE_DIRS:
+        for table, cols in UNIQUE_COLUMNS.items():
+            path = os.path.join(d, f"{table}.parquet")
+            for c in sorted(cols):
+                n, nd, nn = con.execute(
+                    f"SELECT COUNT(*), COUNT(DISTINCT {c}),"
+                    f" COUNT(*) FILTER (WHERE {c} IS NULL)"
+                    f" FROM '{path}'"
+                ).fetchone()
+                assert n == nd and nn == 0, (d, table, c, n, nd, nn)
+
+
+def test_declared_column_bounds_hold():
+    """catalog.COLUMN_ABS_BOUNDS: every declared |value| bound holds with
+    margin in every fixture directory (the decimal-narrowing rewrite's
+    interval arithmetic depends on these)."""
+    import os
+
+    import duckdb
+
+    from witdb_spark.catalog import COLUMN_ABS_BOUNDS, TABLE_COLUMNS
+
+    con = duckdb.connect()
+    owner = {
+        c: t for t, cs in TABLE_COLUMNS.items() for c in cs if t != "events"
+    }
+    for d in _FIXTURE_DIRS:
+        for col, bound in COLUMN_ABS_BOUNDS.items():
+            t = owner.get(col, "events")
+            path = os.path.join(d, f"{t}.parquet")
+            expr = "value" if col == "value" else col
+            mx = con.execute(
+                f"SELECT MAX(ABS({expr})) FROM '{path}'"
+            ).fetchone()[0]
+            assert mx is not None and float(mx) <= bound, (d, col, mx, bound)
+
+
+def test_sum_decimal_narrowing_rewrite():
+    """r16: SUM(CAST(e AS DECIMAL(30,6))) narrows to a per-row
+    DECIMAL(18,6) cast (compact-long representation) wrapped back to
+    SUM's original result type — fires only when the declared bounds
+    prove |e| <= 1e8, so value AND type are bit-identical."""
+    from witdb_spark.plans.dialect import (
+        _expr_abs_bound,
+        _rewrite_sum_decimal_narrowing,
+    )
+
+    out = _rewrite_sum_decimal_narrowing(
+        "SELECT SUM(CAST(l_extendedprice * (1 - l_discount)"
+        " AS DECIMAL(30,6))) AS s FROM lineitem"
+    )
+    assert "DECIMAL(18,6)" in out and "AS DECIMAL(38,6))" in out
+    # unknown column -> unbounded -> untouched
+    q = "SELECT SUM(CAST(mystery AS DECIMAL(30,6))) AS s FROM t"
+    assert _rewrite_sum_decimal_narrowing(q) == q
+    # division -> unbounded -> untouched
+    q2 = "SELECT SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(30,6))) AS s FROM t"
+    assert _rewrite_sum_decimal_narrowing(q2) == q2
+    # bound arithmetic sanity
+    assert _expr_abs_bound("l_quantity * p_retailprice") == 1e3 * 1e5
+    assert _expr_abs_bound(
+        "CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END"
+    ) == 1e6
+    assert _expr_abs_bound("unknown + 1") == float("inf")
+
+
+def test_eager_dim_agg_rewrite_guards(oracle):
+    """r16: the eager-aggregation rewrite (plans/eager_agg.py) — exact on
+    the q64 cross_sales shape (verified against DuckDB here), and
+    correctly refuses shapes where lifting would change results."""
+    import pandas as pd
+
+    from witdb_spark.plans.eager_agg import rewrite_eager_dim_agg
+    from witdb_spark.queries import QUERIES
+
+    text = QUERIES["tpcds_sql_q64"].oracle
+    rewritten = rewrite_eager_dim_agg(text, force=True)
+    assert "__ea_pre" in rewritten
+    a = oracle.execute(text).fetchdf()
+    b = oracle.execute(rewritten).fetchdf()
+    assert list(a.columns) == list(b.columns)
+    sa = a.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+    sb = b.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)
+    # p_brand is NOT declared unique and p_partkey is not in the keys:
+    # grouping by l_partkey would be finer than by p_brand -> no lift
+    nolift = rewrite_eager_dim_agg(
+        "SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey"
+        " GROUP BY p_brand",
+        force=True,
+    )
+    assert "__ea_pre" not in nolift
+    # l_orderkey is not unique in lineitem: joining it post-agg would
+    # drop the fan-out multiplicity COUNT(*) counts -> no lift
+    nolift2 = rewrite_eager_dim_agg(
+        "SELECT o_orderpriority, COUNT(*) AS c"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        force=True,
+    )
+    assert "__ea_pre" not in nolift2
+    # outer joins / HAVING / DISTINCT make a block ineligible
+    for q in (
+        "SELECT s_name, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s"
+        " FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey"
+        " GROUP BY s_name",
+        "SELECT s_name, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s"
+        " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+        " GROUP BY s_name HAVING COUNT(*) > 1",
+        "SELECT DISTINCT s_name, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s"
+        " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+        " GROUP BY s_name",
+    ):
+        assert "__ea_pre" not in rewrite_eager_dim_agg(q, force=True), q
+
+
+def test_tables_dataframe_memoized(spark):
+    """r16: Tables hands out the same lazy DataFrame per (session,
+    sf_dir, table) — plan/metadata reuse only; a different sf_dir gets
+    a different frame."""
+    from witdb_spark.catalog import Tables
+
+    t1 = Tables(spark, "/root/testdata/sf0.01")
+    assert t1.lineitem is t1.lineitem
+    t2 = Tables(spark, "/root/testdata/sf0.001")
+    assert t2.lineitem is not t1.lineitem

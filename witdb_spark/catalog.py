@@ -33,6 +33,73 @@ TABLE_NAMES = [
 # region are constant-cardinality in TPC-H; customer/supplier/part scale).
 BROADCAST_DIMS = {"region", "nation"}
 
+#: Fixed fixture schemas (column names as the parquet files declare them;
+#: events lists the ts_ns VIEW shape the engine registers). Used by the
+#: transpiler's eager-aggregation rewrite to attribute unqualified column
+#: references to tables — a name not resolvable through this map makes a
+#: query block ineligible rather than guessed at.
+TABLE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+    "events": ("event_id", "ts_ns", "user_id", "event_type", "value", "props"),
+}
+
+#: Declared UNIQUE (and NOT NULL) columns per table — TPC-H's primary keys
+#: plus name columns that are injective by the spec's generation rules
+#: (s_name/c_name are 'Supplier#%09d'-style, n_name/r_name are the fixed
+#: distinct lists). The transpiler's eager-aggregation rewrite is only
+#: sound for joins on / groupings by these columns, so every entry is
+#: VERIFIED against all fixture directories by
+#: tests/test_semantics.py::test_declared_unique_columns_hold — a fixture
+#: violating a declared constraint fails the suite before it can produce
+#: a wrong plan.
+UNIQUE_COLUMNS: dict[str, frozenset[str]] = {
+    "region": frozenset({"r_regionkey", "r_name"}),
+    "nation": frozenset({"n_nationkey", "n_name"}),
+    "customer": frozenset({"c_custkey", "c_name"}),
+    "supplier": frozenset({"s_suppkey", "s_name"}),
+    "part": frozenset({"p_partkey"}),
+    "orders": frozenset({"o_orderkey"}),
+}
+
+#: Declared |value| upper bounds for the numeric measure columns, with
+#: 10-1000x headroom over the TPC-H generation rules (l_quantity <= 50,
+#: prices < 10^6). The transpiler's decimal-narrowing rewrite
+#: (plans/dialect.py::_rewrite_sum_decimal_narrowing) only fires when
+#: interval arithmetic over these bounds proves an expression's
+#: magnitude stays far inside decimal(18,6)'s 10^12 range, so the
+#: narrowed per-row cast provably rounds to the same 6-dp value as the
+#: wide one. Verified against every fixture directory by
+#: tests/test_semantics.py::test_declared_column_bounds_hold, and
+#: spark.sql.ansi.enabled is pinned on, so a violation is loud twice
+#: over (test gate + runtime overflow error), never a silent wrap.
+COLUMN_ABS_BOUNDS: dict[str, float] = {
+    "l_quantity": 1e3,
+    "l_extendedprice": 1e6,
+    "l_discount": 2.0,
+    "l_tax": 2.0,
+    "o_totalprice": 1e7,
+    "p_retailprice": 1e5,
+    "p_size": 1e3,
+    "c_acctbal": 1e6,
+    "s_acctbal": 1e6,
+    "value": 1e6,
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -50,9 +117,32 @@ class Tables:
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_") or name not in TABLE_NAMES:
             raise AttributeError(name)
-        if name == "events":
-            return self._read_events()
-        return self._spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        # Memoized per (session, sf_dir) like register_views below: a
+        # DataFrame is a lazy logical plan, so handing out the same
+        # object is pure driver-METADATA reuse — `spark.read.parquet`
+        # runs a footer/schema-inference job every call (~120 ms/table,
+        # measured r16: a 6-table query paid 0.74 s of build time per
+        # bench run, 12x the spark.table path). Nothing is materialized
+        # or persisted: every query still computes from the parquet
+        # files; only the schema lookup stops repeating (guide §5 —
+        # the driver should do almost no work).
+        memo = getattr(self._spark, "_witdb_df_memo", None)
+        if memo is None:
+            memo = {}
+            try:
+                self._spark._witdb_df_memo = memo
+            except AttributeError:
+                pass
+        key = (self.sf_dir, name)
+        if key not in memo:
+            memo[key] = (
+                self._read_events()
+                if name == "events"
+                else self._spark.read.parquet(
+                    os.path.join(self.sf_dir, f"{name}.parquet")
+                )
+            )
+        return memo[key]
 
     def _read_events(self) -> DataFrame:
         """Expose events.ts as ``ts_ns`` — int64 nanoseconds since epoch.
