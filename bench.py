@@ -242,15 +242,28 @@ def main() -> None:
             executor_cpu_ms[name] = stage_deltas[name]["executor_cpu_ms"]
 
     total = round(sum(timings.values()), 4)
+    # r16 (VERDICT r15 #4): the PRINTED final line carries ONLY the
+    # contract fields (metric/value/unit/queries/sf, plus the tiny
+    # stat/total-CPU scalars) — the r14 line grew so large the driver's
+    # stdout tail truncated it mid-JSON and PERF_r15 lost every
+    # round-over-round speedup. Everything diagnostic (spreads,
+    # per-query executor/CPU ms, loadavg, calibration, byte deltas)
+    # moves to the sidecar file and an EARLIER stdout line for humans.
+    # Timing methodology is unchanged: same queries, same 1+3 runs,
+    # same min-of-3 statistic.
     out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
-        # executor_ms_total sums task WALL time (load-sensitive);
-        # executor_cpu_ms_total (r14) sums task CPU time — the
-        # load-insensitive primary signal for round-over-round drift
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stat": f"min_of_{MEASURED_RUNS}",
+        # the two load-insensitive scalars stay on the line: they are
+        # the round-over-round drift signal and cost ~60 bytes
         "executor_ms_total": sum(executor_ms.values()),
         "executor_cpu_ms_total": sum(executor_cpu_ms.values()),
+    }
+    diag = {
         "calibration": calibration,
         "load_gate": {
             "gate_1m": LOAD_GATE,
@@ -263,14 +276,7 @@ def main() -> None:
                 " load-contaminated; read executor_ms instead"
             ),
         },
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "stat": f"min_of_{MEASURED_RUNS}",
         "spread": spreads,
-        # r9 (VERDICT r8 task 4): load-normalization context in the
-        # headline itself — a wall delta with flat executor_ms and a
-        # higher loadavg is machine contention, not a plan regression;
-        # executor_ms here is per-measured-run (same basis as wall).
         "executor_ms": executor_ms,
         "executor_cpu_ms": executor_cpu_ms,
         "loadavg": {
@@ -280,9 +286,9 @@ def main() -> None:
         },
     }
     # r12 (VERDICT r11 task 4): per-query byte comparison against the
-    # previous round's archived sidecar, IN the headline — a wall/CPU
-    # delta with bytes_flat covering the query is machine noise by the
-    # numbers; a query in bytes_changed is a real plan/volume change.
+    # previous round's archived sidecar — a wall/CPU delta with
+    # bytes_flat covering the query is machine noise by the numbers; a
+    # query in bytes_changed is a real plan/volume change.
     if prev_stages and stage_deltas and prev_stages.get("sf") == out["sf"]:
         prev_sm = prev_stages.get("stage_metrics_per_run") or {}
         byte_keys = ("shuffle_read_b", "shuffle_write_b", "input_b")
@@ -301,40 +307,42 @@ def main() -> None:
                 changed[qname] = diffs
             else:
                 flat.append(qname)
-        out["delta_vs_prev"] = {
+        diag["delta_vs_prev"] = {
             "baseline": prev_name,
             "bytes_flat": sorted(flat),
             "bytes_changed": changed,
         }
     # r7 stdout contract fix (VERDICT r6 "What's wrong #2"): the driver
-    # tail-captures stdout and BENCH_r06 truncated mid-JSON once stage
-    # metrics rode the headline line. Stage metrics now go to a sidecar
-    # file (and an EARLIER stdout line for humans); the compact headline
-    # object is the LAST stdout line, small enough for any tail window.
+    # tail-captures stdout; stage metrics and diagnostics go to a
+    # sidecar file (and an EARLIER stdout line for humans); the compact
+    # headline object is the LAST stdout line, small enough for any
+    # tail window.
+    sidecar = {
+        "sf": out["sf"],
+        "headline": out,
+        "diagnostics": diag,
+    }
     if stage_deltas:
-        sidecar = {
-            "sf": out["sf"],
-            "stage_metrics_per_run": stage_deltas,
-            "spread_min_median_max_sec": spreads,
-        }
-        # r12: the sidecar is ARCHIVED per round (BENCH_STAGES_r{N})
-        # so round-over-round byte comparison never needs archaeology;
-        # the un-numbered name stays for compatibility. Only the
-        # default-SF (driver) run archives — ad-hoc sf0.01 iteration
-        # must not clobber the round record.
-        try:
-            with open(os.path.join(REPO_ROOT, "BENCH_STAGES.json"), "w") as f:
+        sidecar["stage_metrics_per_run"] = stage_deltas
+        sidecar["spread_min_median_max_sec"] = spreads
+    # r12: the sidecar is ARCHIVED per round (BENCH_STAGES_r{N}) so
+    # round-over-round byte comparison never needs archaeology; the
+    # un-numbered name stays for compatibility. Only the default-SF
+    # (driver) run archives — ad-hoc sf0.01 iteration must not clobber
+    # the round record.
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_STAGES.json"), "w") as f:
+            json.dump(sidecar, f)
+        if "SPARK_GRAFT_SF_DIR" not in os.environ:
+            rn = _round_number()
+            with open(
+                os.path.join(REPO_ROOT, f"BENCH_STAGES_r{rn:02d}.json"),
+                "w",
+            ) as f:
                 json.dump(sidecar, f)
-            if "SPARK_GRAFT_SF_DIR" not in os.environ:
-                rn = _round_number()
-                with open(
-                    os.path.join(REPO_ROOT, f"BENCH_STAGES_r{rn:02d}.json"),
-                    "w",
-                ) as f:
-                    json.dump(sidecar, f)
-        except OSError:
-            pass
-        print(json.dumps({"stage_metrics_per_run": stage_deltas}))
+    except OSError:
+        pass
+    print(json.dumps({"diagnostics": diag, "stage_metrics_per_run": stage_deltas}))
     print(json.dumps(out))
     spark.stop()
 

@@ -89,41 +89,54 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # coverage every pytest run (tests/test_queries_oracle.py
 # parameterizes the whole registry) and lead r16 with whatever r15
 # registers late.
+# Round-16 window (optimization round 2): every slot goes to a query
+# whose SPARK-SIDE PLAN changed in r15 or r16 and therefore needs a
+# driver-oracle row (VERDICT r15 #3 — the r15 window rotation predated
+# the r15 rewrites, so the most-rewritten queries had builder-only
+# evidence). Composition:
+#   1-6   the r15/r16 bench rewrites VERDICT named explicitly
+#         (dedup_clusters: r16 AQE-scoped iteration; tpcds_sql_q64: r16
+#         decimal narrowing + examined eager-agg; tpcds_sql_q67: r15
+#         rollup pre-stage + r16 narrowing; tpch_q1: r15 DEC narrowing;
+#         text_bigram_logprob: r15 rewrite; tpcds_sql_q79: r16-narrowed
+#         and NOT locally DuckDB-verifiable — its transpiled text uses
+#         the Spark-registered trino_date_diff, so the driver row is
+#         the only independent check)
+#   7-15  the remaining ROLLUP/CUBE texts (r15 pre-stage + r16 hardened
+#         eligibility + r16 narrowing)
+#   16-22 the r16 year+month conjunction rewrite family
+#   23-26 the q1-family texts the (default-off) eager-agg rewrite
+#         targets — their texts are also r16-narrowed
+#   27-28 two more r15 dsum DataFrame queries (VERDICT #3)
+#   29-50 the remaining r16-narrowed texts by staleness
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (late-r14)
-    "hudi_changes_stream_drain",
-    "delta_v2_checkpoint_roundtrip",
-    "dedup_passage_boilerplate",
-    "similarity_pq_topk",
-    # r8-era staleness: ALL 34 remaining tpcds texts (drain to zero)
-    "tpcds_sql_q1", "tpcds_sql_q3", "tpcds_sql_q6",
-    "tpcds_sql_q7", "tpcds_sql_q8", "tpcds_sql_q10",
-    "tpcds_sql_q12", "tpcds_sql_q15", "tpcds_sql_q16",
-    "tpcds_sql_q18", "tpcds_sql_q20", "tpcds_sql_q22",
-    "tpcds_sql_q26", "tpcds_sql_q27", "tpcds_sql_q30",
-    "tpcds_sql_q32", "tpcds_sql_q37", "tpcds_sql_q41",
-    "tpcds_sql_q42", "tpcds_sql_q43", "tpcds_sql_q45",
-    "tpcds_sql_q48", "tpcds_sql_q50", "tpcds_sql_q53",
-    "tpcds_sql_q55", "tpcds_sql_q58", "tpcds_sql_q61",
-    "tpcds_sql_q62", "tpcds_sql_q76", "tpcds_sql_q81",
-    "tpcds_sql_q90", "tpcds_sql_q96", "tpcds_sql_q98",
-    "tpcds_sql_q99",
-    # r15-new registrations (filled in as they land this round)
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_residual_topk",
-    "iceberg_cherry_pick_conflict",
-    "iceberg_cherry_pick_dynamic",
-    "hudi_rewrite_stream_drain",
-    "hudi_cow_incremental_read",
-    "cbo_broadcast_from_stats",
-    # engine-changed re-drives (cherry-pick generalization, ANN shared
-    # code, iceberg_analyze now stashes table-size blob properties)
-    "iceberg_cherry_pick_scan",
-    "iceberg_analyze_puffin_stats",
-    "similarity_ivf_topk",
-    "similarity_topk",
-    # r9-era backfill
-    "hudi_timeline_reader_snapshot",
+    "dedup_clusters",
+    "tpcds_sql_q64",
+    "tpcds_sql_q67",
+    "tpch_q1",
+    "text_bigram_logprob",
+    "tpcds_sql_q79",
+    # rollup family (pre-stage + hardening + narrowing)
+    "tpcds_sql_q70", "tpcds_sql_q36", "tpcds_sql_q5",
+    "tpcds_sql_q77", "tpcds_sql_q22", "tpcds_sql_q27",
+    "tpcds_sql_q18", "tpcds_sql_q80", "tpcds_sql_q86",
+    # year+month conjunction rewrite family
+    "tpcds_sql_q57", "tpcds_sql_q42", "tpcds_sql_q55",
+    "tpcds_sql_q52", "tpcds_sql_q19", "tpcds_sql_q54",
+    "tpcds_sql_q91",
+    # eager-agg target family (narrowed texts)
+    "tpcds_sql_q31", "tpcds_sql_q1", "tpcds_sql_q30",
+    "tpcds_sql_q81",
+    # r15 dsum DataFrame re-drives
+    "tpch_q5", "tpch_q9",
+    # remaining r16-narrowed texts
+    "tpch_sql_q1", "tpch_sql_q3", "tpch_sql_q5", "tpch_sql_q6",
+    "tpch_sql_q10", "tpch_sql_q14", "tpch_sql_q15", "tpch_sql_q17",
+    "tpch_sql_q18", "tpch_sql_q19", "tpch_sql_q22",
+    "tpcds_sql_q47", "tpcds_sql_q89", "tpcds_sql_q44",
+    "tpcds_sql_q51", "tpcds_sql_q74", "tpcds_sql_q23",
+    "tpcds_sql_q95", "tpcds_sql_q65", "tpcds_sql_q39",
+    "tpcds_sql_q11", "tpcds_sql_q4",
 )
 
 
