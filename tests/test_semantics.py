@@ -460,3 +460,37 @@ def test_tables_dataframe_memoized(spark):
     assert t1.lineitem is t1.lineitem
     t2 = Tables(spark, "/root/testdata/sf0.001")
     assert t2.lineitem is not t1.lineitem
+
+
+def test_cte_selfjoin_narrowing(oracle):
+    """r16: the q64-shape composition — narrow surrogate-key CTE,
+    self-join key rewritten att=att -> key=key under declared
+    uniqueness, attributes re-attached on the final joined output.
+    Value-identical vs DuckDB; refuses consumers it cannot re-point."""
+    from witdb_spark.plans.eager_agg import rewrite_cte_selfjoin_narrow
+    from witdb_spark.queries import QUERIES
+
+    text = QUERIES["tpcds_sql_q64"].oracle
+    r = rewrite_cte_selfjoin_narrow(text, force=True)
+    assert "__ea_pre" in r and "__ea_a1" in r
+    # the CTE no longer exposes the dimension strings; the consumer
+    # reads them through the re-attach joins
+    assert " s_name AS store_name" not in r  # not exposed by the CTE
+    assert ".s_name AS store_name" in r  # re-attached via the dim join
+    a = oracle.execute(text).fetchdf()
+    b = oracle.execute(r).fetchdf()
+    assert list(a.columns) == list(b.columns)
+    sa = a.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+    sb = b.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(sa, sb)
+    # a consumer that filters on a dropped attribute cannot be re-pointed
+    bad = text.replace(
+        "WHERE cs1.syear = 1996",
+        "WHERE cs1.store_name > 'A' AND cs1.syear = 1996",
+    )
+    assert rewrite_cte_selfjoin_narrow(bad, force=True) == bad
+    # an unaliased instance cannot be re-pointed either
+    bad2 = text.replace("cross_sales cs1 JOIN", "cross_sales JOIN")
+    assert rewrite_cte_selfjoin_narrow(bad2, force=True) == bad2

@@ -2756,8 +2756,12 @@ def transpile(sql: str) -> str:
     sql = _rewrite_year_month_ranges(sql)
     sql = _rewrite_year_ranges(sql)
     sql = _rewrite_rollup_prestage(sql)
-    from witdb_spark.plans.eager_agg import rewrite_eager_dim_agg
+    from witdb_spark.plans.eager_agg import (
+        rewrite_cte_selfjoin_narrow,
+        rewrite_eager_dim_agg,
+    )
 
+    sql = rewrite_cte_selfjoin_narrow(sql)
     sql = rewrite_eager_dim_agg(sql)
     return _rewrite_sum_decimal_narrowing(sql)
 

