@@ -50,7 +50,15 @@ def run_to_completion(stream_df, tmp_path, name):
     # stable) before stopping it — slowness is loud, never wrong.
     import time
 
-    if not q.awaitTermination(120):
+    # r16: a stateful query holding processing-time timers NEVER
+    # terminates on its own, so a long initial wait is a pure fixed cost
+    # (the funnel test spent 120 s of its measured 207 s here). The
+    # quiescence loop below is the actual completeness detector — count
+    # stable across 5 samples AND an idle observation — and it raises
+    # loudly if neither termination nor quiescence happens within its
+    # 300 s budget, so shortening the initial wait cannot produce a
+    # silent partial read.
+    if not q.awaitTermination(15):
         # processing-time timers keep the trigger cycling, so the two
         # status flags never settle SIMULTANEOUSLY with a count sample;
         # output rows are emitted on DATA (timers only clean state), so

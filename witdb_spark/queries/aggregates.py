@@ -22,6 +22,8 @@ Determinism strategy per family:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +51,19 @@ from witdb_spark.queries.shared import DEC, dsum, sql_sum
     "accumulation-order noise.",
     tags=("aggregate", "stats"),
 )
+
+def _mat_ctes(sql: str) -> str:
+    """Pin single execution of every CTE in a DuckDB ORACLE text.
+
+    DuckDB inlines CTEs by default and re-executes a CTE's whole chain
+    once per reference, so the scalar-subquery-heavy digest oracles go
+    multiplicative: agg_tdigest_sql_names' oracle measured 118.8 s at
+    sf0.01 and 6.3 s with AS MATERIALIZED -- identical values (r16; the
+    57 s test_queries_oracle hotspot). Oracle-side only; Spark never
+    sees these texts."""
+    return re.sub(r"\bAS\s*\(\s*(SELECT|VALUES)", r"AS MATERIALIZED (\1", sql)
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
@@ -564,7 +579,7 @@ def _qdigest_rollup_oracle() -> str:
     i25, i50, i75 = (quantile_index(q, kp) for q in (0.25, 0.5, 0.75))
     # Reproduce the integer-rank digest pipeline (operators/qdigest.py):
     # per-flag K-point rank selection -> weight-n pool -> rank re-selection.
-    return f"""
+    return _mat_ctes(f"""
     WITH ranked AS (
       SELECT l_returnflag AS f, l_extendedprice + 0.0e0 AS v,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
@@ -583,7 +598,7 @@ def _qdigest_rollup_oracle() -> str:
     SELECT (SELECT mv FROM merged WHERE k = {i25}) AS p25,
            (SELECT mv FROM merged WHERE k = {i50}) AS p50,
            (SELECT mv FROM merged WHERE k = {i75}) AS p75
-    """
+    """)
 
 
 @register(
@@ -698,7 +713,7 @@ def _tdigest_rollup_oracle() -> str:
     # -> weighted grid re-selection. The grid literals come from the same
     # Python scale_grid() the UDFs close over, so both engines do identical
     # IEEE arithmetic.
-    return f"""
+    return _mat_ctes(f"""
     WITH ranked AS (
       SELECT l_returnflag AS f, l_extendedprice + 0.0e0 AS v,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
@@ -726,7 +741,7 @@ def _tdigest_rollup_oracle() -> str:
     SELECT {interp(0.50, "p50")},
            {interp(0.95, "p95")},
            {interp(0.99, "p99")}
-    """
+    """)
 
 
 @register(
@@ -855,7 +870,7 @@ def _qdigest_salted_oracle() -> str:
     kp = K_POINTS
     i25, i50, i75 = (quantile_index(q, kp) for q in (0.25, 0.5, 0.75))
     salt = f"CAST(floor(l_extendedprice) AS BIGINT) % {NS}"
-    return f"""
+    return _mat_ctes(f"""
     WITH ks AS (SELECT range AS k FROM range({kp})),
     r0 AS (
       SELECT l_returnflag AS f, {salt} AS s, l_extendedprice + 0.0e0 AS v,
@@ -883,7 +898,7 @@ def _qdigest_salted_oracle() -> str:
     SELECT (SELECT mv FROM merged WHERE k = {i25}) AS p25,
            (SELECT mv FROM merged WHERE k = {i50}) AS p50,
            (SELECT mv FROM merged WHERE k = {i75}) AS p75
-    """
+    """)
 
 
 @register(
@@ -966,7 +981,7 @@ def _qdigest_weighted_oracle() -> str:
         f" AND cum >= ({k(q)} * t.wtot) // {KP - 1}) AS p{int(q * 100)}"
         for q in (0.25, 0.5, 0.75)
     )
-    return f"""
+    return _mat_ctes(f"""
     WITH r0 AS (
       SELECT l_returnflag AS flag, l_extendedprice + 0.0e0 AS v,
              CAST(l_quantity AS BIGINT) AS w
@@ -980,7 +995,7 @@ def _qdigest_weighted_oracle() -> str:
     SELECT t.flag,
            {sel}
     FROM t
-    """
+    """)
 
 
 @register(
@@ -1209,7 +1224,7 @@ def _tdigest_salted_oracle() -> str:
         )
 
     last = K_CENTROIDS - 1
-    return f"""
+    return _mat_ctes(f"""
     WITH grid(k, q, mlo, mhi) AS (VALUES {vals}),
     r0 AS (
       SELECT l_returnflag AS f, {salt} AS s, l_extendedprice + 0.0e0 AS v,
@@ -1251,7 +1266,7 @@ def _tdigest_salted_oracle() -> str:
     SELECT {interp(0.50, "p50")},
            {interp(0.95, "p95")},
            {interp(0.99, "p99")}
-    """.replace("r0src", "lineitem")
+    """).replace("r0src", "lineitem")
 
 
 @register(
