@@ -449,96 +449,85 @@ def duplicate_clusters(
     # materialize the symmetrized edge list ONCE: every round joins it,
     # and without the checkpoint each round would re-execute the whole
     # upstream pair-generation DAG (e.g. the MinHash banding pipeline).
-    # The upstream pipeline runs under the session's normal AQE.
-    sym0 = edges.union(
+    # r15 negative result: pre-partitioning by dst before the checkpoint
+    # (to strip the per-round edge-side exchange) does NOT work under
+    # AQE — AdaptiveSparkPlanExec reports UnknownPartitioning to
+    # Dataset.localCheckpoint, so the LogicalRDD drops the partitioning
+    # and every round re-exchanges anyway (verified on 4.1.2; with AQE
+    # off the partitioning IS preserved). persist() would keep the
+    # partitioning visible but registers the subtree in the
+    # CacheManager, where the next invocation's identical canonical
+    # plan would silently reuse it across bench runs — rejected.
+    # r16 negative result (VERDICT r15 #8 probed to completion): the
+    # full AQE-off-scoped variant WAS built — iteration under
+    # spark.sql.adaptive.enabled=false with the edge list checkpointed
+    # as hashpartitioning(dst, n) and labels as (node, n) — and measured
+    # EXACTLY flat: 21 stages / 118,752 shuffle bytes per run under both
+    # implementations, interleaved wall min 2.24 vs 2.25 s. Root cause:
+    # the per-round joins were never exchanging the edge list in the
+    # first place — the checkpointed label map's size estimate sits
+    # under the broadcast threshold, so every round's joins already plan
+    # as BroadcastHashJoin (verified in the executed plan), and the only
+    # exchanges are the min-aggregation's, which partitioning cannot
+    # remove. The residual wall is per-round driver job latency, bounded
+    # by the O(log diameter) round count. Reverted rather than shipped.
+    sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # r16 (VERDICT r15 #8, r15 negative result resolved): the iteration
-    # itself runs with AQE DISABLED so that hash partitioning survives
-    # Dataset.localCheckpoint (under AQE, AdaptiveSparkPlanExec reports
-    # UnknownPartitioning to the checkpoint and every round re-exchanged
-    # both join sides — verified on 4.1.2). With the edge list
-    # checkpointed as hashpartitioning(dst, n) and the label map as
-    # hashpartitioning(node, n), each round's two joins are exchange-
-    # free; only the min-aggregation by src, the shortcut join's
-    # repartition by cluster, and the next-round repartition by node
-    # shuffle — and, as important at this scale, every removed exchange
-    # also removes an AQE stage-replanning round trip (the wall cost at
-    # sf0.1 was driver latency, not CPU). The partition count n is
-    # scale-adaptive: it is whatever the AQE-planned upstream pipeline
-    # produced for the edge list, not a constant. persist() would also
-    # keep partitioning visible but registers the subtree in the
-    # CacheManager where the next invocation's identical canonical plan
-    # would silently reuse it ACROSS bench runs — still rejected.
-    spark = pairs.sparkSession
-    n = max(1, sym0.rdd.getNumPartitions())
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        sym = sym0.repartition(n, "dst").localCheckpoint()
-        labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("cluster", F.col("node"))
-            .repartition(n, "node")
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("cluster").alias("old_cluster"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer doubling: a cluster label IS a node id, so relabel
+        # through the previous label map (label-of-label) — shallow
+        # chains collapse a level per round on top of the edge step
+        lmap = labels.select(
+            F.col("node").alias("pnode"), F.col("cluster").alias("pcluster")
+        )
+        shortcut = F.least(
+            F.col("cluster"), F.coalesce(F.col("pcluster"), F.col("cluster"))
+        )
+        # the convergence count rides the checkpoint job itself via an
+        # observation metric (CollectMetrics, JVM-side) — one Spark job
+        # per round, no separate sum-collect pass (r6)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        flagged = (
+            stepped.join(lmap, stepped.cluster == lmap.pnode, "left")
+            .select(
+                "node",
+                shortcut.alias("cluster"),
+                (shortcut != F.col("old_cluster")).cast("long").alias("chg"),
+            )
+            .observe(obs, F.sum("chg").alias("changed"))
             .localCheckpoint()
         )
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("cluster").alias("nmin"))
-            )
-            stepped = labels.join(
-                neighbor_min, labels.node == neighbor_min.src, "left"
-            ).select(
-                "node",
-                F.col("cluster").alias("old_cluster"),
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nmin"), F.col("cluster")),
-                ).alias("cluster"),
-            )
-            # pointer doubling: a cluster label IS a node id, so relabel
-            # through the previous label map (label-of-label) — shallow
-            # chains collapse a level per round on top of the edge step
-            lmap = labels.select(
-                F.col("node").alias("pnode"),
-                F.col("cluster").alias("pcluster"),
-            )
-            shortcut = F.least(
-                F.col("cluster"),
-                F.coalesce(F.col("pcluster"), F.col("cluster")),
-            )
-            # the convergence count rides the checkpoint job itself via
-            # an observation metric (CollectMetrics, JVM-side) — one
-            # Spark job per round, no separate sum-collect pass (r6)
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            flagged = (
-                stepped.join(lmap, stepped.cluster == lmap.pnode, "left")
-                .select(
-                    "node",
-                    shortcut.alias("cluster"),
-                    (shortcut != F.col("old_cluster"))
-                    .cast("long")
-                    .alias("chg"),
-                )
-                .observe(obs, F.sum("chg").alias("changed"))
-                .repartition(n, "node")
-                .localCheckpoint()
-            )
-            changed = obs.get["changed"]
-            labels = flagged.drop("chg")
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"duplicate_clusters did not converge in {max_iter} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        changed = obs.get["changed"]
+        labels = flagged.drop("chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node").alias("doc_id"), "cluster")
 
 
