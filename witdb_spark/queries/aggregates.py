@@ -33,6 +33,19 @@ from witdb_spark.queries.registry import register
 from witdb_spark.queries.shared import DEC, dsum, sql_sum
 
 
+
+def _mat_ctes(sql: str) -> str:
+    """Pin single execution of every CTE in a DuckDB ORACLE text.
+
+    DuckDB inlines CTEs by default and re-executes a CTE's whole chain
+    once per reference, so the scalar-subquery-heavy digest oracles go
+    multiplicative: agg_tdigest_sql_names' oracle measured 118.8 s at
+    sf0.01 and 6.3 s with AS MATERIALIZED -- identical values (r16; the
+    57 s test_queries_oracle hotspot). Oracle-side only; Spark never
+    sees these texts."""
+    return re.sub(r"\bAS\s*\(\s*(SELECT|VALUES)", r"AS MATERIALIZED (\1", sql)
+
+
 @register(
     "agg_stats_moments",
     """
@@ -51,18 +64,6 @@ from witdb_spark.queries.shared import DEC, dsum, sql_sum
     "accumulation-order noise.",
     tags=("aggregate", "stats"),
 )
-
-def _mat_ctes(sql: str) -> str:
-    """Pin single execution of every CTE in a DuckDB ORACLE text.
-
-    DuckDB inlines CTEs by default and re-executes a CTE's whole chain
-    once per reference, so the scalar-subquery-heavy digest oracles go
-    multiplicative: agg_tdigest_sql_names' oracle measured 118.8 s at
-    sf0.01 and 6.3 s with AS MATERIALIZED -- identical values (r16; the
-    57 s test_queries_oracle hotspot). Oracle-side only; Spark never
-    sees these texts."""
-    return re.sub(r"\bAS\s*\(\s*(SELECT|VALUES)", r"AS MATERIALIZED (\1", sql)
-
 
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
