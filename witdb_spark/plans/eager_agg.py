@@ -827,18 +827,24 @@ def _narrow_cte_and_consumer(sql: str, P: dict) -> str | None:
             rf"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*{a}\s*=\s*([A-Za-z_]\w*)\s*\.\s*{a}(?![\w.])",
             re.I,
         )
-
-        def rep(mo):
+        pieces, last = [], 0
+        _, pti = d._scan_maps(new_tail)
+        for mo in pair.finditer(new_tail):
+            if pti[mo.start()]:
+                continue  # inside a string literal — leave verbatim
             x, y = mo.group(1), mo.group(2)
             if (
                 x.lower() in {al.lower() for al in aliases}
                 and y.lower() in {al.lower() for al in aliases}
                 and uniq
             ):
-                return f"{x}.{anchor_out[src]} = {y}.{anchor_out[src]}"
-            return mo.group(0)
-
-        new_tail = pair.sub(rep, new_tail)
+                pieces.append(new_tail[last : mo.start()])
+                pieces.append(
+                    f"{x}.{anchor_out[src]} = {y}.{anchor_out[src]}"
+                )
+                last = mo.end()
+        pieces.append(new_tail[last:])
+        new_tail = "".join(pieces)
 
     # ---- rewrite remaining qualified att references: must be whole
     # select-list items of the consumer ----
