@@ -95,20 +95,23 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 # the r15 rewrites, so the most-rewritten queries had builder-only
 # evidence). Composition:
 #   1-6   the r15/r16 bench rewrites VERDICT named explicitly
-#         (dedup_clusters: r16 AQE-scoped iteration; tpcds_sql_q64: r16
-#         decimal narrowing + examined eager-agg; tpcds_sql_q67: r15
-#         rollup pre-stage + r16 narrowing; tpch_q1: r15 DEC narrowing;
-#         text_bigram_logprob: r15 rewrite; tpcds_sql_q79: r16-narrowed
-#         and NOT locally DuckDB-verifiable — its transpiled text uses
-#         the Spark-registered trino_date_diff, so the driver row is
-#         the only independent check)
+#         (dedup_clusters: bench query never driver-windowed since its
+#         r6 shape landed — kept as a bench-coverage row after the r16
+#         AQE-scoped variant was measured flat and reverted;
+#         tpcds_sql_q64: r16 CTE self-join narrowing + decimal
+#         narrowing; tpcds_sql_q67: r15 rollup pre-stage + r16
+#         narrowing; tpch_q1: r15 DEC narrowing; text_bigram_logprob:
+#         r15 rewrite; tpcds_sql_q79: r16-narrowed and NOT locally
+#         DuckDB-verifiable — its transpiled text uses the
+#         Spark-registered trino_date_diff, so the driver row is the
+#         only independent check)
 #   7-15  the remaining ROLLUP/CUBE texts (r15 pre-stage + r16 hardened
 #         eligibility + r16 narrowing)
-#   16-22 the r16 year+month conjunction rewrite family
-#   23-26 the q1-family texts the (default-off) eager-agg rewrite
+#   16-23 the r16 year+month conjunction rewrite family
+#   24-27 the q1-family texts the (default-off) eager-agg rewrite
 #         targets — their texts are also r16-narrowed
-#   27-28 two more r15 dsum DataFrame queries (VERDICT #3)
-#   29-50 the remaining r16-narrowed texts by staleness
+#   28-29 two more r15 dsum DataFrame queries (VERDICT #3)
+#   30-50 the remaining r16-narrowed texts by staleness
 _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "tpcds_sql_q64",
@@ -123,7 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     # year+month conjunction rewrite family
     "tpcds_sql_q57", "tpcds_sql_q42", "tpcds_sql_q55",
     "tpcds_sql_q52", "tpcds_sql_q19", "tpcds_sql_q54",
-    "tpcds_sql_q91",
+    "tpcds_sql_q91", "tpcds_sql_q61",
     # eager-agg target family (narrowed texts)
     "tpcds_sql_q31", "tpcds_sql_q1", "tpcds_sql_q30",
     "tpcds_sql_q81",
@@ -136,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpcds_sql_q47", "tpcds_sql_q89", "tpcds_sql_q44",
     "tpcds_sql_q51", "tpcds_sql_q74", "tpcds_sql_q23",
     "tpcds_sql_q95", "tpcds_sql_q65", "tpcds_sql_q39",
-    "tpcds_sql_q11", "tpcds_sql_q4",
+    "tpcds_sql_q11",
 )
 
 
