@@ -494,3 +494,16 @@ def test_cte_selfjoin_narrowing(oracle):
     # an unaliased instance cannot be re-pointed either
     bad2 = text.replace("cross_sales cs1 JOIN", "cross_sales JOIN")
     assert rewrite_cte_selfjoin_narrow(bad2, force=True) == bad2
+
+
+def test_sum_narrowing_skips_window_calls():
+    """A windowed SUM cannot carry the type-restoring CAST wrap (OVER
+    must attach to the aggregate call) — the narrowing must leave
+    ``SUM(CAST(...)) OVER (...)`` byte-identical."""
+    from witdb_spark.plans.dialect import _rewrite_sum_decimal_narrowing
+
+    q = (
+        "SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,6)))"
+        " OVER (PARTITION BY l_suppkey) AS s FROM lineitem"
+    )
+    assert _rewrite_sum_decimal_narrowing(q) == q

@@ -3086,6 +3086,10 @@ def _rewrite_sum_decimal_narrowing(sql: str) -> str:
         except Exception:
             continue
         arg = out[s_open + 1 : s_close].strip()
+        if out[s_close + 1 :].lstrip().upper().startswith("OVER"):
+            # windowed SUM: OVER must attach to the aggregate call, so
+            # the type-restoring CAST wrap cannot be applied — skip
+            continue
         cm = re.match(r"CAST\s*\(", arg, re.I)
         if not cm:
             continue
