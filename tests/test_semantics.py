@@ -507,3 +507,8 @@ def test_sum_narrowing_skips_window_calls():
         " OVER (PARTITION BY l_suppkey) AS s FROM lineitem"
     )
     assert _rewrite_sum_decimal_narrowing(q) == q
+    qf = (
+        "SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,6)))"
+        " FILTER (WHERE l_quantity > 5) AS s FROM lineitem"
+    )
+    assert _rewrite_sum_decimal_narrowing(qf) == qf

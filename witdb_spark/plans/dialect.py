@@ -3086,8 +3086,9 @@ def _rewrite_sum_decimal_narrowing(sql: str) -> str:
         except Exception:
             continue
         arg = out[s_open + 1 : s_close].strip()
-        if out[s_close + 1 :].lstrip().upper().startswith("OVER"):
-            # windowed SUM: OVER must attach to the aggregate call, so
+        after = out[s_close + 1 :].lstrip().upper()
+        if after.startswith("OVER") or after.startswith("FILTER"):
+            # OVER / FILTER must attach to the aggregate call itself, so
             # the type-restoring CAST wrap cannot be applied — skip
             continue
         cm = re.match(r"CAST\s*\(", arg, re.I)
